@@ -1,0 +1,414 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Large-scale training-data pipeline operators (BASELINE.json north star):
+  * deduplication (exact / MinHash-LSH / SimHash / n-gram Jaccard /
+  * embedding-cosine), similarity search (brute-force + LSH-bucketed +
+  * IVF), and text analysis (lang-id, quality, token counting,
+  * fingerprinting) over `documents` / `embeddings`.
+  *
+  * Scale posture: everything is partition-parallel DataFrame ops — no
+  * driver collects; candidate generation is always banded/bucketed so the
+  * pairwise stage never goes O(n²) at 100 TB; all hot expressions are
+  * Spark built-ins (codegen'd).
+  *
+  * Determinism: cross-engine-checked queries use md5 (identical in
+  * DuckDB) or exact integer math (quantized embeddings: every dot
+  * product is a sum of int64 products < 2^53, so DOUBLE results are
+  * bit-identical in any summation order). xxhash64-based operators
+  * (MinHash/SimHash) have no DuckDB equivalent → rows-only checks.
+  *
+  * The dedup operators plant deterministic near-duplicates (doc_id %
+  * 10 == 0 → copy with one appended token, id + 1_000_000) so the
+  * candidate-pair output is non-empty and self-verifying at every SF.
+  */
+object PipelineQueries {
+  import Tables.t
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** documents ∪ planted near-duplicates (deterministic). */
+  private def corpusWithPlants(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val planted = docs.where(col("doc_id") % 10 === 0)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+      .withColumn("text", concat(col("text"), lit(" zzz")))
+    docs.unionByName(planted)
+  }
+
+  /** tokens + distinct word-3-gram shingles. */
+  private def withShingles(df: DataFrame): DataFrame =
+    df.withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
+      .where(size(col("toks")) >= 3)
+      .withColumn("shingles", expr(
+        """array_distinct(transform(sequence(1, size(toks)-2),
+          |  i -> concat(element_at(toks,i), ' ', element_at(toks,i+1), ' ', element_at(toks,i+2))))""".stripMargin))
+
+  /** embeddings quantized to int64 (×1000) + planted exact copies. */
+  private def quantizedEmbeddings(s: SparkSession, d: String, plant: Boolean): DataFrame = {
+    val e = t(s, d, "embeddings")
+    val base = if (plant) {
+      e.unionByName(e.where(col("vec_id") % 20 === 0)
+        .withColumn("vec_id", col("vec_id") + 1000000L))
+    } else e
+    base
+      .withColumn("q", expr("transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint))"))
+      .withColumn("nrm", expr("aggregate(zip_with(q, q, (x, y) -> x * y), 0L, (a, x) -> a + x)"))
+      .drop("embedding")
+  }
+
+  private val cosExpr =
+    """cast(aggregate(zip_with(a.q, b.q, (x, y) -> x * y), 0L, (acc, x) -> acc + x) as double)
+      | / (sqrt(cast(a.nrm as double)) * sqrt(cast(b.nrm as double)))""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    // --- exact dedup: content-hash groupBy (the 100 TB-safe baseline) --
+    "d01_dedup_exact" -> { (s, d) =>
+      corpusWithPlants(s, d)
+        .groupBy(md5(col("text")).as("content_hash"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy(col("content_hash"))
+    },
+
+    // --- exact dedup after normalization (lower/trim/collapse-ws) ------
+    "d02_dedup_normalized" -> { (s, d) =>
+      corpusWithPlants(s, d)
+        .withColumn("norm", regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+        .groupBy(md5(col("norm")).as("content_hash"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"),
+          max(length(col("norm"))).as("n_chars"))
+        .orderBy(col("content_hash"))
+    },
+
+    // --- token counting: whitespace + BPE-ish regex --------------------
+    "d03_token_count" -> { (s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          size(split(trim(col("text")), "\\s+")).cast(LongType).as("ws_tokens"),
+          size(regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+            .cast(LongType).as("bpe_tokens"),
+          length(col("text")).cast(LongType).as("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+
+    // --- quality scoring: length/stopword/alpha ratios -----------------
+    "d04_quality_score" -> { (s, d) =>
+      t(s, d, "documents")
+        .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
+        .withColumn("n_tokens", size(col("toks")).cast(LongType))
+        .withColumn("alpha_chars", length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast(LongType))
+        .withColumn("stop_hits", expr(
+          "cast(size(filter(toks, t -> t in ('the','a','of','and','to','in','is'))) as bigint)"))
+        .select(col("doc_id"), col("n_tokens"), col("alpha_chars"), col("stop_hits"),
+          (lit(0.4) * least(lit(1.0), col("n_tokens").cast(DoubleType) / 100.0)
+            + lit(0.3) * (col("stop_hits").cast(DoubleType) / col("n_tokens").cast(DoubleType))
+            + lit(0.3) * (col("alpha_chars").cast(DoubleType) / length(col("text")).cast(DoubleType))).as("quality"))
+        .orderBy(col("doc_id"))
+    },
+
+    // --- language ID: stopword-profile n-gram heuristic ----------------
+    "d05_lang_id" -> { (s, d) =>
+      t(s, d, "documents")
+        .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
+        .withColumn("s_en", expr("size(filter(toks, t -> t in ('the','a','of','and','to','in','is')))"))
+        .withColumn("s_de", expr("size(filter(toks, t -> t in ('der','die','das','und','ist','nicht','mit')))"))
+        .withColumn("s_es", expr("size(filter(toks, t -> t in ('el','la','de','que','y','en','los')))"))
+        .withColumn("s_fr", expr("size(filter(toks, t -> t in ('le','les','et','des','un','une','est')))"))
+        .withColumn("s_zh", expr("size(filter(toks, t -> t in ('的','是','不','了','在','我','有')))"))
+        .withColumn("pred_lang", expr(
+          """case
+            |  when s_en >= s_de and s_en >= s_es and s_en >= s_fr and s_en >= s_zh then 'en'
+            |  when s_de >= s_es and s_de >= s_fr and s_de >= s_zh then 'de'
+            |  when s_es >= s_fr and s_es >= s_zh then 'es'
+            |  when s_fr >= s_zh then 'fr'
+            |  else 'zh' end""".stripMargin))
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("lang"), col("pred_lang"))
+    },
+
+    // --- document fingerprinting (md5-based 64-bit prefix) -------------
+    "d06_fingerprint" -> { (s, d) =>
+      t(s, d, "documents")
+        .withColumn("norm", regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+        .select(col("doc_id"), substring(md5(col("norm")), 1, 16).as("fingerprint"))
+        .orderBy(col("doc_id"))
+    },
+
+    // --- MinHash + LSH near-dup (shingle → 32 minhashes → 8 bands) -----
+    "d07_dedup_minhash_lsh" -> { (s, d) =>
+      val sh = withShingles(corpusWithPlants(s, d))
+        .withColumn("mh", expr(
+          """transform(sequence(0, 31),
+            |  j -> array_min(transform(shingles, sh -> xxhash64(concat(sh, '#', cast(j as string))))))""".stripMargin))
+        .select(col("doc_id"), col("mh"), col("shingles"))
+      val banded = sh.select(col("doc_id"), col("mh"), col("shingles"),
+          explode(expr(
+            """transform(sequence(0, 7),
+              |  b -> struct(b as band, xxhash64(concat_ws(',', slice(mh, b*4+1, 4))) as bh))""".stripMargin)).as("bd"))
+        .select(col("doc_id"), col("mh"), col("shingles"), col("bd.band"), col("bd.bh"))
+      val a = banded.select(col("band"), col("bh"), col("doc_id").as("a"),
+        col("mh").as("mha"), col("shingles").as("sha"))
+      val b = banded.select(col("band"), col("bh"), col("doc_id").as("b"),
+        col("mh").as("mhb"), col("shingles").as("shb"))
+      a.join(b, Seq("band", "bh")).where(col("a") < col("b"))
+        .dropDuplicates("a", "b")
+        .withColumn("est_jaccard", expr(
+          "cast(aggregate(zip_with(mha, mhb, (x, y) -> if(x = y, 1, 0)), 0, (acc, v) -> acc + v) as double) / 32.0"))
+        .withColumn("jaccard", expr(
+          "cast(size(array_intersect(sha, shb)) as double) / cast(size(array_union(sha, shb)) as double)"))
+        .where(col("est_jaccard") >= 0.5 && col("jaccard") >= 0.3)
+        .select(col("a"), col("b"), col("est_jaccard"), col("jaccard"))
+        .orderBy(col("a"), col("b"))
+    },
+
+    // --- n-gram Jaccard dedup with blocking keys (no LSH) --------------
+    "d08_dedup_ngram_jaccard" -> { (s, d) =>
+      val sh = withShingles(corpusWithPlants(s, d))
+        .withColumn("first_tok", expr("element_at(toks, 1)"))
+        .withColumn("n_toks_bucket", expr("cast(size(toks) div 8 as int)"))
+        .select(col("doc_id"), col("lang"), col("first_tok"), col("n_toks_bucket"), col("shingles"))
+      val a = sh.select(col("lang"), col("first_tok"), col("n_toks_bucket"),
+        col("doc_id").as("a"), col("shingles").as("sha"))
+      val b = sh.select(col("lang"), col("first_tok"), col("n_toks_bucket"),
+        col("doc_id").as("b"), col("shingles").as("shb"))
+      a.join(b, Seq("lang", "first_tok", "n_toks_bucket")).where(col("a") < col("b"))
+        .withColumn("jaccard", expr(
+          "cast(size(array_intersect(sha, shb)) as double) / cast(size(array_union(sha, shb)) as double)"))
+        .where(col("jaccard") >= 0.3)
+        .select(col("a"), col("b"), col("jaccard"))
+        .orderBy(col("a"), col("b"))
+    },
+
+    // --- SimHash (64-bit) over tokens + bucketed hamming candidates ----
+    "d09_dedup_simhash" -> { (s, d) =>
+      val docs = corpusWithPlants(s, d)
+        .withColumn("toks", expr("array_distinct(split(lower(trim(text)), '\\\\s+'))"))
+        .where(size(col("toks")) >= 3)
+        .withColumn("sim", expr(
+          """aggregate(sequence(0, 63), 0L, (acc, j) ->
+            |  acc + if(aggregate(toks, 0L,
+            |    (w, t) -> w + if((shiftright(xxhash64(t), j) & 1) = 1, 1L, -1L)) > 0L,
+            |    shiftleft(1L, j), 0L))""".stripMargin))
+      // band the 64-bit simhash into 4×16-bit keys: near-dups (hamming
+      // ≤ 3) share at least one exact 16-bit band.
+      val banded = docs.select(col("doc_id"), col("sim"),
+          explode(expr(
+            "transform(sequence(0, 3), p -> struct(p as band, shiftright(sim, p*16) & 65535 as key))")).as("bd"))
+        .select(col("doc_id"), col("sim"), col("bd.band"), col("bd.key"))
+      val a = banded.select(col("band"), col("key"), col("doc_id").as("a"), col("sim").as("sima"))
+      val b = banded.select(col("band"), col("key"), col("doc_id").as("b"), col("sim").as("simb"))
+      a.join(b, Seq("band", "key")).where(col("a") < col("b"))
+        .dropDuplicates("a", "b")
+        .withColumn("hamming", expr("bit_count(sima ^ simb)"))
+        .where(col("hamming") <= 3)
+        .select(col("a"), col("b"), col("hamming"))
+        .orderBy(col("a"), col("b"))
+    },
+
+    // --- brute-force cosine top-k ANN baseline (exact-int math) --------
+    "d10_ann_bruteforce_topk" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = quantizedEmbeddings(s, d, plant = false)
+      val q = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("q").as("qq"), col("nrm").as("qnrm"))
+      val cand = e.select(col("vec_id"), col("q"), col("nrm"))
+      val scored = cand.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .withColumn("cos", expr(
+          """round(cast(aggregate(zip_with(qq, q, (x, y) -> x * y), 0L, (acc, x) -> acc + x) as double)
+            | / (sqrt(cast(qnrm as double)) * sqrt(cast(nrm as double))), 6)""".stripMargin))
+      val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+      scored.withColumn("rank", row_number().over(w)).where(col("rank") <= 5)
+        .select(col("query_id"), col("rank").cast(LongType).as("rank"),
+          col("vec_id").as("neighbor_id"), col("cos"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    // --- embedding near-dup via sign-random-projection LSH -------------
+    "d11_dedup_embedding_lsh" -> { (s, d) =>
+      val e = quantizedEmbeddings(s, d, plant = true)
+        .withColumn("sig", expr(
+          """aggregate(sequence(0, 15), 0, (acc, p) ->
+            |  acc + if(aggregate(zip_with(q, sequence(0, 63),
+            |        (x, i) -> x * (((p * 131 + i * 37) % 7) - 3)), 0L, (a2, x) -> a2 + x) > 0L,
+            |      shiftleft(1, p), 0))""".stripMargin))
+      val a = e.select(col("sig"), col("vec_id").as("a"), col("q").as("qa"), col("nrm").as("na"))
+      val b = e.select(col("sig"), col("vec_id").as("b"), col("q").as("qb"), col("nrm").as("nb"))
+      a.join(b, Seq("sig")).where(col("a") < col("b"))
+        .withColumn("cos", expr(
+          """round(cast(aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (acc, x) -> acc + x) as double)
+            | / (sqrt(cast(na as double)) * sqrt(cast(nb as double))), 6)""".stripMargin))
+        .where(col("cos") >= 0.95)
+        .select(col("a"), col("b"), col("cos"))
+        .orderBy(col("a"), col("b"))
+    },
+
+    // --- IVF-style ANN: coarse centroids → probe 2 cells → top-3 -------
+    "d12_ann_ivf" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = quantizedEmbeddings(s, d, plant = false)
+      val cents = e.where(col("vec_id") < 16)
+        .select(col("vec_id").as("cent_id"), col("q").as("cq"), col("nrm").as("cnrm"))
+      // assign every vector to its nearest centroid (L2² on exact ints)
+      val l2 = "aggregate(zip_with(q, cq, (x, y) -> (x - y) * (x - y)), 0L, (acc, x) -> acc + x)"
+      val l2q = "aggregate(zip_with(qq, cq, (x, y) -> (x - y) * (x - y)), 0L, (acc, x) -> acc + x)"
+      val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cent_id"))
+      val assigned = e.join(broadcast(cents), expr("true"))
+        .withColumn("dist", expr(l2))
+        .withColumn("rn", row_number().over(wAssign)).where(col("rn") === 1)
+        .select(col("vec_id"), col("cent_id"), col("q"), col("nrm"))
+      // queries probe their 2 nearest centroids
+      val qs = e.where(col("vec_id") >= 100 && col("vec_id") < 110)
+        .select(col("vec_id").as("query_id"), col("q").as("qq"), col("nrm").as("qnrm"))
+      val wProbe = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("cent_id"))
+      val probes = qs.join(broadcast(cents), expr("true"))
+        .withColumn("dist", expr(l2q))
+        .withColumn("rn", row_number().over(wProbe)).where(col("rn") <= 2)
+        .select(col("query_id"), col("qq"), col("qnrm"), col("cent_id"))
+      val wTop = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+      probes.join(assigned, Seq("cent_id"))
+        .where(col("vec_id") =!= col("query_id"))
+        .withColumn("cos", expr(
+          """round(cast(aggregate(zip_with(qq, q, (x, y) -> x * y), 0L, (acc, x) -> acc + x) as double)
+            | / (sqrt(cast(qnrm as double)) * sqrt(cast(nrm as double))), 6)""".stripMargin))
+        .withColumn("rank", row_number().over(wTop)).where(col("rank") <= 3)
+        .select(col("query_id"), col("rank").cast(LongType).as("rank"),
+          col("vec_id").as("neighbor_id"), col("cos"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    // --- multimodal plumbing: opaque binary + typed metadata + staged
+    //     feature extraction (deterministic fake "decoder" over bytes;
+    //     real decode libs are stubbed — the schema/partitioning/batch
+    //     shape is the real part) ---------------------------------------
+    "m01_multimodal_features" -> { (s, d) =>
+      val blobs = t(s, d, "documents")
+        .select(col("doc_id"),
+          encode(col("text"), "UTF-8").as("payload"),
+          struct(length(col("text")).cast(LongType).as("n_bytes"),
+            lit("text/plain").as("mime")).as(("meta")))
+      MultimodalStub.extractFeatures(blobs)
+        .orderBy(col("doc_id"))
+    }
+  )
+
+  val oracleSql: Map[String, String] = {
+    val planted =
+      """WITH corpus AS (
+        |  SELECT doc_id, text, lang FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text || ' zzz' AS text, lang
+        |  FROM documents WHERE doc_id % 10 = 0
+        |)""".stripMargin
+    Map(
+      "d01_dedup_exact" -> (planted +
+        """
+          |SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(1) AS n_copies
+          |FROM corpus GROUP BY 1 ORDER BY 1""".stripMargin),
+
+      "d02_dedup_normalized" -> (planted +
+        """
+          |, norm AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS n FROM corpus)
+          |SELECT md5(n) AS content_hash, min(doc_id) AS keep_id, count(1) AS n_copies,
+          |  max(length(n)) AS n_chars
+          |FROM norm GROUP BY 1 ORDER BY 1""".stripMargin),
+
+      "d03_token_count" ->
+        """SELECT doc_id,
+          |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
+          |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens,
+          |  CAST(length(text) AS BIGINT) AS n_chars
+          |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "d04_quality_score" ->
+        """WITH base AS (
+          |  SELECT doc_id, text,
+          |    regexp_split_to_array(lower(trim(text)), '\s+') AS toks,
+          |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS alpha_chars
+          |  FROM documents
+          |)
+          |SELECT doc_id,
+          |  CAST(len(toks) AS BIGINT) AS n_tokens,
+          |  alpha_chars,
+          |  CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS stop_hits,
+          |  0.4 * least(1.0, CAST(len(toks) AS DOUBLE) / 100.0)
+          |    + 0.3 * (CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+          |             / CAST(len(toks) AS DOUBLE))
+          |    + 0.3 * (CAST(alpha_chars AS DOUBLE) / CAST(length(text) AS DOUBLE)) AS quality
+          |FROM base ORDER BY doc_id""".stripMargin,
+
+      "d05_lang_id" ->
+        """WITH scored AS (
+          |  SELECT lang,
+          |    len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is'))) AS s_en,
+          |    len(list_filter(toks, t -> t IN ('der','die','das','und','ist','nicht','mit'))) AS s_de,
+          |    len(list_filter(toks, t -> t IN ('el','la','de','que','y','en','los'))) AS s_es,
+          |    len(list_filter(toks, t -> t IN ('le','les','et','des','un','une','est'))) AS s_fr,
+          |    len(list_filter(toks, t -> t IN ('的','是','不','了','在','我','有'))) AS s_zh
+          |  FROM (SELECT lang, regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM documents)
+          |), pred AS (
+          |  SELECT lang, CASE
+          |    WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+          |    WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+          |    WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+          |    WHEN s_fr >= s_zh THEN 'fr'
+          |    ELSE 'zh' END AS pred_lang
+          |  FROM scored
+          |)
+          |SELECT lang, pred_lang, count(1) AS cnt FROM pred
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      "d06_fingerprint" ->
+        """SELECT doc_id,
+          |  substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 16) AS fingerprint
+          |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "d08_dedup_ngram_jaccard" -> (planted +
+        """
+          |, sh AS (
+          |  SELECT doc_id, lang,
+          |    toks[1] AS first_tok,
+          |    CAST(len(toks) // 8 AS INTEGER) AS n_toks_bucket,
+          |    list_distinct(list_transform(range(1, len(toks) - 1),
+          |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+          |  FROM (SELECT doc_id, lang, regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM corpus)
+          |  WHERE len(toks) >= 3
+          |)
+          |SELECT a.doc_id AS a, b.doc_id AS b,
+          |  CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+          |    / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE) AS jaccard
+          |FROM sh a JOIN sh b
+          |  ON a.lang = b.lang AND a.first_tok = b.first_tok
+          |  AND a.n_toks_bucket = b.n_toks_bucket AND a.doc_id < b.doc_id
+          |WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+          |    / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE) >= 0.3
+          |ORDER BY a, b""".stripMargin),
+
+      "d10_ann_bruteforce_topk" ->
+        """WITH e AS (
+          |  SELECT vec_id,
+          |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+          |  FROM embeddings
+          |), n AS (
+          |  SELECT vec_id, q,
+          |    list_sum(list_transform(range(1, 65), i -> q[i] * q[i])) AS nrm
+          |  FROM e
+          |), scored AS (
+          |  SELECT qr.vec_id AS query_id, c.vec_id AS neighbor_id,
+          |    round(CAST(list_sum(list_transform(range(1, 65), i -> qr.q[i] * c.q[i])) AS DOUBLE)
+          |      / (sqrt(CAST(qr.nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE))), 6) AS cos
+          |  FROM n qr JOIN n c ON c.vec_id <> qr.vec_id
+          |  WHERE qr.vec_id < 10
+          |), ranked AS (
+          |  SELECT query_id, neighbor_id, cos,
+          |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+          |  FROM scored
+          |)
+          |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cos
+          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    )
+  }
+}

@@ -1,0 +1,575 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/** The SQL operator surface from SURVEY.md §2B, re-expressed as
+  * DataFrame/SQL queries over the synthetic star schema, each with an
+  * ANSI-SQL DuckDB oracle (SparkEntry.oracleSql).
+  *
+  * Determinism rules (the driver hash-compares values against DuckDB):
+  *  - double aggregation goes through exact DECIMAL casts, final result
+  *    cast back to DOUBLE (identical value in both engines, regardless of
+  *    summation order);
+  *  - ratio/avg columns are computed as DOUBLE/DOUBLE of already-exact
+  *    inputs (single IEEE op → bit-identical);
+  *  - every top-k has a total tiebreak order.
+  *
+  * Reference surface citations (see SURVEY §2B): window predicates
+  * `samples/tasks/partition_by_column/query.sql:1-4`, weekly aggregation
+  * `samples/tasks/weekly_partitioned/query.sql:1-14`, IN UNNEST
+  * `query.py:29`, MERGE partition replacement `query.py:6-62`.
+  */
+object RelationalQueries {
+  import Tables.t
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+  private def asD(c: Column): Column = c.cast(DoubleType)
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // --- scans / projection / filter pushdown --------------------------
+    "q01_scan_filter_project" -> { (s, d) =>
+      t(s, d, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-01-01").cast(TimestampType) &&
+          col("l_shipdate") < lit("1997-01-01").cast(TimestampType) &&
+          col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+
+    // --- TPC-H Q1-style pricing summary (groupBy + agg + exact math) ---
+    "q02_pricing_summary" -> { (s, d) =>
+      val li = t(s, d, "lineitem").where(col("l_shipdate") < lit("2000-01-01").cast(TimestampType))
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          asD(sum(dec(col("l_quantity")))).as("sum_qty"),
+          asD(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
+          asD(sum(dec(col("l_extendedprice")) * (lit(BigDecimal(1)).cast(DecimalType(18, 2)) - dec(col("l_discount"))))).as("sum_disc_price"),
+          (asD(sum(dec(col("l_quantity")))) / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // --- windowed aggregate: partition_by_column sample shape ----------
+    "q03_window_count_by_date" -> { (s, d) =>
+      t(s, d, "orders")
+        .where(col("o_orderdate") >= lit("1996-01-01").cast(TimestampType) &&
+          col("o_orderdate") < lit("1996-03-01").cast(TimestampType))
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("d"))
+    },
+
+    // --- GROUP BY ordinal (SQL path) -----------------------------------
+    "q04_groupby_ordinal" -> { (s, d) =>
+      Tables.views(s, d, "orders")
+      s.sql("""SELECT o_orderstatus, count(1) AS cnt
+              |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)
+    },
+
+    // --- SELECT DISTINCT ------------------------------------------------
+    "q05_distinct" -> { (s, d) =>
+      t(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus")).distinct()
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // --- inner equi-join, small side broadcast -------------------------
+    "q06_join_broadcast" -> { (s, d) =>
+      val o = t(s, d, "orders")
+      val c = t(s, d, "customer")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "inner")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("order_cnt"),
+          asD(sum(dec(col("o_totalprice")))).as("revenue"))
+        .orderBy(col("c_mktsegment"))
+    },
+
+    // --- multi-way join through the dimension chain --------------------
+    "q07_join_multiway" -> { (s, d) =>
+      val c = t(s, d, "customer")
+      val n = t(s, d, "nation")
+      val r = t(s, d, "region")
+      val o = t(s, d, "orders")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("order_cnt"),
+          asD(sum(dec(col("o_totalprice")))).as("revenue"))
+        .orderBy(col("r_name"))
+    },
+
+    // --- left join with null-producing side ----------------------------
+    "q08_join_left" -> { (s, d) =>
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders").where(col("o_orderdate") >= lit("2001-01-01").cast(TimestampType))
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("row_cnt"), count(col("o_orderkey")).as("order_cnt"))
+        .orderBy(col("c_mktsegment"))
+    },
+
+    // --- full outer join ------------------------------------------------
+    "q09_join_full_outer" -> { (s, d) =>
+      val c = t(s, d, "customer").where(col("c_acctbal") > 0)
+      val o = t(s, d, "orders").where(col("o_orderstatus") === "O")
+      o.join(c, o("o_custkey") === c("c_custkey"), "full_outer")
+        .agg(count(lit(1)).as("row_cnt"),
+          count(col("o_orderkey")).as("with_order"),
+          count(col("c_custkey")).as("with_cust"))
+    },
+
+    // --- self join ------------------------------------------------------
+    "q10_join_self" -> { (s, d) =>
+      val o1 = t(s, d, "orders").alias("o1")
+      val o2 = t(s, d, "orders").alias("o2")
+      o1.join(o2, col("o1.o_custkey") === col("o2.o_custkey") &&
+          col("o1.o_orderkey") < col("o2.o_orderkey"))
+        .groupBy(col("o1.o_orderstatus").as("s1"), col("o2.o_orderstatus").as("s2"))
+        .agg(count(lit(1)).as("pair_cnt"))
+        .orderBy(col("s1"), col("s2"))
+    },
+
+    // --- semi/anti joins (used by the REPLACE_MERGE rewrite) -----------
+    "q11_join_semi_anti" -> { (s, d) =>
+      val c = t(s, d, "customer")
+      val recent = t(s, d, "orders").where(col("o_orderdate") >= lit("2001-01-01").cast(TimestampType))
+      val semi = c.join(recent, c("c_custkey") === recent("o_custkey"), "left_semi")
+        .agg(count(lit(1)).as("cnt")).withColumn("kind", lit("semi"))
+      val anti = c.join(recent, c("c_custkey") === recent("o_custkey"), "left_anti")
+        .agg(count(lit(1)).as("cnt")).withColumn("kind", lit("anti"))
+      semi.unionByName(anti).select(col("kind"), col("cnt")).orderBy(col("kind"))
+    },
+
+    // --- CTE + join (SQL path) -----------------------------------------
+    "q12_cte_join" -> { (s, d) =>
+      Tables.views(s, d, "orders", "customer")
+      s.sql("""WITH cust_orders AS (
+              |  SELECT o_custkey, count(1) AS n_orders
+              |  FROM orders GROUP BY o_custkey
+              |)
+              |SELECT c.c_mktsegment, count(1) AS n_cust,
+              |       sum(co.n_orders) AS total_orders
+              |FROM customer c JOIN cust_orders co ON c.c_custkey = co.o_custkey
+              |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin)
+    },
+
+    // --- subquery in FROM ----------------------------------------------
+    "q13_subquery_from" -> { (s, d) =>
+      Tables.views(s, d, "orders")
+      s.sql("""SELECT n_orders, count(1) AS n_cust
+              |FROM (SELECT o_custkey, count(1) AS n_orders FROM orders GROUP BY o_custkey) t
+              |GROUP BY n_orders ORDER BY n_orders""".stripMargin)
+    },
+
+    // --- ORDER BY ordinal + LIMIT with total tiebreak ------------------
+    "q14_sort_limit" -> { (s, d) =>
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    },
+
+    // --- array_agg(DISTINCT DATE(col)) — the REPLACE_MERGE auto probe --
+    "q15_collect_set_dates" -> { (s, d) =>
+      t(s, d, "orders")
+        .where(col("o_orderdate") >= lit("1995-01-01").cast(TimestampType) &&
+          col("o_orderdate") < lit("1995-02-01").cast(TimestampType))
+        .groupBy(col("o_orderpriority"))
+        .agg(sort_array(collect_set(date_format(col("o_orderdate"), "yyyy-MM-dd"))).as("dates"),
+          countDistinct(to_date(col("o_orderdate"))).as("n_dates"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // --- CAST surface: NUMERIC / TIMESTAMP / DATE / string ↔ number ----
+    "q16_casts" -> { (s, d) =>
+      t(s, d, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(col("o_orderkey")).cast(DecimalType(38, 9)).cast(DoubleType).as("order_count"),
+          max(date_format(col("o_orderdate"), "yyyy-MM-dd")).as("max_date"),
+          max(col("o_orderdate").cast(TimestampType)).as("max_ts"))
+        .orderBy(col("o_orderstatus"))
+    },
+
+    // --- date/time function surface ------------------------------------
+    "q17_date_functions" -> { (s, d) =>
+      t(s, d, "orders")
+        .where(col("o_orderdate") >= lit("1996-01-01").cast(TimestampType) &&
+          col("o_orderdate") < lit("1996-06-01").cast(TimestampType))
+        .select(
+          date_format(date_trunc("week", col("o_orderdate")), "yyyy-MM-dd").as("week_start_date"),
+          dayofmonth(col("o_orderdate")).cast(LongType).as("day_of_month"),
+          date_format(date_sub(to_date(col("o_orderdate")), 30), "yyyy-MM-dd").as("minus_30d"),
+          lower(col("o_orderpriority")).as("prio_lower"),
+          (dayofmonth(col("o_orderdate")).cast(LongType) + 8000).as("day_plus"))
+        .groupBy(col("week_start_date"))
+        .agg(count(lit(1)).as("cnt"), min(col("minus_30d")).as("min_minus_30d"),
+          max(col("day_plus")).as("max_day_plus"),
+          countDistinct(col("prio_lower")).as("n_prio"))
+        .orderBy(col("week_start_date"))
+    },
+
+    // --- DATE(ts, 'Asia/Jakarta'): timezone-arg date -------------------
+    "q18_tz_date" -> { (s, d) =>
+      t(s, d, "events")
+        .groupBy(date_format(from_utc_timestamp(col("ts"), "Asia/Jakarta"), "yyyy-MM-dd").as("jkt_date"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("jkt_date"))
+    },
+
+    // --- IN UNNEST(array) ----------------------------------------------
+    "q19_in_unnest" -> { (s, d) =>
+      t(s, d, "orders")
+        .where(array_contains(array(lit("1-URGENT"), lit("2-HIGH")), col("o_orderpriority")))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // --- interval arithmetic (spillover predicate shape) ---------------
+    "q20_interval_arith" -> { (s, d) =>
+      t(s, d, "events")
+        .where(col("ts") >= lit("2024-01-25 00:00:00").cast(TimestampType) - expr("INTERVAL 10 DAYS") &&
+          col("ts") < lit("2024-01-25 00:00:00").cast(TimestampType))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("event_type"))
+    },
+
+    // --- SELECT AS STRUCT ----------------------------------------------
+    "q21_struct" -> { (s, d) =>
+      t(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("o_orderpriority"),
+          struct(col("o_orderpriority").as("priority"), col("cnt")).as("payload"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // --- UNION ALL / UNION DISTINCT ------------------------------------
+    "q22_union" -> { (s, d) =>
+      val o = t(s, d, "orders")
+      val a = o.where(col("o_orderstatus") === "F").select(col("o_orderpriority"))
+      val b = o.where(col("o_orderstatus") === "O").select(col("o_orderpriority"))
+      a.union(b).groupBy(col("o_orderpriority")).agg(count(lit(1)).as("cnt"))
+        .union(a.union(b).distinct().groupBy(col("o_orderpriority")).agg((count(lit(1)) * -1).as("cnt")))
+        .orderBy(col("o_orderpriority"), col("cnt"))
+    },
+
+    // --- window function (first order per customer) --------------------
+    "q23_window_function" -> { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, d, "orders")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .groupBy(year(col("o_orderdate")).cast(LongType).as("first_order_year"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("first_order_year"))
+    },
+
+    // --- JSON payload access (events.props) ----------------------------
+    "q24_json_extract" -> { (s, d) =>
+      t(s, d, "events")
+        .select(get_json_object(col("props"), "$.k").cast(LongType).as("k"), col("event_type"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("cnt"))
+        .orderBy(col("event_type"))
+    },
+
+    // --- ingestion-time partition model (_PARTITIONTIME → _ingest_date)
+    "q25_ingestion_time" -> { (s, d) =>
+      t(s, d, "events")
+        .withColumn("_ingest_date", date_format(col("ts"), "yyyy-MM-dd"))
+        .where(col("_ingest_date") >= "2024-01-10" && col("_ingest_date") < "2024-01-20")
+        .groupBy(col("_ingest_date"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          asD(sum(dec(col("value")))).as("sum_value"))
+        .orderBy(col("_ingest_date"), col("event_type"))
+    },
+
+    // --- REPLACE_MERGE partition-replacement semantics, modeled --------
+    // dest = daily counts Jan–Jun 1996; source = recomputed March (only
+    // 'F' rows). Result = dest rows outside source's partition set ∪ source
+    // — exactly the generated MERGE of query.py:6-62 (delete matched
+    // partitions, insert source).
+    "q26_merge_replace_model" -> { (s, d) =>
+      val o = t(s, d, "orders")
+      val dest = o.where(col("o_orderdate") >= lit("1996-01-01").cast(TimestampType) &&
+          col("o_orderdate") < lit("1996-07-01").cast(TimestampType))
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"))
+        .agg(count(lit(1)).as("cnt"))
+      val source = o.where(col("o_orderdate") >= lit("1996-03-01").cast(TimestampType) &&
+          col("o_orderdate") < lit("1996-04-01").cast(TimestampType) &&
+          col("o_orderstatus") === "F")
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"))
+        .agg(count(lit(1)).as("cnt"))
+      val parts = source.select(col("d")).distinct()
+      dest.join(parts, Seq("d"), "left_anti").unionByName(source)
+        .orderBy(col("d"))
+    },
+
+    // --- APPEND load model: projection + execution-time literal --------
+    "q27_append_model" -> { (s, d) =>
+      t(s, d, "orders")
+        .where(col("o_orderdate") >= lit("1997-01-01").cast(TimestampType) &&
+          col("o_orderdate") < lit("1997-01-08").cast(TimestampType))
+        .select(col("o_orderkey"), col("o_totalprice"),
+          lit("2024-05-01 10:00:00").cast(TimestampType).as("load_timestamp"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // --- REPLACE_ALL model: whole window into single partition ---------
+    "q28_replace_all_model" -> { (s, d) =>
+      t(s, d, "orders")
+        .where(col("o_orderdate") >= lit("1998-01-01").cast(TimestampType) &&
+          col("o_orderdate") < lit("1998-02-01").cast(TimestampType))
+        .agg(count(lit(1)).as("cnt"),
+          asD(sum(dec(col("o_totalprice")))).as("revenue"))
+        .withColumn("partition_date", lit("1998-01-01"))
+        .select(col("partition_date"), col("cnt"), col("revenue"))
+    },
+
+    // --- weekly_partitioned sample shape (Monday weeks, NUMERIC cast) --
+    "q29_weekly_partitioned" -> { (s, d) =>
+      t(s, d, "orders")
+        .where(lower(col("o_orderstatus")) === "f")
+        .groupBy(date_format(date_trunc("week", col("o_orderdate")), "yyyy-MM-dd").as("week_start_date"))
+        .agg(count(col("o_orderkey")).cast(DecimalType(38, 9)).cast(DoubleType).as("order_count"))
+        .orderBy(col("week_start_date"))
+    },
+
+    // --- HAVING / filter over aggregate --------------------------------
+    "q30_having" -> { (s, d) =>
+      Tables.views(s, d, "lineitem")
+      s.sql("""SELECT l_orderkey, count(1) AS n_lines
+              |FROM lineitem GROUP BY l_orderkey
+              |HAVING count(1) >= 5 ORDER BY l_orderkey""".stripMargin)
+    }
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q01_scan_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_returnflag = 'R'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q02_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(1) AS avg_qty,
+        |  COUNT(1) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '2000-01-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q03_window_count_by_date" ->
+      """SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS d, count(1) AS cnt
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-03-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q04_groupby_ordinal" ->
+      "SELECT o_orderstatus, count(1) AS cnt FROM orders GROUP BY 1 ORDER BY 1",
+
+    "q05_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q06_join_broadcast" ->
+      """SELECT c_mktsegment, count(1) AS order_cnt,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q07_join_multiway" ->
+      """SELECT r_name, count(1) AS order_cnt,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "q08_join_left" ->
+      """SELECT c_mktsegment, count(1) AS row_cnt, count(o_orderkey) AS order_cnt
+        |FROM customer LEFT JOIN (
+        |  SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01'
+        |) o ON c_custkey = o.o_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q09_join_full_outer" ->
+      """SELECT count(1) AS row_cnt, count(o_orderkey) AS with_order,
+        |  count(c_custkey) AS with_cust
+        |FROM (SELECT * FROM orders WHERE o_orderstatus = 'O') o
+        |FULL OUTER JOIN (SELECT * FROM customer WHERE c_acctbal > 0) c
+        |  ON o.o_custkey = c.c_custkey""".stripMargin,
+
+    "q10_join_self" ->
+      """SELECT o1.o_orderstatus AS s1, o2.o_orderstatus AS s2, count(1) AS pair_cnt
+        |FROM orders o1 JOIN orders o2
+        |  ON o1.o_custkey = o2.o_custkey AND o1.o_orderkey < o2.o_orderkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q11_join_semi_anti" ->
+      """WITH recent AS (SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01')
+        |SELECT 'anti' AS kind, count(1) AS cnt FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM recent WHERE o_custkey = c_custkey)
+        |UNION ALL
+        |SELECT 'semi' AS kind, count(1) AS cnt FROM customer
+        |WHERE EXISTS (SELECT 1 FROM recent WHERE o_custkey = c_custkey)
+        |ORDER BY kind""".stripMargin,
+
+    "q12_cte_join" ->
+      """WITH cust_orders AS (
+        |  SELECT o_custkey, count(1) AS n_orders FROM orders GROUP BY o_custkey
+        |)
+        |SELECT c.c_mktsegment, count(1) AS n_cust, CAST(sum(co.n_orders) AS BIGINT) AS total_orders
+        |FROM customer c JOIN cust_orders co ON c.c_custkey = co.o_custkey
+        |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin,
+
+    "q13_subquery_from" ->
+      """SELECT n_orders, count(1) AS n_cust
+        |FROM (SELECT o_custkey, count(1) AS n_orders FROM orders GROUP BY o_custkey) t
+        |GROUP BY n_orders ORDER BY n_orders""".stripMargin,
+
+    "q14_sort_limit" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q15_collect_set_dates" ->
+      """SELECT o_orderpriority,
+        |  list_sort(list(DISTINCT CAST(CAST(o_orderdate AS DATE) AS VARCHAR))) AS dates,
+        |  count(DISTINCT CAST(o_orderdate AS DATE)) AS n_dates
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-02-01'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q16_casts" ->
+      """SELECT o_orderstatus,
+        |  CAST(CAST(count(o_orderkey) AS DECIMAL(38,9)) AS DOUBLE) AS order_count,
+        |  max(CAST(CAST(o_orderdate AS DATE) AS VARCHAR)) AS max_date,
+        |  max(CAST(o_orderdate AS TIMESTAMP)) AS max_ts
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q17_date_functions" ->
+      """WITH base AS (
+        |  SELECT CAST(CAST(date_trunc('week', o_orderdate) AS DATE) AS VARCHAR) AS week_start_date,
+        |    CAST(extract(day FROM o_orderdate) AS BIGINT) AS day_of_month,
+        |    CAST(CAST(CAST(o_orderdate AS DATE) - INTERVAL 30 DAY AS DATE) AS VARCHAR) AS minus_30d,
+        |    lower(o_orderpriority) AS prio_lower,
+        |    CAST(extract(day FROM o_orderdate) AS BIGINT) + 8000 AS day_plus
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-06-01'
+        |)
+        |SELECT week_start_date, count(1) AS cnt,
+        |  min(minus_30d) AS min_minus_30d,
+        |  max(day_plus) AS max_day_plus,
+        |  count(DISTINCT prio_lower) AS n_prio
+        |FROM base GROUP BY week_start_date ORDER BY week_start_date""".stripMargin,
+
+    "q18_tz_date" ->
+      """SELECT CAST(CAST(ts + INTERVAL 7 HOUR AS DATE) AS VARCHAR) AS jkt_date, count(1) AS cnt
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q19_in_unnest" ->
+      """SELECT o_orderpriority, count(1) AS cnt FROM orders
+        |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q20_interval_arith" ->
+      """SELECT event_type, count(1) AS cnt FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-25 00:00:00' - INTERVAL 10 DAY
+        |  AND ts < TIMESTAMP '2024-01-25 00:00:00'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q21_struct" ->
+      """SELECT o_orderpriority,
+        |  {'priority': o_orderpriority, 'cnt': count(1)} AS payload
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q22_union" ->
+      """WITH a AS (SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'),
+        |b AS (SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'),
+        |u AS (SELECT * FROM a UNION ALL SELECT * FROM b)
+        |SELECT * FROM (
+        |  SELECT o_orderpriority, count(1) AS cnt FROM u GROUP BY 1
+        |  UNION ALL
+        |  SELECT o_orderpriority, -1 * count(1) AS cnt
+        |  FROM (SELECT DISTINCT o_orderpriority FROM u) GROUP BY o_orderpriority
+        |) ORDER BY o_orderpriority, cnt""".stripMargin,
+
+    "q23_window_function" ->
+      """WITH firsts AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+        |  FROM orders
+        |)
+        |SELECT CAST(extract(year FROM o_orderdate) AS BIGINT) AS first_order_year,
+        |  count(1) AS n_customers
+        |FROM firsts WHERE rn = 1
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q24_json_extract" ->
+      """SELECT event_type, CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  count(1) AS cnt
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q25_ingestion_time" ->
+      """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS _ingest_date, event_type, count(1) AS cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE CAST(ts AS DATE) >= DATE '2024-01-10' AND CAST(ts AS DATE) < DATE '2024-01-20'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q26_merge_replace_model" ->
+      """WITH dest AS (
+        |  SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS d, count(1) AS cnt FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+        |  GROUP BY 1
+        |), source AS (
+        |  SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS d, count(1) AS cnt FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-03-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+        |    AND o_orderstatus = 'F'
+        |  GROUP BY 1
+        |)
+        |SELECT * FROM (
+        |  SELECT * FROM dest WHERE d NOT IN (SELECT d FROM source)
+        |  UNION ALL SELECT * FROM source
+        |) ORDER BY d""".stripMargin,
+
+    "q27_append_model" ->
+      """SELECT o_orderkey, o_totalprice,
+        |  TIMESTAMP '2024-05-01 10:00:00' AS load_timestamp
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-01-08'
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q28_replace_all_model" ->
+      """SELECT '1998-01-01' AS partition_date, count(1) AS cnt,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1998-01-01' AND o_orderdate < TIMESTAMP '1998-02-01'""".stripMargin,
+
+    "q29_weekly_partitioned" ->
+      """SELECT CAST(CAST(date_trunc('week', o_orderdate) AS DATE) AS VARCHAR) AS week_start_date,
+        |  CAST(CAST(count(o_orderkey) AS DECIMAL(38,9)) AS DOUBLE) AS order_count
+        |FROM orders WHERE lower(o_orderstatus) = 'f'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q30_having" ->
+      """SELECT l_orderkey, count(1) AS n_lines FROM lineitem
+        |GROUP BY l_orderkey HAVING count(1) >= 5 ORDER BY l_orderkey""".stripMargin
+  )
+}
