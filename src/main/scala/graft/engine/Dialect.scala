@@ -1,0 +1,62 @@
+package graft.engine
+
+/** Rendering-time rewrites for the BigQuery Standard-SQL constructs the
+  * corpus uses that Spark SQL spells differently (SURVEY §7.3 "BigQuery
+  * dialect deltas"). Applied to SQL text after macro rendering, before
+  * `spark.sql`. Deliberately conservative, token-aware regexes — the
+  * corpus surface is small and pinned by tests.
+  */
+object Dialect {
+
+  /** `x IN UNNEST(arr)` → `array_contains(arr, x)` (`query.py:29`). */
+  private val inUnnest =
+    raw"(?i)([\w.`]+)\s+IN\s+UNNEST\s*\(((?:[^()]|\([^()]*\))*)\)".r
+
+  /** `DATE(ts, 'Asia/Jakarta')` → tz-aware date
+    * (`weekly_partitioned/query.sql:2`).
+    */
+  private val dateTz =
+    raw"(?i)\bDATE\s*\(\s*([\w.`]+)\s*,\s*'([^']+)'\s*\)".r
+
+  /** BigQuery `TIMESTAMP('2021-09-01T01:02:03')` literal-ish call works
+    * in Spark as `to_timestamp(...)`; `T` separator needs normalizing.
+    */
+  private val timestampCall =
+    raw"(?i)\bTIMESTAMP\s*\(\s*'([^']+)'\s*\)".r
+
+  /** `SELECT AS STRUCT a, b` → `SELECT struct(a, b)` (only used in
+    * scalar-subquery SET position — `query.py:17`).
+    */
+  private val selectAsStruct = raw"(?i)SELECT\s+AS\s+STRUCT\b".r
+
+  /** `CREATE TEMP TABLE` → Spark temp view DDL is handled by
+    * ScriptRunner; this just normalizes the keyword spelling.
+    */
+  def rewrite(sql: String): String = {
+    var out = sql
+    out = inUnnest.replaceAllIn(out, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        s"array_contains(${m.group(2)}, ${m.group(1)})"))
+    out = dateTz.replaceAllIn(out, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        s"to_date(from_utc_timestamp(${m.group(1)}, '${m.group(2)}'))"))
+    out = timestampCall.replaceAllIn(out, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        s"to_timestamp(replace('${m.group(1)}', 'T', ' '))"))
+    out = selectAsStruct.replaceAllIn(out, "SELECT ")
+    out
+  }
+
+  /** Normalize a BigQuery table identifier for the Spark catalog:
+    * strip backticks; `$YYYYMMDD` partition decorators split off
+    * (`loader.py:25-26`); `:` project separator → `.`
+    * (`main.go:500-506`).
+    */
+  def normalizeTableName(name: String): (String, Option[String]) = {
+    val clean = name.replace("`", "").replace(":", ".")
+    clean.split("\\$", 2) match {
+      case Array(t, dec) => (t, Some(dec))
+      case Array(t) => (t, None)
+    }
+  }
+}

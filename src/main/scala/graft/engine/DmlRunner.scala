@@ -1,0 +1,161 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** MERGE / DELETE / DROP on plain-Parquet catalog tables — the engine
+  * rewrite SURVEY §7.3 ranks as hard-part #1. Spark's built-in MERGE
+  * needs a v2 ACID source, so we rewrite to equivalent join plans and
+  * overwrite the destination:
+  *
+  *   MERGE dest S USING (src) N ON cond
+  *     WHEN MATCHED [AND c] THEN UPDATE SET a = e, ...
+  *     WHEN NOT MATCHED [AND c] THEN INSERT (cols) VALUES (exprs)
+  *     WHEN NOT MATCHED BY SOURCE [AND c] THEN DELETE
+  *
+  *   new_dest = (dest LEFT JOIN src ON cond                 -- update/keep/delete
+  *               → matched ? updated-projection : dest-row,
+  *                 dropped when not-matched-by-source ∧ c)
+  *              ∪ (src ANTI JOIN dest ON cond → insert-projection)
+  *
+  * Covers the user MERGE shape (`samples/tasks/dml/query.sql:1-14`) and
+  * the generated ON FALSE templates (`query.py:22-61`). Assumes — like
+  * BigQuery MERGE — at most one source match per target row.
+  *
+  * Scale: the rewrite is one shuffle join + one anti join and a full
+  * overwrite of the destination; when the destination is partitioned
+  * and the MERGE is the generated partition-replacement, prefer
+  * TransformRunner.mergeReplaceTransform which prunes to affected
+  * partitions.
+  */
+class DmlRunner(spark: SparkSession, runner: TransformRunner) {
+
+  private val mergeRe =
+    raw"(?is)^\s*MERGE\s+(?:INTO\s+)?`?([\w.$$-]+)`?\s+(?:AS\s+)?(\w+)\s+USING\s*\((.*?)\)\s*(?:AS\s+)?(\w+)\s+ON\s+(.+?)\s+(WHEN\s+.*?)\s*;?\s*$$".r
+  private val whenMatchedRe =
+    raw"(?is)WHEN\s+MATCHED\s*(?:AND\s+(.+?))?\s*THEN\s+UPDATE\s+SET\s+(.+?)(?=\s+WHEN\s+|\s*$$)".r
+  private val whenNotMatchedRe =
+    raw"(?is)WHEN\s+NOT\s+MATCHED\s*(?:BY\s+TARGET\s*)?(?:AND\s+(.+?))?\s*THEN\s+INSERT\s*\(([^)]*)\)\s*VALUES\s*\((.*?)\)(?=\s+WHEN\s+|\s*;?\s*$$)".r
+  private val whenNotMatchedBySourceRe =
+    raw"(?is)WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE\s*(?:AND\s+(.+?))?\s*THEN\s+DELETE".r
+  private val deleteRe =
+    raw"(?is)^\s*DELETE\s+FROM\s+`?([\w.$$-]+)`?\s+WHERE\s+(.+?)\s*;?\s*$$".r
+  private val dropRe = raw"(?is)^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?`?([\w.$$-]+)`?\s*;?\s*$$".r
+
+  def run(script: String): Unit =
+    StatementSplitter.split(script).foreach(runStatement)
+
+  def runStatement(stmt: String): Unit = stmt match {
+    case mergeRe(destFqn, tAlias, srcQuery, sAlias, onCond, whenClauses) =>
+      merge(destFqn, tAlias, srcQuery, sAlias, onCond, whenClauses)
+    case deleteRe(destFqn, cond) => delete(destFqn, cond)
+    case dropRe(destFqn) =>
+      spark.sql(s"DROP TABLE IF EXISTS ${runner.catalogName(destFqn)}")
+    case other => // plain statement (e.g. a SELECT or engine-supported DDL)
+      new ScriptRunner(spark).runStatement(other)
+      ()
+  }
+
+  private def delete(destFqn: String, cond: String): Unit = {
+    val dest = runner.catalogName(destFqn)
+    val remaining = spark.table(dest).where(not(expr(Dialect.rewrite(cond))))
+    // write via checkpoint to avoid reading the table being overwritten
+    overwriteSelf(dest, remaining)
+  }
+
+  private def merge(destFqn: String, tAlias: String, srcQuery: String,
+      sAlias: String, onCond: String, whenClauses: String): Unit = {
+    val dest = runner.catalogName(destFqn)
+    val destDf = spark.table(dest).alias(tAlias)
+    val srcDf = spark.sql(Dialect.rewrite(srcQuery)).alias(sAlias)
+    val cond = expr(Dialect.rewrite(onCond))
+    val destCols = spark.table(dest).columns
+
+    val matchedUpdate = whenMatchedRe.findFirstMatchIn(whenClauses)
+      .map(m => (Option(m.group(1)), parseSetList(m.group(2))))
+    val notMatchedInsert = whenNotMatchedRe.findFirstMatchIn(whenClauses)
+      .map(m => (Option(m.group(1)), splitCsv(m.group(2)), splitCsv(m.group(3))))
+    val bySourceDelete = whenNotMatchedBySourceRe.findFirstMatchIn(whenClauses)
+      .map(m => Option(m.group(1)))
+
+    // target side: left join source; matched → updated values, else original
+    val joined = destDf.join(srcDf, cond, "left")
+    val matchedFlag = srcDf.columns.map(c => srcDf(c).isNotNull).reduce(_ || _)
+    val updatedCols = destCols.map { c =>
+      val base = destDf(c)
+      val updated = matchedUpdate match {
+        case Some((extraCond, sets)) =>
+          val upd = sets.get(c.toLowerCase).map(e => expr(Dialect.rewrite(e))).getOrElse(base)
+          val condMatched = extraCond
+            .map(ec => matchedFlag && expr(Dialect.rewrite(ec))).getOrElse(matchedFlag)
+          when(condMatched, upd).otherwise(base)
+        case None => base
+      }
+      updated.as(c)
+    }
+    val keptFilter = bySourceDelete match {
+      case Some(Some(dcond)) => matchedFlag || not(expr(Dialect.rewrite(dcond)))
+      case Some(None) => matchedFlag // unconditional: drop every unmatched row
+      case None => lit(true)
+    }
+    val targetSide = joined.where(keptFilter).select(updatedCols.toIndexedSeq: _*)
+
+    // insert side: source rows with no target match
+    val insertSide = notMatchedInsert match {
+      case Some((extraCond, insCols, insExprs)) =>
+        val anti0 = srcDf.join(destDf, cond, "left_anti")
+        val anti = extraCond.map(c => anti0.where(expr(Dialect.rewrite(c)))).getOrElse(anti0)
+        val colToExpr = insCols.map(_.replace("`", "").trim.toLowerCase).zip(insExprs).toMap
+        val projected = destCols.map { c =>
+          colToExpr.get(c.toLowerCase)
+            .map(e => expr(Dialect.rewrite(stripAlias(e, sAlias))).as(c))
+            .getOrElse(lit(null).cast(spark.table(dest).schema(c).dataType).as(c))
+        }
+        Some(anti.select(projected.toIndexedSeq: _*))
+      case None => None
+    }
+
+    val result = insertSide.map(targetSide.unionByName(_)).getOrElse(targetSide)
+    overwriteSelf(dest, result)
+  }
+
+  /** `SET a = e, b = f` → map col → expr. Splits on top-level commas. */
+  private def parseSetList(sets: String): Map[String, String] =
+    splitCsv(sets).map { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      k.replace("`", "").trim.toLowerCase -> v.trim
+    }.toMap
+
+  /** split on commas not inside parens/quotes. */
+  private def splitCsv(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0; var inStr = false
+    val cur = new StringBuilder
+    s.foreach {
+      case '\'' => inStr = !inStr; cur += '\''
+      case '(' if !inStr => depth += 1; cur += '('
+      case ')' if !inStr => depth -= 1; cur += ')'
+      case ',' if !inStr && depth == 0 => out += cur.result().trim; cur.clear()
+      case c => cur += c
+    }
+    if (cur.nonEmpty) out += cur.result().trim
+    out.result().filter(_.nonEmpty)
+  }
+
+  /** insert VALUES exprs reference the source alias (`N.date`); after the
+    * anti-join the frame has bare source columns.
+    */
+  private def stripAlias(e: String, alias: String): String =
+    e.replaceAll(raw"(?i)\b" + java.util.regex.Pattern.quote(alias) + raw"\.", "")
+
+  /** Overwriting a parquet table that feeds its own plan needs a
+    * materialization barrier: localCheckpoint cuts the lineage so the
+    * write doesn't re-scan the files it is truncating. (On a real
+    * cluster with eviction pressure, a staging-table + swap is the
+    * durable variant; same observable semantics.)
+    */
+  private def overwriteSelf(dest: String, df: DataFrame): Unit = {
+    val snap = df.localCheckpoint(true)
+    snap.write.mode("overwrite").insertInto(dest)
+  }
+}

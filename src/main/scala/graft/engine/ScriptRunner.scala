@@ -1,0 +1,92 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import scala.collection.mutable
+
+/** Mini script interpreter for the BigQuery scripting surface the corpus
+  * exercises (`samples/tasks/select/script/query.sql`, the generated
+  * REPLACE_MERGE script `query.py:6-38`):
+  *
+  *   DECLARE v TYPE;  DECLARE v TYPE DEFAULT expr;
+  *   SET v = expr;    SET (v) = (SELECT AS STRUCT ...);
+  *   CREATE TEMP TABLE name AS (select ...);
+  *   <final DML/CTE statement>  → returned as DataFrame
+  *
+  * Session variables are substituted textually (word-boundary regex,
+  * like the macro layer) after being evaluated driver-side — each is a
+  * scalar or small array by construction. Temp tables become Spark temp
+  * views (distributed, never collected).
+  */
+class ScriptRunner(spark: SparkSession) {
+  private val variables = mutable.LinkedHashMap[String, String]()
+
+  private val declareRe =
+    raw"(?is)^DECLARE\s+(\w+)\s+([\w<>,() ]+?)(?:\s+DEFAULT\s+(.+))?$$".r
+  private val setSimpleRe = raw"(?is)^SET\s+(\w+)\s*=\s*(.+)$$".r
+  private val setStructRe = raw"(?is)^SET\s*\(\s*(\w+)\s*\)\s*=\s*\((.+)\)$$".r
+  private val createTempRe =
+    raw"(?is)^CREATE\s+TEMP(?:ORARY)?\s+TABLE\s+`?([\w.]+)`?\s+AS\s*\((.+)\)$$|^CREATE\s+TEMP(?:ORARY)?\s+TABLE\s+`?([\w.]+)`?\s+AS\s+(.+)$$".r
+
+  /** Render declared variables into a statement (word-boundary safe). */
+  private def substituteVars(sql: String): String =
+    variables.foldLeft(sql) { case (acc, (name, value)) =>
+      acc.replaceAll(raw"\b" + java.util.regex.Pattern.quote(name) + raw"\b",
+        java.util.regex.Matcher.quoteReplacement(value))
+    }
+
+  /** Evaluate a scalar/array expression driver-side → SQL literal text. */
+  private def evalToLiteral(expr: String): String = {
+    val df = spark.sql(s"SELECT ${Dialect.rewrite(substituteVars(expr))}")
+    val row = df.collect()(0)
+    literalOf(row.get(0))
+  }
+
+  private def literalOf(v: Any): String = v match {
+    case null => "NULL"
+    case s: String => "'" + s.replace("'", "\\'") + "'"
+    case d: java.sql.Date => s"DATE '$d'"
+    case t: java.sql.Timestamp => s"TIMESTAMP '$t'"
+    case a: scala.collection.Seq[_] => a.map(literalOf).mkString("array(", ", ", ")")
+    case r: org.apache.spark.sql.Row =>
+      // SELECT AS STRUCT with one field unwraps to that field's value
+      if (r.length == 1) literalOf(r.get(0))
+      else r.toSeq.map(literalOf).mkString("struct(", ", ", ")")
+    case other => other.toString
+  }
+
+  /** Execute all statements; returns the result of the last one that
+    * produces rows (the "body"), if any.
+    */
+  def run(script: String): Option[DataFrame] = {
+    var last: Option[DataFrame] = None
+    StatementSplitter.split(script).foreach { stmt =>
+      runStatement(stmt).foreach(df => last = Some(df))
+    }
+    last
+  }
+
+  def runStatement(stmt: String): Option[DataFrame] = stmt match {
+    case declareRe(name, _, default) =>
+      variables(name) = if (default != null) evalToLiteral(default) else "NULL"
+      None
+    case setStructRe(name, select) =>
+      variables(name) = {
+        val sql = Dialect.rewrite(substituteVars(select.trim))
+        val row = spark.sql(sql).collect()(0)
+        literalOf(row)
+      }
+      None
+    case setSimpleRe(name, expr) if !stmt.trim.toUpperCase.startsWith("SET (") =>
+      variables(name) = evalToLiteral(expr)
+      None
+    case createTempRe(n1, q1, n2, q2) =>
+      val (name, query) = if (n1 != null) (n1, q1) else (n2, q2)
+      val viewName = name.split("\\.").last // temp views are single-part
+      spark.sql(Dialect.rewrite(substituteVars(query)))
+        .createOrReplaceTempView(viewName)
+      None
+    case other =>
+      Some(spark.sql(Dialect.rewrite(substituteVars(other))))
+  }
+}

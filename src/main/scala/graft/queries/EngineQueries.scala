@@ -1,0 +1,403 @@
+package graft.queries
+
+import java.nio.file.Files
+import java.time.LocalDateTime
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.config.{LoadMethod, TaskConfig}
+import graft.core.macros.AssetCompiler
+import graft.core.window.{CustomWindow, WindowFactory}
+import graft.engine.{DmlRunner, Lineage, MetricsCollector, ScriptRunner, TransformRunner}
+
+/** End-to-end flows through the engine layer (SURVEY §2A operators
+  * A1–A27): each query seeds a destination table in a fresh temp
+  * warehouse database, drives the real load-method strategy through
+  * [[graft.engine.TransformRunner]], and returns the final destination
+  * table contents — hash-checked against a DuckDB oracle that recomputes
+  * the expected end state from the source parquet.
+  *
+  * Date-typed columns are carried as ISO `yyyy-MM-dd` strings end-to-end
+  * (partition values and oracle-compare friendly).
+  */
+object EngineQueries {
+  import Tables.t
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val execTime = LocalDateTime.of(2024, 5, 1, 10, 0, 0)
+
+  /** fresh database at a fresh temp location (no stale files). */
+  private def freshDb(s: SparkSession, db: String): Unit = {
+    s.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+    val loc = Files.createTempDirectory(s"graft_$db").toAbsolutePath.toString
+    s.sql(s"CREATE DATABASE $db LOCATION '$loc'")
+  }
+
+  private def conf(dataset: String, table: String, method: LoadMethod,
+      filter: Option[String] = scala.None, concurrency: Int = 2): TaskConfig =
+    TaskConfig(
+      destinationProject = "graft", destinationDataset = dataset,
+      destinationTableName = table, sqlType = "STANDARD",
+      loadMethod = method, executionProject = "graft",
+      filterExpression = filter, concurrency = concurrency)
+
+  val queries: Map[String, Q] = Map(
+
+    // --- A2–A4 + scripting: DECLARE / SET / CREATE TEMP TABLE ----------
+    "e01_script_runner" -> { (s, d) =>
+      Tables.views(s, d, "orders")
+      val script =
+        """DECLARE threshold INT64 DEFAULT 100000;
+          |DECLARE statuses ARRAY<STRING> DEFAULT array('F', 'O');
+          |SET threshold = threshold + 50000;
+          |CREATE TEMP TABLE big_orders AS (
+          |  SELECT o_orderpriority, o_orderstatus, o_totalprice
+          |  FROM orders
+          |  WHERE o_totalprice > threshold AND o_orderstatus IN UNNEST(statuses)
+          |);
+          |SELECT o_orderpriority, count(1) AS cnt
+          |FROM big_orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+      new ScriptRunner(s).run(script).get
+    },
+
+    // --- A1+A15+A19: REPLACE on DAY-partitioned dest, 3 slices,
+    //     break-marker split, concurrent partition jobs ----------------
+    "e02_replace_partitioned" -> { (s, d) =>
+      Tables.views(s, d, "orders")
+      freshDb(s, "graft__pg2")
+      s.sql("CREATE TABLE graft__pg2.booking_counts (cnt BIGINT, d STRING) USING PARQUET PARTITIONED BY (d)")
+      // seed two partitions outside the window — they must survive
+      s.sql("""INSERT INTO graft__pg2.booking_counts PARTITION (d)
+              |SELECT count(1) AS cnt, date_format(o_orderdate, 'yyyy-MM-dd') AS d
+              |FROM orders WHERE o_orderdate >= '1995-12-29' AND o_orderdate < '1995-12-31'
+              |GROUP BY 2""".stripMargin)
+      val template = Map(AssetCompiler.QueryFileName ->
+        """SELECT count(1) AS cnt, date_format(o_orderdate, 'yyyy-MM-dd') AS d
+          |FROM orders
+          |WHERE o_orderdate >= '__dstart__' AND o_orderdate < '__dend__'
+          |GROUP BY 2""".stripMargin)
+      val w = CustomWindow(LocalDateTime.of(1996, 1, 1, 0, 0), LocalDateTime.of(1996, 1, 4, 0, 0))
+      val sliced = AssetCompiler.compileAssets("REPLACE", template, Map(),
+        w.start, w.end)(AssetCompiler.QueryFileName)
+      new TransformRunner(s).transform(
+        conf("pg2", "booking_counts", LoadMethod.Replace), sliced, w, execTime)
+      s.table("graft__pg2.booking_counts").orderBy("d")
+    },
+
+    // --- A14: REPLACE_ALL — whole window into the start partition ------
+    "e03_replace_all" -> { (s, d) =>
+      Tables.views(s, d, "orders")
+      freshDb(s, "graft__pg3")
+      s.sql("CREATE TABLE graft__pg3.monthly (cnt BIGINT, revenue DOUBLE, d STRING) USING PARQUET PARTITIONED BY (d)")
+      s.sql("""INSERT INTO graft__pg3.monthly PARTITION (d = '1997-12-01')
+              |SELECT count(1), CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+              |FROM orders WHERE o_orderdate >= '1997-12-01' AND o_orderdate < '1998-01-01'""".stripMargin)
+      val sql =
+        """SELECT count(1) AS cnt,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+          |FROM orders
+          |WHERE o_orderdate >= '__dstart__' AND o_orderdate < '__dend__'""".stripMargin
+      // monthly windows arrive pre-resolved as concrete dstart/dend
+      // (SURVEY A7 note: XWindow raises on "M"; Optimus resolves upstream)
+      val w = CustomWindow(LocalDateTime.of(1998, 1, 1, 0, 0), LocalDateTime.of(1998, 2, 1, 0, 0))
+      new TransformRunner(s).transform(
+        conf("pg3", "monthly", LoadMethod.ReplaceAll), sql, w, execTime)
+      s.table("graft__pg3.monthly").orderBy("d")
+    },
+
+    // --- A17: user-authored MERGE (dml sample shape) -------------------
+    "e04_merge_dml" -> { (s, d) =>
+      Tables.views(s, d, "orders")
+      freshDb(s, "graft__pg4")
+      s.sql("CREATE TABLE graft__pg4.counts (date STRING, count BIGINT) USING PARQUET")
+      s.sql("""INSERT INTO graft__pg4.counts
+              |SELECT date_format(o_orderdate, 'yyyy-MM-dd') AS date, count(1) AS count
+              |FROM orders
+              |WHERE o_orderdate >= '1996-01-05' AND o_orderdate < '1996-01-20'
+              |  AND o_orderstatus = 'F'
+              |GROUP BY 1""".stripMargin)
+      val merge =
+        """MERGE `graft.pg4.counts` S
+          |using
+          |(
+          |select count(1) as count, date_format(o_orderdate, 'yyyy-MM-dd') as date
+          |from orders
+          |where o_orderdate >= '__dstart__' and o_orderdate < '__dend__'
+          |group by date
+          |) N
+          |on S.date = N.date
+          |WHEN MATCHED then
+          |UPDATE SET `count` = N.count
+          |when not matched then
+          |INSERT (`date`, `count`) VALUES(N.date, N.count)""".stripMargin
+      val w = CustomWindow(LocalDateTime.of(1996, 1, 1, 0, 0), LocalDateTime.of(1996, 1, 16, 0, 0))
+      new TransformRunner(s).transform(
+        conf("pg4", "counts", LoadMethod.Merge), merge, w, execTime)
+      s.table("graft__pg4.counts").orderBy("date")
+    },
+
+    // --- A10/A13: APPEND with execution-time macro ---------------------
+    "e05_append" -> { (s, d) =>
+      Tables.views(s, d, "orders")
+      freshDb(s, "graft__pg5")
+      s.sql("CREATE TABLE graft__pg5.events_log (o_orderkey BIGINT, o_totalprice DOUBLE, load_timestamp TIMESTAMP) USING PARQUET")
+      s.sql("""INSERT INTO graft__pg5.events_log
+              |SELECT o_orderkey, o_totalprice, TIMESTAMP '2024-01-01 00:00:00'
+              |FROM orders WHERE o_orderdate >= '1995-01-01' AND o_orderdate < '1995-01-03'""".stripMargin)
+      val sql =
+        """SELECT o_orderkey, o_totalprice, CAST('__execution_time__' AS TIMESTAMP) AS load_timestamp
+          |FROM orders
+          |WHERE o_orderdate >= '__dstart__' AND o_orderdate < '__dend__'""".stripMargin
+      val w = CustomWindow(LocalDateTime.of(1995, 2, 1, 0, 0), LocalDateTime.of(1995, 2, 3, 0, 0))
+      new TransformRunner(s).transform(
+        conf("pg5", "events_log", LoadMethod.Append), sql, w, execTime)
+      s.table("graft__pg5.events_log").orderBy("o_orderkey", "load_timestamp")
+    },
+
+    // --- A21/A22: lineage extraction (Catalyst + regex + annotations) --
+    "e06_lineage" -> { (s, d) =>
+      import s.implicits._
+      val sql =
+        """-- a comment with proj.dataset.fake_table inside
+          |WITH sub AS (
+          |  SELECT * FROM `proj.playground.booking_log`
+          |)
+          |SELECT s.*, u.name
+          |FROM sub s
+          |JOIN proj.playground.users u ON s.user_id = u.id
+          |JOIN /* @ignoreupstream */ proj.audit.access_log a ON a.id = u.id
+          |/* block comment with proj.dataset.other_fake */""".stripMargin
+      val regex = Lineage.findDependenciesWithRegex(sql, "proj.playground.dest")
+      val catalyst = Lineage.findDependenciesWithCatalyst(s, sql, "proj.playground.dest")
+      (regex.dependencies.sorted.map(("regex", _)) ++
+        regex.ignored.sorted.map(("ignored", _)) ++
+        catalyst.dependencies.sorted.map(("catalyst", _)))
+        .toDF("method", "dep").orderBy("method", "dep")
+    },
+
+    // --- A16 auto: REPLACE_MERGE partition auto-discovery --------------
+    "e07_merge_replace_auto" -> { (s, d) =>
+      Tables.views(s, d, "orders")
+      freshDb(s, "graft__pg7")
+      s.sql("CREATE TABLE graft__pg7.sample_replace (cnt BIGINT, d STRING) USING PARQUET PARTITIONED BY (d)")
+      s.sql("""INSERT INTO graft__pg7.sample_replace PARTITION (d)
+              |SELECT count(1) AS cnt, date_format(o_orderdate, 'yyyy-MM-dd') AS d
+              |FROM orders WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-03-01'
+              |GROUP BY 2""".stripMargin)
+      val sql =
+        """SELECT count(1) AS cnt, date_format(o_orderdate, 'yyyy-MM-dd') AS d
+          |FROM orders
+          |WHERE o_orderdate >= '__dstart__' AND o_orderdate < '__dend__'
+          |  AND o_orderstatus = 'F'
+          |GROUP BY 2""".stripMargin
+      val w = CustomWindow(LocalDateTime.of(1996, 2, 1, 0, 0), LocalDateTime.of(1996, 3, 1, 0, 0))
+      new TransformRunner(s).transform(
+        conf("pg7", "sample_replace", LoadMethod.ReplaceMerge), sql, w, execTime)
+      s.table("graft__pg7.sample_replace").orderBy("d")
+    },
+
+    // --- A16 filter: REPLACE_MERGE with user PARTITION_FILTER ----------
+    "e08_merge_replace_filter" -> { (s, d) =>
+      Tables.views(s, d, "orders")
+      freshDb(s, "graft__pg8")
+      s.sql("CREATE TABLE graft__pg8.sample_replace (cnt BIGINT, d STRING) USING PARQUET PARTITIONED BY (d)")
+      s.sql("""INSERT INTO graft__pg8.sample_replace PARTITION (d)
+              |SELECT count(1) AS cnt, date_format(o_orderdate, 'yyyy-MM-dd') AS d
+              |FROM orders WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-03-01'
+              |GROUP BY 2""".stripMargin)
+      val sql =
+        """SELECT count(1) AS cnt, date_format(o_orderdate, 'yyyy-MM-dd') AS d
+          |FROM orders
+          |WHERE o_orderdate >= '__dstart__' AND o_orderdate < '__dend__'
+          |  AND o_orderstatus = 'F'
+          |GROUP BY 2""".stripMargin
+      val w = CustomWindow(LocalDateTime.of(1996, 2, 1, 0, 0), LocalDateTime.of(1996, 2, 11, 0, 0))
+      new TransformRunner(s).transform(
+        conf("pg8", "sample_replace", LoadMethod.ReplaceMerge,
+          filter = Some("d >= '1996-02-01' AND d < '1996-03-01'")), sql, w, execTime)
+      s.table("graft__pg8.sample_replace").orderBy("d")
+    },
+
+    // --- A12: DELETE FROM rewrite --------------------------------------
+    "e09_delete" -> { (s, d) =>
+      Tables.views(s, d, "orders")
+      freshDb(s, "graft__pg9")
+      s.sql("CREATE TABLE graft__pg9.counts (d STRING, cnt BIGINT) USING PARQUET")
+      s.sql("""INSERT INTO graft__pg9.counts
+              |SELECT date_format(o_orderdate, 'yyyy-MM-dd') AS d, count(1) AS cnt
+              |FROM orders WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-02-01'
+              |GROUP BY 1""".stripMargin)
+      new DmlRunner(s, new TransformRunner(s))
+        .run("DELETE FROM `graft.pg9.counts` WHERE d < '1996-01-10'")
+      s.table("graft__pg9.counts").orderBy("d")
+    },
+
+    // --- ingestion-time partitioning (_PARTITIONTIME → _ingest_date) ---
+    "e10_ingestion_time_replace" -> { (s, d) =>
+      Tables.views(s, d, "events")
+      freshDb(s, "graft__pg10")
+      s.sql("CREATE TABLE graft__pg10.event_counts (event_type STRING, cnt BIGINT, _ingest_date STRING) USING PARQUET PARTITIONED BY (_ingest_date)")
+      s.sql("""INSERT INTO graft__pg10.event_counts PARTITION (_ingest_date)
+              |SELECT event_type, count(1) AS cnt, date_format(ts, 'yyyy-MM-dd') AS _ingest_date
+              |FROM events WHERE ts >= '2024-01-05' AND ts < '2024-01-08'
+              |GROUP BY 1, 3""".stripMargin)
+      val sql =
+        """SELECT event_type, count(1) AS cnt, date_format(ts, 'yyyy-MM-dd') AS _ingest_date
+          |FROM events
+          |WHERE ts >= '__dstart__' AND ts < '__dend__'
+          |GROUP BY 1, 3""".stripMargin
+      val w = CustomWindow(LocalDateTime.of(2024, 1, 10, 0, 0), LocalDateTime.of(2024, 1, 13, 0, 0))
+      new TransformRunner(s).transform(
+        conf("pg10", "event_counts", LoadMethod.Replace), sql, w, execTime)
+      s.table("graft__pg10.event_counts").orderBy("_ingest_date", "event_type")
+    },
+
+    // --- A26/A27: metrics + dry-run — dry-run must leave dest untouched
+    "e11_dryrun_metrics" -> { (s, d) =>
+      import s.implicits._
+      Tables.views(s, d, "orders")
+      freshDb(s, "graft__pg11")
+      s.sql("CREATE TABLE graft__pg11.counts (d STRING, cnt BIGINT) USING PARQUET")
+      s.sql("""INSERT INTO graft__pg11.counts VALUES ('seed', 42)""")
+      val metrics = new MetricsCollector(s)
+      val sql =
+        """SELECT date_format(o_orderdate, 'yyyy-MM-dd') AS d, count(1) AS cnt
+          |FROM orders WHERE o_orderdate >= '__dstart__' AND o_orderdate < '__dend__'
+          |GROUP BY 1""".stripMargin
+      val w = CustomWindow(LocalDateTime.of(1996, 1, 1, 0, 0), LocalDateTime.of(1996, 1, 5, 0, 0))
+      new TransformRunner(s).transform(
+        conf("pg11", "counts", LoadMethod.Replace), sql, w, execTime, dryRun = true)
+      val rows = s.table("graft__pg11.counts").count() // dry run wrote nothing
+      metrics.detach()
+      val xcomOk = metrics.xcomJson("2024-05-01T10:00:00").contains("total_bytes_processed")
+      Seq(("dest_rows_after_dryrun", rows), ("xcom_json_well_formed", if (xcomOk) 1L else 0L))
+        .toDF("probe", "value").orderBy("probe")
+    }
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "e01_script_runner" ->
+      """SELECT o_orderpriority, count(1) AS cnt
+        |FROM orders
+        |WHERE o_totalprice > 150000 AND o_orderstatus IN ('F', 'O')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "e02_replace_partitioned" ->
+      """SELECT count(1) AS cnt, CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS d
+        |FROM orders
+        |WHERE (o_orderdate >= TIMESTAMP '1995-12-29' AND o_orderdate < TIMESTAMP '1995-12-31')
+        |   OR (o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-01-04')
+        |GROUP BY 2 ORDER BY d""".stripMargin,
+
+    "e03_replace_all" ->
+      """SELECT cnt, revenue, d FROM (
+        |  SELECT count(1) AS cnt,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |    '1997-12-01' AS d
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '1997-12-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  UNION ALL
+        |  SELECT count(1) AS cnt,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |    '1998-01-01' AS d
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01' AND o_orderdate < TIMESTAMP '1998-02-01'
+        |) ORDER BY d""".stripMargin,
+
+    "e04_merge_dml" ->
+      """WITH seed AS (
+        |  SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS date, count(1) AS count
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-05' AND o_orderdate < TIMESTAMP '1996-01-20'
+        |    AND o_orderstatus = 'F'
+        |  GROUP BY 1
+        |), src AS (
+        |  SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS date, count(1) AS count
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-01-16'
+        |  GROUP BY 1
+        |)
+        |SELECT coalesce(s.date, n.date) AS date,
+        |  CAST(coalesce(n.count, s.count) AS BIGINT) AS count
+        |FROM seed s FULL OUTER JOIN src n ON s.date = n.date
+        |ORDER BY date""".stripMargin,
+
+    "e05_append" ->
+      """SELECT o_orderkey, o_totalprice, load_timestamp FROM (
+        |  SELECT o_orderkey, o_totalprice, TIMESTAMP '2024-01-01 00:00:00' AS load_timestamp
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-01-03'
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice, TIMESTAMP '2024-05-01 10:00:00' AS load_timestamp
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '1995-02-01' AND o_orderdate < TIMESTAMP '1995-02-03'
+        |) ORDER BY o_orderkey, load_timestamp""".stripMargin,
+
+    "e06_lineage" ->
+      """SELECT * FROM (VALUES
+        |  ('catalyst', 'proj.playground.booking_log'),
+        |  ('catalyst', 'proj.playground.users'),
+        |  ('ignored',  'proj.audit.access_log'),
+        |  ('ignored',  'proj:audit.access_log'),
+        |  ('regex',    'proj.playground.booking_log'),
+        |  ('regex',    'proj.playground.users')
+        |) AS t(method, dep) ORDER BY method, dep""".stripMargin,
+
+    // auto mode replaces ONLY partitions present in the source (the
+    // generated MERGE deletes IN UNNEST(source partitions)); February
+    // dates with no 'F' orders keep their seeded counts.
+    "e07_merge_replace_auto" ->
+      """WITH feb_f AS (
+        |  SELECT count(1) AS cnt, CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS d
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-02-01' AND o_orderdate < TIMESTAMP '1996-03-01'
+        |    AND o_orderstatus = 'F'
+        |  GROUP BY 2
+        |), seed AS (
+        |  SELECT count(1) AS cnt, CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS d
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-03-01'
+        |  GROUP BY 2
+        |)
+        |SELECT cnt, d FROM (
+        |  SELECT * FROM seed WHERE d NOT IN (SELECT d FROM feb_f)
+        |  UNION ALL
+        |  SELECT * FROM feb_f
+        |) ORDER BY d""".stripMargin,
+
+    "e08_merge_replace_filter" ->
+      """SELECT cnt, d FROM (
+        |  SELECT count(1) AS cnt, CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS d
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-02-01'
+        |  GROUP BY 2
+        |  UNION ALL
+        |  SELECT count(1) AS cnt, CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS d
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-02-01' AND o_orderdate < TIMESTAMP '1996-02-11'
+        |    AND o_orderstatus = 'F'
+        |  GROUP BY 2
+        |) ORDER BY d""".stripMargin,
+
+    "e09_delete" ->
+      """SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS d, count(1) AS cnt
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-10' AND o_orderdate < TIMESTAMP '1996-02-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "e10_ingestion_time_replace" ->
+      """SELECT event_type, cnt, _ingest_date FROM (
+        |  SELECT event_type, count(1) AS cnt, CAST(CAST(ts AS DATE) AS VARCHAR) AS _ingest_date
+        |  FROM events WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-08'
+        |  GROUP BY 1, 3
+        |  UNION ALL
+        |  SELECT event_type, count(1) AS cnt, CAST(CAST(ts AS DATE) AS VARCHAR) AS _ingest_date
+        |  FROM events WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-13'
+        |  GROUP BY 1, 3
+        |) ORDER BY _ingest_date, event_type""".stripMargin,
+
+    "e11_dryrun_metrics" ->
+      """SELECT * FROM (VALUES
+        |  ('dest_rows_after_dryrun', CAST(1 AS BIGINT)),
+        |  ('xcom_json_well_formed', CAST(1 AS BIGINT))
+        |) AS t(probe, "value") ORDER BY probe""".stripMargin
+  )
+}
