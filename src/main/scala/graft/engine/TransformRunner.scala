@@ -217,8 +217,10 @@ class TransformRunner(spark: SparkSession) {
           .where(not(expr(f)))
           .unionByName(source.select(destDf.columns.map(col).toIndexedSeq: _*))
         val snap = keep.localCheckpoint(true)
-        affected.collect().map(_.get(0).toString).foreach { p =>
-          spark.sql(s"ALTER TABLE $dest DROP IF EXISTS PARTITION ($partitionField = '$p')")
+        val parts = affected.collect().map(_.get(0).toString)
+        if (parts.nonEmpty) {
+          val specs = parts.map(p => s"PARTITION ($partitionField = '$p')").mkString(", ")
+          spark.sql(s"ALTER TABLE $dest DROP IF EXISTS $specs")
         }
         snap.write.mode("append").insertInto(dest)
       case scala.None =>

@@ -140,10 +140,15 @@ object PipelineQueries {
 
     // --- MinHash + LSH near-dup (shingle → 32 minhashes → 8 bands) -----
     "d07_dedup_minhash_lsh" -> { (s, d) =>
+      // one base hash per shingle; the 32 MinHash functions are affine
+      // maps h_j = (base mod 2^31−1) · odd_j + c_j of that base — avoids
+      // 32 string-concat + rehash passes per shingle. The mod keeps the
+      // product < 2^62 (ANSI mode forbids wrapping multiplication).
       val sh = withShingles(corpusWithPlants(s, d))
+        .withColumn("hs", expr("transform(shingles, sh -> pmod(xxhash64(sh), 2147483647))"))
         .withColumn("mh", expr(
           """transform(sequence(0, 31),
-            |  j -> array_min(transform(shingles, sh -> xxhash64(concat(sh, '#', cast(j as string))))))""".stripMargin))
+            |  j -> array_min(transform(hs, h -> h * (2*j + 1500450271) + j * 2860486313)))""".stripMargin))
         .select(col("doc_id"), col("mh"), col("shingles"))
       val banded = sh.select(col("doc_id"), col("mh"), col("shingles"),
           explode(expr(
@@ -185,14 +190,15 @@ object PipelineQueries {
 
     // --- SimHash (64-bit) over tokens + bucketed hamming candidates ----
     "d09_dedup_simhash" -> { (s, d) =>
+      graft.functions.BitSketchExpressions.register(s)
       val docs = corpusWithPlants(s, d)
         .withColumn("toks", expr("array_distinct(split(lower(trim(text)), '\\\\s+'))"))
         .where(size(col("toks")) >= 3)
-        .withColumn("sim", expr(
-          """aggregate(sequence(0, 63), 0L, (acc, j) ->
-            |  acc + if(aggregate(toks, 0L,
-            |    (w, t) -> w + if((shiftright(xxhash64(t), j) & 1) = 1, 1L, -1L)) > 0L,
-            |    shiftleft(1L, j), 0L))""".stripMargin))
+        // hash each token ONCE, then fold bits over the precomputed
+        // hashes — 64× fewer hash invocations than hashing inside the
+        // bit loop
+        .withColumn("hs", expr("transform(toks, t -> xxhash64(t))"))
+        .withColumn("sim", expr("graft_simhash64(hs)"))
       // band the 64-bit simhash into 4×16-bit keys: near-dups (hamming
       // ≤ 3) share at least one exact 16-bit band.
       val banded = docs.select(col("doc_id"), col("sim"),
@@ -229,12 +235,9 @@ object PipelineQueries {
 
     // --- embedding near-dup via sign-random-projection LSH -------------
     "d11_dedup_embedding_lsh" -> { (s, d) =>
+      graft.functions.BitSketchExpressions.register(s)
       val e = quantizedEmbeddings(s, d, plant = true)
-        .withColumn("sig", expr(
-          """aggregate(sequence(0, 15), 0, (acc, p) ->
-            |  acc + if(aggregate(zip_with(q, sequence(0, 63),
-            |        (x, i) -> x * (((p * 131 + i * 37) % 7) - 3)), 0L, (a2, x) -> a2 + x) > 0L,
-            |      shiftleft(1, p), 0))""".stripMargin))
+        .withColumn("sig", expr("graft_srp_sig(q)"))
       val a = e.select(col("sig"), col("vec_id").as("a"), col("q").as("qa"), col("nrm").as("na"))
       val b = e.select(col("sig"), col("vec_id").as("b"), col("q").as("qb"), col("nrm").as("nb"))
       a.join(b, Seq("sig")).where(col("a") < col("b"))
