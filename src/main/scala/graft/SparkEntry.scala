@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{EngineQueries, PipelineQueries, RelationalQueries, Tables}
+import graft.queries.{EngineQueries, PipelineQueries, RelationalQueries, StreamingQueries, Tables}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,7 +19,7 @@ object SparkEntry {
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries ++ PipelineQueries.queries ++ EngineQueries.queries
+    RelationalQueries.queries ++ PipelineQueries.queries ++ EngineQueries.queries ++ StreamingQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver records a weaker
@@ -27,5 +27,5 @@ object SparkEntry {
     * reproduce).
     */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracleSql ++ PipelineQueries.oracleSql ++ EngineQueries.oracleSql
+    RelationalQueries.oracleSql ++ PipelineQueries.oracleSql ++ EngineQueries.oracleSql ++ StreamingQueries.oracleSql
 }

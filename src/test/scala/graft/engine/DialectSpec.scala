@@ -1,0 +1,34 @@
+package graft.engine
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class DialectSpec extends AnyFunSuite {
+
+  test("IN UNNEST rewrite, flat and nested-call arguments") {
+    assert(Dialect.rewrite("WHERE x IN UNNEST(partitions)") ==
+      "WHERE array_contains(partitions, x)")
+    assert(Dialect.rewrite("WHERE s IN UNNEST(array('a', 'b'))") ==
+      "WHERE array_contains(array('a', 'b'), s)")
+  }
+
+  test("DATE with timezone argument") {
+    assert(Dialect.rewrite("SELECT DATE(created_time, 'Asia/Jakarta')") ==
+      "SELECT to_date(from_utc_timestamp(created_time, 'Asia/Jakarta'))")
+  }
+
+  test("TIMESTAMP literal call with T separator") {
+    assert(Dialect.rewrite("TIMESTAMP('2021-09-01T01:02:03')") ==
+      "to_timestamp(replace('2021-09-01T01:02:03', 'T', ' '))")
+  }
+
+  test("SELECT AS STRUCT flattens") {
+    assert(Dialect.rewrite("SET (p) = (SELECT AS STRUCT array_agg(x))")
+      .contains("SELECT  array_agg(x)"))
+  }
+
+  test("table name normalization: backticks, colon, decorator") {
+    assert(Dialect.normalizeTableName("`p.d.t`") == ("p.d.t", None))
+    assert(Dialect.normalizeTableName("p:d.t") == ("p.d.t", None))
+    assert(Dialect.normalizeTableName("p.d.t$20190101") == ("p.d.t", Some("20190101")))
+  }
+}

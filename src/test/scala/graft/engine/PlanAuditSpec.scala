@@ -1,0 +1,85 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.{RelationalQueries, Tables}
+
+/** Physical-plan audits: the properties that make these operators hold
+  * at 100 TB — filters reaching the parquet scan, column pruning, small
+  * dimensions broadcast instead of shuffled, map-side partial
+  * aggregation, whole-stage codegen — asserted on executed plans.
+  */
+class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  /** formatted explain of the FINAL (post-AQE) plan. */
+  private def plan(name: String): String = {
+    val df = RelationalQueries.queries(name)(spark, sfDir)
+    df.collect() // materialize so AQE finalizes
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("q01: filter pushed to parquet scan + columns pruned") {
+    val p = plan("q01_scan_filter_project")
+    assert(p.contains("PushedFilters") && p.contains("l_returnflag"),
+      s"expected returnflag pushdown in:\n$p")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_tax") && !readSchema.contains("l_suppkey"),
+      s"expected pruned ReadSchema, got $readSchema")
+  }
+
+  test("q06: small dimension joins via broadcast, not shuffle") {
+    val p = plan("q06_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), s"customer should broadcast in:\n$p")
+  }
+
+  test("q07: all three dimension joins broadcast") {
+    val p = plan("q07_join_multiway")
+    val bhj = p.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(bhj >= 3, s"expected >=3 broadcast joins, got $bhj in:\n$p")
+  }
+
+  test("q02: partial aggregation before the shuffle (map-side combine)") {
+    val p = plan("q02_pricing_summary")
+    val aggLines = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(aggLines >= 2, s"expected partial+final HashAggregate in:\n$p")
+  }
+
+  test("whole-stage codegen covers the agg pipeline") {
+    // formatted explain marks codegen'd operators with a `*` prefix
+    val p = plan("q02_pricing_summary")
+    assert(p.contains("* HashAggregate") && p.contains("* Filter"),
+      s"expected codegen'd (*) agg pipeline in:\n$p")
+  }
+
+  test("partitioned write prunes reads to one partition on read-back") {
+    Tables.views(spark, sfDir, "orders")
+    spark.sql("DROP DATABASE IF EXISTS plan_audit CASCADE")
+    val loc = java.nio.file.Files.createTempDirectory("plan_audit").toAbsolutePath
+    spark.sql(s"CREATE DATABASE plan_audit LOCATION '$loc'")
+    spark.sql("CREATE TABLE plan_audit.t (cnt BIGINT, d STRING) USING PARQUET PARTITIONED BY (d)")
+    spark.sql(
+      """INSERT INTO plan_audit.t PARTITION (d)
+        |SELECT count(1), date_format(o_orderdate, 'yyyy-MM-dd')
+        |FROM orders WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-01-08'
+        |GROUP BY 2""".stripMargin)
+    val df = spark.table("plan_audit.t").where("d = '1996-01-03'")
+    df.collect()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("PartitionFilters") && p.contains("1996-01-03"),
+      s"partition filter should prune the scan:\n$p")
+  }
+}
