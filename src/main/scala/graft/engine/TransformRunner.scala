@@ -76,6 +76,28 @@ class TransformRunner(spark: SparkSession) {
       executionTime: LocalDateTime, dryRun: Boolean = false): Unit = {
     val dest = catalogName(conf.destinationTable)
     val spec = partitionSpecOf(dest)
+    // `table$YYYYMMDD` partition decorator → route the whole result into
+    // that one partition (PartitionLoader, loader.py:15-32)
+    val (_, decorator) = Dialect.normalizeTableName(conf.destinationTable)
+    decorator.foreach { dec =>
+      val pdate = s"${dec.substring(0, 4)}-${dec.substring(4, 6)}-${dec.substring(6, 8)}"
+      val pfield = spec match {
+        case DayColumn(f) => f
+        case IngestionTime => "_ingest_date"
+        case Unpartitioned => throw new IllegalArgumentException(
+          s"partition decorator on unpartitioned table ${conf.destinationTable}")
+      }
+      val df = script(render(sqlQuery, conf, window, executionTime))
+      if (dryRun) { df.explain(); return }
+      conf.loadMethod.writeDisposition match {
+        case WriteDisposition.WriteTruncate => writeStaticPartition(df, dest, pfield, pdate)
+        case WriteDisposition.WriteAppend =>
+          val cols = spark.table(dest).schema.fieldNames.filterNot(_ == pfield)
+          val routed = df.select((cols.map(col) :+ lit(pdate).as(pfield)).toIndexedSeq: _*)
+          routed.write.mode("append").insertInto(dest)
+      }
+      return
+    }
     (conf.loadMethod, spec) match {
       case (LoadMethod.Merge, _) =>
         dmlTransform(conf, sqlQuery, window, executionTime, dryRun)
@@ -94,18 +116,35 @@ class TransformRunner(spark: SparkSession) {
     }
   }
 
-  /** A13 + A10: whole-table strategy. */
+  /** A13 + A10: whole-table strategy. Honors ALLOW_FIELD_ADDITION
+    * (schema evolution: BigQuery `SchemaUpdateOption.ALLOW_FIELD_ADDITION`,
+    * `bigquery_service.py:111-115`) by ALTERing new columns onto the
+    * destination before the write.
+    */
   def tableTransform(conf: TaskConfig, sql: String, window: TaskWindow,
       executionTime: LocalDateTime, dryRun: Boolean): Unit = {
     val rendered = render(sql, conf, window, executionTime)
     val df = script(rendered)
     if (dryRun) { df.explain(); return }
     val dest = catalogName(conf.destinationTable)
+    if (conf.allowFieldAddition) {
+      val existing = spark.table(dest).schema.fieldNames.map(_.toLowerCase).toSet
+      val added = df.schema.fields.filterNot(f => existing(f.name.toLowerCase))
+      if (added.nonEmpty) {
+        val colsDdl = added.map(f => s"${f.name} ${f.dataType.sql}").mkString(", ")
+        spark.sql(s"ALTER TABLE $dest ADD COLUMNS ($colsDdl)")
+      }
+    }
+    val destCols = spark.table(dest).schema.fieldNames
+    val aligned = destCols.map { c =>
+      if (df.columns.exists(_.equalsIgnoreCase(c))) col(c)
+      else lit(null).cast(spark.table(dest).schema(c).dataType).as(c)
+    }
     val mode = conf.loadMethod.writeDisposition match {
       case WriteDisposition.WriteAppend => "append"
       case WriteDisposition.WriteTruncate => "overwrite"
     }
-    df.write.mode(mode).insertInto(dest)
+    df.select(aligned.toIndexedSeq: _*).write.mode(mode).insertInto(dest)
   }
 
   /** A14 + A11: REPLACE_ALL — whole window's result into the single

@@ -274,6 +274,64 @@ object EngineQueries {
       val xcomOk = metrics.xcomJson("2024-05-01T10:00:00").contains("total_bytes_processed")
       Seq(("dest_rows_after_dryrun", rows), ("xcom_json_well_formed", if (xcomOk) 1L else 0L))
         .toDF("probe", "value").orderBy("probe")
+    },
+
+    // --- federated/external source + registered UDF (the Spark
+    //     equivalent of the gsheet-backed table + JS temp function in
+    //     samples/tasks/select/federated_table/query.sql) --------------
+    "e12_external_source_udf" -> { (s, d) =>
+      val csvDir = Files.createTempDirectory("graft_ext").toAbsolutePath
+      t(s, d, "documents").select(col("doc_id"), col("lang"), col("source"))
+        .coalesce(1).write.mode("overwrite").option("header", "true")
+        .csv(csvDir.toString)
+      s.sql("DROP TABLE IF EXISTS graft_ext_gsheet")
+      s.sql(s"""CREATE TABLE graft_ext_gsheet (doc_id BIGINT, lang STRING, source STRING)
+               |USING csv OPTIONS (path '$csvDir', header 'true')""".stripMargin)
+      // registered Scala UDF standing in for the JS CREATE TEMP FUNCTION
+      s.udf.register("cleanup_tag", (v: String) =>
+        if (v == null) null else v.trim.toLowerCase.replace("src", "source_"))
+      s.sql("""SELECT DISTINCT cleanup_tag(source) AS tag, lang,
+              |  CAST(count(1) AS DECIMAL(38,9)) AS total_sample
+              |FROM graft_ext_gsheet GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+        .withColumn("total_sample", col("total_sample").cast("double"))
+    },
+
+    // --- ALLOW_FIELD_ADDITION: schema evolution on append --------------
+    "e13_schema_evolution" -> { (s, d) =>
+      Tables.views(s, d, "orders")
+      freshDb(s, "graft__pg13")
+      s.sql("CREATE TABLE graft__pg13.sample (o_orderkey BIGINT, o_totalprice DOUBLE) USING PARQUET")
+      s.sql("""INSERT INTO graft__pg13.sample
+              |SELECT o_orderkey, o_totalprice FROM orders
+              |WHERE o_orderdate >= '1995-03-01' AND o_orderdate < '1995-03-08'""".stripMargin)
+      val sql =
+        """SELECT o_orderkey, o_totalprice, o_orderstatus AS test_column
+          |FROM orders
+          |WHERE o_orderdate >= '__dstart__' AND o_orderdate < '__dend__'""".stripMargin
+      val w = CustomWindow(LocalDateTime.of(1995, 4, 1, 0, 0), LocalDateTime.of(1995, 4, 8, 0, 0))
+      new TransformRunner(s).transform(
+        conf("pg13", "sample", LoadMethod.Append).copy(allowFieldAddition = true),
+        sql, w, execTime)
+      s.table("graft__pg13.sample").orderBy("o_orderkey")
+    },
+
+    // --- A11: `table$YYYYMMDD` partition-decorator write ----------------
+    "e14_partition_decorator" -> { (s, d) =>
+      Tables.views(s, d, "orders")
+      freshDb(s, "graft__pg14")
+      s.sql("CREATE TABLE graft__pg14.daily (cnt BIGINT, d STRING) USING PARQUET PARTITIONED BY (d)")
+      s.sql("""INSERT INTO graft__pg14.daily PARTITION (d)
+              |SELECT count(1) AS cnt, date_format(o_orderdate, 'yyyy-MM-dd') AS d
+              |FROM orders WHERE o_orderdate >= '1996-05-01' AND o_orderdate < '1996-05-04'
+              |GROUP BY 2""".stripMargin)
+      val sql =
+        """SELECT count(1) AS cnt FROM orders
+          |WHERE o_orderdate >= '__dstart__' AND o_orderdate < '__dend__'
+          |  AND o_orderstatus <> 'P'""".stripMargin
+      val w = CustomWindow(LocalDateTime.of(1996, 5, 2, 0, 0), LocalDateTime.of(1996, 5, 3, 0, 0))
+      new TransformRunner(s).transform(
+        conf("pg14", "daily$19960502", LoadMethod.Replace), sql, w, execTime)
+      s.table("graft__pg14.daily").orderBy("d")
     }
   )
 
@@ -398,6 +456,34 @@ object EngineQueries {
       """SELECT * FROM (VALUES
         |  ('dest_rows_after_dryrun', CAST(1 AS BIGINT)),
         |  ('xcom_json_well_formed', CAST(1 AS BIGINT))
-        |) AS t(probe, "value") ORDER BY probe""".stripMargin
+        |) AS t(probe, "value") ORDER BY probe""".stripMargin,
+
+    "e12_external_source_udf" ->
+      """SELECT DISTINCT lower(trim(replace(source, 'src', 'source_'))) AS tag, lang,
+        |  CAST(CAST(count(1) AS DECIMAL(38,9)) AS DOUBLE) AS total_sample
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "e13_schema_evolution" ->
+      """SELECT o_orderkey, o_totalprice, test_column FROM (
+        |  SELECT o_orderkey, o_totalprice, NULL AS test_column
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '1995-03-01' AND o_orderdate < TIMESTAMP '1995-03-08'
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice, o_orderstatus AS test_column
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '1995-04-01' AND o_orderdate < TIMESTAMP '1995-04-08'
+        |) ORDER BY o_orderkey""".stripMargin,
+
+    "e14_partition_decorator" ->
+      """SELECT cnt, d FROM (
+        |  SELECT count(1) AS cnt, CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS d
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-05-01' AND o_orderdate < TIMESTAMP '1996-05-04'
+        |    AND CAST(CAST(o_orderdate AS DATE) AS VARCHAR) <> '1996-05-02'
+        |  GROUP BY 2
+        |  UNION ALL
+        |  SELECT count(1) AS cnt, '1996-05-02' AS d
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-05-02' AND o_orderdate < TIMESTAMP '1996-05-03'
+        |    AND o_orderstatus <> 'P'
+        |) ORDER BY d""".stripMargin
   )
 }
