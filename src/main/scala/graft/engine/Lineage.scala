@@ -110,6 +110,25 @@ object Lineage {
     rels.result().filterNot(r => cteNames.contains(r))
   }
 
+  /** Analyzer-level resolution — the Spark-native replacement for the
+    * reference's BigQuery dry-run (`FindDependenciesWithDryRun`,
+    * `main.go:465-498`): views are expanded to their base tables by the
+    * analyzer, so collecting leaf catalog relations of the ANALYZED plan
+    * yields true physical dependencies.
+    */
+  def findDependenciesWithAnalyzer(spark: SparkSession, query: String): Seq[String] = {
+    val analyzed = spark.sql(query).queryExecution.analyzed
+    val deps = Seq.newBuilder[String]
+    analyzed.foreach {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.catalogTable.foreach(t => deps += t.identifier.unquotedString)
+      case h: org.apache.spark.sql.catalyst.catalog.HiveTableRelation =>
+        deps += h.tableMeta.identifier.unquotedString
+      case _ =>
+    }
+    deps.result().map(_.stripPrefix("spark_catalog.")).distinct
+  }
+
   // --- cache (main.go:527-557; TTL semantics kept, cleanup implicit) ----
   private case class Entry(result: Result, at: Long)
   private val cache = TrieMap[Int, Entry]()

@@ -283,6 +283,33 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // --- ANN top-k via typed Aggregator: bounded k-buffer per group,
+    //     map-side reduced before the shuffle (no full sort of the
+    //     candidate set — the 100 TB path) ------------------------------
+    "d13_ann_topk_aggregator" -> { (s, d) =>
+      import s.implicits._
+      import graft.functions.TopKAggregator
+      val e = quantizedEmbeddings(s, d, plant = false)
+      val q = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("q").as("qq"), col("nrm").as("qnrm"))
+      val scored = e.select(col("vec_id"), col("q"), col("nrm"))
+        .join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .withColumn("cos", expr(
+          """round(cast(aggregate(zip_with(qq, q, (x, y) -> x * y), 0L, (acc, x) -> acc + x) as double)
+            | / (sqrt(cast(qnrm as double)) * sqrt(cast(nrm as double))), 6)""".stripMargin))
+        .select(col("query_id"), col("vec_id"), col("cos"))
+        .as[(Long, Long, Double)]
+      scored
+        .groupByKey(_._1)
+        .mapValues { case (_, vid, cos) => TopKAggregator.Scored(vid, cos) }
+        .agg(TopKAggregator.topK(5).toColumn.name("top"))
+        .flatMap { case (qid, top) =>
+          top.zipWithIndex.map { case (sc, i) => (qid, (i + 1).toLong, sc.id, sc.score) }
+        }
+        .toDF("query_id", "rank", "neighbor_id", "cos")
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     // --- multimodal plumbing: opaque binary + typed metadata + staged
     //     feature extraction (deterministic fake "decoder" over bytes;
     //     real decode libs are stubbed — the schema/partitioning/batch
@@ -389,6 +416,29 @@ object PipelineQueries {
           |WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
           |    / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE) >= 0.3
           |ORDER BY a, b""".stripMargin),
+
+      "d13_ann_topk_aggregator" ->
+        """WITH e AS (
+          |  SELECT vec_id,
+          |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+          |  FROM embeddings
+          |), n AS (
+          |  SELECT vec_id, q,
+          |    list_sum(list_transform(range(1, 65), i -> q[i] * q[i])) AS nrm
+          |  FROM e
+          |), scored AS (
+          |  SELECT qr.vec_id AS query_id, c.vec_id AS neighbor_id,
+          |    round(CAST(list_sum(list_transform(range(1, 65), i -> qr.q[i] * c.q[i])) AS DOUBLE)
+          |      / (sqrt(CAST(qr.nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE))), 6) AS cos
+          |  FROM n qr JOIN n c ON c.vec_id <> qr.vec_id
+          |  WHERE qr.vec_id < 10
+          |), ranked AS (
+          |  SELECT query_id, neighbor_id, cos,
+          |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+          |  FROM scored
+          |)
+          |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cos
+          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
       "d10_ann_bruteforce_topk" ->
         """WITH e AS (
