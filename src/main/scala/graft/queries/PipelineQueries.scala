@@ -140,15 +140,18 @@ object PipelineQueries {
 
     // --- MinHash + LSH near-dup (shingle → 32 minhashes → 8 bands) -----
     "d07_dedup_minhash_lsh" -> { (s, d) =>
-      // one base hash per shingle; the 32 MinHash functions are affine
-      // maps h_j = (base mod 2^31−1) · odd_j + c_j of that base — avoids
-      // 32 string-concat + rehash passes per shingle. The mod keeps the
-      // product < 2^62 (ANSI mode forbids wrapping multiplication).
+      // one base hash per shingle; the 32 MinHash functions are modular
+      // affine permutations h_j = (base·a_j + b_j) mod p over the 31-bit
+      // base — avoids 32 string-concat + rehash passes per shingle.
+      // The mod p is essential: without wraparound the maps are monotonic
+      // in base and every h_j picks the same min shingle, collapsing LSH
+      // into "share the global min shingle" (candidate buckets explode).
+      // Operands stay < 2^62 so ANSI mode never sees an overflow.
       val sh = withShingles(corpusWithPlants(s, d))
         .withColumn("hs", expr("transform(shingles, sh -> pmod(xxhash64(sh), 2147483647))"))
         .withColumn("mh", expr(
           """transform(sequence(0, 31),
-            |  j -> array_min(transform(hs, h -> h * (2*j + 1500450271) + j * 2860486313)))""".stripMargin))
+            |  j -> array_min(transform(hs, h -> (h * (1103515245L + 12345L*j) + j * 987654321L) % 2147483647L)))""".stripMargin))
         .select(col("doc_id"), col("mh"), col("shingles"))
       val banded = sh.select(col("doc_id"), col("mh"), col("shingles"),
           explode(expr(
@@ -308,6 +311,20 @@ object PipelineQueries {
         }
         .toDF("query_id", "rank", "neighbor_id", "cos")
         .orderBy(col("query_id"), col("rank"))
+    },
+
+    // --- approximate sketches: HLL distinct + quantile sketch ----------
+    // rows-only (sketch algorithms differ across engines); sanity bounds
+    // are embedded as columns so the check is self-evident.
+    "d14_approx_sketches" -> { (s, d) =>
+      t(s, d, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          approx_count_distinct(col("o_custkey"), 0.02).as("approx_custkeys"),
+          countDistinct(col("o_custkey")).as("exact_custkeys"),
+          percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).as("p50_totalprice"),
+          percentile_approx(col("o_totalprice"), lit(0.99), lit(1000)).as("p99_totalprice"))
+        .orderBy(col("o_orderstatus"))
     },
 
     // --- multimodal plumbing: opaque binary + typed metadata + staged

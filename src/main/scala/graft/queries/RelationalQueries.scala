@@ -351,6 +351,34 @@ object RelationalQueries {
       s.sql("""SELECT l_orderkey, count(1) AS n_lines
               |FROM lineitem GROUP BY l_orderkey
               |HAVING count(1) >= 5 ORDER BY l_orderkey""".stripMargin)
+    },
+
+    // --- ROLLUP / GROUPING SETS (beyond-corpus Spark freebies) ---------
+    "q31_rollup" -> { (s, d) =>
+      Tables.views(s, d, "orders")
+      s.sql("""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+              |  coalesce(o_orderpriority, 'ALL') AS priority,
+              |  count(1) AS cnt
+              |FROM orders
+              |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+              |ORDER BY status, priority""".stripMargin)
+    },
+
+    // --- skew mitigation: salted join of a hot key ---------------------
+    // one synthetic hot key (all 'F' orders mapped to custkey 1) joined
+    // against customer via an 8-way salt explode — the manual pattern
+    // for pre-AQE skew handling; result equals the unsalted join.
+    "q32_salted_skew_join" -> { (s, d) =>
+      val salts = 8
+      val o = t(s, d, "orders")
+        .withColumn("k", when(col("o_orderstatus") === "F", lit(1L)).otherwise(col("o_custkey")))
+        .withColumn("salt", (pmod(col("o_orderkey"), lit(salts))).cast(IntegerType))
+      val c = t(s, d, "customer")
+        .withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
+      o.join(c, o("k") === c("c_custkey") && o("salt") === c("salt"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("c_mktsegment"))
     }
   )
 
@@ -570,6 +598,20 @@ object RelationalQueries {
 
     "q30_having" ->
       """SELECT l_orderkey, count(1) AS n_lines FROM lineitem
-        |GROUP BY l_orderkey HAVING count(1) >= 5 ORDER BY l_orderkey""".stripMargin
+        |GROUP BY l_orderkey HAVING count(1) >= 5 ORDER BY l_orderkey""".stripMargin,
+
+    "q31_rollup" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  count(1) AS cnt
+        |FROM orders
+        |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+
+    "q32_salted_skew_join" ->
+      """SELECT c_mktsegment, count(1) AS cnt
+        |FROM (SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE o_custkey END AS k FROM orders) o
+        |JOIN customer ON o.k = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
   )
 }
