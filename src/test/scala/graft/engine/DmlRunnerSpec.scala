@@ -1,0 +1,91 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** MERGE/DELETE rewrite edge cases (beyond the e04/e09 gate flows):
+  * conditional matched-update, conditional and unconditional
+  * not-matched-by-source delete, insert with column subset, and the
+  * generated ON FALSE form (`query.py:22-61`).
+  */
+class DmlRunnerSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  private lazy val runner = new TransformRunner(spark)
+  private lazy val dml = new DmlRunner(spark, runner)
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def freshTable(rows: Seq[(String, Long)]): Unit = {
+    spark.sql("DROP DATABASE IF EXISTS dmlspec CASCADE")
+    val loc = java.nio.file.Files.createTempDirectory("dmlspec")
+    spark.sql(s"CREATE DATABASE dmlspec LOCATION '$loc'")
+    spark.sql("CREATE TABLE dmlspec.t (k STRING, v BIGINT) USING parquet")
+    val values = rows.map { case (k, v) => s"('$k', $v)" }.mkString(", ")
+    spark.sql(s"INSERT INTO dmlspec.t VALUES $values")
+  }
+
+  private def state(): Seq[(String, Long)] =
+    spark.table("dmlspec.t").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+
+  test("matched update with extra condition") {
+    freshTable(Seq(("a", 1L), ("b", 2L), ("c", 3L)))
+    dml.run(
+      """MERGE INTO `dmlspec.t` T
+        |USING (SELECT 'a' AS k, 10 AS v UNION ALL SELECT 'b', 20) S
+        |ON T.k = S.k
+        |WHEN MATCHED AND T.v > 1 THEN UPDATE SET v = S.v""".stripMargin)
+    assert(state() == Seq(("a", 1L), ("b", 20L), ("c", 3L)))
+  }
+
+  test("not matched insert with column subset leaves others null-free here") {
+    freshTable(Seq(("a", 1L)))
+    dml.run(
+      """MERGE INTO `dmlspec.t` T
+        |USING (SELECT 'x' AS k, 9 AS v) S
+        |ON T.k = S.k
+        |WHEN NOT MATCHED THEN INSERT (`k`, `v`) VALUES (S.k, S.v)""".stripMargin)
+    assert(state() == Seq(("a", 1L), ("x", 9L)))
+  }
+
+  test("not matched by source delete with condition (generated form)") {
+    freshTable(Seq(("a", 1L), ("b", 2L), ("c", 3L)))
+    dml.run(
+      """MERGE INTO `dmlspec.t` T
+        |USING (SELECT 'z' AS k, 100 AS v) S
+        |ON FALSE
+        |WHEN NOT MATCHED BY SOURCE AND T.v >= 2 THEN DELETE
+        |WHEN NOT MATCHED THEN INSERT (`k`, `v`) VALUES (S.k, S.v)""".stripMargin)
+    assert(state() == Seq(("a", 1L), ("z", 100L)))
+  }
+
+  test("unconditional by-source delete replaces table with source") {
+    freshTable(Seq(("a", 1L), ("b", 2L)))
+    dml.run(
+      """MERGE INTO `dmlspec.t` T
+        |USING (SELECT 'n' AS k, 7 AS v) S
+        |ON FALSE
+        |WHEN NOT MATCHED BY SOURCE THEN DELETE
+        |WHEN NOT MATCHED THEN INSERT (`k`, `v`) VALUES (S.k, S.v)""".stripMargin)
+    assert(state() == Seq(("n", 7L)))
+  }
+
+  test("DELETE FROM with predicate") {
+    freshTable(Seq(("a", 1L), ("b", 2L), ("c", 3L)))
+    dml.run("DELETE FROM `dmlspec.t` WHERE v < 3")
+    assert(state() == Seq(("c", 3L)))
+  }
+
+  test("DROP TABLE") {
+    freshTable(Seq(("a", 1L)))
+    dml.run("DROP TABLE `dmlspec.t`")
+    assert(!spark.catalog.tableExists("dmlspec.t"))
+  }
+}
