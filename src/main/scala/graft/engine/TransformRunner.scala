@@ -270,6 +270,39 @@ class TransformRunner(spark: SparkSession) {
     }
   }
 
+  /** A18: spillover — the reference ships this broken and undispatched
+    * (`transformation.py:431-522`: wrong ctor arity, undefined field);
+    * this is the repaired semantics: run the spillover query, take the
+    * DISTINCT dates of its first column, and re-run the main query once
+    * per date into that daily partition (concurrently, A19).
+    *
+    * The date collect is partition metadata (calendar-bounded), not data.
+    */
+  def spilloverTransform(conf: TaskConfig, mainSql: String, spilloverSql: String,
+      window: TaskWindow, executionTime: LocalDateTime,
+      partitionField: String, dryRun: Boolean = false): Unit = {
+    val dest = catalogName(conf.destinationTable)
+    val spillover = script(render(spilloverSql, conf, window, executionTime))
+    val dates = spillover.select(col(spillover.columns.head))
+      .distinct().collect()
+      .map(r => java.time.LocalDate.parse(r.get(0).toString.take(10)))
+      .sorted
+    val tasks = dates.toSeq.map { date =>
+      () => {
+        val w = graft.core.window.CustomWindow(date.atStartOfDay, date.plusDays(1).atStartOfDay)
+        val df = script(render(mainSql, conf, w, executionTime))
+        if (!dryRun) {
+          val cols = spark.table(dest).schema.fieldNames.filterNot(_ == partitionField)
+          val routed = df.select(
+            (cols.map(col) :+ lit(date.toString).as(partitionField)).toIndexedSeq: _*)
+          routed.write.mode("overwrite").insertInto(dest)
+        }
+        ()
+      }
+    }
+    ConcurrentTaskExecutor.execute(tasks, conf.concurrency)
+  }
+
   /** A17 + A12: MERGE — user-authored script executed after rendering. */
   def dmlTransform(conf: TaskConfig, sql: String, window: TaskWindow,
       executionTime: LocalDateTime, dryRun: Boolean): Unit = {

@@ -332,6 +332,31 @@ object EngineQueries {
       new TransformRunner(s).transform(
         conf("pg14", "daily$19960502", LoadMethod.Replace), sql, w, execTime)
       s.table("graft__pg14.daily").orderBy("d")
+    },
+
+    // --- A18 (repaired): spillover-driven partition recomputation ------
+    // spillover query yields extra affected dates (first column); the
+    // main query re-runs per distinct date into that partition.
+    "e15_spillover" -> { (s, d) =>
+      Tables.views(s, d, "orders")
+      freshDb(s, "graft__pg15")
+      s.sql("CREATE TABLE graft__pg15.daily (cnt BIGINT, d STRING) USING PARQUET PARTITIONED BY (d)")
+      s.sql("""INSERT INTO graft__pg15.daily PARTITION (d)
+              |SELECT -1 AS cnt, date_format(o_orderdate, 'yyyy-MM-dd') AS d
+              |FROM orders WHERE o_orderdate >= '1997-02-01' AND o_orderdate < '1997-03-01'
+              |GROUP BY 2""".stripMargin)
+      val spilloverSql =
+        """SELECT DISTINCT date_format(o_orderdate, 'yyyy-MM-dd') AS spill_date
+          |FROM orders
+          |WHERE o_orderdate >= '1997-02-01' AND o_orderdate < '1997-02-15'
+          |ORDER BY 1""".stripMargin
+      val mainSql =
+        """SELECT count(1) AS cnt FROM orders
+          |WHERE o_orderdate >= '__dstart__' AND o_orderdate < '__dend__'""".stripMargin
+      val w = CustomWindow(LocalDateTime.of(1997, 2, 1, 0, 0), LocalDateTime.of(1997, 2, 15, 0, 0))
+      new TransformRunner(s).spilloverTransform(
+        conf("pg15", "daily", LoadMethod.Replace), mainSql, spilloverSql, w, execTime, "d")
+      s.table("graft__pg15.daily").orderBy("d")
     }
   )
 
@@ -484,6 +509,21 @@ object EngineQueries {
         |  FROM orders
         |  WHERE o_orderdate >= TIMESTAMP '1996-05-02' AND o_orderdate < TIMESTAMP '1996-05-03'
         |    AND o_orderstatus <> 'P'
+        |) ORDER BY d""".stripMargin,
+
+    // Feb 1-14 partitions get recomputed true counts; the rest of the
+    // seeded month keeps the sentinel -1.
+    "e15_spillover" ->
+      """SELECT cnt, d FROM (
+        |  SELECT count(1) AS cnt, CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS d
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1997-02-01' AND o_orderdate < TIMESTAMP '1997-02-15'
+        |  GROUP BY 2
+        |  UNION ALL
+        |  SELECT -1 AS cnt, CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS d
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1997-02-15' AND o_orderdate < TIMESTAMP '1997-03-01'
+        |  GROUP BY 2
         |) ORDER BY d""".stripMargin
   )
 }

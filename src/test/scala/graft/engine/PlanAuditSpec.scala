@@ -5,7 +5,7 @@ import org.apache.spark.sql.execution.ExplainMode
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.queries.{RelationalQueries, Tables}
+import graft.queries.{PipelineQueries, RelationalQueries, Tables}
 
 /** Physical-plan audits: the properties that make these operators hold
   * at 100 TB — filters reaching the parquet scan, column pruning, small
@@ -63,6 +63,25 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     val p = plan("q02_pricing_summary")
     assert(p.contains("* HashAggregate") && p.contains("* Filter"),
       s"expected codegen'd (*) agg pipeline in:\n$p")
+  }
+
+  test("d10 ANN: query side broadcast — candidate scan streams once") {
+    val df = PipelineQueries.queries("d10_ann_bruteforce_topk")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"queries should broadcast in:\n$p")
+  }
+
+  test("d01 dedup: only agg + sort shuffles on the content hash") {
+    val df = PipelineQueries.queries("d01_dedup_exact")(spark, sfDir)
+    df.collect()
+    // the formatted AQE explain repeats nodes in the "Initial Plan"
+    // section — audit the final plan only
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      .split("== Initial Plan ==").head
+    val exchanges = p.linesIterator.count(l => l.contains("Exchange"))
+    assert(exchanges <= 3, s"expected agg+sort exchanges only, got $exchanges:\n$p")
   }
 
   test("partitioned write prunes reads to one partition on read-back") {
