@@ -1,0 +1,101 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** HyperLogLog distinct-count sketch as a `TypedImperativeAggregate`
+  * (SURVEY §7 extensions: mutable-buffer custom aggregate).
+  *
+  * Standard HLL: p=11 → 2048 byte registers, each holding the max
+  * leading-zero rank of xxhash64 values routed to it. Mergeable
+  * (register-wise max), constant memory per group, serialized as the
+  * raw register array — the shape that aggregates 100 TB of keys into
+  * 2 KB per group with map-side combine.
+  *
+  * Implementation from the published HLL formulation (Flajolet et al.;
+  * linear-counting correction for small cardinalities).
+  */
+case class HllSketch(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]] {
+
+  private val p = 11
+  private val m = 1 << p
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = LongType
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
+
+  private def hashOf(v: Any): Long = v match {
+    case s: UTF8String => XXH64.hashUTF8String(s, 42L)
+    case l: Long => XXH64.hashLong(l, 42L)
+    case i: Int => XXH64.hashInt(i, 42L)
+    case other => XXH64.hashLong(other.hashCode().toLong, 42L)
+  }
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = hashOf(v)
+      val idx = (h >>> (64 - p)).toInt
+      val rest = h << p
+      val rank = (if (rest == 0L) 64 - p else java.lang.Long.numberOfLeadingZeros(rest)) + 1
+      if (rank > buf(idx)) buf(idx) = rank.toByte
+    }
+    buf
+  }
+
+  override def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < m) {
+      if (b2(i) > b1(i)) b1(i) = b2(i)
+      i += 1
+    }
+    b1
+  }
+
+  override def eval(buf: Array[Byte]): Any = {
+    var sum = 0.0
+    var zeros = 0
+    var i = 0
+    while (i < m) {
+      sum += 1.0 / (1L << (buf(i) & 0xff)).toDouble
+      if (buf(i) == 0) zeros += 1
+      i += 1
+    }
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val raw = alpha * m * m / sum
+    val est =
+      if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros) // linear counting
+      else raw
+    math.round(est)
+  }
+
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HllSketch =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HllSketch =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): HllSketch =
+    copy(child = newChildren.head)
+}
+
+object HllSketch {
+  /** Register `graft_hll(col)` on the session (idempotent). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_hll",
+      exprs => HllSketch(exprs.head).toAggregateExpression(),
+      "scala_udf")
+}

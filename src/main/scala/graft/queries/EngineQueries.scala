@@ -357,6 +357,34 @@ object EngineQueries {
       new TransformRunner(s).spilloverTransform(
         conf("pg15", "daily", LoadMethod.Replace), mainSql, spilloverSql, w, execTime, "d")
       s.table("graft__pg15.daily").orderBy("d")
+    },
+
+    // --- bucketed co-located join: pre-bucket both sides on the join
+    //     key so the join runs with ZERO exchanges — the 100 TB strategy
+    //     for repeated large-large joins ------------------------------
+    "e16_bucketed_join" -> { (s, d) =>
+      Tables.views(s, d, "orders", "customer")
+      freshDb(s, "graft__pg16")
+      t(s, d, "orders").write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .option("path", Files.createTempDirectory("b_orders").toString)
+        .mode("overwrite").saveAsTable("graft__pg16.orders_b")
+      t(s, d, "customer").write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .option("path", Files.createTempDirectory("b_cust").toString)
+        .mode("overwrite").saveAsTable("graft__pg16.customer_b")
+      // disable broadcast so the plan must rely on bucket co-location
+      val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val joined = s.table("graft__pg16.orders_b")
+          .join(s.table("graft__pg16.customer_b"),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+          .orderBy(col("c_mktsegment"))
+        joined.cache().count() // materialize under the no-broadcast conf
+        joined
+      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     }
   )
 
@@ -524,6 +552,12 @@ object EngineQueries {
         |  FROM orders
         |  WHERE o_orderdate >= TIMESTAMP '1997-02-15' AND o_orderdate < TIMESTAMP '1997-03-01'
         |  GROUP BY 2
-        |) ORDER BY d""".stripMargin
+        |) ORDER BY d""".stripMargin,
+
+    "e16_bucketed_join" ->
+      """SELECT c_mktsegment, count(1) AS cnt,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
   )
 }

@@ -327,6 +327,19 @@ object PipelineQueries {
         .orderBy(col("o_orderstatus"))
     },
 
+    // --- custom HLL TypedImperativeAggregate vs exact counts ----------
+    // rows-only (our register layout is engine-specific); exact columns
+    // ride along so the estimate error is self-evident (<5% at p=11).
+    "d15_hll_sketch" -> { (s, d) =>
+      graft.functions.HllSketch.register(s)
+      Tables.views(s, d, "orders")
+      s.sql("""SELECT o_orderstatus,
+              |  graft_hll(o_custkey) AS hll_custkeys,
+              |  count(DISTINCT o_custkey) AS exact_custkeys,
+              |  count(1) AS rows
+              |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    },
+
     // --- multimodal plumbing: opaque binary + typed metadata + staged
     //     feature extraction (deterministic fake "decoder" over bytes;
     //     real decode libs are stubbed — the schema/partitioning/batch

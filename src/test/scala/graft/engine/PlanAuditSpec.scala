@@ -5,7 +5,7 @@ import org.apache.spark.sql.execution.ExplainMode
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.queries.{PipelineQueries, RelationalQueries, Tables}
+import graft.queries.{EngineQueries, PipelineQueries, RelationalQueries, Tables}
 
 /** Physical-plan audits: the properties that make these operators hold
   * at 100 TB — filters reaching the parquet scan, column pruning, small
@@ -82,6 +82,19 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       .split("== Initial Plan ==").head
     val exchanges = p.linesIterator.count(l => l.contains("Exchange"))
     assert(exchanges <= 3, s"expected agg+sort exchanges only, got $exchanges:\n$p")
+  }
+
+  test("e16 bucketed join: no exchange feeding the sort-merge join") {
+    val df = EngineQueries.queries("e16_bucketed_join")(spark, sfDir)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      .split("== Initial Plan ==").head
+    assert(p.contains("SortMergeJoin"), s"expected SMJ in:\n$p")
+    // join INPUTS must be exchange-free (bucket co-location); the
+    // post-join agg/sort shuffles are expected. In formatted output the
+    // join's subtree is printed after the SortMergeJoin line.
+    val subtree = p.linesIterator.dropWhile(!_.contains("SortMergeJoin")).toSeq
+    assert(!subtree.exists(_.contains("Exchange")),
+      s"bucketed join inputs should not shuffle:\n${subtree.mkString("\n")}")
   }
 
   test("partitioned write prunes reads to one partition on read-back") {
