@@ -60,10 +60,6 @@ object PipelineQueries {
       .drop("embedding")
   }
 
-  private val cosExpr =
-    """cast(aggregate(zip_with(a.q, b.q, (x, y) -> x * y), 0L, (acc, x) -> acc + x) as double)
-      | / (sqrt(cast(a.nrm as double)) * sqrt(cast(b.nrm as double)))""".stripMargin
-
   val queries: Map[String, Q] = Map(
     // --- exact dedup: content-hash groupBy (the 100 TB-safe baseline) --
     "d01_dedup_exact" -> { (s, d) =>

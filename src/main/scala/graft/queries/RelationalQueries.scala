@@ -379,6 +379,41 @@ object RelationalQueries {
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("cnt"))
         .orderBy(col("c_mktsegment"))
+    },
+
+    // --- TPC-H Q3 shape: shipping-priority ranked revenue join --------
+    "q33_shipping_priority" -> { (s, d) =>
+      val c = t(s, d, "customer").where(col("c_mktsegment") === "BUILDING")
+      val o = t(s, d, "orders").where(col("o_orderdate") < lit("1997-01-01").cast(TimestampType))
+      val l = t(s, d, "lineitem").where(col("l_shipdate") > lit("1997-01-01").cast(TimestampType))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+          col("o_orderpriority"))
+        .agg(asD(sum(dec(col("l_extendedprice")) *
+          (lit(BigDecimal(1)).cast(DecimalType(18, 2)) - dec(col("l_discount"))))).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(20)
+    },
+
+    // --- TPC-H Q10 shape: returned-item reporting ----------------------
+    "q34_returned_items" -> { (s, d) =>
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders")
+        .where(col("o_orderdate") >= lit("1996-01-01").cast(TimestampType) &&
+          col("o_orderdate") < lit("1996-07-01").cast(TimestampType))
+      val l = t(s, d, "lineitem").where(col("l_returnflag") === "R")
+      val n = t(s, d, "nation")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(asD(sum(dec(col("l_extendedprice")) *
+          (lit(BigDecimal(1)).cast(DecimalType(18, 2)) - dec(col("l_discount"))))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
     }
   )
 
@@ -612,6 +647,34 @@ object RelationalQueries {
       """SELECT c_mktsegment, count(1) AS cnt
         |FROM (SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE o_custkey END AS k FROM orders) o
         |JOIN customer ON o.k = c_custkey
-        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q33_shipping_priority" ->
+      """SELECT l_orderkey, CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_orderdate,
+        |  o_orderpriority,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND l_shipdate > TIMESTAMP '1997-01-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, l_orderkey LIMIT 20""".stripMargin,
+
+    "q34_returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  count(1) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
   )
 }
