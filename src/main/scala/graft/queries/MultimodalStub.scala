@@ -41,6 +41,38 @@ object MultimodalStub {
     hist
   }
 
+  case class Frame(
+      doc_id: Long,
+      frame_no: Int,
+      offset: Long,
+      frame_bytes: Int,
+      digest: Long)
+
+  /** Frame sampling for video/audio-shaped payloads: cut the opaque
+    * payload into fixed-size "frames", keep every `stride`-th one, and
+    * emit one row per sampled frame (the explode shape a real
+    * frame-extractor produces). The decode itself is STUBBED with a
+    * deterministic byte digest.
+    */
+  def sampleFrames(blobs: DataFrame, frameSize: Int, stride: Int): DataFrame = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, payload) =>
+        val nFrames = (payload.length + frameSize - 1) / frameSize
+        (0 until nFrames by stride).map { f =>
+          val start = f * frameSize
+          val end = math.min(start + frameSize, payload.length)
+          var digest = 1125899906842597L
+          var i = start
+          while (i < end) { digest = 31 * digest + (payload(i) & 0xff); i += 1 }
+          Frame(id, f, start.toLong, end - start, digest)
+        }
+      }
+      .toDF()
+  }
+
   /** expects columns: doc_id LONG, payload BINARY, meta STRUCT<n_bytes, mime> */
   def extractFeatures(blobs: DataFrame): DataFrame = {
     val spark = blobs.sparkSession

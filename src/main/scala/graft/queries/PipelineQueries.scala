@@ -348,6 +348,19 @@ object PipelineQueries {
             lit("text/plain").as("mime")).as(("meta")))
       MultimodalStub.extractFeatures(blobs)
         .orderBy(col("doc_id"))
+    },
+
+    // --- frame sampling over opaque payloads (video/audio shape):
+    //     fixed-size frames, every 2nd kept, one row per frame ---------
+    "m02_multimodal_frames" -> { (s, d) =>
+      val blobs = t(s, d, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      MultimodalStub.sampleFrames(blobs, frameSize = 64, stride = 2)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_sampled_frames"),
+          sum(col("frame_bytes")).as("sampled_bytes"),
+          min(col("digest")).as("min_digest"))
+        .orderBy(col("doc_id"))
     }
   )
 
