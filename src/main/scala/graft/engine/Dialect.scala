@@ -34,6 +34,9 @@ object Dialect {
     */
   def rewrite(sql: String): String = {
     var out = sql
+    // BigQuery NUMERIC is DECIMAL(38,9); Spark's NUMERIC keyword means
+    // DECIMAL(10,0) — rewrite to BigQuery semantics
+    out = out.replaceAll(raw"(?i)\bNUMERIC\b", "DECIMAL(38,9)")
     out = inUnnest.replaceAllIn(out, m =>
       java.util.regex.Matcher.quoteReplacement(
         s"array_contains(${m.group(2)}, ${m.group(1)})"))

@@ -27,6 +27,26 @@ class ScriptRunner(spark: SparkSession) {
   private val setStructRe = raw"(?is)^SET\s*\(\s*(\w+)\s*\)\s*=\s*\((.+)\)$$".r
   private val createTempRe =
     raw"(?is)^CREATE\s+TEMP(?:ORARY)?\s+TABLE\s+`?([\w.]+)`?\s+AS\s*\((.+)\)$$|^CREATE\s+TEMP(?:ORARY)?\s+TABLE\s+`?([\w.]+)`?\s+AS\s+(.+)$$".r
+  private val createFnJsRe =
+    raw"(?is)^CREATE\s+TEMP(?:ORARY)?\s+FUNCTION\s+(\w+).*\bLANGUAGE\s+js\b.*$$".r
+  private val createFnRe =
+    raw"(?is)^CREATE\s+TEMP(?:ORARY)?\s+FUNCTION\s+(\w+)\s*\(([^)]*)\)\s*(?:RETURNS\s+([\w<>, ()]+?))?\s*AS\s*\((.+)\)\s*$$".r
+
+  /** BigQuery scalar type names → Spark SQL DDL types. */
+  private def sparkType(t: String): String = {
+    val up = t.trim.toUpperCase
+    up match {
+      case "INT64" => "BIGINT"
+      case "FLOAT64" => "DOUBLE"
+      case "NUMERIC" => "DECIMAL(38,9)"
+      case "BOOL" => "BOOLEAN"
+      case "BYTES" => "BINARY"
+      case "DATETIME" => "TIMESTAMP_NTZ"
+      case s if s.startsWith("ARRAY<") =>
+        s"ARRAY<${sparkType(s.stripPrefix("ARRAY<").stripSuffix(">"))}>"
+      case other => other
+    }
+  }
 
   /** Render declared variables into a statement (word-boundary safe). */
   private def substituteVars(sql: String): String =
@@ -79,6 +99,21 @@ class ScriptRunner(spark: SparkSession) {
       None
     case setSimpleRe(name, expr) if !stmt.trim.toUpperCase.startsWith("SET (") =>
       variables(name) = evalToLiteral(expr)
+      None
+    case createFnJsRe(name) =>
+      // SURVEY §7.2: JS-body UDFs are out of scope; the engine accepts a
+      // registered Scala equivalent instead (spark.udf.register).
+      throw new UnsupportedOperationException(
+        s"JS UDF '$name' is not executable here; register a Scala/SQL equivalent")
+    case createFnRe(name, params, returns, body) =>
+      // BigQuery SQL-bodied temp function → Spark 4 SQL UDF
+      val sparkParams = params.split(",").filter(_.trim.nonEmpty).map { p =>
+        val Array(n, t) = p.trim.split("\\s+", 2)
+        s"$n ${sparkType(t)}"
+      }.mkString(", ")
+      val ret = Option(returns).map(r => s" RETURNS ${sparkType(r)}").getOrElse("")
+      spark.sql(s"CREATE OR REPLACE TEMPORARY FUNCTION $name($sparkParams)$ret " +
+        s"RETURN ${Dialect.rewrite(body)}")
       None
     case createTempRe(n1, q1, n2, q2) =>
       val (name, query) = if (n1 != null) (n1, q1) else (n2, q2)

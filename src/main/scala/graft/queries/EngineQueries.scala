@@ -385,6 +385,23 @@ object EngineQueries {
         joined.cache().count() // materialize under the no-broadcast conf
         joined
       } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    },
+
+    // --- CREATE TEMP FUNCTION (SQL body) through the script runner -----
+    "e17_sql_udf_script" -> { (s, d) =>
+      Tables.views(s, d, "orders")
+      // the UDF works in NUMERIC (exact): raw 2-dp prices cast exactly,
+      // decimal multiply is exact — so the result is engine-independent
+      // (a FLOAT64-computed discount would round differently at the
+      // decimal boundary in DuckDB)
+      val script =
+        """CREATE TEMP FUNCTION discounted(price NUMERIC) RETURNS NUMERIC AS (price * 0.9);
+          |SELECT o_orderpriority,
+          |  CAST(SUM(discounted(CAST(o_totalprice AS NUMERIC))) AS DOUBLE) AS discounted_total
+          |FROM orders
+          |WHERE o_orderdate >= '1995-06-01' AND o_orderdate < '1995-09-01'
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+      new ScriptRunner(s).run(script).get
     }
   )
 
@@ -558,6 +575,13 @@ object EngineQueries {
       """SELECT c_mktsegment, count(1) AS cnt,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
-        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "e17_sql_udf_script" ->
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(0.9 AS DECIMAL(2,1))) AS DOUBLE) AS discounted_total
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-06-01' AND o_orderdate < TIMESTAMP '1995-09-01'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
   )
 }

@@ -43,6 +43,22 @@ class ScriptRunnerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.collect().head.getLong(0) == 2L)
   }
 
+  test("CREATE TEMP FUNCTION with SQL body translates to a Spark SQL UDF") {
+    val out = new ScriptRunner(spark).run(
+      """CREATE TEMP FUNCTION add_tax(price FLOAT64, rate FLOAT64) RETURNS FLOAT64 AS (price * (1 + rate));
+        |SELECT add_tax(100.0, 0.1) AS taxed""".stripMargin).get
+    assert(math.abs(out.collect().head.getDouble(0) - 110.0) < 1e-9)
+  }
+
+  test("CREATE TEMP FUNCTION LANGUAGE js is rejected with guidance") {
+    val e = intercept[UnsupportedOperationException] {
+      new ScriptRunner(spark).run(
+        """CREATE TEMP FUNCTION f(x STRING) RETURNS STRING LANGUAGE js AS "return x;";
+          |SELECT f('a')""".stripMargin)
+    }
+    assert(e.getMessage.contains("JS UDF"))
+  }
+
   test("word-boundary substitution does not touch identifiers containing the var") {
     val out = new ScriptRunner(spark).run(
       """DECLARE v INT64 DEFAULT 5;
