@@ -347,6 +347,10 @@ object PipelineQueries {
           struct(length(col("text")).cast(LongType).as("n_bytes"),
             lit("text/plain").as("mime")).as(("meta")))
       MultimodalStub.extractFeatures(blobs)
+        // serialize the feature vector to a scalar at the gate boundary
+        // (array output columns are unhashable in the oracle compare)
+        .select(col("doc_id"), col("n_bytes"), col("mime"), col("head_hex"),
+          concat_ws(",", col("features").cast("array<string>")).as("features_csv"))
         .orderBy(col("doc_id"))
     },
 
@@ -478,6 +482,22 @@ object PipelineQueries {
           |)
           |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cos
           |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+      // the stub "decoder" is a byte-histogram, so it IS SQL-expressible:
+      // byte % 16 == low hex nibble, so histogram the 2nd/4th/6th… chars
+      // of hex(blob) — an exact oracle for the whole multimodal pipeline
+      "m01_multimodal_features" ->
+        """WITH b AS (
+          |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes, 'text/plain' AS mime,
+          |    lower(substr(hex(encode(text)), 1, 16)) AS head_hex,
+          |    regexp_replace(hex(encode(text)), '.(.)', '\1', 'g') AS nibs
+          |  FROM documents
+          |)
+          |SELECT doc_id, n_bytes, mime, head_hex,
+          |  array_to_string(list_transform(range(16), i ->
+          |    length(nibs) - length(replace(nibs, substr('0123456789ABCDEF', CAST(i AS INT)+1, 1), ''))
+          |  ), ',') AS features_csv
+          |FROM b ORDER BY doc_id""".stripMargin,
 
       "d10_ann_bruteforce_topk" ->
         """WITH e AS (

@@ -182,7 +182,9 @@ object RelationalQueries {
         .where(col("o_orderdate") >= lit("1995-01-01").cast(TimestampType) &&
           col("o_orderdate") < lit("1995-02-01").cast(TimestampType))
         .groupBy(col("o_orderpriority"))
-        .agg(sort_array(collect_set(date_format(col("o_orderdate"), "yyyy-MM-dd"))).as("dates"),
+        // serialized to a scalar at the gate boundary: the oracle compare
+        // requires hashable (non-array) output columns
+        .agg(concat_ws(",", sort_array(collect_set(date_format(col("o_orderdate"), "yyyy-MM-dd")))).as("dates"),
           countDistinct(to_date(col("o_orderdate"))).as("n_dates"))
         .orderBy(col("o_orderpriority"))
     },
@@ -248,7 +250,9 @@ object RelationalQueries {
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("cnt"))
         .select(col("o_orderpriority"),
-          struct(col("o_orderpriority").as("priority"), col("cnt")).as("payload"))
+          // struct built, then JSON-serialized at the gate boundary (struct
+          // output columns are unhashable in the oracle compare)
+          to_json(struct(col("o_orderpriority").as("priority"), col("cnt"))).as("payload_json"))
         .orderBy(col("o_orderpriority"))
     },
 
@@ -513,7 +517,7 @@ object RelationalQueries {
 
     "q15_collect_set_dates" ->
       """SELECT o_orderpriority,
-        |  list_sort(list(DISTINCT CAST(CAST(o_orderdate AS DATE) AS VARCHAR))) AS dates,
+        |  array_to_string(list_sort(list(DISTINCT CAST(CAST(o_orderdate AS DATE) AS VARCHAR))), ',') AS dates,
         |  count(DISTINCT CAST(o_orderdate AS DATE)) AS n_dates
         |FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-02-01'
@@ -559,7 +563,7 @@ object RelationalQueries {
 
     "q21_struct" ->
       """SELECT o_orderpriority,
-        |  {'priority': o_orderpriority, 'cnt': count(1)} AS payload
+        |  CAST(to_json({'priority': o_orderpriority, 'cnt': count(1)}) AS VARCHAR) AS payload_json
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q22_union" ->
