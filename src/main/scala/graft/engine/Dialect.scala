@@ -8,9 +8,12 @@ package graft.engine
   */
 object Dialect {
 
-  /** `x IN UNNEST(arr)` → `array_contains(arr, x)` (`query.py:29`). */
+  /** `x [NOT] IN UNNEST(arr)` → `[NOT ]array_contains(arr, x)`
+    * (`query.py:29`). The optional NOT group must be explicit: without it
+    * the operand capture would swallow the NOT keyword itself.
+    */
   private val inUnnest =
-    raw"(?i)([\w.`]+)\s+IN\s+UNNEST\s*\(((?:[^()]|\([^()]*\))*)\)".r
+    raw"(?i)([\w.`]+)\s+(NOT\s+)?IN\s+UNNEST\s*\(((?:[^()]|\([^()]*\))*)\)".r
 
   /** `DATE(ts, 'Asia/Jakarta')` → tz-aware date
     * (`weekly_partitioned/query.sql:2`).
@@ -32,21 +35,38 @@ object Dialect {
   /** `CREATE TEMP TABLE` → Spark temp view DDL is handled by
     * ScriptRunner; this just normalizes the keyword spelling.
     */
+  private val stringLit = raw"'(?:[^'\\]|\\.)*'".r
+
+  /** Apply `f` only to the regions of `sql` outside single-quoted string
+    * literals, so keyword rewrites can't corrupt literal text like
+    * 'NUMERIC keypad'.
+    */
+  private def mapOutsideLiterals(sql: String)(f: String => String): String = {
+    val sb = new StringBuilder
+    var last = 0
+    stringLit.findAllMatchIn(sql).foreach { m =>
+      sb ++= f(sql.substring(last, m.start)) ++= m.group(0)
+      last = m.end
+    }
+    (sb ++= f(sql.substring(last))).toString
+  }
+
   def rewrite(sql: String): String = {
-    var out = sql
     // BigQuery NUMERIC is DECIMAL(38,9); Spark's NUMERIC keyword means
-    // DECIMAL(10,0) — rewrite to BigQuery semantics
-    out = out.replaceAll(raw"(?i)\bNUMERIC\b", "DECIMAL(38,9)")
+    // DECIMAL(10,0) — rewrite to BigQuery semantics (outside literals only)
+    var out = mapOutsideLiterals(sql)(
+      _.replaceAll(raw"(?i)\bNUMERIC\b", "DECIMAL(38,9)"))
     out = inUnnest.replaceAllIn(out, m =>
       java.util.regex.Matcher.quoteReplacement(
-        s"array_contains(${m.group(2)}, ${m.group(1)})"))
+        if (m.group(2) != null) s"(NOT array_contains(${m.group(3)}, ${m.group(1)}))"
+        else s"array_contains(${m.group(3)}, ${m.group(1)})"))
     out = dateTz.replaceAllIn(out, m =>
       java.util.regex.Matcher.quoteReplacement(
         s"to_date(from_utc_timestamp(${m.group(1)}, '${m.group(2)}'))"))
     out = timestampCall.replaceAllIn(out, m =>
       java.util.regex.Matcher.quoteReplacement(
         s"to_timestamp(replace('${m.group(1)}', 'T', ' '))"))
-    out = selectAsStruct.replaceAllIn(out, "SELECT ")
+    out = mapOutsideLiterals(out)(selectAsStruct.replaceAllIn(_, "SELECT "))
     out
   }
 

@@ -156,6 +156,18 @@ class DmlRunner(spark: SparkSession, runner: TransformRunner) {
     */
   private def overwriteSelf(dest: String, df: DataFrame): Unit = {
     val snap = df.localCheckpoint(true)
-    snap.write.mode("overwrite").insertInto(dest)
+    // The rewrite produces the COMPLETE new table contents, so this must be
+    // a static whole-table overwrite. The session default is dynamic
+    // partition overwrite (for partition-replacement loads), under which a
+    // partitioned destination would silently keep any partition the result
+    // writes no rows into — e.g. a DELETE that empties a whole partition.
+    // insertInto ignores writer options, so toggle the session conf (DML
+    // statements run single-threaded; concurrent partition loads go
+    // through TransformRunner, not here).
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "static")
+    try snap.write.mode("overwrite").insertInto(dest)
+    finally spark.conf.set(key, prev)
   }
 }

@@ -51,12 +51,14 @@ object Lineage {
     }
 
     tablePattern.findAllMatchIn(queryString).foreach { m =>
-      val clause = m.group(0).split("\\s+")(0).toLowerCase
-      val (ignoreIdx, projIdx, dsIdx, nameIdx) = clause match {
-        case "from" => (1, 2, 3, 4)
-        case "join" => (5, 6, 7, 8)
-        case "with" => (9, 10, 11, 12)
-      }
+      // pick the alternation branch by which mandatory capture group is
+      // non-null (like the Go reference's group-index dispatch) — splitting
+      // group(0) on whitespace misidentifies "JOIN/*c*/ t" (no space before
+      // the inline comment) as clause "join/*c*/"
+      val (clause, ignoreIdx, projIdx, dsIdx, nameIdx) =
+        if (m.group(2) != null) ("from", 1, 2, 3, 4)
+        else if (m.group(6) != null) ("join", 5, 6, 7, 8)
+        else ("with", 9, 10, 11, 12)
       val table = s"${m.group(projIdx)}.${m.group(dsIdx)}.${m.group(nameIdx)}"
       val annotation = Option(m.group(ignoreIdx)).map(_.trim).getOrElse("")
       if (annotation == "@ignoreupstream") {
@@ -131,11 +133,13 @@ object Lineage {
 
   // --- cache (main.go:527-557; TTL semantics kept, cleanup implicit) ----
   private case class Entry(result: Result, at: Long)
-  private val cache = TrieMap[Int, Entry]()
+  // keyed by the (query, destination) pair itself, not its hashCode — an
+  // Int key would let colliding pairs serve each other's cached lineage
+  private val cache = TrieMap[(String, String), Entry]()
   val CacheTtlMillis: Long = 24L * 3600 * 1000
 
   def cached(spark: SparkSession, query: String, destination: String): Result = {
-    val key = (query, destination).hashCode
+    val key = (query, destination)
     val now = System.currentTimeMillis()
     cache.get(key).filter(e => now - e.at < CacheTtlMillis).map(_.result).getOrElse {
       val r = findDependenciesWithCatalyst(spark, query, destination)

@@ -11,6 +11,18 @@ class DialectSpec extends AnyFunSuite {
       "WHERE array_contains(array('a', 'b'), s)")
   }
 
+  test("NOT IN UNNEST rewrites to negated array_contains") {
+    assert(Dialect.rewrite("WHERE x NOT IN UNNEST(partitions)") ==
+      "WHERE (NOT array_contains(partitions, x))")
+  }
+
+  test("keyword rewrites skip string literals") {
+    assert(Dialect.rewrite("SELECT 'NUMERIC keypad', CAST(x AS NUMERIC)") ==
+      "SELECT 'NUMERIC keypad', CAST(x AS DECIMAL(38,9))")
+    assert(Dialect.rewrite("SELECT 'SELECT AS STRUCT' AS s") ==
+      "SELECT 'SELECT AS STRUCT' AS s")
+  }
+
   test("DATE with timezone argument") {
     assert(Dialect.rewrite("SELECT DATE(created_time, 'Asia/Jakarta')") ==
       "SELECT to_date(from_utc_timestamp(created_time, 'Asia/Jakarta'))")

@@ -83,6 +83,21 @@ class DmlRunnerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(state() == Seq(("c", 3L)))
   }
 
+  test("DELETE emptying a whole partition removes that partition") {
+    // session default is dynamic partition overwrite (TransformRunner);
+    // the self-overwrite must force static mode or the emptied partition's
+    // rows would silently survive the DELETE
+    spark.sql("DROP DATABASE IF EXISTS dmlspec CASCADE")
+    val loc = java.nio.file.Files.createTempDirectory("dmlspecp")
+    spark.sql(s"CREATE DATABASE dmlspec LOCATION '$loc'")
+    spark.sql(
+      "CREATE TABLE dmlspec.t (k STRING, v BIGINT) USING parquet PARTITIONED BY (p STRING)")
+    spark.sql("INSERT INTO dmlspec.t PARTITION (p='x') VALUES ('a', 1), ('b', 2)")
+    spark.sql("INSERT INTO dmlspec.t PARTITION (p='y') VALUES ('c', 3)")
+    dml.run("DELETE FROM `dmlspec.t` WHERE p = 'x'")
+    assert(spark.table("dmlspec.t").collect().map(_.getString(0)).toSeq == Seq("c"))
+  }
+
   test("DROP TABLE") {
     freshTable(Seq(("a", 1L)))
     dml.run("DROP TABLE `dmlspec.t`")

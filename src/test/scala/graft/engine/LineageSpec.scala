@@ -66,6 +66,14 @@ class LineageSpec extends AnyFunSuite {
     "with s1 as (select * from internal.pseudo.ref), with internal.pseudo.ref as (select * from `project.another.name`) select * from s1",
     Set("project.another.name"), Set())
 
+  // beyond the corpus: no whitespace between the clause keyword and the
+  // inline comment — the branch dispatch must come from capture groups,
+  // not from splitting the matched text on whitespace
+  check("join with inline comment and no separating space",
+    "select * from data-engineering.testing.table1 join/* @ignoreupstream */ data-engineering.testing.table2 on some_field",
+    Set("data-engineering.testing.table1"),
+    Set("data-engineering.testing.table2", "data-engineering:testing.table2"))
+
   check("simple query that ignores from upstream",
     "select * from /* @ignoreupstream */ data-engineering.testing.table1",
     Set(), Set("data-engineering.testing.table1", "data-engineering:testing.table1"))
