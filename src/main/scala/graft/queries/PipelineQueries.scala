@@ -149,17 +149,27 @@ object PipelineQueries {
           """transform(sequence(0, 31),
             |  j -> array_min(transform(hs, h -> (h * (1103515245L + 12345L*j) + j * 987654321L) % 2147483647L)))""".stripMargin))
         .select(col("doc_id"), col("mh"), col("shingles"))
-      val banded = sh.select(col("doc_id"), col("mh"), col("shingles"),
+        // the sketch table feeds candidate generation AND both
+        // verification re-joins — materialize it once (at scale: a
+        // persisted/bucketed sketch table computed in its own pass)
+        .persist()
+      // Candidate generation shuffles SLIM (band, bh, doc_id) rows only —
+      // at 100 TB the banded self-join would otherwise carry two full
+      // shingle sets + minhash arrays per candidate pair. The (few)
+      // surviving pairs then re-join the per-doc sketch table once per
+      // side for exact verification.
+      val banded = sh.select(col("doc_id"),
           explode(expr(
             """transform(sequence(0, 7),
               |  b -> struct(b as band, xxhash64(concat_ws(',', slice(mh, b*4+1, 4))) as bh))""".stripMargin)).as("bd"))
-        .select(col("doc_id"), col("mh"), col("shingles"), col("bd.band"), col("bd.bh"))
-      val a = banded.select(col("band"), col("bh"), col("doc_id").as("a"),
-        col("mh").as("mha"), col("shingles").as("sha"))
-      val b = banded.select(col("band"), col("bh"), col("doc_id").as("b"),
-        col("mh").as("mhb"), col("shingles").as("shb"))
-      a.join(b, Seq("band", "bh")).where(col("a") < col("b"))
-        .dropDuplicates("a", "b")
+        .select(col("doc_id"), col("bd.band"), col("bd.bh"))
+      val ca = banded.select(col("band"), col("bh"), col("doc_id").as("a"))
+      val cb = banded.select(col("band"), col("bh"), col("doc_id").as("b"))
+      val pairs = ca.join(cb, Seq("band", "bh")).where(col("a") < col("b"))
+        .select(col("a"), col("b")).dropDuplicates("a", "b")
+      pairs
+        .join(sh.select(col("doc_id").as("a"), col("mh").as("mha"), col("shingles").as("sha")), "a")
+        .join(sh.select(col("doc_id").as("b"), col("mh").as("mhb"), col("shingles").as("shb")), "b")
         .withColumn("est_jaccard", expr(
           "cast(aggregate(zip_with(mha, mhb, (x, y) -> if(x = y, 1, 0)), 0, (acc, v) -> acc + v) as double) / 32.0"))
         .withColumn("jaccard", expr(
@@ -198,15 +208,31 @@ object PipelineQueries {
         // bit loop
         .withColumn("hs", expr("transform(toks, t -> xxhash64(t))"))
         .withColumn("sim", expr("graft_simhash64(hs)"))
-      // band the 64-bit simhash into 4×16-bit keys: near-dups (hamming
-      // ≤ 3) share at least one exact 16-bit band.
-      val banded = docs.select(col("doc_id"), col("sim"),
+        .select(col("doc_id"), col("sim"))
+        // consumed by both the exact-key and probe sides — compute the
+        // simhash pass once
+        .persist()
+      // Candidates via 2×32-bit half keys with single-bit-flip multi-probe.
+      // Pigeonhole: hamming(sim_a, sim_b) ≤ 3 ⇒ one 32-bit half differs in
+      // ≤ 1 bit, so a's 33 probe keys (exact + 32 flips) hit b's exact key.
+      // Bucket-cardinality math: 16-bit band keys give 65,536 buckets per
+      // band — at 10⁹ docs that's ~15k docs/bucket and the within-bucket
+      // pairing degrades toward quadratic (~10¹² pairs). 32-bit keys give
+      // 4.3×10⁹ buckets (≲1 exact row each at 10⁹ docs); the 33× probe
+      // fan-out is linear in n and each probe row is 3 longs.
+      val exacts = docs.select(col("doc_id").as("b"), col("sim").as("simb"),
           explode(expr(
-            "transform(sequence(0, 3), p -> struct(p as band, shiftright(sim, p*16) & 65535 as key))")).as("bd"))
-        .select(col("doc_id"), col("sim"), col("bd.band"), col("bd.key"))
-      val a = banded.select(col("band"), col("key"), col("doc_id").as("a"), col("sim").as("sima"))
-      val b = banded.select(col("band"), col("key"), col("doc_id").as("b"), col("sim").as("simb"))
-      a.join(b, Seq("band", "key")).where(col("a") < col("b"))
+            "transform(sequence(0, 1), h -> struct(h as half, shiftright(sim, h*32) & 4294967295L as key))")).as("ex"))
+        .select(col("b"), col("simb"), col("ex.half"), col("ex.key"))
+      val probes = docs.select(col("doc_id").as("a"), col("sim").as("sima"),
+          explode(expr(
+            """flatten(transform(sequence(0, 1), h ->
+              |  transform(sequence(-1, 31), f ->
+              |    struct(h as half,
+              |      case when f = -1 then shiftright(sim, h*32) & 4294967295L
+              |           else (shiftright(sim, h*32) & 4294967295L) ^ shiftleft(1L, f) end as key))))""".stripMargin)).as("pr"))
+        .select(col("a"), col("sima"), col("pr.half"), col("pr.key"))
+      probes.join(exacts, Seq("half", "key")).where(col("a") < col("b"))
         .dropDuplicates("a", "b")
         .withColumn("hamming", expr("bit_count(sima ^ simb)"))
         .where(col("hamming") <= 3)
