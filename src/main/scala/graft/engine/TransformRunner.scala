@@ -237,7 +237,21 @@ class TransformRunner(spark: SparkSession) {
     val dest = catalogName(conf.destinationTable)
     val rendered = render(sql, conf, window, executionTime)
     val source = script(rendered)
-    if (dryRun) { source.explain(); return }
+    if (dryRun) {
+      // emit the generated MERGE script text in the reference's exact
+      // template form next to the Spark plan, so dry-run shows what a
+      // BigQuery user would recognize (query.py:6-62)
+      val destCols = spark.table(dest).columns.toSeq
+      val text = conf.filterExpression match {
+        case Some(f) => MergeTextRenderer.fromFilter(
+          rendered, conf.destinationTable, destCols, source.columns.toSeq, f)
+        case scala.None => MergeTextRenderer.auto(
+          rendered, conf.destinationTable, destCols, source.columns.toSeq, partitionField)
+      }
+      println(text)
+      source.explain()
+      return
+    }
     val destDf = spark.table(dest)
 
     conf.filterExpression match {
