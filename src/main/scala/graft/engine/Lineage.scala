@@ -84,7 +84,14 @@ object Lineage {
     val ignored = findDependenciesWithRegex(query, destination).ignored
     val deps = StatementSplitter.split(query).flatMap { stmt =>
       Try(spark.sessionState.sqlParser.parsePlan(Dialect.rewrite(stmt))).toOption match {
-        case Some(plan) => relationsOf(plan)
+        case Some(plan) =>
+          val rels = relationsOf(plan)
+          // parsed-but-opaque statements (EXECUTE IMMEDIATE of a query
+          // string, IDENTIFIER() clauses) expose no relations at parse
+          // level — scan their text, like the reference's fake-select
+          // probing of scripts its parser can't see through
+          if (rels.nonEmpty) rels
+          else findDependenciesWithRegex(stmt, destination).dependencies
         case scala.None =>
           // script statement Catalyst can't parse → regex fallback
           findDependenciesWithRegex(stmt, destination).dependencies
@@ -92,6 +99,17 @@ object Lineage {
     }
     val ignoredSet = ignored.toSet
     Result(deps.distinct.filterNot(d => d == destination || ignoredSet(d)), ignored)
+  }
+
+  /** Script-aware lineage: evaluate DECLARE/SET variables the way
+    * ScriptRunner does (driver-side scalars, no writes) and extract
+    * dependencies from the substituted text — covers scripts whose
+    * table references only materialize after variable substitution.
+    */
+  def findDependenciesInScript(spark: SparkSession, script: String,
+      destination: String): Result = {
+    val rendered = new ScriptRunner(spark).renderStatements(script).mkString(";\n")
+    findDependenciesWithCatalyst(spark, rendered, destination)
   }
 
   private def relationsOf(plan: LogicalPlan): Seq[String] = {

@@ -86,6 +86,33 @@ class ScriptRunner(spark: SparkSession) {
     last
   }
 
+  /** Render non-control statements with variables substituted WITHOUT
+    * executing any writes — lineage support for scripts whose table
+    * references only appear after substitution (cf. the reference's
+    * fake-select probing, `main.go:282-323`). Variable evaluation runs
+    * driver-side scalar SELECTs only; failures leave the variable NULL
+    * so rendering never aborts lineage extraction.
+    */
+  def renderStatements(script: String): Seq[String] =
+    StatementSplitter.split(script).flatMap { stmt =>
+      stmt match {
+        case declareRe(name, _, default) =>
+          variables(name) =
+            if (default != null) scala.util.Try(evalToLiteral(default)).getOrElse("NULL")
+            else "NULL"
+          Seq.empty
+        case setStructRe(name, select) =>
+          variables(name) = scala.util.Try {
+            literalOf(spark.sql(Dialect.rewrite(substituteVars(select.trim))).collect()(0))
+          }.getOrElse("NULL")
+          Seq.empty
+        case setSimpleRe(name, e) if !stmt.trim.toUpperCase.startsWith("SET (") =>
+          variables(name) = scala.util.Try(evalToLiteral(e)).getOrElse("NULL")
+          Seq.empty
+        case _ => Seq(substituteVars(stmt))
+      }
+    }
+
   def runStatement(stmt: String): Option[DataFrame] = stmt match {
     case declareRe(name, _, default) =>
       variables(name) = if (default != null) evalToLiteral(default) else "NULL"

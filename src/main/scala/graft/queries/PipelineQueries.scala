@@ -362,6 +362,37 @@ object PipelineQueries {
               |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
     },
 
+    // --- sketch ACCURACY gates: exact columns hash-checked, estimates
+    //     verified via tolerance booleans the oracle asserts as `true` —
+    //     if a sketch drifts out of tolerance the hash check fails ------
+    "d16_sketch_accuracy" -> { (s, d) =>
+      t(s, d, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          countDistinct(col("o_custkey")).as("exact_custkeys"),
+          approx_count_distinct(col("o_custkey"), 0.02).as("approx_custkeys"),
+          percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).as("p50a"),
+          expr("percentile(o_totalprice, 0.5)").as("p50e"),
+          percentile_approx(col("o_totalprice"), lit(0.99), lit(1000)).as("p99a"),
+          expr("percentile(o_totalprice, 0.99)").as("p99e"))
+        .select(col("o_orderstatus"), col("exact_custkeys"),
+          (abs(col("approx_custkeys") - col("exact_custkeys"))
+            <= col("exact_custkeys") * 0.05).as("cd_ok"),
+          (abs(col("p50a") - col("p50e")) <= col("p50e") * 0.02).as("p50_ok"),
+          (abs(col("p99a") - col("p99e")) <= col("p99e") * 0.02).as("p99_ok"))
+        .orderBy(col("o_orderstatus"))
+    },
+
+    "d17_hll_accuracy" -> { (s, d) =>
+      graft.functions.HllSketch.register(s)
+      Tables.views(s, d, "orders")
+      s.sql("""SELECT o_orderstatus,
+              |  count(DISTINCT o_custkey) AS exact_custkeys,
+              |  cast(abs(graft_hll(o_custkey) - count(DISTINCT o_custkey)) as double)
+              |    / count(DISTINCT o_custkey) <= 0.05 AS hll_ok
+              |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    },
+
     // --- multimodal plumbing: opaque binary + typed metadata + staged
     //     feature extraction (deterministic fake "decoder" over bytes;
     //     real decode libs are stubbed — the schema/partitioning/batch
@@ -508,6 +539,16 @@ object PipelineQueries {
           |)
           |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cos
           |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+      "d16_sketch_accuracy" ->
+        """SELECT o_orderstatus, count(DISTINCT o_custkey) AS exact_custkeys,
+          |  true AS cd_ok, true AS p50_ok, true AS p99_ok
+          |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+      "d17_hll_accuracy" ->
+        """SELECT o_orderstatus, count(DISTINCT o_custkey) AS exact_custkeys,
+          |  true AS hll_ok
+          |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
       // the stub "decoder" is a byte-histogram, so it IS SQL-expressible:
       // byte % 16 == low hex nibble, so histogram the 2nd/4th/6th… chars

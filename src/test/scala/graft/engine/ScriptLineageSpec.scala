@@ -1,0 +1,47 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Lineage of multi-statement scripts whose table references only
+  * appear after DECLARE/SET variable substitution — the reference
+  * handles these with fake-select probes (`main.go:282-323`); here the
+  * ScriptRunner renders the substituted text and lineage scans it.
+  */
+class ScriptLineageSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("table reference built from script variables is discovered") {
+    val script =
+      """DECLARE src STRING DEFAULT 'proj.ds.hidden_events';
+        |DECLARE run_q STRING DEFAULT CONCAT('SELECT * FROM ', src, ' WHERE d >= DATE "2024-01-01"');
+        |EXECUTE IMMEDIATE run_q""".stripMargin
+    val r = Lineage.findDependenciesInScript(spark, script, "proj.ds.dest")
+    assert(r.dependencies == Seq("proj.ds.hidden_events"))
+  }
+
+  test("variables in predicate position don't hide the scanned table") {
+    val script =
+      """DECLARE cutoff DATE DEFAULT DATE '2024-02-01';
+        |SELECT * FROM proj.ds.events WHERE d < cutoff""".stripMargin
+    val r = Lineage.findDependenciesInScript(spark, script, "proj.ds.dest")
+    assert(r.dependencies == Seq("proj.ds.events"))
+  }
+
+  test("destination and @ignoreupstream are still excluded in script lineage") {
+    val script =
+      """DECLARE q STRING DEFAULT 'SELECT * FROM proj.ds.dest JOIN /* @ignoreupstream */ proj.ds.skipme ON 1=1 JOIN proj.ds.keep ON 1=1';
+        |EXECUTE IMMEDIATE q""".stripMargin
+    val r = Lineage.findDependenciesInScript(spark, script, "proj.ds.dest")
+    assert(r.dependencies == Seq("proj.ds.keep"))
+    assert(r.ignored.contains("proj.ds.skipme"))
+  }
+}
