@@ -129,9 +129,12 @@ class ScriptRunner(spark: SparkSession) {
       None
     case createFnJsRe(name) =>
       // SURVEY §7.2: JS-body UDFs are out of scope; the engine accepts a
-      // registered Scala equivalent instead (spark.udf.register).
+      // registered Scala equivalent instead.
       throw new UnsupportedOperationException(
-        s"JS UDF '$name' is not executable here; register a Scala/SQL equivalent")
+        s"JS UDF '$name' is not executable here. Register an equivalent before " +
+          s"""running the script: either spark.udf.register("$name", (…) => …) """ +
+          s"from Scala, or a SQL-bodied `CREATE TEMP FUNCTION $name(…) AS (…)` " +
+          "which this engine translates to a Spark SQL UDF")
     case createFnRe(name, params, returns, body) =>
       // BigQuery SQL-bodied temp function → Spark 4 SQL UDF
       val sparkParams = params.split(",").filter(_.trim.nonEmpty).map { p =>

@@ -418,6 +418,56 @@ object RelationalQueries {
           count(lit(1)).as("n_items"))
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(20)
+    },
+
+    // --- as-of join: each click matched to the latest same-user view at
+    //     or before it. Implemented as union + running last_value over a
+    //     single (user_id)-shuffled sort — NO join at all, the 100 TB
+    //     shape (one shuffle, sort-based window, no candidate blow-up) --
+    "q35_asof_join" -> { (s, d) =>
+      val ev = t(s, d, "events")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"), lit(1).as("side"))
+      val views = ev.where(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id"), lit(0).as("side"))
+      // side orders views before clicks at equal ts, so ties match
+      // (ASOF semantics: a.ts >= b.ts)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("side"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      clicks.unionByName(views)
+        .withColumn("view_id",
+          last(when(col("side") === 0, col("event_id")), ignoreNulls = true).over(w))
+        .withColumn("view_ts",
+          last(when(col("side") === 0, col("ts")), ignoreNulls = true).over(w))
+        .where(col("side") === 1 && col("view_id").isNotNull)
+        .select(col("event_id").as("click_id"), col("view_id"),
+          expr("unix_micros(ts) - unix_micros(view_ts)").as("gap_us"))
+        .orderBy(col("click_id"))
+    },
+
+    // --- range join via time-binning: count same-user clicks in the
+    //     5 minutes before each error. Binning turns the inequality join
+    //     into an equi-join on (user_id, bin) with a 2-bin probe fan-out,
+    //     so Spark plans a shuffled hash join instead of a broadcast
+    //     nested loop — the scale path for bounded-interval range joins -
+    "q36_range_join_binned" -> { (s, d) =>
+      val ev = t(s, d, "events")
+      val errors = ev.where(col("event_type") === "error")
+        .select(col("event_id").as("err_id"), col("user_id"), col("ts").as("err_ts"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+        .withColumn("bin", expr("unix_seconds(click_ts) div 300"))
+      // bins b-1 and b cover every click in [err_ts - 5 min, err_ts]
+      val probes = errors.withColumn("bin",
+        explode(expr("sequence(unix_seconds(err_ts) div 300 - 1, unix_seconds(err_ts) div 300)")))
+      probes.join(clicks, Seq("user_id", "bin"), "left")
+        .withColumn("hit", col("click_ts").isNotNull &&
+          col("click_ts") >= col("err_ts") - expr("INTERVAL 5 MINUTES") &&
+          col("click_ts") < col("err_ts"))
+        .groupBy(col("err_id"))
+        .agg(sum(when(col("hit"), 1L).otherwise(0L)).as("n_clicks"))
+        .orderBy(col("err_id"))
     }
   )
 
@@ -679,6 +729,22 @@ object RelationalQueries {
         |WHERE l_returnflag = 'R'
         |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
         |GROUP BY 1, 2, 3
-        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q35_asof_join" ->
+      """SELECT a.event_id AS click_id, b.event_id AS view_id,
+        |  epoch_us(a.ts) - epoch_us(b.ts) AS gap_us
+        |FROM (SELECT * FROM events WHERE event_type = 'click') a
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') b
+        |  ON a.user_id = b.user_id AND a.ts >= b.ts
+        |ORDER BY click_id""".stripMargin,
+
+    "q36_range_join_binned" ->
+      """SELECT e.event_id AS err_id, count(c.event_id) AS n_clicks
+        |FROM (SELECT * FROM events WHERE event_type = 'error') e
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON e.user_id = c.user_id
+        | AND c.ts >= e.ts - INTERVAL 5 MINUTE AND c.ts < e.ts
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

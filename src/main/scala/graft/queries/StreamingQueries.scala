@@ -15,6 +15,10 @@ object StreamingQueries {
   val queries: Map[String, Q] = Map(
     "s01_stream_window_agg" -> { (s, d) =>
       StreamingOps.runBoundedWindowAgg(s, d, "s01_sink")
+    },
+
+    "s02_stream_sessionization" -> { (s, d) =>
+      StreamingOps.runBoundedSessionAgg(s, d, "s02_sink")
     }
   )
 
@@ -24,6 +28,29 @@ object StreamingQueries {
         |  event_type, count(1) AS cnt,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // gaps-and-islands batch restatement of 30-minute-gap sessions;
+    // a new session starts when the gap is >= 30 min (Spark session
+    // windows are [start, last+gap) — the end bound is exclusive)
+    "s02_stream_sessionization" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        |  SELECT user_id, ts, value,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                   ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM g
+        |)
+        |SELECT user_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+        |  count(1) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
   )
 }

@@ -26,23 +26,57 @@ object StreamingOps {
       .agg(count(lit(1)).as("cnt"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
 
+  /** Per-user sessionization with a 30-minute inactivity gap, as a
+    * streaming session-window aggregation. Complete output mode keeps
+    * the bounded run deterministic (every session, including those open
+    * at end-of-stream, is in the final state); on an unbounded cluster
+    * run the same plan switches to append mode + watermark so state is
+    * evicted as sessions close.
+    */
+  def sessionize(events: DataFrame, gap: String): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+
+  /** Bounded-stream sessionization → memory sink → final state. */
+  def runBoundedSessionAgg(spark: SparkSession, sfDir: String,
+      queryName: String): DataFrame = {
+    val agg = sessionize(boundedEventStream(spark, sfDir), "30 minutes")
+    val q = agg.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("complete")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(queryName)
+      .select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
+  /** File-source stream over the events parquet with the nanos→micros
+    * normalization `Tables.t` applies on the batch side.
+    */
+  private def boundedEventStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val batchSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = spark.readStream
+      .schema(batchSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+    if (batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
+      stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else stream
+  }
+
   /** Run the events parquet as a bounded stream into a memory sink;
     * returns the complete final aggregation state.
     */
   def runBoundedWindowAgg(spark: SparkSession, sfDir: String,
       queryName: String): DataFrame = {
-    val batchSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    // the file source streams a DIRECTORY; select just the events file
-    val stream = spark.readStream
-      .schema(batchSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-    // events.ts arrives as nanos-long (see Tables.t) — normalize identically
-    val withTs =
-      if (batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
-        stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      else stream
-    val agg = windowedEventCounts(withTs, "1 hour", "1 hour")
+    val agg = windowedEventCounts(boundedEventStream(spark, sfDir), "1 hour", "1 hour")
     val q = agg.writeStream
       .format("memory")
       .queryName(queryName)

@@ -97,6 +97,26 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"bucketed join inputs should not shuffle:\n${subtree.mkString("\n")}")
   }
 
+  test("q35 as-of join: window over one shuffle, no join operator at all") {
+    val p = plan("q35_asof_join")
+    assert(!p.contains("Join"), s"as-of should be joinless (union + window):\n$p")
+    assert(p.contains("Window"), s"expected a window operator:\n$p")
+    // final plan: one shuffle feeding the windows + one for the output sort
+    val finalPlan = p.substring(0, math.max(p.indexOf("== Initial Plan =="), 0) match {
+      case 0 => p.length; case i => i
+    })
+    val exchanges = finalPlan.linesIterator.count(l =>
+      l.trim.startsWith("+- Exchange") || l.trim.startsWith(":- Exchange"))
+    assert(exchanges <= 2, s"expected at most shuffle+sort exchanges, got $exchanges:\n$p")
+  }
+
+  test("q36 binned range join: equi-join, never a nested-loop join") {
+    val p = plan("q36_range_join_binned")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"range join must bin to an equi-join:\n$p")
+    assert(p.contains("Join"), s"expected an equi-join on (user_id, bin):\n$p")
+  }
+
   test("partitioned write prunes reads to one partition on read-back") {
     Tables.views(spark, sfDir, "orders")
     spark.sql("DROP DATABASE IF EXISTS plan_audit CASCADE")
