@@ -19,6 +19,10 @@ object StreamingQueries {
 
     "s02_stream_sessionization" -> { (s, d) =>
       StreamingOps.runBoundedSessionAgg(s, d, "s02_sink")
+    },
+
+    "s03_stream_first_seen" -> { (s, d) =>
+      StreamingOps.runBoundedFirstSeen(s, d, "s03_sink")
     }
   )
 
@@ -51,6 +55,14 @@ object StreamingQueries {
         |  strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
         |  count(1) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+
+    "s03_stream_first_seen" ->
+      """SELECT user_id, event_type, event_id, value FROM (
+        |  SELECT user_id, event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY ts, event_id) AS rn
+        |  FROM events)
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
   )
 }

@@ -57,6 +57,50 @@ object StreamingOps {
       .orderBy(col("user_id"), col("session_start"))
   }
 
+  /** First occurrence of each (user, event_type) — streaming exact
+    * dedup with explicit keyed state via flatMapGroupsWithState: state
+    * is the set of event types already seen per user (bounded by the
+    * type vocabulary, so it never grows with the stream). Within-batch
+    * arrival order isn't event-time order, so each batch's group is
+    * ordered explicitly before the state is applied.
+    */
+  def streamFirstSeen(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val typed = events
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[(Long, java.sql.Timestamp, Long, String, Double)]
+    typed.groupByKey(_._3)
+      .flatMapGroupsWithState[Set[String], (Long, String, Long, Double)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) { case (uid, it, state) =>
+        var seen = state.getOption.getOrElse(Set.empty[String])
+        val out = Seq.newBuilder[(Long, String, Long, Double)]
+        it.toSeq.sortBy(e => (e._2.getTime, e._1)).foreach {
+          case (id, _, _, tpe, v) =>
+            if (!seen.contains(tpe)) {
+              seen += tpe
+              out += ((uid, tpe, id, v))
+            }
+        }
+        state.update(seen)
+        out.result().iterator
+      }
+      .toDF("user_id", "event_type", "event_id", "value")
+  }
+
+  /** Bounded-stream first-seen dedup → memory sink → final rows. */
+  def runBoundedFirstSeen(spark: SparkSession, sfDir: String,
+      queryName: String): DataFrame = {
+    val q = streamFirstSeen(boundedEventStream(spark, sfDir)).writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(queryName).orderBy(col("user_id"), col("event_type"))
+  }
+
   /** File-source stream over the events parquet with the nanos→micros
     * normalization `Tables.t` applies on the batch side.
     */
