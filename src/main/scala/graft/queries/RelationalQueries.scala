@@ -468,6 +468,48 @@ object RelationalQueries {
         .groupBy(col("err_id"))
         .agg(sum(when(col("hit"), 1L).otherwise(0L)).as("n_clicks"))
         .orderBy(col("err_id"))
+    },
+
+    // --- PIVOT: priorities × status matrix ------------------------------
+    "q37_pivot" -> { (s, d) =>
+      t(s, d, "orders")
+        .groupBy(col("o_orderstatus"))
+        .pivot("o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .agg(count(lit(1)))
+        .select(col("o_orderstatus"),
+          coalesce(col("1-URGENT"), lit(0L)).as("urgent"),
+          coalesce(col("2-HIGH"), lit(0L)).as("high"),
+          coalesce(col("3-MEDIUM"), lit(0L)).as("medium"),
+          coalesce(col("4-NOT SPECIFIED"), lit(0L)).as("notspec"),
+          coalesce(col("5-LOW"), lit(0L)).as("low"))
+        .orderBy(col("o_orderstatus"))
+    },
+
+    // --- correlated EXISTS / NOT EXISTS subqueries ----------------------
+    "q38_exists_correlated" -> { (s, d) =>
+      Tables.views(s, d, "customer", "orders")
+      s.sql(
+        """SELECT c_custkey, c_name FROM customer c
+          |WHERE EXISTS (SELECT 1 FROM orders o
+          |              WHERE o.o_custkey = c.c_custkey
+          |                AND o.o_orderpriority = '1-URGENT')
+          |  AND NOT EXISTS (SELECT 1 FROM orders o
+          |                  WHERE o.o_custkey = c.c_custkey
+          |                    AND o.o_orderstatus = 'F')
+          |ORDER BY c_custkey""".stripMargin)
+    },
+
+    // --- lateral explode: token frequencies over documents --------------
+    "q39_lateral_explode" -> { (s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+        .where(length(col("token")) > 3)
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("cnt"), countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy(col("cnt").desc, col("token"))
+        .limit(100)
     }
   )
 
@@ -745,6 +787,33 @@ object RelationalQueries {
         |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON e.user_id = c.user_id
         | AND c.ts >= e.ts - INTERVAL 5 MINUTE AND c.ts < e.ts
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q37_pivot" ->
+      """SELECT o_orderstatus,
+        |  count(1) FILTER (o_orderpriority = '1-URGENT') AS urgent,
+        |  count(1) FILTER (o_orderpriority = '2-HIGH') AS high,
+        |  count(1) FILTER (o_orderpriority = '3-MEDIUM') AS medium,
+        |  count(1) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS notspec,
+        |  count(1) FILTER (o_orderpriority = '5-LOW') AS low
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q38_exists_correlated" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_orderpriority = '1-URGENT')
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q39_lateral_explode" ->
+      """SELECT token, count(1) AS cnt, count(DISTINCT doc_id) AS n_docs
+        |FROM (SELECT doc_id,
+        |        unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+        |      FROM documents)
+        |WHERE length(token) > 3
+        |GROUP BY token ORDER BY cnt DESC, token LIMIT 100""".stripMargin
   )
 }
