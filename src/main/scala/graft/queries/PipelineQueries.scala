@@ -362,6 +362,59 @@ object PipelineQueries {
               |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
     },
 
+    // --- benchmark-contamination check: corpus docs sharing too many
+    //     word-3-grams with a (small) benchmark set. The benchmark side
+    //     is bounded (eval sets are), so its exploded shingles BROADCAST
+    //     and the corpus streams through once — no shuffle of the corpus
+    //     at 100 TB ---------------------------------------------------
+    "d18_contamination" -> { (s, d) =>
+      val sh = withShingles(t(s, d, "documents"))
+        .select(col("doc_id"), col("shingles"))
+      val bench = sh.where(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("bench_id"), explode(col("shingles")).as("sh"))
+      val corpus = sh.where(col("doc_id") % 50 =!= 0)
+        .select(col("doc_id"), size(col("shingles")).as("n_sh"), explode(col("shingles")).as("sh"))
+      corpus.join(broadcast(bench), Seq("sh"))
+        // shingles are distinct per doc, so (doc, bench) pairs hit once
+        // per shared shingle — count(1) IS the overlap size
+        .groupBy(col("doc_id"), col("bench_id"), col("n_sh"))
+        .agg(count(lit(1)).as("shared"))
+        .withColumn("overlap", round(col("shared").cast(DoubleType) / col("n_sh"), 6))
+        .where(col("overlap") >= 0.1)
+        .select(col("doc_id"), col("bench_id"), col("shared"), col("overlap"))
+        .orderBy(col("doc_id"), col("bench_id"))
+    },
+
+    // --- deterministic hash-based sampling: content-hash prefix keeps a
+    //     fixed ~19% slice, reproducible across runs/engines with no RNG
+    //     state — the way a 100 TB pipeline pins a sample -------------
+    "d19_hash_sample" -> { (s, d) =>
+      t(s, d, "documents")
+        .where(substring(md5(col("text")), 1, 1).isin("0", "1", "2"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_sampled"), min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+        .orderBy(col("lang"))
+    },
+
+    // --- intra-document repetition score: duplicate word-3-gram
+    //     fraction (Gopher/RefinedWeb-style quality rule) — pure
+    //     per-row expressions, no shuffle at all -----------------------
+    "d20_repetition_score" -> { (s, d) =>
+      t(s, d, "documents")
+        .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
+        .where(size(col("toks")) >= 3)
+        .withColumn("grams", expr(
+          """transform(sequence(1, size(toks)-2),
+            |  i -> concat(element_at(toks,i), ' ', element_at(toks,i+1), ' ', element_at(toks,i+2)))""".stripMargin))
+        .select(col("doc_id"),
+          size(col("grams")).cast(LongType).as("n_grams"),
+          size(array_distinct(col("grams"))).cast(LongType).as("n_distinct"),
+          round((size(col("grams")) - size(array_distinct(col("grams"))))
+            .cast(DoubleType) / size(col("grams")), 6).as("rep_ratio"))
+        .orderBy(col("doc_id"))
+    },
+
     // --- sketch ACCURACY gates: exact columns hash-checked, estimates
     //     verified via tolerance booleans the oracle asserts as `true` —
     //     if a sketch drifts out of tolerance the hash check fails ------
@@ -539,6 +592,44 @@ object PipelineQueries {
           |)
           |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cos
           |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+      "d18_contamination" ->
+        """WITH sh AS (
+          |  SELECT doc_id,
+          |    list_distinct(list_transform(range(1, len(toks) - 1),
+          |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+          |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM documents)
+          |  WHERE len(toks) >= 3
+          |)
+          |SELECT c.doc_id, b.doc_id AS bench_id,
+          |  CAST(len(list_intersect(c.shingles, b.shingles)) AS BIGINT) AS shared,
+          |  round(CAST(len(list_intersect(c.shingles, b.shingles)) AS DOUBLE)
+          |    / len(c.shingles), 6) AS overlap
+          |FROM sh c JOIN sh b ON b.doc_id % 50 = 0 AND c.doc_id % 50 <> 0
+          |WHERE CAST(len(list_intersect(c.shingles, b.shingles)) AS DOUBLE)
+          |    / len(c.shingles) >= 0.1
+          |ORDER BY c.doc_id, b.doc_id""".stripMargin,
+
+      "d19_hash_sample" ->
+        """SELECT lang, count(1) AS n_sampled,
+          |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+          |FROM documents
+          |WHERE substr(md5(text), 1, 1) IN ('0', '1', '2')
+          |GROUP BY lang ORDER BY lang""".stripMargin,
+
+      "d20_repetition_score" ->
+        """WITH g AS (
+          |  SELECT doc_id,
+          |    list_transform(range(1, len(toks) - 1),
+          |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS grams
+          |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM documents)
+          |  WHERE len(toks) >= 3
+          |)
+          |SELECT doc_id,
+          |  CAST(len(grams) AS BIGINT) AS n_grams,
+          |  CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+          |  round(CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE) / len(grams), 6) AS rep_ratio
+          |FROM g ORDER BY doc_id""".stripMargin,
 
       "d16_sketch_accuracy" ->
         """SELECT o_orderstatus, count(DISTINCT o_custkey) AS exact_custkeys,
