@@ -64,9 +64,12 @@ object MultimodalStub {
         (0 until nFrames by stride).map { f =>
           val start = f * frameSize
           val end = math.min(start + frameSize, payload.length)
-          var digest = 1125899906842597L
+          // modular polynomial digest (< 2^31): no 64-bit wraparound, so
+          // the value is reproducible in engines whose integer overflow
+          // errors instead of wrapping — this makes the digest oracle-able
+          var digest = 1125899906842597L % 2147483647L
           var i = start
-          while (i < end) { digest = 31 * digest + (payload(i) & 0xff); i += 1 }
+          while (i < end) { digest = (31L * digest + (payload(i) & 0xff)) % 2147483647L; i += 1 }
           Frame(id, f, start.toLong, end - start, digest)
         }
       }

@@ -641,6 +641,30 @@ object PipelineQueries {
           |  true AS hll_ok
           |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
+      // frame sampling is SQL-expressible too: byte values recovered from
+      // hex(blob) nibble pairs, 64-byte frames sliced with every 2nd
+      // kept, and the modular polynomial digest folded with list_reduce
+      "m02_multimodal_frames" ->
+        """WITH b AS (
+          |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS nb
+          |  FROM documents
+          |), bl AS (
+          |  SELECT doc_id, nb,
+          |    list_transform(range(1, nb + 1), i ->
+          |      (strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1)) - 1) * 16
+          |      + (strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1)) AS bytes
+          |  FROM b
+          |), fr AS (
+          |  SELECT doc_id, f, bytes[(f*64+1):least((f+1)*64, nb)] AS fb
+          |  FROM bl, unnest(range(0, CAST(ceil(nb / 64.0) AS BIGINT))) AS t(f)
+          |  WHERE f % 2 = 0
+          |)
+          |SELECT doc_id, count(1) AS n_sampled_frames,
+          |  CAST(sum(len(fb)) AS BIGINT) AS sampled_bytes,
+          |  min(list_reduce(list_prepend(1125899906842597 % 2147483647, fb),
+          |      (d, x) -> (31*d + x) % 2147483647)) AS min_digest
+          |FROM fr GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
       // the stub "decoder" is a byte-histogram, so it IS SQL-expressible:
       // byte % 16 == low hex nibble, so histogram the 2nd/4th/6th… chars
       // of hex(blob) — an exact oracle for the whole multimodal pipeline
