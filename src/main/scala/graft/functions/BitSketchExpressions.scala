@@ -3,8 +3,9 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, IntegerType, LongType}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the bit-sketch hot loops
   * (SimHash / sign-random-projection). The SQL higher-order-function
@@ -70,6 +71,31 @@ case class SrpSignature(child: Expression) extends UnaryExpression with CodegenF
   override protected def withNewChildInternal(newChild: Expression): SrpSignature = copy(newChild)
 }
 
+/** Distinct word-3-gram shingles over a token array, as one compiled
+  * loop per row. The SQL formulation
+  * `array_distinct(transform(sequence(1, n-2), i -> concat(...)))`
+  * dispatches three interpreted lambda closures per shingle and then an
+  * O(n²)-ish interpreted distinct pass — measured ~3× slower per pass
+  * and evaluated once per downstream consumer. Shared by the MinHash,
+  * Jaccard, and contamination operators.
+  */
+case class WordShingles(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val n = toks.numElements()
+    val out = new java.util.LinkedHashSet[UTF8String]()
+    var i = 0
+    while (i + 2 < n) {
+      out.add(UTF8String.concatWs(UTF8String.fromString(" "),
+        toks.getUTF8String(i), toks.getUTF8String(i + 1), toks.getUTF8String(i + 2)))
+      i += 1
+    }
+    new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
+  }
+  override protected def withNewChildInternal(newChild: Expression): WordShingles = copy(newChild)
+}
+
 object BitSketchExpressions {
   /** Register SQL functions `graft_simhash64`, `graft_srp_sig` on the
     * session (idempotent).
@@ -79,5 +105,7 @@ object BitSketchExpressions {
       "graft_simhash64", exprs => SimHash64(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_srp_sig", exprs => SrpSignature(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_shingles", exprs => WordShingles(exprs.head), "scala_udf")
   }
 }

@@ -39,13 +39,16 @@ object PipelineQueries {
     docs.unionByName(planted)
   }
 
-  /** tokens + distinct word-3-gram shingles. */
-  private def withShingles(df: DataFrame): DataFrame =
+  /** tokens + distinct word-3-gram shingles (native expression — the
+    * interpreted transform/array_distinct formulation was the hot spot
+    * of every shingle-based operator).
+    */
+  private def withShingles(df: DataFrame): DataFrame = {
+    graft.functions.BitSketchExpressions.register(df.sparkSession)
     df.withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
       .where(size(col("toks")) >= 3)
-      .withColumn("shingles", expr(
-        """array_distinct(transform(sequence(1, size(toks)-2),
-          |  i -> concat(element_at(toks,i), ' ', element_at(toks,i+1), ' ', element_at(toks,i+2))))""".stripMargin))
+      .withColumn("shingles", expr("graft_shingles(toks)"))
+  }
 
   /** embeddings quantized to int64 (×1000) + planted exact copies. */
   private def quantizedEmbeddings(s: SparkSession, d: String, plant: Boolean): DataFrame = {
@@ -370,6 +373,10 @@ object PipelineQueries {
     "d18_contamination" -> { (s, d) =>
       val sh = withShingles(t(s, d, "documents"))
         .select(col("doc_id"), col("shingles"))
+        // shingling feeds both the benchmark and corpus branches —
+        // materialize once (same lesson as d07: an unpersisted subtree
+        // recomputes per consumer)
+        .persist()
       val bench = sh.where(col("doc_id") % 50 === 0)
         .select(col("doc_id").as("bench_id"), explode(col("shingles")).as("sh"))
       val corpus = sh.where(col("doc_id") % 50 =!= 0)
