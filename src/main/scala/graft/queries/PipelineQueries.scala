@@ -184,17 +184,31 @@ object PipelineQueries {
 
     // --- n-gram Jaccard dedup with blocking keys (no LSH) --------------
     "d08_dedup_ngram_jaccard" -> { (s, d) =>
+      // No shingle ARRAY ever enters a join: explode to slim
+      // (block, shingle, doc_id) rows, count shared shingles per
+      // candidate pair with an equi-join keyed on the shingle itself,
+      // then jaccard = shared / (|A| + |B| − shared). Shingles are
+      // distinct per doc, so the pair count IS the intersection size
+      // and the values match the array formulation exactly. The widest
+      // thing shuffled is one shingle string — the shape that survives
+      // a 100 TB corpus (the blocked array-carry self-join does not).
       val sh = withShingles(corpusWithPlants(s, d))
         .withColumn("first_tok", expr("element_at(toks, 1)"))
         .withColumn("n_toks_bucket", expr("cast(size(toks) div 8 as int)"))
         .select(col("doc_id"), col("lang"), col("first_tok"), col("n_toks_bucket"), col("shingles"))
-      val a = sh.select(col("lang"), col("first_tok"), col("n_toks_bucket"),
-        col("doc_id").as("a"), col("shingles").as("sha"))
-      val b = sh.select(col("lang"), col("first_tok"), col("n_toks_bucket"),
-        col("doc_id").as("b"), col("shingles").as("shb"))
-      a.join(b, Seq("lang", "first_tok", "n_toks_bucket")).where(col("a") < col("b"))
-        .withColumn("jaccard", expr(
-          "cast(size(array_intersect(sha, shb)) as double) / cast(size(array_union(sha, shb)) as double)"))
+        .persist()
+      val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n_sh"))
+      val ex = sh.select(col("lang"), col("first_tok"), col("n_toks_bucket"), col("doc_id"),
+        explode(col("shingles")).as("sh"))
+      ex.select(col("lang"), col("first_tok"), col("n_toks_bucket"), col("sh"), col("doc_id").as("a"))
+        .join(ex.select(col("lang"), col("first_tok"), col("n_toks_bucket"), col("sh"), col("doc_id").as("b")),
+          Seq("lang", "first_tok", "n_toks_bucket", "sh"))
+        .where(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("shared"))
+        .join(sizes.select(col("doc_id").as("a"), col("n_sh").as("na")), "a")
+        .join(sizes.select(col("doc_id").as("b"), col("n_sh").as("nb")), "b")
+        .withColumn("jaccard", col("shared").cast(DoubleType)
+          / (col("na") + col("nb") - col("shared")).cast(DoubleType))
         .where(col("jaccard") >= 0.3)
         .select(col("a"), col("b"), col("jaccard"))
         .orderBy(col("a"), col("b"))
