@@ -18,8 +18,12 @@ import org.apache.spark.sql.types._
   * Determinism: cross-engine-checked queries use md5 (identical in
   * DuckDB) or exact integer math (quantized embeddings: every dot
   * product is a sum of int64 products < 2^53, so DOUBLE results are
-  * bit-identical in any summation order). xxhash64-based operators
-  * (MinHash/SimHash) have no DuckDB equivalent → rows-only checks.
+  * bit-identical in any summation order). The sketch operators hash
+  * with md5-derived 60-bit integers (`conv(substring(md5(x),1,15),
+  * 16,10)` ≡ DuckDB `('0x' || substring(md5(x),1,15))::BIGINT`), so
+  * MinHash-LSH, SimHash, SRP-LSH, and IVF are hash-checked end to
+  * end; only the engine-internal sketch layouts (HLL registers,
+  * KLL quantiles) remain rows-only.
   *
   * The dedup operators plant deterministic near-duplicates (doc_id %
   * 10 == 0 → copy with one appended token, id + 1_000_000) so the
@@ -146,8 +150,15 @@ object PipelineQueries {
       // in base and every h_j picks the same min shingle, collapsing LSH
       // into "share the global min shingle" (candidate buckets explode).
       // Operands stay < 2^62 so ANSI mode never sees an overflow.
+      // Base hash is md5-derived (top 60 bits of the digest via conv):
+      // bit-identical in any engine with md5 + hex→int, which is what
+      // lets the WHOLE LSH pipeline — permutations, banding, candidate
+      // pairs, verification — be hash-checked against DuckDB instead of
+      // rows-only. ~3× the per-shingle hash cost of xxhash64; still one
+      // linear pass per row, irrelevant next to the candidate join.
       val sh = withShingles(corpusWithPlants(s, d))
-        .withColumn("hs", expr("transform(shingles, sh -> pmod(xxhash64(sh), 2147483647))"))
+        .withColumn("hs", expr(
+          "transform(shingles, sh -> cast(conv(substring(md5(sh), 1, 15), 16, 10) as bigint) % 2147483647)"))
         .withColumn("mh", expr(
           """transform(sequence(0, 31),
             |  j -> array_min(transform(hs, h -> (h * (1103515245L + 12345L*j) + j * 987654321L) % 2147483647L)))""".stripMargin))
@@ -164,7 +175,7 @@ object PipelineQueries {
       val banded = sh.select(col("doc_id"),
           explode(expr(
             """transform(sequence(0, 7),
-              |  b -> struct(b as band, xxhash64(concat_ws(',', slice(mh, b*4+1, 4))) as bh))""".stripMargin)).as("bd"))
+              |  b -> struct(b as band, cast(conv(substring(md5(concat_ws(',', slice(mh, b*4+1, 4))), 1, 15), 16, 10) as bigint) as bh))""".stripMargin)).as("bd"))
         .select(col("doc_id"), col("bd.band"), col("bd.bh"))
       val ca = banded.select(col("band"), col("bh"), col("doc_id").as("a"))
       val cb = banded.select(col("band"), col("bh"), col("doc_id").as("b"))
@@ -222,8 +233,13 @@ object PipelineQueries {
         .where(size(col("toks")) >= 3)
         // hash each token ONCE, then fold bits over the precomputed
         // hashes — 64× fewer hash invocations than hashing inside the
-        // bit loop
-        .withColumn("hs", expr("transform(toks, t -> xxhash64(t))"))
+        // bit loop. The token hash is md5-derived (60 bits via conv) so
+        // DuckDB can recompute the exact simhashes: the multi-probe
+        // candidate scheme is EXACT for hamming ≤ 3 (pigeonhole over
+        // the two 32-bit halves), so the output equals brute-force
+        // all-pairs hamming and the oracle can hash-check it.
+        .withColumn("hs", expr(
+          "transform(toks, t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))"))
         .withColumn("sim", expr("graft_simhash64(hs)"))
         .select(col("doc_id"), col("sim"))
         // consumed by both the exact-key and probe sides — compute the
@@ -251,7 +267,7 @@ object PipelineQueries {
         .select(col("a"), col("sima"), col("pr.half"), col("pr.key"))
       probes.join(exacts, Seq("half", "key")).where(col("a") < col("b"))
         .dropDuplicates("a", "b")
-        .withColumn("hamming", expr("bit_count(sima ^ simb)"))
+        .withColumn("hamming", expr("cast(bit_count(sima ^ simb) as bigint)"))
         .where(col("hamming") <= 3)
         .select(col("a"), col("b"), col("hamming"))
         .orderBy(col("a"), col("b"))
@@ -590,6 +606,150 @@ object PipelineQueries {
           |WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
           |    / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE) >= 0.3
           |ORDER BY a, b""".stripMargin),
+
+      // Full LSH replication: md5-derived base hashes make the 32
+      // affine-permutation minhashes, the 8×4 banding, the candidate
+      // pairs, and both verification measures engine-portable — the
+      // oracle runs the ENTIRE pipeline, not a relaxation of it.
+      "d07_dedup_minhash_lsh" -> (planted +
+        """
+          |, sh AS (
+          |  SELECT doc_id,
+          |    list_distinct(list_transform(range(1, len(toks) - 1),
+          |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+          |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM corpus)
+          |  WHERE len(toks) >= 3
+          |), hs AS (
+          |  SELECT doc_id, shingles,
+          |    list_transform(shingles, s -> ('0x' || substring(md5(s), 1, 15))::BIGINT % 2147483647) AS hs
+          |  FROM sh
+          |), mh AS (
+          |  SELECT doc_id, shingles,
+          |    list_transform(range(0, 32),
+          |      j -> list_min(list_transform(hs, h -> (h * (1103515245 + 12345*j) + j * 987654321) % 2147483647))) AS mh
+          |  FROM hs
+          |), banded AS (
+          |  SELECT doc_id, b,
+          |    ('0x' || substring(md5(array_to_string(mh[b*4+1 : b*4+4], ',')), 1, 15))::BIGINT AS bh
+          |  FROM mh, unnest(range(0, 8)) AS t(b)
+          |), pairs AS (
+          |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+          |  FROM banded x JOIN banded y ON x.b = y.b AND x.bh = y.bh AND x.doc_id < y.doc_id
+          |)
+          |SELECT p.a, p.b,
+          |  CAST(list_sum(list_transform(range(1, 33),
+          |    i -> CASE WHEN ma.mh[i] = mb.mh[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 32.0 AS est_jaccard,
+          |  CAST(len(list_intersect(ma.shingles, mb.shingles)) AS DOUBLE)
+          |    / CAST(len(list_distinct(list_concat(ma.shingles, mb.shingles))) AS DOUBLE) AS jaccard
+          |FROM pairs p
+          |JOIN mh ma ON ma.doc_id = p.a
+          |JOIN mh mb ON mb.doc_id = p.b
+          |WHERE CAST(list_sum(list_transform(range(1, 33),
+          |    i -> CASE WHEN ma.mh[i] = mb.mh[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 32.0 >= 0.5
+          |  AND CAST(len(list_intersect(ma.shingles, mb.shingles)) AS DOUBLE)
+          |    / CAST(len(list_distinct(list_concat(ma.shingles, mb.shingles))) AS DOUBLE) >= 0.3
+          |ORDER BY a, b""".stripMargin),
+
+      // The multi-probe half-key scheme is exact for hamming ≤ 3, so the
+      // oracle is simply brute-force all-pairs hamming over recomputed
+      // simhashes (md5-derived token hashes; bits 60–63 are zero in both
+      // engines).
+      "d09_dedup_simhash" -> (planted +
+        """
+          |, tk AS (
+          |  SELECT doc_id, list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')) AS toks
+          |  FROM corpus
+          |), tkf AS (
+          |  SELECT doc_id, list_transform(toks, t -> ('0x' || substring(md5(t), 1, 15))::BIGINT) AS hs
+          |  FROM tk WHERE len(toks) >= 3
+          |), sim AS (
+          |  SELECT doc_id,
+          |    CAST(list_sum(list_transform(range(0, 60),
+          |      j -> CASE WHEN list_sum(list_transform(hs,
+          |             h -> CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+          |           THEN (1::BIGINT << j) ELSE 0::BIGINT END)) AS BIGINT) AS sim
+          |  FROM tkf
+          |)
+          |SELECT x.doc_id AS a, y.doc_id AS b,
+          |  CAST(bit_count(xor(x.sim, y.sim)) AS BIGINT) AS hamming
+          |FROM sim x JOIN sim y ON x.doc_id < y.doc_id
+          |WHERE bit_count(xor(x.sim, y.sim)) <= 3
+          |ORDER BY a, b""".stripMargin),
+
+      // SRP signatures are deterministic integer math — recompute them
+      // exactly (same pseudo-weights) and replicate the bucket join.
+      "d11_dedup_embedding_lsh" ->
+        """WITH ep AS (
+          |  SELECT vec_id, embedding FROM embeddings
+          |  UNION ALL
+          |  SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings WHERE vec_id % 20 = 0
+          |), e AS (
+          |  SELECT vec_id,
+          |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+          |  FROM ep
+          |), n AS (
+          |  SELECT vec_id, q,
+          |    CAST(list_sum(list_transform(range(1, 65), i -> q[i] * q[i])) AS BIGINT) AS nrm
+          |  FROM e
+          |), sg AS (
+          |  SELECT vec_id, q, nrm,
+          |    CAST(list_sum(list_transform(range(0, 16),
+          |      p -> CASE WHEN list_sum(list_transform(range(1, 65),
+          |             i -> q[i] * (((p*131 + (i-1)*37) % 7) - 3))) > 0
+          |           THEN (1::BIGINT << p) ELSE 0::BIGINT END)) AS BIGINT) AS sig
+          |  FROM n
+          |)
+          |SELECT x.vec_id AS a, y.vec_id AS b,
+          |  round(CAST(list_sum(list_transform(range(1, 65), i -> x.q[i] * y.q[i])) AS DOUBLE)
+          |    / (sqrt(CAST(x.nrm AS DOUBLE)) * sqrt(CAST(y.nrm AS DOUBLE))), 6) AS cos
+          |FROM sg x JOIN sg y ON x.sig = y.sig AND x.vec_id < y.vec_id
+          |WHERE round(CAST(list_sum(list_transform(range(1, 65), i -> x.q[i] * y.q[i])) AS DOUBLE)
+          |    / (sqrt(CAST(x.nrm AS DOUBLE)) * sqrt(CAST(y.nrm AS DOUBLE))), 6) >= 0.95
+          |ORDER BY a, b""".stripMargin,
+
+      // IVF is pure exact-int math end-to-end: centroid assignment,
+      // 2-probe search, cosine top-3 — replicated verbatim.
+      "d12_ann_ivf" ->
+        """WITH e AS (
+          |  SELECT vec_id,
+          |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+          |  FROM embeddings
+          |), n AS (
+          |  SELECT vec_id, q,
+          |    CAST(list_sum(list_transform(range(1, 65), i -> q[i] * q[i])) AS BIGINT) AS nrm
+          |  FROM e
+          |), cents AS (
+          |  SELECT vec_id AS cent_id, q AS cq FROM n WHERE vec_id < 16
+          |), assigned AS (
+          |  SELECT vec_id, cent_id, q, nrm FROM (
+          |    SELECT v.vec_id, c.cent_id, v.q, v.nrm,
+          |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+          |        list_sum(list_transform(range(1, 65), i -> (v.q[i] - c.cq[i]) * (v.q[i] - c.cq[i]))),
+          |        c.cent_id) AS rn
+          |    FROM n v CROSS JOIN cents c
+          |  ) WHERE rn = 1
+          |), probes AS (
+          |  SELECT query_id, qq, qnrm, cent_id FROM (
+          |    SELECT v.vec_id AS query_id, v.q AS qq, v.nrm AS qnrm, c.cent_id,
+          |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+          |        list_sum(list_transform(range(1, 65), i -> (v.q[i] - c.cq[i]) * (v.q[i] - c.cq[i]))),
+          |        c.cent_id) AS rn
+          |    FROM n v CROSS JOIN cents c
+          |    WHERE v.vec_id >= 100 AND v.vec_id < 110
+          |  ) WHERE rn <= 2
+          |), scored AS (
+          |  SELECT p.query_id, a.vec_id,
+          |    round(CAST(list_sum(list_transform(range(1, 65), i -> p.qq[i] * a.q[i])) AS DOUBLE)
+          |      / (sqrt(CAST(p.qnrm AS DOUBLE)) * sqrt(CAST(a.nrm AS DOUBLE))), 6) AS cos
+          |  FROM probes p JOIN assigned a ON a.cent_id = p.cent_id
+          |  WHERE a.vec_id <> p.query_id
+          |), ranked AS (
+          |  SELECT query_id, vec_id, cos,
+          |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+          |  FROM scored
+          |)
+          |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id, cos
+          |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
 
       "d13_ann_topk_aggregator" ->
         """WITH e AS (
