@@ -54,6 +54,38 @@ object PipelineQueries {
       .withColumn("shingles", expr("graft_shingles(toks)"))
   }
 
+  /** Blocked n-gram Jaccard pairs (jaccard ≥ 0.3) — the candidate
+    * generation behind d08 and the edge set of d21. No shingle ARRAY
+    * ever enters a join: explode to slim (block, shingle, doc_id) rows,
+    * count shared shingles per candidate pair with an equi-join keyed
+    * on the shingle itself, then jaccard = shared / (|A| + |B| −
+    * shared). Shingles are distinct per doc, so the pair count IS the
+    * intersection size and the values match the array formulation
+    * exactly. The widest thing shuffled is one shingle string — the
+    * shape that survives a 100 TB corpus (a blocked array-carry
+    * self-join does not).
+    */
+  private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+    val sh = withShingles(corpusWithPlants(s, d))
+      .withColumn("first_tok", expr("element_at(toks, 1)"))
+      .withColumn("n_toks_bucket", expr("cast(size(toks) div 8 as int)"))
+      .select(col("doc_id"), col("lang"), col("first_tok"), col("n_toks_bucket"), col("shingles"))
+      .persist()
+    val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n_sh"))
+    val ex = sh.select(col("lang"), col("first_tok"), col("n_toks_bucket"), col("doc_id"),
+      explode(col("shingles")).as("sh"))
+    ex.select(col("lang"), col("first_tok"), col("n_toks_bucket"), col("sh"), col("doc_id").as("a"))
+      .join(ex.select(col("lang"), col("first_tok"), col("n_toks_bucket"), col("sh"), col("doc_id").as("b")),
+        Seq("lang", "first_tok", "n_toks_bucket", "sh"))
+      .where(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("shared"))
+      .join(sizes.select(col("doc_id").as("a"), col("n_sh").as("na")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("n_sh").as("nb")), "b")
+      .withColumn("jaccard", col("shared").cast(DoubleType)
+        / (col("na") + col("nb") - col("shared")).cast(DoubleType))
+      .where(col("jaccard") >= 0.3)
+  }
+
   /** embeddings quantized to int64 (×1000) + planted exact copies. */
   private def quantizedEmbeddings(s: SparkSession, d: String, plant: Boolean): DataFrame = {
     val e = t(s, d, "embeddings")
@@ -195,34 +227,82 @@ object PipelineQueries {
 
     // --- n-gram Jaccard dedup with blocking keys (no LSH) --------------
     "d08_dedup_ngram_jaccard" -> { (s, d) =>
-      // No shingle ARRAY ever enters a join: explode to slim
-      // (block, shingle, doc_id) rows, count shared shingles per
-      // candidate pair with an equi-join keyed on the shingle itself,
-      // then jaccard = shared / (|A| + |B| − shared). Shingles are
-      // distinct per doc, so the pair count IS the intersection size
-      // and the values match the array formulation exactly. The widest
-      // thing shuffled is one shingle string — the shape that survives
-      // a 100 TB corpus (the blocked array-carry self-join does not).
-      val sh = withShingles(corpusWithPlants(s, d))
-        .withColumn("first_tok", expr("element_at(toks, 1)"))
-        .withColumn("n_toks_bucket", expr("cast(size(toks) div 8 as int)"))
-        .select(col("doc_id"), col("lang"), col("first_tok"), col("n_toks_bucket"), col("shingles"))
-        .persist()
-      val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n_sh"))
-      val ex = sh.select(col("lang"), col("first_tok"), col("n_toks_bucket"), col("doc_id"),
-        explode(col("shingles")).as("sh"))
-      ex.select(col("lang"), col("first_tok"), col("n_toks_bucket"), col("sh"), col("doc_id").as("a"))
-        .join(ex.select(col("lang"), col("first_tok"), col("n_toks_bucket"), col("sh"), col("doc_id").as("b")),
-          Seq("lang", "first_tok", "n_toks_bucket", "sh"))
-        .where(col("a") < col("b"))
-        .groupBy("a", "b").agg(count(lit(1)).as("shared"))
-        .join(sizes.select(col("doc_id").as("a"), col("n_sh").as("na")), "a")
-        .join(sizes.select(col("doc_id").as("b"), col("n_sh").as("nb")), "b")
-        .withColumn("jaccard", col("shared").cast(DoubleType)
-          / (col("na") + col("nb") - col("shared")).cast(DoubleType))
-        .where(col("jaccard") >= 0.3)
+      jaccardPairs(s, d)
         .select(col("a"), col("b"), col("jaccard"))
         .orderBy(col("a"), col("b"))
+    },
+
+    // --- near-dup pair graph → connected components → retention --------
+    "d21_dedup_clusters" -> { (s, d) =>
+      // The missing last step of every dedup pipeline: pairs alone
+      // don't say which docs to DROP. Resolve the pair graph into
+      // clusters by min-label propagation — each node adopts the
+      // smallest label among itself and its neighbors, iterated to
+      // fixpoint. Rounds are bounded by the cluster diameter (near-dup
+      // clusters are shallow; ≤20 guards pathological chains), each
+      // round shuffles only slim (node, label) rows, and lineage is cut
+      // per round with localCheckpoint — the standard large-graph CC
+      // shape. Retention: keep the cluster representative (min doc_id).
+      val pairs = jaccardPairs(s, d).select(col("a"), col("b"))
+      val edges = pairs.union(pairs.select(col("b"), col("a"))).toDF("src", "dst")
+        .persist()
+      var labels = edges.select(col("src").as("node")).distinct()
+        .withColumn("lab", col("node")).localCheckpoint(true)
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < 20) {
+        val neighborMin = edges
+          .join(labels.select(col("node").as("dst"), col("lab").as("nlab")), "dst")
+          .groupBy(col("src").as("node")).agg(min(col("nlab")).as("nmin"))
+        val next = labels.join(neighborMin, Seq("node"), "left")
+          .select(col("node"), least(col("lab"), coalesce(col("nmin"), col("lab"))).as("lab"))
+          .localCheckpoint(true)
+        changed = next.join(labels.withColumnRenamed("lab", "old"), "node")
+          .where(col("lab") =!= col("old")).count()
+        labels = next
+        iter += 1
+      }
+      labels.select(col("node").as("doc_id"), col("lab").as("cluster_rep"),
+          (col("node") === col("lab")).as("keep"))
+        .orderBy(col("doc_id"))
+    },
+
+    // --- PII scrubbing: regex redaction + per-doc counts ---------------
+    "d22_pii_redaction" -> { (s, d) =>
+      // Deterministic PII is planted (doc_id % 7) so the redaction path
+      // is exercised at every SF. Counts and the md5 of the redacted
+      // text gate the behavior; per-row regex work only — nothing
+      // crosses rows, so the op scales with the scan.
+      val er = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val pr = "\\+1-555-[0-9]{4}"
+      t(s, d, "documents")
+        .withColumn("text2", when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" contact user"), col("doc_id"),
+              lit("@example.com or +1-555-"), format_string("%04d", col("doc_id") % 10000)))
+          .otherwise(col("text")))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("text2"), lit(er), lit(0))).cast(LongType).as("n_emails"),
+          size(regexp_extract_all(col("text2"), lit(pr), lit(0))).cast(LongType).as("n_phones"),
+          md5(regexp_replace(regexp_replace(col("text2"), er, "<EMAIL>"), pr, "<PHONE>"))
+            .as("redacted_hash"))
+        .orderBy(col("doc_id"))
+    },
+
+    // --- URL extraction + domain rollup --------------------------------
+    "d23_url_stats" -> { (s, d) =>
+      val ur = "https?://([A-Za-z0-9.-]+)"
+      t(s, d, "documents")
+        .withColumn("text2", concat(col("text"),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" see https://site"), col("doc_id") % 20, lit(".example.org/page")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" ref http://www.ref"), col("doc_id") % 7, lit(".net/x?id="), col("doc_id")))
+            .otherwise(lit(""))))
+        .select(col("doc_id"), explode(regexp_extract_all(col("text2"), lit(ur), lit(1))).as("domain"))
+        .groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_urls"), countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy(col("domain"))
     },
 
     // --- SimHash (64-bit) over tokens + bucketed hamming candidates ----
@@ -606,6 +686,71 @@ object PipelineQueries {
           |WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
           |    / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE) >= 0.3
           |ORDER BY a, b""".stripMargin),
+
+      // The cluster oracle re-derives the d08 pair graph, then takes the
+      // transitive closure with a recursive CTE: min reachable id ==
+      // the label-propagation fixpoint on a symmetric edge set.
+      "d21_dedup_clusters" -> (planted +
+        """
+          |, sh AS (
+          |  SELECT doc_id, lang,
+          |    toks[1] AS first_tok,
+          |    CAST(len(toks) // 8 AS INTEGER) AS n_toks_bucket,
+          |    list_distinct(list_transform(range(1, len(toks) - 1),
+          |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+          |  FROM (SELECT doc_id, lang, regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM corpus)
+          |  WHERE len(toks) >= 3
+          |), pairs AS (
+          |  SELECT a.doc_id AS a, b.doc_id AS b
+          |  FROM sh a JOIN sh b
+          |    ON a.lang = b.lang AND a.first_tok = b.first_tok
+          |    AND a.n_toks_bucket = b.n_toks_bucket AND a.doc_id < b.doc_id
+          |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+          |      / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE) >= 0.3
+          |), edges AS (
+          |  SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs
+          |), reach AS (
+          |  SELECT src AS node, src AS r FROM edges
+          |  UNION
+          |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.node
+          |)
+          |SELECT node AS doc_id, min(r) AS cluster_rep, node = min(r) AS keep
+          |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin)
+        .replace("WITH corpus", "WITH RECURSIVE corpus"),
+
+      "d22_pii_redaction" ->
+        """WITH p AS (
+          |  SELECT doc_id,
+          |    CASE WHEN doc_id % 7 = 0
+          |      THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+          |        || '@example.com or +1-555-' || printf('%04d', doc_id % 10000)
+          |      ELSE text END AS text2
+          |  FROM documents
+          |)
+          |SELECT doc_id,
+          |  CAST(len(regexp_extract_all(text2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+          |  CAST(len(regexp_extract_all(text2, '\+1-555-[0-9]{4}')) AS BIGINT) AS n_phones,
+          |  md5(regexp_replace(
+          |    regexp_replace(text2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          |    '\+1-555-[0-9]{4}', '<PHONE>', 'g')) AS redacted_hash
+          |FROM p ORDER BY doc_id""".stripMargin,
+
+      "d23_url_stats" ->
+        """WITH p AS (
+          |  SELECT doc_id, text
+          |    || CASE WHEN doc_id % 5 = 0
+          |         THEN ' see https://site' || CAST(doc_id % 20 AS VARCHAR) || '.example.org/page'
+          |         ELSE '' END
+          |    || CASE WHEN doc_id % 3 = 0
+          |         THEN ' ref http://www.ref' || CAST(doc_id % 7 AS VARCHAR) || '.net/x?id=' || CAST(doc_id AS VARCHAR)
+          |         ELSE '' END AS text2
+          |  FROM documents
+          |), u AS (
+          |  SELECT doc_id, unnest(regexp_extract_all(text2, 'https?://([A-Za-z0-9.-]+)', 1)) AS domain
+          |  FROM p
+          |)
+          |SELECT domain, count(1) AS n_urls, count(DISTINCT doc_id) AS n_docs
+          |FROM u GROUP BY domain ORDER BY domain""".stripMargin,
 
       // Full LSH replication: md5-derived base hashes make the 32
       // affine-permutation minhashes, the 8×4 banding, the candidate
