@@ -421,6 +421,59 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // --- TF-IDF-shaped term ranking (integer-only, cross-engine-exact) -
+    "d24_tfidf_terms" -> { (s, d) =>
+      // Classic TF-IDF ranking without the floating-point log: rank by
+      // (tf DESC, df ASC, term) — the same ordering idf induces, but
+      // integer-exact so the oracle hash-matches. tf aggregates with
+      // map-side combine on (doc_id, term); df is a vocabulary-sized
+      // table joined back broadcast-small relative to the corpus.
+      import org.apache.spark.sql.expressions.Window
+      val tf = t(s, d, "documents")
+        .select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("tf").desc, col("df").asc, col("term"))
+      tf.join(dfreq, "term")
+        .withColumn("rank", row_number().over(w)).where(col("rank") <= 3)
+        .select(col("doc_id"), col("rank").cast(LongType).as("rank"),
+          col("term"), col("tf"), col("df"))
+        .orderBy(col("doc_id"), col("rank"))
+    },
+
+    // --- k-means refinement (2 Lloyd iterations) for the IVF index -----
+    "d25_kmeans_refine" -> { (s, d) =>
+      // The IVF centroids (d12) seeded from sample vectors get two full
+      // Lloyd updates: broadcast centroids → assign (exact-int L2²) →
+      // re-average per component. Centroid components round with
+      // floor(mean + 0.5) — identical semantics in any engine — so the
+      // refined centroids, memberships, and inertia all hash-check.
+      // Per iteration: one broadcast join + one (cent, pos) aggregate;
+      // the corpus shuffles nothing but slim assignment rows.
+      import org.apache.spark.sql.expressions.Window
+      val e = quantizedEmbeddings(s, d, plant = false).select(col("vec_id"), col("q")).persist()
+      val l2 = "aggregate(zip_with(q, cq, (x, y) -> (x - y) * (x - y)), 0L, (acc, x) -> acc + x)"
+      val wA = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cent_id"))
+      def assign(cents: DataFrame): DataFrame =
+        e.join(broadcast(cents), expr("true"))
+          .withColumn("dist", expr(l2))
+          .withColumn("rn", row_number().over(wA)).where(col("rn") === 1)
+          .select(col("vec_id"), col("cent_id"), col("q"), col("dist"))
+      var cents = e.where(col("vec_id") < 16).select(col("vec_id").as("cent_id"), col("q").as("cq"))
+      for (_ <- 1 to 2) {
+        cents = assign(cents)
+          .select(col("cent_id"), posexplode(col("q")).as(Seq("pos", "v")))
+          .groupBy("cent_id", "pos")
+          .agg(expr("cast(floor(cast(sum(v) as double) / count(1) + 0.5d) as bigint)").as("mv"))
+          .groupBy("cent_id")
+          .agg(expr("transform(array_sort(collect_list(struct(pos, mv))), x -> x.mv)").as("cq"))
+      }
+      assign(cents)
+        .groupBy(col("cent_id"))
+        .agg(count(lit(1)).as("n_members"), sum(col("dist")).as("inertia"))
+        .orderBy(col("cent_id"))
+    },
+
     // --- ANN top-k via typed Aggregator: bounded k-buffer per group,
     //     map-side reduced before the shuffle (no full sort of the
     //     candidate set — the 100 TB path) ------------------------------
@@ -895,6 +948,75 @@ object PipelineQueries {
           |)
           |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id, cos
           |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+      "d24_tfidf_terms" ->
+        """WITH tf AS (
+          |  SELECT doc_id, term, count(1) AS tf
+          |  FROM (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+          |        FROM documents)
+          |  GROUP BY doc_id, term
+          |), dfreq AS (
+          |  SELECT term, count(1) AS df FROM tf GROUP BY term
+          |), ranked AS (
+          |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+          |    row_number() OVER (PARTITION BY tf.doc_id
+          |      ORDER BY tf.tf DESC, dfreq.df ASC, tf.term) AS rank
+          |  FROM tf JOIN dfreq USING (term)
+          |)
+          |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, df
+          |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+      "d25_kmeans_refine" ->
+        """WITH e AS (
+          |  SELECT vec_id,
+          |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+          |  FROM embeddings
+          |), c0 AS (
+          |  SELECT vec_id AS cent_id, q AS cq FROM e WHERE vec_id < 16
+          |), a1 AS (
+          |  SELECT vec_id, cent_id, q, dist FROM (
+          |    SELECT v.vec_id, c.cent_id, v.q,
+          |      list_sum(list_transform(range(1, 65), i -> (v.q[i] - c.cq[i]) * (v.q[i] - c.cq[i]))) AS dist,
+          |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+          |        list_sum(list_transform(range(1, 65), i -> (v.q[i] - c.cq[i]) * (v.q[i] - c.cq[i]))),
+          |        c.cent_id) AS rn
+          |    FROM e v CROSS JOIN c0 c
+          |  ) WHERE rn = 1
+          |), c1 AS (
+          |  SELECT cent_id, list(mv ORDER BY pos) AS cq FROM (
+          |    SELECT cent_id, pos,
+          |      CAST(floor(CAST(sum(q[pos]) AS DOUBLE) / count(1) + 0.5) AS BIGINT) AS mv
+          |    FROM a1, unnest(range(1, 65)) AS t(pos)
+          |    GROUP BY cent_id, pos
+          |  ) GROUP BY cent_id
+          |), a2 AS (
+          |  SELECT vec_id, cent_id, q, dist FROM (
+          |    SELECT v.vec_id, c.cent_id, v.q,
+          |      list_sum(list_transform(range(1, 65), i -> (v.q[i] - c.cq[i]) * (v.q[i] - c.cq[i]))) AS dist,
+          |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+          |        list_sum(list_transform(range(1, 65), i -> (v.q[i] - c.cq[i]) * (v.q[i] - c.cq[i]))),
+          |        c.cent_id) AS rn
+          |    FROM e v CROSS JOIN c1 c
+          |  ) WHERE rn = 1
+          |), c2 AS (
+          |  SELECT cent_id, list(mv ORDER BY pos) AS cq FROM (
+          |    SELECT cent_id, pos,
+          |      CAST(floor(CAST(sum(q[pos]) AS DOUBLE) / count(1) + 0.5) AS BIGINT) AS mv
+          |    FROM a2, unnest(range(1, 65)) AS t(pos)
+          |    GROUP BY cent_id, pos
+          |  ) GROUP BY cent_id
+          |), af AS (
+          |  SELECT vec_id, cent_id, dist FROM (
+          |    SELECT v.vec_id, c.cent_id,
+          |      list_sum(list_transform(range(1, 65), i -> (v.q[i] - c.cq[i]) * (v.q[i] - c.cq[i]))) AS dist,
+          |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+          |        list_sum(list_transform(range(1, 65), i -> (v.q[i] - c.cq[i]) * (v.q[i] - c.cq[i]))),
+          |        c.cent_id) AS rn
+          |    FROM e v CROSS JOIN c2 c
+          |  ) WHERE rn = 1
+          |)
+          |SELECT cent_id, count(1) AS n_members, CAST(sum(dist) AS BIGINT) AS inertia
+          |FROM af GROUP BY cent_id ORDER BY cent_id""".stripMargin,
 
       "d13_ann_topk_aggregator" ->
         """WITH e AS (
