@@ -510,6 +510,56 @@ object RelationalQueries {
         .agg(count(lit(1)).as("cnt"), countDistinct(col("doc_id")).as("n_docs"))
         .orderBy(col("cnt").desc, col("token"))
         .limit(100)
+    },
+
+    // --- set operations: INTERSECT / EXCEPT -----------------------------
+    "q40_set_ops" -> { (s, d) =>
+      Tables.views(s, d, "orders")
+      s.sql(
+        """SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1995
+          |INTERSECT
+          |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+          |EXCEPT
+          |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+          |ORDER BY custkey""".stripMargin)
+    },
+
+    // --- CUBE grouping sets with grouping_id ----------------------------
+    "q41_cube" -> { (s, d) =>
+      t(s, d, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          expr("cast(grouping_id(o_orderstatus, o_orderpriority) as bigint)").as("gid"))
+        .orderBy(col("gid"), col("o_orderstatus"), col("o_orderpriority"))
+    },
+
+    // --- analytic window suite: lag / lead / ntile / first_value / rank -
+    "q42_window_suite" -> { (s, d) =>
+      Tables.views(s, d, "orders")
+      s.sql(
+        """SELECT o_custkey, o_orderkey,
+          |  date_format(o_orderdate, 'yyyy-MM-dd') AS odate,
+          |  lag(o_orderkey) OVER w AS prev_order,
+          |  lead(o_orderkey) OVER w AS next_order,
+          |  cast(ntile(4) OVER w AS bigint) AS quartile,
+          |  first_value(o_orderkey) OVER w AS first_order,
+          |  cast(rank() OVER (PARTITION BY o_custkey
+          |    ORDER BY o_totalprice DESC, o_orderkey) AS bigint) AS price_rank
+          |FROM orders
+          |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+          |ORDER BY o_custkey, odate, o_orderkey""".stripMargin)
+    },
+
+    // --- QUALIFY-style latest-record-per-key compaction -----------------
+    "q43_latest_per_key" -> { (s, d) =>
+      Tables.views(s, d, "orders")
+      s.sql(
+        """SELECT o_custkey, o_orderkey,
+          |  date_format(o_orderdate, 'yyyy-MM-dd') AS odate, o_totalprice
+          |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+          |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+          |      FROM orders)
+          |WHERE rn = 1 ORDER BY o_custkey""".stripMargin)
     }
   )
 
@@ -814,6 +864,41 @@ object RelationalQueries {
         |        unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
         |      FROM documents)
         |WHERE length(token) > 3
-        |GROUP BY token ORDER BY cnt DESC, token LIMIT 100""".stripMargin
+        |GROUP BY token ORDER BY cnt DESC, token LIMIT 100""".stripMargin,
+
+    "q40_set_ops" ->
+      """SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1995
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY custkey""".stripMargin,
+
+    "q41_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(1) AS n,
+        |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin,
+
+    "q42_window_suite" ->
+      """SELECT o_custkey, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS odate,
+        |  lag(o_orderkey) OVER w AS prev_order,
+        |  lead(o_orderkey) OVER w AS next_order,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  first_value(o_orderkey) OVER w AS first_order,
+        |  CAST(rank() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS price_rank
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, odate, o_orderkey""".stripMargin,
+
+    "q43_latest_per_key" ->
+      """SELECT o_custkey, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS odate, o_totalprice
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |      FROM orders)
+        |WHERE rn = 1 ORDER BY o_custkey""".stripMargin
   )
 }

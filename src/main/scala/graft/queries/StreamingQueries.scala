@@ -23,6 +23,10 @@ object StreamingQueries {
 
     "s03_stream_first_seen" -> { (s, d) =>
       StreamingOps.runBoundedFirstSeen(s, d, "s03_sink")
+    },
+
+    "s04_stream_stream_join" -> { (s, d) =>
+      StreamingOps.runBoundedAttribution(s, d, "s04_sink")
     }
   )
 
@@ -63,6 +67,17 @@ object StreamingQueries {
         |    row_number() OVER (PARTITION BY user_id, event_type
         |                       ORDER BY ts, event_id) AS rn
         |  FROM events)
-        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+
+    "s04_stream_stream_join" ->
+      """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+        |  strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+        |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+        |  p.value
+        |FROM events c JOIN events p
+        |  ON p.user_id = c.user_id
+        |  AND c.event_type = 'click' AND p.event_type = 'purchase'
+        |  AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        |ORDER BY c.user_id, click_id, purchase_id""".stripMargin
   )
 }

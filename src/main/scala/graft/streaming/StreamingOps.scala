@@ -101,6 +101,45 @@ object StreamingOps {
     spark.table(queryName).orderBy(col("user_id"), col("event_type"))
   }
 
+  /** Stream-stream self-join: click → purchase attribution within a
+    * 30-minute window. Both sides carry watermarks and the join
+    * condition is time-range-bounded, so the join state Spark keeps is
+    * capped at ~1.5 h of events per side regardless of stream length —
+    * the canonical unbounded-safe stream-stream join shape.
+    */
+  def streamClickAttribution(events: DataFrame): DataFrame = {
+    val clicks = events.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"), col("value"))
+      .withWatermark("purchase_ts", "1 hour")
+    clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") > col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("click_ts"), col("purchase_ts"), col("value"))
+  }
+
+  /** Bounded-stream attribution join → memory sink → final rows. */
+  def runBoundedAttribution(spark: SparkSession, sfDir: String,
+      queryName: String): DataFrame = {
+    val q = streamClickAttribution(boundedEventStream(spark, sfDir)).writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(queryName)
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+        date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+        col("value"))
+      .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+  }
+
   /** File-source stream over the events parquet with the nanos→micros
     * normalization `Tables.t` applies on the batch side.
     */
