@@ -182,18 +182,15 @@ object PipelineQueries {
       // in base and every h_j picks the same min shingle, collapsing LSH
       // into "share the global min shingle" (candidate buckets explode).
       // Operands stay < 2^62 so ANSI mode never sees an overflow.
-      // Base hash is md5-derived (top 60 bits of the digest via conv):
-      // bit-identical in any engine with md5 + hex→int, which is what
-      // lets the WHOLE LSH pipeline — permutations, banding, candidate
+      // Base hash is md5-derived (top 60 bits of the digest): bit-
+      // identical in any engine with md5 + hex→int, which is what lets
+      // the WHOLE LSH pipeline — permutations, banding, candidate
       // pairs, verification — be hash-checked against DuckDB instead of
-      // rows-only. ~3× the per-shingle hash cost of xxhash64; still one
-      // linear pass per row, irrelevant next to the candidate join.
+      // rows-only. The digest + all 32 permutations run in the native
+      // MinHash32 expression (one compiled loop per row; see its note
+      // on why the HOF form re-digests 32× under project collapsing).
       val sh = withShingles(corpusWithPlants(s, d))
-        .withColumn("hs", expr(
-          "transform(shingles, sh -> cast(conv(substring(md5(sh), 1, 15), 16, 10) as bigint) % 2147483647)"))
-        .withColumn("mh", expr(
-          """transform(sequence(0, 31),
-            |  j -> array_min(transform(hs, h -> (h * (1103515245L + 12345L*j) + j * 987654321L) % 2147483647L)))""".stripMargin))
+        .withColumn("mh", expr("graft_minhash32(shingles)"))
         .select(col("doc_id"), col("mh"), col("shingles"))
         // the sketch table feeds candidate generation AND both
         // verification re-joins — materialize it once (at scale: a
@@ -207,7 +204,7 @@ object PipelineQueries {
       val banded = sh.select(col("doc_id"),
           explode(expr(
             """transform(sequence(0, 7),
-              |  b -> struct(b as band, cast(conv(substring(md5(concat_ws(',', slice(mh, b*4+1, 4))), 1, 15), 16, 10) as bigint) as bh))""".stripMargin)).as("bd"))
+              |  b -> struct(b as band, graft_md5_60(concat_ws(',', slice(mh, b*4+1, 4))) as bh))""".stripMargin)).as("bd"))
         .select(col("doc_id"), col("bd.band"), col("bd.bh"))
       val ca = banded.select(col("band"), col("bh"), col("doc_id").as("a"))
       val cb = banded.select(col("band"), col("bh"), col("doc_id").as("b"))
@@ -313,13 +310,12 @@ object PipelineQueries {
         .where(size(col("toks")) >= 3)
         // hash each token ONCE, then fold bits over the precomputed
         // hashes — 64× fewer hash invocations than hashing inside the
-        // bit loop. The token hash is md5-derived (60 bits via conv) so
-        // DuckDB can recompute the exact simhashes: the multi-probe
-        // candidate scheme is EXACT for hamming ≤ 3 (pigeonhole over
-        // the two 32-bit halves), so the output equals brute-force
-        // all-pairs hamming and the oracle can hash-check it.
-        .withColumn("hs", expr(
-          "transform(toks, t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))"))
+        // bit loop. The token hash is md5-derived (60 bits, native
+        // Md5Long60) so DuckDB can recompute the exact simhashes: the
+        // multi-probe candidate scheme is EXACT for hamming ≤ 3
+        // (pigeonhole over the two 32-bit halves), so the output equals
+        // brute-force all-pairs hamming and the oracle can hash-check it.
+        .withColumn("hs", expr("transform(toks, t -> graft_md5_60(t))"))
         .withColumn("sim", expr("graft_simhash64(hs)"))
         .select(col("doc_id"), col("sim"))
         // consumed by both the exact-key and probe sides — compute the
