@@ -86,6 +86,38 @@ object PipelineQueries {
       .where(col("jaccard") >= 0.3)
   }
 
+  /** Connected components over an undirected pair list (columns a, b)
+    * by min-label propagation: every node adopts the smallest label
+    * among itself and its neighbors, iterated to fixpoint. Rounds are
+    * bounded by the component diameter (near-dup clusters are shallow;
+    * ≤20 guards pathological chains), each round shuffles only slim
+    * (node, label) rows, and lineage is cut per round with
+    * localCheckpoint — the standard large-graph CC shape. Returns
+    * (node, lab) where lab = min node id in the component.
+    */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val edges = pairs.union(pairs.select(col("b"), col("a"))).toDF("src", "dst")
+      .persist()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("lab", col("node")).localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 20) {
+      val neighborMin = edges
+        .join(labels.select(col("node").as("dst"), col("lab").as("nlab")), "dst")
+        .groupBy(col("src").as("node")).agg(min(col("nlab")).as("nmin"))
+      val next = labels.join(neighborMin, Seq("node"), "left")
+        .select(col("node"), least(col("lab"), coalesce(col("nmin"), col("lab"))).as("lab"))
+        .localCheckpoint(true)
+      changed = next.join(labels.withColumnRenamed("lab", "old"), "node")
+        .where(col("lab") =!= col("old")).count()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** embeddings quantized to int64 (×1000) + planted exact copies. */
   private def quantizedEmbeddings(s: SparkSession, d: String, plant: Boolean): DataFrame = {
     val e = t(s, d, "embeddings")
@@ -240,26 +272,8 @@ object PipelineQueries {
       // round shuffles only slim (node, label) rows, and lineage is cut
       // per round with localCheckpoint — the standard large-graph CC
       // shape. Retention: keep the cluster representative (min doc_id).
-      val pairs = jaccardPairs(s, d).select(col("a"), col("b"))
-      val edges = pairs.union(pairs.select(col("b"), col("a"))).toDF("src", "dst")
-        .persist()
-      var labels = edges.select(col("src").as("node")).distinct()
-        .withColumn("lab", col("node")).localCheckpoint(true)
-      var changed = 1L
-      var iter = 0
-      while (changed > 0 && iter < 20) {
-        val neighborMin = edges
-          .join(labels.select(col("node").as("dst"), col("lab").as("nlab")), "dst")
-          .groupBy(col("src").as("node")).agg(min(col("nlab")).as("nmin"))
-        val next = labels.join(neighborMin, Seq("node"), "left")
-          .select(col("node"), least(col("lab"), coalesce(col("nmin"), col("lab"))).as("lab"))
-          .localCheckpoint(true)
-        changed = next.join(labels.withColumnRenamed("lab", "old"), "node")
-          .where(col("lab") =!= col("old")).count()
-        labels = next
-        iter += 1
-      }
-      labels.select(col("node").as("doc_id"), col("lab").as("cluster_rep"),
+      connectedComponents(jaccardPairs(s, d).select(col("a"), col("b")))
+        .select(col("node").as("doc_id"), col("lab").as("cluster_rep"),
           (col("node") === col("lab")).as("keep"))
         .orderBy(col("doc_id"))
     },

@@ -117,6 +117,39 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("Join"), s"expected an equi-join on (user_id, bin):\n$p")
   }
 
+  test("d08 slim pair join: no shingle array crosses any exchange") {
+    val df = PipelineQueries.queries("d08_dedup_ngram_jaccard")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // formatted mode prints one detail block per node; every Exchange's
+    // Input list must be array-free (the whole point of the rewrite)
+    val exchangeBlocks = p.split("\n\n").filter(_.matches("(?s)\\(\\d+\\) Exchange.*"))
+    assert(exchangeBlocks.nonEmpty, s"expected exchange detail blocks in:\n$p")
+    exchangeBlocks.foreach { b =>
+      assert(!b.contains("shingles"),
+        s"a shingle array is being shuffled:\n$b")
+    }
+  }
+
+  test("d25 k-means: centroids broadcast on every assignment pass") {
+    val df = PipelineQueries.queries("d25_kmeans_refine")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"centroid assignment should broadcast the centroid table:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"assignment must never fall back to a cartesian product:\n$p")
+  }
+
+  test("d24 tf-idf: tf aggregates partially before the shuffle") {
+    val df = PipelineQueries.queries("d24_tfidf_terms")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      .split("== Initial Plan ==").head
+    val aggLines = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(aggLines >= 2, s"expected partial+final HashAggregate in:\n$p")
+  }
+
   test("partitioned write prunes reads to one partition on read-back") {
     Tables.views(spark, sfDir, "orders")
     spark.sql("DROP DATABASE IF EXISTS plan_audit CASCADE")

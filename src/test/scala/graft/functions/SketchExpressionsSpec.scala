@@ -1,0 +1,70 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.PipelineQueries
+
+/** Golden tests for the native sketch expressions (values precomputed
+  * independently with python hashlib — the same math the DuckDB oracles
+  * replicate) and for connected-components convergence.
+  */
+class SketchExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def sql1(q: String): Any = {
+    BitSketchExpressions.register(spark)
+    spark.sql(q).collect()(0).get(0)
+  }
+
+  test("Md5Long60 equals the first 15 md5 hex chars as an integer") {
+    // hashlib: int(md5('hello').hexdigest()[:15], 16)
+    assert(sql1("SELECT graft_md5_60('hello')") === 419982666956583591L)
+    assert(sql1("SELECT graft_md5_60('the quick brown')") === 846626497777792448L)
+    // must also equal the SQL conv() formulation it replaced
+    assert(sql1("SELECT graft_md5_60('xyz') = cast(conv(substring(md5('xyz'), 1, 15), 16, 10) as bigint)")
+      === true)
+  }
+
+  test("MinHash32 golden values (python-precomputed)") {
+    val mh = sql1(
+      "SELECT graft_minhash32(array('the quick brown', 'quick brown fox', 'brown fox jumps'))")
+      .asInstanceOf[scala.collection.Seq[Long]]
+    assert(mh.length === 32)
+    assert(mh.take(5) === Seq(129335414L, 1215053797L, 153288533L, 764327974L, 84881615L))
+    assert(mh.takeRight(3) === Seq(169075089L, 488632199L, 852090255L))
+  }
+
+  test("SimHash64 over Md5Long60 token hashes (python-precomputed)") {
+    assert(sql1(
+      "SELECT graft_simhash64(transform(array('alpha', 'beta', 'gamma'), t -> graft_md5_60(t)))")
+      === 54945530325961211L)
+  }
+
+  test("WordShingles keeps first-occurrence order and distinctness") {
+    val sh = sql1("SELECT graft_shingles(array('a', 'b', 'c', 'a', 'b', 'c', 'a'))")
+      .asInstanceOf[scala.collection.Seq[String]]
+    assert(sh === Seq("a b c", "b c a", "c a b"))
+  }
+
+  test("connectedComponents: chain, pair, and singleton-free components") {
+    import spark.implicits._
+    // chain 1-2-3-4-5 (diameter 4 forces multiple propagation rounds),
+    // separate pair 10-11, triangle 20-21-22
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L)).toDF("a", "b")
+    val got = PipelineQueries.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+}
