@@ -626,6 +626,28 @@ object PipelineQueries {
               |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
     },
 
+    // --- heavy hitters via Misra–Gries, gated on its guarantee ---------
+    "d26_heavy_hitters" -> { (s, d) =>
+      // The sketch's candidate set is merge-order-dependent BEYOND its
+      // guarantee, so the gate checks exactly the guarantee: every term
+      // with true frequency > n/k (k = 64) must be in the candidate
+      // set. Exact counts re-derive from the corpus (the standard
+      // "sketch filters, exact pass confirms" topology); integer
+      // compare cnt·64 > n avoids a float threshold.
+      graft.functions.MisraGries.register(s)
+      val toks = t(s, d, "documents")
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+      val sketch = toks.agg(expr("graft_heavy_hitters(term)").as("candidates"))
+      val stats = toks.agg(count(lit(1)).as("n"))
+      toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(stats))
+        .where(col("cnt") * 64 > col("n"))
+        .crossJoin(broadcast(sketch))
+        .select(col("term"), col("cnt"),
+          array_contains(col("candidates"), col("term")).as("in_sketch"))
+        .orderBy(col("term"))
+    },
+
     // --- multimodal plumbing: opaque binary + typed metadata + staged
     //     feature extraction (deterministic fake "decoder" over bytes;
     //     real decode libs are stubbed — the schema/partitioning/batch
@@ -1088,6 +1110,16 @@ object PipelineQueries {
           |  CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
           |  round(CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE) / len(grams), 6) AS rep_ratio
           |FROM g ORDER BY doc_id""".stripMargin,
+
+      "d26_heavy_hitters" ->
+        """WITH tok AS (
+          |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+          |  FROM documents
+          |), ex AS (
+          |  SELECT term, count(1) AS cnt FROM tok GROUP BY term
+          |), n AS (SELECT count(1) AS n FROM tok)
+          |SELECT term, cnt, true AS in_sketch
+          |FROM ex, n WHERE cnt * 64 > n ORDER BY term""".stripMargin,
 
       "d16_sketch_accuracy" ->
         """SELECT o_orderstatus, count(DISTINCT o_custkey) AS exact_custkeys,

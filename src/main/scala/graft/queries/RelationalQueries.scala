@@ -560,6 +560,60 @@ object RelationalQueries {
           |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
           |      FROM orders)
           |WHERE rn = 1 ORDER BY o_custkey""".stripMargin)
+    },
+
+    // --- rolling 7-day revenue per customer (RANGE frame over dates) ----
+    "q44_rolling_range_window" -> { (s, d) =>
+      Tables.views(s, d, "orders")
+      s.sql(
+        """SELECT o_custkey, o_orderkey,
+          |  date_format(o_orderdate, 'yyyy-MM-dd') AS odate,
+          |  cast(sum(cast(o_totalprice AS decimal(18,2))) OVER (
+          |    PARTITION BY o_custkey ORDER BY o_orderdate
+          |    RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW) AS double) AS rev_7d,
+          |  cast(count(1) OVER (
+          |    PARTITION BY o_custkey ORDER BY o_orderdate
+          |    RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW) AS bigint) AS n_7d
+          |FROM orders
+          |ORDER BY o_custkey, odate, o_orderkey""".stripMargin)
+    },
+
+    // --- date-spine gap filling (sequence + left join + zero fill) ------
+    "q45_date_spine_gapfill" -> { (s, d) =>
+      Tables.views(s, d, "orders")
+      s.sql(
+        """WITH spine AS (
+          |  SELECT explode(sequence(DATE '1996-01-01', DATE '1996-01-31')) AS day
+          |), daily AS (
+          |  SELECT CAST(o_orderdate AS DATE) AS day, count(1) AS n_orders,
+          |    cast(sum(cast(o_totalprice AS decimal(18,2))) AS double) AS revenue
+          |  FROM orders
+          |  WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-02-01'
+          |  GROUP BY 1
+          |)
+          |SELECT date_format(spine.day, 'yyyy-MM-dd') AS day,
+          |  coalesce(n_orders, 0L) AS n_orders,
+          |  coalesce(revenue, cast(0.0 AS double)) AS revenue
+          |FROM spine LEFT JOIN daily ON spine.day = daily.day
+          |ORDER BY day""".stripMargin)
+    },
+
+    // --- TPC-H Q5 shape: six-table join with regional filter ------------
+    "q46_regional_revenue" -> { (s, d) =>
+      Tables.views(s, d, "customer", "orders", "lineitem", "supplier", "nation", "region")
+      s.sql(
+        """SELECT n_name,
+          |  cast(sum(cast(l_extendedprice AS decimal(18,2))
+          |    * (cast(1 AS decimal(18,2)) - cast(l_discount AS decimal(18,2)))) AS double) AS revenue
+          |FROM customer
+          |JOIN orders ON c_custkey = o_custkey
+          |JOIN lineitem ON l_orderkey = o_orderkey
+          |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          |JOIN nation ON s_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey
+          |WHERE r_name = 'ASIA'
+          |  AND o_orderdate >= '1995-01-01' AND o_orderdate < '1996-01-01'
+          |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin)
     }
   )
 
@@ -899,6 +953,48 @@ object RelationalQueries {
         |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
         |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
         |      FROM orders)
-        |WHERE rn = 1 ORDER BY o_custkey""".stripMargin
+        |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+
+    "q44_rolling_range_window" ->
+      """SELECT o_custkey, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS odate,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate
+        |    RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW) AS DOUBLE) AS rev_7d,
+        |  CAST(count(1) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate
+        |    RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW) AS BIGINT) AS n_7d
+        |FROM orders
+        |ORDER BY o_custkey, odate, o_orderkey""".stripMargin,
+
+    "q45_date_spine_gapfill" ->
+      """WITH spine AS (
+        |  SELECT unnest(generate_series(DATE '1996-01-01', DATE '1996-01-31', INTERVAL 1 DAY))::DATE AS day
+        |), daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day, count(1) AS n_orders,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-02-01'
+        |  GROUP BY 1
+        |)
+        |SELECT strftime(spine.day, '%Y-%m-%d') AS day,
+        |  coalesce(n_orders, 0) AS n_orders,
+        |  coalesce(revenue, 0.0) AS revenue
+        |FROM spine LEFT JOIN daily ON spine.day = daily.day
+        |ORDER BY day""".stripMargin,
+
+    "q46_regional_revenue" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
   )
 }
