@@ -626,6 +626,56 @@ object PipelineQueries {
               |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
     },
 
+    // --- the full training-data selection funnel -----------------------
+    "d27_corpus_funnel" -> { (s, d) =>
+      // Composition of the individually-gated stages into the pipeline a
+      // corpus actually flows through: quality floor → exact-normalized
+      // dedup (keep min doc_id) → benchmark decontamination. Each stage
+      // is a per-row flag or a slim join; the funnel emits per-stage
+      // survivor counts via stack (unpivot). One corpus scan feeds
+      // every flag — no stage re-reads the table.
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, d, "documents")
+        .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
+        .withColumn("n_tokens", size(col("toks")).cast(LongType))
+        .withColumn("alpha_chars", length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast(LongType))
+        .withColumn("stop_hits", expr(
+          "cast(size(filter(toks, t -> t in ('the','a','of','and','to','in','is'))) as bigint)"))
+        .withColumn("quality",
+          lit(0.4) * least(lit(1.0), col("n_tokens").cast(DoubleType) / 100.0)
+            + lit(0.3) * (col("stop_hits").cast(DoubleType) / col("n_tokens").cast(DoubleType))
+            + lit(0.3) * (col("alpha_chars").cast(DoubleType) / length(col("text")).cast(DoubleType)))
+        .withColumn("norm", regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+        .withColumn("dedup_keep",
+          row_number().over(Window.partitionBy(md5(col("norm"))).orderBy(col("doc_id"))) === 1)
+      // contaminated = shares ≥10% of its shingles with a benchmark doc
+      // (the d18 rule); benchmark side broadcasts
+      val sh = withShingles(t(s, d, "documents")).select(col("doc_id"), col("shingles"))
+      val bench = sh.where(col("doc_id") % 50 === 0)
+        .select(explode(col("shingles")).as("sh"))
+        .distinct()
+      val contaminated = sh.where(col("doc_id") % 50 =!= 0)
+        .select(col("doc_id"), size(col("shingles")).as("n_sh"), explode(col("shingles")).as("sh"))
+        .join(broadcast(bench), "sh")
+        .groupBy(col("doc_id"), col("n_sh")).agg(count(lit(1)).as("shared"))
+        .where(col("shared").cast(DoubleType) / col("n_sh").cast(DoubleType) >= 0.1)
+        .select(col("doc_id")).withColumn("contaminated", lit(true))
+      val flagged = docs.join(contaminated, Seq("doc_id"), "left")
+        .withColumn("contaminated", coalesce(col("contaminated"), lit(false)))
+      flagged.agg(
+          count(lit(1)).as("n0"),
+          count(when(col("quality") >= 0.5, 1)).as("n1"),
+          count(when(col("quality") >= 0.5 && col("dedup_keep"), 1)).as("n2"),
+          count(when(col("quality") >= 0.5 && col("dedup_keep") && !col("contaminated"), 1)).as("n3"))
+        .selectExpr(
+          """stack(4,
+            |  '0_total', n0,
+            |  '1_quality_floor', n1,
+            |  '2_after_dedup', n2,
+            |  '3_decontaminated', n3) AS (stage, n_docs)""".stripMargin)
+        .orderBy(col("stage"))
+    },
+
     // --- heavy hitters via Misra–Gries, gated on its guarantee ---------
     "d26_heavy_hitters" -> { (s, d) =>
       // The sketch's candidate set is merge-order-dependent BEYOND its
@@ -1110,6 +1160,51 @@ object PipelineQueries {
           |  CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
           |  round(CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE) / len(grams), 6) AS rep_ratio
           |FROM g ORDER BY doc_id""".stripMargin,
+
+      "d27_corpus_funnel" ->
+        """WITH q AS (
+          |  SELECT doc_id, text,
+          |    regexp_split_to_array(lower(trim(text)), '\s+') AS toks,
+          |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+          |  FROM documents
+          |), flags AS (
+          |  SELECT doc_id,
+          |    0.4 * least(1.0, CAST(len(toks) AS DOUBLE) / 100.0)
+          |      + 0.3 * (CAST(len(list_filter(toks,
+          |          t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE) / len(toks))
+          |      + 0.3 * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+          |          / length(text)) AS quality,
+          |    row_number() OVER (PARTITION BY md5(norm) ORDER BY doc_id) = 1 AS dedup_keep
+          |  FROM q
+          |), sh AS (
+          |  SELECT doc_id,
+          |    list_distinct(list_transform(range(1, len(toks) - 1),
+          |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+          |  FROM q WHERE len(toks) >= 3
+          |), benchset AS (
+          |  SELECT DISTINCT unnest(shingles) AS sh FROM sh WHERE doc_id % 50 = 0
+          |), contaminated AS (
+          |  SELECT c.doc_id
+          |  FROM (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sh
+          |        FROM sh WHERE doc_id % 50 <> 0) c
+          |  JOIN benchset USING (sh)
+          |  GROUP BY c.doc_id, c.n_sh
+          |  HAVING CAST(count(1) AS DOUBLE) / n_sh >= 0.1
+          |), f AS (
+          |  SELECT flags.*, contaminated.doc_id IS NOT NULL AS contaminated
+          |  FROM flags LEFT JOIN contaminated ON flags.doc_id = contaminated.doc_id
+          |), agg AS (
+          |  SELECT count(1) AS n0,
+          |    count(1) FILTER (quality >= 0.5) AS n1,
+          |    count(1) FILTER (quality >= 0.5 AND dedup_keep) AS n2,
+          |    count(1) FILTER (quality >= 0.5 AND dedup_keep AND NOT contaminated) AS n3
+          |  FROM f
+          |)
+          |SELECT '0_total' AS stage, n0 AS n_docs FROM agg
+          |UNION ALL SELECT '1_quality_floor', n1 FROM agg
+          |UNION ALL SELECT '2_after_dedup', n2 FROM agg
+          |UNION ALL SELECT '3_decontaminated', n3 FROM agg
+          |ORDER BY stage""".stripMargin,
 
       "d26_heavy_hitters" ->
         """WITH tok AS (
