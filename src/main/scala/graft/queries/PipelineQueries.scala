@@ -698,6 +698,149 @@ object PipelineQueries {
         .orderBy(col("term"))
     },
 
+    // --- sequence packing (concatenate-and-cut) ------------------------
+    "d28_sequence_packing" -> { (s, d) =>
+      // The standard pretraining batch-construction op: lay documents
+      // end-to-end in a deterministic order and cut every 2048 tokens;
+      // a document belongs to the pack where its first token lands
+      // (packs straddle doc boundaries, exactly like production
+      // concat-and-chunk). Scale shape: docs are split into independent
+      // hash buckets first (doc_id % 16 here so the oracle can replay
+      // it; at 100 TB the bucket IS the partition), then ONE window
+      // cumsum per bucket — a single shuffle, no driver state, and no
+      // global ordering requirement across buckets.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      t(s, d, "documents")
+        .withColumn("n_tokens",
+          size(split(lower(trim(col("text"))), "\\s+")).cast(LongType))
+        .withColumn("bucket", col("doc_id") % 16)
+        .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .withColumn("pack_id", expr("cum_before div 2048"))
+        .groupBy(col("bucket"), col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("pack_tokens"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy(col("bucket"), col("pack_id"))
+    },
+
+    // --- stratified deterministic sampling -----------------------------
+    "d29_stratified_sample" -> { (s, d) =>
+      // Per-stratum sampling at different target rates, pinned by a
+      // content-hash residue instead of RNG state (the stratified
+      // sibling of d19): lang decides the keep-percentage, the 60-bit
+      // md5 prefix mod 100 decides membership. Reproducible across
+      // runs, engines, and cluster sizes; one scan, one tiny groupBy.
+      t(s, d, "documents")
+        .withColumn("rate_pct", expr(
+          """CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 30 WHEN 'fr' THEN 30
+            |WHEN 'es' THEN 20 ELSE 10 END""".stripMargin))
+        .withColumn("h",
+          expr("cast(conv(substring(md5(text), 1, 15), 16, 10) as bigint) % 100"))
+        .groupBy(col("lang"), col("rate_pct"))
+        .agg(count(lit(1)).as("n_total"),
+          count(when(col("h") < col("rate_pct"), 1)).as("n_sampled"),
+          min(when(col("h") < col("rate_pct"), col("doc_id"))).as("min_sampled_doc"))
+        .orderBy(col("lang"))
+    },
+
+    // --- incremental dedup: new batch vs historical index --------------
+    "d30_incremental_dedup" -> { (s, d) =>
+      // The production dedup shape after day one: the historical corpus
+      // is represented ONLY by slim derived tables (a content-hash
+      // index and a shingle inverted index — maintained incrementally,
+      // at 100 TB stored bucketed by their join keys), and each new
+      // crawl batch joins against them. The batch never self-joins and
+      // history×history is never recomputed. Exact dups via hash
+      // equi-join; near dups via the d08 shingle equi-join restricted
+      // to new×history; verdict precedence exact > near > keep.
+      val docs = t(s, d, "documents")
+      val history = docs.where(col("doc_id") % 4 =!= 0)
+      val newBatch = docs.where(col("doc_id") % 4 === 0) // fresh docs
+        .unionByName(history.where(col("doc_id") % 8 === 1) // re-crawled exact copies
+          .withColumn("doc_id", col("doc_id") + 2000000L))
+        .unionByName(history.where(col("doc_id") % 8 === 3) // edited revisions
+          .withColumn("doc_id", col("doc_id") + 3000000L)
+          .withColumn("text", concat(col("text"), lit(" update"))))
+      def hashed(df: DataFrame): DataFrame = df.withColumn("h",
+        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
+      val histHash = hashed(history).select(col("doc_id").as("hist_id"), col("h"))
+      val exact = hashed(newBatch).join(histHash, "h")
+        .groupBy(col("doc_id")).agg(min(col("hist_id")).as("matched"))
+        .withColumn("verdict", lit("exact_dup"))
+      // only not-exact-matched batch docs reach the (pricier) near check
+      val rest = newBatch.join(exact.select("doc_id"), Seq("doc_id"), "left_anti")
+      val restSh = withShingles(rest)
+        .select(col("doc_id"), col("shingles")).persist()
+      val histSh = withShingles(history)
+        .select(col("doc_id").as("hist_id"), col("shingles").as("hsh")).persist()
+      val restSizes = restSh.select(col("doc_id"), size(col("shingles")).as("na"))
+      val histSizes = histSh.select(col("hist_id"), size(col("hsh")).as("nb"))
+      val near = restSh.select(col("doc_id"), explode(col("shingles")).as("sh"))
+        .join(histSh.select(col("hist_id"), explode(col("hsh")).as("sh")), "sh")
+        .groupBy(col("doc_id"), col("hist_id")).agg(count(lit(1)).as("shared"))
+        .join(restSizes, "doc_id").join(histSizes, "hist_id")
+        .where(col("shared").cast(DoubleType)
+          / (col("na") + col("nb") - col("shared")).cast(DoubleType) >= 0.5)
+        .groupBy(col("doc_id")).agg(min(col("hist_id")).as("matched"))
+        .withColumn("verdict", lit("near_dup"))
+      val keep = newBatch.select("doc_id")
+        .join(exact.select("doc_id"), Seq("doc_id"), "left_anti")
+        .join(near.select("doc_id"), Seq("doc_id"), "left_anti")
+        .withColumn("matched", lit(-1L)).withColumn("verdict", lit("keep"))
+      exact.unionByName(near).unionByName(keep)
+        .select(col("doc_id"), col("verdict"), col("matched"))
+        .orderBy(col("doc_id"))
+    },
+
+    // --- temperature-weighted domain mixture ---------------------------
+    "d31_domain_mixture" -> { (s, d) =>
+      // Mixture weights for pretraining sampling: w_i ∝ tokens_i^0.5
+      // (temperature α = 0.5 flattens the source distribution), plus a
+      // 10M-token allocation per source. Per-source aggregates are
+      // bounded (sources are a vocabulary, not data-sized), so the
+      // normalizer is computed over a sorted collected list — float
+      // summation order is pinned, making the DOUBLE output
+      // bit-reproducible across engines and partitionings.
+      val per = t(s, d, "documents")
+        .withColumn("n_tokens",
+          size(split(lower(trim(col("text"))), "\\s+")).cast(LongType))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens"))
+      val z = per.agg(expr(
+        """aggregate(sort_array(collect_list(sqrt(cast(tokens as double)))),
+          |  cast(0 as double), (a, x) -> a + x)""".stripMargin).as("z"))
+      per.crossJoin(z)
+        .select(col("source"), col("n_docs"), col("tokens"),
+          round(sqrt(col("tokens").cast(DoubleType)) / col("z"), 6).as("weight"),
+          round(lit(10000000.0) * sqrt(col("tokens").cast(DoubleType)) / col("z"))
+            .cast(LongType).as("alloc_tokens"))
+        .orderBy(col("source"))
+    },
+
+    // --- embedding int8 quantization -----------------------------------
+    "d32_embedding_quantize" -> { (s, d) =>
+      // Storage/ANN-index prep: symmetric int8 quantization per vector.
+      // scale = max|x| is order-independent (no float-sum race);
+      // q_j = round(127·x_j/scale) is pure per-element double math, so
+      // the whole op is codegen'd per-row work with zero shuffles. The
+      // gate emits an index-weighted checksum (exact int64 sums commute)
+      // instead of the array.
+      t(s, d, "embeddings")
+        .withColumn("dim", size(col("embedding")).cast(LongType))
+        .withColumn("scale", expr(
+          "greatest(array_max(transform(embedding, x -> abs(cast(x as double)))), cast(1e-30 as double))"))
+        .withColumn("q", expr(
+          "transform(embedding, x -> cast(round(127.0 * cast(x as double) / scale) as bigint))"))
+        .select(col("vec_id"), col("dim"), col("scale"),
+          expr("""aggregate(zip_with(q, sequence(1, size(q)), (qv, i) -> qv * cast(i as bigint)),
+                |  cast(0 as bigint), (a, x) -> a + x)""".stripMargin).as("checksum"),
+          expr("array_min(q)").as("q_min"), expr("array_max(q)").as("q_max"))
+        .orderBy(col("vec_id"))
+    },
+
     // --- multimodal plumbing: opaque binary + typed metadata + staged
     //     feature extraction (deterministic fake "decoder" over bytes;
     //     real decode libs are stubbed — the schema/partitioning/batch
@@ -1225,6 +1368,123 @@ object PipelineQueries {
         """SELECT o_orderstatus, count(DISTINCT o_custkey) AS exact_custkeys,
           |  true AS hll_ok
           |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+      "d28_sequence_packing" ->
+        """WITH tk AS (
+          |  SELECT doc_id, doc_id % 16 AS bucket,
+          |    CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS n_tokens
+          |  FROM documents
+          |), cum AS (
+          |  SELECT *, COALESCE(CAST(SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cum_before
+          |  FROM tk
+          |)
+          |SELECT bucket, cum_before // 2048 AS pack_id, count(1) AS n_docs,
+          |  CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+          |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+          |FROM cum GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      "d29_stratified_sample" ->
+        """WITH h AS (
+          |  SELECT doc_id, lang,
+          |    CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 30 WHEN 'fr' THEN 30
+          |      WHEN 'es' THEN 20 ELSE 10 END AS rate_pct,
+          |    ('0x' || substring(md5(text), 1, 15))::BIGINT % 100 AS h
+          |  FROM documents
+          |)
+          |SELECT lang, rate_pct, count(1) AS n_total,
+          |  count(1) FILTER (h < rate_pct) AS n_sampled,
+          |  min(doc_id) FILTER (h < rate_pct) AS min_sampled_doc
+          |FROM h GROUP BY lang, rate_pct ORDER BY lang""".stripMargin,
+
+      "d30_incremental_dedup" ->
+        """WITH history AS (
+          |  SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 0
+          |), new_batch AS (
+          |  SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0
+          |  UNION ALL
+          |  SELECT doc_id + 2000000, text FROM history WHERE doc_id % 8 = 1
+          |  UNION ALL
+          |  SELECT doc_id + 3000000, text || ' update' FROM history WHERE doc_id % 8 = 3
+          |), hist_hash AS (
+          |  SELECT doc_id AS hist_id,
+          |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
+          |  FROM history
+          |), exact AS (
+          |  SELECT n.doc_id, min(hist_id) AS matched, 'exact_dup' AS verdict
+          |  FROM (SELECT doc_id,
+          |          md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
+          |        FROM new_batch) n
+          |  JOIN hist_hash USING (h) GROUP BY n.doc_id
+          |), rest AS (
+          |  SELECT doc_id, text FROM new_batch
+          |  WHERE doc_id NOT IN (SELECT doc_id FROM exact)
+          |), rest_sh AS (
+          |  SELECT doc_id,
+          |    list_distinct(list_transform(range(1, len(toks) - 1),
+          |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+          |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+          |        FROM rest) WHERE len(toks) >= 3
+          |), hist_sh AS (
+          |  SELECT doc_id AS hist_id,
+          |    list_distinct(list_transform(range(1, len(toks) - 1),
+          |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS hsh
+          |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+          |        FROM history) WHERE len(toks) >= 3
+          |), near AS (
+          |  SELECT doc_id, min(hist_id) AS matched, 'near_dup' AS verdict
+          |  FROM (
+          |    SELECT a.doc_id, b.hist_id, count(1) AS shared,
+          |      any_value(len(a.shingles)) AS na, any_value(len(b.hsh)) AS nb
+          |    FROM (SELECT doc_id, shingles, unnest(shingles) AS sh FROM rest_sh) a
+          |    JOIN (SELECT hist_id, hsh, unnest(hsh) AS sh FROM hist_sh) b USING (sh)
+          |    GROUP BY a.doc_id, b.hist_id
+          |  ) c
+          |  WHERE CAST(shared AS DOUBLE) / (na + nb - shared) >= 0.5
+          |  GROUP BY doc_id
+          |), keep AS (
+          |  SELECT doc_id, -1 AS matched, 'keep' AS verdict FROM new_batch
+          |  WHERE doc_id NOT IN (SELECT doc_id FROM exact)
+          |    AND doc_id NOT IN (SELECT doc_id FROM near)
+          |)
+          |SELECT doc_id, verdict, matched FROM exact
+          |UNION ALL SELECT doc_id, verdict, matched FROM near
+          |UNION ALL SELECT doc_id, verdict, matched FROM keep
+          |ORDER BY doc_id""".stripMargin,
+
+      "d31_domain_mixture" ->
+        """WITH per AS (
+          |  SELECT source, count(1) AS n_docs,
+          |    CAST(SUM(len(regexp_split_to_array(lower(trim(text)), '\s+'))) AS BIGINT) AS tokens
+          |  FROM documents GROUP BY source
+          |), z AS (
+          |  SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          |      list_sort(list(sqrt(CAST(tokens AS DOUBLE))))),
+          |    (a, x) -> a + x) AS z
+          |  FROM per
+          |)
+          |SELECT source, n_docs, tokens,
+          |  round(sqrt(CAST(tokens AS DOUBLE)) / z, 6) AS weight,
+          |  CAST(round(10000000.0 * sqrt(CAST(tokens AS DOUBLE)) / z) AS BIGINT) AS alloc_tokens
+          |FROM per, z ORDER BY source""".stripMargin,
+
+      "d32_embedding_quantize" ->
+        """WITH sc AS (
+          |  SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+          |    greatest(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))),
+          |      1e-30) AS scale,
+          |    embedding
+          |  FROM embeddings
+          |), q AS (
+          |  SELECT vec_id, dim, scale,
+          |    list_transform(embedding,
+          |      x -> CAST(round(127.0 * CAST(x AS DOUBLE) / scale) AS BIGINT)) AS q
+          |  FROM sc
+          |)
+          |SELECT vec_id, dim, scale,
+          |  CAST(list_sum(list_transform(q, (qv, i) -> qv * i)) AS BIGINT) AS checksum,
+          |  list_min(q) AS q_min, list_max(q) AS q_max
+          |FROM q ORDER BY vec_id""".stripMargin,
 
       // frame sampling is SQL-expressible too: byte values recovered from
       // hex(blob) nibble pairs, 64-byte frames sliced with every 2nd
