@@ -387,6 +387,32 @@ object EngineQueries {
       } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     },
 
+    // --- dynamic partition pruning: the 100 TB fact–dim join shape -----
+    "e18_dynamic_partition_pruning" -> { (s, d) =>
+      // A date-partitioned fact joined to a filtered dimension on the
+      // partition column: at scale the dim filter must prune fact
+      // PARTITIONS at runtime (DPP), not scan 100 TB and filter rows.
+      // The catalog fact table is partitioned by order year; the era
+      // dim is broadcast and its filter reaches the fact scan as a
+      // dynamicpruningexpression (asserted in PlanAuditSpec).
+      import s.implicits._
+      freshDb(s, "graft__pg18")
+      t(s, d, "orders").withColumn("o_year", year(col("o_orderdate")))
+        .write.partitionBy("o_year").mode("overwrite")
+        .saveAsTable("graft__pg18.orders_p")
+      val years = (1992 to 1998)
+        .map(y => (y, if (y == 1994 || y == 1995) "mid" else "other"))
+        .toDF("d_year", "era")
+      years.write.mode("overwrite").saveAsTable("graft__pg18.years")
+      s.table("graft__pg18.orders_p")
+        .join(s.table("graft__pg18.years").where(col("era") === "mid"),
+          col("o_year") === col("d_year"))
+        .groupBy(col("o_year"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+        .orderBy(col("o_year"), col("o_orderstatus"))
+    },
+
     // --- CREATE TEMP FUNCTION (SQL body) through the script runner -----
     "e17_sql_udf_script" -> { (s, d) =>
       Tables.views(s, d, "orders")
@@ -576,6 +602,12 @@ object EngineQueries {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "e18_dynamic_partition_pruning" ->
+      """SELECT year(o_orderdate) AS o_year, o_orderstatus, count(1) AS cnt,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders WHERE year(o_orderdate) IN (1994, 1995)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "e17_sql_udf_script" ->
       """SELECT o_orderpriority,

@@ -150,6 +150,16 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(aggLines >= 2, s"expected partial+final HashAggregate in:\n$p")
   }
 
+  test("e18: dim filter prunes fact partitions at runtime (DPP)") {
+    val df = EngineQueries.queries("e18_dynamic_partition_pruning")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("dynamicpruning"),
+      s"expected a dynamicpruningexpression partition filter on the fact scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the era dim should broadcast:\n$p")
+  }
+
   test("partitioned write prunes reads to one partition on read-back") {
     Tables.views(spark, sfDir, "orders")
     spark.sql("DROP DATABASE IF EXISTS plan_audit CASCADE")
