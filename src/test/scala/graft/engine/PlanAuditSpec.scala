@@ -160,6 +160,43 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"the era dim should broadcast:\n$p")
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true)") {
+    // The runtime complement to q32's manual salting: one hot key (half
+    // of orders remapped to custkey 1) would stall a single reducer at
+    // 100 TB; with AQE skew handling the oversized partition is split
+    // into parallel sub-joins. Thresholds are scaled down to the test
+    // data size — the mechanism is identical at scale.
+    import org.apache.spark.sql.functions._
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "2k",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1k",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // many map tasks (repartition) — AQE can only split a skewed
+      // reduce partition at map-output boundaries, and a tiny parquet
+      // file reads as ONE map task otherwise
+      val o = Tables.t(spark, sfDir, "orders").repartition(16)
+        .withColumn("k",
+          when(col("o_orderstatus") === "F", lit(1L)).otherwise(col("o_custkey")))
+      val c = Tables.t(spark, sfDir, "customer")
+      val df = o.join(c, o("k") === c("c_custkey"))
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("cnt"))
+      df.collect()
+      val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      assert(p.contains("skew=true"),
+        s"expected AQE to mark the skewed join partition split:\n$p")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("partitioned write prunes reads to one partition on read-back") {
     Tables.views(spark, sfDir, "orders")
     spark.sql("DROP DATABASE IF EXISTS plan_audit CASCADE")
