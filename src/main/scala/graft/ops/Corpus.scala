@@ -1,0 +1,136 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Public corpus-analysis / selection API: per-document scoring,
+  * deterministic sampling, sequence packing, mixture weighting,
+  * decontamination — the selection stages a pretraining pipeline runs
+  * between raw crawl and training batches.
+  *
+  * Determinism rules: sampling decisions hash content (md5 residues,
+  * no RNG state — reproducible across runs, engines, and cluster
+  * sizes); anything float-summed across rows is either avoided,
+  * order-pinned (sorted fold), or exact-integer. Everything is per-row
+  * expressions plus bounded aggregates — the ops scale with the scan.
+  */
+object Corpus {
+
+  /** lowercase whitespace tokens of `textCol`. */
+  def tokens(textCol: String = "text"): Column =
+    split(lower(trim(col(textCol))), "\\s+")
+
+  /** 60-bit md5-derived content hash residue in [0, mod) — the
+    * deterministic coin for sampling decisions.
+    */
+  def hashResidue(textCol: String = "text", mod: Int = 100): Column =
+    expr(s"cast(conv(substring(md5($textCol), 1, 15), 16, 10) as bigint) % $mod")
+
+  /** whitespace + BPE-ish token counts and char length per doc. */
+  def tokenCounts(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    df.select(col(idCol),
+      size(split(trim(col(textCol)), "\\s+")).cast(LongType).as("ws_tokens"),
+      size(regexp_extract_all(col(textCol), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+        .cast(LongType).as("bpe_tokens"),
+      length(col(textCol)).cast(LongType).as("n_chars"))
+
+  /** Gopher/RefinedWeb-style quality score: 0.4·length-saturation +
+    * 0.3·stopword-ratio + 0.3·alpha-ratio. Per-doc ratios only — no
+    * cross-row float sums.
+    */
+  def qualityScore(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    df.withColumn("toks", tokens(textCol))
+      .withColumn("n_tokens", size(col("toks")).cast(LongType))
+      .withColumn("alpha_chars",
+        length(regexp_replace(col(textCol), "[^A-Za-z]", "")).cast(LongType))
+      .withColumn("stop_hits", expr(
+        "cast(size(filter(toks, t -> t in ('the','a','of','and','to','in','is'))) as bigint)"))
+      .select(col(idCol), col("n_tokens"), col("alpha_chars"), col("stop_hits"),
+        (lit(0.4) * least(lit(1.0), col("n_tokens").cast(DoubleType) / 100.0)
+          + lit(0.3) * (col("stop_hits").cast(DoubleType) / col("n_tokens").cast(DoubleType))
+          + lit(0.3) * (col("alpha_chars").cast(DoubleType)
+            / length(col(textCol)).cast(DoubleType))).as("quality"))
+
+  /** Deterministic stratified sampling: `rateCol` (an integer percent
+    * column, e.g. a CASE over language) decides the per-stratum keep
+    * rate; the content-hash residue decides membership. Appends a
+    * boolean `sampled` column.
+    */
+  def stratifiedFlag(df: DataFrame, rateCol: Column,
+      textCol: String = "text"): DataFrame =
+    df.withColumn("rate_pct", rateCol)
+      .withColumn("sampled", hashResidue(textCol) < col("rate_pct"))
+
+  /** Concatenate-and-cut sequence packing: within each of `numBuckets`
+    * deterministic buckets, docs are laid end-to-end in id order and
+    * cut every `budget` tokens; a doc belongs to the pack where its
+    * first token lands. One window cumsum per bucket — a single
+    * shuffle, no driver state, no global ordering across buckets.
+    * Returns per-pack (bucket, pack_id, n_docs, pack_tokens,
+    * first_doc, last_doc).
+    */
+  def packSequences(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", budget: Long = 2048,
+      numBuckets: Int = 16): DataFrame = {
+    val w = Window.partitionBy(col("bucket")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("n_tokens", size(tokens(textCol)).cast(LongType))
+      .withColumn("bucket", col(idCol) % numBuckets)
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("pack_id", expr(s"cum_before div $budget"))
+      .groupBy(col("bucket"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("pack_tokens"),
+        min(col(idCol)).as("first_doc"),
+        max(col(idCol)).as("last_doc"))
+  }
+
+  /** Temperature-weighted mixture weights per domain: w_i ∝ tokens_i^α
+    * with α = 0.5 (sqrt — chosen because sqrt is IEEE-exact in every
+    * engine, unlike pow), plus a token allocation under `budgetTokens`.
+    * The normalizer folds a SORTED collected list so the DOUBLE output
+    * is bit-reproducible regardless of partitioning. Domains are a
+    * vocabulary, not data-sized — the collect is bounded.
+    */
+  def mixtureWeights(df: DataFrame, domainCol: String = "source",
+      textCol: String = "text", budgetTokens: Double = 1e7): DataFrame = {
+    val per = df
+      .withColumn("n_tokens", size(tokens(textCol)).cast(LongType))
+      .groupBy(col(domainCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens"))
+    val z = per.agg(expr(
+      """aggregate(sort_array(collect_list(sqrt(cast(tokens as double)))),
+        |  cast(0 as double), (a, x) -> a + x)""".stripMargin).as("z"))
+    per.crossJoin(z)
+      .select(col(domainCol), col("n_docs"), col("tokens"),
+        round(sqrt(col("tokens").cast(DoubleType)) / col("z"), 6).as("weight"),
+        round(lit(budgetTokens) * sqrt(col("tokens").cast(DoubleType)) / col("z"))
+          .cast(LongType).as("alloc_tokens"))
+  }
+
+  /** Benchmark decontamination: corpus docs sharing ≥ `threshold` of
+    * their word-3-gram shingles with any benchmark doc. The benchmark
+    * side is bounded (eval sets are), so its exploded shingles
+    * BROADCAST and the corpus streams through once — no corpus shuffle.
+    * Returns (doc_id, bench_id, shared, overlap).
+    */
+  def contamination(corpus: DataFrame, bench: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      threshold: Double = 0.1): DataFrame = {
+    val cs = TextDedup.shingled(corpus, textCol)
+      .select(col(idCol), size(col("shingles")).as("n_sh"),
+        explode(col("shingles")).as("sh"))
+    val bs = TextDedup.shingled(bench, textCol)
+      .select(col(idCol).as("bench_id"), explode(col("shingles")).as("sh"))
+    cs.join(broadcast(bs), Seq("sh"))
+      .groupBy(col(idCol), col("bench_id"), col("n_sh"))
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("overlap", round(col("shared").cast(DoubleType) / col("n_sh"), 6))
+      .where(col("overlap") >= threshold)
+      .select(col(idCol), col("bench_id"), col("shared"), col("overlap"))
+  }
+}

@@ -1,0 +1,163 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Public similarity-search / embedding API.
+  *
+  * Input embedding DataFrames carry an id column and a float-array
+  * vector column (defaults `vec_id`/`embedding`). All similarity math
+  * runs on int64-quantized vectors (×1000): every dot product is a sum
+  * of int64 products < 2^53, so DOUBLE cosines are bit-identical in any
+  * summation order and engine — the property that lets ANN results be
+  * hash-compared instead of eyeballed.
+  *
+  * Scale posture: the query side of every top-k op broadcasts; the
+  * candidate corpus streams through exactly once and is never
+  * self-joined. IVF probing bounds the candidate set per query;
+  * [[topKAggregated]] keeps a bounded k-buffer per group with map-side
+  * combine — the 100 TB path where a global sort of the scored set
+  * would dominate.
+  */
+object Embeddings {
+
+  /** int64 quantization (×1000) + squared-norm column: (id, q, nrm). */
+  def quantized(df: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    df.select(col(idCol).as("vec_id"),
+        expr(s"transform($vecCol, x -> cast(round(cast(x as double) * 1000) as bigint))").as("q"))
+      .withColumn("nrm", expr("aggregate(zip_with(q, q, (x, y) -> x * y), 0L, (a, x) -> a + x)"))
+
+  private val cosExpr =
+    """round(cast(aggregate(zip_with(qq, q, (x, y) -> x * y), 0L, (acc, x) -> acc + x) as double)
+      | / (sqrt(cast(qnrm as double)) * sqrt(cast(nrm as double))), 6)""".stripMargin
+
+  /** Exact cosine top-k per query over the full corpus. `queries` and
+    * `corpus` are outputs of [[quantized]]; queries broadcast, the
+    * corpus streams once. Returns (query_id, rank, neighbor_id, cos).
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("q").as("qq"), col("nrm").as("qnrm"))
+    val scored = corpus.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos", expr(cosExpr))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast(LongType).as("rank"),
+        col("vec_id").as("neighbor_id"), col("cos"))
+  }
+
+  /** Near-duplicate vector pairs via sign-random-projection LSH: pairs
+    * sharing a full SRP signature bucket are verified with the exact
+    * cosine. Returns (a, b, cos) with cos ≥ `cosThreshold`.
+    */
+  def srpPairs(corpus: DataFrame, cosThreshold: Double = 0.95): DataFrame = {
+    graft.functions.BitSketchExpressions.register(corpus.sparkSession)
+    val e = corpus.withColumn("sig", expr("graft_srp_sig(q)"))
+    val a = e.select(col("sig"), col("vec_id").as("a"), col("q").as("qa"), col("nrm").as("na"))
+    val b = e.select(col("sig"), col("vec_id").as("b"), col("q").as("qb"), col("nrm").as("nb"))
+    a.join(b, Seq("sig")).where(col("a") < col("b"))
+      .withColumn("cos", expr(
+        """round(cast(aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (acc, x) -> acc + x) as double)
+          | / (sqrt(cast(na as double)) * sqrt(cast(nb as double))), 6)""".stripMargin))
+      .where(col("cos") >= cosThreshold)
+      .select(col("a"), col("b"), col("cos"))
+  }
+
+  private val l2 = "aggregate(zip_with(q, cq, (x, y) -> (x - y) * (x - y)), 0L, (acc, x) -> acc + x)"
+
+  /** Nearest-centroid assignment (exact-int L2², centroids broadcast):
+    * (vec_id, cent_id, q, nrm, dist). `centroids` needs (cent_id, cq).
+    */
+  def assignToCentroids(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cent_id"))
+    corpus.join(broadcast(centroids), expr("true"))
+      .withColumn("dist", expr(l2))
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .drop("rn", "cq", "cnrm")
+  }
+
+  /** IVF-style ANN: vectors are assigned to their nearest centroid;
+    * each query probes its `nProbe` nearest cells and ranks only the
+    * vectors in them — the candidate set is bounded by cell sizes
+    * instead of the corpus. Returns (query_id, rank, neighbor_id, cos).
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+      nProbe: Int, k: Int): DataFrame = {
+    val assigned = assignToCentroids(corpus, centroids)
+      .select(col("vec_id"), col("cent_id"), col("q"), col("nrm"))
+    val qs = queries.select(col("vec_id").as("query_id"),
+      col("q").as("qq"), col("nrm").as("qnrm"))
+    val l2q = "aggregate(zip_with(qq, cq, (x, y) -> (x - y) * (x - y)), 0L, (acc, x) -> acc + x)"
+    val wProbe = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("cent_id"))
+    val probes = qs.join(broadcast(centroids), expr("true"))
+      .withColumn("dist", expr(l2q))
+      .withColumn("rn", row_number().over(wProbe)).where(col("rn") <= nProbe)
+      .select(col("query_id"), col("qq"), col("qnrm"), col("cent_id"))
+    val wTop = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    probes.join(assigned, Seq("cent_id"))
+      .where(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", expr(cosExpr))
+      .withColumn("rank", row_number().over(wTop)).where(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast(LongType).as("rank"),
+        col("vec_id").as("neighbor_id"), col("cos"))
+  }
+
+  /** Lloyd refinement of IVF centroids: broadcast-assign, re-average
+    * per component with floor(mean + 0.5) rounding (engine-identical),
+    * `iters` times. Returns refined (cent_id, cq).
+    */
+  def kmeansRefine(corpus: DataFrame, initCentroids: DataFrame, iters: Int): DataFrame = {
+    var cents = initCentroids
+    for (_ <- 1 to iters) {
+      cents = assignToCentroids(corpus, cents)
+        .select(col("cent_id"), posexplode(col("q")).as(Seq("pos", "v")))
+        .groupBy("cent_id", "pos")
+        .agg(expr("cast(floor(cast(sum(v) as double) / count(1) + 0.5d) as bigint)").as("mv"))
+        .groupBy("cent_id")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, mv))), x -> x.mv)").as("cq"))
+    }
+    cents
+  }
+
+  /** Cosine top-k via a typed Aggregator: each group keeps a bounded
+    * k-buffer merged map-side before the shuffle — no global sort of
+    * the scored candidate set. Same contract as [[bruteForceTopK]].
+    */
+  def topKAggregated(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
+      k: Int): DataFrame = {
+    import spark.implicits._
+    import graft.functions.TopKAggregator
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("q").as("qq"), col("nrm").as("qnrm"))
+    val scored = corpus.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos", expr(cosExpr))
+      .select(col("query_id"), col("vec_id"), col("cos"))
+      .as[(Long, Long, Double)]
+    scored
+      .groupByKey(_._1)
+      .mapValues { case (_, vid, cos) => TopKAggregator.Scored(vid, cos) }
+      .agg(TopKAggregator.topK(k).toColumn.name("top"))
+      .flatMap { case (qid, top) =>
+        top.zipWithIndex.map { case (sc, i) => (qid, (i + 1).toLong, sc.id, sc.score) }
+      }
+      .toDF("query_id", "rank", "neighbor_id", "cos")
+  }
+
+  /** Symmetric int8 quantization per vector (storage / ANN-index prep):
+    * scale = max|x| (order-independent — no float-sum race), q_j =
+    * round(127·x_j/scale). Pure per-row expressions, zero shuffles.
+    * Returns (vec_id, dim, scale, q).
+    */
+  def quantizeInt8(df: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    df.select(col(idCol).as("vec_id"),
+        size(col(vecCol)).cast(LongType).as("dim"),
+        expr(s"greatest(array_max(transform($vecCol, x -> abs(cast(x as double)))), cast(1e-30 as double))").as("scale"),
+        col(vecCol))
+      .withColumn("q", expr(
+        s"transform($vecCol, x -> cast(round(127.0 * cast(x as double) / scale) as bigint))"))
+      .drop(vecCol)
+}

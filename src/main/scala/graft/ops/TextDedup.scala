@@ -1,0 +1,233 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Public deduplication API over arbitrary document DataFrames.
+  *
+  * Every operator takes a DataFrame with an id column and a text column
+  * (names configurable, defaults `doc_id`/`text`) and returns a plain
+  * DataFrame, so the ops compose with any source — the driver-gate
+  * queries in [[graft.queries.PipelineQueries]] are thin bindings of
+  * these functions to the test tables.
+  *
+  * Scale posture (the reason these exist as a library and not ad-hoc
+  * SQL): candidate generation is always banded/bucketed — never an
+  * O(n²) self-join; nothing wider than a hash or an id crosses a
+  * shuffle during pair generation; verification re-joins the (few)
+  * surviving pairs back to per-doc sketch tables. Hashing is
+  * md5-derived via native Catalyst expressions
+  * ([[graft.functions.BitSketchExpressions]]), so results are engine-
+  * reproducible (the DuckDB oracle replays them) and the hot loops are
+  * compiled, not interpreted lambdas.
+  */
+object TextDedup {
+
+  /** tokens + distinct word-3-gram shingles appended as `toks`/`shingles`. */
+  def shingled(df: DataFrame, textCol: String = "text"): DataFrame = {
+    graft.functions.BitSketchExpressions.register(df.sparkSession)
+    df.withColumn("toks", split(lower(trim(col(textCol))), "\\s+"))
+      .where(size(col("toks")) >= 3)
+      .withColumn("shingles", expr("graft_shingles(toks)"))
+  }
+
+  /** Exact duplicate groups by (optionally whitespace-normalized)
+    * content hash: one row per distinct content with the smallest id as
+    * the retained representative. One shuffle, on the hash.
+    */
+  def exactDedup(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", normalize: Boolean = false): DataFrame = {
+    val content =
+      if (normalize) regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
+      else col(textCol)
+    df.groupBy(md5(content).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+  }
+
+  /** MinHash-LSH near-duplicate candidate pairs with exact-Jaccard
+    * verification: 32 affine-permutation minhashes over word-3-gram
+    * shingles, banded 8×4; pairs sharing any band bucket are verified
+    * (estimated Jaccard from the sketch AND exact Jaccard from the
+    * shingle sets). Returns (a, b, est_jaccard, jaccard).
+    *
+    * Candidate generation shuffles SLIM (band, bucket-hash, id) rows
+    * only; the surviving pairs re-join the persisted per-doc sketch
+    * table once per side — the shape that holds at 100 TB (carrying
+    * shingle arrays through the banded self-join does not).
+    */
+  def minhashLshPairs(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", estThreshold: Double = 0.5,
+      verifyThreshold: Double = 0.3): DataFrame = {
+    val sh = shingled(docs, textCol)
+      .withColumn("mh", expr("graft_minhash32(shingles)"))
+      .select(col(idCol).as("doc_id"), col("mh"), col("shingles"))
+      .persist()
+    val banded = sh.select(col("doc_id"),
+        explode(expr(
+          """transform(sequence(0, 7),
+            |  b -> struct(b as band, graft_md5_60(concat_ws(',', slice(mh, b*4+1, 4))) as bh))""".stripMargin)).as("bd"))
+      .select(col("doc_id"), col("bd.band"), col("bd.bh"))
+    val ca = banded.select(col("band"), col("bh"), col("doc_id").as("a"))
+    val cb = banded.select(col("band"), col("bh"), col("doc_id").as("b"))
+    val pairs = ca.join(cb, Seq("band", "bh")).where(col("a") < col("b"))
+      .select(col("a"), col("b")).dropDuplicates("a", "b")
+    pairs
+      .join(sh.select(col("doc_id").as("a"), col("mh").as("mha"), col("shingles").as("sha")), "a")
+      .join(sh.select(col("doc_id").as("b"), col("mh").as("mhb"), col("shingles").as("shb")), "b")
+      .withColumn("est_jaccard", expr(
+        "cast(aggregate(zip_with(mha, mhb, (x, y) -> if(x = y, 1, 0)), 0, (acc, v) -> acc + v) as double) / 32.0"))
+      .withColumn("jaccard", expr(
+        "cast(size(array_intersect(sha, shb)) as double) / cast(size(array_union(sha, shb)) as double)"))
+      .where(col("est_jaccard") >= estThreshold && col("jaccard") >= verifyThreshold)
+      .select(col("a"), col("b"), col("est_jaccard"), col("jaccard"))
+  }
+
+  /** SimHash near-duplicate pairs, EXACT for `maxHamming` ≤ 3: 64-bit
+    * token-set simhash, candidates via the two 32-bit halves plus
+    * single-bit-flip multi-probe (pigeonhole: hamming ≤ 3 means one
+    * half differs in ≤ 1 bit), verified with a popcount. Returns
+    * (a, b, hamming).
+    *
+    * Bucket-cardinality math: 32-bit keys give 4.3×10⁹ buckets (≲1
+    * exact row each at 10⁹ docs); the 33× probe fan-out is linear in n
+    * and each probe row is 3 longs — unlike 16-bit band keys, whose
+    * 65,536 buckets degrade toward quadratic within-bucket pairing.
+    */
+  def simhashPairs(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      "half-key + 1-bit multi-probe candidates are exact only for hamming <= 3")
+    graft.functions.BitSketchExpressions.register(docs.sparkSession)
+    val withSim = docs
+      .withColumn("toks", expr(s"array_distinct(split(lower(trim($textCol)), '\\\\s+'))"))
+      .where(size(col("toks")) >= 3)
+      .withColumn("hs", expr("transform(toks, t -> graft_md5_60(t))"))
+      .withColumn("sim", expr("graft_simhash64(hs)"))
+      .select(col(idCol).as("doc_id"), col("sim"))
+      .persist()
+    val exacts = withSim.select(col("doc_id").as("b"), col("sim").as("simb"),
+        explode(expr(
+          "transform(sequence(0, 1), h -> struct(h as half, shiftright(sim, h*32) & 4294967295L as key))")).as("ex"))
+      .select(col("b"), col("simb"), col("ex.half"), col("ex.key"))
+    val probes = withSim.select(col("doc_id").as("a"), col("sim").as("sima"),
+        explode(expr(
+          """flatten(transform(sequence(0, 1), h ->
+            |  transform(sequence(-1, 31), f ->
+            |    struct(h as half,
+            |      case when f = -1 then shiftright(sim, h*32) & 4294967295L
+            |           else (shiftright(sim, h*32) & 4294967295L) ^ shiftleft(1L, f) end as key))))""".stripMargin)).as("pr"))
+      .select(col("a"), col("sima"), col("pr.half"), col("pr.key"))
+    probes.join(exacts, Seq("half", "key")).where(col("a") < col("b"))
+      .dropDuplicates("a", "b")
+      .withColumn("hamming", expr("cast(bit_count(sima ^ simb) as bigint)"))
+      .where(col("hamming") <= maxHamming)
+      .select(col("a"), col("b"), col("hamming"))
+  }
+
+  /** Blocked n-gram Jaccard pairs (no sketch): explode to slim
+    * (blocking-keys, shingle, id) rows, equi-join on the shingle
+    * itself, and compute jaccard = shared / (|A| + |B| − shared).
+    * Blocking = caller columns (e.g. language) + first token + token-
+    * count bucket. No shingle ARRAY ever enters a join. Returns
+    * (a, b, jaccard) with jaccard ≥ `threshold`.
+    */
+  def jaccardPairs(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", blockingCols: Seq[String] = Seq("lang"),
+      threshold: Double = 0.3): DataFrame = {
+    val blockKeys = blockingCols :+ "first_tok" :+ "n_toks_bucket"
+    val sh = shingled(docs, textCol)
+      .withColumn("first_tok", expr("element_at(toks, 1)"))
+      .withColumn("n_toks_bucket", expr("cast(size(toks) div 8 as int)"))
+      .select((Seq(col(idCol).as("doc_id"), col("shingles")) ++
+        blockKeys.map(col)): _*)
+      .persist()
+    val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n_sh"))
+    val ex = sh.select((blockKeys.map(col) :+ col("doc_id") :+
+      explode(col("shingles")).as("sh")): _*)
+    val keyCols = blockKeys :+ "sh"
+    ex.withColumnRenamed("doc_id", "a")
+      .join(ex.withColumnRenamed("doc_id", "b"), keyCols)
+      .where(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("shared"))
+      .join(sizes.select(col("doc_id").as("a"), col("n_sh").as("na")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("n_sh").as("nb")), "b")
+      .withColumn("jaccard", col("shared").cast(DoubleType)
+        / (col("na") + col("nb") - col("shared")).cast(DoubleType))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** Connected components over an undirected pair list (columns a, b)
+    * by min-label propagation: every node adopts the smallest label
+    * among itself and its neighbors, iterated to fixpoint. Rounds are
+    * bounded by the component diameter (near-dup clusters are shallow;
+    * `maxIters` guards pathological chains), each round shuffles only
+    * slim (node, label) rows, and lineage is cut per round with
+    * localCheckpoint — the standard large-graph CC shape. Returns
+    * (node, lab) where lab = min node id in the component.
+    */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.union(pairs.select(col("b"), col("a"))).toDF("src", "dst")
+      .persist()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("lab", col("node")).localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val neighborMin = edges
+        .join(labels.select(col("node").as("dst"), col("lab").as("nlab")), "dst")
+        .groupBy(col("src").as("node")).agg(min(col("nlab")).as("nmin"))
+      val next = labels.join(neighborMin, Seq("node"), "left")
+        .select(col("node"), least(col("lab"), coalesce(col("nmin"), col("lab"))).as("lab"))
+        .localCheckpoint(true)
+      changed = next.join(labels.withColumnRenamed("lab", "old"), "node")
+        .where(col("lab") =!= col("old")).count()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Incremental dedup of a new batch against a historical corpus: the
+    * history is touched only through slim derived tables (content-hash
+    * index + shingle inverted index — in production maintained
+    * incrementally and stored bucketed by their join keys); the batch
+    * never self-joins and history×history pairs are never formed.
+    * Verdict precedence: exact_dup > near_dup (shingle Jaccard ≥
+    * `nearThreshold`) > keep. Returns (doc_id, verdict, matched) with
+    * matched = smallest matching history id, −1 for keeps.
+    */
+  def incrementalDedup(history: DataFrame, newBatch: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      nearThreshold: Double = 0.5): DataFrame = {
+    def hashed(df: DataFrame): DataFrame = df.withColumn("h",
+      md5(regexp_replace(lower(trim(col(textCol))), "\\s+", " ")))
+    val histHash = hashed(history).select(col(idCol).as("hist_id"), col("h"))
+    val exact = hashed(newBatch).join(histHash, "h")
+      .groupBy(col(idCol)).agg(min(col("hist_id")).as("matched"))
+      .withColumn("verdict", lit("exact_dup"))
+    val rest = newBatch.join(exact.select(idCol), Seq(idCol), "left_anti")
+    val restSh = shingled(rest, textCol)
+      .select(col(idCol).as("doc_id"), col("shingles")).persist()
+    val histSh = shingled(history, textCol)
+      .select(col(idCol).as("hist_id"), col("shingles").as("hsh")).persist()
+    val restSizes = restSh.select(col("doc_id"), size(col("shingles")).as("na"))
+    val histSizes = histSh.select(col("hist_id"), size(col("hsh")).as("nb"))
+    val near = restSh.select(col("doc_id"), explode(col("shingles")).as("sh"))
+      .join(histSh.select(col("hist_id"), explode(col("hsh")).as("sh")), "sh")
+      .groupBy(col("doc_id"), col("hist_id")).agg(count(lit(1)).as("shared"))
+      .join(restSizes, "doc_id").join(histSizes, "hist_id")
+      .where(col("shared").cast(DoubleType)
+        / (col("na") + col("nb") - col("shared")).cast(DoubleType) >= nearThreshold)
+      .groupBy(col("doc_id")).agg(min(col("hist_id")).as("matched"))
+      .withColumn("verdict", lit("near_dup"))
+      .withColumnRenamed("doc_id", idCol)
+    val keep = newBatch.select(idCol)
+      .join(exact.select(idCol), Seq(idCol), "left_anti")
+      .join(near.select(idCol), Seq(idCol), "left_anti")
+      .withColumn("matched", lit(-1L)).withColumn("verdict", lit("keep"))
+    exact.unionByName(near).unionByName(keep)
+      .select(col(idCol), col("verdict"), col("matched"))
+  }
+}

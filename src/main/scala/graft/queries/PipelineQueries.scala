@@ -43,100 +43,39 @@ object PipelineQueries {
     docs.unionByName(planted)
   }
 
-  /** tokens + distinct word-3-gram shingles (native expression — the
-    * interpreted transform/array_distinct formulation was the hot spot
-    * of every shingle-based operator).
+  /** See [[graft.ops.TextDedup.shingled]] — kept as a local alias for
+    * the query bindings below.
     */
-  private def withShingles(df: DataFrame): DataFrame = {
-    graft.functions.BitSketchExpressions.register(df.sparkSession)
-    df.withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
-      .where(size(col("toks")) >= 3)
-      .withColumn("shingles", expr("graft_shingles(toks)"))
-  }
+  private def withShingles(df: DataFrame): DataFrame =
+    graft.ops.TextDedup.shingled(df)
 
-  /** Blocked n-gram Jaccard pairs (jaccard ≥ 0.3) — the candidate
-    * generation behind d08 and the edge set of d21. No shingle ARRAY
-    * ever enters a join: explode to slim (block, shingle, doc_id) rows,
-    * count shared shingles per candidate pair with an equi-join keyed
-    * on the shingle itself, then jaccard = shared / (|A| + |B| −
-    * shared). Shingles are distinct per doc, so the pair count IS the
-    * intersection size and the values match the array formulation
-    * exactly. The widest thing shuffled is one shingle string — the
-    * shape that survives a 100 TB corpus (a blocked array-carry
-    * self-join does not).
+  /** Gate binding of [[graft.ops.TextDedup.jaccardPairs]] (lang-blocked,
+    * jaccard ≥ 0.3) over the planted corpus — the candidate generation
+    * behind d08 and the edge set of d21.
     */
-  private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
-    val sh = withShingles(corpusWithPlants(s, d))
-      .withColumn("first_tok", expr("element_at(toks, 1)"))
-      .withColumn("n_toks_bucket", expr("cast(size(toks) div 8 as int)"))
-      .select(col("doc_id"), col("lang"), col("first_tok"), col("n_toks_bucket"), col("shingles"))
-      .persist()
-    val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n_sh"))
-    val ex = sh.select(col("lang"), col("first_tok"), col("n_toks_bucket"), col("doc_id"),
-      explode(col("shingles")).as("sh"))
-    ex.select(col("lang"), col("first_tok"), col("n_toks_bucket"), col("sh"), col("doc_id").as("a"))
-      .join(ex.select(col("lang"), col("first_tok"), col("n_toks_bucket"), col("sh"), col("doc_id").as("b")),
-        Seq("lang", "first_tok", "n_toks_bucket", "sh"))
-      .where(col("a") < col("b"))
-      .groupBy("a", "b").agg(count(lit(1)).as("shared"))
-      .join(sizes.select(col("doc_id").as("a"), col("n_sh").as("na")), "a")
-      .join(sizes.select(col("doc_id").as("b"), col("n_sh").as("nb")), "b")
-      .withColumn("jaccard", col("shared").cast(DoubleType)
-        / (col("na") + col("nb") - col("shared")).cast(DoubleType))
-      .where(col("jaccard") >= 0.3)
-  }
+  private def jaccardPairs(s: SparkSession, d: String): DataFrame =
+    graft.ops.TextDedup.jaccardPairs(corpusWithPlants(s, d))
 
-  /** Connected components over an undirected pair list (columns a, b)
-    * by min-label propagation: every node adopts the smallest label
-    * among itself and its neighbors, iterated to fixpoint. Rounds are
-    * bounded by the component diameter (near-dup clusters are shallow;
-    * ≤20 guards pathological chains), each round shuffles only slim
-    * (node, label) rows, and lineage is cut per round with
-    * localCheckpoint — the standard large-graph CC shape. Returns
-    * (node, lab) where lab = min node id in the component.
+  /** See [[graft.ops.TextDedup.connectedComponents]]. */
+  def connectedComponents(pairs: DataFrame): DataFrame =
+    graft.ops.TextDedup.connectedComponents(pairs)
+
+  /** embeddings quantized to int64 (×1000) + planted exact copies —
+    * the gate binding of [[graft.ops.Embeddings.quantized]].
     */
-  def connectedComponents(pairs: DataFrame): DataFrame = {
-    val edges = pairs.union(pairs.select(col("b"), col("a"))).toDF("src", "dst")
-      .persist()
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("lab", col("node")).localCheckpoint(true)
-    var changed = 1L
-    var iter = 0
-    while (changed > 0 && iter < 20) {
-      val neighborMin = edges
-        .join(labels.select(col("node").as("dst"), col("lab").as("nlab")), "dst")
-        .groupBy(col("src").as("node")).agg(min(col("nlab")).as("nmin"))
-      val next = labels.join(neighborMin, Seq("node"), "left")
-        .select(col("node"), least(col("lab"), coalesce(col("nmin"), col("lab"))).as("lab"))
-        .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("lab", "old"), "node")
-        .where(col("lab") =!= col("old")).count()
-      labels = next
-      iter += 1
-    }
-    edges.unpersist()
-    labels
-  }
-
-  /** embeddings quantized to int64 (×1000) + planted exact copies. */
   private def quantizedEmbeddings(s: SparkSession, d: String, plant: Boolean): DataFrame = {
     val e = t(s, d, "embeddings")
     val base = if (plant) {
       e.unionByName(e.where(col("vec_id") % 20 === 0)
         .withColumn("vec_id", col("vec_id") + 1000000L))
     } else e
-    base
-      .withColumn("q", expr("transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint))"))
-      .withColumn("nrm", expr("aggregate(zip_with(q, q, (x, y) -> x * y), 0L, (a, x) -> a + x)"))
-      .drop("embedding")
+    graft.ops.Embeddings.quantized(base)
   }
 
   val queries: Map[String, Q] = Map(
     // --- exact dedup: content-hash groupBy (the 100 TB-safe baseline) --
     "d01_dedup_exact" -> { (s, d) =>
-      corpusWithPlants(s, d)
-        .groupBy(md5(col("text")).as("content_hash"))
-        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      graft.ops.TextDedup.exactDedup(corpusWithPlants(s, d))
         .orderBy(col("content_hash"))
     },
 
@@ -152,28 +91,12 @@ object PipelineQueries {
 
     // --- token counting: whitespace + BPE-ish regex --------------------
     "d03_token_count" -> { (s, d) =>
-      t(s, d, "documents")
-        .select(col("doc_id"),
-          size(split(trim(col("text")), "\\s+")).cast(LongType).as("ws_tokens"),
-          size(regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
-            .cast(LongType).as("bpe_tokens"),
-          length(col("text")).cast(LongType).as("n_chars"))
-        .orderBy(col("doc_id"))
+      graft.ops.Corpus.tokenCounts(t(s, d, "documents")).orderBy(col("doc_id"))
     },
 
     // --- quality scoring: length/stopword/alpha ratios -----------------
     "d04_quality_score" -> { (s, d) =>
-      t(s, d, "documents")
-        .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
-        .withColumn("n_tokens", size(col("toks")).cast(LongType))
-        .withColumn("alpha_chars", length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast(LongType))
-        .withColumn("stop_hits", expr(
-          "cast(size(filter(toks, t -> t in ('the','a','of','and','to','in','is'))) as bigint)"))
-        .select(col("doc_id"), col("n_tokens"), col("alpha_chars"), col("stop_hits"),
-          (lit(0.4) * least(lit(1.0), col("n_tokens").cast(DoubleType) / 100.0)
-            + lit(0.3) * (col("stop_hits").cast(DoubleType) / col("n_tokens").cast(DoubleType))
-            + lit(0.3) * (col("alpha_chars").cast(DoubleType) / length(col("text")).cast(DoubleType))).as("quality"))
-        .orderBy(col("doc_id"))
+      graft.ops.Corpus.qualityScore(t(s, d, "documents")).orderBy(col("doc_id"))
     },
 
     // --- language ID: stopword-profile n-gram heuristic ----------------
@@ -207,50 +130,14 @@ object PipelineQueries {
 
     // --- MinHash + LSH near-dup (shingle → 32 minhashes → 8 bands) -----
     "d07_dedup_minhash_lsh" -> { (s, d) =>
-      // one base hash per shingle; the 32 MinHash functions are modular
-      // affine permutations h_j = (base·a_j + b_j) mod p over the 31-bit
-      // base — avoids 32 string-concat + rehash passes per shingle.
-      // The mod p is essential: without wraparound the maps are monotonic
-      // in base and every h_j picks the same min shingle, collapsing LSH
-      // into "share the global min shingle" (candidate buckets explode).
-      // Operands stay < 2^62 so ANSI mode never sees an overflow.
-      // Base hash is md5-derived (top 60 bits of the digest): bit-
-      // identical in any engine with md5 + hex→int, which is what lets
-      // the WHOLE LSH pipeline — permutations, banding, candidate
-      // pairs, verification — be hash-checked against DuckDB instead of
-      // rows-only. The digest + all 32 permutations run in the native
-      // MinHash32 expression (one compiled loop per row; see its note
-      // on why the HOF form re-digests 32× under project collapsing).
-      val sh = withShingles(corpusWithPlants(s, d))
-        .withColumn("mh", expr("graft_minhash32(shingles)"))
-        .select(col("doc_id"), col("mh"), col("shingles"))
-        // the sketch table feeds candidate generation AND both
-        // verification re-joins — materialize it once (at scale: a
-        // persisted/bucketed sketch table computed in its own pass)
-        .persist()
-      // Candidate generation shuffles SLIM (band, bh, doc_id) rows only —
-      // at 100 TB the banded self-join would otherwise carry two full
-      // shingle sets + minhash arrays per candidate pair. The (few)
-      // surviving pairs then re-join the per-doc sketch table once per
-      // side for exact verification.
-      val banded = sh.select(col("doc_id"),
-          explode(expr(
-            """transform(sequence(0, 7),
-              |  b -> struct(b as band, graft_md5_60(concat_ws(',', slice(mh, b*4+1, 4))) as bh))""".stripMargin)).as("bd"))
-        .select(col("doc_id"), col("bd.band"), col("bd.bh"))
-      val ca = banded.select(col("band"), col("bh"), col("doc_id").as("a"))
-      val cb = banded.select(col("band"), col("bh"), col("doc_id").as("b"))
-      val pairs = ca.join(cb, Seq("band", "bh")).where(col("a") < col("b"))
-        .select(col("a"), col("b")).dropDuplicates("a", "b")
-      pairs
-        .join(sh.select(col("doc_id").as("a"), col("mh").as("mha"), col("shingles").as("sha")), "a")
-        .join(sh.select(col("doc_id").as("b"), col("mh").as("mhb"), col("shingles").as("shb")), "b")
-        .withColumn("est_jaccard", expr(
-          "cast(aggregate(zip_with(mha, mhb, (x, y) -> if(x = y, 1, 0)), 0, (acc, v) -> acc + v) as double) / 32.0"))
-        .withColumn("jaccard", expr(
-          "cast(size(array_intersect(sha, shb)) as double) / cast(size(array_union(sha, shb)) as double)"))
-        .where(col("est_jaccard") >= 0.5 && col("jaccard") >= 0.3)
-        .select(col("a"), col("b"), col("est_jaccard"), col("jaccard"))
+      // [[graft.ops.TextDedup.minhashLshPairs]] over the planted corpus.
+      // The 32 MinHash permutations are modular affine maps over an
+      // md5-derived base hash computed in the native MinHash32
+      // expression — bit-identical in any engine with md5 + hex→int,
+      // which is what lets the WHOLE LSH pipeline (permutations,
+      // banding, candidate pairs, verification) be hash-checked against
+      // DuckDB instead of rows-only.
+      graft.ops.TextDedup.minhashLshPairs(corpusWithPlants(s, d))
         .orderBy(col("a"), col("b"))
     },
 
@@ -318,116 +205,35 @@ object PipelineQueries {
 
     // --- SimHash (64-bit) over tokens + bucketed hamming candidates ----
     "d09_dedup_simhash" -> { (s, d) =>
-      graft.functions.BitSketchExpressions.register(s)
-      val docs = corpusWithPlants(s, d)
-        .withColumn("toks", expr("array_distinct(split(lower(trim(text)), '\\\\s+'))"))
-        .where(size(col("toks")) >= 3)
-        // hash each token ONCE, then fold bits over the precomputed
-        // hashes — 64× fewer hash invocations than hashing inside the
-        // bit loop. The token hash is md5-derived (60 bits, native
-        // Md5Long60) so DuckDB can recompute the exact simhashes: the
-        // multi-probe candidate scheme is EXACT for hamming ≤ 3
-        // (pigeonhole over the two 32-bit halves), so the output equals
-        // brute-force all-pairs hamming and the oracle can hash-check it.
-        .withColumn("hs", expr("transform(toks, t -> graft_md5_60(t))"))
-        .withColumn("sim", expr("graft_simhash64(hs)"))
-        .select(col("doc_id"), col("sim"))
-        // consumed by both the exact-key and probe sides — compute the
-        // simhash pass once
-        .persist()
-      // Candidates via 2×32-bit half keys with single-bit-flip multi-probe.
-      // Pigeonhole: hamming(sim_a, sim_b) ≤ 3 ⇒ one 32-bit half differs in
-      // ≤ 1 bit, so a's 33 probe keys (exact + 32 flips) hit b's exact key.
-      // Bucket-cardinality math: 16-bit band keys give 65,536 buckets per
-      // band — at 10⁹ docs that's ~15k docs/bucket and the within-bucket
-      // pairing degrades toward quadratic (~10¹² pairs). 32-bit keys give
-      // 4.3×10⁹ buckets (≲1 exact row each at 10⁹ docs); the 33× probe
-      // fan-out is linear in n and each probe row is 3 longs.
-      val exacts = docs.select(col("doc_id").as("b"), col("sim").as("simb"),
-          explode(expr(
-            "transform(sequence(0, 1), h -> struct(h as half, shiftright(sim, h*32) & 4294967295L as key))")).as("ex"))
-        .select(col("b"), col("simb"), col("ex.half"), col("ex.key"))
-      val probes = docs.select(col("doc_id").as("a"), col("sim").as("sima"),
-          explode(expr(
-            """flatten(transform(sequence(0, 1), h ->
-              |  transform(sequence(-1, 31), f ->
-              |    struct(h as half,
-              |      case when f = -1 then shiftright(sim, h*32) & 4294967295L
-              |           else (shiftright(sim, h*32) & 4294967295L) ^ shiftleft(1L, f) end as key))))""".stripMargin)).as("pr"))
-        .select(col("a"), col("sima"), col("pr.half"), col("pr.key"))
-      probes.join(exacts, Seq("half", "key")).where(col("a") < col("b"))
-        .dropDuplicates("a", "b")
-        .withColumn("hamming", expr("cast(bit_count(sima ^ simb) as bigint)"))
-        .where(col("hamming") <= 3)
-        .select(col("a"), col("b"), col("hamming"))
+      // [[graft.ops.TextDedup.simhashPairs]] — exact for hamming ≤ 3
+      // (half-key + single-bit-flip multi-probe, pigeonhole over the
+      // two 32-bit halves), so the output equals brute-force all-pairs
+      // hamming and the oracle can hash-check it.
+      graft.ops.TextDedup.simhashPairs(corpusWithPlants(s, d))
         .orderBy(col("a"), col("b"))
     },
 
     // --- brute-force cosine top-k ANN baseline (exact-int math) --------
     "d10_ann_bruteforce_topk" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
       val e = quantizedEmbeddings(s, d, plant = false)
-      val q = e.where(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("q").as("qq"), col("nrm").as("qnrm"))
-      val cand = e.select(col("vec_id"), col("q"), col("nrm"))
-      val scored = cand.join(broadcast(q), col("vec_id") =!= col("query_id"))
-        .withColumn("cos", expr(
-          """round(cast(aggregate(zip_with(qq, q, (x, y) -> x * y), 0L, (acc, x) -> acc + x) as double)
-            | / (sqrt(cast(qnrm as double)) * sqrt(cast(nrm as double))), 6)""".stripMargin))
-      val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
-      scored.withColumn("rank", row_number().over(w)).where(col("rank") <= 5)
-        .select(col("query_id"), col("rank").cast(LongType).as("rank"),
-          col("vec_id").as("neighbor_id"), col("cos"))
+      graft.ops.Embeddings.bruteForceTopK(e, e.where(col("vec_id") < 10), k = 5)
         .orderBy(col("query_id"), col("rank"))
     },
 
     // --- embedding near-dup via sign-random-projection LSH -------------
     "d11_dedup_embedding_lsh" -> { (s, d) =>
-      graft.functions.BitSketchExpressions.register(s)
-      val e = quantizedEmbeddings(s, d, plant = true)
-        .withColumn("sig", expr("graft_srp_sig(q)"))
-      val a = e.select(col("sig"), col("vec_id").as("a"), col("q").as("qa"), col("nrm").as("na"))
-      val b = e.select(col("sig"), col("vec_id").as("b"), col("q").as("qb"), col("nrm").as("nb"))
-      a.join(b, Seq("sig")).where(col("a") < col("b"))
-        .withColumn("cos", expr(
-          """round(cast(aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (acc, x) -> acc + x) as double)
-            | / (sqrt(cast(na as double)) * sqrt(cast(nb as double))), 6)""".stripMargin))
-        .where(col("cos") >= 0.95)
-        .select(col("a"), col("b"), col("cos"))
+      graft.ops.Embeddings.srpPairs(quantizedEmbeddings(s, d, plant = true))
         .orderBy(col("a"), col("b"))
     },
 
     // --- IVF-style ANN: coarse centroids → probe 2 cells → top-3 -------
     "d12_ann_ivf" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
       val e = quantizedEmbeddings(s, d, plant = false)
       val cents = e.where(col("vec_id") < 16)
         .select(col("vec_id").as("cent_id"), col("q").as("cq"), col("nrm").as("cnrm"))
-      // assign every vector to its nearest centroid (L2² on exact ints)
-      val l2 = "aggregate(zip_with(q, cq, (x, y) -> (x - y) * (x - y)), 0L, (acc, x) -> acc + x)"
-      val l2q = "aggregate(zip_with(qq, cq, (x, y) -> (x - y) * (x - y)), 0L, (acc, x) -> acc + x)"
-      val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cent_id"))
-      val assigned = e.join(broadcast(cents), expr("true"))
-        .withColumn("dist", expr(l2))
-        .withColumn("rn", row_number().over(wAssign)).where(col("rn") === 1)
-        .select(col("vec_id"), col("cent_id"), col("q"), col("nrm"))
-      // queries probe their 2 nearest centroids
-      val qs = e.where(col("vec_id") >= 100 && col("vec_id") < 110)
-        .select(col("vec_id").as("query_id"), col("q").as("qq"), col("nrm").as("qnrm"))
-      val wProbe = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("cent_id"))
-      val probes = qs.join(broadcast(cents), expr("true"))
-        .withColumn("dist", expr(l2q))
-        .withColumn("rn", row_number().over(wProbe)).where(col("rn") <= 2)
-        .select(col("query_id"), col("qq"), col("qnrm"), col("cent_id"))
-      val wTop = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
-      probes.join(assigned, Seq("cent_id"))
-        .where(col("vec_id") =!= col("query_id"))
-        .withColumn("cos", expr(
-          """round(cast(aggregate(zip_with(qq, q, (x, y) -> x * y), 0L, (acc, x) -> acc + x) as double)
-            | / (sqrt(cast(qnrm as double)) * sqrt(cast(nrm as double))), 6)""".stripMargin))
-        .withColumn("rank", row_number().over(wTop)).where(col("rank") <= 3)
-        .select(col("query_id"), col("rank").cast(LongType).as("rank"),
-          col("vec_id").as("neighbor_id"), col("cos"))
+      graft.ops.Embeddings.ivfTopK(e,
+          e.where(col("vec_id") >= 100 && col("vec_id") < 110), cents,
+          nProbe = 2, k = 3)
         .orderBy(col("query_id"), col("rank"))
     },
 
@@ -460,25 +266,10 @@ object PipelineQueries {
       // refined centroids, memberships, and inertia all hash-check.
       // Per iteration: one broadcast join + one (cent, pos) aggregate;
       // the corpus shuffles nothing but slim assignment rows.
-      import org.apache.spark.sql.expressions.Window
       val e = quantizedEmbeddings(s, d, plant = false).select(col("vec_id"), col("q")).persist()
-      val l2 = "aggregate(zip_with(q, cq, (x, y) -> (x - y) * (x - y)), 0L, (acc, x) -> acc + x)"
-      val wA = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cent_id"))
-      def assign(cents: DataFrame): DataFrame =
-        e.join(broadcast(cents), expr("true"))
-          .withColumn("dist", expr(l2))
-          .withColumn("rn", row_number().over(wA)).where(col("rn") === 1)
-          .select(col("vec_id"), col("cent_id"), col("q"), col("dist"))
-      var cents = e.where(col("vec_id") < 16).select(col("vec_id").as("cent_id"), col("q").as("cq"))
-      for (_ <- 1 to 2) {
-        cents = assign(cents)
-          .select(col("cent_id"), posexplode(col("q")).as(Seq("pos", "v")))
-          .groupBy("cent_id", "pos")
-          .agg(expr("cast(floor(cast(sum(v) as double) / count(1) + 0.5d) as bigint)").as("mv"))
-          .groupBy("cent_id")
-          .agg(expr("transform(array_sort(collect_list(struct(pos, mv))), x -> x.mv)").as("cq"))
-      }
-      assign(cents)
+      val init = e.where(col("vec_id") < 16).select(col("vec_id").as("cent_id"), col("q").as("cq"))
+      val refined = graft.ops.Embeddings.kmeansRefine(e, init, iters = 2)
+      graft.ops.Embeddings.assignToCentroids(e, refined)
         .groupBy(col("cent_id"))
         .agg(count(lit(1)).as("n_members"), sum(col("dist")).as("inertia"))
         .orderBy(col("cent_id"))
@@ -488,26 +279,8 @@ object PipelineQueries {
     //     map-side reduced before the shuffle (no full sort of the
     //     candidate set — the 100 TB path) ------------------------------
     "d13_ann_topk_aggregator" -> { (s, d) =>
-      import s.implicits._
-      import graft.functions.TopKAggregator
       val e = quantizedEmbeddings(s, d, plant = false)
-      val q = e.where(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("q").as("qq"), col("nrm").as("qnrm"))
-      val scored = e.select(col("vec_id"), col("q"), col("nrm"))
-        .join(broadcast(q), col("vec_id") =!= col("query_id"))
-        .withColumn("cos", expr(
-          """round(cast(aggregate(zip_with(qq, q, (x, y) -> x * y), 0L, (acc, x) -> acc + x) as double)
-            | / (sqrt(cast(qnrm as double)) * sqrt(cast(nrm as double))), 6)""".stripMargin))
-        .select(col("query_id"), col("vec_id"), col("cos"))
-        .as[(Long, Long, Double)]
-      scored
-        .groupByKey(_._1)
-        .mapValues { case (_, vid, cos) => TopKAggregator.Scored(vid, cos) }
-        .agg(TopKAggregator.topK(5).toColumn.name("top"))
-        .flatMap { case (qid, top) =>
-          top.zipWithIndex.map { case (sc, i) => (qid, (i + 1).toLong, sc.id, sc.score) }
-        }
-        .toDF("query_id", "rank", "neighbor_id", "cos")
+      graft.ops.Embeddings.topKAggregated(s, e, e.where(col("vec_id") < 10), k = 5)
         .orderBy(col("query_id"), col("rank"))
     },
 
@@ -709,20 +482,8 @@ object PipelineQueries {
       // it; at 100 TB the bucket IS the partition), then ONE window
       // cumsum per bucket — a single shuffle, no driver state, and no
       // global ordering requirement across buckets.
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      t(s, d, "documents")
-        .withColumn("n_tokens",
-          size(split(lower(trim(col("text"))), "\\s+")).cast(LongType))
-        .withColumn("bucket", col("doc_id") % 16)
-        .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
-        .withColumn("pack_id", expr("cum_before div 2048"))
-        .groupBy(col("bucket"), col("pack_id"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_tokens")).as("pack_tokens"),
-          min(col("doc_id")).as("first_doc"),
-          max(col("doc_id")).as("last_doc"))
+      graft.ops.Corpus.packSequences(t(s, d, "documents"),
+          budget = 2048, numBuckets = 16)
         .orderBy(col("bucket"), col("pack_id"))
     },
 
@@ -733,16 +494,13 @@ object PipelineQueries {
       // sibling of d19): lang decides the keep-percentage, the 60-bit
       // md5 prefix mod 100 decides membership. Reproducible across
       // runs, engines, and cluster sizes; one scan, one tiny groupBy.
-      t(s, d, "documents")
-        .withColumn("rate_pct", expr(
+      graft.ops.Corpus.stratifiedFlag(t(s, d, "documents"), expr(
           """CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 30 WHEN 'fr' THEN 30
             |WHEN 'es' THEN 20 ELSE 10 END""".stripMargin))
-        .withColumn("h",
-          expr("cast(conv(substring(md5(text), 1, 15), 16, 10) as bigint) % 100"))
         .groupBy(col("lang"), col("rate_pct"))
         .agg(count(lit(1)).as("n_total"),
-          count(when(col("h") < col("rate_pct"), 1)).as("n_sampled"),
-          min(when(col("h") < col("rate_pct"), col("doc_id"))).as("min_sampled_doc"))
+          count(when(col("sampled"), 1)).as("n_sampled"),
+          min(when(col("sampled"), col("doc_id"))).as("min_sampled_doc"))
         .orderBy(col("lang"))
     },
 
@@ -764,34 +522,7 @@ object PipelineQueries {
         .unionByName(history.where(col("doc_id") % 8 === 3) // edited revisions
           .withColumn("doc_id", col("doc_id") + 3000000L)
           .withColumn("text", concat(col("text"), lit(" update"))))
-      def hashed(df: DataFrame): DataFrame = df.withColumn("h",
-        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
-      val histHash = hashed(history).select(col("doc_id").as("hist_id"), col("h"))
-      val exact = hashed(newBatch).join(histHash, "h")
-        .groupBy(col("doc_id")).agg(min(col("hist_id")).as("matched"))
-        .withColumn("verdict", lit("exact_dup"))
-      // only not-exact-matched batch docs reach the (pricier) near check
-      val rest = newBatch.join(exact.select("doc_id"), Seq("doc_id"), "left_anti")
-      val restSh = withShingles(rest)
-        .select(col("doc_id"), col("shingles")).persist()
-      val histSh = withShingles(history)
-        .select(col("doc_id").as("hist_id"), col("shingles").as("hsh")).persist()
-      val restSizes = restSh.select(col("doc_id"), size(col("shingles")).as("na"))
-      val histSizes = histSh.select(col("hist_id"), size(col("hsh")).as("nb"))
-      val near = restSh.select(col("doc_id"), explode(col("shingles")).as("sh"))
-        .join(histSh.select(col("hist_id"), explode(col("hsh")).as("sh")), "sh")
-        .groupBy(col("doc_id"), col("hist_id")).agg(count(lit(1)).as("shared"))
-        .join(restSizes, "doc_id").join(histSizes, "hist_id")
-        .where(col("shared").cast(DoubleType)
-          / (col("na") + col("nb") - col("shared")).cast(DoubleType) >= 0.5)
-        .groupBy(col("doc_id")).agg(min(col("hist_id")).as("matched"))
-        .withColumn("verdict", lit("near_dup"))
-      val keep = newBatch.select("doc_id")
-        .join(exact.select("doc_id"), Seq("doc_id"), "left_anti")
-        .join(near.select("doc_id"), Seq("doc_id"), "left_anti")
-        .withColumn("matched", lit(-1L)).withColumn("verdict", lit("keep"))
-      exact.unionByName(near).unionByName(keep)
-        .select(col("doc_id"), col("verdict"), col("matched"))
+      graft.ops.TextDedup.incrementalDedup(history, newBatch)
         .orderBy(col("doc_id"))
     },
 
@@ -804,19 +535,8 @@ object PipelineQueries {
       // normalizer is computed over a sorted collected list — float
       // summation order is pinned, making the DOUBLE output
       // bit-reproducible across engines and partitionings.
-      val per = t(s, d, "documents")
-        .withColumn("n_tokens",
-          size(split(lower(trim(col("text"))), "\\s+")).cast(LongType))
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens"))
-      val z = per.agg(expr(
-        """aggregate(sort_array(collect_list(sqrt(cast(tokens as double)))),
-          |  cast(0 as double), (a, x) -> a + x)""".stripMargin).as("z"))
-      per.crossJoin(z)
-        .select(col("source"), col("n_docs"), col("tokens"),
-          round(sqrt(col("tokens").cast(DoubleType)) / col("z"), 6).as("weight"),
-          round(lit(10000000.0) * sqrt(col("tokens").cast(DoubleType)) / col("z"))
-            .cast(LongType).as("alloc_tokens"))
+      graft.ops.Corpus.mixtureWeights(t(s, d, "documents"),
+          domainCol = "source", budgetTokens = 1e7)
         .orderBy(col("source"))
     },
 
@@ -828,12 +548,7 @@ object PipelineQueries {
       // the whole op is codegen'd per-row work with zero shuffles. The
       // gate emits an index-weighted checksum (exact int64 sums commute)
       // instead of the array.
-      t(s, d, "embeddings")
-        .withColumn("dim", size(col("embedding")).cast(LongType))
-        .withColumn("scale", expr(
-          "greatest(array_max(transform(embedding, x -> abs(cast(x as double)))), cast(1e-30 as double))"))
-        .withColumn("q", expr(
-          "transform(embedding, x -> cast(round(127.0 * cast(x as double) / scale) as bigint))"))
+      graft.ops.Embeddings.quantizeInt8(t(s, d, "embeddings"))
         .select(col("vec_id"), col("dim"), col("scale"),
           expr("""aggregate(zip_with(q, sequence(1, size(q)), (qv, i) -> qv * cast(i as bigint)),
                 |  cast(0 as bigint), (a, x) -> a + x)""".stripMargin).as("checksum"),

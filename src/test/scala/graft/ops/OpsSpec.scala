@@ -1,0 +1,124 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The public ops API on arbitrary in-memory DataFrames — not the test
+  * tables — proving the operators are a reusable library surface
+  * (custom column names, any source) and their core invariants hold.
+  */
+class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  import scala.jdk.CollectionConverters._
+  private def docs(rows: (Long, String)*) = {
+    import org.apache.spark.sql.{Row, types => T}
+    spark.createDataFrame(
+      rows.map { case (i, t) => Row(i, t) }.asJava,
+      T.StructType(Seq(
+        T.StructField("id", T.LongType), T.StructField("body", T.StringType))))
+  }
+
+  test("exactDedup groups identical content under custom column names") {
+    val df = docs(1L -> "alpha beta", 2L -> "alpha beta", 3L -> "gamma")
+    val out = TextDedup.exactDedup(df, idCol = "id", textCol = "body").collect()
+    assert(out.length == 2)
+    val dup = out.find(_.getLong(2) == 2L).get
+    assert(dup.getLong(1) == 1L) // smallest id retained
+  }
+
+  test("minhashLshPairs finds a planted near-duplicate") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val df = docs(
+      1L -> base,
+      2L -> (base + " extra"),
+      3L -> "completely different words in this unrelated document here now")
+    val pairs = TextDedup.minhashLshPairs(df, idCol = "id", textCol = "body")
+      .collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).contains((1L, 2L)))
+    assert(pairs.forall(r => r.getLong(0) != 3L && r.getLong(1) != 3L))
+  }
+
+  test("incrementalDedup verdicts: exact > near > keep") {
+    val history = docs(1L -> "one two three four five six seven eight nine")
+    val batch = docs(
+      10L -> "one two three four five six seven eight nine",           // exact
+      11L -> "one two three four five six seven eight nine ten",       // near
+      12L -> "totally fresh content with no overlap at all whatsoever") // keep
+    val out = TextDedup.incrementalDedup(history, batch, idCol = "id", textCol = "body")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(10L) == ("exact_dup", 1L))
+    assert(out(11L) == ("near_dup", 1L))
+    assert(out(12L) == ("keep", -1L))
+  }
+
+  test("packSequences conserves tokens and packs in id order") {
+    val df = docs((1L to 40L).map(i => i -> ("tok " * 600).trim): _*)
+    val packs = Corpus.packSequences(df, idCol = "id", textCol = "body",
+      budget = 2048, numBuckets = 4).collect()
+    val totalTokens = packs.map(_.getLong(3)).sum
+    assert(totalTokens == 40L * 600, s"token conservation broke: $totalTokens")
+    // within a bucket, pack ids are dense from 0 and doc ranges don't overlap
+    packs.groupBy(_.getLong(0)).foreach { case (_, ps) =>
+      val sorted = ps.sortBy(_.getLong(1))
+      assert(sorted.head.getLong(1) == 0L)
+      sorted.sliding(2).foreach {
+        case Array(p1, p2) => assert(p1.getLong(5) < p2.getLong(4)) // last_doc < next first_doc
+        case _ =>
+      }
+    }
+  }
+
+  test("mixtureWeights sum to 1 and allocations to the budget") {
+    val df = docs(
+      1L -> "a b c d e", 2L -> "a b c", 3L -> "a b c d e f g h",
+      4L -> "x y", 5L -> "x y z w v u t s r q p o n m")
+      .withColumn("dom", when(col("id") <= 3, "d1").otherwise("d2"))
+    val w = Corpus.mixtureWeights(df, domainCol = "dom", textCol = "body",
+      budgetTokens = 1e6).collect()
+    val sumW = w.map(_.getDouble(3)).sum
+    assert(math.abs(sumW - 1.0) < 1e-5, s"weights sum $sumW")
+    val sumAlloc = w.map(_.getLong(4)).sum
+    assert(math.abs(sumAlloc - 1e6) < 2, s"allocation sum $sumAlloc")
+  }
+
+  test("quantizeInt8 bounds and reconstruction") {
+    import org.apache.spark.sql.{Row, types => T}
+    val df = spark.createDataFrame(
+      Seq(Row(1L, Seq(0.5f, -1.0f, 0.25f)), Row(2L, Seq(2.0f, 1.0f, -0.5f))).asJava,
+      T.StructType(Seq(T.StructField("vid", T.LongType),
+        T.StructField("v", T.ArrayType(T.FloatType)))))
+    val q = Embeddings.quantizeInt8(df, idCol = "vid", vecCol = "v")
+      .selectExpr("vec_id", "scale", "q", "array_max(q) qmax", "array_min(q) qmin")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(q.values.forall(r => r.getLong(3) <= 127 && r.getLong(4) >= -127))
+    // the max-|x| component always quantizes to ±127 exactly
+    assert(q(1L).getSeq[Long](2) == Seq(64L, -127L, 32L))
+    assert(q(2L).getSeq[Long](2) == Seq(127L, 64L, -32L))
+  }
+
+  test("bruteForceTopK ranks the true nearest neighbor first") {
+    import org.apache.spark.sql.{Row, types => T}
+    val vecs = spark.createDataFrame(
+      Seq(
+        Row(1L, Seq(1.0f, 0.0f)), Row(2L, Seq(0.9f, 0.1f)),
+        Row(3L, Seq(0.0f, 1.0f)), Row(4L, Seq(-1.0f, 0.0f))).asJava,
+      T.StructType(Seq(T.StructField("vec_id", T.LongType),
+        T.StructField("embedding", T.ArrayType(T.FloatType)))))
+    val q = Embeddings.quantized(vecs)
+    val top = Embeddings.bruteForceTopK(q, q.where(col("vec_id") === 1), k = 2)
+      .orderBy(col("rank")).collect()
+    assert(top(0).getLong(2) == 2L) // closest direction
+    assert(top(1).getLong(2) == 3L) // orthogonal beats opposite
+  }
+}
