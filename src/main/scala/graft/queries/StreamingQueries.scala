@@ -27,6 +27,10 @@ object StreamingQueries {
 
     "s04_stream_stream_join" -> { (s, d) =>
       StreamingOps.runBoundedAttribution(s, d, "s04_sink")
+    },
+
+    "s05_stream_dedup_delivery" -> { (s, d) =>
+      StreamingOps.runBoundedDedupDelivery(s, d, "s05_sink")
     }
   )
 
@@ -78,6 +82,13 @@ object StreamingQueries {
         |  ON p.user_id = c.user_id
         |  AND c.event_type = 'click' AND p.event_type = 'purchase'
         |  AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
-        |ORDER BY c.user_id, click_id, purchase_id""".stripMargin
+        |ORDER BY c.user_id, click_id, purchase_id""".stripMargin,
+
+    // if the streaming dedup removed every redelivered copy, the
+    // per-type totals equal the batch totals of the ORIGINAL stream
+    "s05_stream_dedup_delivery" ->
+      """SELECT event_type, count(1) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

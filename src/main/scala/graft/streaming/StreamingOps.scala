@@ -140,6 +140,40 @@ object StreamingOps {
       .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
   }
 
+  /** Exactly-once restatement of an at-least-once delivery: two copies
+    * of the stream (duplicate delivery) unioned, then
+    * dropDuplicatesWithinWatermark on the event id. State holds only
+    * ids newer than the watermark horizon — bounded regardless of
+    * stream length, unlike a plain dropDuplicates whose state grows
+    * forever. This is the standard front door of a streaming ingestion
+    * pipeline consuming a redelivering bus.
+    */
+  def streamDedupDelivery(delivery1: DataFrame, delivery2: DataFrame): DataFrame =
+    delivery1.unionByName(delivery2)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Bounded duplicate-delivery dedup → memory sink → per-type totals
+    * (equal to the batch totals of the ORIGINAL stream iff the dedup
+    * removed every redelivered copy).
+    */
+  def runBoundedDedupDelivery(spark: SparkSession, sfDir: String,
+      queryName: String): DataFrame = {
+    val dedup = streamDedupDelivery(
+      boundedEventStream(spark, sfDir), boundedEventStream(spark, sfDir))
+    val q = dedup.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(queryName)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
   /** File-source stream over the events parquet with the nanos→micros
     * normalization `Tables.t` applies on the batch side.
     */
