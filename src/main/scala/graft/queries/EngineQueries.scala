@@ -296,6 +296,26 @@ object EngineQueries {
         .withColumn("total_sample", col("total_sample").cast("double"))
     },
 
+    // --- federated JSON-lines source with nested schema ---------------
+    "e19_json_source" -> { (s, d) =>
+      // The JSON sibling of e12's CSV external table: explicit schema
+      // (no inference scan at 100 TB), a nested struct field navigated
+      // with dot syntax, and a filter on the nested field.
+      val jsonDir = Files.createTempDirectory("graft_json").toAbsolutePath
+      t(s, d, "documents")
+        .select(col("doc_id"), struct(col("lang"), col("source")).as("meta"),
+          col("n_chars"))
+        .coalesce(1).write.mode("overwrite").json(jsonDir.toString)
+      s.sql("DROP TABLE IF EXISTS graft_ext_json")
+      s.sql(s"""CREATE TABLE graft_ext_json
+               |  (doc_id BIGINT, meta STRUCT<lang: STRING, source: STRING>, n_chars BIGINT)
+               |USING json OPTIONS (path '$jsonDir')""".stripMargin)
+      s.sql("""SELECT meta.lang AS lang, count(1) AS n_docs,
+              |  sum(n_chars) AS total_chars
+              |FROM graft_ext_json WHERE meta.source <> 'src0'
+              |GROUP BY 1 ORDER BY 1""".stripMargin)
+    },
+
     // --- ALLOW_FIELD_ADDITION: schema evolution on append --------------
     "e13_schema_evolution" -> { (s, d) =>
       Tables.views(s, d, "orders")
@@ -558,6 +578,10 @@ object EngineQueries {
       """SELECT DISTINCT lower(trim(replace(source, 'src', 'source_'))) AS tag, lang,
         |  CAST(CAST(count(1) AS DECIMAL(38,9)) AS DOUBLE) AS total_sample
         |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "e19_json_source" ->
+      """SELECT lang, count(1) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM documents WHERE source <> 'src0' GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "e13_schema_evolution" ->
       """SELECT o_orderkey, o_totalprice, test_column FROM (
