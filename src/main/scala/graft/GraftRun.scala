@@ -20,15 +20,6 @@ import graft.engine.{MetricsCollector, TransformRunner}
   */
 object GraftRun {
   def main(args: Array[String]): Unit = {
-    val app = AppConfig.fromEnv()
-    val sqlFile = app.sqlFile.getOrElse(
-      throw new IllegalArgumentException("no query.sql under $JOB_DIR/in"))
-    val sql = Files.readString(sqlFile)
-    val conf = app.propertiesFile match {
-      case Some(p) => TaskConfig.fromIni(Files.readString(p))
-      case None => TaskConfig.fromEnv(sys.env)
-    }
-
     // persistent warehouse + derby metastore: tables created by one run
     // are visible to the next (the standalone equivalent of the hosted
     // catalog the reference writes into)
@@ -47,6 +38,22 @@ object GraftRun {
         s"jdbc:derby:;databaseName=$warehouse/metastore_db;create=true")
       .enableHiveSupport()
       .getOrCreate()
+    try run(sys.env, spark) finally spark.stop()
+  }
+
+  /** The whole env-contract run against a provided session — main wires
+    * `sys.env` + the persistent-metastore session; tests inject both.
+    */
+  def run(env: Map[String, String], spark: SparkSession): Unit = {
+    val app = AppConfig.fromEnv(env)
+    val sqlFile = app.sqlFile.getOrElse(
+      throw new IllegalArgumentException("no query.sql under $JOB_DIR/in"))
+    val sql = Files.readString(sqlFile)
+    val conf = app.propertiesFile match {
+      case Some(p) => TaskConfig.fromIni(Files.readString(p))
+      case None => TaskConfig.fromEnv(env)
+    }
+
     spark.sparkContext.setLogLevel("WARN")
     spark.sparkContext.setJobGroup("graft-run",
       app.jobLabels.map { case (k, v) => s"$k=$v" }.mkString(","))
@@ -74,9 +81,6 @@ object GraftRun {
 
       metrics.writeXcom(app.xcomPath,
         app.executionTime.format(DateTimeFormatter.ISO_LOCAL_DATE_TIME))
-    } finally {
-      metrics.detach()
-      spark.stop()
-    }
+    } finally metrics.detach()
   }
 }

@@ -51,10 +51,35 @@ object Dialect {
     (sb ++= f(sql.substring(last))).toString
   }
 
-  def rewrite(sql: String): String = {
+  /** BigQuery-style 3-part source references after FROM/JOIN/USING/INTO
+    * — bare `p.d.t`, fully backticked, or per-part backticked, hyphens
+    * allowed — mapped to the warehouse catalog name `p__d.t` (the same
+    * mapping `TransformRunner.catalogName` applies to destinations).
+    * Only 3-part names are touched, so Spark-native `db.table`
+    * references and `USING parquet` clauses pass through unchanged.
+    */
+  private val fqnRef =
+    raw"(?i)\b(FROM|JOIN|USING|INTO)\s+(`[^`]+`(?:\s*\.\s*`[^`]+`)*|[\w$$.-]+)".r
+
+  def mapSourceFqns(sql: String): String =
+    mapOutsideLiterals(sql) { region =>
+      fqnRef.replaceAllIn(region, m => {
+        val clean = m.group(2).replace("`", "").replaceAll("\\s", "")
+        java.util.regex.Matcher.quoteReplacement(clean.split("\\.") match {
+          case Array(p, d, t) =>
+            s"${m.group(1)} ${p.replace("-", "_")}__${d.replace("-", "_")}.`$t`"
+          case _ => m.group(0)
+        })
+      })
+    }
+
+  /** `mapFqns = false` is for lineage parsing, which must see the
+    * ORIGINAL BigQuery identifiers (its output is BigQuery URNs).
+    */
+  def rewrite(sql: String, mapFqns: Boolean = true): String = {
     // BigQuery NUMERIC is DECIMAL(38,9); Spark's NUMERIC keyword means
     // DECIMAL(10,0) — rewrite to BigQuery semantics (outside literals only)
-    var out = mapOutsideLiterals(sql)(
+    var out = mapOutsideLiterals(if (mapFqns) mapSourceFqns(sql) else sql)(
       _.replaceAll(raw"(?i)\bNUMERIC\b", "DECIMAL(38,9)"))
     out = inUnnest.replaceAllIn(out, m =>
       java.util.regex.Matcher.quoteReplacement(

@@ -83,7 +83,8 @@ object Lineage {
       destination: String): Result = {
     val ignored = findDependenciesWithRegex(query, destination).ignored
     val deps = StatementSplitter.split(query).flatMap { stmt =>
-      Try(spark.sessionState.sqlParser.parsePlan(Dialect.rewrite(stmt))).toOption match {
+      Try(spark.sessionState.sqlParser.parsePlan(
+          Dialect.rewrite(stmt, mapFqns = false))).toOption match {
         case Some(plan) =>
           val rels = relationsOf(plan)
           // parsed-but-opaque statements (EXECUTE IMMEDIATE of a query

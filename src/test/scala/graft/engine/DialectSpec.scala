@@ -38,6 +38,21 @@ class DialectSpec extends AnyFunSuite {
       .contains("SELECT  array_agg(x)"))
   }
 
+  test("3-part source FQNs map to warehouse catalog names") {
+    assert(Dialect.mapSourceFqns("SELECT * FROM `proj`.`ds`.`t` JOIN proj.ds.u ON 1=1")
+      == "SELECT * FROM proj__ds.`t` JOIN proj__ds.`u` ON 1=1")
+    assert(Dialect.mapSourceFqns("FROM `my-proj.ds.t`")
+      == "FROM my_proj__ds.`t`")
+    // 1- and 2-part names, subqueries, and USING clauses are untouched
+    assert(Dialect.mapSourceFqns("FROM orders JOIN db.t USING (id)")
+      == "FROM orders JOIN db.t USING (id)")
+    assert(Dialect.mapSourceFqns("CREATE TABLE x (a INT) USING parquet")
+      == "CREATE TABLE x (a INT) USING parquet")
+    assert(Dialect.mapSourceFqns("FROM (SELECT 1)") == "FROM (SELECT 1)")
+    // struct field access in expressions is not a table ref
+    assert(Dialect.mapSourceFqns("SELECT a.b.c FROM t") == "SELECT a.b.c FROM t")
+  }
+
   test("table name normalization: backticks, colon, decorator") {
     assert(Dialect.normalizeTableName("`p.d.t`") == ("p.d.t", None))
     assert(Dialect.normalizeTableName("p:d.t") == ("p.d.t", None))
