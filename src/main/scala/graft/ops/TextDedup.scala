@@ -198,9 +198,13 @@ object TextDedup {
     * `nearThreshold`) > keep. Returns (doc_id, verdict, matched) with
     * matched = smallest matching history id, −1 for keeps.
     */
-  def incrementalDedup(history: DataFrame, newBatch: DataFrame,
+  def incrementalDedup(history0: DataFrame, newBatch0: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
       nearThreshold: Double = 0.5): DataFrame = {
+    // both inputs feed multiple branches (hash index, shingle index,
+    // anti-joins) — materialize the slim projection once each
+    val history = history0.select(col(idCol), col(textCol)).persist()
+    val newBatch = newBatch0.select(col(idCol), col(textCol)).persist()
     def hashed(df: DataFrame): DataFrame = df.withColumn("h",
       md5(regexp_replace(lower(trim(col(textCol))), "\\s+", " ")))
     val histHash = hashed(history).select(col(idCol).as("hist_id"), col("h"))

@@ -422,8 +422,10 @@ object PipelineQueries {
         .withColumn("dedup_keep",
           row_number().over(Window.partitionBy(md5(col("norm"))).orderBy(col("doc_id"))) === 1)
       // contaminated = shares ≥10% of its shingles with a benchmark doc
-      // (the d18 rule); benchmark side broadcasts
+      // (the d18 rule); benchmark side broadcasts. One shingling pass
+      // feeds both branches (persist — same lesson as d18).
       val sh = withShingles(t(s, d, "documents")).select(col("doc_id"), col("shingles"))
+        .persist()
       val bench = sh.where(col("doc_id") % 50 === 0)
         .select(explode(col("shingles")).as("sh"))
         .distinct()
