@@ -20,6 +20,9 @@ import scala.collection.mutable
   */
 class ScriptRunner(spark: SparkSession) {
   private val variables = mutable.LinkedHashMap[String, String]()
+  // DECLAREd Spark types — evaluation casts to them so an INT64
+  // variable stays BIGINT through SET arithmetic and substitution
+  private val declaredTypes = mutable.LinkedHashMap[String, String]()
 
   private val declareRe =
     raw"(?is)^DECLARE\s+(\w+)\s+([\w<>,() ]+?)(?:\s+DEFAULT\s+(.+))?$$".r
@@ -64,6 +67,7 @@ class ScriptRunner(spark: SparkSession) {
 
   private def literalOf(v: Any): String = v match {
     case null => "NULL"
+    case l: Long => l + "L" // keep INT64 semantics through re-parsing
     case s: String => "'" + s.replace("'", "\\'") + "'"
     case d: java.sql.Date => s"DATE '$d'"
     case t: java.sql.Timestamp => s"TIMESTAMP '$t'"
@@ -80,10 +84,100 @@ class ScriptRunner(spark: SparkSession) {
     */
   def run(script: String): Option[DataFrame] = {
     var last: Option[DataFrame] = None
-    StatementSplitter.split(script).foreach { stmt =>
+    StatementSplitter.splitBlocks(script).foreach { stmt =>
       runStatement(stmt).foreach(df => last = Some(df))
     }
     last
+  }
+
+  // ---- BigQuery scripting control flow --------------------------------
+  // Conditions evaluate driver-side (a scalar SELECT — BigQuery's own
+  // coordinator does the same); branch/loop bodies are full scripts run
+  // recursively, so every contained statement stays distributed.
+
+  private def evalBool(cond: String): Boolean = {
+    val row = spark.sql(
+      s"SELECT CAST((${Dialect.rewrite(substituteVars(cond))}) AS BOOLEAN)").collect()(0)
+    !row.isNullAt(0) && row.getBoolean(0)
+  }
+
+  private def runScript(body: String): Option[DataFrame] = {
+    var last: Option[DataFrame] = None
+    StatementSplitter.splitBlocks(body).foreach { stmt =>
+      runStatement(stmt).foreach(df => last = Some(df))
+    }
+    last
+  }
+
+  /** Top-level markers of a control statement: tokens at block depth 1
+    * outside CASE expressions, plus the closing END (depth 1 → 0).
+    */
+  private def topMarkers(stmt: String, names: Set[String]): Vector[StatementSplitter.Tok] =
+    StatementSplitter.annotate(stmt).filter { t =>
+      (names.contains(t.text) && t.depthBefore == 1 && t.depthAfter == 1 && t.caseDepth == 0) ||
+        (t.text == "END" && t.depthBefore == 1 && t.depthAfter == 0)
+    }
+
+  /** IF c1 THEN s1 [ELSEIF c2 THEN s2]* [ELSE s3] END IF */
+  private def runIf(stmt: String): Option[DataFrame] = {
+    val ms = topMarkers(stmt, Set("THEN", "ELSEIF", "ELSE"))
+    require(ms.nonEmpty && ms.last.text == "END", s"unterminated IF: $stmt")
+    // segment boundaries: IF <cond> THEN <body> (ELSEIF <cond> THEN <body>)* (ELSE <body>)? END IF
+    val ifTok = StatementSplitter.annotate(stmt).head
+    var condStart = ifTok.pos + 2
+    var i = 0
+    while (i < ms.length) {
+      ms(i).text match {
+        case "THEN" =>
+          val cond = stmt.substring(condStart, ms(i).pos)
+          val bodyEnd = ms(i + 1).pos
+          if (evalBool(cond)) return runScript(stmt.substring(ms(i).pos + 4, bodyEnd))
+          ms(i + 1).text match {
+            case "ELSEIF" => condStart = ms(i + 1).pos + 6
+            case _ =>
+          }
+        case "ELSE" =>
+          return runScript(stmt.substring(ms(i).pos + 4, ms(i + 1).pos))
+        case _ =>
+      }
+      i += 1
+    }
+    None
+  }
+
+  /** WHILE cond DO body END WHILE (guarded against runaway loops). */
+  private def runWhile(stmt: String): Option[DataFrame] = {
+    val ms = topMarkers(stmt, Set("DO"))
+    require(ms.length >= 2 && ms.head.text == "DO" && ms.last.text == "END",
+      s"malformed WHILE: $stmt")
+    val wTok = StatementSplitter.annotate(stmt).head
+    val cond = stmt.substring(wTok.pos + 5, ms.head.pos)
+    val body = stmt.substring(ms.head.pos + 2, ms.last.pos)
+    var last: Option[DataFrame] = None
+    var guard = 0
+    while (evalBool(cond) && guard < 10000) {
+      runScript(body).foreach(df => last = Some(df))
+      guard += 1
+    }
+    require(guard < 10000, "WHILE exceeded 10000 iterations")
+    last
+  }
+
+  /** BEGIN body [EXCEPTION WHEN ERROR THEN handler] END */
+  private def runBegin(stmt: String): Option[DataFrame] = {
+    val ms = topMarkers(stmt, Set("EXCEPTION"))
+    require(ms.nonEmpty && ms.last.text == "END", s"unterminated BEGIN: $stmt")
+    val beginTok = StatementSplitter.annotate(stmt).head
+    ms.find(_.text == "EXCEPTION") match {
+      case Some(ex) =>
+        val body = stmt.substring(beginTok.pos + 5, ex.pos)
+        val handler = raw"(?is)^EXCEPTION\s+WHEN\s+ERROR\s+THEN\b".r
+          .replaceFirstIn(stmt.substring(ex.pos, ms.last.pos), "")
+        try runScript(body)
+        catch { case scala.util.control.NonFatal(_) => runScript(handler) }
+      case scala.None =>
+        runScript(stmt.substring(beginTok.pos + 5, ms.last.pos))
+    }
   }
 
   /** Render non-control statements with variables substituted WITHOUT
@@ -113,9 +207,21 @@ class ScriptRunner(spark: SparkSession) {
       }
     }
 
-  def runStatement(stmt: String): Option[DataFrame] = stmt match {
-    case declareRe(name, _, default) =>
-      variables(name) = if (default != null) evalToLiteral(default) else "NULL"
+  def runStatement(stmt: String): Option[DataFrame] =
+    StatementSplitter.firstKeyword(stmt) match {
+      case "IF" => runIf(stmt)
+      case "WHILE" => runWhile(stmt)
+      case "BEGIN" if !stmt.trim.toUpperCase.startsWith("BEGIN TRANSACTION") =>
+        runBegin(stmt)
+      case _ => runSimpleStatement(stmt)
+    }
+
+  private def runSimpleStatement(stmt: String): Option[DataFrame] = stmt match {
+    case declareRe(name, tpe, default) =>
+      declaredTypes(name) = sparkType(tpe)
+      variables(name) =
+        if (default != null) evalToLiteral(s"CAST(($default) AS ${declaredTypes(name)})")
+        else "NULL"
       None
     case setStructRe(name, select) =>
       variables(name) = {
@@ -125,7 +231,10 @@ class ScriptRunner(spark: SparkSession) {
       }
       None
     case setSimpleRe(name, expr) if !stmt.trim.toUpperCase.startsWith("SET (") =>
-      variables(name) = evalToLiteral(expr)
+      variables(name) = declaredTypes.get(name) match {
+        case Some(t) => evalToLiteral(s"CAST(($expr) AS $t)")
+        case scala.None => evalToLiteral(expr)
+      }
       None
     case createFnJsRe(name) =>
       // SURVEY §7.2: JS-body UDFs are out of scope; the engine accepts a

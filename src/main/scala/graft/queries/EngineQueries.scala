@@ -296,6 +296,33 @@ object EngineQueries {
         .withColumn("total_sample", col("total_sample").cast("double"))
     },
 
+    // --- BigQuery scripting control flow: WHILE + IF ------------------
+    "e20_script_control_flow" -> { (s, d) =>
+      // Driver-side control flow (conditions are scalar SELECTs — the
+      // way BigQuery's coordinator runs them) around fully distributed
+      // statements: a WHILE loop raises a threshold until fewer than
+      // 1000 orders exceed it, an IF picks the band, and the body
+      // statements run as normal Spark SQL.
+      Tables.views(s, d, "orders")
+      new ScriptRunner(s).run(
+        """DECLARE threshold INT64 DEFAULT 0;
+          |DECLARE iterations INT64 DEFAULT 0;
+          |WHILE (SELECT count(1) FROM orders WHERE o_totalprice > threshold) >= 1000 DO
+          |  SET threshold = threshold + 25000;
+          |  SET iterations = iterations + 1;
+          |END WHILE;
+          |IF threshold > 400000 THEN
+          |  CREATE TEMP TABLE sel AS (SELECT 'high' AS band, o_orderstatus, count(1) AS cnt
+          |    FROM orders WHERE o_totalprice > threshold GROUP BY o_orderstatus);
+          |ELSE
+          |  CREATE TEMP TABLE sel AS (SELECT 'low' AS band, o_orderstatus, count(1) AS cnt
+          |    FROM orders WHERE o_totalprice > threshold GROUP BY o_orderstatus);
+          |END IF;
+          |SELECT band, o_orderstatus, cnt, threshold AS final_threshold,
+          |  iterations AS n_iterations
+          |FROM sel ORDER BY o_orderstatus""".stripMargin).get
+    },
+
     // --- federated JSON-lines source with nested schema ---------------
     "e19_json_source" -> { (s, d) =>
       // The JSON sibling of e12's CSV external table: explicit schema
@@ -582,6 +609,18 @@ object EngineQueries {
     "e19_json_source" ->
       """SELECT lang, count(1) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
         |FROM documents WHERE source <> 'src0' GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the WHILE loop finds the smallest k (steps of 25000) with fewer
+    // than 1000 orders above it — restated as a min-over-range scan
+    "e20_script_control_flow" ->
+      """WITH ks AS (SELECT k FROM range(0, 100) t(k)),
+        |cnt AS (SELECT k, (SELECT count(1) FROM orders WHERE o_totalprice > k*25000) AS c FROM ks),
+        |sel AS (SELECT min(k) AS k FROM cnt WHERE c < 1000)
+        |SELECT CASE WHEN k*25000 > 400000 THEN 'high' ELSE 'low' END AS band,
+        |  o_orderstatus, count(1) AS cnt,
+        |  CAST(k*25000 AS BIGINT) AS final_threshold, CAST(k AS BIGINT) AS n_iterations
+        |FROM orders, sel WHERE o_totalprice > k*25000
+        |GROUP BY 1, 2, 4, 5 ORDER BY o_orderstatus""".stripMargin,
 
     "e13_schema_evolution" ->
       """SELECT o_orderkey, o_totalprice, test_column FROM (

@@ -23,7 +23,8 @@ class ScriptRunnerSpec extends AnyFunSuite with BeforeAndAfterAll {
       """DECLARE power INT64 DEFAULT 2;
         |SET power = power + 1;
         |SELECT power AS p""".stripMargin).get
-    assert(out.collect().head.getInt(0) == 3)
+    // INT64 variables carry BIGINT through SET arithmetic
+    assert(out.collect().head.getLong(0) == 3L)
   }
 
   test("SET (v) = (SELECT AS STRUCT ...) scalar unwrap") {
@@ -64,6 +65,68 @@ class ScriptRunnerSpec extends AnyFunSuite with BeforeAndAfterAll {
       """DECLARE v INT64 DEFAULT 5;
         |SELECT v AS value, 7 AS vv""".stripMargin).get
     val row = out.collect().head
-    assert(row.getInt(0) == 5 && row.getInt(1) == 7)
+    assert(row.getLong(0) == 5L && row.getInt(1) == 7)
+  }
+
+  test("IF/ELSEIF/ELSE executes exactly the matching branch") {
+    val out = new ScriptRunner(spark).run(
+      """DECLARE mode INT64 DEFAULT 2;
+        |DECLARE r STRING DEFAULT 'none';
+        |IF mode = 1 THEN SET r = 'one';
+        |ELSEIF mode = 2 THEN SET r = 'two';
+        |ELSE SET r = 'other';
+        |END IF;
+        |SELECT r AS result""".stripMargin).get
+    assert(out.collect().head.getString(0) == "two")
+  }
+
+  test("IF condition with CASE expression inside doesn't confuse nesting") {
+    val out = new ScriptRunner(spark).run(
+      """DECLARE x INT64 DEFAULT 7;
+        |IF (CASE WHEN x > 5 THEN true ELSE false END) THEN
+        |  CREATE TEMP TABLE branch_t AS (SELECT 'big' AS tag);
+        |END IF;
+        |SELECT tag FROM branch_t""".stripMargin).get
+    assert(out.collect().head.getString(0) == "big")
+  }
+
+  test("nested IF inside IF runs the inner branch") {
+    val out = new ScriptRunner(spark).run(
+      """DECLARE a INT64 DEFAULT 1;
+        |DECLARE r STRING DEFAULT '';
+        |IF a = 1 THEN
+        |  IF a < 0 THEN SET r = 'neg'; ELSE SET r = 'pos'; END IF;
+        |END IF;
+        |SELECT r AS result""".stripMargin).get
+    assert(out.collect().head.getString(0) == "pos")
+  }
+
+  test("WHILE loop accumulates via a session variable") {
+    val out = new ScriptRunner(spark).run(
+      """DECLARE i INT64 DEFAULT 0;
+        |DECLARE total INT64 DEFAULT 0;
+        |WHILE i < 5 DO
+        |  SET total = total + i;
+        |  SET i = i + 1;
+        |END WHILE;
+        |SELECT total""".stripMargin).get
+    assert(out.collect().head.getLong(0) == 10L)
+  }
+
+  test("BEGIN...EXCEPTION runs the handler on error, body result otherwise") {
+    val ok = new ScriptRunner(spark).run(
+      """BEGIN
+        |  SELECT 'fine' AS status;
+        |EXCEPTION WHEN ERROR THEN
+        |  SELECT 'handled' AS status;
+        |END;""".stripMargin).get
+    assert(ok.collect().head.getString(0) == "fine")
+    val handled = new ScriptRunner(spark).run(
+      """BEGIN
+        |  SELECT CAST('nope' AS INT64) AS status;
+        |EXCEPTION WHEN ERROR THEN
+        |  SELECT 'handled' AS status;
+        |END;""".stripMargin).get
+    assert(handled.collect().head.getString(0) == "handled")
   }
 }
