@@ -77,7 +77,22 @@ object GraftRun {
         .withZoneSameInstant(java.time.ZoneId.of(tz)).toLocalDateTime
       val window = WindowFactory.createWindowWithTime(dstart, dend)
 
-      new TransformRunner(spark).transform(conf, sql, window, execTime, app.dryRun)
+      val runner = new TransformRunner(spark)
+      // spillover path (A18): USE_SPILLOVER + in/spillover_date.sql →
+      // re-run the main query per distinct spillover date
+      app.spilloverSqlFile.filter(_ => conf.useSpillover) match {
+        case Some(sf) =>
+          val dest = runner.catalogName(conf.destinationTable)
+          val partitionField = runner.partitionSpecOf(dest) match {
+            case graft.engine.PartitionSpec.DayColumn(c) => c
+            case _ => throw new IllegalArgumentException(
+              s"spillover requires a day-partitioned destination, got $dest")
+          }
+          runner.spilloverTransform(conf, sql, Files.readString(sf), window,
+            execTime, partitionField, app.dryRun)
+        case scala.None =>
+          runner.transform(conf, sql, window, execTime, app.dryRun)
+      }
 
       metrics.writeXcom(app.xcomPath,
         app.executionTime.format(DateTimeFormatter.ISO_LOCAL_DATE_TIME))
