@@ -163,6 +163,45 @@ class ScriptRunner(spark: SparkSession) {
     last
   }
 
+  /** FOR rec IN (query) DO body END FOR — the body runs once per row
+    * with `rec.field` references substituted as literals. The driver
+    * materializes the loop QUERY's rows (control flow is coordinator
+    * work and loop queries are bounded — partition lists, config rows);
+    * each body statement still executes distributed. Row count capped
+    * to catch a data-sized query being misused as a loop driver.
+    */
+  private def runFor(stmt: String): Option[DataFrame] = {
+    val forRe = raw"(?is)^FOR\s+(\w+)\s+IN\s*\(".r
+    val m = forRe.findFirstMatchIn(stmt).getOrElse(
+      throw new IllegalArgumentException(s"malformed FOR: $stmt"))
+    val rec = m.group(1)
+    // loop query = balanced-paren span starting at the opening (
+    val open = m.end - 1
+    var depth = 0
+    var i = open
+    while (i < stmt.length && { if (stmt.charAt(i) == '(') depth += 1
+      else if (stmt.charAt(i) == ')') depth -= 1; depth > 0 }) i += 1
+    val query = stmt.substring(open + 1, i)
+    val ms = topMarkers(stmt, Set("DO"))
+    require(ms.length >= 2 && ms.last.text == "END", s"malformed FOR: $stmt")
+    val doTok = ms.find(t => t.text == "DO" && t.pos > i).getOrElse(
+      throw new IllegalArgumentException(s"FOR without DO: $stmt"))
+    val body = stmt.substring(doTok.pos + 2, ms.last.pos)
+    val rows = spark.sql(Dialect.rewrite(substituteVars(query))).limit(10001).collect()
+    require(rows.length <= 10000, "FOR loop query exceeded 10000 rows")
+    var last: Option[DataFrame] = None
+    rows.foreach { row =>
+      // rec.field → literal of that row's field (word-boundary safe)
+      val bodyRendered = row.schema.fieldNames.zipWithIndex.foldLeft(body) {
+        case (acc, (f, idx)) =>
+          acc.replaceAll(raw"\b" + java.util.regex.Pattern.quote(s"$rec.$f") + raw"\b",
+            java.util.regex.Matcher.quoteReplacement(literalOf(row.get(idx))))
+      }
+      runScript(bodyRendered).foreach(df => last = Some(df))
+    }
+    last
+  }
+
   /** BEGIN body [EXCEPTION WHEN ERROR THEN handler] END */
   private def runBegin(stmt: String): Option[DataFrame] = {
     val ms = topMarkers(stmt, Set("EXCEPTION"))
@@ -211,6 +250,7 @@ class ScriptRunner(spark: SparkSession) {
     StatementSplitter.firstKeyword(stmt) match {
       case "IF" => runIf(stmt)
       case "WHILE" => runWhile(stmt)
+      case "FOR" => runFor(stmt)
       case "BEGIN" if !stmt.trim.toUpperCase.startsWith("BEGIN TRANSACTION") =>
         runBegin(stmt)
       case _ => runSimpleStatement(stmt)

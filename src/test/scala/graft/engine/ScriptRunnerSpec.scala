@@ -113,6 +113,17 @@ class ScriptRunnerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.collect().head.getLong(0) == 10L)
   }
 
+  test("FOR-IN iterates a bounded query, rec.field substituted per row") {
+    val out = new ScriptRunner(spark).run(
+      """DECLARE total INT64 DEFAULT 0;
+        |CREATE TEMP TABLE nums AS (SELECT id AS n FROM range(1, 5));
+        |FOR rec IN (SELECT n FROM nums ORDER BY n) DO
+        |  SET total = total + rec.n;
+        |END FOR;
+        |SELECT total AS s""".stripMargin).get
+    assert(out.collect().head.getLong(0) == 10L)
+  }
+
   test("BEGIN...EXCEPTION runs the handler on error, body result otherwise") {
     val ok = new ScriptRunner(spark).run(
       """BEGIN
