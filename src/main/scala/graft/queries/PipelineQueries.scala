@@ -165,6 +165,28 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // --- quality-aware retention: keep the BEST doc per cluster --------
+    "d33_cluster_retention" -> { (s, d) =>
+      // Production dedup keeps the best copy, not the first-crawled
+      // one: within each near-dup cluster retain the highest-quality
+      // doc (quality ties → smallest id). Composes the ops API:
+      // jaccard edges → connected components → d04 quality scorer,
+      // one slim (node, lab) ⋈ (doc_id, quality) join at the end.
+      import org.apache.spark.sql.expressions.Window
+      val docs = corpusWithPlants(s, d)
+      val cc = graft.ops.TextDedup.connectedComponents(
+        graft.ops.TextDedup.jaccardPairs(docs).select(col("a"), col("b")))
+      val q = graft.ops.Corpus.qualityScore(docs).select(col("doc_id"), col("quality"))
+      val w = Window.partitionBy(col("lab")).orderBy(col("quality").desc, col("node"))
+      cc.join(q, cc("node") === q("doc_id"))
+        .withColumn("rn", row_number().over(w))
+        .groupBy(col("lab").as("cluster"))
+        .agg(count(lit(1)).as("n_members"),
+          max(when(col("rn") === 1, col("node"))).as("keep_doc"),
+          round(max(when(col("rn") === 1, col("quality"))), 6).as("keep_quality"))
+        .orderBy(col("cluster"))
+    },
+
     // --- PII scrubbing: regex redaction + per-doc counts ---------------
     "d22_pii_redaction" -> { (s, d) =>
       // Deterministic PII is planted (doc_id % 7) so the redaction path
@@ -711,6 +733,50 @@ object PipelineQueries {
           |)
           |SELECT node AS doc_id, min(r) AS cluster_rep, node = min(r) AS keep
           |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin)
+        .replace("WITH corpus", "WITH RECURSIVE corpus"),
+
+      "d33_cluster_retention" -> (planted +
+        """
+          |, sh AS (
+          |  SELECT doc_id, lang,
+          |    toks[1] AS first_tok,
+          |    CAST(len(toks) // 8 AS INTEGER) AS n_toks_bucket,
+          |    list_distinct(list_transform(range(1, len(toks) - 1),
+          |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+          |  FROM (SELECT doc_id, lang, regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM corpus)
+          |  WHERE len(toks) >= 3
+          |), pairs AS (
+          |  SELECT a.doc_id AS a, b.doc_id AS b
+          |  FROM sh a JOIN sh b
+          |    ON a.lang = b.lang AND a.first_tok = b.first_tok
+          |    AND a.n_toks_bucket = b.n_toks_bucket AND a.doc_id < b.doc_id
+          |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+          |      / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE) >= 0.3
+          |), edges AS (
+          |  SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs
+          |), reach AS (
+          |  SELECT src AS node, src AS r FROM edges
+          |  UNION
+          |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.node
+          |), cc AS (
+          |  SELECT node, min(r) AS lab FROM reach GROUP BY node
+          |), qual AS (
+          |  SELECT doc_id,
+          |    0.4 * least(1.0, CAST(len(toks) AS DOUBLE) / 100.0)
+          |      + 0.3 * (CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+          |               / CAST(len(toks) AS DOUBLE))
+          |      + 0.3 * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+          |               / CAST(length(text) AS DOUBLE)) AS quality
+          |  FROM (SELECT doc_id, text, regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM corpus)
+          |), ranked AS (
+          |  SELECT lab, node, quality,
+          |    row_number() OVER (PARTITION BY lab ORDER BY quality DESC, node) AS rn
+          |  FROM cc JOIN qual ON cc.node = qual.doc_id
+          |)
+          |SELECT lab AS cluster, count(1) AS n_members,
+          |  max(CASE WHEN rn = 1 THEN node END) AS keep_doc,
+          |  round(max(CASE WHEN rn = 1 THEN quality END), 6) AS keep_quality
+          |FROM ranked GROUP BY lab ORDER BY cluster""".stripMargin)
         .replace("WITH corpus", "WITH RECURSIVE corpus"),
 
       "d22_pii_redaction" ->
