@@ -183,7 +183,11 @@ object PipelineQueries {
         .groupBy(col("lab").as("cluster"))
         .agg(count(lit(1)).as("n_members"),
           max(when(col("rn") === 1, col("node"))).as("keep_doc"),
-          round(max(when(col("rn") === 1, col("quality"))), 6).as("keep_quality"))
+          // raw double, no round(): the quality bits are engine-identical
+          // (d04 hash-passes), while round(x, 6) disagrees AT half
+          // boundaries (Spark rounds the decimal string, DuckDB the
+          // binary double)
+          max(when(col("rn") === 1, col("quality"))).as("keep_quality"))
         .orderBy(col("cluster"))
     },
 
@@ -775,7 +779,7 @@ object PipelineQueries {
           |)
           |SELECT lab AS cluster, count(1) AS n_members,
           |  max(CASE WHEN rn = 1 THEN node END) AS keep_doc,
-          |  round(max(CASE WHEN rn = 1 THEN quality END), 6) AS keep_quality
+          |  max(CASE WHEN rn = 1 THEN quality END) AS keep_quality
           |FROM ranked GROUP BY lab ORDER BY cluster""".stripMargin)
         .replace("WITH corpus", "WITH RECURSIVE corpus"),
 
