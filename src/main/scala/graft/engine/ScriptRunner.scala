@@ -256,7 +256,16 @@ class ScriptRunner(spark: SparkSession) {
       case _ => runSimpleStatement(stmt)
     }
 
+  private val executeImmediateRe = raw"(?is)^EXECUTE\s+IMMEDIATE\s+(.+)$$".r
+
   private def runSimpleStatement(stmt: String): Option[DataFrame] = stmt match {
+    case executeImmediateRe(queryExpr) =>
+      // the query TEXT is itself an expression (variable, CONCAT, …):
+      // evaluate it driver-side, then run the resulting SQL normally
+      val row = spark.sql(
+        s"SELECT CAST((${Dialect.rewrite(substituteVars(queryExpr.trim))}) AS STRING)").collect()(0)
+      require(!row.isNullAt(0), s"EXECUTE IMMEDIATE evaluated to NULL: $stmt")
+      runScript(row.getString(0))
     case declareRe(name, tpe, default) =>
       declaredTypes(name) = sparkType(tpe)
       variables(name) =

@@ -614,6 +614,37 @@ object RelationalQueries {
           |WHERE r_name = 'ASIA'
           |  AND o_orderdate >= '1995-01-01' AND o_orderdate < '1996-01-01'
           |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin)
+    },
+
+    // --- explicit GROUPING SETS (beyond ROLLUP/CUBE) -------------------
+    "q47_grouping_sets" -> { (s, d) =>
+      Tables.views(s, d, "orders")
+      s.sql(
+        """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+          |  coalesce(o_orderpriority, 'ALL') AS priority,
+          |  count(1) AS cnt,
+          |  cast(grouping(o_orderstatus) AS bigint) AS g_status,
+          |  cast(grouping(o_orderpriority) AS bigint) AS g_priority
+          |FROM orders
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+          |  (o_orderstatus, o_orderpriority))
+          |ORDER BY status, priority""".stripMargin)
+    },
+
+    // --- ordered ARRAY_AGG, CSV-serialized at the gate boundary --------
+    "q48_array_agg_ordered" -> { (s, d) =>
+      // BigQuery ARRAY_AGG(x ORDER BY y LIMIT n): Spark's collect_list
+      // is unordered, so the deterministic form is sort_array over
+      // (key, value) structs then a bounded slice — per-group arrays
+      // stay n-bounded, never data-sized
+      Tables.views(s, d, "orders")
+      s.sql(
+        """SELECT o_orderpriority,
+          |  array_join(transform(
+          |    slice(array_sort(collect_list(struct(o_totalprice, o_orderkey))), 1, 3),
+          |    x -> cast(x.o_orderkey AS string)), ',') AS cheapest3
+          |FROM orders
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
     }
   )
 
@@ -995,6 +1026,24 @@ object RelationalQueries {
         |JOIN region ON n_regionkey = r_regionkey
         |WHERE r_name = 'ASIA'
         |  AND o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
-        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q47_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  count(1) AS cnt,
+        |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+        |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+        |  (o_orderstatus, o_orderpriority))
+        |ORDER BY status, priority""".stripMargin,
+
+    "q48_array_agg_ordered" ->
+      """SELECT o_orderpriority,
+        |  array_to_string(list_transform(
+        |    list_sort(list({'o_totalprice': o_totalprice, 'o_orderkey': o_orderkey}))[1:3],
+        |    x -> CAST(x.o_orderkey AS VARCHAR)), ',') AS cheapest3
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
   )
 }

@@ -113,6 +113,14 @@ class ScriptRunnerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.collect().head.getLong(0) == 10L)
   }
 
+  test("EXECUTE IMMEDIATE runs a variable-built query string") {
+    val out = new ScriptRunner(spark).run(
+      """DECLARE tbl STRING DEFAULT 'ei_src';
+        |CREATE TEMP TABLE ei_src AS (SELECT id AS v FROM range(0, 4));
+        |EXECUTE IMMEDIATE CONCAT('SELECT CAST(sum(v) AS BIGINT) AS s FROM ', tbl)""".stripMargin).get
+    assert(out.collect().head.getLong(0) == 6L)
+  }
+
   test("FOR-IN iterates a bounded query, rec.field substituted per row") {
     val out = new ScriptRunner(spark).run(
       """DECLARE total INT64 DEFAULT 0;
