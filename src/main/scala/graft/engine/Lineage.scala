@@ -79,9 +79,19 @@ object Lineage {
     * are excluded (the analyzer scopes them; at parse level we collect
     * them from the UnresolvedWith/CTE nodes), as is the destination.
     */
+  private val createTempNameRe =
+    raw"(?is)^\s*CREATE\s+TEMP(?:ORARY)?\s+TABLE\s+`?([\w.]+)`?\b.*".r
+
   def findDependenciesWithCatalyst(spark: SparkSession, query: String,
       destination: String): Result = {
     val ignored = findDependenciesWithRegex(query, destination).ignored
+    // temp tables DEFINED by the script are intermediate state, not
+    // upstream dependencies — a later statement reading one must not
+    // report it
+    val tempNames = StatementSplitter.split(query).flatMap {
+      case createTempNameRe(n) => Seq(n, n.split("\\.").last)
+      case _ => Seq.empty
+    }.toSet
     val deps = StatementSplitter.split(query).flatMap { stmt =>
       Try(spark.sessionState.sqlParser.parsePlan(
           Dialect.rewrite(stmt, mapFqns = false))).toOption match {
@@ -99,7 +109,8 @@ object Lineage {
       }
     }
     val ignoredSet = ignored.toSet
-    Result(deps.distinct.filterNot(d => d == destination || ignoredSet(d)), ignored)
+    Result(deps.distinct.filterNot(d =>
+      d == destination || ignoredSet(d) || tempNames(d)), ignored)
   }
 
   /** Script-aware lineage: evaluate DECLARE/SET variables the way

@@ -226,8 +226,35 @@ class ScriptRunner(spark: SparkSession) {
     * driver-side scalar SELECTs only; failures leave the variable NULL
     * so rendering never aborts lineage extraction.
     */
+  /** Replace control-flow scaffolding (IF/THEN/ELSE/END IF, WHILE/DO,
+    * FOR, BEGIN/EXCEPTION/END) with `;` so the statements and
+    * conditions INSIDE blocks surface as top-level pieces — lineage is
+    * static and must see every branch's tables.
+    */
+  private def stripControl(stmt: String): Seq[String] = {
+    if (!Set("IF", "WHILE", "FOR", "BEGIN")
+        .contains(StatementSplitter.firstKeyword(stmt)))
+      return Seq(stmt)
+    val ann = StatementSplitter.annotate(stmt)
+    val spans = ann.flatMap { t =>
+      val opener = t.depthAfter == t.depthBefore + 1
+      val closer = t.text == "END" && t.depthAfter == t.depthBefore - 1
+      val scaffold = t.depthBefore >= 1 && t.caseDepth == 0 &&
+        Set("THEN", "ELSEIF", "ELSE", "DO", "EXCEPTION", "WHEN", "ERROR").contains(t.text)
+      if (closer) {
+        val len = raw"(?is)^END\s+(IF|WHILE|LOOP|FOR)".r
+          .findFirstIn(stmt.substring(t.pos)).map(_.length).getOrElse(3)
+        Some((t.pos, t.pos + len))
+      } else if (opener || scaffold) Some((t.pos, t.pos + t.text.length))
+      else scala.None
+    }
+    val sb = new StringBuilder(stmt)
+    spans.sortBy(-_._1).foreach { case (a, b) => sb.replace(a, b, ";") }
+    StatementSplitter.split(sb.toString)
+  }
+
   def renderStatements(script: String): Seq[String] =
-    StatementSplitter.split(script).flatMap { stmt =>
+    StatementSplitter.splitBlocks(script).flatMap(stripControl).flatMap { stmt =>
       stmt match {
         case declareRe(name, _, default) =>
           variables(name) =

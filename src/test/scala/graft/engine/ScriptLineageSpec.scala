@@ -19,6 +19,21 @@ class ScriptLineageSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
+  test("tables inside control-flow blocks are discovered") {
+    val script =
+      """DECLARE n INT64 DEFAULT 0;
+        |IF n = 0 THEN
+        |  CREATE TEMP TABLE t AS (SELECT * FROM proj.ds.branch_a);
+        |ELSE
+        |  CREATE TEMP TABLE t AS (SELECT * FROM proj.ds.branch_b);
+        |END IF;
+        |SELECT * FROM t JOIN proj.ds.dim USING (id)""".stripMargin
+    val r = Lineage.findDependenciesInScript(spark, script, "proj.ds.dest")
+    // lineage is static: BOTH branches' tables are upstream deps
+    assert(r.dependencies.toSet ==
+      Set("proj.ds.branch_a", "proj.ds.branch_b", "proj.ds.dim"))
+  }
+
   test("table reference built from script variables is discovered") {
     val script =
       """DECLARE src STRING DEFAULT 'proj.ds.hidden_events';
