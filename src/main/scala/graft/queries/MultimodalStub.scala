@@ -76,6 +76,36 @@ object MultimodalStub {
       .toDF()
   }
 
+  /** Batched "model inference" over opaque payloads — the GPU-shaped
+    * access pattern: rows are grouped into fixed keyed batches
+    * (doc_id div batchSize, so the batch composition is deterministic
+    * and engine-checkable; a real pipeline batches whatever rows the
+    * partition iterator yields), each batch materializes as one array
+    * — the shape a model forward pass wants — and the STUB model
+    * scores the whole batch in a single call, emitting per-row digests
+    * plus batch-level stats so the batching behavior itself is
+    * observable in the gate output.
+    */
+  def batchedInference(blobs: DataFrame, batchSize: Int): DataFrame = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .groupByKey(_._1 / batchSize)
+      .flatMapGroups { (bk: Long, it: Iterator[(Long, Array[Byte])]) =>
+        val batch = it.toArray.sortBy(_._1) // deterministic batch order
+        val batchBytes = batch.map(_._2.length.toLong).sum
+        batch.map { case (id, p) =>
+          // same modular digest family as sampleFrames (< 2^31, no
+          // wraparound) so the oracle replays it byte-for-byte
+          var d = 7L
+          var i = 0
+          while (i < p.length) { d = (31L * d + (p(i) & 0xff)) % 2147483647L; i += 1 }
+          (id, bk, batch.length.toLong, batchBytes, d)
+        }
+      }
+      .toDF("doc_id", "batch_key", "batch_size", "batch_bytes", "digest")
+  }
+
   /** expects columns: doc_id LONG, payload BINARY, meta STRUCT<n_bytes, mime> */
   def extractFeatures(blobs: DataFrame): DataFrame = {
     val spark = blobs.sparkSession

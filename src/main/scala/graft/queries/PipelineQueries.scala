@@ -602,6 +602,14 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // --- batched inference over opaque payloads (GPU batch shape) -----
+    "m03_multimodal_batched_inference" -> { (s, d) =>
+      val blobs = t(s, d, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      MultimodalStub.batchedInference(blobs, batchSize = 32)
+        .orderBy(col("doc_id"))
+    },
+
     // --- frame sampling over opaque payloads (video/audio shape):
     //     fixed-size frames, every 2nd kept, one row per frame ---------
     "m02_multimodal_frames" -> { (s, d) =>
@@ -1272,6 +1280,30 @@ object PipelineQueries {
           |  CAST(list_sum(list_transform(q, (qv, i) -> qv * i)) AS BIGINT) AS checksum,
           |  list_min(q) AS q_min, list_max(q) AS q_max
           |FROM q ORDER BY vec_id""".stripMargin,
+
+      // batched inference: batch membership is doc_id div 32; per-row
+      // digest replayed from hex(blob) nibble pairs like m02
+      "m03_multimodal_batched_inference" ->
+        """WITH b AS (
+          |  SELECT doc_id, hex(encode(text)) AS hx,
+          |    octet_length(encode(text)) AS nb,
+          |    doc_id // 32 AS batch_key
+          |  FROM documents
+          |), bl AS (
+          |  SELECT doc_id, batch_key, nb,
+          |    list_transform(range(1, nb + 1), i ->
+          |      (strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1)) - 1) * 16
+          |      + (strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1)) AS bytes
+          |  FROM b
+          |), agg AS (
+          |  SELECT batch_key, CAST(count(1) AS BIGINT) AS batch_size,
+          |    CAST(SUM(nb) AS BIGINT) AS batch_bytes
+          |  FROM bl GROUP BY batch_key
+          |)
+          |SELECT doc_id, bl.batch_key, batch_size, batch_bytes,
+          |  list_reduce(list_prepend(7, bytes), (d, x) -> (31*d + x) % 2147483647) AS digest
+          |FROM bl JOIN agg USING (batch_key)
+          |ORDER BY doc_id""".stripMargin,
 
       // frame sampling is SQL-expressible too: byte values recovered from
       // hex(blob) nibble pairs, 64-byte frames sliced with every 2nd
