@@ -61,17 +61,33 @@ object Dialect {
   private val fqnRef =
     raw"(?i)\b(FROM|JOIN|USING|INTO)\s+(`[^`]+`(?:\s*\.\s*`[^`]+`)*|[\w$$.-]+)".r
 
-  def mapSourceFqns(sql: String): String =
-    mapOutsideLiterals(sql) { region =>
-      fqnRef.replaceAllIn(region, m => {
-        val clean = m.group(2).replace("`", "").replaceAll("\\s", "")
-        java.util.regex.Matcher.quoteReplacement(clean.split("\\.") match {
-          case Array(p, d, t) =>
-            s"${m.group(1)} ${p.replace("-", "_")}__${d.replace("-", "_")}.`$t`"
-          case _ => m.group(0)
-        })
+  /** Words that put a following FROM in EXPRESSION position, where a
+    * 3-part path is `alias.struct.field`, not a table: EXTRACT units
+    * (`EXTRACT(YEAR FROM …)`), `IS [NOT] DISTINCT FROM`, and
+    * TRIM specifiers (`TRIM(BOTH ' ' FROM …)`).
+    */
+  private val exprFromContext =
+    raw"(?i)(\(\s*(YEAR|ISOYEAR|QUARTER|MONTH|WEEK|ISOWEEK|DAY|DAYOFWEEK|DAYOFYEAR|HOUR|MINUTE|SECOND|MILLISECOND|MICROSECOND|NANOSECOND|EPOCH|DATE|TIME|DATETIME|LEADING|TRAILING|BOTH)(\s+'[^']*')?|\bIS\s+(?:NOT\s+)?DISTINCT)\s*$$".r
+
+  /** Known limitation: only the FIRST table after a FROM is mapped —
+    * comma-join lists (`FROM p.d.a, p.d.b`) are not, because a comma
+    * also separates SELECT-list struct paths and mapping those would
+    * corrupt expressions. Use ANSI JOIN syntax for multi-table FQNs.
+    */
+  def mapSourceFqns(sql: String): String = {
+    val literalSpans = stringLit.findAllMatchIn(sql).map(m => (m.start, m.end)).toVector
+    def inLiteral(p: Int) = literalSpans.exists(s => p >= s._1 && p < s._2)
+    fqnRef.replaceAllIn(sql, m => {
+      val before = sql.substring(math.max(0, m.start - 32), m.start)
+      val clean = m.group(2).replace("`", "").replaceAll("\\s", "")
+      java.util.regex.Matcher.quoteReplacement(clean.split("\\.") match {
+        case Array(p, d, t) if !inLiteral(m.start) &&
+            exprFromContext.findFirstIn(before).isEmpty =>
+          s"${m.group(1)} ${p.replace("-", "_")}__${d.replace("-", "_")}.`$t`"
+        case _ => m.group(0)
       })
-    }
+    })
+  }
 
   /** `mapFqns = false` is for lineage parsing, which must see the
     * ORIGINAL BigQuery identifiers (its output is BigQuery URNs).

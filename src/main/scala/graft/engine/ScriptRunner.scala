@@ -82,13 +82,7 @@ class ScriptRunner(spark: SparkSession) {
   /** Execute all statements; returns the result of the last one that
     * produces rows (the "body"), if any.
     */
-  def run(script: String): Option[DataFrame] = {
-    var last: Option[DataFrame] = None
-    StatementSplitter.splitBlocks(script).foreach { stmt =>
-      runStatement(stmt).foreach(df => last = Some(df))
-    }
-    last
-  }
+  def run(script: String): Option[DataFrame] = runScript(script)
 
   // ---- BigQuery scripting control flow --------------------------------
   // Conditions evaluate driver-side (a scalar SELECT — BigQuery's own
@@ -159,7 +153,8 @@ class ScriptRunner(spark: SparkSession) {
       runScript(body).foreach(df => last = Some(df))
       guard += 1
     }
-    require(guard < 10000, "WHILE exceeded 10000 iterations")
+    // runaway only if the condition is STILL true after 10000 rounds
+    require(guard < 10000 || !evalBool(cond), "WHILE exceeded 10000 iterations")
     last
   }
 
@@ -175,16 +170,24 @@ class ScriptRunner(spark: SparkSession) {
     val m = forRe.findFirstMatchIn(stmt).getOrElse(
       throw new IllegalArgumentException(s"malformed FOR: $stmt"))
     val rec = m.group(1)
-    // loop query = balanced-paren span starting at the opening (
+    // loop query = balanced-paren span starting at the opening ( —
+    // parens inside string literals don't count (the lexer skips them)
     val open = m.end - 1
+    val parens = StatementSplitter.tokens(stmt)
+      .filter(t => (t._1 == "(" || t._1 == ")") && t._2 >= open)
     var depth = 0
-    var i = open
-    while (i < stmt.length && { if (stmt.charAt(i) == '(') depth += 1
-      else if (stmt.charAt(i) == ')') depth -= 1; depth > 0 }) i += 1
-    val query = stmt.substring(open + 1, i)
+    var close = -1
+    parens.foreach { case (p, pos) =>
+      if (close < 0) {
+        depth += (if (p == "(") 1 else -1)
+        if (depth == 0) close = pos
+      }
+    }
+    require(close > open, s"unbalanced FOR loop query: $stmt")
+    val query = stmt.substring(open + 1, close)
     val ms = topMarkers(stmt, Set("DO"))
     require(ms.length >= 2 && ms.last.text == "END", s"malformed FOR: $stmt")
-    val doTok = ms.find(t => t.text == "DO" && t.pos > i).getOrElse(
+    val doTok = ms.find(t => t.text == "DO" && t.pos > close).getOrElse(
       throw new IllegalArgumentException(s"FOR without DO: $stmt"))
     val body = stmt.substring(doTok.pos + 2, ms.last.pos)
     val rows = spark.sql(Dialect.rewrite(substituteVars(query))).limit(10001).collect()
@@ -212,7 +215,10 @@ class ScriptRunner(spark: SparkSession) {
         val body = stmt.substring(beginTok.pos + 5, ex.pos)
         val handler = raw"(?is)^EXCEPTION\s+WHEN\s+ERROR\s+THEN\b".r
           .replaceFirstIn(stmt.substring(ex.pos, ms.last.pos), "")
-        try runScript(body)
+        // materialize the body's result INSIDE the try — Spark is lazy,
+        // so a runtime error (ANSI overflow, bad cast on real rows)
+        // would otherwise fire at the caller's action, past the handler
+        try runScript(body).map(_.localCheckpoint(true))
         catch { case scala.util.control.NonFatal(_) => runScript(handler) }
       case scala.None =>
         runScript(stmt.substring(beginTok.pos + 5, ms.last.pos))
@@ -231,21 +237,36 @@ class ScriptRunner(spark: SparkSession) {
     * conditions INSIDE blocks surface as top-level pieces — lineage is
     * static and must see every branch's tables.
     */
-  private def stripControl(stmt: String): Seq[String] = {
+  private def stripControl(stmt0: String): Seq[String] = {
     if (!Set("IF", "WHILE", "FOR", "BEGIN")
-        .contains(StatementSplitter.firstKeyword(stmt)))
-      return Seq(stmt)
+        .contains(StatementSplitter.firstKeyword(stmt0)))
+      return Seq(stmt0)
+    // the exception clause is one fixed phrase — strip it before the
+    // token pass so WHEN/THEN inside MERGE statements are untouched
+    val stmt = raw"(?is)\bEXCEPTION\s+WHEN\s+ERROR\s+THEN\b".r
+      .replaceAllIn(stmt0, ";")
     val ann = StatementSplitter.annotate(stmt)
+    // only the THEN/DO that terminates an opener's own condition is
+    // scaffolding; a MERGE's WHEN…THEN inside a branch body is part of
+    // a statement and must survive for lineage
+    var pendingCond = false
     val spans = ann.flatMap { t =>
       val opener = t.depthAfter == t.depthBefore + 1
       val closer = t.text == "END" && t.depthAfter == t.depthBefore - 1
-      val scaffold = t.depthBefore >= 1 && t.caseDepth == 0 &&
-        Set("THEN", "ELSEIF", "ELSE", "DO", "EXCEPTION", "WHEN", "ERROR").contains(t.text)
+      val elseif = t.text == "ELSEIF" && t.depthBefore >= 1 && t.caseDepth == 0
+      val onlyElse = t.text == "ELSE" && t.depthBefore >= 1 && t.caseDepth == 0
+      val condEnd = pendingCond && t.caseDepth == 0 &&
+        (t.text == "THEN" || t.text == "DO")
+      // BEGIN/LOOP have no condition — only IF/WHILE/FOR await THEN/DO
+      if ((opener && Set("IF", "WHILE", "FOR").contains(t.text)) || elseif)
+        pendingCond = true
+      if (condEnd) pendingCond = false
       if (closer) {
         val len = raw"(?is)^END\s+(IF|WHILE|LOOP|FOR)".r
           .findFirstIn(stmt.substring(t.pos)).map(_.length).getOrElse(3)
         Some((t.pos, t.pos + len))
-      } else if (opener || scaffold) Some((t.pos, t.pos + t.text.length))
+      } else if (opener || elseif || onlyElse || condEnd)
+        Some((t.pos, t.pos + t.text.length))
       else scala.None
     }
     val sb = new StringBuilder(stmt)

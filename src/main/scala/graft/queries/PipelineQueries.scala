@@ -428,25 +428,20 @@ object PipelineQueries {
     // --- the full training-data selection funnel -----------------------
     "d27_corpus_funnel" -> { (s, d) =>
       // Composition of the individually-gated stages into the pipeline a
-      // corpus actually flows through: quality floor → exact-normalized
-      // dedup (keep min doc_id) → benchmark decontamination. Each stage
-      // is a per-row flag or a slim join; the funnel emits per-stage
-      // survivor counts via stack (unpivot). One corpus scan feeds
-      // every flag — no stage re-reads the table.
+      // corpus actually flows through: quality floor (the d04 scorer
+      // from the ops API — the formula lives in ONE place) →
+      // exact-normalized dedup (keep min doc_id) → benchmark
+      // decontamination. Per-row flags and slim joins only; the funnel
+      // emits per-stage survivor counts via stack (unpivot).
       import org.apache.spark.sql.expressions.Window
-      val docs = t(s, d, "documents")
-        .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
-        .withColumn("n_tokens", size(col("toks")).cast(LongType))
-        .withColumn("alpha_chars", length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast(LongType))
-        .withColumn("stop_hits", expr(
-          "cast(size(filter(toks, t -> t in ('the','a','of','and','to','in','is'))) as bigint)"))
-        .withColumn("quality",
-          lit(0.4) * least(lit(1.0), col("n_tokens").cast(DoubleType) / 100.0)
-            + lit(0.3) * (col("stop_hits").cast(DoubleType) / col("n_tokens").cast(DoubleType))
-            + lit(0.3) * (col("alpha_chars").cast(DoubleType) / length(col("text")).cast(DoubleType)))
-        .withColumn("norm", regexp_replace(lower(trim(col("text"))), "\\s+", " "))
-        .withColumn("dedup_keep",
-          row_number().over(Window.partitionBy(md5(col("norm"))).orderBy(col("doc_id"))) === 1)
+      val base = t(s, d, "documents")
+      val docs = graft.ops.Corpus.qualityScore(base)
+        .select(col("doc_id"), col("quality"))
+        .join(base.withColumn("dedup_keep",
+            row_number().over(Window.partitionBy(
+              md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
+              .orderBy(col("doc_id"))) === 1)
+          .select(col("doc_id"), col("dedup_keep")), "doc_id")
       // contaminated = shares ≥10% of its shingles with a benchmark doc
       // (the d18 rule); benchmark side broadcasts. One shingling pass
       // feeds both branches (persist — same lesson as d18).

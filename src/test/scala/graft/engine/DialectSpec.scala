@@ -51,6 +51,17 @@ class DialectSpec extends AnyFunSuite {
     assert(Dialect.mapSourceFqns("FROM (SELECT 1)") == "FROM (SELECT 1)")
     // struct field access in expressions is not a table ref
     assert(Dialect.mapSourceFqns("SELECT a.b.c FROM t") == "SELECT a.b.c FROM t")
+    // expression-position FROM (EXTRACT units, IS DISTINCT FROM, TRIM
+    // specifiers) must not treat the following path as a table
+    assert(Dialect.mapSourceFqns("SELECT EXTRACT(YEAR FROM o.meta.ts) FROM proj.ds.orders")
+      == "SELECT EXTRACT(YEAR FROM o.meta.ts) FROM proj__ds.`orders`")
+    assert(Dialect.mapSourceFqns("WHERE x IS DISTINCT FROM a.b.c")
+      == "WHERE x IS DISTINCT FROM a.b.c")
+    assert(Dialect.mapSourceFqns("SELECT TRIM(BOTH ' ' FROM n.a.b) FROM t")
+      == "SELECT TRIM(BOTH ' ' FROM n.a.b) FROM t")
+    // a plain alias before FROM doesn't suppress the mapping
+    assert(Dialect.mapSourceFqns("SELECT x AS day FROM proj.ds.t")
+      == "SELECT x AS day FROM proj__ds.`t`")
   }
 
   test("table name normalization: backticks, colon, decorator") {

@@ -34,6 +34,20 @@ class ScriptLineageSpec extends AnyFunSuite with BeforeAndAfterAll {
       Set("proj.ds.branch_a", "proj.ds.branch_b", "proj.ds.dim"))
   }
 
+  test("a MERGE inside an IF keeps its USING source in lineage") {
+    val script =
+      """DECLARE go BOOL DEFAULT true;
+        |IF go THEN
+        |  MERGE `proj.ds.tgt` T USING (SELECT * FROM proj.ds.updates) S
+        |  ON T.id = S.id
+        |  WHEN MATCHED THEN UPDATE SET v = S.v
+        |  WHEN NOT MATCHED THEN INSERT (id, v) VALUES (S.id, S.v);
+        |END IF""".stripMargin
+    val r = Lineage.findDependenciesInScript(spark, script, "proj.ds.tgt")
+    assert(r.dependencies == Seq("proj.ds.updates"),
+      s"MERGE WHEN/THEN must survive control-flow stripping, got ${r.dependencies}")
+  }
+
   test("table reference built from script variables is discovered") {
     val script =
       """DECLARE src STRING DEFAULT 'proj.ds.hidden_events';

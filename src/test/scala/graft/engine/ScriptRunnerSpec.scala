@@ -132,6 +132,39 @@ class ScriptRunnerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.collect().head.getLong(0) == 10L)
   }
 
+  test("BEGIN...EXCEPTION catches RUNTIME errors, not just analysis errors") {
+    // ANSI division by zero fires at execution, not analysis — the body
+    // result must be materialized inside the handler's try
+    val handled = new ScriptRunner(spark).run(
+      """BEGIN
+        |  SELECT 1 div 0 AS status;
+        |EXCEPTION WHEN ERROR THEN
+        |  SELECT 'handled' AS status;
+        |END;""".stripMargin).get
+    assert(handled.collect().head.getString(0) == "handled")
+  }
+
+  test("FOR loop query with parens inside string literals") {
+    val out = new ScriptRunner(spark).run(
+      """DECLARE total INT64 DEFAULT 0;
+        |CREATE TEMP TABLE fp AS (SELECT concat('(', cast(id AS string), ')') AS tag, id AS v FROM range(1, 3));
+        |FOR rec IN (SELECT v FROM fp WHERE tag != ')(' ORDER BY v) DO
+        |  SET total = total + rec.v;
+        |END FOR;
+        |SELECT total AS s""".stripMargin).get
+    assert(out.collect().head.getLong(0) == 3L)
+  }
+
+  test("a column aliased AS end inside a block doesn't close it") {
+    val out = new ScriptRunner(spark).run(
+      """DECLARE go BOOL DEFAULT true;
+        |IF go THEN
+        |  CREATE TEMP TABLE spans AS (SELECT 1 AS start, 5 AS end);
+        |END IF;
+        |SELECT end - start AS len FROM spans""".stripMargin).get
+    assert(out.collect().head.getInt(0) == 4)
+  }
+
   test("BEGIN...EXCEPTION runs the handler on error, body result otherwise") {
     val ok = new ScriptRunner(spark).run(
       """BEGIN
