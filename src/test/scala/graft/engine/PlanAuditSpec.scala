@@ -197,6 +197,28 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("d28 packing: exactly one data shuffle (bucketed window cumsum)") {
+    val df = PipelineQueries.queries("d28_sequence_packing")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      .split("== Initial Plan ==").head
+    // window-by-bucket shuffle + agg reuses it + output sort: ≤3 total,
+    // and only ONE before the Window operator
+    val lines = p.linesIterator.toSeq
+    val windowIdx = lines.indexWhere(_.contains("Window"))
+    val preWindow = lines.drop(windowIdx).count(_.contains("Exchange"))
+    assert(windowIdx >= 0 && preWindow <= 1,
+      s"packing should shuffle once for the per-bucket cumsum:\n$p")
+  }
+
+  test("d30 incremental dedup: no cartesian products, no history self-join") {
+    val df = PipelineQueries.queries("d30_incremental_dedup")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"batch-vs-index dedup must stay equi-join only:\n$p")
+  }
+
   test("partitioned write prunes reads to one partition on read-back") {
     Tables.views(spark, sfDir, "orders")
     spark.sql("DROP DATABASE IF EXISTS plan_audit CASCADE")
