@@ -34,6 +34,9 @@ object GraftRun {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir", s"$warehouse/tables")
+      // zstd over the default snappy: ~30% smaller warehouse tables for
+      // equal scan speed — the right trade at 100 TB
+      .config("spark.sql.parquet.compression.codec", "zstd")
       .config("spark.hadoop.javax.jdo.option.ConnectionURL",
         s"jdbc:derby:;databaseName=$warehouse/metastore_db;create=true")
       .enableHiveSupport()
