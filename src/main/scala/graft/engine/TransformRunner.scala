@@ -195,9 +195,12 @@ class TransformRunner(spark: SparkSession) {
       df.write.mode("overwrite").insertInto(dest)
       return
     }
-    if (queries.size < nPartitions)
+    // strict equality: FEWER queries than partitions leaves days
+    // unwritten; MORE would overwrite partitions beyond window.end with
+    // slices the caller never asked to reprocess
+    if (queries.size != nPartitions)
       throw new IllegalArgumentException(
-        s"query count ${queries.size} is less than partition count $nPartitions")
+        s"query count ${queries.size} does not match partition count $nPartitions")
 
     val tasks = queries.zipWithIndex.map { case (q, i) =>
       val sliceStart = window.start.plus(delta.multipliedBy(i.toLong))
@@ -267,7 +270,10 @@ class TransformRunner(spark: SparkSession) {
           .union(source.select(col(partitionField)).distinct()).distinct()
         val keep = destDf.join(affected.withColumnRenamed(partitionField, "__p"),
             col(partitionField) === col("__p"), "left_semi")
-          .where(not(expr(f)))
+          // SQL deletes only rows where the filter is TRUE — a NULL
+          // filter result keeps the row (not(NULL) is NULL and would
+          // silently drop it)
+          .where(not(coalesce(expr(f), lit(false))))
           .unionByName(source.select(destDf.columns.map(col).toIndexedSeq: _*))
         val snap = keep.localCheckpoint(true)
         val parts = affected.collect().map(_.get(0).toString)
@@ -296,6 +302,13 @@ class TransformRunner(spark: SparkSession) {
       window: TaskWindow, executionTime: LocalDateTime,
       partitionField: String, dryRun: Boolean = false): Unit = {
     val dest = catalogName(conf.destinationTable)
+    if (dryRun) {
+      // dry-run must not run jobs — the spillover date collect IS a job,
+      // so explain both plans for the requested window instead
+      script(render(spilloverSql, conf, window, executionTime)).explain()
+      script(render(mainSql, conf, window, executionTime)).explain()
+      return
+    }
     val spillover = script(render(spilloverSql, conf, window, executionTime))
     val dates = spillover.select(col(spillover.columns.head))
       .distinct().collect()
