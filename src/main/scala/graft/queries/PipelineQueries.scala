@@ -311,29 +311,44 @@ object PipelineQueries {
     },
 
     // --- approximate sketches: HLL distinct + quantile sketch ----------
-    // rows-only (sketch algorithms differ across engines); sanity bounds
-    // are embedded as columns so the check is self-evident.
+    // The sketch VALUES are engine-specific, so the gate columns are the
+    // exact aggregates plus accuracy booleans that DEPEND on the sketch
+    // output — a broken sketch flips a boolean and fails the hash against
+    // the oracle's literal TRUE. Rank error of percentile_approx is
+    // bounded by n/accuracy, far inside the ±2-percentile window asserted.
     "d14_approx_sketches" -> { (s, d) =>
       t(s, d, "orders")
         .groupBy(col("o_orderstatus"))
         .agg(
-          approx_count_distinct(col("o_custkey"), 0.02).as("approx_custkeys"),
+          approx_count_distinct(col("o_custkey"), 0.02).as("approx_ck"),
           countDistinct(col("o_custkey")).as("exact_custkeys"),
-          percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).as("p50_totalprice"),
-          percentile_approx(col("o_totalprice"), lit(0.99), lit(1000)).as("p99_totalprice"))
+          count(lit(1)).as("n_rows"),
+          percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).as("ap50"),
+          percentile_approx(col("o_totalprice"), lit(0.99), lit(1000)).as("ap99"),
+          expr("percentile(o_totalprice, 0.48)").as("lo50"),
+          expr("percentile(o_totalprice, 0.52)").as("hi50"),
+          expr("percentile(o_totalprice, 0.97)").as("lo99"),
+          max(col("o_totalprice")).as("hi99"))
+        .select(
+          col("o_orderstatus"), col("exact_custkeys"), col("n_rows"),
+          (abs(col("approx_ck") - col("exact_custkeys")) <=
+            col("exact_custkeys") * 0.05).as("approx_within_5pct"),
+          (col("ap50") >= col("lo50") && col("ap50") <= col("hi50")).as("p50_in_band"),
+          (col("ap99") >= col("lo99") && col("ap99") <= col("hi99")).as("p99_in_band"))
         .orderBy(col("o_orderstatus"))
     },
 
     // --- custom HLL TypedImperativeAggregate vs exact counts ----------
-    // rows-only (our register layout is engine-specific); exact columns
-    // ride along so the estimate error is self-evident (<5% at p=11).
+    // Same gate trick: our register layout is engine-specific, so assert
+    // the <5% error bound (p=11 HLL) as a boolean the oracle pins to TRUE.
     "d15_hll_sketch" -> { (s, d) =>
       graft.functions.HllSketch.register(s)
       Tables.views(s, d, "orders")
       s.sql("""SELECT o_orderstatus,
-              |  graft_hll(o_custkey) AS hll_custkeys,
+              |  abs(graft_hll(o_custkey) - count(DISTINCT o_custkey))
+              |    <= count(DISTINCT o_custkey) * 0.05 AS hll_within_5pct,
               |  count(DISTINCT o_custkey) AS exact_custkeys,
-              |  count(1) AS rows
+              |  count(1) AS n_rows
               |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
     },
 
@@ -1055,6 +1070,25 @@ object PipelineQueries {
           |)
           |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cos
           |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+      // sketch queries: exact aggregates hash-checked; the accuracy
+      // booleans are pinned TRUE here — they depend on the Spark-side
+      // sketch values, so a regression there flips the hash.
+      "d14_approx_sketches" ->
+        """SELECT o_orderstatus,
+          |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_custkeys,
+          |  CAST(count(1) AS BIGINT) AS n_rows,
+          |  TRUE AS approx_within_5pct,
+          |  TRUE AS p50_in_band,
+          |  TRUE AS p99_in_band
+          |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+      "d15_hll_sketch" ->
+        """SELECT o_orderstatus,
+          |  TRUE AS hll_within_5pct,
+          |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_custkeys,
+          |  CAST(count(1) AS BIGINT) AS n_rows
+          |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
       "d18_contamination" ->
         """WITH sh AS (
