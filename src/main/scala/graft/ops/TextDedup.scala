@@ -177,12 +177,16 @@ object TextDedup {
       val neighborMin = edges
         .join(labels.select(col("node").as("dst"), col("lab").as("nlab")), "dst")
         .groupBy(col("src").as("node")).agg(min(col("nlab")).as("nmin"))
+      // carry the previous label through the checkpoint so the
+      // convergence count is a scan of already-materialized rows — not
+      // another shuffle join of next⋈labels per round
       val next = labels.join(neighborMin, Seq("node"), "left")
-        .select(col("node"), least(col("lab"), coalesce(col("nmin"), col("lab"))).as("lab"))
+        .select(col("node"),
+          least(col("lab"), coalesce(col("nmin"), col("lab"))).as("lab"),
+          col("lab").as("old"))
         .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("lab", "old"), "node")
-        .where(col("lab") =!= col("old")).count()
-      labels = next
+      changed = next.where(col("lab") =!= col("old")).count()
+      labels = next.select(col("node"), col("lab"))
       iter += 1
     }
     edges.unpersist()
