@@ -594,6 +594,104 @@ object PipelineQueries {
         .orderBy(col("vec_id"))
     },
 
+    // --- ANN recall@k: the IVF index evaluated against its own
+    //     brute-force ground truth — the metric that decides nProbe
+    //     on a real index. Both sides are exact-int cosine, so recall
+    //     is engine-exact and the oracle replays it verbatim ----------
+    "d34_ann_recall" -> { (s, d) =>
+      val e = quantizedEmbeddings(s, d, plant = false)
+      val qs = e.where(col("vec_id") >= 100 && col("vec_id") < 110)
+      val cents = e.where(col("vec_id") < 16)
+        .select(col("vec_id").as("cent_id"), col("q").as("cq"), col("nrm").as("cnrm"))
+      val ivf = graft.ops.Embeddings.ivfTopK(e, qs, cents, nProbe = 2, k = 3)
+        .select(col("query_id"), col("neighbor_id"))
+      val truth = graft.ops.Embeddings.bruteForceTopK(e, qs, k = 3)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = ivf.join(truth, Seq("query_id", "neighbor_id"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+      qs.select(col("vec_id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          // small-int IEEE division is exactly rounded → engine-identical
+          (coalesce(col("n_hits"), lit(0L)).cast(DoubleType) / 3.0).as("recall_at_3"))
+        .orderBy(col("query_id"))
+    },
+
+    // --- paragraph-level global dedup (C4/MassiveText line dedup):
+    //     docs are cut into fixed 20-token chunks, chunks dedup
+    //     GLOBALLY by content hash (first occurrence by (doc, idx)
+    //     wins), and each doc reports how much of it was already seen
+    //     elsewhere. One shuffle on the chunk hash; chunk text never
+    //     leaves the map side (only the 16-byte hash shuffles) --------
+    "d35_paragraph_dedup" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val chunks = corpusWithPlants(s, d)
+        .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
+        .select(col("doc_id"), posexplode(expr(
+          """transform(sequence(0, cast(ceil(size(toks) / 20.0) as int) - 1),
+            |  i -> md5(array_join(slice(toks, i * 20 + 1, 20), ' ')))""".stripMargin))
+          .as(Seq("chunk_idx", "h")))
+      val w = Window.partitionBy(col("h")).orderBy(col("doc_id"), col("chunk_idx"))
+      chunks.withColumn("rn", row_number().over(w))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          count(when(col("rn") > 1, 1)).as("n_dup_chunks"))
+        .withColumn("dup_ratio",
+          col("n_dup_chunks").cast(DoubleType) / col("n_chunks").cast(DoubleType))
+        .orderBy(col("doc_id"))
+    },
+
+    // --- SemDeDup: semantic dedup inside k-means cells. Pairwise
+    //     cosine runs only WITHIN a cell — the quadratic stays bounded
+    //     by cell size, and at 100 TB the cell count grows with the
+    //     corpus (k ∝ n) so cells stay O(1). Exact-int cosine makes the
+    //     pair list hash-checkable; planted exact copies (cos = 1)
+    //     guarantee non-empty output at every SF --------------------
+    "d36_semdedup" -> { (s, d) =>
+      val e = quantizedEmbeddings(s, d, plant = true)
+      val cents = e.where(col("vec_id") < 16)
+        .select(col("vec_id").as("cent_id"), col("q").as("cq"))
+      val assigned = graft.ops.Embeddings.assignToCentroids(e, cents)
+        .select(col("vec_id"), col("cent_id"), col("q"), col("nrm"))
+      val a = assigned.select(col("cent_id"), col("vec_id").as("a"),
+        col("q").as("qa"), col("nrm").as("na"))
+      val b = assigned.select(col("cent_id"), col("vec_id").as("b"),
+        col("q").as("qb"), col("nrm").as("nb"))
+      a.join(b, Seq("cent_id")).where(col("a") < col("b"))
+        .withColumn("cos", expr(
+          """round(cast(aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (acc, x) -> acc + x) as double)
+            | / (sqrt(cast(na as double)) * sqrt(cast(nb as double))), 6)""".stripMargin))
+        .where(col("cos") >= 0.98)
+        .select(col("cent_id"), col("a"), col("b"), col("cos"))
+        .orderBy(col("a"), col("b"))
+    },
+
+    // --- Gopher-style rule filtering: the published quality-rule
+    //     battery (word count, mean word length, alpha fraction,
+    //     stopword floor) as pure per-row expressions — zero shuffles,
+    //     scales with the scan ---------------------------------------
+    "d37_gopher_rules" -> { (s, d) =>
+      t(s, d, "documents")
+        .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
+        .withColumn("n_words", size(col("toks")).cast(LongType))
+        .withColumn("n_chars",
+          expr("aggregate(transform(toks, t -> length(t)), 0L, (a, x) -> a + x)"))
+        .withColumn("n_alpha",
+          expr("cast(size(filter(toks, t -> t rlike '[a-z]')) as bigint)"))
+        .withColumn("n_stop", expr(
+          "cast(size(filter(toks, t -> t in ('the','a','of','and','to','in','is','that'))) as bigint)"))
+        .select(col("doc_id"), col("n_words"),
+          (col("n_words") >= 50 && col("n_words") <= 100000).as("r_word_count"),
+          (col("n_chars").cast(DoubleType) / col("n_words") >= 3.0 &&
+            col("n_chars").cast(DoubleType) / col("n_words") <= 10.0).as("r_mean_word_len"),
+          (col("n_alpha").cast(DoubleType) / col("n_words") >= 0.8).as("r_alpha_frac"),
+          (col("n_stop") >= 2).as("r_stopwords"))
+        .withColumn("pass",
+          col("r_word_count") && col("r_mean_word_len") && col("r_alpha_frac") && col("r_stopwords"))
+        .orderBy(col("doc_id"))
+    },
+
     // --- multimodal plumbing: opaque binary + typed metadata + staged
     //     feature extraction (deterministic fake "decoder" over bytes;
     //     real decode libs are stubbed — the schema/partitioning/batch
@@ -654,6 +752,47 @@ object PipelineQueries {
           |SELECT md5(n) AS content_hash, min(doc_id) AS keep_id, count(1) AS n_copies,
           |  max(length(n)) AS n_chars
           |FROM norm GROUP BY 1 ORDER BY 1""".stripMargin),
+
+      "d35_paragraph_dedup" -> (planted +
+        """
+          |, tk AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM corpus)
+          |, chunks AS (
+          |  SELECT doc_id, i AS chunk_idx,
+          |    md5(array_to_string(list_slice(t, i * 20 + 1, i * 20 + 20), ' ')) AS h
+          |  FROM tk, unnest(range(0, CAST(ceil(len(t) / 20.0) AS INT))) AS u(i)
+          |), ranked AS (
+          |  SELECT doc_id,
+          |    row_number() OVER (PARTITION BY h ORDER BY doc_id, chunk_idx) AS rn
+          |  FROM chunks
+          |)
+          |SELECT doc_id, count(1) AS n_chunks,
+          |  count(CASE WHEN rn > 1 THEN 1 END) AS n_dup_chunks,
+          |  CAST(count(CASE WHEN rn > 1 THEN 1 END) AS DOUBLE) / count(1) AS dup_ratio
+          |FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+      "d37_gopher_rules" ->
+        """WITH tk AS (
+          |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents
+          |), m AS (
+          |  SELECT doc_id,
+          |    CAST(len(t) AS BIGINT) AS n_words,
+          |    CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT) AS n_chars,
+          |    CAST(len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha,
+          |    CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is','that'))) AS BIGINT) AS n_stop
+          |  FROM tk
+          |)
+          |SELECT doc_id, n_words,
+          |  (n_words >= 50 AND n_words <= 100000) AS r_word_count,
+          |  (CAST(n_chars AS DOUBLE) / n_words >= 3.0
+          |    AND CAST(n_chars AS DOUBLE) / n_words <= 10.0) AS r_mean_word_len,
+          |  (CAST(n_alpha AS DOUBLE) / n_words >= 0.8) AS r_alpha_frac,
+          |  (n_stop >= 2) AS r_stopwords,
+          |  ((n_words >= 50 AND n_words <= 100000)
+          |    AND CAST(n_chars AS DOUBLE) / n_words >= 3.0
+          |    AND CAST(n_chars AS DOUBLE) / n_words <= 10.0
+          |    AND CAST(n_alpha AS DOUBLE) / n_words >= 0.8
+          |    AND n_stop >= 2) AS pass
+          |FROM m ORDER BY doc_id""".stripMargin,
 
       "d03_token_count" ->
         """SELECT doc_id,
@@ -978,6 +1117,101 @@ object PipelineQueries {
           |)
           |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id, cos
           |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+      // recall@3 of the d12 IVF search against brute-force ground
+      // truth — both sides replicated verbatim (exact-int cosine).
+      "d34_ann_recall" ->
+        """WITH e AS (
+          |  SELECT vec_id,
+          |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+          |  FROM embeddings
+          |), n AS (
+          |  SELECT vec_id, q,
+          |    CAST(list_sum(list_transform(range(1, 65), i -> q[i] * q[i])) AS BIGINT) AS nrm
+          |  FROM e
+          |), cents AS (
+          |  SELECT vec_id AS cent_id, q AS cq FROM n WHERE vec_id < 16
+          |), assigned AS (
+          |  SELECT vec_id, cent_id, q, nrm FROM (
+          |    SELECT v.vec_id, c.cent_id, v.q, v.nrm,
+          |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+          |        list_sum(list_transform(range(1, 65), i -> (v.q[i] - c.cq[i]) * (v.q[i] - c.cq[i]))),
+          |        c.cent_id) AS rn
+          |    FROM n v CROSS JOIN cents c
+          |  ) WHERE rn = 1
+          |), probes AS (
+          |  SELECT query_id, qq, qnrm, cent_id FROM (
+          |    SELECT v.vec_id AS query_id, v.q AS qq, v.nrm AS qnrm, c.cent_id,
+          |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+          |        list_sum(list_transform(range(1, 65), i -> (v.q[i] - c.cq[i]) * (v.q[i] - c.cq[i]))),
+          |        c.cent_id) AS rn
+          |    FROM n v CROSS JOIN cents c
+          |    WHERE v.vec_id >= 100 AND v.vec_id < 110
+          |  ) WHERE rn <= 2
+          |), ivf AS (
+          |  SELECT query_id, vec_id FROM (
+          |    SELECT p.query_id, a.vec_id,
+          |      row_number() OVER (PARTITION BY p.query_id ORDER BY
+          |        round(CAST(list_sum(list_transform(range(1, 65), i -> p.qq[i] * a.q[i])) AS DOUBLE)
+          |          / (sqrt(CAST(p.qnrm AS DOUBLE)) * sqrt(CAST(a.nrm AS DOUBLE))), 6) DESC,
+          |        a.vec_id) AS rank
+          |    FROM probes p JOIN assigned a ON a.cent_id = p.cent_id
+          |    WHERE a.vec_id <> p.query_id
+          |  ) WHERE rank <= 3
+          |), bf AS (
+          |  SELECT query_id, vec_id FROM (
+          |    SELECT qv.vec_id AS query_id, v.vec_id,
+          |      row_number() OVER (PARTITION BY qv.vec_id ORDER BY
+          |        round(CAST(list_sum(list_transform(range(1, 65), i -> qv.q[i] * v.q[i])) AS DOUBLE)
+          |          / (sqrt(CAST(qv.nrm AS DOUBLE)) * sqrt(CAST(v.nrm AS DOUBLE))), 6) DESC,
+          |        v.vec_id) AS rank
+          |    FROM n qv JOIN n v ON v.vec_id <> qv.vec_id
+          |    WHERE qv.vec_id >= 100 AND qv.vec_id < 110
+          |  ) WHERE rank <= 3
+          |), hits AS (
+          |  SELECT query_id, count(1) AS n_hits
+          |  FROM ivf JOIN bf USING (query_id, vec_id) GROUP BY query_id
+          |)
+          |SELECT q.vec_id AS query_id,
+          |  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+          |  CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / 3.0 AS recall_at_3
+          |FROM n q LEFT JOIN hits h ON h.query_id = q.vec_id
+          |WHERE q.vec_id >= 100 AND q.vec_id < 110
+          |ORDER BY query_id""".stripMargin,
+
+      // within-cell pair join replicated after the same centroid
+      // assignment as d12, over the planted (exact-copy) corpus.
+      "d36_semdedup" ->
+        """WITH ep AS (
+          |  SELECT vec_id, embedding FROM embeddings
+          |  UNION ALL
+          |  SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings WHERE vec_id % 20 = 0
+          |), e AS (
+          |  SELECT vec_id,
+          |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+          |  FROM ep
+          |), n AS (
+          |  SELECT vec_id, q,
+          |    CAST(list_sum(list_transform(range(1, 65), i -> q[i] * q[i])) AS BIGINT) AS nrm
+          |  FROM e
+          |), cents AS (
+          |  SELECT vec_id AS cent_id, q AS cq FROM n WHERE vec_id < 16
+          |), assigned AS (
+          |  SELECT vec_id, cent_id, q, nrm FROM (
+          |    SELECT v.vec_id, c.cent_id, v.q, v.nrm,
+          |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+          |        list_sum(list_transform(range(1, 65), i -> (v.q[i] - c.cq[i]) * (v.q[i] - c.cq[i]))),
+          |        c.cent_id) AS rn
+          |    FROM n v CROSS JOIN cents c
+          |  ) WHERE rn = 1
+          |)
+          |SELECT x.cent_id, x.vec_id AS a, y.vec_id AS b,
+          |  round(CAST(list_sum(list_transform(range(1, 65), i -> x.q[i] * y.q[i])) AS DOUBLE)
+          |    / (sqrt(CAST(x.nrm AS DOUBLE)) * sqrt(CAST(y.nrm AS DOUBLE))), 6) AS cos
+          |FROM assigned x JOIN assigned y ON y.cent_id = x.cent_id AND x.vec_id < y.vec_id
+          |WHERE round(CAST(list_sum(list_transform(range(1, 65), i -> x.q[i] * y.q[i])) AS DOUBLE)
+          |    / (sqrt(CAST(x.nrm AS DOUBLE)) * sqrt(CAST(y.nrm AS DOUBLE))), 6) >= 0.98
+          |ORDER BY a, b""".stripMargin,
 
       "d24_tfidf_terms" ->
         """WITH tf AS (

@@ -645,6 +645,43 @@ object RelationalQueries {
           |    x -> cast(x.o_orderkey AS string)), ',') AS cheapest3
           |FROM orders
           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    },
+
+    // --- UNPIVOT: wide per-status counts back to rows ------------------
+    "q49_unpivot" -> { (s, d) =>
+      Tables.views(s, d, "orders")
+      s.sql(
+        """SELECT o_orderpriority, status, n FROM (
+          |  SELECT o_orderpriority,
+          |    count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS st_open,
+          |    count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS st_finished,
+          |    count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS st_pending
+          |  FROM orders GROUP BY o_orderpriority
+          |)
+          |UNPIVOT (n FOR status IN (st_open, st_finished, st_pending))
+          |ORDER BY o_orderpriority, status""".stripMargin)
+    },
+
+    // --- recursive CTE (Spark 4.1 UnionLoop): month spine + counts -----
+    "q50_recursive_cte" -> { (s, d) =>
+      // the recursion generates the calendar spine (80 rows — driver-
+      // sized by the date range, not the data), then a left join
+      // fills counts; months with no orders surface as zero instead of
+      // silently disappearing, which a plain GROUP BY cannot do
+      Tables.views(s, d, "orders")
+      s.sql(
+        """WITH RECURSIVE months(m) AS (
+          |  SELECT DATE'1995-01-01'
+          |  UNION ALL
+          |  SELECT add_months(m, 1) FROM months WHERE m < DATE'2001-08-01'
+          |)
+          |SELECT date_format(m.m, 'yyyy-MM') AS month,
+          |  coalesce(o.n, 0L) AS n_orders
+          |FROM months m LEFT JOIN (
+          |  SELECT date_format(o_orderdate, 'yyyy-MM') AS mo, count(1) AS n
+          |  FROM orders GROUP BY 1
+          |) o ON o.mo = date_format(m.m, 'yyyy-MM')
+          |ORDER BY month""".stripMargin)
     }
   )
 
@@ -1044,6 +1081,39 @@ object RelationalQueries {
         |  array_to_string(list_transform(
         |    list_sort(list({'o_totalprice': o_totalprice, 'o_orderkey': o_orderkey}))[1:3],
         |    x -> CAST(x.o_orderkey AS VARCHAR)), ',') AS cheapest3
-        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // UNION ALL restatement of the unpivot (stable across DuckDB's
+    // UNPIVOT quirks)
+    "q49_unpivot" ->
+      """WITH wide AS (
+        |  SELECT o_orderpriority,
+        |    count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS st_open,
+        |    count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS st_finished,
+        |    count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS st_pending
+        |  FROM orders GROUP BY o_orderpriority
+        |)
+        |SELECT o_orderpriority, status, n FROM (
+        |  SELECT o_orderpriority, 'st_open' AS status, st_open AS n FROM wide
+        |  UNION ALL
+        |  SELECT o_orderpriority, 'st_finished' AS status, st_finished AS n FROM wide
+        |  UNION ALL
+        |  SELECT o_orderpriority, 'st_pending' AS status, st_pending AS n FROM wide
+        |)
+        |ORDER BY o_orderpriority, status""".stripMargin,
+
+    "q50_recursive_cte" ->
+      """WITH RECURSIVE months(m) AS (
+        |  SELECT DATE '1995-01-01'
+        |  UNION ALL
+        |  SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months WHERE m < DATE '2001-08-01'
+        |)
+        |SELECT strftime(m.m, '%Y-%m') AS month,
+        |  CAST(coalesce(o.n, 0) AS BIGINT) AS n_orders
+        |FROM months m LEFT JOIN (
+        |  SELECT strftime(o_orderdate, '%Y-%m') AS mo, count(1) AS n
+        |  FROM orders GROUP BY 1
+        |) o ON o.mo = strftime(m.m, '%Y-%m')
+        |ORDER BY month""".stripMargin
   )
 }

@@ -31,6 +31,10 @@ object StreamingQueries {
 
     "s05_stream_dedup_delivery" -> { (s, d) =>
       StreamingOps.runBoundedDedupDelivery(s, d, "s05_sink")
+    },
+
+    "s06_stream_static_enrichment" -> { (s, d) =>
+      StreamingOps.runBoundedEnrichment(s, d, "s06_sink")
     }
   )
 
@@ -89,6 +93,13 @@ object StreamingQueries {
     "s05_stream_dedup_delivery" ->
       """SELECT event_type, count(1) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // batch restatement of the stream⋈static-dim enrichment
+    "s06_stream_static_enrichment" ->
+      """SELECT c.c_mktsegment, count(1) AS n_events,
+        |  CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

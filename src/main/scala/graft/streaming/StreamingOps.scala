@@ -174,6 +174,38 @@ object StreamingOps {
       .orderBy(col("event_type"))
   }
 
+  /** Stream-static enrichment: the event stream joins a static
+    * dimension (broadcast — the dim is re-read per micro-batch but
+    * never shuffled), then aggregates per segment. The static side
+    * needs no watermark; state is bounded by the segment vocabulary.
+    * This is the canonical "enrich the firehose with a slowly-changing
+    * dim" topology.
+    */
+  def streamStaticEnrichment(events: DataFrame, dim: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+
+  /** Bounded stream-static enrichment → memory sink → final state. */
+  def runBoundedEnrichment(spark: SparkSession, sfDir: String,
+      queryName: String): DataFrame = {
+    val dim = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val agg = streamStaticEnrichment(boundedEventStream(spark, sfDir), dim)
+    val q = agg.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("complete")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(queryName)
+      .select(col("c_mktsegment"), col("n_events"), col("sum_value"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   /** File-source stream over the events parquet with the nanos→micros
     * normalization `Tables.t` applies on the batch side.
     */

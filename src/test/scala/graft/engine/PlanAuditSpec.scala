@@ -219,6 +219,37 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"batch-vs-index dedup must stay equi-join only:\n$p")
   }
 
+  test("d35 paragraph dedup: chunks shuffle as md5 hashes, never text") {
+    val df = PipelineQueries.queries("d35_paragraph_dedup")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // the global dedup window partitions by the 32-char hash…
+    assert(p.contains("hashpartitioning(h#"),
+      s"expected the dedup window to shuffle on the chunk hash:\n$p")
+    // …and the raw text column is projected away before any exchange:
+    // audit each "(N) Exchange" detail block's Input list
+    val lines = p.linesIterator.toSeq
+    val exchangeInputs = lines.zipWithIndex.collect {
+      case (l, i) if l.matches("""\(\d+\) Exchange.*""") =>
+        lines.drop(i + 1).takeWhile(_.nonEmpty).filter(_.startsWith("Input"))
+    }.flatten
+    assert(exchangeInputs.nonEmpty && !exchangeInputs.exists(_.contains("text#")),
+      s"chunk text must not cross an exchange:\n$p")
+  }
+
+  test("d36 semdedup: within-cell pairs via equi-join, no cartesian") {
+    val df = PipelineQueries.queries("d36_semdedup")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // the only nested-loop is the broadcast centroid assignment (16
+    // rows); the pair stage itself must be a cent_id equi-join
+    assert(!p.contains("CartesianProduct"),
+      s"semdedup pair join must never be a cartesian product:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"expected an equi-join on cent_id for the pair stage:\n$p")
+  }
+
   test("partitioned write prunes reads to one partition on read-back") {
     Tables.views(spark, sfDir, "orders")
     spark.sql("DROP DATABASE IF EXISTS plan_audit CASCADE")
