@@ -222,8 +222,15 @@ object TextDedup {
       .select(col(idCol).as("hist_id"), col("shingles").as("hsh")).persist()
     val restSizes = restSh.select(col("doc_id"), size(col("shingles")).as("na"))
     val histSizes = histSh.select(col("hist_id"), size(col("hsh")).as("nb"))
-    val near = restSh.select(col("doc_id"), explode(col("shingles")).as("sh"))
-      .join(histSh.select(col("hist_id"), explode(col("hsh")).as("sh")), "sh")
+    // shingles are distinct per doc, so hashing them to 60-bit ints
+    // before the join keeps the shared-count identical (no collisions
+    // at these set sizes) while the shuffle carries 8-byte ints
+    // instead of 3-word strings — the join key is what crosses the
+    // wire at 100 TB, not the per-row CPU
+    val near = restSh.select(col("doc_id"),
+        explode(expr("transform(shingles, s -> graft_md5_60(s))")).as("sh"))
+      .join(histSh.select(col("hist_id"),
+        explode(expr("transform(hsh, s -> graft_md5_60(s))")).as("sh")), "sh")
       .groupBy(col("doc_id"), col("hist_id")).agg(count(lit(1)).as("shared"))
       .join(restSizes, "doc_id").join(histSizes, "hist_id")
       .where(col("shared").cast(DoubleType)
