@@ -692,6 +692,81 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // --- BPE merge-pair counting (the inner loop of tokenizer vocab
+    //     training): adjacent-token pair frequencies across the corpus,
+    //     top-20 merge candidates. One explode + one groupBy with
+    //     map-side combine — the count table is vocabulary², not
+    //     corpus-sized, so the shuffle stays bounded at 100 TB --------
+    "d38_bpe_pairs" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val pairs = t(s, d, "documents")
+        .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
+        .where(size(col("toks")) >= 2)
+        .select(explode(expr(
+          """transform(sequence(1, size(toks) - 1),
+            |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))""".stripMargin))
+          .as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+      val w = Window.orderBy(col("cnt").desc, col("pair"))
+      pairs.withColumn("rank", row_number().over(w).cast(LongType))
+        .where(col("rank") <= 20)
+        .select(col("rank"), col("pair"), col("cnt"))
+        .orderBy(col("rank"))
+    },
+
+    // --- deterministic training-order shuffle: every doc gets a
+    //     (shard, position) from its id hash — reproducible across
+    //     runs, engines, and cluster sizes, no RNG state. The window
+    //     sorts WITHIN a shard only, so no global sort exists at any
+    //     scale; shards are the unit a trainer streams ---------------
+    "d39_training_order" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val h = expr("conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10)")
+        .cast(LongType)
+      val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+      t(s, d, "documents")
+        .select(col("doc_id"), h.as("h"))
+        .withColumn("shard", pmod(col("h"), lit(8)))
+        .withColumn("pos", row_number().over(w).cast(LongType))
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy(col("shard"), col("pos"))
+    },
+
+    // --- metadata-filtered ANN: the RAG-shaped query — top-k cosine
+    //     restricted to candidates passing a metadata predicate. The
+    //     filter lands on the candidate SCAN (pushdown), shrinking the
+    //     scored set before any ranking work --------------------------
+    "d40_ann_filtered" -> { (s, d) =>
+      val e = t(s, d, "embeddings")
+      val corpus = graft.ops.Embeddings.quantized(e.where(col("label") % 2 === 0))
+      val qs = graft.ops.Embeddings.quantized(e.where(col("vec_id") < 10))
+      graft.ops.Embeddings.bruteForceTopK(corpus, qs, k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    // --- token-budget corpus selection: per source, take the
+    //     highest-quality docs until the token budget fills (how a
+    //     mixture allocation (d31) becomes an actual doc list). One
+    //     window per source — cumsum is partition-local, and sources
+    //     partition the corpus, so nothing global exists -------------
+    "d41_token_budget" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, d, "documents")
+      val scored = graft.ops.Corpus.qualityScore(docs)
+        .select(col("doc_id"), col("quality"), col("n_tokens"))
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("quality").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      scored.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .where(col("cum_tokens") <= 2000)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs_kept"),
+          max(col("cum_tokens")).as("tokens_kept"),
+          min(col("quality")).as("min_quality_kept"))
+        .orderBy(col("source"))
+    },
+
     // --- multimodal plumbing: opaque binary + typed metadata + staged
     //     feature extraction (deterministic fake "decoder" over bytes;
     //     real decode libs are stubbed — the schema/partitioning/batch
@@ -817,6 +892,81 @@ object PipelineQueries {
           |             / CAST(len(toks) AS DOUBLE))
           |    + 0.3 * (CAST(alpha_chars AS DOUBLE) / CAST(length(text) AS DOUBLE)) AS quality
           |FROM base ORDER BY doc_id""".stripMargin,
+
+      "d38_bpe_pairs" ->
+        """WITH tk AS (
+          |  SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents
+          |), pairs AS (
+          |  SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS pair
+          |  FROM tk WHERE len(t) >= 2
+          |), cnts AS (
+          |  SELECT pair, count(1) AS cnt FROM pairs GROUP BY pair
+          |), ranked AS (
+          |  SELECT pair, cnt, row_number() OVER (ORDER BY cnt DESC, pair) AS rank FROM cnts
+          |)
+          |SELECT CAST(rank AS BIGINT) AS rank, pair, cnt
+          |FROM ranked WHERE rank <= 20 ORDER BY rank""".stripMargin,
+
+      "d39_training_order" ->
+        """SELECT doc_id, shard, CAST(pos AS BIGINT) AS pos FROM (
+          |  SELECT doc_id, h % 8 AS shard,
+          |    row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS pos
+          |  FROM (SELECT doc_id,
+          |          ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+          |        FROM documents)
+          |) ORDER BY shard, pos""".stripMargin,
+
+      "d40_ann_filtered" ->
+        """WITH e AS (
+          |  SELECT vec_id, label,
+          |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+          |  FROM embeddings
+          |), n AS (
+          |  SELECT vec_id, label, q,
+          |    list_sum(list_transform(range(1, 65), i -> q[i] * q[i])) AS nrm
+          |  FROM e
+          |), scored AS (
+          |  SELECT qr.vec_id AS query_id, c.vec_id AS neighbor_id,
+          |    round(CAST(list_sum(list_transform(range(1, 65), i -> qr.q[i] * c.q[i])) AS DOUBLE)
+          |      / (sqrt(CAST(qr.nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE))), 6) AS cos
+          |  FROM n qr JOIN n c ON c.vec_id <> qr.vec_id AND c.label % 2 = 0
+          |  WHERE qr.vec_id < 10
+          |), ranked AS (
+          |  SELECT query_id, neighbor_id, cos,
+          |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+          |  FROM scored
+          |)
+          |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cos
+          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+      // quality formula replicated from the d04 oracle; cumsum order
+      // (quality DESC, doc_id) is deterministic because the quality
+      // doubles are engine-identical (d04 hash-passes)
+      "d41_token_budget" ->
+        """WITH base AS (
+          |  SELECT doc_id, source, text,
+          |    regexp_split_to_array(lower(trim(text)), '\s+') AS toks,
+          |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS alpha_chars
+          |  FROM documents
+          |), q AS (
+          |  SELECT doc_id, source,
+          |    CAST(len(toks) AS BIGINT) AS n_tokens,
+          |    0.4 * least(1.0, CAST(len(toks) AS DOUBLE) / 100.0)
+          |      + 0.3 * (CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+          |               / CAST(len(toks) AS DOUBLE))
+          |      + 0.3 * (CAST(alpha_chars AS DOUBLE) / CAST(length(text) AS DOUBLE)) AS quality
+          |  FROM base
+          |), c AS (
+          |  SELECT source, doc_id, quality, n_tokens,
+          |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY quality DESC, doc_id
+          |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+          |  FROM q
+          |)
+          |SELECT source, count(1) AS n_docs_kept,
+          |  CAST(max(cum_tokens) AS BIGINT) AS tokens_kept,
+          |  min(quality) AS min_quality_kept
+          |FROM c WHERE cum_tokens <= 2000
+          |GROUP BY source ORDER BY source""".stripMargin,
 
       "d05_lang_id" ->
         """WITH scored AS (
