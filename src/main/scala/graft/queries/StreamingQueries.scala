@@ -35,6 +35,10 @@ object StreamingQueries {
 
     "s06_stream_static_enrichment" -> { (s, d) =>
       StreamingOps.runBoundedEnrichment(s, d, "s06_sink")
+    },
+
+    "s07_stream_foreachbatch_upsert" -> { (s, d) =>
+      StreamingOps.runBoundedForeachBatchUpsert(s, d, "s07_sink")
     }
   )
 
@@ -100,6 +104,15 @@ object StreamingQueries {
       """SELECT c.c_mktsegment, count(1) AS n_events,
         |  CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the upserted target's final state must equal the batch
+    // aggregation regardless of how the micro-batches sliced the input
+    "s07_stream_foreachbatch_upsert" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  event_type, count(1) AS cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

@@ -206,6 +206,62 @@ object StreamingOps {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** Exactly-once-style sink for a non-transactional store: update-mode
+    * windowed aggregation → foreachBatch upsert keyed on
+    * (window_start, event_type). Each micro-batch emits only the keys
+    * whose state changed; the sink replaces exactly those keys in the
+    * target (read-current → anti-join → union → overwrite — the plain-
+    * parquet stand-in for MERGE INTO; on a transactional table the
+    * same foreachBatch body becomes one MERGE). The input is split
+    * into two files and streamed with maxFilesPerTrigger=1, so keys
+    * genuinely get upserted across batches, and the final target
+    * equals the batch aggregation no matter how the batches sliced it.
+    *
+    * The watermark is effectively unbounded here because the bounded
+    * replay delivers the time range out of order across batches; an
+    * unbounded production run would use a real delay and accept
+    * late-drop semantics — the sink topology is identical.
+    */
+  def runBoundedForeachBatchUpsert(spark: SparkSession, sfDir: String,
+      queryName: String): DataFrame = {
+    val src = java.nio.file.Files.createTempDirectory("s07src").toString
+    spark.read.parquet(s"$sfDir/events.parquet").repartition(2)
+      .write.mode("overwrite").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val raw = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    val events =
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else raw
+    val agg = windowedEventCounts(events, "1 hour", "3650 days")
+    val target = java.nio.file.Files.createTempDirectory("s07tgt").toString + "/t"
+    val upsert: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, _) => {
+        val b = batch
+          .select(col("window.start").as("ws"), col("event_type"),
+            col("cnt"), col("sum_value"))
+          .localCheckpoint(true)
+        val cur =
+          try Some(spark.read.parquet(target)) catch { case _: Throwable => None }
+        val next = cur match {
+          case None => b
+          // localCheckpoint materializes the merged state before the
+          // overwrite so the read-own-write cycle is safe on parquet
+          case Some(c) => c.join(b.select(col("ws"), col("event_type")),
+              Seq("ws", "event_type"), "left_anti")
+            .unionByName(b).localCheckpoint(true)
+        }
+        next.write.mode("overwrite").parquet(target)
+      }
+    val q = agg.writeStream.outputMode("update").foreachBatch(upsert).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(target)
+      .select(date_format(col("ws"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("cnt"), col("sum_value"))
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
   /** File-source stream over the events parquet with the nanos→micros
     * normalization `Tables.t` applies on the batch side.
     */
