@@ -66,8 +66,41 @@ object Dialect {
     * (`EXTRACT(YEAR FROM …)`), `IS [NOT] DISTINCT FROM`, and
     * TRIM specifiers (`TRIM(BOTH ' ' FROM …)`).
     */
-  private val exprFromContext =
-    raw"(?i)(\(\s*(YEAR|ISOYEAR|QUARTER|MONTH|WEEK|ISOWEEK|DAY|DAYOFWEEK|DAYOFYEAR|HOUR|MINUTE|SECOND|MILLISECOND|MICROSECOND|NANOSECOND|EPOCH|DATE|TIME|DATETIME|LEADING|TRAILING|BOTH)(\s+'[^']*')?|\bIS\s+(?:NOT\s+)?DISTINCT)\s*$$".r
+  private val exprUnits = Set("YEAR", "ISOYEAR", "QUARTER", "MONTH", "WEEK",
+    "ISOWEEK", "DAY", "DAYOFWEEK", "DAYOFYEAR", "HOUR", "MINUTE", "SECOND",
+    "MILLISECOND", "MICROSECOND", "NANOSECOND", "EPOCH", "DATE", "TIME",
+    "DATETIME", "LEADING", "TRAILING", "BOTH")
+
+  /** Decide from the literal-aware token stream whether the keyword at
+    * `kwIdx` is an expression-position FROM: the unit keyword sits right
+    * after the function's opening paren, however much literal text or
+    * whitespace separates it from the FROM (`TRIM(BOTH '…long…' FROM x)`
+    * tokenizes to `TRIM ( BOTH FROM`), with `WEEK(MONDAY)` closing one
+    * paren group first.
+    */
+  private def isExprPositionFrom(toks: Vector[(String, Int)], kwIdx: Int): Boolean = {
+    if (kwIdx < 1) return false
+    if (toks(kwIdx - 1)._1 == "DISTINCT") {
+      val j = if (kwIdx >= 2 && toks(kwIdx - 2)._1 == "NOT") kwIdx - 3 else kwIdx - 2
+      return j >= 0 && toks(j)._1 == "IS"
+    }
+    var i = kwIdx - 1
+    if (toks(i)._1 == ")") { // WEEK(MONDAY) FROM …
+      var depth = 0
+      var done = false
+      while (i >= 0 && !done) {
+        toks(i)._1 match {
+          case ")" => depth += 1
+          case "(" => depth -= 1; if (depth == 0) done = true
+          case _ =>
+        }
+        if (!done) i -= 1
+      }
+      if (!done) return false
+      i -= 1
+    }
+    i >= 1 && exprUnits(toks(i)._1) && toks(i - 1)._1 == "("
+  }
 
   /** Known limitation: only the FIRST table after a FROM is mapped —
     * comma-join lists (`FROM p.d.a, p.d.b`) are not, because a comma
@@ -77,12 +110,13 @@ object Dialect {
   def mapSourceFqns(sql: String): String = {
     val literalSpans = stringLit.findAllMatchIn(sql).map(m => (m.start, m.end)).toVector
     def inLiteral(p: Int) = literalSpans.exists(s => p >= s._1 && p < s._2)
+    val toks = StatementSplitter.tokens(sql)
     fqnRef.replaceAllIn(sql, m => {
-      val before = sql.substring(math.max(0, m.start - 32), m.start)
+      val kwIdx = toks.indexWhere(_._2 == m.start)
       val clean = m.group(2).replace("`", "").replaceAll("\\s", "")
       java.util.regex.Matcher.quoteReplacement(clean.split("\\.") match {
         case Array(p, d, t) if !inLiteral(m.start) &&
-            exprFromContext.findFirstIn(before).isEmpty =>
+            !(kwIdx >= 0 && isExprPositionFrom(toks, kwIdx)) =>
           s"${m.group(1)} ${p.replace("-", "_")}__${d.replace("-", "_")}.`$t`"
         case _ => m.group(0)
       })

@@ -88,10 +88,13 @@ object Lineage {
     // temp tables DEFINED by the script are intermediate state, not
     // upstream dependencies — a later statement reading one must not
     // report it
-    val tempNames = StatementSplitter.split(query).flatMap {
-      case createTempNameRe(n) => Seq(n, n.split("\\.").last)
-      case _ => Seq.empty
+    val tempFull = StatementSplitter.split(query).collect {
+      case createTempNameRe(n) => n
     }.toSet
+    // short names only shadow UNQUALIFIED references (temp views are
+    // single-part); a qualified table that happens to share the last
+    // segment is a genuine upstream dependency
+    val tempShort = tempFull.map(_.split("\\.").last)
     val deps = StatementSplitter.split(query).flatMap { stmt =>
       Try(spark.sessionState.sqlParser.parsePlan(
           Dialect.rewrite(stmt, mapFqns = false))).toOption match {
@@ -110,7 +113,8 @@ object Lineage {
     }
     val ignoredSet = ignored.toSet
     Result(deps.distinct.filterNot(d =>
-      d == destination || ignoredSet(d) || tempNames(d)), ignored)
+      d == destination || ignoredSet(d) || tempFull(d) ||
+        (!d.contains(".") && tempShort(d))), ignored)
   }
 
   /** Script-aware lineage: evaluate DECLARE/SET variables the way

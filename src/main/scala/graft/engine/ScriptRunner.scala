@@ -105,12 +105,26 @@ class ScriptRunner(spark: SparkSession) {
 
   /** Top-level markers of a control statement: tokens at block depth 1
     * outside CASE expressions, plus the closing END (depth 1 → 0).
+    * THEN/DO count only while an opener's condition is pending (the same
+    * discipline as [[stripControl]]) — a MERGE's `WHEN MATCHED THEN`
+    * inside a branch body is part of a statement, not a segment boundary.
     */
-  private def topMarkers(stmt: String, names: Set[String]): Vector[StatementSplitter.Tok] =
-    StatementSplitter.annotate(stmt).filter { t =>
-      (names.contains(t.text) && t.depthBefore == 1 && t.depthAfter == 1 && t.caseDepth == 0) ||
+  private def topMarkers(stmt: String, names: Set[String]): Vector[StatementSplitter.Tok] = {
+    val ann = StatementSplitter.annotate(stmt)
+    var pendingCond =
+      ann.headOption.exists(t => Set("IF", "WHILE", "FOR").contains(t.text))
+    ann.filter { t =>
+      val depth1 = t.depthBefore == 1 && t.depthAfter == 1 && t.caseDepth == 0
+      val condEnd = pendingCond && depth1 && (t.text == "THEN" || t.text == "DO")
+      if (condEnd) pendingCond = false
+      if (t.text == "ELSEIF" && depth1) pendingCond = true
+      (names.contains(t.text) && depth1 && (t.text match {
+        case "THEN" | "DO" => condEnd
+        case _ => true // ELSEIF / ELSE / EXCEPTION
+      })) ||
         (t.text == "END" && t.depthBefore == 1 && t.depthAfter == 0)
     }
+  }
 
   /** IF c1 THEN s1 [ELSEIF c2 THEN s2]* [ELSE s3] END IF */
   private def runIf(stmt: String): Option[DataFrame] = {
@@ -306,14 +320,121 @@ class ScriptRunner(spark: SparkSession) {
 
   private val executeImmediateRe = raw"(?is)^EXECUTE\s+IMMEDIATE\s+(.+)$$".r
 
+  /** EXECUTE IMMEDIATE sql_expr [INTO var, …] [USING expr [AS name], …].
+    * The query TEXT is itself an expression (variable, CONCAT, …):
+    * evaluate it driver-side, bind USING parameters (`?` positionally,
+    * `@name` by alias), run the SQL, and with INTO bind the single
+    * result row's columns back into script variables.
+    */
+  private def runExecuteImmediate(tail: String): Option[DataFrame] = {
+    // top-level INTO/USING located with the literal-aware lexer so the
+    // words inside the query-text expression's string literals don't count
+    var depth = 0
+    var intoPos = -1
+    var usingPos = -1
+    StatementSplitter.tokens(tail).foreach { case (t, p) =>
+      t match {
+        case "(" => depth += 1
+        case ")" => depth -= 1
+        case "INTO" if depth == 0 && intoPos < 0 && usingPos < 0 => intoPos = p
+        case "USING" if depth == 0 && usingPos < 0 => usingPos = p
+        case _ =>
+      }
+    }
+    val exprEnd = if (intoPos >= 0) intoPos else if (usingPos >= 0) usingPos else tail.length
+    val queryExpr = tail.substring(0, exprEnd).trim
+    val row = spark.sql(
+      s"SELECT CAST((${Dialect.rewrite(substituteVars(queryExpr))}) AS STRING)").collect()(0)
+    require(!row.isNullAt(0), s"EXECUTE IMMEDIATE evaluated to NULL: $tail")
+    var sqlText = row.getString(0)
+    if (usingPos >= 0) {
+      val asRe = raw"(?is)^(.+?)\s+AS\s+(\w+)$$".r
+      val bound = splitTopCommas(tail.substring(usingPos + 5)).map(_.trim)
+        .filter(_.nonEmpty).map {
+          case asRe(e, alias) => (Some(alias), evalToLiteral(e))
+          case e => (Option.empty[String], evalToLiteral(e))
+        }
+      bound.foreach { case (alias, litV) =>
+        alias.foreach { a =>
+          sqlText = sqlText.replaceAll(raw"@" + a + raw"\b",
+            java.util.regex.Matcher.quoteReplacement(litV))
+        }
+      }
+      val positional = bound.collect { case (scala.None, l) => l }
+      if (positional.nonEmpty) sqlText = bindPositional(sqlText, positional)
+    }
+    if (intoPos >= 0) {
+      val intoEnd = if (usingPos >= 0) usingPos else tail.length
+      val vars = tail.substring(intoPos + 4, intoEnd).split(",").map(_.trim)
+        .filter(_.nonEmpty)
+      val rows = spark.sql(Dialect.rewrite(substituteVars(sqlText))).limit(2).collect()
+      // BigQuery: >1 row is an error; 0 rows leaves the variables NULL
+      require(rows.length <= 1, "EXECUTE IMMEDIATE ... INTO returned more than one row")
+      vars.zipWithIndex.foreach { case (v, i) =>
+        val value = rows.headOption.map(r => literalOf(r.get(i))).getOrElse("NULL")
+        variables(v) = declaredTypes.get(v) match {
+          case Some(t) if value != "NULL" => evalToLiteral(s"CAST(($value) AS $t)")
+          case _ => value
+        }
+      }
+      None
+    } else runScript(sqlText)
+  }
+
+  /** Split on commas at paren depth 0, respecting string/backtick
+    * literals — USING parameter lists.
+    */
+  private def splitTopCommas(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var state: Char = 'n'
+    s.foreach { ch =>
+      state match {
+        case 'n' =>
+          ch match {
+            case '\'' => state = 's'; cur += ch
+            case '"' => state = 'd'; cur += ch
+            case '`' => state = 'b'; cur += ch
+            case '(' => depth += 1; cur += ch
+            case ')' => depth -= 1; cur += ch
+            case ',' if depth == 0 => out += cur.result(); cur.clear()
+            case _ => cur += ch
+          }
+        case 's' => cur += ch; if (ch == '\'') state = 'n'
+        case 'd' => cur += ch; if (ch == '"') state = 'n'
+        case 'b' => cur += ch; if (ch == '`') state = 'n'
+      }
+    }
+    out += cur.result()
+    out.result()
+  }
+
+  /** Replace `?` placeholders outside string literals with literals, in
+    * order — EXECUTE IMMEDIATE positional USING binding.
+    */
+  private def bindPositional(sql: String, params: Seq[String]): String = {
+    val sb = new StringBuilder
+    var state: Char = 'n'
+    var p = 0
+    sql.foreach { ch =>
+      state match {
+        case 'n' =>
+          if (ch == '\'') { state = 's'; sb += ch }
+          else if (ch == '"') { state = 'd'; sb += ch }
+          else if (ch == '`') { state = 'b'; sb += ch }
+          else if (ch == '?' && p < params.length) { sb ++= params(p); p += 1 }
+          else sb += ch
+        case 's' => sb += ch; if (ch == '\'') state = 'n'
+        case 'd' => sb += ch; if (ch == '"') state = 'n'
+        case 'b' => sb += ch; if (ch == '`') state = 'n'
+      }
+    }
+    sb.toString
+  }
+
   private def runSimpleStatement(stmt: String): Option[DataFrame] = stmt match {
-    case executeImmediateRe(queryExpr) =>
-      // the query TEXT is itself an expression (variable, CONCAT, …):
-      // evaluate it driver-side, then run the resulting SQL normally
-      val row = spark.sql(
-        s"SELECT CAST((${Dialect.rewrite(substituteVars(queryExpr.trim))}) AS STRING)").collect()(0)
-      require(!row.isNullAt(0), s"EXECUTE IMMEDIATE evaluated to NULL: $stmt")
-      runScript(row.getString(0))
+    case executeImmediateRe(tail) => runExecuteImmediate(tail.trim)
     case declareRe(name, tpe, default) =>
       declaredTypes(name) = sparkType(tpe)
       variables(name) =

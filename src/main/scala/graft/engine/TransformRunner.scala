@@ -195,14 +195,15 @@ class TransformRunner(spark: SparkSession) {
       df.write.mode("overwrite").insertInto(dest)
       return
     }
-    // strict equality: FEWER queries than partitions leaves days
-    // unwritten; MORE would overwrite partitions beyond window.end with
-    // slices the caller never asked to reprocess
-    if (queries.size != nPartitions)
+    // reference semantics (transformation.py: `len(task_queries) <
+    // len(datetime_list)` is the only error): FEWER queries than
+    // partitions leaves days unwritten → error; EXTRA trailing slices
+    // (e.g. a break marker after the last query) are ignored
+    if (queries.size < nPartitions)
       throw new IllegalArgumentException(
-        s"query count ${queries.size} does not match partition count $nPartitions")
+        s"query count ${queries.size} is less than partition count $nPartitions")
 
-    val tasks = queries.zipWithIndex.map { case (q, i) =>
+    val tasks = queries.take(nPartitions).zipWithIndex.map { case (q, i) =>
       val sliceStart = window.start.plus(delta.multipliedBy(i.toLong))
       val sliceEnd = sliceStart.plus(delta)
       val pdate = sliceEnd.minus(delta).format(DateTimeFormatter.ISO_LOCAL_DATE)

@@ -62,6 +62,19 @@ class DialectSpec extends AnyFunSuite {
     // a plain alias before FROM doesn't suppress the mapping
     assert(Dialect.mapSourceFqns("SELECT x AS day FROM proj.ds.t")
       == "SELECT x AS day FROM proj__ds.`t`")
+    // the guard is token-based, not a fixed lookback window: a TRIM
+    // literal or whitespace longer than 32 chars still suppresses it
+    val longTrim = "SELECT TRIM(BOTH '========================================' FROM n.a.b) FROM t"
+    assert(Dialect.mapSourceFqns(longTrim) == longTrim)
+    val spaced = "SELECT EXTRACT(YEAR            \n              FROM o.meta.ts) FROM proj.ds.t"
+    assert(Dialect.mapSourceFqns(spaced)
+      == "SELECT EXTRACT(YEAR            \n              FROM o.meta.ts) FROM proj__ds.`t`")
+    // WEEK(MONDAY) closes a paren group before its FROM
+    assert(Dialect.mapSourceFqns("SELECT EXTRACT(WEEK(MONDAY) FROM o.meta.ts) FROM proj.ds.t")
+      == "SELECT EXTRACT(WEEK(MONDAY) FROM o.meta.ts) FROM proj__ds.`t`")
+    // a column merely NAMED like a unit keyword doesn't suppress mapping
+    assert(Dialect.mapSourceFqns("SELECT year FROM proj.ds.t")
+      == "SELECT year FROM proj__ds.`t`")
   }
 
   test("table name normalization: backticks, colon, decorator") {

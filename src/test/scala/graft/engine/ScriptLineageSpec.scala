@@ -65,6 +65,17 @@ class ScriptLineageSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.dependencies == Seq("proj.ds.events"))
   }
 
+  test("a qualified upstream sharing a temp table's short name is kept") {
+    val script =
+      """CREATE TEMP TABLE stats AS (SELECT 1 AS x);
+        |SELECT * FROM proj.ds.stats JOIN stats USING (x)""".stripMargin
+    val r = Lineage.findDependenciesWithCatalyst(spark, script, "proj.ds.dest")
+    // only the UNQUALIFIED reference is the script's own temp table;
+    // the 3-part proj.ds.stats is a genuine upstream dependency
+    assert(r.dependencies.contains("proj.ds.stats"))
+    assert(!r.dependencies.contains("stats"))
+  }
+
   test("destination and @ignoreupstream are still excluded in script lineage") {
     val script =
       """DECLARE q STRING DEFAULT 'SELECT * FROM proj.ds.dest JOIN /* @ignoreupstream */ proj.ds.skipme ON 1=1 JOIN proj.ds.keep ON 1=1';

@@ -121,6 +121,39 @@ class ScriptRunnerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.collect().head.getLong(0) == 6L)
   }
 
+  test("MERGE text inside an IF branch does not break block segmentation") {
+    // a MERGE's `WHEN MATCHED THEN` sits at block depth 1 — only the
+    // IF's own condition-terminating THEN may segment the block
+    val out = new ScriptRunner(spark).run(
+      """DECLARE r STRING DEFAULT 'start';
+        |IF 1 = 2 THEN
+        |  MERGE INTO tgt T USING src S ON T.id = S.id
+        |  WHEN MATCHED THEN UPDATE SET v = S.v
+        |  WHEN NOT MATCHED THEN INSERT (id, v) VALUES (S.id, S.v);
+        |ELSE SET r = 'else-ran';
+        |END IF;
+        |SELECT r AS result""".stripMargin).get
+    assert(out.collect().head.getString(0) == "else-ran")
+  }
+
+  test("EXECUTE IMMEDIATE ... INTO binds the single result row to a variable") {
+    val out = new ScriptRunner(spark).run(
+      """DECLARE mx INT64;
+        |CREATE TEMP TABLE ei_into AS (SELECT id AS v FROM range(0, 5));
+        |EXECUTE IMMEDIATE 'SELECT CAST(max(v) AS BIGINT) FROM ei_into' INTO mx;
+        |SELECT mx AS m""".stripMargin).get
+    assert(out.collect().head.getLong(0) == 4L)
+  }
+
+  test("EXECUTE IMMEDIATE ... USING binds positional and named parameters") {
+    val pos = new ScriptRunner(spark).run(
+      "EXECUTE IMMEDIATE 'SELECT CAST(? + ? AS BIGINT) AS s' USING 2, 3").get
+    assert(pos.collect().head.getLong(0) == 5L)
+    val named = new ScriptRunner(spark).run(
+      "EXECUTE IMMEDIATE 'SELECT CAST(@a * @a AS BIGINT) AS sq' USING 6 AS a").get
+    assert(named.collect().head.getLong(0) == 36L)
+  }
+
   test("FOR-IN iterates a bounded query, rec.field substituted per row") {
     val out = new ScriptRunner(spark).run(
       """DECLARE total INT64 DEFAULT 0;
