@@ -217,22 +217,23 @@ object TextDedup {
       .withColumn("verdict", lit("exact_dup"))
     val rest = newBatch.join(exact.select(idCol), Seq(idCol), "left_anti")
     val restSh = shingled(rest, textCol)
-      .select(col(idCol).as("doc_id"), col("shingles")).persist()
+      .select(col(idCol).as("doc_id"), col("shingles"))
     val histSh = shingled(history, textCol)
-      .select(col(idCol).as("hist_id"), col("shingles").as("hsh")).persist()
-    val restSizes = restSh.select(col("doc_id"), size(col("shingles")).as("na"))
-    val histSizes = histSh.select(col("hist_id"), size(col("hsh")).as("nb"))
+      .select(col(idCol).as("hist_id"), col("shingles").as("hsh"))
     // shingles are distinct per doc, so hashing them to 60-bit ints
     // before the join keeps the shared-count identical (no collisions
     // at these set sizes) while the shuffle carries 8-byte ints
     // instead of 3-word strings — the join key is what crosses the
-    // wire at 100 TB, not the per-row CPU
-    val near = restSh.select(col("doc_id"),
+    // wire at 100 TB, not the per-row CPU. Set sizes ride along as one
+    // extra int per exploded row, so the Jaccard filter needs no
+    // re-join of per-doc size tables onto the pair list (two fewer
+    // shuffles; min() just picks the constant back up per pair).
+    val near = restSh.select(col("doc_id"), size(col("shingles")).as("na"),
         explode(expr("transform(shingles, s -> graft_md5_60(s))")).as("sh"))
-      .join(histSh.select(col("hist_id"),
+      .join(histSh.select(col("hist_id"), size(col("hsh")).as("nb"),
         explode(expr("transform(hsh, s -> graft_md5_60(s))")).as("sh")), "sh")
-      .groupBy(col("doc_id"), col("hist_id")).agg(count(lit(1)).as("shared"))
-      .join(restSizes, "doc_id").join(histSizes, "hist_id")
+      .groupBy(col("doc_id"), col("hist_id")).agg(count(lit(1)).as("shared"),
+        min(col("na")).as("na"), min(col("nb")).as("nb"))
       .where(col("shared").cast(DoubleType)
         / (col("na") + col("nb") - col("shared")).cast(DoubleType) >= nearThreshold)
       .groupBy(col("doc_id")).agg(min(col("hist_id")).as("matched"))

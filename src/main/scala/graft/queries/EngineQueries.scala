@@ -308,7 +308,7 @@ object EngineQueries {
         """DECLARE threshold INT64 DEFAULT 0;
           |DECLARE iterations INT64 DEFAULT 0;
           |WHILE (SELECT count(1) FROM orders WHERE o_totalprice > threshold) >= 1000 DO
-          |  SET threshold = threshold + 25000;
+          |  SET threshold = threshold + 100000;
           |  SET iterations = iterations + 1;
           |END WHILE;
           |IF threshold > 400000 THEN
@@ -614,12 +614,12 @@ object EngineQueries {
     // than 1000 orders above it — restated as a min-over-range scan
     "e20_script_control_flow" ->
       """WITH ks AS (SELECT k FROM range(0, 100) t(k)),
-        |cnt AS (SELECT k, (SELECT count(1) FROM orders WHERE o_totalprice > k*25000) AS c FROM ks),
+        |cnt AS (SELECT k, (SELECT count(1) FROM orders WHERE o_totalprice > k*100000) AS c FROM ks),
         |sel AS (SELECT min(k) AS k FROM cnt WHERE c < 1000)
-        |SELECT CASE WHEN k*25000 > 400000 THEN 'high' ELSE 'low' END AS band,
+        |SELECT CASE WHEN k*100000 > 400000 THEN 'high' ELSE 'low' END AS band,
         |  o_orderstatus, count(1) AS cnt,
-        |  CAST(k*25000 AS BIGINT) AS final_threshold, CAST(k AS BIGINT) AS n_iterations
-        |FROM orders, sel WHERE o_totalprice > k*25000
+        |  CAST(k*100000 AS BIGINT) AS final_threshold, CAST(k AS BIGINT) AS n_iterations
+        |FROM orders, sel WHERE o_totalprice > k*100000
         |GROUP BY 1, 2, 4, 5 ORDER BY o_orderstatus""".stripMargin,
 
     "e13_schema_evolution" ->

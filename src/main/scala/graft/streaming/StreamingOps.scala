@@ -17,6 +17,19 @@ import org.apache.spark.sql.functions._
   */
 object StreamingOps {
 
+  /** Stateful streaming creates one state store per shuffle partition
+    * per stateful operator per micro-batch; that fixed cost dominates a
+    * bounded local run. Cap the state partitions while a bounded query
+    * runs (state partitioning is fixed at query start from this conf —
+    * production sizes it to the cluster the same way) and restore the
+    * session's batch setting after.
+    */
+  private def withStatePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Tumbling event-time window counts with a watermark. */
   def windowedEventCounts(events: DataFrame, windowLength: String,
       watermarkDelay: String): DataFrame =
@@ -43,11 +56,11 @@ object StreamingOps {
   def runBoundedSessionAgg(spark: SparkSession, sfDir: String,
       queryName: String): DataFrame = {
     val agg = sessionize(boundedEventStream(spark, sfDir), "30 minutes")
-    val q = agg.writeStream
+    val q = withStatePartitions(spark, 8)(agg.writeStream
       .format("memory")
       .queryName(queryName)
       .outputMode("complete")
-      .start()
+      .start())
     try q.processAllAvailable() finally q.stop()
     spark.table(queryName)
       .select(col("user_id"),
@@ -92,11 +105,12 @@ object StreamingOps {
   /** Bounded-stream first-seen dedup → memory sink → final rows. */
   def runBoundedFirstSeen(spark: SparkSession, sfDir: String,
       queryName: String): DataFrame = {
-    val q = streamFirstSeen(boundedEventStream(spark, sfDir)).writeStream
+    val q = withStatePartitions(spark, 8)(
+      streamFirstSeen(boundedEventStream(spark, sfDir)).writeStream
       .format("memory")
       .queryName(queryName)
       .outputMode("append")
-      .start()
+      .start())
     try q.processAllAvailable() finally q.stop()
     spark.table(queryName).orderBy(col("user_id"), col("event_type"))
   }
@@ -126,11 +140,12 @@ object StreamingOps {
   /** Bounded-stream attribution join → memory sink → final rows. */
   def runBoundedAttribution(spark: SparkSession, sfDir: String,
       queryName: String): DataFrame = {
-    val q = streamClickAttribution(boundedEventStream(spark, sfDir)).writeStream
+    val q = withStatePartitions(spark, 8)(
+      streamClickAttribution(boundedEventStream(spark, sfDir)).writeStream
       .format("memory")
       .queryName(queryName)
       .outputMode("append")
-      .start()
+      .start())
     try q.processAllAvailable() finally q.stop()
     spark.table(queryName)
       .select(col("user_id"), col("click_id"), col("purchase_id"),
@@ -161,11 +176,11 @@ object StreamingOps {
       queryName: String): DataFrame = {
     val dedup = streamDedupDelivery(
       boundedEventStream(spark, sfDir), boundedEventStream(spark, sfDir))
-    val q = dedup.writeStream
+    val q = withStatePartitions(spark, 8)(dedup.writeStream
       .format("memory")
       .queryName(queryName)
       .outputMode("append")
-      .start()
+      .start())
     try q.processAllAvailable() finally q.stop()
     spark.table(queryName)
       .groupBy(col("event_type"))
@@ -195,11 +210,11 @@ object StreamingOps {
     val dim = spark.read.parquet(s"$sfDir/customer.parquet")
       .select(col("c_custkey"), col("c_mktsegment"))
     val agg = streamStaticEnrichment(boundedEventStream(spark, sfDir), dim)
-    val q = agg.writeStream
+    val q = withStatePartitions(spark, 8)(agg.writeStream
       .format("memory")
       .queryName(queryName)
       .outputMode("complete")
-      .start()
+      .start())
     try q.processAllAvailable() finally q.stop()
     spark.table(queryName)
       .select(col("c_mktsegment"), col("n_events"), col("sum_value"))
@@ -254,7 +269,8 @@ object StreamingOps {
         }
         next.write.mode("overwrite").parquet(target)
       }
-    val q = agg.writeStream.outputMode("update").foreachBatch(upsert).start()
+    val q = withStatePartitions(spark, 8)(
+      agg.writeStream.outputMode("update").foreachBatch(upsert).start())
     try q.processAllAvailable() finally q.stop()
     spark.read.parquet(target)
       .select(date_format(col("ws"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
@@ -282,11 +298,11 @@ object StreamingOps {
   def runBoundedWindowAgg(spark: SparkSession, sfDir: String,
       queryName: String): DataFrame = {
     val agg = windowedEventCounts(boundedEventStream(spark, sfDir), "1 hour", "1 hour")
-    val q = agg.writeStream
+    val q = withStatePartitions(spark, 8)(agg.writeStream
       .format("memory")
       .queryName(queryName)
       .outputMode("complete")
-      .start()
+      .start())
     try {
       q.processAllAvailable()
     } finally q.stop()
