@@ -323,6 +323,51 @@ object EngineQueries {
           |FROM sel ORDER BY o_orderstatus""".stripMargin).get
     },
 
+    // --- small-file compaction (partitioned-table maintenance) ---------
+    "e21_partition_compaction" -> { (s, d) =>
+      // The maintenance operator every long-lived partitioned table
+      // needs at 100 TB: daily appends fragment partitions into many
+      // small files (here one 8-way-repartitioned insert → 8 files per
+      // partition); compaction rewrites each partition's content keyed
+      // by the partition column so each lands in one task → one file,
+      // without changing a row. Read-own-write safety: the compacted
+      // content is materialized (localCheckpoint) before the dynamic
+      // partition overwrite, like the REPLACE_MERGE filter path. The
+      // audit lists partition dirs driver-side — partition metadata,
+      // calendar-bounded, the same listing a table format's manifest
+      // would serve.
+      Tables.views(s, d, "orders")
+      freshDb(s, "graft__pg21")
+      s.sql(
+        """CREATE TABLE graft__pg21.frag (o_orderkey BIGINT, o_totalprice DOUBLE, d STRING)
+          |USING PARQUET PARTITIONED BY (d)""".stripMargin)
+      s.sql(
+        """INSERT INTO graft__pg21.frag PARTITION (d)
+          |SELECT /*+ REPARTITION(8, o_orderkey) */
+          |  o_orderkey, o_totalprice, date_format(o_orderdate, 'yyyy-MM-dd') AS d
+          |FROM orders
+          |WHERE o_orderdate >= '1995-03-01' AND o_orderdate < '1995-03-04'""".stripMargin)
+      val snap = s.table("graft__pg21.frag")
+        .repartition(col("d")).localCheckpoint(true)
+      snap.write.mode("overwrite").insertInto("graft__pg21.frag")
+      val loc = s.sql("DESCRIBE TABLE EXTENDED graft__pg21.frag")
+        .where(col("col_name") === "Location").select("data_type").head.getString(0)
+      val root = new org.apache.hadoop.fs.Path(loc)
+      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val fileCounts = fs.listStatus(root)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("d="))
+        .map { dir =>
+          val n = fs.listStatus(dir.getPath).count(f =>
+            !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+          (dir.getPath.getName.stripPrefix("d="), n.toLong)
+        }.toSeq
+      import s.implicits._
+      s.table("graft__pg21.frag").groupBy(col("d"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("o_orderkey")).as("key_sum"))
+        .join(fileCounts.toDF("d", "n_files"), "d")
+        .orderBy(col("d"))
+    },
+
     // --- federated JSON-lines source with nested schema ---------------
     "e19_json_source" -> { (s, d) =>
       // The JSON sibling of e12's CSV external table: explicit schema
@@ -621,6 +666,15 @@ object EngineQueries {
         |  CAST(k*100000 AS BIGINT) AS final_threshold, CAST(k AS BIGINT) AS n_iterations
         |FROM orders, sel WHERE o_totalprice > k*100000
         |GROUP BY 1, 2, 4, 5 ORDER BY o_orderstatus""".stripMargin,
+
+    "e21_partition_compaction" ->
+      """SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS d,
+        |  count(1) AS n_rows,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(1 AS BIGINT) AS n_files
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-03-01' AND o_orderdate < TIMESTAMP '1995-03-04'
+        |GROUP BY 1 ORDER BY d""".stripMargin,
 
     "e13_schema_evolution" ->
       """SELECT o_orderkey, o_totalprice, test_column FROM (

@@ -793,6 +793,73 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // --- DSIR-style hashed n-gram importance weights --------------------
+    "d42_dsir_importance" -> { (s, d) =>
+      // Data Selection via Importance Resampling (Xie et al. 2023)
+      // restated with exact integer math: unigrams hash into 1024
+      // buckets, the target distribution is the en subset, and a doc's
+      // importance is the sum over its token instances of the scaled
+      // integer ratio (tgt+1)·10⁶ div (src+1) — add-one smoothed, no
+      // floats, so the ranking is engine-exact. The bucket-weight table
+      // is vocabulary-sized (1024 rows) and broadcast; the scoring pass
+      // is one map-side join + one shuffle on doc_id, which is the
+      // whole-corpus cost at 100 TB.
+      graft.functions.BitSketchExpressions.register(s)
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+        .withColumn("b", expr("graft_md5_60(tok) % 1024"))
+        .persist()
+      val src = toks.groupBy(col("b")).agg(count(lit(1)).as("sc"))
+      val tgt = toks.where(col("lang") === "en")
+        .groupBy(col("b")).agg(count(lit(1)).as("tc"))
+      val wts = src.join(tgt, Seq("b"), "left")
+        .select(col("b"), expr("((coalesce(tc, 0L) + 1) * 1000000) div (sc + 1)").as("wt"))
+      toks.join(broadcast(wts), "b")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("wt")).as("importance"), count(lit(1)).as("n_toks"))
+        .orderBy(col("importance").desc, col("doc_id"))
+        .limit(20)
+    },
+
+    // --- asymmetric containment dedup (doc-inside-doc) ------------------
+    "d43_containment_dedup" -> { (s, d) =>
+      // Jaccard misses the quote-and-comment case: a short article
+      // embedded in a longer wrapper has low Jaccard but containment
+      // |A∩B|/|A| ≈ 1. Candidates come from a shingle inverted index
+      // with stop-shingle pruning — shingles in more than 32 docs are
+      // dropped BEFORE pairing (CCNet-style), so per-shingle fan-out is
+      // bounded by the df cap, not the hottest template phrase; set
+      // sizes and the containment measure are over the same pruned
+      // space, keeping the ratio meaningful. Planted wrappers
+      // (doc % 7 == 0 → text + appended commentary, id + 4,000,000)
+      // make the output self-evident at every SF.
+      val docs = t(s, d, "documents")
+      val wrappers = docs.where(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + 4000000L)
+        .withColumn("text", concat(col("text"),
+          lit(" editorial commentary appended after the quoted article body ends here")))
+      val corpus = docs.unionByName(wrappers)
+      val ex = withShingles(corpus)
+        .select(col("doc_id"),
+          explode(expr("transform(shingles, x -> graft_md5_60(x))")).as("sh"))
+      val rare = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+        .where(col("df") <= 32)
+      val pruned = ex.join(rare.select("sh"), "sh").persist()
+      val np = pruned.groupBy(col("doc_id")).agg(count(lit(1)).as("np"))
+      pruned.select(col("sh"), col("doc_id").as("a"))
+        .join(pruned.select(col("sh"), col("doc_id").as("b")), "sh")
+        .where(col("a") =!= col("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("shared"))
+        .join(np.select(col("doc_id").as("a"), col("np").as("na")), "a")
+        .join(np.select(col("doc_id").as("b"), col("np").as("nb")), "b")
+        // integer threshold: containment shared/na ≥ 0.9, no float compare
+        .where(col("shared") * 10 >= col("na") * 9 && col("na") >= 10)
+        .select(col("a").as("contained_id"), col("b").as("container_id"),
+          col("shared"), col("na"), col("nb"))
+        .orderBy(col("contained_id"), col("container_id"))
+    },
+
     // --- frame sampling over opaque payloads (video/audio shape):
     //     fixed-size frames, every 2nd kept, one row per frame ---------
     "m02_multimodal_frames" -> { (s, d) =>
@@ -816,6 +883,55 @@ object PipelineQueries {
         |  FROM documents WHERE doc_id % 10 = 0
         |)""".stripMargin
     Map(
+      "d42_dsir_importance" ->
+        """WITH toks AS (
+          |  SELECT doc_id, lang,
+          |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+          |  FROM documents
+          |), b AS (
+          |  SELECT doc_id, lang,
+          |    ('0x' || substring(md5(tok), 1, 15))::BIGINT % 1024 AS b
+          |  FROM toks
+          |), src AS (SELECT b, count(1) AS sc FROM b GROUP BY b),
+          |tgt AS (SELECT b, count(1) AS tc FROM b WHERE lang = 'en' GROUP BY b),
+          |w AS (
+          |  SELECT src.b AS b, ((coalesce(tc, 0) + 1) * 1000000) // (sc + 1) AS wt
+          |  FROM src LEFT JOIN tgt ON src.b = tgt.b
+          |)
+          |SELECT doc_id, CAST(sum(wt) AS BIGINT) AS importance, count(1) AS n_toks
+          |FROM b JOIN w USING (b)
+          |GROUP BY doc_id ORDER BY importance DESC, doc_id LIMIT 20""".stripMargin,
+
+      "d43_containment_dedup" ->
+        """WITH corpus AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 4000000 AS doc_id,
+          |    text || ' editorial commentary appended after the quoted article body ends here' AS text
+          |  FROM documents WHERE doc_id % 7 = 0
+          |), toksrc AS (
+          |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM corpus
+          |), sh AS (
+          |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+          |    i -> ('0x' || substring(md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]), 1, 15))::BIGINT))) AS sh
+          |  FROM toksrc WHERE len(toks) >= 3
+          |), rare AS (
+          |  SELECT sh FROM sh GROUP BY sh HAVING count(1) <= 32
+          |), pruned AS (
+          |  SELECT s.doc_id, s.sh FROM sh s JOIN rare USING (sh)
+          |), np AS (
+          |  SELECT doc_id, count(1) AS np FROM pruned GROUP BY doc_id
+          |), pairs AS (
+          |  SELECT x.doc_id AS a, y.doc_id AS b, count(1) AS shared
+          |  FROM pruned x JOIN pruned y ON x.sh = y.sh AND x.doc_id <> y.doc_id
+          |  GROUP BY 1, 2
+          |)
+          |SELECT a AS contained_id, b AS container_id, shared,
+          |  CAST(na.np AS BIGINT) AS na, CAST(nb.np AS BIGINT) AS nb
+          |FROM pairs JOIN np na ON na.doc_id = a JOIN np nb ON nb.doc_id = b
+          |WHERE shared * 10 >= na.np * 9 AND na.np >= 10
+          |ORDER BY contained_id, container_id""".stripMargin,
+
       "d01_dedup_exact" -> (planted +
         """
           |SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(1) AS n_copies

@@ -663,6 +663,22 @@ object RelationalQueries {
     },
 
     // --- recursive CTE (Spark 4.1 UnionLoop): month spine + counts -----
+    "q51_percentiles" -> { (s, d) =>
+      // exact interpolated percentiles per group. Quarter fractions
+      // keep lower + (upper − lower)·frac exact on the integer-valued
+      // quantity doubles, so the DOUBLE outputs are engine-identical
+      // (the same reason .9 or .99 would NOT be hash-safe here).
+      Tables.views(s, d, "lineitem")
+      s.sql(
+        """SELECT l_returnflag,
+          |  count(1) AS n,
+          |  percentile(l_quantity, 0.25) AS q25,
+          |  percentile(l_quantity, 0.5) AS median_qty,
+          |  percentile(l_quantity, 0.75) AS q75,
+          |  max(l_quantity) AS max_qty
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    },
+
     "q50_recursive_cte" -> { (s, d) =>
       // the recursion generates the calendar spine (80 rows — driver-
       // sized by the date range, not the data), then a left join
@@ -686,6 +702,15 @@ object RelationalQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q51_percentiles" ->
+      """SELECT l_returnflag,
+        |  count(1) AS n,
+        |  quantile_cont(l_quantity, 0.25) AS q25,
+        |  quantile_cont(l_quantity, 0.5) AS median_qty,
+        |  quantile_cont(l_quantity, 0.75) AS q75,
+        |  max(l_quantity) AS max_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     "q01_scan_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem
