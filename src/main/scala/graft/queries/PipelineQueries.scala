@@ -860,6 +860,57 @@ object PipelineQueries {
         .orderBy(col("contained_id"), col("container_id"))
     },
 
+    // --- LSH candidate recall (the d34 of text dedup) -------------------
+    "d44_lsh_recall" -> { (s, d) =>
+      // Candidate-generation QA for the MinHash index: of the true
+      // near-dup pairs (blocked exact Jaccard ≥ 0.5), what fraction did
+      // the 8×4 banding surface as candidates? This is the number that
+      // chooses bands×rows for a corpus, exactly as d34's recall@k
+      // chooses nProbe for the IVF index. Both sides are md5-exact, so
+      // the recall itself is hash-checked against the oracle.
+      val corpus = corpusWithPlants(s, d)
+      val truth = graft.ops.TextDedup.jaccardPairs(corpus, threshold = 0.5)
+        .select(col("a"), col("b"))
+      val cand = graft.ops.TextDedup.minhashLshPairs(corpus,
+          estThreshold = 0.0, verifyThreshold = 0.0)
+        .select(col("a"), col("b")).withColumn("found", lit(1L))
+      truth.join(cand, Seq("a", "b"), "left")
+        .agg(count(lit(1)).as("n_true_pairs"),
+          coalesce(sum(col("found")), lit(0L)).as("n_found"),
+          // small-int IEEE division is exactly rounded → engine-identical
+          (coalesce(sum(col("found")), lit(0L)).cast(DoubleType)
+            / count(lit(1)).cast(DoubleType)).as("recall"))
+    },
+
+    // --- canonical-URL dedup (the first pass of a web pipeline) ---------
+    "d45_url_dedup" -> { (s, d) =>
+      // RefinedWeb-style: dedupe by canonical URL before any content
+      // hashing. Canonicalization: scheme normalized, host lowercased
+      // and www-stripped, query/fragment dropped, trailing slash
+      // removed. The planted URLs (doc_id-derived, like d23's) carry
+      // exactly the variations canonicalization must collapse.
+      val docs = t(s, d, "documents")
+      val withUrl = docs.where(col("doc_id") % 3 === 0).select(col("doc_id"),
+        concat(
+          when(col("doc_id") % 4 === 0, lit("HTTPS://WWW."))
+            .when(col("doc_id") % 4 === 1, lit("https://www."))
+            .otherwise(lit("https://")),
+          lit("site"), (col("doc_id") % 20).cast("string"), lit(".example.org/page"),
+          when(col("doc_id") % 4 === 2, lit("/")).otherwise(lit("")),
+          when(col("doc_id") % 4 === 3, lit("?utm_source=feed&ref=rss"))
+            .otherwise(lit(""))).as("url"))
+      withUrl
+        .withColumn("host", regexp_replace(
+          lower(regexp_extract(col("url"), "^(?i)https?://([^/?#]+)", 1)),
+          "^www\\.", ""))
+        .withColumn("path", regexp_replace(
+          regexp_extract(col("url"), "^(?i)https?://[^/?#]+([^?#]*)", 1), "/$", ""))
+        .withColumn("canonical", concat(lit("https://"), col("host"), col("path")))
+        .groupBy(col("canonical"))
+        .agg(count(lit(1)).as("n_urls"), min(col("doc_id")).as("keep_doc"))
+        .orderBy(col("canonical"))
+    },
+
     // --- frame sampling over opaque payloads (video/audio shape):
     //     fixed-size frames, every 2nd kept, one row per frame ---------
     "m02_multimodal_frames" -> { (s, d) =>
@@ -883,6 +934,65 @@ object PipelineQueries {
         |  FROM documents WHERE doc_id % 10 = 0
         |)""".stripMargin
     Map(
+      "d44_lsh_recall" -> (planted +
+        """
+          |, toksrc AS (
+          |  SELECT doc_id, lang, regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM corpus
+          |), sh AS (
+          |  SELECT doc_id, lang, toks[1] AS first_tok,
+          |    CAST(len(toks) // 8 AS INTEGER) AS n_toks_bucket,
+          |    list_distinct(list_transform(range(1, len(toks) - 1),
+          |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+          |  FROM toksrc WHERE len(toks) >= 3
+          |), truth AS (
+          |  SELECT a.doc_id AS a, b.doc_id AS b
+          |  FROM sh a JOIN sh b
+          |    ON a.lang = b.lang AND a.first_tok = b.first_tok
+          |    AND a.n_toks_bucket = b.n_toks_bucket AND a.doc_id < b.doc_id
+          |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+          |      / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE) >= 0.5
+          |), hs AS (
+          |  SELECT doc_id,
+          |    list_transform(shingles, s -> ('0x' || substring(md5(s), 1, 15))::BIGINT % 2147483647) AS hs
+          |  FROM sh
+          |), mh AS (
+          |  SELECT doc_id, list_transform(range(0, 32),
+          |    j -> list_min(list_transform(hs, h -> (h * (1103515245 + 12345*j) + j * 987654321) % 2147483647))) AS mh
+          |  FROM hs
+          |), banded AS (
+          |  SELECT doc_id, b,
+          |    ('0x' || substring(md5(array_to_string(mh[b*4+1 : b*4+4], ',')), 1, 15))::BIGINT AS bh
+          |  FROM mh, unnest(range(0, 8)) AS t(b)
+          |), cand AS (
+          |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+          |  FROM banded x JOIN banded y ON x.b = y.b AND x.bh = y.bh AND x.doc_id < y.doc_id
+          |)
+          |SELECT count(1) AS n_true_pairs,
+          |  CAST(coalesce(sum(CASE WHEN c.a IS NOT NULL THEN 1 END), 0) AS BIGINT) AS n_found,
+          |  CAST(coalesce(sum(CASE WHEN c.a IS NOT NULL THEN 1 END), 0) AS DOUBLE)
+          |    / CAST(count(1) AS DOUBLE) AS recall
+          |FROM truth t LEFT JOIN cand c ON t.a = c.a AND t.b = c.b""".stripMargin),
+
+      "d45_url_dedup" ->
+        """WITH u AS (
+          |  SELECT doc_id,
+          |    (CASE WHEN doc_id % 4 = 0 THEN 'HTTPS://WWW.'
+          |          WHEN doc_id % 4 = 1 THEN 'https://www.'
+          |          ELSE 'https://' END)
+          |    || 'site' || CAST(doc_id % 20 AS VARCHAR) || '.example.org/page'
+          |    || (CASE WHEN doc_id % 4 = 2 THEN '/' ELSE '' END)
+          |    || (CASE WHEN doc_id % 4 = 3 THEN '?utm_source=feed&ref=rss' ELSE '' END) AS url
+          |  FROM documents WHERE doc_id % 3 = 0
+          |), c AS (
+          |  SELECT doc_id,
+          |    'https://'
+          |    || regexp_replace(lower(regexp_extract(url, '^(?i)https?://([^/?#]+)', 1)), '^www\.', '')
+          |    || regexp_replace(regexp_extract(url, '^(?i)https?://[^/?#]+([^?#]*)', 1), '/$', '') AS canonical
+          |  FROM u
+          |)
+          |SELECT canonical, count(1) AS n_urls, min(doc_id) AS keep_doc
+          |FROM c GROUP BY canonical ORDER BY canonical""".stripMargin,
+
       "d42_dsir_importance" ->
         """WITH toks AS (
           |  SELECT doc_id, lang,
