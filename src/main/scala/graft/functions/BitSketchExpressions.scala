@@ -2,27 +2,54 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the bit-sketch hot loops
-  * (SimHash / sign-random-projection). The SQL higher-order-function
-  * formulations (`aggregate(sequence(0,63), ...)`) evaluate one
-  * interpreted lambda step per element per bit — O(tokens × 64) closure
-  * dispatches per row. These expressions run the same arithmetic as a
-  * single compiled loop per row, ~10× faster at sf0.1 and the right
-  * shape for 100 TB (row-local, no shuffle, null-safe).
+  * (SimHash / sign-random-projection / shingling / MinHash). The SQL
+  * higher-order-function formulations (`aggregate(sequence(0,63), ...)`)
+  * evaluate one interpreted lambda step per element per bit — O(tokens ×
+  * 64) closure dispatches per row. These expressions run the same
+  * arithmetic as a single compiled loop per row, ~10× faster at sf0.1
+  * and the right shape for 100 TB (row-local, no shuffle, null-safe).
+  *
+  * Each expression generates code (a static kernel call) instead of
+  * CodegenFallback, so the stage around it stays inside whole-stage
+  * codegen — a fallback expression would force the WHOLE projection
+  * into interpreted mode, which matters when `graft_md5_60` runs once
+  * per exploded token (d42) or shingle (d30/d43).
   */
 
-/** 64-bit SimHash over an array of 64-bit token hashes: bit j of the
-  * result is set iff Σ_tokens (bit j set ? +1 : −1) > 0.
+/** Row-level kernels shared by the interpreted (`nullSafeEval`) and
+  * generated (`doGenCode`) paths. A top-level object gets static
+  * forwarders, so generated Java calls these directly. The MD5 digest
+  * is per-thread, not per-row.
   */
-case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = LongType
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+object SketchKernels {
+  private val md5 = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("MD5"))
+
+  private def digest60(s: UTF8String): Long = {
+    val md = md5.get()
+    md.reset()
+    val dig = md.digest(s.getBytes)
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (dig(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+
+  /** Big-endian long of the first 8 md5 bytes, shifted right 4 —
+    * numerically identical to parsing the first 15 hex digest chars:
+    * Spark `conv(substring(md5(x),1,15),16,10)`, DuckDB
+    * `('0x' || substring(md5(x),1,15))::BIGINT`.
+    */
+  def md5Long60(s: UTF8String): Long = digest60(s)
+
+  /** Bit j of the result is set iff Σ_tokens (bit j set ? +1 : −1) > 0. */
+  def simhash64(arr: ArrayData): Long = {
     val counts = new Array[Int](64)
     var i = 0
     while (i < arr.numElements()) {
@@ -42,17 +69,9 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
     }
     sig
   }
-  override protected def withNewChildInternal(newChild: Expression): SimHash64 = copy(newChild)
-}
 
-/** 16-bit sign-random-projection signature over a quantized int64
-  * embedding: bit p = sign(Σ_i q(i) · w(p,i)) with the deterministic
-  * pseudo-weights w(p,i) = ((p·131 + i·37) mod 7) − 3.
-  */
-case class SrpSignature(child: Expression) extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = IntegerType
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  /** Bit p = sign(Σ_i q(i)·w(p,i)), w(p,i) = ((p·131 + i·37) mod 7) − 3. */
+  def srpSignature(arr: ArrayData): Int = {
     val n = arr.numElements()
     var sig = 0
     var p = 0
@@ -68,21 +87,9 @@ case class SrpSignature(child: Expression) extends UnaryExpression with CodegenF
     }
     sig
   }
-  override protected def withNewChildInternal(newChild: Expression): SrpSignature = copy(newChild)
-}
 
-/** Distinct word-3-gram shingles over a token array, as one compiled
-  * loop per row. The SQL formulation
-  * `array_distinct(transform(sequence(1, n-2), i -> concat(...)))`
-  * dispatches three interpreted lambda closures per shingle and then an
-  * O(n²)-ish interpreted distinct pass — measured ~3× slower per pass
-  * and evaluated once per downstream consumer. Shared by the MinHash,
-  * Jaccard, and contamination operators.
-  */
-case class WordShingles(child: Expression) extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  override def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[ArrayData]
+  /** Distinct word-3-gram shingles, insertion-ordered. */
+  def wordShingles(toks: ArrayData): ArrayData = {
     val n = toks.numElements()
     val out = new java.util.LinkedHashSet[UTF8String]()
     var i = 0
@@ -93,55 +100,19 @@ case class WordShingles(child: Expression) extends UnaryExpression with CodegenF
     }
     new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
   }
-  override protected def withNewChildInternal(newChild: Expression): WordShingles = copy(newChild)
-}
 
-/** Engine-portable 60-bit hash: the big-endian long of the first 8 md5
-  * digest bytes, shifted right 4 — numerically identical to parsing the
-  * first 15 hex chars of the digest, i.e. Spark
-  * `conv(substring(md5(x),1,15),16,10)` and DuckDB
-  * `('0x' || substring(md5(x),1,15))::BIGINT` — without the hex-string
-  * round-trip (one digest, no parse).
-  */
-case class Md5Long60(child: Expression) extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = LongType
-  override def nullSafeEval(input: Any): Any = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val dig = md.digest(input.asInstanceOf[UTF8String].getBytes)
-    var v = 0L
-    var i = 0
-    while (i < 8) { v = (v << 8) | (dig(i) & 0xffL); i += 1 }
-    v >>> 4
-  }
-  override protected def withNewChildInternal(newChild: Expression): Md5Long60 = copy(newChild)
-}
-
-/** 32 MinHash values over an array of shingle strings, one compiled
-  * loop per row: base = Md5Long60(shingle) mod p (p = 2^31 − 1), then
-  * h_j = (base·(1103515245 + 12345·j) + j·987654321) mod p, minimized
-  * over shingles per j. The affine maps wrap mod p (essential — see
-  * d07's comment on degenerate buckets) and every operand stays under
-  * 2^62. Doing all 32 permutations in registers beats the SQL
-  * higher-order-function form, which Catalyst's project collapsing can
-  * inline into each of the 32 lambda branches — recomputing the digest
-  * pass 32× (measured: ~10× slowdown of the whole query at sf0.1).
-  */
-case class MinHash32(child: Expression) extends UnaryExpression with CodegenFallback {
-  private val P = 2147483647L
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  /** 32 MinHash values: base = md5Long60(shingle) mod p (p = 2^31 − 1),
+    * h_j = (base·(1103515245 + 12345·j) + j·987654321) mod p, minimized
+    * over shingles per j. The affine maps wrap mod p (essential — see
+    * d07's comment on degenerate buckets); every operand stays < 2^62.
+    */
+  def minhash32(arr: ArrayData): ArrayData = {
+    val P = 2147483647L
     val n = arr.numElements()
     val mins = Array.fill(32)(Long.MaxValue)
-    val md = java.security.MessageDigest.getInstance("MD5")
     var i = 0
     while (i < n) {
-      md.reset()
-      val dig = md.digest(arr.getUTF8String(i).getBytes)
-      var v = 0L
-      var k = 0
-      while (k < 8) { v = (v << 8) | (dig(k) & 0xffL); k += 1 }
-      val base = (v >>> 4) % P
+      val base = digest60(arr.getUTF8String(i)) % P
       var j = 0
       while (j < 32) {
         val h = (base * (1103515245L + 12345L * j) + j * 987654321L) % P
@@ -152,12 +123,78 @@ case class MinHash32(child: Expression) extends UnaryExpression with CodegenFall
     }
     new GenericArrayData(mins)
   }
+}
+
+/** 64-bit SimHash over an array of 64-bit token hashes. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    SketchKernels.simhash64(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SketchKernels.simhash64($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 = copy(newChild)
+}
+
+/** 16-bit sign-random-projection signature over a quantized int64
+  * embedding.
+  */
+case class SrpSignature(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(input: Any): Any =
+    SketchKernels.srpSignature(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SketchKernels.srpSignature($c)")
+  override protected def withNewChildInternal(newChild: Expression): SrpSignature = copy(newChild)
+}
+
+/** Distinct word-3-gram shingles over a token array, as one compiled
+  * loop per row. The SQL formulation
+  * `array_distinct(transform(sequence(1, n-2), i -> concat(...)))`
+  * dispatches three interpreted lambda closures per shingle and then an
+  * O(n²)-ish interpreted distinct pass — measured ~3× slower per pass.
+  * Shared by the MinHash, Jaccard, and contamination operators.
+  */
+case class WordShingles(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    SketchKernels.wordShingles(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SketchKernels.wordShingles($c)")
+  override protected def withNewChildInternal(newChild: Expression): WordShingles = copy(newChild)
+}
+
+/** Engine-portable 60-bit md5-prefix hash (see
+  * [[SketchKernels.md5Long60]]).
+  */
+case class Md5Long60(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    SketchKernels.md5Long60(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SketchKernels.md5Long60($c)")
+  override protected def withNewChildInternal(newChild: Expression): Md5Long60 = copy(newChild)
+}
+
+/** 32 MinHash values over an array of shingle strings (see
+  * [[SketchKernels.minhash32]]). Doing all 32 permutations in registers
+  * beats the SQL higher-order-function form, which Catalyst's project
+  * collapsing can inline into each of the 32 lambda branches —
+  * recomputing the digest pass 32× (measured: ~10× slowdown of the
+  * whole query at sf0.1).
+  */
+case class MinHash32(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    SketchKernels.minhash32(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SketchKernels.minhash32($c)")
   override protected def withNewChildInternal(newChild: Expression): MinHash32 = copy(newChild)
 }
 
 object BitSketchExpressions {
-  /** Register SQL functions `graft_simhash64`, `graft_srp_sig` on the
-    * session (idempotent).
+  /** Register SQL functions `graft_simhash64`, `graft_srp_sig`,
+    * `graft_shingles`, `graft_md5_60`, `graft_minhash32` on the session
+    * (idempotent).
     */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
