@@ -128,13 +128,17 @@ object Dialect {
     */
   def rewrite(sql: String, mapFqns: Boolean = true): String = {
     // BigQuery NUMERIC is DECIMAL(38,9); Spark's NUMERIC keyword means
-    // DECIMAL(10,0) — rewrite to BigQuery semantics (outside literals only)
+    // DECIMAL(10,0) — rewrite to BigQuery semantics (outside literals
+    // only). INT64/FLOAT64 are BigQuery-only type spellings.
     var out = mapOutsideLiterals(if (mapFqns) mapSourceFqns(sql) else sql)(
-      _.replaceAll(raw"(?i)\bNUMERIC\b", "DECIMAL(38,9)"))
+      _.replaceAll(raw"(?i)\bNUMERIC\b", "DECIMAL(38,9)")
+        .replaceAll(raw"(?i)\bINT64\b", "BIGINT")
+        .replaceAll(raw"(?i)\bFLOAT64\b", "DOUBLE"))
     out = inUnnest.replaceAllIn(out, m =>
       java.util.regex.Matcher.quoteReplacement(
         if (m.group(2) != null) s"(NOT array_contains(${m.group(3)}, ${m.group(1)}))"
         else s"array_contains(${m.group(3)}, ${m.group(1)})"))
+    out = rewriteFromUnnest(out)
     out = dateTz.replaceAllIn(out, m =>
       java.util.regex.Matcher.quoteReplacement(
         s"to_date(from_utc_timestamp(${m.group(1)}, '${m.group(2)}'))"))
@@ -142,8 +146,420 @@ object Dialect {
       java.util.regex.Matcher.quoteReplacement(
         s"to_timestamp(replace('${m.group(1)}', 'T', ' '))"))
     out = mapOutsideLiterals(out)(selectAsStruct.replaceAllIn(_, "SELECT "))
+    out = rewriteCalls(out)
+    out = rewriteQualify(out)
     out
   }
+
+  // ===== BigQuery function vocabulary beyond the corpus ==============
+  //
+  // A BigQuery user switching to this engine brings a working function
+  // vocabulary (COUNTIF, SAFE_DIVIDE, TIMESTAMP_DIFF, FORMAT_DATE,
+  // STRING_AGG, QUALIFY, FROM-UNNEST…) that Spark spells differently.
+  // These rewrites are call-shape-aware (balanced parens, literal- and
+  // comment-skipping, innermost-first), not bare keyword regexes, so
+  // nested calls and Spark-native spellings pass through unharmed.
+
+  /** Index just past a quoted region starting at `i` (', ", or `). */
+  private def skipQuoted(s: String, i: Int): Int = {
+    val q = s.charAt(i)
+    var j = i + 1
+    while (j < s.length) {
+      val c = s.charAt(j)
+      if (c == '\\' && q != '`' && j + 1 < s.length) j += 1
+      else if (c == q) return j + 1
+      j += 1
+    }
+    s.length
+  }
+
+  /** Matching ')' for the '(' at `open`, skipping quoted regions. */
+  private def matchParen(s: String, open: Int): Int = {
+    var i = open
+    var depth = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\'' | '"' | '`' => i = skipQuoted(s, i) - 1
+        case '(' => depth += 1
+        case ')' => depth -= 1; if (depth == 0) return i
+        case _ =>
+      }
+      i += 1
+    }
+    -1
+  }
+
+  /** Split on top-level commas (outside parens and quoted regions). */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0
+    var last = 0
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\'' | '"' | '`' => i = skipQuoted(s, i) - 1
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ',' if depth == 0 => out += s.substring(last, i); last = i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    out += s.substring(last)
+    out.result()
+  }
+
+  /** Rewrite calls of mapped functions, innermost-first. A mapper
+    * returning None keeps the original spelling (args still rewritten),
+    * so ambiguous shapes (e.g. Spark-native `date_trunc('week', x)`)
+    * fall through untouched.
+    */
+  private def rewriteCalls(sql: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      val nxt = if (i + 1 < sql.length) sql.charAt(i + 1) else ' '
+      if (c == '\'' || c == '"' || c == '`') {
+        val e = skipQuoted(sql, i); out ++= sql.substring(i, e); i = e
+      } else if (c == '-' && nxt == '-') {
+        val e = sql.indexOf('\n', i) match { case -1 => sql.length; case p => p }
+        out ++= sql.substring(i, e); i = e
+      } else if (c == '/' && nxt == '*') {
+        val e = sql.indexOf("*/", i) match { case -1 => sql.length; case p => p + 2 }
+        out ++= sql.substring(i, e); i = e
+      } else if (c.isLetter || c == '_') {
+        var j = i
+        while (j < sql.length && (sql.charAt(j).isLetterOrDigit || sql.charAt(j) == '_')) j += 1
+        val name = sql.substring(i, j)
+        var k = j
+        while (k < sql.length && sql.charAt(k).isWhitespace) k += 1
+        val fn = callRewrites.get(name.toUpperCase)
+        val dotted = i > 0 && sql.charAt(i - 1) == '.'
+        if (fn.isDefined && !dotted && k < sql.length && sql.charAt(k) == '(') {
+          val close = matchParen(sql, k)
+          if (close < 0) { out ++= name; i = j }
+          else {
+            val inner = rewriteCalls(sql.substring(k + 1, close))
+            val args = splitTopLevel(inner).map(_.trim)
+            out ++= fn.get(args).getOrElse(s"$name($inner)")
+            i = close + 1
+          }
+        } else { out ++= name; i = j }
+      } else { out += c; i += 1 }
+    }
+    out.toString
+  }
+
+  private val strfMap = Map('Y' -> "yyyy", 'y' -> "yy", 'm' -> "MM",
+    'd' -> "dd", 'e' -> "d", 'H' -> "HH", 'I' -> "hh", 'M' -> "mm",
+    'S' -> "ss", 'F' -> "yyyy-MM-dd", 'j' -> "DDD", 'A' -> "EEEE",
+    'a' -> "EEE", 'B' -> "MMMM", 'b' -> "MMM", 'h' -> "MMM", 'p' -> "a",
+    'T' -> "HH:mm:ss", 'R' -> "HH:mm", 'Q' -> "q")
+
+  /** strftime → java.time pattern; None on an unsupported directive
+    * (the call is then left unrewritten rather than silently wrong).
+    * Literal runs containing pattern-reserved characters are
+    * single-quoted so letters in them can't act as pattern characters;
+    * plain punctuation stays unquoted.
+    */
+  private[engine] def javaPattern(f: String): Option[String] = {
+    val sb = new StringBuilder
+    val lit = new StringBuilder
+    def flush(): Unit = if (lit.nonEmpty) {
+      val s = lit.toString
+      if (s.exists(c => c.isLetter || "'#{}[]".contains(c)))
+        sb ++= "'" + s.replace("'", "''") + "'"
+      else sb ++= s
+      lit.clear()
+    }
+    var i = 0
+    while (i < f.length) {
+      val c = f.charAt(i)
+      if (c == '%' && i + 1 < f.length) {
+        val d = f.charAt(i + 1)
+        if (d == '%') lit += '%'
+        else strfMap.get(d) match {
+          case Some(p) => flush(); sb ++= p
+          case scala.None => return scala.None
+        }
+        i += 2
+      } else { lit += c; i += 1 }
+    }
+    flush()
+    Some(sb.toString)
+  }
+
+  private val intervalArg = raw"(?is)^INTERVAL\s+(.+?)\s+([A-Za-z]+)$$".r
+  private val dateUnits = Set("DAY", "WEEK", "ISOWEEK", "MONTH", "QUARTER",
+    "YEAR", "ISOYEAR")
+  private val timeUnits = Set("MICROSECOND", "MILLISECOND", "SECOND",
+    "MINUTE", "HOUR") ++ dateUnits
+
+  private def strLit(a: String): Option[String] =
+    if (a.length >= 2 && a.head == '\'' && a.last == '\'')
+      Some(a.substring(1, a.length - 1))
+    else scala.None
+
+  private def isBareUnit(a: String, allowed: Set[String]): Boolean =
+    allowed.contains(a.trim.toUpperCase)
+
+  /** Offset of a top-level `ORDER BY` in `s`, or -1. */
+  private def topLevelOrderBy(s: String): Int = {
+    val ts = StatementSplitter.tokens(s)
+    var depth = 0
+    var idx = 0
+    while (idx < ts.length) {
+      ts(idx)._1 match {
+        case "(" => depth += 1
+        case ")" => depth -= 1
+        case "ORDER" if depth == 0 && idx + 1 < ts.length &&
+          ts(idx + 1)._1 == "BY" => return ts(idx)._2
+        case _ =>
+      }
+      idx += 1
+    }
+    -1
+  }
+
+  /** STRING_AGG(x[, sep][ ORDER BY …]) → listagg WITHIN GROUP when
+    * ordered, string_agg otherwise (both BigQuery-compatible:
+    * unordered STRING_AGG is nondeterministic in BigQuery too).
+    */
+  private def stringAgg(a: Seq[String]): Option[String] = {
+    if (a.isEmpty || a.length > 2) return scala.None
+    val obPos = topLevelOrderBy(a.last)
+    val (lastExpr, orderBy) =
+      if (obPos >= 0) (a.last.substring(0, obPos).trim,
+        Some(a.last.substring(obPos).replaceFirst(raw"(?is)^ORDER\s+BY\s+", "").trim))
+      else (a.last, scala.None)
+    val args = a.init :+ lastExpr
+    val (v, sep) = args match {
+      case Seq(x) => (x, "','")
+      case Seq(x, s2) => (x, s2)
+      case _ => return scala.None
+    }
+    orderBy match {
+      case Some(ob) => Some(s"listagg($v, $sep) WITHIN GROUP (ORDER BY $ob)")
+      case scala.None => Some(s"string_agg($v, $sep)")
+    }
+  }
+
+  /** BigQuery DATE_DIFF counts unit-BOUNDARY crossings (not elapsed
+    * full units): DATE_DIFF('2024-02-01','2024-01-31', MONTH) = 1.
+    */
+  private def dateDiff(a: Seq[String]): Option[String] = {
+    if (a.length != 3 || !isBareUnit(a(2), dateUnits)) return scala.None
+    val (x, y) = (a(0), a(1))
+    a(2).trim.toUpperCase match {
+      case "DAY" => Some(s"datediff($x, $y)")
+      case "WEEK" => Some(
+        s"(datediff(date_sub($x, dayofweek($x) - 1), date_sub($y, dayofweek($y) - 1)) div 7)")
+      case "ISOWEEK" => Some(
+        s"(datediff(date_sub($x, (dayofweek($x) + 5) % 7), date_sub($y, (dayofweek($y) + 5) % 7)) div 7)")
+      case "MONTH" => Some(s"((year($x) * 12 + month($x)) - (year($y) * 12 + month($y)))")
+      case "QUARTER" => Some(s"((year($x) * 4 + quarter($x)) - (year($y) * 4 + quarter($y)))")
+      case "YEAR" => Some(s"(year($x) - year($y))")
+      case "ISOYEAR" => Some(s"(extract(yearofweek from $x) - extract(yearofweek from $y))")
+      case _ => scala.None
+    }
+  }
+
+  /** DATE_ADD/DATE_SUB(d, INTERVAL n unit) — BigQuery date arithmetic.
+    * `sign` = 1 for ADD, -1 for SUB.
+    */
+  private def dateAddSub(sign: Int)(a: Seq[String]): Option[String] = {
+    if (a.length != 2) return scala.None
+    a(1) match {
+      case intervalArg(n, unit) =>
+        val s = if (sign < 0) s"-($n)" else s"($n)"
+        unit.toUpperCase match {
+          case "DAY" => Some(s"date_add(${a(0)}, $s)")
+          case "WEEK" => Some(s"date_add(${a(0)}, 7 * $s)")
+          case "MONTH" => Some(s"add_months(${a(0)}, $s)")
+          case "QUARTER" => Some(s"add_months(${a(0)}, 3 * $s)")
+          case "YEAR" => Some(s"add_months(${a(0)}, 12 * $s)")
+          case _ => scala.None
+        }
+      case _ => scala.None
+    }
+  }
+
+  private def tsAddSub(sign: Int)(a: Seq[String]): Option[String] = {
+    if (a.length != 2) return scala.None
+    a(1) match {
+      case intervalArg(n, unit) if timeUnits.contains(unit.toUpperCase) =>
+        val s = if (sign < 0) s"-($n)" else s"($n)"
+        Some(s"timestampadd(${unit.toUpperCase}, $s, ${a(0)})")
+      case _ => scala.None
+    }
+  }
+
+  /** BigQuery DATE_TRUNC(d, WEEK) is Sunday-start; Spark's 'week' is
+    * Monday-start, so WEEK gets explicit Sunday arithmetic and
+    * WEEK(MONDAY)/ISOWEEK map to Spark's trunc. Spark-native
+    * `date_trunc('unit', x)` (literal first arg) passes through.
+    */
+  private def dateTrunc(a: Seq[String]): Option[String] = {
+    if (a.length != 2 || strLit(a(0)).isDefined) return scala.None
+    val u = a(1).trim.toUpperCase.replaceAll("\\s", "")
+    u match {
+      case "WEEK" | "WEEK(SUNDAY)" =>
+        Some(s"date_sub(to_date(${a(0)}), dayofweek(to_date(${a(0)})) - 1)")
+      case "WEEK(MONDAY)" | "ISOWEEK" =>
+        Some(s"cast(date_trunc('WEEK', ${a(0)}) as date)")
+      case _ if dateUnits.contains(u) =>
+        Some(s"cast(date_trunc('$u', ${a(0)}) as date)")
+      case _ => scala.None
+    }
+  }
+
+  private def tsTrunc(a: Seq[String]): Option[String] = {
+    if (a.length != 2 || !isBareUnit(a(1), timeUnits)) scala.None
+    else Some(s"date_trunc('${a(1).trim.toUpperCase}', ${a(0)})")
+  }
+
+  private def renameTo(n: String): Seq[String] => Option[String] =
+    a => Some(s"$n(${a.mkString(", ")})")
+
+  private lazy val callRewrites: Map[String, Seq[String] => Option[String]] = Map(
+    "COUNTIF" -> renameTo("count_if"),
+    "LOGICAL_AND" -> renameTo("bool_and"),
+    "LOGICAL_OR" -> renameTo("bool_or"),
+    "REGEXP_CONTAINS" -> renameTo("regexp_like"),
+    "SAFE_CAST" -> renameTo("try_cast"),
+    "ARRAY_LENGTH" -> renameTo("array_size"),
+    "ARRAY_TO_STRING" -> renameTo("array_join"),
+    "ARRAY_CONCAT" -> renameTo("concat"),
+    "ARRAY_REVERSE" -> renameTo("reverse"),
+    "GENERATE_ARRAY" -> renameTo("sequence"),
+    "TO_JSON_STRING" -> (a =>
+      if (a.length == 1) Some(s"to_json(${a(0)})") else scala.None),
+    "SAFE_DIVIDE" -> (a =>
+      if (a.length == 2) Some(s"try_divide(${a(0)}, ${a(1)})") else scala.None),
+    "GENERATE_DATE_ARRAY" -> { a =>
+      if (a.length == 2)
+        Some(s"sequence(to_date(${a(0)}), to_date(${a(1)}), interval 1 day)")
+      else if (a.length == 3) a(2) match {
+        case intervalArg(n, u) =>
+          Some(s"sequence(to_date(${a(0)}), to_date(${a(1)}), interval $n $u)")
+        case _ => scala.None
+      } else scala.None
+    },
+    "FORMAT_DATE" -> fmtCall("date_format"),
+    "FORMAT_DATETIME" -> fmtCall("date_format"),
+    "FORMAT_TIMESTAMP" -> fmtCall("date_format"),
+    "PARSE_DATE" -> fmtCall("to_date"),
+    "PARSE_DATETIME" -> fmtCall("to_timestamp"),
+    "PARSE_TIMESTAMP" -> fmtCall("to_timestamp"),
+    "TIMESTAMP_DIFF" -> tsDiff, "DATETIME_DIFF" -> tsDiff,
+    "DATE_DIFF" -> dateDiff,
+    "DATE_ADD" -> dateAddSub(1), "DATE_SUB" -> dateAddSub(-1),
+    "TIMESTAMP_ADD" -> tsAddSub(1), "TIMESTAMP_SUB" -> tsAddSub(-1),
+    "DATETIME_ADD" -> tsAddSub(1), "DATETIME_SUB" -> tsAddSub(-1),
+    "DATE_TRUNC" -> dateTrunc,
+    "DATETIME_TRUNC" -> tsTrunc, "TIMESTAMP_TRUNC" -> tsTrunc,
+    "STRING_AGG" -> stringAgg
+  )
+
+  private def tsDiff: Seq[String] => Option[String] = a =>
+    if (a.length == 3 && isBareUnit(a(2), timeUnits))
+      Some(s"timestampdiff(${a(2).trim.toUpperCase}, ${a(1)}, ${a(0)})")
+    else scala.None
+
+  /** FORMAT_x/PARSE_x with a literal strftime format → the Spark
+    * function with a java.time pattern. BigQuery arg order is
+    * (format, value); Spark's is (value, format).
+    */
+  private def fmtCall(spark: String): Seq[String] => Option[String] = a =>
+    for {
+      f <- if (a.length == 2) a.headOption.flatMap(strLit) else scala.None
+      p <- javaPattern(f)
+    } yield s"$spark(${a(1)}, '${p.replace("'", "''")}')"
+
+  /** BigQuery QUALIFY (top-level statements only): post-window filter.
+    * `… SELECT <sel> FROM … QUALIFY <cond> [ORDER/LIMIT tail]` becomes
+    * `… SELECT * EXCEPT(__qualify__) FROM (SELECT <sel>, (<cond>) AS
+    * __qualify__ FROM …) WHERE __qualify__ [tail]` — the window
+    * expressions in <cond> evaluate inside the subquery, the filter
+    * outside, exactly BigQuery's evaluation order.
+    */
+  private def rewriteQualify(sql: String): String = {
+    val ts = StatementSplitter.tokens(sql)
+    var depth = 0
+    var selPos = -1
+    var fromPos = -1
+    var qualPos = -1
+    var i = 0
+    while (i < ts.length && qualPos < 0) {
+      ts(i)._1 match {
+        case "(" => depth += 1
+        case ")" => depth -= 1
+        case "SELECT" if depth == 0 => selPos = ts(i)._2; fromPos = -1
+        case "FROM" if depth == 0 && fromPos < 0 => fromPos = ts(i)._2
+        case "QUALIFY" if depth == 0 => qualPos = ts(i)._2
+        case _ =>
+      }
+      i += 1
+    }
+    if (qualPos < 0 || selPos < 0 || fromPos < 0) return sql
+    var tailPos = sql.length
+    depth = 0
+    while (i < ts.length && tailPos == sql.length) {
+      ts(i)._1 match {
+        case "(" => depth += 1
+        case ")" => depth -= 1
+        case "ORDER" | "LIMIT" if depth == 0 => tailPos = ts(i)._2
+        case _ =>
+      }
+      i += 1
+    }
+    val cond = sql.substring(qualPos + "QUALIFY".length, tailPos).trim
+    val prefix = sql.substring(0, selPos)
+    val selList = sql.substring(selPos + "SELECT".length, fromPos).trim
+    val fromPart = sql.substring(fromPos, qualPos).trim
+    val tail = sql.substring(tailPos)
+    s"${prefix}SELECT * EXCEPT(__qualify__) FROM (SELECT $selList, ($cond) AS __qualify__ $fromPart) WHERE __qualify__ $tail"
+  }
+
+  private val unnestFrom =
+    raw"(?is)(,|\bCROSS\s+JOIN\b|\bLEFT\s+JOIN\b)\s*UNNEST\s*\(".r
+  private val unnestAlias =
+    raw"(?is)^\s*(?:AS\s+)?([A-Za-z_]\w*)(\s+WITH\s+OFFSET(?:\s+(?:AS\s+)?([A-Za-z_]\w*))?)?".r
+
+  /** FROM-position UNNEST → LATERAL VIEW:
+    * `FROM t, UNNEST(e) [AS] v [WITH OFFSET [AS] o]` →
+    * `FROM t LATERAL VIEW [p]explode(e) __u AS [o,] v`; the LEFT JOIN
+    * … ON TRUE form becomes LATERAL VIEW OUTER. `IN UNNEST` is already
+    * rewritten away before this runs, so every remaining
+    * comma/JOIN-adjacent UNNEST is the table operator.
+    */
+  private def rewriteFromUnnest(sql: String): String =
+    unnestFrom.findFirstMatchIn(sql) match {
+      case scala.None => sql
+      case Some(m) =>
+        val open = sql.indexOf('(', m.end - 1)
+        val close = matchParen(sql, open)
+        if (close < 0) return sql
+        val arr = sql.substring(open + 1, close)
+        val after = sql.substring(close + 1)
+        unnestAlias.findFirstMatchIn(after) match {
+          case Some(am) =>
+            val v = am.group(1)
+            val hasOff = am.group(2) != null
+            val off = Option(am.group(3)).getOrElse("__offset")
+            val isLeft = m.group(1).trim.toUpperCase.startsWith("LEFT")
+            val lv = if (isLeft) "LATERAL VIEW OUTER" else "LATERAL VIEW"
+            val gen =
+              if (hasOff) s"posexplode($arr) __u AS $off, $v"
+              else s"explode($arr) __u AS $v"
+            var rest = after.substring(am.end)
+            if (isLeft) rest = rest.replaceFirst(raw"(?is)^\s*ON\s+TRUE", "")
+            val prefix = sql.substring(0, m.start).replaceAll("\\s+$", "")
+            rewriteFromUnnest(prefix + s" $lv $gen" + rest)
+          case scala.None => sql
+        }
+    }
 
   /** Normalize a BigQuery table identifier for the Spark catalog:
     * strip backticks; `$YYYYMMDD` partition decorators split off

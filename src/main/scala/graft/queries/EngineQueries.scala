@@ -520,6 +520,68 @@ object EngineQueries {
           |WHERE o_orderdate >= '1995-06-01' AND o_orderdate < '1995-09-01'
           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
       new ScriptRunner(s).run(script).get
+    },
+
+    // --- BigQuery function vocabulary through the dialect layer --------
+    "e22_bq_functions" -> { (s, d) =>
+      // A BigQuery user's working vocabulary beyond the sample corpus:
+      // COUNTIF / LOGICAL_* aggregates, SAFE_CAST / SAFE_DIVIDE,
+      // STRING_AGG with ORDER BY, strftime-style FORMAT_/PARSE_DATE,
+      // boundary-counting DATE_DIFF, INTERVAL date arithmetic, and
+      // GENERATE_ARRAY — all submitted in BigQuery spelling and
+      // rewritten by [[graft.engine.Dialect]] into codegen'd Spark
+      // built-ins (no UDFs anywhere in this path).
+      Tables.views(s, d, "orders")
+      new ScriptRunner(s).run(
+        """SELECT
+          |  o_orderpriority,
+          |  COUNTIF(o_totalprice > 150000) AS n_big,
+          |  LOGICAL_AND(o_totalprice > 0) AS all_pos,
+          |  LOGICAL_OR(o_orderstatus = 'P') AS any_p,
+          |  SAFE_DIVIDE(COUNTIF(o_orderstatus = 'P'), COUNTIF(o_orderstatus = 'X')) AS div_null,
+          |  SAFE_CAST(MIN(o_orderpriority) AS INT64) AS prio_int,
+          |  STRING_AGG(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+          |  FORMAT_DATE('%Y/%m/%d', MIN(o_orderdate)) AS first_day,
+          |  CAST(DATE_DIFF(DATE(MAX(o_orderdate)), DATE(MIN(o_orderdate)), DAY) AS INT64) AS span_days,
+          |  CAST(DATE_DIFF(DATE(MAX(o_orderdate)), DATE(MIN(o_orderdate)), MONTH) AS INT64) AS span_months,
+          |  CAST(TIMESTAMP_DIFF(TIMESTAMP('1998-08-02T12:00:00'),
+          |                      TIMESTAMP('1998-08-01T00:00:00'), HOUR) AS INT64) AS hours36,
+          |  CAST(ARRAY_LENGTH(GENERATE_ARRAY(1, 5)) AS INT64) AS gen5,
+          |  ARRAY_TO_STRING(ARRAY_CONCAT(array('a', 'b'), array('c')), '-') AS abc
+          |FROM orders
+          |WHERE o_orderdate >= PARSE_TIMESTAMP('%Y-%m-%d', '1996-01-01')
+          |  AND o_orderdate < CAST(DATE_ADD(DATE '1996-01-01', INTERVAL 3 MONTH) AS TIMESTAMP)
+          |GROUP BY o_orderpriority
+          |ORDER BY o_orderpriority""".stripMargin).get
+    },
+
+    // --- QUALIFY: post-window filtering in BigQuery evaluation order ---
+    "e23_qualify" -> { (s, d) =>
+      // Latest-order-per-customer, the canonical QUALIFY use. The
+      // dialect rewrites it to a subquery whose window expressions
+      // evaluate before the filter — one shuffle on the partition key,
+      // same plan as a hand-written row_number subquery.
+      Tables.views(s, d, "orders")
+      new ScriptRunner(s).run(
+        """SELECT o_custkey, CAST(DATE(o_orderdate) AS STRING) AS order_date, o_totalprice
+          |FROM orders
+          |WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-03-01'
+          |QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) = 1
+          |ORDER BY o_custkey""".stripMargin).get
+    },
+
+    // --- FROM-position UNNEST with ordinal offset -----------------------
+    "e24_from_unnest" -> { (s, d) =>
+      // BigQuery's table-operator UNNEST (with WITH OFFSET) → Spark
+      // LATERAL VIEW posexplode: per-row array flattening stays inside
+      // whole-stage codegen, no shuffle introduced by the generator.
+      Tables.views(s, d, "orders")
+      new ScriptRunner(s).run(
+        """SELECT o_orderkey, tag, CAST(off AS INT64) AS off
+          |FROM (SELECT o_orderkey, array('x', 'y', 'z') AS tags
+          |      FROM orders WHERE o_orderkey < 50) t,
+          |  UNNEST(t.tags) AS tag WITH OFFSET AS off
+          |ORDER BY o_orderkey, off""".stripMargin).get
     }
   )
 
@@ -731,6 +793,43 @@ object EngineQueries {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(0.9 AS DECIMAL(2,1))) AS DOUBLE) AS discounted_total
         |FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1995-06-01' AND o_orderdate < TIMESTAMP '1995-09-01'
-        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "e22_bq_functions" ->
+      """SELECT
+        |  o_orderpriority,
+        |  count(*) FILTER (WHERE o_totalprice > 150000) AS n_big,
+        |  bool_and(o_totalprice > 0) AS all_pos,
+        |  bool_or(o_orderstatus = 'P') AS any_p,
+        |  CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS DOUBLE)
+        |    / nullif(count(*) FILTER (WHERE o_orderstatus = 'X'), 0) AS div_null,
+        |  TRY_CAST(MIN(o_orderpriority) AS BIGINT) AS prio_int,
+        |  string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+        |  strftime(MIN(o_orderdate), '%Y/%m/%d') AS first_day,
+        |  date_diff('day', CAST(MIN(o_orderdate) AS DATE), CAST(MAX(o_orderdate) AS DATE)) AS span_days,
+        |  date_diff('month', CAST(MIN(o_orderdate) AS DATE), CAST(MAX(o_orderdate) AS DATE)) AS span_months,
+        |  date_diff('hour', TIMESTAMP '1998-08-01 00:00:00', TIMESTAMP '1998-08-02 12:00:00') AS hours36,
+        |  CAST(len(generate_series(1, 5)) AS BIGINT) AS gen5,
+        |  array_to_string(list_concat(['a', 'b'], ['c']), '-') AS abc
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    // DuckDB supports QUALIFY natively — the oracle is the same query
+    "e23_qualify" ->
+      """SELECT o_custkey, CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date, o_totalprice
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-03-01'
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) = 1
+        |ORDER BY o_custkey""".stripMargin,
+
+    // zipped unnest replays BigQuery's UNNEST ... WITH OFFSET
+    "e24_from_unnest" ->
+      """SELECT o_orderkey, unnest(['x', 'y', 'z']) AS tag,
+        |  CAST(unnest([0, 1, 2]) AS BIGINT) AS off
+        |FROM orders WHERE o_orderkey < 50
+        |ORDER BY o_orderkey, off""".stripMargin
   )
 }

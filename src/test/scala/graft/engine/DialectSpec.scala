@@ -82,4 +82,120 @@ class DialectSpec extends AnyFunSuite {
     assert(Dialect.normalizeTableName("p:d.t") == ("p.d.t", None))
     assert(Dialect.normalizeTableName("p.d.t$20190101") == ("p.d.t", Some("20190101")))
   }
+
+  // ===== BigQuery function vocabulary ================================
+
+  test("simple function renames") {
+    assert(Dialect.rewrite("SELECT COUNTIF(x > 1), LOGICAL_AND(b), LOGICAL_OR(b)") ==
+      "SELECT count_if(x > 1), bool_and(b), bool_or(b)")
+    assert(Dialect.rewrite("WHERE REGEXP_CONTAINS(s, 'a.c')") ==
+      "WHERE regexp_like(s, 'a.c')")
+    assert(Dialect.rewrite("SELECT SAFE_CAST(x AS INT64)") ==
+      "SELECT try_cast(x AS BIGINT)")
+    assert(Dialect.rewrite("SELECT ARRAY_LENGTH(a), ARRAY_TO_STRING(a, '-')") ==
+      "SELECT array_size(a), array_join(a, '-')")
+    assert(Dialect.rewrite("SELECT GENERATE_ARRAY(1, 10, 2)") ==
+      "SELECT sequence(1, 10, 2)")
+  }
+
+  test("nested mapped calls rewrite innermost-first") {
+    assert(Dialect.rewrite("SELECT ARRAY_LENGTH(GENERATE_ARRAY(1, COUNTIF(b)))") ==
+      "SELECT array_size(sequence(1, count_if(b)))")
+  }
+
+  test("SAFE_DIVIDE becomes try_divide") {
+    assert(Dialect.rewrite("SELECT SAFE_DIVIDE(a + b, nullif(c, 0))") ==
+      "SELECT try_divide(a + b, nullif(c, 0))")
+  }
+
+  test("function names in literals and comments stay put") {
+    assert(Dialect.rewrite("SELECT 'COUNTIF(x)' AS s") == "SELECT 'COUNTIF(x)' AS s")
+    assert(Dialect.rewrite("SELECT 1 -- COUNTIF(x)\n") == "SELECT 1 -- COUNTIF(x)\n")
+    assert(Dialect.rewrite("SELECT 1 /* COUNTIF(x) */") == "SELECT 1 /* COUNTIF(x) */")
+  }
+
+  test("FORMAT_DATE / PARSE_DATE strftime mapping with quoted literals") {
+    assert(Dialect.rewrite("SELECT FORMAT_DATE('%Y/%m/%d', d)") ==
+      "SELECT date_format(d, 'yyyy/MM/dd')")
+    assert(Dialect.rewrite("SELECT PARSE_DATE('%Y-%m-%d', s)") ==
+      "SELECT to_date(s, 'yyyy-MM-dd')")
+    // literal text runs with letters are pattern-quoted, and the quote
+    // chars are SQL-escaped inside the literal
+    assert(Dialect.rewrite("SELECT FORMAT_DATE('day %d', d)") ==
+      "SELECT date_format(d, '''day ''dd')")
+    // unsupported directive → call left as-is
+    assert(Dialect.rewrite("SELECT FORMAT_DATE('%G', d)") ==
+      "SELECT FORMAT_DATE('%G', d)")
+  }
+
+  test("TIMESTAMP_DIFF / DATE_DIFF semantics") {
+    assert(Dialect.rewrite("SELECT TIMESTAMP_DIFF(a, b, HOUR)") ==
+      "SELECT timestampdiff(HOUR, b, a)")
+    assert(Dialect.rewrite("SELECT DATE_DIFF(a, b, DAY)") ==
+      "SELECT datediff(a, b)")
+    // boundary-crossing count, not elapsed months
+    assert(Dialect.rewrite("SELECT DATE_DIFF(a, b, MONTH)") ==
+      "SELECT ((year(a) * 12 + month(a)) - (year(b) * 12 + month(b)))")
+  }
+
+  test("DATE_ADD / DATE_SUB / TIMESTAMP_SUB interval forms") {
+    assert(Dialect.rewrite("SELECT DATE_ADD(d, INTERVAL 5 DAY)") ==
+      "SELECT date_add(d, (5))")
+    assert(Dialect.rewrite("SELECT DATE_SUB(d, INTERVAL 30 day)") ==
+      "SELECT date_add(d, -(30))")
+    assert(Dialect.rewrite("SELECT DATE_ADD(d, INTERVAL 2 MONTH)") ==
+      "SELECT add_months(d, (2))")
+    assert(Dialect.rewrite("SELECT TIMESTAMP_SUB(ts, INTERVAL 15 MINUTE)") ==
+      "SELECT timestampadd(MINUTE, -(15), ts)")
+    // Spark-native 2-int form passes through
+    assert(Dialect.rewrite("SELECT date_add(d, 5)") == "SELECT date_add(d, 5)")
+  }
+
+  test("DATE_TRUNC: BigQuery Sunday weeks vs Spark-native passthrough") {
+    assert(Dialect.rewrite("SELECT DATE_TRUNC(d, WEEK)") ==
+      "SELECT date_sub(to_date(d), dayofweek(to_date(d)) - 1)")
+    assert(Dialect.rewrite("SELECT DATE_TRUNC(d, WEEK(MONDAY))") ==
+      "SELECT cast(date_trunc('WEEK', d) as date)")
+    assert(Dialect.rewrite("SELECT DATE_TRUNC(d, MONTH)") ==
+      "SELECT cast(date_trunc('MONTH', d) as date)")
+    // Spark spelling (literal unit first) is left alone
+    assert(Dialect.rewrite("SELECT date_trunc('week', d)") ==
+      "SELECT date_trunc('week', d)")
+    assert(Dialect.rewrite("SELECT TIMESTAMP_TRUNC(ts, HOUR)") ==
+      "SELECT date_trunc('HOUR', ts)")
+  }
+
+  test("STRING_AGG with and without ORDER BY") {
+    assert(Dialect.rewrite("SELECT STRING_AGG(s, ',')") ==
+      "SELECT string_agg(s, ',')")
+    assert(Dialect.rewrite("SELECT STRING_AGG(s, '; ' ORDER BY s)") ==
+      "SELECT listagg(s, '; ') WITHIN GROUP (ORDER BY s)")
+    assert(Dialect.rewrite("SELECT STRING_AGG(DISTINCT s, ',' ORDER BY s)") ==
+      "SELECT listagg(DISTINCT s, ',') WITHIN GROUP (ORDER BY s)")
+    assert(Dialect.rewrite("SELECT STRING_AGG(s ORDER BY t)") ==
+      "SELECT listagg(s, ',') WITHIN GROUP (ORDER BY t)")
+  }
+
+  test("QUALIFY rewrites to post-window subquery filter") {
+    val in = "SELECT a, b FROM t WHERE a > 0 QUALIFY row_number() OVER (PARTITION BY a ORDER BY b) = 1 ORDER BY a LIMIT 5"
+    assert(Dialect.rewrite(in) ==
+      "SELECT * EXCEPT(__qualify__) FROM (SELECT a, b, (row_number() OVER (PARTITION BY a ORDER BY b) = 1) AS __qualify__ FROM t WHERE a > 0) WHERE __qualify__ ORDER BY a LIMIT 5")
+    // CTE prefix stays outside the wrap
+    val cte = "WITH c AS (SELECT 1 AS x) SELECT x FROM c QUALIFY rank() OVER (ORDER BY x) = 1"
+    assert(Dialect.rewrite(cte) ==
+      "WITH c AS (SELECT 1 AS x) SELECT * EXCEPT(__qualify__) FROM (SELECT x, (rank() OVER (ORDER BY x) = 1) AS __qualify__ FROM c) WHERE __qualify__ ")
+  }
+
+  test("FROM-position UNNEST becomes LATERAL VIEW") {
+    assert(Dialect.rewrite("SELECT v FROM t, UNNEST(t.arr) AS v") ==
+      "SELECT v FROM t LATERAL VIEW explode(t.arr) __u AS v")
+    assert(Dialect.rewrite("SELECT v, o FROM t, UNNEST(arr) v WITH OFFSET AS o") ==
+      "SELECT v, o FROM t LATERAL VIEW posexplode(arr) __u AS o, v")
+    assert(Dialect.rewrite("SELECT v FROM t CROSS JOIN UNNEST(arr) AS v") ==
+      "SELECT v FROM t LATERAL VIEW explode(arr) __u AS v")
+    assert(Dialect.rewrite("SELECT v FROM t LEFT JOIN UNNEST(arr) AS v ON TRUE") ==
+      "SELECT v FROM t LATERAL VIEW OUTER explode(arr) __u AS v")
+    // IN UNNEST still wins (rewritten before FROM-UNNEST runs)
+    assert(Dialect.rewrite("WHERE x IN UNNEST(a)") == "WHERE array_contains(a, x)")
+  }
 }
