@@ -112,6 +112,86 @@ object Corpus {
           .cast(LongType).as("alloc_tokens"))
   }
 
+  /** Per-document top-`topK` BM25 terms (k1 = 1.2, b = 0.75), with the
+    * log-idf replaced by its rational argument (N − df + 0.5)/(df + 0.5)
+    * — rank-identical per term, and computable with only IEEE + − × /
+    * on exact-int inputs, so the DOUBLE scores are bit-reproducible
+    * across engines (ln is the one op libms disagree on). The constants
+    * appear as decimal literals (2.2, 0.25, 0.75) — correctly-rounded
+    * parsing makes them the same doubles in any engine.
+    *
+    * Shape: tf aggregates with map-side combine on (doc, term); dl is
+    * a second aggregate of tf (no re-scan); df is vocabulary-sized and
+    * joins back; the corpus-level (N, Σdl) pair is one broadcast row.
+    */
+  def bm25Terms(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", topK: Int = 3): DataFrame = {
+    val tf = df.select(col(idCol), explode(tokens(textCol)).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+      .persist()
+    val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(dl, idCol).join(dfreq, "term").crossJoin(broadcast(stats))
+      .withColumn("avgdl",
+        col("sum_dl").cast(DoubleType) / col("n_docs").cast(DoubleType))
+      .withColumn("idf",
+        (col("n_docs").cast(DoubleType) - col("df").cast(DoubleType) + lit(0.5))
+          / (col("df").cast(DoubleType) + lit(0.5)))
+      .withColumn("score", col("idf") * (col("tf").cast(DoubleType) * lit(2.2))
+        / (col("tf").cast(DoubleType)
+          + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast(DoubleType) / col("avgdl")))))
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= topK)
+      .select(col(idCol), col("rank").cast(LongType).as("rank"), col("term"),
+        col("tf"), col("df"), col("dl"), col("score"))
+  }
+
+  /** Fixed-size overlapping token chunks — the training-window prep
+    * step: starts every `chunkTokens − overlap` tokens, each chunk up
+    * to `chunkTokens` long (the tail is shorter). Pure per-row
+    * explode + slice — scales with the scan, no shuffle. Returns
+    * (id, chunk_id, start_tok, chunk_toks, chunk_hash).
+    */
+  def chunked(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", chunkTokens: Int = 128,
+      overlap: Int = 32): DataFrame = {
+    require(overlap < chunkTokens, "overlap must be < chunkTokens")
+    val stride = chunkTokens - overlap
+    df.withColumn("toks", tokens(textCol))
+      .where(size(col("toks")) >= 1)
+      .withColumn("start", explode(expr(
+        s"sequence(0, size(toks) - 1, $stride)")))
+      .withColumn("chunk", expr(s"slice(toks, start + 1, $chunkTokens)"))
+      .select(col(idCol), expr(s"cast(start div $stride as bigint)").as("chunk_id"),
+        col("start").cast(LongType).as("start_tok"),
+        size(col("chunk")).cast(LongType).as("chunk_toks"),
+        md5(concat_ws(" ", col("chunk"))).as("chunk_hash"))
+  }
+
+  /** Weighted sampling without replacement, k per group, by sequential
+    * Poisson sampling (Ohlsson): priority = u / w with u the 60-bit
+    * content-hash uniform — the k smallest priorities per group are the
+    * sample. Two IEEE divisions, no RNG state and no pow/ln, so the
+    * draw is reproducible across runs, engines, and cluster sizes.
+    * One shuffle on the group key; the per-group top-k is a bounded
+    * window. Returns (group, id, weight, rank).
+    */
+  def weightedSample(df: DataFrame, groupCol: String, weightCol: Column,
+      idCol: String = "doc_id", k: Int = 5): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("pri"), col(idCol))
+    df.withColumn("w", weightCol.cast(DoubleType))
+      .where(col("w") > 0)
+      .withColumn("u", expr(
+        s"cast(conv(substring(md5(cast($idCol as string)), 1, 15), 16, 10) as bigint)")
+        .cast(DoubleType) / lit(1152921504606846976.0)) // 2^60, exact
+      .withColumn("pri", col("u") / col("w"))
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col(groupCol), col(idCol), col("w").as("weight"),
+        col("rank").cast(LongType).as("rank"))
+  }
+
   /** Benchmark decontamination: corpus docs sharing ≥ `threshold` of
     * their word-3-gram shingles with any benchmark doc. The benchmark
     * side is bounded (eval sets are), so its exploded shingles

@@ -157,6 +157,35 @@ object TextDedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Exact-substring near-dup pairs (Lee et al.'s ExactSubstr at token
+    * granularity): every rolling `windowTokens`-token window is
+    * fingerprinted (60-bit md5), windows occurring in more than `dfCap`
+    * docs are dropped BEFORE pairing (stop-window pruning — boilerplate
+    * phrases can't fan out), and docs sharing ≥ `minShared` surviving
+    * windows pair up. The inverted-index join carries only (hash, id)
+    * rows; no token array crosses a shuffle. Returns
+    * (a, b, shared_windows).
+    */
+  def spanPairs(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", windowTokens: Int = 8, dfCap: Int = 32,
+      minShared: Int = 3): DataFrame = {
+    graft.functions.BitSketchExpressions.register(docs.sparkSession)
+    val wins = docs
+      .withColumn("toks", split(lower(trim(col(textCol))), "\\s+"))
+      .where(size(col("toks")) >= windowTokens)
+      .select(col(idCol).as("doc_id"), explode(expr(
+        s"""array_distinct(transform(sequence(0, size(toks) - $windowTokens),
+           |  i -> graft_md5_60(concat_ws(' ', slice(toks, i + 1, $windowTokens)))))""".stripMargin)).as("wh"))
+    val rare = wins.groupBy(col("wh")).agg(count(lit(1)).as("df"))
+      .where(col("df") <= dfCap)
+    val pruned = wins.join(rare.select("wh"), "wh").persist()
+    pruned.select(col("wh"), col("doc_id").as("a"))
+      .join(pruned.select(col("wh"), col("doc_id").as("b")), "wh")
+      .where(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("shared_windows"))
+      .where(col("shared_windows") >= minShared)
+  }
+
   /** Connected components over an undirected pair list (columns a, b)
     * by min-label propagation: every node adopts the smallest label
     * among itself and its neighbors, iterated to fixpoint. Rounds are
@@ -191,6 +220,50 @@ object TextDedup {
     }
     edges.unpersist()
     labels
+  }
+
+  /** Bloom-filter membership dedup of a new batch against history —
+    * the shuffle-free alternative to the exact hash equi-join: the
+    * history's content hashes fold into a Bloom filter DISTRIBUTED
+    * (`stat.bloomFilter` tree-aggregates partial filters on executors),
+    * the filter broadcasts once, and the new batch probes it map-side —
+    * the big side never shuffles. At 10⁹ keys / 3% fpp the filter is
+    * ~1 GB; beyond that, partition-range blooms. Probing goes through a
+    * Scala UDF deliberately: the filter is opaque binary state, and one
+    * broadcast probe per row is cheap next to the scan.
+    *
+    * Flagged docs are bloom-POSITIVE (contains false positives by
+    * construction); the returned stats verify the two properties that
+    * make the pattern safe: zero false negatives (guaranteed by Bloom
+    * semantics) and an observed fp count within the sized bound.
+    * Returns one row: (n_new, n_exact_dups, no_false_negatives,
+    * fp_rate_ok).
+    */
+  def bloomDedupStats(history: DataFrame, newBatch: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      fpp: Double = 0.03): DataFrame = {
+    val spark = history.sparkSession
+    def hashed(df: DataFrame): DataFrame = df.withColumn("h",
+      md5(regexp_replace(lower(trim(col(textCol))), "\\s+", " ")))
+    val hist = hashed(history).select(col("h")).persist()
+    val bloom = hist.stat.bloomFilter("h", math.max(hist.count(), 64L), fpp)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val probe = udf((s: String) => bc.value.mightContainString(s))
+    val exact = hist.distinct().withColumn("is_dup", lit(true))
+    hashed(newBatch).withColumn("bloom_hit", probe(col("h")))
+      .join(exact, Seq("h"), "left") // verification-only join
+      .withColumn("is_dup", coalesce(col("is_dup"), lit(false)))
+      .agg(
+        count(lit(1)).as("n_new"),
+        count(when(col("is_dup"), 1)).as("n_exact_dups"),
+        (count(when(col("is_dup") && !col("bloom_hit"), 1)) === 0)
+          .as("no_false_negatives"),
+        // sized bound: 5 + 3·fpp·n — ~6σ above the expectation at any
+        // SF, so the check is deterministic in practice
+        (count(when(!col("is_dup") && col("bloom_hit"), 1)).cast(DoubleType)
+          <= lit(5.0) + lit(3.0 * fpp)
+            * count(when(!col("is_dup"), 1)).cast(DoubleType))
+          .as("fp_rate_ok"))
   }
 
   /** Incremental dedup of a new batch against a historical corpus: the

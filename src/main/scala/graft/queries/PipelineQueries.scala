@@ -911,6 +911,66 @@ object PipelineQueries {
         .orderBy(col("canonical"))
     },
 
+    // --- Bloom-filter membership dedup (broadcast, shuffle-free) -------
+    "d50_bloom_dedup" -> { (s, d) =>
+      // [[graft.ops.TextDedup.bloomDedupStats]] over the d30 split:
+      // history = 3/4 of the corpus, new batch = fresh docs + exact
+      // re-crawls. The exact-dup count is oracle-replayed; the Bloom
+      // guarantees (no false negatives, fp count within the sized
+      // bound) are pinned booleans.
+      val docs = t(s, d, "documents")
+      val history = docs.where(col("doc_id") % 4 =!= 0)
+      val newBatch = docs.where(col("doc_id") % 4 === 0)
+        .unionByName(history.where(col("doc_id") % 8 === 1)
+          .withColumn("doc_id", col("doc_id") + 2000000L))
+      graft.ops.TextDedup.bloomDedupStats(history, newBatch)
+    },
+
+    // --- BM25 term ranking (tf-idf with length normalization) ----------
+    "d46_bm25_terms" -> { (s, d) =>
+      // [[graft.ops.Corpus.bm25Terms]]: top-3 BM25 terms per doc with
+      // the rational-idf variant — the DOUBLE scores come from IEEE
+      // + − × / on exact ints only, so they hash-match the oracle.
+      graft.ops.Corpus.bm25Terms(t(s, d, "documents"))
+        .orderBy(col("doc_id"), col("rank"))
+    },
+
+    // --- exact-substring (rolling-window) dedup ------------------------
+    "d47_span_dedup" -> { (s, d) =>
+      // [[graft.ops.TextDedup.spanPairs]] — ExactSubstr-style span
+      // sharing. Plants: a copy reusing each 11th doc's first 20
+      // tokens with a distinct tail, so every (orig, copy) pair shares
+      // 13 rolling 8-token windows and must surface.
+      val docs = t(s, d, "documents")
+      val planted = docs.where(col("doc_id") % 11 === 0)
+        .withColumn("doc_id", col("doc_id") + 5000000L)
+        .withColumn("text", concat(
+          concat_ws(" ", slice(split(lower(trim(col("text"))), "\\s+"), 1, 20)),
+          lit(" distinct tail marker"), (col("doc_id") % 97).cast("string")))
+      graft.ops.TextDedup.spanPairs(docs.unionByName(planted))
+        .orderBy(col("a"), col("b"))
+    },
+
+    // --- weighted sampling without replacement (sequential Poisson) ----
+    "d48_weighted_sample" -> { (s, d) =>
+      // [[graft.ops.Corpus.weightedSample]]: 5 docs per language,
+      // char-length-weighted, priority = hash-uniform / weight — the
+      // deterministic draw that needs no RNG state and reproduces on
+      // any cluster size.
+      graft.ops.Corpus.weightedSample(t(s, d, "documents"), "lang",
+          col("n_chars"), k = 5)
+        .orderBy(col("lang"), col("rank"))
+    },
+
+    // --- fixed-size overlapping token chunks (training windows) --------
+    "d49_token_chunking" -> { (s, d) =>
+      // [[graft.ops.Corpus.chunked]]: 64-token chunks, 16-token
+      // overlap. Per-row explode+slice only — scales with the scan.
+      graft.ops.Corpus.chunked(t(s, d, "documents"),
+          chunkTokens = 64, overlap = 16)
+        .orderBy(col("doc_id"), col("chunk_id"))
+    },
+
     // --- frame sampling over opaque payloads (video/audio shape):
     //     fixed-size frames, every 2nd kept, one row per frame ---------
     "m02_multimodal_frames" -> { (s, d) =>
@@ -992,6 +1052,104 @@ object PipelineQueries {
           |)
           |SELECT canonical, count(1) AS n_urls, min(doc_id) AS keep_doc
           |FROM c GROUP BY canonical ORDER BY canonical""".stripMargin,
+
+      // the exact-dup count is replayed; the Bloom-semantics booleans
+      // (guaranteed no false negatives; fp count under the sized
+      // bound) are pinned
+      "d50_bloom_dedup" ->
+        """WITH history AS (
+          |  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
+          |  FROM documents WHERE doc_id % 4 <> 0
+          |), new_batch AS (
+          |  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
+          |  FROM documents WHERE doc_id % 4 = 0
+          |  UNION ALL
+          |  SELECT doc_id + 2000000, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
+          |  FROM documents WHERE doc_id % 4 <> 0 AND doc_id % 8 = 1
+          |)
+          |SELECT count(1) AS n_new,
+          |  count(1) FILTER (WHERE h IN (SELECT h FROM history)) AS n_exact_dups,
+          |  TRUE AS no_false_negatives,
+          |  TRUE AS fp_rate_ok
+          |FROM new_batch""".stripMargin,
+
+      // rational-idf BM25: only IEEE + − × / on exact ints → DOUBLE
+      // scores are engine-identical (the constants are decimal
+      // literals, correctly-rounded to the same doubles everywhere)
+      "d46_bm25_terms" ->
+        """WITH tf AS (
+          |  SELECT doc_id, term, count(1) AS tf
+          |  FROM (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+          |        FROM documents)
+          |  GROUP BY doc_id, term
+          |), dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+          |stats AS (SELECT count(1) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+          |dfreq AS (SELECT term, count(1) AS df FROM tf GROUP BY term),
+          |scored AS (
+          |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df, dl.dl,
+          |    ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+          |      * (CAST(tf.tf AS DOUBLE) * 2.2)
+          |      / (CAST(tf.tf AS DOUBLE)
+          |         + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE)
+          |                                 / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))) AS score
+          |  FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term), stats
+          |), ranked AS (
+          |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+          |  FROM scored
+          |)
+          |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, df, dl, score
+          |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+      "d47_span_dedup" ->
+        """WITH corpus AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 5000000 AS doc_id,
+          |    array_to_string(list_slice(regexp_split_to_array(lower(trim(text)), '\s+'), 1, 20), ' ')
+          |      || ' distinct tail marker' || CAST((doc_id + 5000000) % 97 AS VARCHAR) AS text
+          |  FROM documents WHERE doc_id % 11 = 0
+          |), toksrc AS (
+          |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM corpus
+          |), wins AS (
+          |  SELECT DISTINCT doc_id,
+          |    ('0x' || substring(md5(array_to_string(list_slice(toks, i + 1, i + 8), ' ')), 1, 15))::BIGINT AS wh
+          |  FROM (SELECT doc_id, toks, unnest(range(0, len(toks) - 7)) AS i
+          |        FROM toksrc WHERE len(toks) >= 8)
+          |), rare AS (
+          |  SELECT wh FROM wins GROUP BY wh HAVING count(1) <= 32
+          |), pw AS (
+          |  SELECT w.doc_id, w.wh FROM wins w JOIN rare USING (wh)
+          |)
+          |SELECT a.doc_id AS a, b.doc_id AS b, count(1) AS shared_windows
+          |FROM pw a JOIN pw b ON a.wh = b.wh AND a.doc_id < b.doc_id
+          |GROUP BY 1, 2 HAVING count(1) >= 3 ORDER BY a, b""".stripMargin,
+
+      // sequential Poisson: priority = u / w, two IEEE divisions —
+      // engine-identical, so the sample itself hash-checks
+      "d48_weighted_sample" ->
+        """WITH pri AS (
+          |  SELECT lang, doc_id, CAST(n_chars AS DOUBLE) AS weight,
+          |    (CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+          |       / 1152921504606846976.0) / CAST(n_chars AS DOUBLE) AS pri
+          |  FROM documents WHERE n_chars > 0
+          |), ranked AS (
+          |  SELECT lang, doc_id, weight,
+          |    row_number() OVER (PARTITION BY lang ORDER BY pri, doc_id) AS rank
+          |  FROM pri
+          |)
+          |SELECT lang, doc_id, weight, CAST(rank AS BIGINT) AS rank
+          |FROM ranked WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
+
+      "d49_token_chunking" ->
+        """WITH toksrc AS (
+          |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM documents
+          |), st AS (
+          |  SELECT doc_id, toks, unnest(range(0, len(toks), 48)) AS start FROM toksrc
+          |)
+          |SELECT doc_id, start // 48 AS chunk_id, CAST(start AS BIGINT) AS start_tok,
+          |  CAST(len(list_slice(toks, start + 1, start + 64)) AS BIGINT) AS chunk_toks,
+          |  md5(array_to_string(list_slice(toks, start + 1, start + 64), ' ')) AS chunk_hash
+          |FROM st ORDER BY doc_id, chunk_id""".stripMargin,
 
       "d42_dsir_importance" ->
         """WITH toks AS (

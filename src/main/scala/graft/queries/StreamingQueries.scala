@@ -39,6 +39,10 @@ object StreamingQueries {
 
     "s07_stream_foreachbatch_upsert" -> { (s, d) =>
       StreamingOps.runBoundedForeachBatchUpsert(s, d, "s07_sink")
+    },
+
+    "s08_stream_left_outer_join" -> { (s, d) =>
+      StreamingOps.runBoundedLeftOuterAttribution(s, d, "s08_sink")
     }
   )
 
@@ -89,6 +93,19 @@ object StreamingQueries {
         |FROM events c JOIN events p
         |  ON p.user_id = c.user_id
         |  AND c.event_type = 'click' AND p.event_type = 'purchase'
+        |  AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        |ORDER BY c.user_id, click_id, purchase_id""".stripMargin,
+
+    // the streaming left-outer must equal the batch left join once the
+    // sentinel-advanced watermark has flushed every unmatched click
+    "s08_stream_left_outer_join" ->
+      """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+        |  strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+        |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+        |  p.value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON p.user_id = c.user_id
         |  AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
         |ORDER BY c.user_id, click_id, purchase_id""".stripMargin,
 

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Structured Streaming extension (optional beyond reference parity —
@@ -148,6 +148,78 @@ object StreamingOps {
       .start())
     try q.processAllAvailable() finally q.stop()
     spark.table(queryName)
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+        date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+        col("value"))
+      .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+  }
+
+  /** LEFT OUTER stream-stream attribution: every click, with its
+    * purchases inside the 30-minute window or NULL if none came. The
+    * semantics Spark gives this are subtle and central: an unmatched
+    * click is held in state and emitted with NULLs only once the
+    * watermark passes click_ts + 30 min — before that, a match could
+    * still arrive. Same time-range bound as the inner join, so state
+    * stays capped at ~1.5 h of events per side on an unbounded run.
+    */
+  def streamClickAttributionLeftOuter(events: DataFrame): DataFrame = {
+    val clicks = events.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"), col("value"))
+      .withWatermark("purchase_ts", "1 hour")
+    clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") > col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"),
+      "leftOuter")
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("click_ts"), col("purchase_ts"), col("value"))
+  }
+
+  /** Bounded left-outer attribution run. A bounded stream never
+    * advances the watermark past its own tail, so the last ~1.5 h of
+    * unmatched clicks would stay in state forever and the run would
+    * not equal the batch left join. Fix: two sentinel events (one per
+    * side, user_id = −1) 30 days past the corpus flow through both
+    * watermark nodes, pushing the event-time horizon over every real
+    * click; the trailing no-data micro-batch then evicts and emits the
+    * remaining unmatched rows. The sentinels themselves match nothing
+    * and are filtered from the sink.
+    */
+  def runBoundedLeftOuterAttribution(spark: SparkSession, sfDir: String,
+      queryName: String): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val isLong = ev.schema("ts").dataType == LongType
+    val sentinelTs: Column =
+      if (isLong) lit(ev.agg(max(col("ts"))).head.getLong(0) + 2592000000000000L) // +30 d in nanos
+      else lit(new java.sql.Timestamp(
+        ev.agg(max(col("ts"))).head.getTimestamp(0).getTime + 2592000000L)) // +30 d in millis
+    def sentinel(tpe: String, id: Long) = ev.limit(1)
+      .withColumn("event_id", lit(id)).withColumn("user_id", lit(-1L))
+      .withColumn("event_type", lit(tpe)).withColumn("value", lit(0.0))
+      .withColumn("ts", sentinelTs)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sentinel").toString
+    sentinel("click", -1L).unionByName(sentinel("purchase", -2L))
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val sentinels0 = spark.readStream.schema(ev.schema).parquet(dir)
+    val sentinels =
+      if (isLong) sentinels0.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else sentinels0
+    val joined = streamClickAttributionLeftOuter(
+      boundedEventStream(spark, sfDir).unionByName(sentinels))
+    val q = withStatePartitions(spark, 8)(joined.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("append")
+      .start())
+    try q.processAllAvailable() finally q.stop()
+    spark.table(queryName)
+      .where(col("user_id") >= 0)
       .select(col("user_id"), col("click_id"), col("purchase_id"),
         date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
         date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),

@@ -121,4 +121,73 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(top(0).getLong(2) == 2L) // closest direction
     assert(top(1).getLong(2) == 3L) // orthogonal beats opposite
   }
+
+  test("spanPairs surfaces docs sharing a long exact token span") {
+    val span = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val df = docs(
+      1L -> (span + " original tail content here"),
+      2L -> ("prefix words first then " + span),
+      3L -> "entirely unrelated vocabulary with no shared windows at all present today")
+    val pairs = TextDedup.spanPairs(df, idCol = "id", textCol = "body")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.forall(p => p._1 != 3L && p._2 != 3L))
+  }
+
+  test("spanPairs stop-window pruning drops boilerplate phrases") {
+    // the same 8-token phrase in every doc exceeds dfCap=2 → no pairs
+    val phrase = "one two three four five six seven eight"
+    val df = docs(1L -> phrase, 2L -> phrase, 3L -> phrase, 4L -> phrase)
+    assert(TextDedup.spanPairs(df, idCol = "id", textCol = "body",
+      dfCap = 2, minShared = 1).count() == 0)
+  }
+
+  test("bloomDedupStats: no false negatives, fp bound holds") {
+    val history = docs((1L to 50L).map(i => i -> s"historical doc number $i body"): _*)
+    val batch = docs(
+      (101L to 110L).map(i => i -> s"historical doc number ${i - 100} body") ++ // 10 exact dups
+      (201L to 230L).map(i => i -> s"fresh unseen content item $i"): _*)        // 30 new
+    val row = TextDedup.bloomDedupStats(history, batch, idCol = "id", textCol = "body")
+      .collect()(0)
+    assert(row.getLong(0) == 40L)      // n_new
+    assert(row.getLong(1) == 10L)      // n_exact_dups
+    assert(row.getBoolean(2))          // no false negatives — guaranteed
+    assert(row.getBoolean(3))          // fp count within the sized bound
+  }
+
+  test("bm25Terms: rarer term outranks commoner term at equal tf") {
+    val df = docs(
+      1L -> "apple banana banana cherry",
+      2L -> "apple durian durian elderberry",
+      3L -> "apple fig fig grape")
+    // per doc, the doubled term has top tf; 'apple' (df=3) never wins
+    val top1 = Corpus.bm25Terms(df, idCol = "id", textCol = "body", topK = 1)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(top1 == Map(1L -> "banana", 2L -> "durian", 3L -> "fig"))
+  }
+
+  test("chunked covers every token once per stride and hashes slices") {
+    val text = (1 to 10).map(i => s"t$i").mkString(" ") // 10 tokens
+    val out = Corpus.chunked(docs(1L -> text), idCol = "id", textCol = "body",
+      chunkTokens = 4, overlap = 2).orderBy(col("chunk_id")).collect()
+    // stride 2 → starts 0,2,4,6,8 → 5 chunks; last is the 2-token tail
+    assert(out.length == 5)
+    assert(out.map(_.getLong(3)).toSeq == Seq(4L, 4L, 4L, 4L, 2L))
+    assert(out.map(_.getLong(2)).toSeq == Seq(0L, 2L, 4L, 6L, 8L))
+  }
+
+  test("weightedSample is deterministic and k-bounded per group") {
+    val rows = (1L to 40L).map(i => (i, s"g${i % 2}", 10.0 + i))
+    import org.apache.spark.sql.{Row, types => T}
+    val df = spark.createDataFrame(
+      rows.map { case (i, g, w) => Row(i, g, w) }.asJava,
+      T.StructType(Seq(T.StructField("id", T.LongType),
+        T.StructField("grp", T.StringType), T.StructField("wt", T.DoubleType))))
+    val a = Corpus.weightedSample(df, "grp", col("wt"), idCol = "id", k = 3)
+      .orderBy(col("grp"), col("rank")).collect()
+    val b = Corpus.weightedSample(df, "grp", col("wt"), idCol = "id", k = 3)
+      .orderBy(col("grp"), col("rank")).collect()
+    assert(a.length == 6) // 3 per group × 2 groups
+    assert(a.map(_.getLong(1)).toSeq == b.map(_.getLong(1)).toSeq) // reproducible
+  }
 }
