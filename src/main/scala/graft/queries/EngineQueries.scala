@@ -388,6 +388,24 @@ object EngineQueries {
               |GROUP BY 1 ORDER BY 1""".stripMargin)
     },
 
+    // --- federated ORC source (columnar sibling of e12/e19) ------------
+    "e25_orc_source" -> { (s, d) =>
+      // Third external-table format: ORC with explicit schema — like
+      // parquet, a columnar source whose predicate pushdown and column
+      // pruning reach the stripe reader.
+      val orcDir = Files.createTempDirectory("graft_orc").toAbsolutePath
+      t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .coalesce(1).write.mode("overwrite").orc(orcDir.toString)
+      s.sql("DROP TABLE IF EXISTS graft_ext_orc")
+      s.sql(s"""CREATE TABLE graft_ext_orc
+               |  (doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT)
+               |USING orc OPTIONS (path '$orcDir')""".stripMargin)
+      s.sql("""SELECT lang, count(1) AS n_docs, sum(n_chars) AS total_chars
+              |FROM graft_ext_orc WHERE source <> 'src0'
+              |GROUP BY 1 ORDER BY 1""".stripMargin)
+    },
+
     // --- ALLOW_FIELD_ADDITION: schema evolution on append --------------
     "e13_schema_evolution" -> { (s, d) =>
       Tables.views(s, d, "orders")
@@ -794,6 +812,10 @@ object EngineQueries {
         |FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1995-06-01' AND o_orderdate < TIMESTAMP '1995-09-01'
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "e25_orc_source" ->
+      """SELECT lang, count(1) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents WHERE source <> 'src0' GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "e22_bq_functions" ->
       """SELECT

@@ -679,6 +679,39 @@ object RelationalQueries {
           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
     },
 
+    // --- LOCF gap-fill: IGNORE NULLS running last_value ----------------
+    "q52_locf_ignore_nulls" -> { (s, d) =>
+      // last-observation-carried-forward, the time-series gap-fill
+      // idiom: the running last non-NULL value per key. One window
+      // shuffle on the key; IGNORE NULLS keeps the frame scan inside
+      // the window operator (no self-join restatement needed).
+      Tables.views(s, d, "orders")
+      s.sql(
+        """SELECT o_custkey, o_orderkey,
+          |  CAST(DATE(o_orderdate) AS STRING) AS d,
+          |  last_value(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END) IGNORE NULLS
+          |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_f_price
+          |FROM orders
+          |WHERE o_custkey < 500
+          |ORDER BY o_custkey, o_orderkey""".stripMargin)
+    },
+
+    // --- correlated LATERAL subquery in FROM ---------------------------
+    "q53_lateral_subquery" -> { (s, d) =>
+      // per-row dependent subquery — Catalyst decorrelates it into a
+      // left outer aggregate join, so the plan is a join + agg, not a
+      // nested loop per customer.
+      Tables.views(s, d, "orders", "customer")
+      s.sql(
+        """SELECT c.c_custkey, t.max_price, t.n
+          |FROM customer c,
+          |LATERAL (SELECT max(o.o_totalprice) AS max_price, count(1) AS n
+          |         FROM orders o WHERE o.o_custkey = c.c_custkey) t
+          |WHERE c.c_custkey < 300
+          |ORDER BY c.c_custkey""".stripMargin)
+    },
+
     "q50_recursive_cte" -> { (s, d) =>
       // the recursion generates the calendar spine (80 rows — driver-
       // sized by the date range, not the data), then a left join
@@ -702,6 +735,24 @@ object RelationalQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q52_locf_ignore_nulls" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS d,
+        |  last_value(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END IGNORE NULLS)
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_f_price
+        |FROM orders
+        |WHERE o_custkey < 500
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q53_lateral_subquery" ->
+      """SELECT c.c_custkey, t.max_price, t.n
+        |FROM customer c,
+        |LATERAL (SELECT max(o.o_totalprice) AS max_price, count(1) AS n
+        |         FROM orders o WHERE o.o_custkey = c.c_custkey) t
+        |WHERE c.c_custkey < 300
+        |ORDER BY c.c_custkey""".stripMargin,
+
     "q51_percentiles" ->
       """SELECT l_returnflag,
         |  count(1) AS n,

@@ -267,4 +267,33 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("PartitionFilters") && p.contains("1996-01-03"),
       s"partition filter should prune the scan:\n$p")
   }
+
+  test("q53 LATERAL subquery decorrelates: aggregate join, no nested loop per row") {
+    val p = plan("q53_lateral_subquery")
+    assert(!p.contains("CartesianProduct"),
+      s"correlated lateral must decorrelate into a join:\n$p")
+    assert(p.contains("Join") && p.contains("HashAggregate"),
+      s"expected join + aggregate from decorrelation:\n$p")
+  }
+
+  test("d47 span dedup: window fingerprints shuffle as ints, never token arrays") {
+    val df = PipelineQueries.queries("d47_span_dedup")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    val exchangeBlocks = p.split("\n\n").filter(_.matches("(?s)\\(\\d+\\) Exchange.*"))
+    assert(exchangeBlocks.nonEmpty, s"expected exchange detail blocks in:\n$p")
+    exchangeBlocks.foreach { b =>
+      assert(!b.contains("toks"), s"a token array is being shuffled:\n$b")
+    }
+    assert(!p.contains("CartesianProduct"), s"span pairing must stay an equi-join:\n$p")
+  }
+
+  test("d46 BM25: corpus stats join is a broadcast, tf aggregates partially") {
+    val df = PipelineQueries.queries("d46_bm25_terms")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the one-row (N, sum_dl) side must broadcast:\n$p")
+    assert(p.contains("partial_count"), s"tf must combine map-side:\n$p")
+  }
 }
