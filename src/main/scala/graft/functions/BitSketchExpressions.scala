@@ -101,6 +101,34 @@ object SketchKernels {
     new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
   }
 
+  /** Exact int64 dot product — Σ a(i)·b(i) over the common prefix.
+    * Sum order is irrelevant for ints, so results are identical to any
+    * HOF/SQL formulation; this exists because `aggregate(zip_with(…))`
+    * allocates a zipped intermediate array and dispatches two
+    * interpreted lambdas per element PER CANDIDATE PAIR — the inner
+    * loop of every ANN scoring join.
+    */
+  def dotLong(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc += a.getLong(i) * b.getLong(i); i += 1 }
+    acc
+  }
+
+  /** Exact int64 squared L2 distance — Σ (a(i) − b(i))². */
+  def sqDistLong(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val d = a.getLong(i) - b.getLong(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
   /** 32 MinHash values: base = md5Long60(shingle) mod p (p = 2^31 − 1),
     * h_j = (base·(1103515245 + 12345·j) + j·987654321) mod p, minimized
     * over shingles per j. The affine maps wrap mod p (essential — see
@@ -191,12 +219,44 @@ case class MinHash32(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): MinHash32 = copy(newChild)
 }
 
+/** Exact int64 dot product of two bigint arrays, one compiled loop per
+  * pair (see [[SketchKernels.dotLong]]).
+  */
+case class DotLong(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SketchKernels.dotLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.SketchKernels.dotLong($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): DotLong = copy(newLeft, newRight)
+}
+
+/** Exact int64 squared L2 distance of two bigint arrays (see
+  * [[SketchKernels.sqDistLong]]).
+  */
+case class SqDistLong(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SketchKernels.sqDistLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.SketchKernels.sqDistLong($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): SqDistLong = copy(newLeft, newRight)
+}
+
 object BitSketchExpressions {
   /** Register SQL functions `graft_simhash64`, `graft_srp_sig`,
-    * `graft_shingles`, `graft_md5_60`, `graft_minhash32` on the session
-    * (idempotent).
+    * `graft_shingles`, `graft_md5_60`, `graft_minhash32`,
+    * `graft_dot_i64`, `graft_l2_i64` on the session (idempotent).
     */
   def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot_i64", exprs => DotLong(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_l2_i64", exprs => SqDistLong(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_simhash64", exprs => SimHash64(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

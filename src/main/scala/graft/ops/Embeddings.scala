@@ -23,15 +23,22 @@ import org.apache.spark.sql.types._
   */
 object Embeddings {
 
-  /** int64 quantization (×1000) + squared-norm column: (id, q, nrm). */
+  /** int64 quantization (×1000) + squared-norm column: (id, q, nrm).
+    * Dot products run through the codegen'd [[graft.functions.DotLong]]
+    * kernel — exact int math, so results are identical to the HOF
+    * formulation the oracle replays, without the per-pair zipped
+    * intermediate array and interpreted lambdas.
+    */
   def quantized(df: DataFrame, idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame =
+      vecCol: String = "embedding"): DataFrame = {
+    graft.functions.BitSketchExpressions.register(df.sparkSession)
     df.select(col(idCol).as("vec_id"),
         expr(s"transform($vecCol, x -> cast(round(cast(x as double) * 1000) as bigint))").as("q"))
-      .withColumn("nrm", expr("aggregate(zip_with(q, q, (x, y) -> x * y), 0L, (a, x) -> a + x)"))
+      .withColumn("nrm", expr("graft_dot_i64(q, q)"))
+  }
 
   private val cosExpr =
-    """round(cast(aggregate(zip_with(qq, q, (x, y) -> x * y), 0L, (acc, x) -> acc + x) as double)
+    """round(cast(graft_dot_i64(qq, q) as double)
       | / (sqrt(cast(qnrm as double)) * sqrt(cast(nrm as double))), 6)""".stripMargin
 
   /** Exact cosine top-k per query over the full corpus. `queries` and
@@ -60,13 +67,13 @@ object Embeddings {
     val b = e.select(col("sig"), col("vec_id").as("b"), col("q").as("qb"), col("nrm").as("nb"))
     a.join(b, Seq("sig")).where(col("a") < col("b"))
       .withColumn("cos", expr(
-        """round(cast(aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (acc, x) -> acc + x) as double)
+        """round(cast(graft_dot_i64(qa, qb) as double)
           | / (sqrt(cast(na as double)) * sqrt(cast(nb as double))), 6)""".stripMargin))
       .where(col("cos") >= cosThreshold)
       .select(col("a"), col("b"), col("cos"))
   }
 
-  private val l2 = "aggregate(zip_with(q, cq, (x, y) -> (x - y) * (x - y)), 0L, (acc, x) -> acc + x)"
+  private val l2 = "graft_l2_i64(q, cq)"
 
   /** Nearest-centroid assignment (exact-int L2², centroids broadcast):
     * (vec_id, cent_id, q, nrm, dist). `centroids` needs (cent_id, cq).
@@ -90,7 +97,7 @@ object Embeddings {
       .select(col("vec_id"), col("cent_id"), col("q"), col("nrm"))
     val qs = queries.select(col("vec_id").as("query_id"),
       col("q").as("qq"), col("nrm").as("qnrm"))
-    val l2q = "aggregate(zip_with(qq, cq, (x, y) -> (x - y) * (x - y)), 0L, (acc, x) -> acc + x)"
+    val l2q = "graft_l2_i64(qq, cq)"
     val wProbe = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("cent_id"))
     val probes = qs.join(broadcast(centroids), expr("true"))
       .withColumn("dist", expr(l2q))

@@ -660,7 +660,7 @@ object PipelineQueries {
         col("q").as("qb"), col("nrm").as("nb"))
       a.join(b, Seq("cent_id")).where(col("a") < col("b"))
         .withColumn("cos", expr(
-          """round(cast(aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (acc, x) -> acc + x) as double)
+          """round(cast(graft_dot_i64(qa, qb) as double)
             | / (sqrt(cast(na as double)) * sqrt(cast(nb as double))), 6)""".stripMargin))
         .where(col("cos") >= 0.98)
         .select(col("cent_id"), col("a"), col("b"), col("cos"))

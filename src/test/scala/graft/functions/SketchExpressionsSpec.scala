@@ -67,4 +67,18 @@ class SketchExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
+
+  test("DotLong / SqDistLong equal the HOF formulations") {
+    graft.functions.BitSketchExpressions.register(spark)
+    val row = spark.sql(
+      """SELECT
+        |  graft_dot_i64(a, b) AS dot,
+        |  aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (acc, x) -> acc + x) AS dot_hof,
+        |  graft_l2_i64(a, b) AS l2,
+        |  aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), 0L, (acc, x) -> acc + x) AS l2_hof
+        |FROM (SELECT array(3L, -1L, 4L, 1000000L) AS a,
+        |             array(2L, 7L, -5L, 999999L) AS b)""".stripMargin).collect()(0)
+    assert(row.getLong(0) == row.getLong(1) && row.getLong(0) == 999998999979L)
+    assert(row.getLong(2) == row.getLong(3) && row.getLong(2) == 147L)
+  }
 }
