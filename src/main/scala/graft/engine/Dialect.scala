@@ -345,6 +345,24 @@ object Dialect {
     }
   }
 
+  /** ARRAY_AGG(x ORDER BY k) — Spark's array_agg has no ORDER BY, so
+    * the ordered form becomes a sort over collected (key, value)
+    * structs. Only the simple shape (one ORDER BY key, no
+    * DISTINCT/LIMIT/IGNORE NULLS) rewrites; everything else passes
+    * through to Spark's native array_agg.
+    */
+  private def arrayAgg(a: Seq[String]): Option[String] = {
+    if (a.length != 1) return scala.None
+    val obPos = topLevelOrderBy(a.head)
+    if (obPos < 0) return scala.None // unordered → native array_agg
+    val v = a.head.substring(0, obPos).trim
+    val ob = a.head.substring(obPos).replaceFirst(raw"(?is)^ORDER\s+BY\s+", "").trim
+    if (v.isEmpty || ob.isEmpty ||
+        raw"(?is)^DISTINCT\b".r.findFirstIn(v).isDefined ||
+        raw"(?is)\b(DESC|LIMIT)\b".r.findFirstIn(ob).isDefined) return scala.None
+    Some(s"transform(array_sort(collect_list(struct($ob AS _o, $v AS _v))), s -> s._v)")
+  }
+
   /** BigQuery DATE_DIFF counts unit-BOUNDARY crossings (not elapsed
     * full units): DATE_DIFF('2024-02-01','2024-01-31', MONTH) = 1.
     */
@@ -433,6 +451,12 @@ object Dialect {
     "ARRAY_CONCAT" -> renameTo("concat"),
     "ARRAY_REVERSE" -> renameTo("reverse"),
     "GENERATE_ARRAY" -> renameTo("sequence"),
+    "FORMAT" -> renameTo("format_string"), // BigQuery FORMAT is printf-style
+    "TO_HEX" -> renameTo("hex"),
+    "FROM_HEX" -> renameTo("unhex"),
+    "STARTS_WITH" -> renameTo("startswith"),
+    "ENDS_WITH" -> renameTo("endswith"),
+    "ARRAY_AGG" -> arrayAgg,
     "TO_JSON_STRING" -> (a =>
       if (a.length == 1) Some(s"to_json(${a(0)})") else scala.None),
     "SAFE_DIVIDE" -> (a =>

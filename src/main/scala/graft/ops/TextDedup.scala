@@ -159,23 +159,29 @@ object TextDedup {
 
   /** Exact-substring near-dup pairs (Lee et al.'s ExactSubstr at token
     * granularity): every rolling `windowTokens`-token window is
-    * fingerprinted (60-bit md5), windows occurring in more than `dfCap`
-    * docs are dropped BEFORE pairing (stop-window pruning — boilerplate
-    * phrases can't fan out), and docs sharing ≥ `minShared` surviving
-    * windows pair up. The inverted-index join carries only (hash, id)
-    * rows; no token array crosses a shuffle. Returns
-    * (a, b, shared_windows).
+    * fingerprinted (60-bit md5); windows are then SAMPLED
+    * content-defined (keep wh mod `sampleMod` == 0 — both docs of a
+    * shared span keep exactly the same windows, the winnowing-style
+    * trick that cuts the inverted index `sampleMod`× without
+    * per-engine randomness); windows occurring in more than `dfCap`
+    * docs are dropped BEFORE pairing (stop-window pruning —
+    * boilerplate phrases can't fan out); docs sharing ≥ `minShared`
+    * surviving windows pair up. The inverted-index join carries only
+    * (hash, id) rows; no token array crosses a shuffle. Returns
+    * (a, b, shared_windows). `sampleMod = 1` disables sampling for
+    * exact window-level counts.
     */
   def spanPairs(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", windowTokens: Int = 8, dfCap: Int = 32,
-      minShared: Int = 3): DataFrame = {
+      minShared: Int = 3, sampleMod: Int = 1): DataFrame = {
     graft.functions.BitSketchExpressions.register(docs.sparkSession)
     val wins = docs
       .withColumn("toks", split(lower(trim(col(textCol))), "\\s+"))
       .where(size(col("toks")) >= windowTokens)
       .select(col(idCol).as("doc_id"), explode(expr(
-        s"""array_distinct(transform(sequence(0, size(toks) - $windowTokens),
-           |  i -> graft_md5_60(concat_ws(' ', slice(toks, i + 1, $windowTokens)))))""".stripMargin)).as("wh"))
+        s"""filter(array_distinct(transform(sequence(0, size(toks) - $windowTokens),
+           |  i -> graft_md5_60(concat_ws(' ', slice(toks, i + 1, $windowTokens))))),
+           |  h -> h % $sampleMod = 0)""".stripMargin)).as("wh"))
     val rare = wins.groupBy(col("wh")).agg(count(lit(1)).as("df"))
       .where(col("df") <= dfCap)
     val pruned = wins.join(rare.select("wh"), "wh").persist()

@@ -938,16 +938,20 @@ object PipelineQueries {
     // --- exact-substring (rolling-window) dedup ------------------------
     "d47_span_dedup" -> { (s, d) =>
       // [[graft.ops.TextDedup.spanPairs]] — ExactSubstr-style span
-      // sharing. Plants: a copy reusing each 11th doc's first 20
-      // tokens with a distinct tail, so every (orig, copy) pair shares
-      // 13 rolling 8-token windows and must surface.
+      // sharing with content-defined 1-in-4 window sampling (both docs
+      // of a shared span sample identically, so the oracle replays the
+      // sampling exactly). Plants: a copy reusing each 11th doc's
+      // first 40 tokens with a distinct tail — up to 33 shared
+      // windows, ~8 surviving the sampling (short docs may sample
+      // below minShared; deterministic either way).
       val docs = t(s, d, "documents")
       val planted = docs.where(col("doc_id") % 11 === 0)
         .withColumn("doc_id", col("doc_id") + 5000000L)
         .withColumn("text", concat(
-          concat_ws(" ", slice(split(lower(trim(col("text"))), "\\s+"), 1, 20)),
+          concat_ws(" ", slice(split(lower(trim(col("text"))), "\\s+"), 1, 40)),
           lit(" distinct tail marker"), (col("doc_id") % 97).cast("string")))
-      graft.ops.TextDedup.spanPairs(docs.unionByName(planted))
+      graft.ops.TextDedup.spanPairs(docs.unionByName(planted),
+          minShared = 2, sampleMod = 4)
         .orderBy(col("a"), col("b"))
     },
 
@@ -1105,16 +1109,18 @@ object PipelineQueries {
           |  SELECT doc_id, text FROM documents
           |  UNION ALL
           |  SELECT doc_id + 5000000 AS doc_id,
-          |    array_to_string(list_slice(regexp_split_to_array(lower(trim(text)), '\s+'), 1, 20), ' ')
+          |    array_to_string(list_slice(regexp_split_to_array(lower(trim(text)), '\s+'), 1, 40), ' ')
           |      || ' distinct tail marker' || CAST((doc_id + 5000000) % 97 AS VARCHAR) AS text
           |  FROM documents WHERE doc_id % 11 = 0
           |), toksrc AS (
           |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM corpus
           |), wins AS (
-          |  SELECT DISTINCT doc_id,
-          |    ('0x' || substring(md5(array_to_string(list_slice(toks, i + 1, i + 8), ' ')), 1, 15))::BIGINT AS wh
-          |  FROM (SELECT doc_id, toks, unnest(range(0, len(toks) - 7)) AS i
-          |        FROM toksrc WHERE len(toks) >= 8)
+          |  SELECT DISTINCT doc_id, wh FROM (
+          |    SELECT doc_id,
+          |      ('0x' || substring(md5(array_to_string(list_slice(toks, i + 1, i + 8), ' ')), 1, 15))::BIGINT AS wh
+          |    FROM (SELECT doc_id, toks, unnest(range(0, len(toks) - 7)) AS i
+          |          FROM toksrc WHERE len(toks) >= 8)
+          |  ) WHERE wh % 4 = 0
           |), rare AS (
           |  SELECT wh FROM wins GROUP BY wh HAVING count(1) <= 32
           |), pw AS (
@@ -1122,7 +1128,7 @@ object PipelineQueries {
           |)
           |SELECT a.doc_id AS a, b.doc_id AS b, count(1) AS shared_windows
           |FROM pw a JOIN pw b ON a.wh = b.wh AND a.doc_id < b.doc_id
-          |GROUP BY 1, 2 HAVING count(1) >= 3 ORDER BY a, b""".stripMargin,
+          |GROUP BY 1, 2 HAVING count(1) >= 2 ORDER BY a, b""".stripMargin,
 
       // sequential Poisson: priority = u / w, two IEEE divisions —
       // engine-identical, so the sample itself hash-checks

@@ -176,6 +176,23 @@ class DialectSpec extends AnyFunSuite {
       "SELECT listagg(s, ',') WITHIN GROUP (ORDER BY t)")
   }
 
+  test("printf FORMAT, hex, and string-predicate renames") {
+    assert(Dialect.rewrite("SELECT FORMAT('%d rows', n), TO_HEX(b), FROM_HEX(h)") ==
+      "SELECT format_string('%d rows', n), hex(b), unhex(h)")
+    assert(Dialect.rewrite("WHERE STARTS_WITH(s, 'a') AND ENDS_WITH(s, 'z')") ==
+      "WHERE startswith(s, 'a') AND endswith(s, 'z')")
+  }
+
+  test("ARRAY_AGG: ordered form rewrites, plain/DISTINCT pass through") {
+    assert(Dialect.rewrite("SELECT ARRAY_AGG(x ORDER BY k)") ==
+      "SELECT transform(array_sort(collect_list(struct(k AS _o, x AS _v))), s -> s._v)")
+    assert(Dialect.rewrite("SELECT ARRAY_AGG(x)") == "SELECT ARRAY_AGG(x)")
+    assert(Dialect.rewrite("SELECT ARRAY_AGG(DISTINCT x ORDER BY x)") ==
+      "SELECT ARRAY_AGG(DISTINCT x ORDER BY x)")
+    assert(Dialect.rewrite("SELECT ARRAY_AGG(x ORDER BY k DESC)") ==
+      "SELECT ARRAY_AGG(x ORDER BY k DESC)")
+  }
+
   test("QUALIFY rewrites to post-window subquery filter") {
     val in = "SELECT a, b FROM t WHERE a > 0 QUALIFY row_number() OVER (PARTITION BY a ORDER BY b) = 1 ORDER BY a LIMIT 5"
     assert(Dialect.rewrite(in) ==
