@@ -406,6 +406,22 @@ object EngineQueries {
               |GROUP BY 1 ORDER BY 1""".stripMargin)
     },
 
+    // --- custom DataSource V2: executor-side synthetic corpus ----------
+    "e26_synthetic_source" -> { (s, _) =>
+      // [[graft.sources.SyntheticDocs]] — no input files exist; 10k
+      // docs generate on executors across 8 partitions, fields derived
+      // from md5(doc_id) so DuckDB replays the generator exactly. The
+      // aggregate never reads `text`, and the pruning contract means
+      // the readers never generate it (PlanAuditSpec asserts the
+      // pruned schema).
+      s.read.format("graft.sources.SyntheticDocs")
+        .option("rows", "10000").option("partitions", "8").load()
+        .where(col("doc_id") % 3 === 0)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+        .orderBy(col("lang"))
+    },
+
     // --- ALLOW_FIELD_ADDITION: schema evolution on append --------------
     "e13_schema_evolution" -> { (s, d) =>
       Tables.views(s, d, "orders")
@@ -816,6 +832,20 @@ object EngineQueries {
     "e25_orc_source" ->
       """SELECT lang, count(1) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents WHERE source <> 'src0' GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // replays the executor-side generator: every field is a pure
+    // function of md5(doc_id)
+    "e26_synthetic_source" ->
+      """WITH ids AS (SELECT unnest(range(0, 10000)) AS doc_id),
+        |g AS (
+        |  SELECT doc_id,
+        |    'l' || CAST(('0x' || substring(md5('lang-' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 5 AS VARCHAR) AS lang,
+        |    20 + ('0x' || substring(md5('len-' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 30 AS n_tokens
+        |  FROM ids
+        |)
+        |SELECT lang, count(1) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+        |FROM g WHERE doc_id % 3 = 0
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "e22_bq_functions" ->
       """SELECT

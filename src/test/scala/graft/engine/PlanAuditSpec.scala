@@ -288,6 +288,19 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"), s"span pairing must stay an equi-join:\n$p")
   }
 
+  test("e26 DSv2 source: unused text column pruned out of the scan") {
+    val df = EngineQueries.queries("e26_synthetic_source")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // the Output line of the BatchScan detail block lists the columns
+    // the source actually produces
+    val outLine = raw"(?s)\(\d+\) BatchScan[^\n]*\n(Output[^\n]*)".r
+      .findFirstMatchIn(p).map(_.group(1))
+      .getOrElse(fail(s"no BatchScan Output line in:\n$p"))
+    assert(outLine.contains("doc_id") && !outLine.contains("text"),
+      s"the generator must not produce the unread text column:\n$outLine")
+  }
+
   test("d46 BM25: corpus stats join is a broadcast, tf aggregates partially") {
     val df = PipelineQueries.queries("d46_bm25_terms")(spark, sfDir)
     df.collect()
