@@ -7,7 +7,8 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -77,22 +78,65 @@ private[sources] class SyntheticDocsTable(rows: Long, partitions: Int)
 }
 
 private[sources] class SyntheticDocsScanBuilder(rows: Long, partitions: Int)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var projected: StructType = SyntheticDocs.fullSchema
+  private var lo = 0L
+  private var hi = rows
+  private var accepted: Array[Filter] = Array.empty
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     projected = requiredSchema
-  override def build(): Scan = new SyntheticDocsScan(rows, partitions, projected)
+
+  /** doc_id range predicates narrow the GENERATED id range — the
+    * source-side analogue of partition pruning: rows outside the
+    * predicate are never produced at all. Everything else returns as a
+    * post-scan filter for Spark to evaluate.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    def long(v: Any): Option[Long] = v match {
+      case n: java.lang.Number => Some(n.longValue())
+      case _ => scala.None
+    }
+    val (ours, residual) = filters.partition {
+      case EqualTo("doc_id", v) => long(v).isDefined
+      case GreaterThan("doc_id", v) => long(v).isDefined
+      case GreaterThanOrEqual("doc_id", v) => long(v).isDefined
+      case LessThan("doc_id", v) => long(v).isDefined
+      case LessThanOrEqual("doc_id", v) => long(v).isDefined
+      case _ => false
+    }
+    ours.foreach {
+      case EqualTo(_, v) =>
+        lo = math.max(lo, long(v).get); hi = math.min(hi, long(v).get + 1)
+      case GreaterThan(_, v) => lo = math.max(lo, long(v).get + 1)
+      case GreaterThanOrEqual(_, v) => lo = math.max(lo, long(v).get)
+      case LessThan(_, v) => hi = math.min(hi, long(v).get)
+      case LessThanOrEqual(_, v) => hi = math.min(hi, long(v).get + 1)
+      case _ =>
+    }
+    accepted = ours
+    residual
+  }
+  override def pushedFilters(): Array[Filter] = accepted
+
+  override def build(): Scan =
+    new SyntheticDocsScan(math.max(lo, 0L), math.max(hi, math.max(lo, 0L)),
+      partitions, projected)
 }
 
 private[sources] case class IdRange(start: Long, end: Long) extends InputPartition
 
-private[sources] class SyntheticDocsScan(rows: Long, partitions: Int,
+private[sources] class SyntheticDocsScan(lo: Long, hi: Long, partitions: Int,
     projected: StructType) extends Scan with Batch {
   override def readSchema(): StructType = projected
   override def toBatch: Batch = this
+  override def description(): String =
+    s"SyntheticDocs range=[$lo, $hi) cols=${projected.fieldNames.mkString(",")}"
   override def planInputPartitions(): Array[InputPartition] = {
-    val per = math.max(1L, (rows + partitions - 1) / partitions)
-    (0L until rows by per).map(s => IdRange(s, math.min(s + per, rows)): InputPartition).toArray
+    val n = math.max(0L, hi - lo)
+    val per = math.max(1L, (n + partitions - 1) / partitions)
+    (lo until hi by per).map(s => IdRange(s, math.min(s + per, hi)): InputPartition).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new SyntheticDocsReaderFactory(projected.fieldNames)
