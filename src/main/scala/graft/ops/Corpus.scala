@@ -192,6 +192,27 @@ object Corpus {
         col("rank").cast(LongType).as("rank"))
   }
 
+  /** Linear classifier inference over hashed token features — how a
+    * fasttext-style quality/safety filter actually runs at corpus
+    * scale: tokens hash into `nBuckets` buckets, the bucket→weight
+    * table (vocabulary-sized, here a column pair in `weights`:
+    * (bucket, w)) BROADCASTS, and the doc score is an exact integer
+    * sum with map-side combine. The corpus shuffles only slim
+    * (doc_id, partial-sum) rows. Margin > 0 is the accept decision;
+    * callers calibrate with their own trained weights. Returns
+    * (id, n_toks, margin, accept).
+    */
+  def linearScore(df: DataFrame, weights: DataFrame, nBuckets: Int = 4096,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    graft.functions.BitSketchExpressions.register(df.sparkSession)
+    df.select(col(idCol), explode(tokens(textCol)).as("tok"))
+      .withColumn("bucket", expr(s"graft_md5_60(tok) % $nBuckets"))
+      .join(broadcast(weights), "bucket")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_toks"), sum(col("w")).as("margin"))
+      .withColumn("accept", col("margin") > 0)
+  }
+
   /** Benchmark decontamination: corpus docs sharing ≥ `threshold` of
     * their word-3-gram shingles with any benchmark doc. The benchmark
     * side is bounded (eval sets are), so its exploded shingles

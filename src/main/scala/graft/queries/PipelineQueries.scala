@@ -911,6 +911,60 @@ object PipelineQueries {
         .orderBy(col("canonical"))
     },
 
+    // --- linear classifier inference (fasttext-style filter apply) -----
+    "d51_classifier_score" -> { (s, d) =>
+      // [[graft.ops.Corpus.linearScore]] with a deterministic stand-in
+      // weight table (md5-derived ints in [-1000, 1000] — in
+      // production these are trained weights loaded from a table; the
+      // broadcast-join shape is identical). Exact integer margins
+      // hash-check against the oracle.
+      graft.functions.BitSketchExpressions.register(s)
+      val weights = s.range(0, 4096).toDF("bucket")
+        .withColumn("w", expr("graft_md5_60(concat('w-', cast(bucket as string))) % 2001 - 1000"))
+      graft.ops.Corpus.linearScore(t(s, d, "documents"), weights)
+        .orderBy(col("doc_id"))
+    },
+
+    // --- sketch mergeability: union MinHash via elementwise min --------
+    "d52_sketch_union_merge" -> { (s, d) =>
+      // THE property that makes sketches work at 100 TB:
+      // minhash(A ∪ B) = elementwise-min(minhash(A), minhash(B)), so
+      // per-source union sketches fold from per-doc sketches with a
+      // plain (map-side-combinable) min aggregate — no re-scan of the
+      // docs. Source-pair Jaccard is then estimated from 32-long
+      // sketches; the exact shingle-set Jaccard rides along as
+      // accuracy evidence, both hash-checked.
+      val docs = t(s, d, "documents")
+      val sh = graft.ops.TextDedup.shingled(docs)
+        .select(col("source"), col("shingles"))
+        .withColumn("mh", expr("graft_minhash32(shingles)"))
+        .persist()
+      val sk = sh
+        .select(col("source"), posexplode(col("mh")).as(Seq("pos", "v")))
+        .groupBy(col("source"), col("pos")).agg(min(col("v")).as("mv"))
+        .groupBy(col("source"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, mv))), x -> x.mv)").as("sk"))
+      val ex = sh.select(col("source"), explode(col("shingles")).as("g")).distinct().persist()
+      val sizes = ex.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val shared = ex.withColumnRenamed("source", "sa")
+        .join(ex.withColumnRenamed("source", "sb"), "g")
+        .where(col("sa") < col("sb"))
+        .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("shared"))
+      sk.select(col("source").as("sa"), col("sk").as("ska"))
+        .crossJoin(sk.select(col("source").as("sb"), col("sk").as("skb")))
+        .where(col("sa") < col("sb"))
+        .join(shared, Seq("sa", "sb"), "left")
+        .join(sizes.select(col("source").as("sa"), col("n").as("na")), "sa")
+        .join(sizes.select(col("source").as("sb"), col("n").as("nb")), "sb")
+        .select(col("sa"), col("sb"),
+          expr("cast(aggregate(zip_with(ska, skb, (x, y) -> if(x = y, 1, 0)), 0, (a, x) -> a + x) as double) / 32.0")
+            .as("est_jaccard"),
+          (coalesce(col("shared"), lit(0L)).cast(DoubleType)
+            / (col("na") + col("nb") - coalesce(col("shared"), lit(0L))).cast(DoubleType))
+            .as("jaccard"))
+        .orderBy(col("sa"), col("sb"))
+    },
+
     // --- Bloom-filter membership dedup (broadcast, shuffle-free) -------
     "d50_bloom_dedup" -> { (s, d) =>
       // [[graft.ops.TextDedup.bloomDedupStats]] over the d30 split:
@@ -1056,6 +1110,65 @@ object PipelineQueries {
           |)
           |SELECT canonical, count(1) AS n_urls, min(doc_id) AS keep_doc
           |FROM c GROUP BY canonical ORDER BY canonical""".stripMargin,
+
+      // replays doc-level minhash32, the per-source elementwise-min
+      // union merge, and the exact shingle-set Jaccard
+      "d52_sketch_union_merge" ->
+        """WITH sh AS (
+          |  SELECT source, list_distinct(list_transform(range(1, len(toks) - 1),
+          |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+          |  FROM (SELECT source, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+          |        FROM documents)
+          |  WHERE len(toks) >= 3
+          |), mh AS (
+          |  SELECT source,
+          |    list_transform(range(0, 32),
+          |      j -> list_min(list_transform(hs, h -> (h * (1103515245 + 12345*j) + j * 987654321) % 2147483647))) AS mh
+          |  FROM (SELECT source,
+          |          list_transform(shingles, s -> ('0x' || substring(md5(s), 1, 15))::BIGINT % 2147483647) AS hs
+          |        FROM sh)
+          |), posmin AS (
+          |  SELECT source, i AS pos, min(mh[i]) AS mv
+          |  FROM mh, unnest(range(1, 33)) AS t(i)
+          |  GROUP BY source, i
+          |), sk AS (
+          |  SELECT source, list(mv ORDER BY pos) AS sk FROM posmin GROUP BY source
+          |), ex AS (
+          |  SELECT DISTINCT source, g
+          |  FROM (SELECT source, unnest(shingles) AS g FROM sh)
+          |), sizes AS (SELECT source, count(1) AS n FROM ex GROUP BY source),
+          |shared AS (
+          |  SELECT a.source AS sa, b.source AS sb, count(1) AS shared
+          |  FROM ex a JOIN ex b ON a.g = b.g AND a.source < b.source
+          |  GROUP BY 1, 2
+          |)
+          |SELECT x.source AS sa, y.source AS sb,
+          |  CAST(list_sum(list_transform(range(1, 33),
+          |    i -> CASE WHEN x.sk[i] = y.sk[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 32.0 AS est_jaccard,
+          |  CAST(coalesce(s.shared, 0) AS DOUBLE)
+          |    / CAST(na.n + nb.n - coalesce(s.shared, 0) AS DOUBLE) AS jaccard
+          |FROM sk x JOIN sk y ON x.source < y.source
+          |LEFT JOIN shared s ON s.sa = x.source AND s.sb = y.source
+          |JOIN sizes na ON na.source = x.source
+          |JOIN sizes nb ON nb.source = y.source
+          |ORDER BY sa, sb""".stripMargin,
+
+      "d51_classifier_score" ->
+        """WITH w AS (
+          |  SELECT b AS bucket,
+          |    ('0x' || substring(md5('w-' || CAST(b AS VARCHAR)), 1, 15))::BIGINT % 2001 - 1000 AS w
+          |  FROM (SELECT unnest(range(0, 4096)) AS b)
+          |), toks AS (
+          |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+          |  FROM documents
+          |), bk AS (
+          |  SELECT doc_id, ('0x' || substring(md5(tok), 1, 15))::BIGINT % 4096 AS bucket
+          |  FROM toks
+          |)
+          |SELECT doc_id, count(1) AS n_toks, CAST(sum(w.w) AS BIGINT) AS margin,
+          |  CAST(sum(w.w) AS BIGINT) > 0 AS accept
+          |FROM bk JOIN w USING (bucket)
+          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
       // the exact-dup count is replayed; the Bloom-semantics booleans
       // (guaranteed no false negatives; fp count under the sized
