@@ -82,7 +82,14 @@ class ScriptRunner(spark: SparkSession) {
   /** Execute all statements; returns the result of the last one that
     * produces rows (the "body"), if any.
     */
-  def run(script: String): Option[DataFrame] = runScript(script)
+  def run(script: String): Option[DataFrame] =
+    try runScript(script)
+    catch {
+      case _: BreakSignal =>
+        throw new IllegalStateException("BREAK/LEAVE outside of a loop")
+      case _: ContinueSignal =>
+        throw new IllegalStateException("CONTINUE/ITERATE outside of a loop")
+    }
 
   // ---- BigQuery scripting control flow --------------------------------
   // Conditions evaluate driver-side (a scalar SELECT — BigQuery's own
@@ -154,6 +161,14 @@ class ScriptRunner(spark: SparkSession) {
   }
 
   /** WHILE cond DO body END WHILE (guarded against runaway loops). */
+  /** BREAK/LEAVE and CONTINUE/ITERATE unwind to the innermost loop as
+    * control-flow exceptions; escaping one at top level means the
+    * statement sat outside any loop — surfaced with BigQuery's own
+    * wording.
+    */
+  private final class BreakSignal extends RuntimeException
+  private final class ContinueSignal extends RuntimeException
+
   private def runWhile(stmt: String): Option[DataFrame] = {
     val ms = topMarkers(stmt, Set("DO"))
     require(ms.length >= 2 && ms.head.text == "DO" && ms.last.text == "END",
@@ -163,12 +178,18 @@ class ScriptRunner(spark: SparkSession) {
     val body = stmt.substring(ms.head.pos + 2, ms.last.pos)
     var last: Option[DataFrame] = None
     var guard = 0
-    while (evalBool(cond) && guard < 10000) {
-      runScript(body).foreach(df => last = Some(df))
+    var broke = false
+    while (!broke && evalBool(cond) && guard < 10000) {
+      try runScript(body).foreach(df => last = Some(df))
+      catch {
+        case _: BreakSignal => broke = true
+        case _: ContinueSignal => ()
+      }
       guard += 1
     }
     // runaway only if the condition is STILL true after 10000 rounds
-    require(guard < 10000 || !evalBool(cond), "WHILE exceeded 10000 iterations")
+    require(guard < 10000 || broke || !evalBool(cond),
+      "WHILE exceeded 10000 iterations")
     last
   }
 
@@ -207,14 +228,22 @@ class ScriptRunner(spark: SparkSession) {
     val rows = spark.sql(Dialect.rewrite(substituteVars(query))).limit(10001).collect()
     require(rows.length <= 10000, "FOR loop query exceeded 10000 rows")
     var last: Option[DataFrame] = None
-    rows.foreach { row =>
-      // rec.field → literal of that row's field (word-boundary safe)
-      val bodyRendered = row.schema.fieldNames.zipWithIndex.foldLeft(body) {
-        case (acc, (f, idx)) =>
-          acc.replaceAll(raw"\b" + java.util.regex.Pattern.quote(s"$rec.$f") + raw"\b",
-            java.util.regex.Matcher.quoteReplacement(literalOf(row.get(idx))))
+    import scala.util.control.Breaks
+    val loop = new Breaks
+    loop.breakable {
+      rows.foreach { row =>
+        // rec.field → literal of that row's field (word-boundary safe)
+        val bodyRendered = row.schema.fieldNames.zipWithIndex.foldLeft(body) {
+          case (acc, (f, idx)) =>
+            acc.replaceAll(raw"\b" + java.util.regex.Pattern.quote(s"$rec.$f") + raw"\b",
+              java.util.regex.Matcher.quoteReplacement(literalOf(row.get(idx))))
+        }
+        try runScript(bodyRendered).foreach(df => last = Some(df))
+        catch {
+          case _: BreakSignal => loop.break()
+          case _: ContinueSignal => ()
+        }
       }
-      runScript(bodyRendered).foreach(df => last = Some(df))
     }
     last
   }
@@ -315,8 +344,28 @@ class ScriptRunner(spark: SparkSession) {
       case "FOR" => runFor(stmt)
       case "BEGIN" if !stmt.trim.toUpperCase.startsWith("BEGIN TRANSACTION") =>
         runBegin(stmt)
+      case "ASSERT" => runAssert(stmt)
+      case "BREAK" | "LEAVE" => throw new BreakSignal
+      case "CONTINUE" | "ITERATE" => throw new ContinueSignal
       case _ => runSimpleStatement(stmt)
     }
+
+  private val assertRe =
+    raw"(?is)^ASSERT\s+(.+?)(?:\s+AS\s+('(?:[^'\\]|\\.)*'))?\s*$$".r
+
+  /** ASSERT condition [AS 'description'] — the condition evaluates
+    * driver-side like every other scripting condition; failure aborts
+    * the script with the description (BigQuery semantics).
+    */
+  private def runAssert(stmt: String): Option[DataFrame] = stmt.trim match {
+    case assertRe(cond, msg) =>
+      if (!evalBool(cond))
+        throw new IllegalStateException("Assertion failed" +
+          Option(msg).map(m => ": " + m.substring(1, m.length - 1))
+            .getOrElse(s": $cond"))
+      None
+    case other => throw new IllegalArgumentException(s"malformed ASSERT: $other")
+  }
 
   private val executeImmediateRe = raw"(?is)^EXECUTE\s+IMMEDIATE\s+(.+)$$".r
 

@@ -214,4 +214,44 @@ class ScriptRunnerSpec extends AnyFunSuite with BeforeAndAfterAll {
         |END;""".stripMargin).get
     assert(handled.collect().head.getString(0) == "handled")
   }
+
+  test("BREAK exits the innermost WHILE; CONTINUE skips to the next round") {
+    val out = new ScriptRunner(spark).run(
+      """DECLARE i INT64 DEFAULT 0;
+        |DECLARE odd_sum INT64 DEFAULT 0;
+        |WHILE TRUE DO
+        |  SET i = i + 1;
+        |  IF i > 7 THEN BREAK; END IF;
+        |  IF i % 2 = 0 THEN CONTINUE; END IF;
+        |  SET odd_sum = odd_sum + i;
+        |END WHILE;
+        |SELECT odd_sum AS total""".stripMargin).get
+    assert(out.collect().head.getLong(0) == 16L) // 1 + 3 + 5 + 7
+  }
+
+  test("LEAVE works inside FOR; BREAK outside a loop is an error") {
+    val out = new ScriptRunner(spark).run(
+      """DECLARE seen INT64 DEFAULT 0;
+        |FOR r IN (SELECT x FROM (SELECT explode(sequence(1, 100)) AS x)) DO
+        |  SET seen = seen + 1;
+        |  IF r.x >= 3 THEN LEAVE; END IF;
+        |END FOR;
+        |SELECT seen AS n""".stripMargin).get
+    assert(out.collect().head.getLong(0) == 3L)
+    val e = intercept[IllegalStateException] {
+      new ScriptRunner(spark).run("BREAK")
+    }
+    assert(e.getMessage.contains("outside of a loop"))
+  }
+
+  test("ASSERT passes silently, fails with the AS description") {
+    val out = new ScriptRunner(spark).run(
+      """ASSERT 1 < 2 AS 'math still works';
+        |SELECT 42 AS v""".stripMargin).get
+    assert(out.collect().head.getInt(0) == 42)
+    val e = intercept[IllegalStateException] {
+      new ScriptRunner(spark).run("ASSERT (SELECT 1) > 5 AS 'needs at least 6'")
+    }
+    assert(e.getMessage.contains("needs at least 6"))
+  }
 }
