@@ -219,7 +219,7 @@ object Dialect {
     var i = 0
     while (i < sql.length) {
       val c = sql.charAt(i)
-      val nxt = if (i + 1 < sql.length) sql.charAt(i + 1) else ' '
+      val nxt = if (i + 1 < sql.length) sql.charAt(i + 1) else '\u0000'
       if (c == '\'' || c == '"' || c == '`') {
         val e = skipQuoted(sql, i); out ++= sql.substring(i, e); i = e
       } else if (c == '-' && nxt == '-') {
@@ -363,6 +363,20 @@ object Dialect {
     Some(s"transform(array_sort(collect_list(struct($ob AS _o, $v AS _v))), s -> s._v)")
   }
 
+  /** ANY_VALUE(x HAVING MAX y) → max_by(x, y) (and MIN → min_by);
+    * plain ANY_VALUE passes through to Spark's own.
+    */
+  private def anyValueHaving(a: Seq[String]): Option[String] = {
+    if (a.length != 1) return scala.None
+    val m = raw"(?is)^(.+?)\s+HAVING\s+(MAX|MIN)\s+(.+)$$".r
+    a.head match {
+      case m(v, kind, k) =>
+        val fn = if (kind.toUpperCase == "MAX") "max_by" else "min_by"
+        Some(s"$fn(${v.trim}, ${k.trim})")
+      case _ => scala.None
+    }
+  }
+
   /** BigQuery DATE_DIFF counts unit-BOUNDARY crossings (not elapsed
     * full units): DATE_DIFF('2024-02-01','2024-01-31', MONTH) = 1.
     */
@@ -456,7 +470,15 @@ object Dialect {
     "FROM_HEX" -> renameTo("unhex"),
     "STARTS_WITH" -> renameTo("startswith"),
     "ENDS_WITH" -> renameTo("endswith"),
+    "STRPOS" -> renameTo("instr"), // both 1-based, 0 = not found
+    "JSON_EXTRACT" -> renameTo("get_json_object"),
+    "JSON_EXTRACT_SCALAR" -> renameTo("get_json_object"),
+    "JSON_VALUE" -> renameTo("get_json_object"),
+    "SAFE_ADD" -> renameTo("try_add"),
+    "SAFE_SUBTRACT" -> renameTo("try_subtract"),
+    "SAFE_MULTIPLY" -> renameTo("try_multiply"),
     "ARRAY_AGG" -> arrayAgg,
+    "ANY_VALUE" -> anyValueHaving,
     "TO_JSON_STRING" -> (a =>
       if (a.length == 1) Some(s"to_json(${a(0)})") else scala.None),
     "SAFE_DIVIDE" -> (a =>

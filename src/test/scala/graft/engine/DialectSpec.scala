@@ -193,6 +193,18 @@ class DialectSpec extends AnyFunSuite {
       "SELECT ARRAY_AGG(x ORDER BY k DESC)")
   }
 
+  test("ANY_VALUE HAVING MAX/MIN, JSON extract, STRPOS, SAFE arithmetic") {
+    assert(Dialect.rewrite("SELECT ANY_VALUE(name HAVING MAX price)") ==
+      "SELECT max_by(name, price)")
+    assert(Dialect.rewrite("SELECT ANY_VALUE(name HAVING MIN price)") ==
+      "SELECT min_by(name, price)")
+    assert(Dialect.rewrite("SELECT ANY_VALUE(x)") == "SELECT ANY_VALUE(x)")
+    assert(Dialect.rewrite("SELECT JSON_EXTRACT_SCALAR(j, '$.a'), JSON_VALUE(j, '$.b')") ==
+      "SELECT get_json_object(j, '$.a'), get_json_object(j, '$.b')")
+    assert(Dialect.rewrite("SELECT STRPOS(s, 'x'), SAFE_ADD(a, b), SAFE_MULTIPLY(a, b)") ==
+      "SELECT instr(s, 'x'), try_add(a, b), try_multiply(a, b)")
+  }
+
   test("QUALIFY rewrites to post-window subquery filter") {
     val in = "SELECT a, b FROM t WHERE a > 0 QUALIFY row_number() OVER (PARTITION BY a ORDER BY b) = 1 ORDER BY a LIMIT 5"
     assert(Dialect.rewrite(in) ==
