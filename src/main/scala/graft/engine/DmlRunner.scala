@@ -45,10 +45,18 @@ class DmlRunner(spark: SparkSession, runner: TransformRunner) {
   def run(script: String): Unit =
     StatementSplitter.split(script).foreach(runStatement)
 
+  private val updateRe =
+    raw"(?is)^\s*UPDATE\s+`?([\w.$$-]+)`?\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*$$".r
+  private val truncateRe =
+    raw"(?is)^\s*TRUNCATE\s+TABLE\s+`?([\w.$$-]+)`?\s*;?\s*$$".r
+
   def runStatement(stmt: String): Unit = stmt match {
     case mergeRe(destFqn, tAlias, srcQuery, sAlias, onCond, whenClauses) =>
       merge(destFqn, tAlias, srcQuery, sAlias, onCond, whenClauses)
     case deleteRe(destFqn, cond) => delete(destFqn, cond)
+    case updateRe(destFqn, sets, cond) => update(destFqn, sets, cond)
+    case truncateRe(destFqn) =>
+      spark.sql(s"TRUNCATE TABLE ${runner.catalogName(destFqn)}")
     case dropRe(destFqn) =>
       spark.sql(s"DROP TABLE IF EXISTS ${runner.catalogName(destFqn)}")
     case other => // plain statement (e.g. a SELECT or engine-supported DDL)
@@ -61,6 +69,27 @@ class DmlRunner(spark: SparkSession, runner: TransformRunner) {
     val remaining = spark.table(dest).where(not(expr(Dialect.rewrite(cond))))
     // write via checkpoint to avoid reading the table being overwritten
     overwriteSelf(dest, remaining)
+  }
+
+  /** UPDATE t SET a = e, … WHERE c — the parquet-table rewrite: rows
+    * matching c get the SET expressions, the rest pass through, and
+    * the table overwrites itself via the checkpointed write path.
+    * (Aliased `UPDATE t AS x` forms are not handled here and fall
+    * through to spark.sql, which reports them.)
+    */
+  private def update(destFqn: String, sets: String, cond: String): Unit = {
+    val dest = runner.catalogName(destFqn)
+    val c = expr(Dialect.rewrite(cond))
+    val setMap = parseSetList(sets)
+    val base = spark.table(dest)
+    val updated = base.columns.foldLeft(base) { (df, name) =>
+      setMap.get(name.toLowerCase) match {
+        case scala.Some(e) => df.withColumn(name,
+          when(c, expr(Dialect.rewrite(e))).otherwise(col(name)))
+        case scala.None => df
+      }
+    }
+    overwriteSelf(dest, updated)
   }
 
   private def merge(destFqn: String, tAlias: String, srcQuery: String,

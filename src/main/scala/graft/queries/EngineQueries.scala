@@ -406,6 +406,30 @@ object EngineQueries {
               |GROUP BY 1 ORDER BY 1""".stripMargin)
     },
 
+    // --- UPDATE + TRUNCATE TABLE (the remaining BigQuery DML verbs) ----
+    "e27_update_truncate" -> { (s, d) =>
+      Tables.views(s, d, "orders")
+      freshDb(s, "graft__pg27")
+      s.sql("""CREATE TABLE graft__pg27.counts (d STRING, status STRING, cnt BIGINT)
+              |USING PARQUET""".stripMargin)
+      s.sql("""INSERT INTO graft__pg27.counts
+              |SELECT date_format(o_orderdate, 'yyyy-MM-dd'), o_orderstatus, count(1)
+              |FROM orders
+              |WHERE o_orderdate >= '1997-03-01' AND o_orderdate < '1997-03-08'
+              |GROUP BY 1, 2""".stripMargin)
+      s.sql("CREATE TABLE graft__pg27.scratch (x BIGINT) USING PARQUET")
+      s.sql("INSERT INTO graft__pg27.scratch VALUES (1), (2), (3)")
+      val dml = new DmlRunner(s, new TransformRunner(s))
+      dml.run(
+        """UPDATE `graft.pg27.counts` SET cnt = cnt + 1000000 WHERE status = 'F';
+          |TRUNCATE TABLE `graft.pg27.scratch`""".stripMargin)
+      s.table("graft__pg27.counts")
+        .unionByName(s.sql(
+          """SELECT '__truncated__' AS d, 'n/a' AS status,
+            |  (SELECT count(1) FROM graft__pg27.scratch) AS cnt""".stripMargin))
+        .orderBy("d", "status")
+    },
+
     // --- custom DataSource V2: executor-side synthetic corpus ----------
     "e26_synthetic_source" -> { (s, _) =>
       // [[graft.sources.SyntheticDocs]] — no input files exist; 10k
@@ -832,6 +856,18 @@ object EngineQueries {
     "e25_orc_source" ->
       """SELECT lang, count(1) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents WHERE source <> 'src0' GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "e27_update_truncate" ->
+      """SELECT d, status, cnt FROM (
+        |  SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS d,
+        |    o_orderstatus AS status,
+        |    CAST(count(1) + CASE WHEN o_orderstatus = 'F' THEN 1000000 ELSE 0 END AS BIGINT) AS cnt
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1997-03-01' AND o_orderdate < TIMESTAMP '1997-03-08'
+        |  GROUP BY 1, 2
+        |  UNION ALL
+        |  SELECT '__truncated__' AS d, 'n/a' AS status, CAST(0 AS BIGINT) AS cnt
+        |) ORDER BY d, status""".stripMargin,
 
     // replays the executor-side generator: every field is a pure
     // function of md5(doc_id)
