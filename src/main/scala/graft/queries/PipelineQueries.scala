@@ -925,6 +925,30 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // --- embedding outlier detection (noise filtering pre-training) ----
+    "d53_embedding_outliers" -> { (s, d) =>
+      // Vectors far from their nearest IVF centroid are crawl noise /
+      // embedding failures — flag everything past the per-cell p75
+      // distance. Exact-int L2² + quarter-fraction interpolated
+      // percentile keep every number engine-identical, so the outlier
+      // decisions themselves hash-check. Per-cell aggregate only; the
+      // corpus shuffles slim (vec_id, cent_id, dist) rows once.
+      val e = quantizedEmbeddings(s, d, plant = false)
+      val cents = e.where(col("vec_id") < 16)
+        .select(col("vec_id").as("cent_id"), col("q").as("cq"), col("nrm").as("cnrm"))
+      val assigned = graft.ops.Embeddings.assignToCentroids(e, cents)
+        .select(col("vec_id"), col("cent_id"), col("dist"))
+      val thr = assigned.groupBy(col("cent_id"))
+        .agg(expr("percentile(dist, 0.75)").as("p75"))
+      assigned.join(thr, "cent_id")
+        .groupBy(col("cent_id"))
+        .agg(count(lit(1)).as("n_vectors"), max(col("p75")).as("p75"),
+          count(when(col("dist").cast(DoubleType) > col("p75"), 1)).as("n_outliers"),
+          max(col("dist")).as("max_dist"),
+          min(when(col("dist").cast(DoubleType) > col("p75"), col("vec_id"))).as("first_outlier"))
+        .orderBy(col("cent_id"))
+    },
+
     // --- sketch mergeability: union MinHash via elementwise min --------
     "d52_sketch_union_merge" -> { (s, d) =>
       // THE property that makes sketches work at 100 TB:
@@ -1110,6 +1134,31 @@ object PipelineQueries {
           |)
           |SELECT canonical, count(1) AS n_urls, min(doc_id) AS keep_doc
           |FROM c GROUP BY canonical ORDER BY canonical""".stripMargin,
+
+      "d53_embedding_outliers" ->
+        """WITH e AS (
+          |  SELECT vec_id,
+          |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+          |  FROM embeddings
+          |), c0 AS (SELECT vec_id AS cent_id, q AS cq FROM e WHERE vec_id < 16),
+          |a1 AS (
+          |  SELECT vec_id, cent_id, dist FROM (
+          |    SELECT v.vec_id, c.cent_id,
+          |      list_sum(list_transform(range(1, 65), i -> (v.q[i] - c.cq[i]) * (v.q[i] - c.cq[i]))) AS dist,
+          |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+          |        list_sum(list_transform(range(1, 65), i -> (v.q[i] - c.cq[i]) * (v.q[i] - c.cq[i]))),
+          |        c.cent_id) AS rn
+          |    FROM e v, c0 c
+          |  ) WHERE rn = 1
+          |), thr AS (
+          |  SELECT cent_id, quantile_cont(dist, 0.75) AS p75 FROM a1 GROUP BY cent_id
+          |)
+          |SELECT a.cent_id, count(1) AS n_vectors, max(t.p75) AS p75,
+          |  count(1) FILTER (WHERE CAST(a.dist AS DOUBLE) > t.p75) AS n_outliers,
+          |  CAST(max(a.dist) AS BIGINT) AS max_dist,
+          |  min(a.vec_id) FILTER (WHERE CAST(a.dist AS DOUBLE) > t.p75) AS first_outlier
+          |FROM a1 a JOIN thr t USING (cent_id)
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
       // replays doc-level minhash32, the per-source elementwise-min
       // union merge, and the exact shingle-set Jaccard
