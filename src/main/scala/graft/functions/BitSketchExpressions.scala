@@ -101,6 +101,46 @@ object SketchKernels {
     new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
   }
 
+  /** Rolling Rabin window fingerprints over an array of token hashes —
+    * the ExactSubstr hashing design: one md5 per TOKEN upstream, then
+    * O(1) work per window here, vs one md5 over W concatenated tokens
+    * per window (O(n·W) bytes hashed). Two independent 31-bit
+    * fingerprints (bases 131/137 mod 2³¹−1) combine into one 62-bit
+    * value, so cross-window collisions stay negligible at 10⁹+ docs.
+    * Windows are fixed at 8 tokens (the power tables are pinned so the
+    * DuckDB oracle can replay them as literals). Every intermediate
+    * stays < 2⁶² — no overflow in either engine.
+    */
+  def rollingWindowHashes(hs: ArrayData, w: Int): ArrayData = {
+    require(w == 8, "power tables are pinned for 8-token windows")
+    val P = 2147483647L
+    val n = hs.numElements()
+    if (n < w) return new GenericArrayData(Array.empty[Long])
+    val pw1 = 2003465299L // 131^7 mod P — top-position multiplier
+    val pw2 = 671643304L  // 137^7 mod P
+    var h1 = 0L
+    var h2 = 0L
+    var i = 0
+    while (i < w) { // first window
+      val t = hs.getLong(i) % P
+      h1 = (h1 * 131L + t) % P
+      h2 = (h2 * 137L + t) % P
+      i += 1
+    }
+    val out = new Array[Long](n - w + 1)
+    out(0) = h1 * 2147483648L + h2
+    i = w
+    while (i < n) {
+      val drop = hs.getLong(i - w) % P
+      val add = hs.getLong(i) % P
+      h1 = (java.lang.Math.floorMod(h1 - drop * pw1 % P, P) * 131L + add) % P
+      h2 = (java.lang.Math.floorMod(h2 - drop * pw2 % P, P) * 137L + add) % P
+      out(i - w + 1) = h1 * 2147483648L + h2
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Exact int64 dot product — Σ a(i)·b(i) over the common prefix.
     * Sum order is irrelevant for ints, so results are identical to any
     * HOF/SQL formulation; this exists because `aggregate(zip_with(…))`
@@ -219,6 +259,19 @@ case class MinHash32(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): MinHash32 = copy(newChild)
 }
 
+/** 62-bit rolling Rabin fingerprints of every 8-token window over an
+  * array of token hashes (see [[SketchKernels.rollingWindowHashes]]).
+  */
+case class RollingWindowHashes(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    SketchKernels.rollingWindowHashes(input.asInstanceOf[ArrayData], 8)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SketchKernels.rollingWindowHashes($c, 8)")
+  override protected def withNewChildInternal(newChild: Expression): RollingWindowHashes =
+    copy(newChild)
+}
+
 /** Exact int64 dot product of two bigint arrays, one compiled loop per
   * pair (see [[SketchKernels.dotLong]]).
   */
@@ -257,6 +310,8 @@ object BitSketchExpressions {
       "graft_dot_i64", exprs => DotLong(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_l2_i64", exprs => SqDistLong(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_rolling8", exprs => RollingWindowHashes(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_simhash64", exprs => SimHash64(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -158,13 +158,15 @@ object TextDedup {
   }
 
   /** Exact-substring near-dup pairs (Lee et al.'s ExactSubstr at token
-    * granularity): every rolling `windowTokens`-token window is
-    * fingerprinted (60-bit md5); windows are then SAMPLED
-    * content-defined (keep wh mod `sampleMod` == 0 — both docs of a
-    * shared span keep exactly the same windows, the winnowing-style
-    * trick that cuts the inverted index `sampleMod`× without
-    * per-engine randomness); windows occurring in more than `dfCap`
-    * docs are dropped BEFORE pairing (stop-window pruning —
+    * granularity): every rolling 8-token window is fingerprinted with
+    * double Rabin rolling hashes (one md5 per TOKEN + O(1) per window
+    * — [[graft.functions.SketchKernels.rollingWindowHashes]] — vs one
+    * md5 over W concatenated tokens per window); windows are then
+    * SAMPLED content-defined (keep wh mod `sampleMod` == 0 — both
+    * docs of a shared span keep exactly the same windows, the
+    * winnowing-style trick that cuts the inverted index `sampleMod`×
+    * without per-engine randomness); windows occurring in more than
+    * `dfCap` docs are dropped BEFORE pairing (stop-window pruning —
     * boilerplate phrases can't fan out); docs sharing ≥ `minShared`
     * surviving windows pair up. The inverted-index join carries only
     * (hash, id) rows; no token array crosses a shuffle. Returns
@@ -174,13 +176,14 @@ object TextDedup {
   def spanPairs(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", windowTokens: Int = 8, dfCap: Int = 32,
       minShared: Int = 3, sampleMod: Int = 1): DataFrame = {
+    require(windowTokens == 8, "rolling fingerprints are pinned to 8-token windows")
     graft.functions.BitSketchExpressions.register(docs.sparkSession)
     val wins = docs
       .withColumn("toks", split(lower(trim(col(textCol))), "\\s+"))
       .where(size(col("toks")) >= windowTokens)
       .select(col(idCol).as("doc_id"), explode(expr(
-        s"""filter(array_distinct(transform(sequence(0, size(toks) - $windowTokens),
-           |  i -> graft_md5_60(concat_ws(' ', slice(toks, i + 1, $windowTokens))))),
+        s"""filter(array_distinct(graft_rolling8(
+           |    transform(toks, t -> graft_md5_60(t) % 2147483647))),
            |  h -> h % $sampleMod = 0)""".stripMargin)).as("wh"))
     val rare = wins.groupBy(col("wh")).agg(count(lit(1)).as("df"))
       .where(col("df") <= dfCap)

@@ -1275,13 +1275,23 @@ object PipelineQueries {
           |      || ' distinct tail marker' || CAST((doc_id + 5000000) % 97 AS VARCHAR) AS text
           |  FROM documents WHERE doc_id % 11 = 0
           |), toksrc AS (
-          |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM corpus
+          |  SELECT doc_id,
+          |    list_transform(regexp_split_to_array(lower(trim(text)), '\s+'),
+          |      t -> ('0x' || substring(md5(t), 1, 15))::BIGINT % 2147483647) AS hs
+          |  FROM corpus
           |), wins AS (
+          |  -- double Rabin fingerprint per 8-token window, replayed with
+          |  -- the engine's pinned power tables (bases 131/137 mod 2^31-1)
           |  SELECT DISTINCT doc_id, wh FROM (
           |    SELECT doc_id,
-          |      ('0x' || substring(md5(array_to_string(list_slice(toks, i + 1, i + 8), ' ')), 1, 15))::BIGINT AS wh
-          |    FROM (SELECT doc_id, toks, unnest(range(0, len(toks) - 7)) AS i
-          |          FROM toksrc WHERE len(toks) >= 8)
+          |      (list_sum(list_transform(range(0, 8),
+          |         k -> (hs[i + 1 + k] * ([2003465299, 884122890, 2072267652, 294499921, 2248091, 17161, 131, 1])[k + 1]) % 2147483647))
+          |       % 2147483647) * 2147483648
+          |      + (list_sum(list_transform(range(0, 8),
+          |         k -> (hs[i + 1 + k] * ([671643304, 1901585143, 1017084223, 352275361, 2571353, 18769, 137, 1])[k + 1]) % 2147483647))
+          |       % 2147483647) AS wh
+          |    FROM (SELECT doc_id, hs, unnest(range(0, len(hs) - 7)) AS i
+          |          FROM toksrc WHERE len(hs) >= 8)
           |  ) WHERE wh % 4 = 0
           |), rare AS (
           |  SELECT wh FROM wins GROUP BY wh HAVING count(1) <= 32

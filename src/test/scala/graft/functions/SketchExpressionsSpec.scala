@@ -68,6 +68,25 @@ class SketchExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("RollingWindowHashes equals direct polynomial evaluation") {
+    graft.functions.BitSketchExpressions.register(spark)
+    val row = spark.sql(
+      """SELECT graft_rolling8(hs) AS roll,
+        |  transform(sequence(0, size(hs) - 8), i ->
+        |    (aggregate(sequence(0, 7), 0L, (a, k) ->
+        |       (a + element_at(hs, i + 1 + k)
+        |          * element_at(array(2003465299L, 884122890L, 2072267652L, 294499921L, 2248091L, 17161L, 131L, 1L), k + 1)
+        |          % 2147483647) % 2147483647)) * 2147483648L
+        |    + (aggregate(sequence(0, 7), 0L, (a, k) ->
+        |       (a + element_at(hs, i + 1 + k)
+        |          * element_at(array(671643304L, 1901585143L, 1017084223L, 352275361L, 2571353L, 18769L, 137L, 1L), k + 1)
+        |          % 2147483647) % 2147483647))) AS direct
+        |FROM (SELECT transform(sequence(1, 12), x -> graft_md5_60(cast(x as string)) % 2147483647) AS hs)""".stripMargin)
+      .collect()(0)
+    assert(row.getSeq[Long](0) == row.getSeq[Long](1))
+    assert(row.getSeq[Long](0).length == 5) // 12 tokens → 5 windows
+  }
+
   test("DotLong / SqDistLong equal the HOF formulations") {
     graft.functions.BitSketchExpressions.register(spark)
     val row = spark.sql(
