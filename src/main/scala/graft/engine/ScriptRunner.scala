@@ -260,9 +260,14 @@ class ScriptRunner(spark: SparkSession) {
           .replaceFirstIn(stmt.substring(ex.pos, ms.last.pos), "")
         // materialize the body's result INSIDE the try — Spark is lazy,
         // so a runtime error (ANSI overflow, bad cast on real rows)
-        // would otherwise fire at the caller's action, past the handler
+        // would otherwise fire at the caller's action, past the handler.
+        // BREAK/CONTINUE are control transfer, not errors — they pass
+        // through to the enclosing loop instead of firing the handler.
         try runScript(body).map(_.localCheckpoint(true))
-        catch { case scala.util.control.NonFatal(_) => runScript(handler) }
+        catch {
+          case sig @ (_: BreakSignal | _: ContinueSignal) => throw sig
+          case scala.util.control.NonFatal(_) => runScript(handler)
+        }
       case scala.None =>
         runScript(stmt.substring(beginTok.pos + 5, ms.last.pos))
     }

@@ -244,6 +244,22 @@ class ScriptRunnerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("outside of a loop"))
   }
 
+  test("BREAK inside BEGIN...EXCEPTION passes through to the loop") {
+    val out = new ScriptRunner(spark).run(
+      """DECLARE i INT64 DEFAULT 0;
+        |WHILE TRUE DO
+        |  SET i = i + 1;
+        |  BEGIN
+        |    IF i >= 4 THEN BREAK; END IF;
+        |  EXCEPTION WHEN ERROR THEN
+        |    SET i = i + 1000000;
+        |  END;
+        |END WHILE;
+        |SELECT i AS final_i""".stripMargin).get
+    // BREAK must exit the WHILE, not fire the error handler
+    assert(out.collect().head.getLong(0) == 4L)
+  }
+
   test("ASSERT passes silently, fails with the AS description") {
     val out = new ScriptRunner(spark).run(
       """ASSERT 1 < 2 AS 'math still works';
