@@ -80,7 +80,7 @@ object Lineage {
     * them from the UnresolvedWith/CTE nodes), as is the destination.
     */
   private val createTempNameRe =
-    raw"(?is)^\s*CREATE\s+TEMP(?:ORARY)?\s+TABLE\s+`?([\w.]+)`?\b.*".r
+    raw"(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?TEMP(?:ORARY)?\s+TABLE\s+`?([\w.]+)`?\b.*".r
 
   def findDependenciesWithCatalyst(spark: SparkSession, query: String,
       destination: String): Result = {

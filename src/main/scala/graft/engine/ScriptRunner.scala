@@ -29,11 +29,11 @@ class ScriptRunner(spark: SparkSession) {
   private val setSimpleRe = raw"(?is)^SET\s+(\w+)\s*=\s*(.+)$$".r
   private val setStructRe = raw"(?is)^SET\s*\(\s*(\w+)\s*\)\s*=\s*\((.+)\)$$".r
   private val createTempRe =
-    raw"(?is)^CREATE\s+TEMP(?:ORARY)?\s+TABLE\s+`?([\w.]+)`?\s+AS\s*\((.+)\)$$|^CREATE\s+TEMP(?:ORARY)?\s+TABLE\s+`?([\w.]+)`?\s+AS\s+(.+)$$".r
+    raw"(?is)^CREATE\s+(?:OR\s+REPLACE\s+)?TEMP(?:ORARY)?\s+TABLE\s+`?([\w.]+)`?\s+AS\s*\((.+)\)$$|^CREATE\s+(?:OR\s+REPLACE\s+)?TEMP(?:ORARY)?\s+TABLE\s+`?([\w.]+)`?\s+AS\s+(.+)$$".r
   private val createFnJsRe =
-    raw"(?is)^CREATE\s+TEMP(?:ORARY)?\s+FUNCTION\s+(\w+).*\bLANGUAGE\s+js\b.*$$".r
+    raw"(?is)^CREATE\s+(?:OR\s+REPLACE\s+)?TEMP(?:ORARY)?\s+FUNCTION\s+(\w+).*\bLANGUAGE\s+js\b.*$$".r
   private val createFnRe =
-    raw"(?is)^CREATE\s+TEMP(?:ORARY)?\s+FUNCTION\s+(\w+)\s*\(([^)]*)\)\s*(?:RETURNS\s+([\w<>, ()]+?))?\s*AS\s*\((.+)\)\s*$$".r
+    raw"(?is)^CREATE\s+(?:OR\s+REPLACE\s+)?TEMP(?:ORARY)?\s+FUNCTION\s+(\w+)\s*\(([^)]*)\)\s*(?:RETURNS\s+([\w<>, ()]+?))?\s*AS\s*\((.+)\)\s*$$".r
 
   /** BigQuery scalar type names → Spark SQL DDL types. */
   private def sparkType(t: String): String = {

@@ -244,6 +244,14 @@ class ScriptRunnerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("outside of a loop"))
   }
 
+  test("CREATE OR REPLACE TEMP TABLE replaces the previous view") {
+    val out = new ScriptRunner(spark).run(
+      """CREATE TEMP TABLE t AS (SELECT 1 AS v);
+        |CREATE OR REPLACE TEMP TABLE t AS (SELECT 2 AS v);
+        |SELECT v FROM t""".stripMargin).get
+    assert(out.collect().head.getInt(0) == 2)
+  }
+
   test("BREAK inside BEGIN...EXCEPTION passes through to the loop") {
     val out = new ScriptRunner(spark).run(
       """DECLARE i INT64 DEFAULT 0;
