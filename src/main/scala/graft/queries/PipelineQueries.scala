@@ -1033,6 +1033,46 @@ object PipelineQueries {
         .orderBy(col("a"), col("b"))
     },
 
+    // --- duplicated-span REMOVAL (ExactSubstr's second half) -----------
+    "d54_span_removal" -> { (s, d) =>
+      // Detection (d47) says which docs share spans; removal says which
+      // TOKENS to drop: every token covered by an 8-token window whose
+      // first (min-id) occurrence is in another doc. No pair join
+      // exists in this op at all — ownership is one min-aggregate on
+      // (window-hash, doc_id) and coverage is a distinct-position
+      // count, so it scales strictly better than detection. Plants:
+      // each 9th doc gets a prefixed near-copy whose quoted body must
+      // be removed (owner = the original).
+      val docs = t(s, d, "documents")
+      val planted = docs.where(col("doc_id") % 9 === 0)
+        .withColumn("doc_id", col("doc_id") + 6000000L)
+        .withColumn("text", concat(
+          lit("prefix marker words here then quoted body follows "), col("text")))
+      graft.functions.BitSketchExpressions.register(s)
+      val wins = docs.unionByName(planted)
+        .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
+        .where(size(col("toks")) >= 8)
+        .select(col("doc_id"), size(col("toks")).cast(LongType).as("n_toks"),
+          posexplode(expr(
+            "graft_rolling8(transform(toks, t -> graft_md5_60(t) % 2147483647))"))
+            .as(Seq("pos", "wh")))
+        .persist()
+      val owner = wins.groupBy(col("wh")).agg(min(col("doc_id")).as("owner"))
+      val removed = wins.join(owner, "wh")
+        .where(col("owner") < col("doc_id"))
+        .select(col("doc_id"), col("n_toks"),
+          explode(expr("sequence(pos + 1, pos + 8)")).as("p"))
+        .distinct()
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_removed"))
+      wins.select(col("doc_id"), col("n_toks")).distinct()
+        .join(removed, Seq("doc_id"), "left")
+        .withColumn("n_removed", coalesce(col("n_removed"), lit(0L)))
+        .withColumn("keep_fraction",
+          (col("n_toks") - col("n_removed")).cast(DoubleType)
+            / col("n_toks").cast(DoubleType))
+        .orderBy(col("doc_id"))
+    },
+
     // --- weighted sampling without replacement (sequential Poisson) ----
     "d48_weighted_sample" -> { (s, d) =>
       // [[graft.ops.Corpus.weightedSample]]: 5 docs per language,
@@ -1134,6 +1174,42 @@ object PipelineQueries {
           |)
           |SELECT canonical, count(1) AS n_urls, min(doc_id) AS keep_doc
           |FROM c GROUP BY canonical ORDER BY canonical""".stripMargin,
+
+      "d54_span_removal" ->
+        """WITH corpus AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 6000000 AS doc_id,
+          |    'prefix marker words here then quoted body follows ' || text AS text
+          |  FROM documents WHERE doc_id % 9 = 0
+          |), toksrc AS (
+          |  SELECT doc_id,
+          |    list_transform(regexp_split_to_array(lower(trim(text)), '\s+'),
+          |      t -> ('0x' || substring(md5(t), 1, 15))::BIGINT % 2147483647) AS hs
+          |  FROM corpus
+          |), wins AS (
+          |  SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_toks, i AS pos,
+          |    (list_sum(list_transform(range(0, 8),
+          |       k -> (hs[i + 1 + k] * ([2003465299, 884122890, 2072267652, 294499921, 2248091, 17161, 131, 1])[k + 1]) % 2147483647))
+          |     % 2147483647) * 2147483648
+          |    + (list_sum(list_transform(range(0, 8),
+          |       k -> (hs[i + 1 + k] * ([671643304, 1901585143, 1017084223, 352275361, 2571353, 18769, 137, 1])[k + 1]) % 2147483647))
+          |     % 2147483647) AS wh
+          |  FROM (SELECT doc_id, hs, unnest(range(0, len(hs) - 7)) AS i
+          |        FROM toksrc WHERE len(hs) >= 8)
+          |), owner AS (SELECT wh, min(doc_id) AS owner FROM wins GROUP BY wh),
+          |rem AS (
+          |  SELECT DISTINCT doc_id, unnest(range(pos + 1, pos + 9)) AS p
+          |  FROM (SELECT w.doc_id, w.pos FROM wins w JOIN owner o USING (wh)
+          |        WHERE o.owner < w.doc_id)
+          |), agg AS (SELECT doc_id, CAST(count(1) AS BIGINT) AS n_removed
+          |           FROM rem GROUP BY doc_id)
+          |SELECT d.doc_id, d.n_toks, coalesce(a.n_removed, 0) AS n_removed,
+          |  CAST(d.n_toks - coalesce(a.n_removed, 0) AS DOUBLE)
+          |    / CAST(d.n_toks AS DOUBLE) AS keep_fraction
+          |FROM (SELECT DISTINCT doc_id, n_toks FROM wins) d
+          |LEFT JOIN agg a USING (doc_id)
+          |ORDER BY d.doc_id""".stripMargin,
 
       "d53_embedding_outliers" ->
         """WITH e AS (
