@@ -31,6 +31,10 @@ object GraftRun {
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // FAIR scheduling so QUERY_PRIORITY can weight INTERACTIVE over
+      // BATCH runs (pools in resources/fairscheduler.xml, picked up from
+      // the classpath; routing set per-run by TransformRunner)
+      .config("spark.scheduler.mode", "FAIR")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir", s"$warehouse/tables")

@@ -107,10 +107,30 @@ object Dialect {
     * also separates SELECT-list struct paths and mapping those would
     * corrupt expressions. Use ANSI JOIN syntax for multi-table FQNs.
     */
+  /** `FROM fqn [alias], 3.part.fqn` — a legacy comma join whose SECOND
+    * table the mapper would silently leave unmapped (the comma also
+    * separates SELECT-list struct paths, so mapping after commas would
+    * corrupt expressions). Fail loud instead of wrong-catalog errors.
+    */
+  private val commaJoinFqn =
+    (raw"(?is)\bFROM\s+(?:`[^`]+`|[\w$$.-]+)(?:\s+(?:AS\s+)?[A-Za-z_]\w*)?" +
+      raw"\s*,\s*((?:`[^`]+`|[\w-]+)(?:\s*\.\s*(?:`[^`]+`|[\w-]+)){2})(?!\s*\()").r
+
   def mapSourceFqns(sql: String): String = {
     val literalSpans = stringLit.findAllMatchIn(sql).map(m => (m.start, m.end)).toVector
     def inLiteral(p: Int) = literalSpans.exists(s => p >= s._1 && p < s._2)
     val toks = StatementSplitter.tokens(sql)
+    commaJoinFqn.findAllMatchIn(sql)
+      .find(m => !inLiteral(m.start) && {
+        val kwIdx = toks.indexWhere(_._2 == m.start)
+        !(kwIdx >= 0 && isExprPositionFrom(toks, kwIdx))
+      })
+      .foreach { m =>
+        throw new IllegalArgumentException(
+          s"comma-join table list with a fully-qualified name ('${m.group(1)}') is " +
+            "not supported: only the first table after FROM is catalog-mapped. " +
+            "Rewrite with ANSI JOIN syntax (FROM a CROSS JOIN b / JOIN b ON ...)")
+      }
     fqnRef.replaceAllIn(sql, m => {
       val kwIdx = toks.indexWhere(_._2 == m.start)
       val clean = m.group(2).replace("`", "").replaceAll("\\s", "")
@@ -131,7 +151,14 @@ object Dialect {
     // DECIMAL(10,0) — rewrite to BigQuery semantics (outside literals
     // only). INT64/FLOAT64 are BigQuery-only type spellings.
     var out = mapOutsideLiterals(if (mapFqns) mapSourceFqns(sql) else sql)(
-      _.replaceAll(raw"(?i)\bNUMERIC\b", "DECIMAL(38,9)")
+      // typed literal first: `DATETIME '…'` (wall-clock, no zone) is
+      // Spark's TIMESTAMP_NTZ; bare DATETIME (a type position, e.g. in
+      // CAST) maps the same way
+      // (mapOutsideLiterals chunks end right before a quote, so the
+      // typed-literal case appears as DATETIME at segment end)
+      _.replaceAll(raw"(?i)\bDATETIME\b(?=\s*(?:'|$$))", "TIMESTAMP_NTZ")
+        .replaceAll(raw"(?i)(\bAS\s+)DATETIME\b", "$1TIMESTAMP_NTZ")
+        .replaceAll(raw"(?i)\bNUMERIC\b", "DECIMAL(38,9)")
         .replaceAll(raw"(?i)\bINT64\b", "BIGINT")
         .replaceAll(raw"(?i)\bFLOAT64\b", "DOUBLE"))
     out = inUnnest.replaceAllIn(out, m =>
@@ -464,14 +491,37 @@ object Dialect {
     "ARRAY_TO_STRING" -> renameTo("array_join"),
     "ARRAY_CONCAT" -> renameTo("concat"),
     "ARRAY_REVERSE" -> renameTo("reverse"),
-    "GENERATE_ARRAY" -> renameTo("sequence"),
+    // BigQuery GENERATE_ARRAY returns [] when the step points away from
+    // the end (e.g. (5, 1) with default +1); Spark's 2-arg sequence
+    // auto-descends and the 3-arg form throws — guard both.
+    "GENERATE_ARRAY" -> { a =>
+      if (a.length == 2)
+        Some(s"(CASE WHEN (${a(0)}) <= (${a(1)}) THEN sequence(${a(0)}, ${a(1)}) " +
+          s"ELSE array() END)")
+      else if (a.length == 3)
+        Some(s"(CASE WHEN ((${a(2)}) > 0 AND (${a(0)}) <= (${a(1)})) OR " +
+          s"((${a(2)}) < 0 AND (${a(0)}) >= (${a(1)})) " +
+          s"THEN sequence(${a(0)}, ${a(1)}, ${a(2)}) ELSE array() END)")
+      else scala.None
+    },
     "FORMAT" -> renameTo("format_string"), // BigQuery FORMAT is printf-style
     "TO_HEX" -> renameTo("hex"),
     "FROM_HEX" -> renameTo("unhex"),
     "STARTS_WITH" -> renameTo("startswith"),
     "ENDS_WITH" -> renameTo("endswith"),
     "STRPOS" -> renameTo("instr"), // both 1-based, 0 = not found
-    "JSON_EXTRACT" -> renameTo("get_json_object"),
+    // JSON_EXTRACT returns JSON-encoded text (string scalars KEEP their
+    // quotes: '"b"'); get_json_object strips them, which is the
+    // JSON_EXTRACT_SCALAR/JSON_VALUE behavior. Route JSON_EXTRACT
+    // through variant so scalars stay JSON-encoded.
+    "JSON_EXTRACT" -> (a =>
+      if (a.length == 2)
+        Some(s"to_json(variant_get(parse_json(${a(0)}), ${a(1)}))")
+      else scala.None),
+    "JSON_QUERY" -> (a =>
+      if (a.length == 2)
+        Some(s"to_json(variant_get(parse_json(${a(0)}), ${a(1)}))")
+      else scala.None),
     "JSON_EXTRACT_SCALAR" -> renameTo("get_json_object"),
     "JSON_VALUE" -> renameTo("get_json_object"),
     "SAFE_ADD" -> renameTo("try_add"),
@@ -498,7 +548,7 @@ object Dialect {
     "PARSE_DATE" -> fmtCall("to_date"),
     "PARSE_DATETIME" -> fmtCall("to_timestamp"),
     "PARSE_TIMESTAMP" -> fmtCall("to_timestamp"),
-    "TIMESTAMP_DIFF" -> tsDiff, "DATETIME_DIFF" -> tsDiff,
+    "TIMESTAMP_DIFF" -> tsDiff, "DATETIME_DIFF" -> datetimeDiff,
     "DATE_DIFF" -> dateDiff,
     "DATE_ADD" -> dateAddSub(1), "DATE_SUB" -> dateAddSub(-1),
     "TIMESTAMP_ADD" -> tsAddSub(1), "TIMESTAMP_SUB" -> tsAddSub(-1),
@@ -512,6 +562,24 @@ object Dialect {
     if (a.length == 3 && isBareUnit(a(2), timeUnits))
       Some(s"timestampdiff(${a(2).trim.toUpperCase}, ${a(1)}, ${a(0)})")
     else scala.None
+
+  /** DATETIME_DIFF counts date_part BOUNDARY crossings (same semantics
+    * as DATE_DIFF — `DATETIME_DIFF('2024-01-02 00:10','2024-01-01
+    * 23:50', DAY)` = 1), unlike TIMESTAMP_DIFF's elapsed-whole-units.
+    * DAY-and-coarser route through the dateDiff boundary formulas on the
+    * date part; sub-day units truncate both operands to the unit first,
+    * which turns timestampdiff into a boundary count.
+    */
+  private def datetimeDiff: Seq[String] => Option[String] = a =>
+    if (a.length != 3) scala.None
+    else {
+      val u = a(2).trim.toUpperCase
+      if (dateUnits.contains(u))
+        dateDiff(Seq(s"cast(${a(0)} as date)", s"cast(${a(1)} as date)", u))
+      else if (timeUnits.contains(u))
+        Some(s"timestampdiff($u, date_trunc('$u', ${a(1)}), date_trunc('$u', ${a(0)}))")
+      else scala.None
+    }
 
   /** FORMAT_x/PARSE_x with a literal strftime format → the Spark
     * function with a java.time pattern. BigQuery arg order is
@@ -569,9 +637,16 @@ object Dialect {
   }
 
   private val unnestFrom =
-    raw"(?is)(,|\bCROSS\s+JOIN\b|\bLEFT\s+JOIN\b)\s*UNNEST\s*\(".r
+    raw"(?is)(,|\bCROSS\s+JOIN\b|\bLEFT\s+(?:OUTER\s+)?JOIN\b|\bINNER\s+JOIN\b)\s*UNNEST\s*\(".r
+  /** keywords that may directly follow an alias-less `UNNEST(e)` — the
+    * alias capture must not swallow them (`FROM t, UNNEST(e) WHERE …`).
+    */
+  private val unnestStop =
+    "(?!(?:WHERE|GROUP|ORDER|JOIN|ON|LIMIT|QUALIFY|HAVING|WINDOW|UNION|" +
+      "EXCEPT|INTERSECT|LEFT|RIGHT|INNER|CROSS|FULL|OUTER|LATERAL|WITH|" +
+      "SELECT|FROM|UNNEST|AS)\\b)"
   private val unnestAlias =
-    raw"(?is)^\s*(?:AS\s+)?([A-Za-z_]\w*)(\s+WITH\s+OFFSET(?:\s+(?:AS\s+)?([A-Za-z_]\w*))?)?".r
+    raw"(?is)^\s*(?:(?:AS\s+)?$unnestStop([A-Za-z_]\w*))?(\s*WITH\s+OFFSET(?:\s+(?:AS\s+)?$unnestStop([A-Za-z_]\w*))?)?".r
 
   /** FROM-position UNNEST → LATERAL VIEW:
     * `FROM t, UNNEST(e) [AS] v [WITH OFFSET [AS] o]` →
@@ -591,7 +666,10 @@ object Dialect {
         val after = sql.substring(close + 1)
         unnestAlias.findFirstMatchIn(after) match {
           case Some(am) =>
-            val v = am.group(1)
+            // alias-less BigQuery form gets a synthesized alias (the
+            // element column is then only addressable positionally, as
+            // in BigQuery when the array is unaliased)
+            val v = Option(am.group(1)).getOrElse("__unnest_col")
             val hasOff = am.group(2) != null
             val off = Option(am.group(3)).getOrElse("__offset")
             val isLeft = m.group(1).trim.toUpperCase.startsWith("LEFT")
@@ -602,7 +680,11 @@ object Dialect {
             var rest = after.substring(am.end)
             if (isLeft) rest = rest.replaceFirst(raw"(?is)^\s*ON\s+TRUE", "")
             val prefix = sql.substring(0, m.start).replaceAll("\\s+$", "")
-            rewriteFromUnnest(prefix + s" $lv $gen" + rest)
+            // the alias-less form's zero-width match consumed the space
+            // before the next keyword — restore the separator
+            val sep = if (rest.isEmpty || rest.head.isWhitespace ||
+              rest.head == ',' || rest.head == ')') "" else " "
+            rewriteFromUnnest(prefix + s" $lv $gen" + sep + rest)
           case scala.None => sql
         }
     }

@@ -82,13 +82,17 @@ class DmlRunner(spark: SparkSession, runner: TransformRunner) {
     val c = expr(Dialect.rewrite(cond))
     val setMap = parseSetList(sets)
     val base = spark.table(dest)
-    val updated = base.columns.foldLeft(base) { (df, name) =>
+    // one projection over the ORIGINAL row: every SET right-hand side and
+    // the WHERE both see pre-update values (SQL UPDATE semantics —
+    // `SET a = b, b = a` swaps; a chained withColumn fold would feed
+    // later SETs the already-updated earlier columns)
+    val updated = base.select(base.columns.map { name =>
       setMap.get(name.toLowerCase) match {
-        case scala.Some(e) => df.withColumn(name,
-          when(c, expr(Dialect.rewrite(e))).otherwise(col(name)))
-        case scala.None => df
+        case scala.Some(e) =>
+          when(c, expr(Dialect.rewrite(e))).otherwise(col(name)).as(name)
+        case scala.None => col(name)
       }
-    }
+    }.toIndexedSeq: _*)
     overwriteSelf(dest, updated)
   }
 

@@ -172,9 +172,15 @@ object Lineage {
   private val cache = TrieMap[(String, String), Entry]()
   val CacheTtlMillis: Long = 24L * 3600 * 1000
 
-  def cached(spark: SparkSession, query: String, destination: String): Result = {
+  def cached(spark: SparkSession, query: String, destination: String): Result =
+    cachedAt(spark, query, destination, System.currentTimeMillis())
+
+  /** clock-injectable body of [[cached]] (TTL behavior is spec-tested
+    * with a controlled `now`).
+    */
+  private[graft] def cachedAt(spark: SparkSession, query: String,
+      destination: String, now: Long): Result = {
     val key = (query, destination)
-    val now = System.currentTimeMillis()
     cache.get(key).filter(e => now - e.at < CacheTtlMillis).map(_.result).getOrElse {
       val r = findDependenciesWithCatalyst(spark, query, destination)
       cache.put(key, Entry(r, now))

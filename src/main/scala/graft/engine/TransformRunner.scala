@@ -25,6 +25,12 @@ object PartitionSpec {
     * (BigQuery `_PARTITIONTIME`).
     */
   case object IngestionTime extends PartitionSpec
+  /** integer range partitioning (BigQuery `range_partitioning`,
+    * `transformation.py:98-116`): the destination is partitioned by an
+    * integer column holding the range start (the generated-partition-
+    * column mapping from SURVEY §1.1 — bounded partition count at scale).
+    */
+  final case class RangeColumn(field: String) extends PartitionSpec
 }
 
 /** The transformation dispatcher + load strategies — the Spark-native
@@ -62,18 +68,44 @@ class TransformRunner(spark: SparkSession) {
   }
   private def sanitize(s: String) = s.replace("-", "_")
 
+  /** REQUIRED-mode columns of a destination (engine-managed metadata;
+    * see ALLOW_FIELD_RELAXATION note in [[tableTransform]]).
+    */
+  private def requiredColumns(dest: String): Set[String] =
+    spark.sql(s"SHOW TBLPROPERTIES $dest").collect()
+      .find(_.getString(0) == "graft.required.columns")
+      .map(_.getString(1).split(",").map(_.trim.toLowerCase).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
+
   def partitionSpecOf(catalogTable: String): PartitionSpec = {
     val cols = spark.catalog.listColumns(catalogTable).collect()
+    val integral = Set("tinyint", "smallint", "int", "bigint")
     cols.find(_.isPartition).map { c =>
-      if (c.name == "_ingest_date") IngestionTime else DayColumn(c.name)
+      if (c.name == "_ingest_date") IngestionTime
+      else if (integral(c.dataType.toLowerCase)) RangeColumn(c.name)
+      else DayColumn(c.name)
     }.getOrElse(Unpartitioned)
   }
 
   /** A1: dispatch on LoadMethod × destination partitioning —
     * `transformation.py:50-161`.
     */
+  /** QUERY_PRIORITY → scheduler pool (config.py:159-163): INTERACTIVE
+    * jobs outweigh BATCH under FAIR scheduling. The local property is
+    * inherited by the concurrent executor's worker threads, so every job
+    * a strategy submits lands in the run's pool.
+    */
+  private def applyPriority(conf: TaskConfig): Unit = {
+    val pool = conf.queryPriority match {
+      case graft.core.config.QueryPriority.Batch => "batch"
+      case graft.core.config.QueryPriority.Interactive => "interactive"
+    }
+    spark.sparkContext.setLocalProperty("spark.scheduler.pool", pool)
+  }
+
   def transform(conf: TaskConfig, sqlQuery: String, window: TaskWindow,
       executionTime: LocalDateTime, dryRun: Boolean = false): Unit = {
+    applyPriority(conf)
     val dest = catalogName(conf.destinationTable)
     val spec = partitionSpecOf(dest)
     // `table$YYYYMMDD` partition decorator → route the whole result into
@@ -86,6 +118,8 @@ class TransformRunner(spark: SparkSession) {
         case IngestionTime => "_ingest_date"
         case Unpartitioned => throw new IllegalArgumentException(
           s"partition decorator on unpartitioned table ${conf.destinationTable}")
+        case RangeColumn(_) => throw new IllegalArgumentException(
+          s"date partition decorator on range-partitioned table ${conf.destinationTable}")
       }
       val df = script(render(sqlQuery, conf, window, executionTime))
       if (dryRun) { df.explain(); return }
@@ -111,6 +145,19 @@ class TransformRunner(spark: SparkSession) {
         multiPartitionTransform(conf, sqlQuery, window, executionTime, "_ingest_date", dryRun)
       case (LoadMethod.ReplaceMerge, DayColumn(f)) =>
         mergeReplaceTransform(conf, sqlQuery, window, executionTime, f, dryRun)
+      // range_partitioning (transformation.py:98-116): REPLACE_MERGE on a
+      // range-partitioned destination uses the same MergeReplace strategy
+      // with partition_column_name = range_partitioning.field (INTEGER)
+      case (LoadMethod.ReplaceMerge, RangeColumn(f)) =>
+        mergeReplaceTransform(conf, sqlQuery, window, executionTime, f, dryRun)
+      // REPLACE only branches on time_partitioning (transformation.py:
+      // 68-93): a range-partitioned table has time_partitioning None and
+      // falls to the whole-table TableTransformation (WRITE_TRUNCATE)
+      case (LoadMethod.Replace, RangeColumn(_)) =>
+        tableTransform(conf, sqlQuery, window, executionTime, dryRun)
+      case (LoadMethod.ReplaceAll, RangeColumn(_)) => throw new IllegalArgumentException(
+        "REPLACE_ALL writes a date partition decorator (table$YYYYMMDD), which is " +
+          "invalid for a range-partitioned destination; use REPLACE_MERGE or REPLACE")
       case (m, s) => throw new IllegalArgumentException(
         s"unsupported load method $m for partitioning $s")
     }
@@ -133,6 +180,33 @@ class TransformRunner(spark: SparkSession) {
       if (added.nonEmpty) {
         val colsDdl = added.map(f => s"${f.name} ${f.dataType.sql}").mkString(", ")
         spark.sql(s"ALTER TABLE $dest ADD COLUMNS ($colsDdl)")
+      }
+    }
+    // ALLOW_FIELD_RELAXATION: the reference passes BOTH schema update
+    // options whenever allow_field_addition is set (bigquery_service.py:
+    // 111-115), so the same flag also permits REQUIRED -> NULLABLE mode
+    // evolution. Parquet v1 catalog tables can't carry NOT NULL, so
+    // REQUIRED columns are engine-managed metadata in the table property
+    // `graft.required.columns`; a write whose schema is nullable (or
+    // missing -> null-filled) on a REQUIRED column either relaxes the
+    // mode (flag on) or fails the job like BigQuery's schema check.
+    val required = requiredColumns(dest)
+    if (required.nonEmpty) {
+      val relaxed = required.filter { r =>
+        df.columns.find(_.equalsIgnoreCase(r)) match {
+          case Some(c) => df.schema(c).nullable
+          case scala.None => true // absent from source: null-filled below
+        }
+      }
+      if (relaxed.nonEmpty) {
+        if (conf.allowFieldAddition) {
+          val remaining = (required -- relaxed).mkString(",")
+          spark.sql(s"ALTER TABLE $dest SET TBLPROPERTIES " +
+            s"('graft.required.columns'='$remaining')")
+        } else throw new IllegalArgumentException(
+          s"field(s) ${relaxed.toSeq.sorted.mkString(", ")} of $dest would change mode " +
+            "REQUIRED -> NULLABLE; set ALLOW_FIELD_ADDITION=true to allow " +
+            "schema relaxation (SchemaUpdateOption.ALLOW_FIELD_RELAXATION)")
       }
     }
     val destCols = spark.table(dest).schema.fieldNames
@@ -302,6 +376,7 @@ class TransformRunner(spark: SparkSession) {
   def spilloverTransform(conf: TaskConfig, mainSql: String, spilloverSql: String,
       window: TaskWindow, executionTime: LocalDateTime,
       partitionField: String, dryRun: Boolean = false): Unit = {
+    applyPriority(conf)
     val dest = catalogName(conf.destinationTable)
     if (dryRun) {
       // dry-run must not run jobs — the spillover date collect IS a job,

@@ -95,12 +95,21 @@ class DialectSpec extends AnyFunSuite {
     assert(Dialect.rewrite("SELECT ARRAY_LENGTH(a), ARRAY_TO_STRING(a, '-')") ==
       "SELECT array_size(a), array_join(a, '-')")
     assert(Dialect.rewrite("SELECT GENERATE_ARRAY(1, 10, 2)") ==
-      "SELECT sequence(1, 10, 2)")
+      "SELECT (CASE WHEN ((2) > 0 AND (1) <= (10)) OR ((2) < 0 AND (1) >= (10)) " +
+        "THEN sequence(1, 10, 2) ELSE array() END)")
+  }
+
+  test("GENERATE_ARRAY guards the start > end case to an empty array") {
+    // BigQuery returns [] for (5, 1); Spark's 2-arg sequence would
+    // auto-descend to [5,4,3,2,1] — a silent wrong result
+    assert(Dialect.rewrite("SELECT GENERATE_ARRAY(5, 1)") ==
+      "SELECT (CASE WHEN (5) <= (1) THEN sequence(5, 1) ELSE array() END)")
   }
 
   test("nested mapped calls rewrite innermost-first") {
     assert(Dialect.rewrite("SELECT ARRAY_LENGTH(GENERATE_ARRAY(1, COUNTIF(b)))") ==
-      "SELECT array_size(sequence(1, count_if(b)))")
+      "SELECT array_size((CASE WHEN (1) <= (count_if(b)) " +
+        "THEN sequence(1, count_if(b)) ELSE array() END))")
   }
 
   test("SAFE_DIVIDE becomes try_divide") {
@@ -201,6 +210,10 @@ class DialectSpec extends AnyFunSuite {
     assert(Dialect.rewrite("SELECT ANY_VALUE(x)") == "SELECT ANY_VALUE(x)")
     assert(Dialect.rewrite("SELECT JSON_EXTRACT_SCALAR(j, '$.a'), JSON_VALUE(j, '$.b')") ==
       "SELECT get_json_object(j, '$.a'), get_json_object(j, '$.b')")
+    // JSON_EXTRACT keeps the JSON encoding (string scalars stay quoted),
+    // so it routes through variant, not get_json_object
+    assert(Dialect.rewrite("SELECT JSON_EXTRACT(j, '$.a')") ==
+      "SELECT to_json(variant_get(parse_json(j), '$.a'))")
     assert(Dialect.rewrite("SELECT STRPOS(s, 'x'), SAFE_ADD(a, b), SAFE_MULTIPLY(a, b)") ==
       "SELECT instr(s, 'x'), try_add(a, b), try_multiply(a, b)")
   }
@@ -226,5 +239,49 @@ class DialectSpec extends AnyFunSuite {
       "SELECT v FROM t LATERAL VIEW OUTER explode(arr) __u AS v")
     // IN UNNEST still wins (rewritten before FROM-UNNEST runs)
     assert(Dialect.rewrite("WHERE x IN UNNEST(a)") == "WHERE array_contains(a, x)")
+  }
+
+  test("alias-less FROM-UNNEST gets a synthesized alias, keywords not swallowed") {
+    assert(Dialect.rewrite("SELECT 1 FROM t, UNNEST(e) WHERE x > 1") ==
+      "SELECT 1 FROM t LATERAL VIEW explode(e) __u AS __unnest_col WHERE x > 1")
+    assert(Dialect.rewrite("SELECT 1 FROM t, UNNEST(e)") ==
+      "SELECT 1 FROM t LATERAL VIEW explode(e) __u AS __unnest_col")
+    // alias-less WITH OFFSET: WITH must not be captured as the alias
+    assert(Dialect.rewrite("SELECT 1 FROM t, UNNEST(e) WITH OFFSET o WHERE o < 2") ==
+      "SELECT 1 FROM t LATERAL VIEW posexplode(e) __u AS o, __unnest_col WHERE o < 2")
+    assert(Dialect.rewrite("SELECT v FROM t LEFT OUTER JOIN UNNEST(arr) AS v ON TRUE") ==
+      "SELECT v FROM t LATERAL VIEW OUTER explode(arr) __u AS v")
+  }
+
+  test("DATETIME_DIFF counts boundary crossings, TIMESTAMP_DIFF elapsed units") {
+    // 00:10 vs 23:50 the evening before: 1 day boundary crossed, 0 elapsed
+    assert(Dialect.rewrite("SELECT DATETIME_DIFF(a, b, DAY)") ==
+      "SELECT datediff(cast(a as date), cast(b as date))")
+    assert(Dialect.rewrite("SELECT DATETIME_DIFF(a, b, MONTH)") ==
+      "SELECT ((year(cast(a as date)) * 12 + month(cast(a as date))) - " +
+        "(year(cast(b as date)) * 12 + month(cast(b as date))))")
+    // sub-day: truncate both sides to the unit → boundary count
+    assert(Dialect.rewrite("SELECT DATETIME_DIFF(a, b, HOUR)") ==
+      "SELECT timestampdiff(HOUR, date_trunc('HOUR', b), date_trunc('HOUR', a))")
+    // TIMESTAMP_DIFF keeps whole-elapsed-unit semantics
+    assert(Dialect.rewrite("SELECT TIMESTAMP_DIFF(a, b, DAY)") ==
+      "SELECT timestampdiff(DAY, b, a)")
+  }
+
+  test("comma-join with an unmapped 3-part FQN fails loud") {
+    val e = intercept[IllegalArgumentException] {
+      Dialect.mapSourceFqns("SELECT * FROM proj.ds.a, proj.ds.b WHERE a.id = b.id")
+    }
+    assert(e.getMessage.contains("ANSI JOIN"))
+    // aliased first table still detected
+    intercept[IllegalArgumentException] {
+      Dialect.mapSourceFqns("SELECT * FROM proj.ds.a AS x, proj.ds.b")
+    }
+    // short-name comma joins are fine (Spark handles them natively)
+    assert(Dialect.mapSourceFqns("SELECT * FROM orders, sel") ==
+      "SELECT * FROM orders, sel")
+    // comma + UNNEST is the table operator, not a comma join
+    assert(Dialect.rewrite("SELECT v FROM proj.ds.a, UNNEST(e) AS v") ==
+      "SELECT v FROM proj__ds.`a` LATERAL VIEW explode(e) __u AS v")
   }
 }

@@ -103,4 +103,31 @@ class DmlRunnerSpec extends AnyFunSuite with BeforeAndAfterAll {
     dml.run("DROP TABLE `dmlspec.t`")
     assert(!spark.catalog.tableExists("dmlspec.t"))
   }
+
+  test("UPDATE evaluates all SET right-hand sides against the OLD row") {
+    // SQL UPDATE semantics: `SET k = v's text, v = old k's length` both
+    // see pre-update values — a chained withColumn fold would feed the
+    // second SET the first one's output
+    spark.sql("DROP DATABASE IF EXISTS dmlspec CASCADE")
+    val loc = java.nio.file.Files.createTempDirectory("dmlspec")
+    spark.sql(s"CREATE DATABASE dmlspec LOCATION '$loc'")
+    spark.sql("CREATE TABLE dmlspec.sw (a BIGINT, b BIGINT) USING parquet")
+    spark.sql("INSERT INTO dmlspec.sw VALUES (1, 10), (2, 20)")
+    dml.run("UPDATE `dmlspec.sw` SET a = b, b = a WHERE a = 1")
+    val rows = spark.table("dmlspec.sw").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(rows == Seq((2L, 20L), (10L, 1L)), s"swap failed: $rows")
+  }
+
+  test("UPDATE WHERE references a SET column's OLD value") {
+    spark.sql("DROP DATABASE IF EXISTS dmlspec CASCADE")
+    val loc = java.nio.file.Files.createTempDirectory("dmlspec")
+    spark.sql(s"CREATE DATABASE dmlspec LOCATION '$loc'")
+    spark.sql("CREATE TABLE dmlspec.st (status STRING, note STRING) USING parquet")
+    spark.sql("INSERT INTO dmlspec.st VALUES ('F', 'old'), ('X', 'keep')")
+    dml.run("UPDATE `dmlspec.st` SET status = 'X', note = 'y' WHERE status = 'F'")
+    val rows = spark.table("dmlspec.st").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+    assert(rows == Seq(("X", "keep"), ("X", "y")), s"got: $rows")
+  }
 }
