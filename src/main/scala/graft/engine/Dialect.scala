@@ -160,7 +160,10 @@ object Dialect {
         .replaceAll(raw"(?i)(\bAS\s+)DATETIME\b", "$1TIMESTAMP_NTZ")
         .replaceAll(raw"(?i)\bNUMERIC\b", "DECIMAL(38,9)")
         .replaceAll(raw"(?i)\bINT64\b", "BIGINT")
-        .replaceAll(raw"(?i)\bFLOAT64\b", "DOUBLE"))
+        .replaceAll(raw"(?i)\bFLOAT64\b", "DOUBLE")
+        // SAFE. error-suppressing prefix → SAFE_ spelling handled by the
+        // call rewriter (SAFE_CAST/SAFE_PARSE_x/SAFE_SUBSTR…)
+        .replaceAll(raw"(?i)\bSAFE\s*\.\s*(?=[A-Za-z_])", "SAFE_"))
     out = inUnnest.replaceAllIn(out, m =>
       java.util.regex.Matcher.quoteReplacement(
         if (m.group(2) != null) s"(NOT array_contains(${m.group(3)}, ${m.group(1)}))"
@@ -174,9 +177,112 @@ object Dialect {
         s"to_timestamp(replace('${m.group(1)}', 'T', ' '))"))
     out = mapOutsideLiterals(out)(selectAsStruct.replaceAllIn(_, "SELECT "))
     out = rewriteCalls(out)
+    out = rewriteArrayLiteral(out)
+    out = rewriteArrayAccess(out)
     out = rewriteQualify(out)
     out
   }
+
+  private def matchBracket(s: String, open: Int): Int = {
+    var i = open
+    var depth = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\'' | '"' | '`' => i = skipQuoted(s, i) - 1
+        case '[' => depth += 1
+        case ']' => depth -= 1; if (depth == 0) return i
+        case _ =>
+      }
+      i += 1
+    }
+    -1
+  }
+
+  /** Keywords after which a `[` opens an array LITERAL, not element
+    * access (`SELECT [1,2]`, `THEN [1]`, `IN UNNEST([…])` …).
+    */
+  private val literalPrecedingKeywords = Set(
+    "SELECT", "THEN", "ELSE", "WHEN", "CASE", "AND", "OR", "NOT", "IN",
+    "AS", "ON", "WHERE", "BY", "RETURN", "RETURNS", "SET", "VALUES",
+    "DEFAULT", "UNION", "ALL", "DISTINCT", "FROM", "END", "USING",
+    "HAVING", "INTERVAL", "BETWEEN", "IS", "LIKE", "STRUCT", "ROW")
+
+  /** BigQuery bare array literals `[1, 2, 3]` (and the typed
+    * `ARRAY<T>[…]` form, type prefix dropped) → `array(1, 2, 3)`.
+    * A bracket directly following an identifier/`)`/`]` is ELEMENT
+    * ACCESS (BigQuery requires OFFSET/ORDINAL there; Spark-native
+    * `a[0]` passes through unharmed), everything else is a literal.
+    */
+  private def rewriteArrayLiteral(sql: String): String = {
+    val in = sql.replaceAll(raw"(?i)\bARRAY\s*<([^<>]|<[^<>]*>)*>\s*\[", "[")
+    val sb = new StringBuilder
+    var i = 0
+    while (i < in.length) {
+      val c = in.charAt(i)
+      if (c == '\'' || c == '"' || c == '`') {
+        val e = skipQuoted(in, i); sb ++= in.substring(i, e); i = e
+      } else if (c == '[') {
+        var p = sb.length - 1
+        while (p >= 0 && sb.charAt(p).isWhitespace) p -= 1
+        // preceding word: identifier → access; SQL keyword → literal
+        val postfix = p >= 0 && { val ch = sb.charAt(p)
+          if (ch == ')' || ch == ']' || ch == '`') true
+          else if (ch.isLetterOrDigit || ch == '_') {
+            var w = p
+            while (w > 0 && { val wc = sb.charAt(w - 1)
+              wc.isLetterOrDigit || wc == '_' }) w -= 1
+            !literalPrecedingKeywords(sb.substring(w, p + 1).toUpperCase)
+          } else false }
+        val close = if (postfix) -1 else matchBracket(in, i)
+        if (close < 0) { sb += c; i += 1 }
+        else {
+          val inner = rewriteArrayLiteral(in.substring(i + 1, close))
+          sb ++= s"array($inner)"
+          i = close + 1
+        }
+      } else { sb += c; i += 1 }
+    }
+    sb.toString
+  }
+
+  private val arrayAccessRe =
+    raw"(?is)\[\s*(OFFSET|ORDINAL|SAFE_OFFSET|SAFE_ORDINAL)\s*\(".r
+
+  /** BigQuery array element access: `arr[OFFSET(i)]` (0-based, errors
+    * out-of-bounds — matches Spark's ANSI bracket), `arr[ORDINAL(i)]`
+    * (1-based), and the SAFE_ variants (NULL out-of-bounds →
+    * try_element_at, which is 1-based). SAFE_ needs the base expression
+    * and handles identifier-path bases; other shapes pass through.
+    */
+  private def rewriteArrayAccess(sql: String): String =
+    arrayAccessRe.findFirstMatchIn(sql) match {
+      case scala.None => sql
+      case Some(m) =>
+        val open = sql.indexOf('(', m.end - 1)
+        val close = matchParen(sql, open)
+        if (close < 0) return sql
+        var k = close + 1
+        while (k < sql.length && sql.charAt(k).isWhitespace) k += 1
+        if (k >= sql.length || sql.charAt(k) != ']') return sql
+        val e = sql.substring(open + 1, close).trim
+        m.group(1).toUpperCase match {
+          case "OFFSET" =>
+            rewriteArrayAccess(sql.substring(0, m.start) + s"[($e)]" + sql.substring(k + 1))
+          case "ORDINAL" =>
+            rewriteArrayAccess(sql.substring(0, m.start) + s"[($e) - 1]" + sql.substring(k + 1))
+          case safe =>
+            var b = m.start
+            while (b > 0 && { val ch = sql.charAt(b - 1)
+              ch.isLetterOrDigit || ch == '_' || ch == '.' || ch == '`' }) b -= 1
+            val base = sql.substring(b, m.start)
+            if (base.isEmpty) sql
+            else {
+              val pos = if (safe == "SAFE_OFFSET") s"($e) + 1" else s"($e)"
+              rewriteArrayAccess(sql.substring(0, b) +
+                s"try_element_at($base, $pos)" + sql.substring(k + 1))
+            }
+        }
+    }
 
   // ===== BigQuery function vocabulary beyond the corpus ==============
   //
@@ -322,6 +428,42 @@ object Dialect {
     "YEAR", "ISOYEAR")
   private val timeUnits = Set("MICROSECOND", "MILLISECOND", "SECOND",
     "MINUTE", "HOUR") ++ dateUnits
+
+  /** Regex-quote a literal delimiter for use inside a Spark SQL string
+    * literal (backslashes doubled for the SQL-level escape).
+    */
+  private def regexQuoteSql(d: String): String =
+    d.flatMap {
+      case c if "\\.[]{}()*+?^$|".indexOf(c.toInt) >= 0 => s"\\\\$c"
+      case '\'' => "\\'"
+      case c => c.toString
+    }
+
+  /** Count capture groups in a regex literal's SOURCE text (escape- and
+    * char-class-aware) — decides BigQuery REGEXP_EXTRACT's group-vs-
+    * whole-match behavior statically.
+    */
+  private def captureGroups(p: String): Int = {
+    var i = 0; var n = 0; var inClass = false
+    while (i < p.length) {
+      p.charAt(i) match {
+        case '\\' => i += 1
+        case '[' => inClass = true
+        case ']' => inClass = false
+        case '(' if !inClass && (i + 1 >= p.length || p.charAt(i + 1) != '?') => n += 1
+        case _ =>
+      }
+      i += 1
+    }
+    n
+  }
+
+  /** (java pattern, value expr) of a BigQuery (format, value) pair. */
+  private def fmtPattern(a: Seq[String]): Option[(String, String)] =
+    for {
+      f <- if (a.length == 2) a.headOption.flatMap(strLit) else scala.None
+      p <- javaPattern(f)
+    } yield (p.replace("'", "''"), a(1))
 
   private def strLit(a: String): Option[String] =
     if (a.length >= 2 && a.head == '\'' && a.last == '\'')
@@ -505,8 +647,59 @@ object Dialect {
       else scala.None
     },
     "FORMAT" -> renameTo("format_string"), // BigQuery FORMAT is printf-style
-    "TO_HEX" -> renameTo("hex"),
+    // BigQuery TO_HEX emits LOWERCASE hex; Spark's hex is uppercase
+    "TO_HEX" -> (a =>
+      if (a.length == 1) Some(s"lower(hex(${a(0)}))") else scala.None),
     "FROM_HEX" -> renameTo("unhex"),
+    // BigQuery hash functions return BYTES (Spark's md5/sha return hex
+    // STRINGs) — wrap in unhex so TO_HEX/TO_BASE64 compositions and
+    // BYTES comparisons keep BigQuery semantics
+    "MD5" -> (a => if (a.length == 1) Some(s"unhex(md5(${a(0)}))") else scala.None),
+    "SHA1" -> (a => if (a.length == 1) Some(s"unhex(sha1(${a(0)}))") else scala.None),
+    "SHA256" -> (a => if (a.length == 1) Some(s"unhex(sha2(${a(0)}, 256))") else scala.None),
+    "SHA512" -> (a => if (a.length == 1) Some(s"unhex(sha2(${a(0)}, 512))") else scala.None),
+    "TO_BASE64" -> renameTo("base64"),
+    "FROM_BASE64" -> renameTo("unbase64"),
+    "BYTE_LENGTH" -> renameTo("octet_length"),
+    "ERROR" -> renameTo("raise_error"),
+    "DIV" -> (a =>
+      if (a.length == 2) Some(s"((${a(0)}) div (${a(1)}))") else scala.None),
+    // BigQuery SPLIT splits on a LITERAL delimiter (default ','); Spark
+    // split takes a REGEX — quote metacharacters (literal delimiters) or
+    // wrap runtime delimiters in \Q…\E
+    "SPLIT" -> { a =>
+      if (a.length == 1) Some(s"split(${a(0)}, ',')")
+      else if (a.length == 2) Some(strLit(a(1)) match {
+        case Some(d) => s"split(${a(0)}, '${regexQuoteSql(d)}')"
+        case scala.None => s"split(${a(0)}, concat('\\\\Q', ${a(1)}, '\\\\E'))"
+      })
+      else scala.None
+    },
+    // BigQuery REGEXP_EXTRACT returns NULL on no match and extracts the
+    // single capture group when present (whole match otherwise); Spark's
+    // regexp_extract returns '' on no match. first-of-extract_all has
+    // the exact semantics. Literal patterns only (group count is static).
+    "REGEXP_EXTRACT" -> { a =>
+      if (a.length == 2) strLit(a(1)).map { p =>
+        val idx = if (captureGroups(p) > 0) 1 else 0
+        s"try_element_at(regexp_extract_all(${a(0)}, ${a(1)}, $idx), 1)"
+      } else scala.None
+    },
+    "REGEXP_EXTRACT_ALL" -> { a =>
+      if (a.length == 2) strLit(a(1)).map { p =>
+        val idx = if (captureGroups(p) > 0) 1 else 0
+        s"regexp_extract_all(${a(0)}, ${a(1)}, $idx)"
+      } else scala.None
+    },
+    // SAFE.PARSE_x → NULL on unparseable input (prefix pre-mapped to
+    // SAFE_ by rewrite); SAFE_SUBSTR never errors in Spark anyway
+    "SAFE_PARSE_DATE" -> (a =>
+      fmtPattern(a).map { case (p, v) => s"to_date(try_to_timestamp($v, '$p'))" }),
+    "SAFE_PARSE_DATETIME" -> (a =>
+      fmtPattern(a).map { case (p, v) => s"try_to_timestamp($v, '$p')" }),
+    "SAFE_PARSE_TIMESTAMP" -> (a =>
+      fmtPattern(a).map { case (p, v) => s"try_to_timestamp($v, '$p')" }),
+    "SAFE_SUBSTR" -> renameTo("substr"),
     "STARTS_WITH" -> renameTo("startswith"),
     "ENDS_WITH" -> renameTo("endswith"),
     "STRPOS" -> renameTo("instr"), // both 1-based, 0 = not found

@@ -685,6 +685,31 @@ object EngineQueries {
           |ORDER BY o_orderpriority""".stripMargin).get
     },
 
+    // --- vocabulary pack 2: literal-delimiter SPLIT, NULL-on-no-match
+    //     REGEXP_EXTRACT, array literals + OFFSET access, BYTES-typed
+    //     hashes with lowercase TO_HEX, DIV, boundary DATETIME_DIFF ----
+    "e30_bq_functions2" -> { (s, d) =>
+      Tables.views(s, d, "orders")
+      new ScriptRunner(s).run(
+        """SELECT
+          |  o_orderpriority,
+          |  SPLIT(o_orderpriority, '-')[OFFSET(0)] AS prio_code,
+          |  REGEXP_EXTRACT(o_orderpriority, '([0-9]+)') AS prio_digit,
+          |  REGEXP_EXTRACT(o_orderpriority, 'zz([0-9]+)') AS no_match,
+          |  COUNT(1) AS cnt,
+          |  CAST(SUM(DIV(o_orderkey, 7)) AS INT64) AS div_sum,
+          |  TO_HEX(MD5(o_orderpriority)) AS md5_hex,
+          |  TO_BASE64(SHA256(o_orderpriority)) AS sha_b64,
+          |  CAST(BYTE_LENGTH(o_orderpriority) AS INT64) AS n_bytes,
+          |  [1, 2, 3][ORDINAL(2)] AS lit2,
+          |  CAST(DATETIME_DIFF(DATETIME '1996-01-01 00:10:00',
+          |                     DATETIME '1995-12-31 23:50:00', DAY) AS INT64) AS day_boundary
+          |FROM orders
+          |WHERE o_orderdate >= '1995-01-01' AND o_orderdate < '1995-02-01'
+          |GROUP BY 1, 2, 3, 4, 7, 8, 9, 10, 11
+          |ORDER BY o_orderpriority""".stripMargin).get
+    },
+
     // --- QUALIFY: post-window filtering in BigQuery evaluation order ---
     "e23_qualify" -> { (s, d) =>
       // Latest-order-per-customer, the canonical QUALIFY use. The
@@ -981,6 +1006,25 @@ object EngineQueries {
         |SELECT lang, count(1) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
         |FROM g WHERE doc_id % 3 = 0
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "e30_bq_functions2" ->
+      """SELECT
+        |  o_orderpriority,
+        |  string_split(o_orderpriority, '-')[1] AS prio_code,
+        |  regexp_extract(o_orderpriority, '([0-9]+)', 1) AS prio_digit,
+        |  NULLIF(regexp_extract(o_orderpriority, 'zz([0-9]+)', 1), '') AS no_match,
+        |  count(1) AS cnt,
+        |  CAST(sum(o_orderkey // 7) AS BIGINT) AS div_sum,
+        |  md5(o_orderpriority) AS md5_hex,
+        |  to_base64(unhex(sha256(o_orderpriority))) AS sha_b64,
+        |  CAST(strlen(o_orderpriority) AS BIGINT) AS n_bytes,
+        |  CAST(2 AS INT) AS lit2,
+        |  CAST(date_diff('day', TIMESTAMP '1995-12-31 23:50:00',
+        |                 TIMESTAMP '1996-01-01 00:10:00') AS BIGINT) AS day_boundary
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-02-01'
+        |GROUP BY 1, 2, 3, 4, 7, 8, 9, 10, 11
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "e22_bq_functions" ->
       """SELECT

@@ -39,6 +39,60 @@ class DialectExecSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one("""SELECT JSON_EXTRACT('{"a": 1}', '$.missing')""") == null)
   }
 
+  test("SPLIT treats the delimiter literally (default comma)") {
+    assert(one("SELECT SPLIT('a,b,c')") == Seq("a", "b", "c"))
+    assert(one("SELECT SPLIT('a.b.c', '.')") == Seq("a", "b", "c"))
+    assert(one("SELECT SPLIT('a|b|c', '|')") == Seq("a", "b", "c"))
+    // runtime (non-literal) delimiter still literal, via \Q…\E
+    assert(one("SELECT SPLIT('x.y', substr('.z', 1, 1))") == Seq("x", "y"))
+  }
+
+  test("REGEXP_EXTRACT: NULL on no match, group-1 when pattern has a group") {
+    assert(one("SELECT REGEXP_EXTRACT('ab123cd', '[0-9]+')") == "123")
+    assert(one("SELECT REGEXP_EXTRACT('ab123cd', 'x([0-9]+)')") == null)
+    assert(one("SELECT REGEXP_EXTRACT('ab123cd', 'b([0-9]+)c')") == "123")
+    assert(one("SELECT REGEXP_EXTRACT('abc', '[0-9]+')") == null)
+    assert(one("SELECT REGEXP_EXTRACT_ALL('a1b22c', '[0-9]+')") == Seq("1", "22"))
+  }
+
+  test("hash functions return BYTES; TO_HEX is lowercase") {
+    assert(one("SELECT TO_HEX(MD5('abc'))") == "900150983cd24fb0d6963f7d28e17f72")
+    assert(one("SELECT TO_HEX(SHA256('abc'))") ==
+      "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad")
+    assert(one("SELECT TO_BASE64(MD5('abc'))") == "kAFQmDzST7DWlj99KOF/cg==")
+    assert(one("SELECT BYTE_LENGTH('héllo')") == 6)
+  }
+
+  test("array element access: OFFSET 0-based, ORDINAL 1-based, SAFE_ → NULL") {
+    assert(spark.sql(Dialect.rewrite(
+      "SELECT a[OFFSET(1)] FROM (SELECT array(10, 20, 30) AS a)")).collect()(0).getInt(0) == 20)
+    assert(spark.sql(Dialect.rewrite(
+      "SELECT a[ORDINAL(1)] FROM (SELECT array(10, 20, 30) AS a)")).collect()(0).getInt(0) == 10)
+    // SAFE_ variants need an identifier base
+    assert(spark.sql(Dialect.rewrite(
+      "SELECT a[SAFE_OFFSET(5)] FROM (SELECT [1, 2] AS a)")).collect()(0).isNullAt(0))
+    assert(spark.sql(Dialect.rewrite(
+      "SELECT a[SAFE_ORDINAL(2)] FROM (SELECT [1, 2] AS a)")).collect()(0).getInt(0) == 2)
+  }
+
+  test("BigQuery array literals: bare, typed, nested; Spark access passes through") {
+    assert(one("SELECT [1, 2, 3]") == Seq(1, 2, 3))
+    assert(one("SELECT ARRAY<INT64>[1, 2]") == Seq(1L, 2L))
+    assert(one("SELECT [[1], [2, 3]]") == Seq(Seq(1), Seq(2, 3)))
+    assert(one("SELECT CASE WHEN 1 = 1 THEN ['a'] ELSE ['b'] END") == Seq("a"))
+    assert(one("SELECT ARRAY_LENGTH([1, 2, 3])") == 3)
+    // Spark-native 0-based access on an identifier is untouched
+    assert(spark.sql(Dialect.rewrite(
+      "SELECT a[0] FROM (SELECT array(7, 8) AS a)")).collect()(0).getInt(0) == 7)
+  }
+
+  test("SAFE. prefix: parse functions go NULL on bad input, DIV integer-divides") {
+    assert(one("SELECT SAFE.PARSE_DATE('%Y-%m-%d', 'nope')") == null)
+    assert(one("SELECT CAST(SAFE.PARSE_DATE('%Y-%m-%d', '2024-02-29') AS STRING)") ==
+      "2024-02-29")
+    assert(one("SELECT DIV(7, 2)") == 3)
+  }
+
   test("DATETIME_DIFF boundary semantics vs TIMESTAMP_DIFF elapsed") {
     // 20 minutes apart across midnight: 1 day boundary, 0 elapsed days
     assert(one("SELECT DATETIME_DIFF(DATETIME '2024-01-02 00:10:00', " +

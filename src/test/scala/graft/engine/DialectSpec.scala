@@ -186,8 +186,9 @@ class DialectSpec extends AnyFunSuite {
   }
 
   test("printf FORMAT, hex, and string-predicate renames") {
+    // BigQuery TO_HEX is lowercase (Spark hex is uppercase)
     assert(Dialect.rewrite("SELECT FORMAT('%d rows', n), TO_HEX(b), FROM_HEX(h)") ==
-      "SELECT format_string('%d rows', n), hex(b), unhex(h)")
+      "SELECT format_string('%d rows', n), lower(hex(b)), unhex(h)")
     assert(Dialect.rewrite("WHERE STARTS_WITH(s, 'a') AND ENDS_WITH(s, 'z')") ==
       "WHERE startswith(s, 'a') AND endswith(s, 'z')")
   }
