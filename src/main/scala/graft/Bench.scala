@@ -4,6 +4,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // platform CPU throttling makes single totals bounce ~2.7× on
+    // identical code (see commit 4c5ba18): run the suite N times (default
+    // 2) and report per-query MEDIANS + every run's total
+    val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -17,27 +21,37 @@ object Bench {
     // doesn't absorb session start-up cost
     try spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     catch { case _: Throwable => }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val runs = (1 to nRuns).map { _ =>
+      SparkEntry.queries.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
     }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val names = runs.head.keys.toSeq
+    val medians = names.map(n => n -> median(runs.map(_(n)))).toMap
     def fmt(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val totals = runs.map(r => r.values.sum)
+    val total = medians.values.sum
+    val runsJson = totals.map(fmt).mkString("[", ",", "]")
     // the driver captures only the LAST ~2000 chars of output, so the
     // stdout line carries total + the 40 slowest queries (the ones worth
     // trending); the complete per-query map goes to BENCH_FULL.json
-    val slow = results.toSeq.sortBy(-_._2).take(40)
+    val slow = medians.toSeq.sortBy(-_._2).take(40)
     val qs = slow.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val full = results.toSeq.sortBy(-_._2)
+    val full = medians.toSeq.sortBy(-_._2)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$full,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${names.size},"n_runs":$nRuns,"run_totals":$runsJson,"queries":$full,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
       (fullLine + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${names.size},"n_runs":$nRuns,"run_totals":$runsJson,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

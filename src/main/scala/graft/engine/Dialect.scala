@@ -162,8 +162,11 @@ object Dialect {
         .replaceAll(raw"(?i)\bINT64\b", "BIGINT")
         .replaceAll(raw"(?i)\bFLOAT64\b", "DOUBLE")
         // SAFE. error-suppressing prefix → SAFE_ spelling handled by the
-        // call rewriter (SAFE_CAST/SAFE_PARSE_x/SAFE_SUBSTR…)
-        .replaceAll(raw"(?i)\bSAFE\s*\.\s*(?=[A-Za-z_])", "SAFE_"))
+        // call rewriter (SAFE_CAST/SAFE_PARSE_x/SAFE_SUBSTR…); same for
+        // the NET. namespace
+        .replaceAll(raw"(?i)\bSAFE\s*\.\s*(?=[A-Za-z_])", "SAFE_")
+        .replaceAll(raw"(?i)\bNET\s*\.\s*(?=[A-Za-z_])", "NET_"))
+    out = rewriteTypedStruct(out)
     out = inUnnest.replaceAllIn(out, m =>
       java.util.regex.Matcher.quoteReplacement(
         if (m.group(2) != null) s"(NOT array_contains(${m.group(3)}, ${m.group(1)}))"
@@ -182,6 +185,51 @@ object Dialect {
     out = rewriteQualify(out)
     out
   }
+
+  private val typedStructRe = raw"(?is)\bSTRUCT\s*<".r
+
+  /** Typed struct constructor `STRUCT<a INT64, b STRING>(1, 'x')` →
+    * `named_struct('a', CAST(1 AS BIGINT), …)` — the field names live in
+    * the TYPE list, so dropping it would lose them. Name-less type lists
+    * (`STRUCT<INT64>(1)`) fall back to struct(). Type text is already
+    * Spark-spelled (INT64→BIGINT ran first). Non-constructor STRUCT<…>
+    * (DECLARE/CAST type positions) is left for the type mapper.
+    */
+  private def rewriteTypedStruct(sql: String): String =
+    typedStructRe.findFirstMatchIn(sql) match {
+      case scala.None => sql
+      case Some(m) =>
+        val lt = sql.indexOf('<', m.start)
+        var i = lt; var depth = 0; var gt = -1
+        while (i < sql.length && gt < 0) {
+          sql.charAt(i) match {
+            case '<' => depth += 1
+            case '>' => depth -= 1; if (depth == 0) gt = i
+            case _ =>
+          }
+          i += 1
+        }
+        if (gt < 0) return sql
+        var k = gt + 1
+        while (k < sql.length && sql.charAt(k).isWhitespace) k += 1
+        if (k >= sql.length || sql.charAt(k) != '(') return sql
+        val close = matchParen(sql, k)
+        if (close < 0) return sql
+        val fields = splitTopLevel(sql.substring(lt + 1, gt)).map(_.trim)
+        val args = splitTopLevel(sql.substring(k + 1, close)).map(_.trim)
+        val fieldRe = raw"(?is)^([A-Za-z_]\w*)\s+(\S.*)$$".r
+        val named = fields.map {
+          case fieldRe(n, t) => Some((n, t))
+          case _ => Option.empty[(String, String)]
+        }
+        val repl =
+          if (named.forall(_.isDefined) && named.size == args.size) {
+            val parts = named.flatten.zip(args)
+              .map { case ((n, t), a) => s"'$n', CAST($a AS $t)" }
+            s"named_struct(${parts.mkString(", ")})"
+          } else s"struct(${args.mkString(", ")})"
+        rewriteTypedStruct(sql.substring(0, m.start) + repl + sql.substring(close + 1))
+    }
 
   private def matchBracket(s: String, open: Int): Int = {
     var i = open
@@ -700,6 +748,16 @@ object Dialect {
     "SAFE_PARSE_TIMESTAMP" -> (a =>
       fmtPattern(a).map { case (p, v) => s"try_to_timestamp($v, '$p')" }),
     "SAFE_SUBSTR" -> renameTo("substr"),
+    // STRUCT(a, b AS n) constructor → struct() (Spark keeps aliases);
+    // the typed STRUCT<...>(…) form has its prefix dropped in rewrite
+    "STRUCT" -> renameTo("struct"),
+    // NET.HOST/NET.REG_DOMAIN (dots pre-mapped to NET_): parse_url with
+    // a scheme-prefixed retry so bare 'example.com' inputs resolve like
+    // BigQuery's parser
+    "NET_HOST" -> (a => if (a.length == 1)
+      Some(s"coalesce(parse_url(${a(0)}, 'HOST'), " +
+        s"parse_url(concat('http://', ${a(0)}), 'HOST'))")
+      else scala.None),
     "STARTS_WITH" -> renameTo("startswith"),
     "ENDS_WITH" -> renameTo("endswith"),
     "STRPOS" -> renameTo("instr"), // both 1-based, 0 = not found

@@ -93,6 +93,15 @@ class DialectExecSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one("SELECT DIV(7, 2)") == 3)
   }
 
+  test("STRUCT constructor and NET.HOST") {
+    val r = spark.sql(Dialect.rewrite(
+      "SELECT STRUCT(1 AS a, 'x' AS b)")).collect()(0).getStruct(0)
+    assert(r.getInt(0) == 1 && r.getString(1) == "x")
+    assert(one("SELECT STRUCT<a INT64>(5).a") == 5L)
+    assert(one("SELECT NET.HOST('https://sub.example.com/p?q=1')") == "sub.example.com")
+    assert(one("SELECT NET.HOST('example.com/path')") == "example.com")
+  }
+
   test("DATETIME_DIFF boundary semantics vs TIMESTAMP_DIFF elapsed") {
     // 20 minutes apart across midnight: 1 day boundary, 0 elapsed days
     assert(one("SELECT DATETIME_DIFF(DATETIME '2024-01-02 00:10:00', " +
