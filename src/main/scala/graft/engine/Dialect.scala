@@ -671,6 +671,14 @@ object Dialect {
   private def renameTo(n: String): Seq[String] => Option[String] =
     a => Some(s"$n(${a.mkString(", ")})")
 
+  /** BigQuery null-propagating variadic (LEAST/GREATEST): NULL if any
+    * argument is NULL, else the Spark function.
+    */
+  private def nullPropagating(n: String): Seq[String] => Option[String] =
+    a => if (a.length < 2) scala.None
+    else Some(s"(CASE WHEN ${a.map(x => s"($x) IS NULL").mkString(" OR ")} " +
+      s"THEN NULL ELSE $n(${a.mkString(", ")}) END)")
+
   private lazy val callRewrites: Map[String, Seq[String] => Option[String]] = Map(
     "COUNTIF" -> renameTo("count_if"),
     "LOGICAL_AND" -> renameTo("bool_and"),
@@ -757,6 +765,16 @@ object Dialect {
     "NET_HOST" -> (a => if (a.length == 1)
       Some(s"coalesce(parse_url(${a(0)}, 'HOST'), " +
         s"parse_url(concat('http://', ${a(0)}), 'HOST'))")
+      else scala.None),
+    "APPROX_COUNT_DISTINCT" -> renameTo("approx_count_distinct"),
+    // BigQuery LEAST/GREATEST return NULL if ANY argument is NULL;
+    // Spark's skip NULLs — guard explicitly
+    "LEAST" -> nullPropagating("least"),
+    "GREATEST" -> nullPropagating("greatest"),
+    // DATE(y, m, d) constructor; 1-arg DATE(x) is Spark-native and the
+    // 2-arg timezone form is handled by the dateTz pass before this
+    "DATE" -> (a =>
+      if (a.length == 3) Some(s"make_date(${a(0)}, ${a(1)}, ${a(2)})")
       else scala.None),
     "STARTS_WITH" -> renameTo("startswith"),
     "ENDS_WITH" -> renameTo("endswith"),

@@ -102,6 +102,14 @@ class DialectExecSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one("SELECT NET.HOST('example.com/path')") == "example.com")
   }
 
+  test("LEAST/GREATEST propagate NULL; DATE(y,m,d); APPROX_COUNT_DISTINCT") {
+    assert(one("SELECT GREATEST(1, 5, 3)") == 5)
+    assert(one("SELECT GREATEST(1, CAST(NULL AS INT), 3)") == null)
+    assert(one("SELECT LEAST(2, CAST(NULL AS INT))") == null)
+    assert(one("SELECT CAST(DATE(2024, 2, 29) AS STRING)") == "2024-02-29")
+    assert(one("SELECT APPROX_COUNT_DISTINCT(x) FROM (SELECT 1 AS x UNION ALL SELECT 2)") == 2L)
+  }
+
   test("DATETIME_DIFF boundary semantics vs TIMESTAMP_DIFF elapsed") {
     // 20 minutes apart across midnight: 1 day boundary, 0 elapsed days
     assert(one("SELECT DATETIME_DIFF(DATETIME '2024-01-02 00:10:00', " +
