@@ -165,7 +165,9 @@ object Dialect {
         // call rewriter (SAFE_CAST/SAFE_PARSE_x/SAFE_SUBSTR…); same for
         // the NET. namespace
         .replaceAll(raw"(?i)\bSAFE\s*\.\s*(?=[A-Za-z_])", "SAFE_")
-        .replaceAll(raw"(?i)\bNET\s*\.\s*(?=[A-Za-z_])", "NET_"))
+        .replaceAll(raw"(?i)\bNET\s*\.\s*(?=[A-Za-z_])", "NET_")
+        // BigQuery TABLESAMPLE SYSTEM (n PERCENT) → Spark TABLESAMPLE
+        .replaceAll(raw"(?i)\bTABLESAMPLE\s+SYSTEM\s*\(", "TABLESAMPLE ("))
     out = rewriteTypedStruct(out)
     out = inUnnest.replaceAllIn(out, m =>
       java.util.regex.Matcher.quoteReplacement(

@@ -883,6 +883,33 @@ object PipelineQueries {
     },
 
     // --- canonical-URL dedup (the first pass of a web pipeline) ---------
+    "d55_domain_blocklist" -> { (s, d) =>
+      // RefinedWeb/CCNet-style URL filtering: block a document when its
+      // host OR ANY parent domain is blocklisted. The 100 TB shape:
+      // explode each host into its suffix chain (bounded by label count,
+      // ≤4 here) and EQUI-join the broadcast blocklist — never a LIKE /
+      // suffix-predicate join, which would be cartesian at scale.
+      import s.implicits._
+      val hosts = t(s, d, "documents").where(col("doc_id") % 3 === 0)
+        .select(col("doc_id"),
+          concat(lit("a"), (col("doc_id") % 3).cast("string"),
+            lit(".b"), (col("doc_id") % 5).cast("string"),
+            lit(".site"), (col("doc_id") % 10).cast("string"),
+            lit(".org")).as("host"))
+      val block = Seq("site3.org", "b2.site7.org", "a0.b1.site4.org", "badhost.net")
+        .toDF("domain")
+      val blockedIds = hosts
+        .withColumn("parts", split(col("host"), "\\."))
+        .withColumn("suffix", explode(expr(
+          "transform(sequence(1, size(parts)), i -> array_join(slice(parts, i, size(parts) - i + 1), '.'))")))
+        .join(broadcast(block), col("suffix") === col("domain"), "left_semi")
+        .select(col("doc_id")).distinct()
+      hosts.join(blockedIds.withColumnRenamed("doc_id", "bid"),
+          col("doc_id") === col("bid"), "left")
+        .select(col("doc_id"), col("host"), col("bid").isNotNull.as("blocked"))
+        .orderBy(col("doc_id"))
+    },
+
     "d45_url_dedup" -> { (s, d) =>
       // RefinedWeb-style: dedupe by canonical URL before any content
       // hashing. Canonicalization: scheme normalized, host lowercased
@@ -1154,6 +1181,20 @@ object PipelineQueries {
           |  CAST(coalesce(sum(CASE WHEN c.a IS NOT NULL THEN 1 END), 0) AS DOUBLE)
           |    / CAST(count(1) AS DOUBLE) AS recall
           |FROM truth t LEFT JOIN cand c ON t.a = c.a AND t.b = c.b""".stripMargin),
+
+      "d55_domain_blocklist" ->
+        """WITH docs AS (
+          |  SELECT doc_id,
+          |    'a' || CAST(doc_id % 3 AS VARCHAR) || '.b' || CAST(doc_id % 5 AS VARCHAR)
+          |    || '.site' || CAST(doc_id % 10 AS VARCHAR) || '.org' AS host
+          |  FROM documents WHERE doc_id % 3 = 0
+          |), block(domain) AS (
+          |  VALUES ('site3.org'), ('b2.site7.org'), ('a0.b1.site4.org'), ('badhost.net')
+          |)
+          |SELECT doc_id, host,
+          |  EXISTS (SELECT 1 FROM block b
+          |          WHERE docs.host = b.domain OR docs.host LIKE '%.' || b.domain) AS blocked
+          |FROM docs ORDER BY doc_id""".stripMargin,
 
       "d45_url_dedup" ->
         """WITH u AS (

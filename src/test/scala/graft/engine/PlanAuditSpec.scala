@@ -141,6 +141,16 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"assignment must never fall back to a cartesian product:\n$p")
   }
 
+  test("d55 blocklist: suffix equi-join broadcasts, never a LIKE/nested-loop") {
+    val df = PipelineQueries.queries("d55_domain_blocklist")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("BroadcastHashJoin"),
+      s"blocklist probe should be a broadcast HASH join on the exploded suffix:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"a suffix-predicate (LIKE) join shape must never appear:\n$p")
+  }
+
   test("d24 tf-idf: tf aggregates partially before the shuffle") {
     val df = PipelineQueries.queries("d24_tfidf_terms")(spark, sfDir)
     df.collect()
