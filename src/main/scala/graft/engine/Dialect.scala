@@ -184,9 +184,50 @@ object Dialect {
     out = rewriteCalls(out)
     out = rewriteArrayLiteral(out)
     out = rewriteArrayAccess(out)
+    out = rewriteStarReplace(out)
     out = rewriteQualify(out)
     out
   }
+
+  private val starReplaceRe = raw"(?is)\*\s*REPLACE\s*\(".r
+
+  /** `SELECT [t.]* REPLACE (expr AS col, …)` → `* EXCEPT (col, …),
+    * expr AS col, …`. Deviation: the replaced columns move to the END of
+    * the projection (BigQuery keeps their position); names and values
+    * are identical.
+    */
+  private def rewriteStarReplace(sql: String): String =
+    starReplaceRe.findFirstMatchIn(sql) match {
+      case scala.None => sql
+      case Some(m) =>
+        val open = sql.indexOf('(', m.start + 1)
+        val close = matchParen(sql, open)
+        if (close < 0) return sql
+        val items = splitTopLevel(sql.substring(open + 1, close)).map(_.trim)
+        // split each item on its LAST top-level AS (the expr itself may
+        // contain CAST(x AS T))
+        val pairs = items.map { it =>
+          val ts = StatementSplitter.tokens(it)
+          var depth = 0
+          var asPos = -1
+          ts.foreach { case (tok, pos) =>
+            tok match {
+              case "(" => depth += 1
+              case ")" => depth -= 1
+              case "AS" if depth == 0 => asPos = pos
+              case _ =>
+            }
+          }
+          if (asPos < 0) scala.None
+          else Some((it.substring(0, asPos).trim, it.substring(asPos + 2).trim))
+        }
+        if (pairs.exists(_.isEmpty)) return sql // malformed: let Spark report
+        val ps = pairs.flatten
+        val names = ps.map(_._2).mkString(", ")
+        val repls = ps.map { case (e, n) => s"$e AS $n" }.mkString(", ")
+        rewriteStarReplace(sql.substring(0, m.start) +
+          s"* EXCEPT ($names), $repls" + sql.substring(close + 1))
+    }
 
   private val typedStructRe = raw"(?is)\bSTRUCT\s*<".r
 
@@ -826,7 +867,29 @@ object Dialect {
     "DATETIME_ADD" -> tsAddSub(1), "DATETIME_SUB" -> tsAddSub(-1),
     "DATE_TRUNC" -> dateTrunc,
     "DATETIME_TRUNC" -> tsTrunc, "TIMESTAMP_TRUNC" -> tsTrunc,
-    "STRING_AGG" -> stringAgg
+    "STRING_AGG" -> stringAgg,
+    // BigQuery EXTRACT(WEEK …) counts SUNDAY-start weeks with week 0
+    // before the year's first Sunday; Spark's WEEK field is ISO. ISOWEEK
+    // maps to Spark's WEEK; all other fields agree and pass through.
+    "EXTRACT" -> { a =>
+      if (a.length != 1) scala.None
+      else {
+        val week = raw"(?is)^WEEK\s+FROM\s+(.+)$$".r
+        val isoweek = raw"(?is)^ISOWEEK\s+FROM\s+(.+)$$".r
+        val datePart = raw"(?is)^DATE\s+FROM\s+(.+)$$".r
+        val datetimePart = raw"(?is)^DATETIME\s+FROM\s+(.+)$$".r
+        a(0) match {
+          case week(x) => Some(
+            s"((dayofyear($x) + 6 - ((8 - dayofweek(date_trunc('YEAR', $x))) % 7)) div 7)")
+          case isoweek(x) => Some(s"extract(WEEK FROM $x)")
+          // EXTRACT(DATE/DATETIME FROM ts) — part extraction Spark's
+          // extract has no field for
+          case datePart(x) => Some(s"cast($x as date)")
+          case datetimePart(x) => Some(s"cast($x as timestamp_ntz)")
+          case _ => scala.None
+        }
+      }
+    }
   )
 
   private def tsDiff: Seq[String] => Option[String] = a =>

@@ -102,6 +102,31 @@ class DialectExecSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one("SELECT NET.HOST('example.com/path')") == "example.com")
   }
 
+  test("SELECT * REPLACE substitutes the column, keeping the rest") {
+    val rows = spark.sql(Dialect.rewrite(
+      "SELECT * REPLACE (v * 10 AS v, CAST(k AS STRING) AS k) " +
+        "FROM (SELECT 1 AS k, 2 AS v, 'z' AS w)")).collect()
+    val r = rows(0)
+    val schema = rows.head.schema.fieldNames.toSeq
+    assert(schema.toSet == Set("k", "v", "w"), s"got $schema")
+    assert(r.getAs[String]("k") == "1")
+    assert(r.getAs[Int]("v") == 20)
+    assert(r.getAs[String]("w") == "z")
+  }
+
+  test("EXTRACT(WEEK) is Sunday-start with week 0; ISOWEEK maps to ISO") {
+    // 2024: Jan 1 is a Monday, first Sunday is Jan 7
+    assert(one("SELECT EXTRACT(WEEK FROM DATE '2024-01-03')") == 0)
+    assert(one("SELECT EXTRACT(WEEK FROM DATE '2024-01-07')") == 1)
+    assert(one("SELECT EXTRACT(WEEK FROM DATE '2024-12-31')") == 52)
+    // 2023: Jan 1 IS a Sunday — week 1 immediately
+    assert(one("SELECT EXTRACT(WEEK FROM DATE '2023-01-01')") == 1)
+    assert(one("SELECT EXTRACT(ISOWEEK FROM DATE '2024-01-03')") == 1)
+    assert(one("SELECT EXTRACT(YEAR FROM DATE '2024-01-03')") == 2024)
+    assert(one("SELECT CAST(EXTRACT(DATE FROM TIMESTAMP '2024-03-05 10:30:00') AS STRING)") ==
+      "2024-03-05")
+  }
+
   test("LEAST/GREATEST propagate NULL; DATE(y,m,d); APPROX_COUNT_DISTINCT") {
     assert(one("SELECT GREATEST(1, 5, 3)") == 5)
     assert(one("SELECT GREATEST(1, CAST(NULL AS INT), 3)") == null)
