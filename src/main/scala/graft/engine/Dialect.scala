@@ -700,11 +700,19 @@ object Dialect {
         Some(s"date_sub(to_date(${a(0)}), dayofweek(to_date(${a(0)})) - 1)")
       case "WEEK(MONDAY)" | "ISOWEEK" =>
         Some(s"cast(date_trunc('WEEK', ${a(0)}) as date)")
+      case weekAnyDay(day) =>
+        // WEEK(<WEEKDAY>): step back to the most recent such weekday
+        val k = weekdayIndex(day.toUpperCase)
+        Some(s"date_sub(to_date(${a(0)}), (dayofweek(to_date(${a(0)})) - $k + 7) % 7)")
       case _ if dateUnits.contains(u) =>
         Some(s"cast(date_trunc('$u', ${a(0)}) as date)")
       case _ => scala.None
     }
   }
+
+  private val weekAnyDay = raw"(?i)^WEEK\((SUNDAY|MONDAY|TUESDAY|WEDNESDAY|THURSDAY|FRIDAY|SATURDAY)\)$$".r
+  private val weekdayIndex = Map("SUNDAY" -> 1, "MONDAY" -> 2, "TUESDAY" -> 3,
+    "WEDNESDAY" -> 4, "THURSDAY" -> 5, "FRIDAY" -> 6, "SATURDAY" -> 7)
 
   private def tsTrunc(a: Seq[String]): Option[String] = {
     if (a.length != 2 || !isBareUnit(a(1), timeUnits)) scala.None
@@ -845,6 +853,13 @@ object Dialect {
       if (a.length == 1) Some(s"to_json(${a(0)})") else scala.None),
     "SAFE_DIVIDE" -> (a =>
       if (a.length == 2) Some(s"try_divide(${a(0)}, ${a(1)})") else scala.None),
+    "GENERATE_TIMESTAMP_ARRAY" -> { a =>
+      if (a.length == 3) a(2) match {
+        case intervalArg(n, u) => Some(
+          s"sequence(cast(${a(0)} as timestamp), cast(${a(1)} as timestamp), interval $n $u)")
+        case _ => scala.None
+      } else scala.None
+    },
     "GENERATE_DATE_ARRAY" -> { a =>
       if (a.length == 2)
         Some(s"sequence(to_date(${a(0)}), to_date(${a(1)}), interval 1 day)")

@@ -710,6 +710,22 @@ object EngineQueries {
           |ORDER BY o_orderpriority""".stripMargin).get
     },
 
+    // --- semantic edges pinned cross-engine: Sunday-week EXTRACT,
+    //     null-propagating LEAST/GREATEST, EXTRACT(DATE), ISOWEEK -----
+    "e31_bq_semantics" -> { (s, d) =>
+      Tables.views(s, d, "orders")
+      new ScriptRunner(s).run(
+        """SELECT o_orderkey,
+          |  CAST(EXTRACT(WEEK FROM o_orderdate) AS INT64) AS wk_sun,
+          |  CAST(EXTRACT(ISOWEEK FROM o_orderdate) AS INT64) AS wk_iso,
+          |  GREATEST(o_orderkey, o_custkey) AS g1,
+          |  LEAST(o_orderkey, NULLIF(o_custkey, o_custkey)) AS l_null,
+          |  CAST(EXTRACT(DATE FROM o_orderdate) AS STRING) AS d
+          |FROM orders
+          |WHERE o_orderdate >= '1997-06-01' AND o_orderdate < '1997-06-15'
+          |ORDER BY o_orderkey""".stripMargin).get
+    },
+
     // --- QUALIFY: post-window filtering in BigQuery evaluation order ---
     "e23_qualify" -> { (s, d) =>
       // Latest-order-per-customer, the canonical QUALIFY use. The
@@ -1006,6 +1022,19 @@ object EngineQueries {
         |SELECT lang, count(1) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
         |FROM g WHERE doc_id % 3 = 0
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "e31_bq_semantics" ->
+      """SELECT o_orderkey,
+        |  CAST((dayofyear(o_orderdate) + 6 -
+        |        ((7 - CAST(dayofweek(date_trunc('year', o_orderdate)) AS INT)) % 7)) // 7
+        |       AS BIGINT) AS wk_sun,
+        |  CAST(weekofyear(o_orderdate) AS BIGINT) AS wk_iso,
+        |  GREATEST(o_orderkey, o_custkey) AS g1,
+        |  CAST(NULL AS BIGINT) AS l_null,
+        |  CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS d
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-06-01' AND o_orderdate < TIMESTAMP '1997-06-15'
+        |ORDER BY o_orderkey""".stripMargin,
 
     "e30_bq_functions2" ->
       """SELECT

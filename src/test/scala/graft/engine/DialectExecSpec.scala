@@ -127,6 +127,19 @@ class DialectExecSpec extends AnyFunSuite with BeforeAndAfterAll {
       "2024-03-05")
   }
 
+  test("DATE_TRUNC WEEK(<weekday>) and GENERATE_TIMESTAMP_ARRAY") {
+    // 2024-01-10 is a Wednesday
+    assert(one("SELECT CAST(DATE_TRUNC(DATE '2024-01-10', WEEK(WEDNESDAY)) AS STRING)") ==
+      "2024-01-10")
+    assert(one("SELECT CAST(DATE_TRUNC(DATE '2024-01-10', WEEK(THURSDAY)) AS STRING)") ==
+      "2024-01-04")
+    assert(one("SELECT CAST(DATE_TRUNC(DATE '2024-01-10', WEEK(TUESDAY)) AS STRING)") ==
+      "2024-01-09")
+    assert(one("SELECT ARRAY_LENGTH(GENERATE_TIMESTAMP_ARRAY(" +
+      "TIMESTAMP '2024-01-01 00:00:00', TIMESTAMP '2024-01-01 03:00:00', " +
+      "INTERVAL 1 HOUR))") == 4)
+  }
+
   test("LEAST/GREATEST propagate NULL; DATE(y,m,d); APPROX_COUNT_DISTINCT") {
     assert(one("SELECT GREATEST(1, 5, 3)") == 5)
     assert(one("SELECT GREATEST(1, CAST(NULL AS INT), 3)") == null)
