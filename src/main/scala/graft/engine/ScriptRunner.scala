@@ -529,10 +529,46 @@ class ScriptRunner(spark: SparkSession) {
     case createTempRe(n1, q1, n2, q2) =>
       val (name, query) = if (n1 != null) (n1, q1) else (n2, q2)
       val viewName = name.split("\\.").last // temp views are single-part
-      spark.sql(Dialect.rewrite(substituteVars(query)))
+      spark.sql(Dialect.rewrite(substituteVars(expandWildcardTables(query))))
         .createOrReplaceTempView(viewName)
       None
     case other =>
-      Some(spark.sql(Dialect.rewrite(substituteVars(other))))
+      Some(spark.sql(Dialect.rewrite(substituteVars(expandWildcardTables(other)))))
   }
+
+  private val wildcardTableRe = raw"`([\w][\w.-]*\*)`".r
+
+  /** BigQuery wildcard (sharded) tables: `` `proj.ds.events_*` `` scans
+    * every table whose name starts with the prefix and exposes the rest
+    * of each name as `_TABLE_SUFFIX`. Expanded at statement-prep time to
+    * a UNION ALL over the matching catalog tables, each branch tagging
+    * its literal suffix — a `WHERE _TABLE_SUFFIX …` predicate then
+    * constant-folds to FALSE on non-matching branches and Catalyst
+    * prunes those scans entirely (the sharded-table analog of partition
+    * pruning; shards must share a schema).
+    */
+  private def expandWildcardTables(sql: String): String =
+    wildcardTableRe.replaceAllIn(sql, m => {
+      val full = m.group(1)
+      val parts = full.split("\\.")
+      val (db, tableGlob) = parts match {
+        case Array(p, d, t) => (s"${p.replace("-", "_")}__${d.replace("-", "_")}", t)
+        case Array(d, t) => (d.replace("-", "_"), t)
+        case _ => (null, null)
+      }
+      if (db == null || !tableGlob.endsWith("*")) m.matched
+      else {
+        val prefix = tableGlob.dropRight(1)
+        val shards = spark.catalog.listTables(db).collect()
+          .map(_.name).filter(_.startsWith(prefix)).sorted
+        if (shards.isEmpty) throw new IllegalArgumentException(
+          s"wildcard table `$full` matches no tables in $db")
+        val branches = shards.map { t =>
+          val suffix = t.substring(prefix.length).replace("'", "''")
+          s"SELECT *, '$suffix' AS _TABLE_SUFFIX FROM $db.$t"
+        }
+        java.util.regex.Matcher.quoteReplacement(
+          s"(${branches.mkString(" UNION ALL ")})")
+      }
+    })
 }

@@ -726,6 +726,26 @@ object EngineQueries {
           |ORDER BY o_orderkey""".stripMargin).get
     },
 
+    // --- wildcard (sharded) tables + _TABLE_SUFFIX pruning -------------
+    "e32_wildcard_tables" -> { (s, d) =>
+      Tables.views(s, d, "orders")
+      freshDb(s, "graft__pg32")
+      Seq("19960101", "19960102", "19960103").foreach { day =>
+        val iso = java.time.LocalDate.parse(
+          s"${day.take(4)}-${day.substring(4, 6)}-${day.substring(6)}")
+        s.sql(s"""CREATE TABLE graft__pg32.daily_$day USING PARQUET AS
+                 |SELECT o_orderkey, o_totalprice FROM orders
+                 |WHERE o_orderdate >= '$iso' AND o_orderdate < '${iso.plusDays(1)}'"""
+          .stripMargin)
+      }
+      new ScriptRunner(s).run(
+        """SELECT _TABLE_SUFFIX AS shard, count(1) AS cnt,
+          |  CAST(SUM(CAST(o_totalprice AS NUMERIC)) AS FLOAT64) AS revenue
+          |FROM `graft.pg32.daily_*`
+          |WHERE _TABLE_SUFFIX >= '19960102'
+          |GROUP BY 1 ORDER BY 1""".stripMargin).get
+    },
+
     // --- QUALIFY: post-window filtering in BigQuery evaluation order ---
     "e23_qualify" -> { (s, d) =>
       // Latest-order-per-customer, the canonical QUALIFY use. The
@@ -1022,6 +1042,13 @@ object EngineQueries {
         |SELECT lang, count(1) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
         |FROM g WHERE doc_id % 3 = 0
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "e32_wildcard_tables" ->
+      """SELECT strftime(o_orderdate, '%Y%m%d') AS shard, count(1) AS cnt,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-02' AND o_orderdate < TIMESTAMP '1996-01-04'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "e31_bq_semantics" ->
       """SELECT o_orderkey,

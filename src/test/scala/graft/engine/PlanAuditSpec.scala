@@ -151,6 +151,17 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"a suffix-predicate (LIKE) join shape must never appear:\n$p")
   }
 
+  test("e32 wildcard tables: _TABLE_SUFFIX filter prunes whole shards") {
+    val df = graft.queries.EngineQueries.queries("e32_wildcard_tables")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    // the suffix predicate constant-folds FALSE on the 19960101 branch —
+    // that shard's scan must be gone from the physical plan
+    assert(!p.contains("daily_19960101"),
+      s"excluded shard still scanned:\n$p")
+    assert(p.contains("daily_19960102") && p.contains("daily_19960103"),
+      s"matching shards missing from plan:\n$p")
+  }
+
   test("d24 tf-idf: tf aggregates partially before the shuffle") {
     val df = PipelineQueries.queries("d24_tfidf_terms")(spark, sfDir)
     df.collect()
