@@ -722,6 +722,19 @@ object Dialect {
   private def renameTo(n: String): Seq[String] => Option[String] =
     a => Some(s"$n(${a.mkString(", ")})")
 
+  /** JSON array extraction through variant: pull the array at `path`,
+    * cast to array<variant>, map each element with `elem` (over `v`).
+    * Default path is the document root.
+    */
+  private def jsonArray(elem: String): Seq[String] => Option[String] = a => {
+    val path =
+      if (a.length == 2) Some(a(1))
+      else if (a.length == 1) Some("'$'")
+      else scala.None
+    path.map(p => s"transform(cast(variant_get(parse_json(${a(0)}), $p) " +
+      s"as array<variant>), v -> $elem)")
+  }
+
   /** BigQuery null-propagating variadic (LEAST/GREATEST): NULL if any
     * argument is NULL, else the Spark function.
     */
@@ -844,6 +857,12 @@ object Dialect {
       else scala.None),
     "JSON_EXTRACT_SCALAR" -> renameTo("get_json_object"),
     "JSON_VALUE" -> renameTo("get_json_object"),
+    // array extraction: elements stay JSON-encoded (…_ARRAY) or decode
+    // to strings (…_STRING_ARRAY), per BigQuery
+    "JSON_EXTRACT_ARRAY" -> jsonArray("to_json(v)"),
+    "JSON_QUERY_ARRAY" -> jsonArray("to_json(v)"),
+    "JSON_EXTRACT_STRING_ARRAY" -> jsonArray("cast(v as string)"),
+    "JSON_VALUE_ARRAY" -> jsonArray("cast(v as string)"),
     "SAFE_ADD" -> renameTo("try_add"),
     "SAFE_SUBTRACT" -> renameTo("try_subtract"),
     "SAFE_MULTIPLY" -> renameTo("try_multiply"),

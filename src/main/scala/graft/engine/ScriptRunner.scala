@@ -266,7 +266,16 @@ class ScriptRunner(spark: SparkSession) {
         try runScript(body).map(_.localCheckpoint(true))
         catch {
           case sig @ (_: BreakSignal | _: ContinueSignal) => throw sig
-          case scala.util.control.NonFatal(_) => runScript(handler)
+          case scala.util.control.NonFatal(e) =>
+            // handler scope: @@error.message reads the caught message,
+            // bare RAISE re-raises (BigQuery system variable semantics)
+            val msgLit = "'" + Option(e.getMessage).getOrElse(e.toString)
+              .replace("\\", "\\\\").replace("'", "\\'") + "'"
+            val prev = currentError
+            currentError = Some(e)
+            try runScript(raw"(?i)@@error\.message".r
+              .replaceAllIn(handler, java.util.regex.Matcher.quoteReplacement(msgLit)))
+            finally currentError = prev
         }
       case scala.None =>
         runScript(stmt.substring(beginTok.pos + 5, ms.last.pos))
@@ -350,10 +359,33 @@ class ScriptRunner(spark: SparkSession) {
       case "BEGIN" if !stmt.trim.toUpperCase.startsWith("BEGIN TRANSACTION") =>
         runBegin(stmt)
       case "ASSERT" => runAssert(stmt)
+      case "RAISE" => runRaise(stmt)
       case "BREAK" | "LEAVE" => throw new BreakSignal
       case "CONTINUE" | "ITERATE" => throw new ContinueSignal
       case _ => runSimpleStatement(stmt)
     }
+
+  /** the exception being handled by the innermost BEGIN…EXCEPTION —
+    * what a bare RAISE re-raises.
+    */
+  private var currentError: Option[Throwable] = scala.None
+
+  private val raiseMsgRe = raw"(?is)^RAISE\s+USING\s+MESSAGE\s*=\s*(.+?)\s*$$".r
+
+  /** RAISE [USING MESSAGE = expr] — BigQuery scripting: with a message,
+    * raise a new error; bare RAISE is only legal inside an EXCEPTION
+    * handler and re-raises the caught error.
+    */
+  private def runRaise(stmt: String): Option[DataFrame] = stmt.trim match {
+    case raiseMsgRe(expr) =>
+      val msg = spark.sql(
+        s"SELECT CAST((${Dialect.rewrite(substituteVars(expr))}) AS STRING)")
+        .collect()(0).getString(0)
+      throw new RuntimeException(msg)
+    case _ =>
+      throw currentError.getOrElse(new IllegalStateException(
+        "RAISE without a message is only allowed inside an EXCEPTION handler"))
+  }
 
   private val assertRe =
     raw"(?is)^ASSERT\s+(.+?)(?:\s+AS\s+('(?:[^'\\]|\\.)*'))?\s*$$".r

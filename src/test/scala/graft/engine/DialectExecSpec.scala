@@ -148,6 +148,15 @@ class DialectExecSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one("SELECT APPROX_COUNT_DISTINCT(x) FROM (SELECT 1 AS x UNION ALL SELECT 2)") == 2L)
   }
 
+  test("JSON array extraction: encoded elements vs decoded strings") {
+    assert(one("""SELECT JSON_EXTRACT_ARRAY('{"a": [1, "x", {"b": 2}]}', '$.a')""") ==
+      Seq("1", "\"x\"", """{"b":2}"""))
+    assert(one("""SELECT JSON_EXTRACT_STRING_ARRAY('{"a": ["x", "y"]}', '$.a')""") ==
+      Seq("x", "y"))
+    assert(one("""SELECT JSON_EXTRACT_ARRAY('[1, 2]')""") == Seq("1", "2"))
+    assert(one("""SELECT JSON_EXTRACT_ARRAY('{"a": 1}', '$.missing')""") == null)
+  }
+
   test("DATETIME_DIFF boundary semantics vs TIMESTAMP_DIFF elapsed") {
     // 20 minutes apart across midnight: 1 day boundary, 0 elapsed days
     assert(one("SELECT DATETIME_DIFF(DATETIME '2024-01-02 00:10:00', " +

@@ -278,4 +278,38 @@ class ScriptRunnerSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(e.getMessage.contains("needs at least 6"))
   }
+
+  test("RAISE USING MESSAGE aborts the script with the evaluated message") {
+    val e = intercept[RuntimeException] {
+      new ScriptRunner(spark).run(
+        "RAISE USING MESSAGE = concat('bad rows: ', CAST(3 AS STRING))")
+    }
+    assert(e.getMessage == "bad rows: 3")
+  }
+
+  test("@@error.message reads the caught error inside an EXCEPTION handler") {
+    val out = new ScriptRunner(spark).run(
+      """BEGIN
+        |  RAISE USING MESSAGE = 'original failure';
+        |EXCEPTION WHEN ERROR THEN
+        |  SELECT @@error.message AS msg;
+        |END""".stripMargin).get
+    assert(out.collect().head.getString(0) == "original failure")
+  }
+
+  test("bare RAISE re-raises inside a handler, errors outside one") {
+    val e = intercept[RuntimeException] {
+      new ScriptRunner(spark).run(
+        """BEGIN
+          |  RAISE USING MESSAGE = 'keep me';
+          |EXCEPTION WHEN ERROR THEN
+          |  RAISE;
+          |END""".stripMargin)
+    }
+    assert(e.getMessage == "keep me")
+    val outside = intercept[IllegalStateException] {
+      new ScriptRunner(spark).run("RAISE")
+    }
+    assert(outside.getMessage.contains("EXCEPTION handler"))
+  }
 }
