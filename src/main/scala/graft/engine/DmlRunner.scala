@@ -36,6 +36,8 @@ class DmlRunner(spark: SparkSession, runner: TransformRunner) {
     raw"(?is)WHEN\s+MATCHED\s*(?:AND\s+(.+?))?\s*THEN\s+UPDATE\s+SET\s+(.+?)(?=\s+WHEN\s+|\s*$$)".r
   private val whenNotMatchedRe =
     raw"(?is)WHEN\s+NOT\s+MATCHED\s*(?:BY\s+TARGET\s*)?(?:AND\s+(.+?))?\s*THEN\s+INSERT\s*\(([^)]*)\)\s*VALUES\s*\((.*?)\)(?=\s+WHEN\s+|\s*;?\s*$$)".r
+  private val whenNotMatchedRowRe =
+    raw"(?is)WHEN\s+NOT\s+MATCHED\s*(?:BY\s+TARGET\s*)?(?:AND\s+(.+?))?\s*THEN\s+INSERT\s+ROW\b".r
   private val whenNotMatchedBySourceRe =
     raw"(?is)WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE\s*(?:AND\s+(.+?))?\s*THEN\s+DELETE".r
   private val deleteRe =
@@ -145,7 +147,22 @@ class DmlRunner(spark: SparkSession, runner: TransformRunner) {
             .getOrElse(lit(null).cast(spark.table(dest).schema(c).dataType).as(c))
         }
         Some(anti.select(projected.toIndexedSeq: _*))
-      case None => None
+      case None =>
+        // INSERT ROW shorthand: every target column takes the source's
+        // corresponding column BY POSITION (BigQuery requires matching
+        // column counts)
+        whenNotMatchedRowRe.findFirstMatchIn(whenClauses).map { m =>
+          val anti0 = srcDf.join(destDf, cond, "left_anti")
+          val anti = Option(m.group(1))
+            .map(c => anti0.where(expr(Dialect.rewrite(c)))).getOrElse(anti0)
+          if (anti.columns.length != destCols.length)
+            throw new IllegalArgumentException(
+              s"INSERT ROW needs the source's ${anti.columns.length} columns to match " +
+                s"the target's ${destCols.length}")
+          anti.select(destCols.zip(anti.columns).map { case (dc, sc) =>
+            col(sc).cast(spark.table(dest).schema(dc).dataType).as(dc)
+          }.toIndexedSeq: _*)
+        }
     }
 
     val result = insertSide.map(targetSide.unionByName(_)).getOrElse(targetSide)

@@ -561,12 +561,59 @@ class ScriptRunner(spark: SparkSession) {
     case createTempRe(n1, q1, n2, q2) =>
       val (name, query) = if (n1 != null) (n1, q1) else (n2, q2)
       val viewName = name.split("\\.").last // temp views are single-part
-      spark.sql(Dialect.rewrite(substituteVars(expandWildcardTables(query))))
+      spark.sql(Dialect.rewrite(substituteVars(
+        expandInformationSchema(expandWildcardTables(query)))))
         .createOrReplaceTempView(viewName)
       None
     case other =>
-      Some(spark.sql(Dialect.rewrite(substituteVars(expandWildcardTables(other)))))
+      Some(spark.sql(Dialect.rewrite(substituteVars(
+        expandInformationSchema(expandWildcardTables(other))))))
   }
+
+  private val infoSchemaRe =
+    raw"(?i)`?([\w-]+(?:\.[\w-]+)?)\.INFORMATION_SCHEMA\.(TABLES|COLUMNS)`?".r
+
+  /** BigQuery `dataset.INFORMATION_SCHEMA.{TABLES,COLUMNS}` → an inline
+    * VALUES relation built from the Spark catalog at statement-prep time
+    * (metadata is driver-side and dataset-bounded). Session temp views
+    * are excluded — BigQuery's view is per-dataset.
+    */
+  private def expandInformationSchema(sql: String): String =
+    infoSchemaRe.replaceAllIn(sql, m => {
+      val qualifier = m.group(1)
+      val parts = qualifier.split("\\.")
+      val (cat, schema) = if (parts.length == 2) (parts(0), parts(1)) else ("", parts(0))
+      val db = parts.map(_.replace("-", "_")).mkString("__")
+      def lit(s: String) = "'" + s.replace("'", "''") + "'"
+      val tables = spark.catalog.listTables(db).collect()
+        .filter(t => t.database != null && t.database.nonEmpty) // no temp views
+        .sortBy(_.name)
+      val rows = m.group(2).toUpperCase match {
+        case "TABLES" =>
+          val header = "t(table_catalog, table_schema, table_name, table_type)"
+          val vs = tables.map { t =>
+            val typ = if (t.tableType == "VIEW") "VIEW" else "BASE TABLE"
+            s"(${lit(cat)}, ${lit(schema)}, ${lit(t.name)}, ${lit(typ)})"
+          }
+          (header, vs.toSeq, "('', '', '', '')")
+        case _ =>
+          val header = "t(table_catalog, table_schema, table_name, column_name, " +
+            "ordinal_position, is_nullable, data_type)"
+          val vs = tables.flatMap { t =>
+            spark.catalog.listColumns(s"$db.${t.name}").collect().zipWithIndex.map {
+              case (c, i) =>
+                s"(${lit(cat)}, ${lit(schema)}, ${lit(t.name)}, ${lit(c.name)}, " +
+                  s"${i + 1}, ${if (c.nullable) "'YES'" else "'NO'"}, " +
+                  s"${lit(c.dataType.toUpperCase)})"
+            }
+          }
+          (header, vs.toSeq, "('', '', '', '', 0, '', '')")
+      }
+      val body =
+        if (rows._2.nonEmpty) s"(SELECT * FROM (VALUES ${rows._2.mkString(", ")}) AS ${rows._1})"
+        else s"(SELECT * FROM (VALUES ${rows._3}) AS ${rows._1} WHERE FALSE)"
+      java.util.regex.Matcher.quoteReplacement(body)
+    })
 
   private val wildcardTableRe = raw"`([\w][\w.-]*\*)`".r
 

@@ -746,6 +746,25 @@ object EngineQueries {
           |GROUP BY 1 ORDER BY 1""".stripMargin).get
     },
 
+    // --- INFORMATION_SCHEMA.TABLES / .COLUMNS over a known dataset -----
+    "e33_information_schema" -> { (s, d) =>
+      // fixed DDL → fully-determined metadata, so the oracle is a
+      // literal VALUES restatement (DuckDB can't see our catalog)
+      freshDb(s, "graft__pg33")
+      s.sql("CREATE TABLE graft__pg33.alpha (id BIGINT, name STRING) USING PARQUET")
+      s.sql("CREATE TABLE graft__pg33.beta (ts TIMESTAMP, v DOUBLE, note STRING) USING PARQUET")
+      s.sql("CREATE VIEW graft__pg33.gamma AS SELECT id FROM graft__pg33.alpha")
+      new ScriptRunner(s).run(
+        """SELECT table_name, 'TABLE' AS kind, table_type AS detail,
+          |       CAST(0 AS INT64) AS pos
+          |FROM `graft.pg33.INFORMATION_SCHEMA.TABLES`
+          |UNION ALL
+          |SELECT table_name, column_name AS kind, data_type AS detail,
+          |       CAST(ordinal_position AS INT64) AS pos
+          |FROM `graft.pg33.INFORMATION_SCHEMA.COLUMNS`
+          |ORDER BY table_name, pos, kind""".stripMargin).get
+    },
+
     // --- QUALIFY: post-window filtering in BigQuery evaluation order ---
     "e23_qualify" -> { (s, d) =>
       // Latest-order-per-customer, the canonical QUALIFY use. The
@@ -1042,6 +1061,20 @@ object EngineQueries {
         |SELECT lang, count(1) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
         |FROM g WHERE doc_id % 3 = 0
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "e33_information_schema" ->
+      """SELECT * FROM (VALUES
+        |  ('alpha', 'TABLE', 'BASE TABLE', CAST(0 AS BIGINT)),
+        |  ('alpha', 'id',    'BIGINT',     CAST(1 AS BIGINT)),
+        |  ('alpha', 'name',  'STRING',     CAST(2 AS BIGINT)),
+        |  ('beta',  'TABLE', 'BASE TABLE', CAST(0 AS BIGINT)),
+        |  ('beta',  'ts',    'TIMESTAMP',  CAST(1 AS BIGINT)),
+        |  ('beta',  'v',     'DOUBLE',     CAST(2 AS BIGINT)),
+        |  ('beta',  'note',  'STRING',     CAST(3 AS BIGINT)),
+        |  ('gamma', 'TABLE', 'VIEW',       CAST(0 AS BIGINT)),
+        |  ('gamma', 'id',    'BIGINT',     CAST(1 AS BIGINT))
+        |) AS t(table_name, kind, detail, pos)
+        |ORDER BY table_name, pos, kind""".stripMargin,
 
     "e32_wildcard_tables" ->
       """SELECT strftime(o_orderdate, '%Y%m%d') AS shard, count(1) AS cnt,

@@ -104,6 +104,16 @@ class DmlRunnerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!spark.catalog.tableExists("dmlspec.t"))
   }
 
+  test("WHEN NOT MATCHED THEN INSERT ROW inserts all columns positionally") {
+    freshTable(Seq(("a", 1L)))
+    dml.run(
+      """MERGE INTO `dmlspec.t` T
+        |USING (SELECT 'x' AS c1, 9 AS c2 UNION ALL SELECT 'a', 5) S
+        |ON T.k = S.c1
+        |WHEN NOT MATCHED THEN INSERT ROW""".stripMargin)
+    assert(state() == Seq(("a", 1L), ("x", 9L)))
+  }
+
   test("UPDATE evaluates all SET right-hand sides against the OLD row") {
     // SQL UPDATE semantics: `SET k = v's text, v = old k's length` both
     // see pre-update values — a chained withColumn fold would feed the
