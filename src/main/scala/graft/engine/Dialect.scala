@@ -59,7 +59,7 @@ object Dialect {
     * references and `USING parquet` clauses pass through unchanged.
     */
   private val fqnRef =
-    raw"(?i)\b(FROM|JOIN|USING|INTO)\s+(`[^`]+`(?:\s*\.\s*`[^`]+`)*|[\w$$.-]+)".r
+    raw"(?i)\b(FROM|JOIN|USING|INTO|TABLE)\s+(`[^`]+`(?:\s*\.\s*`[^`]+`)*|[\w$$.-]+)".r
 
   /** Words that put a following FROM in EXPRESSION position, where a
     * 3-part path is `alias.struct.field`, not a table: EXTRACT units

@@ -49,6 +49,8 @@ class DmlRunner(spark: SparkSession, runner: TransformRunner) {
 
   private val updateRe =
     raw"(?is)^\s*UPDATE\s+`?([\w.$$-]+)`?\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*$$".r
+  private val updateFromRe =
+    raw"(?is)^\s*UPDATE\s+`?([\w.$$-]+)`?(?:\s+(?:AS\s+)?(\w+))?\s+SET\s+(.+?)\s+FROM\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*$$".r
   private val truncateRe =
     raw"(?is)^\s*TRUNCATE\s+TABLE\s+`?([\w.$$-]+)`?\s*;?\s*$$".r
 
@@ -56,6 +58,11 @@ class DmlRunner(spark: SparkSession, runner: TransformRunner) {
     case mergeRe(destFqn, tAlias, srcQuery, sAlias, onCond, whenClauses) =>
       merge(destFqn, tAlias, srcQuery, sAlias, onCond, whenClauses)
     case deleteRe(destFqn, cond) => delete(destFqn, cond)
+    // guard: the regex can't see paren depth, so a subquery's FROM in a
+    // plain UPDATE's SET would misparse — require balanced groups
+    case updateFromRe(destFqn, tAlias, sets, fromSrc, cond)
+        if balancedParens(sets) && balancedParens(fromSrc) =>
+      updateFrom(destFqn, Option(tAlias), sets, fromSrc, cond)
     case updateRe(destFqn, sets, cond) => update(destFqn, sets, cond)
     case truncateRe(destFqn) =>
       spark.sql(s"TRUNCATE TABLE ${runner.catalogName(destFqn)}")
@@ -64,6 +71,52 @@ class DmlRunner(spark: SparkSession, runner: TransformRunner) {
     case other => // plain statement (e.g. a SELECT or engine-supported DDL)
       new ScriptRunner(spark).runStatement(other)
       ()
+  }
+
+  private def balancedParens(s: String): Boolean =
+    s.count(_ == '(') == s.count(_ == ')')
+
+  /** UPDATE t SET … FROM src WHERE join-cond — BigQuery's joined UPDATE.
+    * Rows with a source match get the SET expressions (which may read
+    * source columns); more than one source match per target row is an
+    * error, like BigQuery's "UPDATE/MERGE must match at most one source
+    * row for each target row".
+    */
+  private def updateFrom(destFqn: String, tAliasOpt: Option[String], sets: String,
+      fromSrc: String, cond: String): Unit = {
+    val dest = runner.catalogName(destFqn)
+    val tAlias = tAliasOpt.getOrElse(destFqn.replace("`", "").split("\\.").last)
+    val destDf = spark.table(dest).alias(tAlias)
+    val srcAliasRe = raw"(?is)^(.+?)\s+(?:AS\s+)?(\w+)\s*$$".r
+    val (srcText, sAlias) = fromSrc.trim match {
+      case s if s.startsWith("(") =>
+        // subquery source: alias after the closing paren
+        val close = s.lastIndexOf(')')
+        val alias = s.substring(close + 1).trim.stripPrefix("AS ").trim
+        (s.substring(1, close), if (alias.nonEmpty) alias else "src")
+      case srcAliasRe(n, a) => (n, a)
+      case n => (n, n.split("\\.").last)
+    }
+    val srcDf = (if (srcText.trim.toUpperCase.startsWith("SELECT"))
+        spark.sql(Dialect.rewrite(srcText))
+      else spark.table(runner.catalogName(srcText.trim))).alias(sAlias)
+    val joinCond = expr(Dialect.rewrite(cond))
+    val joined = destDf.join(srcDf, joinCond, "left")
+    val nJoined = joined.count()
+    val nDest = destDf.count()
+    if (nJoined > nDest) throw new IllegalArgumentException(
+      "UPDATE/MERGE must match at most one source row for each target row")
+    val matched = srcDf.columns.map(c => srcDf(c).isNotNull).reduce(_ || _)
+    val setMap = parseSetList(sets).map { case (k, v) => k.split("\\.").last -> v }
+    val destCols = spark.table(dest).columns
+    val projected = destCols.map { c =>
+      setMap.get(c.toLowerCase) match {
+        case Some(e) =>
+          when(matched, expr(Dialect.rewrite(e))).otherwise(destDf(c)).as(c)
+        case None => destDf(c).as(c)
+      }
+    }
+    overwriteSelf(dest, joined.select(projected.toIndexedSeq: _*))
   }
 
   private def delete(destFqn: String, cond: String): Unit = {

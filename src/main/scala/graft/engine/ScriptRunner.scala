@@ -30,6 +30,8 @@ class ScriptRunner(spark: SparkSession) {
   private val setStructRe = raw"(?is)^SET\s*\(\s*(\w+)\s*\)\s*=\s*\((.+)\)$$".r
   private val createTempRe =
     raw"(?is)^CREATE\s+(?:OR\s+REPLACE\s+)?TEMP(?:ORARY)?\s+TABLE\s+`?([\w.]+)`?\s+AS\s*\((.+)\)$$|^CREATE\s+(?:OR\s+REPLACE\s+)?TEMP(?:ORARY)?\s+TABLE\s+`?([\w.]+)`?\s+AS\s+(.+)$$".r
+  private val createTableAsRe =
+    raw"(?is)^CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?(`[\w.-]+`|[\w.-]+)\s*(?:PARTITION\s+BY\s+(\w+)\s*)?AS\s+(.+)$$".r
   private val createFnJsRe =
     raw"(?is)^CREATE\s+(?:OR\s+REPLACE\s+)?TEMP(?:ORARY)?\s+FUNCTION\s+(\w+).*\bLANGUAGE\s+js\b.*$$".r
   private val createFnRe =
@@ -557,6 +559,22 @@ class ScriptRunner(spark: SparkSession) {
       val ret = Option(returns).map(r => s" RETURNS ${sparkType(r)}").getOrElse("")
       spark.sql(s"CREATE OR REPLACE TEMPORARY FUNCTION $name($sparkParams)$ret " +
         s"RETURN ${Dialect.rewrite(body)}")
+      None
+    case createTableAsRe(orReplace, ifNotExists, name, partitionCol, query) =>
+      // BigQuery CTAS on a real (non-temp) destination. v1 catalogs
+      // reject REPLACE TABLE, so OR REPLACE becomes drop-then-create.
+      val (clean, _) = Dialect.normalizeTableName(name.replace("`", ""))
+      val dest = clean.split("\\.") match {
+        case Array(p, dd, t) => s"${p.replace("-", "_")}__${dd.replace("-", "_")}.$t"
+        case Array(dd, t) => s"${dd.replace("-", "_")}.$t"
+        case _ => clean
+      }
+      if (orReplace != null) spark.sql(s"DROP TABLE IF EXISTS $dest")
+      val ine = if (ifNotExists != null) "IF NOT EXISTS " else ""
+      val part = Option(partitionCol).map(c => s" PARTITIONED BY ($c)").getOrElse("")
+      spark.sql(s"CREATE TABLE $ine$dest USING PARQUET$part AS " +
+        Dialect.rewrite(substituteVars(
+          expandInformationSchema(expandWildcardTables(query)))))
       None
     case createTempRe(n1, q1, n2, q2) =>
       val (name, query) = if (n1 != null) (n1, q1) else (n2, q2)

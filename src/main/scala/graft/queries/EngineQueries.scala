@@ -765,6 +765,22 @@ object EngineQueries {
           |ORDER BY table_name, pos, kind""".stripMargin).get
     },
 
+    // --- CREATE OR REPLACE TABLE ... AS (CTAS through scripting) -------
+    "e34_create_table_as" -> { (s, d) =>
+      Tables.views(s, d, "orders")
+      freshDb(s, "graft__pg34")
+      // seed an old version so OR REPLACE proves it drops before create
+      s.sql("CREATE TABLE graft__pg34.ctas (old_col STRING) USING PARQUET")
+      new ScriptRunner(s).run(
+        """CREATE OR REPLACE TABLE `graft.pg34.ctas` AS
+          |SELECT o_orderpriority, count(1) AS cnt,
+          |  CAST(SUM(CAST(o_totalprice AS NUMERIC)) AS FLOAT64) AS revenue
+          |FROM orders
+          |WHERE o_orderdate >= '1996-03-01' AND o_orderdate < '1996-04-01'
+          |GROUP BY 1;
+          |SELECT * FROM graft.pg34.ctas ORDER BY o_orderpriority""".stripMargin).get
+    },
+
     // --- QUALIFY: post-window filtering in BigQuery evaluation order ---
     "e23_qualify" -> { (s, d) =>
       // Latest-order-per-customer, the canonical QUALIFY use. The
@@ -1061,6 +1077,13 @@ object EngineQueries {
         |SELECT lang, count(1) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
         |FROM g WHERE doc_id % 3 = 0
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "e34_create_table_as" ->
+      """SELECT o_orderpriority, count(1) AS cnt,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-03-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
 
     "e33_information_schema" ->
       """SELECT * FROM (VALUES

@@ -114,6 +114,22 @@ class DmlRunnerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(state() == Seq(("a", 1L), ("x", 9L)))
   }
 
+  test("UPDATE ... FROM joins the source; multi-match errors like BigQuery") {
+    freshTable(Seq(("a", 1L), ("b", 2L), ("c", 3L)))
+    dml.run(
+      """UPDATE `dmlspec.t` SET v = s.nv
+        |FROM (SELECT 'a' AS sk, 10 AS nv UNION ALL SELECT 'b', 20) s
+        |WHERE t.k = s.sk""".stripMargin)
+    assert(state() == Seq(("a", 10L), ("b", 20L), ("c", 3L)))
+    val e = intercept[IllegalArgumentException] {
+      dml.run(
+        """UPDATE `dmlspec.t` SET v = s.nv
+          |FROM (SELECT 'a' AS sk, 1 AS nv UNION ALL SELECT 'a', 2) s
+          |WHERE t.k = s.sk""".stripMargin)
+    }
+    assert(e.getMessage.contains("at most one source row"))
+  }
+
   test("UPDATE evaluates all SET right-hand sides against the OLD row") {
     // SQL UPDATE semantics: `SET k = v's text, v = old k's length` both
     // see pre-update values — a chained withColumn fold would feed the
