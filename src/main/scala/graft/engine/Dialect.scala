@@ -173,6 +173,7 @@ object Dialect {
       java.util.regex.Matcher.quoteReplacement(
         if (m.group(2) != null) s"(NOT array_contains(${m.group(3)}, ${m.group(1)}))"
         else s"array_contains(${m.group(3)}, ${m.group(1)})"))
+    out = rewriteArrayComprehension(out)
     out = rewriteFromUnnest(out)
     out = dateTz.replaceAllIn(out, m =>
       java.util.regex.Matcher.quoteReplacement(
@@ -1004,8 +1005,57 @@ object Dialect {
     s"${prefix}SELECT * EXCEPT(__qualify__) FROM (SELECT $selList, ($cond) AS __qualify__ $fromPart) WHERE __qualify__ $tail"
   }
 
+  private val arrayCompRe = raw"(?is)\bARRAY\s*\(\s*SELECT\b".r
+  private val arrayCompSelRe =
+    raw"(?is)^SELECT\s+(DISTINCT\s+)?(.+?)\s+FROM\s+UNNEST\s*\(".r
+  private val arrayCompTailRe =
+    raw"(?is)^(?:AS\s+)?([A-Za-z_]\w*)?\s*(?:WHERE\s+(.+))?$$".r
+
+  /** BigQuery array comprehension `ARRAY(SELECT [DISTINCT] expr FROM
+    * UNNEST(arr) [AS] v [WHERE cond])` → higher-order functions:
+    * `[array_distinct(]transform(filter(arr, v -> cond), v -> expr)[)]`
+    * — stays inside codegen, no subquery. Non-comprehension ARRAY(SELECT
+    * …) subqueries pass through.
+    */
+  private def rewriteArrayComprehension(sql: String): String =
+    arrayCompRe.findFirstMatchIn(sql) match {
+      case scala.None => sql
+      case Some(m) =>
+        val open = sql.indexOf('(', m.start)
+        val close = matchParen(sql, open)
+        if (close < 0) return sql
+        def skip() = // not a rewritable shape: scan past this ARRAY(
+          sql.substring(0, close) + rewriteArrayComprehension(sql.substring(close))
+        val inner = sql.substring(open + 1, close).trim
+        arrayCompSelRe.findFirstMatchIn(inner) match {
+          case scala.None => skip()
+          case Some(sm) =>
+            val uOpen = inner.indexOf('(', sm.end - 1)
+            val uClose = matchParen(inner, uOpen)
+            if (uClose < 0) return skip()
+            val arr = inner.substring(uOpen + 1, uClose).trim
+            val tail = inner.substring(uClose + 1).trim
+            arrayCompTailRe.findFirstMatchIn(tail) match {
+              case scala.None => skip()
+              case Some(tm) =>
+                val distinct = sm.group(1) != null
+                val sel = sm.group(2).trim
+                val v = Option(tm.group(1)).getOrElse("__x")
+                val cond = Option(tm.group(2))
+                val base = cond.map(c => s"filter($arr, $v -> ($c))")
+                  .getOrElse(s"($arr)")
+                val mapped =
+                  if (sel == v || sel == "*") base
+                  else s"transform($base, $v -> $sel)"
+                val fin = if (distinct) s"array_distinct($mapped)" else mapped
+                rewriteArrayComprehension(
+                  sql.substring(0, m.start) + fin + sql.substring(close + 1))
+            }
+        }
+    }
+
   private val unnestFrom =
-    raw"(?is)(,|\bCROSS\s+JOIN\b|\bLEFT\s+(?:OUTER\s+)?JOIN\b|\bINNER\s+JOIN\b)\s*UNNEST\s*\(".r
+    raw"(?is)(,|\bCROSS\s+JOIN\b|\bLEFT\s+(?:OUTER\s+)?JOIN\b|\bINNER\s+JOIN\b|\bFROM\b)\s*UNNEST\s*\(".r
   /** keywords that may directly follow an alias-less `UNNEST(e)` — the
     * alias capture must not swallow them (`FROM t, UNNEST(e) WHERE …`).
     */
@@ -1040,11 +1090,8 @@ object Dialect {
             val v = Option(am.group(1)).getOrElse("__unnest_col")
             val hasOff = am.group(2) != null
             val off = Option(am.group(3)).getOrElse("__offset")
-            val isLeft = m.group(1).trim.toUpperCase.startsWith("LEFT")
-            val lv = if (isLeft) "LATERAL VIEW OUTER" else "LATERAL VIEW"
-            val gen =
-              if (hasOff) s"posexplode($arr) __u AS $off, $v"
-              else s"explode($arr) __u AS $v"
+            val kw = m.group(1).trim.toUpperCase
+            val isLeft = kw.startsWith("LEFT")
             var rest = after.substring(am.end)
             if (isLeft) rest = rest.replaceFirst(raw"(?is)^\s*ON\s+TRUE", "")
             val prefix = sql.substring(0, m.start).replaceAll("\\s+$", "")
@@ -1052,7 +1099,19 @@ object Dialect {
             // before the next keyword — restore the separator
             val sep = if (rest.isEmpty || rest.head.isWhitespace ||
               rest.head == ',' || rest.head == ')') "" else " "
-            rewriteFromUnnest(prefix + s" $lv $gen" + sep + rest)
+            if (kw == "FROM") {
+              // UNNEST as the SOLE table: a derived table, no lateral base
+              val gen =
+                if (hasOff) s"(SELECT posexplode($arr) AS ($off, $v))"
+                else s"(SELECT explode($arr) AS $v)"
+              rewriteFromUnnest(prefix + s" FROM $gen" + sep + rest)
+            } else {
+              val lv = if (isLeft) "LATERAL VIEW OUTER" else "LATERAL VIEW"
+              val gen =
+                if (hasOff) s"posexplode($arr) __u AS $off, $v"
+                else s"explode($arr) __u AS $v"
+              rewriteFromUnnest(prefix + s" $lv $gen" + sep + rest)
+            }
           case scala.None => sql
         }
     }

@@ -86,6 +86,20 @@ class DialectExecSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SELECT a[0] FROM (SELECT array(7, 8) AS a)")).collect()(0).getInt(0) == 7)
   }
 
+  test("ARRAY comprehension and sole-table FROM UNNEST") {
+    assert(one("SELECT ARRAY(SELECT x * 2 FROM UNNEST([1, 2, 3]) AS x WHERE x > 1)") ==
+      Seq(4, 6))
+    assert(one("SELECT ARRAY(SELECT x FROM UNNEST([3, 1]) x)") == Seq(3, 1))
+    assert(one("SELECT ARRAY(SELECT DISTINCT x FROM UNNEST([1, 1, 2]) x)") == Seq(1, 2))
+    assert(spark.sql(Dialect.rewrite(
+      "SELECT v FROM UNNEST([10, 20, 30]) v WHERE v > 15 ORDER BY v"))
+      .collect().map(_.getInt(0)).toSeq == Seq(20, 30))
+    assert(spark.sql(Dialect.rewrite(
+      "SELECT o, v FROM UNNEST(['a', 'b']) v WITH OFFSET o ORDER BY o"))
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((0, "a"), (1, "b")))
+  }
+
   test("SAFE. prefix: parse functions go NULL on bad input, DIV integer-divides") {
     assert(one("SELECT SAFE.PARSE_DATE('%Y-%m-%d', 'nope')") == null)
     assert(one("SELECT CAST(SAFE.PARSE_DATE('%Y-%m-%d', '2024-02-29') AS STRING)") ==
