@@ -146,7 +146,18 @@ object Dialect {
   /** `mapFqns = false` is for lineage parsing, which must see the
     * ORIGINAL BigQuery identifiers (its output is BigQuery URNs).
     */
+  private val systemTimeRe = raw"(?is)\bFOR\s+SYSTEM_TIME\s+AS\s+OF\b".r
+
   def rewrite(sql: String, mapFqns: Boolean = true): String = {
+    // fail loud on time travel — parquet destinations keep no history
+    // (a silent ignore would read CURRENT data for a historical query)
+    systemTimeRe.findFirstMatchIn(sql).foreach { m =>
+      val spans = stringLit.findAllMatchIn(sql).map(x => (x.start, x.end)).toVector
+      if (!spans.exists(s => m.start >= s._1 && m.start < s._2))
+        throw new UnsupportedOperationException(
+          "FOR SYSTEM_TIME AS OF (time travel) is not supported: parquet " +
+            "tables keep no row history. Snapshot the table explicitly instead")
+    }
     // BigQuery NUMERIC is DECIMAL(38,9); Spark's NUMERIC keyword means
     // DECIMAL(10,0) — rewrite to BigQuery semantics (outside literals
     // only). INT64/FLOAT64 are BigQuery-only type spellings.

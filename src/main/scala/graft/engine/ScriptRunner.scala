@@ -362,10 +362,55 @@ class ScriptRunner(spark: SparkSession) {
         runBegin(stmt)
       case "ASSERT" => runAssert(stmt)
       case "RAISE" => runRaise(stmt)
+      case "EXPORT" => runExportData(stmt)
       case "BREAK" | "LEAVE" => throw new BreakSignal
       case "CONTINUE" | "ITERATE" => throw new ContinueSignal
       case _ => runSimpleStatement(stmt)
     }
+
+  private val exportDataRe =
+    raw"(?is)^EXPORT\s+DATA\s+OPTIONS\s*\((.*?)\)\s+AS\s+(.+)$$".r
+  private val optionRe = raw"(?is)(\w+)\s*=\s*('(?:[^']|'')*'|\w+)".r
+
+  /** EXPORT DATA OPTIONS(uri='…/part-*.ext', format='CSV|JSON|PARQUET'
+    * [, header=…, field_delimiter=…, overwrite=…]) AS SELECT … — the
+    * BigQuery extract statement, targeting a filesystem directory (the
+    * wildcard filename segment maps to Spark's part-file naming).
+    * Returns the written row count as a 1-row result.
+    */
+  private def runExportData(stmt: String): Option[DataFrame] = stmt.trim match {
+    case exportDataRe(optsText, query) =>
+      val opts = optionRe.findAllMatchIn(optsText).map { m =>
+        val v = m.group(2)
+        val clean = if (v.startsWith("'"))
+          v.substring(1, v.length - 1).replace("''", "'") else v
+        m.group(1).toLowerCase -> clean
+      }.toMap
+      val uri = opts.getOrElse("uri", throw new IllegalArgumentException(
+        "EXPORT DATA requires a uri option"))
+      // BigQuery requires a single `*` wildcard in the filename: the
+      // directory above it becomes the Spark output dir
+      val dir = uri.split("\\*")(0).reverse.dropWhile(_ != '/').reverse
+      val fmt = opts.getOrElse("format", "CSV").toUpperCase
+      val df = spark.sql(Dialect.rewrite(substituteVars(
+        expandInformationSchema(expandWildcardTables(query)))))
+      val n = df.count()
+      val writer = df.write.mode(
+        if (opts.get("overwrite").exists(_.equalsIgnoreCase("true"))) "overwrite"
+        else "errorifexists")
+      fmt match {
+        case "CSV" => writer
+          .option("header", opts.getOrElse("header", "false"))
+          .option("delimiter", opts.getOrElse("field_delimiter", ","))
+          .csv(dir)
+        case "JSON" => writer.json(dir)
+        case "PARQUET" => writer.parquet(dir)
+        case other => throw new IllegalArgumentException(
+          s"unsupported EXPORT DATA format $other (CSV, JSON, PARQUET)")
+      }
+      Some(spark.sql(s"SELECT CAST($n AS BIGINT) AS exported_rows"))
+    case other => throw new IllegalArgumentException(s"malformed EXPORT DATA: $other")
+  }
 
   /** the exception being handled by the innermost BEGIN…EXCEPTION —
     * what a bare RAISE re-raises.

@@ -279,6 +279,27 @@ class ScriptRunnerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("needs at least 6"))
   }
 
+  test("EXPORT DATA writes the query result and reports the row count") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_export")
+    val out = new ScriptRunner(spark).run(
+      s"""EXPORT DATA OPTIONS(uri='$dir/out/part-*.csv', format='CSV',
+         |  header=true, overwrite=true) AS
+         |SELECT k, k * k AS sq FROM (SELECT explode(sequence(1, 5)) AS k)"""
+        .stripMargin).get
+    assert(out.collect().head.getLong(0) == 5L)
+    val back = spark.read.option("header", "true").csv(s"$dir/out")
+    assert(back.count() == 5)
+    assert(back.columns.toSeq == Seq("k", "sq"))
+  }
+
+  test("time travel fails loud instead of silently reading current data") {
+    val e = intercept[UnsupportedOperationException] {
+      new ScriptRunner(spark).run(
+        "SELECT * FROM t FOR SYSTEM_TIME AS OF TIMESTAMP '2024-01-01'")
+    }
+    assert(e.getMessage.contains("time travel"))
+  }
+
   test("RAISE USING MESSAGE aborts the script with the evaluated message") {
     val e = intercept[RuntimeException] {
       new ScriptRunner(spark).run(
