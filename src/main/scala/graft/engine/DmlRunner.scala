@@ -32,6 +32,10 @@ class DmlRunner(spark: SparkSession, runner: TransformRunner) {
 
   private val mergeRe =
     raw"(?is)^\s*MERGE\s+(?:INTO\s+)?`?([\w.$$-]+)`?\s+(?:AS\s+)?(\w+)\s+USING\s*\((.*?)\)\s*(?:AS\s+)?(\w+)\s+ON\s+(.+?)\s+(WHEN\s+.*?)\s*;?\s*$$".r
+  // USING a bare table (not a subquery) — routed through the same body
+  // with a SELECT * source
+  private val mergeTableRe =
+    raw"(?is)^\s*MERGE\s+(?:INTO\s+)?`?([\w.$$-]+)`?\s+(?:AS\s+)?(\w+)\s+USING\s+`?([\w.$$-]+)`?\s+(?:AS\s+)?(\w+)\s+ON\s+(.+?)\s+(WHEN\s+.*?)\s*;?\s*$$".r
   private val whenMatchedRe =
     raw"(?is)WHEN\s+MATCHED\s*(?:AND\s+(.+?))?\s*THEN\s+UPDATE\s+SET\s+(.+?)(?=\s+WHEN\s+|\s*$$)".r
   private val whenNotMatchedRe =
@@ -55,6 +59,9 @@ class DmlRunner(spark: SparkSession, runner: TransformRunner) {
     raw"(?is)^\s*TRUNCATE\s+TABLE\s+`?([\w.$$-]+)`?\s*;?\s*$$".r
 
   def runStatement(stmt: String): Unit = stmt match {
+    case mergeTableRe(destFqn, tAlias, srcTable, sAlias, onCond, whenClauses) =>
+      merge(destFqn, tAlias, s"SELECT * FROM ${runner.catalogName(srcTable)}",
+        sAlias, onCond, whenClauses)
     case mergeRe(destFqn, tAlias, srcQuery, sAlias, onCond, whenClauses) =>
       merge(destFqn, tAlias, srcQuery, sAlias, onCond, whenClauses)
     case deleteRe(destFqn, cond) => delete(destFqn, cond)

@@ -104,6 +104,18 @@ class DmlRunnerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!spark.catalog.tableExists("dmlspec.t"))
   }
 
+  test("MERGE USING a bare table source") {
+    freshTable(Seq(("a", 1L), ("b", 2L)))
+    spark.sql("DROP TABLE IF EXISTS dmlspec.src")
+    spark.sql("CREATE TABLE dmlspec.src (k STRING, v BIGINT) USING parquet")
+    spark.sql("INSERT INTO dmlspec.src VALUES ('a', 100), ('z', 9)")
+    dml.run(
+      """MERGE INTO `dmlspec.t` T USING `dmlspec.src` S ON T.k = S.k
+        |WHEN MATCHED THEN UPDATE SET v = S.v
+        |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (S.k, S.v)""".stripMargin)
+    assert(state() == Seq(("a", 100L), ("b", 2L), ("z", 9L)))
+  }
+
   test("WHEN NOT MATCHED THEN INSERT ROW inserts all columns positionally") {
     freshTable(Seq(("a", 1L)))
     dml.run(
