@@ -169,6 +169,9 @@ object Dialect {
       // typed-literal case appears as DATETIME at segment end)
       _.replaceAll(raw"(?i)\bDATETIME\b(?=\s*(?:'|$$))", "TIMESTAMP_NTZ")
         .replaceAll(raw"(?i)(\bAS\s+)DATETIME\b", "$1TIMESTAMP_NTZ")
+        // BIGNUMERIC is 76 digits in BigQuery; Spark decimals cap at
+        // 38 — 38,18 keeps the wider fraction (precision reduction)
+        .replaceAll(raw"(?i)\bBIGNUMERIC\b", "DECIMAL(38,18)")
         .replaceAll(raw"(?i)\bNUMERIC\b", "DECIMAL(38,9)")
         .replaceAll(raw"(?i)\bINT64\b", "BIGINT")
         .replaceAll(raw"(?i)\bFLOAT64\b", "DOUBLE")

@@ -781,6 +781,22 @@ object EngineQueries {
           |SELECT * FROM graft.pg34.ctas ORDER BY o_orderpriority""".stripMargin).get
     },
 
+    // --- EXPORT DATA: write-out + read-back round trip -----------------
+    "e35_export_data" -> { (s, d) =>
+      Tables.views(s, d, "orders")
+      val dir = Files.createTempDirectory("graft_e35").toString
+      new ScriptRunner(s).run(
+        s"""EXPORT DATA OPTIONS(uri='$dir/out/part-*.csv', format='CSV',
+           |  header=true, overwrite=true) AS
+           |SELECT o_orderpriority, count(1) AS cnt FROM orders
+           |WHERE o_orderdate >= '1996-06-01' AND o_orderdate < '1996-07-01'
+           |GROUP BY 1""".stripMargin)
+      s.read.option("header", "true")
+        .schema("o_orderpriority STRING, cnt BIGINT")
+        .csv(s"$dir/out")
+        .orderBy("o_orderpriority")
+    },
+
     // --- QUALIFY: post-window filtering in BigQuery evaluation order ---
     "e23_qualify" -> { (s, d) =>
       // Latest-order-per-customer, the canonical QUALIFY use. The
@@ -1077,6 +1093,11 @@ object EngineQueries {
         |SELECT lang, count(1) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
         |FROM g WHERE doc_id % 3 = 0
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "e35_export_data" ->
+      """SELECT o_orderpriority, count(1) AS cnt FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-06-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
 
     "e34_create_table_as" ->
       """SELECT o_orderpriority, count(1) AS cnt,
