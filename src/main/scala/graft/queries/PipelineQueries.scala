@@ -883,6 +883,28 @@ object PipelineQueries {
     },
 
     // --- canonical-URL dedup (the first pass of a web pipeline) ---------
+    "d56_leakage_safe_split" -> { (s, d) =>
+      // Train/validation split assigned at the DOMAIN level: every doc
+      // of a domain lands in the same split (hash of the domain, not
+      // the doc), so near-duplicate pages from one site can't straddle
+      // train and eval — the split discipline that makes decontamination
+      // meaningful. Gate carries a purity witness: the max number of
+      // distinct splits any domain touches must be 1.
+      val docs = t(s, d, "documents").select(col("doc_id"),
+        concat(lit("site"), (col("doc_id") % 37).cast("string"), lit(".org"))
+          .as("domain"))
+      val split = docs.withColumn("split",
+        when(expr("CAST(conv(substring(md5(domain), 1, 15), 16, 10) AS BIGINT) % 100") < 90,
+          "train").otherwise("val"))
+      val purity = split.groupBy(col("domain"))
+        .agg(countDistinct(col("split")).as("n_splits"))
+        .agg(max(col("n_splits")).as("max_splits_per_domain"))
+      split.groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), countDistinct(col("domain")).as("n_domains"))
+        .crossJoin(broadcast(purity))
+        .orderBy(col("split"))
+    },
+
     "d55_domain_blocklist" -> { (s, d) =>
       // RefinedWeb/CCNet-style URL filtering: block a document when its
       // host OR ANY parent domain is blocklisted. The 100 TB shape:
@@ -1181,6 +1203,24 @@ object PipelineQueries {
           |  CAST(coalesce(sum(CASE WHEN c.a IS NOT NULL THEN 1 END), 0) AS DOUBLE)
           |    / CAST(count(1) AS DOUBLE) AS recall
           |FROM truth t LEFT JOIN cand c ON t.a = c.a AND t.b = c.b""".stripMargin),
+
+      "d56_leakage_safe_split" ->
+        """WITH doms AS (
+          |  SELECT doc_id, 'site' || CAST(doc_id % 37 AS VARCHAR) || '.org' AS domain
+          |  FROM documents
+          |), sp AS (
+          |  SELECT doc_id, domain,
+          |    CASE WHEN ('0x' || substring(md5(domain), 1, 15))::BIGINT % 100 < 90
+          |         THEN 'train' ELSE 'val' END AS split
+          |  FROM doms
+          |), purity AS (
+          |  SELECT max(n) AS max_splits_per_domain FROM (
+          |    SELECT domain, count(DISTINCT split) AS n FROM sp GROUP BY domain)
+          |)
+          |SELECT split, count(1) AS n_docs, count(DISTINCT domain) AS n_domains,
+          |  max_splits_per_domain
+          |FROM sp, purity GROUP BY split, max_splits_per_domain
+          |ORDER BY split""".stripMargin,
 
       "d55_domain_blocklist" ->
         """WITH docs AS (
