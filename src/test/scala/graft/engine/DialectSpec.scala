@@ -269,6 +269,16 @@ class DialectSpec extends AnyFunSuite {
       "SELECT timestampdiff(DAY, b, a)")
   }
 
+  test("TABLE-keyword statements map 3-part names; USING parquet untouched") {
+    assert(Dialect.mapSourceFqns("ALTER TABLE proj.ds.t ADD COLUMNS (x INT)") ==
+      "ALTER TABLE proj__ds.`t` ADD COLUMNS (x INT)")
+    assert(Dialect.mapSourceFqns("TRUNCATE TABLE proj.ds.t") ==
+      "TRUNCATE TABLE proj__ds.`t`")
+    // non-3-part names and format clauses pass through
+    assert(Dialect.mapSourceFqns("CREATE TABLE db.t (x INT) USING parquet") ==
+      "CREATE TABLE db.t (x INT) USING parquet")
+  }
+
   test("comma-join with an unmapped 3-part FQN fails loud") {
     val e = intercept[IllegalArgumentException] {
       Dialect.mapSourceFqns("SELECT * FROM proj.ds.a, proj.ds.b WHERE a.id = b.id")
