@@ -214,6 +214,8 @@ object Dialect {
   private def rewriteStarReplace(sql: String): String =
     starReplaceRe.findFirstMatchIn(sql) match {
       case scala.None => sql
+      case Some(m) if inStringLiteral(sql, m.start) =>
+        sql.substring(0, m.end) + rewriteStarReplace(sql.substring(m.end))
       case Some(m) =>
         val open = sql.indexOf('(', m.start + 1)
         val close = matchParen(sql, open)
@@ -256,6 +258,8 @@ object Dialect {
   private def rewriteTypedStruct(sql: String): String =
     typedStructRe.findFirstMatchIn(sql) match {
       case scala.None => sql
+      case Some(m) if inStringLiteral(sql, m.start) =>
+        sql.substring(0, m.end) + rewriteTypedStruct(sql.substring(m.end))
       case Some(m) =>
         val lt = sql.indexOf('<', m.start)
         var i = lt; var depth = 0; var gt = -1
@@ -363,6 +367,8 @@ object Dialect {
   private def rewriteArrayAccess(sql: String): String =
     arrayAccessRe.findFirstMatchIn(sql) match {
       case scala.None => sql
+      case Some(m) if inStringLiteral(sql, m.start) =>
+        sql.substring(0, m.end) + rewriteArrayAccess(sql.substring(m.end))
       case Some(m) =>
         val open = sql.indexOf('(', m.end - 1)
         val close = matchParen(sql, open)
@@ -1019,6 +1025,13 @@ object Dialect {
     s"${prefix}SELECT * EXCEPT(__qualify__) FROM (SELECT $selList, ($cond) AS __qualify__ $fromPart) WHERE __qualify__ $tail"
   }
 
+  /** is `pos` inside a single-quoted string literal of `sql`? Guards
+    * the recursive text passes (comprehension/UNNEST/access/star-
+    * replace) the way mapOutsideLiterals guards the keyword passes.
+    */
+  private def inStringLiteral(sql: String, pos: Int): Boolean =
+    stringLit.findAllMatchIn(sql).exists(m => pos >= m.start && pos < m.end)
+
   private val arrayCompRe = raw"(?is)\bARRAY\s*\(\s*SELECT\b".r
   private val arrayCompSelRe =
     raw"(?is)^SELECT\s+(DISTINCT\s+)?(.+?)\s+FROM\s+UNNEST\s*\(".r
@@ -1034,6 +1047,8 @@ object Dialect {
   private def rewriteArrayComprehension(sql: String): String =
     arrayCompRe.findFirstMatchIn(sql) match {
       case scala.None => sql
+      case Some(m) if inStringLiteral(sql, m.start) =>
+        sql.substring(0, m.end) + rewriteArrayComprehension(sql.substring(m.end))
       case Some(m) =>
         val open = sql.indexOf('(', m.start)
         val close = matchParen(sql, open)
@@ -1090,6 +1105,8 @@ object Dialect {
   private def rewriteFromUnnest(sql: String): String =
     unnestFrom.findFirstMatchIn(sql) match {
       case scala.None => sql
+      case Some(m) if inStringLiteral(sql, m.start) =>
+        sql.substring(0, m.end) + rewriteFromUnnest(sql.substring(m.end))
       case Some(m) =>
         val open = sql.indexOf('(', m.end - 1)
         val close = matchParen(sql, open)

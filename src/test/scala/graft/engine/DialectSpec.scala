@@ -279,6 +279,29 @@ class DialectSpec extends AnyFunSuite {
       "CREATE TABLE db.t (x INT) USING parquet")
   }
 
+  test("rewrite passes never corrupt string literals or pass-through SQL") {
+    // every pass (array literals, comprehensions, UNNEST, calls, star
+    // replace, typed structs) must leave literal text alone
+    val nasty = Seq(
+      "SELECT 'a [1,2] b' AS s",
+      "SELECT 'ARRAY(SELECT x FROM UNNEST(y) x)' AS s",
+      "SELECT '* REPLACE (a AS b)' AS s",
+      "SELECT 'STRUCT<a INT64>(1)' AS s",
+      "SELECT 'SPLIT(a, \\',\\')' AS s",
+      "SELECT 'FOR SYSTEM_TIME AS OF' AS s",
+      "SELECT 'GENERATE_ARRAY(5, 1)' AS s")
+    nasty.foreach { q =>
+      assert(Dialect.rewrite(q) == q, s"literal corrupted in: $q")
+    }
+    // Spark-native SQL that superficially resembles BigQuery constructs
+    // passes through untouched
+    assert(Dialect.rewrite("SELECT a[0] FROM t") == "SELECT a[0] FROM t")
+    assert(Dialect.rewrite("SELECT transform(arr, x -> x + 1) FROM t") ==
+      "SELECT transform(arr, x -> x + 1) FROM t")
+    assert(Dialect.rewrite("SELECT named_struct('a', 1) FROM t") ==
+      "SELECT named_struct('a', 1) FROM t")
+  }
+
   test("comma-join with an unmapped 3-part FQN fails loud") {
     val e = intercept[IllegalArgumentException] {
       Dialect.mapSourceFqns("SELECT * FROM proj.ds.a, proj.ds.b WHERE a.id = b.id")
