@@ -643,6 +643,9 @@ class ScriptRunner(spark: SparkSession) {
     */
   private def expandInformationSchema(sql: String): String =
     infoSchemaRe.replaceAllIn(sql, m => {
+      if (inSqlLiteral(sql, m.start))
+        java.util.regex.Matcher.quoteReplacement(m.matched)
+      else {
       val qualifier = m.group(1)
       val parts = qualifier.split("\\.")
       val (cat, schema) = if (parts.length == 2) (parts(0), parts(1)) else ("", parts(0))
@@ -676,6 +679,7 @@ class ScriptRunner(spark: SparkSession) {
         if (rows._2.nonEmpty) s"(SELECT * FROM (VALUES ${rows._2.mkString(", ")}) AS ${rows._1})"
         else s"(SELECT * FROM (VALUES ${rows._3}) AS ${rows._1} WHERE FALSE)"
       java.util.regex.Matcher.quoteReplacement(body)
+      }
     })
 
   private val wildcardTableRe = raw"`([\w][\w.-]*\*)`".r
@@ -689,8 +693,15 @@ class ScriptRunner(spark: SparkSession) {
     * prunes those scans entirely (the sharded-table analog of partition
     * pruning; shards must share a schema).
     */
+  private val sqlStringLit = raw"'(?:[^'\\]|\\.)*'".r
+  private def inSqlLiteral(sql: String, pos: Int): Boolean =
+    sqlStringLit.findAllMatchIn(sql).exists(m => pos >= m.start && pos < m.end)
+
   private def expandWildcardTables(sql: String): String =
     wildcardTableRe.replaceAllIn(sql, m => {
+      if (inSqlLiteral(sql, m.start))
+        java.util.regex.Matcher.quoteReplacement(m.matched)
+      else {
       val full = m.group(1)
       val parts = full.split("\\.")
       val (db, tableGlob) = parts match {
@@ -711,6 +722,7 @@ class ScriptRunner(spark: SparkSession) {
         }
         java.util.regex.Matcher.quoteReplacement(
           s"(${branches.mkString(" UNION ALL ")})")
+      }
       }
     })
 }

@@ -785,6 +785,47 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // --- perceptual-hash near-dup over binary payloads ------------------
+    "m04_multimodal_phash_dedup" -> { (s, d) =>
+      // Media near-dup at 100 TB: a 60-bit perceptual hash per payload
+      // (comparison bits over the decoded feature histogram — decode
+      // stubbed as in m01), banded 4×15 bits so candidate generation is
+      // an equi-join; hamming ≤ 3 over 4 bands means one band is clean
+      // (pigeonhole), so the band join finds EVERY qualifying pair —
+      // never an all-pairs comparison. Corpus: each base payload plus a
+      // slightly-perturbed variant (+' abc'), the near-dup planted pair.
+      val base = t(s, d, "documents").where(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("text"))
+      val allDocs = base.unionByName(base.select(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" abc")).as("text")))
+      val blobs = allDocs.select(col("doc_id"),
+        encode(col("text"), "UTF-8").as("payload"),
+        struct(length(col("text")).cast(LongType).as("n_bytes"),
+          lit("text/plain").as("mime")).as("meta"))
+      val ph = MultimodalStub.extractFeatures(blobs)
+        .select(col("doc_id"), expr(
+          """aggregate(sequence(0, 59), 0L, (acc, k) ->
+            |  acc + IF(element_at(features, CAST((k*5+1) % 16 AS INT) + 1) >
+            |           element_at(features, CAST((k*11+6) % 16 AS INT) + 1),
+            |           shiftleft(1L, k), 0L))""".stripMargin).as("ph"))
+        .persist()
+      val bands = ph.select(col("doc_id"), col("ph"),
+          explode(expr("transform(sequence(0, 3), b -> " +
+            "named_struct('band', b, 'v', shiftright(ph, 15 * b) & 32767))")).as("bv"))
+        .select(col("doc_id"), col("ph"), col("bv.band"), col("bv.v"))
+      val cands = bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.v") === col("y.v") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+          col("x.ph").as("ph_a"), col("y.ph").as("ph_b"))
+        .distinct()
+      cands.withColumn("hamming", expr("CAST(bit_count(ph_a ^ ph_b) AS INT)"))
+        .where(col("hamming") <= 3)
+        .select(col("id_a"), col("id_b"), col("hamming"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     // --- batched inference over opaque payloads (GPU batch shape) -----
     "m03_multimodal_batched_inference" -> { (s, d) =>
       val blobs = t(s, d, "documents")
@@ -2464,6 +2505,32 @@ object PipelineQueries {
       // the stub "decoder" is a byte-histogram, so it IS SQL-expressible:
       // byte % 16 == low hex nibble, so histogram the 2nd/4th/6th… chars
       // of hex(blob) — an exact oracle for the whole multimodal pipeline
+      "m04_multimodal_phash_dedup" ->
+        """WITH base AS (
+          |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+          |), all_docs AS (
+          |  SELECT doc_id, text FROM base
+          |  UNION ALL SELECT doc_id + 1000000, text || ' abc' FROM base
+          |), h AS (
+          |  SELECT doc_id,
+          |    regexp_replace(hex(encode(text)), '.(.)', '\1', 'g') AS nibs
+          |  FROM all_docs
+          |), hist AS (
+          |  SELECT doc_id, list_transform(range(16), i ->
+          |    length(nibs) - length(replace(nibs, substr('0123456789ABCDEF', CAST(i AS INT)+1, 1), ''))) AS f
+          |  FROM h
+          |), ph AS (
+          |  SELECT doc_id, CAST(list_sum(list_transform(range(60), k ->
+          |    CASE WHEN f[CAST((k*5+1)%16 AS INT) + 1] > f[CAST((k*11+6)%16 AS INT) + 1]
+          |         THEN CAST(power(2, k) AS BIGINT) ELSE 0 END)) AS BIGINT) AS ph
+          |  FROM hist
+          |)
+          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          |  CAST(bit_count(xor(a.ph, b.ph)) AS INT) AS hamming
+          |FROM ph a JOIN ph b ON b.doc_id > a.doc_id
+          |WHERE bit_count(xor(a.ph, b.ph)) <= 3
+          |ORDER BY id_a, id_b""".stripMargin,
+
       "m01_multimodal_features" ->
         """WITH b AS (
           |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes, 'text/plain' AS mime,

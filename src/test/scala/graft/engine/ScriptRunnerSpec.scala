@@ -300,6 +300,13 @@ class ScriptRunnerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("time travel"))
   }
 
+  test("wildcard/INFORMATION_SCHEMA expansion skips string literals") {
+    val out = new ScriptRunner(spark).run(
+      "SELECT 'see `docs_*` and x.INFORMATION_SCHEMA.TABLES' AS s").get
+    assert(out.collect().head.getString(0) ==
+      "see `docs_*` and x.INFORMATION_SCHEMA.TABLES")
+  }
+
   test("RAISE USING MESSAGE aborts the script with the evaluated message") {
     val e = intercept[RuntimeException] {
       new ScriptRunner(spark).run(
