@@ -924,6 +924,27 @@ object PipelineQueries {
     },
 
     // --- canonical-URL dedup (the first pass of a web pipeline) ---------
+    "d57_quality_calibration" -> { (s, d) =>
+      // Cross-source score calibration: raw quality scores aren't
+      // comparable across crawls/sources, so a global keep-threshold
+      // must act on the per-source RANK of a doc, not its raw score.
+      // percent_rank over (score, doc_id) — the tie-break makes the
+      // rank total and engine-identical; (rank-1)/(n-1) is one exact-int
+      // IEEE division, so the doubles hash-match cross-engine. One
+      // window shuffle per source at 100 TB, no global sort.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source")).orderBy(col("n_chars"), col("doc_id"))
+      t(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .withColumn("pr", percent_rank().over(w))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("pr") >= 0.5, 1)).as("n_kept"),
+          min(when(col("pr") >= 0.5, col("doc_id"))).as("min_kept_doc"),
+          max(when(col("pr") >= 0.5, col("n_chars"))).as("max_kept_chars"))
+        .orderBy(col("source"))
+    },
+
     "d56_leakage_safe_split" -> { (s, d) =>
       // Train/validation split assigned at the DOMAIN level: every doc
       // of a domain lands in the same split (hash of the domain, not
@@ -1244,6 +1265,18 @@ object PipelineQueries {
           |  CAST(coalesce(sum(CASE WHEN c.a IS NOT NULL THEN 1 END), 0) AS DOUBLE)
           |    / CAST(count(1) AS DOUBLE) AS recall
           |FROM truth t LEFT JOIN cand c ON t.a = c.a AND t.b = c.b""".stripMargin),
+
+      "d57_quality_calibration" ->
+        """WITH r AS (
+          |  SELECT doc_id, source, n_chars,
+          |    percent_rank() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS pr
+          |  FROM documents
+          |)
+          |SELECT source, count(1) AS n_docs,
+          |  count(1) FILTER (pr >= 0.5) AS n_kept,
+          |  min(doc_id) FILTER (pr >= 0.5) AS min_kept_doc,
+          |  max(n_chars) FILTER (pr >= 0.5) AS max_kept_chars
+          |FROM r GROUP BY source ORDER BY source""".stripMargin,
 
       "d56_leakage_safe_split" ->
         """WITH doms AS (
