@@ -510,6 +510,43 @@ object EngineQueries {
       s.table("graft__pg28.cust_ranges").orderBy("bucket")
     },
 
+    // --- range partitioning: APPEND lands in the right ranges ----------
+    "e36_range_append" -> { (s, d) =>
+      // APPEND on a range-partitioned destination routes rows into their
+      // integer range partitions (dispatcher (Append, RangeColumn) →
+      // tableTransform insertInto). Seed Jan, append Feb — per-bucket
+      // totals must accumulate.
+      Tables.views(s, d, "orders")
+      freshDb(s, "graft__pg36")
+      s.sql("CREATE TABLE graft__pg36.cust_ranges (cnt BIGINT, bucket INT) USING PARQUET PARTITIONED BY (bucket)")
+      s.sql("""INSERT INTO graft__pg36.cust_ranges PARTITION (bucket)
+              |SELECT count(1) AS cnt, CAST(floor(o_custkey/100)*100 AS INT) AS bucket
+              |FROM orders WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-02-01'
+              |GROUP BY 2""".stripMargin)
+      val sql =
+        """SELECT count(1) AS cnt, CAST(floor(o_custkey/100)*100 AS INT) AS bucket
+          |FROM orders
+          |WHERE o_orderdate >= '__dstart__' AND o_orderdate < '__dend__'
+          |GROUP BY 2""".stripMargin
+      val w = CustomWindow(LocalDateTime.of(1996, 2, 1, 0, 0), LocalDateTime.of(1996, 3, 1, 0, 0))
+      new TransformRunner(s).transform(
+        conf("pg36", "cust_ranges", LoadMethod.Append), sql, w, execTime)
+      s.table("graft__pg36.cust_ranges")
+        .groupBy(col("bucket")).agg(sum(col("cnt")).as("total"))
+        .orderBy(col("bucket"))
+    },
+
+    // --- SELECT * REPLACE through the script runner --------------------
+    "e37_star_replace" -> { (s, d) =>
+      Tables.views(s, d, "orders")
+      new ScriptRunner(s).run(
+        """SELECT * REPLACE (o_totalprice * 2 AS o_totalprice,
+          |                  upper(o_orderpriority) AS o_orderpriority)
+          |FROM (SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+          |      WHERE o_orderdate >= '1997-03-01' AND o_orderdate < '1997-03-08')
+          |ORDER BY o_orderkey""".stripMargin).get
+    },
+
     // --- ALLOW_FIELD_RELAXATION: REQUIRED -> NULLABLE on append --------
     "e29_field_relaxation" -> { (s, d) =>
       // The destination declares `note` REQUIRED (engine-managed table
@@ -988,6 +1025,19 @@ object EngineQueries {
         |  SELECT o_orderkey, o_totalprice, o_orderstatus AS test_column
         |  FROM orders WHERE o_orderdate >= TIMESTAMP '1995-04-01' AND o_orderdate < TIMESTAMP '1995-04-08'
         |) ORDER BY o_orderkey""".stripMargin,
+
+    "e36_range_append" ->
+      """SELECT CAST(floor(o_custkey/100)*100 AS INT) AS bucket, count(1) AS total
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-03-01'
+        |GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "e37_star_replace" ->
+      """SELECT o_orderkey, upper(o_orderpriority) AS o_orderpriority,
+        |  o_totalprice * 2 AS o_totalprice
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-03-01' AND o_orderdate < TIMESTAMP '1997-03-08'
+        |ORDER BY o_orderkey""".stripMargin,
 
     "e28_range_partitioned" ->
       """WITH fresh AS (
