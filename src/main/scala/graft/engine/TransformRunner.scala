@@ -135,8 +135,13 @@ class TransformRunner(spark: SparkSession) {
     (conf.loadMethod, spec) match {
       case (LoadMethod.Merge, _) =>
         dmlTransform(conf, sqlQuery, window, executionTime, dryRun)
-      case (LoadMethod.Append, _) | (LoadMethod.Replace, Unpartitioned) =>
+      case (LoadMethod.Append, _) =>
         tableTransform(conf, sqlQuery, window, executionTime, dryRun)
+      // REPLACE with time_partitioning None splits on the break marker and
+      // runs only the FIRST slice (transformation.py:68-80 task_queries[0])
+      case (LoadMethod.Replace, Unpartitioned) =>
+        tableTransform(conf, AssetCompiler.splitOnMarker(sqlQuery).head,
+          window, executionTime, dryRun)
       case (LoadMethod.ReplaceAll, DayColumn(f)) =>
         singlePartitionTransform(conf, sqlQuery, window, executionTime, f, dryRun)
       case (LoadMethod.Replace, DayColumn(f)) =>
@@ -152,9 +157,13 @@ class TransformRunner(spark: SparkSession) {
         mergeReplaceTransform(conf, sqlQuery, window, executionTime, f, dryRun)
       // REPLACE only branches on time_partitioning (transformation.py:
       // 68-93): a range-partitioned table has time_partitioning None and
-      // falls to the whole-table TableTransformation (WRITE_TRUNCATE)
+      // falls to the whole-table TableTransformation (WRITE_TRUNCATE,
+      // task_queries[0] after break-marker split). tableTransform switches
+      // to static partition overwrite for this case so stale range
+      // partitions absent from the result are dropped, like a truncate.
       case (LoadMethod.Replace, RangeColumn(_)) =>
-        tableTransform(conf, sqlQuery, window, executionTime, dryRun)
+        tableTransform(conf, AssetCompiler.splitOnMarker(sqlQuery).head,
+          window, executionTime, dryRun)
       case (LoadMethod.ReplaceAll, RangeColumn(_)) => throw new IllegalArgumentException(
         "REPLACE_ALL writes a date partition decorator (table$YYYYMMDD), which is " +
           "invalid for a range-partitioned destination; use REPLACE_MERGE or REPLACE")
@@ -218,7 +227,19 @@ class TransformRunner(spark: SparkSession) {
       case WriteDisposition.WriteAppend => "append"
       case WriteDisposition.WriteTruncate => "overwrite"
     }
-    df.select(aligned.toIndexedSeq: _*).write.mode(mode).insertInto(dest)
+    val out = df.select(aligned.toIndexedSeq: _*)
+    val destPartitioned = spark.catalog.listColumns(dest).collect().exists(_.isPartition)
+    if (mode == "overwrite" && destPartitioned) {
+      // WRITE_TRUNCATE on a partitioned destination must replace the WHOLE
+      // table. Under the runner's dynamic partitionOverwriteMode, overwrite-
+      // insertInto only replaces partitions present in the result and stale
+      // partitions would silently survive — static mode with an all-dynamic
+      // partition spec deletes every partition first, i.e. a true truncate.
+      val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+      try out.write.mode(mode).insertInto(dest)
+      finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    } else out.write.mode(mode).insertInto(dest)
   }
 
   /** A14 + A11: REPLACE_ALL — whole window's result into the single

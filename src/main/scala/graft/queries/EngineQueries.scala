@@ -536,6 +536,36 @@ object EngineQueries {
         .orderBy(col("bucket"))
     },
 
+    // --- range partitioning: REPLACE truncates the whole table ---------
+    "e38_range_replace" -> { (s, d) =>
+      // REPLACE on a range-partitioned destination is the reference's
+      // whole-table TableTransformation (transformation.py:68-80:
+      // time_partitioning None → WRITE_TRUNCATE over task_queries[0]).
+      // Seed covers every bucket over Jan-Feb 1996; the transform source
+      // only produces buckets 0 and 100, so every OTHER seeded range
+      // partition must be GONE afterwards — and the second break-marker
+      // slice (which would add bucket 9999) must never run.
+      Tables.views(s, d, "orders")
+      freshDb(s, "graft__pg38")
+      s.sql("CREATE TABLE graft__pg38.cust_ranges (cnt BIGINT, bucket INT) USING PARQUET PARTITIONED BY (bucket)")
+      s.sql("""INSERT INTO graft__pg38.cust_ranges PARTITION (bucket)
+              |SELECT count(1) AS cnt, CAST(floor(o_custkey/100)*100 AS INT) AS bucket
+              |FROM orders WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-03-01'
+              |GROUP BY 2""".stripMargin)
+      val sql =
+        """SELECT count(1) AS cnt, CAST(floor(o_custkey/100)*100 AS INT) AS bucket
+          |FROM orders
+          |WHERE o_orderdate >= '__dstart__' AND o_orderdate < '__dend__'
+          |  AND o_custkey < 200
+          |GROUP BY 2""".stripMargin +
+          AssetCompiler.BreakMarker +
+          "SELECT CAST(1 AS BIGINT) AS cnt, 9999 AS bucket"
+      val w = CustomWindow(LocalDateTime.of(1996, 2, 1, 0, 0), LocalDateTime.of(1996, 3, 1, 0, 0))
+      new TransformRunner(s).transform(
+        conf("pg38", "cust_ranges", LoadMethod.Replace), sql, w, execTime)
+      s.table("graft__pg38.cust_ranges").orderBy("bucket")
+    },
+
     // --- SELECT * REPLACE through the script runner --------------------
     "e37_star_replace" -> { (s, d) =>
       Tables.views(s, d, "orders")
@@ -1038,6 +1068,13 @@ object EngineQueries {
         |FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1997-03-01' AND o_orderdate < TIMESTAMP '1997-03-08'
         |ORDER BY o_orderkey""".stripMargin,
+
+    "e38_range_replace" ->
+      """SELECT count(1) AS cnt, CAST(floor(o_custkey/100)*100 AS INT) AS bucket
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-02-01' AND o_orderdate < TIMESTAMP '1996-03-01'
+        |  AND o_custkey < 200
+        |GROUP BY 2 ORDER BY bucket""".stripMargin,
 
     "e28_range_partitioned" ->
       """WITH fresh AS (
