@@ -167,7 +167,8 @@ object Dialect {
       // CAST) maps the same way
       // (mapOutsideLiterals chunks end right before a quote, so the
       // typed-literal case appears as DATETIME at segment end)
-      _.replaceAll(raw"(?i)\bDATETIME\b(?=\s*(?:'|$$))", "TIMESTAMP_NTZ")
+      s => rewriteSafeNetPrefix(
+        s.replaceAll(raw"(?i)\bDATETIME\b(?=\s*(?:'|$$))", "TIMESTAMP_NTZ")
         .replaceAll(raw"(?i)(\bAS\s+)DATETIME\b", "$1TIMESTAMP_NTZ")
         // BIGNUMERIC is 76 digits in BigQuery; Spark decimals cap at
         // 38 — 38,18 keeps the wider fraction (precision reduction)
@@ -175,13 +176,8 @@ object Dialect {
         .replaceAll(raw"(?i)\bNUMERIC\b", "DECIMAL(38,9)")
         .replaceAll(raw"(?i)\bINT64\b", "BIGINT")
         .replaceAll(raw"(?i)\bFLOAT64\b", "DOUBLE")
-        // SAFE. error-suppressing prefix → SAFE_ spelling handled by the
-        // call rewriter (SAFE_CAST/SAFE_PARSE_x/SAFE_SUBSTR…); same for
-        // the NET. namespace
-        .replaceAll(raw"(?i)\bSAFE\s*\.\s*(?=[A-Za-z_])", "SAFE_")
-        .replaceAll(raw"(?i)\bNET\s*\.\s*(?=[A-Za-z_])", "NET_")
         // BigQuery TABLESAMPLE SYSTEM (n PERCENT) → Spark TABLESAMPLE
-        .replaceAll(raw"(?i)\bTABLESAMPLE\s+SYSTEM\s*\(", "TABLESAMPLE ("))
+        .replaceAll(raw"(?i)\bTABLESAMPLE\s+SYSTEM\s*\(", "TABLESAMPLE (")))
     out = rewriteTypedStruct(out)
     out = inUnnest.replaceAllIn(out, m =>
       java.util.regex.Matcher.quoteReplacement(
@@ -203,6 +199,24 @@ object Dialect {
     out = rewriteQualify(out)
     out
   }
+
+  private val safeNetPrefixRe =
+    raw"(?i)\b(SAFE|NET)\s*\.\s*([A-Za-z_][A-Za-z0-9_]*)(?=\s*\()".r
+
+  /** SAFE. error-suppressing prefix → SAFE_ spelling handled by the call
+    * rewriter (SAFE_CAST, SAFE_PARSE_x, SAFE_SUBSTR…); same for the NET.
+    * namespace. Rewritten ONLY when the dotted name is a call to a known
+    * SAFE_ or NET_ function — an alias or struct path named safe/net
+    * (e.g. `SELECT net.amount FROM ledger net`) must survive untouched.
+    */
+  private def rewriteSafeNetPrefix(sql: String): String =
+    safeNetPrefixRe.replaceAllIn(sql, m => {
+      val underscored = s"${m.group(1)}_${m.group(2)}".toUpperCase
+      java.util.regex.Matcher.quoteReplacement(
+        if (callRewrites.contains(underscored))
+          s"${m.group(1).toUpperCase}_${m.group(2)}"
+        else m.matched)
+    })
 
   private val starReplaceRe = raw"(?is)\*\s*REPLACE\s*\(".r
 

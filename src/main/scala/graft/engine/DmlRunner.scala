@@ -65,11 +65,8 @@ class DmlRunner(spark: SparkSession, runner: TransformRunner) {
     case mergeRe(destFqn, tAlias, srcQuery, sAlias, onCond, whenClauses) =>
       merge(destFqn, tAlias, srcQuery, sAlias, onCond, whenClauses)
     case deleteRe(destFqn, cond) => delete(destFqn, cond)
-    // guard: the regex can't see paren depth, so a subquery's FROM in a
-    // plain UPDATE's SET would misparse — require balanced groups
-    case updateFromRe(destFqn, tAlias, sets, fromSrc, cond)
-        if balancedParens(sets) && balancedParens(fromSrc) =>
-      updateFrom(destFqn, Option(tAlias), sets, fromSrc, cond)
+    case UpdateFromStmt(destFqn, tAlias, sets, fromSrc, cond) =>
+      updateFrom(destFqn, tAlias, sets, fromSrc, cond)
     case updateRe(destFqn, sets, cond) => update(destFqn, sets, cond)
     case truncateRe(destFqn) =>
       spark.sql(s"TRUNCATE TABLE ${runner.catalogName(destFqn)}")
@@ -83,6 +80,45 @@ class DmlRunner(spark: SparkSession, runner: TransformRunner) {
   private def balancedParens(s: String): Boolean =
     s.count(_ == '(') == s.count(_ == ')')
 
+  /** Literal-blind copy of a statement: every character inside a
+    * '…'-quoted literal becomes `x` (length-preserving, so match
+    * positions carry back to the original text). Keeps a plain UPDATE
+    * whose SET/WHERE mentions ' FROM ' inside a string literal from
+    * being misrouted to the joined-UPDATE form.
+    */
+  private def maskLiterals(s: String): String = {
+    val sb = new StringBuilder(s)
+    var i = 0
+    while (i < sb.length) {
+      if (sb.charAt(i) == '\'') {
+        var j = i + 1
+        while (j < sb.length && sb.charAt(j) != '\'') {
+          if (sb.charAt(j) == '\\' && j + 1 < sb.length) { sb.setCharAt(j, 'x'); j += 1 }
+          sb.setCharAt(j, 'x'); j += 1
+        }
+        i = j + 1
+      } else i += 1
+    }
+    sb.toString
+  }
+
+  /** UPDATE…FROM recognizer: the regex runs over literal-masked text (so
+    * FROM/WHERE inside string literals can't split the statement) and the
+    * paren-balance guard keeps a subquery's FROM in a plain UPDATE's SET
+    * from misparsing; captured groups are cut from the ORIGINAL text by
+    * position, preserving literal content.
+    */
+  private object UpdateFromStmt {
+    def unapply(stmt: String): Option[(String, Option[String], String, String, String)] = {
+      val masked = maskLiterals(stmt)
+      updateFromRe.findFirstMatchIn(masked).collect {
+        case m if balancedParens(m.group(3)) && balancedParens(m.group(4)) =>
+          def orig(i: Int) = stmt.substring(m.start(i), m.end(i))
+          (orig(1), Option(m.group(2)).map(_ => orig(2)), orig(3), orig(4), orig(5))
+      }
+    }
+  }
+
   /** UPDATE t SET … FROM src WHERE join-cond — BigQuery's joined UPDATE.
     * Rows with a source match get the SET expressions (which may read
     * source columns); more than one source match per target row is an
@@ -93,7 +129,11 @@ class DmlRunner(spark: SparkSession, runner: TransformRunner) {
       fromSrc: String, cond: String): Unit = {
     val dest = runner.catalogName(destFqn)
     val tAlias = tAliasOpt.getOrElse(destFqn.replace("`", "").split("\\.").last)
-    val destDf = spark.table(dest).alias(tAlias)
+    // synthetic row id: lets the multi-match guard count matches PER
+    // TARGET ROW in the same jobs as the rewrite, instead of comparing
+    // two global counts (two extra materializations)
+    val destDf = spark.table(dest)
+      .withColumn("__graft_rid", monotonically_increasing_id()).alias(tAlias)
     val srcAliasRe = raw"(?is)^(.+?)\s+(?:AS\s+)?(\w+)\s*$$".r
     val (srcText, sAlias) = fromSrc.trim match {
       case s if s.startsWith("(") =>
@@ -104,16 +144,20 @@ class DmlRunner(spark: SparkSession, runner: TransformRunner) {
       case srcAliasRe(n, a) => (n, a)
       case n => (n, n.split("\\.").last)
     }
+    // non-null marker column: a joined source row whose own columns are
+    // ALL NULL is still a match (testing source columns for nullness
+    // would treat it as unmatched)
     val srcDf = (if (srcText.trim.toUpperCase.startsWith("SELECT"))
         spark.sql(Dialect.rewrite(srcText))
-      else spark.table(runner.catalogName(srcText.trim))).alias(sAlias)
+      else spark.table(runner.catalogName(srcText.trim)))
+      .withColumn("__graft_matched", lit(true)).alias(sAlias)
     val joinCond = expr(Dialect.rewrite(cond))
     val joined = destDf.join(srcDf, joinCond, "left")
-    val nJoined = joined.count()
-    val nDest = destDf.count()
-    if (nJoined > nDest) throw new IllegalArgumentException(
-      "UPDATE/MERGE must match at most one source row for each target row")
-    val matched = srcDf.columns.map(c => srcDf(c).isNotNull).reduce(_ || _)
+    if (!joined.groupBy(col("__graft_rid")).agg(count(lit(1)).as("__graft_n"))
+        .where(col("__graft_n") > 1).isEmpty)
+      throw new IllegalArgumentException(
+        "UPDATE/MERGE must match at most one source row for each target row")
+    val matched = col("__graft_matched").isNotNull
     val setMap = parseSetList(sets).map { case (k, v) => k.split("\\.").last -> v }
     val destCols = spark.table(dest).columns
     val projected = destCols.map { c =>
@@ -173,9 +217,14 @@ class DmlRunner(spark: SparkSession, runner: TransformRunner) {
     val bySourceDelete = whenNotMatchedBySourceRe.findFirstMatchIn(whenClauses)
       .map(m => Option(m.group(1)))
 
-    // target side: left join source; matched → updated values, else original
-    val joined = destDf.join(srcDf, cond, "left")
-    val matchedFlag = srcDf.columns.map(c => srcDf(c).isNotNull).reduce(_ || _)
+    // target side: left join source; matched → updated values, else original.
+    // Matched-ness comes from a synthetic always-true marker, not source
+    // column nullness — a source row whose columns are all NULL still
+    // matches. (The anti-join insert side keeps the marker-free srcDf so
+    // INSERT ROW's positional column count stays the source's own.)
+    val srcMarked = srcDf.withColumn("__graft_matched", lit(true))
+    val joined = destDf.join(srcMarked, cond, "left")
+    val matchedFlag = col("__graft_matched").isNotNull
     val updatedCols = destCols.map { c =>
       val base = destDf(c)
       val updated = matchedUpdate match {

@@ -388,12 +388,18 @@ class ScriptRunner(spark: SparkSession) {
       }.toMap
       val uri = opts.getOrElse("uri", throw new IllegalArgumentException(
         "EXPORT DATA requires a uri option"))
-      // BigQuery requires a single `*` wildcard in the filename: the
-      // directory above it becomes the Spark output dir
+      // BigQuery requires EXACTLY one `*` wildcard in the filename: the
+      // directory above it becomes the Spark output dir. A uri without
+      // the wildcard would silently export to the file's parent.
+      if (uri.count(_ == '*') != 1) throw new IllegalArgumentException(
+        s"EXPORT DATA uri must contain exactly one '*' wildcard, got: $uri")
       val dir = uri.split("\\*")(0).reverse.dropWhile(_ != '/').reverse
       val fmt = opts.getOrElse("format", "CSV").toUpperCase
+      // materialize ONCE: exported_rows and the written files must come
+      // from the same execution, or a non-deterministic source (e.g.
+      // TABLESAMPLE) could report a count the export never wrote
       val df = spark.sql(Dialect.rewrite(substituteVars(
-        expandInformationSchema(expandWildcardTables(query)))))
+        expandInformationSchema(expandWildcardTables(query))))).localCheckpoint(true)
       val n = df.count()
       val writer = df.write.mode(
         if (opts.get("overwrite").exists(_.equalsIgnoreCase("true"))) "overwrite"

@@ -23,6 +23,20 @@ class DialectSpec extends AnyFunSuite {
       "SELECT 'SELECT AS STRUCT' AS s")
   }
 
+  test("SAFE./NET. prefixes rewrite only known function calls") {
+    // known namespace functions still map to their underscore spelling
+    assert(Dialect.rewrite("SELECT SAFE.SUBSTR(s, 1, 2)").contains("substr("))
+    assert(Dialect.rewrite("SELECT NET.HOST(u) FROM t").contains("parse_url"))
+    // an alias or struct path named safe/net must survive untouched
+    assert(Dialect.rewrite("SELECT net.amount FROM ledger net", mapFqns = false) ==
+      "SELECT net.amount FROM ledger net")
+    assert(Dialect.rewrite("SELECT safe.v FROM vault safe", mapFqns = false) ==
+      "SELECT safe.v FROM vault safe")
+    // even a call-shaped member on an unknown name stays put
+    assert(Dialect.rewrite("SELECT net.lookup(x) FROM t", mapFqns = false) ==
+      "SELECT net.lookup(x) FROM t")
+  }
+
   test("DATE with timezone argument") {
     assert(Dialect.rewrite("SELECT DATE(created_time, 'Asia/Jakarta')") ==
       "SELECT to_date(from_utc_timestamp(created_time, 'Asia/Jakarta'))")

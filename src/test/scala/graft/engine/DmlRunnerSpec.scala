@@ -168,4 +168,21 @@ class DmlRunnerSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getString(0), r.getString(1))).toSeq.sorted
     assert(rows == Seq(("X", "keep"), ("X", "y")), s"got: $rows")
   }
+
+  test("plain UPDATE with ' FROM ' inside a string literal is not misrouted") {
+    freshTable(Seq(("a", 1L), ("b", 2L)))
+    dml.run("UPDATE `dmlspec.t` SET k = 'copied from audit' WHERE v = 1")
+    assert(state() == Seq(("b", 2L), ("copied from audit", 1L)))
+  }
+
+  test("UPDATE ... FROM matches a source row whose columns are all NULL") {
+    freshTable(Seq(("a", 1L), ("b", 2L)))
+    // the joined source row carries only a NULL column, but it IS a
+    // match — matched-ness must not be inferred from source nullness
+    dml.run(
+      """UPDATE `dmlspec.t` SET v = 99
+        |FROM (SELECT CAST(NULL AS STRING) AS sk) s
+        |WHERE t.k = 'a' AND s.sk IS NULL""".stripMargin)
+    assert(state() == Seq(("a", 99L), ("b", 2L)))
+  }
 }

@@ -292,6 +292,20 @@ class ScriptRunnerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(back.columns.toSeq == Seq("k", "sq"))
   }
 
+  test("EXPORT DATA rejects a uri without exactly one '*' wildcard") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_export_bad")
+    val e = intercept[IllegalArgumentException] {
+      new ScriptRunner(spark).run(
+        s"EXPORT DATA OPTIONS(uri='$dir/out/part.csv', format='CSV') AS SELECT 1 AS x")
+    }
+    assert(e.getMessage.contains("exactly one '*'"))
+    val e2 = intercept[IllegalArgumentException] {
+      new ScriptRunner(spark).run(
+        s"EXPORT DATA OPTIONS(uri='$dir/o*ut/part-*.csv', format='CSV') AS SELECT 1 AS x")
+    }
+    assert(e2.getMessage.contains("exactly one '*'"))
+  }
+
   test("time travel fails loud instead of silently reading current data") {
     val e = intercept[UnsupportedOperationException] {
       new ScriptRunner(spark).run(
