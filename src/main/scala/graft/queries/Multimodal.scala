@@ -1,0 +1,230 @@
+package graft.queries
+
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column support for opaque binary payloads (image / audio /
+  * video at 100 TB scale).
+  *
+  * The Spark-side mechanics are production-shaped:
+  *  - payloads are opaque `BinaryType` columns with a typed metadata
+  *    struct alongside (n_bytes, mime), the standard layout for petabyte
+  *    media lakes (payload column stays pruned away unless referenced);
+  *  - feature extraction runs per-partition over iterators
+  *    (`mapPartitions`), the batch shape a real decoder needs — one init
+  *    per partition, streaming rows through;
+  *  - image payloads are REALLY decoded: `javax.imageio` (in the JDK,
+  *    headless-safe) reads PNG/BMP/GIF bytes to pixels and the feature
+  *    vector is a 16-bin luminance histogram of the decoded raster;
+  *  - non-image mimes fall back to a deterministic byte-histogram
+  *    "feature vector" (documented stub — audio/video codecs are not in
+  *    the JDK), so the pipeline stays end-to-end testable for any mime.
+  */
+object Multimodal {
+
+  case class MediaFeatures(
+      doc_id: Long,
+      n_bytes: Long,
+      mime: String,
+      head_hex: String,
+      width: Int,
+      height: Int,
+      features: Array[Long])
+
+  /** Fallback "decoder" for mimes the JDK can't decode (audio/video):
+    * deterministic 16-bin histogram of payload bytes.
+    */
+  private def byteHistogram(payload: Array[Byte]): Array[Long] = {
+    val hist = new Array[Long](16)
+    var i = 0
+    while (i < payload.length) {
+      hist((payload(i) & 0xff) % 16) += 1L
+      i += 1
+    }
+    hist
+  }
+
+  /** Real image decode: payload bytes → pixels via `javax.imageio`, then
+    * a 16-bin luminance histogram (bin = luma / 16). Single-band rasters
+    * read the raw sample (exact for gray PNG/BMP); multi-band images use
+    * integer ITU-R 601 luma. Returns (width, height, histogram); null
+    * image (undecodable bytes) degrades to the byte-histogram fallback
+    * with width/height 0 rather than failing the partition.
+    */
+  private def decodeImage(payload: Array[Byte]): (Int, Int, Array[Long]) = {
+    val img = ImageIO.read(new ByteArrayInputStream(payload))
+    if (img == null) (0, 0, byteHistogram(payload))
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      val hist = new Array[Long](16)
+      val raster = img.getRaster
+      val singleBand = img.getColorModel.getNumComponents == 1
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v =
+            if (singleBand) raster.getSample(x, y, 0)
+            else {
+              val rgb = img.getRGB(x, y)
+              (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+                (rgb & 0xff) * 114) / 1000
+            }
+          // min-guard: >8-bit samples (16-bit gray PNG) land in the top bin
+          hist(math.min(v / 16, 15)) += 1L
+          x += 1
+        }
+        y += 1
+      }
+      (w, h, hist)
+    }
+  }
+
+  /** Deterministic synthetic grayscale image, returned as REAL PNG bytes
+    * (`ImageIO.write`): pixel(x, y) = (seed·31 + 7x + 13y [+ 16 when
+    * `bumped` and x = 0, y < 2]) mod 256. The closed form lets an
+    * engine-independent oracle replay the expected pixels without a
+    * codec, so decoding the PNG back is a full round-trip check of the
+    * real `javax.imageio` path. `bumped` plants a 2-pixel perturbation —
+    * the "near-duplicate image" for perceptual-hash gates.
+    */
+  def syntheticPng(seed: Long, w: Int, h: Int, bumped: Boolean = false): Array[Byte] = {
+    val px = new Array[Byte](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val bump = if (bumped && x == 0 && y < 2) 16L else 0L
+        px(y * w + x) = (((seed * 31L + x * 7L + y * 13L + bump) % 256L + 256L) % 256L).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    img.getRaster.setDataElements(0, 0, w, h, px)
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** One synthetic PNG per input doc_id (width 16 + id mod 16, height 16;
+    * pixels per [[syntheticPng]] seeded with the ORIGINAL id), emitted in
+    * the standard blob layout (payload + meta struct). `idOffset` relabels
+    * the output doc_id — with `bumped`, that is the planted near-duplicate
+    * corpus for m04. Generation is partition-parallel; nothing touches the
+    * driver.
+    */
+  def syntheticImageBlobs(ids: DataFrame, idOffset: Long = 0L,
+      bumped: Boolean = false): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = 16 + (id % 16).toInt
+          (id + idOffset, syntheticPng(id, w, 16, bumped), w * 16L, "image/png")
+        }
+      }
+      .toDF("doc_id", "payload", "n_bytes", "mime")
+      .select(col("doc_id"), col("payload"),
+        struct(col("n_bytes"), col("mime")).as("meta"))
+  }
+
+  case class Frame(
+      doc_id: Long,
+      frame_no: Int,
+      offset: Long,
+      frame_bytes: Int,
+      digest: Long)
+
+  /** Frame sampling for video/audio-shaped payloads: cut the opaque
+    * payload into fixed-size "frames", keep every `stride`-th one, and
+    * emit one row per sampled frame (the explode shape a real
+    * frame-extractor produces). The decode itself is STUBBED with a
+    * deterministic byte digest (no video codec in the JDK).
+    */
+  def sampleFrames(blobs: DataFrame, frameSize: Int, stride: Int): DataFrame = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, payload) =>
+        val nFrames = (payload.length + frameSize - 1) / frameSize
+        (0 until nFrames by stride).map { f =>
+          val start = f * frameSize
+          val end = math.min(start + frameSize, payload.length)
+          // modular polynomial digest (< 2^31): no 64-bit wraparound, so
+          // the value is reproducible in engines whose integer overflow
+          // errors instead of wrapping — this makes the digest oracle-able
+          var digest = 1125899906842597L % 2147483647L
+          var i = start
+          while (i < end) { digest = (31L * digest + (payload(i) & 0xff)) % 2147483647L; i += 1 }
+          Frame(id, f, start.toLong, end - start, digest)
+        }
+      }
+      .toDF()
+  }
+
+  /** Batched "model inference" over opaque payloads — the GPU-shaped
+    * access pattern: rows are grouped into fixed keyed batches
+    * (doc_id div batchSize, so the batch composition is deterministic
+    * and engine-checkable; a real pipeline batches whatever rows the
+    * partition iterator yields), each batch materializes as one array
+    * — the shape a model forward pass wants — and the STUB model
+    * scores the whole batch in a single call, emitting per-row digests
+    * plus batch-level stats so the batching behavior itself is
+    * observable in the gate output.
+    */
+  def batchedInference(blobs: DataFrame, batchSize: Int): DataFrame = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .groupByKey(_._1 / batchSize)
+      .flatMapGroups { (bk: Long, it: Iterator[(Long, Array[Byte])]) =>
+        val batch = it.toArray.sortBy(_._1) // deterministic batch order
+        val batchBytes = batch.map(_._2.length.toLong).sum
+        batch.map { case (id, p) =>
+          // same modular digest family as sampleFrames (< 2^31, no
+          // wraparound) so the oracle replays it byte-for-byte
+          var d = 7L
+          var i = 0
+          while (i < p.length) { d = (31L * d + (p(i) & 0xff)) % 2147483647L; i += 1 }
+          (id, bk, batch.length.toLong, batchBytes, d)
+        }
+      }
+      .toDF("doc_id", "batch_key", "batch_size", "batch_bytes", "digest")
+  }
+
+  /** Feature extraction over the standard blob layout (doc_id LONG,
+    * payload BINARY, meta STRUCT<n_bytes, mime>): payloads with an
+    * image mime go
+    * through the real `javax.imageio` decode (features = 16-bin luminance
+    * histogram of decoded pixels, width/height from the raster); other
+    * mimes take the byte-histogram fallback with width/height 0.
+    */
+  def extractFeatures(blobs: DataFrame): DataFrame = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    val ds: Dataset[MediaFeatures] = blobs
+      .select(col("doc_id"), col("payload"), col("meta.n_bytes"), col("meta.mime"))
+      .as[(Long, Array[Byte], Long, String)]
+      .mapPartitions { it =>
+        // per-partition init for a heavier decoder would happen here
+        it.map { case (id, payload, nBytes, mime) =>
+          val head = payload.take(8).map(b => f"${b & 0xff}%02x").mkString
+          val (w, h, features) =
+            if (mime != null && mime.startsWith("image/")) decodeImage(payload)
+            else (0, 0, byteHistogram(payload))
+          MediaFeatures(id, nBytes, mime, head, w, h, features)
+        }
+      }
+    ds.toDF()
+  }
+}

@@ -768,19 +768,19 @@ object PipelineQueries {
     },
 
     // --- multimodal plumbing: opaque binary + typed metadata + staged
-    //     feature extraction (deterministic fake "decoder" over bytes;
-    //     real decode libs are stubbed — the schema/partitioning/batch
-    //     shape is the real part) ---------------------------------------
+    //     feature extraction. The payloads are REAL PNGs (ImageIO.write
+    //     over a closed-form pixel grid) and extractFeatures REALLY
+    //     decodes them (ImageIO.read): the features below are luminance
+    //     histograms of decoded pixels, which the oracle replays from
+    //     the pixel formula — a full codec round-trip check -------------
     "m01_multimodal_features" -> { (s, d) =>
-      val blobs = t(s, d, "documents")
-        .select(col("doc_id"),
-          encode(col("text"), "UTF-8").as("payload"),
-          struct(length(col("text")).cast(LongType).as("n_bytes"),
-            lit("text/plain").as("mime")).as(("meta")))
-      MultimodalStub.extractFeatures(blobs)
+      val blobs = Multimodal.syntheticImageBlobs(
+        t(s, d, "documents").select(col("doc_id")))
+      Multimodal.extractFeatures(blobs)
         // serialize the feature vector to a scalar at the gate boundary
         // (array output columns are unhashable in the oracle compare)
         .select(col("doc_id"), col("n_bytes"), col("mime"), col("head_hex"),
+          col("width"), col("height"),
           concat_ws(",", col("features").cast("array<string>")).as("features_csv"))
         .orderBy(col("doc_id"))
     },
@@ -788,22 +788,18 @@ object PipelineQueries {
     // --- perceptual-hash near-dup over binary payloads ------------------
     "m04_multimodal_phash_dedup" -> { (s, d) =>
       // Media near-dup at 100 TB: a 60-bit perceptual hash per payload
-      // (comparison bits over the decoded feature histogram — decode
-      // stubbed as in m01), banded 4×15 bits so candidate generation is
-      // an equi-join; hamming ≤ 3 over 4 bands means one band is clean
-      // (pigeonhole), so the band join finds EVERY qualifying pair —
-      // never an all-pairs comparison. Corpus: each base payload plus a
-      // slightly-perturbed variant (+' abc'), the near-dup planted pair.
+      // (comparison bits over the luminance histogram of REALLY-decoded
+      // PNG pixels — same ImageIO path as m01), banded 4×15 bits so
+      // candidate generation is an equi-join; hamming ≤ 3 over 4 bands
+      // means one band is clean (pigeonhole), so the band join finds
+      // EVERY qualifying pair — never an all-pairs comparison. Corpus:
+      // each base image plus a 2-pixel-perturbed variant (bumped=true),
+      // the planted near-dup pair.
       val base = t(s, d, "documents").where(col("doc_id") % 5 === 0)
-        .select(col("doc_id"), col("text"))
-      val allDocs = base.unionByName(base.select(
-        (col("doc_id") + 1000000L).as("doc_id"),
-        concat(col("text"), lit(" abc")).as("text")))
-      val blobs = allDocs.select(col("doc_id"),
-        encode(col("text"), "UTF-8").as("payload"),
-        struct(length(col("text")).cast(LongType).as("n_bytes"),
-          lit("text/plain").as("mime")).as("meta"))
-      val ph = MultimodalStub.extractFeatures(blobs)
+        .select(col("doc_id"))
+      val blobs = Multimodal.syntheticImageBlobs(base).unionByName(
+        Multimodal.syntheticImageBlobs(base, idOffset = 1000000L, bumped = true))
+      val ph = Multimodal.extractFeatures(blobs)
         .select(col("doc_id"), expr(
           """aggregate(sequence(0, 59), 0L, (acc, k) ->
             |  acc + IF(element_at(features, CAST((k*5+1) % 16 AS INT) + 1) >
@@ -830,7 +826,7 @@ object PipelineQueries {
     "m03_multimodal_batched_inference" -> { (s, d) =>
       val blobs = t(s, d, "documents")
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-      MultimodalStub.batchedInference(blobs, batchSize = 32)
+      Multimodal.batchedInference(blobs, batchSize = 32)
         .orderBy(col("doc_id"))
     },
 
@@ -1209,7 +1205,7 @@ object PipelineQueries {
     "m02_multimodal_frames" -> { (s, d) =>
       val blobs = t(s, d, "documents")
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-      MultimodalStub.sampleFrames(blobs, frameSize = 64, stride = 2)
+      Multimodal.sampleFrames(blobs, frameSize = 64, stride = 2)
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_sampled_frames"),
           sum(col("frame_bytes")).as("sampled_bytes"),
@@ -2535,23 +2531,27 @@ object PipelineQueries {
           |      (d, x) -> (31*d + x) % 2147483647)) AS min_digest
           |FROM fr GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
-      // the stub "decoder" is a byte-histogram, so it IS SQL-expressible:
-      // byte % 16 == low hex nibble, so histogram the 2nd/4th/6th… chars
-      // of hex(blob) — an exact oracle for the whole multimodal pipeline
+      // the gate's images are closed-form pixel grids round-tripped
+      // through a real PNG encode+decode, so the oracle replays the
+      // DECODED pixels directly from the formula: pixel(x,y) =
+      // (id*31 + 7x + 13y [+16 on the 2 bumped pixels]) mod 256 over a
+      // (16 + id%16) × 16 grid — if ImageIO round-trips exactly, the
+      // luminance histograms (and hence the pHash bits) match
       "m04_multimodal_phash_dedup" ->
         """WITH base AS (
-          |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
-          |), all_docs AS (
-          |  SELECT doc_id, text FROM base
-          |  UNION ALL SELECT doc_id + 1000000, text || ' abc' FROM base
-          |), h AS (
-          |  SELECT doc_id,
-          |    regexp_replace(hex(encode(text)), '.(.)', '\1', 'g') AS nibs
-          |  FROM all_docs
+          |  SELECT doc_id FROM documents WHERE doc_id % 5 = 0
+          |), imgs AS (
+          |  SELECT doc_id AS out_id, doc_id AS seed, FALSE AS bumped FROM base
+          |  UNION ALL SELECT doc_id + 1000000, doc_id, TRUE FROM base
           |), hist AS (
-          |  SELECT doc_id, list_transform(range(16), i ->
-          |    length(nibs) - length(replace(nibs, substr('0123456789ABCDEF', CAST(i AS INT)+1, 1), ''))) AS f
-          |  FROM h
+          |  SELECT out_id AS doc_id, list_transform(range(16), i ->
+          |    len(list_filter(
+          |      flatten(list_transform(range(16), y ->
+          |        list_transform(range(16 + seed % 16), x ->
+          |          (seed*31 + x*7 + y*13 +
+          |           CASE WHEN bumped AND x = 0 AND y < 2 THEN 16 ELSE 0 END) % 256))),
+          |      v -> v // 16 = i))) AS f
+          |  FROM imgs
           |), ph AS (
           |  SELECT doc_id, CAST(list_sum(list_transform(range(60), k ->
           |    CASE WHEN f[CAST((k*5+1)%16 AS INT) + 1] > f[CAST((k*11+6)%16 AS INT) + 1]
@@ -2564,17 +2564,22 @@ object PipelineQueries {
           |WHERE bit_count(xor(a.ph, b.ph)) <= 3
           |ORDER BY id_a, id_b""".stripMargin,
 
+      // decoded-pixel features replayed from the generative formula (the
+      // Spark side really decodes the PNG bytes — see m04 note); head_hex
+      // is the PNG signature every valid encode starts with
       "m01_multimodal_features" ->
         """WITH b AS (
-          |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes, 'text/plain' AS mime,
-          |    lower(substr(hex(encode(text)), 1, 16)) AS head_hex,
-          |    regexp_replace(hex(encode(text)), '.(.)', '\1', 'g') AS nibs
+          |  SELECT doc_id, 16 + doc_id % 16 AS w,
+          |    flatten(list_transform(range(16), y ->
+          |      list_transform(range(16 + doc_id % 16), x ->
+          |        (doc_id*31 + x*7 + y*13) % 256))) AS px
           |  FROM documents
           |)
-          |SELECT doc_id, n_bytes, mime, head_hex,
+          |SELECT doc_id, CAST(w*16 AS BIGINT) AS n_bytes, 'image/png' AS mime,
+          |  '89504e470d0a1a0a' AS head_hex,
+          |  CAST(w AS INT) AS width, CAST(16 AS INT) AS height,
           |  array_to_string(list_transform(range(16), i ->
-          |    length(nibs) - length(replace(nibs, substr('0123456789ABCDEF', CAST(i AS INT)+1, 1), ''))
-          |  ), ',') AS features_csv
+          |    len(list_filter(px, v -> v // 16 = i))), ',') AS features_csv
           |FROM b ORDER BY doc_id""".stripMargin,
 
       "d10_ann_bruteforce_topk" ->

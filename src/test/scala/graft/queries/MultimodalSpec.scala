@@ -1,0 +1,56 @@
+package graft.queries
+
+import java.io.ByteArrayInputStream
+
+import javax.imageio.ImageIO
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The real-decode half of the multimodal path: `javax.imageio` must
+  * round-trip the synthetic PNGs exactly (the m01/m04 oracles replay the
+  * pixel formula, so any codec drift breaks the gates), and a checked-in
+  * PNG — written by a separate encoder run, not this JVM — must decode to
+  * the formula's pixels.
+  */
+class MultimodalSpec extends AnyFunSuite {
+
+  private def expectedPixel(seed: Long, x: Int, y: Int, bumped: Boolean): Int = {
+    val bump = if (bumped && x == 0 && y < 2) 16L else 0L
+    (((seed * 31L + x * 7L + y * 13L + bump) % 256L + 256L) % 256L).toInt
+  }
+
+  test("checked-in PNG decodes to the formula's exact pixels") {
+    val in = getClass.getResourceAsStream("/graft/gray_20x16_seed5.png")
+    assert(in != null, "test resource graft/gray_20x16_seed5.png missing")
+    val img = ImageIO.read(in)
+    assert(img.getWidth == 20 && img.getHeight == 16)
+    for (y <- 0 until 16; x <- 0 until 20)
+      assert(img.getRaster.getSample(x, y, 0) == expectedPixel(5L, x, y, bumped = false),
+        s"pixel ($x,$y)")
+  }
+
+  test("syntheticPng round-trips exactly through ImageIO for varied seeds") {
+    for (seed <- Seq(0L, 7L, 255L, 256L, 123456789L); bumped <- Seq(false, true)) {
+      val w = 16 + (seed % 16).toInt
+      val png = Multimodal.syntheticPng(seed, w, 16, bumped)
+      // a real PNG: signature bytes
+      assert(png.take(8).map(b => f"${b & 0xff}%02x").mkString == "89504e470d0a1a0a")
+      val img = ImageIO.read(new ByteArrayInputStream(png))
+      assert(img.getWidth == w && img.getHeight == 16)
+      for (y <- 0 until 16; x <- 0 until w)
+        assert(img.getRaster.getSample(x, y, 0) == expectedPixel(seed, x, y, bumped),
+          s"seed=$seed bumped=$bumped pixel ($x,$y)")
+    }
+  }
+
+  test("bumped variant differs in exactly the 2 planted pixels") {
+    val a = ImageIO.read(new ByteArrayInputStream(Multimodal.syntheticPng(42L, 20, 16)))
+    val b = ImageIO.read(new ByteArrayInputStream(
+      Multimodal.syntheticPng(42L, 20, 16, bumped = true)))
+    val diffs = for {
+      y <- 0 until 16; x <- 0 until 20
+      if a.getRaster.getSample(x, y, 0) != b.getRaster.getSample(x, y, 0)
+    } yield (x, y)
+    assert(diffs == Seq((0, 0), (0, 1)))
+  }
+}
