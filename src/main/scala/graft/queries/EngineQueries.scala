@@ -53,6 +53,17 @@ object EngineQueries {
     }
   }
 
+  /** Per-run destination restore for the range-partitioning gates: the
+    * transform under test mutates the destination, so each run rebuilds
+    * it — but from the db's JVM-lifetime `seed` snapshot (table-level
+    * DROP + INSERT only; the database itself is [[fixtureOnce]] fixture).
+    */
+  private def reseedRangeDest(s: SparkSession, db: String, table: String): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS $db.$table")
+    s.sql(s"CREATE TABLE $db.$table (cnt BIGINT, bucket INT) USING PARQUET PARTITIONED BY (bucket)")
+    s.sql(s"INSERT INTO $db.$table PARTITION (bucket) SELECT cnt, bucket FROM $db.seed")
+  }
+
   private def conf(dataset: String, table: String, method: LoadMethod,
       filter: Option[String] = scala.None, concurrency: Int = 2): TaskConfig =
     TaskConfig(
@@ -492,12 +503,18 @@ object EngineQueries {
       // REPLACE_MERGE auto must replace those wholesale and leave all
       // other range partitions untouched.
       Tables.views(s, d, "orders")
-      freshDb(s, "graft__pg28")
-      s.sql("CREATE TABLE graft__pg28.cust_ranges (cnt BIGINT, bucket INT) USING PARQUET PARTITIONED BY (bucket)")
-      s.sql("""INSERT INTO graft__pg28.cust_ranges PARTITION (bucket)
-              |SELECT count(1) AS cnt, CAST(floor(o_custkey/100)*100 AS INT) AS bucket
-              |FROM orders WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-03-01'
-              |GROUP BY 2""".stripMargin)
+      // the transform mutates the seeded table, so every run re-seeds —
+      // but only the TABLE: the database and the seed aggregate are
+      // JVM-lifetime fixture (no metastore DROP DATABASE churn, no
+      // re-aggregation of orders inside a timed bench body)
+      fixtureOnce(s, "graft__pg28", d) {
+        s.sql("CREATE TABLE graft__pg28.seed (cnt BIGINT, bucket INT) USING PARQUET")
+        s.sql("""INSERT INTO graft__pg28.seed
+                |SELECT count(1) AS cnt, CAST(floor(o_custkey/100)*100 AS INT) AS bucket
+                |FROM orders WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-03-01'
+                |GROUP BY 2""".stripMargin)
+      }
+      reseedRangeDest(s, "graft__pg28", "cust_ranges")
       val sql =
         """SELECT count(1) AS cnt, CAST(floor(o_custkey/100)*100 AS INT) AS bucket
           |FROM orders
@@ -517,12 +534,15 @@ object EngineQueries {
       // tableTransform insertInto). Seed Jan, append Feb — per-bucket
       // totals must accumulate.
       Tables.views(s, d, "orders")
-      freshDb(s, "graft__pg36")
-      s.sql("CREATE TABLE graft__pg36.cust_ranges (cnt BIGINT, bucket INT) USING PARQUET PARTITIONED BY (bucket)")
-      s.sql("""INSERT INTO graft__pg36.cust_ranges PARTITION (bucket)
-              |SELECT count(1) AS cnt, CAST(floor(o_custkey/100)*100 AS INT) AS bucket
-              |FROM orders WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-02-01'
-              |GROUP BY 2""".stripMargin)
+      // table-level re-seed from a JVM-lifetime snapshot (see e28 note)
+      fixtureOnce(s, "graft__pg36", d) {
+        s.sql("CREATE TABLE graft__pg36.seed (cnt BIGINT, bucket INT) USING PARQUET")
+        s.sql("""INSERT INTO graft__pg36.seed
+                |SELECT count(1) AS cnt, CAST(floor(o_custkey/100)*100 AS INT) AS bucket
+                |FROM orders WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-02-01'
+                |GROUP BY 2""".stripMargin)
+      }
+      reseedRangeDest(s, "graft__pg36", "cust_ranges")
       val sql =
         """SELECT count(1) AS cnt, CAST(floor(o_custkey/100)*100 AS INT) AS bucket
           |FROM orders
@@ -546,12 +566,15 @@ object EngineQueries {
       // partition must be GONE afterwards — and the second break-marker
       // slice (which would add bucket 9999) must never run.
       Tables.views(s, d, "orders")
-      freshDb(s, "graft__pg38")
-      s.sql("CREATE TABLE graft__pg38.cust_ranges (cnt BIGINT, bucket INT) USING PARQUET PARTITIONED BY (bucket)")
-      s.sql("""INSERT INTO graft__pg38.cust_ranges PARTITION (bucket)
-              |SELECT count(1) AS cnt, CAST(floor(o_custkey/100)*100 AS INT) AS bucket
-              |FROM orders WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-03-01'
-              |GROUP BY 2""".stripMargin)
+      // table-level re-seed from a JVM-lifetime snapshot (see e28 note)
+      fixtureOnce(s, "graft__pg38", d) {
+        s.sql("CREATE TABLE graft__pg38.seed (cnt BIGINT, bucket INT) USING PARQUET")
+        s.sql("""INSERT INTO graft__pg38.seed
+                |SELECT count(1) AS cnt, CAST(floor(o_custkey/100)*100 AS INT) AS bucket
+                |FROM orders WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-03-01'
+                |GROUP BY 2""".stripMargin)
+      }
+      reseedRangeDest(s, "graft__pg38", "cust_ranges")
       val sql =
         """SELECT count(1) AS cnt, CAST(floor(o_custkey/100)*100 AS INT) AS bucket
           |FROM orders
