@@ -1,6 +1,30 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bench {
+
+  /** One timed pass over the query map: returns (per-query seconds for
+    * queries that ran, names of queries that threw). A failure is LOUD —
+    * named on stderr, returned for the JSON `errors` field, and its time
+    * is excluded so a breaking query can only ever grow the reported
+    * total, never shrink it.
+    */
+  def timeQueries(qs: Seq[(String, (SparkSession, String) => DataFrame)],
+      spark: SparkSession, sfDir: String): (Map[String, Double], Seq[String]) = {
+    val times = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val errs = scala.collection.mutable.ListBuffer[String]()
+    qs.foreach { case (name, fn) =>
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).count()
+        times(name) = (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        errs += name
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      }
+    }
+    (times.toMap, errs.toList)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -21,23 +45,21 @@ object Bench {
     // doesn't absorb session start-up cost
     try spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     catch { case _: Throwable => }
-    val runs = (1 to nRuns).map { _ =>
-      SparkEntry.queries.map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
-      }
-    }
+    val runs = (1 to nRuns).map(_ => timeQueries(SparkEntry.queries.toSeq, spark, sfDir))
+    val errors = runs.flatMap(_._2).distinct.sorted
+    // medians over queries that succeeded in EVERY run; a query that
+    // failed anywhere contributes no time and shows up in `errors`
+    val names = SparkEntry.queries.keys.toSeq.filterNot(errors.contains)
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
-    val names = runs.head.keys.toSeq
-    val medians = names.map(n => n -> median(runs.map(_(n)))).toMap
+    val medians = names.map(n => n -> median(runs.map(_._1(n)))).toMap
     def fmt(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
-    val totals = runs.map(r => r.values.sum)
+    val totals = runs.map(_._1.values.sum)
     val total = medians.values.sum
     val runsJson = totals.map(fmt).mkString("[", ",", "]")
+    val errsJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     // the driver captures only the LAST ~2000 chars of output, so the
     // stdout line carries total + the 40 slowest queries (the ones worth
     // trending); the complete per-query map goes to BENCH_FULL.json
@@ -47,11 +69,11 @@ object Bench {
     val full = medians.toSeq.sortBy(-_._2)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${names.size},"n_runs":$nRuns,"run_totals":$runsJson,"queries":$full,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${names.size},"n_runs":$nRuns,"run_totals":$runsJson,"errors":$errsJson,"queries":$full,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
       (fullLine + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${names.size},"n_runs":$nRuns,"run_totals":$runsJson,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${names.size},"n_runs":$nRuns,"run_totals":$runsJson,"errors":$errsJson,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
