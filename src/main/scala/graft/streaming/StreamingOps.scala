@@ -17,6 +17,40 @@ import org.apache.spark.sql.functions._
   */
 object StreamingOps {
 
+  /** Scratch space for stream checkpoints and bounded-run fixtures:
+    * a JVM-lifetime root on `/dev/shm` (tmpfs) when writable — per-
+    * micro-batch checkpoint I/O is pure fixed cost in a bounded local
+    * run and never needs to survive the JVM — falling back to the
+    * default temp dir otherwise. `once` builds a keyed fixture a single
+    * time per JVM (e.g. the split source files a replay streams from).
+    */
+  private object Scratch {
+    private lazy val root: java.nio.file.Path = {
+      val shm = java.nio.file.Paths.get("/dev/shm")
+      val base =
+        if (java.nio.file.Files.isWritable(shm)) shm
+        else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+      val d = java.nio.file.Files.createTempDirectory(base, "graft_stream_")
+      d.toFile.deleteOnExit()
+      d
+    }
+    def fresh(prefix: String): String =
+      java.nio.file.Files.createTempDirectory(root, prefix).toString
+    private val built = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    def once(key: String)(build: String => Unit): String =
+      built.computeIfAbsent(key, { k =>
+        val d = fresh(k.replaceAll("[^A-Za-z0-9]", "_") + "_")
+        build(d)
+        d
+      })
+  }
+
+  /** Fresh tmpfs checkpoint per query start: bounded runs must never
+    * resume a prior run's offsets (a resumed file-source stream would
+    * skip already-processed files and return empty state).
+    */
+  private def ckpt(): String = Scratch.fresh("ckpt_")
+
   /** Stateful streaming creates one state store per shuffle partition
     * per stateful operator per micro-batch; that fixed cost dominates a
     * bounded local run. Cap the state partitions while a bounded query
@@ -57,6 +91,7 @@ object StreamingOps {
       queryName: String): DataFrame = {
     val agg = sessionize(boundedEventStream(spark, sfDir), "30 minutes")
     val q = withStatePartitions(spark, 8)(agg.writeStream
+      .option("checkpointLocation", ckpt())
       .format("memory")
       .queryName(queryName)
       .outputMode("complete")
@@ -107,6 +142,7 @@ object StreamingOps {
       queryName: String): DataFrame = {
     val q = withStatePartitions(spark, 8)(
       streamFirstSeen(boundedEventStream(spark, sfDir)).writeStream
+      .option("checkpointLocation", ckpt())
       .format("memory")
       .queryName(queryName)
       .outputMode("append")
@@ -142,6 +178,7 @@ object StreamingOps {
       queryName: String): DataFrame = {
     val q = withStatePartitions(spark, 8)(
       streamClickAttribution(boundedEventStream(spark, sfDir)).writeStream
+      .option("checkpointLocation", ckpt())
       .format("memory")
       .queryName(queryName)
       .outputMode("append")
@@ -203,9 +240,12 @@ object StreamingOps {
       .withColumn("event_id", lit(id)).withColumn("user_id", lit(-1L))
       .withColumn("event_type", lit(tpe)).withColumn("value", lit(0.0))
       .withColumn("ts", sentinelTs)
-    val dir = java.nio.file.Files.createTempDirectory("graft_sentinel").toString
-    sentinel("click", -1L).unionByName(sentinel("purchase", -2L))
-      .coalesce(1).write.mode("overwrite").parquet(dir)
+    // the sentinel file is deterministic per source dir → JVM-lifetime
+    // fixture, not per-run setup
+    val dir = Scratch.once(s"sentinel|$sfDir") { d =>
+      sentinel("click", -1L).unionByName(sentinel("purchase", -2L))
+        .coalesce(1).write.mode("overwrite").parquet(d)
+    }
     val sentinels0 = spark.readStream.schema(ev.schema).parquet(dir)
     val sentinels =
       if (isLong) sentinels0.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
@@ -213,6 +253,7 @@ object StreamingOps {
     val joined = streamClickAttributionLeftOuter(
       boundedEventStream(spark, sfDir).unionByName(sentinels))
     val q = withStatePartitions(spark, 8)(joined.writeStream
+      .option("checkpointLocation", ckpt())
       .format("memory")
       .queryName(queryName)
       .outputMode("append")
@@ -249,6 +290,7 @@ object StreamingOps {
     val dedup = streamDedupDelivery(
       boundedEventStream(spark, sfDir), boundedEventStream(spark, sfDir))
     val q = withStatePartitions(spark, 8)(dedup.writeStream
+      .option("checkpointLocation", ckpt())
       .format("memory")
       .queryName(queryName)
       .outputMode("append")
@@ -283,6 +325,7 @@ object StreamingOps {
       .select(col("c_custkey"), col("c_mktsegment"))
     val agg = streamStaticEnrichment(boundedEventStream(spark, sfDir), dim)
     val q = withStatePartitions(spark, 8)(agg.writeStream
+      .option("checkpointLocation", ckpt())
       .format("memory")
       .queryName(queryName)
       .outputMode("complete")
@@ -311,9 +354,12 @@ object StreamingOps {
     */
   def runBoundedForeachBatchUpsert(spark: SparkSession, sfDir: String,
       queryName: String): DataFrame = {
-    val src = java.nio.file.Files.createTempDirectory("s07src").toString
-    spark.read.parquet(s"$sfDir/events.parquet").repartition(2)
-      .write.mode("overwrite").parquet(src)
+    // the 2-file split of the source is deterministic per source dir →
+    // JVM-lifetime fixture, not per-run setup
+    val src = Scratch.once(s"s07src|$sfDir") { d =>
+      spark.read.parquet(s"$sfDir/events.parquet").repartition(2)
+        .write.mode("overwrite").parquet(d)
+    }
     val schema = spark.read.parquet(src).schema
     val raw = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(src)
@@ -322,7 +368,7 @@ object StreamingOps {
         raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       else raw
     val agg = windowedEventCounts(events, "1 hour", "3650 days")
-    val target = java.nio.file.Files.createTempDirectory("s07tgt").toString + "/t"
+    val target = Scratch.fresh("s07tgt_") + "/t"
     val upsert: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
       (batch, _) => {
         val b = batch
@@ -342,7 +388,8 @@ object StreamingOps {
         next.write.mode("overwrite").parquet(target)
       }
     val q = withStatePartitions(spark, 8)(
-      agg.writeStream.outputMode("update").foreachBatch(upsert).start())
+      agg.writeStream.option("checkpointLocation", ckpt())
+        .outputMode("update").foreachBatch(upsert).start())
     try q.processAllAvailable() finally q.stop()
     spark.read.parquet(target)
       .select(date_format(col("ws"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
@@ -371,6 +418,7 @@ object StreamingOps {
       queryName: String): DataFrame = {
     val agg = windowedEventCounts(boundedEventStream(spark, sfDir), "1 hour", "1 hour")
     val q = withStatePartitions(spark, 8)(agg.writeStream
+      .option("checkpointLocation", ckpt())
       .format("memory")
       .queryName(queryName)
       .outputMode("complete")
