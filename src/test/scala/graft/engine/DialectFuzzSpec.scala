@@ -1,0 +1,141 @@
+package graft.engine
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-fuzz for the dialect rewriter's text passes: seeded-random
+  * SQL built from the constructs the passes manipulate (string literals
+  * stuffed with quotes/backslashes/keywords, comments, typed literals,
+  * UNNEST nesting, OFFSET/ORDINAL access, SAFE./NET. names) must come
+  * out of `Dialect.rewrite` still parseable by Spark AND evaluate to the
+  * value the generator knows it built. ~240 generated cases; the seed is
+  * fixed so a failure reproduces — paste the printed SQL into
+  * DialectSpec as a regression.
+  */
+class DialectFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val rnd = new scala.util.Random(20260813L)
+
+  /** Atoms chosen to collide with every text pass: quotes, backslashes,
+    * keywords the passes key on, comment markers, macro-ish braces.
+    */
+  private val atoms = Vector(
+    "a", "z", "0", " ", "'", "\\", "\"", "`", ",", "(", ")", "[", "]",
+    "FROM", "SELECT", "DATETIME", "DATE '2024-01-01'", "--", "/*", "*/",
+    "$", "{{.DSTART}}", "UNNEST", " IN ", ".", "*", "SAFE.", "NET.",
+    "safe.cast", "net.host", "* REPLACE (", "OFFSET(0)", "TABLESAMPLE",
+    "NUMERIC", "INT64", "ARRAY<INT64>")
+
+  private def randomContent(n: Int): String =
+    (1 to n).map(_ => atoms(rnd.nextInt(atoms.size))).mkString
+
+  /** BigQuery/Spark shared literal escaping (backslash style). */
+  private def esc(s: String): String =
+    s.flatMap { case '\'' => "\\'"; case '\\' => "\\\\"; case c => c.toString }
+
+  private def run(sql: String) =
+    try spark.sql(Dialect.rewrite(sql)).collect()
+    catch {
+      case e: Throwable =>
+        fail(s"rewrite output failed for:\n$sql\nrewritten:\n${Dialect.rewrite(sql)}", e)
+    }
+
+  test("string literals survive the rewrite byte-for-byte (60 cases)") {
+    for (_ <- 1 to 10) {
+      val lits = Seq.fill(6)(randomContent(1 + rnd.nextInt(8)))
+      val cols = lits.zipWithIndex
+        .map { case (l, i) => s"'${esc(l)}' AS c$i" }.mkString(", ")
+      val row = run(s"SELECT $cols").head
+      lits.zipWithIndex.foreach { case (l, i) =>
+        assert(row.getString(i) == l, s"literal $i corrupted in: SELECT $cols")
+      }
+    }
+  }
+
+  test("hostile literals around FROM UNNEST keep the array semantics (30 cases)") {
+    for (_ <- 1 to 30) {
+      val ints = Seq.fill(1 + rnd.nextInt(6))(rnd.nextInt(1000))
+      val lit = esc(randomContent(1 + rnd.nextInt(6)))
+      val sql = s"SELECT x FROM UNNEST([${ints.mkString(", ")}]) AS x " +
+        s"WHERE '$lit' <> '\\u0001' ORDER BY x"
+      assert(run(sql).map(_.getInt(0)).toSeq == ints.sorted,
+        s"UNNEST corrupted in: $sql")
+    }
+  }
+
+  test("typed literals: DATETIME and DATE arithmetic stay exact (30 cases)") {
+    for (_ <- 1 to 15) {
+      val d = LocalDate.of(1996 + rnd.nextInt(30), 1 + rnd.nextInt(12), 1 + rnd.nextInt(28))
+      val hms = f"${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:${rnd.nextInt(60)}%02d"
+      val got = run(s"SELECT CAST(DATETIME '$d $hms' AS STRING) AS s").head.getString(0)
+      assert(got == s"$d $hms")
+      val n = rnd.nextInt(1000) - 500
+      val got2 = run(s"SELECT CAST(DATE_ADD(DATE '$d', INTERVAL $n DAY) AS STRING) AS s")
+        .head.getString(0)
+      assert(got2 == d.plusDays(n).toString, s"DATE_ADD(DATE '$d', INTERVAL $n DAY)")
+    }
+  }
+
+  test("hostile comments don't change results (30 cases)") {
+    for (_ <- 1 to 30) {
+      // block comments can hold anything except their terminator (and no
+      // opener — Spark's parser nests bracketed comments, so an inner /*
+      // makes the comment genuinely unterminated); line comments anything
+      // except a newline
+      val block = randomContent(1 + rnd.nextInt(6)).replace("*/", "**").replace("/*", "**")
+      val line = randomContent(1 + rnd.nextInt(6)).replace("\n", " ")
+      val n = rnd.nextInt(100000)
+      val sql = s"/* $block */ SELECT /* x $block */ $n AS x -- $line"
+      assert(run(sql).head.get(0).toString.toInt == n, s"comment corrupted: $sql")
+    }
+  }
+
+  test("nested UNNEST aggregation under hostile literal noise (30 cases)") {
+    for (_ <- 1 to 30) {
+      val ints = Seq.fill(1 + rnd.nextInt(8))(rnd.nextInt(1000) - 500)
+      val lit = esc(randomContent(1 + rnd.nextInt(5)))
+      val sql = s"SELECT (SELECT SUM(x) FROM UNNEST([${ints.mkString(", ")}]) AS x) AS s, " +
+        s"ARRAY_LENGTH([${ints.mkString(", ")}]) AS n, '$lit' AS lit"
+      val row = run(sql).head
+      assert(row.getLong(0) == ints.map(_.toLong).sum, s"SUM corrupted: $sql")
+      assert(row.getInt(1) == ints.size, s"ARRAY_LENGTH corrupted: $sql")
+    }
+  }
+
+  test("SAFE./NET. rewrites don't touch same-named aliases (30 cases)") {
+    for (_ <- 1 to 10) {
+      val (m, n, k) = (rnd.nextInt(1000), rnd.nextInt(1000), 1 + rnd.nextInt(4))
+      val r1 = run(s"SELECT net.v + $n AS r FROM (SELECT $m AS v) AS net").head
+      assert(r1.getInt(0) == m + n)
+      val r2 = run(s"SELECT safe.v FROM (SELECT $m AS v) safe").head
+      assert(r2.getInt(0) == m)
+      val ascii = (1 to 6).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+      val r3 = run(s"SELECT SAFE.SUBSTR('$ascii', 1, $k) AS s").head
+      assert(r3.getString(0) == ascii.take(k), s"SAFE.SUBSTR('$ascii', 1, $k)")
+    }
+  }
+
+  test("array OFFSET/ORDINAL access under literal noise (30 cases)") {
+    for (_ <- 1 to 30) {
+      val ints = Seq.fill(2 + rnd.nextInt(5))(rnd.nextInt(1000))
+      val i = rnd.nextInt(ints.size)
+      val lit = esc(randomContent(1 + rnd.nextInt(5)))
+      val sql = s"SELECT [${ints.mkString(", ")}][OFFSET($i)] AS a, " +
+        s"[${ints.mkString(", ")}][ORDINAL(${i + 1})] AS b WHERE '$lit' IS NOT NULL"
+      val row = run(sql).head
+      assert(row.getInt(0) == ints(i) && row.getInt(1) == ints(i), s"corrupted: $sql")
+    }
+  }
+}
