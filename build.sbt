@@ -30,3 +30,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // threads out of GC stalls (machine has 128 GiB)
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )
+
+// Stress tests (graft.Stress tag) are excluded from plain `sbt test` —
+// they generate 100k+ synthetic docs and run minutes. Opt in with
+//   GRAFT_STRESS=1 sbt "testOnly graft.ops.DedupStressSpec"
+Test / testOptions ++= {
+  if (sys.env.contains("GRAFT_STRESS")) Seq.empty
+  else Seq(Tests.Argument(TestFrameworks.ScalaTest, "-l", "graft.Stress"))
+}

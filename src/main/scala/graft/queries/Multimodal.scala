@@ -4,6 +4,7 @@ import java.awt.image.BufferedImage
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 
 import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
@@ -22,9 +23,12 @@ import org.apache.spark.sql.types._
   *  - image payloads are REALLY decoded: `javax.imageio` (in the JDK,
   *    headless-safe) reads PNG/BMP/GIF bytes to pixels and the feature
   *    vector is a 16-bin luminance histogram of the decoded raster;
-  *  - non-image mimes fall back to a deterministic byte-histogram
-  *    "feature vector" (documented stub — audio/video codecs are not in
-  *    the JDK), so the pipeline stays end-to-end testable for any mime.
+  *  - audio payloads are REALLY decoded too: `javax.sound.sampled`
+  *    reads WAV/AU/AIFF to 16-bit PCM and the feature vector is a
+  *    16-bin amplitude histogram of the samples;
+  *  - other mimes fall back to a deterministic byte-histogram
+  *    "feature vector" (documented stub — video codecs are not in the
+  *    JDK), so the pipeline stays end-to-end testable for any mime.
   */
 object Multimodal {
 
@@ -37,7 +41,7 @@ object Multimodal {
       height: Int,
       features: Array[Long])
 
-  /** Fallback "decoder" for mimes the JDK can't decode (audio/video):
+  /** Fallback "decoder" for mimes the JDK can't decode (video):
     * deterministic 16-bin histogram of payload bytes.
     */
   private def byteHistogram(payload: Array[Byte]): Array[Long] = {
@@ -87,15 +91,80 @@ object Multimodal {
     }
   }
 
-  /** Deterministic synthetic grayscale image, returned as REAL PNG bytes
-    * (`ImageIO.write`): pixel(x, y) = (seed·31 + 7x + 13y [+ 16 when
-    * `bumped` and x = 0, y < 2]) mod 256. The closed form lets an
-    * engine-independent oracle replay the expected pixels without a
-    * codec, so decoding the PNG back is a full round-trip check of the
-    * real `javax.imageio` path. `bumped` plants a 2-pixel perturbation —
-    * the "near-duplicate image" for perceptual-hash gates.
+  /** Real audio decode for PCM payloads (WAV/AU/AIFF — the formats the
+    * JDK's `javax.sound.sampled` reads): the stream is normalized to
+    * 16-bit signed little-endian PCM and the feature vector is a 16-bin
+    * amplitude histogram (bin = (sample + 32768) / 4096). Returns
+    * (total samples, channels, histogram); unreadable bytes degrade to
+    * the byte-histogram fallback with 0 dims.
     */
-  def syntheticPng(seed: Long, w: Int, h: Int, bumped: Boolean = false): Array[Byte] = {
+  private def decodeAudio(payload: Array[Byte]): (Int, Int, Array[Long]) =
+    try {
+      val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+      val fmt = ais.getFormat
+      val target = new AudioFormat(fmt.getSampleRate, 16, fmt.getChannels, true, false)
+      val pcm = AudioSystem.getAudioInputStream(target, ais).readAllBytes()
+      val hist = new Array[Long](16)
+      val n = pcm.length / 2
+      var i = 0
+      while (i < n) {
+        val v = (pcm(2 * i) & 0xff) | (pcm(2 * i + 1).toInt << 8)
+        hist((v + 32768) / 4096) += 1L
+        i += 1
+      }
+      (n, fmt.getChannels, hist)
+    } catch { case _: Exception => (0, 0, byteHistogram(payload)) }
+
+  /** Deterministic synthetic 16-bit mono PCM clip, returned as REAL WAV
+    * bytes (`AudioSystem.write`): sample(i) = ((seed·37 + 31i + 7) mod
+    * 65536) − 32768. Closed form for the oracle, real codec for the
+    * engine — the audio sibling of [[syntheticImage]].
+    */
+  def syntheticWav(seed: Long, nSamples: Int): Array[Byte] = {
+    val pcm = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val v = (((seed * 37L + i * 31L + 7L) % 65536L) - 32768L).toShort
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** One synthetic WAV per input doc_id (256 + id mod 64 samples, seeded
+    * with the id), in the standard blob layout. Partition-parallel.
+    */
+  def syntheticAudioBlobs(ids: DataFrame): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val n = 256 + (id % 64).toInt
+          (id, syntheticWav(id, n), n * 2L, "audio/wav")
+        }
+      }
+      .toDF("doc_id", "payload", "n_bytes", "mime")
+      .select(col("doc_id"), col("payload"),
+        struct(col("n_bytes"), col("mime")).as("meta"))
+  }
+
+  /** Deterministic synthetic grayscale image, returned as REAL encoded
+    * bytes (`ImageIO.write`, PNG by default — BMP/GIF work too): pixel
+    * (x, y) = (seed·31 + 7x + 13y [+ 16 when `bumped` and x = 0, y < 2])
+    * mod 256. The closed form lets an engine-independent oracle replay
+    * the expected pixels without a codec, so decoding the image back is
+    * a full round-trip check of the real `javax.imageio` path. `bumped`
+    * plants a 2-pixel perturbation — the "near-duplicate image" for
+    * perceptual-hash gates.
+    */
+  def syntheticImage(seed: Long, w: Int, h: Int, bumped: Boolean = false,
+      format: String = "png"): Array[Byte] = {
     val px = new Array[Byte](w * h)
     var y = 0
     while (y < h) {
@@ -110,12 +179,12 @@ object Multimodal {
     val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
     img.getRaster.setDataElements(0, 0, w, h, px)
     val bos = new ByteArrayOutputStream()
-    ImageIO.write(img, "png", bos)
+    ImageIO.write(img, format, bos)
     bos.toByteArray
   }
 
   /** One synthetic PNG per input doc_id (width 16 + id mod 16, height 16;
-    * pixels per [[syntheticPng]] seeded with the ORIGINAL id), emitted in
+    * pixels per [[syntheticImage]] seeded with the ORIGINAL id), emitted in
     * the standard blob layout (payload + meta struct). `idOffset` relabels
     * the output doc_id — with `bumped`, that is the planted near-duplicate
     * corpus for m04. Generation is partition-parallel; nothing touches the
@@ -129,7 +198,7 @@ object Multimodal {
       .mapPartitions { it =>
         it.map { id =>
           val w = 16 + (id % 16).toInt
-          (id + idOffset, syntheticPng(id, w, 16, bumped), w * 16L, "image/png")
+          (id + idOffset, syntheticImage(id, w, 16, bumped), w * 16L, "image/png")
         }
       }
       .toDF("doc_id", "payload", "n_bytes", "mime")
@@ -206,8 +275,11 @@ object Multimodal {
     * payload BINARY, meta STRUCT<n_bytes, mime>): payloads with an
     * image mime go
     * through the real `javax.imageio` decode (features = 16-bin luminance
-    * histogram of decoded pixels, width/height from the raster); other
-    * mimes take the byte-histogram fallback with width/height 0.
+    * histogram of decoded pixels, width/height from the raster); audio
+    * mimes go through the real `javax.sound.sampled` PCM decode
+    * (features = 16-bin amplitude histogram; width = total samples,
+    * height = channels); other mimes (video — no codec in the JDK) take
+    * the byte-histogram fallback with width/height 0.
     */
   def extractFeatures(blobs: DataFrame): DataFrame = {
     val spark = blobs.sparkSession
@@ -221,6 +293,7 @@ object Multimodal {
           val head = payload.take(8).map(b => f"${b & 0xff}%02x").mkString
           val (w, h, features) =
             if (mime != null && mime.startsWith("image/")) decodeImage(payload)
+            else if (mime != null && mime.startsWith("audio/")) decodeAudio(payload)
             else (0, 0, byteHistogram(payload))
           MediaFeatures(id, nBytes, mime, head, w, h, features)
         }

@@ -822,6 +822,21 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // --- real audio decode: WAV payloads → PCM amplitude histogram ------
+    "m05_multimodal_audio_features" -> { (s, d) =>
+      // same round-trip discipline as m01: payloads are REAL WAVs
+      // (AudioSystem.write over a closed-form PCM clip), extractFeatures
+      // REALLY decodes them (javax.sound.sampled), and the oracle
+      // replays the sample formula — any codec drift breaks the gate
+      val blobs = Multimodal.syntheticAudioBlobs(
+        t(s, d, "documents").select(col("doc_id")))
+      Multimodal.extractFeatures(blobs)
+        .select(col("doc_id"), col("n_bytes"), col("mime"), col("head_hex"),
+          col("width"), col("height"),
+          concat_ws(",", col("features").cast("array<string>")).as("features_csv"))
+        .orderBy(col("doc_id"))
+    },
+
     // --- batched inference over opaque payloads (GPU batch shape) -----
     "m03_multimodal_batched_inference" -> { (s, d) =>
       val blobs = t(s, d, "documents")
@@ -2563,6 +2578,24 @@ object PipelineQueries {
           |FROM ph a JOIN ph b ON b.doc_id > a.doc_id
           |WHERE bit_count(xor(a.ph, b.ph)) <= 3
           |ORDER BY id_a, id_b""".stripMargin,
+
+      // decoded-PCM amplitude histogram replayed from the sample formula
+      // sample(i) = ((id*37 + 31i + 7) mod 65536) - 32768 over
+      // 256 + id%64 samples; head_hex is 'RIFF' + the little-endian
+      // chunk size (36 + data bytes) every canonical WAV starts with
+      "m05_multimodal_audio_features" ->
+        """WITH b AS (
+          |  SELECT doc_id, 256 + doc_id % 64 AS n FROM documents
+          |)
+          |SELECT doc_id, CAST(2*n AS BIGINT) AS n_bytes, 'audio/wav' AS mime,
+          |  '52494646' || printf('%02x%02x%02x%02x',
+          |    CAST((36+2*n)%256 AS INT), CAST(((36+2*n)//256)%256 AS INT),
+          |    CAST(((36+2*n)//65536)%256 AS INT), CAST(((36+2*n)//16777216)%256 AS INT)) AS head_hex,
+          |  CAST(n AS INT) AS width, CAST(1 AS INT) AS height,
+          |  array_to_string(list_transform(range(16), k ->
+          |    len(list_filter(list_transform(range(n), i ->
+          |      ((doc_id*37 + i*31 + 7) % 65536) // 4096), v -> v = k))), ',') AS features_csv
+          |FROM b ORDER BY doc_id""".stripMargin,
 
       // decoded-pixel features replayed from the generative formula (the
       // Spark side really decodes the PNG bytes — see m04 note); head_hex

@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.Tag
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Opt-in (`GRAFT_STRESS=1`) load test of the dedup candidate-generation
+  * paths at ~50× the sf0.1 document count, fed by the executor-side
+  * SyntheticDocs V2 source (no disk, no driver materialization). The
+  * claim under test is the 100 TB posture: banded/blocked candidate
+  * generation is ~linear in corpus size, so quadrupling the docs must
+  * not quadrate the runtime. Wall-clock bounds are deliberately loose
+  * (the platform CPU-throttles up to ~2.7×) — the signal is the GROWTH
+  * RATIO between the small and large runs of the same op in the same
+  * JVM, which throttling affects far less than absolute times.
+  */
+object Stress extends Tag("graft.Stress")
+
+class DedupStressSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[32]")
+    .config("spark.sql.shuffle.partitions", "32")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  /** sf0.1 has 5,000 docs; 50× ≈ 250k. The small run is 4× fewer. */
+  private val bigN = 250000L
+  private val smallN = bigN / 4
+
+  /** Synthetic corpus with PLANTED near-duplicates: every doc's text is
+    * hash-unique, so without the planted 10% of lightly-perturbed
+    * variants the pair-verification stages would run over zero
+    * candidates and the test would time only candidate generation.
+    */
+  private def docs(n: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val base = spark.read.format("graft.sources.SyntheticDocs")
+      .option("rows", n.toString).option("partitions", "64").load()
+      .select("doc_id", "text")
+    base.unionByName(base.where(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000000L).as("doc_id"),
+        concat(col("text"), lit(" zz")).as("text")))
+  }
+
+  private def timed(body: => Long): (Double, Long) = {
+    val t0 = System.nanoTime()
+    val rows = body
+    ((System.nanoTime() - t0) / 1e9, rows)
+  }
+
+  /** Warm codegen/classloading on a tiny run, then time small and big. */
+  private def growthRatio(name: String)(op: DataFrame => DataFrame): (Double, Double, Long) = {
+    op(docs(2000L)).count()
+    val (tSmall, nSmall) = timed(op(docs(smallN)).count())
+    val (tBig, nBig) = timed(op(docs(bigN)).count())
+    val ratio = tBig / tSmall
+    info(f"$name: ${smallN}%,d docs → $tSmall%.1f s ($nSmall rows); " +
+      f"${bigN}%,d docs → $tBig%.1f s ($nBig rows); growth ${ratio}%.2f× for 4× docs")
+    (tSmall, tBig, nBig)
+  }
+
+  test("MinHash-LSH pairs scale sub-quadratically to 250k docs", Stress) {
+    val (tSmall, tBig, nBig) = growthRatio("minhash") { d =>
+      TextDedup.minhashLshPairs(d)
+    }
+    assert(nBig > 0, "planted near-dups should surface as pairs")
+    // quadratic would be ~16×; banded generation should stay near-linear.
+    assert(tBig / tSmall < 10.0, f"super-linear blowup: $tSmall%.1f s → $tBig%.1f s")
+  }
+
+  test("span (ExactSubstr-style) pairs scale sub-quadratically to 250k docs", Stress) {
+    val (tSmall, tBig, _) = growthRatio("span") { d =>
+      TextDedup.spanPairs(d, sampleMod = 4)
+    }
+    assert(tBig / tSmall < 10.0, f"super-linear blowup: $tSmall%.1f s → $tBig%.1f s")
+  }
+
+  test("connected components over 250k-doc pair graph converge and scale", Stress) {
+    // pair input from the MinHash path — the d21 cluster shape
+    val (tSmall, tBig, nBig) = growthRatio("components") { d =>
+      TextDedup.connectedComponents(
+        TextDedup.minhashLshPairs(d).select("a", "b"))
+    }
+    assert(nBig > 0, "expected some components in the synthetic corpus")
+    assert(tBig / tSmall < 10.0, f"super-linear blowup: $tSmall%.1f s → $tBig%.1f s")
+  }
+}

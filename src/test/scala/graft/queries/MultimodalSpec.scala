@@ -29,10 +29,10 @@ class MultimodalSpec extends AnyFunSuite {
         s"pixel ($x,$y)")
   }
 
-  test("syntheticPng round-trips exactly through ImageIO for varied seeds") {
+  test("syntheticImage round-trips exactly through ImageIO for varied seeds") {
     for (seed <- Seq(0L, 7L, 255L, 256L, 123456789L); bumped <- Seq(false, true)) {
       val w = 16 + (seed % 16).toInt
-      val png = Multimodal.syntheticPng(seed, w, 16, bumped)
+      val png = Multimodal.syntheticImage(seed, w, 16, bumped)
       // a real PNG: signature bytes
       assert(png.take(8).map(b => f"${b & 0xff}%02x").mkString == "89504e470d0a1a0a")
       val img = ImageIO.read(new ByteArrayInputStream(png))
@@ -43,10 +43,41 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("syntheticImage BMP round-trips exactly too") {
+    val bmp = Multimodal.syntheticImage(9L, 20, 16, format = "bmp")
+    // 'BM' signature
+    assert(bmp.take(2).map(b => f"${b & 0xff}%02x").mkString == "424d")
+    val img = ImageIO.read(new ByteArrayInputStream(bmp))
+    assert(img.getWidth == 20 && img.getHeight == 16)
+    for (y <- 0 until 16; x <- 0 until 20)
+      assert(img.getRaster.getSample(x, y, 0) == expectedPixel(9L, x, y, bumped = false),
+        s"pixel ($x,$y)")
+  }
+
+  test("syntheticWav decodes back to the formula's exact PCM samples") {
+    import javax.sound.sampled.AudioSystem
+    for (seed <- Seq(0L, 5L, 123456789L)) {
+      val n = 256 + (seed % 64).toInt
+      val wav = Multimodal.syntheticWav(seed, n)
+      // canonical header: 'RIFF' + little-endian chunk size (36 + 2n)
+      val size = 36 + 2 * n
+      val expHead = "52494646" +
+        f"${size & 0xff}%02x${(size >> 8) & 0xff}%02x${(size >> 16) & 0xff}%02x${(size >> 24) & 0xff}%02x"
+      assert(wav.take(8).map(b => f"${b & 0xff}%02x").mkString == expHead)
+      val pcm = AudioSystem.getAudioInputStream(new ByteArrayInputStream(wav)).readAllBytes()
+      assert(pcm.length == 2 * n)
+      for (i <- 0 until n) {
+        val v = (pcm(2 * i) & 0xff) | (pcm(2 * i + 1).toInt << 8)
+        val exp = (((seed * 37L + i * 31L + 7L) % 65536L) - 32768L).toInt
+        assert(v == exp, s"seed=$seed sample $i")
+      }
+    }
+  }
+
   test("bumped variant differs in exactly the 2 planted pixels") {
-    val a = ImageIO.read(new ByteArrayInputStream(Multimodal.syntheticPng(42L, 20, 16)))
+    val a = ImageIO.read(new ByteArrayInputStream(Multimodal.syntheticImage(42L, 20, 16)))
     val b = ImageIO.read(new ByteArrayInputStream(
-      Multimodal.syntheticPng(42L, 20, 16, bumped = true)))
+      Multimodal.syntheticImage(42L, 20, 16, bumped = true)))
     val diffs = for {
       y <- 0 until 16; x <- 0 until 20
       if a.getRaster.getSample(x, y, 0) != b.getRaster.getSample(x, y, 0)
