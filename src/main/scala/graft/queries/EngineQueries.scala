@@ -55,13 +55,21 @@ object EngineQueries {
 
   /** Per-run destination restore for the range-partitioning gates: the
     * transform under test mutates the destination, so each run rebuilds
-    * it — but from the db's JVM-lifetime `seed` snapshot (table-level
-    * DROP + INSERT only; the database itself is [[fixtureOnce]] fixture).
+    * it — but from the db's JVM-lifetime `seed` snapshot, as ONE
+    * static-mode INSERT OVERWRITE (drops every stale partition, writes
+    * the seed's) instead of DROP TABLE + CREATE + INSERT: metastore
+    * round-trips, not data volume, dominate this path. The gates also
+    * cap the bucket domain (`o_custkey < 1000` → 10 ranges) so the
+    * per-partition metastore cost doesn't scale with SF — the gate
+    * measures range ROUTING, not partition-registration throughput.
     */
   private def reseedRangeDest(s: SparkSession, db: String, table: String): Unit = {
-    s.sql(s"DROP TABLE IF EXISTS $db.$table")
-    s.sql(s"CREATE TABLE $db.$table (cnt BIGINT, bucket INT) USING PARQUET PARTITIONED BY (bucket)")
-    s.sql(s"INSERT INTO $db.$table PARTITION (bucket) SELECT cnt, bucket FROM $db.seed")
+    if (!s.catalog.tableExists(s"$db.$table"))
+      s.sql(s"CREATE TABLE $db.$table (cnt BIGINT, bucket INT) USING PARQUET PARTITIONED BY (bucket)")
+    val prev = s.conf.get("spark.sql.sources.partitionOverwriteMode")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    try s.sql(s"INSERT OVERWRITE TABLE $db.$table PARTITION (bucket) SELECT cnt, bucket FROM $db.seed")
+    finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
   }
 
   private def conf(dataset: String, table: String, method: LoadMethod,
@@ -498,7 +506,7 @@ object EngineQueries {
     "e28_range_partitioned" -> { (s, d) =>
       // BigQuery range_partitioning (transformation.py:98-116) mapped to
       // an integer partition column holding the range start (buckets of
-      // 100 custkeys). Seed covers every bucket over Jan-Feb 1996; the
+      // 100 custkeys). Seed covers buckets 0–900 over Jan–Feb 1996 (capped domain; see reseedRangeDest note); the
       // transform source only touches buckets 0 and 100 (o_custkey < 200), so
       // REPLACE_MERGE auto must replace those wholesale and leave all
       // other range partitions untouched.
@@ -511,7 +519,7 @@ object EngineQueries {
         s.sql("CREATE TABLE graft__pg28.seed (cnt BIGINT, bucket INT) USING PARQUET")
         s.sql("""INSERT INTO graft__pg28.seed
                 |SELECT count(1) AS cnt, CAST(floor(o_custkey/100)*100 AS INT) AS bucket
-                |FROM orders WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-03-01'
+                |FROM orders WHERE o_custkey < 1000 AND o_orderdate >= '1996-01-01' AND o_orderdate < '1996-03-01'
                 |GROUP BY 2""".stripMargin)
       }
       reseedRangeDest(s, "graft__pg28", "cust_ranges")
@@ -539,7 +547,7 @@ object EngineQueries {
         s.sql("CREATE TABLE graft__pg36.seed (cnt BIGINT, bucket INT) USING PARQUET")
         s.sql("""INSERT INTO graft__pg36.seed
                 |SELECT count(1) AS cnt, CAST(floor(o_custkey/100)*100 AS INT) AS bucket
-                |FROM orders WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-02-01'
+                |FROM orders WHERE o_custkey < 1000 AND o_orderdate >= '1996-01-01' AND o_orderdate < '1996-02-01'
                 |GROUP BY 2""".stripMargin)
       }
       reseedRangeDest(s, "graft__pg36", "cust_ranges")
@@ -547,6 +555,7 @@ object EngineQueries {
         """SELECT count(1) AS cnt, CAST(floor(o_custkey/100)*100 AS INT) AS bucket
           |FROM orders
           |WHERE o_orderdate >= '__dstart__' AND o_orderdate < '__dend__'
+          |  AND o_custkey < 1000
           |GROUP BY 2""".stripMargin
       val w = CustomWindow(LocalDateTime.of(1996, 2, 1, 0, 0), LocalDateTime.of(1996, 3, 1, 0, 0))
       new TransformRunner(s).transform(
@@ -561,7 +570,7 @@ object EngineQueries {
       // REPLACE on a range-partitioned destination is the reference's
       // whole-table TableTransformation (transformation.py:68-80:
       // time_partitioning None → WRITE_TRUNCATE over task_queries[0]).
-      // Seed covers every bucket over Jan-Feb 1996; the transform source
+      // Seed covers buckets 0–900 over Jan–Feb 1996 (capped domain; see reseedRangeDest note); the transform source
       // only produces buckets 0 and 100, so every OTHER seeded range
       // partition must be GONE afterwards — and the second break-marker
       // slice (which would add bucket 9999) must never run.
@@ -571,7 +580,7 @@ object EngineQueries {
         s.sql("CREATE TABLE graft__pg38.seed (cnt BIGINT, bucket INT) USING PARQUET")
         s.sql("""INSERT INTO graft__pg38.seed
                 |SELECT count(1) AS cnt, CAST(floor(o_custkey/100)*100 AS INT) AS bucket
-                |FROM orders WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-03-01'
+                |FROM orders WHERE o_custkey < 1000 AND o_orderdate >= '1996-01-01' AND o_orderdate < '1996-03-01'
                 |GROUP BY 2""".stripMargin)
       }
       reseedRangeDest(s, "graft__pg38", "cust_ranges")
@@ -1082,7 +1091,8 @@ object EngineQueries {
     "e36_range_append" ->
       """SELECT CAST(floor(o_custkey/100)*100 AS INT) AS bucket, count(1) AS total
         |FROM orders
-        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-03-01'
+        |WHERE o_custkey < 1000
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-03-01'
         |GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "e37_star_replace" ->
@@ -1109,7 +1119,8 @@ object EngineQueries {
         |), seed AS (
         |  SELECT count(1) AS cnt, CAST(floor(o_custkey/100)*100 AS INT) AS bucket
         |  FROM orders
-        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-03-01'
+        |  WHERE o_custkey < 1000
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-03-01'
         |  GROUP BY 2
         |)
         |SELECT cnt, bucket FROM fresh
