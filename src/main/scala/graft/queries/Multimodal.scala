@@ -61,34 +61,40 @@ object Multimodal {
     * image (undecodable bytes) degrades to the byte-histogram fallback
     * with width/height 0 rather than failing the partition.
     */
+  /** 16-bin luminance histogram of a decoded raster: single-band images
+    * read the raw sample (exact for gray PNG/BMP/GIF), multi-band use
+    * integer ITU-R 601 luma.
+    */
+  private def lumaHistogram(img: BufferedImage): Array[Long] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val hist = new Array[Long](16)
+    val raster = img.getRaster
+    val singleBand = img.getColorModel.getNumComponents == 1
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v =
+          if (singleBand) raster.getSample(x, y, 0)
+          else {
+            val rgb = img.getRGB(x, y)
+            (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+              (rgb & 0xff) * 114) / 1000
+          }
+        // min-guard: >8-bit samples (16-bit gray PNG) land in the top bin
+        hist(math.min(v / 16, 15)) += 1L
+        x += 1
+      }
+      y += 1
+    }
+    hist
+  }
+
   private def decodeImage(payload: Array[Byte]): (Int, Int, Array[Long]) = {
     val img = ImageIO.read(new ByteArrayInputStream(payload))
     if (img == null) (0, 0, byteHistogram(payload))
-    else {
-      val w = img.getWidth
-      val h = img.getHeight
-      val hist = new Array[Long](16)
-      val raster = img.getRaster
-      val singleBand = img.getColorModel.getNumComponents == 1
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val v =
-            if (singleBand) raster.getSample(x, y, 0)
-            else {
-              val rgb = img.getRGB(x, y)
-              (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
-                (rgb & 0xff) * 114) / 1000
-            }
-          // min-guard: >8-bit samples (16-bit gray PNG) land in the top bin
-          hist(math.min(v / 16, 15)) += 1L
-          x += 1
-        }
-        y += 1
-      }
-      (w, h, hist)
-    }
+    else (img.getWidth, img.getHeight, lumaHistogram(img))
   }
 
   /** Real audio decode for PCM payloads (WAV/AU/AIFF — the formats the
@@ -204,6 +210,96 @@ object Multimodal {
       .toDF("doc_id", "payload", "n_bytes", "mime")
       .select(col("doc_id"), col("payload"),
         struct(col("n_bytes"), col("mime")).as("meta"))
+  }
+
+  /** Deterministic synthetic multi-frame grayscale clip, returned as a
+    * REAL animated GIF (`ImageWriter.writeToSequence`): frame f pixel
+    * (x, y) = (seed·29 + 7f + 3x + 5y) mod 256. Grayscale GIF palettes
+    * round-trip exactly, so the oracle replays the pixel formula while
+    * the engine decodes the actual container — the video-shaped sibling
+    * of [[syntheticImage]]/[[syntheticWav]].
+    */
+  def syntheticGif(seed: Long, w: Int, h: Int, nFrames: Int): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    var f = 0
+    while (f < nFrames) {
+      val px = new Array[Byte](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          px(y * w + x) =
+            (((seed * 29L + f * 7L + x * 3L + y * 5L) % 256L + 256L) % 256L).toByte
+          x += 1
+        }
+        y += 1
+      }
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+      img.getRaster.setDataElements(0, 0, w, h, px)
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null),
+        writer.getDefaultWriteParam)
+      f += 1
+    }
+    writer.endWriteSequence()
+    ios.close()
+    writer.dispose()
+    bos.toByteArray
+  }
+
+  /** One synthetic animated GIF per input doc_id (width 12 + id mod 8,
+    * height 8, 3 + id mod 5 frames, seeded with the id), in the standard
+    * blob layout. Partition-parallel.
+    */
+  def syntheticVideoBlobs(ids: DataFrame): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = 12 + (id % 8).toInt
+          val nf = 3 + (id % 5).toInt
+          val gif = syntheticGif(id, w, 8, nf)
+          (id, gif, gif.length.toLong, "image/gif")
+        }
+      }
+      .toDF("doc_id", "payload", "n_bytes", "mime")
+      .select(col("doc_id"), col("payload"),
+        struct(col("n_bytes"), col("mime")).as("meta"))
+  }
+
+  /** REAL frame extraction from multi-frame image containers (animated
+    * GIF — the one multi-frame format the JDK decodes): every `stride`-th
+    * frame is decoded to pixels and emitted as one row with its luminance
+    * histogram — the real-decode counterpart of the byte-sliced
+    * [[sampleFrames]]. Unreadable payloads yield no rows. Per-partition
+    * reader init, streaming rows through.
+    */
+  def sampleImageFrames(blobs: DataFrame, stride: Int): DataFrame = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, payload) =>
+        val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(payload))
+        val readers = ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) Iterator.empty
+        else {
+          val reader = readers.next()
+          reader.setInput(iis)
+          val n = reader.getNumImages(true)
+          val out = (0 until n by stride).map { f =>
+            val img = reader.read(f)
+            (id, f, img.getWidth, img.getHeight, lumaHistogram(img))
+          }
+          reader.dispose()
+          out
+        }
+      }
+      .toDF("doc_id", "frame_no", "width", "height", "features")
   }
 
   case class Frame(

@@ -837,6 +837,21 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // --- real frame extraction from a multi-frame container -------------
+    "m06_multimodal_gif_frames" -> { (s, d) =>
+      // Animated GIF is the one multi-frame container the JDK decodes:
+      // payloads are REAL GIFs over closed-form frames, sampleImageFrames
+      // REALLY decodes every 2nd frame, and the oracle replays the pixel
+      // formula per (doc, frame) — the decoded-frame counterpart of the
+      // byte-sliced m02
+      val blobs = Multimodal.syntheticVideoBlobs(
+        t(s, d, "documents").select(col("doc_id")))
+      Multimodal.sampleImageFrames(blobs, stride = 2)
+        .select(col("doc_id"), col("frame_no"), col("width"), col("height"),
+          concat_ws(",", col("features").cast("array<string>")).as("features_csv"))
+        .orderBy(col("doc_id"), col("frame_no"))
+    },
+
     // --- batched inference over opaque payloads (GPU batch shape) -----
     "m03_multimodal_batched_inference" -> { (s, d) =>
       val blobs = t(s, d, "documents")
@@ -2578,6 +2593,26 @@ object PipelineQueries {
           |FROM ph a JOIN ph b ON b.doc_id > a.doc_id
           |WHERE bit_count(xor(a.ph, b.ph)) <= 3
           |ORDER BY id_a, id_b""".stripMargin,
+
+      // decoded GIF frames replayed from the per-frame pixel formula
+      // pixel(f,x,y) = (id*29 + 7f + 3x + 5y) mod 256 over a
+      // (12 + id%8) × 8 grid, 3 + id%5 frames, every 2nd frame kept
+      "m06_multimodal_gif_frames" ->
+        """WITH b AS (
+          |  SELECT doc_id, 12 + doc_id % 8 AS w, 3 + doc_id % 5 AS nf FROM documents
+          |), fr AS (
+          |  SELECT doc_id, w, f
+          |  FROM b, unnest(range(nf)) AS t(f)
+          |  WHERE f % 2 = 0
+          |)
+          |SELECT doc_id, CAST(f AS INT) AS frame_no, CAST(w AS INT) AS width,
+          |  CAST(8 AS INT) AS height,
+          |  array_to_string(list_transform(range(16), k ->
+          |    len(list_filter(
+          |      flatten(list_transform(range(8), y ->
+          |        list_transform(range(w), x -> (doc_id*29 + f*7 + x*3 + y*5) % 256))),
+          |      v -> v // 16 = k))), ',') AS features_csv
+          |FROM fr ORDER BY doc_id, frame_no""".stripMargin,
 
       // decoded-PCM amplitude histogram replayed from the sample formula
       // sample(i) = ((id*37 + 31i + 7) mod 65536) - 32768 over

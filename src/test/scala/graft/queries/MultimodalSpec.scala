@@ -74,6 +74,28 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("syntheticGif frames decode back to the per-frame formula exactly") {
+    for (seed <- Seq(0L, 5L, 987654321L)) {
+      val (w, h, nf) = (12 + (seed % 8).toInt, 8, 3 + (seed % 5).toInt)
+      val gif = Multimodal.syntheticGif(seed, w, h, nf)
+      // 'GIF89a' signature
+      assert(gif.take(6).map(b => f"${b & 0xff}%02x").mkString == "474946383961")
+      val reader = ImageIO.getImageReadersByFormatName("gif").next()
+      reader.setInput(ImageIO.createImageInputStream(new ByteArrayInputStream(gif)))
+      assert(reader.getNumImages(true) == nf)
+      for (f <- 0 until nf) {
+        val img = reader.read(f)
+        assert(img.getWidth == w && img.getHeight == h)
+        for (y <- 0 until h; x <- 0 until w) {
+          val exp = (((seed * 29L + f * 7L + x * 3L + y * 5L) % 256L + 256L) % 256L).toInt
+          assert(img.getRaster.getSample(x, y, 0) == exp,
+            s"seed=$seed frame=$f pixel ($x,$y)")
+        }
+      }
+      reader.dispose()
+    }
+  }
+
   test("bumped variant differs in exactly the 2 planted pixels") {
     val a = ImageIO.read(new ByteArrayInputStream(Multimodal.syntheticImage(42L, 20, 16)))
     val b = ImageIO.read(new ByteArrayInputStream(
