@@ -35,11 +35,14 @@ object Dialect {
   /** `CREATE TEMP TABLE` → Spark temp view DDL is handled by
     * ScriptRunner; this just normalizes the keyword spelling.
     */
-  private val stringLit = raw"'(?:[^'\\]|\\.)*'".r
+  // both BigQuery string literal forms: '…' and "…" (backslash escapes);
+  // a '…' match starting earlier swallows any double quotes inside it,
+  // and vice versa, so JSON-ish payloads like '{"a":1}' stay one literal
+  private val stringLit = raw"'(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\"".r
 
-  /** Apply `f` only to the regions of `sql` outside single-quoted string
-    * literals, so keyword rewrites can't corrupt literal text like
-    * 'NUMERIC keypad'.
+  /** Apply `f` only to the regions of `sql` outside string literals
+    * (single- OR double-quoted), so keyword rewrites can't corrupt
+    * literal text like 'NUMERIC keypad' or "a DATETIME 'x".
     */
   private def mapOutsideLiterals(sql: String)(f: String => String): String = {
     val sb = new StringBuilder

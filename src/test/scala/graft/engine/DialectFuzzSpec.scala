@@ -64,6 +64,22 @@ class DialectFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  /** BigQuery double-quoted string escaping (same backslash style). */
+  private def escDq(s: String): String =
+    s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString }
+
+  test("double-quoted string literals survive the rewrite byte-for-byte (30 cases)") {
+    for (_ <- 1 to 10) {
+      val lits = Seq.fill(3)(randomContent(1 + rnd.nextInt(8)))
+      val cols = lits.zipWithIndex
+        .map { case (l, i) => "\"" + escDq(l) + "\" AS c" + i }.mkString(", ")
+      val row = run(s"SELECT $cols").head
+      lits.zipWithIndex.foreach { case (l, i) =>
+        assert(row.getString(i) == l, s"literal $i corrupted in: SELECT $cols")
+      }
+    }
+  }
+
   test("hostile literals around FROM UNNEST keep the array semantics (30 cases)") {
     for (_ <- 1 to 30) {
       val ints = Seq.fill(1 + rnd.nextInt(6))(rnd.nextInt(1000))
