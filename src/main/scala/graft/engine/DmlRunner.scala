@@ -81,7 +81,7 @@ class DmlRunner(spark: SparkSession, runner: TransformRunner) {
     s.count(_ == '(') == s.count(_ == ')')
 
   /** Literal-blind copy of a statement: every character inside a
-    * '…'-quoted literal becomes `x` (length-preserving, so match
+    * '…'- or "…"-quoted literal becomes `x` (length-preserving, so match
     * positions carry back to the original text). Keeps a plain UPDATE
     * whose SET/WHERE mentions ' FROM ' inside a string literal from
     * being misrouted to the joined-UPDATE form.
@@ -90,9 +90,10 @@ class DmlRunner(spark: SparkSession, runner: TransformRunner) {
     val sb = new StringBuilder(s)
     var i = 0
     while (i < sb.length) {
-      if (sb.charAt(i) == '\'') {
+      val q = sb.charAt(i)
+      if (q == '\'' || q == '"') {
         var j = i + 1
-        while (j < sb.length && sb.charAt(j) != '\'') {
+        while (j < sb.length && sb.charAt(j) != q) {
           if (sb.charAt(j) == '\\' && j + 1 < sb.length) { sb.setCharAt(j, 'x'); j += 1 }
           sb.setCharAt(j, 'x'); j += 1
         }

@@ -175,6 +175,12 @@ class DmlRunnerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(state() == Seq(("b", 2L), ("copied from audit", 1L)))
   }
 
+  test("plain UPDATE with ' FROM ' inside a double-quoted literal is not misrouted") {
+    freshTable(Seq(("a", 1L), ("b", 2L)))
+    dml.run("UPDATE `dmlspec.t` SET k = \"it's from audit\" WHERE v = 2")
+    assert(state() == Seq(("a", 1L), ("it's from audit", 2L)))
+  }
+
   test("UPDATE ... FROM matches a source row whose columns are all NULL") {
     freshTable(Seq(("a", 1L), ("b", 2L)))
     // the joined source row carries only a NULL column, but it IS a
