@@ -63,12 +63,21 @@ object EngineQueries {
     * per-partition metastore cost doesn't scale with SF — the gate
     * measures range ROUTING, not partition-registration throughput.
     */
-  private def reseedRangeDest(s: SparkSession, db: String, table: String): Unit = {
+  private def reseedRangeDest(s: SparkSession, db: String, table: String): Unit =
+    reseedDest(s, db, table, "cnt BIGINT, bucket INT", "bucket")
+
+  /** Generic per-run destination restore from the db's JVM-lifetime
+    * `seed` snapshot (see [[reseedRangeDest]] note): one static-mode
+    * INSERT OVERWRITE drops every stale partition and rewrites the
+    * seed's. Seed column order must end with the partition column.
+    */
+  private def reseedDest(s: SparkSession, db: String, table: String,
+      ddlCols: String, partCol: String): Unit = {
     if (!s.catalog.tableExists(s"$db.$table"))
-      s.sql(s"CREATE TABLE $db.$table (cnt BIGINT, bucket INT) USING PARQUET PARTITIONED BY (bucket)")
+      s.sql(s"CREATE TABLE $db.$table ($ddlCols) USING PARQUET PARTITIONED BY ($partCol)")
     val prev = s.conf.get("spark.sql.sources.partitionOverwriteMode")
     s.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
-    try s.sql(s"INSERT OVERWRITE TABLE $db.$table PARTITION (bucket) SELECT cnt, bucket FROM $db.seed")
+    try s.sql(s"INSERT OVERWRITE TABLE $db.$table PARTITION ($partCol) SELECT * FROM $db.seed")
     finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
   }
 
@@ -658,12 +667,15 @@ object EngineQueries {
     // main query re-runs per distinct date into that partition.
     "e15_spillover" -> { (s, d) =>
       Tables.views(s, d, "orders")
-      freshDb(s, "graft__pg15")
-      s.sql("CREATE TABLE graft__pg15.daily (cnt BIGINT, d STRING) USING PARQUET PARTITIONED BY (d)")
-      s.sql("""INSERT INTO graft__pg15.daily PARTITION (d)
-              |SELECT -1 AS cnt, date_format(o_orderdate, 'yyyy-MM-dd') AS d
-              |FROM orders WHERE o_orderdate >= '1997-02-01' AND o_orderdate < '1997-03-01'
-              |GROUP BY 2""".stripMargin)
+      // table-level re-seed from a JVM-lifetime snapshot (see e28 note)
+      fixtureOnce(s, "graft__pg15", d) {
+        s.sql("CREATE TABLE graft__pg15.seed (cnt BIGINT, d STRING) USING PARQUET")
+        s.sql("""INSERT INTO graft__pg15.seed
+                |SELECT -1 AS cnt, date_format(o_orderdate, 'yyyy-MM-dd') AS d
+                |FROM orders WHERE o_orderdate >= '1997-02-01' AND o_orderdate < '1997-03-01'
+                |GROUP BY 2""".stripMargin)
+      }
+      reseedDest(s, "graft__pg15", "daily", "cnt BIGINT, d STRING", "d")
       val spilloverSql =
         """SELECT DISTINCT date_format(o_orderdate, 'yyyy-MM-dd') AS spill_date
           |FROM orders
