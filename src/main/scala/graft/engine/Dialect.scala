@@ -151,7 +151,78 @@ object Dialect {
     */
   private val systemTimeRe = raw"(?is)\bFOR\s+SYSTEM_TIME\s+AS\s+OF\b".r
 
-  def rewrite(sql: String, mapFqns: Boolean = true): String = {
+  /** BigQuery literal forms Spark lacks, normalized to standard
+    * single-line quoted literals before any other pass runs:
+    *  - raw strings `r'…'` / `R"…"` (no escape processing inside) →
+    *    standard literal with every backslash doubled;
+    *  - triple-quoted `'''…'''` / `"""…"""` (multiline, escapes active,
+    *    bare quotes of the delimiter kind allowed) → standard literal of
+    *    the same kind with bare inner quotes escaped.
+    * The scanner copies normal literals and backticked identifiers
+    * verbatim, so a `r'x'` INSIDE a string stays untouched.
+    */
+  private def normalizeLiteralForms(sql: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    def tripleAt(j: Int): Boolean = j + 2 < sql.length &&
+      (sql.charAt(j) == '\'' || sql.charAt(j) == '"') &&
+      sql.charAt(j + 1) == sql.charAt(j) && sql.charAt(j + 2) == sql.charAt(j)
+    def copyEscaped(q: Char, from: Int, until: Int): Unit = {
+      var j = from
+      while (j < until) {
+        val c = sql.charAt(j)
+        if (c == '\\' && j + 1 < until) { sb.append(c).append(sql.charAt(j + 1)); j += 2 }
+        else if (c == q) { sb.append('\\').append(q); j += 1 }
+        else { sb.append(c); j += 1 }
+      }
+    }
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (tripleAt(i)) {
+        val q = c
+        val close = sql.indexOf(s"$q$q$q", i + 3)
+        val end = if (close < 0) sql.length else close
+        sb.append(q); copyEscaped(q, i + 3, end); sb.append(q)
+        i = if (close < 0) sql.length else close + 3
+      } else if (c == '\'' || c == '"') { // normal literal: verbatim
+        var j = i + 1
+        while (j < sql.length && sql.charAt(j) != c) {
+          if (sql.charAt(j) == '\\' && j + 1 < sql.length) j += 2 else j += 1
+        }
+        val end = math.min(j + 1, sql.length)
+        // NB: substring, not append(s, i, end) — Scala's StringBuilder
+        // lacks that overload and auto-tupling appends "(sql,i,end)"
+        sb.append(sql.substring(i, end)); i = end
+      } else if (c == '`') { // backticked identifier: verbatim
+        val j = sql.indexOf('`', i + 1)
+        val end = if (j < 0) sql.length else j + 1
+        sb.append(sql.substring(i, end)); i = end
+      } else if ((c == 'r' || c == 'R') && i + 1 < sql.length &&
+          (sql.charAt(i + 1) == '\'' || sql.charAt(i + 1) == '"') &&
+          (i == 0 || (!Character.isLetterOrDigit(sql.charAt(i - 1)) &&
+            sql.charAt(i - 1) != '_'))) {
+        val q = sql.charAt(i + 1)
+        // backslash is literal in raw strings, but `\q` does not close
+        // the literal (BQ: a raw string can't end with odd backslashes)
+        var j = i + 2
+        while (j < sql.length && sql.charAt(j) != q) {
+          if (sql.charAt(j) == '\\' && j + 1 < sql.length) j += 2 else j += 1
+        }
+        sb.append(q)
+        sql.substring(i + 2, math.min(j, sql.length)).foreach {
+          case '\\'         => sb.append("\\\\")
+          case ch if ch == q => sb.append('\\').append(q)
+          case ch           => sb.append(ch)
+        }
+        sb.append(q)
+        i = if (j < sql.length) j + 1 else sql.length
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  def rewrite(sql0: String, mapFqns: Boolean = true): String = {
+    val sql = normalizeLiteralForms(sql0)
     // fail loud on time travel — parquet destinations keep no history
     // (a silent ignore would read CURRENT data for a historical query)
     systemTimeRe.findFirstMatchIn(sql).foreach { m =>

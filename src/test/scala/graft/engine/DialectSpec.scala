@@ -23,6 +23,27 @@ class DialectSpec extends AnyFunSuite {
       "SELECT 'SELECT AS STRUCT' AS s")
   }
 
+  test("raw strings normalize to standard literals with doubled backslashes") {
+    assert(Dialect.rewrite(raw"SELECT r'\d+' AS p") == raw"SELECT '\\d+' AS p")
+    assert(Dialect.rewrite("SELECT R\"a\\.b\" AS p") == "SELECT \"a\\\\.b\" AS p")
+    // \' inside a raw string is literal backslash + quote, not a closer
+    assert(Dialect.rewrite(raw"SELECT r'it\'s' AS p") == raw"SELECT 'it\\\'s' AS p")
+    // r'…' inside a NORMAL literal stays text
+    assert(Dialect.rewrite(raw"SELECT 'use r\'x\' here' AS p") ==
+      raw"SELECT 'use r\'x\' here' AS p")
+    // an identifier ending in r followed by a literal is not a raw prefix
+    assert(Dialect.rewrite("SELECT upper 'x' FROM t", mapFqns = false) ==
+      "SELECT upper 'x' FROM t")
+  }
+
+  test("triple-quoted literals normalize to single-quoted form") {
+    assert(Dialect.rewrite("SELECT '''it's ok''' AS s") == raw"SELECT 'it\'s ok' AS s")
+    assert(Dialect.rewrite("SELECT \"\"\"say \"hi\" ok\"\"\" AS s") ==
+      "SELECT \"say \\\"hi\\\" ok\" AS s")
+    // multiline content survives; escapes already present stay intact
+    assert(Dialect.rewrite("SELECT '''a\nb\\nc''' AS s") == "SELECT 'a\nb\\nc' AS s")
+  }
+
   test("SAFE./NET. prefixes rewrite only known function calls") {
     // known namespace functions still map to their underscore spelling
     assert(Dialect.rewrite("SELECT SAFE.SUBSTR(s, 1, 2)").contains("substr("))
