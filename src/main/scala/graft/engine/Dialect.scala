@@ -180,7 +180,19 @@ object Dialect {
       val c = sql.charAt(i)
       if (tripleAt(i)) {
         val q = c
-        val close = sql.indexOf(s"$q$q$q", i + 3)
+        // find the closing triple: skip backslash escapes, and lex
+        // greedily — in a run of >3 quotes the LAST three close
+        // ('''a'''' has content a'), matching BigQuery/Python
+        var j = i + 3
+        var close = -1
+        while (close < 0 && j < sql.length) {
+          val cj = sql.charAt(j)
+          if (cj == '\\' && j + 1 < sql.length) j += 2
+          else if (cj == q && j + 2 < sql.length &&
+              sql.charAt(j + 1) == q && sql.charAt(j + 2) == q &&
+              (j + 3 >= sql.length || sql.charAt(j + 3) != q)) close = j
+          else j += 1
+        }
         val end = if (close < 0) sql.length else close
         sb.append(q); copyEscaped(q, i + 3, end); sb.append(q)
         i = if (close < 0) sql.length else close + 3

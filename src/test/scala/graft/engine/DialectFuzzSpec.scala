@@ -80,6 +80,33 @@ class DialectFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("raw and triple-quoted literals evaluate to their exact content (40 cases)") {
+    for (_ <- 1 to 10) {
+      // raw string: backslashes and quotes-of-the-other-kind are literal.
+      // BQ forbids a raw literal ending in an odd backslash run (\' does
+      // not close it) — pad such content like a user would have to.
+      val rawContent0 = (1 to (1 + rnd.nextInt(6)))
+        .map(_ => Vector("a", "\\", "\\d", "z", "\"", " ", "\\\\")(rnd.nextInt(7))).mkString
+      val rawContent =
+        if (rawContent0.reverse.takeWhile(_ == '\\').length % 2 == 1) rawContent0 + "z"
+        else rawContent0
+      val got = run(s"SELECT r'$rawContent' AS s").head.getString(0)
+      assert(got == rawContent, s"raw literal corrupted: r'$rawContent'")
+      // triple-quoted: bare quotes of the delimiter kind are fine inside
+      val tq = (1 to (1 + rnd.nextInt(6)))
+        .map(_ => Vector("a", "'", "z", " ", "\"x\"", "FROM")(rnd.nextInt(6))).mkString
+        .replace("'''", "''")
+      val got2 = run(s"SELECT '''$tq''' AS s").head.getString(0)
+      assert(got2 == tq, s"triple-quoted literal corrupted: '''$tq'''")
+      // raw regex actually reaches the regex engine unmangled
+      val n = rnd.nextInt(900) + 100
+      val got3 = run(s"SELECT REGEXP_EXTRACT('ab${n}cd', r'\\d+') AS m").head.getString(0)
+      assert(got3 == n.toString)
+      val got4 = run(s"SELECT REGEXP_CONTAINS('a.b', r'^a\\.b$$') AS m").head.getBoolean(0)
+      assert(got4)
+    }
+  }
+
   test("hostile literals around FROM UNNEST keep the array semantics (30 cases)") {
     for (_ <- 1 to 30) {
       val ints = Seq.fill(1 + rnd.nextInt(6))(rnd.nextInt(1000))
