@@ -244,10 +244,22 @@ object Dialect {
           "FOR SYSTEM_TIME AS OF (time travel) is not supported: parquet " +
             "tables keep no row history. Snapshot the table explicitly instead")
     }
+    // typed NUMERIC/BIGNUMERIC literals first: Spark has no decimal
+    // typed-literal syntax, so `NUMERIC '1.5'` must become a CAST before
+    // the bare-keyword pass would leave invalid `DECIMAL(38,9) '1.5'`
+    val numLit = raw"(?i)\b(BIGNUMERIC|NUMERIC)\s*'((?:[^'\\]|\\.)*)'".r
+    val sqlNum = numLit.replaceAllIn(sql, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        if (inStringLiteral(sql, m.start)) m.matched
+        else {
+          val t = if (m.group(1).equalsIgnoreCase("BIGNUMERIC")) "DECIMAL(38,18)"
+            else "DECIMAL(38,9)"
+          s"CAST('${m.group(2)}' AS $t)"
+        }))
     // BigQuery NUMERIC is DECIMAL(38,9); Spark's NUMERIC keyword means
     // DECIMAL(10,0) — rewrite to BigQuery semantics (outside literals
     // only). INT64/FLOAT64 are BigQuery-only type spellings.
-    var out = mapOutsideLiterals(if (mapFqns) mapSourceFqns(sql) else sql)(
+    var out = mapOutsideLiterals(if (mapFqns) mapSourceFqns(sqlNum) else sqlNum)(
       // typed literal first: `DATETIME '…'` (wall-clock, no zone) is
       // Spark's TIMESTAMP_NTZ; bare DATETIME (a type position, e.g. in
       // CAST) maps the same way

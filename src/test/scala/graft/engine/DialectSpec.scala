@@ -23,6 +23,16 @@ class DialectSpec extends AnyFunSuite {
       "SELECT 'SELECT AS STRUCT' AS s")
   }
 
+  test("typed NUMERIC/BIGNUMERIC literals become CASTs") {
+    assert(Dialect.rewrite("SELECT NUMERIC '1.5' AS n") ==
+      "SELECT CAST('1.5' AS DECIMAL(38,9)) AS n")
+    assert(Dialect.rewrite("SELECT BIGNUMERIC '-2.75' AS n") ==
+      "SELECT CAST('-2.75' AS DECIMAL(38,18)) AS n")
+    // the words inside a string literal stay text
+    assert(Dialect.rewrite("SELECT 'a NUMERIC \\'1\\' here' AS s") ==
+      "SELECT 'a NUMERIC \\'1\\' here' AS s")
+  }
+
   test("raw strings normalize to standard literals with doubled backslashes") {
     assert(Dialect.rewrite(raw"SELECT r'\d+' AS p") == raw"SELECT '\\d+' AS p")
     assert(Dialect.rewrite("SELECT R\"a\\.b\" AS p") == "SELECT \"a\\\\.b\" AS p")
