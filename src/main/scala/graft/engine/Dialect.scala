@@ -161,7 +161,7 @@ object Dialect {
     * The scanner copies normal literals and backticked identifiers
     * verbatim, so a `r'x'` INSIDE a string stays untouched.
     */
-  private def normalizeLiteralForms(sql: String): String = {
+  private[engine] def normalizeLiteralForms(sql: String): String = {
     val sb = new StringBuilder
     var i = 0
     def tripleAt(j: Int): Boolean = j + 2 < sql.length &&

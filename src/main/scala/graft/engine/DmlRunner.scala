@@ -49,7 +49,9 @@ class DmlRunner(spark: SparkSession, runner: TransformRunner) {
   private val dropRe = raw"(?is)^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?`?([\w.$$-]+)`?\s*;?\s*$$".r
 
   def run(script: String): Unit =
-    StatementSplitter.split(script).foreach(runStatement)
+    // same pre-split normalization as ScriptRunner.run: BQ-only literal
+    // forms become standard quotes before `;`-splitting
+    StatementSplitter.split(Dialect.normalizeLiteralForms(script)).foreach(runStatement)
 
   private val updateRe =
     raw"(?is)^\s*UPDATE\s+`?([\w.$$-]+)`?\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*$$".r

@@ -85,7 +85,10 @@ class ScriptRunner(spark: SparkSession) {
     * produces rows (the "body"), if any.
     */
   def run(script: String): Option[DataFrame] =
-    try runScript(script)
+    // normalize BQ-only literal forms BEFORE any splitting: a `;` or
+    // block keyword inside a triple-quoted/raw literal must not split
+    // the script (the splitter only understands standard quotes)
+    try runScript(Dialect.normalizeLiteralForms(script))
     catch {
       case _: BreakSignal =>
         throw new IllegalStateException("BREAK/LEAVE outside of a loop")

@@ -618,6 +618,23 @@ object EngineQueries {
           |ORDER BY o_orderkey""".stripMargin).get
     },
 
+    // --- BigQuery-only literal forms end-to-end ------------------------
+    "e39_literal_forms" -> { (s, d) =>
+      // raw strings (backslashes literal — the regex reaches the engine
+      // unmangled), triple-quoted strings (bare quotes inside), and a
+      // typed NUMERIC literal, all through the script runner
+      Tables.views(s, d, "orders")
+      new ScriptRunner(s).run(
+        "SELECT o_orderkey,\n" +
+          "  REGEXP_EXTRACT(o_orderpriority, r'\\d+') AS prio_num,\n" +
+          "  '''it's a \"test\"''' AS tq,\n" +
+          "  CAST(NUMERIC '1.25' AS FLOAT64) AS num,\n" +
+          "  r'a\\.b' AS raw_s\n" +
+          "FROM orders\n" +
+          "WHERE o_orderdate >= '1997-03-01' AND o_orderdate < '1997-03-08'\n" +
+          "ORDER BY o_orderkey").get
+    },
+
     // --- ALLOW_FIELD_RELAXATION: REQUIRED -> NULLABLE on append --------
     "e29_field_relaxation" -> { (s, d) =>
       // The destination declares `note` REQUIRED (engine-managed table
@@ -1139,6 +1156,16 @@ object EngineQueries {
         |UNION ALL
         |SELECT cnt, bucket FROM seed WHERE bucket NOT IN (SELECT bucket FROM fresh)
         |ORDER BY bucket""".stripMargin,
+
+    "e39_literal_forms" ->
+      """SELECT o_orderkey,
+        |  regexp_extract(o_orderpriority, '\d+') AS prio_num,
+        |  'it''s a "test"' AS tq,
+        |  CAST(1.25 AS DOUBLE) AS num,
+        |  'a\.b' AS raw_s
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-03-01' AND o_orderdate < TIMESTAMP '1997-03-08'
+        |ORDER BY o_orderkey""".stripMargin,
 
     "e29_field_relaxation" ->
       """SELECT o_orderkey, note FROM (

@@ -845,7 +845,7 @@ object PipelineQueries {
       // formula per (doc, frame) — the decoded-frame counterpart of the
       // byte-sliced m02
       val blobs = Multimodal.syntheticVideoBlobs(
-        t(s, d, "documents").select(col("doc_id")))
+        t(s, d, "documents").where(col("doc_id") % 3 === 0).select(col("doc_id")))
       Multimodal.sampleImageFrames(blobs, stride = 2)
         .select(col("doc_id"), col("frame_no"), col("width"), col("height"),
           concat_ws(",", col("features").cast("array<string>")).as("features_csv"))
@@ -2599,7 +2599,8 @@ object PipelineQueries {
       // (12 + id%8) × 8 grid, 3 + id%5 frames, every 2nd frame kept
       "m06_multimodal_gif_frames" ->
         """WITH b AS (
-          |  SELECT doc_id, 12 + doc_id % 8 AS w, 3 + doc_id % 5 AS nf FROM documents
+          |  SELECT doc_id, 12 + doc_id % 8 AS w, 3 + doc_id % 5 AS nf
+          |  FROM documents WHERE doc_id % 3 = 0
           |), fr AS (
           |  SELECT doc_id, w, f
           |  FROM b, unnest(range(nf)) AS t(f)

@@ -292,6 +292,12 @@ class ScriptRunnerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(back.columns.toSeq == Seq("k", "sq"))
   }
 
+  test("a semicolon inside a triple-quoted literal does not split the script") {
+    val out = new ScriptRunner(spark).run(
+      "DECLARE msg STRING DEFAULT '''a; b''';\nSELECT msg AS m").get
+    assert(out.collect().head.getString(0) == "a; b")
+  }
+
   test("EXPORT DATA rejects a uri without exactly one '*' wildcard") {
     val dir = java.nio.file.Files.createTempDirectory("graft_export_bad")
     val e = intercept[IllegalArgumentException] {
