@@ -42,9 +42,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the FS cache / codegen paths so the first measured query
-    // doesn't absorb session start-up cost
+    // doesn't absorb session start-up cost, and build the JVM-lifetime
+    // catalog/stream fixtures so run 1 times operators, not fixtures
     try spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     catch { case _: Throwable => }
+    try graft.queries.EngineQueries.warmFixtures(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] fixture warmup failed: ${e.getMessage}") }
     val runs = (1 to nRuns).map(_ => timeQueries(SparkEntry.queries.toSeq, spark, sfDir))
     val errors = runs.flatMap(_._2).distinct.sorted
     // medians over queries that succeeded in EVERY run; a query that

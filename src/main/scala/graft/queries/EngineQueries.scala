@@ -81,6 +81,16 @@ object EngineQueries {
     finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
   }
 
+  /** Bench warmup hook: run the queries whose first execution builds a
+    * JVM-lifetime [[fixtureOnce]] database, so timed runs measure the
+    * operator, not one-time fixture construction (same rationale the
+    * e16/e18 fixtures established — fixtures are not the query).
+    */
+  def warmFixtures(s: SparkSession, dir: String): Unit =
+    Seq("e15_spillover", "e16_bucketed_join", "e18_dynamic_partition_pruning",
+      "e28_range_partitioned", "e36_range_append", "e38_range_replace")
+      .foreach(n => queries(n)(s, dir).count())
+
   private def conf(dataset: String, table: String, method: LoadMethod,
       filter: Option[String] = scala.None, concurrency: Int = 2): TaskConfig =
     TaskConfig(
