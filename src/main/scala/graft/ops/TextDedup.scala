@@ -157,6 +157,45 @@ object TextDedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Sorted-neighborhood near-dup pairs (Hernández & Stolfo's classic
+    * merge/purge blocking): docs sort by a normalized-prefix key; each
+    * doc pairs with the next `window` docs in sort order, verified with
+    * exact token-set Jaccard. Distributed shape: the sort runs INSIDE
+    * prefix blocks (`Window.partitionBy(blk)`), so no global single-
+    * partition window exists — pairs whose sort keys straddle a block
+    * boundary are missed, the standard distributed-SNM trade handled in
+    * practice by multi-pass with rotated keys. Pair generation is
+    * `lead()` over slim (id, key) rows — never an explode of content,
+    * never all-pairs; the token arrays join back once per side.
+    * Returns (a, b, jaccard) with a < b and jaccard ≥ `minJaccard`.
+    */
+  def sortedNeighborhoodPairs(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", window: Int = 3,
+      minJaccard: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val norm = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
+    val keyed = docs.select(col(idCol).as("doc_id"), norm.as("norm"))
+      .select(col("doc_id"), substring(col("norm"), 1, 24).as("sk"),
+        substring(col("norm"), 1, 6).as("blk"))
+    val toks = docs.select(col(idCol).as("doc_id"),
+      array_distinct(split(lower(trim(col(textCol))), "\\s+")).as("toks"))
+    val w = Window.partitionBy(col("blk")).orderBy(col("sk"), col("doc_id"))
+    val pairs = keyed
+      .withColumn("nexts",
+        array((1 to window).map(i => lead(col("doc_id"), i).over(w)): _*))
+      .select(col("doc_id").as("x"), explode(col("nexts")).as("y"))
+      .where(col("y").isNotNull)
+      .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
+    pairs
+      .join(toks.select(col("doc_id").as("a"), col("toks").as("ta")), "a")
+      .join(toks.select(col("doc_id").as("b"), col("toks").as("tb")), "b")
+      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
+      .withColumn("jaccard", col("inter").cast(DoubleType)
+        / (size(col("ta")) + size(col("tb")) - col("inter")).cast(DoubleType))
+      .where(col("jaccard") >= minJaccard)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
   /** Exact-substring near-dup pairs (Lee et al.'s ExactSubstr at token
     * granularity): every rolling 8-token window is fingerprinted with
     * double Rabin rolling hashes (one md5 per TOKEN + O(1) per window

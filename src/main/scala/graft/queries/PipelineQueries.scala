@@ -148,6 +148,18 @@ object PipelineQueries {
         .orderBy(col("a"), col("b"))
     },
 
+    // --- sorted-neighborhood (merge/purge) blocking --------------------
+    "d58_sorted_neighborhood" -> { (s, d) =>
+      // The classic third candidate-generation family next to LSH (d07)
+      // and inverted-index blocking (d08): sort by a normalized-prefix
+      // key inside prefix blocks, pair each doc with its next-3 sort
+      // neighbors via lead(), verify with exact token Jaccard. The
+      // planted near-dups differ only at the text TAIL, so their sort
+      // keys collide and SNM must surface every planted pair.
+      graft.ops.TextDedup.sortedNeighborhoodPairs(corpusWithPlants(s, d))
+        .orderBy(col("a"), col("b"))
+    },
+
     // --- near-dup pair graph → connected components → retention --------
     "d21_dedup_clusters" -> { (s, d) =>
       // The missing last step of every dedup pipeline: pairs alone
@@ -1812,6 +1824,28 @@ object PipelineQueries {
         """SELECT doc_id,
           |  substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 16) AS fingerprint
           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "d58_sorted_neighborhood" -> (planted +
+        """
+          |, n AS (
+          |  SELECT doc_id,
+          |    substr(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), 1, 24) AS sk,
+          |    substr(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), 1, 6) AS blk,
+          |    list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')) AS toks
+          |  FROM corpus
+          |), k AS (
+          |  SELECT doc_id, sk, blk, toks,
+          |    row_number() OVER (PARTITION BY blk ORDER BY sk, doc_id) AS rn
+          |  FROM n
+          |), p AS (
+          |  SELECT least(x.doc_id, y.doc_id) AS a, greatest(x.doc_id, y.doc_id) AS b,
+          |    len(list_intersect(x.toks, y.toks)) AS inter,
+          |    len(x.toks) + len(y.toks) - len(list_intersect(x.toks, y.toks)) AS uni
+          |  FROM k x JOIN k y ON x.blk = y.blk AND y.rn > x.rn AND y.rn <= x.rn + 3
+          |)
+          |SELECT a, b, CAST(inter AS DOUBLE) / uni AS jaccard
+          |FROM p WHERE CAST(inter AS DOUBLE) / uni >= 0.5
+          |ORDER BY a, b""".stripMargin),
 
       "d08_dedup_ngram_jaccard" -> (planted +
         """

@@ -131,6 +131,19 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("d58 sorted-neighborhood: window-generated pairs, no cartesian, slim exchanges") {
+    val df = PipelineQueries.queries("d58_sorted_neighborhood")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"SNM must never pair all-vs-all:\n$p")
+    assert(p.contains("Window"), s"pair generation must be lead() over a window:\n$p")
+    // the token arrays join back by id; they must not ride the sort
+    val exchangeBlocks = p.split("\n\n").filter(_.matches("(?s)\\(\\d+\\) Exchange.*"))
+    assert(exchangeBlocks.count(_.contains("toks")) <= 2,
+      s"token arrays should cross at most the two verify-join exchanges:\n$p")
+  }
+
   test("d25 k-means: centroids broadcast on every assignment pass") {
     val df = PipelineQueries.queries("d25_kmeans_refine")(spark, sfDir)
     df.collect()
