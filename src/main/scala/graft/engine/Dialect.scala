@@ -209,6 +209,25 @@ object Dialect {
         val j = sql.indexOf('`', i + 1)
         val end = if (j < 0) sql.length else j + 1
         sb.append(sql.substring(i, end)); i = end
+      } else if ((c == 'b' || c == 'B') && i + 1 < sql.length &&
+          (sql.charAt(i + 1) == '\'' || sql.charAt(i + 1) == '"') &&
+          (i == 0 || (!Character.isLetterOrDigit(sql.charAt(i - 1)) &&
+            sql.charAt(i - 1) != '_'))) {
+        // bytes literal b'…' → binary cast of the UTF-8 text. Escape
+        // sequences (\xNN, \n, …) would need byte-level decoding Spark
+        // literals can't express — fail loud rather than corrupt bytes.
+        val q = sql.charAt(i + 1)
+        var j = i + 2
+        while (j < sql.length && sql.charAt(j) != q) {
+          if (sql.charAt(j) == '\\')
+            throw new UnsupportedOperationException(
+              "bytes literals with escape sequences (b'…\\…') are not " +
+                "supported; use FROM_HEX('…') for arbitrary bytes")
+          j += 1
+        }
+        sb.append(s"CAST($q").append(sql.substring(i + 2, math.min(j, sql.length)))
+          .append(s"$q AS BINARY)")
+        i = if (j < sql.length) j + 1 else sql.length
       } else if ((c == 'r' || c == 'R') && i + 1 < sql.length &&
           (sql.charAt(i + 1) == '\'' || sql.charAt(i + 1) == '"') &&
           (i == 0 || (!Character.isLetterOrDigit(sql.charAt(i - 1)) &&

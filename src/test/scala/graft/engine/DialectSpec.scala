@@ -23,6 +23,18 @@ class DialectSpec extends AnyFunSuite {
       "SELECT 'SELECT AS STRUCT' AS s")
   }
 
+  test("bytes literals become binary casts; escaped ones fail loud") {
+    assert(Dialect.rewrite("SELECT b'abc' AS x") == "SELECT CAST('abc' AS BINARY) AS x")
+    assert(Dialect.rewrite("SELECT B\"ok\" AS x") == "SELECT CAST(\"ok\" AS BINARY) AS x")
+    // a column named b followed by a literal is not a bytes prefix
+    assert(Dialect.rewrite("SELECT tab 'x' FROM t", mapFqns = false) ==
+      "SELECT tab 'x' FROM t")
+    val e = intercept[UnsupportedOperationException] {
+      Dialect.rewrite(raw"SELECT b'\x41' AS x")
+    }
+    assert(e.getMessage.contains("escape"))
+  }
+
   test("typed NUMERIC/BIGNUMERIC literals become CASTs") {
     assert(Dialect.rewrite("SELECT NUMERIC '1.5' AS n") ==
       "SELECT CAST('1.5' AS DECIMAL(38,9)) AS n")
