@@ -70,7 +70,9 @@ class ScriptRunner(spark: SparkSession) {
   private def literalOf(v: Any): String = v match {
     case null => "NULL"
     case l: Long => l + "L" // keep INT64 semantics through re-parsing
-    case s: String => "'" + s.replace("'", "\\'") + "'"
+    // backslash FIRST: a value ending in \ would otherwise render as
+    // 'a\' with the backslash consuming the closing quote
+    case s: String => "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
     case d: java.sql.Date => s"DATE '$d'"
     case t: java.sql.Timestamp => s"TIMESTAMP '$t'"
     case a: scala.collection.Seq[_] => a.map(literalOf).mkString("array(", ", ", ")")

@@ -29,13 +29,15 @@ object StatementSplitter {
             case ';' => out += cur.result(); cur.clear()
             case _ => cur += ch
           }
+        // backslash escapes WHATEVER follows ('\\' must not eat the
+        // closing quote), matching Dialect.skipQuoted
         case 's' =>
           cur += ch
-          if (ch == '\\' && nxt == '\'') { cur += nxt; i += 1 }
+          if (ch == '\\' && i + 1 < script.length) { cur += nxt; i += 1 }
           else if (ch == '\'') state = 'n'
         case 'd' =>
           cur += ch
-          if (ch == '\\' && nxt == '"') { cur += nxt; i += 1 }
+          if (ch == '\\' && i + 1 < script.length) { cur += nxt; i += 1 }
           else if (ch == '"') state = 'n'
         case 'b' =>
           cur += ch
@@ -82,8 +84,9 @@ object StatementSplitter {
             out += ((if (start > 0 && stmt.charAt(start - 1) == '.') "." + word else word,
               start))
           }
-        case 's' => if (ch == '\\' && nxt == '\'') i += 1 else if (ch == '\'') state = 'n'
-        case 'd' => if (ch == '\\' && nxt == '"') i += 1 else if (ch == '"') state = 'n'
+        // backslash escapes whatever follows, as in `split` above
+        case 's' => if (ch == '\\' && i + 1 < stmt.length) i += 1 else if (ch == '\'') state = 'n'
+        case 'd' => if (ch == '\\' && i + 1 < stmt.length) i += 1 else if (ch == '"') state = 'n'
         case 'b' => if (ch == '`') state = 'n'
         case 'l' => if (ch == '\n') state = 'n'
         case 'c' => if (ch == '*' && nxt == '/') { i += 1; state = 'n' }

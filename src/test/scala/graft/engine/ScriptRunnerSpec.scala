@@ -292,6 +292,15 @@ class ScriptRunnerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(back.columns.toSeq == Seq("k", "sq"))
   }
 
+  test("string variables round-trip backslashes and quotes through substitution") {
+    val out = new ScriptRunner(spark).run(
+      """DECLARE v STRING DEFAULT 'a\\b';
+        |SET v = CONCAT(v, '\\');
+        |SET v = CONCAT(v, "it's");
+        |SELECT v AS x""".stripMargin).get
+    assert(out.collect().head.getString(0) == "a\\b\\it's")
+  }
+
   test("a semicolon inside a triple-quoted literal does not split the script") {
     val out = new ScriptRunner(spark).run(
       "DECLARE msg STRING DEFAULT '''a; b''';\nSELECT msg AS m").get
