@@ -40,16 +40,49 @@ object Dialect {
   // and vice versa, so JSON-ish payloads like '{"a":1}' stay one literal
   private val stringLit = raw"'(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\"".r
 
+  /** End (exclusive) of the comment starting at `i`, or -1 when `s(i)`
+    * doesn't start one.
+    */
+  private def commentEnd(s: String, i: Int): Int =
+    if (i + 1 >= s.length) -1
+    else if (s.charAt(i) == '-' && s.charAt(i + 1) == '-') {
+      val nl = s.indexOf('\n', i + 2); if (nl < 0) s.length else nl + 1
+    } else if (s.charAt(i) == '/' && s.charAt(i + 1) == '*') {
+      val e = s.indexOf("*/", i + 2); if (e < 0) s.length else e + 2
+    } else -1
+
+  /** [start, end) spans of string literals, COMMENT-AWARE: an apostrophe
+    * inside `-- don't` or a block comment must not open a phantom
+    * literal that pairs with a real literal's opening quote and exposes
+    * its content to the keyword passes. Quotes inside backtick
+    * identifiers don't open literals either.
+    */
+  private[engine] def literalSpans(s: String): Vector[(Int, Int)] = {
+    val out = Vector.newBuilder[(Int, Int)]
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      val ce = commentEnd(s, i)
+      if (ce >= 0) i = ce
+      else if (c == '\'' || c == '"') { val e = skipQuoted(s, i); out += ((i, e)); i = e }
+      else if (c == '`') i = skipQuoted(s, i)
+      else i += 1
+    }
+    out.result()
+  }
+
   /** Apply `f` only to the regions of `sql` outside string literals
     * (single- OR double-quoted), so keyword rewrites can't corrupt
-    * literal text like 'NUMERIC keypad' or "a DATETIME 'x".
+    * literal text like 'NUMERIC keypad' or "a DATETIME 'x". Comments
+    * count as outside (rewrites in comment text are harmless); their
+    * quotes don't shift the literal boundaries.
     */
   private def mapOutsideLiterals(sql: String)(f: String => String): String = {
     val sb = new StringBuilder
     var last = 0
-    stringLit.findAllMatchIn(sql).foreach { m =>
-      sb ++= f(sql.substring(last, m.start)) ++= m.group(0)
-      last = m.end
+    literalSpans(sql).foreach { case (st, en) =>
+      sb ++= f(sql.substring(last, st)) ++= sql.substring(st, en)
+      last = en
     }
     (sb ++= f(sql.substring(last))).toString
   }
@@ -120,8 +153,8 @@ object Dialect {
       raw"\s*,\s*((?:`[^`]+`|[\w-]+)(?:\s*\.\s*(?:`[^`]+`|[\w-]+)){2})(?!\s*\()").r
 
   def mapSourceFqns(sql: String): String = {
-    val literalSpans = stringLit.findAllMatchIn(sql).map(m => (m.start, m.end)).toVector
-    def inLiteral(p: Int) = literalSpans.exists(s => p >= s._1 && p < s._2)
+    val spans = literalSpans(sql)
+    def inLiteral(p: Int) = spans.exists(s => p >= s._1 && p < s._2)
     val toks = StatementSplitter.tokens(sql)
     commaJoinFqn.findAllMatchIn(sql)
       .find(m => !inLiteral(m.start) && {
@@ -178,7 +211,9 @@ object Dialect {
     }
     while (i < sql.length) {
       val c = sql.charAt(i)
-      if (tripleAt(i)) {
+      val ce = commentEnd(sql, i)
+      if (ce >= 0) { sb.append(sql.substring(i, ce)); i = ce }
+      else if (tripleAt(i)) {
         val q = c
         // find the closing triple: skip backslash escapes, and lex
         // greedily — in a run of >3 quotes the LAST three close
@@ -257,8 +292,7 @@ object Dialect {
     // fail loud on time travel — parquet destinations keep no history
     // (a silent ignore would read CURRENT data for a historical query)
     systemTimeRe.findFirstMatchIn(sql).foreach { m =>
-      val spans = stringLit.findAllMatchIn(sql).map(x => (x.start, x.end)).toVector
-      if (!spans.exists(s => m.start >= s._1 && m.start < s._2))
+      if (!inStringLiteral(sql, m.start))
         throw new UnsupportedOperationException(
           "FOR SYSTEM_TIME AS OF (time travel) is not supported: parquet " +
             "tables keep no row history. Snapshot the table explicitly instead")
@@ -429,6 +463,7 @@ object Dialect {
     var depth = 0
     while (i < s.length) {
       s.charAt(i) match {
+        case '-' | '/' if commentEnd(s, i) >= 0 => i = commentEnd(s, i) - 1
         case '\'' | '"' | '`' => i = skipQuoted(s, i) - 1
         case '[' => depth += 1
         case ']' => depth -= 1; if (depth == 0) return i
@@ -460,7 +495,9 @@ object Dialect {
     var i = 0
     while (i < in.length) {
       val c = in.charAt(i)
-      if (c == '\'' || c == '"' || c == '`') {
+      if (commentEnd(in, i) >= 0) {
+        val e = commentEnd(in, i); sb ++= in.substring(i, e); i = e
+      } else if (c == '\'' || c == '"' || c == '`') {
         val e = skipQuoted(in, i); sb ++= in.substring(i, e); i = e
       } else if (c == '[') {
         var p = sb.length - 1
@@ -555,6 +592,7 @@ object Dialect {
     var depth = 0
     while (i < s.length) {
       s.charAt(i) match {
+        case '-' | '/' if commentEnd(s, i) >= 0 => i = commentEnd(s, i) - 1
         case '\'' | '"' | '`' => i = skipQuoted(s, i) - 1
         case '(' => depth += 1
         case ')' => depth -= 1; if (depth == 0) return i
@@ -573,6 +611,7 @@ object Dialect {
     var i = 0
     while (i < s.length) {
       s.charAt(i) match {
+        case '-' | '/' if commentEnd(s, i) >= 0 => i = commentEnd(s, i) - 1
         case '\'' | '"' | '`' => i = skipQuoted(s, i) - 1
         case '(' => depth += 1
         case ')' => depth -= 1
@@ -1161,7 +1200,7 @@ object Dialect {
     * replace) the way mapOutsideLiterals guards the keyword passes.
     */
   private def inStringLiteral(sql: String, pos: Int): Boolean =
-    stringLit.findAllMatchIn(sql).exists(m => pos >= m.start && pos < m.end)
+    literalSpans(sql).exists(m => pos >= m._1 && pos < m._2)
 
   private val arrayCompRe = raw"(?is)\bARRAY\s*\(\s*SELECT\b".r
   private val arrayCompSelRe =

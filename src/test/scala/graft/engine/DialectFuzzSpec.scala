@@ -157,6 +157,21 @@ class DialectFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("comment quotes never shift literal boundaries (30 cases)") {
+    for (_ <- 1 to 30) {
+      val lit = randomContent(1 + rnd.nextInt(6))
+      val junk = randomContent(1 + rnd.nextInt(4))
+        .replace("*/", "**").replace("/*", "**").replace("\n", " ")
+      val n = rnd.nextInt(100000)
+      // line comment with hostile content (quotes included) between a
+      // rewrite-needing CAST and a literal that must survive verbatim
+      val sql = s"SELECT CAST($n AS INT64) AS a, -- x$junk\n  '${esc(lit)}' AS s"
+      val row = run(sql).head
+      assert(row.getLong(0) == n.toLong, s"CAST corrupted: $sql")
+      assert(row.getString(1) == lit, s"literal corrupted after comment: $sql")
+    }
+  }
+
   test("SAFE./NET. rewrites don't touch same-named aliases (30 cases)") {
     for (_ <- 1 to 10) {
       val (m, n, k) = (rnd.nextInt(1000), rnd.nextInt(1000), 1 + rnd.nextInt(4))

@@ -23,6 +23,20 @@ class DialectSpec extends AnyFunSuite {
       "SELECT 'SELECT AS STRUCT' AS s")
   }
 
+  test("a quote inside a comment cannot expose a literal to keyword rewrites") {
+    val in = "SELECT CAST(1 AS INT64) AS a, -- don't\n  'keep INT64 here' AS s, CAST(2 AS INT64) AS b"
+    val out = Dialect.rewrite(in, mapFqns = false)
+    assert(out.contains("'keep INT64 here'"), s"literal corrupted: $out")
+    assert(out.contains("CAST(1 AS BIGINT)") && out.contains("CAST(2 AS BIGINT)"))
+    // block comments too, and array literals after a commented quote
+    val in2 = "SELECT /* it's */ [1, 2] AS a, 'INT64 stays' AS s"
+    val out2 = Dialect.rewrite(in2, mapFqns = false)
+    assert(out2.contains("array(1, 2)") && out2.contains("'INT64 stays'"), out2)
+    // a raw string AFTER a comment apostrophe still normalizes
+    val out3 = Dialect.rewrite("SELECT 1 AS a, -- don't\n  r'\\d' AS p", mapFqns = false)
+    assert(out3.contains("'\\\\d'"), out3)
+  }
+
   test("bytes literals become binary casts; escaped ones fail loud") {
     assert(Dialect.rewrite("SELECT b'abc' AS x") == "SELECT CAST('abc' AS BINARY) AS x")
     assert(Dialect.rewrite("SELECT B\"ok\" AS x") == "SELECT CAST(\"ok\" AS BINARY) AS x")
