@@ -175,6 +175,12 @@ class DmlRunnerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(state() == Seq(("b", 2L), ("copied from audit", 1L)))
   }
 
+  test("plain UPDATE with ' FROM ' inside a comment is not misrouted") {
+    freshTable(Seq(("a", 1L), ("b", 2L)))
+    dml.run("UPDATE `dmlspec.t` SET k = 'x' -- copied from audit\nWHERE v = 1")
+    assert(state() == Seq(("b", 2L), ("x", 1L)))
+  }
+
   test("plain UPDATE with ' FROM ' inside a double-quoted literal is not misrouted") {
     freshTable(Seq(("a", 1L), ("b", 2L)))
     dml.run("UPDATE `dmlspec.t` SET k = \"it's from audit\" WHERE v = 2")
