@@ -57,18 +57,24 @@ object Dialect {
     * its content to the keyword passes. Quotes inside backtick
     * identifiers don't open literals either.
     */
-  private[engine] def literalSpans(s: String): Vector[(Int, Int)] = {
-    val out = Vector.newBuilder[(Int, Int)]
+  private[engine] def literalSpans(s: String): Vector[(Int, Int)] =
+    literalAndCommentSpans(s)._1
+
+  /** One scan → (string-literal spans, comment spans). */
+  private def literalAndCommentSpans(
+      s: String): (Vector[(Int, Int)], Vector[(Int, Int)]) = {
+    val lits = Vector.newBuilder[(Int, Int)]
+    val comments = Vector.newBuilder[(Int, Int)]
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
       val ce = commentEnd(s, i)
-      if (ce >= 0) i = ce
-      else if (c == '\'' || c == '"') { val e = skipQuoted(s, i); out += ((i, e)); i = e }
+      if (ce >= 0) { comments += ((i, ce)); i = ce }
+      else if (c == '\'' || c == '"') { val e = skipQuoted(s, i); lits += ((i, e)); i = e }
       else if (c == '`') i = skipQuoted(s, i)
       else i += 1
     }
-    out.result()
+    (lits.result(), comments.result())
   }
 
   /** Apply `f` only to the regions of `sql` outside string literals
@@ -1199,8 +1205,13 @@ object Dialect {
     * the recursive text passes (comprehension/UNNEST/access/star-
     * replace) the way mapOutsideLiterals guards the keyword passes.
     */
-  private def inStringLiteral(sql: String, pos: Int): Boolean =
-    literalSpans(sql).exists(m => pos >= m._1 && pos < m._2)
+  private def inStringLiteral(sql: String, pos: Int): Boolean = {
+    // the recursive passes and the time-travel guard must skip matches
+    // inside COMMENTS too (a commented-out FOR SYSTEM_TIME is not a
+    // time-travel query; a star-replace inside a comment is just text)
+    val (lits, comments) = literalAndCommentSpans(sql)
+    (lits ++ comments).exists(m => pos >= m._1 && pos < m._2)
+  }
 
   private val arrayCompRe = raw"(?is)\bARRAY\s*\(\s*SELECT\b".r
   private val arrayCompSelRe =

@@ -23,6 +23,17 @@ class DialectSpec extends AnyFunSuite {
       "SELECT 'SELECT AS STRUCT' AS s")
   }
 
+  test("commented-out constructs don't trigger guards or rewrites") {
+    // a commented-out time-travel clause must not throw
+    val out = Dialect.rewrite(
+      "SELECT 1 AS x -- FOR SYSTEM_TIME AS OF '2024-01-01'\nFROM t", mapFqns = false)
+    assert(out.contains("SELECT 1 AS x"))
+    // a star-replace inside a block comment stays text
+    val out2 = Dialect.rewrite(
+      "SELECT a /* * REPLACE (b AS c) */ FROM t", mapFqns = false)
+    assert(out2 == "SELECT a /* * REPLACE (b AS c) */ FROM t")
+  }
+
   test("a quote inside a comment cannot expose a literal to keyword rewrites") {
     val in = "SELECT CAST(1 AS INT64) AS a, -- don't\n  'keep INT64 here' AS s, CAST(2 AS INT64) AS b"
     val out = Dialect.rewrite(in, mapFqns = false)
