@@ -609,7 +609,10 @@ object Dialect {
     -1
   }
 
-  /** Split on top-level commas (outside parens and quoted regions). */
+  /** Split on top-level commas (outside parens, BRACKETS — a BQ array
+    * literal argument like `[0, 3, 6]` is one argument — and quoted
+    * regions).
+    */
   private def splitTopLevel(s: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     var depth = 0
@@ -619,8 +622,8 @@ object Dialect {
       s.charAt(i) match {
         case '-' | '/' if commentEnd(s, i) >= 0 => i = commentEnd(s, i) - 1
         case '\'' | '"' | '`' => i = skipQuoted(s, i) - 1
-        case '(' => depth += 1
-        case ')' => depth -= 1
+        case '(' | '[' => depth += 1
+        case ')' | ']' => depth -= 1
         case ',' if depth == 0 => out += s.substring(last, i); last = i + 1
         case _ =>
       }
@@ -808,10 +811,19 @@ object Dialect {
     * DISTINCT/LIMIT/IGNORE NULLS) rewrites; everything else passes
     * through to Spark's native array_agg.
     */
-  private def arrayAgg(a: Seq[String]): Option[String] = {
-    if (a.length != 1) return scala.None
+  private def arrayAgg(a0: Seq[String]): Option[String] = {
+    if (a0.length != 1) return scala.None
+    // `IGNORE NULLS` (suffix of the value part, per BQ grammar) is
+    // Spark collect_list/array_agg's default behavior — strip it
+    val obPos0 = topLevelOrderBy(a0.head)
+    val (v0, tail0) =
+      if (obPos0 < 0) (a0.head, "") else a0.head.splitAt(obPos0)
+    val vStripped = v0.replaceFirst(raw"(?is)\s+IGNORE\s+NULLS\s*$$", "")
+    val ignoreStripped = vStripped != v0
+    val a = Seq(vStripped + (if (tail0.isEmpty) "" else " " + tail0))
     val obPos = topLevelOrderBy(a.head)
-    if (obPos < 0) return scala.None // unordered → native array_agg
+    if (obPos < 0)
+      return if (ignoreStripped) Some(s"array_agg(${a.head.trim})") else scala.None
     val v = a.head.substring(0, obPos).trim
     val ob = a.head.substring(obPos).replaceFirst(raw"(?is)^ORDER\s+BY\s+", "").trim
     if (v.isEmpty || ob.isEmpty ||
@@ -964,6 +976,40 @@ object Dialect {
       else scala.None
     },
     "FORMAT" -> renameTo("format_string"), // BigQuery FORMAT is printf-style
+    "GENERATE_UUID" -> renameTo("uuid"),
+    "EDIT_DISTANCE" -> renameTo("levenshtein"),
+    "UNICODE" -> renameTo("ascii"), // Spark's ascii returns the full code point
+    "IS_NAN" -> renameTo("isnan"),
+    "IS_INF" -> (a => if (a.length == 1)
+      Some(s"(abs(CAST(${a(0)} AS DOUBLE)) = CAST('Infinity' AS DOUBLE))")
+      else scala.None),
+    // true IEEE semantics: ±Inf on /0, NaN on 0/0 (Spark's / yields NULL)
+    "IEEE_DIVIDE" -> (a => if (a.length == 2)
+      Some(s"(CASE WHEN (${a(1)}) = 0 THEN " +
+        s"CASE WHEN (${a(0)}) > 0 THEN CAST('Infinity' AS DOUBLE) " +
+        s"WHEN (${a(0)}) < 0 THEN CAST('-Infinity' AS DOUBLE) " +
+        s"ELSE CAST('NaN' AS DOUBLE) END " +
+        s"ELSE CAST(${a(0)} AS DOUBLE) / CAST(${a(1)} AS DOUBLE) END)")
+      else scala.None),
+    // index = #boundaries ≤ point (array must be sorted, as in BQ)
+    "RANGE_BUCKET" -> (a => if (a.length == 2)
+      Some(s"(CASE WHEN (${a(0)}) IS NULL THEN NULL " +
+        s"ELSE size(filter(${a(1)}, __rb -> __rb <= (${a(0)}))) END)")
+      else scala.None),
+    // case-insensitive contains; BQ's NFKC normalization approximated
+    // by lower() (exact for the ASCII/Latin corpora this engine targets)
+    "CONTAINS_SUBSTR" -> (a => if (a.length == 2)
+      Some(s"(instr(lower(${a(0)}), lower(${a(1)})) > 0)") else scala.None),
+    "TO_CODE_POINTS" -> (a => if (a.length == 1)
+      Some(s"transform(split(${a(0)}, ''), __c -> ascii(__c))") else scala.None),
+    // Spark char() wraps at 256, so only Latin-1 code points round-trip —
+    // beyond that fail loud rather than emit wrapped garbage
+    "CODE_POINTS_TO_STRING" -> (a => if (a.length == 1)
+      Some(s"(CASE WHEN forall(${a(0)}, __c -> __c BETWEEN 0 AND 255) " +
+        s"THEN concat_ws('', transform(${a(0)}, __c -> char(__c))) " +
+        s"ELSE raise_error('CODE_POINTS_TO_STRING: code points beyond " +
+        s"Latin-1 are not supported') END)")
+      else scala.None),
     // BigQuery TO_HEX emits LOWERCASE hex; Spark's hex is uppercase
     "TO_HEX" -> (a =>
       if (a.length == 1) Some(s"lower(hex(${a(0)}))") else scala.None),

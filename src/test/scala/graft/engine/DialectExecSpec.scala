@@ -55,6 +55,32 @@ class DialectExecSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one("SELECT REGEXP_EXTRACT_ALL('a1b22c', '[0-9]+')") == Seq("1", "22"))
   }
 
+  test("vocabulary pack 3: IEEE math, buckets, code points, uuid") {
+    assert(one("SELECT IEEE_DIVIDE(1, 0)") == Double.PositiveInfinity)
+    assert(one("SELECT IEEE_DIVIDE(-1, 0)") == Double.NegativeInfinity)
+    assert(one("SELECT IEEE_DIVIDE(0, 0)").asInstanceOf[Double].isNaN)
+    assert(one("SELECT IEEE_DIVIDE(6, 4)") == 1.5)
+    assert(one("SELECT IS_INF(IEEE_DIVIDE(1, 0))") == true)
+    assert(one("SELECT IS_INF(2.5)") == false)
+    assert(one("SELECT IS_NAN(IEEE_DIVIDE(0, 0))") == true)
+    assert(one("SELECT RANGE_BUCKET(5, [0, 3, 6, 9])") == 2)
+    assert(one("SELECT RANGE_BUCKET(-1, [0, 3, 6, 9])") == 0)
+    assert(one("SELECT RANGE_BUCKET(9, [0, 3, 6, 9])") == 4)
+    assert(one("SELECT EDIT_DISTANCE('kitten', 'sitting')") == 3)
+    assert(one("SELECT CONTAINS_SUBSTR('Hello World', 'o w')") == true)
+    assert(one("SELECT CONTAINS_SUBSTR('Hello', 'xyz')") == false)
+    assert(one("SELECT TO_CODE_POINTS('hi')") == Seq(104, 105))
+    assert(one("SELECT TO_CODE_POINTS('â你')") == Seq(226, 20320))
+    assert(one("SELECT CODE_POINTS_TO_STRING([104, 105])") == "hi")
+    val e = intercept[Exception] { one("SELECT CODE_POINTS_TO_STRING([20320])") }
+    assert(e.getMessage.contains("Latin-1"))
+    assert(one("SELECT UNICODE('â')") == 226)
+    assert(one("SELECT length(GENERATE_UUID())") == 36)
+    assert(one("SELECT ARRAY_AGG(x IGNORE NULLS) FROM (SELECT 1 AS x UNION ALL " +
+      "SELECT NULL UNION ALL SELECT 2)")
+      .asInstanceOf[scala.collection.Seq[_]].toSet == Set(1, 2))
+  }
+
   test("hash functions return BYTES; TO_HEX is lowercase") {
     assert(one("SELECT TO_HEX(MD5('abc'))") == "900150983cd24fb0d6963f7d28e17f72")
     assert(one("SELECT TO_HEX(SHA256('abc'))") ==
