@@ -1109,6 +1109,43 @@ object Dialect {
     "SAFE_ADD" -> renameTo("try_add"),
     "SAFE_SUBTRACT" -> renameTo("try_subtract"),
     "SAFE_MULTIPLY" -> renameTo("try_multiply"),
+    "SAFE_NEGATE" -> (a =>
+      if (a.length == 1) Some(s"try_multiply(${a(0)}, -1)") else scala.None),
+    // BigQuery LOG(x, base); Spark log(base, x) — SWAPPED argument order
+    // (1-arg LOG = ln in both, passes through)
+    "LOG" -> (a =>
+      if (a.length == 2) Some(s"log(${a(1)}, ${a(0)})") else scala.None),
+    // BigQuery TRUNC is NUMERIC truncation toward zero; Spark's trunc is
+    // date-only. A string-literal 2nd arg ('MM' …) is the Spark date
+    // idiom and passes through.
+    "TRUNC" -> { a =>
+      if (a.length < 1 || a.length > 2 ||
+        (a.length == 2 && strLit(a(1)).isDefined)) scala.None
+      else {
+        val n = if (a.length == 2) a(1) else "0"
+        Some(s"(CASE WHEN (${a(0)}) >= 0 THEN floor((${a(0)}) * pow(10, $n)) " +
+          s"ELSE ceil((${a(0)}) * pow(10, $n)) END / pow(10, $n))")
+      }
+    },
+    // BigQuery regex replacements use \1 backrefs and literal $; Java
+    // (Spark) uses $1 and needs \$ — convert literal replacement args
+    "REGEXP_REPLACE" -> { a =>
+      if (a.length != 3) scala.None
+      else strLit(a(2)).map { rep =>
+        val sb = new StringBuilder
+        var i = 0
+        while (i < rep.length) {
+          val c = rep.charAt(i)
+          if (c == '\\' && i + 1 < rep.length && rep.charAt(i + 1).isDigit) {
+            sb += '$' += rep.charAt(i + 1); i += 2
+          } else if (c == '\\' && i + 1 < rep.length) {
+            sb += c += rep.charAt(i + 1); i += 2
+          } else if (c == '$') { sb ++= "\\\\$"; i += 1 }
+          else { sb += c; i += 1 }
+        }
+        s"regexp_replace(${a(0)}, ${a(1)}, '$sb')"
+      }
+    },
     "ARRAY_AGG" -> arrayAgg,
     "ANY_VALUE" -> anyValueHaving,
     "TO_JSON_STRING" -> (a =>

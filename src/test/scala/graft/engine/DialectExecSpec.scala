@@ -81,6 +81,25 @@ class DialectExecSpec extends AnyFunSuite with BeforeAndAfterAll {
       .asInstanceOf[scala.collection.Seq[_]].toSet == Set(1, 2))
   }
 
+  test("vocabulary pack 4: backrefs, LOG order, numeric TRUNC, SAFE_NEGATE") {
+    // BQ \1 backrefs → Java $1; literal $ survives
+    assert(one(raw"SELECT REGEXP_REPLACE('ab', r'(a)(b)', '\2\1')") == "ba")
+    assert(one(raw"SELECT REGEXP_REPLACE('price', 'p', '$$')") == "$rice")
+    // escaped backslash in the replacement stays one literal backslash
+    assert(one(raw"SELECT REGEXP_REPLACE('a-b', '-', '\\\\')") == "a\\b")
+    // BQ LOG(x, base) — Spark's log takes (base, x)
+    assert(one("SELECT LOG(8, 2)") == 3.0)
+    assert(math.abs(one("SELECT LOG(1000, 10)").asInstanceOf[Double] - 3.0) < 1e-12)
+    assert(math.abs(one("SELECT LOG(100)").asInstanceOf[Double] - math.log(100)) < 1e-12)
+    // numeric truncation toward zero (date-idiom trunc passes through)
+    assert(one("SELECT TRUNC(1.57, 1)") == 1.5)
+    assert(one("SELECT TRUNC(-1.57, 1)") == -1.5)
+    assert(one("SELECT TRUNC(2.9)") == 2.0)
+    assert(one("SELECT CAST(TRUNC(DATE '2024-03-15', 'MM') AS STRING)") == "2024-03-01")
+    assert(one("SELECT SAFE_NEGATE(7)") == -7)
+    assert(one("SELECT STRPOS('banana', 'an')") == 2)
+  }
+
   test("hash functions return BYTES; TO_HEX is lowercase") {
     assert(one("SELECT TO_HEX(MD5('abc'))") == "900150983cd24fb0d6963f7d28e17f72")
     assert(one("SELECT TO_HEX(SHA256('abc'))") ==
