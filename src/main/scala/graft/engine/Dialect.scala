@@ -756,6 +756,14 @@ object Dialect {
       p <- javaPattern(f)
     } yield (p.replace("'", "''"), a(1))
 
+  private def normalizeCall(a: Seq[String], casefold: Boolean): Option[String] = {
+    if (a.isEmpty || a.length > 2) return scala.None
+    val form = if (a.length == 2) a(1).trim.toUpperCase else "NFC"
+    if (!Set("NFC", "NFKC", "NFD", "NFKD").contains(form)) return scala.None
+    val n = s"graft_normalize(${a(0)}, '$form')"
+    Some(if (casefold) s"lower($n)" else n)
+  }
+
   private def strLit(a: String): Option[String] =
     if (a.length >= 2 && a.head == '\'' && a.last == '\'')
       Some(a.substring(1, a.length - 1))
@@ -977,6 +985,11 @@ object Dialect {
     },
     "FORMAT" -> renameTo("format_string"), // BigQuery FORMAT is printf-style
     "GENERATE_UUID" -> renameTo("uuid"),
+    // Unicode normalization via the native graft_normalize expression
+    // (registered by every engine entry point); the BQ form argument is
+    // a bare keyword → string literal. CASEFOLD approximated by lower().
+    "NORMALIZE" -> (a => normalizeCall(a, casefold = false)),
+    "NORMALIZE_AND_CASEFOLD" -> (a => normalizeCall(a, casefold = true)),
     "EDIT_DISTANCE" -> renameTo("levenshtein"),
     "UNICODE" -> renameTo("ascii"), // Spark's ascii returns the full code point
     "IS_NAN" -> renameTo("isnan"),

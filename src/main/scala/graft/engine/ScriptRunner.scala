@@ -19,6 +19,10 @@ import scala.collection.mutable
   * views (distributed, never collected).
   */
 class ScriptRunner(spark: SparkSession) {
+
+  // native graft_* expressions (graft_normalize backs NORMALIZE) must
+  // resolve in any session that runs rewritten SQL
+  graft.functions.BitSketchExpressions.register(spark)
   private val variables = mutable.LinkedHashMap[String, String]()
   // DECLAREd Spark types — evaluation casts to them so an INT64
   // variable stays BIGINT through SET arithmetic and substitution

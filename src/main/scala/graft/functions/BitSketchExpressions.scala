@@ -31,6 +31,11 @@ object SketchKernels {
   private val md5 = ThreadLocal.withInitial[java.security.MessageDigest](() =>
     java.security.MessageDigest.getInstance("MD5"))
 
+  /** Unicode normalization (NFC/NFKC/NFD/NFKD) — BigQuery NORMALIZE. */
+  def unicodeNormalize(s: UTF8String, form: UTF8String): UTF8String =
+    UTF8String.fromString(java.text.Normalizer.normalize(
+      s.toString, java.text.Normalizer.Form.valueOf(form.toString)))
+
   private def digest60(s: UTF8String): Long = {
     val md = md5.get()
     md.reset()
@@ -300,6 +305,22 @@ case class SqDistLong(left: Expression, right: Expression)
       newRight: Expression): SqDistLong = copy(newLeft, newRight)
 }
 
+/** Unicode normalization of a string to the form named by the second
+  * argument (NFC/NFKC/NFD/NFKD) — backs BigQuery's NORMALIZE and
+  * NORMALIZE_AND_CASEFOLD (see [[SketchKernels.unicodeNormalize]]).
+  */
+case class UnicodeNormalize(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SketchKernels.unicodeNormalize(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.SketchKernels.unicodeNormalize($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): UnicodeNormalize = copy(newLeft, newRight)
+}
+
 object BitSketchExpressions {
   /** Register SQL functions `graft_simhash64`, `graft_srp_sig`,
     * `graft_shingles`, `graft_md5_60`, `graft_minhash32`,
@@ -322,5 +343,7 @@ object BitSketchExpressions {
       "graft_md5_60", exprs => Md5Long60(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_minhash32", exprs => MinHash32(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_normalize", exprs => UnicodeNormalize(exprs(0), exprs(1)), "scala_udf")
   }
 }

@@ -18,8 +18,10 @@ class DialectExecSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
-  private def one(sql: String): Any =
+  private def one(sql: String): Any = {
+    graft.functions.BitSketchExpressions.register(spark)
     spark.sql(Dialect.rewrite(sql)).collect()(0).get(0)
+  }
 
   test("GENERATE_ARRAY: ascending, empty-descending, stepped, negative step") {
     assert(one("SELECT GENERATE_ARRAY(1, 4)") == Seq(1, 2, 3, 4))
@@ -79,6 +81,20 @@ class DialectExecSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one("SELECT ARRAY_AGG(x IGNORE NULLS) FROM (SELECT 1 AS x UNION ALL " +
       "SELECT NULL UNION ALL SELECT 2)")
       .asInstanceOf[scala.collection.Seq[_]].toSet == Set(1, 2))
+  }
+
+  test("NORMALIZE: composed and decomposed forms converge") {
+    // decomposed e+combining-acute (65 CC 81) composes to e-acute (C3 A9)
+    assert(one("SELECT NORMALIZE(decode(unhex('65CC81'), 'UTF-8')) = " +
+      "decode(unhex('C3A9'), 'UTF-8')") == true)
+    // NFD decomposes the precomposed form back to 2 code points
+    assert(one("SELECT length(NORMALIZE(decode(unhex('C3A9'), 'UTF-8'), NFD))") == 2)
+    // NFKC folds compatibility chars (fi ligature U+FB01 -> 'fi')
+    assert(one("SELECT NORMALIZE(decode(unhex('EFAC81'), 'UTF-8'), NFKC)") == "fi")
+    // casefold: E-acute -> e-acute
+    assert(one("SELECT NORMALIZE_AND_CASEFOLD(decode(unhex('C389'), 'UTF-8')) = " +
+      "decode(unhex('C3A9'), 'UTF-8')") == true)
+    assert(one("SELECT NORMALIZE(CAST(NULL AS STRING))") == null)
   }
 
   test("vocabulary pack 4: backrefs, LOG order, numeric TRUNC, SAFE_NEGATE") {
