@@ -358,13 +358,14 @@ object Dialect {
   }
 
   private val safeNetPrefixRe =
-    raw"(?i)\b(SAFE|NET)\s*\.\s*([A-Za-z_][A-Za-z0-9_]*)(?=\s*\()".r
+    raw"(?i)\b(SAFE|NET|HLL_COUNT)\s*\.\s*([A-Za-z_][A-Za-z0-9_]*)(?=\s*\()".r
 
   /** SAFE. error-suppressing prefix → SAFE_ spelling handled by the call
     * rewriter (SAFE_CAST, SAFE_PARSE_x, SAFE_SUBSTR…); same for the NET.
-    * namespace. Rewritten ONLY when the dotted name is a call to a known
-    * SAFE_ or NET_ function — an alias or struct path named safe/net
-    * (e.g. `SELECT net.amount FROM ledger net`) must survive untouched.
+    * and HLL_COUNT. namespaces. Rewritten ONLY when the dotted name is a
+    * call to a known SAFE_/NET_/HLL_COUNT_ function — an alias or struct
+    * path named safe/net (e.g. `SELECT net.amount FROM ledger net`) must
+    * survive untouched.
     */
   private def rewriteSafeNetPrefix(sql: String): String =
     safeNetPrefixRe.replaceAllIn(sql, m => {
@@ -1055,12 +1056,8 @@ object Dialect {
     // single capture group when present (whole match otherwise); Spark's
     // regexp_extract returns '' on no match. first-of-extract_all has
     // the exact semantics. Literal patterns only (group count is static).
-    "REGEXP_EXTRACT" -> { a =>
-      if (a.length == 2) strLit(a(1)).map { p =>
-        val idx = if (captureGroups(p) > 0) 1 else 0
-        s"try_element_at(regexp_extract_all(${a(0)}, ${a(1)}, $idx), 1)"
-      } else scala.None
-    },
+    "REGEXP_EXTRACT" -> regexpExtractFirst,
+    "REGEXP_SUBSTR" -> regexpExtractFirst, // BigQuery alias of REGEXP_EXTRACT
     "REGEXP_EXTRACT_ALL" -> { a =>
       if (a.length == 2) strLit(a(1)).map { p =>
         val idx = if (captureGroups(p) > 0) 1 else 0
@@ -1181,6 +1178,69 @@ object Dialect {
         case _ => scala.None
       } else scala.None
     },
+    // --- pack 5: BQ sketch namespace onto Spark's native DataSketches
+    //     HLL (codegen'd, mergeable — the 100 TB path). BQ precision =
+    //     lgConfigK; Spark caps at 21 vs BQ's 24 — out-of-range fails
+    //     loud rather than silently re-bucketing.
+    "HLL_COUNT_INIT" -> { a =>
+      if (a.length == 1) Some(s"hll_sketch_agg(${a(0)}, 15)") // BQ default precision 15
+      else if (a.length == 2) Some(s"hll_sketch_agg(${a(0)}, ${a(1)})")
+      else scala.None
+    },
+    "HLL_COUNT_MERGE" -> (a =>
+      if (a.length == 1) Some(s"hll_sketch_estimate(hll_union_agg(${a(0)}, true))")
+      else scala.None),
+    "HLL_COUNT_MERGE_PARTIAL" -> (a =>
+      if (a.length == 1) Some(s"hll_union_agg(${a(0)}, true)") else scala.None),
+    "HLL_COUNT_EXTRACT" -> (a =>
+      if (a.length == 1) Some(s"hll_sketch_estimate(${a(0)})") else scala.None),
+    // APPROX_QUANTILES(x, n) → n+1 evenly spaced quantiles. The
+    // fraction array must be foldable for percentile_approx, so only a
+    // literal n compiles — anything else stays unresolved (loud).
+    "APPROX_QUANTILES" -> { a =>
+      if (a.length == 2 && a(1).trim.matches("""\d+""")) {
+        val n = a(1).trim.toInt
+        if (n < 1 || n > 1000) scala.None
+        else {
+          val fr = (0 to n).map(i => s"${i.toDouble / n}").mkString("array(", ", ", ")")
+          Some(s"percentile_approx(${a(0)}, $fr, 10000)")
+        }
+      } else scala.None
+    },
+    // BQ vector-search distance functions over ARRAY<FLOAT64> — pure
+    // higher-order built-ins, stay inside whole-stage codegen
+    "COSINE_DISTANCE" -> (a =>
+      if (a.length == 2) Some(
+        s"(1.0D - aggregate(zip_with(${a(0)}, ${a(1)}, (__va, __vb) -> CAST(__va AS DOUBLE) * __vb), 0D, (__s, __v) -> __s + __v) " +
+        s"/ (sqrt(aggregate(${a(0)}, 0D, (__s, __v) -> __s + CAST(__v AS DOUBLE) * __v)) " +
+        s"* sqrt(aggregate(${a(1)}, 0D, (__s, __v) -> __s + CAST(__v AS DOUBLE) * __v))))")
+      else scala.None),
+    "EUCLIDEAN_DISTANCE" -> (a =>
+      if (a.length == 2) Some(
+        s"sqrt(aggregate(zip_with(${a(0)}, ${a(1)}, (__va, __vb) -> (CAST(__va AS DOUBLE) - __vb) * (CAST(__va AS DOUBLE) - __vb)), 0D, (__s, __v) -> __s + __v))")
+      else scala.None),
+    // 2-arg LAST_DAY(d, part); the 1-arg form is Spark-native (month)
+    "LAST_DAY" -> { a =>
+      if (a.length != 2) scala.None
+      else a(1).trim.toUpperCase.replaceAll("\\s+", "") match {
+        case "MONTH" => Some(s"last_day(${a(0)})")
+        case "YEAR" => Some(s"make_date(year(${a(0)}), 12, 31)")
+        case "QUARTER" =>
+          Some(s"date_sub(add_months(date_trunc('QUARTER', ${a(0)}), 3), 1)")
+        // WEEK = Sunday-start → ends Saturday; ISOWEEK ends Sunday
+        case "WEEK" | "WEEK(SUNDAY)" =>
+          Some(s"date_add(cast(${a(0)} as date), 7 - dayofweek(${a(0)}))")
+        case "ISOWEEK" =>
+          Some(s"date_add(cast(${a(0)} as date), 7 - ((dayofweek(${a(0)}) + 5) % 7 + 1))")
+        case _ => scala.None
+      }
+    },
+    "DATE_FROM_UNIX_DATE" -> (a =>
+      if (a.length == 1) Some(s"date_add(DATE'1970-01-01', cast(${a(0)} as int))")
+      else scala.None),
+    "UNIX_DATE" -> (a =>
+      if (a.length == 1) Some(s"datediff(${a(0)}, DATE'1970-01-01')")
+      else scala.None),
     "FORMAT_DATE" -> fmtCall("date_format"),
     "FORMAT_DATETIME" -> fmtCall("date_format"),
     "FORMAT_TIMESTAMP" -> fmtCall("date_format"),
@@ -1218,6 +1278,17 @@ object Dialect {
       }
     }
   )
+
+  /** BigQuery REGEXP_EXTRACT/REGEXP_SUBSTR: NULL on no match, extracts
+    * the single capture group when present (whole match otherwise);
+    * Spark's regexp_extract returns '' on no match, so route through
+    * first-of-extract_all. Literal patterns only (group count is static).
+    */
+  private def regexpExtractFirst: Seq[String] => Option[String] = a =>
+    if (a.length == 2) strLit(a(1)).map { p =>
+      val idx = if (captureGroups(p) > 0) 1 else 0
+      s"try_element_at(regexp_extract_all(${a(0)}, ${a(1)}, $idx), 1)"
+    } else scala.None
 
   private def tsDiff: Seq[String] => Option[String] = a =>
     if (a.length == 3 && isBareUnit(a(2), timeUnits))

@@ -1253,8 +1253,94 @@ object PipelineQueries {
           sum(col("frame_bytes")).as("sampled_bytes"),
           min(col("digest")).as("min_digest"))
         .orderBy(col("doc_id"))
+    },
+
+    // --- corpus-LM familiarity scoring (the CCNet/KenLM quality pass):
+    //     a bigram model trained ON the corpus scores each document by
+    //     how much of it the model has seen elsewhere. Perplexity uses
+    //     log(), whose low bits differ across libm builds, so the score
+    //     is kept rational: integer occurrence counts + ONE IEEE
+    //     division per doc (exactly rounded in every engine). At 100 TB
+    //     the count table is vocabulary², Zipf-concentrated; the
+    //     familiar SET (count ≥ corpus mean) is far smaller than the
+    //     corpus and joins on the bigram shuffle key — never a broadcast
+    //     of corpus-sized state, never a second scan of `text` ----------
+    "d59_ngram_familiarity" -> { (s, d) =>
+      // The text is exploded ONCE into per-(bigram, doc) occurrence
+      // counts (map-side combined); everything downstream — corpus
+      // counts, the familiarity threshold, the per-doc re-aggregation —
+      // runs over those slim integer rows, with the shared subplans
+      // collapsing into reused exchanges (PlanAuditSpec asserts it).
+      val occ = t(s, d, "documents")
+        .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
+        .where(size(col("toks")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(1, size(toks)-1),
+            |  i -> concat(element_at(toks,i), ' ',  element_at(toks,i+1)))""".stripMargin))
+          .as("bigram"))
+        .groupBy(col("bigram"), col("doc_id"))
+        .agg(count(lit(1)).as("k"))
+      val cf = occ.groupBy(col("bigram")).agg(sum(col("k")).as("cf"))
+      // familiar = above the corpus MEAN count (cf · n_types ≥ total
+      // occurrences) — scale-relative, so the cut moves with corpus
+      // size, and integer-exact, so no float threshold to disagree on.
+      // The 1-row stats frame broadcasts.
+      val stats = cf.agg(count(lit(1)).as("n_types"), sum(col("cf")).as("total_occ"))
+      occ.join(cf, Seq("bigram"))
+        .crossJoin(broadcast(stats))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("k")).as("n_bigrams"),
+          sum(when(col("cf") * col("n_types") >= col("total_occ"), col("k"))
+            .otherwise(lit(0L))).as("n_familiar"))
+        .withColumn("familiarity",
+          col("n_familiar").cast(DoubleType) / col("n_bigrams").cast(DoubleType))
+        .orderBy(col("doc_id"))
+    },
+
+    // --- Z-order (Morton) layout keys: multi-dimensional clustering so
+    //     parquet min/max row-group stats prune on BOTH dims at once —
+    //     the standard 100 TB answer to "queries filter on customer OR
+    //     date, but the table can only be sorted one way". The gate
+    //     hash-checks the bit-interleave math + per-bucket dimension
+    //     spans (each 1/64th z-bucket covers a bounded x AND y range);
+    //     ZOrderLayoutSpec writes the actual repartitionByRange layout
+    //     and asserts the per-file span contraction ---------------------
+    "d60_zorder_layout" -> { (s, d) =>
+      val dims = t(s, d, "orders").select(
+        pmod(col("o_custkey"), lit(1024)).cast(LongType).as("x"),
+        expr("datediff(o_orderdate, DATE'1995-01-01') div 4").cast(LongType).as("y"))
+      dims
+        .withColumn("z", zorderKey(col("x"), col("y")))
+        .withColumn("z_bucket", expr("z div 16384"))
+        .groupBy(col("z_bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+          min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+        .orderBy(col("z_bucket"))
     }
   )
+
+  /** Interleaves the low 16 bits of a non-negative long with zeros
+    * (Morton spread: bit i moves to bit 2i) via the classic
+    * shift-and-mask ladder — four codegen'd integer ops per step, no
+    * UDF. Two spread dims OR'd (x + 2*y) give the Z-order curve key.
+    */
+  private def mortonSpread(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val m0 = c.bitwiseAND(lit(0xFFFFL))
+    val m1 = m0.bitwiseOR(shiftleft(m0, 8)).bitwiseAND(lit(0x00FF00FFL))
+    val m2 = m1.bitwiseOR(shiftleft(m1, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    val m3 = m2.bitwiseOR(shiftleft(m2, 2)).bitwiseAND(lit(0x33333333L))
+    m3.bitwiseOR(shiftleft(m3, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** Z-order (Morton) curve key for two non-negative dims (low 16 bits
+    * each): `repartitionByRange(zorderKey(x, y)).sortWithinPartitions`
+    * before a parquet write clusters BOTH dims into every file, so
+    * row-group min/max stats prune either predicate. See the
+    * d60_zorder_layout gate and ZOrder layout audit in PlanAuditSpec.
+    */
+  def zorderKey(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    mortonSpread(x).bitwiseOR(shiftleft(mortonSpread(y), 1))
 
   val oracleSql: Map[String, String] = {
     val planted =
@@ -1303,6 +1389,51 @@ object PipelineQueries {
           |  CAST(coalesce(sum(CASE WHEN c.a IS NOT NULL THEN 1 END), 0) AS DOUBLE)
           |    / CAST(count(1) AS DOUBLE) AS recall
           |FROM truth t LEFT JOIN cand c ON t.a = c.a AND t.b = c.b""".stripMargin),
+
+      "d59_ngram_familiarity" ->
+        """WITH tk AS (
+          |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM documents
+          |), bg AS (
+          |  SELECT doc_id,
+          |    unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS bigram
+          |  FROM tk WHERE len(toks) >= 2
+          |), cf AS (
+          |  SELECT bigram, count(1) AS c FROM bg GROUP BY bigram
+          |), fam AS (
+          |  SELECT bigram FROM cf
+          |  WHERE c * (SELECT count(1) FROM cf) >= (SELECT sum(c) FROM cf)
+          |)
+          |SELECT b.doc_id,
+          |  CAST(count(1) AS BIGINT) AS n_bigrams,
+          |  CAST(coalesce(sum(CASE WHEN f.bigram IS NOT NULL THEN 1 END), 0) AS BIGINT) AS n_familiar,
+          |  CAST(coalesce(sum(CASE WHEN f.bigram IS NOT NULL THEN 1 END), 0) AS DOUBLE)
+          |    / CAST(count(1) AS DOUBLE) AS familiarity
+          |FROM bg b LEFT JOIN fam f ON b.bigram = f.bigram
+          |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
+
+      "d60_zorder_layout" ->
+        """WITH dims AS (
+          |  SELECT CAST(o_custkey % 1024 AS BIGINT) AS x,
+          |    CAST(datediff('day', DATE '1995-01-01', o_orderdate) // 4 AS BIGINT) AS y
+          |  FROM orders
+          |), s1 AS (
+          |  SELECT x, y,
+          |    ((x & 65535) | ((x & 65535) << 8)) & 16711935 AS sx,
+          |    ((y & 65535) | ((y & 65535) << 8)) & 16711935 AS sy
+          |  FROM dims
+          |), s2 AS (
+          |  SELECT x, y, (sx | (sx << 4)) & 252645135 AS sx, (sy | (sy << 4)) & 252645135 AS sy FROM s1
+          |), s3 AS (
+          |  SELECT x, y, (sx | (sx << 2)) & 858993459 AS sx, (sy | (sy << 2)) & 858993459 AS sy FROM s2
+          |), s4 AS (
+          |  SELECT x, y, (sx | (sx << 1)) & 1431655765 AS sx, (sy | (sy << 1)) & 1431655765 AS sy FROM s3
+          |), zed AS (
+          |  SELECT x, y, (sx | (sy << 1)) // 16384 AS z_bucket FROM s4
+          |)
+          |SELECT z_bucket, count(1) AS n_rows,
+          |  min(x) AS min_x, max(x) AS max_x,
+          |  min(y) AS min_y, max(y) AS max_y
+          |FROM zed GROUP BY z_bucket ORDER BY z_bucket""".stripMargin,
 
       "d57_quality_calibration" ->
         """WITH r AS (

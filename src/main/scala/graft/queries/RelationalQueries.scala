@@ -731,10 +731,41 @@ object RelationalQueries {
           |  FROM orders GROUP BY 1
           |) o ON o.mo = date_format(m.m, 'yyyy-MM')
           |ORDER BY month""".stripMargin)
+    },
+
+    "q54_incremental_rollup" -> { (s, d) =>
+      // Incremental materialized-view maintenance: when a new batch of
+      // orders lands, the monthly rollup is NOT recomputed from full
+      // history — partial aggregates (count + exact decimal sum) from
+      // the frozen base and from the delta merge algebraically. The
+      // gate runs base-partials ∪ delta-partials → merge; the DuckDB
+      // oracle is the full recompute, so green means incremental ≡
+      // full. At 100 TB this is the difference between scanning one
+      // day and rescanning the table; count/sum/min/max all merge this
+      // way (avg as sum÷count at read time).
+      val cut = lit("2001-01-01").cast(TimestampType)
+      val o = t(s, d, "orders")
+      def partial(df: DataFrame): DataFrame = df
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+          col("o_orderstatus"))
+        .agg(count(lit(1)).as("cnt"), sum(dec(col("o_totalprice"))).as("psum"))
+      partial(o.where(col("o_orderdate") < cut))
+        .unionByName(partial(o.where(col("o_orderdate") >= cut)))
+        .groupBy(col("month"), col("o_orderstatus"))
+        .agg(sum(col("cnt")).as("n_orders"), asD(sum(col("psum"))).as("sum_price"))
+        .orderBy(col("month"), col("o_orderstatus"))
     }
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q54_incremental_rollup" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month, o_orderstatus,
+        |  count(1) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |GROUP BY 1, 2
+        |ORDER BY month, o_orderstatus""".stripMargin,
+
     "q52_locf_ignore_nulls" ->
       """SELECT o_custkey, o_orderkey,
         |  CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS d,

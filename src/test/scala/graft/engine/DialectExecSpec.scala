@@ -116,6 +116,39 @@ class DialectExecSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one("SELECT STRPOS('banana', 'an')") == 2)
   }
 
+  test("vocabulary pack 5: HLL_COUNT namespace, quantiles, vector distances, date vocab") {
+    // HLL_COUNT.* onto Spark's native DataSketches HLL; exact at n=3
+    assert(one("SELECT HLL_COUNT.EXTRACT(HLL_COUNT.INIT(x)) FROM " +
+      "(SELECT 'a' AS x UNION ALL SELECT 'b' UNION ALL SELECT 'a' UNION ALL SELECT 'c')") == 3L)
+    assert(one("SELECT HLL_COUNT.MERGE(s) FROM (" +
+      "SELECT HLL_COUNT.INIT(x) AS s FROM (SELECT 'a' AS x UNION ALL SELECT 'b') " +
+      "UNION ALL SELECT HLL_COUNT.INIT(x) FROM (SELECT 'b' AS x UNION ALL SELECT 'c'))") == 3L)
+    assert(one("SELECT HLL_COUNT.EXTRACT(HLL_COUNT.MERGE_PARTIAL(s)) FROM (" +
+      "SELECT HLL_COUNT.INIT(x, 14) AS s FROM (SELECT 'a' AS x) " +
+      "UNION ALL SELECT HLL_COUNT.INIT(x, 14) FROM (SELECT 'b' AS x))") == 2L)
+    // a non-function use of the name must NOT be prefix-mangled
+    assert(Dialect.rewrite("SELECT hll_count.v FROM t hll_count")
+      .contains("hll_count.v"))
+    // APPROX_QUANTILES(x, n) → n+1 quantiles; exact on tiny input
+    assert(one("SELECT APPROX_QUANTILES(x, 2) FROM " +
+      "(SELECT 1 AS x UNION ALL SELECT 2 UNION ALL SELECT 3)") == Seq(1, 2, 3))
+    // vector distances (BQ vector search surface)
+    assert(one("SELECT COSINE_DISTANCE([1.0, 0.0], [0.0, 1.0])") == 1.0)
+    assert(math.abs(one("SELECT COSINE_DISTANCE([1.0, 1.0], [1.0, 1.0])")
+      .asInstanceOf[Double]) < 1e-12)
+    assert(one("SELECT EUCLIDEAN_DISTANCE([0.0, 0.0], [3.0, 4.0])") == 5.0)
+    // date vocabulary
+    assert(one("SELECT CAST(LAST_DAY(DATE '2024-02-10') AS STRING)") == "2024-02-29")
+    assert(one("SELECT CAST(LAST_DAY(DATE '2024-02-10', YEAR) AS STRING)") == "2024-12-31")
+    assert(one("SELECT CAST(LAST_DAY(DATE '2024-02-10', QUARTER) AS STRING)") == "2024-03-31")
+    // 2024-02-10 is a Saturday: Sunday-week ends that day, ISO week next day
+    assert(one("SELECT CAST(LAST_DAY(DATE '2024-02-10', WEEK) AS STRING)") == "2024-02-10")
+    assert(one("SELECT CAST(LAST_DAY(DATE '2024-02-10', ISOWEEK) AS STRING)") == "2024-02-11")
+    assert(one("SELECT CAST(DATE_FROM_UNIX_DATE(19873) AS STRING)") == "2024-05-30")
+    assert(one("SELECT UNIX_DATE(DATE '2024-05-30')") == 19873)
+    assert(one("SELECT REGEXP_SUBSTR('plus-minus', '([a-z]+)-')") == "plus")
+  }
+
   test("hash functions return BYTES; TO_HEX is lowercase") {
     assert(one("SELECT TO_HEX(MD5('abc'))") == "900150983cd24fb0d6963f7d28e17f72")
     assert(one("SELECT TO_HEX(SHA256('abc'))") ==

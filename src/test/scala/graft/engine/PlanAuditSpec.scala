@@ -343,4 +343,53 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"the one-row (N, sum_dl) side must broadcast:\n$p")
     assert(p.contains("partial_count"), s"tf must combine map-side:\n$p")
   }
+
+  test("d59 familiarity: the bigram explode is computed once, not re-scanned") {
+    // The exploded bigram stream feeds BOTH the count side and the
+    // per-doc join side. At 100 TB the text column must not be scanned
+    // and re-exploded twice — the identical shuffle-on-bigram subplans
+    // must collapse into one exchange (ReusedExchange), and the 1-row
+    // stats frame must broadcast.
+    val df = PipelineQueries.queries("d59_ngram_familiarity")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    val scans = p.linesIterator.count(l =>
+      l.contains("Location") && l.contains("documents.parquet"))
+    assert(scans == 1 || p.contains("ReusedExchange"),
+      s"expected one documents scan or a reused exchange, got $scans scans in:\n$p")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      s"the 1-row stats frame must broadcast:\n$p")
+  }
+
+  test("d60 z-order layout: range partitions on z contract BOTH dim spans") {
+    // The point of the Morton key: after repartitionByRange(z) each
+    // output file covers a bounded slice of x AND y, so parquet min/max
+    // stats prune either predicate. A single-dim sort (the naive
+    // layout) bounds only its own column — x stays at full span.
+    // Both dims scaled to the SAME bit width (7 bits) — interleaving
+    // only balances the curve when the dims have comparable ranges; a
+    // 10-bit dim zipped with an 8-bit one puts the top z bits all on
+    // one side and the other dim stops contracting.
+    import org.apache.spark.sql.functions._
+    val dims = Tables.t(spark, sfDir, "orders").select(
+      pmod(col("o_custkey"), lit(128)).cast("long").as("x"),
+      expr("datediff(o_orderdate, DATE'1995-01-01') % 128").cast("long").as("y"))
+    def meanSpans(df: org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val spans = df
+        .withColumn("pid", spark_partition_id())
+        .groupBy(col("pid"))
+        .agg((max(col("x")) - min(col("x"))).as("xs"),
+          (max(col("y")) - min(col("y"))).as("ys"))
+        .agg(avg(col("xs")), avg(col("ys"))).head()
+      (spans.getDouble(0), spans.getDouble(1))
+    }
+    val zed = dims.withColumn("z", PipelineQueries.zorderKey(col("x"), col("y")))
+    val (zx, zy) = meanSpans(zed.repartitionByRange(16, col("z")))
+    val (nx, _) = meanSpans(dims.repartitionByRange(16, col("y")))
+    val (gx, gy) = meanSpans(dims.coalesce(1))
+    assert(zx < gx * 0.5 && zy < gy * 0.5,
+      s"z-layout should bound both dims: x $zx/$gx, y $zy/$gy")
+    assert(nx > gx * 0.8,
+      s"the y-only layout should NOT bound x (got $nx of $gx) — otherwise this test proves nothing")
+  }
 }
