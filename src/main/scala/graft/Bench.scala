@@ -29,9 +29,12 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // platform CPU throttling makes single totals bounce ~2.7× on
-    // identical code (see commit 4c5ba18): run the suite N times (default
-    // 2) and report per-query MEDIANS + every run's total
-    val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
+    // identical code (see commit 4c5ba18): run the suite N times and
+    // report per-query MEDIANS + every run's total. Default 3: with 2
+    // runs the median is the MEAN of both, so any one-time cost paid in
+    // run 1 (lazy catalog fixtures, first-touch codegen) bleeds 50 %
+    // into the reported number; the median of 3 is the middle run.
+    val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -754,6 +754,40 @@ object RelationalQueries {
         .groupBy(col("month"), col("o_orderstatus"))
         .agg(sum(col("cnt")).as("n_orders"), asD(sum(col("psum"))).as("sum_price"))
         .orderBy(col("month"), col("o_orderstatus"))
+    },
+
+    "q55_scd2_snapshot_diff" -> { (s, d) =>
+      // Slowly-changing-dimension maintenance: the change set between
+      // two dimension snapshots (insert / delete / update), derived by
+      // a full outer equi-join on the business key comparing md5 row
+      // fingerprints — the CDC feed that drives SCD2 valid_from/
+      // valid_to splicing. One key-partitioned shuffle join at 100 TB;
+      // fingerprints hash DECIMAL-rendered numerics so both engines
+      // format identically. Snapshot 2 is derived deterministically:
+      // %5==0 rebalanced (update), %17==0 churned (delete), clones
+      // +100000 acquired (insert).
+      val snap1 = t(s, d, "customer")
+      val rowHash = md5(concat_ws("|", col("c_name"),
+        col("c_nationkey").cast(StringType),
+        col("c_acctbal").cast(DecimalType(18, 2)).cast(StringType),
+        col("c_mktsegment")))
+      val snap2 = snap1
+        .where(col("c_custkey") % 17 =!= 0)
+        .withColumn("c_acctbal",
+          when(col("c_custkey") % 5 === 0, col("c_acctbal") + 10.0)
+            .otherwise(col("c_acctbal")))
+        .unionByName(snap1.where(col("c_custkey") % 13 === 0)
+          .withColumn("c_custkey", col("c_custkey") + 100000L))
+      val a = snap1.select(col("c_custkey"), rowHash.as("old_hash"))
+      val b = snap2.select(col("c_custkey"), rowHash.as("new_hash"))
+      a.join(b, Seq("c_custkey"), "full_outer")
+        .withColumn("change_type",
+          when(col("old_hash").isNull, "insert")
+            .when(col("new_hash").isNull, "delete")
+            .when(col("old_hash") =!= col("new_hash"), "update"))
+        .where(col("change_type").isNotNull)
+        .select(col("c_custkey"), col("change_type"), col("old_hash"), col("new_hash"))
+        .orderBy(col("c_custkey"))
     }
   )
 
@@ -765,6 +799,30 @@ object RelationalQueries {
         |FROM orders
         |GROUP BY 1, 2
         |ORDER BY month, o_orderstatus""".stripMargin,
+
+    "q55_scd2_snapshot_diff" ->
+      """WITH h AS (
+        |  SELECT c_custkey, md5(c_name || '|' || CAST(c_nationkey AS VARCHAR) || '|'
+        |    || CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR) || '|' || c_mktsegment) AS rh
+        |  FROM customer
+        |), h2 AS (
+        |  SELECT c_custkey, md5(c_name || '|' || CAST(c_nationkey AS VARCHAR) || '|'
+        |    || CAST(CAST(CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 10.0 ELSE c_acctbal END
+        |        AS DECIMAL(18,2)) AS VARCHAR) || '|' || c_mktsegment) AS rh
+        |  FROM customer WHERE c_custkey % 17 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey + 100000, md5(c_name || '|' || CAST(c_nationkey AS VARCHAR) || '|'
+        |    || CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR) || '|' || c_mktsegment)
+        |  FROM customer WHERE c_custkey % 13 = 0
+        |)
+        |SELECT coalesce(a.c_custkey, b.c_custkey) AS c_custkey,
+        |  CASE WHEN a.c_custkey IS NULL THEN 'insert'
+        |       WHEN b.c_custkey IS NULL THEN 'delete'
+        |       WHEN a.rh <> b.rh THEN 'update' END AS change_type,
+        |  a.rh AS old_hash, b.rh AS new_hash
+        |FROM h a FULL OUTER JOIN h2 b ON a.c_custkey = b.c_custkey
+        |WHERE (a.c_custkey IS NULL OR b.c_custkey IS NULL OR a.rh <> b.rh)
+        |ORDER BY c_custkey""".stripMargin,
 
     "q52_locf_ignore_nulls" ->
       """SELECT o_custkey, o_orderkey,
