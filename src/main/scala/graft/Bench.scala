@@ -52,7 +52,13 @@ object Bench {
     try graft.queries.EngineQueries.warmFixtures(spark, sfDir)
     catch { case e: Throwable =>
       System.err.println(s"[bench] fixture warmup failed: ${e.getMessage}") }
-    val runs = (1 to nRuns).map(_ => timeQueries(SparkEntry.queries.toSeq, spark, sfDir))
+    // drop persisted intermediates between runs: persist() registers by
+    // canonicalized plan, so without this runs 2+ silently reuse run 1's
+    // cached candidate-pair frames and time less than the real work
+    val runs = (1 to nRuns).map { i =>
+      if (i > 1) spark.catalog.clearCache()
+      timeQueries(SparkEntry.queries.toSeq, spark, sfDir)
+    }
     val errors = runs.flatMap(_._2).distinct.sorted
     // medians over queries that succeeded in EVERY run; a query that
     // failed anywhere contributes no time and shows up in `errors`

@@ -185,6 +185,26 @@ class DialectFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("HLL_COUNT namespace under hostile aliases and literal noise (30 cases)") {
+    for (_ <- 1 to 10) {
+      val m = rnd.nextInt(1000)
+      // a relation/column actually NAMED hll_count must survive untouched
+      val r1 = run(s"SELECT hll_count.v FROM (SELECT $m AS v) AS hll_count").head
+      assert(r1.getInt(0) == m, s"alias hll_count mangled (v=$m)")
+      // the real namespace still rewrites with literal noise around it
+      val lit = esc(randomContent(1 + rnd.nextInt(4)))
+      val vals = Seq.fill(2 + rnd.nextInt(4))(rnd.nextInt(5))
+      val union = vals.map(v => s"SELECT $v AS x").mkString(" UNION ALL ")
+      val r2 = run(s"SELECT HLL_COUNT.EXTRACT(HLL_COUNT.INIT(x)) AS c, '$lit' AS s " +
+        s"FROM ($union)").head
+      assert(r2.getLong(0) == vals.distinct.size.toLong,
+        s"HLL INIT/EXTRACT wrong for $vals")
+      // prefix inside a string literal must not rewrite
+      val r3 = run(s"SELECT 'HLL_COUNT.INIT(x)' AS s").head
+      assert(r3.getString(0) == "HLL_COUNT.INIT(x)")
+    }
+  }
+
   test("array OFFSET/ORDINAL access under literal noise (30 cases)") {
     for (_ <- 1 to 30) {
       val ints = Seq.fill(2 + rnd.nextInt(5))(rnd.nextInt(1000))
