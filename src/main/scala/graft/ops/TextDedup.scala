@@ -226,10 +226,23 @@ object TextDedup {
            |  h -> h % $sampleMod = 0)""".stripMargin)).as("wh"))
     val rare = wins.groupBy(col("wh")).agg(count(lit(1)).as("df"))
       .where(col("df") <= dfCap)
-    val pruned = wins.join(rare.select("wh"), "wh").persist()
-    pruned.select(col("wh"), col("doc_id").as("a"))
-      .join(pruned.select(col("wh"), col("doc_id").as("b")), "wh")
-      .where(col("a") < col("b"))
+    // pair generation WITHOUT a self-join: the df pre-filter caps every
+    // posting list at dfCap, so the pairs of one window are generated
+    // locally from its collected id list (≤ dfCap·(dfCap−1)/2 pairs).
+    // The join output is already hash-partitioned by wh, so the groupBy
+    // adds no exchange — one shuffle of slim (wh, id) rows replaces the
+    // two shuffles + persist of the pruned⋈pruned self-join. The df
+    // filter runs BEFORE collect_list, so no aggregation buffer ever
+    // holds a hot window's full posting list.
+    wins.join(rare.select("wh"), "wh")
+      .groupBy(col("wh"))
+      .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
+      .where(size(col("ids")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(ids) - 1),
+          |  i -> transform(slice(ids, i + 1, size(ids) - i),
+          |    j -> struct(element_at(ids, i) AS a, j AS b))))""".stripMargin)).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("shared_windows"))
       .where(col("shared_windows") >= minShared)
   }

@@ -924,11 +924,20 @@ object PipelineQueries {
           explode(expr("transform(shingles, x -> graft_md5_60(x))")).as("sh"))
       val rare = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
         .where(col("df") <= 32)
-      val pruned = ex.join(rare.select("sh"), "sh").persist()
+      val pruned = ex.join(rare.select("sh"), "sh")
       val np = pruned.groupBy(col("doc_id")).agg(count(lit(1)).as("np"))
-      pruned.select(col("sh"), col("doc_id").as("a"))
-        .join(pruned.select(col("sh"), col("doc_id").as("b")), "sh")
-        .where(col("a") =!= col("b"))
+      // ordered candidate pairs generated locally per shingle (the df
+      // cap bounds every posting list at 32, so ≤ 32·31 pairs/shingle)
+      // — one shuffle of slim rows instead of a pruned⋈pruned self-join
+      // + persist; containment is asymmetric, so BOTH directions emit
+      pruned
+        .groupBy(col("sh")).agg(collect_list(col("doc_id")).as("ids"))
+        .where(size(col("ids")) >= 2)
+        .select(explode(expr(
+          """flatten(transform(ids, x ->
+            |  transform(filter(ids, y -> y != x), y -> struct(x AS a, y AS b))))""".stripMargin))
+          .as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
         .groupBy(col("a"), col("b")).agg(count(lit(1)).as("shared"))
         .join(np.select(col("doc_id").as("a"), col("np").as("na")), "a")
         .join(np.select(col("doc_id").as("b"), col("np").as("nb")), "b")
