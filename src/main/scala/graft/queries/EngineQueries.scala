@@ -645,6 +645,28 @@ object EngineQueries {
           "ORDER BY o_orderkey").get
     },
 
+    // --- BQ HLL sketch namespace end-to-end through the script engine:
+    //     INIT aggregates into a mergeable binary sketch, EXTRACT reads
+    //     the estimate, MERGE_PARTIAL ∪ MERGE re-aggregate it — the d16
+    //     tolerance-boolean pattern makes the estimate gate-checkable
+    //     (if the sketch drifts >5 % from exact, the hash check fails) --
+    "e40_hll_script" -> { (s, d) =>
+      Tables.views(s, d, "orders")
+      new ScriptRunner(s).run(
+        """CREATE TEMP TABLE order_sketches AS (
+          |  SELECT o_orderstatus,
+          |    HLL_COUNT.INIT(o_custkey, 14) AS sk,
+          |    count(DISTINCT o_custkey) AS exact_custkeys
+          |  FROM orders GROUP BY o_orderstatus
+          |);
+          |SELECT o_orderstatus, exact_custkeys,
+          |  abs(HLL_COUNT.EXTRACT(sk) - exact_custkeys) * 20 <= exact_custkeys AS within_5pct,
+          |  abs((SELECT HLL_COUNT.MERGE(sk) FROM order_sketches)
+          |    - (SELECT count(DISTINCT o_custkey) FROM orders)) * 20
+          |    <= (SELECT count(DISTINCT o_custkey) FROM orders) AS merge_within_5pct
+          |FROM order_sketches ORDER BY o_orderstatus""".stripMargin).get
+    },
+
     // --- ALLOW_FIELD_RELAXATION: REQUIRED -> NULLABLE on append --------
     "e29_field_relaxation" -> { (s, d) =>
       // The destination declares `note` REQUIRED (engine-managed table
@@ -1176,6 +1198,12 @@ object EngineQueries {
         |FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1997-03-01' AND o_orderdate < TIMESTAMP '1997-03-08'
         |ORDER BY o_orderkey""".stripMargin,
+
+    "e40_hll_script" ->
+      """SELECT o_orderstatus,
+        |  count(DISTINCT o_custkey) AS exact_custkeys,
+        |  true AS within_5pct, true AS merge_within_5pct
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "e29_field_relaxation" ->
       """SELECT o_orderkey, note FROM (
