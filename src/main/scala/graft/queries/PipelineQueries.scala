@@ -537,6 +537,32 @@ object PipelineQueries {
         .orderBy(col("bucket"), col("pack_id"))
     },
 
+    // --- length-bucketed batching (the seq2seq sibling of d28): docs
+    //     grouped into power-of-two token-length buckets so batch
+    //     padding is bounded by 2×; the gate accounts the padding waste
+    //     each bucket actually pays and the batches it yields. One
+    //     groupBy over per-doc token counts — vocabulary-sized output,
+    //     no window, no global sort at 100 TB ---------------------------
+    "d61_length_bucketing" -> { (s, d) =>
+      val buckets = Seq(16L, 32L, 64L, 128L, 256L, 512L, 1024L)
+      // tokens beyond the top bucket are truncated (as batching does),
+      // so padding_waste is non-negative by construction
+      val n = least(size(split(lower(trim(col("text"))), "\\s+")).cast(LongType),
+        lit(buckets.last))
+      val bucket = buckets.reverse.tail.foldLeft(lit(buckets.last)) {
+        (acc, b) => when(n <= b, b).otherwise(acc)
+      }
+      t(s, d, "documents")
+        .select(col("doc_id"), n.as("n_toks"), bucket.as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("sum_toks"),
+          max(col("n_toks")).as("max_toks"))
+        .withColumn("padding_waste", col("bucket") * col("n_docs") - col("sum_toks"))
+        .withColumn("n_batches", expr("(n_docs + 31) div 32"))
+        .orderBy(col("bucket"))
+    },
+
     // --- stratified deterministic sampling -----------------------------
     "d29_stratified_sample" -> { (s, d) =>
       // Per-stratum sampling at different target rates, pinned by a
@@ -1398,6 +1424,25 @@ object PipelineQueries {
           |  CAST(coalesce(sum(CASE WHEN c.a IS NOT NULL THEN 1 END), 0) AS DOUBLE)
           |    / CAST(count(1) AS DOUBLE) AS recall
           |FROM truth t LEFT JOIN cand c ON t.a = c.a AND t.b = c.b""".stripMargin),
+
+      "d61_length_bucketing" ->
+        """WITH tk AS (
+          |  SELECT doc_id,
+          |    least(CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT), 1024) AS n
+          |  FROM documents
+          |), bk AS (
+          |  SELECT doc_id, n,
+          |    CASE WHEN n <= 16 THEN 16 WHEN n <= 32 THEN 32 WHEN n <= 64 THEN 64
+          |         WHEN n <= 128 THEN 128 WHEN n <= 256 THEN 256 WHEN n <= 512 THEN 512
+          |         ELSE 1024 END AS bucket
+          |  FROM tk
+          |)
+          |SELECT bucket, count(1) AS n_docs,
+          |  CAST(sum(n) AS BIGINT) AS sum_toks,
+          |  max(n) AS max_toks,
+          |  bucket * count(1) - CAST(sum(n) AS BIGINT) AS padding_waste,
+          |  (count(1) + 31) // 32 AS n_batches
+          |FROM bk GROUP BY bucket ORDER BY bucket""".stripMargin,
 
       "d59_ngram_familiarity" ->
         """WITH tk AS (
