@@ -1282,13 +1282,22 @@ object Dialect {
   /** BigQuery REGEXP_EXTRACT/REGEXP_SUBSTR: NULL on no match, extracts
     * the single capture group when present (whole match otherwise);
     * Spark's regexp_extract returns '' on no match, so route through
-    * first-of-extract_all. Literal patterns only (group count is static).
+    * first-of-extract_all. Whether the GROUP or the WHOLE match is
+    * returned depends on the pattern text, so a non-literal pattern is
+    * statically undecidable — and Spark 4 resolves both names natively
+    * with different semantics, which would be silently wrong. Fail loud
+    * instead.
     */
   private def regexpExtractFirst: Seq[String] => Option[String] = a =>
-    if (a.length == 2) strLit(a(1)).map { p =>
-      val idx = if (captureGroups(p) > 0) 1 else 0
-      s"try_element_at(regexp_extract_all(${a(0)}, ${a(1)}, $idx), 1)"
-    } else scala.None
+    if (a.length == 2) Some(strLit(a(1)) match {
+      case Some(p) =>
+        val idx = if (captureGroups(p) > 0) 1 else 0
+        s"try_element_at(regexp_extract_all(${a(0)}, ${a(1)}, $idx), 1)"
+      case scala.None =>
+        "raise_error('REGEXP_EXTRACT/REGEXP_SUBSTR with a non-literal " +
+          "pattern: BigQuery group semantics depend on the pattern text " +
+          "- use a literal pattern')"
+    }) else scala.None
 
   private def tsDiff: Seq[String] => Option[String] = a =>
     if (a.length == 3 && isBareUnit(a(2), timeUnits))

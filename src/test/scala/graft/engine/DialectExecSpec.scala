@@ -147,6 +147,14 @@ class DialectExecSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one("SELECT CAST(DATE_FROM_UNIX_DATE(19873) AS STRING)") == "2024-05-30")
     assert(one("SELECT UNIX_DATE(DATE '2024-05-30')") == 19873)
     assert(one("SELECT REGEXP_SUBSTR('plus-minus', '([a-z]+)-')") == "plus")
+    // non-literal pattern: group-vs-whole-match is undecidable and
+    // Spark's native regexp_substr would silently take over — must be
+    // loud, not wrong
+    val dyn = intercept[Exception] {
+      one("SELECT REGEXP_EXTRACT('ab', concat('(', 'a', ')'))")
+    }
+    assert(dyn.getMessage.contains("literal pattern"),
+      s"expected loud non-literal-pattern error, got: ${dyn.getMessage}")
   }
 
   test("hash functions return BYTES; TO_HEX is lowercase") {
