@@ -1352,6 +1352,105 @@ object PipelineQueries {
           min(col("x")).as("min_x"), max(col("x")).as("max_x"),
           min(col("y")).as("min_y"), max(col("y")).as("max_y"))
         .orderBy(col("z_bucket"))
+    },
+
+    // --- RAG-style sentence-boundary chunk packing: sentences (not
+    //     token offsets, like d49) pack into ~64-token chunks — a
+    //     sentence opens a new chunk when the running token count
+    //     crosses the boundary, so no sentence is ever split. One
+    //     posexplode + one window shuffle on doc_id; chunk ids are
+    //     integer prefix-sum math, so the whole layout hash-checks
+    //     cross-engine. At 100 TB this scales with the scan: per-doc
+    //     state never leaves its partition ----------------------------
+    "d62_sentence_pack_chunks" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val sents = t(s, d, "documents")
+        .select(col("doc_id"), posexplode(split(col("text"), "\\.")))
+        .withColumnRenamed("pos", "idx")
+        .withColumn("sent", trim(col("col")))
+        .where(length(col("sent")) > 0)
+        .select(col("doc_id"), col("idx").cast(LongType).as("idx"),
+          size(split(col("sent"), "\\s+")).cast(LongType).as("n_toks"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("idx"))
+      sents.withColumn("cum", sum(col("n_toks")).over(w))
+        .withColumn("chunk_id", expr("(cum - n_toks) div 64"))
+        .groupBy(col("doc_id"), col("chunk_id"))
+        .agg(count(lit(1)).as("n_sentences"), sum(col("n_toks")).as("chunk_toks"),
+          min(col("idx")).as("first_sent"), max(col("idx")).as("last_sent"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    },
+
+    // --- cross-split leakage audit: near-dup pairs (d07's exact
+    //     MinHash-LSH pipeline) joined against the domain-level
+    //     train/val assignment (d56's hash) — a surviving cross-split
+    //     pair is leakage a doc-level split would miss, the audit run
+    //     before any eval on held-out data. The pair side stays
+    //     LSH-banded (never all-pairs); the split side is a slim
+    //     (doc, split) projection joined twice on the pair keys -------
+    "d63_cross_split_leakage" -> { (s, d) =>
+      val corpus = corpusWithPlants(s, d)
+      val splits = corpus.select(col("doc_id"),
+          concat(lit("site"), (col("doc_id") % 37).cast(StringType), lit(".org"))
+            .as("domain"))
+        .select(col("doc_id"),
+          when(expr("CAST(conv(substring(md5(domain), 1, 15), 16, 10) AS BIGINT) % 100") < 90,
+            lit("train")).otherwise(lit("val")).as("split"))
+      graft.ops.TextDedup.minhashLshPairs(corpus).select(col("a"), col("b"))
+        .join(splits.select(col("doc_id").as("a"), col("split").as("split_a")), Seq("a"))
+        .join(splits.select(col("doc_id").as("b"), col("split").as("split_b")), Seq("b"))
+        .select(col("a"), col("b"), col("split_a"), col("split_b"),
+          (col("split_a") =!= col("split_b")).as("cross_split"))
+        .orderBy(col("a"), col("b"))
+    },
+
+    // --- two-phase annealed data mixture: epoch 0 samples sources by
+    //     token share (coverage), the final epoch by quality share
+    //     (docs passing the stopword floor), intermediate epochs
+    //     interpolate linearly — the pretrain→anneal curriculum
+    //     schedule. Every share divides exact-int sums and the
+    //     interpolation is a fixed-order two-term sum, so the DOUBLE
+    //     weights are bit-stable cross-engine. Per-source aggregates
+    //     are vocabulary-sized; epochs explode only that tiny side ----
+    "d64_anneal_mixture" -> { (s, d) =>
+      val per = t(s, d, "documents")
+        .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
+        .withColumn("n_toks", size(col("toks")).cast(LongType))
+        .withColumn("is_q", expr(
+          "size(filter(toks, t -> t in ('the','a','of','and','to','in','is','that'))) >= 2"))
+        .groupBy(col("source"))
+        .agg(sum(col("n_toks")).as("tokens"),
+          sum(when(col("is_q"), lit(1L)).otherwise(lit(0L))).as("n_quality"))
+      val tot = per.agg(sum(col("tokens")).as("tot_tokens"),
+        sum(col("n_quality")).as("tot_quality"))
+      per.crossJoin(broadcast(tot))
+        .withColumn("epoch", explode(expr("sequence(0, 3)")))
+        .withColumn("w_raw",
+          ((lit(3) - col("epoch")) * (col("tokens").cast(DoubleType) / col("tot_tokens").cast(DoubleType))
+            + col("epoch") * (col("n_quality").cast(DoubleType) / col("tot_quality").cast(DoubleType))) / lit(3))
+        .select(col("epoch"), col("source"), col("tokens"), col("n_quality"),
+          round(col("w_raw"), 6).as("weight"),
+          round(col("w_raw") * lit(1.0e7)).cast(LongType).as("alloc_tokens"))
+        .orderBy(col("epoch"), col("source"))
+    },
+
+    // --- cluster-balanced diversity sampling: cap every SRP-LSH
+    //     semantic bucket at 4 vectors, chosen by a deterministic
+    //     content hash — the scale answer to "dedup is done but the
+    //     corpus is still 80 % one topic". One window shuffle on the
+    //     16-bit bucket key; no centroids, no pairwise stage, so it
+    //     runs where k-means diversity selection can't ----------------
+    "d65_cluster_balanced_sample" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = quantizedEmbeddings(s, d, plant = false)
+        .withColumn("sig", expr("graft_srp_sig(q)"))
+      val w = Window.partitionBy(col("sig"))
+        .orderBy(expr("md5(cast(vec_id as string))"), col("vec_id"))
+      e.withColumn("rn", row_number().over(w))
+        .groupBy(col("sig"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(when(col("rn") <= 4, lit(1L)).otherwise(lit(0L))).as("n_kept"),
+          sum(when(col("rn") <= 4, col("vec_id"))).as("kept_id_sum"))
+        .orderBy(col("sig"))
     }
   )
 
@@ -2204,6 +2303,124 @@ object PipelineQueries {
           |  AND CAST(len(list_intersect(ma.shingles, mb.shingles)) AS DOUBLE)
           |    / CAST(len(list_distinct(list_concat(ma.shingles, mb.shingles))) AS DOUBLE) >= 0.3
           |ORDER BY a, b""".stripMargin),
+
+      // d63 replays d07's entire MinHash-LSH pipeline (same CTE chain,
+      // same thresholds) and joins the d56 domain-split hash on both
+      // pair ends.
+      "d63_cross_split_leakage" -> (planted +
+        """
+          |, sh AS (
+          |  SELECT doc_id,
+          |    list_distinct(list_transform(range(1, len(toks) - 1),
+          |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+          |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM corpus)
+          |  WHERE len(toks) >= 3
+          |), hs AS (
+          |  SELECT doc_id, shingles,
+          |    list_transform(shingles, s -> ('0x' || substring(md5(s), 1, 15))::BIGINT % 2147483647) AS hs
+          |  FROM sh
+          |), mh AS (
+          |  SELECT doc_id, shingles,
+          |    list_transform(range(0, 32),
+          |      j -> list_min(list_transform(hs, h -> (h * (1103515245 + 12345*j) + j * 987654321) % 2147483647))) AS mh
+          |  FROM hs
+          |), banded AS (
+          |  SELECT doc_id, b,
+          |    ('0x' || substring(md5(array_to_string(mh[b*4+1 : b*4+4], ',')), 1, 15))::BIGINT AS bh
+          |  FROM mh, unnest(range(0, 8)) AS t(b)
+          |), pairs AS (
+          |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+          |  FROM banded x JOIN banded y ON x.b = y.b AND x.bh = y.bh AND x.doc_id < y.doc_id
+          |), verified AS (
+          |  SELECT p.a, p.b
+          |  FROM pairs p
+          |  JOIN mh ma ON ma.doc_id = p.a
+          |  JOIN mh mb ON mb.doc_id = p.b
+          |  WHERE CAST(list_sum(list_transform(range(1, 33),
+          |      i -> CASE WHEN ma.mh[i] = mb.mh[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 32.0 >= 0.5
+          |    AND CAST(len(list_intersect(ma.shingles, mb.shingles)) AS DOUBLE)
+          |      / CAST(len(list_distinct(list_concat(ma.shingles, mb.shingles))) AS DOUBLE) >= 0.3
+          |), sp AS (
+          |  SELECT doc_id,
+          |    CASE WHEN ('0x' || substring(md5('site' || CAST(doc_id % 37 AS VARCHAR) || '.org'), 1, 15))::BIGINT % 100 < 90
+          |         THEN 'train' ELSE 'val' END AS split
+          |  FROM corpus
+          |)
+          |SELECT v.a, v.b, sa.split AS split_a, sb.split AS split_b,
+          |  sa.split <> sb.split AS cross_split
+          |FROM verified v
+          |JOIN sp sa ON sa.doc_id = v.a
+          |JOIN sp sb ON sb.doc_id = v.b
+          |ORDER BY a, b""".stripMargin),
+
+      "d62_sentence_pack_chunks" ->
+        """WITH sp AS (
+          |  SELECT doc_id, string_split(text, '.') AS parts FROM documents
+          |), sent AS (
+          |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS idx, trim(parts[i]) AS sent
+          |  FROM sp, unnest(range(1, len(parts) + 1)) AS t(i)
+          |  WHERE length(trim(parts[i])) > 0
+          |), tk AS (
+          |  SELECT doc_id, idx,
+          |    CAST(len(regexp_split_to_array(sent, '\s+')) AS BIGINT) AS n_toks
+          |  FROM sent
+          |), cm AS (
+          |  SELECT doc_id, idx, n_toks,
+          |    sum(n_toks) OVER (PARTITION BY doc_id ORDER BY idx) AS cum
+          |  FROM tk
+          |)
+          |SELECT doc_id, CAST((cum - n_toks) // 64 AS BIGINT) AS chunk_id,
+          |  count(1) AS n_sentences,
+          |  CAST(sum(n_toks) AS BIGINT) AS chunk_toks,
+          |  min(idx) AS first_sent, max(idx) AS last_sent
+          |FROM cm GROUP BY doc_id, chunk_id
+          |ORDER BY doc_id, chunk_id""".stripMargin,
+
+      "d64_anneal_mixture" ->
+        """WITH tk AS (
+          |  SELECT source, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+          |  FROM documents
+          |), per AS (
+          |  SELECT source,
+          |    CAST(sum(len(toks)) AS BIGINT) AS tokens,
+          |    CAST(sum(CASE WHEN len(list_filter(toks,
+          |      t -> t IN ('the','a','of','and','to','in','is','that'))) >= 2
+          |      THEN 1 ELSE 0 END) AS BIGINT) AS n_quality
+          |  FROM tk GROUP BY source
+          |), tot AS (
+          |  SELECT CAST(sum(tokens) AS BIGINT) AS tot_tokens,
+          |    CAST(sum(n_quality) AS BIGINT) AS tot_quality
+          |  FROM per
+          |)
+          |SELECT epoch, source, tokens, n_quality,
+          |  round(((3 - epoch) * (CAST(tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE))
+          |    + epoch * (CAST(n_quality AS DOUBLE) / CAST(tot_quality AS DOUBLE))) / 3, 6) AS weight,
+          |  CAST(round((((3 - epoch) * (CAST(tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE))
+          |    + epoch * (CAST(n_quality AS DOUBLE) / CAST(tot_quality AS DOUBLE))) / 3) * 10000000.0) AS BIGINT) AS alloc_tokens
+          |FROM per, tot, unnest(range(0, 4)) AS t(epoch)
+          |ORDER BY epoch, source""".stripMargin,
+
+      "d65_cluster_balanced_sample" ->
+        """WITH e AS (
+          |  SELECT vec_id,
+          |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+          |  FROM embeddings
+          |), sg AS (
+          |  SELECT vec_id,
+          |    CAST(list_sum(list_transform(range(0, 16),
+          |      p -> CASE WHEN list_sum(list_transform(range(1, 65),
+          |             i -> q[i] * (((p*131 + (i-1)*37) % 7) - 3))) > 0
+          |           THEN (1::BIGINT << p) ELSE 0::BIGINT END)) AS BIGINT) AS sig
+          |  FROM e
+          |), rn AS (
+          |  SELECT vec_id, sig,
+          |    row_number() OVER (PARTITION BY sig ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+          |  FROM sg
+          |)
+          |SELECT sig, count(1) AS n_vecs,
+          |  CAST(sum(CASE WHEN rn <= 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+          |  CAST(sum(CASE WHEN rn <= 4 THEN vec_id END) AS BIGINT) AS kept_id_sum
+          |FROM rn GROUP BY sig ORDER BY sig""".stripMargin,
 
       // The multi-probe half-key scheme is exact for hamming ≤ 3, so the
       // oracle is simply brute-force all-pairs hamming over recomputed
