@@ -40,6 +40,14 @@ class ScriptRunner(spark: SparkSession) {
     raw"(?is)^CREATE\s+(?:OR\s+REPLACE\s+)?TEMP(?:ORARY)?\s+FUNCTION\s+(\w+).*\bLANGUAGE\s+js\b.*$$".r
   private val createFnRe =
     raw"(?is)^CREATE\s+(?:OR\s+REPLACE\s+)?TEMP(?:ORARY)?\s+FUNCTION\s+(\w+)\s*\(([^)]*)\)\s*(?:RETURNS\s+([\w<>, ()]+?))?\s*AS\s*\((.+)\)\s*$$".r
+  // BigQuery stored procedures (scripting surface the reference's BQ
+  // backend exposes; dataset-persisted there, session-scoped here). The
+  // stored body keeps its BEGIN…END wrapper so EXCEPTION handlers run.
+  private val createProcRe =
+    raw"(?is)^CREATE\s+(OR\s+REPLACE\s+)?PROCEDURE\s+(IF\s+NOT\s+EXISTS\s+)?(`[\w.-]+`|[\w.-]+)\s*\((.*?)\)\s*(?:OPTIONS\s*\([^)]*\)\s*)?(BEGIN\b.*END)\s*$$".r
+  private val callRe = raw"(?is)^CALL\s+(`[\w.-]+`|[\w.-]+)\s*\((.*)\)\s*$$".r
+  private val dropProcRe =
+    raw"(?is)^DROP\s+PROCEDURE\s+(IF\s+EXISTS\s+)?(`[\w.-]+`|[\w.-]+)\s*$$".r
 
   /** BigQuery scalar type names → Spark SQL DDL types. */
   private def sparkType(t: String): String = {
@@ -581,8 +589,124 @@ class ScriptRunner(spark: SparkSession) {
     sb.toString
   }
 
+  // ---- BigQuery stored procedures ------------------------------------
+
+  private final case class ProcParam(mode: String, name: String, tpe: String)
+  private final case class Procedure(name: String, params: Seq[ProcParam], body: String)
+  private val procedures = mutable.LinkedHashMap[String, Procedure]()
+  private var callDepth = 0
+
+  private def procKey(name: String): String = name.replace("`", "").toLowerCase
+
+  /** Parameter list of a CREATE PROCEDURE header: top-level commas only
+    * (STRUCT<a INT64, b STRING> commas sit inside angle brackets).
+    */
+  private def parseProcParams(text: String): Seq[ProcParam] = {
+    val parts = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var angle = 0
+    var paren = 0
+    text.foreach {
+      case '<' => angle += 1; cur += '<'
+      case '>' => angle -= 1; cur += '>'
+      case '(' => paren += 1; cur += '('
+      case ')' => paren -= 1; cur += ')'
+      case ',' if angle == 0 && paren == 0 => parts += cur.result(); cur.clear()
+      case c => cur += c
+    }
+    parts += cur.result()
+    val paramRe = raw"(?is)^(?:(IN|OUT|INOUT)\s+)?(\w+)\s+(.+)$$".r
+    parts.result().map(_.trim).filter(_.nonEmpty).map {
+      case paramRe(mode, name, tpe) =>
+        ProcParam(Option(mode).map(_.toUpperCase).getOrElse("IN"), name, tpe.trim)
+      case other => throw new IllegalArgumentException(
+        s"malformed procedure parameter: $other")
+    }
+  }
+
+  private def runCreateProcedure(orReplace: String, ifNotExists: String,
+      name: String, paramsText: String, body: String): Option[DataFrame] = {
+    val key = procKey(name)
+    if (procedures.contains(key)) {
+      if (orReplace == null && ifNotExists == null)
+        throw new IllegalArgumentException(
+          s"procedure $name already exists; use CREATE OR REPLACE PROCEDURE")
+      if (ifNotExists != null && orReplace == null) return None
+    }
+    procedures(key) = Procedure(name.replace("`", ""),
+      parseProcParams(paramsText), body)
+    None
+  }
+
+  /** CALL proc(args): IN/INOUT arguments evaluate in the CALLER's scope;
+    * the body runs in a fresh scope seeded only with the parameters
+    * (BigQuery: a procedure body sees its parameters, not the caller's
+    * variables); OUT/INOUT arguments must be caller variables and
+    * receive the parameter's final value after a successful run. The
+    * body keeps its BEGIN…END wrapper, so its own EXCEPTION handler
+    * fires before the error reaches the caller.
+    */
+  private def runCall(name: String, argsText: String): Option[DataFrame] = {
+    val proc = procedures.getOrElse(procKey(name),
+      throw new IllegalArgumentException(
+        s"procedure $name is not defined in this session; CREATE PROCEDURE " +
+          "must run before CALL (dataset-persisted procedures are not loaded)"))
+    val args = splitTopCommas(argsText).map(_.trim).filter(_.nonEmpty)
+    require(args.length == proc.params.length,
+      s"CALL ${proc.name}: expected ${proc.params.length} arguments, got ${args.length}")
+    callDepth += 1
+    try {
+      require(callDepth <= 16, s"procedure call nesting exceeded 16 (CALL ${proc.name})")
+      // (param, caller variable for write-back, initial literal)
+      val bindings = proc.params.zip(args).map { case (p, a) =>
+        p.mode match {
+          case "OUT" | "INOUT" =>
+            require(a.matches(raw"(?s)\w+"),
+              s"CALL ${proc.name}: ${p.mode} argument for ${p.name} must be a " +
+                s"variable name, got: $a")
+            val init =
+              if (p.mode == "OUT") "NULL"
+              else evalToLiteral(s"CAST(($a) AS ${sparkType(p.tpe)})")
+            (p, a, init)
+          case _ => (p, "", evalToLiteral(s"CAST(($a) AS ${sparkType(p.tpe)})"))
+        }
+      }
+      val savedVars = variables.clone()
+      val savedTypes = declaredTypes.clone()
+      variables.clear(); declaredTypes.clear()
+      bindings.foreach { case (p, _, init) =>
+        variables(p.name) = init
+        declaredTypes(p.name) = sparkType(p.tpe)
+      }
+      val (result, outs) =
+        try {
+          val res = runScript(proc.body)
+          (res, bindings.collect { case (p, callerVar, _) if p.mode != "IN" =>
+            callerVar -> variables.getOrElse(p.name, "NULL")
+          })
+        } finally {
+          variables.clear(); variables ++= savedVars
+          declaredTypes.clear(); declaredTypes ++= savedTypes
+        }
+      outs.foreach { case (callerVar, value) =>
+        variables(callerVar) = declaredTypes.get(callerVar) match {
+          case Some(t) if value != "NULL" => evalToLiteral(s"CAST(($value) AS $t)")
+          case _ => value
+        }
+      }
+      result
+    } finally callDepth -= 1
+  }
+
   private def runSimpleStatement(stmt: String): Option[DataFrame] = stmt match {
     case executeImmediateRe(tail) => runExecuteImmediate(tail.trim)
+    case createProcRe(orReplace, ifNotExists, name, params, body) =>
+      runCreateProcedure(orReplace, ifNotExists, name, params, body)
+    case callRe(name, args) => runCall(name, args)
+    case dropProcRe(ifExists, name) =>
+      if (procedures.remove(procKey(name)).isEmpty && ifExists == null)
+        throw new IllegalArgumentException(s"procedure $name does not exist")
+      None
     case declareRe(name, tpe, default) =>
       declaredTypes(name) = sparkType(tpe)
       variables(name) =

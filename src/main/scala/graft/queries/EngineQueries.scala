@@ -667,6 +667,40 @@ object EngineQueries {
           |FROM order_sketches ORDER BY o_orderstatus""".stripMargin).get
     },
 
+    // --- stored procedures: CREATE PROCEDURE / CALL with IN, OUT and
+    //     INOUT parameters, nested CALL, fresh body scope ---------------
+    "e41_procedures" -> { (s, d) =>
+      Tables.views(s, d, "orders")
+      new ScriptRunner(s).run(
+        """DECLARE n_f INT64; DECLARE rev_f FLOAT64;
+          |DECLARE n_o INT64; DECLARE rev_o FLOAT64;
+          |DECLARE grand FLOAT64 DEFAULT 0.0;
+          |CREATE PROCEDURE graft.tools.bounded_count(IN st STRING, IN cap FLOAT64, OUT c INT64)
+          |BEGIN
+          |  SET c = (SELECT count(1) FROM orders
+          |           WHERE o_orderstatus = st AND o_totalprice < cap);
+          |END;
+          |CREATE OR REPLACE PROCEDURE graft.tools.status_stats(
+          |    IN st STRING, IN cap FLOAT64, OUT n INT64, OUT rev FLOAT64,
+          |    INOUT acc FLOAT64)
+          |BEGIN
+          |  DECLARE hits INT64;
+          |  CALL graft.tools.bounded_count(st, cap, hits);
+          |  SET n = hits;
+          |  SET rev = (SELECT CAST(SUM(CAST(o_totalprice AS NUMERIC)) AS FLOAT64)
+          |             FROM orders
+          |             WHERE o_orderstatus = st AND o_totalprice < cap);
+          |  SET acc = acc + rev;
+          |END;
+          |CALL graft.tools.status_stats('F', 150000.0, n_f, rev_f, grand);
+          |CALL graft.tools.status_stats('O', 150000.0, n_o, rev_o, grand);
+          |DROP PROCEDURE graft.tools.bounded_count;
+          |SELECT 'F' AS status, n_f AS cnt, rev_f AS revenue, grand AS grand_total
+          |UNION ALL
+          |SELECT 'O', n_o, rev_o, grand
+          |ORDER BY status""".stripMargin).get
+    },
+
     // --- ALLOW_FIELD_RELAXATION: REQUIRED -> NULLABLE on append --------
     "e29_field_relaxation" -> { (s, d) =>
       // The destination declares `note` REQUIRED (engine-managed table
@@ -1204,6 +1238,20 @@ object EngineQueries {
         |  count(DISTINCT o_custkey) AS exact_custkeys,
         |  true AS within_5pct, true AS merge_within_5pct
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "e41_procedures" ->
+      """WITH agg AS (
+        |  SELECT o_orderstatus AS status, count(1) AS cnt,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |  FROM orders
+        |  WHERE o_orderstatus IN ('F', 'O') AND o_totalprice < 150000.0
+        |  GROUP BY 1
+        |), g AS (
+        |  SELECT 0.0 + (SELECT revenue FROM agg WHERE status = 'F')
+        |             + (SELECT revenue FROM agg WHERE status = 'O') AS grand_total
+        |)
+        |SELECT a.status, a.cnt, a.revenue, g.grand_total
+        |FROM agg a, g ORDER BY a.status""".stripMargin,
 
     "e29_field_relaxation" ->
       """SELECT o_orderkey, note FROM (

@@ -369,4 +369,109 @@ class ScriptRunnerSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(outside.getMessage.contains("EXCEPTION handler"))
   }
+
+  test("CALL binds IN/OUT/INOUT and the body runs in a fresh scope") {
+    val out = new ScriptRunner(spark).run(
+      """DECLARE hidden INT64 DEFAULT 99;
+        |DECLARE got INT64;
+        |DECLARE acc INT64 DEFAULT 10;
+        |CREATE PROCEDURE p.ds.addup(IN x INT64, OUT y INT64, INOUT z INT64)
+        |BEGIN
+        |  SET y = x * 2;
+        |  SET z = z + x;
+        |END;
+        |CALL p.ds.addup(hidden - 92, got, acc);
+        |SELECT got AS doubled, acc AS accumulated""".stripMargin).get
+    val r = out.collect().head
+    assert(r.getLong(0) == 14L && r.getLong(1) == 17L)
+  }
+
+  test("procedure body cannot see caller variables") {
+    val e = intercept[Exception] {
+      new ScriptRunner(spark).run(
+        """DECLARE secret INT64 DEFAULT 5;
+          |CREATE PROCEDURE p.ds.peek(OUT y INT64)
+          |BEGIN
+          |  SET y = secret;
+          |END;
+          |DECLARE got INT64;
+          |CALL p.ds.peek(got);
+          |SELECT got AS g""".stripMargin)
+    }
+    // `secret` is unresolved inside the body: surfaces as an analysis error
+    assert(e.getMessage.toLowerCase.contains("secret"))
+  }
+
+  test("CALL of an undefined procedure and duplicate CREATE both fail loud") {
+    val undef = intercept[IllegalArgumentException] {
+      new ScriptRunner(spark).run("CALL p.ds.missing(1)")
+    }
+    assert(undef.getMessage.contains("not defined"))
+    val dup = intercept[IllegalArgumentException] {
+      new ScriptRunner(spark).run(
+        """CREATE PROCEDURE p.ds.one(IN x INT64) BEGIN SELECT 1; END;
+          |CREATE PROCEDURE p.ds.one(IN x INT64) BEGIN SELECT 2; END""".stripMargin)
+    }
+    assert(dup.getMessage.contains("already exists"))
+    // IF NOT EXISTS keeps the FIRST body
+    val keep = new ScriptRunner(spark).run(
+      """DECLARE r INT64;
+        |CREATE PROCEDURE p.ds.keep(OUT y INT64) BEGIN SET y = 1; END;
+        |CREATE PROCEDURE IF NOT EXISTS p.ds.keep(OUT y INT64) BEGIN SET y = 2; END;
+        |CALL p.ds.keep(r);
+        |SELECT r AS kept""".stripMargin).get
+    assert(keep.collect().head.getLong(0) == 1L)
+  }
+
+  test("OUT argument must be a variable; DROP PROCEDURE removes it") {
+    val notVar = intercept[Exception] {
+      new ScriptRunner(spark).run(
+        """CREATE PROCEDURE p.ds.o(OUT y INT64) BEGIN SET y = 1; END;
+          |CALL p.ds.o(1 + 2)""".stripMargin)
+    }
+    assert(notVar.getMessage.contains("must be a variable"))
+    val dropped = intercept[IllegalArgumentException] {
+      new ScriptRunner(spark).run(
+        """CREATE PROCEDURE p.ds.gone(IN x INT64) BEGIN SELECT x; END;
+          |DROP PROCEDURE p.ds.gone;
+          |CALL p.ds.gone(1)""".stripMargin)
+    }
+    assert(dropped.getMessage.contains("not defined"))
+    val dropMissing = intercept[IllegalArgumentException] {
+      new ScriptRunner(spark).run("DROP PROCEDURE p.ds.never")
+    }
+    assert(dropMissing.getMessage.contains("does not exist"))
+    // IF EXISTS tolerates the absence
+    assert(new ScriptRunner(spark)
+      .run("DROP PROCEDURE IF EXISTS p.ds.never; SELECT 1 AS ok").get
+      .collect().head.getInt(0) == 1)
+  }
+
+  test("runaway procedure recursion is capped") {
+    val e = intercept[Exception] {
+      new ScriptRunner(spark).run(
+        """CREATE PROCEDURE p.ds.loop(IN x INT64)
+          |BEGIN
+          |  CALL p.ds.loop(x + 1);
+          |END;
+          |CALL p.ds.loop(0)""".stripMargin)
+    }
+    assert(e.getMessage.contains("nesting exceeded"))
+  }
+
+  test("procedure EXCEPTION handler fires inside the body") {
+    val out = new ScriptRunner(spark).run(
+      """DECLARE msg STRING;
+        |CREATE PROCEDURE p.ds.guarded(OUT m STRING)
+        |BEGIN
+        |  BEGIN
+        |    RAISE USING MESSAGE = 'boom';
+        |  EXCEPTION WHEN ERROR THEN
+        |    SET m = @@error.message;
+        |  END;
+        |END;
+        |CALL p.ds.guarded(msg);
+        |SELECT msg AS caught""".stripMargin).get
+    assert(out.collect().head.getString(0) == "boom")
+  }
 }
