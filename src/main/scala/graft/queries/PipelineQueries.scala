@@ -1451,6 +1451,165 @@ object PipelineQueries {
           sum(when(col("rn") <= 4, lit(1L)).otherwise(lit(0L))).as("n_kept"),
           sum(when(col("rn") <= 4, col("vec_id"))).as("kept_id_sum"))
         .orderBy(col("sig"))
+    },
+
+    // --- C4-style line-level filtering: deterministic line segmentation
+    //     (doc-dependent width, so the tail line is genuinely short),
+    //     per-line rules (min length, blocklist token, must contain a
+    //     stopword — the C4 heuristics re-keyed to this corpus's
+    //     vocabulary), then GLOBAL first-occurrence line dedup (C4's
+    //     three-sentence-span rule at line granularity) and per-doc
+    //     reconstruction. Drop accounting is first-matching-rule. At
+    //     100 TB: one shuffle on the line text for the dedup window, a
+    //     co-located (doc_id, ln) join back, one doc-level agg — the
+    //     d35 paragraph-dedup scale shape with filtering fused in ------
+    "d66_c4_line_filter" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val lines = t(s, d, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("lw", (lit(5) + col("doc_id") % 7).cast(IntegerType))
+        .withColumn("n_lines",
+          expr("(size(toks) + lw - 1) div lw").cast(LongType))
+        .withColumn("ln", explode(expr("sequence(0L, n_lines - 1)")))
+        .withColumn("line_toks", expr("slice(toks, int(ln) * lw + 1, lw)"))
+        .withColumn("line", concat_ws(" ", col("line_toks")))
+        .withColumn("n_lt", size(col("line_toks")).cast(LongType))
+        .withColumn("r_short", col("n_lt") < 4)
+        .withColumn("r_block", expr("array_contains(line_toks, 'slow')"))
+        .withColumn("r_nostop",
+          expr("NOT arrays_overlap(line_toks, array('a', 'the', 'is'))"))
+        .select(col("doc_id"), col("ln"), col("line"),
+          col("r_short"), col("r_block"), col("r_nostop"))
+      val elig = lines
+        .where(!col("r_short") && !col("r_block") && !col("r_nostop"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("line")).orderBy(col("doc_id"), col("ln"))))
+        .select(col("doc_id"), col("ln"), col("rn"))
+      lines.join(elig, Seq("doc_id", "ln"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(when(col("rn") === 1, lit(1L)).otherwise(lit(0L))).as("n_kept"),
+          sum(when(col("r_short"), lit(1L)).otherwise(lit(0L))).as("n_drop_short"),
+          sum(when(!col("r_short") && col("r_block"), lit(1L)).otherwise(lit(0L)))
+            .as("n_drop_block"),
+          sum(when(!col("r_short") && !col("r_block") && col("r_nostop"), lit(1L))
+            .otherwise(lit(0L))).as("n_drop_nostop"),
+          sum(when(col("rn") > 1, lit(1L)).otherwise(lit(0L))).as("n_drop_dup"),
+          md5(concat_ws("\n", expr(
+            "transform(array_sort(collect_list(CASE WHEN rn = 1 THEN struct(ln, line) END)), x -> x.line)")))
+            .as("kept_hash"))
+        .orderBy(col("doc_id"))
+    },
+
+    // --- BPE tokenizer TRAINING (not just one pair round like d38):
+    //     the corpus scan reduces to a vocabulary-sized word-count
+    //     table (the only distributed stage — exactly how industrial
+    //     BPE trainers shard 100 TB), then 6 greedy merge rounds run on
+    //     that table. Words become double-space-joined symbol strings,
+    //     so applying a merge is one literal non-overlapping replace —
+    //     semantics identical in the JVM and the oracle engine ---------
+    "d67_bpe_train" -> { (s, d) =>
+      val words = t(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .where(length(col("w")) > 0)
+        .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), col("w")).limit(100000) // vocab cap
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      // "key" -> "  k  e  y  ": double-space separators make one literal
+      // replace of " l  r " -> " lr " merge ALL non-overlapping pair
+      // occurrences left-to-right, the greedy BPE step
+      var vocab: Seq[(String, Long)] =
+        words.toSeq.map { case (w, c) =>
+          ("  " + w.replaceAll("(.)", "$1  "), c)
+        }
+      val merges = Seq.newBuilder[(Long, String, String, String, Long)]
+      for (round <- 1 to 6) {
+        val pairCounts = scala.collection.mutable.LinkedHashMap[(String, String), Long]()
+        vocab.foreach { case (sym, c) =>
+          val syms = sym.split("  ").filter(_.nonEmpty)
+          syms.sliding(2).foreach {
+            case Array(a, b) =>
+              pairCounts((a, b)) = pairCounts.getOrElse((a, b), 0L) + c
+            case _ =>
+          }
+        }
+        val ((l, r), c) = pairCounts.toSeq
+          .sortBy { case ((a, b), n) => (-n, a, b) }.head
+        merges += ((round.toLong, l, r, l + r, c))
+        vocab = vocab.map { case (sym, n) =>
+          (sym.replace(s" $l  $r ", s" $l$r "), n)
+        }
+      }
+      s.createDataFrame(merges.result())
+        .toDF("merge_rank", "left_sym", "right_sym", "merged", "pair_count")
+        .orderBy(col("merge_rank"))
+    },
+
+    // --- n-gram novelty: per doc, the share of its DISTINCT 3-grams
+    //     whose global first occurrence (min doc_id) is this doc — the
+    //     curation-order novelty curve that shows where a crawl stops
+    //     contributing new content. All integer math; two gram-hash
+    //     shuffles (first-seen agg + co-located join back) and a doc
+    //     agg — slim (gram, doc) rows only, like d35/d59 ---------------
+    "d68_ngram_novelty" -> { (s, d) =>
+      val grams = t(s, d, "documents")
+        .select(col("doc_id"), explode(expr(
+          // CASE guard: Spark's sequence(1, n) runs DESCENDING for n < 1
+          "CASE WHEN size(split(text, ' ')) < 3 THEN array() " +
+            "ELSE array_distinct(transform(sequence(1, size(split(text, ' ')) - 2), " +
+            "i -> concat_ws(' ', slice(split(text, ' '), i, 3)))) END")).as("gram"))
+      val firsts = grams.groupBy(col("gram"))
+        .agg(min(col("doc_id")).as("first_doc"))
+      grams.join(firsts, Seq("gram"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("first_doc") === col("doc_id"), lit(1L)).otherwise(lit(0L)))
+            .as("n_novel"))
+        .withColumn("mostly_stale", col("n_novel") * 2 < col("n_grams"))
+        .orderBy(col("doc_id"))
+    },
+
+    // --- UniMax-style token budget allocation: waterfill a global
+    //     budget (2/3 of corpus tokens) over sources capped at each
+    //     source's available tokens. Ascending-capacity window cumsums
+    //     find the cutoff with EXACT integer cross-multiplication (no
+    //     iterative loop, no floats until the final level division),
+    //     then allocation = min(capacity, level) in integer division.
+    //     Vocabulary-sized aggregate — the corpus scan is the only
+    //     data-sized stage ------------------------------------------
+    "d69_unimax_allocation" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val caps = t(s, d, "documents")
+        .groupBy(col("source"))
+        .agg(sum(size(split(col("text"), " ")).cast(LongType)).as("cap_tokens"))
+      val w = Window.orderBy(col("cap_tokens"), col("source"))
+      val tot = caps.agg(expr("sum(cap_tokens) * 2 div 3").as("budget"),
+        count(lit(1)).as("n_src"))
+      val ranked = caps.crossJoin(broadcast(tot))
+        .withColumn("rank_asc", row_number().over(w))
+        .withColumn("prefix",
+          coalesce(sum(col("cap_tokens")).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("r_remaining", col("n_src") - col("rank_asc") + 1)
+        // uncapped iff this source's full capacity would overshoot the
+        // even split of what's left: cap * remaining > budget - prefix.
+        // Ascending capacities make the uncapped set a suffix, and
+        // budget < total guarantees it is non-empty, so the FIRST
+        // uncapped row k fixes the shared water level for the suffix
+        .withColumn("uncapped",
+          col("cap_tokens") * col("r_remaining") > col("budget") - col("prefix"))
+      val cutoff = ranked.where(col("uncapped"))
+        .orderBy(col("rank_asc")).limit(1)
+        .select(col("rank_asc").as("k"),
+          expr("(budget - prefix) div r_remaining").as("level_tokens"))
+      ranked.crossJoin(broadcast(cutoff))
+        .withColumn("capped", col("rank_asc") < col("k"))
+        .withColumn("alloc_tokens",
+          when(col("capped"), col("cap_tokens")).otherwise(col("level_tokens")))
+        .select(col("source"), col("cap_tokens"),
+          col("rank_asc").cast(LongType).as("rank_asc"),
+          col("alloc_tokens"), col("capped"))
+        .orderBy(col("rank_asc"))
     }
   )
 
@@ -2421,6 +2580,116 @@ object PipelineQueries {
           |  CAST(sum(CASE WHEN rn <= 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
           |  CAST(sum(CASE WHEN rn <= 4 THEN vec_id END) AS BIGINT) AS kept_id_sum
           |FROM rn GROUP BY sig ORDER BY sig""".stripMargin,
+
+      "d66_c4_line_filter" ->
+        """WITH base AS (
+          |  SELECT doc_id, regexp_split_to_array(text, ' ') AS toks,
+          |    CAST(5 + doc_id % 7 AS INTEGER) AS lw
+          |  FROM documents
+          |), lines AS (
+          |  SELECT doc_id, CAST(i AS BIGINT) AS ln,
+          |    toks[i*lw + 1 : i*lw + lw] AS line_toks
+          |  FROM base, unnest(range(0, (len(toks) + lw - 1) // lw)) AS t(i)
+          |), flags AS (
+          |  SELECT doc_id, ln, array_to_string(line_toks, ' ') AS line,
+          |    len(line_toks) < 4 AS r_short,
+          |    list_contains(line_toks, 'slow') AS r_block,
+          |    len(list_intersect(line_toks, ['a', 'the', 'is'])) = 0 AS r_nostop
+          |  FROM lines
+          |), elig AS (
+          |  SELECT doc_id, ln, line,
+          |    row_number() OVER (PARTITION BY line ORDER BY doc_id, ln) AS rn
+          |  FROM flags WHERE NOT r_short AND NOT r_block AND NOT r_nostop
+          |), j AS (
+          |  SELECT f.doc_id, f.ln, f.line, f.r_short, f.r_block, f.r_nostop, e.rn
+          |  FROM flags f LEFT JOIN elig e USING (doc_id, ln)
+          |)
+          |SELECT doc_id, count(1) AS n_lines,
+          |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+          |  CAST(sum(CASE WHEN r_short THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_short,
+          |  CAST(sum(CASE WHEN NOT r_short AND r_block THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_block,
+          |  CAST(sum(CASE WHEN NOT r_short AND NOT r_block AND r_nostop THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_nostop,
+          |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_dup,
+          |  md5(coalesce(string_agg(CASE WHEN rn = 1 THEN line END, chr(10) ORDER BY ln), '')) AS kept_hash
+          |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      // d67: the oracle replays the 6 greedy merge rounds as chained
+      // CTEs; replace() is literal, non-overlapping, left-to-right in
+      // both engines, and the double-space symbol encoding makes one
+      // replace per round exactly the BPE merge step.
+      "d67_bpe_train" -> {
+        val rounds = (1 to 6).map { r =>
+          val prev = if (r == 1) "v0" else s"v${r - 1}"
+          s""", p$r AS (
+             |  SELECT s1 AS l, s2 AS rr, CAST(sum(cnt) AS BIGINT) AS c
+             |  FROM (
+             |    SELECT cnt, syms[i] AS s1, syms[i + 1] AS s2
+             |    FROM (SELECT cnt, list_filter(string_split(sym, '  '), x -> x <> '') AS syms FROM $prev),
+             |         unnest(range(1, len(syms))) AS t(i)
+             |  ) GROUP BY 1, 2
+             |), b$r AS MATERIALIZED (
+             |  SELECT l, rr, c FROM p$r ORDER BY c DESC, l, rr LIMIT 1
+             |), v$r AS MATERIALIZED (
+             |  SELECT replace(v.sym, ' ' || b.l || '  ' || b.rr || ' ',
+             |                 ' ' || b.l || b.rr || ' ') AS sym, v.cnt
+             |  FROM $prev v, b$r b
+             |)""".stripMargin
+        }.mkString
+        val finals = (1 to 6).map(r =>
+          s"  SELECT CAST($r AS BIGINT) AS merge_rank, l AS left_sym, rr AS right_sym, l || rr AS merged, c AS pair_count FROM b$r")
+          .mkString("\n  UNION ALL\n")
+        s"""WITH words AS (
+           |  SELECT w, CAST(count(1) AS BIGINT) AS cnt FROM (
+           |    SELECT unnest(regexp_split_to_array(text, ' ')) AS w FROM documents
+           |  ) WHERE length(w) > 0 GROUP BY w
+           |), v0 AS (
+           |  SELECT '  ' || regexp_replace(w, '(.)', '\\1  ', 'g') AS sym, cnt FROM words
+           |)$rounds
+           |SELECT * FROM (
+           |$finals
+           |) ORDER BY merge_rank""".stripMargin
+      },
+
+      "d68_ngram_novelty" ->
+        """WITH g AS (
+          |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+          |    i -> array_to_string(toks[i : i + 2], ' ')))) AS gram
+          |  FROM (SELECT doc_id, regexp_split_to_array(text, ' ') AS toks FROM documents)
+          |), f AS (
+          |  SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram
+          |)
+          |SELECT g.doc_id, count(1) AS n_grams,
+          |  CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+          |  (CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT) * 2) < count(1) AS mostly_stale
+          |FROM g JOIN f USING (gram)
+          |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+
+      "d69_unimax_allocation" ->
+        """WITH caps AS (
+          |  SELECT source, CAST(sum(len(regexp_split_to_array(text, ' '))) AS BIGINT) AS cap_tokens
+          |  FROM documents GROUP BY source
+          |), tot AS (
+          |  SELECT CAST(sum(cap_tokens) * 2 // 3 AS BIGINT) AS budget,
+          |    count(1) AS n_src
+          |  FROM caps
+          |), ranked AS (
+          |  SELECT c.source, c.cap_tokens, t.budget, t.n_src,
+          |    row_number() OVER (ORDER BY c.cap_tokens, c.source) AS rank_asc,
+          |    coalesce(sum(c.cap_tokens) OVER (ORDER BY c.cap_tokens, c.source
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+          |  FROM caps c, tot t
+          |), flagged AS (
+          |  SELECT *, cap_tokens * (n_src - rank_asc + 1) > budget - prefix AS uncapped
+          |  FROM ranked
+          |), cut AS (
+          |  SELECT rank_asc AS k,
+          |    CAST((budget - prefix) // (n_src - rank_asc + 1) AS BIGINT) AS level_tokens
+          |  FROM flagged WHERE uncapped ORDER BY rank_asc LIMIT 1
+          |)
+          |SELECT f.source, f.cap_tokens, CAST(f.rank_asc AS BIGINT) AS rank_asc,
+          |  CAST(CASE WHEN f.rank_asc < c.k THEN f.cap_tokens ELSE c.level_tokens END AS BIGINT) AS alloc_tokens,
+          |  f.rank_asc < c.k AS capped
+          |FROM flagged f, cut c ORDER BY f.rank_asc""".stripMargin,
 
       // The multi-probe half-key scheme is exact for hamming ≤ 3, so the
       // oracle is simply brute-force all-pairs hamming over recomputed
