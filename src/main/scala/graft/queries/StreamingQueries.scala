@@ -43,10 +43,28 @@ object StreamingQueries {
 
     "s08_stream_left_outer_join" -> { (s, d) =>
       StreamingOps.runBoundedLeftOuterAttribution(s, d, "s08_sink")
+    },
+
+    "s09_stream_incremental_dedup" -> { (s, d) =>
+      StreamingOps.runBoundedIncrementalDedup(s, d, "s09_sink")
     }
   )
 
   val oracleSql: Map[String, String] = Map(
+    // batch restatement: duplicate deliveries collapse to DISTINCT over
+    // text-derived columns; the historical set suppresses 20% of hashes
+    "s09_stream_incremental_dedup" ->
+      """WITH stream AS (
+        |  SELECT text, n_chars FROM documents
+        |  UNION ALL
+        |  SELECT text, n_chars FROM documents WHERE doc_id % 10 = 0
+        |), hist AS (
+        |  SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 5 = 1
+        |)
+        |SELECT DISTINCT md5(text) AS text_hash, n_chars
+        |FROM stream
+        |WHERE md5(text) NOT IN (SELECT h FROM hist)
+        |ORDER BY text_hash""".stripMargin,
     "s01_stream_window_agg" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
         |  event_type, count(1) AS cnt,

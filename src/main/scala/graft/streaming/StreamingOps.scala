@@ -432,4 +432,57 @@ object StreamingOps {
         col("event_type"), col("cnt"), col("sum_value"))
       .orderBy(col("window_start"), col("event_type"))
   }
+
+  /** Streaming incremental document dedup — the streaming face of the
+    * batch d30 operator: new documents arrive as a stream carrying
+    * duplicate deliveries (10% of docs re-sent under a new id), get
+    * content-hashed, anti-joined against a STATIC historical hash set
+    * (stream-static left anti isn't supported, so left outer + IS NULL
+    * — the static side broadcasts, no stream state), then deduped
+    * within the stream by `dropDuplicates` keyed state. Output columns
+    * are functions of the text alone, so which physical duplicate
+    * survives is immaterial. On an unbounded run the in-stream dedup
+    * switches to `dropDuplicatesWithinWatermark` over the ingest
+    * timestamp (s05's shape) so state stays horizon-bounded; the
+    * historical set refreshes per micro-batch like s06's dimension.
+    */
+  def streamIncrementalDedup(docs: DataFrame, historical: DataFrame): DataFrame = {
+    val hist = historical.select(md5(col("text")).as("hist_hash")).distinct()
+    docs
+      .withColumn("text_hash", md5(col("text")))
+      .join(broadcast(hist), col("text_hash") === col("hist_hash"), "left_outer")
+      .where(col("hist_hash").isNull)
+      .select(col("text_hash"), col("n_chars"))
+      .dropDuplicates("text_hash")
+  }
+
+  private def boundedDocStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+  }
+
+  /** Bounded incremental-dedup run: historical = docs with
+    * doc_id % 5 == 1; the stream is the full corpus plus re-deliveries
+    * of every doc_id % 10 == 0 under id + 1,000,000.
+    */
+  def runBoundedIncrementalDedup(spark: SparkSession, sfDir: String,
+      queryName: String): DataFrame = {
+    val docs = boundedDocStream(spark, sfDir)
+    val redelivered = docs.unionByName(
+      boundedDocStream(spark, sfDir).where(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L))
+    val historical = spark.read.parquet(s"$sfDir/documents.parquet")
+      .where(col("doc_id") % 5 === 1)
+    val q = withStatePartitions(spark, 8)(
+      streamIncrementalDedup(redelivered, historical).writeStream
+        .option("checkpointLocation", ckpt())
+        .format("memory")
+        .queryName(queryName)
+        .outputMode("append")
+        .start())
+    try q.processAllAvailable() finally q.stop()
+    spark.table(queryName).orderBy(col("text_hash"))
+  }
 }
