@@ -367,6 +367,53 @@ object Multimodal {
       .toDF("doc_id", "batch_key", "batch_size", "batch_bytes", "digest")
   }
 
+  /** Real thumbnail generation: decode the payload via `javax.imageio`,
+    * nearest-neighbor sample to `tw`×`th` (src = (t·src_dim) div t_dim —
+    * exact integer sampling, so the resize is replayable by a
+    * codec-free oracle), emit the thumbnail gray values and the exact
+    * integer mean luminance. NN is the one classical resize kernel with
+    * no float arithmetic; the engine path still exercises the real
+    * decoder. Undecodable payloads yield no rows. Partition-parallel.
+    */
+  def resizeThumbnails(blobs: DataFrame, tw: Int, th: Int): DataFrame = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          val img = ImageIO.read(new ByteArrayInputStream(payload))
+          if (img == null) Iterator.empty
+          else {
+            val w = img.getWidth
+            val h = img.getHeight
+            val raster = img.getRaster
+            val single = img.getColorModel.getNumComponents == 1
+            val thumb = new Array[Long](tw * th)
+            var ty = 0
+            while (ty < th) {
+              var tx = 0
+              while (tx < tw) {
+                val sx = tx * w / tw
+                val sy = ty * h / th
+                val v =
+                  if (single) raster.getSample(sx, sy, 0)
+                  else {
+                    val rgb = img.getRGB(sx, sy)
+                    (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+                      (rgb & 0xff) * 114) / 1000
+                  }
+                thumb(ty * tw + tx) = v.toLong
+                tx += 1
+              }
+              ty += 1
+            }
+            Iterator((id, w, h, thumb.sum / (tw * th), thumb))
+          }
+        }
+      }
+      .toDF("doc_id", "src_w", "src_h", "mean_luma", "thumb")
+  }
+
   /** Feature extraction over the standard blob layout (doc_id LONG,
     * payload BINARY, meta STRUCT<n_bytes, mime>): payloads with an
     * image mime go

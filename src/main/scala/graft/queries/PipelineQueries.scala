@@ -823,6 +823,16 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // --- real decode + resize: 8×8 nearest-neighbor thumbnails ----------
+    "m07_multimodal_resize" -> { (s, d) =>
+      val blobs = Multimodal.syntheticImageBlobs(
+        t(s, d, "documents").select(col("doc_id")))
+      Multimodal.resizeThumbnails(blobs, 8, 8)
+        .select(col("doc_id"), col("src_w"), col("src_h"), col("mean_luma"),
+          concat_ws(",", col("thumb").cast("array<string>")).as("thumb_csv"))
+        .orderBy(col("doc_id"))
+    },
+
     // --- perceptual-hash near-dup over binary payloads ------------------
     "m04_multimodal_phash_dedup" -> { (s, d) =>
       // Media near-dup at 100 TB: a 60-bit perceptual hash per payload
@@ -3355,6 +3365,23 @@ object PipelineQueries {
           |  array_to_string(list_transform(range(16), i ->
           |    len(list_filter(px, v -> v // 16 = i))), ',') AS features_csv
           |FROM b ORDER BY doc_id""".stripMargin,
+
+      // m07: the oracle replays the synthetic pixel formula at the
+      // nearest-neighbor sample points (sx = tx*w//8, sy = ty*2) — no
+      // codec needed; the engine path decodes the real PNG.
+      "m07_multimodal_resize" ->
+        """WITH b AS (
+          |  SELECT doc_id, 16 + doc_id % 16 AS w FROM documents
+          |), t AS (
+          |  SELECT doc_id, w,
+          |    list_transform(range(64), k ->
+          |      (doc_id*31 + ((k % 8) * w // 8) * 7 + ((k // 8) * 16 // 8) * 13) % 256) AS thumb
+          |  FROM b
+          |)
+          |SELECT doc_id, CAST(w AS INT) AS src_w, CAST(16 AS INT) AS src_h,
+          |  CAST(list_sum(thumb) // 64 AS BIGINT) AS mean_luma,
+          |  array_to_string(thumb, ',') AS thumb_csv
+          |FROM t ORDER BY doc_id""".stripMargin,
 
       "d10_ann_bruteforce_topk" ->
         """WITH e AS (

@@ -106,4 +106,16 @@ class MultimodalSpec extends AnyFunSuite {
     } yield (x, y)
     assert(diffs == Seq((0, 0), (0, 1)))
   }
+
+  test("nearest-neighbor thumbnail samples the formula's exact pixels") {
+    // replicate resizeThumbnails' kernel on a decoded 20x16 image:
+    // sx = tx*20/8, sy = ty*16/8 — must equal the formula at those points
+    val img = ImageIO.read(new ByteArrayInputStream(Multimodal.syntheticImage(9L, 20, 16)))
+    for (ty <- 0 until 8; tx <- 0 until 8) {
+      val sx = tx * 20 / 8
+      val sy = ty * 16 / 8
+      assert(img.getRaster.getSample(sx, sy, 0) == expectedPixel(9L, sx, sy, bumped = false),
+        s"thumb ($tx,$ty) -> src ($sx,$sy)")
+    }
+  }
 }
