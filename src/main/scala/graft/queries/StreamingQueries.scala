@@ -47,6 +47,10 @@ object StreamingQueries {
 
     "s09_stream_incremental_dedup" -> { (s, d) =>
       StreamingOps.runBoundedIncrementalDedup(s, d, "s09_sink")
+    },
+
+    "s10_stream_transform_with_state" -> { (s, d) =>
+      StreamingOps.runBoundedTransformWithState(s, d, "s10_sink")
     }
   )
 
@@ -65,6 +69,19 @@ object StreamingQueries {
         |FROM stream
         |WHERE md5(text) NOT IN (SELECT h FROM hist)
         |ORDER BY text_hash""".stripMargin,
+
+    // batch restatement of the transformWithState running totals: the
+    // bounded run is one micro-batch, so the emitted rows are the final
+    // per-user state
+    "s10_stream_transform_with_state" ->
+      """WITH ranked AS (
+        |  SELECT user_id, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events
+        |)
+        |SELECT user_id, count(1) AS n_events, max(value) AS max_value,
+        |  CAST(max(CASE WHEN rn = 1 THEN event_id END) AS BIGINT) AS last_event_id
+        |FROM ranked GROUP BY user_id ORDER BY user_id""".stripMargin,
     "s01_stream_window_agg" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
         |  event_type, count(1) AS cnt,

@@ -456,6 +456,78 @@ object StreamingOps {
       .dropDuplicates("text_hash")
   }
 
+  /** Per-user running aggregates via `transformWithState` — Spark 4's
+    * arbitrary-stateful-processing API (the successor of
+    * flatMapGroupsWithState; requires the RocksDB state store). State is
+    * one ValueState[(count, max value, last event id)] per user: O(users)
+    * regardless of stream length, the shape a 100 TB / unbounded run
+    * needs. Outputs avoid floating accumulation entirely (count, MAX,
+    * event-time-latest id), so results are exact under any arrival
+    * order; within a batch the group iterator is ordered explicitly
+    * before folding, like s03.
+    */
+  private class RunningTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, java.sql.Timestamp, Double), (Long, Long, Double, Long)] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var totals: ValueState[(Long, Double, Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[(Long, Double, Long, Long)]("totals",
+        org.apache.spark.sql.Encoders.tuple(org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaDouble,
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong),
+        TTLConfig.NONE)
+    override def handleInputRows(user: Long,
+        rows: Iterator[(Long, Long, java.sql.Timestamp, Double)],
+        timerValues: TimerValues): Iterator[(Long, Long, Double, Long)] = {
+      var (n, mx, lastTs, lastId) =
+        if (totals.exists()) totals.get() else (0L, Double.NegativeInfinity, Long.MinValue, -1L)
+      rows.toSeq.sortBy(r => (r._3.getTime, r._2)).foreach { case (_, id, ts, v) =>
+        n += 1
+        if (v > mx) mx = v
+        if (ts.getTime > lastTs || (ts.getTime == lastTs && id > lastId)) {
+          lastTs = ts.getTime; lastId = id
+        }
+      }
+      totals.update((n, mx, lastTs, lastId))
+      Iterator((user, n, mx, lastId))
+    }
+  }
+
+  /** Bounded transformWithState run: one batch, so the emitted rows are
+    * the final per-user totals. The RocksDB provider is set only while
+    * this query runs (transformWithState requires it).
+    */
+  def runBoundedTransformWithState(spark: SparkSession, sfDir: String,
+      queryName: String): DataFrame = {
+    import spark.implicits._
+    val typed = boundedEventStream(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .as[(Long, Long, java.sql.Timestamp, Double)]
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val out = typed.groupByKey(_._1)
+      .transformWithState(new RunningTotalsProcessor,
+        TimeMode.None(), OutputMode.Append())
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = withStatePartitions(spark, 8)(
+        out.toDF("user_id", "n_events", "max_value", "last_event_id").writeStream
+          .option("checkpointLocation", ckpt())
+          .format("memory")
+          .queryName(queryName)
+          .outputMode("append")
+          .start())
+      try q.processAllAvailable() finally q.stop()
+    } finally prevProvider match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case scala.None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+    spark.table(queryName).orderBy(col("user_id"))
+  }
+
   private def boundedDocStream(spark: SparkSession, sfDir: String): DataFrame = {
     val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
     spark.readStream.schema(schema)
