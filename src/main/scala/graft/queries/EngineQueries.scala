@@ -701,6 +701,27 @@ object EngineQueries {
           |ORDER BY status""".stripMargin).get
     },
 
+    // --- SQL-level PIVOT / UNPIVOT round trip through the script engine
+    //     (BigQuery and Spark share the syntax; UNPIVOT drops NULL
+    //     cells by default in both) -------------------------------------
+    "e42_pivot_unpivot" -> { (s, d) =>
+      Tables.views(s, d, "orders")
+      new ScriptRunner(s).run(
+        """CREATE TEMP TABLE pv AS (
+          |  SELECT * FROM (
+          |    SELECT o_orderpriority AS prio,
+          |      CONCAT('Q', CAST(EXTRACT(QUARTER FROM o_orderdate) AS STRING)) AS qtr,
+          |      CAST(o_totalprice AS NUMERIC) AS price
+          |    FROM orders
+          |    WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
+          |  )
+          |  PIVOT(CAST(SUM(price) AS FLOAT64) FOR qtr IN ('Q1', 'Q2', 'Q3', 'Q4'))
+          |);
+          |SELECT prio, qtr, rev
+          |FROM pv UNPIVOT(rev FOR qtr IN (Q1, Q2, Q3, Q4))
+          |ORDER BY prio, qtr""".stripMargin).get
+    },
+
     // --- ALLOW_FIELD_RELAXATION: REQUIRED -> NULLABLE on append --------
     "e29_field_relaxation" -> { (s, d) =>
       // The destination declares `note` REQUIRED (engine-managed table
@@ -1238,6 +1259,14 @@ object EngineQueries {
         |  count(DISTINCT o_custkey) AS exact_custkeys,
         |  true AS within_5pct, true AS merge_within_5pct
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "e42_pivot_unpivot" ->
+      """SELECT o_orderpriority AS prio,
+        |  'Q' || CAST(EXTRACT(quarter FROM o_orderdate) AS VARCHAR) AS qtr,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "e41_procedures" ->
       """WITH agg AS (
