@@ -392,4 +392,37 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(nx > gx * 0.8,
       s"the y-only layout should NOT bound x (got $nx of $gx) — otherwise this test proves nothing")
   }
+
+  test("d66 C4 line filter: dedup window and join-back are equi, never cartesian") {
+    val df = PipelineQueries.queries("d66_c4_line_filter")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"line-filter joins must stay equi-joins:\n$p")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"),
+      s"expected the first-occurrence window:\n$p")
+  }
+
+  test("d68 n-gram novelty: first-seen join is an equi-join on the gram key") {
+    val df = PipelineQueries.queries("d68_ngram_novelty")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"novelty join must be an equi-join on gram:\n$p")
+    // partial aggregation of the first-seen min before the shuffle
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      s"expected map-side combine for min(doc_id) per gram:\n$p")
+  }
+
+  test("d69 UniMax: totals and cutoff broadcast; no data-sized shuffle after the agg") {
+    val df = PipelineQueries.queries("d69_unimax_allocation")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // the two crossJoins carry 1-row frames — they must be broadcast,
+    // not a repartitioned cartesian
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"1-row budget/cutoff frames must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no cartesian product for the scalar frames:\n$p")
+  }
 }
