@@ -1620,6 +1620,56 @@ object PipelineQueries {
           col("rank_asc").cast(LongType).as("rank_asc"),
           col("alloc_tokens"), col("capped"))
         .orderBy(col("rank_asc"))
+    },
+
+    // --- link-graph domain centrality (PageRank) ------------------------
+    "d70_domain_pagerank" -> { (s, d) =>
+      // Web-corpus curation weights documents by the standing of their
+      // host domain (the CommonCrawl domain-rank pass). Links are
+      // regexp-extracted from the text (d23's planted URLs), collapsed
+      // to a DISTINCT slim (src, dst) domain edge list, and ranked with
+      // 3 PageRank iterations. All arithmetic is scaled-integer (rank
+      // starts at 1e9, contributions use `div`, damping is
+      // 15%+85%·inc div 100), so every engine computes bit-identical
+      // longs — sums of longs commute, unlike doubles. Each iteration
+      // shuffles only (domain, rank) rows: at 100 TB the edge list is
+      // domain-granular (millions of rows, not documents), the
+      // extraction scales with the scan, and nothing touches the driver.
+      val ur = "https?://([A-Za-z0-9.-]+)"
+      val edges = t(s, d, "documents")
+        .withColumn("text2", concat(col("text"),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" see https://site"), col("doc_id") % 20, lit(".example.org/page")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" ref http://www.ref"), col("doc_id") % 7, lit(".net/x?id="), col("doc_id")))
+            .otherwise(lit(""))))
+        .withColumn("src", concat(lit("site"), col("doc_id") % 20, lit(".example.org")))
+        .select(col("src"), explode(regexp_extract_all(col("text2"), lit(ur), lit(1))).as("dst"))
+        .where(col("src") =!= col("dst"))
+        .distinct()
+      val nodes = edges.select(col("src").as("domain"))
+        .union(edges.select(col("dst"))).distinct()
+      val outDeg = edges.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
+      var ranks = nodes.withColumn("rank", lit(1000000000L))
+      for (_ <- 1 to 3) {
+        val inc = edges
+          .join(ranks.withColumnRenamed("domain", "src"), "src")
+          .join(outDeg, "src")
+          .select(col("dst"), expr("rank div out_deg").as("c"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("inc"))
+        ranks = nodes.join(inc, nodes("domain") === inc("dst"), "left")
+          .select(col("domain"),
+            (lit(150000000L) + expr("(85 * coalesce(inc, 0L)) div 100")).as("rank"))
+      }
+      val inDeg = edges.groupBy(col("dst")).agg(count(lit(1)).as("in_deg"))
+      ranks
+        .join(outDeg, ranks("domain") === outDeg("src"), "left")
+        .join(inDeg, ranks("domain") === inDeg("dst"), "left")
+        .select(col("domain"), col("rank").as("pagerank"),
+          coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+          coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+        .orderBy(col("pagerank").desc, col("domain"))
     }
   )
 
@@ -2700,6 +2750,59 @@ object PipelineQueries {
           |  CAST(CASE WHEN f.rank_asc < c.k THEN f.cap_tokens ELSE c.level_tokens END AS BIGINT) AS alloc_tokens,
           |  f.rank_asc < c.k AS capped
           |FROM flagged f, cut c ORDER BY f.rank_asc""".stripMargin,
+
+      // 3 PageRank iterations unrolled as CTEs; identical scaled-integer
+      // arithmetic (`//` floor-div on positives ≡ Spark's `div`).
+      "d70_domain_pagerank" ->
+        """WITH p AS (
+          |  SELECT doc_id, text
+          |    || CASE WHEN doc_id % 5 = 0
+          |         THEN ' see https://site' || CAST(doc_id % 20 AS VARCHAR) || '.example.org/page'
+          |         ELSE '' END
+          |    || CASE WHEN doc_id % 3 = 0
+          |         THEN ' ref http://www.ref' || CAST(doc_id % 7 AS VARCHAR) || '.net/x?id=' || CAST(doc_id AS VARCHAR)
+          |         ELSE '' END AS text2
+          |  FROM documents
+          |), links AS (
+          |  SELECT 'site' || CAST(doc_id % 20 AS VARCHAR) || '.example.org' AS src,
+          |    unnest(regexp_extract_all(text2, 'https?://([A-Za-z0-9.-]+)', 1)) AS dst
+          |  FROM p
+          |), e AS (
+          |  SELECT DISTINCT src, dst FROM links WHERE src <> dst
+          |), nodes AS (
+          |  SELECT src AS domain FROM e UNION SELECT dst FROM e
+          |), od AS (
+          |  SELECT src, count(1) AS out_deg FROM e GROUP BY src
+          |), r0 AS (
+          |  SELECT domain, CAST(1000000000 AS BIGINT) AS rank FROM nodes
+          |), c1 AS (
+          |  SELECT e.dst, sum(r.rank // o.out_deg) AS inc
+          |  FROM e JOIN r0 r ON e.src = r.domain JOIN od o ON e.src = o.src GROUP BY e.dst
+          |), r1 AS (
+          |  SELECT n.domain, CAST(150000000 + (85 * coalesce(c.inc, 0)) // 100 AS BIGINT) AS rank
+          |  FROM nodes n LEFT JOIN c1 c ON n.domain = c.dst
+          |), c2 AS (
+          |  SELECT e.dst, sum(r.rank // o.out_deg) AS inc
+          |  FROM e JOIN r1 r ON e.src = r.domain JOIN od o ON e.src = o.src GROUP BY e.dst
+          |), r2 AS (
+          |  SELECT n.domain, CAST(150000000 + (85 * coalesce(c.inc, 0)) // 100 AS BIGINT) AS rank
+          |  FROM nodes n LEFT JOIN c2 c ON n.domain = c.dst
+          |), c3 AS (
+          |  SELECT e.dst, sum(r.rank // o.out_deg) AS inc
+          |  FROM e JOIN r2 r ON e.src = r.domain JOIN od o ON e.src = o.src GROUP BY e.dst
+          |), r3 AS (
+          |  SELECT n.domain, CAST(150000000 + (85 * coalesce(c.inc, 0)) // 100 AS BIGINT) AS rank
+          |  FROM nodes n LEFT JOIN c3 c ON n.domain = c.dst
+          |), idg AS (
+          |  SELECT dst, count(1) AS in_deg FROM e GROUP BY dst
+          |)
+          |SELECT r.domain, r.rank AS pagerank,
+          |  CAST(coalesce(o.out_deg, 0) AS BIGINT) AS out_deg,
+          |  CAST(coalesce(i.in_deg, 0) AS BIGINT) AS in_deg
+          |FROM r3 r
+          |LEFT JOIN od o ON r.domain = o.src
+          |LEFT JOIN idg i ON r.domain = i.dst
+          |ORDER BY pagerank DESC, domain""".stripMargin,
 
       // The multi-probe half-key scheme is exact for hamming ≤ 3, so the
       // oracle is simply brute-force all-pairs hamming over recomputed

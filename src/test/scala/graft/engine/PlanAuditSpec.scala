@@ -164,6 +164,16 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"a suffix-predicate (LIKE) join shape must never appear:\n$p")
   }
 
+  test("d70 pagerank: rank iterations stay equi-joins over the slim edge list") {
+    val df = PipelineQueries.queries("d70_domain_pagerank")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"rank propagation must join edges⋈ranks on src, never all-pairs:\n$p")
+    // contributions aggregate per dst with a map-side partial pass
+    assert(p.contains("HashAggregate"), s"expected hash aggregation of contributions:\n$p")
+  }
+
   test("e32 wildcard tables: _TABLE_SUFFIX filter prunes whole shards") {
     val df = graft.queries.EngineQueries.queries("e32_wildcard_tables")(spark, sfDir)
     val p = df.queryExecution.executedPlan.toString
