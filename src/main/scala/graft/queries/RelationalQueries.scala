@@ -788,6 +788,58 @@ object RelationalQueries {
         .where(col("change_type").isNotNull)
         .select(col("c_custkey"), col("change_type"), col("old_hash"), col("new_hash"))
         .orderBy(col("c_custkey"))
+    },
+
+    // --- gaps-and-islands sessionization (batch) ------------------------
+    "q56_sessionize_islands" -> { (s, d) =>
+      // The batch face of s02's streaming session_window: a new session
+      // starts when the gap to the previous event of the same user
+      // exceeds 2 h; session_id is the running sum of start flags — the
+      // classic gaps-and-islands shape. ONE shuffle on user_id serves
+      // both windows and the final groupBy (same partitioning), so at
+      // 100 TB this is a single key-partitioned pass; (ts, event_id)
+      // tie-break keeps the island assignment total-ordered.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, d, "events")
+        .withColumn("ts_us", expr("unix_micros(ts)"))
+        .withColumn("gap_us", col("ts_us") - lag(col("ts_us"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("gap_us").isNull || col("gap_us") > 7200000000L, 1L).otherwise(0L))
+        .withColumn("session_id", sum(col("new_sess")).over(w))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("event_type")).as("n_types"),
+          min(col("ts_us")).as("start_us"),
+          max(col("ts_us")).as("end_us"))
+        .withColumn("dur_us", col("end_us") - col("start_us"))
+        .orderBy(col("user_id"), col("session_id"))
+    },
+
+    // --- ordered conversion funnel --------------------------------------
+    "q57_event_funnel" -> { (s, d) =>
+      // Strictly-ordered view → click → purchase funnel: each stage's
+      // first timestamp must follow the previous stage's. Three
+      // conditional-min aggregates joined on user_id — every shuffle is
+      // on the same key so AQE coalesces them into one partitioning at
+      // scale; no window over the full event stream, no self-join
+      // explosion.
+      val ev = t(s, d, "events").withColumn("ts_us", expr("unix_micros(ts)"))
+      val v = ev.where(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("view_us"))
+      val c = ev.where(col("event_type") === "click")
+        .join(v, "user_id").where(col("ts_us") > col("view_us"))
+        .groupBy(col("user_id"), col("view_us")).agg(min(col("ts_us")).as("click_us"))
+      val p = ev.where(col("event_type") === "purchase")
+        .join(c, "user_id").where(col("ts_us") > col("click_us"))
+        .groupBy(col("user_id"), col("view_us"), col("click_us"))
+        .agg(min(col("ts_us")).as("purchase_us"))
+      v.join(c.select(col("user_id"), col("click_us")), Seq("user_id"), "left")
+        .join(p.select(col("user_id"), col("purchase_us")), Seq("user_id"), "left")
+        .withColumn("stage",
+          when(col("purchase_us").isNotNull, 3L)
+            .when(col("click_us").isNotNull, 2L).otherwise(1L))
+        .orderBy(col("user_id"))
     }
   )
 
@@ -823,6 +875,49 @@ object RelationalQueries {
         |FROM h a FULL OUTER JOIN h2 b ON a.c_custkey = b.c_custkey
         |WHERE (a.c_custkey IS NULL OR b.c_custkey IS NULL OR a.rh <> b.rh)
         |ORDER BY c_custkey""".stripMargin,
+
+    "q56_sessionize_islands" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events
+        |), g AS (
+        |  SELECT *, ts_us - lag(ts_us) OVER
+        |    (PARTITION BY user_id ORDER BY ts_us, event_id) AS gap_us
+        |  FROM e
+        |), f AS (
+        |  SELECT *, CASE WHEN gap_us IS NULL OR gap_us > 7200000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM g
+        |), sid AS (
+        |  SELECT *, SUM(new_sess) OVER
+        |    (PARTITION BY user_id ORDER BY ts_us, event_id) AS session_id
+        |  FROM f
+        |)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  count(1) AS n_events, count(DISTINCT event_type) AS n_types,
+        |  CAST(min(ts_us) AS BIGINT) AS start_us, CAST(max(ts_us) AS BIGINT) AS end_us,
+        |  CAST(max(ts_us) - min(ts_us) AS BIGINT) AS dur_us
+        |FROM sid GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+
+    "q57_event_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+        |), v AS (
+        |  SELECT user_id, CAST(min(ts_us) AS BIGINT) AS view_us
+        |  FROM e WHERE event_type = 'view' GROUP BY user_id
+        |), c AS (
+        |  SELECT e.user_id, CAST(min(e.ts_us) AS BIGINT) AS click_us
+        |  FROM e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts_us > v.view_us GROUP BY e.user_id
+        |), p AS (
+        |  SELECT e.user_id, CAST(min(e.ts_us) AS BIGINT) AS purchase_us
+        |  FROM e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts_us > c.click_us GROUP BY e.user_id
+        |)
+        |SELECT v.user_id, v.view_us, c.click_us, p.purchase_us,
+        |  CAST(CASE WHEN p.purchase_us IS NOT NULL THEN 3
+        |            WHEN c.click_us IS NOT NULL THEN 2 ELSE 1 END AS BIGINT) AS stage
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id LEFT JOIN p ON v.user_id = p.user_id
+        |ORDER BY v.user_id""".stripMargin,
 
     "q52_locf_ignore_nulls" ->
       """SELECT o_custkey, o_orderkey,

@@ -255,6 +255,20 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"packing should shuffle once for the per-bucket cumsum:\n$p")
   }
 
+  test("q56 sessionization: one user_id shuffle serves windows and the session agg") {
+    val df = RelationalQueries.queries("q56_sessionize_islands")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      .split("== Initial Plan ==").head
+    // lag window + running-sum window + groupBy(user_id, session_id) all
+    // cluster on user_id: HashPartitioning(user_id) satisfies each, so
+    // only the final orderBy adds a range exchange
+    val dataExchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(dataExchanges <= 1,
+      s"gaps-and-islands must reuse ONE user_id partitioning, saw $dataExchanges:\n$p")
+  }
+
   test("d30 incremental dedup: no cartesian products, no history self-join") {
     val df = PipelineQueries.queries("d30_incremental_dedup")(spark, sfDir)
     df.collect()
