@@ -1670,6 +1670,46 @@ object PipelineQueries {
           coalesce(col("out_deg"), lit(0L)).as("out_deg"),
           coalesce(col("in_deg"), lit(0L)).as("in_deg"))
         .orderBy(col("pagerank").desc, col("domain"))
+    },
+
+    // --- vocabulary application: text → token-id sequences --------------
+    "d71_vocab_encode" -> { (s, d) =>
+      // The tokenize step between d67's merge TRAINING and d28/d49's
+      // packing: encode every document as a token-id sequence under a
+      // trained vocabulary. Vocab = top-256 corpus words by
+      // (count desc, word) → ids 0..255; out-of-vocab words back off to
+      // per-character ids (256 + codepoint), the byte-fallback scheme
+      // real BPE tokenizers use. Scale shape: vocab construction is a
+      // TakeOrdered over the word-count table (never a full sort of the
+      // corpus), the id table broadcasts, and the id stream is rebuilt
+      // in word order per-doc via array_sort over (pos, ids) structs —
+      // no global ordering. The md5 fingerprint pins the exact sequence.
+      import org.apache.spark.sql.expressions.Window
+      val words = t(s, d, "documents")
+        .select(col("doc_id"), posexplode(split(lower(trim(col("text"))), "\\s+")))
+        .withColumnRenamed("pos", "wpos").withColumnRenamed("col", "w")
+        .where(length(col("w")) > 0)
+      val top = words.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("w")).limit(256)
+      // row_number runs over the 256 surviving rows only
+      val vocab = top
+        .withColumn("id", row_number().over(
+          Window.orderBy(col("cnt").desc, col("w"))) - 1)
+        .select(col("w"), col("id"))
+      words.join(broadcast(vocab), Seq("w"), "left")
+        .withColumn("ids", when(col("id").isNotNull, array(col("id")))
+          .otherwise(expr(
+            "transform(sequence(1, length(w)), i -> 256 + ascii(substring(w, i, 1)))")))
+        .withColumn("ids_str",
+          expr("array_join(transform(ids, x -> cast(x as string)), '-')"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(when(col("id").isNull, 1L).otherwise(0L)).as("n_unk_words"),
+          sum(size(col("ids")).cast(LongType)).as("n_tokens"),
+          md5(expr(
+            "array_join(transform(array_sort(collect_list(struct(wpos, ids_str))), x -> x.ids_str), '-')"))
+            .as("seq_md5"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -2803,6 +2843,37 @@ object PipelineQueries {
           |LEFT JOIN od o ON r.domain = o.src
           |LEFT JOIN idg i ON r.domain = i.dst
           |ORDER BY pagerank DESC, domain""".stripMargin,
+
+      // Same vocabulary build (top-256, count-desc/word tie-break) and
+      // char-fallback encoding; the ordered reassembly uses DuckDB's
+      // in-aggregate ORDER BY instead of Spark's sorted-struct form.
+      "d71_vocab_encode" ->
+        """WITH sp AS (
+          |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+          |  FROM documents
+          |), words AS (
+          |  SELECT doc_id, CAST(i AS BIGINT) AS wpos, toks[i] AS w
+          |  FROM sp, unnest(range(1, len(toks) + 1)) AS t(i)
+          |  WHERE length(toks[i]) > 0
+          |), vc AS (
+          |  SELECT w, count(1) AS cnt FROM words GROUP BY w
+          |), vocab AS (
+          |  SELECT w, CAST(row_number() OVER (ORDER BY cnt DESC, w) - 1 AS INTEGER) AS id
+          |  FROM vc QUALIFY row_number() OVER (ORDER BY cnt DESC, w) <= 256
+          |), enc AS (
+          |  SELECT wr.doc_id, wr.wpos, v.id,
+          |    CASE WHEN v.id IS NOT NULL THEN CAST(v.id AS VARCHAR)
+          |      ELSE array_to_string(list_transform(range(1, length(wr.w) + 1),
+          |        i -> CAST(256 + ascii(substr(wr.w, CAST(i AS INTEGER), 1)) AS VARCHAR)), '-')
+          |    END AS ids_str,
+          |    CASE WHEN v.id IS NOT NULL THEN 1 ELSE length(wr.w) END AS n_ids
+          |  FROM words wr LEFT JOIN vocab v ON wr.w = v.w
+          |)
+          |SELECT doc_id, count(1) AS n_words,
+          |  CAST(sum(CASE WHEN id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unk_words,
+          |  CAST(sum(n_ids) AS BIGINT) AS n_tokens,
+          |  md5(string_agg(ids_str, '-' ORDER BY wpos)) AS seq_md5
+          |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
       // The multi-probe half-key scheme is exact for hamming ≤ 3, so the
       // oracle is simply brute-force all-pairs hamming over recomputed
