@@ -960,14 +960,22 @@ object PipelineQueries {
           explode(expr("transform(shingles, x -> graft_md5_60(x))")).as("sh"))
       val rare = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
         .where(col("df") <= 32)
-      val pruned = ex.join(rare.select("sh"), "sh")
-      val np = pruned.groupBy(col("doc_id")).agg(count(lit(1)).as("np"))
+      // ONE pass builds the pruned posting-list table, persisted so the
+      // three consumers below (per-doc sizes + both containment
+      // directions) don't replay the shingle explode + df join — without
+      // this the corpus is re-scanned per branch (18 scans in the
+      // executed plan). The df filter runs BEFORE collect_list, so no
+      // aggregation buffer ever holds a hot shingle's full posting list.
+      val lists = ex.join(rare.select("sh"), "sh")
+        .groupBy(col("sh")).agg(collect_list(col("doc_id")).as("ids"))
+        .persist()
+      val np = lists.select(explode(col("ids")).as("doc_id"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("np"))
       // ordered candidate pairs generated locally per shingle (the df
       // cap bounds every posting list at 32, so ≤ 32·31 pairs/shingle)
-      // — one shuffle of slim rows instead of a pruned⋈pruned self-join
-      // + persist; containment is asymmetric, so BOTH directions emit
-      pruned
-        .groupBy(col("sh")).agg(collect_list(col("doc_id")).as("ids"))
+      // — one shuffle of slim rows instead of a pruned⋈pruned self-join;
+      // containment is asymmetric, so BOTH directions emit
+      lists
         .where(size(col("ids")) >= 2)
         .select(explode(expr(
           """flatten(transform(ids, x ->
@@ -1568,9 +1576,14 @@ object PipelineQueries {
           "CASE WHEN size(split(text, ' ')) < 3 THEN array() " +
             "ELSE array_distinct(transform(sequence(1, size(split(text, ' ')) - 2), " +
             "i -> concat_ws(' ', slice(split(text, ' '), i, 3)))) END")).as("gram"))
-      val firsts = grams.groupBy(col("gram"))
-        .agg(min(col("doc_id")).as("first_doc"))
-      grams.join(firsts, Seq("gram"))
+      // first-occurrence attribution via a whole-partition window min:
+      // ONE shuffle on gram, no groupBy + join-back (which replays the
+      // gram explode — the executed plan showed the corpus scanned
+      // twice with zero exchange reuse)
+      import org.apache.spark.sql.expressions.Window
+      grams
+        .withColumn("first_doc",
+          min(col("doc_id")).over(Window.partitionBy(col("gram"))))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_grams"),
           sum(when(col("first_doc") === col("doc_id"), lit(1L)).otherwise(lit(0L)))

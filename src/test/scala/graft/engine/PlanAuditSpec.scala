@@ -427,15 +427,18 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected the first-occurrence window:\n$p")
   }
 
-  test("d68 n-gram novelty: first-seen join is an equi-join on the gram key") {
+  test("d68 n-gram novelty: single-pass window min, gram explode runs once") {
     val df = PipelineQueries.queries("d68_ngram_novelty")(spark, sfDir)
     df.collect()
     val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      .split("== Initial Plan ==").head
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-      s"novelty join must be an equi-join on gram:\n$p")
-    // partial aggregation of the first-seen min before the shuffle
-    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
-      s"expected map-side combine for min(doc_id) per gram:\n$p")
+      s"first-occurrence attribution must never be all-pairs:\n$p")
+    // whole-partition window min replaces groupBy + join-back: the
+    // corpus is scanned ONCE (the old shape scanned it twice with zero
+    // exchange reuse)
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 1,
+      s"gram explode must feed one scan, not a replayed join branch:\n$p")
   }
 
   test("d69 UniMax: totals and cutoff broadcast; no data-sized shuffle after the agg") {
