@@ -51,10 +51,23 @@ object StreamingQueries {
 
     "s10_stream_transform_with_state" -> { (s, d) =>
       StreamingOps.runBoundedTransformWithState(s, d, "s10_sink")
+    },
+
+    "s11_stream_hll_cardinality" -> { (s, d) =>
+      StreamingOps.runBoundedStreamingHll(s, d, "s11_sink")
     }
   )
 
   val oracleSql: Map[String, String] = Map(
+    // exact per-(day, type) distinct users; the HLL accuracy bound
+    // (7.5% relative or 4 absolute) is pinned TRUE — register merges
+    // are deterministic, so the streaming estimate is stable run-to-run
+    "s11_stream_hll_cardinality" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |  event_type, count(DISTINCT user_id) AS n_exact, TRUE AS within_tol
+        |FROM events
+        |GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+
     // batch restatement: duplicate deliveries collapse to DISTINCT over
     // text-derived columns; the historical set suppresses 20% of hashes
     "s09_stream_incremental_dedup" ->

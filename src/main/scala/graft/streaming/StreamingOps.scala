@@ -557,4 +557,46 @@ object StreamingOps {
     try q.processAllAvailable() finally q.stop()
     spark.table(queryName).orderBy(col("text_hash"))
   }
+
+  /** Streaming cardinality sketches — the streaming face of the batch
+    * d15/d17 HLL operators: distinct users per (day window, event_type)
+    * estimated by the custom mergeable-register HLL aggregate
+    * ([[graft.functions.HllSketch]]) inside a watermarked streaming
+    * aggregation. The streaming state per group is the 2 KB register
+    * buffer, NOT the user set — exact `countDistinct` is unsupported in
+    * streaming precisely because its state would be member-sized; this
+    * is how production monitors distinct-key cardinality on an
+    * unbounded stream. The bounded run's estimates are deterministic
+    * (register merges commute), so the post-stream accuracy gate is a
+    * stable boolean the oracle pins TRUE. Bound: within 7.5 % relative
+    * OR 4 absolute — the floor covers the linear-counting regime where
+    * 5 % of a two-digit per-(day,type) count is below one estimator σ
+    * (measured max deviation: 3 abs at sf0.01, 4.9 % rel at sf0.1).
+    */
+  def runBoundedStreamingHll(spark: SparkSession, sfDir: String,
+      queryName: String): DataFrame = {
+    graft.functions.HllSketch.register(spark)
+    val agg = boundedEventStream(spark, sfDir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(expr("graft_hll(user_id)").as("est_users"))
+    val q = withStatePartitions(spark, 8)(agg.writeStream
+      .option("checkpointLocation", ckpt())
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("complete")
+      .start())
+    try q.processAllAvailable() finally q.stop()
+    val exact = graft.queries.Tables.t(spark, sfDir, "events")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    spark.table(queryName)
+      .join(exact, Seq("window", "event_type"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("n_exact"),
+        (abs(col("est_users") - col("n_exact")) <=
+          greatest(col("n_exact") * 0.075, lit(4.0))).as("within_tol"))
+      .orderBy(col("day"), col("event_type"))
+  }
 }
