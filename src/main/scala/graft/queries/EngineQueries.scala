@@ -87,8 +87,10 @@ object EngineQueries {
     * e16/e18 fixtures established — fixtures are not the query).
     */
   def warmFixtures(s: SparkSession, dir: String): Unit =
-    Seq("e15_spillover", "e16_bucketed_join", "e18_dynamic_partition_pruning",
-      "e28_range_partitioned", "e36_range_append", "e38_range_replace")
+    Seq("e07_merge_replace_auto", "e08_merge_replace_filter",
+      "e14_partition_decorator", "e15_spillover", "e16_bucketed_join",
+      "e18_dynamic_partition_pruning", "e28_range_partitioned",
+      "e36_range_append", "e38_range_replace")
       .foreach(n => queries(n)(s, dir).count())
 
   private def conf(dataset: String, table: String, method: LoadMethod,
@@ -236,12 +238,15 @@ object EngineQueries {
     // --- A16 auto: REPLACE_MERGE partition auto-discovery --------------
     "e07_merge_replace_auto" -> { (s, d) =>
       Tables.views(s, d, "orders")
-      freshDb(s, "graft__pg7")
-      s.sql("CREATE TABLE graft__pg7.sample_replace (cnt BIGINT, d STRING) USING PARQUET PARTITIONED BY (d)")
-      s.sql("""INSERT INTO graft__pg7.sample_replace PARTITION (d)
-              |SELECT count(1) AS cnt, date_format(o_orderdate, 'yyyy-MM-dd') AS d
-              |FROM orders WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-03-01'
-              |GROUP BY 2""".stripMargin)
+      // table-level re-seed from a JVM-lifetime snapshot (see e28 note)
+      fixtureOnce(s, "graft__pg7", d) {
+        s.sql("CREATE TABLE graft__pg7.seed (cnt BIGINT, d STRING) USING PARQUET")
+        s.sql("""INSERT INTO graft__pg7.seed
+                |SELECT count(1) AS cnt, date_format(o_orderdate, 'yyyy-MM-dd') AS d
+                |FROM orders WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-03-01'
+                |GROUP BY 2""".stripMargin)
+      }
+      reseedDest(s, "graft__pg7", "sample_replace", "cnt BIGINT, d STRING", "d")
       val sql =
         """SELECT count(1) AS cnt, date_format(o_orderdate, 'yyyy-MM-dd') AS d
           |FROM orders
@@ -257,12 +262,15 @@ object EngineQueries {
     // --- A16 filter: REPLACE_MERGE with user PARTITION_FILTER ----------
     "e08_merge_replace_filter" -> { (s, d) =>
       Tables.views(s, d, "orders")
-      freshDb(s, "graft__pg8")
-      s.sql("CREATE TABLE graft__pg8.sample_replace (cnt BIGINT, d STRING) USING PARQUET PARTITIONED BY (d)")
-      s.sql("""INSERT INTO graft__pg8.sample_replace PARTITION (d)
-              |SELECT count(1) AS cnt, date_format(o_orderdate, 'yyyy-MM-dd') AS d
-              |FROM orders WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-03-01'
-              |GROUP BY 2""".stripMargin)
+      // table-level re-seed from a JVM-lifetime snapshot (see e28 note)
+      fixtureOnce(s, "graft__pg8", d) {
+        s.sql("CREATE TABLE graft__pg8.seed (cnt BIGINT, d STRING) USING PARQUET")
+        s.sql("""INSERT INTO graft__pg8.seed
+                |SELECT count(1) AS cnt, date_format(o_orderdate, 'yyyy-MM-dd') AS d
+                |FROM orders WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-03-01'
+                |GROUP BY 2""".stripMargin)
+      }
+      reseedDest(s, "graft__pg8", "sample_replace", "cnt BIGINT, d STRING", "d")
       val sql =
         """SELECT count(1) AS cnt, date_format(o_orderdate, 'yyyy-MM-dd') AS d
           |FROM orders
@@ -750,12 +758,15 @@ object EngineQueries {
     // --- A11: `table$YYYYMMDD` partition-decorator write ----------------
     "e14_partition_decorator" -> { (s, d) =>
       Tables.views(s, d, "orders")
-      freshDb(s, "graft__pg14")
-      s.sql("CREATE TABLE graft__pg14.daily (cnt BIGINT, d STRING) USING PARQUET PARTITIONED BY (d)")
-      s.sql("""INSERT INTO graft__pg14.daily PARTITION (d)
-              |SELECT count(1) AS cnt, date_format(o_orderdate, 'yyyy-MM-dd') AS d
-              |FROM orders WHERE o_orderdate >= '1996-05-01' AND o_orderdate < '1996-05-04'
-              |GROUP BY 2""".stripMargin)
+      // table-level re-seed from a JVM-lifetime snapshot (see e28 note)
+      fixtureOnce(s, "graft__pg14", d) {
+        s.sql("CREATE TABLE graft__pg14.seed (cnt BIGINT, d STRING) USING PARQUET")
+        s.sql("""INSERT INTO graft__pg14.seed
+                |SELECT count(1) AS cnt, date_format(o_orderdate, 'yyyy-MM-dd') AS d
+                |FROM orders WHERE o_orderdate >= '1996-05-01' AND o_orderdate < '1996-05-04'
+                |GROUP BY 2""".stripMargin)
+      }
+      reseedDest(s, "graft__pg14", "daily", "cnt BIGINT, d STRING", "d")
       val sql =
         """SELECT count(1) AS cnt FROM orders
           |WHERE o_orderdate >= '__dstart__' AND o_orderdate < '__dend__'

@@ -90,4 +90,37 @@ class DedupStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(nBig > 0, "expected some components in the synthetic corpus")
     assert(tBig / tSmall < 10.0, f"super-linear blowup: $tSmall%.1f s → $tBig%.1f s")
   }
+
+  test("PageRank iterations over a doc-derived domain graph scale with the scan", Stress) {
+    // the d70 shape: link extraction scales with the corpus, the rank
+    // loop with the (much smaller) domain edge list — synthetic docs
+    // map to 65k src domains linking 3 dst domains each
+    import org.apache.spark.sql.functions._
+    val (tSmall, tBig, nBig) = growthRatio("pagerank") { d =>
+      val edges = d
+        .withColumn("src", concat(lit("h"), pmod(xxhash64(col("text")), lit(65536L))))
+        .select(col("src"), explode(array(
+          concat(lit("h"), pmod(xxhash64(col("text"), lit(1)), lit(65536L))),
+          concat(lit("h"), pmod(xxhash64(col("text"), lit(2)), lit(65536L))),
+          concat(lit("h"), pmod(xxhash64(col("text"), lit(3)), lit(65536L))))).as("dst"))
+        .where(col("src") =!= col("dst")).distinct()
+      val nodes = edges.select(col("src").as("domain"))
+        .union(edges.select(col("dst"))).distinct()
+      val outDeg = edges.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
+      var ranks = nodes.withColumn("rank", lit(1000000000L))
+      for (_ <- 1 to 3) {
+        val inc = edges
+          .join(ranks.withColumnRenamed("domain", "src"), "src")
+          .join(outDeg, "src")
+          .select(col("dst"), expr("rank div out_deg").as("c"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("inc"))
+        ranks = nodes.join(inc, nodes("domain") === inc("dst"), "left")
+          .select(col("domain"),
+            (lit(150000000L) + expr("(85 * coalesce(inc, 0L)) div 100")).as("rank"))
+      }
+      ranks
+    }
+    assert(nBig > 0, "expected ranked domains")
+    assert(tBig / tSmall < 10.0, f"super-linear blowup: $tSmall%.1f s → $tBig%.1f s")
+  }
 }
