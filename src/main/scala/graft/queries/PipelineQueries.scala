@@ -1723,6 +1723,53 @@ object PipelineQueries {
             "array_join(transform(array_sort(collect_list(struct(wpos, ids_str))), x -> x.ids_str), '-')"))
             .as("seq_md5"))
         .orderBy(col("doc_id"))
+    },
+
+    // --- hybrid retrieval: reciprocal-rank fusion -----------------------
+    "d72_rrf_fusion" -> { (s, d) =>
+      // The RAG retrieval pattern: a lexical ranking and a vector
+      // ranking fused by reciprocal rank (RRF, k=60). Lexical scores
+      // are INTEGER (shared-term count, then total tf, then id) so the
+      // per-query ordering is engine-exact without float BM25 sums; the
+      // vector side is the d10 exact-int cosine top-k. RRF doubles are
+      // 1/(60+rank) + 1/(60+rank) — two exact IEEE ops on small ints,
+      // bit-identical cross-engine. Scale shape: query terms broadcast
+      // (queries ≪ corpus), candidates come from the token equi-join
+      // (an inverted-index probe, never a doc×doc scan), both rankings
+      // are bounded top-20 windows per query, and the fusion join is
+      // (query_id, doc_id)-keyed. Docs without an embedding simply have
+      // no vector rank (rank_vec NULL), as in production hybrid stores.
+      import org.apache.spark.sql.expressions.Window
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+        .where(length(col("tok")) > 0)
+      val qterms = toks.where(col("doc_id") < 5)
+        .select(col("doc_id").as("query_id"), col("tok")).distinct()
+      val lex = toks.join(broadcast(qterms), "tok")
+        .where(col("doc_id") =!= col("query_id"))
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(countDistinct(col("tok")).as("n_shared"), count(lit(1)).as("tf_sum"))
+      val wL = Window.partitionBy(col("query_id"))
+        .orderBy(col("n_shared").desc, col("tf_sum").desc, col("doc_id"))
+      val lexTop = lex.withColumn("rank_lex", row_number().over(wL).cast(LongType))
+        .where(col("rank_lex") <= 20)
+        .select(col("query_id"), col("doc_id"), col("rank_lex"))
+      val e = quantizedEmbeddings(s, d, plant = false)
+      val vecTop = graft.ops.Embeddings
+        .bruteForceTopK(e, e.where(col("vec_id") < 5), k = 20)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rank").as("rank_vec"))
+      val fused = lexTop.join(vecTop, Seq("query_id", "doc_id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(lit(1.0) / (lit(60.0) + col("rank_lex")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60.0) + col("rank_vec")), lit(0.0)))
+      val wF = Window.partitionBy(col("query_id")).orderBy(col("rrf").desc, col("doc_id"))
+      fused.withColumn("rank_fused", row_number().over(wF).cast(LongType))
+        .where(col("rank_fused") <= 10)
+        .select(col("query_id"), col("rank_fused"), col("doc_id"),
+          col("rank_lex"), col("rank_vec"), col("rrf"))
+        .orderBy(col("query_id"), col("rank_fused"))
     }
   )
 
@@ -2887,6 +2934,68 @@ object PipelineQueries {
           |  CAST(sum(n_ids) AS BIGINT) AS n_tokens,
           |  md5(string_agg(ids_str, '-' ORDER BY wpos)) AS seq_md5
           |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      // integer lexical ordering + the d10 cosine formula; RRF doubles
+      // are two exact IEEE ops (CAST keeps DuckDB's 1.0 literal from
+      // becoming DECIMAL division)
+      "d72_rrf_fusion" ->
+        """WITH tk AS (
+          |  SELECT doc_id, tok FROM (
+          |    SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+          |    FROM documents
+          |  ) WHERE length(tok) > 0
+          |), qt AS (
+          |  SELECT DISTINCT doc_id AS query_id, tok FROM tk WHERE doc_id < 5
+          |), lex AS (
+          |  SELECT q.query_id, t.doc_id,
+          |    count(DISTINCT t.tok) AS n_shared, count(1) AS tf_sum
+          |  FROM tk t JOIN qt q ON t.tok = q.tok AND t.doc_id <> q.query_id
+          |  GROUP BY 1, 2
+          |), lexr AS (
+          |  SELECT query_id, doc_id,
+          |    CAST(row_number() OVER (PARTITION BY query_id
+          |      ORDER BY n_shared DESC, tf_sum DESC, doc_id) AS BIGINT) AS rank_lex
+          |  FROM lex
+          |  QUALIFY row_number() OVER (PARTITION BY query_id
+          |    ORDER BY n_shared DESC, tf_sum DESC, doc_id) <= 20
+          |), e AS (
+          |  SELECT vec_id,
+          |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+          |  FROM embeddings
+          |), n AS (
+          |  SELECT vec_id, q,
+          |    list_sum(list_transform(range(1, 65), i -> q[i] * q[i])) AS nrm
+          |  FROM e
+          |), scored AS (
+          |  SELECT qr.vec_id AS query_id, c.vec_id AS doc_id,
+          |    round(CAST(list_sum(list_transform(range(1, 65), i -> qr.q[i] * c.q[i])) AS DOUBLE)
+          |      / (sqrt(CAST(qr.nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE))), 6) AS cos
+          |  FROM n qr JOIN n c ON c.vec_id <> qr.vec_id
+          |  WHERE qr.vec_id < 5
+          |), vecr AS (
+          |  SELECT query_id, doc_id,
+          |    CAST(row_number() OVER (PARTITION BY query_id
+          |      ORDER BY cos DESC, doc_id) AS BIGINT) AS rank_vec
+          |  FROM scored
+          |  QUALIFY row_number() OVER (PARTITION BY query_id
+          |    ORDER BY cos DESC, doc_id) <= 20
+          |), fused AS (
+          |  SELECT coalesce(l.query_id, v.query_id) AS query_id,
+          |    coalesce(l.doc_id, v.doc_id) AS doc_id,
+          |    l.rank_lex, v.rank_vec,
+          |    coalesce(CAST(1 AS DOUBLE) / (60 + l.rank_lex), 0)
+          |      + coalesce(CAST(1 AS DOUBLE) / (60 + v.rank_vec), 0) AS rrf
+          |  FROM lexr l FULL OUTER JOIN vecr v
+          |    ON l.query_id = v.query_id AND l.doc_id = v.doc_id
+          |)
+          |SELECT query_id,
+          |  CAST(row_number() OVER (PARTITION BY query_id
+          |    ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank_fused,
+          |  doc_id, rank_lex, rank_vec, rrf
+          |FROM fused
+          |QUALIFY row_number() OVER (PARTITION BY query_id
+          |  ORDER BY rrf DESC, doc_id) <= 10
+          |ORDER BY query_id, rank_fused""".stripMargin,
 
       // The multi-probe half-key scheme is exact for hamming ≤ 3, so the
       // oracle is simply brute-force all-pairs hamming over recomputed
