@@ -63,19 +63,40 @@ class DmlRunner(spark: SparkSession, runner: TransformRunner) {
   private val truncateRe =
     raw"(?is)^\s*TRUNCATE\s+TABLE\s+`?([\w.$$-]+)`?\s*;?\s*$$".r
 
+  /** Matches against the literal/comment-masked statement and reads the
+    * capture groups back from the ORIGINAL text — masking is
+    * length-preserving, so group offsets carry over. Keeps keywords like
+    * USING/ON/WHEN/FROM inside string literals from steering statement
+    * recognition (the defense [[UpdateFromStmt]] introduced, applied to
+    * every DML route).
+    */
+  private final class MaskedRe(re: scala.util.matching.Regex) {
+    def unapplySeq(stmt: String): Option[List[String]] =
+      re.findFirstMatchIn(maskLiterals(stmt)).map { m =>
+        (1 to m.groupCount).map(g =>
+          if (m.start(g) < 0) null else stmt.substring(m.start(g), m.end(g))).toList
+      }
+  }
+  private lazy val MergeTable = new MaskedRe(mergeTableRe)
+  private lazy val Merge = new MaskedRe(mergeRe)
+  private lazy val Delete = new MaskedRe(deleteRe)
+  private lazy val Update = new MaskedRe(updateRe)
+  private lazy val Truncate = new MaskedRe(truncateRe)
+  private lazy val Drop = new MaskedRe(dropRe)
+
   def runStatement(stmt: String): Unit = stmt match {
-    case mergeTableRe(destFqn, tAlias, srcTable, sAlias, onCond, whenClauses) =>
+    case MergeTable(destFqn, tAlias, srcTable, sAlias, onCond, whenClauses) =>
       merge(destFqn, tAlias, s"SELECT * FROM ${runner.catalogName(srcTable)}",
         sAlias, onCond, whenClauses)
-    case mergeRe(destFqn, tAlias, srcQuery, sAlias, onCond, whenClauses) =>
+    case Merge(destFqn, tAlias, srcQuery, sAlias, onCond, whenClauses) =>
       merge(destFqn, tAlias, srcQuery, sAlias, onCond, whenClauses)
-    case deleteRe(destFqn, cond) => delete(destFqn, cond)
+    case Delete(destFqn, cond) => delete(destFqn, cond)
     case UpdateFromStmt(destFqn, tAlias, sets, fromSrc, cond) =>
       updateFrom(destFqn, tAlias, sets, fromSrc, cond)
-    case updateRe(destFqn, sets, cond) => update(destFqn, sets, cond)
-    case truncateRe(destFqn) =>
+    case Update(destFqn, sets, cond) => update(destFqn, sets, cond)
+    case Truncate(destFqn) =>
       spark.sql(s"TRUNCATE TABLE ${runner.catalogName(destFqn)}")
-    case dropRe(destFqn) =>
+    case Drop(destFqn) =>
       spark.sql(s"DROP TABLE IF EXISTS ${runner.catalogName(destFqn)}")
     case other => // plain statement (e.g. a SELECT or engine-supported DDL)
       new ScriptRunner(spark).runStatement(other)
@@ -122,6 +143,17 @@ class DmlRunner(spark: SparkSession, runner: TransformRunner) {
     }
     sb.toString
   }
+
+  /** Match `re` against the literal-masked text, reading optional capture
+    * groups back from the ORIGINAL string by position (masking is
+    * length-preserving). Group g → None when unmatched.
+    */
+  private def findMasked(re: scala.util.matching.Regex,
+      s: String): Option[IndexedSeq[Option[String]]] =
+    re.findFirstMatchIn(maskLiterals(s)).map { m =>
+      (1 to m.groupCount).map(g =>
+        if (m.start(g) < 0) None else Some(s.substring(m.start(g), m.end(g))))
+    }
 
   /** UPDATE…FROM recognizer: the regex runs over literal-masked text (so
     * FROM/WHERE inside string literals can't split the statement) and the
@@ -231,12 +263,14 @@ class DmlRunner(spark: SparkSession, runner: TransformRunner) {
     val cond = expr(Dialect.rewrite(onCond))
     val destCols = spark.table(dest).columns
 
-    val matchedUpdate = whenMatchedRe.findFirstMatchIn(whenClauses)
-      .map(m => (Option(m.group(1)), parseSetList(m.group(2))))
-    val notMatchedInsert = whenNotMatchedRe.findFirstMatchIn(whenClauses)
-      .map(m => (Option(m.group(1)), splitCsv(m.group(2)), splitCsv(m.group(3))))
-    val bySourceDelete = whenNotMatchedBySourceRe.findFirstMatchIn(whenClauses)
-      .map(m => Option(m.group(1)))
+    // clause splitting runs on the masked text too: a WHEN/THEN keyword
+    // inside a SET or VALUES string literal must not cut a clause short
+    val matchedUpdate = findMasked(whenMatchedRe, whenClauses)
+      .map(gs => (gs(0), parseSetList(gs(1).get)))
+    val notMatchedInsert = findMasked(whenNotMatchedRe, whenClauses)
+      .map(gs => (gs(0), splitCsv(gs(1).get), splitCsv(gs(2).get)))
+    val bySourceDelete = findMasked(whenNotMatchedBySourceRe, whenClauses)
+      .map(gs => gs(0))
 
     // target side: left join source; matched → updated values, else original.
     // Matched-ness comes from a synthetic always-true marker, not source
@@ -281,9 +315,9 @@ class DmlRunner(spark: SparkSession, runner: TransformRunner) {
         // INSERT ROW shorthand: every target column takes the source's
         // corresponding column BY POSITION (BigQuery requires matching
         // column counts)
-        whenNotMatchedRowRe.findFirstMatchIn(whenClauses).map { m =>
+        findMasked(whenNotMatchedRowRe, whenClauses).map { gs =>
           val anti0 = srcDf.join(destDf, cond, "left_anti")
-          val anti = Option(m.group(1))
+          val anti = gs(0)
             .map(c => anti0.where(expr(Dialect.rewrite(c)))).getOrElse(anti0)
           if (anti.columns.length != destCols.length)
             throw new IllegalArgumentException(

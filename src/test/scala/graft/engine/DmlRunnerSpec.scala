@@ -197,4 +197,43 @@ class DmlRunnerSpec extends AnyFunSuite with BeforeAndAfterAll {
         |WHERE t.k = 'a' AND s.sk IS NULL""".stripMargin)
     assert(state() == Seq(("a", 99L), ("b", 2L)))
   }
+
+  test("MERGE SET literal containing ' WHEN ' does not cut the clause list") {
+    freshTable(Seq(("a", 1L), ("b", 2L)))
+    // 'when matched then' inside the SET value: clause splitting must not
+    // stop at the literal, and the following BY SOURCE DELETE must fire
+    dml.run(
+      """MERGE INTO `dmlspec.t` T
+        |USING (SELECT 'a' AS k, 'x when matched then y' AS note) S
+        |ON T.k = S.k
+        |WHEN MATCHED THEN UPDATE SET k = S.note
+        |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    assert(state() == Seq(("x when matched then y", 1L)))
+  }
+
+  test("MERGE VALUES literal containing ')' and ' WHEN ' inserts intact") {
+    freshTable(Seq(("a", 1L)))
+    dml.run(
+      """MERGE INTO `dmlspec.t` T
+        |USING (SELECT 'z' AS k) S
+        |ON T.k = S.k
+        |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (concat('lit)', ' when matched'), 99)""".stripMargin)
+    assert(state() == Seq(("a", 1L), ("lit) when matched", 99L)))
+  }
+
+  test("MERGE source literal containing ' ON ' and ') S ON ' does not misparse USING") {
+    freshTable(Seq(("a", 1L), ("b", 2L)))
+    dml.run(
+      """MERGE INTO `dmlspec.t` T
+        |USING (SELECT 'a' AS k, 'join) S ON t.k' AS w) S
+        |ON T.k = S.k
+        |WHEN MATCHED THEN UPDATE SET k = S.w""".stripMargin)
+    assert(state() == Seq(("b", 2L), ("join) S ON t.k", 1L)))
+  }
+
+  test("DELETE predicate literal containing ' WHEN MATCHED ' routes as DELETE") {
+    freshTable(Seq(("x where when matched", 1L), ("b", 2L)))
+    dml.run("DELETE FROM `dmlspec.t` WHERE k = 'x where when matched'")
+    assert(state() == Seq(("b", 2L)))
+  }
 }
