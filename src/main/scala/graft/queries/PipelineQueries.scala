@@ -1770,6 +1770,36 @@ object PipelineQueries {
         .select(col("query_id"), col("rank_fused"), col("doc_id"),
           col("rank_lex"), col("rank_vec"), col("rrf"))
         .orderBy(col("query_id"), col("rank_fused"))
+    },
+
+    // --- HTML boilerplate removal (web-corpus extraction stage) ---------
+    "d73_html_boilerplate" -> { (s, d) =>
+      // The extraction step that runs BEFORE every quality/dedup op on a
+      // web crawl: wrap each doc in deterministic HTML (nav, title,
+      // two paragraphs, footer), strip tags to lines, then drop
+      // boilerplate lines by the jusText-style heuristics (too short,
+      // separator-bar nav, copyright footer). Per-row string work only —
+      // scales with the scan, no cross-row state; the md5 of the
+      // extracted main text pins the exact output.
+      val docs = t(s, d, "documents")
+        .withColumn("half", expr("length(text) div 2"))
+        .withColumn("html", concat(
+          lit("<html><head><title>Doc "), col("doc_id"), lit("</title></head><body>"),
+          lit("<nav>home | about | contact</nav><p>"),
+          expr("substring(text, 1, int(half))"), lit("</p><p>"),
+          expr("substring(text, int(half) + 1)"),
+          lit("</p><footer>copyright 2024 example.org</footer></body></html>")))
+      docs
+        .withColumn("lines", split(regexp_replace(col("html"), "<[^>]+>", "\n"), "\n"))
+        .withColumn("kept", expr(
+          """filter(transform(lines, l -> trim(l)), l ->
+            |  length(l) >= 15 AND NOT l LIKE '%|%'
+            |  AND NOT lower(l) LIKE 'copyright%')""".stripMargin))
+        .select(col("doc_id"),
+          size(col("kept")).cast(LongType).as("n_lines_kept"),
+          length(concat_ws(" ", col("kept"))).cast(LongType).as("main_chars"),
+          md5(concat_ws(" ", col("kept"))).as("main_md5"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -2996,6 +3026,31 @@ object PipelineQueries {
           |QUALIFY row_number() OVER (PARTITION BY query_id
           |  ORDER BY rrf DESC, doc_id) <= 10
           |ORDER BY query_id, rank_fused""".stripMargin,
+
+      // identical HTML synthesis, tag-strip ('g' = replace ALL, matching
+      // Spark's regexp_replace default), and line heuristics
+      "d73_html_boilerplate" ->
+        """WITH h AS (
+          |  SELECT doc_id,
+          |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || '</title></head><body>'
+          |    || '<nav>home | about | contact</nav><p>'
+          |    || substr(text, 1, CAST(length(text) // 2 AS INTEGER)) || '</p><p>'
+          |    || substr(text, CAST(length(text) // 2 AS INTEGER) + 1)
+          |    || '</p><footer>copyright 2024 example.org</footer></body></html>' AS html
+          |  FROM documents
+          |), ln AS (
+          |  SELECT doc_id,
+          |    list_filter(list_transform(
+          |      string_split(regexp_replace(html, '<[^>]+>', chr(10), 'g'), chr(10)),
+          |      l -> trim(l)),
+          |      l -> length(l) >= 15 AND NOT l LIKE '%|%'
+          |        AND NOT lower(l) LIKE 'copyright%') AS kept
+          |  FROM h
+          |)
+          |SELECT doc_id, CAST(len(kept) AS BIGINT) AS n_lines_kept,
+          |  CAST(length(array_to_string(kept, ' ')) AS BIGINT) AS main_chars,
+          |  md5(array_to_string(kept, ' ')) AS main_md5
+          |FROM ln ORDER BY doc_id""".stripMargin,
 
       // The multi-probe half-key scheme is exact for hamming ≤ 3, so the
       // oracle is simply brute-force all-pairs hamming over recomputed
