@@ -840,6 +840,26 @@ object RelationalQueries {
           when(col("purchase_us").isNotNull, 3L)
             .when(col("click_us").isNotNull, 2L).otherwise(1L))
         .orderBy(col("user_id"))
+    },
+
+    // --- weekly cohort retention ----------------------------------------
+    "q58_cohort_retention" -> { (s, d) =>
+      // Cohort users by first-activity week, then count distinct users
+      // active at each week offset — the standard retention triangle.
+      // Two aggregations clustered on user_id (first-seen) then
+      // (cohort, offset); the per-user first-seen is a groupBy, not a
+      // window over the full event stream. Weeks are epoch-day div 7
+      // (fixed Thursday-anchored buckets), pure integer math in both
+      // engines.
+      val ev = t(s, d, "events")
+        .withColumn("week", expr("unix_date(to_date(ts)) div 7"))
+      val firstSeen = ev.groupBy(col("user_id"))
+        .agg(min(col("week")).as("cohort_week"))
+      ev.join(firstSeen, "user_id")
+        .groupBy(col("cohort_week"),
+          (col("week") - col("cohort_week")).as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .orderBy(col("cohort_week"), col("week_offset"))
     }
   )
 
@@ -918,6 +938,18 @@ object RelationalQueries {
         |            WHEN c.click_us IS NOT NULL THEN 2 ELSE 1 END AS BIGINT) AS stage
         |FROM v LEFT JOIN c ON v.user_id = c.user_id LEFT JOIN p ON v.user_id = p.user_id
         |ORDER BY v.user_id""".stripMargin,
+
+    "q58_cohort_retention" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) // 7 AS week
+        |  FROM events
+        |), fs AS (
+        |  SELECT user_id, min(week) AS cohort_week FROM e GROUP BY user_id
+        |)
+        |SELECT fs.cohort_week, e.week - fs.cohort_week AS week_offset,
+        |  count(DISTINCT e.user_id) AS n_active
+        |FROM e JOIN fs ON e.user_id = fs.user_id
+        |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
 
     "q52_locf_ignore_nulls" ->
       """SELECT o_custkey, o_orderkey,

@@ -269,6 +269,17 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"gaps-and-islands must reuse ONE user_id partitioning, saw $dataExchanges:\n$p")
   }
 
+  test("d72 RRF fusion: query terms broadcast, fusion stays equi-join") {
+    val df = PipelineQueries.queries("d72_rrf_fusion")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      .split("== Initial Plan ==").head
+    assert(p.contains("BroadcastHashJoin"),
+      s"lexical candidates must come from a broadcast token probe:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"fusion must never be a doc-by-doc cartesian:\n$p")
+  }
+
   test("d30 incremental dedup: no cartesian products, no history self-join") {
     val df = PipelineQueries.queries("d30_incremental_dedup")(spark, sfDir)
     df.collect()
