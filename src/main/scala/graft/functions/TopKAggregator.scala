@@ -1,9 +1,7 @@
 package graft.functions
 
-import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.Encoder
 import org.apache.spark.sql.expressions.Aggregator
-
-import scala.collection.mutable
 
 /** Typed top-k-by-score aggregator (SURVEY §7 extensions: custom
   * `Aggregator[IN, BUF, OUT]`).
@@ -18,32 +16,31 @@ object TopKAggregator {
 
   final case class Scored(id: Long, score: Double)
 
-  class TopK(k: Int) extends Aggregator[Scored, mutable.ArrayBuffer[Scored], Seq[Scored]] {
+  class TopK(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
     private def lt(a: Scored, b: Scored): Boolean =
       a.score > b.score || (a.score == b.score && a.id < b.id)
 
-    override def zero: mutable.ArrayBuffer[Scored] = mutable.ArrayBuffer.empty
+    // The buffer is a plain Seq (List prepend on the hot path) so BOTH
+    // encoders are ExpressionEncoders — the per-row buffer round-trip
+    // stays in Tungsten UnsafeArrayData instead of Kryo bytes (Kryo's
+    // FieldSerializer also needs --add-opens java.base/java.nio at
+    // runtime, which not every launcher passes).
+    override def zero: Seq[Scored] = Nil
 
-    private def trim(buf: mutable.ArrayBuffer[Scored]): mutable.ArrayBuffer[Scored] = {
-      if (buf.length > 4 * k) {
-        val kept = buf.sortWith(lt).take(k)
-        buf.clear()
-        buf ++= kept
-      }
-      buf
-    }
+    private def trim(buf: Seq[Scored]): Seq[Scored] =
+      if (buf.lengthCompare(4 * k) > 0) buf.sortWith(lt).take(k) else buf
 
-    override def reduce(buf: mutable.ArrayBuffer[Scored], a: Scored): mutable.ArrayBuffer[Scored] =
-      trim(buf += a)
+    override def reduce(buf: Seq[Scored], a: Scored): Seq[Scored] =
+      trim(a +: buf)
 
-    override def merge(b1: mutable.ArrayBuffer[Scored], b2: mutable.ArrayBuffer[Scored]): mutable.ArrayBuffer[Scored] =
-      trim(b1 ++= b2)
+    override def merge(b1: Seq[Scored], b2: Seq[Scored]): Seq[Scored] =
+      trim(b1 ++ b2)
 
-    override def finish(buf: mutable.ArrayBuffer[Scored]): Seq[Scored] =
-      buf.sortWith(lt).take(k).toSeq
+    override def finish(buf: Seq[Scored]): Seq[Scored] =
+      buf.sortWith(lt).take(k)
 
-    override def bufferEncoder: Encoder[mutable.ArrayBuffer[Scored]] =
-      Encoders.kryo[mutable.ArrayBuffer[Scored]]
+    override def bufferEncoder: Encoder[Seq[Scored]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Scored]]()
     override def outputEncoder: Encoder[Seq[Scored]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Scored]]()
   }

@@ -1800,6 +1800,108 @@ object PipelineQueries {
           length(concat_ws(" ", col("kept"))).cast(LongType).as("main_chars"),
           md5(concat_ws(" ", col("kept"))).as("main_md5"))
         .orderBy(col("doc_id"))
+    },
+
+    // --- C4 line-removal rewrite (corpus-global, with reassembly) -------
+    "d74_line_dedup_rewrite" -> { (s, d) =>
+      // d35 REPORTS chunk-level duplication; this is the C4 step that
+      // REMOVES it: any line occurring three-or-more times corpus-wide
+      // is dropped from every document, and the cleaned text is
+      // reassembled in original order. Two planted full copies per
+      // tenth doc (ids +1M/+2M, distinct tails) push that doc's lines
+      // to freq ≥ 3, so removal provably fires at every SF. Scale
+      // shape: one shuffle of (16-byte line hash, doc_id, idx) rows for
+      // the global frequency window, then one groupBy doc_id to
+      // reassemble — line text itself never crosses an exchange twice,
+      // and the rewrite is a pure map+agg (no joins, no driver state).
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, d, "documents")
+      def plant(off: Long, tail: String) = docs.where(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + off)
+        .withColumn("text", concat(col("text"), lit(tail)))
+      val corpus = docs.unionByName(plant(1000000L, " aaa")).unionByName(plant(2000000L, " bbb"))
+      val lines = corpus
+        .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
+        .select(col("doc_id"), posexplode(expr(
+          """transform(sequence(0, cast(ceil(size(toks) / 12.0) as int) - 1),
+            |  i -> array_join(slice(toks, i * 12 + 1, 12), ' '))""".stripMargin))
+          .as(Seq("idx", "line")))
+        .withColumn("h", md5(col("line")))
+      val freq = lines.withColumn("freq",
+        count(lit(1)).over(Window.partitionBy(col("h"))))
+      freq.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_lines"),
+          count(when(col("freq") >= 3, 1)).as("n_removed"),
+          md5(expr(
+            """array_join(transform(
+              |  array_sort(collect_list(CASE WHEN freq < 3 THEN struct(idx, line) END)),
+              |  x -> x.line), ' ')""".stripMargin)).as("clean_md5"))
+        .orderBy(col("doc_id"))
+    },
+
+    // --- distributed quality-classifier TRAINING (batch perceptron) -----
+    "d75_perceptron_train" -> { (s, d) =>
+      // The pipeline stage the other quality ops assume already
+      // happened: TRAINING the classifier. Batch perceptron over
+      // integer features (bias, n_words, n_stop, n_uniq) against a
+      // length-rule label — every margin and every weight update is
+      // int64 arithmetic, so the learned weights are bit-exact in any
+      // summation order and cross-engine (no float gradients). The
+      // distributed shape is the classic parameter-on-driver loop:
+      // weights are 4 scalars broadcast into the margin expression,
+      // the update is ONE map-side-combined aggregate per pass (sum of
+      // y·x over misclassified rows) — per iteration, one job whose
+      // shuffle is 4 longs per partition, nothing doc-sized ever moves.
+      val f = t(s, d, "documents")
+        .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
+        .select(
+          when(size(col("toks")) >= 60, 1L).otherwise(-1L).as("y"),
+          lit(1L).as("b"),
+          size(col("toks")).cast(LongType).as("w1"),
+          expr("cast(size(filter(toks, x -> x IN ('the','a','of','and','to','in','is','that'))) as bigint)").as("w2"),
+          size(array_distinct(col("toks"))).cast(LongType).as("w3"))
+        .persist()
+      val n = f.count()
+      var w = Array(0L, 0L, 0L, 0L)
+      val rows = (1 to 3).map { it =>
+        val margin = col("y") * (lit(w(0)) * col("b") + lit(w(1)) * col("w1") +
+          lit(w(2)) * col("w2") + lit(w(3)) * col("w3"))
+        val r = f.agg(
+          sum(when(margin <= 0, col("y") * col("b")).otherwise(0L)),
+          sum(when(margin <= 0, col("y") * col("w1")).otherwise(0L)),
+          sum(when(margin <= 0, col("y") * col("w2")).otherwise(0L)),
+          sum(when(margin <= 0, col("y") * col("w3")).otherwise(0L)),
+          sum(when(margin <= 0, 1L).otherwise(0L))).head()
+        val mistakes = r.getLong(4)
+        w = Array(w(0) + r.getLong(0), w(1) + r.getLong(1), w(2) + r.getLong(2), w(3) + r.getLong(3))
+        (it.toLong, w(0), w(1), w(2), w(3), mistakes,
+          (n - mistakes).toDouble / n.toDouble)
+      }
+      f.unpersist()
+      import s.implicits._
+      rows.toDF("iter", "w_bias", "w_words", "w_stop", "w_uniq", "n_mistakes", "train_acc")
+        .orderBy(col("iter"))
+    },
+
+    // --- k-anonymity small-cell suppression (release governance) --------
+    "d76_k_anonymity" -> { (s, d) =>
+      // Before corpus stats ship outside the pipeline, cells of the
+      // (lang, source, length-bucket) cube with fewer than k=5 docs are
+      // suppressed and pooled into one '*' remainder row, so no
+      // published count isolates a small group. One groupBy for the
+      // cube, one 2-long shuffle for the remainder — the suppressed
+      // pool is computed distributively, not by re-scanning.
+      val cells = t(s, d, "documents")
+        .groupBy(col("lang"), col("source"),
+          expr("n_chars div 100").as("len_bucket"))
+        .agg(count(lit(1)).as("n_docs"))
+      val kept = cells.where(col("n_docs") >= 5)
+      val pooled = cells.where(col("n_docs") < 5)
+        .agg(coalesce(sum(col("n_docs")), lit(0L)).as("n_docs"))
+        .select(lit("*").as("lang"), lit("*").as("source"),
+          lit(-1L).as("len_bucket"), col("n_docs"))
+      kept.unionByName(pooled)
+        .orderBy(col("lang"), col("source"), col("len_bucket"))
     }
   )
 
@@ -3051,6 +3153,95 @@ object PipelineQueries {
           |  CAST(length(array_to_string(kept, ' ')) AS BIGINT) AS main_chars,
           |  md5(array_to_string(kept, ' ')) AS main_md5
           |FROM ln ORDER BY doc_id""".stripMargin,
+
+      // identical 12-token line cut, global freq ≥ 3 removal, ordered
+      // reassembly (string_agg ORDER BY idx ≡ Spark's array_sort on
+      // (idx, line) structs — idx is unique per doc)
+      "d74_line_dedup_rewrite" ->
+        """WITH corpus AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL SELECT doc_id + 1000000, text || ' aaa' FROM documents WHERE doc_id % 10 = 0
+          |  UNION ALL SELECT doc_id + 2000000, text || ' bbb' FROM documents WHERE doc_id % 10 = 0
+          |), tk AS (
+          |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM corpus
+          |), lines AS (
+          |  SELECT doc_id, i AS idx,
+          |    array_to_string(list_slice(t, i * 12 + 1, i * 12 + 12), ' ') AS line
+          |  FROM tk, unnest(range(0, CAST(ceil(len(t) / 12.0) AS INT))) AS u(i)
+          |), fr AS (
+          |  SELECT doc_id, idx, line,
+          |    count(1) OVER (PARTITION BY md5(line)) AS freq
+          |  FROM lines
+          |)
+          |SELECT doc_id, CAST(count(1) AS BIGINT) AS n_lines,
+          |  CAST(count(CASE WHEN freq >= 3 THEN 1 END) AS BIGINT) AS n_removed,
+          |  md5(coalesce(string_agg(CASE WHEN freq < 3 THEN line END, ' ' ORDER BY idx), '')) AS clean_md5
+          |FROM fr GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      // the 3 perceptron passes unrolled as CTEs — all-integer margins
+      // and updates, so weights are exact in any summation order
+      "d75_perceptron_train" ->
+        """WITH tk AS (
+          |  SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents
+          |), f AS (
+          |  SELECT CASE WHEN len(t) >= 60 THEN 1 ELSE -1 END AS y,
+          |    CAST(1 AS BIGINT) AS b, CAST(len(t) AS BIGINT) AS x1,
+          |    CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is','that'))) AS BIGINT) AS x2,
+          |    CAST(len(list_distinct(t)) AS BIGINT) AS x3
+          |  FROM tk
+          |), nn AS (SELECT CAST(count(1) AS BIGINT) AS n FROM f),
+          |p1 AS (
+          |  SELECT CAST(sum(y*b) AS BIGINT) AS db, CAST(sum(y*x1) AS BIGINT) AS d1,
+          |    CAST(sum(y*x2) AS BIGINT) AS d2, CAST(sum(y*x3) AS BIGINT) AS d3,
+          |    CAST(count(1) AS BIGINT) AS m
+          |  FROM f
+          |), v1 AS (SELECT db AS wb, d1 AS w1, d2 AS w2, d3 AS w3, m FROM p1),
+          |p2 AS (
+          |  SELECT
+          |    CAST(sum(CASE WHEN f.y*(v1.wb*f.b + v1.w1*f.x1 + v1.w2*f.x2 + v1.w3*f.x3) <= 0 THEN f.y*f.b ELSE 0 END) AS BIGINT) AS db,
+          |    CAST(sum(CASE WHEN f.y*(v1.wb*f.b + v1.w1*f.x1 + v1.w2*f.x2 + v1.w3*f.x3) <= 0 THEN f.y*f.x1 ELSE 0 END) AS BIGINT) AS d1,
+          |    CAST(sum(CASE WHEN f.y*(v1.wb*f.b + v1.w1*f.x1 + v1.w2*f.x2 + v1.w3*f.x3) <= 0 THEN f.y*f.x2 ELSE 0 END) AS BIGINT) AS d2,
+          |    CAST(sum(CASE WHEN f.y*(v1.wb*f.b + v1.w1*f.x1 + v1.w2*f.x2 + v1.w3*f.x3) <= 0 THEN f.y*f.x3 ELSE 0 END) AS BIGINT) AS d3,
+          |    CAST(sum(CASE WHEN f.y*(v1.wb*f.b + v1.w1*f.x1 + v1.w2*f.x2 + v1.w3*f.x3) <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS m
+          |  FROM f, v1
+          |), v2 AS (
+          |  SELECT v1.wb + p2.db AS wb, v1.w1 + p2.d1 AS w1, v1.w2 + p2.d2 AS w2,
+          |    v1.w3 + p2.d3 AS w3, p2.m FROM v1, p2
+          |), p3 AS (
+          |  SELECT
+          |    CAST(sum(CASE WHEN f.y*(v2.wb*f.b + v2.w1*f.x1 + v2.w2*f.x2 + v2.w3*f.x3) <= 0 THEN f.y*f.b ELSE 0 END) AS BIGINT) AS db,
+          |    CAST(sum(CASE WHEN f.y*(v2.wb*f.b + v2.w1*f.x1 + v2.w2*f.x2 + v2.w3*f.x3) <= 0 THEN f.y*f.x1 ELSE 0 END) AS BIGINT) AS d1,
+          |    CAST(sum(CASE WHEN f.y*(v2.wb*f.b + v2.w1*f.x1 + v2.w2*f.x2 + v2.w3*f.x3) <= 0 THEN f.y*f.x2 ELSE 0 END) AS BIGINT) AS d2,
+          |    CAST(sum(CASE WHEN f.y*(v2.wb*f.b + v2.w1*f.x1 + v2.w2*f.x2 + v2.w3*f.x3) <= 0 THEN f.y*f.x3 ELSE 0 END) AS BIGINT) AS d3,
+          |    CAST(sum(CASE WHEN f.y*(v2.wb*f.b + v2.w1*f.x1 + v2.w2*f.x2 + v2.w3*f.x3) <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS m
+          |  FROM f, v2
+          |), v3 AS (
+          |  SELECT v2.wb + p3.db AS wb, v2.w1 + p3.d1 AS w1, v2.w2 + p3.d2 AS w2,
+          |    v2.w3 + p3.d3 AS w3, p3.m FROM v2, p3
+          |)
+          |SELECT * FROM (
+          |  SELECT CAST(1 AS BIGINT) AS iter, v1.wb AS w_bias, v1.w1 AS w_words,
+          |    v1.w2 AS w_stop, v1.w3 AS w_uniq, v1.m AS n_mistakes,
+          |    CAST(nn.n - v1.m AS DOUBLE) / nn.n AS train_acc FROM v1, nn
+          |  UNION ALL
+          |  SELECT CAST(2 AS BIGINT), v2.wb, v2.w1, v2.w2, v2.w3, v2.m,
+          |    CAST(nn.n - v2.m AS DOUBLE) / nn.n FROM v2, nn
+          |  UNION ALL
+          |  SELECT CAST(3 AS BIGINT), v3.wb, v3.w1, v3.w2, v3.w3, v3.m,
+          |    CAST(nn.n - v3.m AS DOUBLE) / nn.n FROM v3, nn
+          |) ORDER BY iter""".stripMargin,
+
+      "d76_k_anonymity" ->
+        """WITH cells AS (
+          |  SELECT lang, source, n_chars // 100 AS len_bucket,
+          |    CAST(count(1) AS BIGINT) AS n_docs
+          |  FROM documents GROUP BY 1, 2, 3
+          |)
+          |SELECT lang, source, len_bucket, n_docs FROM cells WHERE n_docs >= 5
+          |UNION ALL
+          |SELECT '*', '*', CAST(-1 AS BIGINT),
+          |  CAST(coalesce(sum(n_docs), 0) AS BIGINT) FROM cells WHERE n_docs < 5
+          |ORDER BY lang, source, len_bucket""".stripMargin,
 
       // The multi-probe half-key scheme is exact for hamming ≤ 3, so the
       // oracle is simply brute-force all-pairs hamming over recomputed
