@@ -730,6 +730,26 @@ object EngineQueries {
           |ORDER BY prio, qtr""".stripMargin).get
     },
 
+    // --- GROUP BY ALL + SELECT * EXCEPT end-to-end ---------------------
+    "e43_group_by_all" -> { (s, d) =>
+      // Two everyday BigQuery idioms the dialect layer must pass through
+      // untouched: GROUP BY ALL (group on every non-aggregate select
+      // item) and a bare `* EXCEPT (col)` projection (the dialect's own
+      // QUALIFY/`* REPLACE` rewrites EMIT `* EXCEPT`, so a user-written
+      // one must survive the same passes).
+      Tables.views(s, d, "orders")
+      new ScriptRunner(s).run(
+        """CREATE TEMP TABLE g AS (
+          |  SELECT o_orderstatus, o_orderpriority, count(1) AS n,
+          |    CAST(SUM(CAST(o_totalprice AS NUMERIC)) AS FLOAT64) AS rev
+          |  FROM orders
+          |  WHERE o_orderdate >= '1995-06-01' AND o_orderdate < '1995-07-01'
+          |  GROUP BY ALL
+          |);
+          |SELECT * EXCEPT (rev) FROM g
+          |ORDER BY o_orderstatus, o_orderpriority""".stripMargin).get
+    },
+
     // --- ALLOW_FIELD_RELAXATION: REQUIRED -> NULLABLE on append --------
     "e29_field_relaxation" -> { (s, d) =>
       // The destination declares `note` REQUIRED (engine-managed table
@@ -1278,6 +1298,13 @@ object EngineQueries {
         |FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "e43_group_by_all" ->
+      """SELECT o_orderstatus, o_orderpriority, CAST(count(1) AS BIGINT) AS n
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-06-01' AND o_orderdate < TIMESTAMP '1995-07-01'
+        |GROUP BY ALL
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
 
     "e41_procedures" ->
       """WITH agg AS (

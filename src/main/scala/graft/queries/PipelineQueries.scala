@@ -949,6 +949,7 @@ object PipelineQueries {
       // space, keeping the ratio meaningful. Planted wrappers
       // (doc % 7 == 0 → text + appended commentary, id + 4,000,000)
       // make the output self-evident at every SF.
+      import org.apache.spark.sql.expressions.Window
       val docs = t(s, d, "documents")
       val wrappers = docs.where(col("doc_id") % 7 === 0)
         .withColumn("doc_id", col("doc_id") + 4000000L)
@@ -958,15 +959,16 @@ object PipelineQueries {
       val ex = withShingles(corpus)
         .select(col("doc_id"),
           explode(expr("transform(shingles, x -> graft_md5_60(x))")).as("sh"))
-      val rare = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      // ONE corpus pass builds the pruned posting-list table: the df cap
+      // is a count window over the shingle hash (spillable row buffer,
+      // never a collect_list of a hot shingle's full posting list), and
+      // the groupBy that follows reuses the window's hash partitioning —
+      // one shuffle of slim (doc_id, sh) rows total. Persisted because
+      // three consumers (per-doc sizes + both containment directions)
+      // would otherwise replay the shingle explode.
+      val wDf = Window.partitionBy(col("sh"))
+      val lists = ex.withColumn("df", count(lit(1)).over(wDf))
         .where(col("df") <= 32)
-      // ONE pass builds the pruned posting-list table, persisted so the
-      // three consumers below (per-doc sizes + both containment
-      // directions) don't replay the shingle explode + df join — without
-      // this the corpus is re-scanned per branch (18 scans in the
-      // executed plan). The df filter runs BEFORE collect_list, so no
-      // aggregation buffer ever holds a hot shingle's full posting list.
-      val lists = ex.join(rare.select("sh"), "sh")
         .groupBy(col("sh")).agg(collect_list(col("doc_id")).as("ids"))
         .persist()
       val np = lists.select(explode(col("ids")).as("doc_id"))
