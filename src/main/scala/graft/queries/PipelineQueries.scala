@@ -1885,6 +1885,44 @@ object PipelineQueries {
         .orderBy(col("iter"))
     },
 
+    // --- dataset versioning: per-source manifest + crawl-refresh diff ---
+    "d77_snapshot_manifest_diff" -> { (s, d) =>
+      // The integrity layer a 100 TB corpus needs between pipeline
+      // runs: each snapshot rolls up to a per-source manifest (doc
+      // count, token count, an ORDER-INDEPENDENT content hash — sum of
+      // per-doc 60-bit md5 values mod 1e9+7, commutative so any
+      // partitioning/merge order yields the same digest), and the two
+      // snapshots diff at doc granularity to added/removed/changed
+      // counts. The two snapshots are simulated deterministically
+      // (doc_id % 13 == 0 missing before; % 17 == 0 edited since;
+      // % 19 == 0 dropped since). One full-outer join on doc_id + one
+      // groupBy source —
+      // both shuffles carry (doc_id, 16-byte hash), never text.
+      val docs = t(s, d, "documents")
+      val prev = docs.where(col("doc_id") % 13 =!= 0)
+        .select(col("doc_id"), col("source"), md5(col("text")).as("h_prev"))
+      val cur = docs.where(col("doc_id") % 19 =!= 0)
+        .withColumn("text", when(col("doc_id") % 17 === 0,
+          concat(col("text"), lit(" upd"))).otherwise(col("text")))
+        .select(col("doc_id"), col("source"),
+          md5(col("text")).as("h_cur"),
+          size(split(col("text"), " ")).cast(LongType).as("n_toks"))
+      val joined = cur.join(prev.drop("source"), Seq("doc_id"), "full_outer")
+      joined
+        .groupBy(coalesce(col("source"), lit("?")).as("source"))
+        .agg(
+          count(col("h_cur")).as("n_docs"),
+          coalesce(sum(col("n_toks")), lit(0L)).as("n_tokens"),
+          coalesce(sum(when(col("h_cur").isNotNull,
+            expr("cast(conv(substring(h_cur, 1, 15), 16, 10) as bigint) % 1000000007"))),
+            lit(0L)).as("manifest_hash"),
+          count(when(col("h_prev").isNull && col("h_cur").isNotNull, 1)).as("n_added"),
+          count(when(col("h_cur").isNull, 1)).as("n_removed"),
+          count(when(col("h_prev").isNotNull && col("h_cur").isNotNull &&
+            col("h_prev") =!= col("h_cur"), 1)).as("n_changed"))
+        .orderBy(col("source"))
+    },
+
     // --- k-anonymity small-cell suppression (release governance) --------
     "d76_k_anonymity" -> { (s, d) =>
       // Before corpus stats ship outside the pipeline, cells of the
@@ -3232,6 +3270,31 @@ object PipelineQueries {
           |  SELECT CAST(3 AS BIGINT), v3.wb, v3.w1, v3.w2, v3.w3, v3.m,
           |    CAST(nn.n - v3.m AS DOUBLE) / nn.n FROM v3, nn
           |) ORDER BY iter""".stripMargin,
+
+      "d77_snapshot_manifest_diff" ->
+        """WITH prev AS (
+          |  SELECT doc_id, md5(text) AS h_prev FROM documents WHERE doc_id % 13 <> 0
+          |), cur AS (
+          |  SELECT doc_id, source,
+          |    md5(CASE WHEN doc_id % 17 = 0 THEN text || ' upd' ELSE text END) AS h_cur,
+          |    CAST(len(string_split(
+          |      CASE WHEN doc_id % 17 = 0 THEN text || ' upd' ELSE text END, ' ')) AS BIGINT) AS n_toks
+          |  FROM documents WHERE doc_id % 19 <> 0
+          |), j AS (
+          |  SELECT coalesce(cur.source, '?') AS source, cur.h_cur, prev.h_prev, cur.n_toks
+          |  FROM cur FULL OUTER JOIN prev ON cur.doc_id = prev.doc_id
+          |)
+          |SELECT source,
+          |  CAST(count(h_cur) AS BIGINT) AS n_docs,
+          |  CAST(coalesce(sum(n_toks), 0) AS BIGINT) AS n_tokens,
+          |  CAST(coalesce(sum(CASE WHEN h_cur IS NOT NULL
+          |    THEN ('0x' || substring(h_cur, 1, 15))::BIGINT % 1000000007 END), 0) AS BIGINT)
+          |    AS manifest_hash,
+          |  CAST(count(CASE WHEN h_prev IS NULL AND h_cur IS NOT NULL THEN 1 END) AS BIGINT) AS n_added,
+          |  CAST(count(CASE WHEN h_cur IS NULL THEN 1 END) AS BIGINT) AS n_removed,
+          |  CAST(count(CASE WHEN h_prev IS NOT NULL AND h_cur IS NOT NULL
+          |    AND h_prev <> h_cur THEN 1 END) AS BIGINT) AS n_changed
+          |FROM j GROUP BY source ORDER BY source""".stripMargin,
 
       "d76_k_anonymity" ->
         """WITH cells AS (
