@@ -463,4 +463,43 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"),
       s"no cartesian product for the scalar frames:\n$p")
   }
+
+  test("d74 line-removal rewrite: joinless map+window+agg, one corpus scan branch set") {
+    val df = PipelineQueries.queries("d74_line_dedup_rewrite")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      .split("== Initial Plan ==").head
+    // global line-frequency is a count window, NOT a groupBy + join-back
+    // — no join operator of any kind may appear
+    assert(!p.contains("Join"), s"line rewrite must stay joinless:\n$p")
+    assert(p.contains("Window"), s"expected the global freq window:\n$p")
+  }
+
+  test("d77 snapshot diff: exchanges carry hashes, never document text") {
+    val df = PipelineQueries.queries("d77_snapshot_manifest_diff")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      .split("== Initial Plan ==").head
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty, s"expected the doc_id join shuffle:\n$p")
+    // the full-outer join and source rollup ship md5 strings + counts;
+    // the text column must be projected away before any exchange
+    assert(!p.contains("text#") ||
+      p.linesIterator.filter(_.contains("Exchange")).forall(!_.contains("text#")),
+      s"document text must not cross an exchange:\n$p")
+  }
+
+  test("d43 containment: single corpus scan feeds the df-capped posting lists") {
+    val df = PipelineQueries.queries("d43_containment_dedup")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      .split("== Initial Plan ==").head
+    // the df cap is a count window over the shingle hash — the old
+    // shape (groupBy df + join back) replayed the shingle explode; the
+    // posting-list build must read the corpus through ONE scan branch
+    assert(p.linesIterator.count(_.contains("Scan parquet")) <= 2,
+      s"posting-list build must not replay the corpus scan per branch:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pair generation must stay local per posting list:\n$p")
+  }
 }
