@@ -1923,6 +1923,63 @@ object PipelineQueries {
         .orderBy(col("source"))
     },
 
+    // --- per-domain quota cap (crawl curation) --------------------------
+    "d78_domain_quota" -> { (s, d) =>
+      // CommonCrawl-style curation: no domain may contribute more than
+      // N = 5 docs; within a domain the longest (then lowest-id) docs
+      // win. Domains are doc_id-derived like d45's URLs. One shuffle on
+      // domain for the rank window, then the same partitioning serves
+      // the rollup — kept-set md5 pins the exact selection.
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, d, "documents")
+        .withColumn("domain", concat(lit("site"),
+          (col("doc_id") % 50).cast("string"), lit(".example.org")))
+      val w = Window.partitionBy(col("domain"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      docs.withColumn("rk", row_number().over(w))
+        .groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("rk") <= 5, 1)).as("n_kept"),
+          count(when(col("rk") > 5, 1)).as("n_dropped"),
+          md5(expr(
+            "array_join(array_sort(collect_list(CASE WHEN rk <= 5 THEN cast(doc_id as string) END)), ',')"))
+            .as("kept_md5"))
+        .orderBy(col("domain"))
+    },
+
+    // --- vocabulary coverage curve (tokenizer design) -------------------
+    "d79_vocab_coverage" -> { (s, d) =>
+      // The question every tokenizer budget starts from: how many
+      // frequency-ranked vocabulary entries cover X % of corpus tokens?
+      // Token counts are a map-side-combined groupBy (corpus-sized
+      // scan, vocab-sized result); the cumulative curve is a window
+      // over the VOCAB, not the corpus; thresholds resolve by integer
+      // cross-multiplication (cum * 100 ≥ total * pct — no float
+      // compare), so the curve is engine-exact.
+      import org.apache.spark.sql.expressions.Window
+      val counts = t(s, d, "documents")
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+        .where(length(col("tok")) > 0)
+        .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      val w = Window.orderBy(col("freq").desc, col("tok"))
+      val ranked = counts
+        .withColumn("rank", row_number().over(w).cast(LongType))
+        .withColumn("cum", sum(col("freq")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val tot = ranked.agg(max(col("cum")).as("total"))
+      val thresholds = s.range(1).select(
+        explode(array(lit(50L), lit(90L), lit(95L), lit(99L))).as("pct"))
+      ranked.crossJoin(broadcast(tot)).crossJoin(broadcast(thresholds))
+        .where(col("cum") * 100 >= col("total") * col("pct"))
+        .groupBy(col("pct"))
+        .agg(min(col("rank")).as("vocab_size"),
+          // cum is monotone in rank, so min(cum) IS the coverage at the
+          // min qualifying rank
+          min(col("cum")).as("covered_tokens"),
+          max(col("total")).as("total_tokens"))
+        .orderBy(col("pct"))
+    },
+
     // --- k-anonymity small-cell suppression (release governance) --------
     "d76_k_anonymity" -> { (s, d) =>
       // Before corpus stats ship outside the pipeline, cells of the
@@ -3270,6 +3327,45 @@ object PipelineQueries {
           |  SELECT CAST(3 AS BIGINT), v3.wb, v3.w1, v3.w2, v3.w3, v3.m,
           |    CAST(nn.n - v3.m AS DOUBLE) / nn.n FROM v3, nn
           |) ORDER BY iter""".stripMargin,
+
+      "d78_domain_quota" ->
+        """WITH dom AS (
+          |  SELECT doc_id, n_chars,
+          |    'site' || CAST(doc_id % 50 AS VARCHAR) || '.example.org' AS domain
+          |  FROM documents
+          |), ranked AS (
+          |  SELECT domain, doc_id,
+          |    row_number() OVER (PARTITION BY domain ORDER BY n_chars DESC, doc_id) AS rk
+          |  FROM dom
+          |)
+          |SELECT domain, CAST(count(1) AS BIGINT) AS n_docs,
+          |  CAST(count(CASE WHEN rk <= 5 THEN 1 END) AS BIGINT) AS n_kept,
+          |  CAST(count(CASE WHEN rk > 5 THEN 1 END) AS BIGINT) AS n_dropped,
+          |  md5(string_agg(CASE WHEN rk <= 5 THEN CAST(doc_id AS VARCHAR) END, ','
+          |    ORDER BY CAST(doc_id AS VARCHAR))) AS kept_md5
+          |FROM ranked GROUP BY domain ORDER BY domain""".stripMargin,
+
+      "d79_vocab_coverage" ->
+        """WITH tok AS (
+          |  SELECT t AS tok FROM (
+          |    SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t FROM documents
+          |  ) WHERE length(t) > 0
+          |), counts AS (
+          |  SELECT tok, CAST(count(1) AS BIGINT) AS freq FROM tok GROUP BY tok
+          |), ranked AS (
+          |  SELECT CAST(row_number() OVER (ORDER BY freq DESC, tok) AS BIGINT) AS rank,
+          |    CAST(sum(freq) OVER (ORDER BY freq DESC, tok
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+          |  FROM counts
+          |), tot AS (SELECT CAST(max(cum) AS BIGINT) AS total FROM ranked),
+          |thr AS (SELECT unnest([50, 90, 95, 99]) AS pct)
+          |SELECT CAST(pct AS BIGINT) AS pct,
+          |  CAST(min(rank) AS BIGINT) AS vocab_size,
+          |  CAST(min(cum) AS BIGINT) AS covered_tokens,
+          |  CAST(max(total) AS BIGINT) AS total_tokens
+          |FROM ranked, tot, thr
+          |WHERE cum * 100 >= total * pct
+          |GROUP BY pct ORDER BY pct""".stripMargin,
 
       "d77_snapshot_manifest_diff" ->
         """WITH prev AS (
