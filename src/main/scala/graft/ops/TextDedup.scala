@@ -247,6 +247,48 @@ object TextDedup {
       .where(col("shared_windows") >= minShared)
   }
 
+  /** Asymmetric containment candidates (doc-inside-doc, the
+    * quote-and-comment case Jaccard misses): candidates come from a
+    * shingle inverted index with stop-shingle pruning. The df cap is a
+    * count window over the shingle hash — ONE corpus pass, one shuffle
+    * of slim (doc_id, sh) rows, and the groupBy that builds the
+    * posting lists reuses the window's partitioning (no join-back, no
+    * replayed scan). Ordered pairs are generated locally per capped
+    * posting list (≤ dfCap·(dfCap−1) per shingle; both directions,
+    * containment is asymmetric). Returns (contained_id, container_id,
+    * shared, na, nb) where shared·100 ≥ na·minContainPct and
+    * na ≥ minShingles.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", dfCap: Int = 32,
+      minContainPct: Int = 90, minShingles: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ex = shingled(docs, textCol)
+      .select(col(idCol).as("doc_id"),
+        explode(expr("transform(shingles, x -> graft_md5_60(x))")).as("sh"))
+    val lists = ex
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
+      .where(col("df") <= dfCap)
+      .groupBy(col("sh")).agg(collect_list(col("doc_id")).as("ids"))
+      .persist()
+    val np = lists.select(explode(col("ids")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("np"))
+    lists
+      .where(size(col("ids")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(ids, x ->
+          |  transform(filter(ids, y -> y != x), y -> struct(x AS a, y AS b))))""".stripMargin))
+        .as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("shared"))
+      .join(np.select(col("doc_id").as("a"), col("np").as("na")), "a")
+      .join(np.select(col("doc_id").as("b"), col("np").as("nb")), "b")
+      .where(col("shared") * 100 >= col("na") * minContainPct &&
+        col("na") >= minShingles)
+      .select(col("a").as("contained_id"), col("b").as("container_id"),
+        col("shared"), col("na"), col("nb"))
+  }
+
   /** Connected components over an undirected pair list (columns a, b)
     * by min-label propagation: every node adopts the smallest label
     * among itself and its neighbors, iterated to fixpoint. Rounds are

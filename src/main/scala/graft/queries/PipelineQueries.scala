@@ -948,49 +948,17 @@ object PipelineQueries {
       // sizes and the containment measure are over the same pruned
       // space, keeping the ratio meaningful. Planted wrappers
       // (doc % 7 == 0 → text + appended commentary, id + 4,000,000)
-      // make the output self-evident at every SF.
-      import org.apache.spark.sql.expressions.Window
+      // make the output self-evident at every SF. Candidate generation
+      // is [[graft.ops.TextDedup.containmentPairs]] — single corpus
+      // pass, window-capped posting lists, locally-generated ordered
+      // pairs (see the Scaladoc there and the d43 plan audit).
       val docs = t(s, d, "documents")
       val wrappers = docs.where(col("doc_id") % 7 === 0)
         .withColumn("doc_id", col("doc_id") + 4000000L)
         .withColumn("text", concat(col("text"),
           lit(" editorial commentary appended after the quoted article body ends here")))
       val corpus = docs.unionByName(wrappers)
-      val ex = withShingles(corpus)
-        .select(col("doc_id"),
-          explode(expr("transform(shingles, x -> graft_md5_60(x))")).as("sh"))
-      // ONE corpus pass builds the pruned posting-list table: the df cap
-      // is a count window over the shingle hash (spillable row buffer,
-      // never a collect_list of a hot shingle's full posting list), and
-      // the groupBy that follows reuses the window's hash partitioning —
-      // one shuffle of slim (doc_id, sh) rows total. Persisted because
-      // three consumers (per-doc sizes + both containment directions)
-      // would otherwise replay the shingle explode.
-      val wDf = Window.partitionBy(col("sh"))
-      val lists = ex.withColumn("df", count(lit(1)).over(wDf))
-        .where(col("df") <= 32)
-        .groupBy(col("sh")).agg(collect_list(col("doc_id")).as("ids"))
-        .persist()
-      val np = lists.select(explode(col("ids")).as("doc_id"))
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("np"))
-      // ordered candidate pairs generated locally per shingle (the df
-      // cap bounds every posting list at 32, so ≤ 32·31 pairs/shingle)
-      // — one shuffle of slim rows instead of a pruned⋈pruned self-join;
-      // containment is asymmetric, so BOTH directions emit
-      lists
-        .where(size(col("ids")) >= 2)
-        .select(explode(expr(
-          """flatten(transform(ids, x ->
-            |  transform(filter(ids, y -> y != x), y -> struct(x AS a, y AS b))))""".stripMargin))
-          .as("p"))
-        .select(col("p.a").as("a"), col("p.b").as("b"))
-        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("shared"))
-        .join(np.select(col("doc_id").as("a"), col("np").as("na")), "a")
-        .join(np.select(col("doc_id").as("b"), col("np").as("nb")), "b")
-        // integer threshold: containment shared/na ≥ 0.9, no float compare
-        .where(col("shared") * 10 >= col("na") * 9 && col("na") >= 10)
-        .select(col("a").as("contained_id"), col("b").as("container_id"),
-          col("shared"), col("na"), col("nb"))
+      graft.ops.TextDedup.containmentPairs(corpus)
         .orderBy(col("contained_id"), col("container_id"))
     },
 

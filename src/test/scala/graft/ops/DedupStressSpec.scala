@@ -123,4 +123,16 @@ class DedupStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(nBig > 0, "expected ranked domains")
     assert(tBig / tSmall < 10.0, f"super-linear blowup: $tSmall%.1f s → $tBig%.1f s")
   }
+
+  test("containment posting-list path scales sub-quadratically to 250k docs", Stress) {
+    // the d43 shape after the window-cap rewrite: one corpus pass, df
+    // cap as a count window, pairs generated locally per posting list.
+    // The planted ' zz' variants CONTAIN their originals (na ≥ 10,
+    // shared/na = 1), so the verification stage sees real candidates.
+    val (tSmall, tBig, nBig) = growthRatio("containment") { d =>
+      TextDedup.containmentPairs(d)
+    }
+    assert(nBig > 0, "planted wrappers should surface as containment pairs")
+    assert(tBig / tSmall < 10.0, f"super-linear blowup: $tSmall%.1f s → $tBig%.1f s")
+  }
 }

@@ -134,6 +134,19 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs.forall(p => p._1 != 3L && p._2 != 3L))
   }
 
+  test("containmentPairs finds the short doc inside its wrapper, both roles typed") {
+    val article = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val df = docs(
+      1L -> article,
+      2L -> (article + " with appended editorial commentary following the quoted body"),
+      3L -> "entirely unrelated vocabulary with no shared shingles at all present today")
+    val out = TextDedup.containmentPairs(df, idCol = "id", textCol = "body")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.contains((1L, 2L)), s"1 is contained in 2: ${out.mkString(",")}")
+    assert(!out.contains((2L, 1L)), "containment is asymmetric — the wrapper is not contained")
+    assert(out.forall(p => p._1 != 3L && p._2 != 3L))
+  }
+
   test("spanPairs stop-window pruning drops boilerplate phrases") {
     // the same 8-token phrase in every doc exceeds dfCap=2 → no pairs
     val phrase = "one two three four five six seven eight"
