@@ -833,6 +833,26 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // --- container metadata probe WITHOUT decode ------------------------
+    "m08_multimodal_header_probe" -> { (s, d) =>
+      // The inventory pass that runs before any decode at 100 TB: PNG
+      // signature + IHDR width/height/bit-depth/color-type parsed
+      // straight from the first 26 payload bytes with codegen'd byte
+      // ops (substring/hex/conv) — no codec, no mapPartitions, cost =
+      // one scan. The engine parses REAL PNG bytes (ImageIO-encoded);
+      // the oracle replays the container spec (big-endian IHDR fields,
+      // grayscale 8-bit for TYPE_BYTE_GRAY sources).
+      val blobs = Multimodal.syntheticImageBlobs(
+        t(s, d, "documents").select(col("doc_id")))
+      blobs.select(col("doc_id"),
+        lower(hex(expr("substring(payload, 1, 8)"))).as("sig_hex"),
+        expr("cast(conv(hex(substring(payload, 17, 4)), 16, 10) as bigint)").as("width"),
+        expr("cast(conv(hex(substring(payload, 21, 4)), 16, 10) as bigint)").as("height"),
+        expr("cast(conv(hex(substring(payload, 25, 1)), 16, 10) as bigint)").as("bit_depth"),
+        expr("cast(conv(hex(substring(payload, 26, 1)), 16, 10) as bigint)").as("color_type"))
+        .orderBy(col("doc_id"))
+    },
+
     // --- perceptual-hash near-dup over binary payloads ------------------
     "m04_multimodal_phash_dedup" -> { (s, d) =>
       // Media near-dup at 100 TB: a 60-bit perceptual hash per payload
@@ -4022,6 +4042,17 @@ object PipelineQueries {
       // decoded-pixel features replayed from the generative formula (the
       // Spark side really decodes the PNG bytes — see m04 note); head_hex
       // is the PNG signature every valid encode starts with
+      // m08: the oracle is the PNG spec itself — signature constant,
+      // IHDR fields from the synthesis parameters (w = 16 + id%16,
+      // h = 16, 8-bit grayscale ⇒ bit_depth 8, color_type 0)
+      "m08_multimodal_header_probe" ->
+        """SELECT doc_id, '89504e470d0a1a0a' AS sig_hex,
+          |  CAST(16 + doc_id % 16 AS BIGINT) AS width,
+          |  CAST(16 AS BIGINT) AS height,
+          |  CAST(8 AS BIGINT) AS bit_depth,
+          |  CAST(0 AS BIGINT) AS color_type
+          |FROM documents ORDER BY doc_id""".stripMargin,
+
       "m01_multimodal_features" ->
         """WITH b AS (
           |  SELECT doc_id, 16 + doc_id % 16 AS w,

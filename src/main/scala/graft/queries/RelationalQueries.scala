@@ -860,10 +860,42 @@ object RelationalQueries {
           (col("week") - col("cohort_week")).as("week_offset"))
         .agg(countDistinct(col("user_id")).as("n_active"))
         .orderBy(col("cohort_week"), col("week_offset"))
+    },
+
+    "q59_correlated_scalar" -> { (s, d) =>
+      // Correlated scalar aggregate subquery in WHERE (the TPC-H
+      // Q2/Q17 shape: rows matching their group's min). Catalyst
+      // decorrelates this to ONE aggregate + equi-join over lineitem —
+      // never a per-row subquery re-execution (PlanAuditSpec pins the
+      // physical shape); the supplier/nation dims broadcast.
+      Tables.views(s, d, "lineitem", "supplier", "nation")
+      s.sql(
+        """SELECT l.l_partkey, l.l_suppkey,
+          |  CAST(l.l_extendedprice AS DOUBLE) AS price, s.s_name, n.n_name
+          |FROM lineitem l
+          |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+          |JOIN nation n ON n.n_nationkey = s.s_nationkey
+          |WHERE l.l_partkey < 200
+          |  AND l.l_extendedprice = (SELECT min(l2.l_extendedprice)
+          |                           FROM lineitem l2
+          |                           WHERE l2.l_partkey = l.l_partkey)
+          |ORDER BY l.l_partkey, l.l_suppkey""".stripMargin)
     }
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q59_correlated_scalar" ->
+      """SELECT l.l_partkey, l.l_suppkey,
+        |  CAST(l.l_extendedprice AS DOUBLE) AS price, s.s_name, n.n_name
+        |FROM lineitem l
+        |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |WHERE l.l_partkey < 200
+        |  AND l.l_extendedprice = (SELECT min(l2.l_extendedprice)
+        |                           FROM lineitem l2
+        |                           WHERE l2.l_partkey = l.l_partkey)
+        |ORDER BY l.l_partkey, l.l_suppkey""".stripMargin,
+
     "q54_incremental_rollup" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS month, o_orderstatus,
         |  count(1) AS n_orders,

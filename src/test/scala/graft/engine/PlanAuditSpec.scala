@@ -464,6 +464,16 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"no cartesian product for the scalar frames:\n$p")
   }
 
+  test("q59 correlated scalar: decorrelated to aggregate + join, dims broadcast") {
+    val p = plan("q59_correlated_scalar")
+    // Catalyst must rewrite the correlated min-subquery to a grouped
+    // aggregate joined back on l_partkey — no nested-loop re-execution
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"correlated scalar must decorrelate, not loop:\n$p")
+    assert(p.contains("HashAggregate"), s"expected the decorrelated min aggregate:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"supplier/nation dims should broadcast:\n$p")
+  }
+
   test("d74 line-removal rewrite: joinless map+window+agg, one corpus scan branch set") {
     val df = PipelineQueries.queries("d74_line_dedup_rewrite")(spark, sfDir)
     df.collect()
