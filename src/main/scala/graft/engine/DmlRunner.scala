@@ -51,10 +51,91 @@ class DmlRunner(spark: SparkSession, runner: TransformRunner) {
     raw"(?is)^\s*DELETE\s+FROM\s+`?([\w.$$-]+)`?\s+WHERE\s+(.+?)\s*;?\s*$$".r
   private val dropRe = raw"(?is)^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?`?([\w.$$-]+)`?\s*;?\s*$$".r
 
-  def run(script: String): Unit =
+  def run(script: String): Unit = {
     // same pre-split normalization as ScriptRunner.run: BQ-only literal
     // forms become standard quotes before `;`-splitting
-    StatementSplitter.split(Dialect.normalizeLiteralForms(script)).foreach(runStatement)
+    try {
+      StatementSplitter.split(Dialect.normalizeLiteralForms(script)).foreach(runStatement)
+      // BigQuery rolls back a transaction left open when the script
+      // ends and reports it — losing writes silently is never right
+      if (txn.isDefined) {
+        rollback()
+        throw new IllegalStateException(
+          "transaction was still open at end of script; it has been rolled back " +
+            "(add COMMIT TRANSACTION)")
+      }
+    } catch {
+      // a statement failure inside an open transaction aborts it: undo
+      // every write since BEGIN TRANSACTION, then surface the error
+      case e: Throwable if txn.isDefined =>
+        rollback()
+        throw e
+    }
+  }
+
+  // --- multi-statement transactions (BEGIN/COMMIT/ROLLBACK TRANSACTION) --
+  // Parquet has no native MVCC, so atomicity is snapshot-based: the
+  // first write to each table inside the transaction first pins the
+  // table's current rows with an eager localCheckpoint (plus its SHOW
+  // CREATE TABLE DDL, so even a DROPped table restores with its exact
+  // definition). ROLLBACK re-creates/truncates and re-inserts from the
+  // snapshot; COMMIT just forgets it. One transaction at a time, as in
+  // BigQuery. Snapshots are per-table and slim (only tables the
+  // transaction actually touches), and restoring appends the pinned
+  // rows in one insert — no per-row driver work.
+  private final case class TxnState(
+      snapshots: scala.collection.mutable.LinkedHashMap[String, (String, DataFrame)],
+      created: scala.collection.mutable.LinkedHashSet[String])
+  private var txn: Option[TxnState] = None
+
+  private val beginTxnRe = raw"(?is)^\s*BEGIN\s+TRANSACTION\s*;?\s*$$".r
+  private val commitTxnRe = raw"(?is)^\s*COMMIT(?:\s+TRANSACTION)?\s*;?\s*$$".r
+  private val rollbackTxnRe = raw"(?is)^\s*ROLLBACK(?:\s+TRANSACTION)?\s*;?\s*$$".r
+  // head of any table-mutating statement this runner (or the script
+  // engine it delegates to) can execute — matched on masked text
+  private val txnTargetRe =
+    raw"(?is)^\s*(?:MERGE\s+(?:INTO\s+)?|DELETE\s+FROM\s+|UPDATE\s+|TRUNCATE\s+TABLE\s+|DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?|INSERT\s+(?:INTO\s+)?)`?([\w.$$-]+)".r
+  private val txnCreateRe =
+    raw"(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?`?([\w.$$-]+)".r
+
+  private def beginTransaction(): Unit = {
+    if (txn.isDefined) throw new IllegalStateException(
+      "a transaction is already active; BigQuery allows one transaction at a time")
+    txn = Some(TxnState(scala.collection.mutable.LinkedHashMap.empty,
+      scala.collection.mutable.LinkedHashSet.empty))
+  }
+
+  private def commit(): Unit = {
+    if (txn.isEmpty) throw new IllegalStateException("COMMIT without an active transaction")
+    txn = None
+  }
+
+  private def rollback(): Unit = {
+    val st = txn.getOrElse(
+      throw new IllegalStateException("ROLLBACK without an active transaction"))
+    txn = None // clear first: restore writes below must not re-snapshot
+    st.created.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    st.snapshots.foreach { case (t, (ddl, snap)) =>
+      if (!spark.catalog.tableExists(t)) spark.sql(ddl)
+      else spark.sql(s"TRUNCATE TABLE $t")
+      snap.write.mode("append").insertInto(t)
+    }
+  }
+
+  /** Pin `destFqn`'s pre-statement state on its first mutation inside
+    * the open transaction (no-op outside one, for re-touched tables,
+    * and for tables the transaction itself created).
+    */
+  private def snapshotForTxn(destFqn: String): Unit = txn.foreach { st =>
+    val cat = runner.catalogName(destFqn)
+    if (!st.created.contains(cat) && !st.snapshots.contains(cat)) {
+      if (spark.catalog.tableExists(cat)) {
+        val ddl = spark.sql(s"SHOW CREATE TABLE $cat").head().getString(0)
+        st.snapshots(cat) = (ddl, spark.table(cat).localCheckpoint(true))
+      } else st.created += cat
+    }
+  }
+
 
   private val updateRe =
     raw"(?is)^\s*UPDATE\s+`?([\w.$$-]+)`?\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*$$".r
@@ -84,7 +165,25 @@ class DmlRunner(spark: SparkSession, runner: TransformRunner) {
   private lazy val Truncate = new MaskedRe(truncateRe)
   private lazy val Drop = new MaskedRe(dropRe)
 
-  def runStatement(stmt: String): Unit = stmt match {
+  def runStatement(stmt: String): Unit = {
+    val trimmed = stmt.trim
+    if (beginTxnRe.findFirstIn(trimmed).isDefined) return beginTransaction()
+    if (commitTxnRe.findFirstIn(trimmed).isDefined) return commit()
+    if (rollbackTxnRe.findFirstIn(trimmed).isDefined) return rollback()
+    if (txn.isDefined) {
+      // identify the statement's write target on masked text (identifier
+      // positions are mask-invariant) and pin its pre-state; CREATE [OR
+      // REPLACE] TABLE also routes here — an existing destination gets
+      // snapshotted, a fresh one is dropped on rollback
+      val masked = maskLiterals(stmt)
+      txnTargetRe.findFirstMatchIn(masked)
+        .orElse(txnCreateRe.findFirstMatchIn(masked))
+        .foreach(m => snapshotForTxn(m.group(1)))
+    }
+    dispatch(stmt)
+  }
+
+  private def dispatch(stmt: String): Unit = stmt match {
     case MergeTable(destFqn, tAlias, srcTable, sAlias, onCond, whenClauses) =>
       merge(destFqn, tAlias, s"SELECT * FROM ${runner.catalogName(srcTable)}",
         sAlias, onCond, whenClauses)
