@@ -12,16 +12,33 @@ object Tables {
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings")
 
-  def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    // events.ts is parquet TIMESTAMP(NANOS) — unsupported by Spark's
-    // vectorized reader; sessions set
-    // spark.sql.legacy.parquet.nanosAsLong=true and we truncate to
-    // micros here (exactly what DuckDB does reading the same file).
-    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    else df
+  /** Normalize event-time physical types across driver testdata
+    * generations, so every query sees plain `TIMESTAMP`:
+    *  - parquet TIMESTAMP(NANOS): unsupported by Spark's vectorized
+    *    reader; sessions set spark.sql.legacy.parquet.nanosAsLong=true
+    *    and we truncate the long to micros (exactly what DuckDB does
+    *    reading the same file);
+    *  - parquet TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark reads
+    *    TIMESTAMP_NTZ, which `unix_micros` and streaming watermarks
+    *    reject. The session timezone is UTC, so casting NTZ→TIMESTAMP
+    *    preserves the wall-clock value and equals DuckDB's reading.
+    */
+  def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema.fields.foldLeft(df) { (d, f) =>
+      f.dataType match {
+        case TimestampNTZType =>
+          d.withColumn(f.name, col(f.name).cast(TimestampType))
+        case LongType if f.name == "ts" =>
+          d.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case _ => d
+      }
+    }
   }
+
+  def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    normalizeTs(spark.read.parquet(s"$sfDir/$name.parquet"))
 
   /** Register temp views for SQL-form queries. Idempotent per session. */
   def views(spark: SparkSession, sfDir: String, names: String*): Unit = {

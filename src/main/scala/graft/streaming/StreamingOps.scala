@@ -229,13 +229,10 @@ object StreamingOps {
     */
   def runBoundedLeftOuterAttribution(spark: SparkSession, sfDir: String,
       queryName: String): DataFrame = {
-    import org.apache.spark.sql.types.LongType
-    val ev = spark.read.parquet(s"$sfDir/events.parquet")
-    val isLong = ev.schema("ts").dataType == LongType
-    val sentinelTs: Column =
-      if (isLong) lit(ev.agg(max(col("ts"))).head.getLong(0) + 2592000000000000L) // +30 d in nanos
-      else lit(new java.sql.Timestamp(
-        ev.agg(max(col("ts"))).head.getTimestamp(0).getTime + 2592000000L)) // +30 d in millis
+    val ev = graft.queries.Tables.normalizeTs(
+      spark.read.parquet(s"$sfDir/events.parquet"))
+    val sentinelTs: Column = lit(new java.sql.Timestamp(
+      ev.agg(max(col("ts"))).head.getTimestamp(0).getTime + 2592000000L)) // +30 d in millis
     def sentinel(tpe: String, id: Long) = ev.limit(1)
       .withColumn("event_id", lit(id)).withColumn("user_id", lit(-1L))
       .withColumn("event_type", lit(tpe)).withColumn("value", lit(0.0))
@@ -246,10 +243,9 @@ object StreamingOps {
       sentinel("click", -1L).unionByName(sentinel("purchase", -2L))
         .coalesce(1).write.mode("overwrite").parquet(d)
     }
-    val sentinels0 = spark.readStream.schema(ev.schema).parquet(dir)
-    val sentinels =
-      if (isLong) sentinels0.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      else sentinels0
+    val sentinels = graft.queries.Tables.normalizeTs(
+      spark.readStream.schema(
+        spark.read.parquet(dir).schema).parquet(dir))
     val joined = streamClickAttributionLeftOuter(
       boundedEventStream(spark, sfDir).unionByName(sentinels))
     val q = withStatePartitions(spark, 8)(joined.writeStream
@@ -363,10 +359,7 @@ object StreamingOps {
     val schema = spark.read.parquet(src).schema
     val raw = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(src)
-    val events =
-      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      else raw
+    val events = graft.queries.Tables.normalizeTs(raw)
     val agg = windowedEventCounts(events, "1 hour", "3650 days")
     val target = Scratch.fresh("s07tgt_") + "/t"
     val upsert: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
@@ -397,8 +390,9 @@ object StreamingOps {
       .orderBy(col("window_start"), col("event_type"))
   }
 
-  /** File-source stream over the events parquet with the nanos→micros
-    * normalization `Tables.t` applies on the batch side.
+  /** File-source stream over the events parquet with the same
+    * event-time physical-type normalization `Tables.t` applies on the
+    * batch side (nanos-as-long → micros; TIMESTAMP_NTZ → TIMESTAMP).
     */
   private def boundedEventStream(spark: SparkSession, sfDir: String): DataFrame = {
     val batchSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
@@ -406,9 +400,7 @@ object StreamingOps {
       .schema(batchSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-    if (batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
-      stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else stream
+    graft.queries.Tables.normalizeTs(stream)
   }
 
   /** Run the events parquet as a bounded stream into a memory sink;
