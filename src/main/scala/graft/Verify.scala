@@ -21,15 +21,26 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    val attempted = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
-      .foreach { case (name, fn) =>
+    val failed = scala.collection.mutable.ListBuffer[String]()
+    attempted.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failed += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // the attempted-query manifest lets the oracle checker flag a query
+    // that THREW (and so wrote no result dir) as a FAIL instead of
+    // silently vanishing from the comparison — an environment change
+    // must never be able to drop gates without a red line
+    Files.writeString(Paths.get(s"$outDir/queries.json"),
+      attempted.keys.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]"))
+    if (failed.nonEmpty)
+      System.err.println(
+        s"[verify] ${failed.size} QUERIES FAILED: ${failed.mkString(", ")}")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

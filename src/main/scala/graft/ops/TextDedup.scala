@@ -249,31 +249,35 @@ object TextDedup {
 
   /** Asymmetric containment candidates (doc-inside-doc, the
     * quote-and-comment case Jaccard misses): candidates come from a
-    * shingle inverted index with stop-shingle pruning. The df cap is a
-    * count window over the shingle hash — ONE corpus pass, one shuffle
-    * of slim (doc_id, sh) rows, and the groupBy that builds the
-    * posting lists reuses the window's partitioning (no join-back, no
-    * replayed scan). Ordered pairs are generated locally per capped
-    * posting list (≤ dfCap·(dfCap−1) per shingle; both directions,
-    * containment is asymmetric). Returns (contained_id, container_id,
-    * shared, na, nb) where shared·100 ≥ na·minContainPct and
-    * na ≥ minShingles.
+    * shingle inverted index with stop-shingle pruning. The df cap is
+    * TWO-PASS: a map-side-combined `groupBy("sh").count` first (partial
+    * aggregation collapses the posting stream to distinct shingles
+    * before the shuffle), then the exploded rows equi-join the
+    * `df ≤ cap` shingle set so hot shingles are discarded at the join —
+    * never window-sorted. (A `count().over(partitionBy(sh))` variant
+    * shuffle-SORTS every exploded row including the hot shingles the
+    * cap exists to discard — measured ~7× slower at sf0.1 and a full
+    * posting-stream sort at 100 TB.) Ordered pairs are generated
+    * locally per capped posting list (≤ dfCap·(dfCap−1) per shingle;
+    * both directions, containment is asymmetric). Returns
+    * (contained_id, container_id, shared, na, nb) where
+    * shared·100 ≥ na·minContainPct and na ≥ minShingles.
     */
   def containmentPairs(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", dfCap: Int = 32,
       minContainPct: Int = 90, minShingles: Int = 10): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val ex = shingled(docs, textCol)
       .select(col(idCol).as("doc_id"),
         explode(expr("transform(shingles, x -> graft_md5_60(x))")).as("sh"))
-    val lists = ex
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
+    val rare = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
       .where(col("df") <= dfCap)
+      .select(col("sh"))
+    val lists = ex.join(rare, "sh")
       .groupBy(col("sh")).agg(collect_list(col("doc_id")).as("ids"))
       .persist()
     val np = lists.select(explode(col("ids")).as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("np"))
-    lists
+    val out = lists
       .where(size(col("ids")) >= 2)
       .select(explode(expr(
         """flatten(transform(ids, x ->
@@ -287,6 +291,14 @@ object TextDedup {
         col("na") >= minShingles)
       .select(col("a").as("contained_id"), col("b").as("container_id"),
         col("shared"), col("na"), col("nb"))
+    // the surviving pairs are tiny next to the posting lists:
+    // materialize them eagerly so the persisted index can be dropped
+    // before returning (a long-lived JVM running many queries must not
+    // accrete per-query caches — ContextCleaner reclaims checkpoint
+    // blocks once the result is unreferenced, persist entries it won't)
+    val result = out.localCheckpoint(true)
+    lists.unpersist()
+    result
   }
 
   /** Connected components over an undirected pair list (columns a, b)
@@ -310,13 +322,15 @@ object TextDedup {
         .join(labels.select(col("node").as("dst"), col("lab").as("nlab")), "dst")
         .groupBy(col("src").as("node")).agg(min(col("nlab")).as("nmin"))
       // carry the previous label through the checkpoint so the
-      // convergence count is a scan of already-materialized rows — not
-      // another shuffle join of next⋈labels per round
+      // convergence count needs no extra shuffle join; the checkpoint
+      // is LAZY so the count job both materializes the round's blocks
+      // and tallies convergence — one job per round, not an eager
+      // materialization followed by a second scan
       val next = labels.join(neighborMin, Seq("node"), "left")
         .select(col("node"),
           least(col("lab"), coalesce(col("nmin"), col("lab"))).as("lab"),
           col("lab").as("old"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       changed = next.where(col("lab") =!= col("old")).count()
       labels = next.select(col("node"), col("lab"))
       iter += 1

@@ -969,9 +969,9 @@ object PipelineQueries {
       // space, keeping the ratio meaningful. Planted wrappers
       // (doc % 7 == 0 → text + appended commentary, id + 4,000,000)
       // make the output self-evident at every SF. Candidate generation
-      // is [[graft.ops.TextDedup.containmentPairs]] — single corpus
-      // pass, window-capped posting lists, locally-generated ordered
-      // pairs (see the Scaladoc there and the d43 plan audit).
+      // is [[graft.ops.TextDedup.containmentPairs]] — two-pass df cap
+      // (pre-aggregated, map-side-combined), pruned posting lists,
+      // locally-generated ordered pairs (see the Scaladoc there).
       val docs = t(s, d, "documents")
       val wrappers = docs.where(col("doc_id") % 7 === 0)
         .withColumn("doc_id", col("doc_id") + 4000000L)

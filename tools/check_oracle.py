@@ -37,8 +37,17 @@ def main(sf_dir: str, out_dir: str) -> None:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = n_rowsonly = 0
-    import glob
+    import glob, os
     names = sorted(p.split("/")[-1] for p in glob.glob(f"{out_dir}/*") if not p.endswith(".json"))
+    # queries that threw in Verify wrote no result dir; the manifest
+    # makes them loud FAILs instead of silently absent rows
+    try:
+        attempted = json.load(open(f"{out_dir}/queries.json"))
+    except FileNotFoundError:
+        attempted = names
+    for name in sorted(set(attempted) - set(names)):
+        n_fail += 1
+        print(f"MISSING-RESULT     {name}: query threw in Verify (see [verify] stderr)")
     for name in names:
         got = pd.read_parquet(f"{out_dir}/{name}")
         if name not in oracle:
