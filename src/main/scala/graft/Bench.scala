@@ -74,9 +74,9 @@ object Bench {
     val runsJson = totals.map(fmt).mkString("[", ",", "]")
     val errsJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     // the driver captures only the LAST ~2000 chars of output, so the
-    // stdout line carries total + the 40 slowest queries (the ones worth
+    // stdout line carries total + the 25 slowest queries (the ones worth
     // trending); the complete per-query map goes to BENCH_FULL.json
-    val slow = medians.toSeq.sortBy(-_._2).take(40)
+    val slow = medians.toSeq.sortBy(-_._2).take(25)
     val qs = slow.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val full = medians.toSeq.sortBy(-_._2)
@@ -86,7 +86,11 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
       (fullLine + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => }
+    // stop the session BEFORE printing: the driver keeps only the output
+    // TAIL, and spark.stop()'s shutdown logging after the JSON line is
+    // exactly what truncated BENCH_r05's parse (parsed: null)
+    spark.sparkContext.setLogLevel("ERROR")
+    try spark.stop() catch { case _: Throwable => }
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${names.size},"n_runs":$nRuns,"run_totals":$runsJson,"errors":$errsJson,"queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
   }
 }

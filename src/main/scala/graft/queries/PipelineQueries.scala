@@ -1987,6 +1987,47 @@ object PipelineQueries {
           lit(-1L).as("len_bucket"), col("n_docs"))
       kept.unionByName(pooled)
         .orderBy(col("lang"), col("source"), col("len_bucket"))
+    },
+
+    // --- unigram-LM quality filtering (CCNet-style perplexity proxy) ----
+    "d80_unigram_surprisal_filter" -> { (s, d) =>
+      // CCNet filters web text by LM perplexity; the unigram version of
+      // that signal, made integer-exact: token surprisal quantized to
+      // its binary magnitude — bits(c) = length(bin(c)) = ⌊log2 c⌋+1
+      // for corpus count c — so a doc's mean surprisal (permille of a
+      // bit) is pure integer arithmetic and hash-checks against the
+      // oracle with no ln() cross-engine drift. LOW mean bits =
+      // rare-token-heavy = the high-perplexity tail a pipeline drops
+      // (or routes to review) before training.
+      // Shape at 100 TB: one map-side-combined (doc, term) tf pass —
+      // the raw token stream shuffles ONCE; the count table and
+      // everything after is vocab/doc-sized, and the corpus baseline is
+      // a broadcast 1-row aggregate, not a driver collect.
+      val tf = t(s, d, "documents")
+        .select(col("doc_id"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+        .where(col("term") =!= "")
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .persist()
+      val counts = tf.groupBy("term").agg(sum(col("tf")).as("c"))
+        .withColumn("bits", length(bin(col("c"))).cast(LongType))
+      val perDoc = tf.join(counts, "term")
+        .groupBy("doc_id")
+        .agg(sum(col("tf")).as("n_tok"),
+          sum(col("tf") * col("bits")).as("sum_bits"))
+        .withColumn("mean_bits_permille", expr("sum_bits * 1000 div n_tok"))
+      val corpus = perDoc.agg(sum(col("sum_bits")).as("cb"), sum(col("n_tok")).as("cn"))
+        .select(expr("cb * 1000 div cn").as("corpus_permille"))
+      val out = perDoc.crossJoin(broadcast(corpus))
+        .orderBy(col("mean_bits_permille"), col("doc_id"))
+        .limit(50)
+        .select(col("doc_id"), col("n_tok"), col("sum_bits"),
+          col("mean_bits_permille"), col("corpus_permille"))
+      // 50-row result: checkpoint eagerly so the tf cache never
+      // outlives the query (same hygiene as containmentPairs)
+      val result = out.localCheckpoint(true)
+      tf.unpersist()
+      result
     }
   )
 
@@ -3391,6 +3432,31 @@ object PipelineQueries {
           |SELECT '*', '*', CAST(-1 AS BIGINT),
           |  CAST(coalesce(sum(n_docs), 0) AS BIGINT) FROM cells WHERE n_docs < 5
           |ORDER BY lang, source, len_bucket""".stripMargin,
+
+      // integer-exact surprisal: bits(c) = length(bin(c)) = ⌊log2 c⌋+1
+      // in both engines, so no ln() cross-engine drift anywhere
+      "d80_unigram_surprisal_filter" ->
+        """WITH toks AS (
+          |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+          |  FROM documents
+          |), tf AS (
+          |  SELECT doc_id, term, count(*) AS tf FROM toks WHERE term != '' GROUP BY 1, 2
+          |), counts AS (
+          |  SELECT term, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY 1
+          |), bits AS (
+          |  SELECT term, CAST(length(bin(c)) AS BIGINT) AS bits FROM counts
+          |), per_doc AS (
+          |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tok,
+          |    CAST(sum(tf * bits) AS BIGINT) AS sum_bits
+          |  FROM tf JOIN bits USING (term) GROUP BY 1
+          |), corpus AS (
+          |  SELECT CAST(sum(sum_bits) AS BIGINT) * 1000 // CAST(sum(n_tok) AS BIGINT)
+          |    AS corpus_permille FROM per_doc
+          |)
+          |SELECT doc_id, n_tok, sum_bits, sum_bits * 1000 // n_tok AS mean_bits_permille,
+          |  corpus_permille
+          |FROM per_doc, corpus
+          |ORDER BY mean_bits_permille, doc_id LIMIT 50""".stripMargin,
 
       // The multi-probe half-key scheme is exact for hamming ≤ 3, so the
       // oracle is simply brute-force all-pairs hamming over recomputed
