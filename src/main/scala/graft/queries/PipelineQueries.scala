@@ -920,6 +920,35 @@ object PipelineQueries {
         .orderBy(col("doc_id"), col("frame_no"))
     },
 
+    // --- scene-change detection over decoded video frames ---------------
+    "m09_video_scene_cuts" -> { (s, d) =>
+      // The first real video op after frame extraction: decode EVERY
+      // frame of each animated GIF (same JDK reader as m06, stride 1),
+      // then a cut where the L1 distance between consecutive frames'
+      // luminance histograms exceeds 2/7 of the frame's pixel count —
+      // frame-differencing, the classic shot-boundary baseline. Decode
+      // is partition-parallel mapPartitions; after it only slim
+      // (doc, frame, hist[16]) rows flow through one per-doc window,
+      // so at 100 TB the shuffle is frames × 16 longs, never pixels.
+      import org.apache.spark.sql.expressions.Window
+      val blobs = Multimodal.syntheticVideoBlobs(
+        t(s, d, "documents").where(col("doc_id") % 3 === 0).select(col("doc_id")))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_no"))
+      Multimodal.sampleImageFrames(blobs, stride = 1)
+        .withColumn("prev", lag(col("features"), 1).over(w))
+        .withColumn("delta", when(col("prev").isNull, lit(0L)).otherwise(expr(
+          "aggregate(zip_with(features, prev, (a, b) -> abs(a - b)), 0L, (acc, x) -> acc + x)")))
+        .withColumn("npix", (col("width") * col("height")).cast(LongType))
+        .withColumn("is_cut",
+          (col("prev").isNotNull && col("delta") * 7 > col("npix") * 2).cast(IntegerType))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_frames"),
+          sum(col("is_cut")).cast(LongType).as("n_cuts"),
+          sum(col("delta")).as("sum_delta"),
+          min(when(col("is_cut") === 1, col("frame_no"))).cast(LongType).as("first_cut_frame"))
+        .orderBy(col("doc_id"))
+    },
+
     // --- batched inference over opaque payloads (GPU batch shape) -----
     "m03_multimodal_batched_inference" -> { (s, d) =>
       val blobs = t(s, d, "documents")
@@ -4086,6 +4115,39 @@ object PipelineQueries {
           |        list_transform(range(w), x -> (doc_id*29 + f*7 + x*3 + y*5) % 256))),
           |      v -> v // 16 = k))), ',') AS features_csv
           |FROM fr ORDER BY doc_id, frame_no""".stripMargin,
+
+      // scene cuts replayed from the GIF pixel formula (see m06): frame
+      // histograms in SQL, lag window, same integer 2/7 cut rule
+      "m09_video_scene_cuts" ->
+        """WITH b AS (
+          |  SELECT doc_id, 12 + doc_id % 8 AS w, 3 + doc_id % 5 AS nf
+          |  FROM documents WHERE doc_id % 3 = 0
+          |), fr AS (
+          |  SELECT doc_id, w, f,
+          |    list_transform(range(16), k ->
+          |      len(list_filter(
+          |        flatten(list_transform(range(8), y ->
+          |          list_transform(range(w), x -> (doc_id*29 + f*7 + x*3 + y*5) % 256))),
+          |        v -> v // 16 = k))) AS hist
+          |  FROM b, unnest(range(nf)) AS t(f)
+          |), dd AS (
+          |  SELECT doc_id, w, f, hist,
+          |    lag(hist) OVER (PARTITION BY doc_id ORDER BY f) AS prev
+          |  FROM fr
+          |), cut AS (
+          |  SELECT doc_id, f,
+          |    CASE WHEN prev IS NULL THEN 0
+          |         ELSE CAST(list_sum(list_transform(range(16),
+          |                k -> abs(hist[k+1] - prev[k+1]))) AS BIGINT) END AS delta,
+          |    CASE WHEN prev IS NOT NULL AND
+          |      list_sum(list_transform(range(16), k -> abs(hist[k+1] - prev[k+1]))) * 7
+          |        > w * 8 * 2 THEN 1 ELSE 0 END AS is_cut
+          |  FROM dd
+          |)
+          |SELECT doc_id, count(1) AS n_frames, CAST(sum(is_cut) AS BIGINT) AS n_cuts,
+          |  CAST(sum(delta) AS BIGINT) AS sum_delta,
+          |  CAST(min(CASE WHEN is_cut = 1 THEN f END) AS BIGINT) AS first_cut_frame
+          |FROM cut GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
       // decoded-PCM amplitude histogram replayed from the sample formula
       // sample(i) = ((id*37 + 31i + 7) mod 65536) - 32768 over
