@@ -265,7 +265,8 @@ object TextDedup {
     */
   def containmentPairs(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", dfCap: Int = 32,
-      minContainPct: Int = 90, minShingles: Int = 10): DataFrame = {
+      minContainPct: Int = 90, minShingles: Int = 10,
+      materialize: Boolean = true): DataFrame = {
     val ex = shingled(docs, textCol)
       .select(col(idCol).as("doc_id"),
         explode(expr("transform(shingles, x -> graft_md5_60(x))")).as("sh"))
@@ -295,10 +296,14 @@ object TextDedup {
     // materialize them eagerly so the persisted index can be dropped
     // before returning (a long-lived JVM running many queries must not
     // accrete per-query caches — ContextCleaner reclaims checkpoint
-    // blocks once the result is unreferenced, persist entries it won't)
-    val result = out.localCheckpoint(true)
-    lists.unpersist()
-    result
+    // blocks once the result is unreferenced, persist entries it won't).
+    // materialize=false keeps the lazy plan (plan audits inspect it).
+    if (!materialize) out
+    else {
+      val result = out.localCheckpoint(true)
+      lists.unpersist()
+      result
+    }
   }
 
   /** Connected components over an undirected pair list (columns a, b)

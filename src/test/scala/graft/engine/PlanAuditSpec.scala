@@ -499,17 +499,59 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"document text must not cross an exchange:\n$p")
   }
 
-  test("d43 containment: single corpus scan feeds the df-capped posting lists") {
-    val df = PipelineQueries.queries("d43_containment_dedup")(spark, sfDir)
+  test("d43 containment: pre-aggregated df cap, no window sort of the posting stream") {
+    // the gate query returns an eagerly-checkpointed frame (cache
+    // hygiene), whose plan is a LogicalRDD — audit the BUILD plan via
+    // the API with materialize=false instead
+    import org.apache.spark.sql.functions._
+    val docs = Tables.t(spark, sfDir, "documents")
+    val corpus = docs.unionByName(
+      docs.where(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + 4000000L)
+        .withColumn("text", concat(col("text"), lit(" tail"))))
+    val df = graft.ops.TextDedup.containmentPairs(corpus, materialize = false)
     df.collect()
     val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
       .split("== Initial Plan ==").head
-    // the df cap is a count window over the shingle hash — the old
-    // shape (groupBy df + join back) replayed the shingle explode; the
-    // posting-list build must read the corpus through ONE scan branch
-    assert(p.linesIterator.count(_.contains("Scan parquet")) <= 2,
-      s"posting-list build must not replay the corpus scan per branch:\n$p")
+    // the df cap must be the TWO-PASS shape: a map-side-combined
+    // groupBy (partial+final HashAggregate) followed by an equi-join
+    // back — never a count window, which would shuffle-SORT every
+    // exploded (doc, shingle) row including the hot shingles the cap
+    // exists to discard (the round-5 ~7x regression)
+    assert(!p.contains("Window"),
+      s"df cap must not be a window over the posting stream:\n$p")
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      s"expected partial+final HashAggregate for the df count:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"pair generation must stay local per posting list:\n$p")
+  }
+
+  test("d80 surprisal: one raw-token shuffle; corpus baseline broadcast, not collected") {
+    val df = PipelineQueries.queries("d80_unigram_surprisal_filter")(spark, sfDir)
+    // the gate result is checkpointed (cache hygiene); rebuild the
+    // interesting part inline: tf -> counts -> per-doc join
+    import org.apache.spark.sql.functions._
+    val tf = Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+      .where(col("term") =!= "")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    tf.collect()
+    val p = tf.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      .split("== Initial Plan ==").head
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      s"tf must partial-aggregate map-side before its shuffle:\n$p")
+    assert(df.count() == 50, "surprisal filter emits the fixed worst-50 tail")
+  }
+
+  test("m09 scene cuts: only slim histogram rows shuffle, never pixels or payloads") {
+    val df = PipelineQueries.queries("m09_video_scene_cuts")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      .split("== Initial Plan ==").head
+    // the GIF payload bytes must be gone before the per-doc window
+    // shuffle: no exchange may carry the payload column
+    assert(p.linesIterator.filter(_.contains("Exchange")).forall(!_.contains("payload")),
+      s"payload bytes must not cross an exchange:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian in:\n$p")
   }
 }
