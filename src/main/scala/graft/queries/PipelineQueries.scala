@@ -2018,6 +2018,45 @@ object PipelineQueries {
         .orderBy(col("lang"), col("source"), col("len_bucket"))
     },
 
+    // --- fuzzy benchmark decontamination (MinHash, cross-corpus) --------
+    "d81_fuzzy_decontamination" -> { (s, d) =>
+      // Benchmark contamination is rarely verbatim: Dolma/Llama-style
+      // pipelines flag train docs whose MinHash signature agrees with
+      // any eval doc on ≥ half its components (est Jaccard ≥ 0.5) —
+      // the paraphrase-level overlap d18's exact shingle ratio misses.
+      // The eval set (2% of docs) is broadcast-sized; candidates come
+      // from the 8×4 band join against it, so the train side shuffles
+      // slim (band, bh, id) rows and is never compared all-pairs. The
+      // agreement score is an integer component count — hash-exact.
+      graft.functions.BitSketchExpressions.register(s)
+      val all = corpusWithPlants(s, d)
+      val isBench = col("doc_id") % 50 === 0 && col("doc_id") < 1000000
+      def sigs(df: DataFrame, idName: String) =
+        graft.ops.TextDedup.shingled(df)
+          .withColumn("mh", expr("graft_minhash32(shingles)"))
+          .select(col("doc_id").as(idName), col("mh").as(s"mh_$idName"))
+      def bands(sg: DataFrame, idName: String) = sg
+        .select(col(idName), explode(expr(
+          s"""transform(sequence(0, 7),
+             |  b -> struct(b as band, graft_md5_60(concat_ws(',', slice(mh_$idName, b*4+1, 4))) as bh))""".stripMargin)).as("bd"))
+        .select(col(idName), col("bd.band"), col("bd.bh"))
+      val benchSigs = sigs(all.where(isBench), "bench_id").persist()
+      val trainSigs = sigs(all.where(!isBench), "doc_id")
+      val cands = bands(trainSigs, "doc_id")
+        .join(broadcast(bands(benchSigs, "bench_id")), Seq("band", "bh"))
+        .select(col("doc_id"), col("bench_id")).dropDuplicates("doc_id", "bench_id")
+      val out = cands
+        .join(trainSigs, "doc_id").join(broadcast(benchSigs), "bench_id")
+        .withColumn("n_match", expr(
+          "aggregate(zip_with(mh_doc_id, mh_bench_id, (x, y) -> if(x = y, 1L, 0L)), 0L, (acc, v) -> acc + v)"))
+        .where(col("n_match") * 2 >= 32)
+        .select(col("doc_id"), col("bench_id"), col("n_match"))
+        .orderBy(col("doc_id"), col("bench_id"))
+      val result = out.localCheckpoint(true)
+      benchSigs.unpersist()
+      result
+    },
+
     // --- unigram-LM quality filtering (CCNet-style perplexity proxy) ----
     "d80_unigram_surprisal_filter" -> { (s, d) =>
       // CCNet filters web text by LM perplexity; the unigram version of
@@ -3461,6 +3500,52 @@ object PipelineQueries {
           |SELECT '*', '*', CAST(-1 AS BIGINT),
           |  CAST(coalesce(sum(n_docs), 0) AS BIGINT) FROM cells WHERE n_docs < 5
           |ORDER BY lang, source, len_bucket""".stripMargin,
+
+      // cross-corpus replay of the d07 MinHash chain: eval = base docs
+      // with doc_id % 50 = 0, train = everything else incl. plants;
+      // agreement is an integer component count
+      "d81_fuzzy_decontamination" -> (planted +
+        """
+          |, sh AS (
+          |  SELECT doc_id,
+          |    list_distinct(list_transform(range(1, len(toks) - 1),
+          |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+          |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM corpus)
+          |  WHERE len(toks) >= 3
+          |), mh AS (
+          |  SELECT doc_id,
+          |    list_transform(range(0, 32),
+          |      j -> list_min(list_transform(shingles,
+          |        s -> ((('0x' || substring(md5(s), 1, 15))::BIGINT % 2147483647)
+          |              * (1103515245 + 12345*j) + j * 987654321) % 2147483647))) AS mh
+          |  FROM sh
+          |), bench AS (
+          |  SELECT doc_id AS bench_id, mh AS mhb FROM mh
+          |  WHERE doc_id % 50 = 0 AND doc_id < 1000000
+          |), train AS (
+          |  SELECT doc_id, mh FROM mh
+          |  WHERE NOT (doc_id % 50 = 0 AND doc_id < 1000000)
+          |), tband AS (
+          |  SELECT doc_id, b,
+          |    ('0x' || substring(md5(array_to_string(mh[b*4+1 : b*4+4], ',')), 1, 15))::BIGINT AS bh
+          |  FROM train, unnest(range(0, 8)) AS t(b)
+          |), bband AS (
+          |  SELECT bench_id, b,
+          |    ('0x' || substring(md5(array_to_string(mhb[b*4+1 : b*4+4], ',')), 1, 15))::BIGINT AS bh
+          |  FROM bench, unnest(range(0, 8)) AS t(b)
+          |), cands AS (
+          |  SELECT DISTINCT x.doc_id, y.bench_id
+          |  FROM tband x JOIN bband y ON x.b = y.b AND x.bh = y.bh
+          |)
+          |SELECT c.doc_id, c.bench_id,
+          |  CAST(list_sum(list_transform(range(1, 33),
+          |    i -> CASE WHEN t.mh[i] = e.mhb[i] THEN 1 ELSE 0 END)) AS BIGINT) AS n_match
+          |FROM cands c
+          |JOIN train t ON t.doc_id = c.doc_id
+          |JOIN bench e ON e.bench_id = c.bench_id
+          |WHERE list_sum(list_transform(range(1, 33),
+          |    i -> CASE WHEN t.mh[i] = e.mhb[i] THEN 1 ELSE 0 END)) * 2 >= 32
+          |ORDER BY c.doc_id, c.bench_id""".stripMargin),
 
       // integer-exact surprisal: bits(c) = length(bin(c)) = ⌊log2 c⌋+1
       // in both engines, so no ln() cross-engine drift anywhere
