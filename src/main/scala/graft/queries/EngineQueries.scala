@@ -43,7 +43,10 @@ object EngineQueries {
     */
   private val builtFixtures = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private def fixtureOnce(s: SparkSession, db: String, dir: String)(setup: => Unit): Unit = {
-    val key = s"$db|$dir"
+    // keyed per Spark APPLICATION, not per JVM: a test JVM runs many
+    // sequential SparkSessions (one per spec), and a fixture built in a
+    // stopped session's catalog does not exist in the next one's
+    val key = s"${s.sparkContext.applicationId}|$db|$dir"
     builtFixtures.synchronized {
       if (!builtFixtures.contains(key)) {
         freshDb(s, db)
