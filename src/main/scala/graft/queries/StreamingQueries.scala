@@ -55,6 +55,10 @@ object StreamingQueries {
 
     "s11_stream_hll_cardinality" -> { (s, d) =>
       StreamingOps.runBoundedStreamingHll(s, d, "s11_sink")
+    },
+
+    "s12_stream_quality_router" -> { (s, d) =>
+      StreamingOps.runBoundedQualityRouter(s, d, "s12_sink")
     }
   )
 
@@ -178,6 +182,16 @@ object StreamingQueries {
         |  event_type, count(1) AS cnt,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the routed sinks' union must equal the batch split regardless of
+    // micro-batch slicing
+    "s12_stream_quality_router" ->
+      """SELECT CASE WHEN n_chars >= 100
+        |         AND len(regexp_split_to_array(trim(text), '\s+')) >= 20
+        |       THEN 'accepted' ELSE 'quarantined' END AS verdict,
+        |  lang, count(1) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |GROUP BY 1, 2 ORDER BY verdict, lang""".stripMargin
   )
 }

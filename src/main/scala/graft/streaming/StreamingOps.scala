@@ -520,6 +520,46 @@ object StreamingOps {
     spark.table(queryName).orderBy(col("user_id"))
   }
 
+  /** Quality-gated ingest router — the standard streaming curation
+    * front door: each micro-batch splits on a deterministic quality
+    * rule and lands in a separate sink (accepted corpus vs quarantine
+    * for review). foreachBatch writes both sides from ONE pass over
+    * the batch; at scale each sink is an append-only table and the
+    * router adds no shuffle at all (the rule is a per-row projection).
+    * Returns the per-(verdict, lang) audit aggregate read back from
+    * the two sinks.
+    */
+  def runBoundedQualityRouter(spark: SparkSession, sfDir: String,
+      queryName: String): DataFrame = {
+    val accepted = Scratch.fresh("s12acc_") + "/t"
+    val quarantined = Scratch.fresh("s12qua_") + "/t"
+    val route: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, _) => {
+        val judged = batch.withColumn("ok",
+          col("n_chars") >= 100 &&
+            size(split(trim(col("text")), "\\s+")) >= 20)
+        judged.where(col("ok")).drop("ok")
+          .write.mode("append").parquet(accepted)
+        judged.where(!col("ok")).drop("ok")
+          .write.mode("append").parquet(quarantined)
+      }
+    val q = withStatePartitions(spark, 8)(
+      boundedDocStream(spark, sfDir).writeStream
+        .option("checkpointLocation", ckpt())
+        .foreachBatch(route).start())
+    try q.processAllAvailable() finally q.stop()
+    def audit(path: String, verdict: String): DataFrame =
+      (try spark.read.parquet(path) catch {
+        case _: Throwable => spark.emptyDataFrame
+          .select(lit(0L).as("doc_id"), lit("").as("lang"), lit(0L).as("n_chars"))
+      })
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .select(lit(verdict).as("verdict"), col("lang"), col("n_docs"), col("sum_chars"))
+    audit(accepted, "accepted").unionByName(audit(quarantined, "quarantined"))
+      .orderBy(col("verdict"), col("lang"))
+  }
+
   private def boundedDocStream(spark: SparkSession, sfDir: String): DataFrame = {
     val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
     spark.readStream.schema(schema)
