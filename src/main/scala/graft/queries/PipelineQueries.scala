@@ -2018,6 +2018,28 @@ object PipelineQueries {
         .orderBy(col("lang"), col("source"), col("len_bucket"))
     },
 
+    // --- quality-filter ablation report (governance cross-tab) ----------
+    "d82_filter_ablation_matrix" -> { (s, d) =>
+      // Before shipping a filter stack, every pipeline asks: what does
+      // each rule remove that the others don't? The 2³ cross-tab of
+      // three Gopher/C4-family rules (char-length band, word-count +
+      // mean-word-length band, stopword presence) with doc and char
+      // totals per cell — the marginal-removal numbers that justify
+      // (or kill) a rule. One scan, one 8-row aggregate; every rule is
+      // a codegen'd per-row expression, integer-exact in both engines.
+      val docs = t(s, d, "documents")
+        .withColumn("n_words", size(split(trim(col("text")), "\\s+")).cast(LongType))
+        .withColumn("len_ok", (col("n_chars") >= 100 && col("n_chars") <= 20000).cast(IntegerType))
+        .withColumn("word_ok", (col("n_words") >= 20 &&
+          // mean word length in [3,10]: cross-multiplied, no division
+          col("n_chars") >= col("n_words") * 3 && col("n_chars") <= col("n_words") * 10).cast(IntegerType))
+        .withColumn("stop_ok", (col("text").contains(" the ") ||
+          col("text").contains(" and ") || col("text").contains(" of ")).cast(IntegerType))
+      docs.groupBy(col("len_ok"), col("word_ok"), col("stop_ok"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("len_ok"), col("word_ok"), col("stop_ok"))
+    },
+
     // --- fuzzy benchmark decontamination (MinHash, cross-corpus) --------
     "d81_fuzzy_decontamination" -> { (s, d) =>
       // Benchmark contamination is rarely verbatim: Dolma/Llama-style
@@ -3500,6 +3522,20 @@ object PipelineQueries {
           |SELECT '*', '*', CAST(-1 AS BIGINT),
           |  CAST(coalesce(sum(n_docs), 0) AS BIGINT) FROM cells WHERE n_docs < 5
           |ORDER BY lang, source, len_bucket""".stripMargin,
+
+      "d82_filter_ablation_matrix" ->
+        """WITH j AS (
+          |  SELECT n_chars, len(regexp_split_to_array(trim(text), '\s+')) AS n_words,
+          |    CASE WHEN n_chars >= 100 AND n_chars <= 20000 THEN 1 ELSE 0 END AS len_ok,
+          |    CASE WHEN contains(text, ' the ') OR contains(text, ' and ')
+          |      OR contains(text, ' of ') THEN 1 ELSE 0 END AS stop_ok
+          |  FROM documents
+          |)
+          |SELECT len_ok,
+          |  CASE WHEN n_words >= 20 AND n_chars >= n_words * 3
+          |    AND n_chars <= n_words * 10 THEN 1 ELSE 0 END AS word_ok,
+          |  stop_ok, count(1) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+          |FROM j GROUP BY 1, 2, 3 ORDER BY len_ok, word_ok, stop_ok""".stripMargin,
 
       // cross-corpus replay of the d07 MinHash chain: eval = base docs
       // with doc_id % 50 = 0, train = everything else incl. plants;
