@@ -2018,6 +2018,31 @@ object PipelineQueries {
         .orderBy(col("lang"), col("source"), col("len_bucket"))
     },
 
+    // --- per-source length quantiles (threshold calibration) ------------
+    "d83_source_length_quantiles" -> { (s, d) =>
+      // Filter thresholds are calibrated per source (a p10 cutoff for
+      // forum text would gut legal text): exact rank-based deciles of
+      // n_chars per source — the value at position ⌈p·n/100⌉ — so the
+      // quantile is a real corpus value and identical in any engine (no
+      // interpolation, no t-digest drift). One shuffle on source for
+      // the rank window; the threshold rows are source×3, nothing else
+      // leaves the aggregate. At 100 TB the same query runs per
+      // partition-date with source-salted windows if one source
+      // dominates.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source")).orderBy(col("n_chars"), col("doc_id"))
+      val ranked = t(s, d, "documents")
+        .select(col("source"), col("n_chars"), col("doc_id"))
+        .withColumn("rn", row_number().over(w))
+      val counts = ranked.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val pcts = s.range(1).select(explode(array(lit(10L), lit(50L), lit(90L))).as("pct"))
+      ranked.join(broadcast(counts), "source")
+        .crossJoin(broadcast(pcts))
+        .where(col("rn") === expr("(n * pct + 99) div 100"))
+        .select(col("source"), col("pct"), col("n_chars").as("chars_at_pct"), col("n"))
+        .orderBy(col("source"), col("pct"))
+    },
+
     // --- quality-filter ablation report (governance cross-tab) ----------
     "d82_filter_ablation_matrix" -> { (s, d) =>
       // Before shipping a filter stack, every pipeline asks: what does
@@ -3522,6 +3547,18 @@ object PipelineQueries {
           |SELECT '*', '*', CAST(-1 AS BIGINT),
           |  CAST(coalesce(sum(n_docs), 0) AS BIGINT) FROM cells WHERE n_docs < 5
           |ORDER BY lang, source, len_bucket""".stripMargin,
+
+      "d83_source_length_quantiles" ->
+        """WITH ranked AS (
+          |  SELECT source, n_chars, doc_id,
+          |    row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+          |    count(1) OVER (PARTITION BY source) AS n
+          |  FROM documents
+          |)
+          |SELECT source, pct, n_chars AS chars_at_pct, CAST(n AS BIGINT) AS n
+          |FROM ranked, unnest([10, 50, 90]) AS t(pct)
+          |WHERE rn = (n * pct + 99) // 100
+          |ORDER BY source, pct""".stripMargin,
 
       "d82_filter_ablation_matrix" ->
         """WITH j AS (
