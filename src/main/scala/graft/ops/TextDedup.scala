@@ -250,31 +250,33 @@ object TextDedup {
   /** Asymmetric containment candidates (doc-inside-doc, the
     * quote-and-comment case Jaccard misses): candidates come from a
     * shingle inverted index with stop-shingle pruning. The df cap is
-    * TWO-PASS: a map-side-combined `groupBy("sh").count` first (partial
-    * aggregation collapses the posting stream to distinct shingles
-    * before the shuffle), then the exploded rows equi-join the
-    * `df ≤ cap` shingle set so hot shingles are discarded at the join —
-    * never window-sorted. (A `count().over(partitionBy(sh))` variant
-    * shuffle-SORTS every exploded row including the hot shingles the
-    * cap exists to discard — measured ~7× slower at sf0.1 and a full
-    * posting-stream sort at 100 TB.) Ordered pairs are generated
-    * locally per capped posting list (≤ dfCap·(dfCap−1) per shingle;
-    * both directions, containment is asymmetric). Returns
-    * (contained_id, container_id, shared, na, nb) where
-    * shared·100 ≥ na·minContainPct and na ≥ minShingles.
+    * applied IN the aggregate: [[graft.functions.CappedLongList]]
+    * saturates each posting-list buffer at dfCap+1 elements, so a
+    * shingle with df ≤ dfCap aggregates its exact list (it can never
+    * reach the cap in any partial or merge) while a hot shingle costs
+    * dfCap+1 longs and is dropped by the size filter — ONE shuffle,
+    * bounded buffers, no second pass. (A `count().over(partitionBy(sh))`
+    * variant shuffle-sorts the full posting stream — the round-5 ~7×
+    * regression; a groupBy-count + join-back variant sorts two
+    * corpus-sized relations — measured 8.6× growth for 4× docs in the
+    * 250k stress run.) Ordered pairs are generated locally per capped
+    * posting list (≤ dfCap·(dfCap−1) per shingle; both directions,
+    * containment is asymmetric). Returns (contained_id, container_id,
+    * shared, na, nb) where shared·100 ≥ na·minContainPct and
+    * na ≥ minShingles.
     */
   def containmentPairs(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", dfCap: Int = 32,
       minContainPct: Int = 90, minShingles: Int = 10,
       materialize: Boolean = true): DataFrame = {
+    graft.functions.CappedLongList.register(docs.sparkSession)
     val ex = shingled(docs, textCol)
       .select(col(idCol).as("doc_id"),
         explode(expr("transform(shingles, x -> graft_md5_60(x))")).as("sh"))
-    val rare = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-      .where(col("df") <= dfCap)
-      .select(col("sh"))
-    val lists = ex.join(rare, "sh")
-      .groupBy(col("sh")).agg(collect_list(col("doc_id")).as("ids"))
+    val lists = ex
+      .groupBy(col("sh"))
+      .agg(expr(s"graft_capped_list(doc_id, ${dfCap + 1})").as("ids"))
+      .where(size(col("ids")) <= dfCap)
       .persist()
     val np = lists.select(explode(col("ids")).as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("np"))

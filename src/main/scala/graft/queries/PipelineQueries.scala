@@ -998,9 +998,9 @@ object PipelineQueries {
       // space, keeping the ratio meaningful. Planted wrappers
       // (doc % 7 == 0 → text + appended commentary, id + 4,000,000)
       // make the output self-evident at every SF. Candidate generation
-      // is [[graft.ops.TextDedup.containmentPairs]] — two-pass df cap
-      // (pre-aggregated, map-side-combined), pruned posting lists,
-      // locally-generated ordered pairs (see the Scaladoc there).
+      // is [[graft.ops.TextDedup.containmentPairs]] — saturating
+      // capped-list aggregate (one shuffle, buffers bounded at
+      // dfCap+1), locally-generated ordered pairs (Scaladoc there).
       val docs = t(s, d, "documents")
       val wrappers = docs.where(col("doc_id") % 7 === 0)
         .withColumn("doc_id", col("doc_id") + 4000000L)

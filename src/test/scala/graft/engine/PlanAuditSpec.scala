@@ -513,11 +513,12 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     df.collect()
     val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
       .split("== Initial Plan ==").head
-    // the df cap must be the TWO-PASS shape: a map-side-combined
-    // groupBy (partial+final HashAggregate) followed by an equi-join
-    // back — never a count window, which would shuffle-SORT every
-    // exploded (doc, shingle) row including the hot shingles the cap
-    // exists to discard (the round-5 ~7x regression)
+    // the df cap must live INSIDE the aggregate (graft_capped_list:
+    // partial+final ObjectHashAggregate with saturating buffers) —
+    // never a count window, which would shuffle-SORT every exploded
+    // (doc, shingle) row including the hot shingles the cap exists to
+    // discard (the round-5 ~7x regression), and never a join-back of
+    // two corpus-sized relations (8.6x stress growth)
     assert(!p.contains("Window"),
       s"df cap must not be a window over the posting stream:\n$p")
     assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,

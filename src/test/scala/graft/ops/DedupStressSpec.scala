@@ -125,14 +125,42 @@ class DedupStressSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("containment posting-list path scales sub-quadratically to 250k docs", Stress) {
-    // the d43 shape after the window-cap rewrite: one corpus pass, df
-    // cap as a count window, pairs generated locally per posting list.
+    // the d43 shape: saturating capped-list aggregate (one shuffle,
+    // bounded buffers) → pairs generated locally per pruned posting
+    // list.
     // The planted ' zz' variants CONTAIN their originals (na ≥ 10,
     // shared/na = 1), so the verification stage sees real candidates.
     val (tSmall, tBig, nBig) = growthRatio("containment") { d =>
       TextDedup.containmentPairs(d)
     }
     assert(nBig > 0, "planted wrappers should surface as containment pairs")
+    assert(tBig / tSmall < 10.0, f"super-linear blowup: $tSmall%.1f s → $tBig%.1f s")
+  }
+
+  test("cross-corpus MinHash decontamination scales with the train side", Stress) {
+    // the d81 shape: eval = 2% of docs, broadcast for band join and
+    // verification; the train corpus shuffles slim (band, bh, id) rows
+    // only, so 4× the docs must cost ~4×, never eval×train
+    import org.apache.spark.sql.functions._
+    graft.functions.BitSketchExpressions.register(spark)
+    val (tSmall, tBig, nBig) = growthRatio("decontamination") { d =>
+      val isBench = col("doc_id") % 50 === 0 && col("doc_id") < 1000000000L
+      def sigs(df: DataFrame, idName: String) =
+        TextDedup.shingled(df, "text")
+          .withColumn("mh", expr("graft_minhash32(shingles)"))
+          .select(col("doc_id").as(idName), col("mh").as(s"mh_$idName"))
+      def bands(sg: DataFrame, idName: String) = sg
+        .select(col(idName), explode(expr(
+          s"""transform(sequence(0, 7),
+             |  b -> struct(b as band, graft_md5_60(concat_ws(',', slice(mh_$idName, b*4+1, 4))) as bh))""".stripMargin)).as("bd"))
+        .select(col(idName), col("bd.band"), col("bd.bh"))
+      val benchSigs = sigs(d.where(isBench), "bench_id")
+      val trainSigs = sigs(d.where(!isBench), "doc_id")
+      bands(trainSigs, "doc_id")
+        .join(broadcast(bands(benchSigs, "bench_id")), Seq("band", "bh"))
+        .select(col("doc_id"), col("bench_id")).dropDuplicates("doc_id", "bench_id")
+    }
+    assert(nBig >= 0)
     assert(tBig / tSmall < 10.0, f"super-linear blowup: $tSmall%.1f s → $tBig%.1f s")
   }
 }
