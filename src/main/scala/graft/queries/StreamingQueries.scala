@@ -59,6 +59,10 @@ object StreamingQueries {
 
     "s12_stream_quality_router" -> { (s, d) =>
       StreamingOps.runBoundedQualityRouter(s, d, "s12_sink")
+    },
+
+    "s13_stream_heavy_hitters" -> { (s, d) =>
+      StreamingOps.runBoundedStreamingHeavyHitters(s, d, "s13_sink")
     }
   )
 
@@ -183,6 +187,21 @@ object StreamingQueries {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the Misra-Gries guarantee (every type with cnt > n/64 survives
+    // any merge order) makes the filtered candidate set equal the
+    // batch restatement
+    "s13_stream_heavy_hitters" ->
+      """WITH per AS (
+        |  SELECT date_trunc('day', ts) AS day, event_type, count(1) AS cnt
+        |  FROM events GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT day, CAST(sum(cnt) AS BIGINT) AS n_events FROM per GROUP BY 1
+        |)
+        |SELECT strftime(per.day, '%Y-%m-%d') AS day, event_type, cnt, n_events
+        |FROM per JOIN tot ON per.day = tot.day
+        |WHERE cnt * 64 > n_events
+        |ORDER BY day, event_type""".stripMargin,
 
     // the routed sinks' union must equal the batch split regardless of
     // micro-batch slicing

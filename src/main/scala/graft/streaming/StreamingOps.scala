@@ -520,6 +520,43 @@ object StreamingOps {
     spark.table(queryName).orderBy(col("user_id"))
   }
 
+  /** Streaming heavy hitters — the Misra-Gries sketch inside a
+    * watermarked streaming aggregation (the streaming face of d26, the
+    * same way s11 streams the HLL): per event-time day, the sketch
+    * tracks ≤ k candidate event types in one bounded buffer per
+    * window, and the exact pass re-counts only the candidates. The
+    * gate pins exactly the sketch's merge-order-independent guarantee
+    * — every type with true frequency > n/k survives ANY micro-batch
+    * slicing — so the filtered result equals the batch restatement.
+    */
+  def runBoundedStreamingHeavyHitters(spark: SparkSession, sfDir: String,
+      queryName: String): DataFrame = {
+    graft.functions.MisraGries.register(spark)
+    val agg = boundedEventStream(spark, sfDir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(expr("graft_heavy_hitters(event_type)").as("cands"),
+        count(lit(1)).as("n_events"))
+    val q = withStatePartitions(spark, 8)(agg.writeStream
+      .option("checkpointLocation", ckpt())
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("complete")
+      .start())
+    try q.processAllAvailable() finally q.stop()
+    val exact = graft.queries.Tables.t(spark, sfDir, "events")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    spark.table(queryName)
+      .select(col("window"), col("n_events"),
+        explode(col("cands")).as("event_type"))
+      .join(exact, Seq("window", "event_type"))
+      .where(col("cnt") * 64 > col("n_events"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("cnt"), col("n_events"))
+      .orderBy(col("day"), col("event_type"))
+  }
+
   /** Quality-gated ingest router — the standard streaming curation
     * front door: each micro-batch splits on a deterministic quality
     * rule and lands in a separate sink (accepted corpus vs quarantine
