@@ -302,6 +302,45 @@ object Multimodal {
       .toDF("doc_id", "frame_no", "width", "height", "features")
   }
 
+  /** Frame-level loudness segmentation over REALLY-decoded PCM (same
+    * `javax.sound.sampled` path as the feature extractor): the clip is
+    * cut into fixed `frameSize`-sample frames and each frame emits
+    * integer loudness stats — the primitive under silence trimming and
+    * voice-activity gating. Per-partition codec init, rows stream out;
+    * undecodable payloads yield no rows.
+    */
+  def segmentAudioFrames(blobs: DataFrame, frameSize: Int): DataFrame = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, payload) =>
+        try {
+          val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+          val fmt = ais.getFormat
+          val target = new AudioFormat(fmt.getSampleRate, 16, fmt.getChannels, true, false)
+          val pcm = AudioSystem.getAudioInputStream(target, ais).readAllBytes()
+          val n = pcm.length / 2
+          val nf = (n + frameSize - 1) / frameSize
+          (0 until nf).map { f =>
+            val end = math.min((f + 1) * frameSize, n)
+            var i = f * frameSize
+            var maxAbs = 0L
+            var sumAbs = 0L
+            while (i < end) {
+              val v = ((pcm(2 * i) & 0xff) | (pcm(2 * i + 1).toInt << 8)).toLong
+              val a = math.abs(v)
+              if (a > maxAbs) maxAbs = a
+              sumAbs += a
+              i += 1
+            }
+            (id, f, end - f * frameSize, maxAbs, sumAbs)
+          }
+        } catch { case _: Exception => Nil }
+      }
+      .toDF("doc_id", "frame_no", "n_samples", "max_abs", "sum_abs")
+  }
+
   case class Frame(
       doc_id: Long,
       frame_no: Int,

@@ -905,6 +905,33 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // --- audio silence segmentation (loudness gaps-and-islands) ---------
+    "m10_audio_silence_segments" -> { (s, d) =>
+      // The audio sibling of m09's scene cuts: decode the WAV to PCM
+      // (real codec), cut into 64-sample frames, flag frames whose max
+      // |amplitude| < 8192 as silent, and report per clip the silent-
+      // frame count and the LONGEST silent run (gaps-and-islands over
+      // frame_no) — the primitive under silence trimming / VAD
+      // pre-filters. Decode is partition-parallel; only slim integer
+      // frame stats shuffle through one per-doc window.
+      import org.apache.spark.sql.expressions.Window
+      val blobs = Multimodal.syntheticAudioBlobs(
+        t(s, d, "documents").select(col("doc_id")))
+      val frames = Multimodal.segmentAudioFrames(blobs, 64)
+        .withColumn("silent", (col("max_abs") < 8192).cast(IntegerType))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_no"))
+      val runs = frames.where(col("silent") === 1)
+        .withColumn("grp", col("frame_no") - row_number().over(w))
+        .groupBy(col("doc_id"), col("grp")).agg(count(lit(1)).as("run_len"))
+        .groupBy(col("doc_id")).agg(max(col("run_len")).as("max_silent_run"))
+      frames.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_frames"),
+          sum(col("silent")).cast(LongType).as("n_silent"))
+        .join(runs, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("max_silent_run"))
+        .orderBy(col("doc_id"))
+    },
+
     // --- real frame extraction from a multi-frame container -------------
     "m06_multimodal_gif_frames" -> { (s, d) =>
       // Animated GIF is the one multi-frame container the JDK decodes:
@@ -4273,6 +4300,37 @@ object PipelineQueries {
           |        list_transform(range(w), x -> (doc_id*29 + f*7 + x*3 + y*5) % 256))),
           |      v -> v // 16 = k))), ',') AS features_csv
           |FROM fr ORDER BY doc_id, frame_no""".stripMargin,
+
+      // silence segmentation replayed from the WAV sample formula (see
+      // m05): per-frame max|amplitude|, islands via the row_number gap
+      "m10_audio_silence_segments" ->
+        """WITH b AS (
+          |  SELECT doc_id, 256 + doc_id % 64 AS n FROM documents
+          |), fr AS (
+          |  SELECT doc_id, f,
+          |    list_max(list_transform(range(f*64, least((f+1)*64, n)),
+          |      i -> abs((doc_id*37 + i*31 + 7) % 65536 - 32768))) AS max_abs
+          |  FROM b, unnest(range(0, CAST(ceil(n / 64.0) AS BIGINT))) AS t(f)
+          |), sil AS (
+          |  SELECT doc_id, f,
+          |    CASE WHEN max_abs < 8192 THEN 1 ELSE 0 END AS silent
+          |  FROM fr
+          |), isl AS (
+          |  SELECT doc_id, CAST(count(1) AS BIGINT) AS run_len
+          |  FROM (SELECT doc_id, f,
+          |          f - row_number() OVER (PARTITION BY doc_id ORDER BY f) AS grp
+          |        FROM sil WHERE silent = 1)
+          |  GROUP BY doc_id, grp
+          |)
+          |SELECT b.doc_id, CAST(ceil(n / 64.0) AS BIGINT) AS n_frames,
+          |  CAST(coalesce(s.n_silent, 0) AS BIGINT) AS n_silent,
+          |  CAST(coalesce(m.max_run, 0) AS BIGINT) AS max_silent_run
+          |FROM b
+          |LEFT JOIN (SELECT doc_id, sum(silent) AS n_silent FROM sil GROUP BY 1) s
+          |  ON b.doc_id = s.doc_id
+          |LEFT JOIN (SELECT doc_id, max(run_len) AS max_run FROM isl GROUP BY 1) m
+          |  ON b.doc_id = m.doc_id
+          |ORDER BY b.doc_id""".stripMargin,
 
       // scene cuts replayed from the GIF pixel formula (see m06): frame
       // histograms in SQL, lag window, same integer 2/7 cut rule
