@@ -2045,6 +2045,34 @@ object PipelineQueries {
         .orderBy(col("lang"), col("source"), col("len_bucket"))
     },
 
+    // --- token-distribution drift between corpus snapshots --------------
+    "d84_token_drift" -> { (s, d) =>
+      // Corpus monitoring: when a new crawl lands, which terms moved?
+      // Rate drift per term between snapshot A (base docs) and B (base
+      // ∪ planted variants), scored integer-exact by cross-
+      // multiplication — |fa·nb − fb·na| is the unnormalized rate
+      // difference, no float division anywhere. Both snapshots
+      // aggregate map-side to vocab-sized tables; the join and top-20
+      // are vocab-sized. The planted ' zzz' token surfaces at rank 1
+      // by construction, so the gate self-verifies at every SF.
+      def tf(df: DataFrame) = df
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+        .where(col("term") =!= "")
+        .groupBy("term").agg(count(lit(1)).as("f"))
+      val a = tf(t(s, d, "documents"))
+      val b = tf(corpusWithPlants(s, d))
+      val na = a.agg(sum(col("f")).as("na"))
+      val nb = b.agg(sum(col("f")).as("nb"))
+      a.withColumnRenamed("f", "fa")
+        .join(b.withColumnRenamed("f", "fb"), Seq("term"), "full")
+        .na.fill(0L, Seq("fa", "fb"))
+        .crossJoin(broadcast(na)).crossJoin(broadcast(nb))
+        .withColumn("drift", abs(col("fa") * col("nb") - col("fb") * col("na")))
+        .orderBy(col("drift").desc, col("term"))
+        .limit(20)
+        .select(col("term"), col("fa"), col("fb"), col("drift"))
+    },
+
     // --- per-source length quantiles (threshold calibration) ------------
     "d83_source_length_quantiles" -> { (s, d) =>
       // Filter thresholds are calibrated per source (a p10 cutoff for
@@ -3574,6 +3602,28 @@ object PipelineQueries {
           |SELECT '*', '*', CAST(-1 AS BIGINT),
           |  CAST(coalesce(sum(n_docs), 0) AS BIGINT) FROM cells WHERE n_docs < 5
           |ORDER BY lang, source, len_bucket""".stripMargin,
+
+      "d84_token_drift" -> (planted +
+        """
+          |, ta AS (
+          |  SELECT t.term, count(*) AS fa FROM (
+          |    SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+          |    FROM documents) t
+          |  WHERE t.term != '' GROUP BY 1
+          |), tb AS (
+          |  SELECT t.term, count(*) AS fb FROM (
+          |    SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+          |    FROM corpus) t
+          |  WHERE t.term != '' GROUP BY 1
+          |), na AS (SELECT CAST(sum(fa) AS BIGINT) AS na FROM ta),
+          |nb AS (SELECT CAST(sum(fb) AS BIGINT) AS nb FROM tb)
+          |SELECT coalesce(ta.term, tb.term) AS term,
+          |  CAST(coalesce(fa, 0) AS BIGINT) AS fa,
+          |  CAST(coalesce(fb, 0) AS BIGINT) AS fb,
+          |  abs(CAST(coalesce(fa, 0) AS BIGINT) * nb
+          |    - CAST(coalesce(fb, 0) AS BIGINT) * na) AS drift
+          |FROM ta FULL OUTER JOIN tb ON ta.term = tb.term, na, nb
+          |ORDER BY drift DESC, term LIMIT 20""".stripMargin),
 
       "d83_source_length_quantiles" ->
         """WITH ranked AS (
