@@ -544,6 +544,61 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.count() == 50, "surprisal filter emits the fixed worst-50 tail")
   }
 
+  test("d81 decontamination: eval side broadcasts for band join and verification") {
+    val df = PipelineQueries.queries("d81_fuzzy_decontamination")(spark, sfDir)
+    assert(df.count() >= 0) // checkpointed result; the build ran inside
+    // rebuild the candidate join inline to audit the physical shape
+    import org.apache.spark.sql.functions._
+    graft.functions.BitSketchExpressions.register(spark)
+    val docs = Tables.t(spark, sfDir, "documents")
+    def bands(d0: org.apache.spark.sql.DataFrame, idName: String) =
+      graft.ops.TextDedup.shingled(d0)
+        .withColumn("mh", expr("graft_minhash32(shingles)"))
+        .select(col("doc_id").as(idName), explode(expr(
+          """transform(sequence(0, 7),
+            |  b -> struct(b as band, graft_md5_60(concat_ws(',', slice(mh, b*4+1, 4))) as bh))""".stripMargin)).as("bd"))
+        .select(col(idName), col("bd.band"), col("bd.bh"))
+    val cand = bands(docs.where(col("doc_id") % 50 === 0), "bench_id")
+    val plan = bands(docs.where(col("doc_id") % 50 =!= 0), "doc_id")
+      .join(broadcast(cand), Seq("band", "bh"))
+    plan.collect()
+    val p = plan.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the benchmark band table must broadcast:\n$p")
+  }
+
+  test("d84 token drift: both snapshots partial-aggregate before any shuffle") {
+    val df = PipelineQueries.queries("d84_token_drift")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      .split("== Initial Plan ==").head
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 4,
+      s"expected partial+final aggregates on both snapshot branches:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the scalar totals must broadcast, never cartesian over data:\n$p")
+  }
+
+  test("d83 quantiles: one source-partitioned window, counts broadcast back") {
+    val df = PipelineQueries.queries("d83_source_length_quantiles")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      .split("== Initial Plan ==").head
+    assert(p.linesIterator.count(_.contains("Window")) == 1,
+      s"exactly one rank window expected:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-source counts must broadcast back to the ranked rows:\n$p")
+  }
+
+  test("m10 silence segments: payload bytes never cross an exchange") {
+    val df = PipelineQueries.queries("m10_audio_silence_segments")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      .split("== Initial Plan ==").head
+    assert(p.linesIterator.filter(_.contains("Exchange")).forall(!_.contains("payload")),
+      s"payload bytes must not cross an exchange:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian in:\n$p")
+  }
+
   test("m09 scene cuts: only slim histogram rows shuffle, never pixels or payloads") {
     val df = PipelineQueries.queries("m09_video_scene_cuts")(spark, sfDir)
     df.collect()
