@@ -2045,6 +2045,39 @@ object PipelineQueries {
         .orderBy(col("lang"), col("source"), col("len_bucket"))
     },
 
+    // --- collocation extraction (bigram PMI, integer-ranked) ------------
+    "d85_bigram_pmi" -> { (s, d) =>
+      // Collocations ("new york", not "of the") rank by pointwise
+      // mutual information; the ORDER is what matters, and
+      // PMI = log(f_ab·N / (f_a·f_b)) orders exactly like the integer
+      // score (f_ab·N·10⁶) div (f_a·f_b) — so the gate is float-free
+      // and hash-exact. Unigram and bigram counts aggregate map-side;
+      // the score join is vocab-sized on both sides. Support floor
+      // f_ab ≥ 3 keeps one-off juxtapositions out (the standard PMI
+      // sparsity guard).
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"),
+          split(lower(trim(col("text"))), "\\s+").as("toks"))
+      val uni = toks.select(explode(col("toks")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("f"))
+      val bi = toks.select(explode(expr(
+          """transform(sequence(1, size(toks) - 1),
+            |  i -> struct(element_at(toks, i) AS a, element_at(toks, i + 1) AS b))""".stripMargin)).as("p"))
+        .select(col("p.a"), col("p.b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("f_ab"))
+        .where(col("f_ab") >= 3)
+      val n = uni.agg(sum(col("f")).as("n"))
+      bi.join(uni.select(col("w").as("a"), col("f").as("f_a")), "a")
+        .join(uni.select(col("w").as("b"), col("f").as("f_b")), "b")
+        .crossJoin(broadcast(n))
+        .withColumn("pmi_score",
+          expr("(f_ab * n * 1000000) div (f_a * f_b)"))
+        .orderBy(col("pmi_score").desc, col("a"), col("b"))
+        .limit(20)
+        .select(col("a"), col("b"), col("f_ab"), col("f_a"), col("f_b"),
+          col("pmi_score"))
+    },
+
     // --- token-distribution drift between corpus snapshots --------------
     "d84_token_drift" -> { (s, d) =>
       // Corpus monitoring: when a new crawl lands, which terms moved?
@@ -3602,6 +3635,24 @@ object PipelineQueries {
           |SELECT '*', '*', CAST(-1 AS BIGINT),
           |  CAST(coalesce(sum(n_docs), 0) AS BIGINT) FROM cells WHERE n_docs < 5
           |ORDER BY lang, source, len_bucket""".stripMargin,
+
+      "d85_bigram_pmi" ->
+        """WITH tk AS (
+          |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+          |  FROM documents
+          |), uni AS (
+          |  SELECT t.w, CAST(count(*) AS BIGINT) AS f
+          |  FROM (SELECT unnest(toks) AS w FROM tk) t GROUP BY 1
+          |), bi AS (
+          |  SELECT p.a, p.b, CAST(count(*) AS BIGINT) AS f_ab FROM (
+          |    SELECT toks[i] AS a, toks[i+1] AS b
+          |    FROM tk, unnest(range(1, len(toks))) AS r(i)
+          |  ) p GROUP BY 1, 2 HAVING count(*) >= 3
+          |), n AS (SELECT CAST(sum(f) AS BIGINT) AS n FROM uni)
+          |SELECT a, b, f_ab, ua.f AS f_a, ub.f AS f_b,
+          |  (f_ab * n * 1000000) // (ua.f * ub.f) AS pmi_score
+          |FROM bi JOIN uni ua ON bi.a = ua.w JOIN uni ub ON bi.b = ub.w, n
+          |ORDER BY pmi_score DESC, a, b LIMIT 20""".stripMargin,
 
       "d84_token_drift" -> (planted +
         """
