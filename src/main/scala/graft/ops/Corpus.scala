@@ -234,4 +234,38 @@ object Corpus {
       .where(col("overlap") >= threshold)
       .select(col(idCol), col("bench_id"), col("shared"), col("overlap"))
   }
+
+  /** Deflate compression ratio per document — the Gopher-family
+    * repetitiveness signal: boilerplate and template spam compress far
+    * below prose, so `deflate_len·1000 div raw_len` under ~300‰ marks
+    * a document for removal. `mapPartitions` (not a UDF) so ONE
+    * Deflater instance serves the whole partition via reset();
+    * level-6 zlib output is deterministic for fixed input bytes, so
+    * the permille ratio is stable run-to-run. No SQL engine exposes
+    * zlib → the gate is rows-only by design. Scales with the scan:
+    * per-row CPU, no shuffle.
+    */
+  def compressionRatio(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType), col(textCol)).as[(Long, String)]
+      .mapPartitions { it =>
+        val deflater = new java.util.zip.Deflater(6)
+        val buf = new Array[Byte](1 << 16)
+        it.map { case (id, text) =>
+          val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          deflater.reset()
+          deflater.setInput(bytes)
+          deflater.finish()
+          var n = 0L
+          while (!deflater.finished()) n += deflater.deflate(buf)
+          (id, bytes.length.toLong, n)
+        }
+      }
+      .toDF(idCol, "raw_len", "deflate_len")
+      .withColumn("ratio_permille",
+        expr("deflate_len * 1000 div greatest(raw_len, 1)"))
+      .withColumn("is_repetitive", col("ratio_permille") < 300)
+  }
 }

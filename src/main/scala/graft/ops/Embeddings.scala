@@ -56,6 +56,27 @@ object Embeddings {
         col("vec_id").as("neighbor_id"), col("cos"))
   }
 
+  /** Hard-negative mining for contrastive training: per query, the k
+    * most-similar corpus vectors with a DIFFERENT label — the
+    * negatives nearest the decision boundary, the ones that actually
+    * teach. Same broadcast-queries / corpus-streams-once shape as
+    * [[bruteForceTopK]]; the label predicate is per-QUERY (it rides
+    * the join condition), so no pre-filtered corpus copy is ever
+    * materialized. Inputs are [[quantized]] outputs with `label`
+    * joined back on.
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("label").as("qlabel"), col("q").as("qq"), col("nrm").as("qnrm"))
+    val scored = corpus.join(broadcast(q),
+        col("vec_id") =!= col("query_id") && col("label") =!= col("qlabel"))
+      .withColumn("cos", expr(cosExpr))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast(LongType).as("rank"),
+        col("vec_id").as("neighbor_id"), col("label"), col("cos"))
+  }
+
   /** Near-duplicate vector pairs via sign-random-projection LSH: pairs
     * sharing a full SRP signature bucket are verified with the exact
     * cosine. Returns (a, b, cos) with cos ≥ `cosThreshold`.

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -2231,8 +2232,180 @@ object PipelineQueries {
       val result = out.localCheckpoint(true)
       tf.unpersist()
       result
+    },
+
+    // --- bigram-LM (conditional) surprisal filtering ---------------------
+    "d86_bigram_surprisal_filter" -> { (s, d) =>
+      // The KenLM-style upgrade of d80: score each document by the
+      // CONDITIONAL surprisal of its bigrams, -log2 P(b|a) ≈
+      // bits(f_a) − bits(f_ab) with bits(c) = ⌊log2 c⌋+1 = length(bin(c)).
+      // f_a counts a's occurrences as a bigram LHS (the exact
+      // conditional denominator), f_ab the bigram itself, so the score
+      // is pure integer arithmetic — hash-exact across engines, no ln()
+      // drift. High mean surprisal = improbable continuations = the
+      // tail a perplexity filter drops. Shape at 100 TB: the bigram
+      // stream shuffles once into a map-side-combined (doc,a,b) tf;
+      // the count tables are vocab²-sized (bounded), joins are
+      // tf⋈vocab, and the final sort is doc-sized.
+      val (tfb, out) = bigramSurprisalPlan(s, d)
+      val result = out.localCheckpoint(true)
+      tfb.unpersist()
+      result
+    },
+
+    // --- deterministic epoch shard shuffle -------------------------------
+    "d87_epoch_shard_shuffle" -> { (s, d) =>
+      // Distributed-training data ordering: every epoch needs a
+      // different but REPRODUCIBLE global permutation, sharded across
+      // workers, without materializing a permutation table or seeding
+      // per-task RNG state. Multiplicative hashing gives it stateless:
+      // pos = (doc_id·2654435761 + epoch·40503) mod 2³², shard =
+      // pos mod 8, within-shard order = pos. Any worker recomputes its
+      // shard's order from (epoch, doc_id) alone — resumable mid-epoch
+      // at 100 TB with zero coordination. One shuffle on (epoch,shard)
+      // serves both window functions (shared sort/partition spec).
+      val n = 5
+      t(s, d, "documents")
+        .select(col("doc_id"), explode(expr("sequence(0, 2)")).as("epoch"))
+        .withColumn("pos",
+          expr("(doc_id * 2654435761L + epoch * 40503L) % 4294967296L"))
+        .withColumn("shard", col("pos") % 8)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("epoch"), col("shard"))
+            .orderBy(col("pos"), col("doc_id"))))
+        .withColumn("shard_size", count(lit(1)).over(
+          Window.partitionBy(col("epoch"), col("shard"))))
+        .where(col("rn") <= n)
+        .select(col("epoch"), col("shard"), col("rn"), col("doc_id"),
+          col("pos"), col("shard_size"))
+        .orderBy(col("epoch"), col("shard"), col("rn"))
+    },
+
+    // --- URL canonicalization + site-level rollup ------------------------
+    "d88_url_canonicalize" -> { (s, d) =>
+      // Web-corpus front door: crawlers emit the same page under many
+      // URL spellings (case-varying host, www prefix, tracking params,
+      // fragments). Canonicalize — lowercase scheme+host, strip www.,
+      // drop utm_*/ref params and #fragments — then roll up per site.
+      // n_canonical_urls < n_docs proves the merge. Per-row regex
+      // (codegen'd, no UDF) + one site-level groupBy; at 100 TB this
+      // is a single map-side-combined aggregation over the scan.
+      // URLs are synthesized deterministically from (source, lang,
+      // doc_id) since the corpus has no url column — the
+      // canonicalization chain is the operator under test.
+      val raw = t(s, d, "documents")
+        .withColumn("url", concat(
+          lit("HTTPS://WWW."), upper(col("source")), lit(".Example.COM/cat-"),
+          (col("doc_id") % 7).cast(StringType), lit("/page?sess="),
+          (col("doc_id") % 5).cast(StringType),
+          lit("&utm_source=feed&ref="), col("lang"),
+          when(col("doc_id") % 3 === 0, lit("#frag")).otherwise(lit(""))))
+      val canon = raw
+        .withColumn("u1", regexp_replace(col("url"), "#.*$", ""))
+        .withColumn("u2", regexp_replace(col("u1"), "&(utm_[a-z]+|ref)=[^&#]*", ""))
+        .withColumn("head", lower(regexp_extract(col("u2"), "^([^/]+//[^/]+)", 1)))
+        .withColumn("tail", regexp_replace(col("u2"), "^[^/]+//[^/]+", ""))
+        .withColumn("canonical",
+          concat(regexp_replace(col("head"), "://www\\.", "://"), col("tail")))
+      canon
+        .withColumn("site", regexp_extract(col("canonical"), "^https://([^/]+)", 1))
+        .groupBy(col("site"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("canonical")).as("n_canonical_urls"),
+          min(col("doc_id")).as("min_doc_id"))
+        .orderBy(col("site"))
+    },
+
+    // --- compression-ratio repetitiveness filter (rows-only) -------------
+    "d89_compression_ratio_filter" -> { (s, d) =>
+      // [[graft.ops.Corpus.compressionRatio]] — zlib has no SQL
+      // counterpart, so this gate is rows-only; the planted
+      // 200×-repeated doc (id 9000000) self-verifies the signal: it
+      // MUST flag is_repetitive while normal prose must not, asserted
+      // here so a silent codec change fails the gate, not just a spec.
+      val docs = t(s, d, "documents")
+      val planted = docs.limit(1)
+        .withColumn("doc_id", lit(9000000L))
+        .withColumn("text", expr("repeat('lorem ipsum spam block ', 200)"))
+      val out = graft.ops.Corpus.compressionRatio(docs.unionByName(planted))
+        .orderBy(col("doc_id"))
+      val nBad = out.where(col("doc_id") === 9000000L && !col("is_repetitive")).count()
+      require(nBad == 0, "planted repeated doc must flag is_repetitive")
+      out
+    },
+
+    // --- Zipf rank–frequency curve (corpus health check) ------------------
+    "d90_zipf_rank_curve" -> { (s, d) =>
+      // Natural corpora follow rank·freq ≈ const (Zipf); a crawl whose
+      // top ranks break that curve is full of template spam. The check
+      // is integer-exact: rank·freq for the top 100 terms plus each
+      // term's cumulative share in permille of total tokens. The tf
+      // aggregation is map-side combined; the ranking window runs over
+      // the VOCAB-sized table (bounded — fine single-partition even at
+      // 100 TB corpus scale, the vocabulary does not grow with data).
+      val tf = t(s, d, "documents")
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+        .where(col("term") =!= "")
+        .groupBy("term").agg(count(lit(1)).as("f"))
+      val n = tf.agg(sum(col("f")).as("n"))
+      tf.withColumn("rank", row_number().over(
+          Window.orderBy(col("f").desc, col("term"))))
+        .where(col("rank") <= 100)
+        .withColumn("cum_f", sum(col("f")).over(
+          Window.orderBy(col("rank")).rowsBetween(Window.unboundedPreceding, 0)))
+        .crossJoin(broadcast(n))
+        .select(col("rank"), col("term"), col("f"),
+          (col("rank") * col("f")).as("rank_freq"),
+          expr("cum_f * 1000 div n").as("cum_share_permille"))
+        .orderBy(col("rank"))
+    },
+
+    // --- hard-negative mining for contrastive training --------------------
+    "d91_hard_negatives" -> { (s, d) =>
+      // [[graft.ops.Embeddings.hardNegatives]] — per query the top-5
+      // most-similar vectors of a DIFFERENT label. The per-query label
+      // predicate rides the broadcast join; exact integer dot products
+      // (d10's determinism argument) make the ranking hash-exact.
+      val e = t(s, d, "embeddings")
+      val withLabel = graft.ops.Embeddings.quantized(e)
+        .join(e.select(col("vec_id"), col("label")), "vec_id")
+      graft.ops.Embeddings.hardNegatives(
+          withLabel, withLabel.where(col("vec_id") < 10), k = 5)
+        .orderBy(col("query_id"), col("rank"))
     }
   )
+
+  /** d86 core, pre-checkpoint — split out so the plan audit can see
+    * the real pipeline (the gate's eager localCheckpoint collapses the
+    * executed plan to an ExistingRDD scan). Returns (persisted tf
+    * handle — caller must unpersist, final frame).
+    */
+  private[graft] def bigramSurprisalPlan(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val toks = t(s, d, "documents")
+      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("toks"))
+    val tfb = toks.select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(toks) - 1),
+          |  i -> struct(element_at(toks, i) AS a, element_at(toks, i + 1) AS b))""".stripMargin)).as("p"))
+      .select(col("doc_id"), col("p.a"), col("p.b"))
+      .where(col("a") =!= "" && col("b") =!= "")
+      .groupBy("doc_id", "a", "b").agg(count(lit(1)).as("tf"))
+      .persist()
+    val bi = tfb.groupBy("a", "b").agg(sum(col("tf")).as("f_ab"))
+    val uni = tfb.groupBy("a").agg(sum(col("tf")).as("f_a"))
+    val out = tfb
+      .join(bi, Seq("a", "b")).join(uni, Seq("a"))
+      .withColumn("sbits",
+        (length(bin(col("f_a"))) - length(bin(col("f_ab")))).cast(LongType))
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_bigrams"),
+        sum(col("tf") * col("sbits")).as("sum_bits"))
+      .withColumn("mean_bits_permille", expr("sum_bits * 1000 div n_bigrams"))
+      .orderBy(col("mean_bits_permille").desc, col("doc_id"))
+      .limit(50)
+      .select(col("doc_id"), col("n_bigrams"), col("sum_bits"),
+        col("mean_bits_permille"))
+    (tfb, out)
+  }
 
   /** Interleaves the low 16 bits of a non-negative long with zeros
     * (Morton spread: bit i moves to bit 2i) via the classic
@@ -3750,6 +3923,118 @@ object PipelineQueries {
 
       // integer-exact surprisal: bits(c) = length(bin(c)) = ⌊log2 c⌋+1
       // in both engines, so no ln() cross-engine drift anywhere
+      "d91_hard_negatives" ->
+        """WITH e AS (
+          |  SELECT vec_id, label,
+          |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+          |  FROM embeddings
+          |), n AS (
+          |  SELECT vec_id, label, q,
+          |    list_sum(list_transform(range(1, 65), i -> q[i] * q[i])) AS nrm
+          |  FROM e
+          |), scored AS (
+          |  SELECT qr.vec_id AS query_id, c.vec_id AS neighbor_id, c.label,
+          |    round(CAST(list_sum(list_transform(range(1, 65), i -> qr.q[i] * c.q[i])) AS DOUBLE)
+          |      / (sqrt(CAST(qr.nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE))), 6) AS cos
+          |  FROM n qr JOIN n c ON c.vec_id <> qr.vec_id AND c.label <> qr.label
+          |  WHERE qr.vec_id < 10
+          |), ranked AS (
+          |  SELECT query_id, neighbor_id, label, cos,
+          |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+          |  FROM scored
+          |)
+          |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, label, cos
+          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+      "d90_zipf_rank_curve" ->
+        """WITH tf AS (
+          |  SELECT t.term, CAST(count(*) AS BIGINT) AS f FROM (
+          |    SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+          |    FROM documents) t
+          |  WHERE t.term != '' GROUP BY 1
+          |), ranked AS (
+          |  SELECT term, f,
+          |    CAST(row_number() OVER (ORDER BY f DESC, term) AS INT) AS rank
+          |  FROM tf
+          |), n AS (SELECT CAST(sum(f) AS BIGINT) AS n FROM tf)
+          |SELECT rank, term, f, rank * f AS rank_freq,
+          |  CAST(sum(f) OVER (ORDER BY rank) AS BIGINT) * 1000 // n.n
+          |    AS cum_share_permille
+          |FROM ranked, n WHERE rank <= 100
+          |ORDER BY rank""".stripMargin,
+
+      "d86_bigram_surprisal_filter" ->
+        """WITH tk AS (
+          |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+          |  FROM documents
+          |), pr AS (
+          |  SELECT doc_id, toks[i] AS a, toks[i+1] AS b
+          |  FROM tk, unnest(range(1, len(toks))) AS r(i)
+          |  WHERE toks[i] != '' AND toks[i+1] != ''
+          |), tfb AS (
+          |  SELECT doc_id, a, b, CAST(count(*) AS BIGINT) AS tf
+          |  FROM pr GROUP BY 1, 2, 3
+          |), bi AS (
+          |  SELECT a, b, CAST(sum(tf) AS BIGINT) AS f_ab FROM tfb GROUP BY 1, 2
+          |), uni AS (
+          |  SELECT a, CAST(sum(tf) AS BIGINT) AS f_a FROM tfb GROUP BY 1
+          |), sc AS (
+          |  SELECT tfb.doc_id, tfb.tf,
+          |    CAST(length(bin(f_a)) - length(bin(f_ab)) AS BIGINT) AS sbits
+          |  FROM tfb JOIN bi USING (a, b) JOIN uni USING (a)
+          |), per_doc AS (
+          |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+          |    CAST(sum(tf * sbits) AS BIGINT) AS sum_bits
+          |  FROM sc GROUP BY 1
+          |)
+          |SELECT doc_id, n_bigrams, sum_bits,
+          |  sum_bits * 1000 // n_bigrams AS mean_bits_permille
+          |FROM per_doc
+          |ORDER BY mean_bits_permille DESC, doc_id LIMIT 50""".stripMargin,
+
+      "d87_epoch_shard_shuffle" ->
+        """WITH base AS (
+          |  SELECT doc_id, e.epoch,
+          |    (doc_id * 2654435761 + e.epoch * 40503) % 4294967296 AS pos
+          |  FROM documents,
+          |    (SELECT CAST(unnest(range(0, 3)) AS INT) AS epoch) e
+          |), ranked AS (
+          |  SELECT epoch, pos % 8 AS shard,
+          |    row_number() OVER (PARTITION BY epoch, pos % 8 ORDER BY pos, doc_id) AS rn,
+          |    doc_id, pos,
+          |    count(*) OVER (PARTITION BY epoch, pos % 8) AS shard_size
+          |  FROM base
+          |)
+          |SELECT epoch, shard, CAST(rn AS INT) AS rn, doc_id, pos, shard_size
+          |FROM ranked WHERE rn <= 5
+          |ORDER BY epoch, shard, rn""".stripMargin,
+
+      "d88_url_canonicalize" ->
+        """WITH raw AS (
+          |  SELECT doc_id,
+          |    'HTTPS://WWW.' || upper(source) || '.Example.COM/cat-' ||
+          |    CAST(doc_id % 7 AS VARCHAR) || '/page?sess=' ||
+          |    CAST(doc_id % 5 AS VARCHAR) || '&utm_source=feed&ref=' || lang ||
+          |    CASE WHEN doc_id % 3 = 0 THEN '#frag' ELSE '' END AS url
+          |  FROM documents
+          |), canon AS (
+          |  SELECT doc_id,
+          |    regexp_replace(lower(regexp_extract(u2, '^([^/]+//[^/]+)', 1)),
+          |      '://www\.', '://') ||
+          |    regexp_replace(u2, '^[^/]+//[^/]+', '') AS canonical
+          |  FROM (
+          |    SELECT doc_id,
+          |      regexp_replace(regexp_replace(url, '#.*$', ''),
+          |        '&(utm_[a-z]+|ref)=[^&#]*', '', 'g') AS u2
+          |    FROM raw)
+          |)
+          |SELECT regexp_extract(canonical, '^https://([^/]+)', 1) AS site,
+          |  count(*) AS n_docs,
+          |  CAST(count(DISTINCT canonical) AS BIGINT) AS n_canonical_urls,
+          |  min(doc_id) AS min_doc_id
+          |FROM canon
+          |GROUP BY 1 ORDER BY site""".stripMargin,
+
       "d80_unigram_surprisal_filter" ->
         """WITH toks AS (
           |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term

@@ -880,10 +880,110 @@ object RelationalQueries {
           |                           FROM lineitem l2
           |                           WHERE l2.l_partkey = l.l_partkey)
           |ORDER BY l.l_partkey, l.l_suppkey""".stripMargin)
+    },
+
+    // --- rolling time-interval window frame -----------------------------
+    "q60_rolling_revenue" -> { (s, d) =>
+      // 7-day rolling revenue per customer: a RANGE frame over integer
+      // epoch-days, so the frame bound is a data-value distance (two
+      // orders 6 days apart share a frame no matter how many rows sit
+      // between them) — the semantics ROWS frames can't express.
+      // DECIMAL(18,2) running sums are exact in any accumulation order
+      // → hash-stable across engines. Scale: one shuffle on o_custkey
+      // (uniform key, no skew), frame scan is O(orders-per-customer).
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("day"))
+        .rangeBetween(-6, 0)
+      t(s, d, "orders")
+        .where(col("o_custkey") < 1000)
+        .withColumn("day", expr("unix_date(to_date(o_orderdate))"))
+        .withColumn("roll7", asD(sum(dec(col("o_totalprice"))).over(w)))
+        .select(col("o_orderkey"), col("o_custkey"), col("day"), col("roll7"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // --- bounded-depth graph reachability (recursive-CTE equivalent) ----
+    "q61_graph_reachability" -> { (s, d) =>
+      // BFS to depth 4 over a supplier→part edge graph (node domain =
+      // key % 100; edges sparsified to ~1/97 of lineitem). The oracle
+      // is DuckDB's WITH RECURSIVE; Spark has no recursive CTE, so the
+      // idiomatic form is the frontier-expansion loop: each hop joins
+      // the (≤ node-domain, broadcast-sized) frontier against the edge
+      // table and anti-joins the reached set so every node keeps its
+      // first (= minimum) depth. At 100 TB the edge table shuffles
+      // once; each hop is a broadcast join — no growing lineage risk
+      // at 4 fixed rounds.
+      import s.implicits._
+      val edges = t(s, d, "lineitem")
+        .where(col("l_orderkey") % 97 === 0)
+        .select((col("l_suppkey") % 100).as("src"), (col("l_partkey") % 100).as("dst"))
+        .distinct()
+      var reached = Seq((0L, 0)).toDF("node", "depth")
+      var frontier = reached.select(col("node"))
+      for (i <- 1 to 4) {
+        val next = frontier.join(edges, col("node") === col("src"))
+          .select(col("dst").as("node")).distinct()
+          .join(reached, Seq("node"), "left_anti")
+          .withColumn("depth", lit(i))
+        reached = reached.unionByName(next)
+        frontier = next.select(col("node"))
+      }
+      reached.groupBy(col("node")).agg(min(col("depth")).as("min_depth"))
+        .orderBy(col("node"))
+    },
+
+    // --- three-valued-logic null semantics --------------------------------
+    "q62_null_semantics" -> { (s, d) =>
+      // Pins the ANSI corners engines most often get wrong: NOT IN
+      // against a subquery CONTAINING a NULL is never true (n_not_in
+      // must be 0 — Catalyst plans a null-aware anti join), NOT EXISTS
+      // ignores the NULLs (n_not_exists > 0), and IS NOT DISTINCT FROM
+      // is null-safe equality usable as a hash-join key. One scalar
+      // row, three subqueries — semantics gate, not a volume gate.
+      Tables.views(s, d, "customer", "orders")
+      s.sql(RelationalQueries.nullSemanticsSql)
     }
   )
 
+  /** Shared verbatim with the DuckDB oracle — the point IS identical
+    * ANSI behavior on identical text.
+    */
+  val nullSemanticsSql: String =
+    """WITH sub AS (
+      |  SELECT CASE WHEN o_orderkey % 100 = 0 THEN NULL ELSE o_custkey END AS k
+      |  FROM orders WHERE o_custkey < 500
+      |)
+      |SELECT
+      |  (SELECT count(*) FROM customer WHERE c_custkey NOT IN (SELECT k FROM sub)) AS n_not_in,
+      |  (SELECT count(*) FROM customer c
+      |   WHERE NOT EXISTS (SELECT 1 FROM sub WHERE sub.k = c.c_custkey)) AS n_not_exists,
+      |  (SELECT count(*) FROM customer c JOIN sub ON c.c_custkey IS NOT DISTINCT FROM sub.k)
+      |    AS n_nullsafe_pairs""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "q62_null_semantics" -> nullSemanticsSql,
+
+    "q60_rolling_revenue" ->
+      """SELECT o_orderkey, o_custkey,
+        |  (CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS day,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey
+        |    ORDER BY (CAST(o_orderdate AS DATE) - DATE '1970-01-01')
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS roll7
+        |FROM orders WHERE o_custkey < 1000
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q61_graph_reachability" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT DISTINCT l_suppkey % 100 AS src, l_partkey % 100 AS dst
+        |  FROM lineitem WHERE l_orderkey % 97 = 0
+        |), r AS (
+        |  SELECT CAST(0 AS BIGINT) AS node, 0 AS depth
+        |  UNION ALL
+        |  SELECT e.dst, r.depth + 1 FROM r JOIN e ON e.src = r.node
+        |  WHERE r.depth < 4
+        |)
+        |SELECT node, min(depth) AS min_depth FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q59_correlated_scalar" ->
       """SELECT l.l_partkey, l.l_suppkey,
         |  CAST(l.l_extendedprice AS DOUBLE) AS price, s.s_name, n.n_name

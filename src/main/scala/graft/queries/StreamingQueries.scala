@@ -63,6 +63,14 @@ object StreamingQueries {
 
     "s13_stream_heavy_hitters" -> { (s, d) =>
       StreamingOps.runBoundedStreamingHeavyHitters(s, d, "s13_sink")
+    },
+
+    "s14_stream_anomaly_flags" -> { (s, d) =>
+      StreamingOps.runBoundedAnomalyFlags(s, d, "s14_sink")
+    },
+
+    "s15_stream_funnel" -> { (s, d) =>
+      StreamingOps.runBoundedFunnel(s, d, "s15_sink")
     }
   )
 
@@ -103,6 +111,51 @@ object StreamingQueries {
         |SELECT user_id, count(1) AS n_events, max(value) AS max_value,
         |  CAST(max(CASE WHEN rn = 1 THEN event_id END) AS BIGINT) AS last_event_id
         |FROM ranked GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // batch restatement of the per-user funnel state machine: first
+    // view, first click strictly after it, first purchase strictly
+    // after that; epoch_ms truncation matches Timestamp.getTime
+    "s15_stream_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1
+        |), c AS (
+        |  SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |  JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+        |  WHERE e.event_type = 'click' GROUP BY 1
+        |), p AS (
+        |  SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |  JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+        |  WHERE e.event_type = 'purchase' GROUP BY 1
+        |), u AS (SELECT DISTINCT user_id FROM events)
+        |SELECT u.user_id,
+        |  CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+        |       WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS stage,
+        |  coalesce(epoch_ms(t1), -1) AS t1_ms,
+        |  coalesce(epoch_ms(t2), -1) AS t2_ms,
+        |  coalesce(epoch_ms(t3), -1) AS t3_ms
+        |FROM u LEFT JOIN v ON u.user_id = v.user_id
+        |  LEFT JOIN c ON u.user_id = c.user_id
+        |  LEFT JOIN p ON u.user_id = p.user_id
+        |ORDER BY u.user_id""".stripMargin,
+
+    // batch restatement of the anomaly monitor: hourly per-type counts
+    // vs 2× the type's mean hourly volume, integer cross-multiplied
+    "s14_stream_anomaly_flags" ->
+      """WITH hourly AS (
+        |  SELECT event_type,
+        |    strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |    CAST(count(1) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2
+        |), base AS (
+        |  SELECT event_type, CAST(sum(cnt) AS BIGINT) AS total,
+        |    CAST(count(1) AS BIGINT) AS n_windows
+        |  FROM hourly GROUP BY 1
+        |)
+        |SELECT h.event_type, h.window_start, h.cnt, b.n_windows, b.total,
+        |  h.cnt * b.n_windows > b.total * 2 AS is_spike
+        |FROM hourly h JOIN base b ON h.event_type = b.event_type
+        |ORDER BY h.event_type, h.window_start""".stripMargin,
+
     "s01_stream_window_agg" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
         |  event_type, count(1) AS cnt,

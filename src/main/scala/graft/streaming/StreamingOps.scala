@@ -668,4 +668,100 @@ object StreamingOps {
           greatest(col("n_exact") * 0.075, lit(4.0))).as("within_tol"))
       .orderBy(col("day"), col("event_type"))
   }
+
+  /** Streaming volume-anomaly monitor: the hourly windowed counts
+    * stream into a live state table (the same watermark + tumbling-
+    * window aggregation a production monitor maintains); the scoring
+    * pass then flags every (type, hour) whose count exceeds 2× that
+    * type's mean hourly volume. The comparison is the integer
+    * cross-multiplication `cnt · n_windows > 2 · total` — no float
+    * division, hash-exact. On an unbounded run the scoring pass is a
+    * `foreachBatch` over the sink table against a slowly-refreshed
+    * baseline; state stays capped by the watermark either way.
+    */
+  def runBoundedAnomalyFlags(spark: SparkSession, sfDir: String,
+      queryName: String): DataFrame = {
+    val agg = windowedEventCounts(boundedEventStream(spark, sfDir), "1 hour", "1 hour")
+    val q = withStatePartitions(spark, 8)(agg.writeStream
+      .option("checkpointLocation", ckpt())
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("complete")
+      .start())
+    try q.processAllAvailable() finally q.stop()
+    // snapshot the sink before the self-join: two scans of the same
+    // MemoryPlan share attribute ids and fail join resolution
+    val st = spark.table(queryName)
+      .select(col("event_type"), col("window.start").as("ws"), col("cnt"))
+      .localCheckpoint(true)
+    val base = st.groupBy(col("event_type"))
+      .agg(sum(col("cnt")).as("total"), count(lit(1)).as("n_windows"))
+    st.join(broadcast(base), "event_type")
+      .select(col("event_type"),
+        date_format(col("ws"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("cnt"), col("n_windows"), col("total"),
+        (col("cnt") * col("n_windows") > col("total") * 2).as("is_spike"))
+      .orderBy(col("event_type"), col("window_start"))
+  }
+
+  /** Streaming per-user conversion funnel as an event-order state
+    * machine in keyed state: t1 = first view, t2 = first click
+    * strictly after t1, t3 = first purchase strictly after t2; stage =
+    * how far the user got. Unlike the windowed batch funnel (q57),
+    * the stage advances ACROSS micro-batches — t1 may arrive hours
+    * before the click that upgrades the user to stage 2 — so the
+    * state is the three timestamps (micros; −1 = unset) plus the last
+    * emitted stage, and a row is emitted only when the stage changes.
+    * State is 4 longs per user — bounded by the user population, not
+    * the stream length. Comparisons are full-precision micros (equal
+    * timestamps do NOT advance the funnel, matching the oracle's
+    * strict `>`); within-batch arrival order is normalized by an
+    * explicit (ts, event_id) sort before the state is applied.
+    */
+  def streamFunnel(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    val typed = events
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .as[(Long, java.sql.Timestamp, Long, String)]
+    typed.groupByKey(_._3)
+      .flatMapGroupsWithState[(Long, Long, Long, Int), (Long, Int, Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) { case (uid, it, state) =>
+        var (t1, t2, t3, emitted) = state.getOption.getOrElse((-1L, -1L, -1L, -1))
+        it.toSeq.sortBy(e => (micros(e._2), e._1)).foreach { case (_, ts, _, tpe) =>
+          val us = micros(ts)
+          tpe match {
+            case "view"     if t1 < 0                       => t1 = us
+            case "click"    if t1 >= 0 && t2 < 0 && us > t1 => t2 = us
+            case "purchase" if t2 >= 0 && t3 < 0 && us > t2 => t3 = us
+            case _ =>
+          }
+        }
+        val stage = if (t3 >= 0) 3 else if (t2 >= 0) 2 else if (t1 >= 0) 1 else 0
+        def ms(us: Long): Long = if (us < 0) -1L else us / 1000
+        val out =
+          if (stage != emitted) Iterator((uid, stage, ms(t1), ms(t2), ms(t3)))
+          else Iterator.empty
+        state.update((t1, t2, t3, stage))
+        out
+      }
+      .toDF("user_id", "stage", "t1_ms", "t2_ms", "t3_ms")
+  }
+
+  /** Bounded-stream funnel → memory sink → final per-user stages. */
+  def runBoundedFunnel(spark: SparkSession, sfDir: String,
+      queryName: String): DataFrame = {
+    val q = withStatePartitions(spark, 8)(
+      streamFunnel(boundedEventStream(spark, sfDir)).writeStream
+        .option("checkpointLocation", ckpt())
+        .format("memory")
+        .queryName(queryName)
+        .outputMode("append")
+        .start())
+    try q.processAllAvailable() finally q.stop()
+    spark.table(queryName).orderBy(col("user_id"))
+  }
 }

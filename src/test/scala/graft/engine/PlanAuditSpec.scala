@@ -610,4 +610,63 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"payload bytes must not cross an exchange:\n$p")
     assert(!p.contains("CartesianProduct"), s"no cartesian in:\n$p")
   }
+
+  test("q60 rolling frame: custkey filter pushed down, one window shuffle") {
+    val df = RelationalQueries.queries("q60_rolling_revenue")(spark, sfDir)
+    df.collect()
+    // node details (PushedFilters) print AFTER the plan trees — check
+    // the full formatted output, but count Window nodes in the final
+    // tree only (the Initial Plan section repeats them)
+    val full = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(full.contains("PushedFilters") && full.contains("o_custkey"),
+      s"expected custkey pushdown in:\n$full")
+    val tree = full.split("== Initial Plan ==").head
+    assert(tree.linesIterator.count(_.contains("Window")) == 1,
+      s"exactly one range-frame window expected:\n$tree")
+  }
+
+  test("q61 BFS: every hop joins a broadcast frontier, no cartesian") {
+    val df = RelationalQueries.queries("q61_graph_reachability")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      .split("== Initial Plan ==").head
+    assert(p.contains("BroadcastHashJoin"),
+      s"frontier should broadcast against the edge table in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian in:\n$p")
+  }
+
+  test("d86 bigram LM: map-side partial aggregation before every shuffle") {
+    // audit the pre-checkpoint pipeline — the gate's eager
+    // localCheckpoint collapses the executed plan to an RDD scan
+    val (tfb, out) = PipelineQueries.bigramSurprisalPlan(spark, sfDir)
+    try {
+      out.collect()
+      val p = out.queryExecution.explainString(ExplainMode.fromString("formatted"))
+        .split("== Initial Plan ==").head
+      assert(p.linesIterator.count(_.contains("HashAggregate")) >= 4,
+        s"expected partial+final aggregates on tf and count tables:\n$p")
+      assert(!p.contains("CartesianProduct"), s"no cartesian in:\n$p")
+    } finally tfb.unpersist()
+  }
+
+  test("d87 epoch shuffle: both window functions share one exchange") {
+    val df = PipelineQueries.queries("d87_epoch_shard_shuffle")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      .split("== Initial Plan ==").head
+    // row_number + shard_size count partition on the same (epoch,shard)
+    // keys: one exchange must feed both (plus the final sort)
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 2, s"expected window+sort exchanges only, got $exchanges:\n$p")
+  }
+
+  test("d88 url canonicalize: regex chain stays in codegen, one agg shuffle") {
+    val df = PipelineQueries.queries("d88_url_canonicalize")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      .split("== Initial Plan ==").head
+    assert(p.contains("* HashAggregate"),
+      s"expected codegen'd aggregation over the regex chain:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian in:\n$p")
+  }
 }
