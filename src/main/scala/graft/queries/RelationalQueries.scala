@@ -941,8 +941,50 @@ object RelationalQueries {
       // row, three subqueries — semantics gate, not a volume gate.
       Tables.views(s, d, "customer", "orders")
       s.sql(RelationalQueries.nullSemanticsSql)
+    },
+
+    // --- LATERAL correlated top-N per key ---------------------------------
+    "q63_lateral_topn" -> { (s, d) =>
+      // Correlated LATERAL subquery with ORDER BY + LIMIT — the
+      // "top 2 orders per customer" idiom. Catalyst decorrelates the
+      // lateral to a ranked window join, never a per-row re-execution;
+      // identical SQL text runs on both engines. Prices pass through
+      // unarithmetic'd (stored doubles), so the compare is exact.
+      Tables.views(s, d, "customer", "orders")
+      s.sql(RelationalQueries.lateralTopnSql)
+    },
+
+    // --- GROUPING SETS + grouping() flags ---------------------------------
+    "q64_grouping_sets" -> { (s, d) =>
+      // Explicit GROUPING SETS (the generalization CUBE/ROLLUP sugar
+      // over — q41 covers CUBE): per-(status, priority), per-status,
+      // and grand-total rows in one pass, disambiguated by grouping()
+      // flags. NULLS FIRST is pinned — Spark defaults asc-nulls-first,
+      // DuckDB asc-nulls-last, and the rolled-up rows are NULL-keyed.
+      Tables.views(s, d, "orders")
+      s.sql(RelationalQueries.groupingSetsSql)
     }
   )
+
+  /** Shared verbatim with the DuckDB oracle. */
+  val lateralTopnSql: String =
+    """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+      |FROM customer c,
+      |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+      |         WHERE o_custkey = c.c_custkey
+      |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+      |WHERE c.c_custkey < 200
+      |ORDER BY c.c_custkey, o.o_orderkey""".stripMargin
+
+  /** Shared verbatim with the DuckDB oracle. */
+  val groupingSetsSql: String =
+    """SELECT o_orderstatus, o_orderpriority, count(1) AS n,
+      |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+      |  CAST(grouping(o_orderpriority) AS INT) AS g_prio
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+      |ORDER BY g_status, g_prio,
+      |  o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
 
   /** Shared verbatim with the DuckDB oracle — the point IS identical
     * ANSI behavior on identical text.
@@ -961,6 +1003,8 @@ object RelationalQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q62_null_semantics" -> nullSemanticsSql,
+    "q63_lateral_topn" -> lateralTopnSql,
+    "q64_grouping_sets" -> groupingSetsSql,
 
     "q60_rolling_revenue" ->
       """SELECT o_orderkey, o_custkey,
