@@ -2372,6 +2372,26 @@ object PipelineQueries {
       graft.ops.Embeddings.hardNegatives(
           withLabel, withLabel.where(col("vec_id") < 10), k = 5)
         .orderBy(col("query_id"), col("rank"))
+    },
+
+    // --- slim-selection → broadcast rehydration ---------------------------
+    "d92_selection_rehydrate" -> { (s, d) =>
+      // The stage-boundary pattern every 100 TB pipeline lives on:
+      // upstream stages pass around SLIM id lists (here: a quality ∧
+      // hash-sample selection computed on already-slim columns), and
+      // the full text is rehydrated ONCE at the end by broadcasting
+      // the id list into the corpus scan — the corpus never shuffles,
+      // never carries text through intermediate stages. PlanAuditSpec
+      // pins the broadcast + zero-Exchange-over-text shape.
+      val docs = t(s, d, "documents")
+      val selected = docs
+        .where(substring(md5(col("text")), 1, 1).isin("0", "1", "2", "3")
+          && col("n_chars") >= 100)
+        .select(col("doc_id"))
+      docs.join(broadcast(selected), "doc_id")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          md5(col("text")).as("text_md5"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -3923,6 +3943,13 @@ object PipelineQueries {
 
       // integer-exact surprisal: bits(c) = length(bin(c)) = ⌊log2 c⌋+1
       // in both engines, so no ln() cross-engine drift anywhere
+      "d92_selection_rehydrate" ->
+        """SELECT doc_id, lang, n_chars, md5(text) AS text_md5
+          |FROM documents
+          |WHERE substring(md5(text), 1, 1) IN ('0', '1', '2', '3')
+          |  AND n_chars >= 100
+          |ORDER BY doc_id""".stripMargin,
+
       "d91_hard_negatives" ->
         """WITH e AS (
           |  SELECT vec_id, label,

@@ -660,6 +660,17 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exchanges <= 2, s"expected window+sort exchanges only, got $exchanges:\n$p")
   }
 
+  test("d92 rehydration: id list broadcasts, text never crosses an exchange") {
+    val df = PipelineQueries.queries("d92_selection_rehydrate")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      .split("== Initial Plan ==").head
+    assert(p.contains("BroadcastHashJoin"),
+      s"the slim id list must broadcast into the corpus scan:\n$p")
+    assert(p.linesIterator.filter(_.contains("Exchange")).forall(!_.contains("text")),
+      s"text must not cross an exchange:\n$p")
+  }
+
   test("d88 url canonicalize: regex chain stays in codegen, one agg shuffle") {
     val df = PipelineQueries.queries("d88_url_canonicalize")(spark, sfDir)
     df.collect()
