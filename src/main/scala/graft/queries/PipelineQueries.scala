@@ -2392,6 +2392,35 @@ object PipelineQueries {
         .select(col("doc_id"), col("lang"), col("n_chars"),
           md5(col("text")).as("text_md5"))
         .orderBy(col("doc_id"))
+    },
+
+    // --- skew-salted join (hot-key mitigation, made explicit) -------------
+    "d93_skew_salted_join" -> { (s, d) =>
+      // 90% of the fact rows share ONE key (domain 0 — the "en
+      // Wikipedia" of a crawl join). A plain shuffle join would pile
+      // that key onto a single reducer; the portable fix when the dim
+      // side is too big to broadcast is salting: fact rows carry a
+      // deterministic salt (l_linenumber % 8 — no RNG state), the dim
+      // side replicates ×8, and the join key becomes (key, salt) so
+      // the hot key spreads over 8 reducers. The salt disappears in
+      // the final rollup, so the oracle is the UNSALTED join — the
+      // technique must be invisible in the result. (AQE skew-join
+      // does this adaptively; the explicit form also covers engines/
+      // paths AQE can't reach, e.g. pre-AQE partitioning contracts.)
+      val fact = t(s, d, "lineitem")
+        .withColumn("key",
+          when(col("l_orderkey") % 10 < 9, lit(0L)).otherwise(col("l_partkey") % 50))
+        .withColumn("salt", col("l_linenumber") % 8)
+      val dim = s.range(0, 50).select(col("id").as("key"),
+          (col("id") * 7 + 3).as("weight"))
+        .crossJoin(s.range(0, 8).select(col("id").as("salt")))
+      fact.hint("shuffle_hash")
+        .join(dim.hint("shuffle_hash"), Seq("key", "salt"))
+        .groupBy(col("key"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("weight") * col("l_quantity").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("weighted_qty"))
+        .orderBy(col("key"))
     }
   )
 
@@ -3943,6 +3972,21 @@ object PipelineQueries {
 
       // integer-exact surprisal: bits(c) = length(bin(c)) = ⌊log2 c⌋+1
       // in both engines, so no ln() cross-engine drift anywhere
+      "d93_skew_salted_join" ->
+        """WITH fact AS (
+          |  SELECT CASE WHEN l_orderkey % 10 < 9 THEN 0 ELSE l_partkey % 50 END AS key,
+          |    l_quantity
+          |  FROM lineitem
+          |), dim AS (
+          |  SELECT i AS key, i * 7 + 3 AS weight
+          |  FROM (SELECT unnest(range(0, 50)) AS i)
+          |)
+          |SELECT f.key, count(1) AS n_rows,
+          |  CAST(sum(d.weight * CAST(f.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS weighted_qty
+          |FROM fact f JOIN dim d ON f.key = d.key
+          |GROUP BY 1 ORDER BY f.key""".stripMargin,
+
       "d92_selection_rehydrate" ->
         """SELECT doc_id, lang, n_chars, md5(text) AS text_md5
           |FROM documents

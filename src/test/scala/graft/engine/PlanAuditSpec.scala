@@ -671,6 +671,16 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"text must not cross an exchange:\n$p")
   }
 
+  test("d93 salted join: hot key spreads over (key, salt) shuffle partitions") {
+    val df = PipelineQueries.queries("d93_skew_salted_join")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("ShuffledHashJoin"),
+      s"the hint must force a shuffle join (broadcast would defeat the demo):\n$p")
+    assert(p.contains("salt"),
+      s"the join keys must include the salt column:\n$p")
+  }
+
   test("d88 url canonicalize: regex chain stays in codegen, one agg shuffle") {
     val df = PipelineQueries.queries("d88_url_canonicalize")(spark, sfDir)
     df.collect()
