@@ -163,4 +163,38 @@ class DedupStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(nBig >= 0)
     assert(tBig / tSmall < 10.0, f"super-linear blowup: $tSmall%.1f s → $tBig%.1f s")
   }
+
+  test("bigram-LM surprisal path (d86 shape) scales with the scan to 250k docs", Stress) {
+    // the risk at scale is the (doc, a, b) tf table and the vocab²
+    // bigram count table: both must grow ~linearly with the corpus
+    // (natural-language bigram vocab saturates), never quadratically
+    import org.apache.spark.sql.functions._
+    def run(d: DataFrame): Long = {
+      val tfb = d
+        .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("toks"))
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(1, size(toks) - 1),
+            |  i -> struct(element_at(toks, i) AS a, element_at(toks, i + 1) AS b))""".stripMargin)).as("p"))
+        .select(col("doc_id"), col("p.a"), col("p.b"))
+        .groupBy("doc_id", "a", "b").agg(count(lit(1)).as("tf"))
+        .persist()
+      try {
+        val bi = tfb.groupBy("a", "b").agg(sum(col("tf")).as("f_ab"))
+        val uni = tfb.groupBy("a").agg(sum(col("tf")).as("f_a"))
+        tfb.join(bi, Seq("a", "b")).join(uni, Seq("a"))
+          .withColumn("sbits",
+            (length(bin(col("f_a"))) - length(bin(col("f_ab")))).cast("long"))
+          .groupBy("doc_id")
+          .agg(sum(col("tf") * col("sbits")).as("sum_bits"))
+          .count()
+      } finally tfb.unpersist()
+    }
+    run(docs(2000L)) // warm codegen
+    val (tSmall, nSmall) = timed(run(docs(smallN)))
+    val (tBig, nBig) = timed(run(docs(bigN)))
+    info(f"bigram: ${smallN}%,d docs → $tSmall%.1f s ($nSmall docs scored); " +
+      f"${bigN}%,d docs → $tBig%.1f s ($nBig docs scored); growth ${tBig / tSmall}%.2f× for 4× docs")
+    assert(nBig > nSmall)
+    assert(tBig / tSmall < 10.0, f"super-linear blowup: $tSmall%.1f s → $tBig%.1f s")
+  }
 }
