@@ -71,6 +71,10 @@ object StreamingQueries {
 
     "s15_stream_funnel" -> { (s, d) =>
       StreamingOps.runBoundedFunnel(s, d, "s15_sink")
+    },
+
+    "s16_stream_late_data" -> { (s, d) =>
+      StreamingOps.runBoundedLateDataAudit(s, d, "s16_sink")
     }
   )
 
@@ -111,6 +115,21 @@ object StreamingQueries {
         |SELECT user_id, count(1) AS n_events, max(value) AS max_value,
         |  CAST(max(CASE WHEN rn = 1 THEN event_id END) AS BIGINT) AS last_event_id
         |FROM ranked GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // batch restatement of the late-data audit: final state must equal
+    // the ON-TIME stream's batch aggregation, and the entire 30-day-
+    // late redelivery must be dropped. numRowsDroppedByWatermark sits
+    // ABOVE the partial aggregate, so it counts dropped (window, type)
+    // GROUPS of the late batch, not raw input rows — the oracle counts
+    // the distinct late groups accordingly.
+    "s16_stream_late_data" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |  event_type, CAST(count(1) AS BIGINT) AS cnt,
+        |  (SELECT count(1) FROM (
+        |     SELECT DISTINCT date_trunc('day', ts - INTERVAL 30 DAY) AS d, event_type
+        |     FROM events WHERE event_id % 7 = 0)) AS n_dropped_late
+        |FROM events
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     // batch restatement of the per-user funnel state machine: first
     // view, first click strictly after it, first purchase strictly
     // after that; epoch_ms truncation matches Timestamp.getTime

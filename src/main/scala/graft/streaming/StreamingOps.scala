@@ -704,6 +704,85 @@ object StreamingOps {
       .orderBy(col("event_type"), col("window_start"))
   }
 
+  /** Late-data accounting under a watermark — the semantics that make
+    * unbounded aggregation state evictable at all: once the watermark
+    * passes a window's end, that window is emitted+evicted and any
+    * row still arriving for it is DROPPED (and counted). The bounded
+    * replay pins exactly that: four files stream in a controlled
+    * order (mtime-spaced; maxFilesPerTrigger=1) —
+    *   batches 1–2: every event, on time, split in two halves. TWO
+    *     batches because Spark double-lags the late-record filter: a
+    *     batch evicts with the watermark computed from the PREVIOUS
+    *     batch, but drops late input with the watermark from one
+    *     batch EARLIER (so rows racing the watermark inside a single
+    *     trigger are never dropped) — late data landing in batch N is
+    *     filtered by the watermark as of batch N−2;
+    *   batch 3: every 7th event re-delivered 30 days LATE (beyond the
+    *     1 h allowed lateness → every row must drop, counted by the
+    *     state operator's numRowsDroppedByWatermark);
+    *   batch 4: a far-future sentinel that pushes the watermark past
+    *     every real window so append mode emits them all.
+    * Final counts must equal the batch aggregation of the ON-TIME
+    * stream alone, and the audit column must equal the late file's
+    * distinct (window, type) group count — the drop filter sits above
+    * the partial aggregate, so it counts dropped GROUPS, not rows.
+    * Dropping is total, emission is complete.
+    */
+  def runBoundedLateDataAudit(spark: SparkSession, sfDir: String,
+      queryName: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    val dir = Scratch.once(s"late|$sfDir") { d =>
+      val ev = graft.queries.Tables.t(spark, sfDir, "events")
+      val sentinelTs = new java.sql.Timestamp(
+        ev.agg(max(col("ts"))).head.getTimestamp(0).getTime + 2592000000L)
+      def writeOne(df: DataFrame, name: String, mtimeMs: Long): Unit = {
+        val tmp = Scratch.fresh("late_part_")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+        val dst = Paths.get(d, name)
+        Files.move(part.toPath, dst)
+        Files.setLastModifiedTime(dst, FileTime.fromMillis(mtimeMs))
+      }
+      val t0 = System.currentTimeMillis() - 60000
+      writeOne(ev.where(col("event_id") % 2 === 0), "00_ontime_a.parquet", t0)
+      writeOne(ev.where(col("event_id") % 2 =!= 0), "01_ontime_b.parquet", t0 + 5000)
+      writeOne(ev.where(col("event_id") % 7 === 0)
+        .withColumn("ts", col("ts") - expr("INTERVAL 30 DAYS")),
+        "02_late.parquet", t0 + 10000)
+      writeOne(ev.limit(1)
+        .withColumn("event_id", lit(-1L)).withColumn("user_id", lit(-1L))
+        .withColumn("event_type", lit("view")).withColumn("value", lit(0.0))
+        .withColumn("ts", lit(sentinelTs)),
+        "03_sentinel.parquet", t0 + 15000)
+    }
+    val schema = spark.read.parquet(s"$dir/00_ontime_a.parquet").schema
+    val stream = graft.queries.Tables.normalizeTs(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir))
+    val agg = stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val q = withStatePartitions(spark, 8)(agg.writeStream
+      .option("checkpointLocation", ckpt())
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("append")
+      .start())
+    val dropped = try {
+      q.processAllAvailable()
+      q.recentProgress.flatMap(_.stateOperators)
+        .map(_.numRowsDroppedByWatermark).sum
+    } finally q.stop()
+    spark.table(queryName)
+      .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("cnt"))
+      .withColumn("n_dropped_late", lit(dropped))
+      .orderBy(col("day"), col("event_type"))
+  }
+
   /** Streaming per-user conversion funnel as an event-order state
     * machine in keyed state: t1 = first view, t2 = first click
     * strictly after t1, t3 = first purchase strictly after t2; stage =
