@@ -977,6 +977,37 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // --- video-level dedup via pooled frame features -------------------
+    "m11_video_pooled_dedup" -> { (s, d) =>
+      // Re-uploaded videos (identical bytes, new id — planted here as
+      // payload copies under id+3,000,000) collapse by a VIDEO-level
+      // signature: decode every frame (real JDK GIF reader), sum-pool
+      // the 16-bin luma histograms across frames, md5 the pooled
+      // vector. Pooling is the standard trick for clip-level features
+      // from frame-level ones; the signature groupBy is the same
+      // hash-dedup shape as d01. After decode only (doc, k, v) longs
+      // shuffle — never pixels — and the cluster table is video-sized.
+      val base = Multimodal.syntheticVideoBlobs(
+        t(s, d, "documents").where(col("doc_id") % 3 === 0).select(col("doc_id")))
+      val planted = base.where(col("doc_id") % 30 === 0)
+        .withColumn("doc_id", col("doc_id") + 3000000L)
+      val frames = Multimodal.sampleImageFrames(base.unionByName(planted), stride = 1)
+      frames
+        .select(col("doc_id"), posexplode(col("features"))).toDF("doc_id", "k", "v")
+        .groupBy(col("doc_id"), col("k")).agg(sum(col("v")).as("pv"))
+        .groupBy(col("doc_id"))
+        .agg(expr(
+          "concat_ws(',', transform(array_sort(collect_list(struct(k, pv))), s -> cast(s.pv as string)))")
+          .as("pooled_csv"))
+        .withColumn("sig", md5(col("pooled_csv")))
+        .groupBy(col("sig"))
+        .agg(count(lit(1)).as("n_videos"), min(col("doc_id")).as("keep_id"),
+          expr("concat_ws(',', transform(array_sort(collect_list(doc_id)), x -> cast(x as string)))")
+            .as("ids_csv"))
+        .where(col("n_videos") > 1)
+        .orderBy(col("sig"))
+    },
+
     // --- batched inference over opaque payloads (GPU batch shape) -----
     "m03_multimodal_batched_inference" -> { (s, d) =>
       val blobs = t(s, d, "documents")
@@ -4791,6 +4822,38 @@ object PipelineQueries {
 
       // scene cuts replayed from the GIF pixel formula (see m06): frame
       // histograms in SQL, lag window, same integer 2/7 cut rule
+      // pooled-histogram signatures replayed from the m09 pixel formula;
+      // planted re-uploads (id+3M) decode the ORIGINAL id's GIF bytes,
+      // so their pooled vector — and md5 signature — must collide
+      "m11_video_pooled_dedup" ->
+        """WITH ids AS (
+          |  SELECT doc_id, doc_id AS orig FROM documents WHERE doc_id % 3 = 0
+          |  UNION ALL
+          |  SELECT doc_id + 3000000, doc_id FROM documents WHERE doc_id % 30 = 0
+          |), b AS (
+          |  SELECT doc_id, orig, 12 + orig % 8 AS w, 3 + orig % 5 AS nf FROM ids
+          |), fr AS (
+          |  SELECT doc_id, w, f,
+          |    list_transform(range(16), k ->
+          |      len(list_filter(
+          |        flatten(list_transform(range(8), y ->
+          |          list_transform(range(w), x -> (orig*29 + f*7 + x*3 + y*5) % 256))),
+          |        v -> v // 16 = k))) AS hist
+          |  FROM b, unnest(range(nf)) AS t(f)
+          |), px AS (
+          |  SELECT doc_id, k, CAST(sum(hist[k+1]) AS BIGINT) AS pv
+          |  FROM fr, unnest(range(16)) AS r(k)
+          |  GROUP BY 1, 2
+          |), csvs AS (
+          |  SELECT doc_id, string_agg(CAST(pv AS VARCHAR), ',' ORDER BY k) AS pooled_csv
+          |  FROM px GROUP BY 1
+          |), sg AS (
+          |  SELECT doc_id, md5(pooled_csv) AS sig FROM csvs
+          |)
+          |SELECT sig, CAST(count(1) AS BIGINT) AS n_videos, min(doc_id) AS keep_id,
+          |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS ids_csv
+          |FROM sg GROUP BY 1 HAVING count(1) > 1 ORDER BY sig""".stripMargin,
+
       "m09_video_scene_cuts" ->
         """WITH b AS (
           |  SELECT doc_id, 12 + doc_id % 8 AS w, 3 + doc_id % 5 AS nf
