@@ -963,8 +963,48 @@ object RelationalQueries {
       // DuckDB asc-nulls-last, and the rolled-up rows are NULL-keyed.
       Tables.views(s, d, "orders")
       s.sql(RelationalQueries.groupingSetsSql)
+    },
+
+    // --- multiset set operations (INTERSECT ALL / EXCEPT ALL) -------------
+    "q65_set_ops_all" -> { (s, d) =>
+      // The ALL variants keep DUPLICATE multiplicity (min(m_a, m_b) for
+      // INTERSECT ALL, max(0, m_a − m_b) for EXCEPT ALL) — a different
+      // physical plan from q40's distinct set ops; the gate pins the
+      // multiplicities by re-counting them per key.
+      Tables.views(s, d, "orders")
+      s.sql(RelationalQueries.setOpsAllSql)
+    },
+
+    // --- rank-family windows (dense_rank / percent_rank / cume_dist) ------
+    "q66_rank_windows" -> { (s, d) =>
+      // percent_rank = (rank−1)/(n−1) and cume_dist = peers≤current / n
+      // are single integer divisions → bit-identical doubles across
+      // engines; dense_rank pins gap-free ranking next to q42's rank.
+      Tables.views(s, d, "orders")
+      s.sql(RelationalQueries.rankWindowsSql)
     }
   )
+
+  /** Shared verbatim with the DuckDB oracle. */
+  val setOpsAllSql: String =
+    """WITH a AS (SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'),
+      |     b AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+      |SELECT 'intersect_all' AS op, custkey, count(1) AS n FROM (
+      |  SELECT * FROM a INTERSECT ALL SELECT * FROM b) GROUP BY 1, 2
+      |UNION ALL
+      |SELECT 'except_all' AS op, custkey, count(1) AS n FROM (
+      |  SELECT * FROM a EXCEPT ALL SELECT * FROM b) GROUP BY 1, 2
+      |ORDER BY op, custkey""".stripMargin
+
+  /** Shared verbatim with the DuckDB oracle. */
+  val rankWindowsSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(dense_rank() OVER w AS BIGINT) AS drank,
+      |  percent_rank() OVER w AS prank,
+      |  cume_dist() OVER w AS cdist
+      |FROM orders WHERE o_custkey < 300
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+      |ORDER BY o_custkey, drank""".stripMargin
 
   /** Shared verbatim with the DuckDB oracle. */
   val lateralTopnSql: String =
@@ -1005,6 +1045,8 @@ object RelationalQueries {
     "q62_null_semantics" -> nullSemanticsSql,
     "q63_lateral_topn" -> lateralTopnSql,
     "q64_grouping_sets" -> groupingSetsSql,
+    "q65_set_ops_all" -> setOpsAllSql,
+    "q66_rank_windows" -> rankWindowsSql,
 
     "q60_rolling_revenue" ->
       """SELECT o_orderkey, o_custkey,

@@ -75,6 +75,10 @@ object StreamingQueries {
 
     "s16_stream_late_data" -> { (s, d) =>
       StreamingOps.runBoundedLateDataAudit(s, d, "s16_sink")
+    },
+
+    "s17_stream_semi_join" -> { (s, d) =>
+      StreamingOps.runBoundedSemiConversion(s, d, "s17_sink")
     }
   )
 
@@ -115,6 +119,18 @@ object StreamingQueries {
         |SELECT user_id, count(1) AS n_events, max(value) AS max_value,
         |  CAST(max(CASE WHEN rn = 1 THEN event_id END) AS BIGINT) AS last_event_id
         |FROM ranked GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // batch restatement of the left-semi conversion: clicks with at
+    // least one purchase in their 30-minute window, each exactly once
+    "s17_stream_semi_join" ->
+      """SELECT DISTINCT e.user_id, e.event_id AS click_id,
+        |  strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS click_ts
+        |FROM events e
+        |WHERE e.event_type = 'click' AND EXISTS (
+        |  SELECT 1 FROM events p
+        |  WHERE p.event_type = 'purchase' AND p.user_id = e.user_id
+        |    AND p.ts > e.ts AND p.ts <= e.ts + INTERVAL 30 MINUTE)
+        |ORDER BY user_id, click_id""".stripMargin,
+
     // batch restatement of the late-data audit: final state must equal
     // the ON-TIME stream's batch aggregation, and the entire 30-day-
     // late redelivery must be dropped. numRowsDroppedByWatermark sits

@@ -704,6 +704,45 @@ object StreamingOps {
       .orderBy(col("event_type"), col("window_start"))
   }
 
+  /** Stream-stream LEFT SEMI join — the third join flavor next to the
+    * inner (s04) and left-outer (s08) attributions: emit each click
+    * AT MOST ONCE as soon as any purchase lands in its 30-minute
+    * window, never the purchase columns. Same time-range bound, same
+    * ~1.5 h-per-side state cap; unlike the outer join no sentinel is
+    * needed — matched rows emit without waiting for the watermark.
+    */
+  def streamClickConversionSemi(events: DataFrame): DataFrame = {
+    val clicks = events.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") > col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"),
+      "left_semi")
+  }
+
+  /** Bounded left-semi conversion run → memory sink → matched clicks. */
+  def runBoundedSemiConversion(spark: SparkSession, sfDir: String,
+      queryName: String): DataFrame = {
+    val joined = streamClickConversionSemi(boundedEventStream(spark, sfDir))
+    val q = withStatePartitions(spark, 8)(joined.writeStream
+      .option("checkpointLocation", ckpt())
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("append")
+      .start())
+    try q.processAllAvailable() finally q.stop()
+    spark.table(queryName)
+      .select(col("user_id"), col("click_id"),
+        date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"))
+      .orderBy(col("user_id"), col("click_id"))
+  }
+
   /** Late-data accounting under a watermark — the semantics that make
     * unbounded aggregation state evictable at all: once the watermark
     * passes a window's end, that window is emitted+evicted and any
