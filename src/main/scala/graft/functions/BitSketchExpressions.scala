@@ -36,6 +36,28 @@ object SketchKernels {
     UTF8String.fromString(java.text.Normalizer.normalize(
       s.toString, java.text.Normalizer.Form.valueOf(form.toString)))
 
+  private val deflater = ThreadLocal.withInitial[java.util.zip.Deflater](() =>
+    new java.util.zip.Deflater(6))
+  private val deflateBuf = ThreadLocal.withInitial[Array[Byte]](() =>
+    new Array[Byte](1 << 16))
+
+  /** zlib (level 6) compressed byte length of the UTF-8 text — the
+    * Gopher-family repetitiveness signal. The Deflater and output
+    * buffer are per-thread, reset per row: no per-row allocation, and
+    * the expression stays inside whole-stage codegen (the previous
+    * `mapPartitions` form paid a full Dataset ser/deser boundary).
+    */
+  def deflateLength(s: UTF8String): Long = {
+    val d = deflater.get()
+    val buf = deflateBuf.get()
+    d.reset()
+    d.setInput(s.getBytes)
+    d.finish()
+    var n = 0L
+    while (!d.finished()) n += d.deflate(buf)
+    n
+  }
+
   private def digest60(s: UTF8String): Long = {
     val md = md5.get()
     md.reset()
@@ -321,6 +343,16 @@ case class UnicodeNormalize(left: Expression, right: Expression)
       newRight: Expression): UnicodeNormalize = copy(newLeft, newRight)
 }
 
+/** zlib-compressed byte length (see [[SketchKernels.deflateLength]]). */
+case class DeflateLength(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    SketchKernels.deflateLength(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SketchKernels.deflateLength($c)")
+  override protected def withNewChildInternal(newChild: Expression): DeflateLength = copy(newChild)
+}
+
 object BitSketchExpressions {
   /** Register SQL functions `graft_simhash64`, `graft_srp_sig`,
     * `graft_shingles`, `graft_md5_60`, `graft_minhash32`,
@@ -345,5 +377,7 @@ object BitSketchExpressions {
       "graft_minhash32", exprs => MinHash32(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_normalize", exprs => UnicodeNormalize(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_deflate_len", exprs => DeflateLength(exprs.head), "scala_udf")
   }
 }

@@ -238,32 +238,20 @@ object Corpus {
   /** Deflate compression ratio per document — the Gopher-family
     * repetitiveness signal: boilerplate and template spam compress far
     * below prose, so `deflate_len·1000 div raw_len` under ~300‰ marks
-    * a document for removal. `mapPartitions` (not a UDF) so ONE
-    * Deflater instance serves the whole partition via reset();
-    * level-6 zlib output is deterministic for fixed input bytes, so
-    * the permille ratio is stable run-to-run. No SQL engine exposes
-    * zlib → the gate is rows-only by design. Scales with the scan:
-    * per-row CPU, no shuffle.
+    * a document for removal. The zlib pass is the native codegen'd
+    * [[graft.functions.DeflateLength]] expression (per-thread Deflater
+    * reset per row), so the whole scoring projection stays inside one
+    * whole-stage-codegen span — no UDF, no Dataset ser/deser boundary.
+    * Level-6 zlib output is deterministic for fixed input bytes; no
+    * SQL engine exposes zlib → the gate is rows-only by design.
+    * Scales with the scan: per-row CPU, no shuffle.
     */
   def compressionRatio(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    df.select(col(idCol).cast(LongType), col(textCol)).as[(Long, String)]
-      .mapPartitions { it =>
-        val deflater = new java.util.zip.Deflater(6)
-        val buf = new Array[Byte](1 << 16)
-        it.map { case (id, text) =>
-          val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-          deflater.reset()
-          deflater.setInput(bytes)
-          deflater.finish()
-          var n = 0L
-          while (!deflater.finished()) n += deflater.deflate(buf)
-          (id, bytes.length.toLong, n)
-        }
-      }
-      .toDF(idCol, "raw_len", "deflate_len")
+    graft.functions.BitSketchExpressions.register(df.sparkSession)
+    df.select(col(idCol).cast(LongType).as(idCol),
+        octet_length(col(textCol)).cast(LongType).as("raw_len"),
+        expr(s"graft_deflate_len($textCol)").as("deflate_len"))
       .withColumn("ratio_permille",
         expr("deflate_len * 1000 div greatest(raw_len, 1)"))
       .withColumn("is_repetitive", col("ratio_permille") < 300)

@@ -671,6 +671,18 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"text must not cross an exchange:\n$p")
   }
 
+  test("d89 compression filter: zlib scoring stays in whole-stage codegen") {
+    val df = PipelineQueries.queries("d89_compression_ratio_filter")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // the native DeflateLength expression must not force the scan out
+    // of codegen — the old mapPartitions form paid a full Dataset
+    // ser/deser boundary here
+    assert(!p.contains("DeserializeToObject") && !p.contains("MapPartitions"),
+      s"zlib pass must be an expression, not an object boundary:\n$p")
+    assert(p.contains("* Project"), s"expected codegen'd projection in:\n$p")
+  }
+
   test("d93 salted join: hot key spreads over (key, salt) shuffle partitions") {
     val df = PipelineQueries.queries("d93_skew_salted_join")(spark, sfDir)
     df.collect()
