@@ -2452,6 +2452,33 @@ object PipelineQueries {
           sum(col("weight") * col("l_quantity").cast(DecimalType(18, 2)))
             .cast(DoubleType).as("weighted_qty"))
         .orderBy(col("key"))
+    },
+
+    // --- single-pass filter observability (Observation API) ---------------
+    "d94_observed_filter_rates" -> { (s, d) =>
+      // Production filters need pass/fail telemetry, and re-scanning to
+      // count is a second pass over 100 TB. `df.observe` piggybacks
+      // accumulator aggregates on the SAME scan that produces the
+      // filtered output — here the kept rows are counted AND the full
+      // population measured in one action, zero extra jobs. The gate
+      // emits the observed metrics (per-lang pass counts would ride the
+      // same observation) as its result row.
+      val pass = col("n_chars") >= 200 && col("lang").isin("en", "de", "fr")
+      val obs = new org.apache.spark.sql.Observation()
+      val kept = t(s, d, "documents")
+        .observe(obs,
+          count(lit(1)).as("n_total"),
+          sum(when(pass, 1L).otherwise(0L)).as("n_pass"),
+          sum(col("n_chars")).as("chars_total"))
+        .where(pass)
+      val nKept = kept.count()
+      val m = obs.get
+      val nTotal = m("n_total").asInstanceOf[Long]
+      val nPass = m("n_pass").asInstanceOf[Long]
+      require(nPass == nKept, s"observed pass count $nPass != kept rows $nKept")
+      import s.implicits._
+      Seq((nTotal, nPass, nTotal - nPass, m("chars_total").asInstanceOf[Long]))
+        .toDF("n_total", "n_pass", "n_fail", "chars_total")
     }
   )
 
@@ -4003,6 +4030,15 @@ object PipelineQueries {
 
       // integer-exact surprisal: bits(c) = length(bin(c)) = ⌊log2 c⌋+1
       // in both engines, so no ln() cross-engine drift anywhere
+      "d94_observed_filter_rates" ->
+        """SELECT CAST(count(1) AS BIGINT) AS n_total,
+          |  CAST(sum(CASE WHEN n_chars >= 200 AND lang IN ('en','de','fr')
+          |    THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+          |  CAST(sum(CASE WHEN n_chars >= 200 AND lang IN ('en','de','fr')
+          |    THEN 0 ELSE 1 END) AS BIGINT) AS n_fail,
+          |  CAST(sum(n_chars) AS BIGINT) AS chars_total
+          |FROM documents""".stripMargin,
+
       "d93_skew_salted_join" ->
         """WITH fact AS (
           |  SELECT CASE WHEN l_orderkey % 10 < 9 THEN 0 ELSE l_partkey % 50 END AS key,

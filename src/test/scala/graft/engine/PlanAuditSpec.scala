@@ -671,6 +671,18 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"text must not cross an exchange:\n$p")
   }
 
+  test("d85 top-k: global ORDER BY + LIMIT plans as TakeOrderedAndProject") {
+    // a top-k over a big aggregate must never be a full global sort:
+    // TakeOrderedAndProject keeps a k-row heap per partition and merges
+    // k-row results — O(n log k) and no sort spill at 100 TB
+    val df = PipelineQueries.queries("d85_bigram_pmi")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      .split("== Initial Plan ==").head
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected heap-based top-k, not a global sort:\n$p")
+  }
+
   test("d89 compression filter: zlib scoring stays in whole-stage codegen") {
     val df = PipelineQueries.queries("d89_compression_ratio_filter")(spark, sfDir)
     df.collect()
