@@ -79,6 +79,10 @@ object StreamingQueries {
 
     "s17_stream_semi_join" -> { (s, d) =>
       StreamingOps.runBoundedSemiConversion(s, d, "s17_sink")
+    },
+
+    "s18_stream_rocksdb_state" -> { (s, d) =>
+      StreamingOps.runBoundedWindowAggRocksDB(s, d, "s18_sink")
     }
   )
 
@@ -119,6 +123,15 @@ object StreamingQueries {
         |SELECT user_id, count(1) AS n_events, max(value) AS max_value,
         |  CAST(max(CASE WHEN rn = 1 THEN event_id END) AS BIGINT) AS last_event_id
         |FROM ranked GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // same batch restatement as s01 — the state backend swap (RocksDB
+    // vs default HDFS-backed) must be invisible to the results
+    "s18_stream_rocksdb_state" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  event_type, count(1) AS cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     // batch restatement of the left-semi conversion: clicks with at
     // least one purchase in their 30-minute window, each exactly once
     "s17_stream_semi_join" ->

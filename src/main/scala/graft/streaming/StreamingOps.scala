@@ -704,6 +704,41 @@ object StreamingOps {
       .orderBy(col("event_type"), col("window_start"))
   }
 
+  /** The windowed aggregation (s01's plan) on the RocksDB state store —
+    * the provider a production cluster runs, because the default
+    * HDFS-backed store keeps every version of all state in executor
+    * heap and OOMs at large key cardinality; RocksDB spills to local
+    * disk with changelog checkpointing, so state scales with disk,
+    * not heap. The gate pins that results are IDENTICAL under the
+    * provider swap — state backend must be invisible to semantics.
+    * The provider conf is fixed at query start, so it is scoped to
+    * this run and restored after (same pattern as the partition cap).
+    */
+  def runBoundedWindowAggRocksDB(spark: SparkSession, sfDir: String,
+      queryName: String): DataFrame = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val agg = windowedEventCounts(boundedEventStream(spark, sfDir), "1 hour", "1 hour")
+      val q = withStatePartitions(spark, 8)(agg.writeStream
+        .option("checkpointLocation", ckpt())
+        .format("memory")
+        .queryName(queryName)
+        .outputMode("complete")
+        .start())
+      try q.processAllAvailable() finally q.stop()
+      spark.table(queryName)
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("event_type"), col("cnt"), col("sum_value"))
+        .orderBy(col("window_start"), col("event_type"))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   /** Stream-stream LEFT SEMI join — the third join flavor next to the
     * inner (s04) and left-outer (s08) attributions: emit each click
     * AT MOST ONCE as soon as any purchase lands in its 30-minute
