@@ -2479,6 +2479,42 @@ object PipelineQueries {
       import s.implicits._
       Seq((nTotal, nPass, nTotal - nPass, m("chars_total").asInstanceOf[Long]))
         .toDF("n_total", "n_pass", "n_fail", "chars_total")
+    },
+
+    // --- mergeable sketch quantiles (one-pass profile) --------------------
+    "d95_approx_quantiles" -> { (s, d) =>
+      // d83 computes EXACT per-source quantiles via a rank window —
+      // right for calibration, but it sorts every source partition.
+      // The 100 TB profile pass is approx_percentile: one scan,
+      // map-side-mergeable sketches, rank error ≤ n/accuracy. The gate
+      // brackets each estimate between the exact values at rank ± 2
+      // (accuracy 10⁴ ⇒ sub-rank error at these corpus sizes) and
+      // emits the exact value + a pinned-TRUE tolerance flag, s11-style.
+      val docs = t(s, d, "documents").select(col("source"), col("n_chars"))
+      val ranked = docs.withColumn("rn", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("n_chars"))))
+      val counts = docs.groupBy("source").agg(count(lit(1)).as("n"))
+      val spec = counts
+        .select(col("source"), col("n"),
+          explode(expr("array(50, 95)")).as("p"))
+        .withColumn("r", expr("cast(ceil(n * p / 100.0) as int)"))
+        .withColumn("lo", expr("greatest(1, r - 2)"))
+        .withColumn("hi", expr("least(cast(n as int), r + 2)"))
+      val brackets = spec.join(ranked, Seq("source"))
+        .where(col("rn") === col("r") || col("rn") === col("lo") || col("rn") === col("hi"))
+        .groupBy(col("source"), col("p"))
+        .agg(max(when(col("rn") === col("r"), col("n_chars"))).as("exact"),
+          min(when(col("rn") === col("lo"), col("n_chars"))).as("lov"),
+          max(when(col("rn") === col("hi"), col("n_chars"))).as("hiv"))
+      val approx = docs.groupBy("source")
+        .agg(expr("approx_percentile(n_chars, array(0.5, 0.95), 10000)").as("qs"))
+        .select(col("source"), explode(expr(
+          "array(named_struct('p', 50, 'apx', qs[0]), named_struct('p', 95, 'apx', qs[1]))")).as("e"))
+        .select(col("source"), col("e.p").as("p"), col("e.apx").as("apx"))
+      brackets.join(approx, Seq("source", "p"))
+        .select(col("source"), col("p"), col("exact"),
+          (col("apx") >= col("lov") && col("apx") <= col("hiv")).as("within_tol"))
+        .orderBy(col("source"), col("p"))
     }
   )
 
@@ -4030,6 +4066,27 @@ object PipelineQueries {
 
       // integer-exact surprisal: bits(c) = length(bin(c)) = ⌊log2 c⌋+1
       // in both engines, so no ln() cross-engine drift anywhere
+      // exact rank values + pinned-TRUE tolerance (the estimate is
+      // deterministic run-to-run; the bracket bound is checked Spark-side)
+      "d95_approx_quantiles" ->
+        """WITH ranked AS (
+          |  SELECT source, n_chars,
+          |    row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rn
+          |  FROM documents
+          |), counts AS (
+          |  SELECT source, CAST(count(1) AS BIGINT) AS n FROM documents GROUP BY 1
+          |), spec AS (
+          |  SELECT source, n, CAST(p AS INT) AS p,
+          |    CAST(ceil(n * p / 100.0) AS INT) AS r
+          |  FROM counts, (SELECT unnest([50, 95]) AS p)
+          |)
+          |SELECT s.source, s.p,
+          |  max(CASE WHEN rn = r THEN n_chars END) AS exact,
+          |  TRUE AS within_tol
+          |FROM spec s JOIN ranked ON s.source = ranked.source
+          |WHERE rn = r
+          |GROUP BY 1, 2 ORDER BY s.source, s.p""".stripMargin,
+
       "d94_observed_filter_rates" ->
         """SELECT CAST(count(1) AS BIGINT) AS n_total,
           |  CAST(sum(CASE WHEN n_chars >= 200 AND lang IN ('en','de','fr')
