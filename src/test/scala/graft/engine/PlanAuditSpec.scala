@@ -683,6 +683,18 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected heap-based top-k, not a global sort:\n$p")
   }
 
+  test("d95 sketch quantiles: partial sketches merge map-side before the shuffle") {
+    val df = PipelineQueries.queries("d95_approx_quantiles")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      .split("== Initial Plan ==").head
+    // approx_percentile is a TypedImperativeAggregate → ObjectHashAggregate;
+    // partial + final nodes = the sketch is built per-partition and MERGED,
+    // the property that makes the one-pass profile work at 100 TB
+    assert(p.linesIterator.count(_.contains("ObjectHashAggregate")) >= 2,
+      s"expected partial+final sketch aggregation in:\n$p")
+  }
+
   test("d89 compression filter: zlib scoring stays in whole-stage codegen") {
     val df = PipelineQueries.queries("d89_compression_ratio_filter")(spark, sfDir)
     df.collect()
