@@ -83,6 +83,10 @@ object StreamingQueries {
 
     "s18_stream_rocksdb_state" -> { (s, d) =>
       StreamingOps.runBoundedWindowAggRocksDB(s, d, "s18_sink")
+    },
+
+    "s19_stream_checkpoint_recovery" -> { (s, d) =>
+      StreamingOps.runBoundedCheckpointRecovery(s, d, "s19_sink")
     }
   )
 
@@ -123,6 +127,15 @@ object StreamingQueries {
         |SELECT user_id, count(1) AS n_events, max(value) AS max_value,
         |  CAST(max(CASE WHEN rn = 1 THEN event_id END) AS BIGINT) AS last_event_id
         |FROM ranked GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // batch restatement of the recovery run: totals over ALL events —
+    // re-reading the committed half would double them, losing the
+    // restored state would halve them
+    "s19_stream_checkpoint_recovery" ->
+      """SELECT event_type, CAST(count(1) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // same batch restatement as s01 — the state backend swap (RocksDB
     // vs default HDFS-backed) must be invisible to the results
     "s18_stream_rocksdb_state" ->

@@ -704,6 +704,44 @@ object StreamingOps {
       .orderBy(col("event_type"), col("window_start"))
   }
 
+  /** Checkpoint recovery — the exactly-once contract across restarts:
+    * a query is stopped after consuming half the input, then a NEW
+    * query starts from the SAME checkpoint and consumes the rest. Two
+    * things must both hold for the final totals to equal the batch
+    * aggregation: the recovered source must NOT re-read the committed
+    * first half (re-reading would double those counts), and the
+    * aggregation state must be RESTORED from the state store (losing
+    * it would halve them). Complete-mode memory sink → the final
+    * table is the full recovered state.
+    */
+  def runBoundedCheckpointRecovery(spark: SparkSession, sfDir: String,
+      queryName: String): DataFrame = {
+    val src = Scratch.fresh("recov_src_")
+    val ck = Scratch.fresh("recov_ck_")
+    val ev = graft.queries.Tables.t(spark, sfDir, "events")
+    def startPhase(qn: String) = withStatePartitions(spark, 8)(
+      graft.queries.Tables.normalizeTs(
+          spark.readStream.schema(ev.schema).parquet(src))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .writeStream
+        .option("checkpointLocation", ck)
+        .format("memory")
+        .queryName(qn)
+        .outputMode("complete")
+        .start())
+    ev.where(col("event_id") % 2 === 0)
+      .coalesce(1).write.mode("append").parquet(src)
+    val q1 = startPhase(queryName + "_p1")
+    try q1.processAllAvailable() finally q1.stop()
+    ev.where(col("event_id") % 2 =!= 0)
+      .coalesce(1).write.mode("append").parquet(src)
+    val q2 = startPhase(queryName)
+    try q2.processAllAvailable() finally q2.stop()
+    spark.table(queryName).orderBy(col("event_type"))
+  }
+
   /** The windowed aggregation (s01's plan) on the RocksDB state store —
     * the provider a production cluster runs, because the default
     * HDFS-backed store keeps every version of all state in executor
