@@ -2515,6 +2515,37 @@ object PipelineQueries {
         .select(col("source"), col("p"), col("exact"),
           (col("apx") >= col("lov") && col("apx") <= col("hiv")).as("within_tol"))
         .orderBy(col("source"), col("p"))
+    },
+
+    // --- accent-folding dedup (diacritic spelling variants) ---------------
+    "d96_accent_fold_dedup" -> { (s, d) =>
+      // Web text spells the same word both ways — café/cafe,
+      // résumé/resume — so exact dedup (d01) and even case/ws
+      // normalization (d02) miss diacritic variants. Fold via NFD
+      // decomposition + combining-mark removal (the native codegen'd
+      // graft_normalize expression + one regex), then hash-group.
+      // DuckDB's strip_accents is the same fold for Latin text, so
+      // the whole pipeline is oracle-checked. Planted pairs: every
+      // 13th doc in an accented and an unaccented spelling (ids +7M /
+      // +8M) MUST land in one cluster; the base doc (no suffix) must
+      // not. Per-row fold + one hash groupBy — scales with the scan.
+      graft.functions.BitSketchExpressions.register(s)
+      val docs = t(s, d, "documents")
+      val variants = docs.where(col("doc_id") % 13 === 0)
+      val planted = variants
+        .withColumn("doc_id", col("doc_id") + 7000000L)
+        .withColumn("text", concat(col("text"), lit(" cafe resume naive")))
+        .unionByName(variants
+          .withColumn("doc_id", col("doc_id") + 8000000L)
+          .withColumn("text", concat(col("text"), lit(" café résumé naïve"))))
+      docs.unionByName(planted)
+        .withColumn("folded", lower(regexp_replace(
+          expr("graft_normalize(text, 'NFD')"), "\\p{M}", "")))
+        .groupBy(md5(col("folded")).as("fold_hash"))
+        .agg(count(lit(1)).as("n_variants"), min(col("doc_id")).as("keep_id"),
+          max(length(col("folded"))).as("n_chars"))
+        .where(col("n_variants") > 1)
+        .orderBy(col("fold_hash"))
     }
   )
 
@@ -4066,6 +4097,23 @@ object PipelineQueries {
 
       // integer-exact surprisal: bits(c) = length(bin(c)) = ⌊log2 c⌋+1
       // in both engines, so no ln() cross-engine drift anywhere
+      "d96_accent_fold_dedup" ->
+        """WITH corpus AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 7000000, text || ' cafe resume naive'
+          |  FROM documents WHERE doc_id % 13 = 0
+          |  UNION ALL
+          |  SELECT doc_id + 8000000, text || ' café résumé naïve'
+          |  FROM documents WHERE doc_id % 13 = 0
+          |), folded AS (
+          |  SELECT doc_id, lower(strip_accents(text)) AS folded FROM corpus
+          |)
+          |SELECT md5(folded) AS fold_hash, CAST(count(1) AS BIGINT) AS n_variants,
+          |  min(doc_id) AS keep_id, CAST(max(length(folded)) AS INT) AS n_chars
+          |FROM folded
+          |GROUP BY 1 HAVING count(1) > 1 ORDER BY fold_hash""".stripMargin,
+
       // exact rank values + pinned-TRUE tolerance (the estimate is
       // deterministic run-to-run; the bracket bound is checked Spark-side)
       "d95_approx_quantiles" ->

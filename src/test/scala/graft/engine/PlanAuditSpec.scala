@@ -683,6 +683,16 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected heap-based top-k, not a global sort:\n$p")
   }
 
+  test("m11 pooled dedup: GIF payloads never cross an exchange") {
+    val df = PipelineQueries.queries("m11_video_pooled_dedup")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      .split("== Initial Plan ==").head
+    assert(p.linesIterator.filter(_.contains("Exchange")).forall(!_.contains("payload")),
+      s"payload bytes must not cross an exchange:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian in:\n$p")
+  }
+
   test("d95 sketch quantiles: partial sketches merge map-side before the shuffle") {
     val df = PipelineQueries.queries("d95_approx_quantiles")(spark, sfDir)
     df.collect()
