@@ -982,6 +982,28 @@ object RelationalQueries {
       // engines; dense_rank pins gap-free ranking next to q42's rank.
       Tables.views(s, d, "orders")
       s.sql(RelationalQueries.rankWindowsSql)
+    },
+
+    // --- cumulative distinct users (first-touch rewrite) ------------------
+    "q67_cumulative_distinct" -> { (s, d) =>
+      // "Distinct users to date, per day" — COUNT(DISTINCT) OVER a
+      // running frame isn't supported (and would hold per-frame sets).
+      // The scalable rewrite: a user contributes on exactly their
+      // FIRST day, so cumulative-distinct = running sum of first-seen
+      // counts — one groupBy(user) + one day-sized window instead of
+      // per-frame distinct state. The oracle computes the naive
+      // correlated form; the two must agree exactly.
+      val ev = t(s, d, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      val firstSeen = ev.groupBy(col("user_id")).agg(min(col("day")).as("day"))
+        .groupBy(col("day")).agg(count(lit(1)).as("n_new"))
+      val days = ev.select(col("day")).distinct()
+      days.join(firstSeen, Seq("day"), "left").na.fill(0L, Seq("n_new"))
+        .withColumn("n_distinct_to_date", sum(col("n_new")).over(
+          Window.orderBy(col("day")).rowsBetween(Window.unboundedPreceding, 0)))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("n_new"), col("n_distinct_to_date"))
+        .orderBy(col("day"))
     }
   )
 
@@ -1047,6 +1069,21 @@ object RelationalQueries {
     "q64_grouping_sets" -> groupingSetsSql,
     "q65_set_ops_all" -> setOpsAllSql,
     "q66_rank_windows" -> rankWindowsSql,
+
+    // naive correlated form — must equal the first-touch rewrite
+    "q67_cumulative_distinct" ->
+      """WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+        |fs AS (
+        |  SELECT user_id, min(CAST(ts AS DATE)) AS day FROM events GROUP BY 1
+        |), nn AS (
+        |  SELECT day, CAST(count(1) AS BIGINT) AS n_new FROM fs GROUP BY 1
+        |)
+        |SELECT strftime(d.day, '%Y-%m-%d') AS day,
+        |  coalesce(nn.n_new, 0) AS n_new,
+        |  (SELECT count(DISTINCT e.user_id) FROM events e
+        |   WHERE CAST(e.ts AS DATE) <= d.day) AS n_distinct_to_date
+        |FROM days d LEFT JOIN nn ON d.day = nn.day
+        |ORDER BY day""".stripMargin,
 
     "q60_rolling_revenue" ->
       """SELECT o_orderkey, o_custkey,

@@ -87,6 +87,10 @@ object StreamingQueries {
 
     "s19_stream_checkpoint_recovery" -> { (s, d) =>
       StreamingOps.runBoundedCheckpointRecovery(s, d, "s19_sink")
+    },
+
+    "s20_stream_scd2_enrichment" -> { (s, d) =>
+      StreamingOps.runBoundedScd2Enrichment(s, d, "s20_sink")
     }
   )
 
@@ -127,6 +131,24 @@ object StreamingQueries {
         |SELECT user_id, count(1) AS n_events, max(value) AS max_value,
         |  CAST(max(CASE WHEN rn = 1 THEN event_id END) AS BIGINT) AS last_event_id
         |FROM ranked GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // batch restatement of the SCD2 interval join: each event matches
+    // the dimension version current at EVENT time
+    "s20_stream_scd2_enrichment" ->
+      """WITH dim AS (
+        |  SELECT c_custkey AS key, c_mktsegment, CAST(v AS INT) AS version,
+        |    CASE WHEN v = 1 THEN TIMESTAMP '1970-01-01'
+        |         ELSE TIMESTAMP '2024-01-16' END AS vf,
+        |    CASE WHEN v = 1 THEN TIMESTAMP '2024-01-16'
+        |         ELSE TIMESTAMP '2100-01-01' END AS vt
+        |  FROM customer, (SELECT unnest([1, 2]) AS v)
+        |  WHERE c_custkey < 100
+        |)
+        |SELECT version, c_mktsegment, CAST(count(1) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events e JOIN dim ON dim.key = e.user_id % 100
+        |  AND e.ts >= vf AND e.ts < vt
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     // batch restatement of the recovery run: totals over ALL events —
     // re-reading the committed half would double them, losing the
     // restored state would halve them

@@ -704,6 +704,43 @@ object StreamingOps {
       .orderBy(col("event_type"), col("window_start"))
   }
 
+  /** Stream-static SCD2 enrichment: events join a slowly-changing
+    * dimension on key AND event-time validity interval (ts ∈
+    * [valid_from, valid_to)) — so an event picks the dimension
+    * version that was CURRENT at event time, not at processing time.
+    * Stream-static joins are stateless and re-plan the static side
+    * per micro-batch, so an interval (non-equi) condition costs
+    * nothing extra; the dim broadcasts. s06 is the plain lookup; this
+    * is the temporally-correct form a backfill-safe pipeline needs.
+    */
+  def runBoundedScd2Enrichment(spark: SparkSession, sfDir: String,
+      queryName: String): DataFrame = {
+    val dim = graft.queries.Tables.t(spark, sfDir, "customer")
+      .where(col("c_custkey") < 100)
+      .select(col("c_custkey").as("key"), col("c_mktsegment"))
+      .withColumn("version", explode(expr("array(1, 2)")))
+      .withColumn("valid_from", when(col("version") === 1,
+        lit("1970-01-01 00:00:00")).otherwise(lit("2024-01-16 00:00:00")).cast("timestamp"))
+      .withColumn("valid_to", when(col("version") === 1,
+        lit("2024-01-16 00:00:00")).otherwise(lit("2100-01-01 00:00:00")).cast("timestamp"))
+    val ev = boundedEventStream(spark, sfDir)
+      .withColumn("key", col("user_id") % 100)
+    val agg = ev.join(broadcast(dim),
+        ev("key") === dim("key") &&
+          col("ts") >= col("valid_from") && col("ts") < col("valid_to"))
+      .groupBy(col("version"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+    val q = withStatePartitions(spark, 8)(agg.writeStream
+      .option("checkpointLocation", ckpt())
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("complete")
+      .start())
+    try q.processAllAvailable() finally q.stop()
+    spark.table(queryName).orderBy(col("version"), col("c_mktsegment"))
+  }
+
   /** Checkpoint recovery — the exactly-once contract across restarts:
     * a query is stopped after consuming half the input, then a NEW
     * query starts from the SAME checkpoint and consumes the rest. Two
