@@ -2546,6 +2546,19 @@ object PipelineQueries {
           max(length(col("folded"))).as("n_chars"))
         .where(col("n_variants") > 1)
         .orderBy(col("fold_hash"))
+    },
+
+    // --- contrastive pair construction from dedup clusters ----------------
+    "d97_contrastive_pairs" -> { (s, d) =>
+      // The dedup byproduct IS training data: every near-dup cluster
+      // yields (anchor = representative, positive = other member)
+      // pairs — free positives for contrastive embedding training,
+      // harvested from the same connected components d21 computes for
+      // retention. Zero extra shuffles beyond the CC itself.
+      connectedComponents(jaccardPairs(s, d).select(col("a"), col("b")))
+        .where(col("node") =!= col("lab"))
+        .select(col("lab").as("anchor_id"), col("node").as("positive_id"))
+        .orderBy(col("anchor_id"), col("positive_id"))
     }
   )
 
@@ -3282,6 +3295,36 @@ object PipelineQueries {
       // The cluster oracle re-derives the d08 pair graph, then takes the
       // transitive closure with a recursive CTE: min reachable id ==
       // the label-propagation fixpoint on a symmetric edge set.
+      // same transitive closure as d21, emitted as (rep, member) pairs
+      "d97_contrastive_pairs" -> (planted +
+        """
+          |, sh AS (
+          |  SELECT doc_id, lang,
+          |    toks[1] AS first_tok,
+          |    CAST(len(toks) // 8 AS INTEGER) AS n_toks_bucket,
+          |    list_distinct(list_transform(range(1, len(toks) - 1),
+          |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+          |  FROM (SELECT doc_id, lang, regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM corpus)
+          |  WHERE len(toks) >= 3
+          |), pairs AS (
+          |  SELECT a.doc_id AS a, b.doc_id AS b
+          |  FROM sh a JOIN sh b
+          |    ON a.lang = b.lang AND a.first_tok = b.first_tok
+          |    AND a.n_toks_bucket = b.n_toks_bucket AND a.doc_id < b.doc_id
+          |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+          |      / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE) >= 0.3
+          |), edges AS (
+          |  SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs
+          |), reach AS (
+          |  SELECT src AS node, src AS r FROM edges
+          |  UNION
+          |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.node
+          |)
+          |SELECT min(r) AS anchor_id, node AS positive_id
+          |FROM reach GROUP BY node HAVING node != min(r)
+          |ORDER BY anchor_id, positive_id""".stripMargin)
+        .replace("WITH corpus", "WITH RECURSIVE corpus"),
+
       "d21_dedup_clusters" -> (planted +
         """
           |, sh AS (
