@@ -2559,6 +2559,38 @@ object PipelineQueries {
         .where(col("node") =!= col("lab"))
         .select(col("lab").as("anchor_id"), col("node").as("positive_id"))
         .orderBy(col("anchor_id"), col("positive_id"))
+    },
+
+    // --- leakage-proof train/eval split (cluster-granular) ----------------
+    "d98_leakproof_split" -> { (s, d) =>
+      // The constructive fix to what d63 detects: doc-granular hash
+      // splits leak near-duplicates across train/eval. Assign the
+      // split at CLUSTER granularity — every doc inherits its
+      // connected-component representative's hash coin — so a near-dup
+      // pair can never straddle the boundary by construction.
+      // Singletons (no near-dup) keep their own id as rep. Output:
+      // per-split doc counts plus the straddling-pair count, which the
+      // construction pins to ZERO.
+      val corpus = corpusWithPlants(s, d).select(col("doc_id"))
+      val pairs = jaccardPairs(s, d).select(col("a"), col("b"))
+      val cc = connectedComponents(pairs)
+      val reps = corpus.join(cc.select(col("node").as("doc_id"), col("lab")),
+          Seq("doc_id"), "left")
+        .withColumn("rep", coalesce(col("lab"), col("doc_id")))
+        .withColumn("split", when(
+          expr("cast(conv(substring(md5(cast(rep as string)), 1, 15), 16, 10) as bigint) % 10") < 8,
+          lit("train")).otherwise(lit("eval")))
+        .select(col("doc_id"), col("rep"), col("split"))
+      val straddle = pairs
+        .join(reps.select(col("doc_id").as("a"), col("split").as("sa")), Seq("a"))
+        .join(reps.select(col("doc_id").as("b"), col("split").as("sb")), Seq("b"))
+        .where(col("sa") =!= col("sb"))
+        .agg(count(lit(1)).as("n_straddling"))
+      reps.groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("rep")).as("n_clusters"))
+        .crossJoin(broadcast(straddle))
+        .orderBy(col("split"))
     }
   )
 
@@ -3295,6 +3327,48 @@ object PipelineQueries {
       // The cluster oracle re-derives the d08 pair graph, then takes the
       // transitive closure with a recursive CTE: min reachable id ==
       // the label-propagation fixpoint on a symmetric edge set.
+      // d21's closure + cluster-granular split assignment; the
+      // straddling-pair count is pinned 0 by construction
+      "d98_leakproof_split" -> (planted +
+        """
+          |, sh AS (
+          |  SELECT doc_id, lang,
+          |    toks[1] AS first_tok,
+          |    CAST(len(toks) // 8 AS INTEGER) AS n_toks_bucket,
+          |    list_distinct(list_transform(range(1, len(toks) - 1),
+          |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+          |  FROM (SELECT doc_id, lang, regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM corpus)
+          |  WHERE len(toks) >= 3
+          |), pairs AS (
+          |  SELECT a.doc_id AS a, b.doc_id AS b
+          |  FROM sh a JOIN sh b
+          |    ON a.lang = b.lang AND a.first_tok = b.first_tok
+          |    AND a.n_toks_bucket = b.n_toks_bucket AND a.doc_id < b.doc_id
+          |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+          |      / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE) >= 0.3
+          |), edges AS (
+          |  SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs
+          |), reach AS (
+          |  SELECT src AS node, src AS r FROM edges
+          |  UNION
+          |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.node
+          |), cc AS (
+          |  SELECT node, min(r) AS lab FROM reach GROUP BY node
+          |), reps AS (
+          |  SELECT c.doc_id, coalesce(cc.lab, c.doc_id) AS rep,
+          |    CASE WHEN ('0x' || substring(md5(CAST(coalesce(cc.lab, c.doc_id) AS VARCHAR)), 1, 15))::BIGINT % 10 < 8
+          |      THEN 'train' ELSE 'eval' END AS split
+          |  FROM (SELECT doc_id FROM corpus) c LEFT JOIN cc ON cc.node = c.doc_id
+          |)
+          |SELECT split, CAST(count(1) AS BIGINT) AS n_docs,
+          |  CAST(count(DISTINCT rep) AS BIGINT) AS n_clusters,
+          |  (SELECT CAST(count(1) AS BIGINT) FROM pairs p
+          |     JOIN reps ra ON ra.doc_id = p.a
+          |     JOIN reps rb ON rb.doc_id = p.b
+          |     WHERE ra.split != rb.split) AS n_straddling
+          |FROM reps GROUP BY 1 ORDER BY split""".stripMargin)
+        .replace("WITH corpus", "WITH RECURSIVE corpus"),
+
       // same transitive closure as d21, emitted as (rep, member) pairs
       "d97_contrastive_pairs" -> (planted +
         """
