@@ -2591,6 +2591,34 @@ object PipelineQueries {
           countDistinct(col("rep")).as("n_clusters"))
         .crossJoin(broadcast(straddle))
         .orderBy(col("split"))
+    },
+
+    // --- mixture-weighted deterministic interleave ------------------------
+    "d99_mixture_interleave" -> { (s, d) =>
+      // A mixture schedule (d31/d69) is only real once it becomes an
+      // actual DATA ORDER. Weighted fair interleave, stateless and
+      // deterministic: doc k of source s is emitted at virtual time
+      // k·10⁶ div weight_s (higher weight → denser emission — the
+      // classic weighted-fair-queueing formula, pure integer math).
+      // Within-source order is a content-hash shuffle. Any worker can
+      // compute any slice of the order from (source, rank) alone —
+      // no sampler state, resumable at 100 TB. Gate = first 200
+      // positions of the global order.
+      val docs = t(s, d, "documents")
+        .withColumn("weight",
+          expr("1 + cast(conv(substring(md5(source), 1, 15), 16, 10) as bigint) % 5"))
+      val ranked = docs.withColumn("rk", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(md5(col("doc_id").cast(StringType)), col("doc_id"))))
+      ranked
+        .withColumn("vtime", expr("cast(rk as bigint) * 1000000 div weight"))
+        .orderBy(col("vtime"), col("source"), col("doc_id"))
+        .limit(200)
+        .withColumn("pos", row_number().over(
+          Window.orderBy(col("vtime"), col("source"), col("doc_id"))))
+        .select(col("pos"), col("vtime"), col("source"), col("rk"),
+          col("weight"), col("doc_id"))
+        .orderBy(col("pos"))
     }
   )
 
@@ -3327,6 +3355,27 @@ object PipelineQueries {
       // The cluster oracle re-derives the d08 pair graph, then takes the
       // transitive closure with a recursive CTE: min reachable id ==
       // the label-propagation fixpoint on a symmetric edge set.
+      "d99_mixture_interleave" ->
+        """WITH w AS (
+          |  SELECT doc_id, source,
+          |    1 + ('0x' || substring(md5(source), 1, 15))::BIGINT % 5 AS weight
+          |  FROM documents
+          |), ranked AS (
+          |  SELECT doc_id, source, weight,
+          |    CAST(row_number() OVER (PARTITION BY source
+          |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS rk
+          |  FROM w
+          |), vt AS (
+          |  SELECT doc_id, source, weight, rk,
+          |    CAST(rk AS BIGINT) * 1000000 // weight AS vtime
+          |  FROM ranked
+          |), top AS (
+          |  SELECT * FROM vt ORDER BY vtime, source, doc_id LIMIT 200
+          |)
+          |SELECT CAST(row_number() OVER (ORDER BY vtime, source, doc_id) AS INT) AS pos,
+          |  vtime, source, rk, weight, doc_id
+          |FROM top ORDER BY pos""".stripMargin,
+
       // d21's closure + cluster-granular split assignment; the
       // straddling-pair count is pinned 0 by construction
       "d98_leakproof_split" -> (planted +
