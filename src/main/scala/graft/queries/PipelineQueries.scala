@@ -2572,7 +2572,9 @@ object PipelineQueries {
       // per-split doc counts plus the straddling-pair count, which the
       // construction pins to ZERO.
       val corpus = corpusWithPlants(s, d).select(col("doc_id"))
-      val pairs = jaccardPairs(s, d).select(col("a"), col("b"))
+      // pairs feed BOTH the CC and the straddle audit — persist so the
+      // candidate-generation pipeline (shingle join) runs once
+      val pairs = jaccardPairs(s, d).select(col("a"), col("b")).persist()
       val cc = connectedComponents(pairs)
       val reps = corpus.join(cc.select(col("node").as("doc_id"), col("lab")),
           Seq("doc_id"), "left")
@@ -2586,11 +2588,16 @@ object PipelineQueries {
         .join(reps.select(col("doc_id").as("b"), col("split").as("sb")), Seq("b"))
         .where(col("sa") =!= col("sb"))
         .agg(count(lit(1)).as("n_straddling"))
-      reps.groupBy(col("split"))
+      val out = reps.groupBy(col("split"))
         .agg(count(lit(1)).as("n_docs"),
           countDistinct(col("rep")).as("n_clusters"))
         .crossJoin(broadcast(straddle))
         .orderBy(col("split"))
+      // 2-row result: checkpoint eagerly so the pairs cache never
+      // outlives the query (same hygiene as containmentPairs)
+      val result = out.localCheckpoint(true)
+      pairs.unpersist()
+      result
     },
 
     // --- mixture-weighted deterministic interleave ------------------------
