@@ -2626,6 +2626,35 @@ object PipelineQueries {
         .select(col("pos"), col("vtime"), col("source"), col("rk"),
           col("weight"), col("doc_id"))
         .orderBy(col("pos"))
+    },
+
+    // --- the full front door, composed end to end -------------------------
+    "d100_pipeline_e2e" -> { (s, d) =>
+      // The operators above chained the way a production ingest
+      // actually runs, in ONE declarative plan Catalyst optimizes as a
+      // whole: normalize (d02's fold) → exact-dedup keep-min-id →
+      // quality gate (d04's score ≥ 0.5) → deterministic 90/10 split
+      // (d19's hash coin) → per-(split, source) accounting. No stage
+      // materializes an intermediate; the corpus streams once into the
+      // dedup shuffle and once more through the scoring projection.
+      val docs = corpusWithPlants(s, d)
+      val normed = docs.withColumn("norm",
+        regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+      val keepIds = normed
+        .groupBy(md5(col("norm")).as("h")).agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      val kept = normed.join(keepIds, Seq("doc_id"), "left_semi")
+      val scored = graft.ops.Corpus.qualityScore(kept)
+      kept.select(col("doc_id"), col("source")).join(scored, Seq("doc_id"))
+        .where(col("quality") >= 0.5)
+        .withColumn("split", when(expr(
+          "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint) % 10") < 9,
+          lit("train")).otherwise(lit("eval")))
+        .groupBy(col("split"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          sum(col("alpha_chars")).as("alpha_chars"))
+        .orderBy(col("split"), col("source"))
     }
   )
 
@@ -3362,6 +3391,43 @@ object PipelineQueries {
       // The cluster oracle re-derives the d08 pair graph, then takes the
       // transitive closure with a recursive CTE: min reachable id ==
       // the label-propagation fixpoint on a symmetric edge set.
+      // the composed front door; quality doubles are engine-identical
+      // (d04 hash-passes) so the >= 0.5 gate cannot straddle
+      "d100_pipeline_e2e" ->
+        """WITH corpus AS (
+          |  SELECT doc_id, text, source FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 1000000, text || ' zzz', source
+          |  FROM documents WHERE doc_id % 10 = 0
+          |), normed AS (
+          |  SELECT doc_id, source, text,
+          |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+          |  FROM corpus
+          |), keep AS (
+          |  SELECT min(doc_id) AS doc_id FROM normed GROUP BY md5(norm)
+          |), kept AS (
+          |  SELECT n.doc_id, n.source, n.text FROM normed n JOIN keep USING (doc_id)
+          |), q AS (
+          |  SELECT doc_id, source,
+          |    CAST(len(toks) AS BIGINT) AS n_tokens,
+          |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS alpha_chars,
+          |    0.4 * least(1.0, CAST(len(toks) AS DOUBLE) / 100.0)
+          |      + 0.3 * (CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+          |               / CAST(len(toks) AS DOUBLE))
+          |      + 0.3 * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+          |               / CAST(length(text) AS DOUBLE)) AS quality
+          |  FROM (SELECT doc_id, source, text,
+          |          regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+          |        FROM kept)
+          |)
+          |SELECT CASE WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10 < 9
+          |         THEN 'train' ELSE 'eval' END AS split,
+          |  source, CAST(count(1) AS BIGINT) AS n_docs,
+          |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+          |  CAST(sum(alpha_chars) AS BIGINT) AS alpha_chars
+          |FROM q WHERE quality >= 0.5
+          |GROUP BY 1, 2 ORDER BY split, source""".stripMargin,
+
       "d99_mixture_interleave" ->
         """WITH w AS (
           |  SELECT doc_id, source,
