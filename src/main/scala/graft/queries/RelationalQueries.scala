@@ -1004,8 +1004,30 @@ object RelationalQueries {
         .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
           col("n_new"), col("n_distinct_to_date"))
         .orderBy(col("day"))
+    },
+
+    // --- UNPIVOT (wide metrics → long form) -------------------------------
+    "q68_unpivot" -> { (s, d) =>
+      // The inverse of q37's PIVOT: wide per-status metrics melted to
+      // (status, metric, val) rows — the shape metric stores and
+      // chart layers consume. Identical SQL text both engines. The
+      // price metric is exact cents (decimal × 100 → integral) because
+      // DECIMAL→BIGINT casts DIVERGE on fractions: Spark truncates,
+      // DuckDB rounds half-up.
+      Tables.views(s, d, "orders")
+      s.sql(RelationalQueries.unpivotSql)
     }
   )
+
+  /** Shared verbatim with the DuckDB oracle. */
+  val unpivotSql: String =
+    """SELECT o_orderstatus, metric, val FROM (
+      |  SELECT o_orderstatus,
+      |    CAST(count(1) AS BIGINT) AS n_orders,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_cents
+      |  FROM orders GROUP BY 1)
+      |UNPIVOT (val FOR metric IN (n_orders, total_cents))
+      |ORDER BY o_orderstatus, metric""".stripMargin
 
   /** Shared verbatim with the DuckDB oracle. */
   val setOpsAllSql: String =
@@ -1069,6 +1091,7 @@ object RelationalQueries {
     "q64_grouping_sets" -> groupingSetsSql,
     "q65_set_ops_all" -> setOpsAllSql,
     "q66_rank_windows" -> rankWindowsSql,
+    "q68_unpivot" -> unpivotSql,
 
     // naive correlated form — must equal the first-touch rewrite
     "q67_cumulative_distinct" ->

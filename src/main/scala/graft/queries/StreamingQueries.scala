@@ -91,6 +91,10 @@ object StreamingQueries {
 
     "s20_stream_scd2_enrichment" -> { (s, d) =>
       StreamingOps.runBoundedScd2Enrichment(s, d, "s20_sink")
+    },
+
+    "s21_stream_available_now" -> { (s, d) =>
+      StreamingOps.runBoundedAvailableNow(s, d, "s21_sink")
     }
   )
 
@@ -131,6 +135,14 @@ object StreamingQueries {
         |SELECT user_id, count(1) AS n_events, max(value) AS max_value,
         |  CAST(max(CASE WHEN rn = 1 THEN event_id END) AS BIGINT) AS last_event_id
         |FROM ranked GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // batch restatement of the self-terminating AvailableNow run:
+    // both rate-limited micro-batches must land before it stops
+    "s21_stream_available_now" ->
+      """SELECT event_type, CAST(count(1) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // batch restatement of the SCD2 interval join: each event matches
     // the dimension version current at EVENT time
     "s20_stream_scd2_enrichment" ->

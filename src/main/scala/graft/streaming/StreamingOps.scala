@@ -704,6 +704,50 @@ object StreamingOps {
       .orderBy(col("event_type"), col("window_start"))
   }
 
+  /** Trigger.AvailableNow — the batch-scheduled streaming mode a
+    * production incremental pipeline runs: process EVERYTHING
+    * available at start (respecting per-batch rate limits, here
+    * maxFilesPerTrigger=1 over a two-file source → two micro-batches),
+    * then stop on its own; the next scheduled run resumes from the
+    * checkpoint. Unlike processAllAvailable (a test-only wait), the
+    * trigger itself terminates the query — the gate pins that the
+    * self-terminating run still processes every file and its final
+    * state equals the batch aggregation.
+    */
+  def runBoundedAvailableNow(spark: SparkSession, sfDir: String,
+      queryName: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val src = Scratch.once(s"avail|$sfDir") { d =>
+      val ev = graft.queries.Tables.t(spark, sfDir, "events")
+      def writeOne(df: DataFrame, name: String): Unit = {
+        val tmp = Scratch.fresh("avail_part_")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+        Files.move(part.toPath, Paths.get(d, name))
+      }
+      writeOne(ev.where(col("event_id") % 2 === 0), "00_a.parquet")
+      writeOne(ev.where(col("event_id") % 2 =!= 0), "01_b.parquet")
+    }
+    val schema = spark.read.parquet(s"$src/00_a.parquet").schema
+    val agg = graft.queries.Tables.normalizeTs(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(src))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+    val q = withStatePartitions(spark, 8)(agg.writeStream
+      .option("checkpointLocation", ckpt())
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start())
+    q.awaitTermination(120000)
+    require(!q.isActive, "AvailableNow query must self-terminate")
+    spark.table(queryName).orderBy(col("event_type"))
+  }
+
   /** Stream-static SCD2 enrichment: events join a slowly-changing
     * dimension on key AND event-time validity interval (ts ∈
     * [valid_from, valid_to)) — so an event picks the dimension
