@@ -2655,8 +2655,69 @@ object PipelineQueries {
           sum(col("n_tokens")).as("n_tokens"),
           sum(col("alpha_chars")).as("alpha_chars"))
         .orderBy(col("split"), col("source"))
+    },
+
+    // --- mixed-language document detection --------------------------------
+    "d101_mixed_language_flags" -> { (s, d) =>
+      // Concatenation artifacts — an English page with a German
+      // boilerplate tail — poison monolingual training sets and slip
+      // past whole-doc language id (the dominant language wins). Split
+      // each doc in half, run d05's stopword-profile argmax on EACH
+      // half (literally the same formula via langIdExpr), and flag
+      // docs whose halves disagree with ≥2 stopword hits on both
+      // sides. Planted mixed docs (English + German filler tail,
+      // id+9M) surface; per-row expressions only — scales with the
+      // scan.
+      val docs = t(s, d, "documents")
+      val planted = docs.where(col("lang") === "en" && col("doc_id") % 17 === 0)
+        .withColumn("doc_id", col("doc_id") + 9000000L)
+        .withColumn("text", concat(col("text"),
+          lit(" der die das und ist nicht mit und der ist das nicht mit der und")))
+      docs.unionByName(planted)
+        .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
+        .withColumn("h", expr("size(toks) div 2"))
+        .withColumn("ta", expr("slice(toks, 1, h)"))
+        .withColumn("tb", expr("slice(toks, h + 1, size(toks) - h)"))
+        .where(expr("size(ta) > 0 and size(tb) > 0"))
+        .withColumn("lang_a", expr(langIdExpr("ta")))
+        .withColumn("lang_b", expr(langIdExpr("tb")))
+        .withColumn("hits_a", expr(langHitsExpr("ta")))
+        .withColumn("hits_b", expr(langHitsExpr("tb")))
+        .where(col("lang_a") =!= col("lang_b") &&
+          col("hits_a") >= 2 && col("hits_b") >= 2)
+        .select(col("doc_id"), col("lang"), col("lang_a"), col("lang_b"),
+          col("hits_a"), col("hits_b"))
+        .orderBy(col("doc_id"))
     }
   )
+
+  /** d05's stopword-profile argmax over an arbitrary token-array SQL
+    * expression — shared by d101's per-half language id so both halves
+    * and the oracle use literally the same formula.
+    */
+  private def langIdExpr(toksCol: String): String = {
+    def sc(set: String) = s"size(filter($toksCol, t -> t in ($set)))"
+    val en = sc("'the','a','of','and','to','in','is'")
+    val de = sc("'der','die','das','und','ist','nicht','mit'")
+    val es = sc("'el','la','de','que','y','en','los'")
+    val fr = sc("'le','les','et','des','un','une','est'")
+    val zh = sc("'的','是','不','了','在','我','有'")
+    s"""case
+       |  when $en >= $de and $en >= $es and $en >= $fr and $en >= $zh then 'en'
+       |  when $de >= $es and $de >= $fr and $de >= $zh then 'de'
+       |  when $es >= $fr and $es >= $zh then 'es'
+       |  when $fr >= $zh then 'fr'
+       |  else 'zh' end""".stripMargin
+  }
+
+  private def langHitsExpr(toksCol: String): String = {
+    def sc(set: String) = s"size(filter($toksCol, t -> t in ($set)))"
+    s"greatest(${sc("'the','a','of','and','to','in','is'")}, " +
+      s"${sc("'der','die','das','und','ist','nicht','mit'")}, " +
+      s"${sc("'el','la','de','que','y','en','los'")}, " +
+      s"${sc("'le','les','et','des','un','une','est'")}, " +
+      s"${sc("'的','是','不','了','在','我','有'")})"
+  }
 
   /** d86 core, pre-checkpoint — split out so the plan audit can see
     * the real pipeline (the gate's eager localCheckpoint collapses the
@@ -2720,7 +2781,57 @@ object PipelineQueries {
         |  SELECT doc_id + 1000000 AS doc_id, text || ' zzz' AS text, lang
         |  FROM documents WHERE doc_id % 10 = 0
         |)""".stripMargin
+    // DuckDB mirror of langIdExpr/langHitsExpr (list_* spellings)
+    def duckLang(tcol: String): String = {
+      def sc(set: String) = s"len(list_filter($tcol, t -> t IN ($set)))"
+      val en = sc("'the','a','of','and','to','in','is'")
+      val de = sc("'der','die','das','und','ist','nicht','mit'")
+      val es = sc("'el','la','de','que','y','en','los'")
+      val fr = sc("'le','les','et','des','un','une','est'")
+      val zh = sc("'的','是','不','了','在','我','有'")
+      s"""CASE
+         |    WHEN $en >= $de AND $en >= $es AND $en >= $fr AND $en >= $zh THEN 'en'
+         |    WHEN $de >= $es AND $de >= $fr AND $de >= $zh THEN 'de'
+         |    WHEN $es >= $fr AND $es >= $zh THEN 'es'
+         |    WHEN $fr >= $zh THEN 'fr'
+         |    ELSE 'zh' END""".stripMargin
+    }
+    def duckHits(tcol: String): String = {
+      def sc(set: String) = s"len(list_filter($tcol, t -> t IN ($set)))"
+      s"greatest(${sc("'the','a','of','and','to','in','is'")}, " +
+        s"${sc("'der','die','das','und','ist','nicht','mit'")}, " +
+        s"${sc("'el','la','de','que','y','en','los'")}, " +
+        s"${sc("'le','les','et','des','un','une','est'")}, " +
+        s"${sc("'的','是','不','了','在','我','有'")})"
+    }
+    val mixedLangOracle =
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text, lang FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 9000000, text ||
+         |    ' der die das und ist nicht mit und der ist das nicht mit der und', lang
+         |  FROM documents WHERE lang = 'en' AND doc_id % 17 = 0
+         |), halves AS (
+         |  SELECT doc_id, lang,
+         |    list_slice(toks, 1, len(toks) // 2) AS ta,
+         |    list_slice(toks, len(toks) // 2 + 1, len(toks)) AS tb
+         |  FROM (SELECT doc_id, lang,
+         |          regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+         |        FROM corpus)
+         |), scored AS (
+         |  SELECT doc_id, lang,
+         |    ${duckLang("ta")} AS lang_a,
+         |    ${duckLang("tb")} AS lang_b,
+         |    CAST(${duckHits("ta")} AS INT) AS hits_a,
+         |    CAST(${duckHits("tb")} AS INT) AS hits_b
+         |  FROM halves WHERE len(ta) > 0 AND len(tb) > 0
+         |)
+         |SELECT doc_id, lang, lang_a, lang_b, hits_a, hits_b
+         |FROM scored
+         |WHERE lang_a != lang_b AND hits_a >= 2 AND hits_b >= 2
+         |ORDER BY doc_id""".stripMargin
     Map(
+      "d101_mixed_language_flags" -> mixedLangOracle,
       "d44_lsh_recall" -> (planted +
         """
           |, toksrc AS (
