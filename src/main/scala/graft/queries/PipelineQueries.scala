@@ -2673,16 +2673,30 @@ object PipelineQueries {
         .withColumn("doc_id", col("doc_id") + 9000000L)
         .withColumn("text", concat(col("text"),
           lit(" der die das und ist nicht mit und der ist das nicht mit der und")))
+      // hoist the five profile scores per half into an array column so
+      // each filter pass runs ONCE (the argmax would otherwise
+      // re-evaluate them per comparison branch)
+      val argmax =
+        """case
+          |  when sc[0] >= sc[1] and sc[0] >= sc[2] and sc[0] >= sc[3] and sc[0] >= sc[4] then 'en'
+          |  when sc[1] >= sc[2] and sc[1] >= sc[3] and sc[1] >= sc[4] then 'de'
+          |  when sc[2] >= sc[3] and sc[2] >= sc[4] then 'es'
+          |  when sc[3] >= sc[4] then 'fr'
+          |  else 'zh' end""".stripMargin
+      def half(t: String, suffix: String)(df: DataFrame): DataFrame = df
+        .withColumn("sc", expr(langScoresExpr(t)))
+        .withColumn(s"lang_$suffix", expr(argmax))
+        .withColumn(s"hits_$suffix",
+          expr("greatest(sc[0], sc[1], sc[2], sc[3], sc[4])"))
+        .drop("sc")
       docs.unionByName(planted)
         .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
         .withColumn("h", expr("size(toks) div 2"))
         .withColumn("ta", expr("slice(toks, 1, h)"))
         .withColumn("tb", expr("slice(toks, h + 1, size(toks) - h)"))
         .where(expr("size(ta) > 0 and size(tb) > 0"))
-        .withColumn("lang_a", expr(langIdExpr("ta")))
-        .withColumn("lang_b", expr(langIdExpr("tb")))
-        .withColumn("hits_a", expr(langHitsExpr("ta")))
-        .withColumn("hits_b", expr(langHitsExpr("tb")))
+        .transform(half("ta", "a"))
+        .transform(half("tb", "b"))
         .where(col("lang_a") =!= col("lang_b") &&
           col("hits_a") >= 2 && col("hits_b") >= 2)
         .select(col("doc_id"), col("lang"), col("lang_a"), col("lang_b"),
@@ -2691,28 +2705,14 @@ object PipelineQueries {
     }
   )
 
-  /** d05's stopword-profile argmax over an arbitrary token-array SQL
-    * expression — shared by d101's per-half language id so both halves
-    * and the oracle use literally the same formula.
+  /** The five d05 stopword-profile scores (en, de, es, fr, zh) of a
+    * token-array SQL expression as one array — d101 hoists this into
+    * a column so each filter pass evaluates ONCE, with the argmax and
+    * hit-count reading the array.
     */
-  private def langIdExpr(toksCol: String): String = {
+  private def langScoresExpr(toksCol: String): String = {
     def sc(set: String) = s"size(filter($toksCol, t -> t in ($set)))"
-    val en = sc("'the','a','of','and','to','in','is'")
-    val de = sc("'der','die','das','und','ist','nicht','mit'")
-    val es = sc("'el','la','de','que','y','en','los'")
-    val fr = sc("'le','les','et','des','un','une','est'")
-    val zh = sc("'的','是','不','了','在','我','有'")
-    s"""case
-       |  when $en >= $de and $en >= $es and $en >= $fr and $en >= $zh then 'en'
-       |  when $de >= $es and $de >= $fr and $de >= $zh then 'de'
-       |  when $es >= $fr and $es >= $zh then 'es'
-       |  when $fr >= $zh then 'fr'
-       |  else 'zh' end""".stripMargin
-  }
-
-  private def langHitsExpr(toksCol: String): String = {
-    def sc(set: String) = s"size(filter($toksCol, t -> t in ($set)))"
-    s"greatest(${sc("'the','a','of','and','to','in','is'")}, " +
+    s"array(${sc("'the','a','of','and','to','in','is'")}, " +
       s"${sc("'der','die','das','und','ist','nicht','mit'")}, " +
       s"${sc("'el','la','de','que','y','en','los'")}, " +
       s"${sc("'le','les','et','des','un','une','est'")}, " +
