@@ -52,11 +52,19 @@ object Bench {
     try graft.queries.EngineQueries.warmFixtures(spark, sfDir)
     catch { case e: Throwable =>
       System.err.println(s"[bench] fixture warmup failed: ${e.getMessage}") }
+    // one UNTIMED warmup sweep: without it, timed run 1 absorbs JIT +
+    // codegen-cache + catalog warmup (BENCH_r06 run_totals spread was
+    // 2.5×), and a real first-run regression can hide inside that noise
+    locally {
+      val (_, warmErrs) = timeQueries(SparkEntry.queries.toSeq, spark, sfDir)
+      if (warmErrs.nonEmpty)
+        System.err.println(s"[bench] warmup errors: ${warmErrs.mkString(",")}")
+    }
     // drop persisted intermediates between runs: persist() registers by
     // canonicalized plan, so without this runs 2+ silently reuse run 1's
     // cached candidate-pair frames and time less than the real work
-    val runs = (1 to nRuns).map { i =>
-      if (i > 1) spark.catalog.clearCache()
+    val runs = (1 to nRuns).map { _ =>
+      spark.catalog.clearCache()
       timeQueries(SparkEntry.queries.toSeq, spark, sfDir)
     }
     val errors = runs.flatMap(_._2).distinct.sorted

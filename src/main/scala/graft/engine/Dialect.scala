@@ -1096,6 +1096,16 @@ object Dialect {
     "STARTS_WITH" -> renameTo("startswith"),
     "ENDS_WITH" -> renameTo("endswith"),
     "STRPOS" -> renameTo("instr"), // both 1-based, 0 = not found
+    // BigQuery 3/4-arg INSTR (position may be negative = backward
+    // search; occurrence-th match) → native graft_instr; the 2-arg
+    // form passes through — Spark's instr is semantically identical
+    "INSTR" -> (a =>
+      if (a.length == 3) Some(s"graft_instr(${a(0)}, ${a(1)}, ${a(2)}, 1)")
+      else if (a.length == 4) Some(s"graft_instr(${a(0)}, ${a(1)}, ${a(2)}, ${a(3)})")
+      else scala.None),
+    // FarmHash Fingerprint64 (public spec) as signed INT64 — the
+    // native expression is bit-identical to BigQuery for the same bytes
+    "FARM_FINGERPRINT" -> renameTo("graft_farm_fingerprint"),
     // JSON_EXTRACT returns JSON-encoded text (string scalars KEEP their
     // quotes: '"b"'); get_json_object strips them, which is the
     // JSON_EXTRACT_SCALAR/JSON_VALUE behavior. Route JSON_EXTRACT

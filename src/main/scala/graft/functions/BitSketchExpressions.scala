@@ -359,6 +359,11 @@ object BitSketchExpressions {
     * `graft_dot_i64`, `graft_l2_i64` on the session (idempotent).
     */
   def register(spark: SparkSession): Unit = {
+    // register once per session: createOrReplaceTempFunction logs a
+    // "replaced a previously registered function" warning on every
+    // call, and gates call register() per query — 244×3 runs of spam
+    if (spark.sessionState.functionRegistry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot_i64"))) return
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot_i64", exprs => DotLong(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -379,5 +384,6 @@ object BitSketchExpressions {
       "graft_normalize", exprs => UnicodeNormalize(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_deflate_len", exprs => DeflateLength(exprs.head), "scala_udf")
+    FarmHashExpressions.register(spark)
   }
 }

@@ -96,8 +96,10 @@ object CappedLongList {
     * `cap` must be a foldable integer literal.
     */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_capped_list",
+    if (!spark.sessionState.functionRegistry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_capped_list")))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_capped_list",
       exprs => CappedLongList(exprs.head,
         exprs(1).eval(InternalRow.empty) match {
           case i: Int => i

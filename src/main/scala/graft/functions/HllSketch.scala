@@ -94,8 +94,10 @@ case class HllSketch(
 object HllSketch {
   /** Register `graft_hll(col)` on the session (idempotent). */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_hll",
-      exprs => HllSketch(exprs.head).toAggregateExpression(),
-      "scala_udf")
+    if (!spark.sessionState.functionRegistry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_hll")))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_hll",
+        exprs => HllSketch(exprs.head).toAggregateExpression(),
+        "scala_udf")
 }

@@ -100,8 +100,10 @@ case class MisraGries(
 object MisraGries {
   /** Register `graft_heavy_hitters(col)` on the session (idempotent). */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_heavy_hitters",
-      exprs => MisraGries(exprs.head).toAggregateExpression(),
-      "scala_udf")
+    if (!spark.sessionState.functionRegistry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_heavy_hitters")))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_heavy_hitters",
+        exprs => MisraGries(exprs.head).toAggregateExpression(),
+        "scala_udf")
 }

@@ -125,7 +125,8 @@ object Corpus {
     * joins back; the corpus-level (N, Σdl) pair is one broadcast row.
     */
   def bm25Terms(df: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text", topK: Int = 3): DataFrame = {
+      textCol: String = "text", topK: Int = 3,
+      materialize: Boolean = true): DataFrame = {
     val tf = df.select(col(idCol), explode(tokens(textCol)).as("term"))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
       .persist()
@@ -134,7 +135,7 @@ object Corpus {
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("score").desc, col("term"))
-    tf.join(dl, idCol).join(dfreq, "term").crossJoin(broadcast(stats))
+    val out = tf.join(dl, idCol).join(dfreq, "term").crossJoin(broadcast(stats))
       .withColumn("avgdl",
         col("sum_dl").cast(DoubleType) / col("n_docs").cast(DoubleType))
       .withColumn("idf",
@@ -146,6 +147,14 @@ object Corpus {
       .withColumn("rank", row_number().over(w)).where(col("rank") <= topK)
       .select(col(idCol), col("rank").cast(LongType).as("rank"), col("term"),
         col("tf"), col("df"), col("dl"), col("score"))
+    // release the tf cache before returning (long-lived-JVM hygiene —
+    // the d98 pattern); materialize=false keeps the lazy plan for audits
+    if (!materialize) out
+    else {
+      val result = out.localCheckpoint(true)
+      tf.unpersist()
+      result
+    }
   }
 
   /** Fixed-size overlapping token chunks — the training-window prep

@@ -55,10 +55,17 @@ object TextDedup {
     * only; the surviving pairs re-join the persisted per-doc sketch
     * table once per side — the shape that holds at 100 TB (carrying
     * shingle arrays through the banded self-join does not).
+    *
+    * `materialize = true` (default) eagerly localCheckpoints the (tiny)
+    * pair result and releases the per-doc sketch cache before
+    * returning — a long-lived JVM running many queries must not
+    * accrete per-call persist entries (ContextCleaner reclaims
+    * checkpoint blocks once the result is unreferenced; persist
+    * entries it won't). Pass false to get the lazy plan (plan audits).
     */
   def minhashLshPairs(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", estThreshold: Double = 0.5,
-      verifyThreshold: Double = 0.3): DataFrame = {
+      verifyThreshold: Double = 0.3, materialize: Boolean = true): DataFrame = {
     val sh = shingled(docs, textCol)
       .withColumn("mh", expr("graft_minhash32(shingles)"))
       .select(col(idCol).as("doc_id"), col("mh"), col("shingles"))
@@ -72,7 +79,7 @@ object TextDedup {
     val cb = banded.select(col("band"), col("bh"), col("doc_id").as("b"))
     val pairs = ca.join(cb, Seq("band", "bh")).where(col("a") < col("b"))
       .select(col("a"), col("b")).dropDuplicates("a", "b")
-    pairs
+    val out = pairs
       .join(sh.select(col("doc_id").as("a"), col("mh").as("mha"), col("shingles").as("sha")), "a")
       .join(sh.select(col("doc_id").as("b"), col("mh").as("mhb"), col("shingles").as("shb")), "b")
       .withColumn("est_jaccard", expr(
@@ -81,6 +88,12 @@ object TextDedup {
         "cast(size(array_intersect(sha, shb)) as double) / cast(size(array_union(sha, shb)) as double)"))
       .where(col("est_jaccard") >= estThreshold && col("jaccard") >= verifyThreshold)
       .select(col("a"), col("b"), col("est_jaccard"), col("jaccard"))
+    if (!materialize) out
+    else {
+      val result = out.localCheckpoint(true)
+      sh.unpersist()
+      result
+    }
   }
 
   /** SimHash near-duplicate pairs, EXACT for `maxHamming` ≤ 3: 64-bit
@@ -95,7 +108,8 @@ object TextDedup {
     * 65,536 buckets degrade toward quadratic within-bucket pairing.
     */
   def simhashPairs(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text", maxHamming: Int = 3): DataFrame = {
+      textCol: String = "text", maxHamming: Int = 3,
+      materialize: Boolean = true): DataFrame = {
     require(maxHamming <= 3,
       "half-key + 1-bit multi-probe candidates are exact only for hamming <= 3")
     graft.functions.BitSketchExpressions.register(docs.sparkSession)
@@ -118,11 +132,17 @@ object TextDedup {
             |      case when f = -1 then shiftright(sim, h*32) & 4294967295L
             |           else (shiftright(sim, h*32) & 4294967295L) ^ shiftleft(1L, f) end as key))))""".stripMargin)).as("pr"))
       .select(col("a"), col("sima"), col("pr.half"), col("pr.key"))
-    probes.join(exacts, Seq("half", "key")).where(col("a") < col("b"))
+    val out = probes.join(exacts, Seq("half", "key")).where(col("a") < col("b"))
       .dropDuplicates("a", "b")
       .withColumn("hamming", expr("cast(bit_count(sima ^ simb) as bigint)"))
       .where(col("hamming") <= maxHamming)
       .select(col("a"), col("b"), col("hamming"))
+    if (!materialize) out
+    else {
+      val result = out.localCheckpoint(true)
+      withSim.unpersist()
+      result
+    }
   }
 
   /** Blocked n-gram Jaccard pairs (no sketch): explode to slim
@@ -134,7 +154,7 @@ object TextDedup {
     */
   def jaccardPairs(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", blockingCols: Seq[String] = Seq("lang"),
-      threshold: Double = 0.3): DataFrame = {
+      threshold: Double = 0.3, materialize: Boolean = true): DataFrame = {
     val blockKeys = blockingCols :+ "first_tok" :+ "n_toks_bucket"
     val sh = shingled(docs, textCol)
       .withColumn("first_tok", expr("element_at(toks, 1)"))
@@ -146,7 +166,7 @@ object TextDedup {
     val ex = sh.select((blockKeys.map(col) :+ col("doc_id") :+
       explode(col("shingles")).as("sh")): _*)
     val keyCols = blockKeys :+ "sh"
-    ex.withColumnRenamed("doc_id", "a")
+    val out = ex.withColumnRenamed("doc_id", "a")
       .join(ex.withColumnRenamed("doc_id", "b"), keyCols)
       .where(col("a") < col("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("shared"))
@@ -155,6 +175,12 @@ object TextDedup {
       .withColumn("jaccard", col("shared").cast(DoubleType)
         / (col("na") + col("nb") - col("shared")).cast(DoubleType))
       .where(col("jaccard") >= threshold)
+    if (!materialize) out
+    else {
+      val result = out.localCheckpoint(true)
+      sh.unpersist()
+      result
+    }
   }
 
   /** Sorted-neighborhood near-dup pairs (Hernández & Stolfo's classic
@@ -365,7 +391,7 @@ object TextDedup {
     */
   def bloomDedupStats(history: DataFrame, newBatch: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
-      fpp: Double = 0.03): DataFrame = {
+      fpp: Double = 0.03, materialize: Boolean = true): DataFrame = {
     val spark = history.sparkSession
     def hashed(df: DataFrame): DataFrame = df.withColumn("h",
       md5(regexp_replace(lower(trim(col(textCol))), "\\s+", " ")))
@@ -374,7 +400,7 @@ object TextDedup {
     val bc = spark.sparkContext.broadcast(bloom)
     val probe = udf((s: String) => bc.value.mightContainString(s))
     val exact = hist.distinct().withColumn("is_dup", lit(true))
-    hashed(newBatch).withColumn("bloom_hit", probe(col("h")))
+    val out = hashed(newBatch).withColumn("bloom_hit", probe(col("h")))
       .join(exact, Seq("h"), "left") // verification-only join
       .withColumn("is_dup", coalesce(col("is_dup"), lit(false)))
       .agg(
@@ -388,6 +414,12 @@ object TextDedup {
           <= lit(5.0) + lit(3.0 * fpp)
             * count(when(!col("is_dup"), 1)).cast(DoubleType))
           .as("fp_rate_ok"))
+    if (!materialize) out
+    else {
+      val result = out.localCheckpoint(true)
+      hist.unpersist()
+      result
+    }
   }
 
   /** Incremental dedup of a new batch against a historical corpus: the
@@ -401,7 +433,7 @@ object TextDedup {
     */
   def incrementalDedup(history0: DataFrame, newBatch0: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
-      nearThreshold: Double = 0.5): DataFrame = {
+      nearThreshold: Double = 0.5, materialize: Boolean = true): DataFrame = {
     // both inputs feed multiple branches (hash index, shingle index,
     // anti-joins) — materialize the slim projection once each
     val history = history0.select(col(idCol), col(textCol)).persist()
@@ -440,7 +472,14 @@ object TextDedup {
       .join(exact.select(idCol), Seq(idCol), "left_anti")
       .join(near.select(idCol), Seq(idCol), "left_anti")
       .withColumn("matched", lit(-1L)).withColumn("verdict", lit("keep"))
-    exact.unionByName(near).unionByName(keep)
+    val out = exact.unionByName(near).unionByName(keep)
       .select(col(idCol), col("verdict"), col("matched"))
+    if (!materialize) out
+    else {
+      val result = out.localCheckpoint(true)
+      history.unpersist()
+      newBatch.unpersist()
+      result
+    }
   }
 }

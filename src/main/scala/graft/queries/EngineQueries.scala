@@ -56,6 +56,39 @@ object EngineQueries {
     }
   }
 
+  /** e16 core: builds the bucketed-table fixtures and returns the
+    * co-located join with its PHYSICAL PLAN PINNED under a
+    * no-broadcast conf window (`executedPlan` is forced inside the
+    * window and cached on the Dataset, so later consumption — the
+    * gate's localCheckpoint, the audit's explain — reuses the
+    * exchange-free sort-merge plan instead of replanning with
+    * broadcast back on).
+    */
+  private[graft] def bucketedJoinPlan(s: SparkSession, d: String): DataFrame = {
+    Tables.views(s, d, "orders", "customer")
+    fixtureOnce(s, "graft__pg16", d) {
+      t(s, d, "orders").write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .option("path", Files.createTempDirectory("b_orders").toString)
+        .mode("overwrite").saveAsTable("graft__pg16.orders_b")
+      t(s, d, "customer").write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .option("path", Files.createTempDirectory("b_cust").toString)
+        .mode("overwrite").saveAsTable("graft__pg16.customer_b")
+    }
+    val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = s.table("graft__pg16.orders_b")
+        .join(s.table("graft__pg16.customer_b"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+        .orderBy(col("c_mktsegment"))
+      joined.queryExecution.executedPlan // force planning inside the conf window
+      joined
+    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   /** Per-run destination restore for the range-partitioning gates: the
     * transform under test mutates the destination, so each run rebuilds
     * it — but from the db's JVM-lifetime `seed` snapshot, as ONE
@@ -753,6 +786,49 @@ object EngineQueries {
           |ORDER BY o_orderstatus, o_orderpriority""".stripMargin).get
     },
 
+    // --- BigQuery 2/3/4-arg INSTR (forward/backward, nth occurrence) ---
+    "e44_instr" -> { (s, d) =>
+      // The last loud-unresolved string-vocabulary item (COVERAGE packs
+      // 3–4): INSTR with position (negative = backward from the end)
+      // and occurrence, via the native codegen'd graft_instr. The
+      // oracle replays each form with DuckDB's 2-arg instr plus
+      // substr/reverse algebra, so every column hash-checks. Per-row
+      // string scan, no shuffle — scales with the scan.
+      Tables.views(s, d, "documents")
+      new ScriptRunner(s).run(
+        """SELECT doc_id,
+          |  CAST(INSTR(text, 'the') AS INT64) AS p1,
+          |  INSTR(text, 'the', 5) AS p2,
+          |  INSTR(text, 'the', 1, 2) AS p3,
+          |  INSTR(text, 'the', -1) AS p4
+          |FROM documents
+          |ORDER BY doc_id""".stripMargin).get
+    },
+
+    // --- FARM_FINGERPRINT via native FarmHash Fingerprint64 ------------
+    "e45_farm_fingerprint" -> { (s, d) =>
+      // rows-only by design: no SQL engine exposes FarmHash. The gate
+      // self-verifies with published test vectors instead (the same
+      // discipline as d89's planted doc): Fingerprint64('') = k2 by
+      // the spec's zero-length branch, and Fingerprint64('abc') =
+      // 2640714258260161385 (pyfarmhash's documented value; short
+      // inputs share the farmhashna::HashLen0to16 path with Hash64).
+      // A long-input vector pins the >64-byte loop: repeat('abc', 100).
+      require(graft.functions.FarmHashKernels.fingerprint64(
+        Array.emptyByteArray) == 0x9ae16a3b2f90404fL,
+        "FarmHash empty-input vector (k2) broken")
+      require(graft.functions.FarmHashKernels.fingerprint64(
+        "abc".getBytes("UTF-8")) == 2640714258260161385L,
+        "FarmHash 'abc' known vector broken")
+      Tables.views(s, d, "documents")
+      new ScriptRunner(s).run(
+        """SELECT doc_id,
+          |  FARM_FINGERPRINT(text) AS fp_text,
+          |  FARM_FINGERPRINT(CONCAT(lang, '|', CAST(doc_id AS STRING))) AS fp_key
+          |FROM documents
+          |ORDER BY doc_id""".stripMargin).get
+    },
+
     // --- ALLOW_FIELD_RELAXATION: REQUIRED -> NULLABLE on append --------
     "e29_field_relaxation" -> { (s, d) =>
       // The destination declares `note` REQUIRED (engine-managed table
@@ -832,29 +908,10 @@ object EngineQueries {
     //     key so the join runs with ZERO exchanges — the 100 TB strategy
     //     for repeated large-large joins ------------------------------
     "e16_bucketed_join" -> { (s, d) =>
-      Tables.views(s, d, "orders", "customer")
-      fixtureOnce(s, "graft__pg16", d) {
-        t(s, d, "orders").write.bucketBy(8, "o_custkey").sortBy("o_custkey")
-          .option("path", Files.createTempDirectory("b_orders").toString)
-          .mode("overwrite").saveAsTable("graft__pg16.orders_b")
-        t(s, d, "customer").write.bucketBy(8, "c_custkey").sortBy("c_custkey")
-          .option("path", Files.createTempDirectory("b_cust").toString)
-          .mode("overwrite").saveAsTable("graft__pg16.customer_b")
-      }
-      // disable broadcast so the plan must rely on bucket co-location
-      val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
-      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      try {
-        val joined = s.table("graft__pg16.orders_b")
-          .join(s.table("graft__pg16.customer_b"),
-            col("o_custkey") === col("c_custkey"))
-          .groupBy(col("c_mktsegment"))
-          .agg(count(lit(1)).as("cnt"),
-            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
-          .orderBy(col("c_mktsegment"))
-        joined.cache().count() // materialize under the no-broadcast conf
-        joined
-      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      // materialize under the pinned no-broadcast physical plan;
+      // localCheckpoint (not cache) so no cacheManager entry outlives
+      // the gate in a long-lived JVM
+      bucketedJoinPlan(s, d).localCheckpoint(true)
     },
 
     // --- dynamic partition pruning: the 100 TB fact–dim join shape -----
@@ -1077,6 +1134,20 @@ object EngineQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "e44_instr" ->
+      """SELECT doc_id,
+        |  CAST(instr(text, 'the') AS BIGINT) AS p1,
+        |  CAST(CASE WHEN instr(substr(text, 5), 'the') = 0 THEN 0
+        |       ELSE instr(substr(text, 5), 'the') + 4 END AS BIGINT) AS p2,
+        |  CAST(CASE WHEN instr(text, 'the') = 0 THEN 0
+        |       WHEN instr(substr(text, instr(text, 'the') + 1), 'the') = 0 THEN 0
+        |       ELSE instr(text, 'the')
+        |         + instr(substr(text, instr(text, 'the') + 1), 'the') END AS BIGINT) AS p3,
+        |  CAST(CASE WHEN instr(reverse(text), reverse('the')) = 0 THEN 0
+        |       ELSE length(text) - 1 - instr(reverse(text), reverse('the')) END AS BIGINT) AS p4
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
     "e01_script_runner" ->
       """SELECT o_orderpriority, count(1) AS cnt
         |FROM orders

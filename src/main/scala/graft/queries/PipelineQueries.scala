@@ -298,20 +298,10 @@ object PipelineQueries {
 
     // --- k-means refinement (2 Lloyd iterations) for the IVF index -----
     "d25_kmeans_refine" -> { (s, d) =>
-      // The IVF centroids (d12) seeded from sample vectors get two full
-      // Lloyd updates: broadcast centroids → assign (exact-int L2²) →
-      // re-average per component. Centroid components round with
-      // floor(mean + 0.5) — identical semantics in any engine — so the
-      // refined centroids, memberships, and inertia all hash-check.
-      // Per iteration: one broadcast join + one (cent, pos) aggregate;
-      // the corpus shuffles nothing but slim assignment rows.
-      val e = quantizedEmbeddings(s, d, plant = false).select(col("vec_id"), col("q")).persist()
-      val init = e.where(col("vec_id") < 16).select(col("vec_id").as("cent_id"), col("q").as("cq"))
-      val refined = graft.ops.Embeddings.kmeansRefine(e, init, iters = 2)
-      graft.ops.Embeddings.assignToCentroids(e, refined)
-        .groupBy(col("cent_id"))
-        .agg(count(lit(1)).as("n_members"), sum(col("dist")).as("inertia"))
-        .orderBy(col("cent_id"))
+      val (e, out) = kmeansRefinePlan(s, d)
+      val result = out.localCheckpoint(true)
+      e.unpersist()
+      result
     },
 
     // --- ANN top-k via typed Aggregator: bounded k-buffer per group,
@@ -381,7 +371,7 @@ object PipelineQueries {
         .select(col("doc_id").as("bench_id"), explode(col("shingles")).as("sh"))
       val corpus = sh.where(col("doc_id") % 50 =!= 0)
         .select(col("doc_id"), size(col("shingles")).as("n_sh"), explode(col("shingles")).as("sh"))
-      corpus.join(broadcast(bench), Seq("sh"))
+      val out = corpus.join(broadcast(bench), Seq("sh"))
         // shingles are distinct per doc, so (doc, bench) pairs hit once
         // per shared shingle — count(1) IS the overlap size
         .groupBy(col("doc_id"), col("bench_id"), col("n_sh"))
@@ -390,6 +380,11 @@ object PipelineQueries {
         .where(col("overlap") >= 0.1)
         .select(col("doc_id"), col("bench_id"), col("shared"), col("overlap"))
         .orderBy(col("doc_id"), col("bench_id"))
+        // checkpoint-then-unpersist (the d98 pattern): the shingle
+        // cache must not outlive the query in a long-lived JVM
+        .localCheckpoint(true)
+      sh.unpersist()
+      out
     },
 
     // --- deterministic hash-based sampling: content-hash prefix keeps a
@@ -486,7 +481,7 @@ object PipelineQueries {
         .select(col("doc_id")).withColumn("contaminated", lit(true))
       val flagged = docs.join(contaminated, Seq("doc_id"), "left")
         .withColumn("contaminated", coalesce(col("contaminated"), lit(false)))
-      flagged.agg(
+      val out = flagged.agg(
           count(lit(1)).as("n0"),
           count(when(col("quality") >= 0.5, 1)).as("n1"),
           count(when(col("quality") >= 0.5 && col("dedup_keep"), 1)).as("n2"),
@@ -498,6 +493,9 @@ object PipelineQueries {
             |  '2_after_dedup', n2,
             |  '3_decontaminated', n3) AS (stage, n_docs)""".stripMargin)
         .orderBy(col("stage"))
+        .localCheckpoint(true)
+      sh.unpersist()
+      out
     },
 
     // --- heavy hitters via Misra–Gries, gated on its guarantee ---------
@@ -591,14 +589,7 @@ object PipelineQueries {
       // history×history is never recomputed. Exact dups via hash
       // equi-join; near dups via the d08 shingle equi-join restricted
       // to new×history; verdict precedence exact > near > keep.
-      val docs = t(s, d, "documents")
-      val history = docs.where(col("doc_id") % 4 =!= 0)
-      val newBatch = docs.where(col("doc_id") % 4 === 0) // fresh docs
-        .unionByName(history.where(col("doc_id") % 8 === 1) // re-crawled exact copies
-          .withColumn("doc_id", col("doc_id") + 2000000L))
-        .unionByName(history.where(col("doc_id") % 8 === 3) // edited revisions
-          .withColumn("doc_id", col("doc_id") + 3000000L)
-          .withColumn("text", concat(col("text"), lit(" update"))))
+      val (history, newBatch) = incrementalDedupInputs(s, d)
       graft.ops.TextDedup.incrementalDedup(history, newBatch)
         .orderBy(col("doc_id"))
     },
@@ -885,10 +876,13 @@ object PipelineQueries {
         .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
           col("x.ph").as("ph_a"), col("y.ph").as("ph_b"))
         .distinct()
-      cands.withColumn("hamming", expr("CAST(bit_count(ph_a ^ ph_b) AS INT)"))
+      val out = cands.withColumn("hamming", expr("CAST(bit_count(ph_a ^ ph_b) AS INT)"))
         .where(col("hamming") <= 3)
         .select(col("id_a"), col("id_b"), col("hamming"))
         .orderBy(col("id_a"), col("id_b"))
+        .localCheckpoint(true)
+      ph.unpersist()
+      out
     },
 
     // --- real audio decode: WAV payloads → PCM amplitude histogram ------
@@ -1038,11 +1032,14 @@ object PipelineQueries {
         .groupBy(col("b")).agg(count(lit(1)).as("tc"))
       val wts = src.join(tgt, Seq("b"), "left")
         .select(col("b"), expr("((coalesce(tc, 0L) + 1) * 1000000) div (sc + 1)").as("wt"))
-      toks.join(broadcast(wts), "b")
+      val out = toks.join(broadcast(wts), "b")
         .groupBy(col("doc_id"))
         .agg(sum(col("wt")).as("importance"), count(lit(1)).as("n_toks"))
         .orderBy(col("importance").desc, col("doc_id"))
         .limit(20)
+        .localCheckpoint(true)
+      toks.unpersist()
+      out
     },
 
     // --- asymmetric containment dedup (doc-inside-doc) ------------------
@@ -1254,7 +1251,7 @@ object PipelineQueries {
         .join(ex.withColumnRenamed("source", "sb"), "g")
         .where(col("sa") < col("sb"))
         .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("shared"))
-      sk.select(col("source").as("sa"), col("sk").as("ska"))
+      val out = sk.select(col("source").as("sa"), col("sk").as("ska"))
         .crossJoin(sk.select(col("source").as("sb"), col("sk").as("skb")))
         .where(col("sa") < col("sb"))
         .join(shared, Seq("sa", "sb"), "left")
@@ -1267,6 +1264,10 @@ object PipelineQueries {
             / (col("na") + col("nb") - coalesce(col("shared"), lit(0L))).cast(DoubleType))
             .as("jaccard"))
         .orderBy(col("sa"), col("sb"))
+        .localCheckpoint(true)
+      ex.unpersist()
+      sh.unpersist()
+      out
     },
 
     // --- Bloom-filter membership dedup (broadcast, shuffle-free) -------
@@ -1344,13 +1345,16 @@ object PipelineQueries {
           explode(expr("sequence(pos + 1, pos + 8)")).as("p"))
         .distinct()
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_removed"))
-      wins.select(col("doc_id"), col("n_toks")).distinct()
+      val out = wins.select(col("doc_id"), col("n_toks")).distinct()
         .join(removed, Seq("doc_id"), "left")
         .withColumn("n_removed", coalesce(col("n_removed"), lit(0L)))
         .withColumn("keep_fraction",
           (col("n_toks") - col("n_removed")).cast(DoubleType)
             / col("n_toks").cast(DoubleType))
         .orderBy(col("doc_id"))
+        .localCheckpoint(true)
+      wins.unpersist()
+      out
     },
 
     // --- weighted sampling without replacement (sequential Poisson) ----
@@ -2358,11 +2362,42 @@ object PipelineQueries {
       val planted = docs.limit(1)
         .withColumn("doc_id", lit(9000000L))
         .withColumn("text", expr("repeat('lorem ipsum spam block ', 200)"))
-      val out = graft.ops.Corpus.compressionRatio(docs.unionByName(planted))
-        .orderBy(col("doc_id"))
-      val nBad = out.where(col("doc_id") === 9000000L && !col("is_repetitive")).count()
+      // assert on the SCORED PLANTED ROW ALONE (one deflate call), not
+      // a filter over the full scored union — the full corpus-wide
+      // zlib pass runs once, when the harness consumes the result
+      val nBad = graft.ops.Corpus.compressionRatio(planted)
+        .where(!col("is_repetitive")).count()
       require(nBad == 0, "planted repeated doc must flag is_repetitive")
-      out
+      graft.ops.Corpus.compressionRatio(docs.unionByName(planted))
+        .orderBy(col("doc_id"))
+    },
+
+    // --- repetitiveness profile, the ORACLED half of d89 -----------------
+    "d89b_repetition_profile" -> { (s, d) =>
+      // Every non-zlib repetitiveness signal from the d89 family,
+      // SQL-expressible and hash-checked against DuckDB: byte/token
+      // lengths, distinct-token share, and the top token's frequency
+      // share (template spam repeats one phrase — its modal token
+      // dominates). Only `deflate_len` itself stays in the rows-only
+      // d89 gate. Per-row array ops + one map-side-combined aggregate:
+      // scales with the scan.
+      val docs = t(s, d, "documents")
+        .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
+        .where(size(col("toks")) >= 1)
+      docs.select(col("doc_id"),
+          octet_length(col("text")).cast(LongType).as("raw_len"),
+          size(col("toks")).cast(LongType).as("n_toks"),
+          size(array_distinct(col("toks"))).cast(LongType).as("n_distinct"))
+        .join(
+          docs.select(col("doc_id"), explode(col("toks")).as("tok"))
+            .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+            .groupBy(col("doc_id")).agg(max(col("tf")).as("max_tf")),
+          "doc_id")
+        .withColumn("distinct_permille", expr("n_distinct * 1000 div n_toks"))
+        .withColumn("top_tok_permille", expr("max_tf * 1000 div n_toks"))
+        .select(col("doc_id"), col("raw_len"), col("n_toks"), col("n_distinct"),
+          col("distinct_permille"), col("top_tok_permille"))
+        .orderBy(col("doc_id"))
     },
 
     // --- Zipf rank–frequency curve (corpus health check) ------------------
@@ -2719,6 +2754,56 @@ object PipelineQueries {
       s"${sc("'的','是','不','了','在','我','有'")})"
   }
 
+  /** d30 inputs: history = 3/4 of the corpus; new batch = fresh docs +
+    * exact re-crawls + edited revisions.
+    */
+  private def incrementalDedupInputs(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val docs = t(s, d, "documents")
+    val history = docs.where(col("doc_id") % 4 =!= 0)
+    val newBatch = docs.where(col("doc_id") % 4 === 0) // fresh docs
+      .unionByName(history.where(col("doc_id") % 8 === 1) // re-crawled exact copies
+        .withColumn("doc_id", col("doc_id") + 2000000L))
+      .unionByName(history.where(col("doc_id") % 8 === 3) // edited revisions
+        .withColumn("doc_id", col("doc_id") + 3000000L)
+        .withColumn("text", concat(col("text"), lit(" update"))))
+    (history, newBatch)
+  }
+
+  /** d30 core with lazy internals — for the plan audit (the gate's
+    * eager localCheckpoint collapses the executed plan).
+    */
+  private[graft] def incrementalDedupPlan(s: SparkSession, d: String): DataFrame = {
+    val (history, newBatch) = incrementalDedupInputs(s, d)
+    graft.ops.TextDedup.incrementalDedup(history, newBatch, materialize = false)
+      .orderBy(col("doc_id"))
+  }
+
+  /** d08 core with lazy internals — for the plan audit. */
+  private[graft] def jaccardPairsPlan(s: SparkSession, d: String): DataFrame =
+    graft.ops.TextDedup.jaccardPairs(corpusWithPlants(s, d), materialize = false)
+
+  /** d25 core, pre-checkpoint — split out so the plan audit can see
+    * the real pipeline. The IVF centroids (d12) seeded from sample
+    * vectors get two full Lloyd updates: broadcast centroids → assign
+    * (exact-int L2²) → re-average per component. Centroid components
+    * round with floor(mean + 0.5) — identical semantics in any engine
+    * — so the refined centroids, memberships, and inertia all
+    * hash-check. Per iteration: one broadcast join + one (cent, pos)
+    * aggregate; the corpus shuffles nothing but slim assignment rows.
+    * Returns (persisted embeddings handle — caller must unpersist,
+    * final frame).
+    */
+  private[graft] def kmeansRefinePlan(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val e = quantizedEmbeddings(s, d, plant = false).select(col("vec_id"), col("q")).persist()
+    val init = e.where(col("vec_id") < 16).select(col("vec_id").as("cent_id"), col("q").as("cq"))
+    val refined = graft.ops.Embeddings.kmeansRefine(e, init, iters = 2)
+    val out = graft.ops.Embeddings.assignToCentroids(e, refined)
+      .groupBy(col("cent_id"))
+      .agg(count(lit(1)).as("n_members"), sum(col("dist")).as("inertia"))
+      .orderBy(col("cent_id"))
+    (e, out)
+  }
+
   /** d86 core, pre-checkpoint — split out so the plan audit can see
     * the real pipeline (the gate's eager localCheckpoint collapses the
     * executed plan to an ExistingRDD scan). Returns (persisted tf
@@ -2727,6 +2812,9 @@ object PipelineQueries {
   private[graft] def bigramSurprisalPlan(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val toks = t(s, d, "documents")
       .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("toks"))
+      // one-token docs make sequence(1, 0) DESCEND ([1, 0]) and
+      // element_at(toks, 0) throw — same guard as d38/d59
+      .where(size(col("toks")) >= 2)
     val tfb = toks.select(col("doc_id"), explode(expr(
         """transform(sequence(1, size(toks) - 1),
           |  i -> struct(element_at(toks, i) AS a, element_at(toks, i + 1) AS b))""".stripMargin)).as("p"))
@@ -2832,6 +2920,28 @@ object PipelineQueries {
          |ORDER BY doc_id""".stripMargin
     Map(
       "d101_mixed_language_flags" -> mixedLangOracle,
+
+      "d89b_repetition_profile" ->
+        """WITH docs AS (
+          |  SELECT doc_id, strlen(text) AS raw_len,
+          |    regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+          |  FROM documents
+          |), base AS (
+          |  SELECT doc_id, CAST(raw_len AS BIGINT) AS raw_len,
+          |    CAST(len(toks) AS BIGINT) AS n_toks,
+          |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct
+          |  FROM docs WHERE len(toks) >= 1
+          |), tf AS (
+          |  SELECT doc_id, tok, count(*) AS c
+          |  FROM (SELECT doc_id, unnest(toks) AS tok FROM docs) GROUP BY 1, 2
+          |), mx AS (
+          |  SELECT doc_id, CAST(max(c) AS BIGINT) AS max_tf FROM tf GROUP BY 1
+          |)
+          |SELECT b.doc_id, raw_len, n_toks, n_distinct,
+          |  n_distinct * 1000 // n_toks AS distinct_permille,
+          |  max_tf * 1000 // n_toks AS top_tok_permille
+          |FROM base b JOIN mx USING (doc_id)
+          |ORDER BY doc_id""".stripMargin,
       "d44_lsh_recall" -> (planted +
         """
           |, toksrc AS (

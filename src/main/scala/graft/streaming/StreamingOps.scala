@@ -743,8 +743,10 @@ object StreamingOps {
       .outputMode("complete")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start())
-    q.awaitTermination(120000)
-    require(!q.isActive, "AvailableNow query must self-terminate")
+    try {
+      q.awaitTermination(120000)
+      require(!q.isActive, "AvailableNow query must self-terminate")
+    } finally if (q.isActive) q.stop()
     spark.table(queryName).orderBy(col("event_type"))
   }
 
@@ -1034,6 +1036,15 @@ object StreamingOps {
         .outputMode("append")
         .start())
     try q.processAllAvailable() finally q.stop()
-    spark.table(queryName).orderBy(col("user_id"))
+    // the append-mode sink holds one row per stage TRANSITION (the
+    // state machine emits on every upgrade); with 2+ micro-batches a
+    // user can appear at stage 1 and again at stage 3 — reduce to the
+    // final (max-stage) row per user so the result is batch-equivalent
+    // regardless of how the source files split into triggers
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("stage").desc)
+    spark.table(queryName)
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1).drop("rn")
+      .orderBy(col("user_id"))
   }
 }

@@ -36,6 +36,13 @@ class GateSmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
       test(s"gate $name executes") {
         val n = fn(spark, sfDir).count()
         assert(n >= 0)
+        // cache hygiene (VERDICT r5 #5 / r6 #1): a gate must release
+        // every persist() it takes before returning — a 244-query bench
+        // JVM must not accrete per-query cache entries. Checkpoint
+        // blocks (localCheckpoint) are exempt: ContextCleaner reclaims
+        // them once the result frame is unreferenced.
+        assert(spark.sharedState.cacheManager.isEmpty,
+          s"gate $name left persisted DataFrame entries behind")
       }
     }
 
@@ -43,6 +50,26 @@ class GateSmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
       spark.catalog.clearCache()
       assert(spark.sharedState.cacheManager.isEmpty,
         "cacheManager still holds entries after clearCache()")
+    }
+
+    test("checkpoint blocks drain once results are unreferenced") {
+      // every gate result above went out of scope; after GC the
+      // ContextCleaner must reclaim their localCheckpoint RDDs. What
+      // MAY legitimately remain: checkpointed frames still referenced
+      // by session state (DML table snapshots, script temp tables).
+      // A persist leak across 240+ gates would leave hundreds of
+      // entries — the bound is the tripwire, not an exact count.
+      spark.catalog.clearCache()
+      val sc = spark.sparkContext
+      val before = sc.getPersistentRDDs.size
+      var waited = 0
+      while (sc.getPersistentRDDs.size > 48 && waited < 30000) {
+        System.gc(); Thread.sleep(500); waited += 500
+      }
+      val after = sc.getPersistentRDDs.size
+      assert(after <= 48,
+        s"$after persistent RDDs remain after GC drain (pre-drain $before) — " +
+          "gate results are pinning caches beyond session-held snapshots")
     }
   } else {
     test("testdata present") { cancel(s"$sfDir not found") }

@@ -85,14 +85,17 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("e16 bucketed join: no exchange feeding the sort-merge join") {
-    val df = EngineQueries.queries("e16_bucketed_join")(spark, sfDir)
+    // the gate eagerly checkpoints (cache hygiene) — audit the pinned plan
+    val df = EngineQueries.bucketedJoinPlan(spark, sfDir)
     val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
       .split("== Initial Plan ==").head
     assert(p.contains("SortMergeJoin"), s"expected SMJ in:\n$p")
     // join INPUTS must be exchange-free (bucket co-location); the
     // post-join agg/sort shuffles are expected. In formatted output the
-    // join's subtree is printed after the SortMergeJoin line.
-    val subtree = p.linesIterator.dropWhile(!_.contains("SortMergeJoin")).toSeq
+    // join's subtree is printed after the SortMergeJoin line; the tree
+    // diagram ends at the first blank line (detail blocks follow)
+    val subtree = p.linesIterator.dropWhile(!_.contains("SortMergeJoin"))
+      .takeWhile(_.trim.nonEmpty).toSeq
     assert(!subtree.exists(_.contains("Exchange")),
       s"bucketed join inputs should not shuffle:\n${subtree.mkString("\n")}")
   }
@@ -118,7 +121,8 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("d08 slim pair join: no shingle array crosses any exchange") {
-    val df = PipelineQueries.queries("d08_dedup_ngram_jaccard")(spark, sfDir)
+    // the gate eagerly checkpoints (cache hygiene) — audit the lazy core
+    val df = PipelineQueries.jaccardPairsPlan(spark, sfDir)
     df.collect()
     val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
     // formatted mode prints one detail block per node; every Exchange's
@@ -145,8 +149,10 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("d25 k-means: centroids broadcast on every assignment pass") {
-    val df = PipelineQueries.queries("d25_kmeans_refine")(spark, sfDir)
+    // the gate eagerly checkpoints (cache hygiene) — audit the lazy core
+    val (e, df) = PipelineQueries.kmeansRefinePlan(spark, sfDir)
     df.collect()
+    e.unpersist()
     val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
     assert(p.contains("BroadcastNestedLoopJoin"),
       s"centroid assignment should broadcast the centroid table:\n$p")
@@ -281,7 +287,8 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("d30 incremental dedup: no cartesian products, no history self-join") {
-    val df = PipelineQueries.queries("d30_incremental_dedup")(spark, sfDir)
+    // the gate eagerly checkpoints (cache hygiene) — audit the lazy core
+    val df = PipelineQueries.incrementalDedupPlan(spark, sfDir)
     df.collect()
     val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
@@ -371,7 +378,9 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("d46 BM25: corpus stats join is a broadcast, tf aggregates partially") {
-    val df = PipelineQueries.queries("d46_bm25_terms")(spark, sfDir)
+    // the gate eagerly checkpoints (cache hygiene) — audit the lazy core
+    val df = graft.ops.Corpus.bm25Terms(
+      graft.queries.Tables.t(spark, sfDir, "documents"), materialize = false)
     df.collect()
     val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),

@@ -172,6 +172,7 @@ class DedupStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     def run(d: DataFrame): Long = {
       val tfb = d
         .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("toks"))
+        .where(size(col("toks")) >= 2)
         .select(col("doc_id"), explode(expr(
           """transform(sequence(1, size(toks) - 1),
             |  i -> struct(element_at(toks, i) AS a, element_at(toks, i + 1) AS b))""".stripMargin)).as("p"))
