@@ -212,6 +212,115 @@ class ScriptRunner(spark: SparkSession) {
     last
   }
 
+  /** LOOP body END LOOP — the unconditional loop; BREAK is the only
+    * exit, so a guard overrun (no BREAK ever taken) is an error, not a
+    * silent stop.
+    */
+  private def runLoop(stmt: String): Option[DataFrame] = {
+    val ms = topMarkers(stmt, Set.empty)
+    require(ms.nonEmpty && ms.last.text == "END", s"malformed LOOP: $stmt")
+    val lTok = StatementSplitter.annotate(stmt).head
+    val body = stmt.substring(lTok.pos + 4, ms.last.pos)
+    var last: Option[DataFrame] = None
+    var guard = 0
+    var broke = false
+    while (!broke && guard < 10000) {
+      try runScript(body).foreach(df => last = Some(df))
+      catch {
+        case _: BreakSignal => broke = true
+        case _: ContinueSignal => ()
+      }
+      guard += 1
+    }
+    require(broke, "LOOP exceeded 10000 iterations without BREAK")
+    last
+  }
+
+  /** REPEAT body UNTIL cond END REPEAT — the post-tested loop: the
+    * body always runs at least once; the condition is evaluated AFTER
+    * each pass and TRUE exits. CONTINUE jumps to the UNTIL check (so
+    * it can still terminate the loop), BREAK exits immediately — both
+    * per the BigQuery scripting spec.
+    */
+  private def runRepeat(stmt: String): Option[DataFrame] = {
+    val ms = topMarkers(stmt, Set("UNTIL"))
+    require(ms.length >= 2 && ms.last.text == "END", s"malformed REPEAT: $stmt")
+    val untilTok = ms.find(_.text == "UNTIL").getOrElse(
+      throw new IllegalArgumentException(s"REPEAT without UNTIL: $stmt"))
+    val rTok = StatementSplitter.annotate(stmt).head
+    val body = stmt.substring(rTok.pos + 6, untilTok.pos)
+    val cond = stmt.substring(untilTok.pos + 5, ms.last.pos)
+    var last: Option[DataFrame] = None
+    var guard = 0
+    var broke = false
+    var done = false
+    while (!done && !broke && guard < 10000) {
+      try runScript(body).foreach(df => last = Some(df))
+      catch {
+        case _: BreakSignal => broke = true
+        case _: ContinueSignal => ()
+      }
+      guard += 1
+      if (!broke) done = evalBool(cond)
+    }
+    require(guard < 10000 || broke || done, "REPEAT exceeded 10000 iterations")
+    last
+  }
+
+  /** CASE [operand] WHEN v THEN stmts … [ELSE stmts] END CASE — the
+    * scripting statement form: exactly one matching branch's statement
+    * list runs. With an operand, WHEN values compare by `=` (NULL never
+    * matches, as in BigQuery); without, each WHEN is a boolean search
+    * condition. Clause markers are found positionally: a WHEN/ELSE is a
+    * clause only at statement position (after the preceding body's `;`
+    * or as the first clause) — a MERGE's `WHEN MATCHED THEN` inside a
+    * branch body never splits the block.
+    */
+  private def runCase(stmt: String): Option[DataFrame] = {
+    val ann = StatementSplitter.annotate(stmt)
+    val head = ann.head
+    require(head.text == "CASE", s"not a CASE statement: $stmt")
+    val ms = Vector.newBuilder[StatementSplitter.Tok]
+    var pendingCond = false
+    var seenWhen = false
+    var prevText = "CASE"
+    ann.drop(1).foreach { t =>
+      val depth1 = t.depthBefore == 1 && t.caseDepth == 0
+      if (depth1) t.text match {
+        case "WHEN" if !seenWhen || prevText == ";" =>
+          ms += t; pendingCond = true; seenWhen = true
+        case "THEN" if pendingCond =>
+          ms += t; pendingCond = false
+        case "ELSE" if prevText == ";" => ms += t
+        case _ =>
+      }
+      if (t.text == "END" && t.depthBefore == 1 && t.depthAfter == 0) ms += t
+      prevText = t.text
+    }
+    val m = ms.result()
+    require(m.nonEmpty && m.last.text == "END" && m.head.text == "WHEN",
+      s"malformed CASE statement: $stmt")
+    val operand = stmt.substring(head.pos + 4, m.head.pos).trim
+    var i = 0
+    while (i < m.length) {
+      m(i).text match {
+        case "WHEN" =>
+          require(i + 2 < m.length && m(i + 1).text == "THEN",
+            s"CASE WHEN without THEN: $stmt")
+          val condText = stmt.substring(m(i).pos + 4, m(i + 1).pos)
+          val cond =
+            if (operand.isEmpty) condText else s"(($operand) = ($condText))"
+          if (evalBool(cond))
+            return runScript(stmt.substring(m(i + 1).pos + 4, m(i + 2).pos))
+          i += 2
+        case "ELSE" =>
+          return runScript(stmt.substring(m(i).pos + 4, m(i + 1).pos))
+        case _ => i += 1
+      }
+    }
+    None
+  }
+
   /** FOR rec IN (query) DO body END FOR — the body runs once per row
     * with `rec.field` references substituted as literals. The driver
     * materializes the loop QUERY's rows (control flow is coordinator
@@ -314,7 +423,7 @@ class ScriptRunner(spark: SparkSession) {
     * static and must see every branch's tables.
     */
   private def stripControl(stmt0: String): Seq[String] = {
-    if (!Set("IF", "WHILE", "FOR", "BEGIN")
+    if (!Set("IF", "WHILE", "FOR", "BEGIN", "LOOP", "REPEAT", "CASE")
         .contains(StatementSplitter.firstKeyword(stmt0)))
       return Seq(stmt0)
     // the exception clause is one fixed phrase — strip it before the
@@ -326,22 +435,34 @@ class ScriptRunner(spark: SparkSession) {
     // scaffolding; a MERGE's WHEN…THEN inside a branch body is part of
     // a statement and must survive for lineage
     var pendingCond = false
+    var caseOpen = false
+    var prevText = ""
     val spans = ann.flatMap { t =>
       val opener = t.depthAfter == t.depthBefore + 1
       val closer = t.text == "END" && t.depthAfter == t.depthBefore - 1
       val elseif = t.text == "ELSEIF" && t.depthBefore >= 1 && t.caseDepth == 0
       val onlyElse = t.text == "ELSE" && t.depthBefore >= 1 && t.caseDepth == 0
+      // a statement-CASE clause WHEN: the block's first WHEN (right
+      // after the opener + optional operand) or one following a body's
+      // `;` — a MERGE's mid-statement WHEN matches neither
+      val caseWhen = t.text == "WHEN" && t.caseDepth == 0 &&
+        t.depthBefore >= 1 && (caseOpen || prevText == ";")
+      val untilTok = t.text == "UNTIL" && t.caseDepth == 0 && t.depthBefore >= 1
       val condEnd = pendingCond && t.caseDepth == 0 &&
         (t.text == "THEN" || t.text == "DO")
-      // BEGIN/LOOP have no condition — only IF/WHILE/FOR await THEN/DO
-      if ((opener && Set("IF", "WHILE", "FOR").contains(t.text)) || elseif)
+      // BEGIN/LOOP/REPEAT have no leading condition — only IF/WHILE/FOR
+      // await THEN/DO; a CASE clause's WHEN awaits its THEN
+      if ((opener && Set("IF", "WHILE", "FOR").contains(t.text)) || elseif || caseWhen)
         pendingCond = true
+      if (opener && t.text == "CASE") caseOpen = true
+      if (caseWhen) caseOpen = false
       if (condEnd) pendingCond = false
+      prevText = t.text
       if (closer) {
-        val len = raw"(?is)^END\s+(IF|WHILE|LOOP|FOR)".r
+        val len = raw"(?is)^END\s+(IF|WHILE|LOOP|FOR|REPEAT|CASE)".r
           .findFirstIn(stmt.substring(t.pos)).map(_.length).getOrElse(3)
         Some((t.pos, t.pos + len))
-      } else if (opener || elseif || onlyElse || condEnd)
+      } else if (opener || elseif || onlyElse || condEnd || caseWhen || untilTok)
         Some((t.pos, t.pos + t.text.length))
       else scala.None
     }
@@ -375,6 +496,9 @@ class ScriptRunner(spark: SparkSession) {
       case "IF" => runIf(stmt)
       case "WHILE" => runWhile(stmt)
       case "FOR" => runFor(stmt)
+      case "LOOP" => runLoop(stmt)
+      case "REPEAT" => runRepeat(stmt)
+      case "CASE" => runCase(stmt)
       case "BEGIN" if !stmt.trim.toUpperCase.startsWith("BEGIN TRANSACTION") =>
         runBegin(stmt)
       case "ASSERT" => runAssert(stmt)

@@ -122,23 +122,34 @@ object StatementSplitter {
       // a token is in STATEMENT position at fragment start, after `;`,
       // or right after a block keyword that introduces a body — the
       // only places a scripting IF can appear (`IF(` elsewhere is the
-      // conditional function, even with a parenthesized condition)
+      // conditional function, even with a parenthesized condition).
+      // REPEAT introduces its body with no DO, so it belongs here too.
       val stmtPos = (prev == "" || prev == ";" || prev == "THEN" ||
-        prev == "ELSE" || prev == "DO" || prev == "BEGIN") && caseDepth == 0
+        prev == "ELSE" || prev == "DO" || prev == "BEGIN" ||
+        prev == "REPEAT") && caseDepth == 0
       t match {
+        // a CASE in statement position is the CASE…END CASE scripting
+        // statement (a block); anywhere else it is the CASE expression
+        case "CASE" if stmtPos => depth += 1
         case "CASE" => caseDepth += 1
         // `… AS end` is an identifier, not a closer (dotted `w.end` is
-        // already excluded by the lexer's "." prefix)
+        // already excluded by the lexer's "." prefix). Inside a CASE
+        // expression, END ALWAYS closes it — checked before the
+        // two-word closers so `SELECT CASE…END, CASE…END` (where the
+        // lexer drops the comma and END's next token is CASE) is two
+        // expressions, not a spurious END CASE block closer.
         case "END" if prev != "AS" =>
-          if (next == "IF" || next == "WHILE" || next == "LOOP" || next == "FOR") {
+          if (caseDepth > 0) caseDepth -= 1
+          else if (next == "IF" || next == "WHILE" || next == "LOOP" ||
+              next == "FOR" || next == "REPEAT" || next == "CASE") {
             depth -= 1; endLen = 2; i += 1
-          } else if (caseDepth > 0) caseDepth -= 1
-          else depth -= 1 // BEGIN's END
+          } else depth -= 1 // BEGIN's END
         case "BEGIN" if next != "TRANSACTION" => depth += 1
         case "IF" if stmtPos => depth += 1
         case "WHILE" if stmtPos => depth += 1 // closer consumed by the END branch
         case "LOOP" if stmtPos => depth += 1
         case "FOR" if stmtPos => depth += 1 // FOR rec IN (...) DO … END FOR
+        case "REPEAT" if stmtPos => depth += 1 // REPEAT body UNTIL cond END REPEAT
         case _ =>
       }
       out += Tok(t, pos, before, depth, caseDepth, endLen)

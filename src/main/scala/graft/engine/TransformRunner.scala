@@ -108,6 +108,8 @@ class TransformRunner(spark: SparkSession) {
     applyPriority(conf)
     val dest = catalogName(conf.destinationTable)
     val spec = partitionSpecOf(dest)
+    // heal a crashed staged-swap commit before touching the table
+    if (spec != Unpartitioned && !dryRun) PartitionCommit.recover(spark, dest)
     // `table$YYYYMMDD` partition decorator → route the whole result into
     // that one partition (PartitionLoader, loader.py:15-32)
     val (_, decorator) = Dialect.normalizeTableName(conf.destinationTable)
@@ -284,10 +286,11 @@ class TransformRunner(spark: SparkSession) {
       .takeWhile(_.isBefore(window.end)).size
 
     if (queries.size == 1) {
-      // single-pass fast path: dynamic partition overwrite
+      // single-pass fast path: one distributed stage write of every
+      // touched partition, then the crash-atomic swap
       val df = script(render(queries.head, conf, window, executionTime))
       if (dryRun) { df.explain(); return }
-      df.write.mode("overwrite").insertInto(dest)
+      stagedDynamicReplace(dest, partitionField, df)
       return
     }
     // reference semantics (transformation.py: `len(task_queries) <
@@ -298,6 +301,12 @@ class TransformRunner(spark: SparkSession) {
       throw new IllegalArgumentException(
         s"query count ${queries.size} is less than partition count $nPartitions")
 
+    // every slice STAGES its partition concurrently (distinct dirs, no
+    // contention), and only after ALL slices succeed does the journaled
+    // swap publish them — a crash at any point leaves the destination
+    // fully-old (pre-journal) or recoverable-to-fully-new (post-journal)
+    val stageDir = PartitionCommit.newStageDir(spark, dest)
+    val destSchema = spark.table(dest).schema
     val tasks = queries.take(nPartitions).zipWithIndex.map { case (q, i) =>
       val sliceStart = window.start.plus(delta.multipliedBy(i.toLong))
       val sliceEnd = sliceStart.plus(delta)
@@ -306,20 +315,35 @@ class TransformRunner(spark: SparkSession) {
         val w = graft.core.window.CustomWindow(sliceStart, sliceEnd)
         val df = script(render(q, conf, w, executionTime))
         if (!dryRun) {
-          val cols = spark.table(dest).schema.fieldNames
-          val dataCols = cols.filterNot(_ == partitionField)
-          // route every row to this slice's partition and write via
-          // DYNAMIC overwrite: its staging dir is unique per job
-          // (.spark-staging-<jobId>), so concurrent slice writes to the
-          // same table don't trample each other's _temporary files the
-          // way concurrent static INSERT OVERWRITE PARTITION does.
+          val dataCols = destSchema.fields.filterNot(_.name == partitionField)
           val routed = df.select(
-            (dataCols.map(col) :+ lit(pdate).as(partitionField)).toIndexedSeq: _*)
-          routed.write.mode("overwrite").insertInto(dest)
+            dataCols.map(f => col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+          routed.write.mode("overwrite").parquet(
+            new org.apache.hadoop.fs.Path(stageDir, s"$partitionField=$pdate").toString)
         }
       }
     }
     ConcurrentTaskExecutor.execute(tasks.map(t => () => { t(); () }), conf.concurrency)
+    if (!dryRun)
+      PartitionCommit.commit(spark, dest, partitionField, stageDir, Seq.empty)
+  }
+
+  /** Stage a dynamically-partitioned result (partition column IN the
+    * frame) and publish via the crash-atomic swap — same replaced-
+    * partition semantics as dynamic-mode `INSERT OVERWRITE`, without
+    * its partition-at-a-time commit window.
+    */
+  private def stagedDynamicReplace(dest: String, partitionField: String,
+      df: DataFrame, dropValues: Seq[String] = Seq.empty): Unit = {
+    val schema = spark.table(dest).schema
+    // positional alignment + cast, matching insertInto semantics
+    val renamed = df.toDF(schema.fieldNames.toIndexedSeq: _*)
+    val aligned = renamed.select(
+      schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+    val stageDir = PartitionCommit.newStageDir(spark, dest)
+    aligned.write.partitionBy(partitionField).mode("overwrite")
+      .parquet(stageDir.toString)
+    PartitionCommit.commit(spark, dest, partitionField, stageDir, dropValues)
   }
 
   /** A16 + A12: REPLACE_MERGE — replace affected partitions, either via
@@ -358,10 +382,13 @@ class TransformRunner(spark: SparkSession) {
         val f = Dialect.rewrite(filter)
         // affected partitions: any partition holding filter-matched dest
         // rows or source rows. The filter may empty a partition entirely
-        // (MERGE deletes with no replacement), which dynamic overwrite
-        // cannot express — so drop affected partitions explicitly, then
-        // append the rewritten content. Partition values are calendar-
-        // bounded metadata (safe to collect).
+        // (MERGE deletes with no replacement) — an emptied partition
+        // stages no directory and rides the commit's drop list.
+        // Partition values are calendar-bounded metadata (safe to
+        // collect). The rewritten content of every affected partition
+        // STAGES before the destination mutates at all (reading dest
+        // while staging is safe), then the journaled swap publishes —
+        // crash-atomic, unlike the old drop-partitions-then-append.
         val affected = destDf.where(expr(f)).select(col(partitionField)).distinct()
           .union(source.select(col(partitionField)).distinct()).distinct()
         val keep = destDf.join(affected.withColumnRenamed(partitionField, "__p"),
@@ -371,18 +398,14 @@ class TransformRunner(spark: SparkSession) {
           // silently drop it)
           .where(not(coalesce(expr(f), lit(false))))
           .unionByName(source.select(destDf.columns.map(col).toIndexedSeq: _*))
-        val snap = keep.localCheckpoint(true)
-        val parts = affected.collect().map(_.get(0).toString)
-        if (parts.nonEmpty) {
-          val specs = parts.map(p => s"PARTITION ($partitionField = '$p')").mkString(", ")
-          spark.sql(s"ALTER TABLE $dest DROP IF EXISTS $specs")
-        }
-        snap.write.mode("append").insertInto(dest)
+        val parts = affected.collect().map(_.get(0).toString).toSeq
+        stagedDynamicReplace(dest, partitionField, keep, dropValues = parts)
       case scala.None =>
         // auto mode: partitions touched by source get replaced wholesale
-        // (delete IN UNNEST(partitions) + insert source ≡ dynamic overwrite)
-        source.select(destDf.columns.map(col).toIndexedSeq: _*)
-          .write.mode("overwrite").insertInto(dest)
+        // (delete IN UNNEST(partitions) + insert source ≡ replacing every
+        // source-present partition)
+        stagedDynamicReplace(dest, partitionField,
+          source.select(destDf.columns.map(col).toIndexedSeq: _*))
     }
   }
 
@@ -433,6 +456,135 @@ class TransformRunner(spark: SparkSession) {
     val rendered = render(sql, conf, window, executionTime)
     if (dryRun) return
     new DmlRunner(spark, this).run(rendered)
+  }
+}
+
+/** Crash-atomic multi-partition replacement — stage, journal, swap.
+  *
+  * The reference inherits atomicity from BigQuery's job commit
+  * (`executor/bumblebee/bigquery_service.py:96-141`); a parquet engine
+  * must build it: per-partition INSERT OVERWRITEs commit one partition
+  * at a time, so a mid-write crash leaves some partitions new and some
+  * old. The protocol here is the classic write-ahead commit:
+  *
+  *  1. STAGE — every new partition's content is written under the
+  *     table location in a dot-prefixed dir (`.graft_stage_<tx>/f=v`;
+  *     Spark's file index ignores dot-paths without `=`), touching
+  *     nothing the table serves. A crash here leaves the destination
+  *     FULLY OLD.
+  *  2. COMMIT POINT — a journal listing every swap/drop action is
+  *     written and atomically RENAMED to `.graft_commit.json`.
+  *  3. SWAP — per partition: old dir → per-tx trash, staged dir →
+  *     final; then MSCK SYNC + cache refresh, then the journal is
+  *     removed. Every step is idempotent, so a crash anywhere in 3
+  *     leaves the journal in place and [[recover]] (run by
+  *     `TransformRunner.transform` before every load, or explicitly)
+  *     replays to FULLY NEW.
+  *
+  * The swap itself is driver-side directory renames — O(partitions)
+  * metadata ops, no data movement, which is why it stays cheap at
+  * 100 TB while the heavy distributed write happens in stage.
+  */
+object PartitionCommit {
+  import org.apache.hadoop.fs.{FileSystem, Path}
+
+  /** test hook: simulate a crash after N swap actions (-1 = off). */
+  private[engine] var crashAfterActions: Int = -1
+
+  private def fsOf(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+
+  def tableLocation(spark: SparkSession, dest: String): Path = {
+    val row = spark.sql(s"DESCRIBE FORMATTED $dest").collect()
+      .find(r => r.getString(0).trim.equalsIgnoreCase("Location"))
+      .getOrElse(throw new IllegalStateException(s"no Location for $dest"))
+    new Path(row.getString(1).trim)
+  }
+
+  def newStageDir(spark: SparkSession, dest: String): Path = {
+    val tx = java.util.UUID.randomUUID().toString.replace("-", "")
+    new Path(tableLocation(spark, dest), s".graft_stage_$tx")
+  }
+
+  private def journalPath(loc: Path) = new Path(loc, ".graft_commit.json")
+
+  /** Replace dest's partitions with the contents staged under
+    * `stageDir` (subdirs `field=value`) and drop `dropValues`
+    * partitions that staged nothing (a MERGE can empty a partition).
+    */
+  def commit(spark: SparkSession, dest: String, field: String,
+      stageDir: Path, dropValues: Seq[String]): Unit = {
+    val loc = tableLocation(spark, dest)
+    val fs = fsOf(spark, loc)
+    val stagedVals =
+      if (fs.exists(stageDir))
+        fs.listStatus(stageDir).filter(_.isDirectory)
+          .map(_.getPath.getName).filter(_.startsWith(field + "="))
+          .map(_.stripPrefix(field + "=")).toSeq
+      else Seq.empty
+    val actions = stagedVals.map((_, true)) ++
+      dropValues.filterNot(stagedVals.contains).map((_, false))
+    if (actions.isEmpty) { fs.delete(stageDir, true); return }
+    val tx = stageDir.getName.stripPrefix(".graft_stage_")
+    // write-ahead journal; its atomic rename into place IS the commit
+    // point — before it the destination is untouched, after it replay
+    // (here or via recover after a crash) completes the swap
+    val tmp = new Path(loc, s".graft_commit_$tx.tmp")
+    val out = fs.create(tmp, true)
+    out.write((s"$tx\n$field\n${stageDir.getName}\n" +
+      actions.map { case (v, s) => s"$v\t$s" }.mkString("\n")).getBytes("UTF-8"))
+    out.close()
+    if (!fs.rename(tmp, journalPath(loc)))
+      throw new IllegalStateException(
+        s"commit journal already present for $dest — recover() it first")
+    replay(spark, dest, loc)
+  }
+
+  /** Heal a crashed commit: if a journal is present, finish its swap.
+    * No-op otherwise. Idempotent.
+    */
+  def recover(spark: SparkSession, dest: String): Unit = {
+    val loc = tableLocation(spark, dest)
+    if (fsOf(spark, loc).exists(journalPath(loc))) replay(spark, dest, loc)
+  }
+
+  private def replay(spark: SparkSession, dest: String, loc: Path): Unit = {
+    val fs = fsOf(spark, loc)
+    val journal = journalPath(loc)
+    val in = fs.open(journal)
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    val (tx, field, stageName) = (lines(0), lines(1), lines(2))
+    val stageDir = new Path(loc, stageName)
+    val trashDir = new Path(loc, s".graft_trash_$tx")
+    fs.mkdirs(trashDir)
+    var n = 0
+    lines.drop(3).filter(_.nonEmpty).foreach { l =>
+      val parts = l.split("\t")
+      val (v, hasStaged) = (parts(0), parts(1).toBoolean)
+      val fin = new Path(loc, s"$field=$v")
+      val stg = new Path(stageDir, s"$field=$v")
+      val trash = new Path(trashDir, s"$field=$v")
+      // move the old content aside exactly once; the staged-exists
+      // guard keeps a replay from trashing ALREADY-SWAPPED content
+      // when the post-swap state has fin present and stg gone
+      if (fs.exists(fin) && !fs.exists(trash) &&
+          (!hasStaged || fs.exists(stg)))
+        fs.rename(fin, trash)
+      if (hasStaged && fs.exists(stg))
+        fs.rename(stg, fin)
+      n += 1
+      if (crashAfterActions >= 0 && n >= crashAfterActions)
+        throw new IllegalStateException("simulated crash mid-commit")
+    }
+    // catalog + reader caches pick up added/dropped partitions; the
+    // journal clears LAST — a crash before this line replays cleanly
+    spark.sql(s"MSCK REPAIR TABLE $dest SYNC PARTITIONS")
+    spark.catalog.refreshTable(dest)
+    fs.delete(stageDir, true)
+    fs.delete(trashDir, true)
+    fs.delete(journal, false)
   }
 }
 

@@ -786,6 +786,38 @@ object EngineQueries {
           |ORDER BY o_orderstatus, o_orderpriority""".stripMargin).get
     },
 
+    // --- REPEAT…UNTIL + CASE…END CASE through the script interpreter ---
+    "e46_repeat_case_script" -> { (s, d) =>
+      // The two scripting statement forms the round-6 verdict flagged
+      // missing: a post-tested REPEAT loop accumulates three monthly
+      // aggregates (self-referencing CREATE OR REPLACE TEMP TABLE is
+      // safe — contents checkpoint eagerly), then a statement CASE
+      // with an operand picks the verdict label. The oracle replays
+      // the unrolled loop as one GROUP BY.
+      Tables.views(s, d, "orders")
+      new ScriptRunner(s).run(
+        """DECLARE m INT64 DEFAULT 0;
+          |DECLARE label STRING DEFAULT 'pending';
+          |CREATE TEMP TABLE acc AS (
+          |  SELECT CAST(0 AS INT64) AS mon, CAST(0 AS INT64) AS cnt
+          |  FROM (SELECT 1) WHERE FALSE);
+          |REPEAT
+          |  SET m = m + 1;
+          |  CREATE OR REPLACE TEMP TABLE acc AS (
+          |    SELECT * FROM acc
+          |    UNION ALL
+          |    SELECT m AS mon, count(1) AS cnt FROM orders
+          |    WHERE EXTRACT(MONTH FROM o_orderdate) = m
+          |      AND EXTRACT(YEAR FROM o_orderdate) = 1995);
+          |UNTIL m >= 3
+          |END REPEAT;
+          |CASE (SELECT count(1) FROM acc)
+          |  WHEN 3 THEN SET label = 'complete';
+          |  ELSE SET label = 'partial';
+          |END CASE;
+          |SELECT mon, cnt, label AS verdict FROM acc ORDER BY mon""".stripMargin).get
+    },
+
     // --- BigQuery 2/3/4-arg INSTR (forward/backward, nth occurrence) ---
     "e44_instr" -> { (s, d) =>
       // The last loud-unresolved string-vocabulary item (COVERAGE packs
@@ -1134,6 +1166,14 @@ object EngineQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "e46_repeat_case_script" ->
+      """SELECT CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS mon,
+        |  count(1) AS cnt, 'complete' AS verdict
+        |FROM orders
+        |WHERE EXTRACT(YEAR FROM o_orderdate) = 1995
+        |  AND EXTRACT(MONTH FROM o_orderdate) <= 3
+        |GROUP BY 1 ORDER BY mon""".stripMargin,
+
     "e44_instr" ->
       """SELECT doc_id,
         |  CAST(instr(text, 'the') AS BIGINT) AS p1,

@@ -1,0 +1,129 @@
+package graft.engine
+
+import java.time.LocalDateTime
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.config.{LoadMethod, TaskConfig}
+import graft.core.window.CustomWindow
+
+/** Crash-atomicity of the staged-swap partition commit (VERDICT r6 #2):
+  * the reference gets multi-partition atomicity from BigQuery's job
+  * commit; the parquet engine must guarantee a crashed write leaves the
+  * destination either FULLY OLD (crash before the journal lands) or
+  * recoverable to FULLY NEW (crash after — [[PartitionCommit.recover]]
+  * finishes the swap, and every `transform` run heals first).
+  */
+class AtomicCommitSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val marker = "\n--*--optimus-break-marker--*--\n"
+
+  private def conf(method: LoadMethod = LoadMethod.Replace,
+      filter: Option[String] = None) = TaskConfig(
+    destinationProject = "ac", destinationDataset = "ds",
+    destinationTableName = "t", sqlType = "STANDARD",
+    loadMethod = method, executionProject = "ac",
+    filterExpression = filter)
+
+  private def freshDest(rows: (Long, String)*): Unit = {
+    spark.sql("DROP DATABASE IF EXISTS ac__ds CASCADE")
+    val loc = java.nio.file.Files.createTempDirectory("acspec")
+    spark.sql(s"CREATE DATABASE ac__ds LOCATION '$loc'")
+    spark.sql(
+      "CREATE TABLE ac__ds.t (v BIGINT, d STRING) USING parquet PARTITIONED BY (d)")
+    rows.foreach { case (v, d) =>
+      spark.sql(s"INSERT INTO ac__ds.t PARTITION (d = '$d') VALUES ($v)")
+    }
+  }
+
+  private def contents(): Seq[(Long, String)] =
+    spark.table("ac__ds.t").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+
+  private def window2d = CustomWindow(
+    LocalDateTime.parse("2021-01-01T00:00"), LocalDateTime.parse("2021-01-03T00:00"))
+
+  test("crash during STAGE leaves the destination fully old") {
+    freshDest((1L, "2021-01-01"), (2L, "2021-01-02"))
+    val old = contents()
+    // slice 2 throws while staging (before any journal exists)
+    val sql = Seq("SELECT 10 AS v",
+      "SELECT assert_true(false, 'boom') AS v").mkString(marker)
+    intercept[Throwable] {
+      new TransformRunner(spark).multiPartitionTransform(
+        conf(), sql, window2d, LocalDateTime.now(), "d", dryRun = false)
+    }
+    assert(contents() == old, "a pre-commit crash must not touch the table")
+  }
+
+  test("crash MID-SWAP recovers to fully new via the journal") {
+    freshDest((1L, "2021-01-01"), (2L, "2021-01-02"))
+    val sql = Seq("SELECT 10 AS v", "SELECT 20 AS v").mkString(marker)
+    PartitionCommit.crashAfterActions = 1 // die after the first rename pair
+    try {
+      val e = intercept[IllegalStateException] {
+        new TransformRunner(spark).multiPartitionTransform(
+          conf(), sql, window2d, LocalDateTime.now(), "d", dryRun = false)
+      }
+      assert(e.getMessage.contains("simulated crash"))
+    } finally PartitionCommit.crashAfterActions = -1
+    // the journal survived the crash — recovery completes the swap
+    PartitionCommit.recover(spark, "ac__ds.t")
+    assert(contents() == Seq((10L, "2021-01-01"), (20L, "2021-01-02")))
+    // idempotent: a second recover is a no-op
+    PartitionCommit.recover(spark, "ac__ds.t")
+    assert(contents() == Seq((10L, "2021-01-01"), (20L, "2021-01-02")))
+  }
+
+  test("the next transform() run heals a crashed commit automatically") {
+    freshDest((1L, "2021-01-01"), (2L, "2021-01-02"))
+    val sql = Seq("SELECT 10 AS v", "SELECT 20 AS v").mkString(marker)
+    PartitionCommit.crashAfterActions = 1
+    try intercept[IllegalStateException] {
+      new TransformRunner(spark).multiPartitionTransform(
+        conf(), sql, window2d, LocalDateTime.now(), "d", dryRun = false)
+    } finally PartitionCommit.crashAfterActions = -1
+    // a fresh engine run against the same destination recovers first,
+    // then applies its own load on top of the healed (fully-new) state
+    new TransformRunner(spark).transform(
+      conf(), Seq("SELECT 100 AS v", "SELECT 200 AS v").mkString(marker),
+      window2d, LocalDateTime.now())
+    assert(contents() == Seq((100L, "2021-01-01"), (200L, "2021-01-02")))
+  }
+
+  test("MERGE_REPLACE filter crash mid-swap: emptied partition drops on recovery") {
+    freshDest((1L, "2021-01-01"), (20L, "2021-01-02"))
+    // filter deletes every v >= 10 row: partition 01-02 empties (drop
+    // action), source adds 01-03 (staged swap); 01-01 is untouched
+    PartitionCommit.crashAfterActions = 1
+    try intercept[IllegalStateException] {
+      new TransformRunner(spark).mergeReplaceTransform(
+        conf(LoadMethod.ReplaceMerge, Some("v >= 10")),
+        "SELECT 30 AS v, '2021-01-03' AS d",
+        window2d, LocalDateTime.now(), "d", dryRun = false)
+    } finally PartitionCommit.crashAfterActions = -1
+    PartitionCommit.recover(spark, "ac__ds.t")
+    assert(contents() == Seq((1L, "2021-01-01"), (30L, "2021-01-03")))
+  }
+
+  test("successful staged swap equals the old per-partition semantics") {
+    freshDest((1L, "2021-01-01"), (2L, "2021-01-02"), (3L, "2020-12-31"))
+    val sql = Seq("SELECT 10 AS v", "SELECT 20 AS v").mkString(marker)
+    new TransformRunner(spark).multiPartitionTransform(
+      conf(), sql, window2d, LocalDateTime.now(), "d", dryRun = false)
+    // window partitions replaced; the out-of-window partition survives
+    assert(contents() == Seq((3L, "2020-12-31"),
+      (10L, "2021-01-01"), (20L, "2021-01-02")))
+  }
+}

@@ -459,6 +459,125 @@ class ScriptRunnerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("nesting exceeded"))
   }
 
+  test("REPEAT…UNTIL runs the body at least once and stops on the condition") {
+    val out = new ScriptRunner(spark).run(
+      """DECLARE i INT64 DEFAULT 0;
+        |DECLARE total INT64 DEFAULT 0;
+        |REPEAT
+        |  SET i = i + 1;
+        |  SET total = total + i;
+        |UNTIL i >= 4
+        |END REPEAT;
+        |SELECT total AS t, i AS n""".stripMargin).get
+    val r = out.collect().head
+    assert(r.getLong(0) == 10L && r.getLong(1) == 4L) // 1+2+3+4
+  }
+
+  test("REPEAT body executes once even when the condition starts true") {
+    val out = new ScriptRunner(spark).run(
+      """DECLARE i INT64 DEFAULT 99;
+        |DECLARE ran INT64 DEFAULT 0;
+        |REPEAT
+        |  SET ran = ran + 1;
+        |UNTIL i >= 4
+        |END REPEAT;
+        |SELECT ran AS r""".stripMargin).get
+    assert(out.collect().head.getLong(0) == 1L)
+  }
+
+  test("REPEAT honors BREAK and CONTINUE") {
+    val out = new ScriptRunner(spark).run(
+      """DECLARE i INT64 DEFAULT 0;
+        |DECLARE odd_sum INT64 DEFAULT 0;
+        |REPEAT
+        |  SET i = i + 1;
+        |  IF i >= 100 THEN BREAK; END IF;
+        |  IF MOD(i, 2) = 0 THEN CONTINUE; END IF;
+        |  SET odd_sum = odd_sum + i;
+        |UNTIL i >= 5
+        |END REPEAT;
+        |SELECT odd_sum AS s, i AS n""".stripMargin).get
+    val r = out.collect().head
+    assert(r.getLong(0) == 9L && r.getLong(1) == 5L) // 1+3+5; CONTINUE still checks UNTIL
+  }
+
+  test("CASE…END CASE with operand dispatches one branch (= comparison)") {
+    val out = new ScriptRunner(spark).run(
+      """DECLARE mode STRING DEFAULT 'b';
+        |DECLARE hit STRING DEFAULT 'none';
+        |CASE mode
+        |  WHEN 'a' THEN SET hit = 'was_a';
+        |  WHEN 'b' THEN SET hit = 'was_b';
+        |  ELSE SET hit = 'other';
+        |END CASE;
+        |SELECT hit AS h""".stripMargin).get
+    assert(out.collect().head.getString(0) == "was_b")
+  }
+
+  test("searched CASE…END CASE (no operand) takes the first true WHEN") {
+    val out = new ScriptRunner(spark).run(
+      """DECLARE n INT64 DEFAULT 17;
+        |DECLARE bucket STRING;
+        |CASE
+        |  WHEN n < 10 THEN SET bucket = 'small';
+        |  WHEN n < 100 THEN SET bucket = 'medium';
+        |  ELSE SET bucket = 'large';
+        |END CASE;
+        |SELECT bucket AS b""".stripMargin).get
+    assert(out.collect().head.getString(0) == "medium")
+  }
+
+  test("CASE…END CASE falls through to ELSE; no match without ELSE is a no-op") {
+    val runner = new ScriptRunner(spark)
+    val out = runner.run(
+      """DECLARE x INT64 DEFAULT 42;
+        |DECLARE r STRING DEFAULT 'untouched';
+        |CASE x
+        |  WHEN 1 THEN SET r = 'one';
+        |END CASE;
+        |SELECT r AS v""".stripMargin).get
+    assert(out.collect().head.getString(0) == "untouched")
+  }
+
+  test("CASE body may contain a CASE expression without closing the block") {
+    val out = new ScriptRunner(spark).run(
+      """DECLARE k INT64 DEFAULT 2;
+        |DECLARE label STRING;
+        |CASE
+        |  WHEN k > 0 THEN
+        |    SET label = (SELECT CASE WHEN k = 2 THEN 'two' ELSE 'pos' END);
+        |  ELSE SET label = 'nonpos';
+        |END CASE;
+        |SELECT label AS l""".stripMargin).get
+    assert(out.collect().head.getString(0) == "two")
+  }
+
+  test("LOOP…END LOOP exits on BREAK") {
+    val out = new ScriptRunner(spark).run(
+      """DECLARE i INT64 DEFAULT 0;
+        |LOOP
+        |  SET i = i + 1;
+        |  IF i >= 7 THEN BREAK; END IF;
+        |END LOOP;
+        |SELECT i AS n""".stripMargin).get
+    assert(out.collect().head.getLong(0) == 7L)
+  }
+
+  test("nested REPEAT inside WHILE keeps block depths straight") {
+    val out = new ScriptRunner(spark).run(
+      """DECLARE outer_i INT64 DEFAULT 0;
+        |DECLARE cnt INT64 DEFAULT 0;
+        |WHILE outer_i < 2 DO
+        |  SET outer_i = outer_i + 1;
+        |  REPEAT
+        |    SET cnt = cnt + 1;
+        |  UNTIL MOD(cnt, 3) = 0
+        |  END REPEAT;
+        |END WHILE;
+        |SELECT cnt AS c""".stripMargin).get
+    assert(out.collect().head.getLong(0) == 6L)
+  }
+
   test("procedure EXCEPTION handler fires inside the body") {
     val out = new ScriptRunner(spark).run(
       """DECLARE msg STRING;
