@@ -230,18 +230,20 @@ class TransformRunner(spark: SparkSession) {
       case WriteDisposition.WriteTruncate => "overwrite"
     }
     val out = df.select(aligned.toIndexedSeq: _*)
-    val destPartitioned = spark.catalog.listColumns(dest).collect().exists(_.isPartition)
-    if (mode == "overwrite" && destPartitioned) {
-      // WRITE_TRUNCATE on a partitioned destination must replace the WHOLE
-      // table. Under the runner's dynamic partitionOverwriteMode, overwrite-
-      // insertInto only replaces partitions present in the result and stale
-      // partitions would silently survive — static mode with an all-dynamic
-      // partition spec deletes every partition first, i.e. a true truncate.
-      val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
-      try out.write.mode(mode).insertInto(dest)
-      finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    } else out.write.mode(mode).insertInto(dest)
+    val pField = spark.catalog.listColumns(dest).collect()
+      .find(_.isPartition).map(_.name)
+    (mode, pField) match {
+      case ("overwrite", Some(field)) =>
+        // WRITE_TRUNCATE on a partitioned destination must replace the
+        // WHOLE table — stale partitions absent from the result must
+        // not survive. Staged swap with every existing partition on the
+        // drop list is a true truncate AND crash-atomic (the old static-
+        // mode INSERT OVERWRITE committed partition-at-a-time).
+        val existing = spark.sql(s"SHOW PARTITIONS $dest").collect()
+          .map(_.getString(0).stripPrefix(field + "=")).toSeq
+        stagedDynamicReplace(dest, field, out, dropValues = existing)
+      case _ => out.write.mode(mode).insertInto(dest)
+    }
   }
 
   /** A14 + A11: REPLACE_ALL — whole window's result into the single

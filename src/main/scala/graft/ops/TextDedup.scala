@@ -66,9 +66,16 @@ object TextDedup {
   def minhashLshPairs(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", estThreshold: Double = 0.5,
       verifyThreshold: Double = 0.3, materialize: Boolean = true): DataFrame = {
+    // the per-doc sketch cache is SLIM by design: shingles are hashed
+    // to 60-bit longs before caching (injective in practice at per-doc
+    // set sizes; exact Jaccard over the hashed sets equals the string-
+    // set value), so the 1M-doc cache is ~50 longs/doc instead of ~50
+    // 20-char strings — the string-array variant stopped fitting at
+    // the 1M stress ceiling and went super-linear on cache eviction
     val sh = shingled(docs, textCol)
       .withColumn("mh", expr("graft_minhash32(shingles)"))
-      .select(col(idCol).as("doc_id"), col("mh"), col("shingles"))
+      .withColumn("shh", expr("transform(shingles, x -> graft_md5_60(x))"))
+      .select(col(idCol).as("doc_id"), col("mh"), col("shh"))
       .persist()
     val banded = sh.select(col("doc_id"),
         explode(expr(
@@ -80,8 +87,8 @@ object TextDedup {
     val pairs = ca.join(cb, Seq("band", "bh")).where(col("a") < col("b"))
       .select(col("a"), col("b")).dropDuplicates("a", "b")
     val out = pairs
-      .join(sh.select(col("doc_id").as("a"), col("mh").as("mha"), col("shingles").as("sha")), "a")
-      .join(sh.select(col("doc_id").as("b"), col("mh").as("mhb"), col("shingles").as("shb")), "b")
+      .join(sh.select(col("doc_id").as("a"), col("mh").as("mha"), col("shh").as("sha")), "a")
+      .join(sh.select(col("doc_id").as("b"), col("mh").as("mhb"), col("shh").as("shb")), "b")
       .withColumn("est_jaccard", expr(
         "cast(aggregate(zip_with(mha, mhb, (x, y) -> if(x = y, 1, 0)), 0, (acc, v) -> acc + v) as double) / 32.0"))
       .withColumn("jaccard", expr(
@@ -328,7 +335,29 @@ object TextDedup {
     // materialize=false keeps the lazy plan (plan audits inspect it).
     if (!materialize) out
     else {
-      val result = out.localCheckpoint(true)
+      // graft_capped_list runs on ObjectHashAggregate, whose sort-based
+      // fallback triggers at a default of 128 DISTINCT KEYS per task —
+      // at 1M docs that sort-aggregated the whole ~100M-row posting
+      // stream and went 14× super-linear in the stress ceiling. Each
+      // buffer is ≤ (cap+1) longs, so a few million map entries per
+      // task is a few hundred MB: raise the threshold AND widen the
+      // shuffle so a hash-unique corpus (worst case: ~1 distinct
+      // shingle per posting row) stays under it per task. Both confs
+      // are scoped to the materializing job; AQE coalesces the extra
+      // partitions away on small inputs.
+      val spark = docs.sparkSession
+      val confs = Seq(
+        "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "4000000",
+        "spark.sql.shuffle.partitions" -> math.max(128,
+          spark.conf.get("spark.sql.shuffle.partitions", "32").toInt).toString)
+      val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val result =
+        try out.localCheckpoint(true)
+        finally prev.foreach {
+          case (k, Some(v)) => spark.conf.set(k, v)
+          case (k, scala.None) => spark.conf.unset(k)
+        }
       lists.unpersist()
       result
     }

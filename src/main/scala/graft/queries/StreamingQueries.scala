@@ -95,6 +95,10 @@ object StreamingQueries {
 
     "s21_stream_available_now" -> { (s, d) =>
       StreamingOps.runBoundedAvailableNow(s, d, "s21_sink")
+    },
+
+    "s22_stream_rocksdb_recovery" -> { (s, d) =>
+      StreamingOps.runBoundedRocksDbRecovery(s, d, "s22_sink")
     }
   )
 
@@ -165,6 +169,14 @@ object StreamingQueries {
     // re-reading the committed half would double them, losing the
     // restored state would halve them
     "s19_stream_checkpoint_recovery" ->
+      """SELECT event_type, CAST(count(1) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // recovery on the RocksDB provider must equal the same batch
+    // totals — restart state reloads from the provider, not heap
+    "s22_stream_rocksdb_recovery" ->
       """SELECT event_type, CAST(count(1) AS BIGINT) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events

@@ -825,6 +825,30 @@ object StreamingOps {
     spark.table(queryName).orderBy(col("event_type"))
   }
 
+  /** s18 × s19 — the PRODUCTION pairing: checkpoint recovery ON the
+    * RocksDB state store provider. Recovery is where the backend
+    * actually earns its keep (the restarted query must reload its
+    * aggregation state from RocksDB snapshot + changelog, not heap),
+    * so the two properties are pinned together: the recovered run's
+    * final totals must equal the batch aggregation over ALL events —
+    * no re-read of the committed half, no state loss across the
+    * provider-backed restart. The provider conf is scoped to the run;
+    * it is baked into both phases' state stores since both start
+    * inside the window.
+    */
+  def runBoundedRocksDbRecovery(spark: SparkSession, sfDir: String,
+      queryName: String): DataFrame = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try runBoundedCheckpointRecovery(spark, sfDir, queryName)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   /** The windowed aggregation (s01's plan) on the RocksDB state store —
     * the provider a production cluster runs, because the default
     * HDFS-backed store keeps every version of all state in executor

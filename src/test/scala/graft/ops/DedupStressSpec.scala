@@ -198,4 +198,36 @@ class DedupStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(nBig > nSmall)
     assert(tBig / tSmall < 10.0, f"super-linear blowup: $tSmall%.1f s → $tBig%.1f s")
   }
+
+  // ---- 1M-doc ceiling (VERDICT r6 #5): the two heaviest growers of the
+  // 250k suite re-measured one scale notch up (250k → 1M, still 4×).
+  // The tighter < 4× bound is the round-7 done-criterion: growth at or
+  // below the data growth means the path is ~linear where it matters.
+
+  private def ceilingRatio(name: String, small: Long, big: Long)(
+      op: DataFrame => DataFrame): (Double, Double, Long) = {
+    op(docs(2000L)).count()
+    val (tSmall, nSmall) = timed(op(docs(small)).count())
+    val (tBig, nBig) = timed(op(docs(big)).count())
+    info(f"$name: ${small}%,d docs → $tSmall%.1f s ($nSmall rows); " +
+      f"${big}%,d docs → $tBig%.1f s ($nBig rows); growth ${tBig / tSmall}%.2f× for 4× docs")
+    (tSmall, tBig, nBig)
+  }
+
+  test("1M-doc ceiling: connected components growth stays under 4x", Stress) {
+    val (tSmall, tBig, nBig) = ceilingRatio("components@1M", 250000L, 1000000L) { d =>
+      TextDedup.connectedComponents(
+        TextDedup.minhashLshPairs(d).select("a", "b"))
+    }
+    assert(nBig > 0)
+    assert(tBig / tSmall < 4.0, f"super-linear at the 1M ceiling: $tSmall%.1f s → $tBig%.1f s")
+  }
+
+  test("1M-doc ceiling: containment posting-list growth stays under 4x", Stress) {
+    val (tSmall, tBig, nBig) = ceilingRatio("containment@1M", 250000L, 1000000L) { d =>
+      TextDedup.containmentPairs(d)
+    }
+    assert(nBig > 0)
+    assert(tBig / tSmall < 4.0, f"super-linear at the 1M ceiling: $tSmall%.1f s → $tBig%.1f s")
+  }
 }
