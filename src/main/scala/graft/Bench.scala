@@ -35,6 +35,12 @@ object Bench {
     // run 1 (lazy catalog fixtures, first-touch codegen) bleeds 50 %
     // into the reported number; the median of 3 is the middle run.
     val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
+    // dev-only subset (comma-separated name prefixes), mirroring
+    // Verify's 3rd arg; the driver never sets it = full suite
+    val only: Option[Seq[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSeq)
+    def selected = SparkEntry.queries.toSeq
+      .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -56,7 +62,7 @@ object Bench {
     // codegen-cache + catalog warmup (BENCH_r06 run_totals spread was
     // 2.5×), and a real first-run regression can hide inside that noise
     locally {
-      val (_, warmErrs) = timeQueries(SparkEntry.queries.toSeq, spark, sfDir)
+      val (_, warmErrs) = timeQueries(selected, spark, sfDir)
       if (warmErrs.nonEmpty)
         System.err.println(s"[bench] warmup errors: ${warmErrs.mkString(",")}")
     }
@@ -65,12 +71,12 @@ object Bench {
     // cached candidate-pair frames and time less than the real work
     val runs = (1 to nRuns).map { _ =>
       spark.catalog.clearCache()
-      timeQueries(SparkEntry.queries.toSeq, spark, sfDir)
+      timeQueries(selected, spark, sfDir)
     }
     val errors = runs.flatMap(_._2).distinct.sorted
     // medians over queries that succeeded in EVERY run; a query that
     // failed anywhere contributes no time and shows up in `errors`
-    val names = SparkEntry.queries.keys.toSeq.filterNot(errors.contains)
+    val names = selected.map(_._1).filterNot(errors.contains)
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
@@ -91,9 +97,11 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val fullLine =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${names.size},"n_runs":$nRuns,"run_totals":$runsJson,"errors":$errsJson,"queries":$full,"sf":"$sfDir"}"""
-    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
-      (fullLine + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => }
+    // subset runs must not clobber the last full suite's record
+    if (only.isEmpty)
+      try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+        (fullLine + "\n").getBytes("UTF-8"))
+      catch { case _: Throwable => }
     // stop the session BEFORE printing: the driver keeps only the output
     // TAIL, and spark.stop()'s shutdown logging after the JSON line is
     // exactly what truncated BENCH_r05's parse (parsed: null)

@@ -247,7 +247,8 @@ object TextDedup {
     */
   def spanPairs(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", windowTokens: Int = 8, dfCap: Int = 32,
-      minShared: Int = 3, sampleMod: Int = 1): DataFrame = {
+      minShared: Int = 3, sampleMod: Int = 1,
+      materialize: Boolean = true): DataFrame = {
     require(windowTokens == 8, "rolling fingerprints are pinned to 8-token windows")
     graft.functions.BitSketchExpressions.register(docs.sparkSession)
     val wins = docs
@@ -267,7 +268,7 @@ object TextDedup {
     // two shuffles + persist of the pruned⋈pruned self-join. The df
     // filter runs BEFORE collect_list, so no aggregation buffer ever
     // holds a hot window's full posting list.
-    wins.join(rare.select("wh"), "wh")
+    val out = wins.join(rare.select("wh"), "wh")
       .groupBy(col("wh"))
       .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
       .where(size(col("ids")) >= 2)
@@ -278,6 +279,28 @@ object TextDedup {
       .select(col("p.a").as("a"), col("p.b").as("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("shared_windows"))
       .where(col("shared_windows") >= minShared)
+    if (!materialize) out
+    else {
+      // collect_list is the same ObjectHashAggregate as containment's
+      // capped list: on a hash-unique corpus (~1 distinct window per
+      // posting row) the default 128-key sort-based fallback sort-
+      // aggregates the whole stream — scope the same threshold +
+      // shuffle-width confs through the materializing job
+      val spark = docs.sparkSession
+      val width = math.max(
+        spark.conf.get("spark.sql.shuffle.partitions", "32").toInt,
+        2 * wins.rdd.getNumPartitions)
+      val confs = Seq(
+        "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "4000000",
+        "spark.sql.shuffle.partitions" -> width.toString)
+      val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try out.localCheckpoint(true)
+      finally prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, scala.None) => spark.conf.unset(k)
+      }
+    }
   }
 
   /** Asymmetric containment candidates (doc-inside-doc, the
@@ -346,10 +369,16 @@ object TextDedup {
       // are scoped to the materializing job; AQE coalesces the extra
       // partitions away on small inputs.
       val spark = docs.sparkSession
+      // shuffle width scales with the INPUT split count (posting rows
+      // are ∝ input splits), so gate-scale corpora keep the session
+      // width (zero overhead) while the 1M stress corpus widens enough
+      // to stay under the per-task key threshold
+      val width = math.max(
+        spark.conf.get("spark.sql.shuffle.partitions", "32").toInt,
+        2 * ex.rdd.getNumPartitions)
       val confs = Seq(
         "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "4000000",
-        "spark.sql.shuffle.partitions" -> math.max(128,
-          spark.conf.get("spark.sql.shuffle.partitions", "32").toInt).toString)
+        "spark.sql.shuffle.partitions" -> width.toString)
       val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
       confs.foreach { case (k, v) => spark.conf.set(k, v) }
       val result =

@@ -1303,15 +1303,7 @@ object PipelineQueries {
       // first 40 tokens with a distinct tail — up to 33 shared
       // windows, ~8 surviving the sampling (short docs may sample
       // below minShared; deterministic either way).
-      val docs = t(s, d, "documents")
-      val planted = docs.where(col("doc_id") % 11 === 0)
-        .withColumn("doc_id", col("doc_id") + 5000000L)
-        .withColumn("text", concat(
-          concat_ws(" ", slice(split(lower(trim(col("text"))), "\\s+"), 1, 40)),
-          lit(" distinct tail marker"), (col("doc_id") % 97).cast("string")))
-      graft.ops.TextDedup.spanPairs(docs.unionByName(planted),
-          minShared = 2, sampleMod = 4)
-        .orderBy(col("a"), col("b"))
+      spanDedupPlan(s, d, materialize = true).orderBy(col("a"), col("b"))
     },
 
     // --- duplicated-span REMOVAL (ExactSubstr's second half) -----------
@@ -2607,9 +2599,11 @@ object PipelineQueries {
       // per-split doc counts plus the straddling-pair count, which the
       // construction pins to ZERO.
       val corpus = corpusWithPlants(s, d).select(col("doc_id"))
-      // pairs feed BOTH the CC and the straddle audit — persist so the
-      // candidate-generation pipeline (shingle join) runs once
-      val pairs = jaccardPairs(s, d).select(col("a"), col("b")).persist()
+      // pairs feed BOTH the CC and the straddle audit — jaccardPairs
+      // already returns an eagerly-checkpointed frame (its materialize
+      // default), so both consumers read the materialized result; a
+      // second persist here would just build a redundant cache
+      val pairs = jaccardPairs(s, d).select(col("a"), col("b"))
       val cc = connectedComponents(pairs)
       val reps = corpus.join(cc.select(col("node").as("doc_id"), col("lab")),
           Seq("doc_id"), "left")
@@ -2628,11 +2622,7 @@ object PipelineQueries {
           countDistinct(col("rep")).as("n_clusters"))
         .crossJoin(broadcast(straddle))
         .orderBy(col("split"))
-      // 2-row result: checkpoint eagerly so the pairs cache never
-      // outlives the query (same hygiene as containmentPairs)
-      val result = out.localCheckpoint(true)
-      pairs.unpersist()
-      result
+      out
     },
 
     // --- mixture-weighted deterministic interleave ------------------------
@@ -2781,6 +2771,22 @@ object PipelineQueries {
   /** d08 core with lazy internals — for the plan audit. */
   private[graft] def jaccardPairsPlan(s: SparkSession, d: String): DataFrame =
     graft.ops.TextDedup.jaccardPairs(corpusWithPlants(s, d), materialize = false)
+
+  /** d47 core: planted 40-token-prefix copies over the corpus, through
+    * [[graft.ops.TextDedup.spanPairs]]. `materialize = false` keeps the
+    * lazy plan for the audit.
+    */
+  private[graft] def spanDedupPlan(s: SparkSession, d: String,
+      materialize: Boolean): DataFrame = {
+    val docs = t(s, d, "documents")
+    val planted = docs.where(col("doc_id") % 11 === 0)
+      .withColumn("doc_id", col("doc_id") + 5000000L)
+      .withColumn("text", concat(
+        concat_ws(" ", slice(split(lower(trim(col("text"))), "\\s+"), 1, 40)),
+        lit(" distinct tail marker"), (col("doc_id") % 97).cast("string")))
+    graft.ops.TextDedup.spanPairs(docs.unionByName(planted),
+      minShared = 2, sampleMod = 4, materialize = materialize)
+  }
 
   /** d25 core, pre-checkpoint — split out so the plan audit can see
     * the real pipeline. The IVF centroids (d12) seeded from sample

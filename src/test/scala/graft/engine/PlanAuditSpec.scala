@@ -353,7 +353,8 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("d47 span dedup: window fingerprints shuffle as ints, never token arrays") {
-    val df = PipelineQueries.queries("d47_span_dedup")(spark, sfDir)
+    // the gate eagerly checkpoints (cache hygiene) — audit the lazy core
+    val df = PipelineQueries.spanDedupPlan(spark, sfDir, materialize = false)
     df.collect()
     val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
     val exchangeBlocks = p.split("\n\n").filter(_.matches("(?s)\\(\\d+\\) Exchange.*"))
