@@ -34,6 +34,23 @@ class ScriptLineageSpec extends AnyFunSuite with BeforeAndAfterAll {
       Set("proj.ds.branch_a", "proj.ds.branch_b", "proj.ds.dim"))
   }
 
+  test("tables inside REPEAT and statement-CASE blocks are discovered") {
+    val script =
+      """DECLARE n INT64 DEFAULT 0;
+        |REPEAT
+        |  SET n = n + 1;
+        |  CREATE TEMP TABLE acc AS (SELECT * FROM proj.ds.loop_src);
+        |UNTIL n >= 2
+        |END REPEAT;
+        |CASE n
+        |  WHEN 2 THEN SELECT * FROM proj.ds.case_a;
+        |  ELSE SELECT * FROM proj.ds.case_b;
+        |END CASE""".stripMargin
+    val r = Lineage.findDependenciesInScript(spark, script, "proj.ds.dest")
+    assert(r.dependencies.toSet ==
+      Set("proj.ds.loop_src", "proj.ds.case_a", "proj.ds.case_b"))
+  }
+
   test("a MERGE inside an IF keeps its USING source in lineage") {
     val script =
       """DECLARE go BOOL DEFAULT true;

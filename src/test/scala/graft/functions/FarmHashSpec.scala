@@ -78,4 +78,49 @@ class FarmHashSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](instr("abc", "b", 0))
     intercept[IllegalArgumentException](instr("abc", "b", 1, 0))
   }
+
+  test("INSTR property: forward and backward enumerate the same match set") {
+    // occurrence k backward from the end == occurrence (n − k + 1)
+    // forward, for every k — checked over a random small-alphabet corpus
+    // (overlaps included; the property holds because both directions
+    // walk the identical ordered set of match start positions)
+    val rnd = new scala.util.Random(42)
+    (1 to 300).foreach { _ =>
+      val v = Seq.fill(rnd.nextInt(24) + 1)(('a' + rnd.nextInt(2)).toChar).mkString
+      val s = Seq.fill(rnd.nextInt(3) + 1)(('a' + rnd.nextInt(2)).toChar).mkString
+      val fwd = Iterator.from(1)
+        .map(k => instr(v, s, 1, k)).takeWhile(_ != 0L).toVector
+      val bwd = Iterator.from(1)
+        .map(k => instr(v, s, -1, k)).takeWhile(_ != 0L).toVector
+      assert(bwd == fwd.reverse, s"v=$v s=$s fwd=$fwd bwd=$bwd")
+      // every reported position really is a match start
+      fwd.foreach(p => assert(v.startsWith(s, p.toInt - 1), s"v=$v s=$s p=$p"))
+      // one past the last occurrence finds nothing
+      assert(instr(v, s, 1, fwd.size + 1) == 0L)
+    }
+  }
+
+  test("INSTR property: positive position p equals searching the suffix") {
+    val rnd = new scala.util.Random(7)
+    (1 to 300).foreach { _ =>
+      val v = Seq.fill(rnd.nextInt(20) + 2)(('a' + rnd.nextInt(2)).toChar).mkString
+      val s = Seq.fill(rnd.nextInt(2) + 1)(('a' + rnd.nextInt(2)).toChar).mkString
+      val p = rnd.nextInt(v.length) + 1
+      val viaSuffix = instr(v.substring(p - 1), s) match {
+        case 0L => 0L
+        case q => q + p - 1
+      }
+      assert(instr(v, s, p) == viaSuffix, s"v=$v s=$s p=$p")
+    }
+  }
+
+  test("fingerprint64 property: no accidental prefix/length aliasing") {
+    // inputs that share a long prefix but differ in length or tail must
+    // not collide — catches a mis-read of the (len-1)&63 tail handling
+    val base = "q" * 300
+    val variants = (0 to 64).map(i => base.substring(0, 200 + i)) ++
+      (0 until 32).map(i => base.substring(0, 200) + ("q" * i) + "z")
+    val hs = variants.map(fp)
+    assert(hs.distinct.size == hs.size)
+  }
 }
