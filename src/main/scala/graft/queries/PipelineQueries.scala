@@ -2683,6 +2683,20 @@ object PipelineQueries {
     },
 
     // --- mixed-language document detection --------------------------------
+    // --- persisted LSH index, bucketed by the probe key ------------------
+    "d102_lsh_index_probe" -> { (s, d) =>
+      // The index form of incremental near-dup dedup at 100 TB: the
+      // history corpus's banded MinHash rows live as a CATALOG TABLE
+      // bucketed by (band, bucket-hash) — maintained once, probed by
+      // every new crawl batch with NO shuffle of the index side
+      // (PlanAuditSpec pins the exchange-free sort-merge shape; at
+      // gate scale Catalyst broadcasts the small probe side, equally
+      // right). Output: per batch doc, its distinct history candidate
+      // count + smallest candidate id — both replayed by the oracle's
+      // banded-minhash CTE chain over the same split.
+      lshIndexProbePlan(s, d)
+    },
+
     "d101_mixed_language_flags" -> { (s, d) =>
       // Concatenation artifacts — an English page with a German
       // boilerplate tail — poison monolingual training sets and slip
@@ -2757,6 +2771,72 @@ object PipelineQueries {
         .withColumn("doc_id", col("doc_id") + 3000000L)
         .withColumn("text", concat(col("text"), lit(" update"))))
     (history, newBatch)
+  }
+
+  /** (band, bucket-hash, id) LSH rows of a corpus — the d07 banding
+    * as a standalone projection, for index build and probe.
+    */
+  private def lshBands(docs: DataFrame): DataFrame =
+    graft.ops.TextDedup.shingled(docs)
+      .withColumn("mh", expr("graft_minhash32(shingles)"))
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, 7),
+          |  b -> struct(b as band, graft_md5_60(concat_ws(',', slice(mh, b*4+1, 4))) as bh))""".stripMargin)).as("bd"))
+      .select(col("doc_id"), col("bd.band").as("band"), col("bd.bh").as("bh"))
+
+  /** JVM-lifetime LSH index fixture: the history corpus's banded
+    * MinHash rows as a catalog table BUCKETED BY THE JOIN KEY
+    * (band, bh) — the on-disk layout an incremental dedup service
+    * maintains at 100 TB, so every probe joins WITHOUT shuffling the
+    * index side. Keyed per application + source dir (the bench JVM
+    * runs many sessions).
+    */
+  private val builtLshIdx = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def ensureLshIndex(s: SparkSession, d: String): Unit = {
+    val key = s"${s.sparkContext.applicationId}|$d"
+    builtLshIdx.synchronized {
+      if (!builtLshIdx.contains(key)) {
+        s.sql("DROP DATABASE IF EXISTS graft__pidx CASCADE")
+        val loc = java.nio.file.Files.createTempDirectory("graft_pidx")
+        s.sql(s"CREATE DATABASE graft__pidx LOCATION '$loc'")
+        val (history, _) = incrementalDedupInputs(s, d)
+        lshBands(history).withColumnRenamed("doc_id", "hist_id")
+          .write.bucketBy(8, "band", "bh").sortBy("band", "bh")
+          .option("path",
+            java.nio.file.Files.createTempDirectory("lsh_idx").toString)
+          .mode("overwrite").saveAsTable("graft__pidx.lsh_index")
+        builtLshIdx.add(key)
+      }
+    }
+  }
+
+  /** d102 core: probe the bucketed LSH index with the new batch's
+    * bands; per batch doc, the distinct history candidates. With
+    * `pinNoBroadcast` the physical plan is forced to the large-large
+    * shape (sort-merge against the bucketed index, probe side the only
+    * exchange) and pinned for the plan audit — at gate scale Catalyst
+    * rightly broadcasts the small probe side instead.
+    */
+  private[graft] def lshIndexProbePlan(s: SparkSession, d: String,
+      pinNoBroadcast: Boolean = false): DataFrame = {
+    ensureLshIndex(s, d)
+    val (_, batch) = incrementalDedupInputs(s, d)
+    def build(): DataFrame =
+      lshBands(batch).join(s.table("graft__pidx.lsh_index"), Seq("band", "bh"))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("hist_id")).as("n_cand_docs"),
+          min(col("hist_id")).as("min_hist"))
+        .orderBy(col("doc_id"))
+    if (!pinNoBroadcast) build()
+    else {
+      val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val df = build()
+        df.queryExecution.executedPlan // pin inside the conf window
+        df
+      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
   }
 
   /** d30 core with lazy internals — for the plan audit (the gate's
@@ -2924,8 +3004,49 @@ object PipelineQueries {
          |FROM scored
          |WHERE lang_a != lang_b AND hits_a >= 2 AND hits_b >= 2
          |ORDER BY doc_id""".stripMargin
+    // banded-minhash rows of a (doc_id, text) CTE — d07's replay chain
+    // parameterized by source table, for the index/probe oracle
+    def duckBands(src: String): String =
+      s"""SELECT doc_id, b,
+         |    ('0x' || substring(md5(array_to_string(mh[b*4+1 : b*4+4], ',')), 1, 15))::BIGINT AS bh
+         |  FROM (
+         |    SELECT doc_id,
+         |      list_transform(range(0, 32),
+         |        j -> list_min(list_transform(hs, h -> (h * (1103515245 + 12345*j) + j * 987654321) % 2147483647))) AS mh
+         |    FROM (
+         |      SELECT doc_id,
+         |        list_transform(
+         |          list_distinct(list_transform(range(1, len(toks) - 1),
+         |            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])),
+         |          s -> ('0x' || substring(md5(s), 1, 15))::BIGINT % 2147483647) AS hs
+         |      FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM $src)
+         |      WHERE len(toks) >= 3)),
+         |  unnest(range(0, 8)) AS t(b)""".stripMargin
+
     Map(
       "d101_mixed_language_flags" -> mixedLangOracle,
+
+      "d102_lsh_index_probe" ->
+        s"""WITH hist AS (
+           |  SELECT doc_id, text FROM documents WHERE doc_id % 4 != 0
+           |), batch AS (
+           |  SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0
+           |  UNION ALL
+           |  SELECT doc_id + 2000000, text FROM documents
+           |  WHERE doc_id % 4 != 0 AND doc_id % 8 = 1
+           |  UNION ALL
+           |  SELECT doc_id + 3000000, text || ' update' FROM documents
+           |  WHERE doc_id % 4 != 0 AND doc_id % 8 = 3
+           |), hb AS (
+           |  ${duckBands("hist")}
+           |), bb AS (
+           |  ${duckBands("batch")}
+           |)
+           |SELECT bb.doc_id AS doc_id,
+           |  CAST(count(DISTINCT hb.doc_id) AS BIGINT) AS n_cand_docs,
+           |  min(hb.doc_id) AS min_hist
+           |FROM bb JOIN hb ON bb.b = hb.b AND bb.bh = hb.bh
+           |GROUP BY 1 ORDER BY bb.doc_id""".stripMargin,
 
       "d89b_repetition_profile" ->
         """WITH docs AS (

@@ -365,6 +365,22 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"), s"span pairing must stay an equi-join:\n$p")
   }
 
+  test("d102 LSH index probe: bucketed index side joins exchange-free") {
+    // pinNoBroadcast forces the large-large shape (at 100 TB neither
+    // side broadcasts): sort-merge against the bucketed index with the
+    // PROBE side as the only exchange below the join
+    val df = PipelineQueries.lshIndexProbePlan(spark, sfDir, pinNoBroadcast = true)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      .split("== Initial Plan ==").head
+    assert(p.contains("SortMergeJoin"), s"expected SMJ in:\n$p")
+    assert(p.contains("Bucketed: true"),
+      s"index scan must use the bucketed layout:\n$p")
+    val subtree = p.linesIterator.dropWhile(!_.contains("SortMergeJoin"))
+      .takeWhile(_.trim.nonEmpty).toSeq
+    assert(subtree.count(_.contains("Exchange")) <= 1,
+      s"only the probe side may shuffle into the bucketed join:\n${subtree.mkString("\n")}")
+  }
+
   test("e26 DSv2 source: unused text column pruned out of the scan") {
     val df = EngineQueries.queries("e26_synthetic_source")(spark, sfDir)
     df.collect()
