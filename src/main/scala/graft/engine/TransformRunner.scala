@@ -518,6 +518,11 @@ object PartitionCommit {
       stageDir: Path, dropValues: Seq[String]): Unit = {
     val loc = tableLocation(spark, dest)
     val fs = fsOf(spark, loc)
+    // heal a crashed predecessor BEFORE journaling: a POSIX rename over
+    // an existing journal would silently replace it and lose that tx's
+    // remaining swap actions (concurrent writers to one destination
+    // remain unsupported — single-writer per table, like the reference)
+    if (fs.exists(journalPath(loc))) replay(spark, dest, loc)
     val stagedVals =
       if (fs.exists(stageDir))
         fs.listStatus(stageDir).filter(_.isDirectory)

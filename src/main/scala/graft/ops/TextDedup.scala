@@ -279,115 +279,87 @@ object TextDedup {
       .select(col("p.a").as("a"), col("p.b").as("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("shared_windows"))
       .where(col("shared_windows") >= minShared)
-    if (!materialize) out
-    else {
-      // collect_list is the same ObjectHashAggregate as containment's
-      // capped list: on a hash-unique corpus (~1 distinct window per
-      // posting row) the default 128-key sort-based fallback sort-
-      // aggregates the whole stream — scope the same threshold +
-      // shuffle-width confs through the materializing job
-      val spark = docs.sparkSession
-      val width = math.max(
-        spark.conf.get("spark.sql.shuffle.partitions", "32").toInt,
-        2 * wins.rdd.getNumPartitions)
-      val confs = Seq(
-        "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "4000000",
-        "spark.sql.shuffle.partitions" -> width.toString)
-      val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
-      confs.foreach { case (k, v) => spark.conf.set(k, v) }
-      try out.localCheckpoint(true)
-      finally prev.foreach {
-        case (k, Some(v)) => spark.conf.set(k, v)
-        case (k, scala.None) => spark.conf.unset(k)
-      }
-    }
+    // checkpoint-only materialization: collect_list's sort-based
+    // fallback (default 128-key threshold) is the RIGHT strategy for a
+    // mostly-unique window stream — hash mode would allocate one
+    // buffer object per key (~tens of millions) and measured 15–30×
+    // slower at the 250k stress size from GC alone
+    if (!materialize) out else out.localCheckpoint(true)
   }
 
   /** Asymmetric containment candidates (doc-inside-doc, the
     * quote-and-comment case Jaccard misses): candidates come from a
-    * shingle inverted index with stop-shingle pruning. The df cap is
-    * applied IN the aggregate: [[graft.functions.CappedLongList]]
-    * saturates each posting-list buffer at dfCap+1 elements, so a
-    * shingle with df ≤ dfCap aggregates its exact list (it can never
-    * reach the cap in any partial or merge) while a hot shingle costs
-    * dfCap+1 longs and is dropped by the size filter — ONE shuffle,
-    * bounded buffers, no second pass. (A `count().over(partitionBy(sh))`
-    * variant shuffle-sorts the full posting stream — the round-5 ~7×
-    * regression; a groupBy-count + join-back variant sorts two
-    * corpus-sized relations — measured 8.6× growth for 4× docs in the
-    * 250k stress run.) Ordered pairs are generated locally per capped
-    * posting list (≤ dfCap·(dfCap−1) per shingle; both directions,
-    * containment is asymmetric). Returns (contained_id, container_id,
-    * shared, na, nb) where shared·100 ≥ na·minContainPct and
-    * na ≥ minShingles.
+    * shingle inverted index with stop-shingle pruning, built entirely
+    * from TUNGSTEN operators — no per-key object buffers anywhere:
+    *
+    *  1. df per shingle is a plain codegen count over slim
+    *     (shingle-hash, id) longs.
+    *  2. Only NON-SINGLETON shingles enter the keys table (pair keys
+    *     with 2 ≤ df ≤ dfCap, saturated "hot" keys above the cap) —
+    *     bounded by corpus repetition, tiny on mostly-unique corpora.
+    *  3. Ordered pairs come from an equi-SELF-JOIN of the pruned
+    *     postings on the shingle hash (fan-out ≤ dfCap per shingle;
+    *     both directions — containment is asymmetric).
+    *  4. Per-doc surviving-shingle counts are one pass: count all
+    *     shingles minus hot-key hits via a left join's null-count.
+    *
+    * Earlier generations (see STRESS.md): a count window shuffle-sorts
+    * the whole posting stream (round-5 ~7× regression); a df join-back
+    * that still built posting lists with collect_list sorted two
+    * corpus-sized relations (8.6× stress growth); a saturating
+    * capped-list TypedImperativeAggregate bounded the buffers but
+    * still allocated ONE BUFFER OBJECT PER DISTINCT SHINGLE —
+    * ~100M allocations at the 1M-doc stress ceiling, a GC wall
+    * (14–24× growth). Generation 4 has no object aggregation at all.
+    *
+    * Returns (contained_id, container_id, shared, na, nb) where
+    * shared·100 ≥ na·minContainPct and na ≥ minShingles.
     */
   def containmentPairs(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", dfCap: Int = 32,
       minContainPct: Int = 90, minShingles: Int = 10,
       materialize: Boolean = true): DataFrame = {
-    graft.functions.CappedLongList.register(docs.sparkSession)
+    graft.functions.BitSketchExpressions.register(docs.sparkSession)
     val ex = shingled(docs, textCol)
       .select(col(idCol).as("doc_id"),
         explode(expr("transform(shingles, x -> graft_md5_60(x))")).as("sh"))
-    val lists = ex
-      .groupBy(col("sh"))
-      .agg(expr(s"graft_capped_list(doc_id, ${dfCap + 1})").as("ids"))
-      .where(size(col("ids")) <= dfCap)
-      .persist()
-    val np = lists.select(explode(col("ids")).as("doc_id"))
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("np"))
-    val out = lists
-      .where(size(col("ids")) >= 2)
-      .select(explode(expr(
-        """flatten(transform(ids, x ->
-          |  transform(filter(ids, y -> y != x), y -> struct(x AS a, y AS b))))""".stripMargin))
-        .as("p"))
-      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .persist() // slim (long, long); feeds keys, pair join, np
+    val keys0 = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .where(col("df") >= 2)
+      .select(col("sh"), (col("df") > dfCap).as("hot"))
+    // the non-singleton keys table feeds two branches — materialize it
+    // once (eager checkpoint; with materialize=false the audit path
+    // keeps the lazy plan and recomputes the count per branch)
+    val keys = if (materialize) keys0.localCheckpoint(true) else keys0
+    val pairKeys = keys.where(!col("hot")).select("sh")
+    val hotKeys = keys.where(col("hot")).select("sh")
+    val exKept = ex.join(pairKeys, "sh")
+    val shared = exKept.select(col("sh"), col("doc_id").as("a"))
+      .join(exKept.select(col("sh"), col("doc_id").as("b")), "sh")
+      .where(col("a") =!= col("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("shared"))
+    // shingles are distinct per doc, so np = all shingles − hot hits;
+    // hot keys are unique per row, so the left join never fans out
+    // (AQE broadcasts the small side)
+    val np = ex.join(hotKeys.withColumn("h", lit(1)), Seq("sh"), "left")
+      .groupBy(col("doc_id"))
+      .agg((count(lit(1)) - count(col("h"))).as("np"))
+    val out = shared
       .join(np.select(col("doc_id").as("a"), col("np").as("na")), "a")
       .join(np.select(col("doc_id").as("b"), col("np").as("nb")), "b")
       .where(col("shared") * 100 >= col("na") * minContainPct &&
         col("na") >= minShingles)
       .select(col("a").as("contained_id"), col("b").as("container_id"),
         col("shared"), col("na"), col("nb"))
-    // the surviving pairs are tiny next to the posting lists:
-    // materialize them eagerly so the persisted index can be dropped
-    // before returning (a long-lived JVM running many queries must not
-    // accrete per-query caches — ContextCleaner reclaims checkpoint
-    // blocks once the result is unreferenced, persist entries it won't).
-    // materialize=false keeps the lazy plan (plan audits inspect it).
+    // the surviving pairs are tiny next to the postings: materialize
+    // eagerly so the posting cache can be dropped before returning
+    // (long-lived-JVM hygiene; ContextCleaner reclaims checkpoint
+    // blocks once the result is unreferenced, persist entries it
+    // won't). materialize=false keeps the lazy plan for plan audits.
     if (!materialize) out
     else {
-      // graft_capped_list runs on ObjectHashAggregate, whose sort-based
-      // fallback triggers at a default of 128 DISTINCT KEYS per task —
-      // at 1M docs that sort-aggregated the whole ~100M-row posting
-      // stream and went 14× super-linear in the stress ceiling. Each
-      // buffer is ≤ (cap+1) longs, so a few million map entries per
-      // task is a few hundred MB: raise the threshold AND widen the
-      // shuffle so a hash-unique corpus (worst case: ~1 distinct
-      // shingle per posting row) stays under it per task. Both confs
-      // are scoped to the materializing job; AQE coalesces the extra
-      // partitions away on small inputs.
-      val spark = docs.sparkSession
-      // shuffle width scales with the INPUT split count (posting rows
-      // are ∝ input splits), so gate-scale corpora keep the session
-      // width (zero overhead) while the 1M stress corpus widens enough
-      // to stay under the per-task key threshold
-      val width = math.max(
-        spark.conf.get("spark.sql.shuffle.partitions", "32").toInt,
-        2 * ex.rdd.getNumPartitions)
-      val confs = Seq(
-        "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "4000000",
-        "spark.sql.shuffle.partitions" -> width.toString)
-      val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
-      confs.foreach { case (k, v) => spark.conf.set(k, v) }
-      val result =
-        try out.localCheckpoint(true)
-        finally prev.foreach {
-          case (k, Some(v)) => spark.conf.set(k, v)
-          case (k, scala.None) => spark.conf.unset(k)
-        }
-      lists.unpersist()
+      val result = out.localCheckpoint(true)
+      ex.unpersist()
       result
     }
   }

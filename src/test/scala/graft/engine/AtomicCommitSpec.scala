@@ -102,6 +102,23 @@ class AtomicCommitSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(contents() == Seq((100L, "2021-01-01"), (200L, "2021-01-02")))
   }
 
+  test("a new commit heals a crashed predecessor before journaling") {
+    freshDest((1L, "2021-01-01"), (2L, "2021-01-02"))
+    val sql1 = Seq("SELECT 10 AS v", "SELECT 20 AS v").mkString(marker)
+    PartitionCommit.crashAfterActions = 1
+    try intercept[IllegalStateException] {
+      new TransformRunner(spark).multiPartitionTransform(
+        conf(), sql1, window2d, LocalDateTime.now(), "d", dryRun = false)
+    } finally PartitionCommit.crashAfterActions = -1
+    // direct strategy call (no transform()-level recover): commit()
+    // itself must replay the stale journal before writing its own —
+    // a silent journal overwrite would lose the crashed tx's actions
+    val sql2 = Seq("SELECT 100 AS v", "SELECT 200 AS v").mkString(marker)
+    new TransformRunner(spark).multiPartitionTransform(
+      conf(), sql2, window2d, LocalDateTime.now(), "d", dryRun = false)
+    assert(contents() == Seq((100L, "2021-01-01"), (200L, "2021-01-02")))
+  }
+
   test("MERGE_REPLACE filter crash mid-swap: emptied partition drops on recovery") {
     freshDest((1L, "2021-01-01"), (20L, "2021-01-02"))
     // filter deletes every v >= 10 row: partition 01-02 empties (drop

@@ -539,18 +539,20 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     df.collect()
     val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
       .split("== Initial Plan ==").head
-    // the df cap must live INSIDE the aggregate (graft_capped_list:
-    // partial+final ObjectHashAggregate with saturating buffers) —
-    // never a count window, which would shuffle-SORT every exploded
-    // (doc, shingle) row including the hot shingles the cap exists to
-    // discard (the round-5 ~7x regression), and never a join-back of
-    // two corpus-sized relations (8.6x stress growth)
+    // generation-4 shape (STRESS.md): Tungsten count → key filter →
+    // equi-self-join pair gen. Never a count window (which would
+    // shuffle-SORT every exploded (doc, shingle) row — the round-5
+    // ~7x regression), never a cartesian, and never any OBJECT
+    // aggregation (one buffer per distinct shingle was the 1M-doc GC
+    // wall of generation 3)
     assert(!p.contains("Window"),
       s"df cap must not be a window over the posting stream:\n$p")
     assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
       s"expected partial+final HashAggregate for the df count:\n$p")
+    assert(!p.contains("ObjectHashAggregate") && !p.contains("SortAggregate"),
+      s"containment must stay on Tungsten hash aggregation:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-      s"pair generation must stay local per posting list:\n$p")
+      s"pair generation must stay an equi-join:\n$p")
   }
 
   test("d80 surprisal: one raw-token shuffle; corpus baseline broadcast, not collected") {

@@ -101,24 +101,4 @@ class SketchExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.getLong(2) == row.getLong(3) && row.getLong(2) == 147L)
   }
 
-  test("CappedLongList: exact below cap, saturates at cap, across many partitions") {
-    CappedLongList.register(spark)
-    import spark.implicits._
-    // keys 0..9 with multiplicity key+28 → keys with mult ≤ 32 (0..4)
-    // must aggregate their EXACT full list; keys with mult ≥ 33 (5..9)
-    // must saturate at exactly 33 elements. 16 partitions force partial
-    // buffers + merges, the path where a naive cap would lose elements.
-    val df = spark.range(0, 10).flatMap(k => (0L until (k + 28)).map(v => (k, v)))
-      .toDF("k", "v").repartition(16)
-    val out = df.groupBy("k")
-      .agg(org.apache.spark.sql.functions.expr("graft_capped_list(v, 33)").as("ids"))
-      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
-    for (k <- 0L to 4L) {
-      assert(out(k).sorted == (0L until (k + 28)), s"key $k must be exact")
-    }
-    for (k <- 5L to 9L) {
-      assert(out(k).length == 33, s"key $k must saturate at the cap")
-      assert(out(k).distinct.length == 33, s"key $k retains distinct real elements")
-    }
-  }
 }
