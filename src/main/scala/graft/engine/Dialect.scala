@@ -1084,6 +1084,42 @@ object Dialect {
         s"parse_url(concat('http://', ${a(0)}), 'HOST'))")
       else scala.None),
     "APPROX_COUNT_DISTINCT" -> renameTo("approx_count_distinct"),
+    // --- pack 6: approximate top-k + analytic percentiles ------------
+    // APPROX_TOP_COUNT(x, n) / APPROX_TOP_SUM(x, w, n) → the native
+    // Space-Saving aggregate (functions/TopCount.scala): O(cap) bounded
+    // mergeable buffers, map-side combine. n must be a literal (the
+    // sketch capacity is fixed at plan time) — anything else stays
+    // unresolved, loud. The weight is cast to BIGINT (BQ also allows
+    // FLOAT64 weights; integral only here, documented deviation).
+    "APPROX_TOP_COUNT" -> { a =>
+      if (a.length == 2 && a(1).trim.matches("""\d+"""))
+        Some(s"graft_top_count(${a(0)}, ${a(1).trim})")
+      else scala.None
+    },
+    "APPROX_TOP_SUM" -> { a =>
+      if (a.length == 3 && a(2).trim.matches("""\d+"""))
+        Some(s"graft_top_sum(${a(0)}, CAST(${a(1)} AS BIGINT), ${a(2).trim})")
+      else scala.None
+    },
+    // BQ analytic percentiles (window-only there; Spark aggregates work
+    // in both positions). PERCENTILE_CONT(x, f) → percentile(x, f) —
+    // Spark's exact interpolated percentile, same linear-interpolation
+    // semantics, FLOAT64 result in both engines. PERCENTILE_DISC(x, f)
+    // → the WITHIN GROUP form (first value whose cume_dist ≥ f, BQ
+    // semantics); Spark widens the result to DOUBLE where BQ keeps the
+    // input type — numerically identical on the selected element.
+    // A RESPECT/IGNORE NULLS suffix lands inside the fraction arg and
+    // matches neither guard → stays unresolved, loud.
+    "PERCENTILE_CONT" -> { a =>
+      if (a.length == 2 && a(1).trim.matches("""[0-9.]+"""))
+        Some(s"percentile(${a(0)}, ${a(1).trim})")
+      else scala.None
+    },
+    "PERCENTILE_DISC" -> { a =>
+      if (a.length == 2 && a(1).trim.matches("""[0-9.]+"""))
+        Some(s"percentile_disc(${a(1).trim}) WITHIN GROUP (ORDER BY ${a(0)})")
+      else scala.None
+    },
     // BigQuery LEAST/GREATEST return NULL if ANY argument is NULL;
     // Spark's skip NULLs — guard explicitly
     "LEAST" -> nullPropagating("least"),

@@ -385,5 +385,6 @@ object BitSketchExpressions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_deflate_len", exprs => DeflateLength(exprs.head), "scala_udf")
     FarmHashExpressions.register(spark)
+    TopCount.register(spark)
   }
 }

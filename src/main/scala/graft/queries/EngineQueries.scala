@@ -861,6 +861,41 @@ object EngineQueries {
           |ORDER BY doc_id""".stripMargin).get
     },
 
+    // --- pack 6: APPROX_TOP_COUNT / APPROX_TOP_SUM / PERCENTILE_CONT /
+    //     PERCENTILE_DISC through the dialect ---------------------------
+    "e47_pack6_analytics" -> { (s, d) =>
+      // Top-k rides the native Space-Saving aggregate
+      // (functions/TopCount.scala): o_orderpriority has 5 distinct
+      // values << the sketch capacity, so counts/sums are EXACT and
+      // the DuckDB oracle restates them verbatim. The percentile pair
+      // runs in BigQuery's analytic (OVER) position; the oracle
+      // replays the interpolation / first-cume_dist≥f formulas on a
+      // sorted list, so every column hash-checks. Both aggregates are
+      // mergeable bounded-buffer sketches — map-side combine, O(k)
+      // state per group at any corpus size.
+      Tables.views(s, d, "orders")
+      new ScriptRunner(s).run(
+        """CREATE TEMP TABLE tc AS (
+          |  SELECT o_orderstatus,
+          |    APPROX_TOP_COUNT(o_orderpriority, 3) AS top3,
+          |    APPROX_TOP_SUM(o_orderpriority, MOD(o_orderkey, 97), 2) AS ts2
+          |  FROM orders GROUP BY o_orderstatus);
+          |CREATE TEMP TABLE pct AS (
+          |  SELECT DISTINCT o_orderstatus,
+          |    PERCENTILE_CONT(o_custkey, 0.5) OVER (PARTITION BY o_orderstatus) AS med_cont,
+          |    PERCENTILE_DISC(o_custkey, 0.25) OVER (PARTITION BY o_orderstatus) AS q1_disc
+          |  FROM orders);
+          |SELECT c.o_orderstatus, c.kind, c.v, c.w, p.med_cont, p.q1_disc
+          |FROM (
+          |  SELECT o_orderstatus, 'count' AS kind, t.value AS v, t.count AS w
+          |  FROM tc, UNNEST(top3) AS t
+          |  UNION ALL
+          |  SELECT o_orderstatus, 'sum' AS kind, t.value AS v, t.sum AS w
+          |  FROM tc, UNNEST(ts2) AS t
+          |) c JOIN pct p ON c.o_orderstatus = p.o_orderstatus
+          |ORDER BY o_orderstatus, kind, w DESC, v""".stripMargin).get
+    },
+
     // --- ALLOW_FIELD_RELAXATION: REQUIRED -> NULLABLE on append --------
     "e29_field_relaxation" -> { (s, d) =>
       // The destination declares `note` REQUIRED (engine-managed table
@@ -1187,6 +1222,41 @@ object EngineQueries {
         |       ELSE length(text) - 1 - instr(reverse(text), reverse('the')) END AS BIGINT) AS p4
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    "e47_pack6_analytics" ->
+      """WITH tc AS (
+        |  SELECT o_orderstatus, o_orderpriority AS v,
+        |    CAST(count(*) AS BIGINT) AS cnt,
+        |    CAST(sum(o_orderkey % 97) AS BIGINT) AS wsum
+        |  FROM orders GROUP BY 1, 2
+        |), topc AS (
+        |  SELECT o_orderstatus, 'count' AS kind, v, cnt AS w,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |                       ORDER BY cnt DESC, v) AS rn
+        |  FROM tc
+        |), tops AS (
+        |  SELECT o_orderstatus, 'sum' AS kind, v, wsum AS w,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |                       ORDER BY wsum DESC, v) AS rn
+        |  FROM tc
+        |), pct AS (
+        |  SELECT o_orderstatus,
+        |    list_sort(list(o_custkey)) AS arr,
+        |    count(*) AS n
+        |  FROM orders GROUP BY 1
+        |), p AS (
+        |  SELECT o_orderstatus,
+        |    CASE WHEN n % 2 = 1 THEN CAST(arr[CAST((n + 1) // 2 AS INT)] AS DOUBLE)
+        |         ELSE (arr[CAST(n // 2 AS INT)] + arr[CAST(n // 2 + 1 AS INT)]) / 2.0
+        |    END AS med_cont,
+        |    CAST(arr[CAST(ceil(0.25 * n) AS INT)] AS DOUBLE) AS q1_disc
+        |  FROM pct
+        |)
+        |SELECT c.o_orderstatus, c.kind, c.v, c.w, p.med_cont, p.q1_disc
+        |FROM (SELECT * FROM topc WHERE rn <= 3
+        |      UNION ALL SELECT * FROM tops WHERE rn <= 2) c
+        |JOIN p ON c.o_orderstatus = p.o_orderstatus
+        |ORDER BY c.o_orderstatus, c.kind, c.w DESC, c.v""".stripMargin,
 
     "e01_script_runner" ->
       """SELECT o_orderpriority, count(1) AS cnt

@@ -57,6 +57,36 @@ class DialectExecSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one("SELECT REGEXP_EXTRACT_ALL('a1b22c', '[0-9]+')") == Seq("1", "22"))
   }
 
+  test("vocabulary pack 6: APPROX_TOP_COUNT/SUM, PERCENTILE_CONT/DISC") {
+    import org.apache.spark.sql.Row
+    // APPROX_TOP_COUNT: exact below sketch capacity, deterministic
+    // (count DESC, value ASC) tie-break
+    val tc = one("SELECT APPROX_TOP_COUNT(x, 2) FROM " +
+      "(SELECT 'a' AS x UNION ALL SELECT 'b' UNION ALL SELECT 'a' " +
+      "UNION ALL SELECT 'c' UNION ALL SELECT 'b' UNION ALL SELECT 'a')")
+      .asInstanceOf[scala.collection.Seq[Row]].toSeq.map(r => (r.getString(0), r.getLong(1)))
+    assert(tc == Seq(("a", 3L), ("b", 2L)))
+    // APPROX_TOP_SUM: weighted; int weight auto-widens to BIGINT
+    val ts = one("SELECT APPROX_TOP_SUM(x, w, 2) FROM " +
+      "(SELECT 'a' AS x, 1 AS w UNION ALL SELECT 'b', 10 " +
+      "UNION ALL SELECT 'a', 2 UNION ALL SELECT 'c', 5)")
+      .asInstanceOf[scala.collection.Seq[Row]].toSeq.map(r => (r.getString(0), r.getLong(1)))
+    assert(ts == Seq(("b", 10L), ("c", 5L)))
+    // non-literal n stays unresolved — loud, not silently re-bucketed
+    val bad = intercept[Exception] {
+      one("SELECT APPROX_TOP_COUNT(x, 1 + 1) FROM (SELECT 'a' AS x)")
+    }
+    assert(bad.getMessage != null)
+    // PERCENTILE_CONT interpolates; PERCENTILE_DISC takes the first
+    // value with cume_dist >= f (both in BQ's analytic position)
+    assert(one("SELECT DISTINCT PERCENTILE_CONT(x, 0.5) OVER () FROM " +
+      "(SELECT 10 AS x UNION ALL SELECT 20 UNION ALL SELECT 30 UNION ALL SELECT 40)") == 25.0)
+    assert(one("SELECT DISTINCT PERCENTILE_DISC(x, 0.5) OVER () FROM " +
+      "(SELECT 10 AS x UNION ALL SELECT 20 UNION ALL SELECT 30 UNION ALL SELECT 40)") == 20.0)
+    assert(one("SELECT DISTINCT PERCENTILE_DISC(x, 0.25) OVER () FROM " +
+      "(SELECT 10 AS x UNION ALL SELECT 20 UNION ALL SELECT 30 UNION ALL SELECT 40)") == 10.0)
+  }
+
   test("vocabulary pack 3: IEEE math, buckets, code points, uuid") {
     assert(one("SELECT IEEE_DIVIDE(1, 0)") == Double.PositiveInfinity)
     assert(one("SELECT IEEE_DIVIDE(-1, 0)") == Double.NegativeInfinity)

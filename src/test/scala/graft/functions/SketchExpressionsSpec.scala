@@ -101,4 +101,34 @@ class SketchExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.getLong(2) == row.getLong(3) && row.getLong(2) == 147L)
   }
 
+  test("TopCount: exact below capacity across many partitions; heavy hitter survives saturation") {
+    TopCount.register(spark)
+    import spark.implicits._
+    import org.apache.spark.sql.Row
+    // 10 distinct keys (< capacity 64), key k appears k+1 times over 16
+    // partitions → partial buffers merge; counts must be EXACT and the
+    // order (count DESC, value ASC) deterministic
+    val df = spark.range(0, 10).flatMap(k => (0L to k).map(_ => f"k$k%02d"))
+      .toDF("v").repartition(16)
+    val top = df.agg(org.apache.spark.sql.functions
+        .expr("graft_top_count(v, 3)").as("t"))
+      .collect()(0).getSeq[Row](0).map(r => (r.getString(0), r.getLong(1)))
+    assert(top == Seq(("k09", 10L), ("k08", 9L), ("k07", 8L)))
+    // saturation: 5000 distinct singletons + one key with 2000 hits;
+    // the Space-Saving bound (overestimate <= err, heavy hitter never
+    // evicted once dominant) must keep 'hot' on top with count >= 2000
+    val skew = spark.range(0, 5000).map(i => s"u$i")
+      .union(spark.range(0, 2000).map(_ => "hot"))
+      .toDF("v").repartition(16)
+    val hot = skew.agg(org.apache.spark.sql.functions
+        .expr("graft_top_count(v, 1)").as("t"))
+      .collect()(0).getSeq[Row](0).head
+    assert(hot.getString(0) == "hot" && hot.getLong(1) >= 2000L,
+      s"heavy hitter lost under saturation: $hot")
+    // weighted variant sums BIGINT weights exactly below capacity
+    val ws = Seq(("a", 5L), ("b", 7L), ("a", 1L)).toDF("v", "w")
+      .agg(org.apache.spark.sql.functions.expr("graft_top_sum(v, w, 2)").as("t"))
+      .collect()(0).getSeq[Row](0).map(r => (r.getString(0), r.getLong(1)))
+    assert(ws == Seq(("b", 7L), ("a", 6L)))
+  }
 }
