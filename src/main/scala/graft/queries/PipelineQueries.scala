@@ -2741,6 +2741,45 @@ object PipelineQueries {
         .select(col("doc_id"), col("lang"), col("lang_a"), col("lang_b"),
           col("hits_a"), col("hits_b"))
         .orderBy(col("doc_id"))
+    },
+
+    // --- SFT/chat data prep: turn assembly from raw interaction logs ---
+    "d103_chat_turn_assembly" -> { (s, d) =>
+      // Multi-turn training samples come from raw per-user event
+      // streams: sessionize (30-min gap), map events to roles, MERGE
+      // consecutive same-role messages into one turn (alternation then
+      // holds by construction — the chat-template invariant), and keep
+      // conversations with ≥ 2 turns. See chatTurnsPlan for the
+      // one-shuffle window design.
+      chatTurnsPlan(s, d)
+        .select(col("user_id"), col("conv_idx"), col("turn_idx"),
+          col("role"), col("n_msgs"), col("turn_text"), col("n_turns"))
+        .orderBy(col("user_id"), col("conv_idx"), col("turn_idx"))
+    },
+
+    // --- SFT/chat data prep: context-window fit at turn granularity ---
+    "d104_context_window_pack" -> { (s, d) =>
+      // Fitting a conversation to the model's context keeps the LAST
+      // whole turns under the budget (truncating mid-turn corrupts the
+      // template): reverse running cost per conversation, keep the
+      // suffix with cum cost ≤ 8 messages plus always the final turn.
+      // One extra window over the same (user, conv) clustering — no
+      // new shuffle beyond chatTurnsPlan's.
+      val wDesc = Window.partitionBy("user_id", "conv_idx")
+        .orderBy(col("turn_idx").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      chatTurnsPlan(s, d)
+        .withColumn("revcum", sum(col("n_msgs")).over(wDesc))
+        .withColumn("kept",
+          col("revcum") <= 8 || col("turn_idx") === col("n_turns"))
+        .groupBy(col("user_id"), col("conv_idx"), col("n_turns"))
+        .agg(
+          sum(when(col("kept"), 1L).otherwise(0L)).as("kept_turns"),
+          sum(when(col("kept"), col("n_msgs")).otherwise(0L)).as("kept_msgs"),
+          sum(when(!col("kept"), col("n_msgs")).otherwise(0L)).as("dropped_msgs"),
+          min(when(col("kept"), struct(col("turn_idx"), col("role"))))
+            .getField("role").as("first_kept_role"))
+        .orderBy(col("user_id"), col("conv_idx"))
     }
   )
 
@@ -2895,6 +2934,50 @@ object PipelineQueries {
     * executed plan to an ExistingRDD scan). Returns (persisted tf
     * handle — caller must unpersist, final frame).
     */
+  /** d103/d104 core: chat-style turns from per-user event streams.
+    * Sessionize on a 30-minute gap, map view/click → 'user' and the
+    * rest → 'assistant', then collapse consecutive same-role messages
+    * into turns (gaps-and-islands twice) and drop 1-turn
+    * conversations. The scale shape: every window and the turn
+    * aggregation cluster on user_id prefixes, so Catalyst plans ONE
+    * exchange (hash by user_id) for the whole chain — per-user streams
+    * are bounded, no global sort anywhere. Turn text is
+    * order-deterministic via array_sort over (ts, event_id, content)
+    * structs, never a bare collect_list.
+    */
+  private[graft] def chatTurnsPlan(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events").select(
+      col("user_id"), col("ts"), col("event_id"),
+      when(col("event_type").isin("view", "click"), lit("user"))
+        .otherwise(lit("assistant")).as("role"),
+      col("event_type").as("content"))
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val conv = ev
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("brk",
+        when(col("gap_us").isNull || col("gap_us") > 1800000000L, 1L)
+          .otherwise(0L))
+      .withColumn("conv_idx", sum(col("brk")).over(w))
+    val w2 = Window.partitionBy("user_id", "conv_idx")
+      .orderBy(col("ts"), col("event_id"))
+    val withTurns = conv
+      .withColumn("prev_role", lag(col("role"), 1).over(w2))
+      .withColumn("tbrk",
+        when(col("prev_role").isNull || col("prev_role") =!= col("role"), 1L)
+          .otherwise(0L))
+      .withColumn("turn_idx", sum(col("tbrk")).over(w2))
+    withTurns
+      .groupBy(col("user_id"), col("conv_idx"), col("turn_idx"), col("role"))
+      .agg(count(lit(1)).as("n_msgs"),
+        expr("array_join(transform(array_sort(collect_list(" +
+          "struct(ts, event_id, content))), x -> x.content), ' ')")
+          .as("turn_text"))
+      .withColumn("n_turns",
+        max(col("turn_idx")).over(Window.partitionBy("user_id", "conv_idx")))
+      .where(col("n_turns") >= 2)
+  }
+
   private[graft] def bigramSurprisalPlan(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val toks = t(s, d, "documents")
       .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("toks"))
@@ -2978,6 +3061,43 @@ object PipelineQueries {
         s"${sc("'le','les','et','des','un','une','est'")}, " +
         s"${sc("'的','是','不','了','在','我','有'")})"
     }
+    // d103/d104 shared turns chain: sessionize → role islands → turns
+    val chatTurnsCte =
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN event_type IN ('view', 'click') THEN 'user'
+        |         ELSE 'assistant' END AS role,
+        |    event_type AS content
+        |  FROM events
+        |), s AS (
+        |  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |    THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), c AS (
+        |  SELECT *, sum(brk) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id) AS conv_idx
+        |  FROM s
+        |), r AS (
+        |  SELECT *, CASE WHEN lag(role) OVER w2 IS DISTINCT FROM role
+        |    THEN 1 ELSE 0 END AS tbrk
+        |  FROM c WINDOW w2 AS (
+        |    PARTITION BY user_id, conv_idx ORDER BY ts, event_id)
+        |), tr AS (
+        |  SELECT *, sum(tbrk) OVER (
+        |    PARTITION BY user_id, conv_idx ORDER BY ts, event_id) AS turn_idx
+        |  FROM r
+        |), turns AS (
+        |  SELECT user_id, conv_idx, turn_idx, role,
+        |    CAST(count(*) AS BIGINT) AS n_msgs,
+        |    string_agg(content, ' ' ORDER BY ts, event_id) AS turn_text
+        |  FROM tr GROUP BY 1, 2, 3, 4
+        |), tt AS (
+        |  SELECT *, max(turn_idx) OVER (
+        |    PARTITION BY user_id, conv_idx) AS n_turns
+        |  FROM turns
+        |)""".stripMargin
+
     val mixedLangOracle =
       s"""WITH corpus AS (
          |  SELECT doc_id, text, lang FROM documents
@@ -3025,6 +3145,32 @@ object PipelineQueries {
 
     Map(
       "d101_mixed_language_flags" -> mixedLangOracle,
+
+      "d103_chat_turn_assembly" ->
+        s"""$chatTurnsCte
+           |SELECT user_id, CAST(conv_idx AS BIGINT) AS conv_idx,
+           |  CAST(turn_idx AS BIGINT) AS turn_idx, role, n_msgs, turn_text,
+           |  CAST(n_turns AS BIGINT) AS n_turns
+           |FROM tt WHERE n_turns >= 2
+           |ORDER BY user_id, conv_idx, turn_idx""".stripMargin,
+
+      "d104_context_window_pack" ->
+        s"""$chatTurnsCte, k AS (
+           |  SELECT *, sum(n_msgs) OVER (
+           |    PARTITION BY user_id, conv_idx ORDER BY turn_idx DESC
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS revcum
+           |  FROM tt WHERE n_turns >= 2
+           |), f AS (
+           |  SELECT *, (revcum <= 8 OR turn_idx = n_turns) AS kept FROM k
+           |)
+           |SELECT user_id, CAST(conv_idx AS BIGINT) AS conv_idx,
+           |  CAST(n_turns AS BIGINT) AS n_turns,
+           |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS kept_turns,
+           |  CAST(sum(CASE WHEN kept THEN n_msgs ELSE 0 END) AS BIGINT) AS kept_msgs,
+           |  CAST(sum(CASE WHEN NOT kept THEN n_msgs ELSE 0 END) AS BIGINT) AS dropped_msgs,
+           |  arg_min(role, turn_idx) FILTER (WHERE kept) AS first_kept_role
+           |FROM f GROUP BY 1, 2, 3
+           |ORDER BY user_id, conv_idx""".stripMargin,
 
       "d102_lsh_index_probe" ->
         s"""WITH hist AS (
