@@ -329,7 +329,14 @@ object TextDedup {
       .select(col("sh"), (col("df") > dfCap).as("hot"))
     // the non-singleton keys table feeds two branches — materialize it
     // once (eager checkpoint; with materialize=false the audit path
-    // keeps the lazy plan and recomputes the count per branch)
+    // keeps the lazy plan and recomputes the count per branch).
+    // Two rejected round-7 variants, both measured at the 1M ceiling:
+    // a LAZY keys persist (one job, ~0.3s faster at gate scale) let
+    // the branch consumers race the cache and went 47.6s/6.7×; a
+    // flagged-join that cached the joined posting stream doubled the
+    // cached bytes and went 31.6s/6.2×. The eager checkpoint holds
+    // 28s/3.8× — keep the slim (long, long) cache as the only
+    // corpus-sized resident.
     val keys = if (materialize) keys0.localCheckpoint(true) else keys0
     val pairKeys = keys.where(!col("hot")).select("sh")
     val hotKeys = keys.where(col("hot")).select("sh")

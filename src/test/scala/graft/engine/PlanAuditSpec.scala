@@ -525,6 +525,29 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"document text must not cross an exchange:\n$p")
   }
 
+  test("d103 chat turns: the whole sessionize→turns chain rides ONE hash exchange") {
+    // two windows (user_id), (user_id, conv_idx), a grouped turn agg
+    // and the n_turns window all cluster on a user_id prefix —
+    // HashPartitioning(user_id) satisfies every downstream
+    // ClusteredDistribution, so Catalyst must plan exactly one hash
+    // exchange; a second one means a window/agg broke the clustering
+    // chain (the per-user-stream scale contract for 100 TB logs)
+    val df = PipelineQueries.chatTurnsPlan(spark, sfDir)
+    df.collect()
+    val full = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    val finalTree = full.split("== Initial Plan ==").head
+    // tree nodes print as "+- Exchange (5)"; node details ("(5)
+    // Exchange ... Arguments: hashpartitioning(...)") live after both
+    // trees, so count nodes in the final tree and check the argument
+    // in the shared details section
+    val ex = raw"Exchange \(\d+\)".r.findAllIn(finalTree).size
+    assert(ex == 1, s"expected exactly one exchange in the final plan, got $ex:\n$finalTree")
+    assert(full.contains("hashpartitioning(user_id"),
+      s"the single exchange must hash on user_id:\n$full")
+    assert(!full.contains("rangepartitioning"),
+      s"no global sort belongs in the turns chain:\n$full")
+  }
+
   test("d43 containment: pre-aggregated df cap, no window sort of the posting stream") {
     // the gate query returns an eagerly-checkpointed frame (cache
     // hygiene), whose plan is a LogicalRDD — audit the BUILD plan via
