@@ -341,6 +341,39 @@ object Multimodal {
       .toDF("doc_id", "frame_no", "n_samples", "max_abs", "sum_abs")
   }
 
+  /** Real decode to raw u16 samples (sample + 32768, so every value is
+    * non-negative and integer division below stays floor in any
+    * engine): the imperative part of the m12 resample op is ONLY this
+    * codec call — the interpolation itself is declarative array math
+    * on the returned column, inside whole-stage codegen. Unreadable
+    * payloads yield an empty sample array (n_in = 0), never a crash.
+    */
+  def decodedAudioSamples(blobs: DataFrame): DataFrame = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          try {
+            val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+            val fmt = ais.getFormat
+            val target = new AudioFormat(fmt.getSampleRate, 16, fmt.getChannels, true, false)
+            val pcm = AudioSystem.getAudioInputStream(target, ais).readAllBytes()
+            val n = pcm.length / 2
+            val u = new Array[Int](n)
+            var i = 0
+            while (i < n) {
+              u(i) = ((pcm(2 * i) & 0xff) | (pcm(2 * i + 1).toInt << 8)) + 32768
+              i += 1
+            }
+            (id, n.toLong, u)
+          } catch { case _: Exception => (id, 0L, Array.empty[Int]) }
+        }
+      }
+      .toDF("doc_id", "n_in", "u")
+  }
+
   case class Frame(
       doc_id: Long,
       frame_no: Int,

@@ -927,6 +927,33 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // --- audio resampling (linear interpolation, 8 kHz → 12 kHz) --------
+    "m12_audio_resample" -> { (s, d) =>
+      // Normalizing heterogeneous audio to one training sample rate is
+      // the audio analogue of m07's image resize. The WAV really
+      // decodes (javax.sound.sampled); the 3/2-rate interpolation is
+      // integer-exact declarative array math over u16 samples —
+      // r(t) = (u(j)·(3−rem) + u(j+1)·rem) div 3 with j = 2t div 3,
+      // rem = 2t mod 3 — entirely inside whole-stage codegen, so the
+      // only imperative code is the codec call. No extrapolation past
+      // the last sample: n_out = (3·n_in − 4) div 2 + 1. The oracle
+      // replays the closed-form PCM clip through the same rationals.
+      val blobs = Multimodal.syntheticAudioBlobs(
+        t(s, d, "documents").select(col("doc_id")))
+      Multimodal.decodedAudioSamples(blobs)
+        .where(col("n_in") >= 2)
+        .withColumn("n_out", expr("(3 * n_in - 4) div 2 + 1"))
+        .withColumn("r", expr(
+          """transform(sequence(0, cast(n_out - 1 as int)), t ->
+            |  (element_at(u, cast(t * 2 div 3 as int) + 1) * (3 - t * 2 % 3)
+            |   + element_at(u, cast(t * 2 div 3 as int) + 2) * (t * 2 % 3)) div 3)""".stripMargin))
+        .select(col("doc_id"), col("n_in"), col("n_out"),
+          expr("aggregate(r, 0L, (a, x) -> a + x)").as("sum_r"),
+          expr("array_join(transform(slice(r, 1, 8), x -> cast(x as string)), ',')")
+            .as("r_head"))
+        .orderBy(col("doc_id"))
+    },
+
     // --- real frame extraction from a multi-frame container -------------
     "m06_multimodal_gif_frames" -> { (s, d) =>
       // Animated GIF is the one multi-frame container the JDK decodes:
@@ -5763,6 +5790,25 @@ object PipelineQueries {
       // sample(i) = ((id*37 + 31i + 7) mod 65536) - 32768 over
       // 256 + id%64 samples; head_hex is 'RIFF' + the little-endian
       // chunk size (36 + data bytes) every canonical WAV starts with
+      // m12: the oracle replays syntheticWav's u16 sample formula
+      // u(i) = (doc_id·37 + 31i + 7) mod 65536 through the same 3/2
+      // interpolation rationals — everything stays non-negative, so
+      // integer division is floor in both engines
+      "m12_audio_resample" ->
+        """WITH b AS (
+          |  SELECT doc_id, 256 + doc_id % 64 AS n FROM documents
+          |), t AS (
+          |  SELECT doc_id, n, (3*n - 4)//2 + 1 AS n_out,
+          |    list_transform(range(CAST((3*n - 4)//2 + 1 AS BIGINT)), t ->
+          |      ((doc_id*37 + ((t*2)//3)*31 + 7) % 65536 * (3 - (t*2)%3)
+          |       + (doc_id*37 + ((t*2)//3 + 1)*31 + 7) % 65536 * ((t*2)%3)) // 3) AS r
+          |  FROM b
+          |)
+          |SELECT doc_id, CAST(n AS BIGINT) AS n_in, CAST(n_out AS BIGINT) AS n_out,
+          |  CAST(list_sum(r) AS BIGINT) AS sum_r,
+          |  array_to_string(r[1:8], ',') AS r_head
+          |FROM t ORDER BY doc_id""".stripMargin,
+
       "m05_multimodal_audio_features" ->
         """WITH b AS (
           |  SELECT doc_id, 256 + doc_id % 64 AS n FROM documents
