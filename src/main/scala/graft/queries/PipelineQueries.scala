@@ -2792,20 +2792,7 @@ object PipelineQueries {
       // suffix with cum cost ≤ 8 messages plus always the final turn.
       // One extra window over the same (user, conv) clustering — no
       // new shuffle beyond chatTurnsPlan's.
-      val wDesc = Window.partitionBy("user_id", "conv_idx")
-        .orderBy(col("turn_idx").desc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      chatTurnsPlan(s, d)
-        .withColumn("revcum", sum(col("n_msgs")).over(wDesc))
-        .withColumn("kept",
-          col("revcum") <= 8 || col("turn_idx") === col("n_turns"))
-        .groupBy(col("user_id"), col("conv_idx"), col("n_turns"))
-        .agg(
-          sum(when(col("kept"), 1L).otherwise(0L)).as("kept_turns"),
-          sum(when(col("kept"), col("n_msgs")).otherwise(0L)).as("kept_msgs"),
-          sum(when(!col("kept"), col("n_msgs")).otherwise(0L)).as("dropped_msgs"),
-          min(when(col("kept"), struct(col("turn_idx"), col("role"))))
-            .getField("role").as("first_kept_role"))
+      graft.ops.Chat.fitToContext(chatTurnsPlan(s, d), budget = 8)
         .orderBy(col("user_id"), col("conv_idx"))
     }
   )
@@ -2972,38 +2959,12 @@ object PipelineQueries {
     * order-deterministic via array_sort over (ts, event_id, content)
     * structs, never a bare collect_list.
     */
-  private[graft] def chatTurnsPlan(s: SparkSession, d: String): DataFrame = {
-    val ev = t(s, d, "events").select(
+  private[graft] def chatTurnsPlan(s: SparkSession, d: String): DataFrame =
+    graft.ops.Chat.turns(t(s, d, "events").select(
       col("user_id"), col("ts"), col("event_id"),
       when(col("event_type").isin("view", "click"), lit("user"))
         .otherwise(lit("assistant")).as("role"),
-      col("event_type").as("content"))
-    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-    val conv = ev
-      .withColumn("gap_us",
-        unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
-      .withColumn("brk",
-        when(col("gap_us").isNull || col("gap_us") > 1800000000L, 1L)
-          .otherwise(0L))
-      .withColumn("conv_idx", sum(col("brk")).over(w))
-    val w2 = Window.partitionBy("user_id", "conv_idx")
-      .orderBy(col("ts"), col("event_id"))
-    val withTurns = conv
-      .withColumn("prev_role", lag(col("role"), 1).over(w2))
-      .withColumn("tbrk",
-        when(col("prev_role").isNull || col("prev_role") =!= col("role"), 1L)
-          .otherwise(0L))
-      .withColumn("turn_idx", sum(col("tbrk")).over(w2))
-    withTurns
-      .groupBy(col("user_id"), col("conv_idx"), col("turn_idx"), col("role"))
-      .agg(count(lit(1)).as("n_msgs"),
-        expr("array_join(transform(array_sort(collect_list(" +
-          "struct(ts, event_id, content))), x -> x.content), ' ')")
-          .as("turn_text"))
-      .withColumn("n_turns",
-        max(col("turn_idx")).over(Window.partitionBy("user_id", "conv_idx")))
-      .where(col("n_turns") >= 2)
-  }
+      col("event_type").as("content")))
 
   private[graft] def bigramSurprisalPlan(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val toks = t(s, d, "documents")
