@@ -938,20 +938,7 @@ object PipelineQueries {
       // only imperative code is the codec call. No extrapolation past
       // the last sample: n_out = (3·n_in − 4) div 2 + 1. The oracle
       // replays the closed-form PCM clip through the same rationals.
-      val blobs = Multimodal.syntheticAudioBlobs(
-        t(s, d, "documents").select(col("doc_id")))
-      Multimodal.decodedAudioSamples(blobs)
-        .where(col("n_in") >= 2)
-        .withColumn("n_out", expr("(3 * n_in - 4) div 2 + 1"))
-        .withColumn("r", expr(
-          """transform(sequence(0, cast(n_out - 1 as int)), t ->
-            |  (element_at(u, cast(t * 2 div 3 as int) + 1) * (3 - t * 2 % 3)
-            |   + element_at(u, cast(t * 2 div 3 as int) + 2) * (t * 2 % 3)) div 3)""".stripMargin))
-        .select(col("doc_id"), col("n_in"), col("n_out"),
-          expr("aggregate(r, 0L, (a, x) -> a + x)").as("sum_r"),
-          expr("array_join(transform(slice(r, 1, 8), x -> cast(x as string)), ',')")
-            .as("r_head"))
-        .orderBy(col("doc_id"))
+      audioResamplePlan(s, d).orderBy(col("doc_id"))
     },
 
     // --- real frame extraction from a multi-frame container -------------
@@ -2959,6 +2946,28 @@ object PipelineQueries {
     * order-deterministic via array_sort over (ts, event_id, content)
     * structs, never a bare collect_list.
     */
+  /** m12 core (pre-sort): real WAV decode → integer-exact 3/2-rate
+    * linear interpolation as declarative array math (see the gate
+    * comment). Split out so `PlanAuditSpec` can pin the shape: the
+    * decode `mapPartitions` is the ONLY object boundary and the
+    * interpolation stays inside whole-stage codegen with no exchange.
+    */
+  private[graft] def audioResamplePlan(s: SparkSession, d: String): DataFrame = {
+    val blobs = Multimodal.syntheticAudioBlobs(
+      t(s, d, "documents").select(col("doc_id")))
+    Multimodal.decodedAudioSamples(blobs)
+      .where(col("n_in") >= 2)
+      .withColumn("n_out", expr("(3 * n_in - 4) div 2 + 1"))
+      .withColumn("r", expr(
+        """transform(sequence(0, cast(n_out - 1 as int)), t ->
+          |  (element_at(u, cast(t * 2 div 3 as int) + 1) * (3 - t * 2 % 3)
+          |   + element_at(u, cast(t * 2 div 3 as int) + 2) * (t * 2 % 3)) div 3)""".stripMargin))
+      .select(col("doc_id"), col("n_in"), col("n_out"),
+        expr("aggregate(r, 0L, (a, x) -> a + x)").as("sum_r"),
+        expr("array_join(transform(slice(r, 1, 8), x -> cast(x as string)), ',')")
+          .as("r_head"))
+  }
+
   private[graft] def chatTurnsPlan(s: SparkSession, d: String): DataFrame =
     graft.ops.Chat.turns(t(s, d, "events").select(
       col("user_id"), col("ts"), col("event_id"),

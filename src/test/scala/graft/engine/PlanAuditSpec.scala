@@ -548,6 +548,29 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"no global sort belongs in the turns chain:\n$full")
   }
 
+  test("m12 resample: decode is the only object boundary; interpolation codegen, no exchange") {
+    val df = PipelineQueries.audioResamplePlan(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      .split("== Initial Plan ==").head
+    // the WAV codec call must be the single imperative region (its
+    // synthetic-blob generator is a second mapPartitions at gate scale
+    // only because the payloads are synthesized — in production the
+    // blobs come off a scan); the interpolation itself must be a
+    // codegen'd projection with no shuffle anywhere
+    assert(raw"Exchange \(\d+\)".r.findAllIn(p).isEmpty,
+      s"per-row resampling must not shuffle:\n$p")
+    // exactly two MapPartitions: blob synthesis + codec decode — the
+    // interpolation must NOT add a third object boundary (HOF
+    // projections are Tungsten row-based; codegen spans show as '*')
+    val mp = raw"MapPartitions \(\d+\)".r.findAllIn(p).size
+    assert(mp == 2, s"expected 2 object boundaries (synth + decode), got $mp:\n$p")
+    assert(p.linesIterator.exists(_.trim.startsWith("+- * ")),
+      s"expected codegen spans in the scan/filter chain:\n$p")
+    assert(!p.contains("Window") && !p.contains("SortAggregate"),
+      s"no window/sort belongs in a per-row op:\n$p")
+  }
+
   test("d43 containment: pre-aggregated df cap, no window sort of the posting stream") {
     // the gate query returns an eagerly-checkpointed frame (cache
     // hygiene), whose plan is a LogicalRDD — audit the BUILD plan via

@@ -164,6 +164,37 @@ class DedupStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tBig / tSmall < 10.0, f"super-linear blowup: $tSmall%.1f s → $tBig%.1f s")
   }
 
+  test("chat-turn chain (d103/d104 shape) scales with the scan to 4M events", Stress) {
+    // the chain is one hash exchange + per-user windows, so growth must
+    // track the scan. Synthetic interaction log: ~80 events/user, a
+    // >30-min gap every 7th event (conversation breaks), 2-user-1-
+    // assistant role cadence (same-role merges exercised), all from
+    // spark.range math — partition-parallel, no driver state.
+    import org.apache.spark.sql.functions._
+    def events(n: Long): DataFrame = {
+      val users = math.max(n / 80L, 1L)
+      spark.range(0, n, 1, 64)
+        .select(col("id").as("event_id"), (col("id") % users).as("user_id"),
+          expr(s"id div ${users}L").as("pos"))
+        .withColumn("ts", expr(
+          "cast(1700000000 + user_id % 977 + pos * 300 + (pos div 7) * 2400 as timestamp)"))
+        .withColumn("role",
+          when(col("pos") % 3 < 2, lit("user")).otherwise(lit("assistant")))
+        .withColumn("content", concat(lit("m"), col("pos")))
+        .select("user_id", "ts", "event_id", "role", "content")
+    }
+    def run(n: Long): Long =
+      Chat.fitToContext(Chat.turns(events(n)), budget = 8).count()
+    run(20000L) // warm codegen
+    val big = 4000000L
+    val (tSmall, nSmall) = timed(run(big / 4))
+    val (tBig, nBig) = timed(run(big))
+    info(f"chat: ${big / 4}%,d events → $tSmall%.1f s ($nSmall convs); " +
+      f"$big%,d events → $tBig%.1f s ($nBig convs); growth ${tBig / tSmall}%.2f× for 4× events")
+    assert(nBig > nSmall)
+    assert(tBig / tSmall < 8.0, f"super-linear blowup: $tSmall%.1f s → $tBig%.1f s")
+  }
+
   test("bigram-LM surprisal path (d86 shape) scales with the scan to 250k docs", Stress) {
     // the risk at scale is the (doc, a, b) tf table and the vocab²
     // bigram count table: both must grow ~linearly with the corpus
