@@ -461,26 +461,30 @@ class DmlRunner(spark: SparkSession, runner: TransformRunner) {
   private def stripAlias(e: String, alias: String): String =
     e.replaceAll(raw"(?i)\b" + java.util.regex.Pattern.quote(alias) + raw"\.", "")
 
-  /** Overwriting a parquet table that feeds its own plan needs a
-    * materialization barrier: localCheckpoint cuts the lineage so the
-    * write doesn't re-scan the files it is truncating. (On a real
-    * cluster with eviction pressure, a staging-table + swap is the
-    * durable variant; same observable semantics.)
+  /** Crash-atomic whole-table rewrite: the complete new contents stage
+    * as a plain parquet write under the table location (the live table
+    * keeps feeding the plan — no write touches it, so no lineage
+    * barrier is needed), then [[PartitionCommit.commitFull]] swaps the
+    * directory contents through its two-phase journal. A crash
+    * anywhere leaves the destination either fully-old (pre-journal) or
+    * replayable-to-fully-new — the durability the reference inherits
+    * from BigQuery's atomic DML jobs. A static whole-table overwrite
+    * semantics note survives from the pre-staging design: a DELETE
+    * that empties a partition DROPS that partition (the swap replaces
+    * everything; MSCK syncs the catalog).
     */
   private def overwriteSelf(dest: String, df: DataFrame): Unit = {
-    val snap = df.localCheckpoint(true)
-    // The rewrite produces the COMPLETE new table contents, so this must be
-    // a static whole-table overwrite. The session default is dynamic
-    // partition overwrite (for partition-replacement loads), under which a
-    // partitioned destination would silently keep any partition the result
-    // writes no rows into — e.g. a DELETE that empties a whole partition.
-    // insertInto ignores writer options, so toggle the session conf (DML
-    // statements run single-threaded; concurrent partition loads go
-    // through TransformRunner, not here).
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, "static")
-    try snap.write.mode("overwrite").insertInto(dest)
-    finally spark.conf.set(key, prev)
+    // heal a crashed predecessor BEFORE the staging write scans the
+    // table (the scan would otherwise read a mid-swap directory);
+    // commitFull re-checks, but by then the stage has already read
+    PartitionCommit.recover(spark, dest)
+    val partCols = spark.catalog.listColumns(dest).collect()
+      .filter(_.isPartition).map(_.name).toSeq
+    val aligned = df.select(spark.table(dest).columns.map(col).toIndexedSeq: _*)
+    val stageDir = PartitionCommit.newStageDir(spark, dest)
+    val w = aligned.write.mode("overwrite")
+    (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
+      .parquet(stageDir.toString)
+    PartitionCommit.commitFull(spark, dest, stageDir, partCols.nonEmpty)
   }
 }

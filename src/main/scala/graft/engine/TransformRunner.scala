@@ -555,6 +555,73 @@ object PartitionCommit {
     if (fsOf(spark, loc).exists(journalPath(loc))) replay(spark, dest, loc)
   }
 
+  /** Crash-atomic WHOLE-TABLE replacement (the DML rewrite path:
+    * DELETE/UPDATE/MERGE produce the complete new contents): stage is
+    * a plain parquet write under the table location, then this swap is
+    * two journaled phases of driver-side renames — (1) every current
+    * non-hidden child moves to trash, a phase marker lands, (2) staged
+    * children move in. A crash anywhere replays: before the journal
+    * the destination is untouched, during phase 1 the replay finishes
+    * trashing (staged files can't be in the destination yet), after
+    * the marker the replay never re-trashes the already-moved new
+    * files. Same single-writer contract as [[commit]]; the reference
+    * inherits this atomicity from BigQuery DML jobs
+    * (executor/bumblebee/bigquery_service.py:96-141).
+    */
+  def commitFull(spark: SparkSession, dest: String, stageDir: Path,
+      partitioned: Boolean): Unit = {
+    val loc = tableLocation(spark, dest)
+    val fs = fsOf(spark, loc)
+    if (fs.exists(journalPath(loc))) replay(spark, dest, loc)
+    val tx = stageDir.getName.stripPrefix(".graft_stage_")
+    val marker = if (partitioned) "__FULL_P__" else "__FULL__"
+    val tmp = new Path(loc, s".graft_commit_$tx.tmp")
+    val out = fs.create(tmp, true)
+    out.write(s"$tx\n$marker\n${stageDir.getName}".getBytes("UTF-8"))
+    out.close()
+    if (!fs.rename(tmp, journalPath(loc)))
+      throw new IllegalStateException(
+        s"commit journal already present for $dest — recover() it first")
+    replay(spark, dest, loc)
+  }
+
+  private def replayFull(spark: SparkSession, dest: String, loc: Path,
+      tx: String, partitioned: Boolean, stageName: String): Unit = {
+    val fs = fsOf(spark, loc)
+    val stageDir = new Path(loc, stageName)
+    val trashDir = new Path(loc, s".graft_trash_$tx")
+    val phase2 = new Path(loc, s".graft_commit_$tx.phase2")
+    var n = 0
+    def step(from: Path, to: Path): Unit = {
+      fs.rename(from, to)
+      n += 1
+      if (crashAfterActions >= 0 && n >= crashAfterActions)
+        throw new IllegalStateException("simulated crash mid-commit")
+    }
+    if (!fs.exists(phase2)) {
+      // phase 1: old contents aside (all graft internals are
+      // dot-prefixed, so "non-hidden" = the table's own files)
+      fs.mkdirs(trashDir)
+      fs.listStatus(loc).map(_.getPath)
+        .filter(p => !p.getName.startsWith("."))
+        .foreach(p => step(p, new Path(trashDir, p.getName)))
+      fs.create(phase2, true).close()
+    }
+    // phase 2: staged contents in (idempotent — moved files vanish
+    // from the stage listing)
+    if (fs.exists(stageDir))
+      fs.listStatus(stageDir).map(_.getPath)
+        .filter(p => !p.getName.startsWith("."))
+        .foreach(p => step(p, new Path(loc, p.getName)))
+    if (partitioned)
+      spark.sql(s"MSCK REPAIR TABLE $dest SYNC PARTITIONS")
+    spark.catalog.refreshTable(dest)
+    fs.delete(stageDir, true)
+    fs.delete(trashDir, true)
+    fs.delete(phase2, false)
+    fs.delete(journalPath(loc), false)
+  }
+
   private def replay(spark: SparkSession, dest: String, loc: Path): Unit = {
     val fs = fsOf(spark, loc)
     val journal = journalPath(loc)
@@ -563,6 +630,8 @@ object PartitionCommit {
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
       finally in.close()
     val (tx, field, stageName) = (lines(0), lines(1), lines(2))
+    if (field == "__FULL__" || field == "__FULL_P__")
+      return replayFull(spark, dest, loc, tx, field == "__FULL_P__", stageName)
     val stageDir = new Path(loc, stageName)
     val trashDir = new Path(loc, s".graft_trash_$tx")
     fs.mkdirs(trashDir)

@@ -143,4 +143,79 @@ class AtomicCommitSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(contents() == Seq((3L, "2020-12-31"),
       (10L, "2021-01-01"), (20L, "2021-01-02")))
   }
+
+  // --- DML whole-table rewrite (commitFull: two-phase full swap) -------
+
+  private def freshDml(rows: (String, Long)*): Unit = {
+    spark.sql("DROP DATABASE IF EXISTS dmlac CASCADE")
+    val loc = java.nio.file.Files.createTempDirectory("dmlac")
+    spark.sql(s"CREATE DATABASE dmlac LOCATION '$loc'")
+    spark.sql("CREATE TABLE dmlac.t (k STRING, v BIGINT) USING parquet")
+    val values = rows.map { case (k, v) => s"('$k', $v)" }.mkString(", ")
+    spark.sql(s"INSERT INTO dmlac.t VALUES $values")
+  }
+
+  private def dmlState(): Seq[(String, Long)] =
+    spark.table("dmlac.t").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+
+  private def dmlTableFiles(): Int = {
+    val loc = PartitionCommit.tableLocation(spark, "dmlac.t")
+    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(loc).count(!_.getPath.getName.startsWith("."))
+  }
+
+  test("DML rewrite crash during STAGE leaves the table fully old") {
+    freshDml(("a", 1L), ("b", 2L), ("c", 3L))
+    val old = dmlState()
+    val dml = new DmlRunner(spark, new TransformRunner(spark))
+    // the predicate throws while the new contents stage — no journal
+    // exists yet, so the destination must be untouched
+    intercept[Throwable] {
+      dml.run("DELETE FROM `dmlac.t` WHERE assert_true(v > 99, 'boom') IS NULL")
+    }
+    assert(dmlState() == old)
+  }
+
+  test("DML rewrite crash in PHASE 1 (trashing old files) recovers to fully new") {
+    freshDml(("a", 1L), ("b", 2L), ("c", 3L))
+    val dml = new DmlRunner(spark, new TransformRunner(spark))
+    PartitionCommit.crashAfterActions = 1 // die after the first old-file move
+    try intercept[IllegalStateException] {
+      dml.run("DELETE FROM `dmlac.t` WHERE v < 3")
+    } finally PartitionCommit.crashAfterActions = -1
+    PartitionCommit.recover(spark, "dmlac.t")
+    assert(dmlState() == Seq(("c", 3L)))
+    PartitionCommit.recover(spark, "dmlac.t") // idempotent
+    assert(dmlState() == Seq(("c", 3L)))
+  }
+
+  test("DML rewrite crash in PHASE 2 (moving staged files in) recovers without re-trashing") {
+    freshDml(("a", 1L), ("b", 2L), ("c", 3L))
+    val nOld = dmlTableFiles()
+    val dml = new DmlRunner(spark, new TransformRunner(spark))
+    // phase 1 takes nOld renames and lands the phase marker; the
+    // (nOld+1)-th action is the FIRST staged move — a replay after
+    // this crash must skip phase 1 (never trash the new files)
+    PartitionCommit.crashAfterActions = nOld + 1
+    try intercept[IllegalStateException] {
+      dml.run("UPDATE `dmlac.t` SET v = v * 10 WHERE v >= 2")
+    } finally PartitionCommit.crashAfterActions = -1
+    PartitionCommit.recover(spark, "dmlac.t")
+    assert(dmlState() == Seq(("a", 1L), ("b", 20L), ("c", 30L)))
+  }
+
+  test("the next DML statement heals a crashed full swap before its own commit") {
+    freshDml(("a", 1L), ("b", 2L), ("c", 3L))
+    val dml = new DmlRunner(spark, new TransformRunner(spark))
+    PartitionCommit.crashAfterActions = 1
+    try intercept[IllegalStateException] {
+      dml.run("DELETE FROM `dmlac.t` WHERE v < 2")
+    } finally PartitionCommit.crashAfterActions = -1
+    // commitFull heals the stale journal first, then applies its own
+    // rewrite on the healed (fully-new) state: delete of v<2 already
+    // happened, this one drops v=2 as well
+    dml.run("DELETE FROM `dmlac.t` WHERE v < 3")
+    assert(dmlState() == Seq(("c", 3L)))
+  }
 }
