@@ -205,6 +205,29 @@ class AtomicCommitSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dmlState() == Seq(("a", 1L), ("b", 20L), ("c", 30L)))
   }
 
+  test("PARTITIONED DML rewrite crash recovers, emptied partitions drop (MSCK path)") {
+    spark.sql("DROP DATABASE IF EXISTS dmlacp CASCADE")
+    val loc = java.nio.file.Files.createTempDirectory("dmlacp")
+    spark.sql(s"CREATE DATABASE dmlacp LOCATION '$loc'")
+    spark.sql(
+      "CREATE TABLE dmlacp.t (v BIGINT, d STRING) USING parquet PARTITIONED BY (d)")
+    spark.sql("INSERT INTO dmlacp.t PARTITION (d = '01') VALUES (1), (2)")
+    spark.sql("INSERT INTO dmlacp.t PARTITION (d = '02') VALUES (30)")
+    val dml = new DmlRunner(spark, new TransformRunner(spark))
+    // the DELETE empties partition 02 entirely; crash mid-phase-1
+    PartitionCommit.crashAfterActions = 1
+    try intercept[IllegalStateException] {
+      dml.run("DELETE FROM `dmlacp.t` WHERE v >= 2")
+    } finally PartitionCommit.crashAfterActions = -1
+    PartitionCommit.recover(spark, "dmlacp.t")
+    val got = spark.table("dmlacp.t").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    assert(got == Seq((1L, "01")))
+    // the emptied partition is gone from the catalog too
+    assert(spark.sql("SHOW PARTITIONS dmlacp.t").collect().map(_.getString(0))
+      .toSeq == Seq("d=01"))
+  }
+
   test("the next DML statement heals a crashed full swap before its own commit") {
     freshDml(("a", 1L), ("b", 2L), ("c", 3L))
     val dml = new DmlRunner(spark, new TransformRunner(spark))
