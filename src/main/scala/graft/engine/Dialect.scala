@@ -834,11 +834,21 @@ object Dialect {
     if (obPos < 0)
       return if (ignoreStripped) Some(s"array_agg(${a.head.trim})") else scala.None
     val v = a.head.substring(0, obPos).trim
-    val ob = a.head.substring(obPos).replaceFirst(raw"(?is)^ORDER\s+BY\s+", "").trim
-    if (v.isEmpty || ob.isEmpty ||
-        raw"(?is)^DISTINCT\b".r.findFirstIn(v).isDefined ||
-        raw"(?is)\b(DESC|LIMIT)\b".r.findFirstIn(ob).isDefined) return scala.None
-    Some(s"transform(array_sort(collect_list(struct($ob AS _o, $v AS _v))), s -> s._v)")
+    val ob0 = a.head.substring(obPos).replaceFirst(raw"(?is)^ORDER\s+BY\s+", "").trim
+    if (v.isEmpty || ob0.isEmpty ||
+        raw"(?is)^DISTINCT\b".r.findFirstIn(v).isDefined) return scala.None
+    // single key with optional ASC|DESC and LIMIT n (multi-key forms
+    // were comma-split before reaching here and stay loud-unresolved)
+    val kdl = raw"(?is)^(.*?)(?:\s+(ASC|DESC))?(?:\s+LIMIT\s+(\d+))?$$".r
+    ob0 match {
+      case kdl(key, dir, lim) if key.trim.nonEmpty =>
+        val base =
+          s"transform(array_sort(collect_list(struct(${key.trim} AS _o, $v AS _v))), s -> s._v)"
+        val ordered =
+          if (dir != null && dir.equalsIgnoreCase("DESC")) s"reverse($base)" else base
+        Some(if (lim != null) s"slice($ordered, 1, $lim)" else ordered)
+      case _ => scala.None
+    }
   }
 
   /** ANY_VALUE(x HAVING MAX y) → max_by(x, y) (and MIN → min_by);

@@ -77,6 +77,13 @@ class DialectExecSpec extends AnyFunSuite with BeforeAndAfterAll {
       one("SELECT APPROX_TOP_COUNT(x, 1 + 1) FROM (SELECT 'a' AS x)")
     }
     assert(bad.getMessage != null)
+    // ordered ARRAY_AGG with DESC and LIMIT (single-key forms)
+    assert(one("SELECT ARRAY_AGG(x ORDER BY k DESC) FROM (SELECT 'a' AS x, 1 AS k " +
+      "UNION ALL SELECT 'b', 3 UNION ALL SELECT 'c', 2)") == Seq("b", "c", "a"))
+    assert(one("SELECT ARRAY_AGG(x ORDER BY k LIMIT 2) FROM (SELECT 'a' AS x, 3 AS k " +
+      "UNION ALL SELECT 'b', 1 UNION ALL SELECT 'c', 2)") == Seq("b", "c"))
+    assert(one("SELECT ARRAY_AGG(x ORDER BY k DESC LIMIT 1) FROM (SELECT 'a' AS x, 1 AS k " +
+      "UNION ALL SELECT 'b', 9)") == Seq("b"))
     // PERCENTILE_CONT interpolates; PERCENTILE_DISC takes the first
     // value with cume_dist >= f (both in BQ's analytic position)
     assert(one("SELECT DISTINCT PERCENTILE_CONT(x, 0.5) OVER () FROM " +

@@ -282,7 +282,12 @@ class DialectSpec extends AnyFunSuite {
     assert(Dialect.rewrite("SELECT ARRAY_AGG(DISTINCT x ORDER BY x)") ==
       "SELECT ARRAY_AGG(DISTINCT x ORDER BY x)")
     assert(Dialect.rewrite("SELECT ARRAY_AGG(x ORDER BY k DESC)") ==
-      "SELECT ARRAY_AGG(x ORDER BY k DESC)")
+      "SELECT reverse(transform(array_sort(collect_list(struct(k AS _o, x AS _v))), s -> s._v))")
+    assert(Dialect.rewrite("SELECT ARRAY_AGG(x ORDER BY k LIMIT 3)") ==
+      "SELECT slice(transform(array_sort(collect_list(struct(k AS _o, x AS _v))), s -> s._v), 1, 3)")
+    // multi-key ORDER BY was comma-split upstream — stays loud
+    assert(Dialect.rewrite("SELECT ARRAY_AGG(x ORDER BY a, b)") ==
+      "SELECT ARRAY_AGG(x ORDER BY a, b)")
   }
 
   test("ANY_VALUE HAVING MAX/MIN, JSON extract, STRPOS, SAFE arithmetic") {
