@@ -896,6 +896,27 @@ object EngineQueries {
           |ORDER BY o_orderstatus, kind, w DESC, v""".stripMargin).get
     },
 
+    // --- aggregate modifiers: ANY_VALUE(x HAVING MAX|MIN y), ordered
+    //     ARRAY_AGG with DESC/LIMIT ------------------------------------
+    "e48_agg_modifiers" -> { (s, d) =>
+      // HAVING keys are the unique o_orderkey so argmax/argmin are
+      // tie-free (BQ's ANY_VALUE HAVING is nondeterministic among
+      // ties, same as max_by — a gate must not depend on that);
+      // ordered ARRAY_AGG slices are keyed the same way. All four
+      // lower to single mergeable aggregates — no window, no
+      // post-sort of the group's rows beyond the bounded slice.
+      Tables.views(s, d, "orders")
+      new ScriptRunner(s).run(
+        """SELECT o_orderstatus,
+          |  ANY_VALUE(o_orderpriority HAVING MAX o_orderkey) AS last_prio,
+          |  ANY_VALUE(o_orderpriority HAVING MIN o_orderkey) AS first_prio,
+          |  ARRAY_TO_STRING(ARRAY_AGG(o_orderpriority ORDER BY o_orderkey LIMIT 5), ',') AS first5,
+          |  ARRAY_TO_STRING(ARRAY_AGG(o_orderpriority ORDER BY o_orderkey DESC LIMIT 3), ',') AS last3
+          |FROM orders
+          |GROUP BY o_orderstatus
+          |ORDER BY o_orderstatus""".stripMargin).get
+    },
+
     // --- ALLOW_FIELD_RELAXATION: REQUIRED -> NULLABLE on append --------
     "e29_field_relaxation" -> { (s, d) =>
       // The destination declares `note` REQUIRED (engine-managed table
@@ -1257,6 +1278,16 @@ object EngineQueries {
         |      UNION ALL SELECT * FROM tops WHERE rn <= 2) c
         |JOIN p ON c.o_orderstatus = p.o_orderstatus
         |ORDER BY c.o_orderstatus, c.kind, c.w DESC, c.v""".stripMargin,
+
+    "e48_agg_modifiers" ->
+      """SELECT o_orderstatus,
+        |  arg_max(o_orderpriority, o_orderkey) AS last_prio,
+        |  arg_min(o_orderpriority, o_orderkey) AS first_prio,
+        |  array_to_string(list(o_orderpriority ORDER BY o_orderkey)[1:5], ',') AS first5,
+        |  array_to_string(list(o_orderpriority ORDER BY o_orderkey DESC)[1:3], ',') AS last3
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
 
     "e01_script_runner" ->
       """SELECT o_orderpriority, count(1) AS cnt
