@@ -548,6 +548,27 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"no global sort belongs in the turns chain:\n$full")
   }
 
+  test("e47 top-count: Space-Saving aggregate map-side combines (partial before the exchange)") {
+    import org.apache.spark.sql.functions._
+    graft.functions.TopCount.register(spark)
+    val df = Tables.t(spark, sfDir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(expr("graft_top_count(o_orderpriority, 3)").as("t"))
+    df.collect()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      .split("== Initial Plan ==").head
+    // a TypedImperativeAggregate plans as ObjectHashAggregate; the
+    // 100 TB contract is partial aggregation BEFORE the shuffle so
+    // each executor ships one O(cap) sketch per group, not its rows
+    val oha = p.linesIterator.count(_.contains("ObjectHashAggregate"))
+    assert(oha >= 2, s"expected partial+final ObjectHashAggregate:\n$p")
+    val lines = p.linesIterator.toSeq
+    val firstAgg = lines.lastIndexWhere(_.contains("ObjectHashAggregate"))
+    val ex = lines.indexWhere(l => l.contains("Exchange") || l.contains("ShuffleQueryStage"))
+    assert(ex >= 0 && ex < firstAgg,
+      s"partial aggregate must sit below the exchange:\n$p")
+  }
+
   test("m12 resample: decode is the only object boundary; interpolation codegen, no exchange") {
     val df = PipelineQueries.audioResamplePlan(spark, sfDir)
     df.collect()
