@@ -2757,6 +2757,57 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // --- longest shared token-span per doc pair (ExactSubstr metric) ---
+    "d105_longest_shared_span" -> { (s, d) =>
+      // d47 says WHICH pairs share windows; this op says HOW LONG the
+      // longest verbatim copy is — the span-length metric behind
+      // "≥ 50-token overlap" decontamination rules. A shared span of
+      // L tokens produces L−7 consecutive window matches on ONE
+      // diagonal (pa − pb constant), so the measurement is
+      // gaps-and-islands over (pair, diagonal): no token arrays ever
+      // cross a shuffle, only (a, b, pa, pb) ints from the df-capped
+      // inverted index (stop-window pruning may split a run through a
+      // hot window — deterministic, the oracle replays it). Plants:
+      // each 13th doc's tokens 10..39 re-embedded behind a distinct
+      // head → a 30-token span on a shifted diagonal must surface.
+      val docs = t(s, d, "documents")
+      val planted = docs.where(col("doc_id") % 13 === 0)
+        .withColumn("doc_id", col("doc_id") + 7000000L)
+        .withColumn("text", expr(
+          "concat('planted head marker words ', " +
+            "array_join(slice(split(lower(trim(text)), '\\\\s+'), 10, 30), ' '), " +
+            "' tail', cast(doc_id % 89 as string))"))
+      graft.functions.BitSketchExpressions.register(s)
+      val wins = docs.unionByName(planted)
+        .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
+        .where(size(col("toks")) >= 8)
+        .select(col("doc_id"), posexplode(expr(
+          "graft_rolling8(transform(toks, t -> graft_md5_60(t) % 2147483647))"))
+          .as(Seq("pos", "wh")))
+        .persist()
+      val rare = wins.groupBy(col("wh")).agg(count(lit(1)).as("df"))
+        .where(col("df") >= 2 && col("df") <= 32).select("wh")
+      val pw = wins.join(rare, "wh")
+      val matches = pw.select(col("wh"), col("doc_id").as("a"), col("pos").as("pa"))
+        .join(pw.select(col("wh"), col("doc_id").as("b"), col("pos").as("pb")), "wh")
+        .where(col("a") < col("b"))
+        .withColumn("diag", col("pa") - col("pb"))
+      val w = Window.partitionBy(col("a"), col("b"), col("diag")).orderBy(col("pa"))
+      val out = matches
+        .withColumn("grp", col("pa") - row_number().over(w))
+        .groupBy(col("a"), col("b"), col("diag"), col("grp"))
+        .agg(count(lit(1)).as("run"))
+        .withColumn("span_toks", col("run") + lit(7))
+        .groupBy(col("a"), col("b"))
+        .agg(max(col("span_toks")).as("max_span"),
+          sum(when(col("span_toks") >= 16, 1L).otherwise(0L)).as("n_long_spans"))
+        .where(col("max_span") >= 16)
+        .orderBy(col("a"), col("b"))
+        .localCheckpoint(true)
+      wins.unpersist()
+      out
+    },
+
     // --- SFT/chat data prep: turn assembly from raw interaction logs ---
     "d103_chat_turn_assembly" -> { (s, d) =>
       // Multi-turn training samples come from raw per-user event
@@ -3142,6 +3193,51 @@ object PipelineQueries {
 
     Map(
       "d101_mixed_language_flags" -> mixedLangOracle,
+
+      "d105_longest_shared_span" ->
+        """WITH corpus AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 7000000 AS doc_id,
+          |    'planted head marker words ' ||
+          |    array_to_string(list_slice(regexp_split_to_array(lower(trim(text)), '\s+'), 10, 39), ' ')
+          |    || ' tail' || CAST((doc_id + 7000000) % 89 AS VARCHAR) AS text
+          |  FROM documents WHERE doc_id % 13 = 0
+          |), toksrc AS (
+          |  SELECT doc_id,
+          |    list_transform(regexp_split_to_array(lower(trim(text)), '\s+'),
+          |      t -> ('0x' || substring(md5(t), 1, 15))::BIGINT % 2147483647) AS hs
+          |  FROM corpus
+          |), wins AS (
+          |  SELECT doc_id, i AS pos,
+          |    (list_sum(list_transform(range(0, 8),
+          |       k -> (hs[i + 1 + k] * ([2003465299, 884122890, 2072267652, 294499921, 2248091, 17161, 131, 1])[k + 1]) % 2147483647))
+          |     % 2147483647) * 2147483648
+          |    + (list_sum(list_transform(range(0, 8),
+          |       k -> (hs[i + 1 + k] * ([671643304, 1901585143, 1017084223, 352275361, 2571353, 18769, 137, 1])[k + 1]) % 2147483647))
+          |     % 2147483647) AS wh
+          |  FROM (SELECT doc_id, hs, unnest(range(0, len(hs) - 7)) AS i
+          |        FROM toksrc WHERE len(hs) >= 8)
+          |), rare AS (
+          |  SELECT wh FROM wins GROUP BY wh HAVING count(1) BETWEEN 2 AND 32
+          |), pw AS (
+          |  SELECT w.doc_id, w.pos, w.wh FROM wins w JOIN rare USING (wh)
+          |), m AS (
+          |  SELECT a.doc_id AS a, b.doc_id AS b, a.pos AS pa,
+          |    a.pos - b.pos AS diag
+          |  FROM pw a JOIN pw b ON a.wh = b.wh AND a.doc_id < b.doc_id
+          |), g AS (
+          |  SELECT a, b, diag,
+          |    pa - row_number() OVER (PARTITION BY a, b, diag ORDER BY pa) AS grp
+          |  FROM m
+          |), runs AS (
+          |  SELECT a, b, diag, grp, count(1) + 7 AS span_toks
+          |  FROM g GROUP BY 1, 2, 3, 4
+          |)
+          |SELECT a, b, CAST(max(span_toks) AS BIGINT) AS max_span,
+          |  CAST(sum(CASE WHEN span_toks >= 16 THEN 1 ELSE 0 END) AS BIGINT) AS n_long_spans
+          |FROM runs GROUP BY 1, 2 HAVING max(span_toks) >= 16
+          |ORDER BY a, b""".stripMargin,
 
       "d103_chat_turn_assembly" ->
         s"""$chatTurnsCte
