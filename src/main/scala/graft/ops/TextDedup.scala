@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -285,6 +286,55 @@ object TextDedup {
     // buffer object per key (~tens of millions) and measured 15–30×
     // slower at the 250k stress size from GC alone
     if (!materialize) out else out.localCheckpoint(true)
+  }
+
+  /** Longest shared verbatim token-span per doc pair (the ExactSubstr
+    * LENGTH metric — [[spanPairs]] finds which pairs share windows,
+    * this measures how long the longest copy is, the number behind
+    * "≥ N-token overlap" decontamination rules). A shared span of L
+    * tokens produces L−7 consecutive window matches on ONE diagonal
+    * (posA − posB constant), so the measurement is gaps-and-islands
+    * over (pair, diagonal): only (a, b, pa, pb) ints from the
+    * df-capped inverted index ever shuffle, token arrays never cross
+    * an exchange. Stop-window pruning (df > dfCap, plus singletons)
+    * may split a run through a hot window — deterministic, and an
+    * under- not over-estimate. Returns (a, b, max_span, n_long_spans)
+    * for pairs with max_span ≥ minSpan.
+    */
+  def sharedSpans(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", dfCap: Int = 32, minSpan: Int = 16,
+      materialize: Boolean = true): DataFrame = {
+    graft.functions.BitSketchExpressions.register(docs.sparkSession)
+    val wins = docs
+      .withColumn("toks", split(lower(trim(col(textCol))), "\\s+"))
+      .where(size(col("toks")) >= 8)
+      .select(col(idCol).as("doc_id"), posexplode(expr(
+        "graft_rolling8(transform(toks, t -> graft_md5_60(t) % 2147483647))"))
+        .as(Seq("pos", "wh")))
+    val winsM = if (materialize) wins.persist() else wins
+    val rare = winsM.groupBy(col("wh")).agg(count(lit(1)).as("df"))
+      .where(col("df") >= 2 && col("df") <= dfCap).select("wh")
+    val pw = winsM.join(rare, "wh")
+    val matches = pw.select(col("wh"), col("doc_id").as("a"), col("pos").as("pa"))
+      .join(pw.select(col("wh"), col("doc_id").as("b"), col("pos").as("pb")), "wh")
+      .where(col("a") < col("b"))
+      .withColumn("diag", col("pa") - col("pb"))
+    val w = Window.partitionBy(col("a"), col("b"), col("diag")).orderBy(col("pa"))
+    val out = matches
+      .withColumn("grp", col("pa") - row_number().over(w))
+      .groupBy(col("a"), col("b"), col("diag"), col("grp"))
+      .agg(count(lit(1)).as("run"))
+      .withColumn("span_toks", col("run") + lit(7))
+      .groupBy(col("a"), col("b"))
+      .agg(max(col("span_toks")).as("max_span"),
+        sum(when(col("span_toks") >= minSpan, 1L).otherwise(0L)).as("n_long_spans"))
+      .where(col("max_span") >= minSpan)
+    if (!materialize) out
+    else {
+      val result = out.localCheckpoint(true)
+      winsM.unpersist()
+      result
+    }
   }
 
   /** Asymmetric containment candidates (doc-inside-doc, the

@@ -2777,35 +2777,8 @@ object PipelineQueries {
           "concat('planted head marker words ', " +
             "array_join(slice(split(lower(trim(text)), '\\\\s+'), 10, 30), ' '), " +
             "' tail', cast(doc_id % 89 as string))"))
-      graft.functions.BitSketchExpressions.register(s)
-      val wins = docs.unionByName(planted)
-        .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
-        .where(size(col("toks")) >= 8)
-        .select(col("doc_id"), posexplode(expr(
-          "graft_rolling8(transform(toks, t -> graft_md5_60(t) % 2147483647))"))
-          .as(Seq("pos", "wh")))
-        .persist()
-      val rare = wins.groupBy(col("wh")).agg(count(lit(1)).as("df"))
-        .where(col("df") >= 2 && col("df") <= 32).select("wh")
-      val pw = wins.join(rare, "wh")
-      val matches = pw.select(col("wh"), col("doc_id").as("a"), col("pos").as("pa"))
-        .join(pw.select(col("wh"), col("doc_id").as("b"), col("pos").as("pb")), "wh")
-        .where(col("a") < col("b"))
-        .withColumn("diag", col("pa") - col("pb"))
-      val w = Window.partitionBy(col("a"), col("b"), col("diag")).orderBy(col("pa"))
-      val out = matches
-        .withColumn("grp", col("pa") - row_number().over(w))
-        .groupBy(col("a"), col("b"), col("diag"), col("grp"))
-        .agg(count(lit(1)).as("run"))
-        .withColumn("span_toks", col("run") + lit(7))
-        .groupBy(col("a"), col("b"))
-        .agg(max(col("span_toks")).as("max_span"),
-          sum(when(col("span_toks") >= 16, 1L).otherwise(0L)).as("n_long_spans"))
-        .where(col("max_span") >= 16)
+      graft.ops.TextDedup.sharedSpans(docs.unionByName(planted))
         .orderBy(col("a"), col("b"))
-        .localCheckpoint(true)
-      wins.unpersist()
-      out
     },
 
     // --- SFT/chat data prep: turn assembly from raw interaction logs ---

@@ -164,6 +164,17 @@ class DedupStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tBig / tSmall < 10.0, f"super-linear blowup: $tSmall%.1f s → $tBig%.1f s")
   }
 
+  test("longest-shared-span (d105 shape) scales sub-quadratically to 250k docs", Stress) {
+    // same inverted-index skeleton as span pairs, plus the
+    // (pair, diagonal) islands window — matches are df-capped so the
+    // window input is bounded by cap·windows, never corpus²
+    val (tSmall, tBig, nBig) = growthRatio("sharedSpans") { d =>
+      TextDedup.sharedSpans(d, idCol = "doc_id", textCol = "text")
+    }
+    assert(nBig >= 0)
+    assert(tBig / tSmall < 10.0, f"super-linear blowup: $tSmall%.1f s → $tBig%.1f s")
+  }
+
   test("chat-turn chain (d103/d104 shape) scales with the scan to 4M events", Stress) {
     // the chain is one hash exchange + per-user windows, so growth must
     // track the scan. Synthetic interaction log: ~80 events/user, a

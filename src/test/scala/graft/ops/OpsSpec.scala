@@ -37,6 +37,23 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dup.getLong(1) == 1L) // smallest id retained
   }
 
+  test("sharedSpans measures the exact longest verbatim span on a shifted diagonal") {
+    // doc 2 embeds tokens 3..22 of doc 1 (a 20-token span) behind a
+    // 2-token head: 13 consecutive window matches on diagonal -1 →
+    // max_span must be exactly 13 + 7 = 20
+    val span = (1 to 20).map(i => s"w$i").mkString(" ")
+    val df = docs(
+      1L -> s"lead1 lead2 $span tail1 tail2",
+      2L -> s"head1 $span end9",
+      3L -> "completely different words nothing shared here at all now")
+    val out = TextDedup.sharedSpans(df, idCol = "id", textCol = "body").collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getLong(0), r.getLong(1)) == (1L, 2L))
+    assert(r.getLong(2) == 20L, s"expected exact 20-token span, got $r")
+    assert(r.getLong(3) == 1L)
+  }
+
   test("minhashLshPairs finds a planted near-duplicate") {
     val base = "the quick brown fox jumps over the lazy dog again and again today"
     val df = docs(
