@@ -1111,6 +1111,41 @@ object Dialect {
         Some(s"graft_top_sum(${a(0)}, CAST(${a(1)} AS BIGINT), ${a(2).trim})")
       else scala.None
     },
+    // TIMESTAMP_BUCKET / DATE_BUCKET: fixed-width bucketing to an
+    // origin (default 1950-01-01 per BQ). pmod keeps the floor
+    // semantics for values BEFORE the origin; only fixed-width units
+    // rewrite (MONTH+ widths vary — loud-unresolved). DATETIME_BUCKET
+    // is intentionally not mapped (engine has no separate DATETIME).
+    "TIMESTAMP_BUCKET" -> { a =>
+      val iv = raw"(?is)^\s*INTERVAL\s+(\d+)\s+(SECOND|MINUTE|HOUR|DAY)\s*$$".r
+      if (a.length < 2 || a.length > 3) scala.None
+      else a(1) match {
+        case iv(n, unit) =>
+          val mult = unit.toUpperCase match {
+            case "SECOND" => 1000000L
+            case "MINUTE" => 60000000L
+            case "HOUR" => 3600000000L
+            case "DAY" => 86400000000L
+          }
+          val w = n.toLong * mult
+          val o = if (a.length == 3) s"unix_micros(CAST(${a(2)} AS TIMESTAMP))"
+            else "unix_micros(TIMESTAMP '1950-01-01 00:00:00Z')"
+          Some(s"timestamp_micros(unix_micros(${a(0)}) - " +
+            s"pmod(unix_micros(${a(0)}) - $o, ${w}L))")
+        case _ => scala.None
+      }
+    },
+    "DATE_BUCKET" -> { a =>
+      val iv = raw"(?is)^\s*INTERVAL\s+(\d+)\s+(DAY|WEEK)\s*$$".r
+      if (a.length < 2 || a.length > 3) scala.None
+      else a(1) match {
+        case iv(n, unit) =>
+          val days = n.toLong * (if (unit.equalsIgnoreCase("WEEK")) 7L else 1L)
+          val o = if (a.length == 3) a(2) else "DATE '1950-01-01'"
+          Some(s"date_sub(${a(0)}, pmod(datediff(${a(0)}, $o), $days))")
+        case _ => scala.None
+      }
+    },
     // BQ analytic percentiles (window-only there; Spark aggregates work
     // in both positions). PERCENTILE_CONT(x, f) → percentile(x, f) —
     // Spark's exact interpolated percentile, same linear-interpolation

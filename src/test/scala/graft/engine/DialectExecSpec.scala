@@ -77,6 +77,19 @@ class DialectExecSpec extends AnyFunSuite with BeforeAndAfterAll {
       one("SELECT APPROX_TOP_COUNT(x, 1 + 1) FROM (SELECT 'a' AS x)")
     }
     assert(bad.getMessage != null)
+    // TIMESTAMP_BUCKET / DATE_BUCKET: fixed-width floor to the origin,
+    // correct BEFORE the origin too (pmod, not truncating div)
+    assert(one("SELECT CAST(TIMESTAMP_BUCKET(TIMESTAMP '2024-05-30 14:47:13Z', " +
+      "INTERVAL 6 HOUR) AS STRING)") == "2024-05-30 12:00:00")
+    assert(one("SELECT CAST(TIMESTAMP_BUCKET(TIMESTAMP '2024-05-30 14:47:13Z', " +
+      "INTERVAL 90 MINUTE, TIMESTAMP '2024-05-30 00:15:00Z') AS STRING)")
+      == "2024-05-30 13:45:00")
+    assert(one("SELECT CAST(TIMESTAMP_BUCKET(TIMESTAMP '1900-02-03 01:02:03Z', " +
+      "INTERVAL 1 DAY) AS STRING)") == "1900-02-03 00:00:00")
+    assert(one("SELECT CAST(DATE_BUCKET(DATE '2024-06-05', INTERVAL 2 WEEK, " +
+      "DATE '2024-05-02') AS STRING)") == "2024-05-30")
+    assert(one("SELECT CAST(DATE_BUCKET(DATE '1949-12-30', INTERVAL 1 WEEK) AS STRING)")
+      == "1949-12-25")
     // ordered ARRAY_AGG with DESC and LIMIT (single-key forms)
     assert(one("SELECT ARRAY_AGG(x ORDER BY k DESC) FROM (SELECT 'a' AS x, 1 AS k " +
       "UNION ALL SELECT 'b', 3 UNION ALL SELECT 'c', 2)") == Seq("b", "c", "a"))
