@@ -86,4 +86,33 @@ object Chat {
         min(when(col("kept"), struct(col("turn_idx"), col("role"))))
           .getField("role").as("first_kept_role"))
   }
+
+  /** Templated-response detection: conversations whose assistant turns
+    * are mostly corpus-wide duplicates (canned/scripted replies) are
+    * poor SFT data — the model would learn the template, not the
+    * behavior. Hash each assistant turn's normalized text, count each
+    * hash corpus-wide (one 16-byte-hash shuffle — turn text itself
+    * never crosses the exchange twice), and roll up per conversation:
+    * a turn is `templated` when its text occurs ≥ `minFreq` times
+    * across ALL conversations; the conversation is flagged when at
+    * least half its assistant turns are.
+    *
+    * Output: one row per conversation — (key, conv_idx,
+    * n_asst_turns, n_templated, templated_permille, is_templated).
+    */
+  def templatedShare(turns: DataFrame, keyCol: String = "user_id",
+      roleCol: String = "role", textCol: String = "turn_text",
+      assistantRole: String = "assistant", minFreq: Int = 3): DataFrame = {
+    val asst = turns.where(col(roleCol) === assistantRole)
+      .withColumn("h", md5(lower(trim(col(textCol)))))
+    val freq = asst.withColumn("freq",
+      count(lit(1)).over(Window.partitionBy(col("h"))))
+    freq.groupBy(col(keyCol), col("conv_idx"))
+      .agg(count(lit(1)).as("n_asst_turns"),
+        sum(when(col("freq") >= minFreq, 1L).otherwise(0L)).as("n_templated"))
+      .withColumn("templated_permille",
+        expr("n_templated * 1000 div n_asst_turns"))
+      .withColumn("is_templated",
+        col("n_templated") * 2 >= col("n_asst_turns"))
+  }
 }

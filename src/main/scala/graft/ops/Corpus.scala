@@ -265,4 +265,126 @@ object Corpus {
         expr("deflate_len * 1000 div greatest(raw_len, 1)"))
       .withColumn("is_repetitive", col("ratio_permille") < 300)
   }
+
+  /** Luhn (mod-10) checksum validity of a digit string — the checksum
+    * every payment-card number satisfies, so PII scrubbing can separate
+    * real card numbers from arbitrary digit runs (order IDs, phone
+    * numbers) instead of redacting every long number. Pure built-in
+    * expression arithmetic (codegen'd, per-row): doubling every second
+    * digit from the right, subtracting 9 above 9, summing mod 10.
+    */
+  def luhnValid(num: Column): Column = {
+    val digits = reverse(split(num, ""))
+    aggregate(
+      zip_with(digits, sequence(lit(0), length(num) - 1), (d, i) => {
+        val v = d.cast(IntegerType)
+        when(i % 2 === 1,
+          when(v * 2 > 9, v * 2 - 9).otherwise(v * 2)).otherwise(v)
+      }),
+      lit(0),
+      (acc, x) => acc + x) % 10 === 0
+  }
+
+  /** Card-number PII detection: extract contiguous 13–19 digit runs
+    * (the ISO/IEC 7812 length range) and Luhn-validate each. Per doc:
+    * candidate count, Luhn-valid count, and a has_valid_card flag —
+    * the triage signal a redaction pass keys on. Per-row regex +
+    * in-row aggregate; scales with the scan, no shuffle.
+    */
+  def cardCandidates(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    df.withColumn("cands",
+        regexp_extract_all(col(textCol), lit("\\d{13,19}"), lit(0)))
+      .select(col(idCol),
+        size(col("cands")).cast(LongType).as("n_cands"),
+        size(filter(col("cands"), c => luhnValid(c))).cast(LongType).as("n_valid"))
+      .withColumn("has_valid_card", col("n_valid") > 0)
+
+  /** RLHF/DPO preference-pair construction from a scored corpus: within
+    * each group (e.g. a prompt cluster), pair the k best-scored rows
+    * with the k worst-scored rows rank-for-rank (best↔worst,
+    * 2nd-best↔2nd-worst, …) and keep pairs whose score margin is at
+    * least `minMargin` — the standard chosen/rejected mining shape.
+    * Ties break on `idCol` so the pairing is deterministic. Two
+    * row_number windows over the same group partitioning → ONE hash
+    * exchange; output is ≤ k rows per group, never quadratic.
+    */
+  def preferencePairs(scored: DataFrame, groupCols: Seq[String],
+      scoreCol: String, idCol: String = "doc_id", k: Int = 5,
+      minMargin: Double = 0.0): DataFrame = {
+    val grp = groupCols.map(col)
+    val wTop = Window.partitionBy(grp: _*)
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    val wBot = Window.partitionBy(grp: _*)
+      .orderBy(col(scoreCol).asc, col(idCol).desc)
+    val top = scored.withColumn("rk", row_number().over(wTop))
+      .where(col("rk") <= k)
+      .select(grp :+ col("rk") :+ col(idCol).as("chosen_id") :+
+        col(scoreCol).cast(DoubleType).as("chosen_score"): _*)
+    val bot = scored.withColumn("rk", row_number().over(wBot))
+      .where(col("rk") <= k)
+      .select(grp :+ col("rk") :+ col(idCol).as("rejected_id") :+
+        col(scoreCol).cast(DoubleType).as("rejected_score"): _*)
+    top.join(bot, groupCols :+ "rk")
+      .where(col("chosen_id") =!= col("rejected_id") &&
+        col("chosen_score") - col("rejected_score") >= minMargin)
+      .withColumn("margin", col("chosen_score") - col("rejected_score"))
+  }
+
+  /** Token-level Shannon entropy and type-token ratio — the
+    * vocabulary-diversity quality signal (near-zero entropy = a doc
+    * that repeats one token; spam and boilerplate score low). The
+    * entropy fold runs over the SORTED distinct-token list so the
+    * float summation order is pinned (cross-engine reproducible).
+    * Per-row array work only; scales with the scan.
+    */
+  def tokenEntropy(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", lowEntropyBits: Double = 1.0): DataFrame =
+    df.withColumn("toks", tokens(textCol))
+      .where(size(col("toks")) >= 1)
+      .withColumn("n_toks", size(col("toks")).cast(LongType))
+      .withColumn("n_types",
+        size(array_distinct(col("toks"))).cast(LongType))
+      .withColumn("entropy_bits", expr(
+        """-aggregate(
+          |  transform(array_sort(array_distinct(toks)),
+          |    t -> cast(size(filter(toks, x -> x = t)) as double)),
+          |  cast(0.0 as double),
+          |  (acc, c) -> acc + (c / cast(n_toks as double))
+          |    * (ln(c / cast(n_toks as double)) / ln(2.0)))""".stripMargin))
+      .select(col(idCol), col("n_toks"), col("n_types"),
+        // + 0.0 normalizes IEEE -0.0 (a zero-entropy doc negates a 0.0
+        // sum) to +0.0 so the cross-engine string compare agrees
+        round(col("entropy_bits") + lit(0.0), 6).as("entropy_bits"),
+        round(col("n_types").cast(DoubleType) / col("n_toks"), 6).as("ttr"))
+      .withColumn("is_low_entropy", col("entropy_bits") < lowEntropyBits)
+
+  /** Unicode-script profile: per-doc code-point counts for the major
+    * scripts (Latin, Cyrillic, Greek, Han, Arabic) plus a dominant-
+    * script label — the script-detection stage multilingual corpus
+    * routing runs before language ID (a char-class histogram is
+    * alphabet-level evidence, robust where stopword lists are not).
+    * Counting = strip-to-script regex + code-point length, all
+    * codegen'd per-row; dominant label via a fixed-priority CASE so
+    * ties are deterministic. Scales with the scan, no shuffle.
+    */
+  def scriptProfile(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    def cnt(script: String) =
+      length(regexp_replace(col(textCol), s"[^\\p{Is$script}]", ""))
+        .cast(LongType)
+    df.select(col(idCol),
+        cnt("Latin").as("n_latin"), cnt("Cyrillic").as("n_cyrillic"),
+        cnt("Greek").as("n_greek"), cnt("Han").as("n_han"),
+        cnt("Arabic").as("n_arabic"))
+      .withColumn("dominant_script",
+        when(col("n_latin") >= greatest(col("n_cyrillic"), col("n_greek"),
+          col("n_han"), col("n_arabic")), lit("latin"))
+        .when(col("n_cyrillic") >= greatest(col("n_greek"), col("n_han"),
+          col("n_arabic")), lit("cyrillic"))
+        .when(col("n_greek") >= greatest(col("n_han"), col("n_arabic")),
+          lit("greek"))
+        .when(col("n_han") >= col("n_arabic"), lit("han"))
+        .otherwise(lit("arabic")))
+  }
 }

@@ -2805,6 +2805,107 @@ object PipelineQueries {
       // new shuffle beyond chatTurnsPlan's.
       graft.ops.Chat.fitToContext(chatTurnsPlan(s, d), budget = 8)
         .orderBy(col("user_id"), col("conv_idx"))
+    },
+
+    // --- PII: Luhn-validated payment-card detection --------------------
+    "d106_pii_luhn_cards" -> { (s, d) =>
+      // d22 redacts by pattern; this op separates REAL card numbers
+      // from arbitrary long digit runs via the mod-10 checksum every
+      // issued card satisfies — pattern-only scrubbing either leaks
+      // (too narrow) or destroys order IDs (too broad). Plants: a
+      // Luhn-valid test number + an invalid twin on every 22nd doc
+      // (n_cands=2, n_valid=1) and the invalid twin alone on doc_id %
+      // 22 == 11 (n_valid=0) — both classes provably present at every
+      // SF. Per-row regex + in-row checksum fold, all built-ins
+      // (codegen); scales with the scan, no shuffle.
+      val docs = t(s, d, "documents")
+      val corpus = docs.unionByName(
+          docs.where(col("doc_id") % 22 === 0)
+            .withColumn("doc_id", col("doc_id") + 4000000L)
+            .withColumn("text", concat(col("text"),
+              lit(" card 4532015112830366 pin 4532015112830367"))))
+        .unionByName(
+          docs.where(col("doc_id") % 22 === 11)
+            .withColumn("doc_id", col("doc_id") + 5000000L)
+            .withColumn("text", concat(col("text"),
+              lit(" ref 4532015112830367"))))
+      graft.ops.Corpus.cardCandidates(corpus)
+        .where(col("n_cands") > 0)
+        .orderBy(col("doc_id"))
+    },
+
+    // --- RLHF/DPO preference-pair mining -------------------------------
+    "d107_preference_pairs" -> { (s, d) =>
+      // chosen/rejected pair construction for preference tuning: within
+      // each (source, lang) group, rank docs by quality score, pair the
+      // 5 best with the 5 worst rank-for-rank, keep pairs with margin ≥
+      // 0.05. Two row_number windows over ONE group partitioning — a
+      // single hash exchange, ≤ 5 rows out per group (never quadratic).
+      val docs = t(s, d, "documents")
+      val scored = docs.select(col("doc_id"), col("source"), col("lang"))
+        .join(graft.ops.Corpus.qualityScore(docs)
+          .select(col("doc_id"), col("quality")), "doc_id")
+      graft.ops.Corpus.preferencePairs(scored, Seq("source", "lang"),
+          "quality", k = 5, minMargin = 0.05)
+        .select(col("source"), col("lang"), col("rk").cast(LongType).as("rk"),
+          col("chosen_id"), col("rejected_id"),
+          round(col("chosen_score"), 6).as("chosen_score"),
+          round(col("rejected_score"), 6).as("rejected_score"),
+          round(col("margin"), 6).as("margin"))
+        .orderBy(col("source"), col("lang"), col("rk"))
+    },
+
+    // --- Unicode-script profile (pre-language-ID routing) --------------
+    "d108_script_profile" -> { (s, d) =>
+      // Script detection runs BEFORE language ID in a multilingual
+      // pipeline: a code-point histogram over Unicode script classes is
+      // alphabet-level evidence that routes docs to the right stopword
+      // models (d05/d101 assume an alphabet). Plants put Cyrillic /
+      // Greek / Han / Arabic text behind every 17th doc so each branch
+      // of the dominant-script CASE is exercised at every SF. Per-row
+      // codegen regex counting; scales with the scan, no shuffle.
+      val docs = t(s, d, "documents")
+      def plant(m: Int, off: Long, tail: String) =
+        docs.where(col("doc_id") % 17 === m)
+          .withColumn("doc_id", col("doc_id") + off)
+          .withColumn("text", concat(col("text"), lit(tail)))
+      val corpus = docs
+        .unionByName(plant(0, 6100000L, " привет мир поток данных слово"))
+        .unionByName(plant(1, 6200000L, " γειά σου κόσμος λέξη γλώσσα"))
+        .unionByName(plant(2, 6300000L, " 你好世界数据语言文字模型训练语料库文本处理分析"))
+        .unionByName(plant(3, 6400000L, " مرحبا بالعالم بيانات لغة نص"))
+      graft.ops.Corpus.scriptProfile(corpus)
+        .orderBy(col("doc_id"))
+    },
+
+    // --- SFT: templated-assistant-response detection --------------------
+    "d109_chat_templated_responses" -> { (s, d) =>
+      // Conversations whose assistant turns are mostly corpus-wide
+      // duplicates (canned replies) teach the template, not the
+      // behavior — flag them before SFT. Content is (event_type:k)
+      // so turn texts have real vocabulary; the corpus-wide turn-hash
+      // frequency is one 16-byte-hash shuffle, then a per-conversation
+      // rollup on the same (user, conv) clustering as d103.
+      graft.ops.Chat.templatedShare(chatRichTurnsPlan(s, d))
+        .orderBy(col("user_id"), col("conv_idx"))
+    },
+
+    // --- token-entropy / type-token-ratio quality filter ----------------
+    "d110_token_entropy" -> { (s, d) =>
+      // Vocabulary-diversity signal: token-level Shannon entropy and
+      // type-token ratio — near-zero entropy is machine-generated
+      // repetition that length or stopword filters miss. The entropy
+      // fold runs over the SORTED distinct-token list so float
+      // summation order is pinned cross-engine. Plants a one-token
+      // spam doc on every 23rd id so the low-entropy flag provably
+      // fires at every SF. Per-row array math; scales with the scan.
+      val docs = t(s, d, "documents")
+      val corpus = docs.unionByName(
+        docs.where(col("doc_id") % 23 === 0)
+          .withColumn("doc_id", col("doc_id") + 6500000L)
+          .withColumn("text", expr("repeat('spam ', 60)")))
+      graft.ops.Corpus.tokenEntropy(corpus)
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -2999,6 +3100,19 @@ object PipelineQueries {
         .otherwise(lit("assistant")).as("role"),
       col("event_type").as("content")))
 
+  /** d109 variant of [[chatTurnsPlan]] with richer message content
+    * (`event_type:k` from the props JSON) so assistant turn texts have
+    * real vocabulary — corpus-wide duplicate turns then measure
+    * templating, not the 5-word event_type alphabet.
+    */
+  private[graft] def chatRichTurnsPlan(s: SparkSession, d: String): DataFrame =
+    graft.ops.Chat.turns(t(s, d, "events").select(
+      col("user_id"), col("ts"), col("event_id"),
+      when(col("event_type").isin("view", "click"), lit("user"))
+        .otherwise(lit("assistant")).as("role"),
+      concat(col("event_type"), lit(":"),
+        get_json_object(col("props"), "$.k")).as("content")))
+
   private[graft] def bigramSurprisalPlan(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val toks = t(s, d, "documents")
       .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("toks"))
@@ -3119,6 +3233,11 @@ object PipelineQueries {
         |  FROM turns
         |)""".stripMargin
 
+    // d109 variant: message content = event_type:k (see chatRichTurnsPlan)
+    val chatRichTurnsCte = chatTurnsCte.replace(
+      "event_type AS content",
+      "event_type || ':' || json_extract_string(props, '$.k') AS content")
+
     val mixedLangOracle =
       s"""WITH corpus AS (
          |  SELECT doc_id, text, lang FROM documents
@@ -3237,6 +3356,140 @@ object PipelineQueries {
            |  arg_min(role, turn_idx) FILTER (WHERE kept) AS first_kept_role
            |FROM f GROUP BY 1, 2, 3
            |ORDER BY user_id, conv_idx""".stripMargin,
+
+      "d106_pii_luhn_cards" ->
+        """WITH corpus AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 4000000,
+          |    text || ' card 4532015112830366 pin 4532015112830367'
+          |  FROM documents WHERE doc_id % 22 = 0
+          |  UNION ALL
+          |  SELECT doc_id + 5000000, text || ' ref 4532015112830367'
+          |  FROM documents WHERE doc_id % 22 = 11
+          |), c AS (
+          |  SELECT doc_id, regexp_extract_all(text, '\d{13,19}') AS cands
+          |  FROM corpus
+          |), v AS (
+          |  SELECT doc_id, CAST(len(cands) AS BIGINT) AS n_cands,
+          |    CAST(len(list_filter(cands, n ->
+          |      list_sum(list_transform(range(1, len(n) + 1), i ->
+          |        CASE WHEN (i - 1) % 2 = 1 THEN
+          |          CASE WHEN 2 * CAST(substring(reverse(n), i, 1) AS INT) > 9
+          |            THEN 2 * CAST(substring(reverse(n), i, 1) AS INT) - 9
+          |            ELSE 2 * CAST(substring(reverse(n), i, 1) AS INT) END
+          |        ELSE CAST(substring(reverse(n), i, 1) AS INT) END)) % 10 = 0
+          |    )) AS BIGINT) AS n_valid
+          |  FROM c
+          |)
+          |SELECT doc_id, n_cands, n_valid, n_valid > 0 AS has_valid_card
+          |FROM v WHERE n_cands > 0 ORDER BY doc_id""".stripMargin,
+
+      "d107_preference_pairs" ->
+        """WITH base AS (
+          |  SELECT doc_id, source, lang, text,
+          |    regexp_split_to_array(lower(trim(text)), '\s+') AS toks,
+          |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS alpha_chars
+          |  FROM documents
+          |), q AS (
+          |  SELECT doc_id, source, lang,
+          |    0.4 * least(1.0, CAST(len(toks) AS DOUBLE) / 100.0)
+          |      + 0.3 * (CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+          |               / CAST(len(toks) AS DOUBLE))
+          |      + 0.3 * (CAST(alpha_chars AS DOUBLE) / CAST(length(text) AS DOUBLE)) AS quality
+          |  FROM base
+          |), top AS (
+          |  SELECT source, lang, quality AS chosen_score, doc_id AS chosen_id,
+          |    row_number() OVER (PARTITION BY source, lang
+          |      ORDER BY quality DESC, doc_id ASC) AS rk
+          |  FROM q
+          |), bot AS (
+          |  SELECT source, lang, quality AS rejected_score, doc_id AS rejected_id,
+          |    row_number() OVER (PARTITION BY source, lang
+          |      ORDER BY quality ASC, doc_id DESC) AS rk
+          |  FROM q
+          |)
+          |SELECT t.source, t.lang, CAST(t.rk AS BIGINT) AS rk,
+          |  t.chosen_id, b.rejected_id,
+          |  round(t.chosen_score, 6) AS chosen_score,
+          |  round(b.rejected_score, 6) AS rejected_score,
+          |  round(t.chosen_score - b.rejected_score, 6) AS margin
+          |FROM top t JOIN bot b
+          |  ON t.source = b.source AND t.lang = b.lang AND t.rk = b.rk
+          |WHERE t.rk <= 5 AND t.chosen_id != b.rejected_id
+          |  AND t.chosen_score - b.rejected_score >= 0.05
+          |ORDER BY t.source, t.lang, t.rk""".stripMargin,
+
+      "d108_script_profile" ->
+        """WITH corpus AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL SELECT doc_id + 6100000, text || ' привет мир поток данных слово'
+          |    FROM documents WHERE doc_id % 17 = 0
+          |  UNION ALL SELECT doc_id + 6200000, text || ' γειά σου κόσμος λέξη γλώσσα'
+          |    FROM documents WHERE doc_id % 17 = 1
+          |  UNION ALL SELECT doc_id + 6300000, text || ' 你好世界数据语言文字模型训练语料库文本处理分析'
+          |    FROM documents WHERE doc_id % 17 = 2
+          |  UNION ALL SELECT doc_id + 6400000, text || ' مرحبا بالعالم بيانات لغة نص'
+          |    FROM documents WHERE doc_id % 17 = 3
+          |), p AS (
+          |  SELECT doc_id,
+          |    CAST(length(regexp_replace(text, '[^\p{Latin}]', '', 'g')) AS BIGINT) AS n_latin,
+          |    CAST(length(regexp_replace(text, '[^\p{Cyrillic}]', '', 'g')) AS BIGINT) AS n_cyrillic,
+          |    CAST(length(regexp_replace(text, '[^\p{Greek}]', '', 'g')) AS BIGINT) AS n_greek,
+          |    CAST(length(regexp_replace(text, '[^\p{Han}]', '', 'g')) AS BIGINT) AS n_han,
+          |    CAST(length(regexp_replace(text, '[^\p{Arabic}]', '', 'g')) AS BIGINT) AS n_arabic
+          |  FROM corpus
+          |)
+          |SELECT doc_id, n_latin, n_cyrillic, n_greek, n_han, n_arabic,
+          |  CASE WHEN n_latin >= greatest(n_cyrillic, n_greek, n_han, n_arabic) THEN 'latin'
+          |       WHEN n_cyrillic >= greatest(n_greek, n_han, n_arabic) THEN 'cyrillic'
+          |       WHEN n_greek >= greatest(n_han, n_arabic) THEN 'greek'
+          |       WHEN n_han >= n_arabic THEN 'han'
+          |       ELSE 'arabic' END AS dominant_script
+          |FROM p ORDER BY doc_id""".stripMargin,
+
+      "d109_chat_templated_responses" ->
+        s"""$chatRichTurnsCte, a AS (
+           |  SELECT user_id, conv_idx, md5(lower(trim(turn_text))) AS h
+           |  FROM tt WHERE n_turns >= 2 AND role = 'assistant'
+           |), f AS (
+           |  SELECT *, count(*) OVER (PARTITION BY h) AS freq FROM a
+           |), g AS (
+           |  SELECT user_id, CAST(conv_idx AS BIGINT) AS conv_idx,
+           |    CAST(count(*) AS BIGINT) AS n_asst_turns,
+           |    CAST(sum(CASE WHEN freq >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_templated
+           |  FROM f GROUP BY 1, 2
+           |)
+           |SELECT user_id, conv_idx, n_asst_turns, n_templated,
+           |  n_templated * 1000 // n_asst_turns AS templated_permille,
+           |  n_templated * 2 >= n_asst_turns AS is_templated
+           |FROM g ORDER BY user_id, conv_idx""".stripMargin,
+
+      "d110_token_entropy" ->
+        """WITH corpus AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL SELECT doc_id + 6500000, repeat('spam ', 60)
+          |    FROM documents WHERE doc_id % 23 = 0
+          |), tk AS (
+          |  SELECT doc_id,
+          |    regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+          |  FROM corpus
+          |), m AS (
+          |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_toks,
+          |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_types
+          |  FROM tk WHERE len(toks) >= 1
+          |), e AS (
+          |  SELECT doc_id, n_toks, n_types,
+          |    -1.0 * list_sum(list_transform(list_sort(list_distinct(toks)),
+          |      t -> (CAST(len(list_filter(toks, x -> x = t)) AS DOUBLE) / CAST(n_toks AS DOUBLE))
+          |        * (ln(CAST(len(list_filter(toks, x -> x = t)) AS DOUBLE) / CAST(n_toks AS DOUBLE)) / ln(2.0)))) AS eb
+          |  FROM m
+          |)
+          |SELECT doc_id, n_toks, n_types,
+          |  round(eb + 0.0, 6) AS entropy_bits,
+          |  round(CAST(n_types AS DOUBLE) / n_toks, 6) AS ttr,
+          |  round(eb + 0.0, 6) < 1.0 AS is_low_entropy
+          |FROM e ORDER BY doc_id""".stripMargin,
 
       "d102_lsh_index_probe" ->
         s"""WITH hist AS (

@@ -88,4 +88,31 @@ class ChatSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fit4.getAs[Long]("kept_msgs") == 4L)
     assert(fit4.getAs[String]("first_kept_role") == "assistant")
   }
+
+  test("templatedShare flags conversations whose assistant turns are corpus-wide canned") {
+    // three users, each one conversation: the assistant reply "ok" is
+    // shared by all three (freq 3 ≥ minFreq) while the unique-<u>
+    // replies are not; user 3 gets a third assistant turn so its
+    // canned share falls below the ≥½ flagging rule.
+    val rows = (1L to 3L).flatMap { u =>
+      val base = Seq(
+        (u, "2024-01-01 10:00:00", u * 100 + 1, "user", "hi"),
+        (u, "2024-01-01 10:00:10", u * 100 + 2, "assistant", "ok"),
+        (u, "2024-01-01 10:00:20", u * 100 + 3, "user", "more"),
+        (u, "2024-01-01 10:00:30", u * 100 + 4, "assistant", s"unique-$u-a"))
+      if (u == 3L) base ++ Seq(
+        (u, "2024-01-01 10:00:40", u * 100 + 5, "user", "again"),
+        (u, "2024-01-01 10:00:50", u * 100 + 6, "assistant", s"unique-$u-b"))
+      else base
+    }
+    val out = Chat.templatedShare(Chat.turns(ev(rows: _*)))
+      .orderBy(col("user_id")).collect()
+    // users 1/2: 1 of 2 canned → 500‰, flagged (1*2 >= 2); user 3:
+    // 1 of 3 canned → 333‰, not flagged
+    assert(out.map(r => (r.getAs[Long]("user_id"),
+      r.getAs[Long]("n_asst_turns"), r.getAs[Long]("n_templated"),
+      r.getAs[Long]("templated_permille"), r.getAs[Boolean]("is_templated"))).toSeq ==
+      Seq((1L, 2L, 1L, 500L, true), (2L, 2L, 1L, 500L, true),
+        (3L, 3L, 1L, 333L, false)))
+  }
 }

@@ -220,4 +220,69 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a.length == 6) // 3 per group × 2 groups
     assert(a.map(_.getLong(1)).toSeq == b.map(_.getLong(1)).toSeq) // reproducible
   }
+
+  test("luhnValid accepts published test card numbers and rejects off-by-one twins") {
+    import spark.implicits._
+    // standard network test numbers (public): Visa, Mastercard, Amex
+    val rows = Seq(
+      ("4532015112830366", true), ("4532015112830367", false),
+      ("4111111111111111", true), ("4111111111111112", false),
+      ("5500005555555559", true), ("378282246310005", true),
+      ("1234567812345678", false))
+    val df = rows.toDF("num", "want")
+    val got = df.withColumn("ok", Corpus.luhnValid(col("num")))
+      .where(col("ok") =!= col("want")).count()
+    assert(got == 0L)
+  }
+
+  test("cardCandidates counts digit runs and Luhn-valid subset per doc") {
+    val df = docs(
+      1L -> "pay with 4532015112830366 or order 1234567812345678",
+      2L -> "no numbers here", 3L -> "short 123456 digits only")
+    val out = Corpus.cardCandidates(df, idCol = "id", textCol = "body")
+      .orderBy(col("id")).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 2L, 1L), (2L, 0L, 0L), (3L, 0L, 0L)))
+    assert(out.head.getBoolean(3)) // has_valid_card on doc 1
+  }
+
+  test("preferencePairs pairs best with worst rank-for-rank under a margin") {
+    import org.apache.spark.sql.{Row, types => T}
+    val rows = (1L to 6L).map(i => Row(i, "g", i.toDouble)) :+ Row(7L, "h", 1.0)
+    val df = spark.createDataFrame(rows.asJava,
+      T.StructType(Seq(T.StructField("id", T.LongType),
+        T.StructField("grp", T.StringType), T.StructField("sc", T.DoubleType))))
+    val out = Corpus.preferencePairs(df, Seq("grp"), "sc", idCol = "id",
+        k = 2, minMargin = 3.0).orderBy(col("grp"), col("rk")).collect()
+    // g: rank1 pairs 6↔1 (margin 5), rank2 pairs 5↔2 (margin 3);
+    // h has one row → chosen==rejected, excluded
+    assert(out.map(r => (r.getAs[Long]("chosen_id"),
+      r.getAs[Long]("rejected_id"), r.getAs[Double]("margin"))).toSeq ==
+      Seq((6L, 1L, 5.0), (5L, 2L, 3.0)))
+  }
+
+  test("tokenEntropy: uniform tokens score log2(n), repeats score 0 and flag") {
+    val df = docs(1L -> "a b c d", 2L -> "spam spam spam spam", 3L -> "x x y y")
+    val out = Corpus.tokenEntropy(df, idCol = "id", textCol = "body")
+      .orderBy(col("id")).collect()
+    assert(out(0).getAs[Double]("entropy_bits") == 2.0) // 4 uniform → 2 bits
+    assert(out(1).getAs[Double]("entropy_bits") == 0.0)
+    assert(out(1).getAs[Boolean]("is_low_entropy"))
+    assert(out(2).getAs[Double]("entropy_bits") == 1.0)
+    assert(!out(0).getAs[Boolean]("is_low_entropy"))
+    assert(out(0).getAs[Double]("ttr") == 1.0 && out(1).getAs[Double]("ttr") == 0.25)
+  }
+
+  test("scriptProfile counts per-script code points and picks the dominant") {
+    val df = docs(
+      1L -> "hello world", 2L -> "привет мир z", 3L -> "γειά κόσμος",
+      4L -> "你好世界", 5L -> "مرحبا بالعالم")
+    val out = Corpus.scriptProfile(df, idCol = "id", textCol = "body")
+      .orderBy(col("id")).collect()
+    assert(out.map(_.getAs[String]("dominant_script")).toSeq ==
+      Seq("latin", "cyrillic", "greek", "han", "arabic"))
+    assert(out(1).getAs[Long]("n_cyrillic") == 9L) // привет(6) + мир(3)
+    assert(out(1).getAs[Long]("n_latin") == 1L)    // the z
+    assert(out(3).getAs[Long]("n_han") == 4L)
+  }
 }
