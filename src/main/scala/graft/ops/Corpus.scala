@@ -42,18 +42,19 @@ object Corpus {
     * cross-row float sums.
     */
   def qualityScore(df: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame =
+      textCol: String = "text", keep: Seq[String] = Nil): DataFrame =
     df.withColumn("toks", tokens(textCol))
       .withColumn("n_tokens", size(col("toks")).cast(LongType))
       .withColumn("alpha_chars",
         length(regexp_replace(col(textCol), "[^A-Za-z]", "")).cast(LongType))
       .withColumn("stop_hits", expr(
         "cast(size(filter(toks, t -> t in ('the','a','of','and','to','in','is'))) as bigint)"))
-      .select(col(idCol), col("n_tokens"), col("alpha_chars"), col("stop_hits"),
+      .select(col(idCol) +: keep.map(col) :+ col("n_tokens") :+
+        col("alpha_chars") :+ col("stop_hits") :+
         (lit(0.4) * least(lit(1.0), col("n_tokens").cast(DoubleType) / 100.0)
           + lit(0.3) * (col("stop_hits").cast(DoubleType) / col("n_tokens").cast(DoubleType))
           + lit(0.3) * (col("alpha_chars").cast(DoubleType)
-            / length(col(textCol)).cast(DoubleType))).as("quality"))
+            / length(col(textCol)).cast(DoubleType))).as("quality"): _*)
 
   /** Deterministic stratified sampling: `rateCol` (an integer percent
     * column, e.g. a CASE over language) decides the per-stratum keep

@@ -2842,9 +2842,9 @@ object PipelineQueries {
       // 0.05. Two row_number windows over ONE group partitioning — a
       // single hash exchange, ≤ 5 rows out per group (never quadratic).
       val docs = t(s, d, "documents")
-      val scored = docs.select(col("doc_id"), col("source"), col("lang"))
-        .join(graft.ops.Corpus.qualityScore(docs)
-          .select(col("doc_id"), col("quality")), "doc_id")
+      val scored = graft.ops.Corpus
+        .qualityScore(docs, keep = Seq("source", "lang"))
+        .select(col("doc_id"), col("source"), col("lang"), col("quality"))
       graft.ops.Corpus.preferencePairs(scored, Seq("source", "lang"),
           "quality", k = 5, minMargin = 0.05)
         .select(col("source"), col("lang"), col("rk").cast(LongType).as("rk"),

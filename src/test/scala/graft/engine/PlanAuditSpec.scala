@@ -831,4 +831,62 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected codegen'd aggregation over the regex chain:\n$p")
     assert(!p.contains("CartesianProduct"), s"no cartesian in:\n$p")
   }
+
+  test("d106/d108/d110 per-row ops: zero exchanges — cost is exactly the scan") {
+    // Luhn card detection, script profiling, and token entropy are
+    // per-row expression work; at 100 TB their cost must be the
+    // corpus scan and nothing else — any exchange here is a bug
+    val docs = Tables.t(spark, sfDir, "documents")
+    for ((name, df) <- Seq(
+        "cardCandidates" -> graft.ops.Corpus.cardCandidates(docs),
+        "scriptProfile" -> graft.ops.Corpus.scriptProfile(docs),
+        "tokenEntropy" -> graft.ops.Corpus.tokenEntropy(docs))) {
+      df.collect()
+      val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+        .split("== Initial Plan ==").head
+      assert(raw"Exchange \(\d+\)".r.findAllIn(p).isEmpty,
+        s"$name must not shuffle:\n$p")
+      val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+      assert(!readSchema.contains("n_chars"),
+        s"$name must prune unused columns, got $readSchema")
+    }
+  }
+
+  test("d107 preference pairs: map-side top-k before each exchange, broadcast join") {
+    import org.apache.spark.sql.functions._
+    val scored = graft.ops.Corpus.qualityScore(
+        Tables.t(spark, sfDir, "documents"), keep = Seq("source", "lang"))
+      .select(col("doc_id"), col("source"), col("lang"), col("quality"))
+    val df = graft.ops.Corpus.preferencePairs(
+      scored, Seq("source", "lang"), "quality", k = 5, minMargin = 0.05)
+    df.collect()
+    val full = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    val finalTree = full.split("== Initial Plan ==").head
+    // rank ≤ k must push below the shuffle (WindowGroupLimit partial
+    // mode): only ≤ k rows per group per input partition cross the
+    // wire — the property that keeps this linear at 100 TB
+    val shuffles = raw"(?<!Broadcast)Exchange \(\d+\)".r.findAllIn(finalTree).size
+    assert(shuffles == 2, s"one group exchange per rank window, got $shuffles:\n$finalTree")
+    val wgl = finalTree.linesIterator.count(_.contains("WindowGroupLimit"))
+    assert(wgl >= 4, s"expected partial+final WindowGroupLimit per branch:\n$finalTree")
+    assert(finalTree.contains("BroadcastHashJoin"),
+      s"the k-rows-per-group sides must broadcast-join:\n$finalTree")
+    assert(!finalTree.contains("CartesianProduct"), s"no cartesian in:\n$finalTree")
+  }
+
+  test("d109 templated responses: three slim exchanges, freq rides the 16-byte hash") {
+    val df = graft.ops.Chat.templatedShare(
+      PipelineQueries.chatRichTurnsPlan(spark, sfDir))
+    df.collect()
+    val full = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    val finalTree = full.split("== Initial Plan ==").head
+    // user-chain exchange (d103's single shuffle), the turn-hash
+    // frequency window, and the per-conversation rollup — no more
+    val shuffles = raw"(?<!Broadcast)Exchange \(\d+\)".r.findAllIn(finalTree).size
+    assert(shuffles == 3, s"chain + freq + rollup = 3 exchanges, got $shuffles:\n$finalTree")
+    assert(full.contains("hashpartitioning(user_id"),
+      s"chain and rollup must cluster on user_id:\n$full")
+    assert(full.contains("hashpartitioning(h#"),
+      s"frequency window must shuffle the md5 hash, not turn text:\n$full")
+  }
 }
