@@ -188,4 +188,73 @@ object Embeddings {
       .withColumn("q", expr(
         s"transform($vecCol, x -> cast(round(127.0 * cast(x as double) / scale) as bigint))"))
       .drop(vecCol)
+
+  /** Product-quantization encode: split each [[quantized]] vector into
+    * `m` equal sub-blocks and assign every block to its nearest
+    * codebook centroid by EXACT integer L2 — the compression step that
+    * makes billion-vector ANN affordable (m bytes/vector instead of
+    * the raw floats). `codebooks` holds `ksub` full-width vectors
+    * (cent_id, cq); block b's codebook is their b-th slice, so one
+    * broadcast table serves all blocks.
+    *
+    * Scale shape: the assignment stream is n·m·ksub SLIM rows
+    * (ids + one int distance) against a broadcast codebook — linear
+    * in n, never a pairwise join; argmin ties break on cent_id.
+    * Returns (vec_id, codes[m], sqerr) — codes in block order, sqerr
+    * = total squared reconstruction error.
+    */
+  def pqEncode(corpus: DataFrame, codebooks: DataFrame, m: Int): DataFrame = {
+    graft.functions.BitSketchExpressions.register(corpus.sparkSession)
+    val cents = codebooks.select(col("cent_id"), col("cq"))
+    val assigned = corpus.select(col("vec_id"), col("q"))
+      .join(broadcast(cents))
+      .select(col("vec_id"), col("cent_id"),
+        explode(expr(
+          s"""transform(sequence(0, $m - 1), b -> struct(b as block,
+             |  graft_l2_i64(slice(q, b * (size(q) div $m) + 1, size(q) div $m),
+             |               slice(cq, b * (size(cq) div $m) + 1, size(cq) div $m)) as dist))""".stripMargin)).as("bd"))
+      .select(col("vec_id"), col("bd.block"), col("cent_id"), col("bd.dist"))
+    assigned
+      .groupBy(col("vec_id"), col("block"))
+      .agg(min(struct(col("dist"), col("cent_id"))).as("best"))
+      .groupBy(col("vec_id"))
+      .agg(
+        expr("transform(array_sort(collect_list(struct(block, best))), x -> x.best.cent_id)")
+          .as("codes"),
+        sum(col("best.dist")).as("sqerr"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: per query, the
+    * approximate L2 distance to every vector is the sum over blocks of
+    * a precomputed (query, block, centroid) lookup-table entry — the
+    * query stays full-precision, the corpus is m small ints. The LUT
+    * is queries·m·ksub rows (tiny, broadcast); the scoring join
+    * shuffles only (vec_id, block, code) ints. Exact integer math —
+    * engine-reproducible. Returns (query_id, rank, neighbor_id,
+    * adc_dist), self-matches excluded.
+    */
+  def pqAdcTopK(corpus: DataFrame, queries: DataFrame,
+      codebooks: DataFrame, m: Int, k: Int): DataFrame = {
+    graft.functions.BitSketchExpressions.register(corpus.sparkSession)
+    val lut = queries.select(col("vec_id").as("query_id"), col("q").as("qq"))
+      .crossJoin(codebooks.select(col("cent_id"), col("cq")))
+      .select(col("query_id"), col("cent_id").as("code"),
+        explode(expr(
+          s"""transform(sequence(0, $m - 1), b -> struct(b as block,
+             |  graft_l2_i64(slice(qq, b * (size(qq) div $m) + 1, size(qq) div $m),
+             |               slice(cq, b * (size(cq) div $m) + 1, size(cq) div $m)) as dist))""".stripMargin)).as("bd"))
+      .select(col("query_id"), col("bd.block"), col("code"), col("bd.dist"))
+    val codeRows = pqEncode(corpus, codebooks, m)
+      .select(col("vec_id"),
+        posexplode(col("codes")).as(Seq("block", "code")))
+    val scored = codeRows.join(broadcast(lut), Seq("block", "code"))
+      .where(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("dist")).as("adc_dist"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist").asc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast(LongType).as("rank"),
+        col("vec_id").as("neighbor_id"), col("adc_dist"))
+  }
 }

@@ -337,6 +337,69 @@ object TextDedup {
     }
   }
 
+  /** ExactSubstr CUT: remove duplicated verbatim spans from the
+    * HIGHER-id doc of each sharing pair (keep-first policy) — the
+    * action step after [[sharedSpans]] measures. Candidate generation
+    * is identical (df-capped rolling-window inverted index, islands
+    * per (pair, diagonal) — only (a, b, pos) ints shuffle); runs of
+    * ≥ `minSpan` tokens become removal intervals on the b side, which
+    * may overlap across partners/diagonals — coverage is resolved
+    * per token, so overlapping spans never double-remove.
+    *
+    * Returns one row per AFFECTED doc: (doc_id, n_toks, n_spans,
+    * n_removed_toks, new_md5) where new_md5 hashes the space-joined
+    * surviving tokens (the rewritten text, pinned without shipping
+    * it).
+    */
+  def spanCutRewrite(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", dfCap: Int = 32, minSpan: Int = 16,
+      materialize: Boolean = true): DataFrame = {
+    graft.functions.BitSketchExpressions.register(docs.sparkSession)
+    val toksDf = docs
+      .withColumn("toks", split(lower(trim(col(textCol))), "\\s+"))
+      .select(col(idCol).as("doc_id"), col("toks"))
+    val wins = toksDf.where(size(col("toks")) >= 8)
+      .select(col("doc_id"), posexplode(expr(
+        "graft_rolling8(transform(toks, t -> graft_md5_60(t) % 2147483647))"))
+        .as(Seq("pos", "wh")))
+    val winsM = if (materialize) wins.persist() else wins
+    val rare = winsM.groupBy(col("wh")).agg(count(lit(1)).as("df"))
+      .where(col("df") >= 2 && col("df") <= dfCap).select("wh")
+    val pw = winsM.join(rare, "wh")
+    val matches = pw.select(col("wh"), col("doc_id").as("a"), col("pos").as("pa"))
+      .join(pw.select(col("wh"), col("doc_id").as("b"), col("pos").as("pb")), "wh")
+      .where(col("a") < col("b"))
+      .withColumn("diag", col("pa") - col("pb"))
+    val w = Window.partitionBy(col("a"), col("b"), col("diag")).orderBy(col("pb"))
+    val runs = matches
+      .withColumn("grp", col("pb") - row_number().over(w))
+      .groupBy(col("a"), col("b"), col("diag"), col("grp"))
+      .agg(count(lit(1)).as("run"), min(col("pb")).as("pb0"))
+      .where(col("run") + lit(7) >= minSpan)
+    // removal intervals in 1-based token positions of doc b; the
+    // per-doc interval list is bounded by dfCap partners — small
+    val ivs = runs.select(col("b").as("doc_id"),
+        struct((col("pb0") + 1).as("s"),
+          (col("pb0") + col("run") + lit(7)).as("e")).as("iv"))
+      .groupBy(col("doc_id"))
+      .agg(collect_list(col("iv")).as("ivs"), count(lit(1)).as("n_spans"))
+    val out = ivs.join(toksDf, "doc_id")
+      .withColumn("keep_idx", expr(
+        "filter(sequence(1, size(toks)), i -> size(filter(ivs, v -> i >= v.s and i <= v.e)) = 0)"))
+      .select(col("doc_id"),
+        size(col("toks")).cast(LongType).as("n_toks"),
+        col("n_spans"),
+        (size(col("toks")) - size(col("keep_idx"))).cast(LongType).as("n_removed_toks"),
+        md5(expr("array_join(transform(keep_idx, i -> element_at(toks, i)), ' ')"))
+          .as("new_md5"))
+    if (!materialize) out
+    else {
+      val result = out.localCheckpoint(true)
+      winsM.unpersist()
+      result
+    }
+  }
+
   /** Asymmetric containment candidates (doc-inside-doc, the
     * quote-and-comment case Jaccard misses): candidates come from a
     * shingle inverted index with stop-shingle pruning, built entirely

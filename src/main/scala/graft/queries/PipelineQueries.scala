@@ -2770,15 +2770,20 @@ object PipelineQueries {
       // hot window — deterministic, the oracle replays it). Plants:
       // each 13th doc's tokens 10..39 re-embedded behind a distinct
       // head → a 30-token span on a shifted diagonal must surface.
-      val docs = t(s, d, "documents")
-      val planted = docs.where(col("doc_id") % 13 === 0)
-        .withColumn("doc_id", col("doc_id") + 7000000L)
-        .withColumn("text", expr(
-          "concat('planted head marker words ', " +
-            "array_join(slice(split(lower(trim(text)), '\\\\s+'), 10, 30), ' '), " +
-            "' tail', cast(doc_id % 89 as string))"))
-      graft.ops.TextDedup.sharedSpans(docs.unionByName(planted))
+      graft.ops.TextDedup.sharedSpans(exactSubstrCorpus(s, d))
         .orderBy(col("a"), col("b"))
+    },
+
+    // --- ExactSubstr CUT: remove the shared spans from the dup side ---
+    "d111_span_cut_rewrite" -> { (s, d) =>
+      // d105 MEASURES shared verbatim spans; this is the ACTION: the
+      // higher-id doc of each sharing pair loses the duplicated tokens
+      // (keep-first), overlapping spans resolved per token so nothing
+      // double-removes. Same df-capped inverted index — only
+      // (a, b, pos) ints shuffle; the rewrite is per-doc array math
+      // and new_md5 pins the rewritten text without shipping it.
+      graft.ops.TextDedup.spanCutRewrite(exactSubstrCorpus(s, d))
+        .orderBy(col("doc_id"))
     },
 
     // --- SFT/chat data prep: turn assembly from raw interaction logs ---
@@ -2906,6 +2911,61 @@ object PipelineQueries {
           .withColumn("text", expr("repeat('spam ', 60)")))
       graft.ops.Corpus.tokenEntropy(corpus)
         .orderBy(col("doc_id"))
+    },
+
+    // --- product-quantization encode (PQ codes, the ANN storage path) --
+    "d112_pq_encode" -> { (s, d) =>
+      // 64-dim vectors → 4 sub-blocks × 8-entry codebook: 4 small ints
+      // replace 64 floats — the compression that makes billion-vector
+      // ANN affordable. Codebook = the first 8 vectors (deterministic
+      // seed; training refinement is d25's covered ground). Assignment
+      // streams n·m·ksub slim rows against the broadcast codebook —
+      // linear, exact integer L2, ties to the smallest centroid.
+      val e = quantizedEmbeddings(s, d, plant = false)
+      val cb = e.where(col("vec_id") < 8)
+        .select(col("vec_id").as("cent_id"), col("q").as("cq"))
+      graft.ops.Embeddings.pqEncode(e, cb, m = 4)
+        .select(col("vec_id"),
+          expr("element_at(codes, 1)").as("c1"),
+          expr("element_at(codes, 2)").as("c2"),
+          expr("element_at(codes, 3)").as("c3"),
+          expr("element_at(codes, 4)").as("c4"),
+          col("sqerr"))
+        .orderBy(col("vec_id"))
+    },
+
+    // --- asymmetric-distance (ADC) top-k over PQ codes + recall -------
+    "d113_pq_adc_recall" -> { (s, d) =>
+      // The query side of PQ: per query a (block, centroid) lookup
+      // table of exact int L2 distances (queries·m·ksub rows,
+      // broadcast); corpus distance = sum of m LUT hits on its codes —
+      // only (vec, block, code) ints shuffle. Recall@10 against the
+      // exact full-precision L2 top-10 quantifies what the 16×
+      // compression costs, per query.
+      val e = quantizedEmbeddings(s, d, plant = false)
+      val cb = e.where(col("vec_id") < 8)
+        .select(col("vec_id").as("cent_id"), col("q").as("cq"))
+      val qs = e.where(col("vec_id") >= 100 && col("vec_id") < 110)
+      val adc = graft.ops.Embeddings.pqAdcTopK(e, qs, cb, m = 4, k = 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val exact = {
+        val q = qs.select(col("vec_id").as("query_id"), col("q").as("qq"))
+        val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+          .withColumn("dist", expr("graft_l2_i64(q, qq)"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("dist").asc, col("vec_id").asc)
+        scored.withColumn("rank", row_number().over(w)).where(col("rank") <= 10)
+          .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      }
+      val hits = adc.join(exact, Seq("query_id", "neighbor_id"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+      qs.select(col("vec_id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          // small-int IEEE division is exactly rounded → engine-identical
+          (coalesce(col("n_hits"), lit(0L)).cast(DoubleType) / 10.0).as("recall_at_10"))
+        .orderBy(col("query_id"))
     }
   )
 
@@ -3091,6 +3151,21 @@ object PipelineQueries {
         expr("aggregate(r, 0L, (a, x) -> a + x)").as("sum_r"),
         expr("array_join(transform(slice(r, 1, 8), x -> cast(x as string)), ',')")
           .as("r_head"))
+  }
+
+  /** d105/d111 shared corpus: each 13th doc's tokens 10..39 re-embedded
+    * behind a distinct head (id + 7,000,000) — a 30-token verbatim span
+    * on a shifted diagonal at every SF.
+    */
+  private def exactSubstrCorpus(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val planted = docs.where(col("doc_id") % 13 === 0)
+      .withColumn("doc_id", col("doc_id") + 7000000L)
+      .withColumn("text", expr(
+        "concat('planted head marker words ', " +
+          "array_join(slice(split(lower(trim(text)), '\\\\s+'), 10, 30), ' '), " +
+          "' tail', cast(doc_id % 89 as string))"))
+    docs.unionByName(planted)
   }
 
   private[graft] def chatTurnsPlan(s: SparkSession, d: String): DataFrame =
@@ -3490,6 +3565,146 @@ object PipelineQueries {
           |  round(CAST(n_types AS DOUBLE) / n_toks, 6) AS ttr,
           |  round(eb + 0.0, 6) < 1.0 AS is_low_entropy
           |FROM e ORDER BY doc_id""".stripMargin,
+
+      "d111_span_cut_rewrite" ->
+        """WITH corpus AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 7000000 AS doc_id,
+          |    'planted head marker words ' ||
+          |    array_to_string(list_slice(regexp_split_to_array(lower(trim(text)), '\s+'), 10, 39), ' ')
+          |    || ' tail' || CAST((doc_id + 7000000) % 89 AS VARCHAR) AS text
+          |  FROM documents WHERE doc_id % 13 = 0
+          |), toksrc AS (
+          |  SELECT doc_id,
+          |    regexp_split_to_array(lower(trim(text)), '\s+') AS tks,
+          |    list_transform(regexp_split_to_array(lower(trim(text)), '\s+'),
+          |      t -> ('0x' || substring(md5(t), 1, 15))::BIGINT % 2147483647) AS hs
+          |  FROM corpus
+          |), wins AS (
+          |  SELECT doc_id, i AS pos,
+          |    (list_sum(list_transform(range(0, 8),
+          |       k -> (hs[i + 1 + k] * ([2003465299, 884122890, 2072267652, 294499921, 2248091, 17161, 131, 1])[k + 1]) % 2147483647))
+          |     % 2147483647) * 2147483648
+          |    + (list_sum(list_transform(range(0, 8),
+          |       k -> (hs[i + 1 + k] * ([671643304, 1901585143, 1017084223, 352275361, 2571353, 18769, 137, 1])[k + 1]) % 2147483647))
+          |     % 2147483647) AS wh
+          |  FROM (SELECT doc_id, hs, unnest(range(0, len(hs) - 7)) AS i
+          |        FROM toksrc WHERE len(hs) >= 8)
+          |), rare AS (
+          |  SELECT wh FROM wins GROUP BY wh HAVING count(1) BETWEEN 2 AND 32
+          |), pw AS (
+          |  SELECT w.doc_id, w.pos, w.wh FROM wins w JOIN rare USING (wh)
+          |), m AS (
+          |  SELECT a.doc_id AS a, b.doc_id AS b, b.pos AS pb,
+          |    a.pos - b.pos AS diag
+          |  FROM pw a JOIN pw b ON a.wh = b.wh AND a.doc_id < b.doc_id
+          |), g AS (
+          |  SELECT a, b, diag, pb,
+          |    pb - row_number() OVER (PARTITION BY a, b, diag ORDER BY pb) AS grp
+          |  FROM m
+          |), runs AS (
+          |  SELECT a, b, diag, grp, count(1) AS run, min(pb) AS pb0
+          |  FROM g GROUP BY 1, 2, 3, 4 HAVING count(1) + 7 >= 16
+          |), ivs AS (
+          |  SELECT b AS doc_id, list([pb0 + 1, pb0 + run + 7]) AS ivs,
+          |    CAST(count(1) AS BIGINT) AS n_spans
+          |  FROM runs GROUP BY 1
+          |), cut AS (
+          |  SELECT i.doc_id, i.n_spans, t.tks,
+          |    list_filter(range(1, len(t.tks) + 1),
+          |      p -> len(list_filter(i.ivs, v -> p >= v[1] AND p <= v[2])) = 0) AS keep_idx
+          |  FROM ivs i JOIN toksrc t USING (doc_id)
+          |)
+          |SELECT doc_id, CAST(len(tks) AS BIGINT) AS n_toks, n_spans,
+          |  CAST(len(tks) - len(keep_idx) AS BIGINT) AS n_removed_toks,
+          |  -- a fully-removed doc: array_to_string([]) is NULL in DuckDB
+          |  -- but '' in Spark's array_join — align on ''
+          |  md5(coalesce(array_to_string(list_transform(keep_idx, p -> tks[p]), ' '), '')) AS new_md5
+          |FROM cut ORDER BY doc_id""".stripMargin,
+
+      "d112_pq_encode" ->
+        """WITH e AS (
+          |  SELECT vec_id,
+          |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+          |  FROM embeddings
+          |), cents AS (
+          |  SELECT vec_id AS cent_id, q AS cq FROM e WHERE vec_id < 8
+          |), bd AS (
+          |  SELECT v.vec_id, blk.b AS block, c.cent_id,
+          |    CAST(list_sum(list_transform(range(1, 17),
+          |      i -> (v.q[blk.b * 16 + i] - c.cq[blk.b * 16 + i])
+          |         * (v.q[blk.b * 16 + i] - c.cq[blk.b * 16 + i]))) AS BIGINT) AS dist
+          |  FROM e v CROSS JOIN cents c
+          |  CROSS JOIN (SELECT unnest(range(0, 4)) AS b) blk
+          |), best AS (
+          |  SELECT vec_id, block, cent_id, dist FROM (
+          |    SELECT *, row_number() OVER (
+          |      PARTITION BY vec_id, block ORDER BY dist, cent_id) AS rn
+          |    FROM bd) WHERE rn = 1
+          |)
+          |SELECT vec_id,
+          |  max(CASE WHEN block = 0 THEN cent_id END) AS c1,
+          |  max(CASE WHEN block = 1 THEN cent_id END) AS c2,
+          |  max(CASE WHEN block = 2 THEN cent_id END) AS c3,
+          |  max(CASE WHEN block = 3 THEN cent_id END) AS c4,
+          |  CAST(sum(dist) AS BIGINT) AS sqerr
+          |FROM best GROUP BY 1 ORDER BY vec_id""".stripMargin,
+
+      "d113_pq_adc_recall" ->
+        """WITH e AS (
+          |  SELECT vec_id,
+          |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+          |  FROM embeddings
+          |), cents AS (
+          |  SELECT vec_id AS cent_id, q AS cq FROM e WHERE vec_id < 8
+          |), bd AS (
+          |  SELECT v.vec_id, blk.b AS block, c.cent_id,
+          |    CAST(list_sum(list_transform(range(1, 17),
+          |      i -> (v.q[blk.b * 16 + i] - c.cq[blk.b * 16 + i])
+          |         * (v.q[blk.b * 16 + i] - c.cq[blk.b * 16 + i]))) AS BIGINT) AS dist
+          |  FROM e v CROSS JOIN cents c
+          |  CROSS JOIN (SELECT unnest(range(0, 4)) AS b) blk
+          |), best AS (
+          |  SELECT vec_id, block, cent_id, dist FROM (
+          |    SELECT *, row_number() OVER (
+          |      PARTITION BY vec_id, block ORDER BY dist, cent_id) AS rn
+          |    FROM bd) WHERE rn = 1
+          |), lut AS (
+          |  SELECT vec_id AS query_id, block, cent_id AS code, dist
+          |  FROM bd WHERE vec_id >= 100 AND vec_id < 110
+          |), adc AS (
+          |  SELECT l.query_id, bst.vec_id, CAST(sum(l.dist) AS BIGINT) AS adc_dist
+          |  FROM best bst JOIN lut l ON l.block = bst.block AND l.code = bst.cent_id
+          |  WHERE bst.vec_id <> l.query_id
+          |  GROUP BY 1, 2
+          |), adctop AS (
+          |  SELECT query_id, vec_id FROM (
+          |    SELECT *, row_number() OVER (
+          |      PARTITION BY query_id ORDER BY adc_dist, vec_id) AS rk FROM adc)
+          |  WHERE rk <= 10
+          |), exact AS (
+          |  SELECT query_id, vec_id FROM (
+          |    SELECT qv.vec_id AS query_id, v.vec_id,
+          |      row_number() OVER (PARTITION BY qv.vec_id ORDER BY
+          |        list_sum(list_transform(range(1, 65),
+          |          i -> (v.q[i] - qv.q[i]) * (v.q[i] - qv.q[i]))),
+          |        v.vec_id) AS rk
+          |    FROM e v CROSS JOIN e qv
+          |    WHERE qv.vec_id >= 100 AND qv.vec_id < 110 AND v.vec_id <> qv.vec_id)
+          |  WHERE rk <= 10
+          |), hits AS (
+          |  SELECT a.query_id, CAST(count(1) AS BIGINT) AS n_hits
+          |  FROM adctop a JOIN exact x
+          |    ON a.query_id = x.query_id AND a.vec_id = x.vec_id
+          |  GROUP BY 1
+          |)
+          |SELECT q.vec_id AS query_id,
+          |  coalesce(h.n_hits, 0) AS n_hits,
+          |  CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 10.0 AS recall_at_10
+          |FROM (SELECT vec_id FROM e WHERE vec_id >= 100 AND vec_id < 110) q
+          |LEFT JOIN hits h ON h.query_id = q.vec_id
+          |ORDER BY query_id""".stripMargin,
 
       "d102_lsh_index_probe" ->
         s"""WITH hist AS (

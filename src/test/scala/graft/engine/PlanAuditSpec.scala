@@ -874,6 +874,47 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!finalTree.contains("CartesianProduct"), s"no cartesian in:\n$finalTree")
   }
 
+  test("d111 span cut: pair generation rides the window-hash join, no cartesian") {
+    // materialize=false: the gate's localCheckpoint hides the plan
+    val df = graft.ops.TextDedup.spanCutRewrite(
+      Tables.t(spark, sfDir, "documents"), materialize = false)
+    df.collect()
+    val full = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(full.contains("hashpartitioning(wh"),
+      s"candidates must equi-join on the rolling-window hash:\n$full")
+    assert(!full.contains("CartesianProduct"), s"no cartesian in:\n$full")
+  }
+
+  test("d112 pq encode: codebook broadcasts, assignment combines map-side") {
+    import org.apache.spark.sql.functions._
+    val e = graft.ops.Embeddings.quantized(Tables.t(spark, sfDir, "embeddings"))
+    val cb = e.where(col("vec_id") < 8)
+      .select(col("vec_id").as("cent_id"), col("q").as("cq"))
+    val df = graft.ops.Embeddings.pqEncode(e, cb, m = 4)
+    df.collect()
+    val full = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    val finalTree = full.split("== Initial Plan ==").head
+    assert(finalTree.contains("BroadcastNestedLoopJoin") ||
+      finalTree.contains("BroadcastExchange"),
+      s"the ksub-row codebook must broadcast, never shuffle the corpus:\n$finalTree")
+    // the n·m·ksub assignment stream must partial-aggregate (per-vec
+    // per-block argmin) BEFORE its exchange — only n·m rows cross
+    val shuffles = raw"(?<!Broadcast)Exchange \(\d+\)".r.findAllIn(finalTree).size
+    assert(shuffles <= 2, s"argmin + code rollup = at most 2 exchanges, got $shuffles:\n$finalTree")
+    val aggs = finalTree.linesIterator.count(_.contains("HashAggregate"))
+    assert(aggs >= 2, s"expected partial+final aggregation:\n$finalTree")
+  }
+
+  test("d113 pq adc: scoring joins the broadcast LUT on (block, code) ints") {
+    val df = PipelineQueries.queries("d113_pq_adc_recall")(spark, sfDir)
+    df.collect()
+    val full = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    val finalTree = full.split("== Initial Plan ==").head
+    assert(finalTree.contains("BroadcastHashJoin"),
+      s"the queries·m·ksub LUT must broadcast-hash-join the code stream:\n$finalTree")
+    assert(!finalTree.contains("CartesianProduct"), s"no cartesian in:\n$finalTree")
+  }
+
   test("d109 templated responses: three slim exchanges, freq rides the 16-byte hash") {
     val df = graft.ops.Chat.templatedShare(
       PipelineQueries.chatRichTurnsPlan(spark, sfDir))

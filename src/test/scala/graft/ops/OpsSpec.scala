@@ -273,6 +273,64 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(0).getAs[Double]("ttr") == 1.0 && out(1).getAs[Double]("ttr") == 0.25)
   }
 
+  test("spanCutRewrite removes exactly the shared span from the higher-id doc") {
+    val span = (1 to 20).map(i => s"w$i").mkString(" ")
+    val df = docs(
+      1L -> s"lead1 lead2 $span tail1 tail2",
+      2L -> s"head1 $span end9",
+      3L -> "completely different words nothing shared here at all now")
+    val out = TextDedup.spanCutRewrite(df, idCol = "id", textCol = "body").collect()
+    assert(out.length == 1) // only doc 2 (higher id of the pair) is cut
+    val r = out.head
+    assert(r.getAs[Long]("doc_id") == 2L)
+    assert(r.getAs[Long]("n_toks") == 22L)
+    assert(r.getAs[Long]("n_spans") == 1L)
+    assert(r.getAs[Long]("n_removed_toks") == 20L)
+    // surviving text is exactly "head1 end9"
+    val expect = java.security.MessageDigest.getInstance("MD5")
+      .digest("head1 end9".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(r.getAs[String]("new_md5") == expect)
+  }
+
+  test("pqEncode assigns each block to its nearest centroid with exact int L2") {
+    import org.apache.spark.sql.{Row, types => T}
+    def vecs(rows: (Long, Seq[Long])*) = spark.createDataFrame(
+      rows.map { case (i, q) => Row(i, q) }.asJava,
+      T.StructType(Seq(T.StructField("vec_id", T.LongType),
+        T.StructField("q", T.ArrayType(T.LongType)))))
+    val corpus = vecs(10L -> Seq(1L, 0L, 9L, 9L), 11L -> Seq(9L, 10L, 1L, 1L))
+    val cb = vecs(0L -> Seq(0L, 0L, 10L, 10L), 1L -> Seq(10L, 10L, 0L, 0L))
+      .select(col("vec_id").as("cent_id"), col("q").as("cq"))
+    val out = Embeddings.pqEncode(corpus, cb, m = 2)
+      .orderBy(col("vec_id")).collect()
+    assert(out(0).getAs[scala.collection.Seq[Long]]("codes").toSeq == Seq(0L, 0L))
+    assert(out(0).getAs[Long]("sqerr") == 3L)  // 1 + 2
+    assert(out(1).getAs[scala.collection.Seq[Long]]("codes").toSeq == Seq(1L, 1L))
+    assert(out(1).getAs[Long]("sqerr") == 3L)  // 1 + 2
+  }
+
+  test("pqAdcTopK ranks by summed lookup-table distances, self excluded") {
+    import org.apache.spark.sql.{Row, types => T}
+    def vecs(rows: (Long, Seq[Long])*) = spark.createDataFrame(
+      rows.map { case (i, q) => Row(i, q) }.asJava,
+      T.StructType(Seq(T.StructField("vec_id", T.LongType),
+        T.StructField("q", T.ArrayType(T.LongType)))))
+    // centroids are the axes; A sits on c0, B on c1, C between
+    val cb = vecs(0L -> Seq(0L, 0L, 10L, 10L), 1L -> Seq(10L, 10L, 0L, 0L))
+      .select(col("vec_id").as("cent_id"), col("q").as("cq"))
+    val corpus = vecs(
+      10L -> Seq(0L, 0L, 10L, 10L),   // codes (0,0)
+      11L -> Seq(10L, 10L, 0L, 0L),   // codes (1,1)
+      12L -> Seq(1L, 0L, 10L, 10L))   // codes (0,0)
+    val q = vecs(10L -> Seq(0L, 0L, 10L, 10L))
+    val out = Embeddings.pqAdcTopK(corpus, q, cb, m = 2, k = 2)
+      .orderBy(col("rank")).collect()
+    // ADC dist(10→12) = 0 (same codes, query on centroid); 10→11 = 400
+    assert(out.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(12L, 11L))
+    assert(out(0).getAs[Long]("adc_dist") == 0L)
+    assert(out(1).getAs[Long]("adc_dist") == 400L)
+  }
+
   test("scriptProfile counts per-script code points and picks the dominant") {
     val df = docs(
       1L -> "hello world", 2L -> "привет мир z", 3L -> "γειά κόσμος",
