@@ -175,6 +175,42 @@ class DedupStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tBig / tSmall < 10.0, f"super-linear blowup: $tSmall%.1f s → $tBig%.1f s")
   }
 
+  test("span-cut rewrite (d111 shape) scales sub-quadratically to 250k docs", Stress) {
+    // sharedSpans' skeleton plus the per-doc interval rewrite: the
+    // extra work is one doc_id join of the (small) affected set
+    // against the token arrays and per-row array math — growth must
+    // track sharedSpans, not the pair count
+    val (tSmall, tBig, nBig) = growthRatio("spanCut") { d =>
+      TextDedup.spanCutRewrite(d, idCol = "doc_id", textCol = "text")
+    }
+    assert(nBig >= 0)
+    assert(tBig / tSmall < 10.0, f"super-linear blowup: $tSmall%.1f s → $tBig%.1f s")
+  }
+
+  test("pq encode + adc (d112/d113 shape) scales with the scan to 500k vectors", Stress) {
+    // PQ has no pairwise stage at all: encode is n·m·ksub slim rows
+    // against a broadcast codebook, ADC joins a constant-size LUT —
+    // both must grow ~linearly in n
+    import org.apache.spark.sql.functions._
+    def vecs(n: Long): DataFrame = spark.range(n).select(
+      col("id").as("vec_id"),
+      expr("transform(sequence(1, 64), i -> cast((id * 2654435761 + i * 40503) % 2000 - 1000 as bigint))").as("q"))
+    def run(n: Long): Long = {
+      val e = vecs(n)
+      val cb = e.where(col("vec_id") < 8)
+        .select(col("vec_id").as("cent_id"), col("q").as("cq"))
+      val qs = e.where(col("vec_id") < 16)
+      Embeddings.pqAdcTopK(e, qs, cb, m = 4, k = 10).count()
+    }
+    run(2000L)
+    val (tSmall, _) = timed(run(125000L))
+    val (tBig, nBig) = timed(run(500000L))
+    info(f"pq: 125,000 vecs → $tSmall%.1f s; 500,000 vecs → $tBig%.1f s; " +
+      f"growth ${tBig / tSmall}%.2f× for 4× vecs ($nBig rows)")
+    assert(nBig == 160L) // 16 queries × k
+    assert(tBig / tSmall < 8.0, f"super-linear blowup: $tSmall%.1f s → $tBig%.1f s")
+  }
+
   test("chat-turn chain (d103/d104 shape) scales with the scan to 4M events", Stress) {
     // the chain is one hash exchange + per-user windows, so growth must
     // track the scan. Synthetic interaction log: ~80 events/user, a
