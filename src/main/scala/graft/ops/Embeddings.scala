@@ -233,6 +233,68 @@ object Embeddings {
     * engine-reproducible. Returns (query_id, rank, neighbor_id,
     * adc_dist), self-matches excluded.
     */
+  /** IVF-PQ (IVFADC) top-k — the composition that serves
+    * billion-vector ANN in production: a coarse quantizer routes each
+    * vector to one of `nlist` inverted lists, PQ encodes its RESIDUAL
+    * (vector − list centroid, where codes are far more accurate than
+    * on raw vectors), and a query scans only its `nProbe` nearest
+    * lists with per-list ADC lookup tables.
+    *
+    * Scale shape: both codebooks broadcast; the corpus streams once
+    * through assignment+encode (n·m·ksub slim rows, like [[pqEncode]]);
+    * scoring joins the (queries·nProbe·m·ksub)-row LUT on
+    * (list, block, code) ints — vectors outside a query's probed
+    * lists never score, and nothing pairwise ever materializes.
+    * Exact integer math throughout. Returns (query_id, rank,
+    * neighbor_id, adc_dist), self-matches excluded.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, coarse: DataFrame,
+      pqCodebooks: DataFrame, m: Int, nProbe: Int, k: Int): DataFrame = {
+    graft.functions.BitSketchExpressions.register(corpus.sparkSession)
+    val cents = broadcast(coarse.select(col("cent_id"), col("cq")))
+    // corpus → (vec_id, list_id, residual)
+    val assigned = corpus.select(col("vec_id"), col("q")).join(cents)
+      .withColumn("dist", expr("graft_l2_i64(q, cq)"))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("vec_id"))
+        .orderBy(col("dist").asc, col("cent_id").asc)))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("cent_id").as("list_id"),
+        expr("zip_with(q, cq, (x, y) -> x - y)").as("resid"))
+    // residual PQ codes, list_id re-joined on the slim id stream
+    val codes = pqEncode(assigned.select(col("vec_id"), col("resid").as("q")),
+        pqCodebooks, m)
+      .join(assigned.select(col("vec_id"), col("list_id")), "vec_id")
+      .select(col("vec_id"), col("list_id"),
+        posexplode(col("codes")).as(Seq("block", "code")))
+    // query → nProbe nearest lists, with the query's residual per list
+    val probes = queries.select(col("vec_id").as("query_id"), col("q").as("qq"))
+      .join(cents)
+      .withColumn("dist", expr("graft_l2_i64(qq, cq)"))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("dist").asc, col("cent_id").asc)))
+      .where(col("rn") <= nProbe)
+      .select(col("query_id"), col("cent_id").as("list_id"),
+        expr("zip_with(qq, cq, (x, y) -> x - y)").as("qresid"))
+    // per-(query, list) ADC lookup table over the residual codebook
+    val lut = probes
+      .crossJoin(broadcast(pqCodebooks.select(col("cent_id").as("code"), col("cq").as("pcq"))))
+      .select(col("query_id"), col("list_id"), col("code"),
+        explode(expr(
+          s"""transform(sequence(0, $m - 1), b -> struct(b as block,
+             |  graft_l2_i64(slice(qresid, b * (size(qresid) div $m) + 1, size(qresid) div $m),
+             |               slice(pcq, b * (size(pcq) div $m) + 1, size(pcq) div $m)) as dist))""".stripMargin)).as("bd"))
+      .select(col("query_id"), col("list_id"), col("bd.block"), col("code"), col("bd.dist"))
+    val scored = codes.join(broadcast(lut), Seq("list_id", "block", "code"))
+      .where(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("dist")).as("adc_dist"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist").asc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast(LongType).as("rank"),
+        col("vec_id").as("neighbor_id"), col("adc_dist"))
+  }
+
   def pqAdcTopK(corpus: DataFrame, queries: DataFrame,
       codebooks: DataFrame, m: Int, k: Int): DataFrame = {
     graft.functions.BitSketchExpressions.register(corpus.sparkSession)

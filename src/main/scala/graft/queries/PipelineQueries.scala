@@ -2966,6 +2966,43 @@ object PipelineQueries {
           // small-int IEEE division is exactly rounded → engine-identical
           (coalesce(col("n_hits"), lit(0L)).cast(DoubleType) / 10.0).as("recall_at_10"))
         .orderBy(col("query_id"))
+    },
+
+    // --- IVF-PQ (IVFADC): coarse lists + residual codes + probed ADC ---
+    "d114_ivfpq_recall" -> { (s, d) =>
+      // The full production ANN composition: 16 coarse lists route the
+      // corpus, PQ encodes each vector's RESIDUAL against its list
+      // centroid (residual codes beat raw-vector codes), and a query
+      // ADC-scans only its 4 nearest lists. The residual codebook is a
+      // deterministic synthetic seed (training refinement is d25's
+      // ground); recall@10 vs exact L2 quantifies the probe+code loss.
+      val e = quantizedEmbeddings(s, d, plant = false)
+      val coarse = e.where(col("vec_id") < 16)
+        .select(col("vec_id").as("cent_id"), col("q").as("cq"))
+      val pqCb = s.range(8).select(col("id").as("cent_id"),
+        expr("transform(sequence(1, 64), i -> cast((id * 40503 + i * 2654435761) % 401 - 200 as bigint))")
+          .as("cq"))
+      val qs = e.where(col("vec_id") >= 100 && col("vec_id") < 110)
+      val approx = graft.ops.Embeddings
+        .ivfPqTopK(e, qs, coarse, pqCb, m = 4, nProbe = 4, k = 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val exact = {
+        val q = qs.select(col("vec_id").as("query_id"), col("q").as("qq"))
+        val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+          .withColumn("dist", expr("graft_l2_i64(q, qq)"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("dist").asc, col("vec_id").asc)
+        scored.withColumn("rank", row_number().over(w)).where(col("rank") <= 10)
+          .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      }
+      val hits = approx.join(exact, Seq("query_id", "neighbor_id"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+      qs.select(col("vec_id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)).cast(DoubleType) / 10.0).as("recall_at_10"))
+        .orderBy(col("query_id"))
     }
   )
 
@@ -3677,6 +3714,89 @@ object PipelineQueries {
           |  SELECT l.query_id, bst.vec_id, CAST(sum(l.dist) AS BIGINT) AS adc_dist
           |  FROM best bst JOIN lut l ON l.block = bst.block AND l.code = bst.cent_id
           |  WHERE bst.vec_id <> l.query_id
+          |  GROUP BY 1, 2
+          |), adctop AS (
+          |  SELECT query_id, vec_id FROM (
+          |    SELECT *, row_number() OVER (
+          |      PARTITION BY query_id ORDER BY adc_dist, vec_id) AS rk FROM adc)
+          |  WHERE rk <= 10
+          |), exact AS (
+          |  SELECT query_id, vec_id FROM (
+          |    SELECT qv.vec_id AS query_id, v.vec_id,
+          |      row_number() OVER (PARTITION BY qv.vec_id ORDER BY
+          |        list_sum(list_transform(range(1, 65),
+          |          i -> (v.q[i] - qv.q[i]) * (v.q[i] - qv.q[i]))),
+          |        v.vec_id) AS rk
+          |    FROM e v CROSS JOIN e qv
+          |    WHERE qv.vec_id >= 100 AND qv.vec_id < 110 AND v.vec_id <> qv.vec_id)
+          |  WHERE rk <= 10
+          |), hits AS (
+          |  SELECT a.query_id, CAST(count(1) AS BIGINT) AS n_hits
+          |  FROM adctop a JOIN exact x
+          |    ON a.query_id = x.query_id AND a.vec_id = x.vec_id
+          |  GROUP BY 1
+          |)
+          |SELECT q.vec_id AS query_id,
+          |  coalesce(h.n_hits, 0) AS n_hits,
+          |  CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 10.0 AS recall_at_10
+          |FROM (SELECT vec_id FROM e WHERE vec_id >= 100 AND vec_id < 110) q
+          |LEFT JOIN hits h ON h.query_id = q.vec_id
+          |ORDER BY query_id""".stripMargin,
+
+      "d114_ivfpq_recall" ->
+        """WITH e AS (
+          |  SELECT vec_id,
+          |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+          |  FROM embeddings
+          |), coarse AS (
+          |  SELECT vec_id AS cent_id, q AS cq FROM e WHERE vec_id < 16
+          |), pqcb AS (
+          |  SELECT j AS cent_id,
+          |    list_transform(range(1, 65), i -> (j * 40503 + i * 2654435761) % 401 - 200) AS cq
+          |  FROM (SELECT unnest(range(0, 8)) AS j)
+          |), assigned AS (
+          |  SELECT vec_id, cent_id AS list_id, r FROM (
+          |    SELECT v.vec_id, c.cent_id,
+          |      list_transform(range(1, 65), i -> v.q[i] - c.cq[i]) AS r,
+          |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+          |        list_sum(list_transform(range(1, 65), i -> (v.q[i] - c.cq[i]) * (v.q[i] - c.cq[i]))),
+          |        c.cent_id) AS rn
+          |    FROM e v CROSS JOIN coarse c
+          |  ) WHERE rn = 1
+          |), bd AS (
+          |  SELECT a.vec_id, a.list_id, blk.b AS block, p.cent_id,
+          |    CAST(list_sum(list_transform(range(1, 17),
+          |      i -> (a.r[blk.b * 16 + i] - p.cq[blk.b * 16 + i])
+          |         * (a.r[blk.b * 16 + i] - p.cq[blk.b * 16 + i]))) AS BIGINT) AS dist
+          |  FROM assigned a CROSS JOIN pqcb p
+          |  CROSS JOIN (SELECT unnest(range(0, 4)) AS b) blk
+          |), codes AS (
+          |  SELECT vec_id, list_id, block, cent_id AS code FROM (
+          |    SELECT *, row_number() OVER (
+          |      PARTITION BY vec_id, block ORDER BY dist, cent_id) AS rn
+          |    FROM bd) WHERE rn = 1
+          |), probes AS (
+          |  SELECT query_id, cent_id AS list_id, qr FROM (
+          |    SELECT v.vec_id AS query_id, c.cent_id,
+          |      list_transform(range(1, 65), i -> v.q[i] - c.cq[i]) AS qr,
+          |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+          |        list_sum(list_transform(range(1, 65), i -> (v.q[i] - c.cq[i]) * (v.q[i] - c.cq[i]))),
+          |        c.cent_id) AS rn
+          |    FROM e v CROSS JOIN coarse c
+          |    WHERE v.vec_id >= 100 AND v.vec_id < 110
+          |  ) WHERE rn <= 4
+          |), lut AS (
+          |  SELECT pr.query_id, pr.list_id, p.cent_id AS code, blk.b AS block,
+          |    CAST(list_sum(list_transform(range(1, 17),
+          |      i -> (pr.qr[blk.b * 16 + i] - p.cq[blk.b * 16 + i])
+          |         * (pr.qr[blk.b * 16 + i] - p.cq[blk.b * 16 + i]))) AS BIGINT) AS dist
+          |  FROM probes pr CROSS JOIN pqcb p
+          |  CROSS JOIN (SELECT unnest(range(0, 4)) AS b) blk
+          |), adc AS (
+          |  SELECT l.query_id, cd.vec_id, CAST(sum(l.dist) AS BIGINT) AS adc_dist
+          |  FROM codes cd JOIN lut l
+          |    ON l.list_id = cd.list_id AND l.block = cd.block AND l.code = cd.code
+          |  WHERE cd.vec_id <> l.query_id
           |  GROUP BY 1, 2
           |), adctop AS (
           |  SELECT query_id, vec_id FROM (

@@ -915,6 +915,16 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!finalTree.contains("CartesianProduct"), s"no cartesian in:\n$finalTree")
   }
 
+  test("d114 ivf-pq: LUT broadcast-hash-joins the code stream, no cartesian") {
+    val df = PipelineQueries.queries("d114_ivfpq_recall")(spark, sfDir)
+    df.collect()
+    val finalTree = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      .split("== Initial Plan ==").head
+    assert(finalTree.contains("BroadcastHashJoin"),
+      s"the per-list ADC LUT must broadcast-hash-join on (list, block, code):\n$finalTree")
+    assert(!finalTree.contains("CartesianProduct"), s"no cartesian in:\n$finalTree")
+  }
+
   test("d109 templated responses: three slim exchanges, freq rides the 16-byte hash") {
     val df = graft.ops.Chat.templatedShare(
       PipelineQueries.chatRichTurnsPlan(spark, sfDir))

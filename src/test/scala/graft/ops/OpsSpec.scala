@@ -331,6 +331,30 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(1).getAs[Long]("adc_dist") == 400L)
   }
 
+  test("ivfPqTopK scores only probed lists, ADC over residual codes") {
+    import org.apache.spark.sql.{Row, types => T}
+    def vecs(rows: (Long, Seq[Long])*) = spark.createDataFrame(
+      rows.map { case (i, q) => Row(i, q) }.asJava,
+      T.StructType(Seq(T.StructField("vec_id", T.LongType),
+        T.StructField("q", T.ArrayType(T.LongType)))))
+    val coarse = vecs(0L -> Seq(0L, 0L, 0L, 0L), 1L -> Seq(100L, 100L, 100L, 100L))
+      .select(col("vec_id").as("cent_id"), col("q").as("cq"))
+    val pqCb = vecs(0L -> Seq(0L, 0L, 0L, 0L), 1L -> Seq(2L, 2L, 2L, 2L))
+      .select(col("vec_id").as("cent_id"), col("q").as("cq"))
+    val corpus = vecs(
+      10L -> Seq(1L, 1L, 0L, 0L),       // list 0, resid (1,1,0,0)
+      11L -> Seq(99L, 99L, 100L, 100L), // list 1 — outside the probe
+      12L -> Seq(0L, 0L, 2L, 2L))       // list 0, resid codes (0,1)
+    val q = vecs(10L -> Seq(1L, 1L, 0L, 0L))
+    val out = Embeddings.ivfPqTopK(corpus, q, coarse, pqCb,
+      m = 2, nProbe = 1, k = 5).collect()
+    // nProbe=1 probes list 0 only: vec 11 must NOT score at all;
+    // vec 12's ADC = LUT(block0, code0)=2 + LUT(block1, code1)=8
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("neighbor_id") == 12L)
+    assert(out.head.getAs[Long]("adc_dist") == 10L)
+  }
+
   test("scriptProfile counts per-script code points and picks the dominant") {
     val df = docs(
       1L -> "hello world", 2L -> "привет мир z", 3L -> "γειά κόσμος",
