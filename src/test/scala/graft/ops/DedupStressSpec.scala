@@ -308,4 +308,12 @@ class DedupStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(nBig > 0)
     assert(tBig / tSmall < 4.0, f"super-linear at the 1M ceiling: $tSmall%.1f s → $tBig%.1f s")
   }
+
+  test("1M-doc ceiling: span-cut rewrite growth stays under 4x", Stress) {
+    val (tSmall, tBig, nBig) = ceilingRatio("spanCut@1M", 250000L, 1000000L) { d =>
+      TextDedup.spanCutRewrite(d)
+    }
+    assert(nBig > 0)
+    assert(tBig / tSmall < 4.0, f"super-linear at the 1M ceiling: $tSmall%.1f s → $tBig%.1f s")
+  }
 }
