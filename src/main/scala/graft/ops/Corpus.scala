@@ -360,6 +360,131 @@ object Corpus {
         round(col("n_types").cast(DoubleType) / col("n_toks"), 6).as("ttr"))
       .withColumn("is_low_entropy", col("entropy_bits") < lowEntropyBits)
 
+  /** Area-under-the-ROC-curve of a score column against a binary label,
+    * computed by the Mann-Whitney rank-sum identity with average-rank
+    * tie handling — the standard acceptance check for a quality
+    * classifier before its threshold gates a corpus.
+    *
+    * Scale shape: scores are quantized (round to `quantize` decimals)
+    * and aggregated to per-distinct-score (n_pos, n_neg) counts FIRST —
+    * one slim shuffle that scales with the scan — so the rank window
+    * runs over the distinct-score table (bounded by the score grid,
+    * thousands of rows at any corpus size), never a corpus-wide sort.
+    * AUC = Σ_s n_pos(s)·(cum_neg_below(s) + n_neg(s)/2) / (P·N); every
+    * addend is an exact multiple of 0.5 so the float sum is
+    * order-independent (engine-reproducible).
+    */
+  def rankAuc(scored: DataFrame, scoreCol: String, labelCol: String,
+      quantize: Int = 6): DataFrame = {
+    val byScore = scored
+      .select(round(col(scoreCol), quantize).as("s"),
+        col(labelCol).cast(IntegerType).as("y"))
+      .groupBy("s")
+      .agg(sum(col("y")).cast(DoubleType).as("np"),
+        sum(lit(1) - col("y")).cast(DoubleType).as("nn"))
+    val wBelow = Window.orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    byScore
+      .withColumn("cum_nn", coalesce(sum(col("nn")).over(wBelow), lit(0.0)))
+      .agg(sum(col("np")).cast(LongType).as("n_pos"),
+        sum(col("nn")).cast(LongType).as("n_neg"),
+        round(sum(col("np") * (col("cum_nn") + col("nn") / 2)) /
+          (sum(col("np")) * sum(col("nn"))), 6).as("auc"))
+  }
+
+  /** Bradley-Terry strength estimation from pairwise win/loss records
+    * (the model behind arena-style LLM leaderboards and reward-model
+    * data QA): given (winner, loser) match rows, run `iters` rounds of
+    * the minorization-maximization update
+    * π_i ← W_i / Σ_j n_ij/(π_i+π_j), renormalized to mean 1 each round
+    * so the scale is pinned. Deterministic: uniform init, fixed
+    * iteration count, exact-integer win/game counts.
+    *
+    * Scale shape: the heavy part is upstream (whoever builds the match
+    * rows scans the corpus); here matches collapse to one slim
+    * (i, j, wins, games) edge aggregation — competitor-vocabulary-
+    * sized — and each MM round is a broadcast join + re-aggregation
+    * over that edge table. No corpus-sized state ever recirculates.
+    */
+  def bradleyTerry(matches: DataFrame, winnerCol: String = "winner",
+      loserCol: String = "loser", iters: Int = 2): DataFrame = {
+    val dir = matches
+      .select(col(winnerCol).as("i"), col(loserCol).as("j"), lit(1.0).as("wi"))
+      .unionByName(matches
+        .select(col(loserCol).as("i"), col(winnerCol).as("j"), lit(0.0).as("wi")))
+    val edges = dir.groupBy("i", "j")
+      .agg(sum(col("wi")).as("wij"), count(lit(1)).cast(DoubleType).as("nij"))
+    var pis = edges.select(col("i").as("item")).distinct()
+      .withColumn("pi", lit(1.0))
+    for (_ <- 1 to iters) {
+      val piI = pis.select(col("item").as("i"), col("pi").as("pi_i"))
+      val piJ = pis.select(col("item").as("j"), col("pi").as("pi_j"))
+      val raw = edges
+        .join(broadcast(piI), "i").join(broadcast(piJ), "j")
+        .groupBy(col("i").as("item"))
+        .agg((sum(col("wij")) /
+          sum(col("nij") / (col("pi_i") + col("pi_j")))).as("pi_raw"))
+      val tot = raw.agg(sum(col("pi_raw")).as("t"),
+        count(lit(1)).cast(DoubleType).as("k"))
+      pis = raw.crossJoin(broadcast(tot))
+        .select(col("item"), (col("pi_raw") * col("k") / col("t")).as("pi"))
+    }
+    val totals = edges.groupBy(col("i").as("item"))
+      .agg(sum(col("wij")).cast(LongType).as("wins"),
+        sum(col("nij")).cast(LongType).as("games"))
+    totals.join(pis, "item")
+      .select(col("item"), col("wins"), col("games"),
+        round(col("pi"), 6).as("strength"))
+  }
+
+  /** Encoding-artifact (mojibake) detection: counts the signature
+    * sequences of UTF-8 text decoded as Latin-1 and re-encoded ("Ã©",
+    * "â€™", "Â·", …) plus the U+FFFD replacement char that lossy
+    * transcoding leaves behind — corpus text with these is damaged at
+    * the byte level and no downstream filter can repair it, so it's
+    * flagged before tokenization. Per-row codegen regex counting;
+    * scales with the scan, no shuffle.
+    */
+  def encodingArtifacts(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", minArtifacts: Int = 2): DataFrame = {
+    val doublePat = "Ã©|Ã¨|Ã¼|Ã±|Ã¯|â€™|â€œ|Â·"
+    df.select(col(idCol),
+        regexp_count(col(textCol), lit(doublePat))
+          .cast(LongType).as("n_double_enc"),
+        regexp_count(col(textCol), lit("�"))
+          .cast(LongType).as("n_replacement"))
+      .withColumn("n_artifacts", col("n_double_enc") + col("n_replacement"))
+      .withColumn("is_mojibake", col("n_artifacts") >= minArtifacts)
+  }
+
+  /** Curriculum-learning schedule: rank docs within each group by a
+    * difficulty signal (easiest first, id tie-break) and assign the
+    * first epoch that sees each doc under root pacing — epoch e of E
+    * trains on the easiest ⌈n·√(e/E)⌉ docs of the group, so early
+    * epochs see easy data and the tail unlocks gradually. first_epoch
+    * is the inverse of the pacing function, evaluated by filtering the
+    * (tiny) epoch sequence per row.
+    *
+    * Per-GROUP windows (domain-sized partitions), never a corpus-wide
+    * sort — the per-domain curriculum is also what a 1000-executor run
+    * wants, since a global rank would serialize on one partition.
+    */
+  def curriculumSchedule(df: DataFrame, difficulty: Column,
+      groupCol: String = "source", idCol: String = "doc_id",
+      epochs: Int = 4): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(difficulty.asc, col(idCol).asc)
+    df.withColumn("difficulty", difficulty.cast(LongType))
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .withColumn("n_grp",
+        count(lit(1)).over(Window.partitionBy(col(groupCol))))
+      .withColumn("first_epoch", array_min(filter(
+        sequence(lit(1), lit(epochs)),
+        e => col("rnk") <=
+          ceil(col("n_grp") * sqrt(e.cast(DoubleType) / epochs))))
+        .cast(LongType))
+  }
+
   /** Unicode-script profile: per-doc code-point counts for the major
     * scripts (Latin, Cyrillic, Greek, Han, Arabic) plus a dominant-
     * script label — the script-detection stage multilingual corpus

@@ -46,6 +46,48 @@ object TextDedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
   }
 
+  /** Line-level boilerplate removal within a group (site/domain): a
+    * line is boilerplate when it appears in at least `minDf` DISTINCT
+    * docs of the same group — cookie banners, nav bars, footers — and
+    * is cut from every doc while the doc's unique prose survives. This
+    * is the line-dedup stage web-scale corpora run between exact-doc
+    * dedup and quality filtering (doc-level dedup can't touch a footer
+    * glued to unique text).
+    *
+    * Scale shape: the df-count shuffles only slim (group, line-hash,
+    * doc-id) rows; the boilerplate SET is tiny by construction (lines
+    * repeated across ≥ minDf docs) so it collapses to one sorted
+    * hash-array per group and broadcasts — each doc then filters its
+    * own lines locally with zero reassembly shuffle. Nothing
+    * corpus-sized recirculates; text crosses no exchange.
+    */
+  def boilerplateLines(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", groupCol: String = "source",
+      minDf: Int = 5): DataFrame = {
+    val slim = docs.select(col(groupCol).as("grp"),
+        explode(split(col(textCol), "\n")).as("line"), col(idCol).as("did"))
+      .select(col("grp"), md5(col("line")).as("lh"), col("did"))
+    val bpSets = slim.groupBy("grp", "lh")
+      .agg(countDistinct(col("did")).as("df"))
+      .where(col("df") >= minDf)
+      .groupBy("grp")
+      .agg(sort_array(collect_list(col("lh"))).as("bph"))
+    docs
+      .join(broadcast(bpSets), docs(groupCol) === bpSets("grp"), "left")
+      .withColumn("lines", split(col(textCol), "\n"))
+      .withColumn("bph0",
+        coalesce(col("bph"), expr("cast(array() as array<string>)")))
+      .withColumn("kept",
+        filter(col("lines"), l => !array_contains(col("bph0"), md5(l))))
+      .withColumn("kept_text", array_join(col("kept"), "\n"))
+      .select(col(idCol), col(groupCol),
+        size(col("lines")).cast(LongType).as("n_lines"),
+        size(col("kept")).cast(LongType).as("n_kept"),
+        (size(col("lines")) - size(col("kept"))).cast(LongType).as("n_dropped"),
+        length(col("kept_text")).cast(LongType).as("kept_chars"),
+        md5(col("kept_text")).as("kept_md5"))
+  }
+
   /** MinHash-LSH near-duplicate candidate pairs with exact-Jaccard
     * verification: 32 affine-permutation minhashes over word-3-gram
     * shingles, banded 8×4; pairs sharing any band bucket are verified

@@ -3003,6 +3003,123 @@ object PipelineQueries {
           coalesce(col("n_hits"), lit(0L)).as("n_hits"),
           (coalesce(col("n_hits"), lit(0L)).cast(DoubleType) / 10.0).as("recall_at_10"))
         .orderBy(col("query_id"))
+    },
+
+    // --- line-level boilerplate removal within a source -----------------
+    "d115_boilerplate_lines" -> { (s, d) =>
+      // Doc-level dedup can't touch a cookie banner glued to unique
+      // prose; the CCNet/RefinedWeb move is line-granular: a line
+      // repeated across ≥ 5 distinct docs of the same source is
+      // boilerplate and gets cut everywhere. Plants give every doc a
+      // unique ref line (never cut) plus three boilerplate classes —
+      // global cookie line (%3), per-source footer (%4), legal line
+      // (%5) — so sources cross the df threshold differently. Slim
+      // (source, line-hash, doc) df-count shuffle; boilerplate sets
+      // broadcast; docs filter their own lines locally (no reassembly
+      // shuffle — see TextDedup.boilerplateLines).
+      val docs = t(s, d, "documents")
+      val corpus = docs.select(col("doc_id"), col("source"),
+        concat(
+          col("text"),
+          when(col("doc_id") % 3 === 0,
+            lit("\naccept all cookies to continue")).otherwise(lit("")),
+          when(col("doc_id") % 4 === 1,
+            concat(lit("\nsubscribe to the "), col("source"),
+              lit(" newsletter"))).otherwise(lit("")),
+          when(col("doc_id") % 5 === 2,
+            lit("\nall rights reserved")).otherwise(lit("")),
+          concat(lit("\nref "), col("doc_id").cast(StringType))).as("text"))
+      graft.ops.TextDedup.boilerplateLines(corpus, minDf = 5)
+        .orderBy(col("doc_id"))
+    },
+
+    // --- quality-classifier AUC (Mann-Whitney rank-sum) -----------------
+    "d116_quality_auc" -> { (s, d) =>
+      // Before a quality score gates a corpus, measure whether it
+      // actually separates clean from junk: AUC against a labeled
+      // plant set (spam-repetition docs, varying length so scores
+      // spread). Computed scale-shaped: quantize → per-score counts
+      // (one slim shuffle) → rank window over the distinct-score
+      // table only. Exact-half addends keep the float sum
+      // order-independent; see Corpus.rankAuc.
+      val docs = t(s, d, "documents")
+      val corpus = docs.select(col("doc_id"), col("text"), lit(1).as("y"))
+        .unionByName(docs.where(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 7000000L).as("doc_id"),
+            expr("repeat('spam ', cast(20 + doc_id % 13 as int))").as("text"),
+            lit(0).as("y")))
+      val scored = graft.ops.Corpus.qualityScore(corpus, keep = Seq("y"))
+      graft.ops.Corpus.rankAuc(scored, "quality", "y")
+    },
+
+    // --- Bradley-Terry strengths from pairwise preferences --------------
+    "d117_bradley_terry" -> { (s, d) =>
+      // Arena-style leaderboard math over preference data: per source,
+      // each language's champion doc (top quality) plays every other
+      // language's champion; cross-source win/loss records feed two
+      // minorization-maximization rounds of the Bradley-Terry model.
+      // The corpus-scale part is champion selection (per-(source,lang)
+      // window, one exchange); the MM solve runs on the 5-competitor
+      // edge table (broadcast joins). See Corpus.bradleyTerry.
+      val docs = t(s, d, "documents")
+      val scored = graft.ops.Corpus
+        .qualityScore(docs, keep = Seq("source", "lang"))
+        .select(col("doc_id"), col("source"), col("lang"), col("quality"))
+      val w = Window.partitionBy(col("source"), col("lang"))
+        .orderBy(col("quality").desc, col("doc_id").asc)
+      val champs = scored.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("source"), col("lang"), col("quality"))
+      val a = champs.select(col("source"), col("lang").as("la"),
+        col("quality").as("qa"))
+      val b = champs.select(col("source"), col("lang").as("lb"),
+        col("quality").as("qb"))
+      val matches = a.join(b, "source").where(col("la") < col("lb"))
+        .select(
+          when(col("qa") >= col("qb"), col("la")).otherwise(col("lb")).as("winner"),
+          when(col("qa") >= col("qb"), col("lb")).otherwise(col("la")).as("loser"))
+      graft.ops.Corpus.bradleyTerry(matches, iters = 2)
+        .select(col("item").as("lang"), col("wins"), col("games"),
+          col("strength"))
+        .orderBy(col("lang"))
+    },
+
+    // --- encoding-artifact (mojibake) detection -------------------------
+    "d118_encoding_artifacts" -> { (s, d) =>
+      // Byte-level damage — UTF-8 decoded as Latin-1 ("Ã©", "â€™") or
+      // lossy transcoding (U+FFFD) — is unrepairable downstream, so
+      // it's flagged before tokenization. Plants put the two damage
+      // classes on disjoint residue classes so both flags provably
+      // fire at every SF. Per-row codegen regex; scales with the scan.
+      val docs = t(s, d, "documents")
+      val corpus = docs
+        .unionByName(docs.where(col("doc_id") % 11 === 0)
+          .withColumn("doc_id", col("doc_id") + 7500000L)
+          .withColumn("text", concat(col("text"),
+            lit(" cafÃ© dÃ©jÃ  vu â€™quoteâ€œ naÃ¯ve Â· end"))))
+        .unionByName(docs.where(col("doc_id") % 13 === 1)
+          .withColumn("doc_id", col("doc_id") + 7600000L)
+          .withColumn("text", concat(col("text"),
+            lit(" bad�bytes�here"))))
+      graft.ops.Corpus.encodingArtifacts(corpus)
+        .where(col("n_artifacts") > 0)
+        .orderBy(col("doc_id"))
+    },
+
+    // --- curriculum-learning pacing schedule ----------------------------
+    "d119_curriculum_pacing" -> { (s, d) =>
+      // Root-paced curriculum per domain: rank docs easiest-first
+      // (token count as the difficulty signal) and compute the first
+      // epoch of 4 that unlocks each doc under ⌈n·√(e/E)⌉ pacing.
+      // Per-SOURCE windows — domain-sized partitions, no corpus-wide
+      // sort (the global-rank variant would serialize one partition
+      // at 100 TB). See Corpus.curriculumSchedule.
+      val docs = t(s, d, "documents")
+      graft.ops.Corpus.curriculumSchedule(docs,
+          difficulty = size(graft.ops.Corpus.tokens()), epochs = 4)
+        .select(col("doc_id"), col("source"), col("difficulty"),
+          col("rnk"), col("first_epoch"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -3825,6 +3942,157 @@ object PipelineQueries {
           |FROM (SELECT vec_id FROM e WHERE vec_id >= 100 AND vec_id < 110) q
           |LEFT JOIN hits h ON h.query_id = q.vec_id
           |ORDER BY query_id""".stripMargin,
+
+      "d115_boilerplate_lines" ->
+        """WITH corpus AS (
+          |  SELECT doc_id, source, text
+          |    || CASE WHEN doc_id % 3 = 0
+          |         THEN chr(10) || 'accept all cookies to continue' ELSE '' END
+          |    || CASE WHEN doc_id % 4 = 1
+          |         THEN chr(10) || 'subscribe to the ' || source || ' newsletter' ELSE '' END
+          |    || CASE WHEN doc_id % 5 = 2
+          |         THEN chr(10) || 'all rights reserved' ELSE '' END
+          |    || chr(10) || 'ref ' || CAST(doc_id AS VARCHAR) AS text
+          |  FROM documents
+          |), l AS (
+          |  SELECT doc_id, source, unnest(string_split(text, chr(10))) AS line
+          |  FROM corpus
+          |), bp AS (
+          |  SELECT source, md5(line) AS lh FROM l
+          |  GROUP BY source, md5(line) HAVING count(DISTINCT doc_id) >= 5
+          |), bps AS (
+          |  SELECT source, list_sort(list(lh)) AS bph FROM bp GROUP BY source
+          |), k AS (
+          |  SELECT c.doc_id, c.source,
+          |    string_split(c.text, chr(10)) AS lines,
+          |    list_filter(string_split(c.text, chr(10)),
+          |      x -> NOT list_contains(coalesce(b.bph, CAST([] AS VARCHAR[])), md5(x))) AS kept
+          |  FROM corpus c LEFT JOIN bps b ON c.source = b.source
+          |)
+          |SELECT doc_id, source,
+          |  CAST(len(lines) AS BIGINT) AS n_lines,
+          |  CAST(len(kept) AS BIGINT) AS n_kept,
+          |  CAST(len(lines) - len(kept) AS BIGINT) AS n_dropped,
+          |  CAST(length(array_to_string(kept, chr(10))) AS BIGINT) AS kept_chars,
+          |  md5(array_to_string(kept, chr(10))) AS kept_md5
+          |FROM k ORDER BY doc_id""".stripMargin,
+
+      "d116_quality_auc" ->
+        """WITH corpus AS (
+          |  SELECT doc_id, text, 1 AS y FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 7000000, repeat('spam ', CAST(20 + doc_id % 13 AS INT)), 0
+          |  FROM documents WHERE doc_id % 7 = 0
+          |), base AS (
+          |  SELECT y, text,
+          |    regexp_split_to_array(lower(trim(text)), '\s+') AS toks,
+          |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS alpha_chars
+          |  FROM corpus
+          |), q AS (
+          |  SELECT y,
+          |    0.4 * least(1.0, CAST(len(toks) AS DOUBLE) / 100.0)
+          |      + 0.3 * (CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+          |               / CAST(len(toks) AS DOUBLE))
+          |      + 0.3 * (CAST(alpha_chars AS DOUBLE) / CAST(length(text) AS DOUBLE)) AS quality
+          |  FROM base
+          |), g AS (
+          |  SELECT round(quality, 6) AS sc,
+          |    CAST(sum(y) AS DOUBLE) AS np, CAST(sum(1 - y) AS DOUBLE) AS nn
+          |  FROM q GROUP BY 1
+          |), c AS (
+          |  SELECT sc, np, nn,
+          |    coalesce(sum(nn) OVER (ORDER BY sc
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_nn
+          |  FROM g
+          |)
+          |SELECT CAST(sum(np) AS BIGINT) AS n_pos, CAST(sum(nn) AS BIGINT) AS n_neg,
+          |  round(sum(np * (cum_nn + nn / 2)) / (sum(np) * sum(nn)), 6) AS auc
+          |FROM c""".stripMargin,
+
+      "d117_bradley_terry" ->
+        """WITH base AS (
+          |  SELECT doc_id, source, lang, text,
+          |    regexp_split_to_array(lower(trim(text)), '\s+') AS toks,
+          |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS alpha_chars
+          |  FROM documents
+          |), q AS (
+          |  SELECT doc_id, source, lang,
+          |    0.4 * least(1.0, CAST(len(toks) AS DOUBLE) / 100.0)
+          |      + 0.3 * (CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+          |               / CAST(len(toks) AS DOUBLE))
+          |      + 0.3 * (CAST(alpha_chars AS DOUBLE) / CAST(length(text) AS DOUBLE)) AS quality
+          |  FROM base
+          |), ch AS (
+          |  SELECT source, lang, quality FROM (
+          |    SELECT source, lang, quality, row_number() OVER (
+          |      PARTITION BY source, lang ORDER BY quality DESC, doc_id ASC) AS rn
+          |    FROM q) WHERE rn = 1
+          |), m AS (
+          |  SELECT CASE WHEN a.quality >= b.quality THEN a.lang ELSE b.lang END AS winner,
+          |         CASE WHEN a.quality >= b.quality THEN b.lang ELSE a.lang END AS loser
+          |  FROM ch a JOIN ch b ON a.source = b.source AND a.lang < b.lang
+          |), dir AS (
+          |  SELECT winner AS i, loser AS j, 1.0 AS wi FROM m
+          |  UNION ALL SELECT loser, winner, 0.0 FROM m
+          |), edges AS (
+          |  SELECT i, j, sum(wi) AS wij, CAST(count(*) AS DOUBLE) AS nij
+          |  FROM dir GROUP BY i, j
+          |), r1 AS (
+          |  SELECT i AS item, sum(wij) / sum(nij / 2.0) AS pi_raw FROM edges GROUP BY i
+          |), t1 AS (SELECT sum(pi_raw) AS t, CAST(count(*) AS DOUBLE) AS k FROM r1),
+          |p1 AS (SELECT item, pi_raw * k / t AS pi FROM r1, t1),
+          |r2 AS (
+          |  SELECT e.i AS item, sum(e.wij) / sum(e.nij / (a.pi + b.pi)) AS pi_raw
+          |  FROM edges e JOIN p1 a ON e.i = a.item JOIN p1 b ON e.j = b.item
+          |  GROUP BY e.i
+          |), t2 AS (SELECT sum(pi_raw) AS t, CAST(count(*) AS DOUBLE) AS k FROM r2),
+          |p2 AS (SELECT item, pi_raw * k / t AS pi FROM r2, t2),
+          |tot AS (
+          |  SELECT i AS item, CAST(sum(wij) AS BIGINT) AS wins,
+          |    CAST(sum(nij) AS BIGINT) AS games
+          |  FROM edges GROUP BY i
+          |)
+          |SELECT tot.item AS lang, tot.wins, tot.games, round(p2.pi, 6) AS strength
+          |FROM tot JOIN p2 ON tot.item = p2.item
+          |ORDER BY lang""".stripMargin,
+
+      "d118_encoding_artifacts" ->
+        """WITH corpus AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 7500000, text || ' cafÃ© dÃ©jÃ  vu â€™quoteâ€œ naÃ¯ve Â· end'
+          |  FROM documents WHERE doc_id % 11 = 0
+          |  UNION ALL
+          |  SELECT doc_id + 7600000, text || ' bad�bytes�here'
+          |  FROM documents WHERE doc_id % 13 = 1
+          |), c AS (
+          |  SELECT doc_id,
+          |    CAST(len(regexp_extract_all(text, 'Ã©|Ã¨|Ã¼|Ã±|Ã¯|â€™|â€œ|Â·')) AS BIGINT) AS n_double_enc,
+          |    CAST(len(regexp_extract_all(text, '�')) AS BIGINT) AS n_replacement
+          |  FROM corpus
+          |)
+          |SELECT doc_id, n_double_enc, n_replacement,
+          |  n_double_enc + n_replacement AS n_artifacts,
+          |  n_double_enc + n_replacement >= 2 AS is_mojibake
+          |FROM c WHERE n_double_enc + n_replacement > 0
+          |ORDER BY doc_id""".stripMargin,
+
+      "d119_curriculum_pacing" ->
+        """WITH r AS (
+          |  SELECT doc_id, source,
+          |    CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS difficulty
+          |  FROM documents
+          |), w AS (
+          |  SELECT doc_id, source, difficulty,
+          |    CAST(row_number() OVER (
+          |      PARTITION BY source ORDER BY difficulty, doc_id) AS BIGINT) AS rnk,
+          |    count(*) OVER (PARTITION BY source) AS n
+          |  FROM r
+          |)
+          |SELECT doc_id, source, difficulty, rnk,
+          |  CAST(list_min(list_filter(range(1, 5),
+          |    e -> rnk <= ceil(n * sqrt(e / 4.0)))) AS BIGINT) AS first_epoch
+          |FROM w ORDER BY doc_id""".stripMargin,
 
       "d102_lsh_index_probe" ->
         s"""WITH hist AS (
