@@ -840,7 +840,8 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     for ((name, df) <- Seq(
         "cardCandidates" -> graft.ops.Corpus.cardCandidates(docs),
         "scriptProfile" -> graft.ops.Corpus.scriptProfile(docs),
-        "tokenEntropy" -> graft.ops.Corpus.tokenEntropy(docs))) {
+        "tokenEntropy" -> graft.ops.Corpus.tokenEntropy(docs),
+        "encodingArtifacts" -> graft.ops.Corpus.encodingArtifacts(docs))) {
       df.collect()
       val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
         .split("== Initial Plan ==").head
@@ -939,5 +940,75 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"chain and rollup must cluster on user_id:\n$full")
     assert(full.contains("hashpartitioning(h#"),
       s"frequency window must shuffle the md5 hash, not turn text:\n$full")
+  }
+
+  /** Input column lists of every plain (non-broadcast) Exchange detail
+    * block in a formatted explain — what actually crosses the wire.
+    */
+  private def shuffledInputs(p: String): Seq[String] =
+    p.split("\n\n").toSeq
+      .filter(_.linesIterator.nextOption().exists(_.matches(raw"\(\d+\) Exchange\b.*")))
+      .flatMap(_.linesIterator.find(_.startsWith("Input")))
+
+  test("d115 boilerplate lines: doc text never shuffles — hashes count, sets broadcast") {
+    val df = PipelineQueries.queries("d115_boilerplate_lines")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      .split("== Initial Plan ==").head
+    // the boilerplate SET joins back as a broadcast; docs filter their
+    // own lines locally — reassembly must not shuffle text
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-source boilerplate sets must broadcast-join:\n$p")
+    val leaked = shuffledInputs(p).filter(_.contains("text#"))
+    assert(leaked.isEmpty,
+      s"doc text crossed a plain exchange: $leaked\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian in:\n$p")
+  }
+
+  test("d116 rank AUC: corpus aggregates before any exchange; window sees the score grid") {
+    val df = PipelineQueries.queries("d116_quality_auc")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      .split("== Initial Plan ==").head
+    // partial (score → counts) aggregation must run map-side so the
+    // corpus collapses before the shuffle; the single-partition rank
+    // window then runs on the distinct-score table only
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      s"expected partial+final per-score aggregation:\n$p")
+    val shuffles = raw"(?<!Broadcast)Exchange \(\d+\)".r.findAllIn(p).size
+    assert(shuffles <= 3,
+      s"score groupBy + grid window + final agg only, got $shuffles:\n$p")
+    val leaked = shuffledInputs(p).filter(_.contains("text#"))
+    assert(leaked.isEmpty, s"doc text crossed an exchange: $leaked\n$p")
+  }
+
+  test("d117 bradley-terry: champion top-1 rides WindowGroupLimit; MM solve broadcasts") {
+    val df = PipelineQueries.queries("d117_bradley_terry")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      .split("== Initial Plan ==").head
+    // champion selection (rn = 1) must prune to ≤ 1 row per group per
+    // input partition BEFORE its exchange — the corpus-scale stage
+    assert(p.linesIterator.count(_.contains("WindowGroupLimit")) >= 2,
+      s"expected partial+final WindowGroupLimit for champion top-1:\n$p")
+    // both MM rounds join strengths to the edge table as broadcasts
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 4,
+      s"each MM round must broadcast π into the edge table twice:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian in:\n$p")
+  }
+
+  test("d119 curriculum: both windows share one per-domain exchange, no global sort") {
+    import org.apache.spark.sql.functions._
+    val df = graft.ops.Corpus.curriculumSchedule(
+      Tables.t(spark, sfDir, "documents"),
+      difficulty = size(graft.ops.Corpus.tokens()), epochs = 4)
+    df.collect()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      .split("== Initial Plan ==").head
+    val shuffles = raw"(?<!Broadcast)Exchange \(\d+\)".r.findAllIn(p).size
+    assert(shuffles == 1,
+      s"rank + group-count windows must share the source exchange, got $shuffles:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"curriculum rank must stay per-domain — a global sort would serialize:\n$p")
   }
 }

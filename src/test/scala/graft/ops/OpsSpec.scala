@@ -355,6 +355,82 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.head.getAs[Long]("adc_dist") == 10L)
   }
 
+  private def sited(rows: (Long, String, String)*) = {
+    import org.apache.spark.sql.{Row, types => T}
+    spark.createDataFrame(
+      rows.map { case (i, site, t) => Row(i, site, t) }.asJava,
+      T.StructType(Seq(
+        T.StructField("id", T.LongType), T.StructField("site", T.StringType),
+        T.StructField("body", T.StringType))))
+  }
+
+  test("boilerplateLines cuts a line repeated across minDf docs of a site only") {
+    val df = sited(
+      ((1L to 5L).map(i => (i, "a", s"unique prose $i\nshared footer")) :+
+        ((6L, "b", "unique prose 6\nshared footer"))): _*)
+    val out = TextDedup.boilerplateLines(df, idCol = "id", textCol = "body",
+        groupCol = "site", minDf = 5).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // site a: the footer appears in 5 distinct docs → cut everywhere
+    assert(out(1L) == ((2L, 1L, 1L)))
+    // site b: same footer but only 1 doc there → kept (df is per-site)
+    assert(out(6L) == ((2L, 2L, 0L)))
+  }
+
+  test("rankAuc matches the closed-form pairwise AUC with average-rank ties") {
+    import org.apache.spark.sql.{Row, types => T}
+    val df = spark.createDataFrame(
+      Seq(Row(0.9, 1), Row(0.5, 1), Row(0.5, 0), Row(0.1, 0)).asJava,
+      T.StructType(Seq(T.StructField("s", T.DoubleType),
+        T.StructField("y", T.IntegerType))))
+    val r = Corpus.rankAuc(df, "s", "y").collect().head
+    // pairs: (.9>.5)=1, (.9>.1)=1, (.5=.5)=½, (.5>.1)=1 → 3.5/4
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 0.875)
+  }
+
+  test("bradleyTerry: exact win/game counts, dominance-ordered strengths, mean 1") {
+    val sess = spark
+    import sess.implicits._
+    val m = Seq(("a", "b"), ("a", "b"), ("b", "c"), ("a", "c"))
+      .toDF("winner", "loser")
+    val out = Corpus.bradleyTerry(m, iters = 2).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out("a")._1 == 3L && out("a")._2 == 3L)
+    assert(out("b")._1 == 1L && out("b")._2 == 3L)
+    assert(out("c")._1 == 0L && out("c")._2 == 2L)
+    assert(out("a")._3 > out("b")._3 && out("b")._3 > out("c")._3)
+    assert(out("c")._3 == 0.0) // zero wins pins π at the MM fixpoint floor
+    assert(math.abs(out.values.map(_._3).sum - 3.0) < 1e-5)
+  }
+
+  test("encodingArtifacts counts double-encoding signatures and U+FFFD") {
+    val df = docs(
+      1L -> "cafÃ© twice cafÃ© and �",
+      2L -> "clean ascii text")
+    val out = Corpus.encodingArtifacts(df, idCol = "id", textCol = "body")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(4))))
+      .toMap
+    assert(out(1L) == ((2L, 1L, true)))
+    assert(out(2L) == ((0L, 0L, false)))
+  }
+
+  test("curriculumSchedule: root pacing unlocks the easy half in epoch 1") {
+    val df = sited((1L, "g", "one"), (2L, "g", "one two"),
+      (3L, "g", "one two three"), (4L, "g", "one two three four"))
+    val out = Corpus.curriculumSchedule(df,
+        difficulty = size(split(col("body"), " ")),
+        groupCol = "site", idCol = "id", epochs = 4)
+      .select("id", "rnk", "first_epoch").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // thresholds for n=4: ⌈4√(e/4)⌉ = 2, 3, 4, 4
+    assert(out(1L) == ((1L, 1L)) && out(2L) == ((2L, 1L)))
+    assert(out(3L) == ((3L, 2L)) && out(4L) == ((4L, 3L)))
+  }
+
   test("scriptProfile counts per-script code points and picks the dominant") {
     val df = docs(
       1L -> "hello world", 2L -> "привет мир z", 3L -> "γειά κόσμος",
