@@ -407,13 +407,20 @@ object Corpus {
     * over that edge table. No corpus-sized state ever recirculates.
     */
   def bradleyTerry(matches: DataFrame, winnerCol: String = "winner",
-      loserCol: String = "loser", iters: Int = 2): DataFrame = {
+      loserCol: String = "loser", iters: Int = 2,
+      materialize: Boolean = true): DataFrame = {
     val dir = matches
       .select(col(winnerCol).as("i"), col(loserCol).as("j"), lit(1.0).as("wi"))
       .unionByName(matches
         .select(col(loserCol).as("i"), col(winnerCol).as("j"), lit(0.0).as("wi")))
-    val edges = dir.groupBy("i", "j")
+    val edges0 = dir.groupBy("i", "j")
       .agg(sum(col("wi")).as("wij"), count(lit(1)).cast(DoubleType).as("nij"))
+    // The competitor-sized edge table is referenced by every MM round
+    // plus the totals join; an eager localCheckpoint runs the (corpus-
+    // scale) match lineage exactly once — ContextCleaner reclaims the
+    // blocks once the result is unreferenced. `false` keeps the lazy
+    // plan for audits.
+    val edges = if (materialize) edges0.localCheckpoint(true) else edges0
     var pis = edges.select(col("i").as("item")).distinct()
       .withColumn("pi", lit(1.0))
     for (_ <- 1 to iters) {

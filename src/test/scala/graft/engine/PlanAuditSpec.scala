@@ -983,7 +983,29 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("d117 bradley-terry: champion top-1 rides WindowGroupLimit; MM solve broadcasts") {
-    val df = PipelineQueries.queries("d117_bradley_terry")(spark, sfDir)
+    // materialize=false: the gate's edge-table localCheckpoint hides
+    // the champion stage from the executed plan
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val scored = graft.ops.Corpus
+      .qualityScore(Tables.t(spark, sfDir, "documents"),
+        keep = Seq("source", "lang"))
+      .select(col("doc_id"), col("source"), col("lang"), col("quality"))
+    val w = Window.partitionBy(col("source"), col("lang"))
+      .orderBy(col("quality").desc, col("doc_id").asc)
+    val champs = scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("source"), col("lang"), col("quality"))
+    val a = champs.select(col("source"), col("lang").as("la"),
+      col("quality").as("qa"))
+    val b = champs.select(col("source"), col("lang").as("lb"),
+      col("quality").as("qb"))
+    val matches = a.join(b, "source").where(col("la") < col("lb"))
+      .select(
+        when(col("qa") >= col("qb"), col("la")).otherwise(col("lb")).as("winner"),
+        when(col("qa") >= col("qb"), col("lb")).otherwise(col("la")).as("loser"))
+    val df = graft.ops.Corpus.bradleyTerry(matches, iters = 2,
+      materialize = false)
     df.collect()
     val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
       .split("== Initial Plan ==").head
