@@ -81,6 +81,24 @@ class DedupStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tBig / tSmall < 10.0, f"super-linear blowup: $tSmall%.1f s → $tBig%.1f s")
   }
 
+  test("boilerplate line removal scales with the line scan at 250k docs", Stress) {
+    // 1000 sites × ~250 docs: every site's cookie line crosses the df
+    // threshold (cut everywhere), every ref line is unique (kept) —
+    // the df-count shuffles 3 slim rows per doc, sets broadcast
+    import org.apache.spark.sql.functions._
+    val (tSmall, tBig, nBig) = growthRatio("boilerplate") { d =>
+      val sited = d.select(col("doc_id"),
+        (col("doc_id") % 1000).cast("string").as("site"),
+        concat(col("text"),
+          lit("\ncookie banner of site "), (col("doc_id") % 1000).cast("string"),
+          lit("\nref "), col("doc_id").cast("string")).as("text"))
+      TextDedup.boilerplateLines(sited, groupCol = "site", minDf = 5)
+        .where(col("n_dropped") > 0)
+    }
+    assert(nBig > 0, "planted per-site cookie lines should be dropped")
+    assert(tBig / tSmall < 8.0, f"super-linear blowup: $tSmall%.1f s → $tBig%.1f s")
+  }
+
   test("connected components over 250k-doc pair graph converge and scale", Stress) {
     // pair input from the MinHash path — the d21 cluster shape
     val (tSmall, tBig, nBig) = growthRatio("components") { d =>
