@@ -492,6 +492,54 @@ object Corpus {
         .cast(LongType))
   }
 
+  /** Cohen's kappa between two binary annotators — the
+    * chance-corrected agreement metric labeled-data QA runs before
+    * trusting (or training on) a label source: raw agreement po
+    * overstates consensus when both annotators mostly say the same
+    * class; kappa subtracts the chance agreement pe of their marginal
+    * rates. One conditional-sum aggregate (map-side combined, the
+    * corpus collapses to four cell counts) → a 1-row result; every
+    * ratio derives from exact integer counts.
+    */
+  def cohenKappa(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    def cnt(p: Column) = sum(when(p, 1L).otherwise(0L))
+    df.agg(count(lit(1)).as("n"),
+        cnt(aCol && bCol).as("n11"), cnt(aCol && !bCol).as("n10"),
+        cnt(!aCol && bCol).as("n01"), cnt(!aCol && !bCol).as("n00"))
+      .withColumn("po",
+        (col("n11") + col("n00")).cast(DoubleType) / col("n"))
+      .withColumn("pe",
+        ((col("n11") + col("n10")) * (col("n11") + col("n01"))
+          + (col("n01") + col("n00")) * (col("n10") + col("n00")))
+          .cast(DoubleType) / (col("n") * col("n")).cast(DoubleType))
+      .select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+        round(col("po"), 6).as("po"), round(col("pe"), 6).as("pe"),
+        round((col("po") - col("pe")) / (lit(1.0) - col("pe")), 6).as("kappa"))
+  }
+
+  /** Per-language tokenizer-facing corpus profile: document, token,
+    * code-point and BYTE totals plus the derived chars-per-token and
+    * bytes-per-char ratios — the stats that drive tokenizer/vocab
+    * sizing (a script whose bytes-per-char is 3 pays 3× the byte-level
+    * sequence length; chars-per-token calibrates fertility
+    * expectations). Exact integer sums with map-side combine; one
+    * language-sized aggregate, ratios computed after.
+    */
+  def langTokenStats(df: DataFrame, langCol: String = "lang",
+      textCol: String = "text"): DataFrame =
+    df.withColumn("n_toks", size(tokens(textCol)).cast(LongType))
+      .withColumn("n_cp", length(col(textCol)).cast(LongType))
+      .withColumn("n_bytes", octet_length(col(textCol)).cast(LongType))
+      .groupBy(col(langCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("tokens"),
+        sum(col("n_cp")).as("chars"), sum(col("n_bytes")).as("bytes"))
+      .select(col(langCol), col("n_docs"), col("tokens"), col("chars"),
+        col("bytes"),
+        round(col("chars").cast(DoubleType) / col("tokens"), 6)
+          .as("chars_per_token"),
+        round(col("bytes").cast(DoubleType) / col("chars"), 6)
+          .as("bytes_per_char"))
+
   /** Unicode-script profile: per-doc code-point counts for the major
     * scripts (Latin, Cyrillic, Greek, Han, Arabic) plus a dominant-
     * script label — the script-detection stage multilingual corpus

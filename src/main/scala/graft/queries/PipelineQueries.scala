@@ -3120,6 +3120,35 @@ object PipelineQueries {
         .select(col("doc_id"), col("source"), col("difficulty"),
           col("rnk"), col("first_epoch"))
         .orderBy(col("doc_id"))
+    },
+
+    // --- annotator agreement (Cohen's kappa) ----------------------------
+    "d120_annotator_kappa" -> { (s, d) =>
+      // Labeled-data QA: how much do a composite quality annotator and
+      // a length-only annotator agree beyond chance? Raw agreement
+      // overstates consensus when both mostly vote 'keep'; kappa
+      // corrects by the marginals. The corpus collapses map-side to a
+      // 2×2 cell table — one aggregate, exact integer counts.
+      val docs = t(s, d, "documents")
+      val scored = graft.ops.Corpus.qualityScore(docs)
+      graft.ops.Corpus.cohenKappa(scored,
+        aCol = col("quality") >= 0.45, bCol = col("n_tokens") >= 40L)
+    },
+
+    // --- per-language tokenizer-facing corpus profile -------------------
+    "d121_lang_token_stats" -> { (s, d) =>
+      // Tokenizer/vocab sizing runs on these stats: bytes-per-char
+      // says what a byte-level tokenizer pays per script (a planted
+      // Han tail makes zh multi-byte at every SF), chars-per-token
+      // calibrates fertility. Exact integer sums, one lang-sized
+      // aggregate with map-side combine.
+      val docs = t(s, d, "documents")
+      val corpus = docs.withColumn("text",
+        when(col("lang") === "zh",
+          concat(col("text"), lit(" 数据处理流程样本")))
+          .otherwise(col("text")))
+      graft.ops.Corpus.langTokenStats(corpus)
+        .orderBy(col("lang"))
     }
   )
 
@@ -4093,6 +4122,61 @@ object PipelineQueries {
           |  CAST(list_min(list_filter(range(1, 5),
           |    e -> rnk <= ceil(n * sqrt(e / 4.0)))) AS BIGINT) AS first_epoch
           |FROM w ORDER BY doc_id""".stripMargin,
+
+      "d120_annotator_kappa" ->
+        """WITH base AS (
+          |  SELECT doc_id, text,
+          |    regexp_split_to_array(lower(trim(text)), '\s+') AS toks,
+          |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS alpha_chars
+          |  FROM documents
+          |), q AS (
+          |  SELECT CAST(len(toks) AS BIGINT) AS n_tokens,
+          |    0.4 * least(1.0, CAST(len(toks) AS DOUBLE) / 100.0)
+          |      + 0.3 * (CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+          |               / CAST(len(toks) AS DOUBLE))
+          |      + 0.3 * (CAST(alpha_chars AS DOUBLE) / CAST(length(text) AS DOUBLE)) AS quality
+          |  FROM base
+          |), f AS (
+          |  SELECT (quality >= 0.45) AS a, (n_tokens >= 40) AS b FROM q
+          |), c AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS n,
+          |    CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+          |    CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+          |    CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+          |    CAST(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n00
+          |  FROM f
+          |)
+          |SELECT n, n11, n10, n01, n00,
+          |  round(po, 6) AS po, round(pe, 6) AS pe,
+          |  round((po - pe) / (1 - pe), 6) AS kappa
+          |FROM (
+          |  SELECT *,
+          |    CAST(n11 + n00 AS DOUBLE) / n AS po,
+          |    CAST((n11 + n10) * (n11 + n01)
+          |       + (n01 + n00) * (n10 + n00) AS DOUBLE)
+          |      / CAST(n * n AS DOUBLE) AS pe
+          |  FROM c)""".stripMargin,
+
+      "d121_lang_token_stats" ->
+        """WITH corpus AS (
+          |  SELECT doc_id, lang,
+          |    CASE WHEN lang = 'zh' THEN text || ' 数据处理流程样本'
+          |         ELSE text END AS text
+          |  FROM documents
+          |), p AS (
+          |  SELECT lang,
+          |    CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS n_toks,
+          |    CAST(length(text) AS BIGINT) AS n_cp,
+          |    CAST(strlen(text) AS BIGINT) AS n_bytes
+          |  FROM corpus
+          |)
+          |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(sum(n_toks) AS BIGINT) AS tokens,
+          |  CAST(sum(n_cp) AS BIGINT) AS chars,
+          |  CAST(sum(n_bytes) AS BIGINT) AS bytes,
+          |  round(CAST(sum(n_cp) AS DOUBLE) / CAST(sum(n_toks) AS BIGINT), 6) AS chars_per_token,
+          |  round(CAST(sum(n_bytes) AS DOUBLE) / CAST(sum(n_cp) AS BIGINT), 6) AS bytes_per_char
+          |FROM p GROUP BY lang ORDER BY lang""".stripMargin,
 
       "d102_lsh_index_probe" ->
         s"""WITH hist AS (

@@ -431,6 +431,29 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(3L) == ((3L, 2L)) && out(4L) == ((4L, 3L)))
   }
 
+  test("cohenKappa: closed-form 2x2 agreement with chance correction") {
+    import org.apache.spark.sql.{Row, types => T}
+    val rows = Seq.fill(4)(Row(true, true)) ++ Seq(Row(true, false)) ++
+      Seq(Row(false, true)) ++ Seq.fill(4)(Row(false, false))
+    val df = spark.createDataFrame(rows.asJava,
+      T.StructType(Seq(T.StructField("a", T.BooleanType),
+        T.StructField("b", T.BooleanType))))
+    val r = Corpus.cohenKappa(df, col("a"), col("b")).collect().head
+    // po = 8/10, pe = (5·5 + 5·5)/100 = 0.5 → κ = 0.3/0.5 = 0.6
+    assert(r.getLong(0) == 10L && r.getLong(1) == 4L && r.getLong(4) == 4L)
+    assert(r.getDouble(5) == 0.8 && r.getDouble(6) == 0.5)
+    assert(r.getDouble(7) == 0.6)
+  }
+
+  test("langTokenStats: multi-byte scripts show bytes-per-char > 1") {
+    val df = sited((1L, "en", "ab cd"), (2L, "zh", "你好"))
+    val out = Corpus.langTokenStats(df, langCol = "site", textCol = "body")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(6)))).toMap
+    assert(out("en") == ((2L, 5L, 5L, 1.0)))
+    assert(out("zh") == ((1L, 2L, 6L, 3.0))) // 2 Han chars, 3 bytes each
+  }
+
   test("scriptProfile counts per-script code points and picks the dominant") {
     val df = docs(
       1L -> "hello world", 2L -> "привет мир z", 3L -> "γειά κόσμος",
