@@ -33,6 +33,49 @@ object TextDedup {
       .withColumn("shingles", expr("graft_shingles(toks)"))
   }
 
+  /** Semi-supervised label propagation over a near-duplicate pair
+    * graph: seed nodes carry a label in {-1, +1} (e.g. a handful of
+    * human spam/keep verdicts), every other node starts neutral, and
+    * for `iters` rounds each unclamped node adopts the SIGN of the sum
+    * of its neighbors' labels (ties keep the previous label, seeds
+    * stay clamped) — cheap label amplification across dup clusters: a
+    * verdict on one copy condemns or saves its whole neighborhood.
+    * Integer votes keep every round engine-reproducible.
+    *
+    * Scale shape: each round shuffles only slim (node, label) ints
+    * over the edge list (same posture as [[connectedComponents]]);
+    * per-round eager localCheckpoints pin the state table so the round
+    * count bounds the plan depth, not 2^rounds re-execution.
+    */
+  def labelPropagation(pairs: DataFrame, seeds: DataFrame,
+      iters: Int = 3): DataFrame = {
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint(true)
+    val sd = seeds.select(col("node"),
+      col("lab").cast(IntegerType).as("seed_lab"))
+    var state = edges.select(col("src").as("node")).distinct()
+      .join(sd, Seq("node"), "left")
+      .select(col("node"), coalesce(col("seed_lab"), lit(0)).as("lab"),
+        col("seed_lab").isNotNull.as("clamped"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val votes = edges
+        .join(state.select(col("node").as("dst"), col("lab").as("dlab")), "dst")
+        .groupBy(col("src").as("node"))
+        .agg(sum(col("dlab")).as("vote"))
+      state = state.join(votes, Seq("node"), "left")
+        .select(col("node"),
+          when(col("clamped"), col("lab"))
+            .when(coalesce(col("vote"), lit(0L)) > 0, lit(1))
+            .when(coalesce(col("vote"), lit(0L)) < 0, lit(-1))
+            .otherwise(col("lab")).as("lab"),
+          col("clamped"))
+        .localCheckpoint(true)
+    }
+    state
+  }
+
   /** Exact duplicate groups by (optionally whitespace-normalized)
     * content hash: one row per distinct content with the smallest id as
     * the retained representative. One shuffle, on the hash.

@@ -3149,6 +3149,27 @@ object PipelineQueries {
           .otherwise(col("text")))
       graft.ops.Corpus.langTokenStats(corpus)
         .orderBy(col("lang"))
+    },
+
+    // --- label propagation over the near-dup graph ----------------------
+    "d122_label_propagation" -> { (s, d) =>
+      // A human verdict on one copy should condemn or save its whole
+      // duplicate neighborhood: seeds (+1 keep on doc_id%17=0, -1 spam
+      // on %17=5) propagate 3 sign-vote rounds over the d21 jaccard
+      // edge set; unclamped nodes adopt the neighbor-majority sign.
+      // Slim (node, label) int shuffles per round, state checkpointed
+      // per round — see TextDedup.labelPropagation.
+      val corpus = corpusWithPlants(s, d)
+      val seeds = corpus.where(col("doc_id") % 17 === 0 ||
+          col("doc_id") % 17 === 5)
+        .select(col("doc_id").as("node"),
+          when(col("doc_id") % 17 === 0, lit(1)).otherwise(lit(-1)).as("lab"))
+      graft.ops.TextDedup
+        .labelPropagation(jaccardPairs(s, d).select(col("a"), col("b")),
+          seeds, iters = 3)
+        .select(col("node").as("doc_id"), col("lab").cast(LongType).as("lab"),
+          col("clamped").as("is_seed"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -4122,6 +4143,68 @@ object PipelineQueries {
           |  CAST(list_min(list_filter(range(1, 5),
           |    e -> rnk <= ceil(n * sqrt(e / 4.0)))) AS BIGINT) AS first_epoch
           |FROM w ORDER BY doc_id""".stripMargin,
+
+      "d122_label_propagation" -> (planted +
+        """
+          |, sh AS (
+          |  SELECT doc_id, lang,
+          |    toks[1] AS first_tok,
+          |    CAST(len(toks) // 8 AS INTEGER) AS n_toks_bucket,
+          |    list_distinct(list_transform(range(1, len(toks) - 1),
+          |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+          |  FROM (SELECT doc_id, lang, regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM corpus)
+          |  WHERE len(toks) >= 3
+          |), pairs AS (
+          |  SELECT a.doc_id AS a, b.doc_id AS b
+          |  FROM sh a JOIN sh b
+          |    ON a.lang = b.lang AND a.first_tok = b.first_tok
+          |    AND a.n_toks_bucket = b.n_toks_bucket AND a.doc_id < b.doc_id
+          |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+          |      / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE) >= 0.3
+          |), edges AS (
+          |  SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs
+          |), nodes AS (SELECT DISTINCT src AS node FROM edges
+          |), sd AS (
+          |  SELECT doc_id AS node,
+          |    CASE WHEN doc_id % 17 = 0 THEN 1 ELSE -1 END AS seed_lab
+          |  FROM corpus WHERE doc_id % 17 IN (0, 5)
+          |), s0 AS (
+          |  SELECT n.node, coalesce(sd.seed_lab, 0) AS lab,
+          |    sd.seed_lab IS NOT NULL AS cl
+          |  FROM nodes n LEFT JOIN sd ON n.node = sd.node
+          |), m1 AS (
+          |  SELECT e.src AS node, sum(s.lab) AS vote
+          |  FROM edges e JOIN s0 s ON e.dst = s.node GROUP BY e.src
+          |), s1 AS (
+          |  SELECT s.node,
+          |    CASE WHEN s.cl THEN s.lab
+          |         WHEN coalesce(m.vote, 0) > 0 THEN 1
+          |         WHEN coalesce(m.vote, 0) < 0 THEN -1
+          |         ELSE s.lab END AS lab, s.cl
+          |  FROM s0 s LEFT JOIN m1 m ON s.node = m.node
+          |), m2 AS (
+          |  SELECT e.src AS node, sum(s.lab) AS vote
+          |  FROM edges e JOIN s1 s ON e.dst = s.node GROUP BY e.src
+          |), s2 AS (
+          |  SELECT s.node,
+          |    CASE WHEN s.cl THEN s.lab
+          |         WHEN coalesce(m.vote, 0) > 0 THEN 1
+          |         WHEN coalesce(m.vote, 0) < 0 THEN -1
+          |         ELSE s.lab END AS lab, s.cl
+          |  FROM s1 s LEFT JOIN m2 m ON s.node = m.node
+          |), m3 AS (
+          |  SELECT e.src AS node, sum(s.lab) AS vote
+          |  FROM edges e JOIN s2 s ON e.dst = s.node GROUP BY e.src
+          |), s3 AS (
+          |  SELECT s.node,
+          |    CASE WHEN s.cl THEN s.lab
+          |         WHEN coalesce(m.vote, 0) > 0 THEN 1
+          |         WHEN coalesce(m.vote, 0) < 0 THEN -1
+          |         ELSE s.lab END AS lab, s.cl
+          |  FROM s2 s LEFT JOIN m3 m ON s.node = m.node
+          |)
+          |SELECT node AS doc_id, CAST(lab AS BIGINT) AS lab, cl AS is_seed
+          |FROM s3 ORDER BY doc_id""".stripMargin),
 
       "d120_annotator_kappa" ->
         """WITH base AS (

@@ -109,6 +109,22 @@ class DedupStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tBig / tSmall < 10.0, f"super-linear blowup: $tSmall%.1f s → $tBig%.1f s")
   }
 
+  test("label propagation over 250k-doc pair graph scales like CC", Stress) {
+    // d122 shape: 3 fixed sign-vote rounds over the MinHash edge set —
+    // per-round cost is one slim (node, label) shuffle, so growth must
+    // track the pair-generation stage, not the rounds
+    import org.apache.spark.sql.functions._
+    val (tSmall, tBig, nBig) = growthRatio("labelprop") { d =>
+      val seeds = d.where(col("doc_id") % 17 === 0 || col("doc_id") % 17 === 5)
+        .select(col("doc_id").as("node"),
+          when(col("doc_id") % 17 === 0, lit(1)).otherwise(lit(-1)).as("lab"))
+      TextDedup.labelPropagation(
+        TextDedup.minhashLshPairs(d).select("a", "b"), seeds, iters = 3)
+    }
+    assert(nBig > 0)
+    assert(tBig / tSmall < 10.0, f"super-linear blowup: $tSmall%.1f s → $tBig%.1f s")
+  }
+
   test("PageRank iterations over a doc-derived domain graph scale with the scan", Stress) {
     // the d70 shape: link extraction scales with the corpus, the rank
     // loop with the (much smaller) domain edge list — synthetic docs

@@ -431,6 +431,21 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(3L) == ((3L, 2L)) && out(4L) == ((4L, 3L)))
   }
 
+  test("labelPropagation: seed verdicts sweep their dup neighborhood, ties hold") {
+    val sess = spark
+    import sess.implicits._
+    // chain 1-2-3 seeded +1 at its head; pair 5-6 seeded -1; pair 8-9
+    // unlabeled — must stay neutral, not invent a label
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L)).toDF("a", "b")
+    val seeds = Seq((1L, 1), (5L, -1)).toDF("node", "lab")
+    val out = TextDedup.labelPropagation(pairs, seeds, iters = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getBoolean(2)))).toMap
+    assert(out(1L) == ((1, true)))
+    assert(out(2L) == ((1, false)) && out(3L) == ((1, false))) // 2 hops
+    assert(out(5L) == ((-1, true)) && out(6L) == ((-1, false)))
+    assert(out(8L) == ((0, false)) && out(9L) == ((0, false)))
+  }
+
   test("cohenKappa: closed-form 2x2 agreement with chance correction") {
     import org.apache.spark.sql.{Row, types => T}
     val rows = Seq.fill(4)(Row(true, true)) ++ Seq(Row(true, false)) ++
