@@ -76,6 +76,81 @@ object TextDedup {
     state
   }
 
+  /** Winnowing fingerprint selection (the MOSS algorithm): hash every
+    * word-k-gram, slide a window of `w` consecutive hashes, and keep
+    * the minimum of each window — on ties the RIGHTMOST minimum, the
+    * rule that makes selections agree across overlapping windows.
+    * Guarantees: any shared run of w+k-1 tokens yields at least one
+    * shared fingerprint, and the expected density is 2/(w+1) — a
+    * position-robust sketch MinHash (whole-doc) and SimHash (global
+    * bits) don't give. Returns exploded (doc_id, pos, h) fingerprints.
+    *
+    * All selection is per-row array math in codegen (no shuffle here);
+    * downstream pair generation shuffles only slim (hash, id) rows
+    * with a df cap — same posture as the other candidate generators.
+    */
+  def winnowingFingerprints(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 4, w: Int = 5): DataFrame = {
+    // Selection is deliberately SCALAR codegen: per window the min and
+    // its rightmost index come from element_at/least/CASE chains, not
+    // slice()+array_min — a slice per window is an ArrayData copy per
+    // window per doc, the same allocation wall the d43 posting-list
+    // rebuild documented (STRESS.md). The sequence bounds are floored
+    // at 1 so the expressions stay TOTAL: InferFiltersFromGenerate
+    // derives a size(sel) > 0 predicate from the explode and predicate
+    // pushdown may evaluate it on rows the length guard dropped — a
+    // descending sequence(1, 0) would feed downstream ops a 0 index.
+    val gram = (0 until k).map(o => s"element_at(toks, i + $o)")
+      .mkString("concat_ws(' ', ", ", ", ")")
+    val winMin = (0 until w).map(o => s"element_at(grams, p + $o)")
+      .mkString("least(", ", ", ")")
+    val rightmost = (0 until w).map(o =>
+      s"if(element_at(grams, p + $o) = $winMin, ${o + 1}, 0)")
+      .mkString("greatest(", ", ", ")")
+    docs.select(col(idCol).as("doc_id"),
+        split(lower(trim(col(textCol))), "\\s+").as("toks"))
+      .where(size(col("toks")) >= k + w - 1)
+      .withColumn("grams", expr(
+        s"""transform(sequence(1, greatest(size(toks) - ${k - 1}, 1)),
+           |  i -> cast(conv(substring(md5($gram), 1, 15), 16, 10) as bigint))"""
+          .stripMargin))
+      // the Generate below is a deliberate projection-collapse barrier:
+      // above it `grams` is an ATTRIBUTE, so the per-window min/argmin
+      // chains read the materialized array — CollapseProject would
+      // otherwise substitute the whole hashing transform into every one
+      // of their element_at references and recompute it per window
+      .select(col("doc_id"), col("grams"),
+        explode(expr(s"sequence(1, greatest(size(grams) - ${w - 1}, 1))"))
+          .as("p"))
+      .select(col("doc_id"),
+        expr(s"cast(p - 1 + $rightmost as bigint)").as("pos"),
+        expr(s"element_at(grams, p - 1 + $rightmost)").as("h"))
+      .distinct()
+  }
+
+  /** Candidate pairs from shared winnowing fingerprints: distinct
+    * (doc, hash) rows bucket on the hash; buckets seen in 2..dfCap
+    * docs pair their members (a < b); pairs sharing at least
+    * `minShared` fingerprints survive. The df cap drops stop-
+    * fingerprints exactly like the containment index — no bucket ever
+    * fans out quadratically.
+    */
+  def winnowingPairs(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 4, w: Int = 5, dfCap: Int = 8,
+      minShared: Int = 2): DataFrame = {
+    val hd = winnowingFingerprints(docs, idCol, textCol, k, w)
+      .select(col("doc_id"), col("h")).distinct()
+    val ok = hd.groupBy("h").agg(count(lit(1)).as("df"))
+      .where(col("df") >= 2 && col("df") <= dfCap)
+      .select("h")
+    val slim = hd.join(ok, "h")
+    slim.select(col("h"), col("doc_id").as("a"))
+      .join(slim.select(col("h"), col("doc_id").as("b")), "h")
+      .where(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   /** Exact duplicate groups by (optionally whitespace-normalized)
     * content hash: one row per distinct content with the smallest id as
     * the retained representative. One shuffle, on the hash.

@@ -3170,6 +3170,41 @@ object PipelineQueries {
         .select(col("node").as("doc_id"), col("lab").cast(LongType).as("lab"),
           col("clamped").as("is_seed"))
         .orderBy(col("doc_id"))
+    },
+
+    // --- winnowing (MOSS) fingerprint profile ---------------------------
+    "d123_winnowing_profile" -> { (s, d) =>
+      // Winnowing selects the rightmost-min k-gram hash per window of
+      // w — guaranteeing any shared (w+k-1)-token run yields a shared
+      // fingerprint at expected density 2/(w+1) ≈ 0.33, the position-
+      // robust sketch MinHash/SimHash don't give. Selection is pure
+      // per-row codegen array math; this gate checks the density
+      // guarantee holds per doc.
+      val corpus = exactSubstrCorpus(s, d)
+      val fp = graft.ops.TextDedup.winnowingFingerprints(corpus)
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
+      corpus
+        .select(col("doc_id"),
+          size(split(lower(trim(col("text"))), "\\s+")).cast(LongType).as("n_toks"))
+        .where(col("n_toks") >= 8)
+        .join(fp, Seq("doc_id"))
+        .select(col("doc_id"), col("n_toks"),
+          (col("n_toks") - 3).as("n_grams"),
+          (col("n_toks") - 7).as("n_windows"), col("n_fp"),
+          round(col("n_fp").cast(DoubleType) / (col("n_toks") - 7), 6)
+            .as("density"))
+        .orderBy(col("doc_id"))
+    },
+
+    // --- winnowing candidate pairs (shared fingerprints) ----------------
+    "d124_winnowing_pairs" -> { (s, d) =>
+      // The pair generator over the winnowing sketch: docs sharing ≥ 2
+      // selected fingerprints (df-capped buckets, like the containment
+      // index) are near-dup candidates — the planted 30-token re-embeds
+      // of exactSubstrCorpus must all surface. Only slim (hash, id)
+      // longs shuffle.
+      graft.ops.TextDedup.winnowingPairs(exactSubstrCorpus(s, d))
+        .orderBy(col("a"), col("b"))
     }
   )
 
@@ -4205,6 +4240,75 @@ object PipelineQueries {
           |)
           |SELECT node AS doc_id, CAST(lab AS BIGINT) AS lab, cl AS is_seed
           |FROM s3 ORDER BY doc_id""".stripMargin),
+
+      "d123_winnowing_profile" ->
+        """WITH corpus AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 7000000 AS doc_id,
+          |    'planted head marker words ' ||
+          |    array_to_string(list_slice(regexp_split_to_array(lower(trim(text)), '\s+'), 10, 39), ' ')
+          |    || ' tail' || CAST((doc_id + 7000000) % 89 AS VARCHAR) AS text
+          |  FROM documents WHERE doc_id % 13 = 0
+          |), tk AS (
+          |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+          |  FROM corpus
+          |), g AS (
+          |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks,
+          |    list_transform(range(1, len(toks) - 2), i ->
+          |      ('0x' || substring(md5(toks[i] || ' ' || toks[i+1] || ' ' ||
+          |        toks[i+2] || ' ' || toks[i+3]), 1, 15))::BIGINT) AS grams
+          |  FROM tk WHERE len(toks) >= 8
+          |), sel AS (
+          |  SELECT doc_id, n_toks,
+          |    list_distinct(list_transform(range(1, len(grams) - 3), p ->
+          |      p - 1 + list_max(list_transform(range(1, 6), q ->
+          |        CASE WHEN grams[p + q - 1] = list_min(grams[p:p+4])
+          |             THEN q ELSE 0 END)))) AS fps
+          |  FROM g
+          |)
+          |SELECT doc_id, n_toks, n_toks - 3 AS n_grams, n_toks - 7 AS n_windows,
+          |  CAST(len(fps) AS BIGINT) AS n_fp,
+          |  round(CAST(len(fps) AS DOUBLE) / (n_toks - 7), 6) AS density
+          |FROM sel ORDER BY doc_id""".stripMargin,
+
+      "d124_winnowing_pairs" ->
+        """WITH corpus AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 7000000 AS doc_id,
+          |    'planted head marker words ' ||
+          |    array_to_string(list_slice(regexp_split_to_array(lower(trim(text)), '\s+'), 10, 39), ' ')
+          |    || ' tail' || CAST((doc_id + 7000000) % 89 AS VARCHAR) AS text
+          |  FROM documents WHERE doc_id % 13 = 0
+          |), tk AS (
+          |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+          |  FROM corpus
+          |), g AS (
+          |  SELECT doc_id,
+          |    list_transform(range(1, len(toks) - 2), i ->
+          |      ('0x' || substring(md5(toks[i] || ' ' || toks[i+1] || ' ' ||
+          |        toks[i+2] || ' ' || toks[i+3]), 1, 15))::BIGINT) AS grams
+          |  FROM tk WHERE len(toks) >= 8
+          |), sel AS (
+          |  SELECT doc_id, grams,
+          |    list_distinct(list_transform(range(1, len(grams) - 3), p ->
+          |      p - 1 + list_max(list_transform(range(1, 6), q ->
+          |        CASE WHEN grams[p + q - 1] = list_min(grams[p:p+4])
+          |             THEN q ELSE 0 END)))) AS fps
+          |  FROM g
+          |), hd AS (
+          |  SELECT DISTINCT doc_id, grams[i] AS h
+          |  FROM (SELECT doc_id, grams, unnest(fps) AS i FROM sel)
+          |), ok AS (
+          |  SELECT h FROM hd GROUP BY h HAVING count(1) BETWEEN 2 AND 8
+          |), sl AS (
+          |  SELECT doc_id, h FROM hd JOIN ok USING (h)
+          |)
+          |SELECT a.doc_id AS a, b.doc_id AS b, CAST(count(1) AS BIGINT) AS n_shared
+          |FROM sl a JOIN sl b ON a.h = b.h AND a.doc_id < b.doc_id
+          |GROUP BY 1, 2 HAVING count(1) >= 2
+          |ORDER BY a, b""".stripMargin,
 
       "d120_annotator_kappa" ->
         """WITH base AS (

@@ -1019,6 +1019,20 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"), s"no cartesian in:\n$p")
   }
 
+  test("d124 winnowing pairs: selection is per-row codegen; token arrays never shuffle") {
+    val df = PipelineQueries.queries("d124_winnowing_pairs")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      .split("== Initial Plan ==").head
+    // gram hashing + window-min selection happen in the scan stage;
+    // only slim (hash, id) longs may cross an exchange afterwards
+    val leaked = shuffledInputs(p).filter(s =>
+      s.contains("text#") || s.contains("toks#") || s.contains("grams#"))
+    assert(leaked.isEmpty,
+      s"token/gram arrays crossed a plain exchange: $leaked\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian in:\n$p")
+  }
+
   test("d119 curriculum: both windows share one per-domain exchange, no global sort") {
     import org.apache.spark.sql.functions._
     val df = graft.ops.Corpus.curriculumSchedule(

@@ -125,6 +125,17 @@ class DedupStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tBig / tSmall < 10.0, f"super-linear blowup: $tSmall%.1f s → $tBig%.1f s")
   }
 
+  test("winnowing pair generation scales sub-quadratically to 250k docs", Stress) {
+    // d124 shape: per-row window-min selection, then df-capped
+    // (hash, id) buckets — the planted 10% near-dups share almost all
+    // fingerprints, the hash-unique rest shares none
+    val (tSmall, tBig, nBig) = growthRatio("winnowing") { d =>
+      TextDedup.winnowingPairs(d)
+    }
+    assert(nBig > 0, "planted near-dups should share fingerprints")
+    assert(tBig / tSmall < 10.0, f"super-linear blowup: $tSmall%.1f s → $tBig%.1f s")
+  }
+
   test("PageRank iterations over a doc-derived domain graph scale with the scan", Stress) {
     // the d70 shape: link extraction scales with the corpus, the rank
     // loop with the (much smaller) domain edge list — synthetic docs

@@ -446,6 +446,39 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(8L) == ((0, false)) && out(9L) == ((0, false)))
   }
 
+  test("winnowing: a shared w+k-1-token run yields a shared fingerprint") {
+    val shared = "alpha beta gamma delta epsilon zeta eta theta" // 8 = w+k-1
+    val df = docs(
+      1L -> s"unique one two three $shared",
+      2L -> s"$shared different tail words here")
+    val fp = TextDedup.winnowingFingerprints(df, idCol = "id", textCol = "body")
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    assert((fp(1L) & fp(2L)).nonEmpty,
+      "the winnowing guarantee: one shared fingerprint per shared run")
+  }
+
+  test("winnowing rightmost-min tie rule: uniform grams select window tails") {
+    // 10 identical tokens → 7 identical grams → 3 windows; the
+    // rightmost-min rule must pick index p+w-1 of each window
+    val df = docs(1L -> Seq.fill(10)("x").mkString(" "))
+    val pos = TextDedup.winnowingFingerprints(df, idCol = "id", textCol = "body")
+      .collect().map(_.getLong(1)).sorted.toSeq
+    assert(pos == Seq(5L, 6L, 7L))
+  }
+
+  test("winnowingPairs surfaces docs sharing a long run, not disjoint docs") {
+    val shared = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val df = docs(
+      1L -> s"preamble words here $shared",
+      2L -> s"$shared completely other ending",
+      3L -> "nothing in common with anyone at all here today")
+    val out = TextDedup.winnowingPairs(df, idCol = "id", textCol = "body")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.contains((1L, 2L)))
+    assert(!out.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("cohenKappa: closed-form 2x2 agreement with chance correction") {
     import org.apache.spark.sql.{Row, types => T}
     val rows = Seq.fill(4)(Row(true, true)) ++ Seq(Row(true, false)) ++
