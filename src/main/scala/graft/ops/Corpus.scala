@@ -540,6 +540,42 @@ object Corpus {
         round(col("bytes").cast(DoubleType) / col("chars"), 6)
           .as("bytes_per_char"))
 
+  /** KMV (k-minimum-values / theta-sketch) overlap estimation between
+    * two corpus snapshots: how much of crawl B is already in crawl A,
+    * WITHOUT joining the corpora — each side reduces to its k smallest
+    * distinct 60-bit content hashes (a map-side-combinable top-k, the
+    * same TakeOrdered shape as d85), θ = min of the two kth minima,
+    * and |A∩B| ≈ |{shared sketch hashes < θ}| · 2⁶⁰/θ. Deterministic:
+    * md5-derived hashes, no RNG; the estimate is a pure function of
+    * the two tiny sketches. Exact distinct counts ride the same scan
+    * for calibration columns.
+    */
+  def kmvOverlap(a: DataFrame, b: DataFrame, textCol: String = "text",
+      k: Int = 256): DataFrame = {
+    val full = 1152921504606846976L // 2^60: hash domain size
+    def hashes(df: DataFrame) = df.select(
+      expr(s"cast(conv(substring(md5($textCol), 1, 15), 16, 10) as bigint)")
+        .as("h")).distinct()
+    def sketch(df: DataFrame) = hashes(df).orderBy(col("h")).limit(k)
+    val ha = hashes(a).agg(count(lit(1)).as("n_a")).crossJoin(
+      hashes(b).agg(count(lit(1)).as("n_b")))
+    val sa = sketch(a)
+    val sb = sketch(b)
+    val thetaA = sa.agg(max(col("h")).as("tha"))
+    val thetaB = sb.agg(max(col("h")).as("thb"))
+    val shared = sa.join(sb, "h")
+    shared
+      .crossJoin(broadcast(thetaA)).crossJoin(broadcast(thetaB))
+      .withColumn("theta", least(col("tha"), col("thb")))
+      .where(col("h") < col("theta"))
+      .agg(count(lit(1)).as("n_shared_below"),
+        first(col("theta")).as("theta"))
+      .crossJoin(broadcast(ha))
+      .select(col("n_a"), col("n_b"), col("theta"), col("n_shared_below"),
+        round(col("n_shared_below").cast(DoubleType) * full / col("theta"), 3)
+          .as("est_intersection"))
+  }
+
   /** Unicode-script profile: per-doc code-point counts for the major
     * scripts (Latin, Cyrillic, Greek, Han, Arabic) plus a dominant-
     * script label — the script-detection stage multilingual corpus

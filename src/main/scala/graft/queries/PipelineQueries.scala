@@ -3205,6 +3205,19 @@ object PipelineQueries {
       // longs shuffle.
       graft.ops.TextDedup.winnowingPairs(exactSubstrCorpus(s, d))
         .orderBy(col("a"), col("b"))
+    },
+
+    // --- KMV/theta-sketch snapshot overlap (intersection sans join) -----
+    "d125_kmv_snapshot_overlap" -> { (s, d) =>
+      // "How much of crawl B is already in crawl A" answered WITHOUT
+      // joining the corpora: each side reduces to its 256 smallest
+      // content hashes (map-side top-k), the estimate is a pure
+      // function of the two tiny sketches. Crawls overlap on ids ≡ 2
+      // (mod 4) by construction, so the estimate has a known target.
+      val docs = t(s, d, "documents")
+      graft.ops.Corpus.kmvOverlap(
+        docs.where(col("doc_id") % 4 =!= 0),
+        docs.where(col("doc_id") % 2 === 0))
     }
   )
 
@@ -4309,6 +4322,29 @@ object PipelineQueries {
           |FROM sl a JOIN sl b ON a.h = b.h AND a.doc_id < b.doc_id
           |GROUP BY 1, 2 HAVING count(1) >= 2
           |ORDER BY a, b""".stripMargin,
+
+      "d125_kmv_snapshot_overlap" ->
+        """WITH ah AS (
+          |  SELECT DISTINCT ('0x' || substring(md5(text), 1, 15))::BIGINT AS h
+          |  FROM documents WHERE doc_id % 4 != 0
+          |), bh AS (
+          |  SELECT DISTINCT ('0x' || substring(md5(text), 1, 15))::BIGINT AS h
+          |  FROM documents WHERE doc_id % 2 = 0
+          |), sa AS (SELECT h FROM ah ORDER BY h LIMIT 256
+          |), sb AS (SELECT h FROM bh ORDER BY h LIMIT 256
+          |), th AS (
+          |  SELECT least((SELECT max(h) FROM sa), (SELECT max(h) FROM sb)) AS theta
+          |), sh AS (
+          |  SELECT count(*) AS n_shared_below
+          |  FROM sa JOIN sb USING (h), th WHERE h < theta
+          |)
+          |SELECT (SELECT CAST(count(*) AS BIGINT) FROM ah) AS n_a,
+          |  (SELECT CAST(count(*) AS BIGINT) FROM bh) AS n_b,
+          |  (SELECT theta FROM th) AS theta,
+          |  CAST(n_shared_below AS BIGINT) AS n_shared_below,
+          |  round(CAST(n_shared_below AS DOUBLE) * 1152921504606846976
+          |    / (SELECT theta FROM th), 3) AS est_intersection
+          |FROM sh""".stripMargin,
 
       "d120_annotator_kappa" ->
         """WITH base AS (

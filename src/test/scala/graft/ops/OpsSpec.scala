@@ -479,6 +479,17 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!out.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("kmvOverlap estimates snapshot intersection from tiny sketches") {
+    val a = docs((1L to 6L).map(i => i -> s"snapshot doc number $i"): _*)
+    val b = docs((4L to 9L).map(i => i -> s"snapshot doc number $i"): _*)
+    val r = Corpus.kmvOverlap(a, b, textCol = "body", k = 256)
+      .collect().head
+    assert(r.getLong(0) == 6L && r.getLong(1) == 6L) // exact distincts
+    val sharedBelow = r.getLong(3)
+    assert(sharedBelow >= 2L && sharedBelow <= 3L) // θ may clip one
+    assert(r.getDouble(4) > 0.0)
+  }
+
   test("cohenKappa: closed-form 2x2 agreement with chance correction") {
     import org.apache.spark.sql.{Row, types => T}
     val rows = Seq.fill(4)(Row(true, true)) ++ Seq(Row(true, false)) ++
