@@ -190,6 +190,90 @@ object Dialect {
     */
   private val systemTimeRe = raw"(?is)\bFOR\s+SYSTEM_TIME\s+AS\s+OF\b".r
 
+  /** BigQuery time travel (`FROM t FOR SYSTEM_TIME AS OF <ts expr>`),
+    * resolved against the full pre-write images the staged-swap commit
+    * protocol retains ([[PartitionCommit]] snapshots): the clause's
+    * table ref is replaced by the snapshot directory that was current
+    * at the requested time (a direct parquet path scan), by the table
+    * itself when no later rewrite exists, or by an empty projection
+    * when the table held nothing then. The timestamp expression is
+    * evaluated through the dialect, so literals and TIMESTAMP_SUB
+    * arithmetic both work. Span of support: whole-table rewrites (DML
+    * DELETE/UPDATE/MERGE, REPLACE loads) create boundaries; APPENDs
+    * don't; a partition-level load between the requested time and the
+    * nearest snapshot fails loud in the resolver. Alias the clause
+    * with AS — a bare trailing alias reads as expression text.
+    */
+  private def rewriteSystemTimeClauses(sql: String): String = {
+    val ms = systemTimeRe.findAllMatchIn(sql).toList
+      .filterNot(m => inStringLiteral(sql, m.start))
+    if (ms.isEmpty) return sql
+    val spark = org.apache.spark.sql.SparkSession.getActiveSession.getOrElse(
+      throw new IllegalStateException(
+        "FOR SYSTEM_TIME AS OF needs an active SparkSession to resolve snapshots"))
+    // right-to-left so earlier match offsets stay valid after splicing
+    ms.foldRight(sql) { (m, acc) =>
+      // table ref = the whitespace-delimited token ending before FOR
+      var e = m.start
+      while (e > 0 && acc.charAt(e - 1).isWhitespace) e -= 1
+      var b = e
+      def refChar(c: Char) = c.isLetterOrDigit || c == '_' || c == '.' ||
+        c == '`' || c == '$' || c == '-'
+      while (b > 0 && refChar(acc.charAt(b - 1))) b -= 1
+      val ref = acc.substring(b, e)
+      if (ref.isEmpty)
+        throw new UnsupportedOperationException(
+          "FOR SYSTEM_TIME AS OF must follow a plain table reference")
+      // timestamp expression: consume balanced text up to a depth-0
+      // clause boundary (keyword, comma, closing paren, semicolon)
+      val stopWords = Set("WHERE", "GROUP", "ORDER", "LIMIT", "HAVING",
+        "QUALIFY", "WINDOW", "JOIN", "LEFT", "RIGHT", "FULL", "INNER",
+        "CROSS", "UNION", "EXCEPT", "INTERSECT", "ON", "USING", "AS")
+      val n = acc.length
+      var j = m.end
+      while (j < n && acc.charAt(j).isWhitespace) j += 1
+      val exprStart = j
+      var depth = 0
+      var done = false
+      while (j < n && !done) {
+        val c = acc.charAt(j)
+        if (c == '\'' || c == '"') {
+          var k = j + 1
+          while (k < n && acc.charAt(k) != c)
+            k += (if (acc.charAt(k) == '\\') 2 else 1)
+          j = math.min(k + 1, n)
+        } else if (c == '(') { depth += 1; j += 1 }
+        else if (c == ')') {
+          if (depth == 0) done = true else { depth -= 1; j += 1 }
+        } else if ((c == ',' || c == ';') && depth == 0) done = true
+        else if (c.isLetter && depth == 0) {
+          var k = j
+          while (k < n && (acc.charAt(k).isLetterOrDigit || acc.charAt(k) == '_'))
+            k += 1
+          if (stopWords(acc.substring(j, k).toUpperCase) && j > exprStart)
+            done = true
+          else j = k
+        } else j += 1
+      }
+      val tsExpr = acc.substring(exprStart, j).trim
+      if (tsExpr.isEmpty)
+        throw new IllegalArgumentException(
+          "empty FOR SYSTEM_TIME AS OF expression")
+      val row = spark.sql(rewrite(
+        s"SELECT CAST(unix_millis(CAST(($tsExpr) AS TIMESTAMP)) AS BIGINT)"))
+        .collect()(0)
+      if (row.isNullAt(0))
+        throw new IllegalArgumentException(
+          s"FOR SYSTEM_TIME AS OF expression evaluated to NULL: $tsExpr")
+      val repl = PartitionCommit.resolveAsOf(spark, ref, row.getLong(0)) match {
+        case PartitionCommit.AsOfCurrent => ref
+        case PartitionCommit.AsOfEmpty => s"(SELECT * FROM $ref WHERE 1=0)"
+        case PartitionCommit.AsOfSnapshot(p) => s"parquet.`$p`"
+      }
+      acc.substring(0, b) + repl + acc.substring(j)
+    }
+  }
+
   /** BigQuery literal forms Spark lacks, normalized to standard
     * single-line quoted literals before any other pass runs:
     *  - raw strings `r'…'` / `R"…"` (no escape processing inside) →
@@ -295,14 +379,9 @@ object Dialect {
 
   def rewrite(sql0: String, mapFqns: Boolean = true): String = {
     val sql = normalizeLiteralForms(sql0)
-    // fail loud on time travel — parquet destinations keep no history
-    // (a silent ignore would read CURRENT data for a historical query)
-    systemTimeRe.findFirstMatchIn(sql).foreach { m =>
-      if (!inStringLiteral(sql, m.start))
-        throw new UnsupportedOperationException(
-          "FOR SYSTEM_TIME AS OF (time travel) is not supported: parquet " +
-            "tables keep no row history. Snapshot the table explicitly instead")
-    }
+    // time travel resolves later (post-FQN-mapping) against the
+    // snapshots the staged-swap commit protocol retains — see
+    // rewriteSystemTimeClauses
     // typed NUMERIC/BIGNUMERIC literals first: Spark has no decimal
     // typed-literal syntax, so `NUMERIC '1.5'` must become a CAST before
     // the bare-keyword pass would leave invalid `DECIMAL(38,9) '1.5'`
@@ -318,7 +397,14 @@ object Dialect {
     // BigQuery NUMERIC is DECIMAL(38,9); Spark's NUMERIC keyword means
     // DECIMAL(10,0) — rewrite to BigQuery semantics (outside literals
     // only). INT64/FLOAT64 are BigQuery-only type spellings.
-    var out = mapOutsideLiterals(if (mapFqns) mapSourceFqns(sqlNum) else sqlNum)(
+    var out = mapOutsideLiterals({
+      // time travel after FQN mapping, so the clause's table is a
+      // Spark-catalog name the snapshot resolver can DESCRIBE; the
+      // lineage path (mapFqns = false) leaves the text untouched — the
+      // extractor reads the clause's table as a plain source
+      val mapped = if (mapFqns) mapSourceFqns(sqlNum) else sqlNum
+      if (mapFqns) rewriteSystemTimeClauses(mapped) else mapped
+    })(
       // typed literal first: `DATETIME '…'` (wall-clock, no zone) is
       // Spark's TIMESTAMP_NTZ; bare DATETIME (a type position, e.g. in
       // CAST) maps the same way

@@ -617,9 +617,85 @@ object PartitionCommit {
       spark.sql(s"MSCK REPAIR TABLE $dest SYNC PARTITIONS")
     spark.catalog.refreshTable(dest)
     fs.delete(stageDir, true)
-    fs.delete(trashDir, true)
+    // the trashed pre-write image becomes a TIME-TRAVEL snapshot: the
+    // data that was current until this commit's wall-clock boundary
+    retainSnapshot(fs, loc, trashDir, tx)
     fs.delete(phase2, false)
     fs.delete(journalPath(loc), false)
+  }
+
+  /** How many retained snapshots (full images + partial markers) a
+    * table keeps — the engine's time-travel horizon, the bounded
+    * analogue of BigQuery's 7-day window.
+    */
+  private[engine] var snapshotKeep: Int = 8
+
+  private def snapMillis(name: String): Long = {
+    val rest = name.stripPrefix(".graft_snap_")
+    (if (rest.startsWith("partial_")) rest.stripPrefix("partial_") else rest)
+      .takeWhile(_.isDigit).toLong
+  }
+
+  private def retainSnapshot(fs: FileSystem, loc: Path, trashDir: Path,
+      tx: String): Unit = {
+    if (fs.exists(trashDir)) {
+      val snap = new Path(loc, s".graft_snap_${System.currentTimeMillis}_$tx")
+      if (!fs.rename(trashDir, snap)) fs.delete(trashDir, true)
+    }
+    pruneSnapshots(fs, loc)
+  }
+
+  private def pruneSnapshots(fs: FileSystem, loc: Path): Unit =
+    fs.listStatus(loc).map(_.getPath)
+      .filter(_.getName.startsWith(".graft_snap_"))
+      .sortBy(p => snapMillis(p.getName))
+      .dropRight(snapshotKeep)
+      .foreach(p => fs.delete(p, true))
+
+  /** Where a `FOR SYSTEM_TIME AS OF` read of `table` resolves. */
+  private[engine] sealed trait AsOf
+  private[engine] case object AsOfCurrent extends AsOf
+  private[engine] case object AsOfEmpty extends AsOf
+  private[engine] final case class AsOfSnapshot(path: Path) extends AsOf
+
+  /** Resolve a historical read: the snapshot with the smallest commit
+    * boundary AFTER the requested time holds the data that was current
+    * at that time; no boundary after it means the current table
+    * qualifies. A partition-level load boundary in between fails loud —
+    * those commits retain no full image, so the nearest full snapshot
+    * would smuggle in later partition changes.
+    */
+  private[engine] def resolveAsOf(spark: SparkSession, table: String,
+      tsMillis: Long): AsOf = {
+    val loc =
+      try tableLocation(spark, table)
+      catch {
+        case e: Exception => throw new UnsupportedOperationException(
+          s"FOR SYSTEM_TIME AS OF: $table has no storage location (view or " +
+            "temp view?) — time travel needs a parquet table destination", e)
+      }
+    val fs = fsOf(spark, loc)
+    val after = fs.listStatus(loc).map(_.getPath.getName)
+      .filter(_.startsWith(".graft_snap_"))
+      .map(n => (snapMillis(n), n.startsWith(".graft_snap_partial_"), n))
+      .filter(_._1 > tsMillis)
+      .sortBy(_._1)
+    after.headOption match {
+      case None => AsOfCurrent
+      case Some((_, true, _)) =>
+        throw new UnsupportedOperationException(
+          s"FOR SYSTEM_TIME AS OF: a partition-level load on $table sits " +
+            "between the requested time and the nearest full snapshot — " +
+            "time travel spans whole-table rewrites (DML, REPLACE) only")
+      case Some((_, false, name)) =>
+        val p = new Path(loc, name)
+        val hasData = fs.listStatus(p).exists { st =>
+          val n = st.getPath.getName
+          !n.startsWith(".") && !n.startsWith("_") &&
+            (st.isDirectory || st.getLen > 0)
+        }
+        if (hasData) AsOfSnapshot(p) else AsOfEmpty
+    }
   }
 
   private def replay(spark: SparkSession, dest: String, loc: Path): Unit = {
@@ -659,6 +735,12 @@ object PartitionCommit {
     spark.sql(s"MSCK REPAIR TABLE $dest SYNC PARTITIONS")
     spark.catalog.refreshTable(dest)
     fs.delete(stageDir, true)
+    // partition commits keep no full image; the marker makes the
+    // boundary VISIBLE so a time-travel read across it fails loud
+    // instead of returning the nearest full snapshot's wrong data
+    fs.create(new Path(loc,
+      s".graft_snap_partial_${System.currentTimeMillis}_$tx"), true).close()
+    pruneSnapshots(fs, loc)
     fs.delete(trashDir, true)
     fs.delete(journal, false)
   }

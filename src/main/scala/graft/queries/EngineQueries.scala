@@ -917,6 +917,39 @@ object EngineQueries {
           |ORDER BY o_orderstatus""".stripMargin).get
     },
 
+    // --- FOR SYSTEM_TIME AS OF: time travel over rewrite snapshots -----
+    "e49_time_travel" -> { (s, d) =>
+      // BigQuery's time travel falls out of its storage engine; the
+      // parquet engine gets it from the staged-swap commit protocol:
+      // every whole-table rewrite RETAINS the old image as a snapshot,
+      // and the dialect resolves the clause to the snapshot current at
+      // the requested wall-clock time. The gate deletes half the rows,
+      // then reads both the pre-delete state (AS OF a captured ts) and
+      // the current state in one statement.
+      Tables.views(s, d, "orders")
+      freshDb(s, "graft__pg49")
+      s.sql("CREATE TABLE graft__pg49.counts (d STRING, cnt BIGINT) USING PARQUET")
+      s.sql("""INSERT INTO graft__pg49.counts
+              |SELECT date_format(o_orderdate, 'yyyy-MM-dd') AS d, count(1) AS cnt
+              |FROM orders WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-02-01'
+              |GROUP BY 1""".stripMargin)
+      Thread.sleep(5)
+      val tMid = java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+        .withZone(java.time.ZoneOffset.UTC)
+        .format(java.time.Instant.now())
+      Thread.sleep(5)
+      new DmlRunner(s, new TransformRunner(s))
+        .run("DELETE FROM `graft.pg49.counts` WHERE d < '1996-01-10'")
+      new ScriptRunner(s).run(
+        s"""SELECT 'asof' AS version, count(1) AS n_days, sum(cnt) AS n_orders
+           |FROM `graft.pg49.counts` FOR SYSTEM_TIME AS OF TIMESTAMP '$tMid'
+           |UNION ALL
+           |SELECT 'current' AS version, count(1) AS n_days, sum(cnt) AS n_orders
+           |FROM `graft.pg49.counts`
+           |ORDER BY version""".stripMargin).get
+    },
+
     // --- ALLOW_FIELD_RELAXATION: REQUIRED -> NULLABLE on append --------
     "e29_field_relaxation" -> { (s, d) =>
       // The destination declares `note` REQUIRED (engine-managed table
@@ -1393,6 +1426,23 @@ object EngineQueries {
         |FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1996-01-10' AND o_orderdate < TIMESTAMP '1996-02-01'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "e49_time_travel" ->
+      """WITH base AS (
+        |  SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS d, count(1) AS cnt
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-02-01'
+        |  GROUP BY 1
+        |)
+        |SELECT version, n_days, n_orders FROM (
+        |  SELECT 'asof' AS version, CAST(count(1) AS BIGINT) AS n_days,
+        |    CAST(sum(cnt) AS BIGINT) AS n_orders
+        |  FROM base
+        |  UNION ALL
+        |  SELECT 'current' AS version, CAST(count(1) AS BIGINT) AS n_days,
+        |    CAST(sum(cnt) AS BIGINT) AS n_orders
+        |  FROM base WHERE d >= '1996-01-10'
+        |) ORDER BY version""".stripMargin,
 
     "e10_ingestion_time_replace" ->
       """SELECT event_type, cnt, _ingest_date FROM (
