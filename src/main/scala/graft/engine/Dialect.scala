@@ -190,6 +190,101 @@ object Dialect {
     */
   private val systemTimeRe = raw"(?is)\bFOR\s+SYSTEM_TIME\s+AS\s+OF\b".r
 
+  private val vectorSearchRe = raw"(?is)\bFROM\s+VECTOR_SEARCH\s*\(".r
+
+  /** BigQuery `VECTOR_SEARCH(TABLE base, 'col', (query), top_k => N,
+    * distance_type => 'EUCLIDEAN'|'COSINE')` → a brute-force top-k
+    * join producing BigQuery's result shape (query STRUCT, base
+    * STRUCT, distance) — the same semantics BigQuery itself gives an
+    * unindexed table. The distance folds are sequential `aggregate`
+    * built-ins (codegen, engine-reproducible); tie-break is the full
+    * base row struct so results are deterministic. The scale path —
+    * IVF/PQ candidate routing instead of the cross join — is the
+    * [[graft.ops.Embeddings]] API; this surface keeps the SQL
+    * contract.
+    */
+  private def rewriteVectorSearch(sql: String): String = {
+    val m0 = vectorSearchRe.findAllMatchIn(sql)
+      .find(m => !inStringLiteral(sql, m.start))
+      .getOrElse(return sql)
+    val n = sql.length
+    // balanced scan over the call's argument list
+    val argStart = m0.end
+    var j = argStart
+    var depth = 1
+    val argEnds = scala.collection.mutable.ArrayBuffer.empty[Int]
+    while (j < n && depth > 0) {
+      val c = sql.charAt(j)
+      if (c == '\'' || c == '"') {
+        var k = j + 1
+        while (k < n && sql.charAt(k) != c)
+          k += (if (sql.charAt(k) == '\\') 2 else 1)
+        j = math.min(k + 1, n)
+      } else {
+        if (c == '(') depth += 1
+        else if (c == ')') { depth -= 1; if (depth == 0) argEnds += j }
+        else if (c == ',' && depth == 1) argEnds += j
+        j += 1
+      }
+    }
+    if (depth != 0)
+      throw new IllegalArgumentException("unbalanced VECTOR_SEARCH call")
+    val callEnd = j // position after the closing paren
+    val bounds = (argStart +: argEnds.map(_ + 1).dropRight(1)).zip(argEnds)
+    val args = bounds.map { case (a, b) => sql.substring(a, b).trim }
+    if (args.length < 3)
+      throw new IllegalArgumentException(
+        "VECTOR_SEARCH needs (TABLE base, 'column', (query), ...)")
+    val baseRef = {
+      val t = args(0)
+      if (!t.toUpperCase.startsWith("TABLE"))
+        throw new IllegalArgumentException(
+          s"VECTOR_SEARCH first argument must be TABLE <name>, got: $t")
+      t.drop(5).trim
+    }
+    val colName = args(1).stripPrefix("'").stripSuffix("'")
+    val querySql = args(2)
+    var topK = 10
+    var distType = "EUCLIDEAN"
+    args.drop(3).foreach { opt =>
+      val kv = opt.split("=>").map(_.trim)
+      kv(0).toLowerCase match {
+        case "top_k" => topK = kv(1).toInt
+        case "distance_type" =>
+          distType = kv(1).stripPrefix("'").stripSuffix("'").toUpperCase
+        case other => throw new IllegalArgumentException(
+          s"unsupported VECTOR_SEARCH option: $other")
+      }
+    }
+    def fold(pairs: String) =
+      s"aggregate($pairs, cast(0.0 as double), (a, x) -> a + x)"
+    val qc = s"__vs_q.`$colName`"
+    val bc = s"__vs_b.`$colName`"
+    val dist = distType match {
+      case "EUCLIDEAN" => "sqrt(" + fold(
+        s"zip_with($qc, $bc, (x, y) -> (cast(x as double) - cast(y as double))" +
+          " * (cast(x as double) - cast(y as double)))") + ")"
+      case "COSINE" =>
+        val dot = fold(s"zip_with($qc, $bc, (x, y) -> cast(x as double) * cast(y as double))")
+        val nq = fold(s"transform($qc, x -> cast(x as double) * cast(x as double))")
+        val nb = fold(s"transform($bc, x -> cast(x as double) * cast(x as double))")
+        s"1.0 - $dot / (sqrt($nq) * sqrt($nb))"
+      case other => throw new IllegalArgumentException(
+        s"unsupported VECTOR_SEARCH distance_type: $other")
+    }
+    val repl =
+      s"""FROM (SELECT query, base, distance FROM (
+         |  SELECT struct(__vs_q.*) AS query, struct(__vs_b.*) AS base,
+         |    $dist AS distance,
+         |    row_number() OVER (PARTITION BY struct(__vs_q.*)
+         |      ORDER BY $dist, struct(__vs_b.*)) AS __vs_rn
+         |  FROM $querySql __vs_q CROSS JOIN $baseRef __vs_b
+         |) WHERE __vs_rn <= $topK)""".stripMargin
+    // recurse for further calls in the remainder
+    sql.substring(0, m0.start) + repl +
+      rewriteVectorSearch(sql.substring(callEnd))
+  }
+
   /** BigQuery time travel (`FROM t FOR SYSTEM_TIME AS OF <ts expr>`),
     * resolved against the full pre-write images the staged-swap commit
     * protocol retains ([[PartitionCommit]] snapshots): the clause's
@@ -402,7 +497,8 @@ object Dialect {
       // Spark-catalog name the snapshot resolver can DESCRIBE; the
       // lineage path (mapFqns = false) leaves the text untouched — the
       // extractor reads the clause's table as a plain source
-      val mapped = if (mapFqns) mapSourceFqns(sqlNum) else sqlNum
+      val vs = rewriteVectorSearch(sqlNum)
+      val mapped = if (mapFqns) mapSourceFqns(vs) else vs
       if (mapFqns) rewriteSystemTimeClauses(mapped) else mapped
     })(
       // typed literal first: `DATETIME '…'` (wall-clock, no zone) is

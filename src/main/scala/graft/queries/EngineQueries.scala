@@ -950,6 +950,25 @@ object EngineQueries {
            |ORDER BY version""".stripMargin).get
     },
 
+    // --- VECTOR_SEARCH: BigQuery vector search surface over the ANN ---
+    "e50_vector_search" -> { (s, d) =>
+      // BigQuery's VECTOR_SEARCH table function on the Spark engine:
+      // brute-force top-k with BigQuery's (query, base, distance)
+      // result shape — the same plan BigQuery gives an unindexed
+      // table; the IVF/PQ ops are the indexed path. Sequential
+      // double-fold distances so DuckDB replays the identical IEEE
+      // sequence; deterministic struct tie-break.
+      Tables.views(s, d, "embeddings")
+      new ScriptRunner(s).run(
+        """SELECT query.vec_id AS qid, base.vec_id AS nid,
+          |  round(distance, 4) AS dist
+          |FROM VECTOR_SEARCH(
+          |  TABLE embeddings, 'embedding',
+          |  (SELECT * FROM embeddings WHERE vec_id >= 100 AND vec_id < 105),
+          |  top_k => 3, distance_type => 'EUCLIDEAN')
+          |ORDER BY qid, nid""".stripMargin).get
+    },
+
     // --- ALLOW_FIELD_RELAXATION: REQUIRED -> NULLABLE on append --------
     "e29_field_relaxation" -> { (s, d) =>
       // The destination declares `note` REQUIRED (engine-managed table
@@ -1426,6 +1445,25 @@ object EngineQueries {
         |FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1996-01-10' AND o_orderdate < TIMESTAMP '1996-02-01'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "e50_vector_search" ->
+      """WITH q AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  WHERE vec_id >= 100 AND vec_id < 105
+        |), d AS (
+        |  SELECT q.vec_id AS qid, b.vec_id AS nid,
+        |    sqrt(list_reduce(list_transform(range(1, len(b.embedding) + 1),
+        |      i -> (CAST(q.embedding[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE))
+        |         * (CAST(q.embedding[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE))),
+        |      (a, x) -> a + x)) AS dist
+        |  FROM q CROSS JOIN embeddings b
+        |), r AS (
+        |  SELECT qid, nid, dist,
+        |    row_number() OVER (PARTITION BY qid ORDER BY dist, nid) AS rn
+        |  FROM d
+        |)
+        |SELECT qid, nid, round(dist, 4) AS dist
+        |FROM r WHERE rn <= 3 ORDER BY qid, nid""".stripMargin,
 
     "e49_time_travel" ->
       """WITH base AS (

@@ -339,4 +339,46 @@ class DialectExecSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one("SELECT DATETIME_DIFF(DATETIME '2024-01-01 01:59:00', " +
       "DATETIME '2024-01-01 01:00:00', HOUR)") == 0)
   }
+
+  test("VECTOR_SEARCH: euclidean + cosine top-k, BigQuery result shape") {
+    spark.sql(
+      """SELECT * FROM VALUES
+        |  (1, array(1.0D, 0.0D)), (2, array(0.0D, 1.0D)),
+        |  (3, array(1.0D, 1.0D)), (4, array(2.0D, 0.0D))
+        |  AS t(id, v)""".stripMargin)
+      .createOrReplaceTempView("vs_base")
+    // euclidean: nearest to (1,0) is itself (d=0); ids 3 and 4 tie at
+    // d=1 and the struct tie-break keeps the lower id
+    val eu = spark.sql(Dialect.rewrite(
+      """SELECT query.id AS qid, base.id AS nid, round(distance, 3) AS d
+        |FROM VECTOR_SEARCH(TABLE vs_base, 'v',
+        |  (SELECT * FROM vs_base WHERE id = 1),
+        |  top_k => 2, distance_type => 'EUCLIDEAN')
+        |ORDER BY d""".stripMargin))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2))).toSeq
+    assert(eu == Seq((1, 1, 0.0), (1, 3, 1.0)))
+    // cosine: (2,0) is colinear with (1,0) → both distance 0; the
+    // deterministic struct tie-break keeps the lower id first
+    val co = spark.sql(Dialect.rewrite(
+      """SELECT base.id AS nid, round(distance, 3) AS d
+        |FROM VECTOR_SEARCH(TABLE vs_base, 'v',
+        |  (SELECT * FROM vs_base WHERE id = 1),
+        |  top_k => 3, distance_type => 'COSINE')
+        |ORDER BY d, nid""".stripMargin))
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).toSeq
+    assert(co == Seq((1, 0.0), (4, 0.0), (3, 0.293)))
+    // default top_k = 10, default distance EUCLIDEAN
+    val all = spark.sql(Dialect.rewrite(
+      """SELECT count(1) FROM VECTOR_SEARCH(TABLE vs_base, 'v',
+        |  (SELECT * FROM vs_base))""".stripMargin)).collect()(0).getLong(0)
+    assert(all == 16L)
+    // unknown option fails loud, not silently ignored
+    val bad = intercept[IllegalArgumentException] {
+      Dialect.rewrite("SELECT 1 FROM VECTOR_SEARCH(TABLE t, 'v', " +
+        "(SELECT 1), fraction_lists_to_search => 0.1)")
+    }
+    assert(bad.getMessage.contains("fraction_lists_to_search"))
+    // the literal inside a string is not treated as a call site
+    assert(one("SELECT 'FROM VECTOR_SEARCH(' ") == "FROM VECTOR_SEARCH(")
+  }
 }
