@@ -285,6 +285,99 @@ object Dialect {
       rewriteVectorSearch(sql.substring(callEnd))
   }
 
+  private val searchFnRe = raw"(?i)\bSEARCH\s*\(".r
+
+  /** Java/RE2-compatible class of BigQuery's published LOG_ANALYZER
+    * delimiters (space/tab/newline + `[ ] < > ( ) { } | ! ; , ' " * &
+    * ? + / : = @ . - $ % \ _`); the doubled backslashes survive
+    * Spark's string-literal escape processing so the regex reaches
+    * the engine intact.
+    */
+  private val logAnalyzerDelimSql =
+    """[\\s\\[\\]<>(){}|!;,\'"*&?+/:=@.\\-$%\\\\_]+"""
+  private val logAnalyzerDelimJava =
+    """[\s\[\]<>(){}|!;,'"*&?+/:=@.\-$%\\_]+"""
+
+  /** BigQuery full-text `SEARCH(data, 'query'[, analyzer =>
+    * 'LOG_ANALYZER'|'NO_OP_ANALYZER'])` → an inline token-containment
+    * predicate. LOG_ANALYZER (the default) splits both sides on the
+    * published delimiter set and matches case-insensitively: every
+    * query token must appear among the data's tokens — pure codegen
+    * array built-ins, no UDF, scales with the scan. NO_OP_ANALYZER
+    * treats the whole value as one token (case-insensitive equality).
+    * The query must be a string literal (it is tokenized at rewrite
+    * time); PATTERN_ANALYZER and backtick-quoted exact-phrase syntax
+    * stay loud-unsupported rather than silently approximate.
+    */
+  private def rewriteSearchFn(sql: String): String = {
+    val m0 = searchFnRe.findAllMatchIn(sql)
+      .find(m => !inStringLiteral(sql, m.start))
+      .getOrElse(return sql)
+    val n = sql.length
+    val argStart = m0.end
+    var j = argStart
+    var depth = 1
+    val argEnds = scala.collection.mutable.ArrayBuffer.empty[Int]
+    while (j < n && depth > 0) {
+      val c = sql.charAt(j)
+      if (c == '\'' || c == '"') {
+        var k = j + 1
+        while (k < n && sql.charAt(k) != c)
+          k += (if (sql.charAt(k) == '\\') 2 else 1)
+        j = math.min(k + 1, n)
+      } else {
+        if (c == '(') depth += 1
+        else if (c == ')') { depth -= 1; if (depth == 0) argEnds += j }
+        else if (c == ',' && depth == 1) argEnds += j
+        j += 1
+      }
+    }
+    if (depth != 0)
+      throw new IllegalArgumentException("unbalanced SEARCH call")
+    val callEnd = j
+    val bounds = (argStart +: argEnds.map(_ + 1).dropRight(1)).zip(argEnds)
+    val args = bounds.map { case (a, b) => sql.substring(a, b).trim }
+    if (args.length < 2)
+      throw new IllegalArgumentException(
+        "SEARCH needs (data, 'query'[, analyzer => '...'])")
+    val dataExpr = args(0)
+    val qLit = args(1)
+    if (!(qLit.startsWith("'") && qLit.endsWith("'")))
+      throw new IllegalArgumentException(
+        s"SEARCH query must be a string literal, got: $qLit")
+    val query = qLit.substring(1, qLit.length - 1).replace("\\'", "'")
+    if (query.contains("`"))
+      throw new IllegalArgumentException(
+        "SEARCH backtick-quoted phrase matching is not supported")
+    var analyzer = "LOG_ANALYZER"
+    args.drop(2).foreach { opt =>
+      val kv = opt.split("=>").map(_.trim)
+      kv(0).toLowerCase match {
+        case "analyzer" =>
+          analyzer = kv(1).stripPrefix("'").stripSuffix("'").toUpperCase
+        case other => throw new IllegalArgumentException(
+          s"unsupported SEARCH option: $other")
+      }
+    }
+    val repl = analyzer match {
+      case "LOG_ANALYZER" =>
+        val terms = query.toLowerCase.split(logAnalyzerDelimJava)
+          .filter(_.nonEmpty).distinct
+        if (terms.isEmpty) throw new IllegalArgumentException(
+          "SEARCH query tokenizes to nothing under LOG_ANALYZER")
+        val termArr = terms.map(t => s"'$t'").mkString("array(", ", ", ")")
+        s"forall($termArr, __st -> array_contains(" +
+          s"filter(split(lower($dataExpr), '$logAnalyzerDelimSql'), " +
+          s"__sx -> __sx <> ''), __st))"
+      case "NO_OP_ANALYZER" =>
+        s"(lower($dataExpr) = '${query.toLowerCase.replace("'", "\\'")}')"
+      case other => throw new IllegalArgumentException(
+        s"unsupported SEARCH analyzer: $other")
+    }
+    sql.substring(0, m0.start) + "(" + repl + ")" +
+      rewriteSearchFn(sql.substring(callEnd))
+  }
+
   /** BigQuery time travel (`FROM t FOR SYSTEM_TIME AS OF <ts expr>`),
     * resolved against the full pre-write images the staged-swap commit
     * protocol retains ([[PartitionCommit]] snapshots): the clause's
@@ -536,7 +629,10 @@ object Dialect {
     out = rewriteArrayAccess(out)
     out = rewriteStarReplace(out)
     out = rewriteQualify(out)
-    out
+    // LAST: SEARCH() emits split/filter/forall calls that must not
+    // re-enter the function mappers (SPLIT would literal-quote the
+    // delimiter class); its arguments have already been mapped above
+    rewriteSearchFn(out)
   }
 
   private val safeNetPrefixRe =

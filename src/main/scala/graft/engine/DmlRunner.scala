@@ -183,7 +183,18 @@ class DmlRunner(spark: SparkSession, runner: TransformRunner) {
     dispatch(stmt)
   }
 
-  private def dispatch(stmt: String): Unit = stmt match {
+  private def dispatch(stmt: String): Unit = {
+    // snapshot-clone tables are read-only by BigQuery contract: block
+    // every mutation before it touches storage (DROP stays legal —
+    // BigQuery allows deleting a snapshot table)
+    val maskedForRo = maskLiterals(stmt)
+    if (raw"(?is)^\s*DROP\b".r.findFirstIn(maskedForRo).isEmpty)
+      txnTargetRe.findFirstMatchIn(maskedForRo).foreach(m =>
+        CloneRegistry.requireWritable(runner.catalogName(m.group(1))))
+    dispatchMatched(stmt)
+  }
+
+  private def dispatchMatched(stmt: String): Unit = stmt match {
     case MergeTable(destFqn, tAlias, srcTable, sAlias, onCond, whenClauses) =>
       merge(destFqn, tAlias, s"SELECT * FROM ${runner.catalogName(srcTable)}",
         sAlias, onCond, whenClauses)

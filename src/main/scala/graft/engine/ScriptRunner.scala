@@ -36,6 +36,21 @@ class ScriptRunner(spark: SparkSession) {
     raw"(?is)^CREATE\s+(?:OR\s+REPLACE\s+)?TEMP(?:ORARY)?\s+TABLE\s+`?([\w.]+)`?\s+AS\s*\((.+)\)$$|^CREATE\s+(?:OR\s+REPLACE\s+)?TEMP(?:ORARY)?\s+TABLE\s+`?([\w.]+)`?\s+AS\s+(.+)$$".r
   private val createTableAsRe =
     raw"(?is)^CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?(`[\w.-]+`|[\w.-]+)\s*(?:PARTITION\s+BY\s+(\w+)\s*)?AS\s+(.+)$$".r
+  /** BigQuery FQN → the engine's catalog spelling (`proj.ds.t` →
+    * `proj__ds.t`), shared by the CTAS and CLONE destinations.
+    */
+  private def destTableName(raw: String): String = {
+    val (clean, _) = Dialect.normalizeTableName(raw.replace("`", ""))
+    clean.split("\\.") match {
+      case Array(p, dd, t) =>
+        s"${p.replace("-", "_")}__${dd.replace("-", "_")}.$t"
+      case Array(dd, t) => s"${dd.replace("-", "_")}.$t"
+      case _ => clean
+    }
+  }
+
+  private val createCloneRe =
+    raw"(?is)^CREATE\s+(SNAPSHOT\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?(`[\w.-]+`|[\w.-]+)\s+CLONE\s+(`[\w.-]+`|[\w.-]+)\s*(FOR\s+SYSTEM_TIME\s+AS\s+OF\s+.+)?$$".r
   private val createFnJsRe =
     raw"(?is)^CREATE\s+(?:OR\s+REPLACE\s+)?TEMP(?:ORARY)?\s+FUNCTION\s+(\w+).*\bLANGUAGE\s+js\b.*$$".r
   private val createFnRe =
@@ -868,15 +883,26 @@ class ScriptRunner(spark: SparkSession) {
       spark.sql(s"CREATE OR REPLACE TEMPORARY FUNCTION $name($sparkParams)$ret " +
         s"RETURN ${Dialect.rewrite(body)}")
       None
+    case createCloneRe(snapshot, ifNotExists, name, srcName, systemTime) =>
+      // BigQuery `CREATE [SNAPSHOT] TABLE … CLONE src [FOR SYSTEM_TIME
+      // AS OF …]`: materialize the source's image — optionally the
+      // historical one the e49 snapshot resolver serves — as a new
+      // managed table. BigQuery clones are zero-copy-on-write; the
+      // parquet engine materializes, which gives the same read
+      // semantics with no shared mutation. SNAPSHOT tables register
+      // as read-only: later DML against them fails loud (BigQuery
+      // errors there too) instead of silently diverging history.
+      val dest = destTableName(name)
+      val ine = if (ifNotExists != null) "IF NOT EXISTS " else ""
+      val st = Option(systemTime).map(" " + _).getOrElse("")
+      spark.sql(s"CREATE TABLE $ine$dest USING PARQUET AS " +
+        Dialect.rewrite(s"SELECT * FROM $srcName$st"))
+      if (snapshot != null) CloneRegistry.markReadOnly(dest)
+      None
     case createTableAsRe(orReplace, ifNotExists, name, partitionCol, query) =>
       // BigQuery CTAS on a real (non-temp) destination. v1 catalogs
       // reject REPLACE TABLE, so OR REPLACE becomes drop-then-create.
-      val (clean, _) = Dialect.normalizeTableName(name.replace("`", ""))
-      val dest = clean.split("\\.") match {
-        case Array(p, dd, t) => s"${p.replace("-", "_")}__${dd.replace("-", "_")}.$t"
-        case Array(dd, t) => s"${dd.replace("-", "_")}.$t"
-        case _ => clean
-      }
+      val dest = destTableName(name)
       if (orReplace != null) spark.sql(s"DROP TABLE IF EXISTS $dest")
       val ine = if (ifNotExists != null) "IF NOT EXISTS " else ""
       val part = Option(partitionCol).map(c => s" PARTITIONED BY ($c)").getOrElse("")

@@ -969,6 +969,50 @@ object EngineQueries {
           |ORDER BY qid, nid""".stripMargin).get
     },
 
+    // --- SEARCH: BigQuery full-text search predicate -------------------
+    "e51_search_fn" -> { (s, d) =>
+      // BigQuery's SEARCH() over an unindexed column: LOG_ANALYZER
+      // token containment as a codegen predicate — the filter rides
+      // the scan (a search index is a pruning accelerator, not a
+      // semantics change). Punctuated, mixed-case query exercises
+      // both-side tokenization.
+      Tables.views(s, d, "documents")
+      new ScriptRunner(s).run(
+        """SELECT doc_id, lang
+          |FROM documents
+          |WHERE SEARCH(text, 'Vector, (stream)!')
+          |ORDER BY doc_id""".stripMargin).get
+    },
+
+    // --- CREATE [SNAPSHOT] TABLE ... CLONE -----------------------------
+    "e52_clone_snapshot" -> { (s, d) =>
+      // BigQuery table clones on the parquet engine: the clone
+      // captures the source's image at clone time, so DML that later
+      // rewrites the source must not leak into it. The snapshot form
+      // additionally registers read-only (DML against it fails loud —
+      // DmlRunnerSpec proves the gate).
+      Tables.views(s, d, "orders")
+      freshDb(s, "graft__pg52")
+      s.sql("""CREATE TABLE graft__pg52.base (d STRING, cnt BIGINT)
+              |USING PARQUET""".stripMargin)
+      s.sql("""INSERT INTO graft__pg52.base
+              |SELECT date_format(o_orderdate, 'yyyy-MM-dd'), count(1)
+              |FROM orders
+              |WHERE o_orderdate >= '1997-03-01' AND o_orderdate < '1997-03-15'
+              |GROUP BY 1""".stripMargin)
+      val sr = new ScriptRunner(s)
+      sr.run("CREATE SNAPSHOT TABLE `graft.pg52.snap` CLONE `graft.pg52.base`")
+      new DmlRunner(s, new TransformRunner(s)).run(
+        "DELETE FROM `graft.pg52.base` WHERE d >= '1997-03-08'")
+      sr.run(
+        """SELECT 'base' AS src, count(1) AS n_rows, sum(cnt) AS total
+          |FROM `graft.pg52.base`
+          |UNION ALL
+          |SELECT 'clone' AS src, count(1) AS n_rows, sum(cnt) AS total
+          |FROM `graft.pg52.snap`
+          |ORDER BY src""".stripMargin).get
+    },
+
     // --- ALLOW_FIELD_RELAXATION: REQUIRED -> NULLABLE on append --------
     "e29_field_relaxation" -> { (s, d) =>
       // The destination declares `note` REQUIRED (engine-managed table
@@ -1464,6 +1508,36 @@ object EngineQueries {
         |)
         |SELECT qid, nid, round(dist, 4) AS dist
         |FROM r WHERE rn <= 3 ORDER BY qid, nid""".stripMargin,
+
+    "e52_clone_snapshot" ->
+      """WITH g AS (
+        |  SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS d,
+        |    CAST(count(1) AS BIGINT) AS cnt
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1997-03-01'
+        |    AND o_orderdate < TIMESTAMP '1997-03-15'
+        |  GROUP BY 1
+        |)
+        |SELECT * FROM (
+        |  SELECT 'base' AS src, CAST(count(1) AS BIGINT) AS n_rows,
+        |    CAST(sum(cnt) AS BIGINT) AS total
+        |  FROM g WHERE d < '1997-03-08'
+        |  UNION ALL
+        |  SELECT 'clone' AS src, CAST(count(1) AS BIGINT) AS n_rows,
+        |    CAST(sum(cnt) AS BIGINT) AS total
+        |  FROM g
+        |) ORDER BY src""".stripMargin,
+
+    "e51_search_fn" ->
+      """WITH tk AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(regexp_split_to_array(lower(text),
+        |      '[\s\[\]<>(){}|!;,''"*&?+/:=@.\-$%\\_]+'), t -> t != '') AS toks
+        |  FROM documents
+        |)
+        |SELECT doc_id, lang FROM tk
+        |WHERE list_contains(toks, 'vector') AND list_contains(toks, 'stream')
+        |ORDER BY doc_id""".stripMargin,
 
     "e49_time_travel" ->
       """WITH base AS (

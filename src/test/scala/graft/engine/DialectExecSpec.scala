@@ -381,4 +381,32 @@ class DialectExecSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the literal inside a string is not treated as a call site
     assert(one("SELECT 'FROM VECTOR_SEARCH(' ") == "FROM VECTOR_SEARCH(")
   }
+
+  test("SEARCH: LOG_ANALYZER tokenization, NO_OP equality, loud edges") {
+    // all query tokens must appear among the data's tokens,
+    // case-insensitively, split on the delimiter set
+    assert(one("SELECT SEARCH('Fast-scan: the MERGE path', 'merge SCAN')") == true)
+    assert(one("SELECT SEARCH('fast scan merge', 'scan join')") == false)
+    // query punctuation is delimiter noise, not match content
+    assert(one("SELECT SEARCH('a.b/c', '[c, (B)]')") == true)
+    // substrings of a token do NOT match (token-level, not LIKE)
+    assert(one("SELECT SEARCH('scanner', 'scan')") == false)
+    // underscore is a delimiter: snake_case splits
+    assert(one("SELECT SEARCH('load_method', 'method')") == true)
+    // NO_OP_ANALYZER: the whole value is one token
+    assert(one("SELECT SEARCH('Exact Value', 'exact value', " +
+      "analyzer => 'NO_OP_ANALYZER')") == true)
+    assert(one("SELECT SEARCH('Exact Value more', 'exact value', " +
+      "analyzer => 'NO_OP_ANALYZER')") == false)
+    // non-literal query, phrase backticks, unknown analyzer: loud
+    intercept[IllegalArgumentException] {
+      Dialect.rewrite("SELECT SEARCH(x, y) FROM t")
+    }
+    intercept[IllegalArgumentException] {
+      Dialect.rewrite("SELECT SEARCH(x, '`exact phrase`') FROM t")
+    }
+    intercept[IllegalArgumentException] {
+      Dialect.rewrite("SELECT SEARCH(x, 'q', analyzer => 'PATTERN_ANALYZER') FROM t")
+    }
+  }
 }

@@ -593,4 +593,47 @@ class ScriptRunnerSpec extends AnyFunSuite with BeforeAndAfterAll {
         |SELECT msg AS caught""".stripMargin).get
     assert(out.collect().head.getString(0) == "boom")
   }
+
+  test("CREATE TABLE CLONE captures the image; SNAPSHOT form is read-only") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft__clonespec")
+    // DROP leaves the location behind when staged-swap snapshots
+    // remain inside it — scrub dirs so the spec is re-runnable
+    val dbLoc = new java.io.File(
+      spark.catalog.getDatabase("graft__clonespec").locationUri
+        .stripPrefix("file:"))
+    for (t <- Seq("src", "copy1", "frozen")) {
+      spark.sql(s"DROP TABLE IF EXISTS graft__clonespec.$t")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      val loc = new java.io.File(dbLoc, t)
+      if (loc.exists) rm(loc)
+    }
+    spark.sql("CREATE TABLE graft__clonespec.src (k BIGINT) USING PARQUET")
+    spark.sql("INSERT INTO graft__clonespec.src VALUES (1), (2), (3)")
+    val sr = new ScriptRunner(spark)
+    val dml = new DmlRunner(spark, new TransformRunner(spark))
+    sr.run("CREATE TABLE `graft.clonespec.copy1` CLONE `graft.clonespec.src`")
+    sr.run("CREATE SNAPSHOT TABLE `graft.clonespec.frozen` CLONE `graft.clonespec.src`")
+    // mutate the source after both clones: neither clone may change
+    dml.run("DELETE FROM `graft.clonespec.src` WHERE k >= 2")
+    assert(spark.table("graft__clonespec.src").count() == 1L)
+    assert(spark.table("graft__clonespec.copy1").count() == 3L)
+    assert(spark.table("graft__clonespec.frozen").count() == 3L)
+    // the plain clone is writable; the snapshot clone is not
+    dml.run("DELETE FROM `graft.clonespec.copy1` WHERE k = 1")
+    assert(spark.table("graft__clonespec.copy1").count() == 2L)
+    val ro = intercept[IllegalArgumentException] {
+      dml.run("DELETE FROM `graft.clonespec.frozen` WHERE k = 1")
+    }
+    assert(ro.getMessage.contains("read-only"))
+    val roU = intercept[IllegalArgumentException] {
+      dml.run("UPDATE `graft.clonespec.frozen` SET k = 9 WHERE k = 1")
+    }
+    assert(roU.getMessage.contains("read-only"))
+    // DROP of a snapshot table stays legal (BigQuery allows it)
+    dml.run("DROP TABLE `graft.clonespec.frozen`")
+    assert(!spark.catalog.tableExists("graft__clonespec.frozen"))
+  }
 }
