@@ -576,6 +576,176 @@ object Corpus {
           .as("est_intersection"))
   }
 
+  /** Data-constrained training-mix planning: how many epochs can each
+    * source sustain, and how much of its budget slice still teaches?
+    * Unique tokens U per source come from exact content-hash dedup;
+    * each source gets an equal slice of a `budgetMult`·ΣU token
+    * budget; effective tokens follow the published diminishing-
+    * returns fit for repeated data D' = U + U·R*·(1 − e^(−R/R*))
+    * (R = epochs beyond the first, R* ≈ 15.4) — a small source
+    * allotted the same slice as a big one repeats more and wastes
+    * more of it. Slices under one epoch are all-unique (D' = slice).
+    * Exact-integer inputs (60-bit content hash dedup, integer token
+    * sums); exp runs once per SOURCE, never per row.
+    */
+  def dataConstrainedPlan(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", srcCol: String = "source",
+      budgetMult: Double = 4.0, rStar: Double = 15.4): DataFrame = {
+    val uniq = df.select(col(srcCol).as("source"),
+        expr(s"cast(conv(substring(md5($textCol), 1, 15), 16, 10) as bigint)")
+          .as("h"),
+        size(tokens(textCol)).cast(LongType).as("n"))
+      .groupBy(col("source"), col("h")).agg(max(col("n")).as("n"))
+    val perSrc = uniq.groupBy("source")
+      .agg(count(lit(1)).as("n_unique_docs"), sum(col("n")).as("u_tokens"))
+    val totals = perSrc.agg(sum(col("u_tokens")).as("total_u"),
+      count(lit(1)).as("n_sources"))
+    perSrc.crossJoin(broadcast(totals))
+      .withColumn("budget_tokens",
+        round(lit(budgetMult) * col("total_u").cast(DoubleType)
+          / col("n_sources"), 3))
+      .withColumn("epochs", col("budget_tokens") / col("u_tokens"))
+      .withColumn("r", col("epochs") - 1.0)
+      .withColumn("eff_tokens",
+        when(col("r") <= 0.0, col("budget_tokens"))
+          .otherwise(col("u_tokens") * (lit(1.0)
+            + lit(rStar) * (lit(1.0) - exp(col("r") * lit(-1.0 / rStar))))))
+      .select(col("source"), col("n_unique_docs"), col("u_tokens"),
+        col("budget_tokens"), round(col("epochs"), 4).as("epochs"),
+        round(col("eff_tokens"), 3).as("eff_tokens"),
+        round(col("eff_tokens") / col("budget_tokens"), 6).as("utilization"))
+  }
+
+  /** Operating-point sweep for a quality classifier: per-threshold
+    * confusion counts and precision/recall/F1 over an `nBuckets`-wide
+    * score grid (threshold k/n ⇒ predict positive when score ≥ k/n).
+    * The corpus collapses map-side to ≤ nBuckets exact (pos, neg)
+    * integer rows — ONE slim shuffle; the cumulative window and every
+    * ratio run on the grid, never the corpus (the global window is
+    * nBuckets rows — documented-bounded, like the Zipf curve).
+    */
+  def thresholdSweep(df: DataFrame, scoreCol: Column, labelCol: Column,
+      nBuckets: Int = 20): DataFrame = {
+    val counts = df.select(
+        least(greatest(floor(scoreCol * nBuckets), lit(0)),
+          lit(nBuckets - 1)).cast(IntegerType).as("bucket"),
+        labelCol.as("lab"))
+      .groupBy("bucket").agg(
+        sum(when(col("lab"), 1L).otherwise(0L)).as("pos"),
+        sum(when(!col("lab"), 1L).otherwise(0L)).as("neg"))
+    val grid = df.sparkSession.range(nBuckets)
+      .select(col("id").cast(IntegerType).as("bucket"))
+    val full = grid.join(counts, Seq("bucket"), "left")
+      .na.fill(0L, Seq("pos", "neg"))
+    val totals = full.agg(sum(col("pos")).as("tot_pos"),
+      sum(col("neg")).as("tot_neg"))
+    val cum = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    def ratio(num: Column, den: Column) =
+      when(den > 0, round(num.cast(DoubleType) / den, 6))
+    full.crossJoin(broadcast(totals))
+      .withColumn("tp", sum(col("pos")).over(cum))
+      .withColumn("fp", sum(col("neg")).over(cum))
+      .withColumn("fn", col("tot_pos") - col("tp"))
+      .withColumn("tn", col("tot_neg") - col("fp"))
+      .select(col("bucket"),
+        round(col("bucket").cast(DoubleType) / nBuckets, 6).as("threshold"),
+        col("tp"), col("fp"), col("fn"), col("tn"),
+        ratio(col("tp"), col("tp") + col("fp")).as("precision"),
+        ratio(col("tp"), col("tot_pos")).as("recall"),
+        ratio(col("tp") * 2, col("tp") * 2 + col("fp") + col("fn")).as("f1"))
+  }
+
+  /** Soft dedup: instead of deleting exact duplicates, down-weight
+    * them so a cluster of c identical copies contributes one
+    * document's worth of training mass (the sampling-weight form of
+    * exact dedup — keeps coverage, kills over-representation).
+    * Per-doc weight = ⌊10⁶/c⌋ ppm, so downstream effective-token
+    * accounting is an EXACT BIGINT sum — reproducible on any engine
+    * and any partitioning, no cross-row float folds. One slim
+    * (hash → count) shuffle; text never moves.
+    */
+  def softDedupWeights(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", srcCol: String = "source"): DataFrame = {
+    val withH = df.select(col(idCol), col(srcCol).as("source"),
+      expr(s"cast(conv(substring(md5($textCol), 1, 15), 16, 10) as bigint)")
+        .as("h"),
+      size(tokens(textCol)).cast(LongType).as("n_toks"))
+    val clusters = withH.groupBy(col("h")).agg(count(lit(1)).as("cluster_size"))
+    withH.join(clusters, "h")
+      .select(col(idCol), col("source"), col("cluster_size"),
+        expr("1000000 div cluster_size").as("weight_ppm"), col("n_toks"))
+  }
+
+  /** Interpolated Kneser-Ney bigram probabilities (the KenLM recipe
+    * at order 2): P(b|a) = (max(c(ab)−d, 0) + d·N1+(a·)·Pcont(b)) /
+    * c(a·), with Pcont(b) = N1+(·b)/N1+(··) — the continuation counts
+    * that make "francisco" cheap after "san" and expensive elsewhere.
+    * Every count is an exact map-side-combined integer; the float
+    * formula is a fixed sequence of scalar IEEE ops per BIGRAM (no
+    * cross-row float folds), so probabilities replay bit-for-bit on
+    * any engine. Count tables are vocab²-sized; nothing doc-sized
+    * survives the first aggregate.
+    */
+  def kneserNeyBigrams(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", discount: Double = 0.75,
+      topN: Int = 40): DataFrame = {
+    val toks = df
+      .select(col(idCol), tokens(textCol).as("toks"))
+      // one-token docs make sequence(1, 0) DESCEND ([1, 0]) and
+      // element_at(toks, 0) throw — same guard as the surprisal ops
+      .where(size(col("toks")) >= 2)
+    val bi = toks.select(explode(expr(
+        """transform(sequence(1, size(toks) - 1),
+          |  i -> struct(element_at(toks, i) AS a, element_at(toks, i + 1) AS b))"""
+          .stripMargin)).as("p"))
+      .select(col("p.a"), col("p.b"))
+      .where(col("a") =!= "" && col("b") =!= "")
+      .groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+    val fromA = bi.groupBy("a")
+      .agg(sum(col("c_ab")).as("c_a"), count(lit(1)).as("n1p_a"))
+    val contB = bi.groupBy("b").agg(count(lit(1)).as("n1p_b"))
+    val total = bi.agg(count(lit(1)).as("n1p_total"))
+    bi.join(fromA, "a").join(contB, "b").crossJoin(broadcast(total))
+      .withColumn("p_cont",
+        col("n1p_b").cast(DoubleType) / col("n1p_total"))
+      .withColumn("p_kn", round(
+        (greatest(col("c_ab") - discount, lit(0.0))
+          + lit(discount) * col("n1p_a") * col("p_cont")) / col("c_a"), 6))
+      .orderBy(col("c_ab").desc, col("a"), col("b")).limit(topN)
+      .select(col("a"), col("b"), col("c_ab"), col("c_a"), col("n1p_a"),
+        col("n1p_b"), col("n1p_total"), round(col("p_cont"), 6).as("p_cont"),
+        col("p_kn"))
+  }
+
+  /** Cross-lingual bitext candidate mining: translated page pairs
+    * share the untranslatable tokens — numbers (dates, ids,
+    * quantities). Each doc is keyed by its distinct ≥3-digit numeral
+    * tokens; numerals appearing in 2..dfCap docs build a slim
+    * inverted index ((numeral, id, lang) rows only — text never
+    * shuffles); pairs in DIFFERENT languages sharing ≥ minShared rare
+    * numerals surface as alignment candidates. The df cap bounds
+    * bucket fan-out exactly like the containment index — a numeral on
+    * every page (a year, a version) can never go quadratic.
+    */
+  def bitextCandidates(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", langCol: String = "lang",
+      minShared: Int = 2, dfCap: Int = 8): DataFrame = {
+    val nums = df.select(col(idCol).as("id"), col(langCol).as("lang"),
+        explode(array_distinct(
+          expr(s"regexp_extract_all($textCol, '[0-9]{3,}', 0)"))).as("num"))
+    val rare = nums.groupBy("num").agg(count(lit(1)).as("df"))
+      .where(col("df") >= 2 && col("df") <= dfCap)
+      .select("num")
+    val slim = nums.join(rare, "num")
+    slim.as("x").join(slim.as("y"),
+        col("x.num") === col("y.num") && col("x.lang") < col("y.lang"))
+      .groupBy(col("x.id").as("a"), col("x.lang").as("a_lang"),
+        col("y.id").as("b"), col("y.lang").as("b_lang"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   /** Unicode-script profile: per-doc code-point counts for the major
     * scripts (Latin, Cyrillic, Greek, Han, Arabic) plus a dominant-
     * script label — the script-detection stage multilingual corpus

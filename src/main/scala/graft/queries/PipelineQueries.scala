@@ -3218,6 +3218,124 @@ object PipelineQueries {
       graft.ops.Corpus.kmvOverlap(
         docs.where(col("doc_id") % 4 =!= 0),
         docs.where(col("doc_id") % 2 === 0))
+    },
+
+    // --- data-constrained mixture planning (epoching math) --------------
+    "d126_data_constrained_plan" -> { (s, d) =>
+      // Epoching math for a fixed token budget: unique tokens per
+      // source via exact content dedup, an equal slice of a 4×-unique
+      // budget, and the published diminishing-returns fit for repeated
+      // data (D' = U + U·R*·(1−e^(−R/R*))) — the per-source numbers
+      // that say "stop repeating this slice, crawl more instead". A
+      // planted duplicate tail proves dedup feeds the U column.
+      val docs = t(s, d, "documents")
+      val corpus = docs.unionByName(
+        docs.where(col("doc_id") % 9 === 0)
+          .withColumn("doc_id", col("doc_id") + 8200000L))
+      graft.ops.Corpus.dataConstrainedPlan(corpus)
+        .orderBy(col("source"))
+    },
+
+    // --- classifier operating-point sweep (PR curve) --------------------
+    "d127_threshold_sweep" -> { (s, d) =>
+      // The full operating curve BEFORE a score gates the corpus:
+      // per-threshold confusion counts and precision/recall/F1 on a
+      // 20-point grid (d116's AUC collapses this to one number; this
+      // is the table you pick the cut from). The corpus folds map-side
+      // to 20 exact integer rows — the window runs on the grid.
+      val docs = t(s, d, "documents")
+      val scored = graft.ops.Corpus.qualityScore(docs)
+      graft.ops.Corpus.thresholdSweep(scored, col("quality"),
+          col("n_tokens") >= 40L)
+        .orderBy(col("bucket"))
+    },
+
+    // --- soft dedup: down-weight, don't delete --------------------------
+    "d128_soft_dedup_weights" -> { (s, d) =>
+      // The sampling-weight form of exact dedup: a cluster of c
+      // identical copies keeps every row at ⌊10⁶/c⌋ ppm — coverage
+      // preserved, over-representation gone. Planted double and
+      // triple copies exercise c ∈ {2, 3}; per-source effective-token
+      // accounting stays an exact BIGINT sum.
+      val docs = t(s, d, "documents")
+      val corpus = docs
+        .unionByName(docs.where(col("doc_id") % 9 === 0)
+          .withColumn("doc_id", col("doc_id") + 8300000L))
+        .unionByName(docs.where(col("doc_id") % 27 === 0)
+          .withColumn("doc_id", col("doc_id") + 8400000L))
+      graft.ops.Corpus.softDedupWeights(corpus)
+        .groupBy(col("source")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("gross_tokens"),
+          sum(col("n_toks") * col("weight_ppm")).as("eff_tokens_e6"))
+        .withColumn("eff_tokens",
+          round(col("eff_tokens_e6").cast(DoubleType) / 1000000.0, 3))
+        .withColumn("dup_overhead",
+          round(col("gross_tokens").cast(DoubleType) / col("eff_tokens"), 6))
+        .orderBy(col("source"))
+    },
+
+    // --- cross-lingual bitext candidate mining --------------------------
+    "d129_bitext_candidates" -> { (s, d) =>
+      // Translated page pairs share the untranslatable tokens —
+      // numbers. Planted en/fr doc pairs carry three rare numerals
+      // (injective residues → df exactly 2) plus one numeral common
+      // to every plant that the df cap must drop; candidates are
+      // cross-language pairs sharing ≥ 2 surviving numerals.
+      val docs = t(s, d, "documents")
+      val base = docs.where(col("doc_id") % 11 === 0)
+      def sig(prefix: String) = concat(lit(prefix),
+        (col("doc_id") * 7919 % 90000 + 10000).cast(StringType), lit(" "),
+        (col("doc_id") * 104729 % 900000 + 100000).cast(StringType), lit(" "),
+        (col("doc_id") * 29 % 9000000 + 1000000).cast(StringType),
+        lit(" 555000"))
+      val en = base.select((col("doc_id") + 8500000L).as("doc_id"),
+        sig("station report ").as("text"), lit("en").as("lang"))
+      val fr = base.select((col("doc_id") + 8600000L).as("doc_id"),
+        sig("rapport de station ").as("text"), lit("fr").as("lang"))
+      val corpus = docs.select(col("doc_id"), col("text"), col("lang"))
+        .unionByName(en).unionByName(fr)
+      graft.ops.Corpus.bitextCandidates(corpus)
+        .orderBy(col("a"), col("b"))
+    },
+
+    // --- Kneser-Ney bigram LM (continuation-smoothed) -------------------
+    "d130_kneser_ney_bigrams" -> { (s, d) =>
+      // The LM behind perplexity filtering, trained IN the engine:
+      // interpolated Kneser-Ney at order 2, where continuation counts
+      // price a word by how many contexts it follows, not how often it
+      // occurs. Exact integer counts; one scalar float formula per
+      // BIGRAM (never a cross-row float fold); top-40 by raw count
+      // with a deterministic (a, b) tie-break.
+      graft.ops.Corpus.kneserNeyBigrams(t(s, d, "documents"))
+    },
+
+    // --- perplexity head/middle/tail buckets (rank-based) ---------------
+    "d131_perplexity_tertiles" -> { (s, d) =>
+      // The head/middle/tail split web-corpus releases ship: the
+      // integer-exact unigram surprisal signal (d80) feeds per-source
+      // ntile(3) — RANK-based buckets, so no float quantile has to
+      // agree across engines. Per-source windows only (domain-sized
+      // partitions, the d119 rule); the tf stream shuffles once.
+      val (tf, out) = perplexityTertilesPlan(s, d)
+      val result = out.localCheckpoint(true)
+      tf.unpersist()
+      result
+    },
+
+    // --- l-diversity audit (the attack k-anonymity misses) --------------
+    "d132_l_diversity" -> { (s, d) =>
+      // A cell can be k-anonymous and still leak: if all 40 docs of a
+      // (lang, length-bucket) group come from ONE source, group
+      // membership reveals the source. l-diversity requires ≥ l
+      // distinct sensitive values per quasi-identifier group; both
+      // counts collapse in one exact-integer aggregate.
+      t(s, d, "documents")
+        .groupBy(col("lang"), expr("n_chars div 100").as("len_bucket"))
+        .agg(count(lit(1)).as("k_count"),
+          countDistinct(col("source")).as("l_count"))
+        .withColumn("diverse", col("l_count") >= 3)
+        .orderBy(col("lang"), col("len_bucket"))
     }
   )
 
@@ -3439,6 +3557,44 @@ object PipelineQueries {
         .otherwise(lit("assistant")).as("role"),
       concat(col("event_type"), lit(":"),
         get_json_object(col("props"), "$.k")).as("content")))
+
+  /** d131's pre-checkpoint plan, shared with the plan audit (the
+    * gate's eager checkpoint hides it from the executed plan): d80's
+    * tf → mean-bits signal joined to sources, per-source ntile(3),
+    * tertile accounting. Caller owns the returned tf persist.
+    */
+  private[graft] def perplexityTertilesPlan(s: SparkSession,
+      d: String): (DataFrame, DataFrame) = {
+    val docs = t(s, d, "documents")
+    val tf = docs
+      .select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+      .where(col("term") =!= "")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .persist()
+    val counts = tf.groupBy("term").agg(sum(col("tf")).as("c"))
+      .withColumn("bits", length(bin(col("c"))).cast(LongType))
+    val perDoc = tf.join(counts, "term")
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_tok"),
+        sum(col("tf") * col("bits")).as("sum_bits"))
+      .withColumn("mean_bits_permille", expr("sum_bits * 1000 div n_tok"))
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("mean_bits_permille"), col("doc_id"))
+    val out = perDoc.withColumn("tertile", ntile(3).over(w))
+      .groupBy(col("source"), col("tertile"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tokens"),
+        min(col("mean_bits_permille")).as("min_permille"),
+        max(col("mean_bits_permille")).as("max_permille"))
+      .withColumn("bucket",
+        when(col("tertile") === 1, lit("head"))
+          .when(col("tertile") === 2, lit("middle"))
+          .otherwise(lit("tail")))
+      .orderBy(col("source"), col("tertile"))
+    (tf, out)
+  }
 
   private[graft] def bigramSurprisalPlan(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val toks = t(s, d, "documents")
@@ -4345,6 +4501,226 @@ object PipelineQueries {
           |  round(CAST(n_shared_below AS DOUBLE) * 1152921504606846976
           |    / (SELECT theta FROM th), 3) AS est_intersection
           |FROM sh""".stripMargin,
+
+      "d126_data_constrained_plan" ->
+        """WITH corpus AS (
+          |  SELECT doc_id, text, source FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 8200000, text, source FROM documents
+          |  WHERE doc_id % 9 = 0
+          |), uniq AS (
+          |  SELECT source, ('0x' || substring(md5(text), 1, 15))::BIGINT AS h,
+          |    max(len(regexp_split_to_array(lower(trim(text)), '\s+'))) AS n
+          |  FROM corpus GROUP BY 1, 2
+          |), per AS (
+          |  SELECT source, CAST(count(*) AS BIGINT) AS n_unique_docs,
+          |    CAST(sum(n) AS BIGINT) AS u_tokens
+          |  FROM uniq GROUP BY 1
+          |), tot AS (
+          |  SELECT CAST(sum(u_tokens) AS BIGINT) AS total_u,
+          |    count(*) AS n_sources FROM per
+          |), calc AS (
+          |  SELECT source, n_unique_docs, u_tokens,
+          |    round(4.0 * total_u / n_sources, 3) AS budget_tokens
+          |  FROM per, tot
+          |), calc2 AS (
+          |  SELECT *, budget_tokens / u_tokens AS epochs,
+          |    budget_tokens / u_tokens - 1 AS r
+          |  FROM calc
+          |), eff AS (
+          |  SELECT *, CASE WHEN r <= 0 THEN budget_tokens
+          |    ELSE u_tokens * (1.0 + 15.4 * (1.0 - exp(r * (-1.0 / 15.4))))
+          |    END AS eff_tokens
+          |  FROM calc2
+          |)
+          |SELECT source, n_unique_docs, u_tokens, budget_tokens,
+          |  round(epochs, 4) AS epochs, round(eff_tokens, 3) AS eff_tokens,
+          |  round(eff_tokens / budget_tokens, 6) AS utilization
+          |FROM eff ORDER BY source""".stripMargin,
+
+      "d127_threshold_sweep" ->
+        """WITH base AS (
+          |  SELECT doc_id, text,
+          |    regexp_split_to_array(lower(trim(text)), '\s+') AS toks,
+          |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS alpha_chars
+          |  FROM documents
+          |), q AS (
+          |  SELECT CAST(len(toks) AS BIGINT) AS n_tokens,
+          |    0.4 * least(1.0, CAST(len(toks) AS DOUBLE) / 100.0)
+          |      + 0.3 * (CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+          |               / CAST(len(toks) AS DOUBLE))
+          |      + 0.3 * (CAST(alpha_chars AS DOUBLE) / CAST(length(text) AS DOUBLE)) AS quality
+          |  FROM base
+          |), bk AS (
+          |  SELECT CAST(least(greatest(floor(quality * 20), 0), 19) AS INT) AS bucket,
+          |    (n_tokens >= 40) AS lab
+          |  FROM q
+          |), counts AS (
+          |  SELECT bucket,
+          |    CAST(sum(CASE WHEN lab THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+          |    CAST(sum(CASE WHEN NOT lab THEN 1 ELSE 0 END) AS BIGINT) AS neg
+          |  FROM bk GROUP BY 1
+          |), grid AS (
+          |  SELECT CAST(range AS INT) AS bucket, COALESCE(pos, 0) AS pos,
+          |    COALESCE(neg, 0) AS neg
+          |  FROM range(0, 20) LEFT JOIN counts ON range = bucket
+          |), cum AS (
+          |  SELECT bucket,
+          |    CAST(sum(pos) OVER (ORDER BY bucket ROWS BETWEEN CURRENT ROW
+          |      AND UNBOUNDED FOLLOWING) AS BIGINT) AS tp,
+          |    CAST(sum(neg) OVER (ORDER BY bucket ROWS BETWEEN CURRENT ROW
+          |      AND UNBOUNDED FOLLOWING) AS BIGINT) AS fp,
+          |    CAST((SELECT sum(pos) FROM grid) AS BIGINT) AS tot_pos,
+          |    CAST((SELECT sum(neg) FROM grid) AS BIGINT) AS tot_neg
+          |  FROM grid
+          |)
+          |SELECT bucket, round(CAST(bucket AS DOUBLE) / 20, 6) AS threshold,
+          |  tp, fp, tot_pos - tp AS fn, tot_neg - fp AS tn,
+          |  CASE WHEN tp + fp > 0
+          |    THEN round(CAST(tp AS DOUBLE) / (tp + fp), 6) END AS precision,
+          |  CASE WHEN tot_pos > 0
+          |    THEN round(CAST(tp AS DOUBLE) / tot_pos, 6) END AS recall,
+          |  CASE WHEN tp * 2 + fp + (tot_pos - tp) > 0
+          |    THEN round(CAST(tp * 2 AS DOUBLE) / (tp * 2 + fp + (tot_pos - tp)), 6)
+          |    END AS f1
+          |FROM cum ORDER BY bucket""".stripMargin,
+
+      "d128_soft_dedup_weights" ->
+        """WITH corpus AS (
+          |  SELECT doc_id, text, source FROM documents
+          |  UNION ALL SELECT doc_id + 8300000, text, source FROM documents
+          |    WHERE doc_id % 9 = 0
+          |  UNION ALL SELECT doc_id + 8400000, text, source FROM documents
+          |    WHERE doc_id % 27 = 0
+          |), h AS (
+          |  SELECT doc_id, source,
+          |    ('0x' || substring(md5(text), 1, 15))::BIGINT AS h,
+          |    CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS n_toks
+          |  FROM corpus
+          |), c AS (
+          |  SELECT h, CAST(count(*) AS BIGINT) AS cluster_size FROM h GROUP BY 1
+          |), j AS (
+          |  SELECT doc_id, source, n_toks,
+          |    1000000 // cluster_size AS weight_ppm
+          |  FROM h JOIN c USING (h)
+          |), agg AS (
+          |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+          |    CAST(sum(n_toks) AS BIGINT) AS gross_tokens,
+          |    CAST(sum(n_toks * weight_ppm) AS BIGINT) AS eff_tokens_e6
+          |  FROM j GROUP BY 1
+          |), r AS (
+          |  SELECT *, round(CAST(eff_tokens_e6 AS DOUBLE) / 1000000.0, 3) AS eff_tokens
+          |  FROM agg
+          |)
+          |SELECT source, n_docs, gross_tokens, eff_tokens_e6, eff_tokens,
+          |  round(CAST(gross_tokens AS DOUBLE) / eff_tokens, 6) AS dup_overhead
+          |FROM r ORDER BY source""".stripMargin,
+
+      "d129_bitext_candidates" ->
+        """WITH plants AS (
+          |  SELECT doc_id FROM documents WHERE doc_id % 11 = 0
+          |), en AS (
+          |  SELECT doc_id + 8500000 AS id, 'en' AS lang,
+          |    'station report ' || CAST(doc_id * 7919 % 90000 + 10000 AS VARCHAR)
+          |    || ' ' || CAST(doc_id * 104729 % 900000 + 100000 AS VARCHAR)
+          |    || ' ' || CAST(doc_id * 29 % 9000000 + 1000000 AS VARCHAR)
+          |    || ' 555000' AS text
+          |  FROM plants
+          |), fr AS (
+          |  SELECT doc_id + 8600000 AS id, 'fr' AS lang,
+          |    'rapport de station ' || CAST(doc_id * 7919 % 90000 + 10000 AS VARCHAR)
+          |    || ' ' || CAST(doc_id * 104729 % 900000 + 100000 AS VARCHAR)
+          |    || ' ' || CAST(doc_id * 29 % 9000000 + 1000000 AS VARCHAR)
+          |    || ' 555000' AS text
+          |  FROM plants
+          |), corpus AS (
+          |  SELECT doc_id AS id, lang, text FROM documents
+          |  UNION ALL SELECT id, lang, text FROM en
+          |  UNION ALL SELECT id, lang, text FROM fr
+          |), nums AS (
+          |  SELECT id, lang,
+          |    unnest(list_distinct(regexp_extract_all(text, '[0-9]{3,}'))) AS num
+          |  FROM corpus
+          |), rare AS (
+          |  SELECT num FROM nums GROUP BY num HAVING count(*) BETWEEN 2 AND 8
+          |), slim AS (
+          |  SELECT id, lang, num FROM nums JOIN rare USING (num)
+          |)
+          |SELECT x.id AS a, x.lang AS a_lang, y.id AS b, y.lang AS b_lang,
+          |  CAST(count(*) AS BIGINT) AS n_shared
+          |FROM slim x JOIN slim y ON x.num = y.num AND x.lang < y.lang
+          |GROUP BY 1, 2, 3, 4 HAVING count(*) >= 2
+          |ORDER BY a, b""".stripMargin,
+
+      "d130_kneser_ney_bigrams" ->
+        """WITH tk AS (
+          |  SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+          |  FROM documents
+          |), pr AS (
+          |  SELECT toks[i] AS a, toks[i+1] AS b
+          |  FROM tk, unnest(range(1, len(toks))) AS r(i)
+          |  WHERE toks[i] != '' AND toks[i+1] != ''
+          |), bi AS (
+          |  SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab FROM pr GROUP BY 1, 2
+          |), fa AS (
+          |  SELECT a, CAST(sum(c_ab) AS BIGINT) AS c_a,
+          |    CAST(count(*) AS BIGINT) AS n1p_a
+          |  FROM bi GROUP BY 1
+          |), cb AS (
+          |  SELECT b, CAST(count(*) AS BIGINT) AS n1p_b FROM bi GROUP BY 1
+          |), tot AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS n1p_total FROM bi
+          |), sc AS (
+          |  SELECT a, b, c_ab, c_a, n1p_a, n1p_b, n1p_total,
+          |    CAST(n1p_b AS DOUBLE) / n1p_total AS p_cont
+          |  FROM bi JOIN fa USING (a) JOIN cb USING (b), tot
+          |)
+          |SELECT a, b, c_ab, c_a, n1p_a, n1p_b, n1p_total,
+          |  round(p_cont, 6) AS p_cont,
+          |  round((greatest(c_ab - 0.75, 0.0) + 0.75 * n1p_a * p_cont) / c_a, 6)
+          |    AS p_kn
+          |FROM sc
+          |ORDER BY c_ab DESC, a, b LIMIT 40""".stripMargin,
+
+      "d131_perplexity_tertiles" ->
+        """WITH tf AS (
+          |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+          |  FROM (SELECT doc_id,
+          |      unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+          |    FROM documents)
+          |  WHERE term != '' GROUP BY 1, 2
+          |), counts AS (
+          |  SELECT term, CAST(length(bin(CAST(sum(tf) AS BIGINT))) AS BIGINT) AS bits
+          |  FROM tf GROUP BY 1
+          |), per_doc AS (
+          |  SELECT tf.doc_id, CAST(sum(tf) AS BIGINT) AS n_tok,
+          |    CAST(sum(tf * bits) AS BIGINT) AS sum_bits
+          |  FROM tf JOIN counts USING (term) GROUP BY 1
+          |), src AS (
+          |  SELECT p.doc_id, d.source, p.n_tok,
+          |    p.sum_bits * 1000 // p.n_tok AS mean_bits_permille
+          |  FROM per_doc p JOIN documents d ON p.doc_id = d.doc_id
+          |), tiled AS (
+          |  SELECT source, n_tok, mean_bits_permille,
+          |    ntile(3) OVER (PARTITION BY source
+          |      ORDER BY mean_bits_permille, doc_id) AS tertile
+          |  FROM src
+          |)
+          |SELECT source, tertile, CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(sum(n_tok) AS BIGINT) AS tokens,
+          |  CAST(min(mean_bits_permille) AS BIGINT) AS min_permille,
+          |  CAST(max(mean_bits_permille) AS BIGINT) AS max_permille,
+          |  CASE tertile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+          |    ELSE 'tail' END AS bucket
+          |FROM tiled GROUP BY 1, 2 ORDER BY source, tertile""".stripMargin,
+
+      "d132_l_diversity" ->
+        """SELECT lang, n_chars // 100 AS len_bucket,
+          |  CAST(count(*) AS BIGINT) AS k_count,
+          |  CAST(count(DISTINCT source) AS BIGINT) AS l_count,
+          |  count(DISTINCT source) >= 3 AS diverse
+          |FROM documents
+          |GROUP BY 1, 2 ORDER BY lang, len_bucket""".stripMargin,
 
       "d120_annotator_kappa" ->
         """WITH base AS (

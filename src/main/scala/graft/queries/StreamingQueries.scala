@@ -99,6 +99,10 @@ object StreamingQueries {
 
     "s22_stream_rocksdb_recovery" -> { (s, d) =>
       StreamingOps.runBoundedRocksDbRecovery(s, d, "s22_sink")
+    },
+
+    "s23_stream_drift_monitor" -> { (s, d) =>
+      StreamingOps.runBoundedDriftMonitor(s, d, "s23_sink")
     }
   )
 
@@ -181,6 +185,32 @@ object StreamingQueries {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // batch restatement of the streamed (day, type) counts + the same
+    // integer TV fold over the complete day×type grid
+    "s23_stream_drift_monitor" ->
+      """WITH c AS (
+        |  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |    event_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2
+        |), dt AS (
+        |  SELECT day, CAST(sum(n) AS BIGINT) AS n_day FROM c GROUP BY 1
+        |), g AS (
+        |  SELECT event_type, CAST(sum(n) AS BIGINT) AS g FROM c GROUP BY 1
+        |), gt AS (SELECT CAST(sum(g) AS BIGINT) AS g_total FROM g
+        |), fgrid AS (
+        |  SELECT dt.day, dt.n_day, g.event_type, g.g,
+        |    COALESCE(c.n, 0) AS n
+        |  FROM dt CROSS JOIN g
+        |  LEFT JOIN c ON c.day = dt.day AND c.event_type = g.event_type
+        |), d AS (
+        |  SELECT day, n_day,
+        |    abs(n * 1000 // n_day - g * 1000 // (SELECT g_total FROM gt)) AS diff
+        |  FROM fgrid
+        |)
+        |SELECT day, n_day, CAST(sum(diff) // 2 AS BIGINT) AS tv_permille,
+        |  sum(diff) // 2 >= 100 AS drifted
+        |FROM d GROUP BY 1, 2 ORDER BY day""".stripMargin,
 
     // same batch restatement as s01 — the state backend swap (RocksDB
     // vs default HDFS-backed) must be invisible to the results

@@ -1071,4 +1071,49 @@ object StreamingOps {
       .withColumn("rn", row_number().over(w)).where(col("rn") === 1).drop("rn")
       .orderBy(col("user_id"))
   }
+
+  /** Streaming distribution-drift monitor: per event-time day, the
+    * total-variation distance (permille) between that day's event-type
+    * mix and the whole-run mix — the alert a pipeline fires when a
+    * source changes behavior mid-crawl. The STREAM holds only
+    * watermarked (day, type) counts — state is days×types,
+    * vocabulary-sized, never per-event; the TV fold runs batch-side on
+    * the tiny sink table over the COMPLETE day×type grid (absent cells
+    * count as zero, so a type that vanishes for a day still registers
+    * as drift). Integer permille math end to end — engine-exact.
+    */
+  def runBoundedDriftMonitor(spark: SparkSession, sfDir: String,
+      queryName: String): DataFrame = {
+    val agg = boundedEventStream(spark, sfDir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val q = withStatePartitions(spark, 8)(agg.writeStream
+      .option("checkpointLocation", ckpt())
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("complete")
+      .start())
+    try q.processAllAvailable() finally q.stop()
+    // the sink table is days×types rows; checkpoint it so the three
+    // derivations below (day totals × type totals ⟕ cells) join as
+    // clean re-instanced relations, not conflicting self-references
+    val counts = spark.table(queryName)
+      .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("n"))
+      .localCheckpoint(true)
+    val dayTotals = counts.groupBy("day").agg(sum(col("n")).as("n_day"))
+    val global = counts.groupBy("event_type").agg(sum(col("n")).as("g"))
+    val gTotal = global.agg(sum(col("g")).as("g_total"))
+    dayTotals.crossJoin(global) // complete day×type grid — tiny
+      .join(counts, Seq("day", "event_type"), "left")
+      .na.fill(0L, Seq("n"))
+      .crossJoin(broadcast(gTotal))
+      .withColumn("diff", abs(expr("n * 1000 div n_day")
+        - expr("g * 1000 div g_total")))
+      .groupBy(col("day"), col("n_day"))
+      .agg(expr("sum(diff) div 2").as("tv_permille"))
+      .withColumn("drifted", col("tv_permille") >= 100)
+      .orderBy(col("day"))
+  }
 }

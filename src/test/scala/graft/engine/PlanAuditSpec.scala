@@ -1047,4 +1047,78 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("SinglePartition"),
       s"curriculum rank must stay per-domain — a global sort would serialize:\n$p")
   }
+
+  test("d126 epoch plan: text never shuffles; totals broadcast to the source table") {
+    val df = PipelineQueries.queries("d126_data_constrained_plan")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      .split("== Initial Plan ==").head
+    // dedup + per-source rollup shuffle only (source, hash, count)
+    // ints; the one-row totals frame broadcasts back
+    val leaked = shuffledInputs(p).filter(_.contains("text#"))
+    assert(leaked.isEmpty, s"doc text crossed an exchange: $leaked\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"corpus totals must broadcast, not shuffle-join:\n$p")
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 4,
+      s"expected partial+final aggregation at both rollups:\n$p")
+  }
+
+  test("d127 sweep: corpus collapses map-side; window sees only the 20-row grid") {
+    val df = PipelineQueries.queries("d127_threshold_sweep")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      .split("== Initial Plan ==").head
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      s"bucket counts must partial-aggregate before their exchange:\n$p")
+    val leaked = shuffledInputs(p).filter(_.contains("text#"))
+    assert(leaked.isEmpty, s"doc text crossed an exchange: $leaked\n$p")
+    // the cumulative window's input is the bucket grid (≤ nBuckets
+    // rows, documented-bounded), never the corpus: upstream of the
+    // Window there must be an aggregation keyed on the bucket
+    assert(p.contains("Window"), s"expected the grid window:\n$p")
+  }
+
+  test("d128/d129: soft-dedup and bitext shuffle hashes and numerals, never text") {
+    for (g <- Seq("d128_soft_dedup_weights", "d129_bitext_candidates")) {
+      val df = PipelineQueries.queries(g)(spark, sfDir)
+      df.collect()
+      val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+        .split("== Initial Plan ==").head
+      val leaked = shuffledInputs(p).filter(_.contains("text#"))
+      assert(leaked.isEmpty, s"$g: doc text crossed an exchange: $leaked\n$p")
+      assert(!p.contains("CartesianProduct"), s"$g: cartesian product:\n$p")
+    }
+  }
+
+  test("d130 kneser-ney: bigram counts partial-aggregate; joins stay vocab-sized") {
+    val df = PipelineQueries.queries("d130_kneser_ney_bigrams")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      .split("== Initial Plan ==").head
+    // the raw bigram stream must collapse map-side before its ONE
+    // corpus-sized shuffle; every later table is vocab²-or-smaller
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      s"expected partial+final bigram aggregation:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the 1-row N1+(··) total must broadcast:\n$p")
+    val leaked = shuffledInputs(p).filter(_.contains("text#"))
+    assert(leaked.isEmpty, s"doc text crossed an exchange: $leaked\n$p")
+  }
+
+  test("d131 tertiles: the ntile window stays per-source, never one partition") {
+    // pre-checkpoint plan — the gate's eager checkpoint hides it.
+    // Full explain text (details follow the AQE initial-plan tree):
+    // the window spec itself must show per-source partitioning.
+    val (tf, df) = PipelineQueries.perplexityTertilesPlan(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    tf.unpersist()
+    assert(raw"ntile\(3\) windowspecdefinition\(source#\d+".r
+      .findFirstIn(p).nonEmpty,
+      s"expected the rank window partitioned by source:\n$p")
+    assert(!p.contains("Arguments: SinglePartition"),
+      s"tertiles must rank per SOURCE — a global window serializes:\n$p")
+    val leaked = shuffledInputs(p).filter(_.contains("text#"))
+    assert(leaked.isEmpty, s"doc text crossed an exchange: $leaked\n$p")
+  }
 }

@@ -525,4 +525,100 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(1).getAs[Long]("n_latin") == 1L)    // the z
     assert(out(3).getAs[Long]("n_han") == 4L)
   }
+
+  test("dataConstrainedPlan: dedup feeds U, decay fit, under-epoch branch") {
+    val df = sited(
+      (1L, "a", "w x y z"), (2L, "a", "w x y z"), // exact dup: U_a = 4
+      (3L, "b", "one two three four five six seven eight nine ten eleven twelve"))
+    val out = Corpus.dataConstrainedPlan(df, idCol = "id", textCol = "body",
+        srcCol = "site").orderBy(col("source")).collect()
+    // total U = 16, 2 sources, slice = 4·16/2 = 32
+    val a = out(0)
+    assert(a.getLong(1) == 1L && a.getLong(2) == 4L) // dup collapsed
+    assert(a.getDouble(3) == 32.0 && a.getDouble(4) == 8.0) // epochs
+    val expectedEff = 4.0 * (1.0 + 15.4 * (1.0 - math.exp(7.0 * (-1.0 / 15.4))))
+    assert(math.abs(a.getDouble(5) - expectedEff) < 1e-3)
+    // a slice under one epoch is all-unique: eff = slice, utilization 1
+    val tight = Corpus.dataConstrainedPlan(
+        sited((1L, "a", "w x y z"),
+          (2L, "b", (1 to 28).map(i => s"t$i").mkString(" "))),
+        idCol = "id", textCol = "body", srcCol = "site",
+        budgetMult = 0.5).orderBy(col("source")).collect()
+    assert(tight(1).getDouble(3) == 8.0)   // slice = 0.5·32/2 = 8 < U_b
+    assert(tight(1).getDouble(5) == 8.0)   // eff = slice (all unique)
+    assert(tight(1).getDouble(6) == 1.0)   // utilization
+  }
+
+  test("thresholdSweep: cumulative confusion counts over the score grid") {
+    import org.apache.spark.sql.{Row, types => T}
+    val df = spark.createDataFrame(Seq(
+        Row(0.1, true), Row(0.1, false), Row(0.6, true), Row(0.9, true)).asJava,
+      T.StructType(Seq(T.StructField("score", T.DoubleType),
+        T.StructField("lab", T.BooleanType))))
+    val out = Corpus.thresholdSweep(df, col("score"), col("lab"),
+      nBuckets = 10).orderBy(col("bucket")).collect()
+    assert(out.length == 10)
+    val b0 = out(0) // threshold 0: everything predicted positive
+    assert(b0.getLong(2) == 3L && b0.getLong(3) == 1L &&
+      b0.getLong(4) == 0L && b0.getLong(5) == 0L)
+    assert(b0.getDouble(6) == 0.75 && b0.getDouble(7) == 1.0)
+    val b2 = out(2) // threshold 0.2: the two 0.1 docs drop out
+    assert(b2.getLong(2) == 2L && b2.getLong(3) == 0L && b2.getLong(4) == 1L
+      && b2.getLong(5) == 1L)
+    assert(b2.getDouble(6) == 1.0 && b2.getDouble(7) == 0.666667)
+    assert(b2.getDouble(8) == 0.8) // f1 = 4/5
+    val b9 = out(9) // only the 0.9 doc predicted positive
+    assert(b9.getLong(2) == 1L && b9.getLong(3) == 0L && b9.getLong(4) == 2L)
+  }
+
+  test("softDedupWeights: a cluster of c copies weighs in at ⌊1e6/c⌋ each") {
+    val df = sited((1L, "s1", "x y z"), (2L, "s2", "x y z"), (3L, "s1", "a b"))
+    val out = Corpus.softDedupWeights(df, idCol = "id", textCol = "body",
+        srcCol = "site").orderBy(col("id")).collect()
+    assert(out(0).getLong(2) == 2L && out(0).getLong(3) == 500000L)
+    assert(out(1).getLong(2) == 2L && out(1).getLong(3) == 500000L)
+    assert(out(2).getLong(2) == 1L && out(2).getLong(3) == 1000000L)
+    assert(out(0).getLong(4) == 3L && out(2).getLong(4) == 2L) // n_toks
+  }
+
+  test("kneserNeyBigrams: continuation counts price tokens by context variety") {
+    val df = docs(1L -> "san francisco san jose")
+    val out = Corpus.kneserNeyBigrams(df, idCol = "id", textCol = "body")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(8))
+      .toMap
+    // bigrams: (san,francisco) (francisco,san) (san,jose); N1+(··)=3
+    // P(francisco|san) = (max(1−.75,0) + .75·2·(1/3)) / 2 = 0.375
+    assert(math.abs(out(("san", "francisco")) - 0.375) < 1e-9)
+    assert(math.abs(out(("san", "jose")) - 0.375) < 1e-9)
+    // P(san|francisco) = (0.25 + .75·1·(1/3)) / 1 = 0.5
+    assert(math.abs(out(("francisco", "san")) - 0.5) < 1e-9)
+    // probabilities out of each context sum below 1 (mass reserved
+    // for unseen continuations is the point of the discount)
+    val outOfSan = out(("san", "francisco")) + out(("san", "jose"))
+    assert(outOfSan < 1.0)
+    // a single-token doc must not crash the bigram builder
+    assert(Corpus.kneserNeyBigrams(docs(1L -> "solo", 2L -> "a b"),
+      idCol = "id", textCol = "body").count() == 1L)
+  }
+
+  test("bitextCandidates: cross-language pairs on rare numerals, df-capped") {
+    import org.apache.spark.sql.{Row, types => T}
+    def frame(rows: (Long, String, String)*) = spark.createDataFrame(
+      rows.map { case (i, l, t) => Row(i, l, t) }.asJava,
+      T.StructType(Seq(T.StructField("id", T.LongType),
+        T.StructField("lg", T.StringType), T.StructField("body", T.StringType))))
+    val df = frame(
+      (1L, "en", "report 12345 and 67890 plus 555"),
+      (2L, "fr", "rapport 12345 et 67890 avec 555"),
+      (3L, "en", "other 99911 22200"),
+      (4L, "de", "anders 99911"), // one shared numeral < minShared
+      (5L, "en", "common 444555"), (6L, "fr", "commun 444555"),
+      (7L, "it", "comune 444555")) // df 3 > cap 2 → dropped
+    val out = Corpus.bitextCandidates(df, idCol = "id", textCol = "body",
+        langCol = "lg", minShared = 2, dfCap = 2).collect()
+    assert(out.length == 1)
+    assert(out(0).getLong(0) == 1L && out(0).getLong(2) == 2L)
+    assert(out(0).getString(1) == "en" && out(0).getString(3) == "fr")
+    assert(out(0).getLong(4) == 3L) // 12345, 67890, 555
+  }
 }
