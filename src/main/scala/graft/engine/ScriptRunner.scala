@@ -519,6 +519,7 @@ class ScriptRunner(spark: SparkSession) {
       case "ASSERT" => runAssert(stmt)
       case "RAISE" => runRaise(stmt)
       case "EXPORT" => runExportData(stmt)
+      case "LOAD" => runLoadData(stmt)
       case "BREAK" | "LEAVE" => throw new BreakSignal
       case "CONTINUE" | "ITERATE" => throw new ContinueSignal
       case _ => runSimpleStatement(stmt)
@@ -572,6 +573,96 @@ class ScriptRunner(spark: SparkSession) {
       }
       Some(spark.sql(s"SELECT CAST($n AS BIGINT) AS exported_rows"))
     case other => throw new IllegalArgumentException(s"malformed EXPORT DATA: $other")
+  }
+
+  private val loadDataRe =
+    raw"(?is)^LOAD\s+DATA\s+(INTO|OVERWRITE)\s+(`[^`]+`|[\w.\-]+)\s*(?:\(([^)]*)\)\s*)?FROM\s+FILES\s*\((.*)\)\s*$$".r
+  private val urisRe = raw"(?is)uris\s*=\s*\[(.*?)\]".r
+
+  /** LOAD DATA {INTO|OVERWRITE} table [(col type, …)] FROM
+    * FILES(format='CSV|JSON|PARQUET', uris=[…], [skip_leading_rows,
+    * field_delimiter]) — the BigQuery batch-load statement, the
+    * read-side twin of EXPORT DATA. Schema comes from the explicit
+    * column list, else the existing destination table (PARQUET is
+    * self-describing; JSON infers); CSV without either fails loud —
+    * BigQuery requires a schema source there too. INTO appends
+    * (creating the table if absent, as BigQuery does with a schema),
+    * OVERWRITE replaces contents. Unknown options and
+    * skip_leading_rows > 1 fail loud rather than half-load. Returns
+    * the loaded row count as a 1-row result. The load itself is a
+    * distributed file scan → parquet write; only the count reaches
+    * the driver.
+    */
+  private def runLoadData(stmt: String): Option[DataFrame] =
+    substituteVars(stmt.trim) match {
+    case loadDataRe(mode, rawName, colList, optsText) =>
+      val dest = destTableName(rawName.replace("`", ""))
+      CloneRegistry.requireWritable(dest)
+      val uriBody = urisRe.findFirstMatchIn(optsText).map(_.group(1))
+        .getOrElse(throw new IllegalArgumentException(
+          "LOAD DATA requires a uris=[…] option"))
+      val uriList = raw"'((?:[^']|'')*)'".r.findAllMatchIn(uriBody)
+        .map(_.group(1).replace("''", "'")).toSeq
+      if (uriList.isEmpty) throw new IllegalArgumentException(
+        "LOAD DATA uris list is empty")
+      val scalarOpts = optionRe.findAllMatchIn(urisRe.replaceAllIn(optsText, ""))
+        .map { m =>
+          val v = m.group(2)
+          val clean = if (v.startsWith("'"))
+            v.substring(1, v.length - 1).replace("''", "'") else v
+          m.group(1).toLowerCase -> clean
+        }.toMap
+      val known = Set("format", "skip_leading_rows", "field_delimiter")
+      val unknown = scalarOpts.keySet -- known
+      if (unknown.nonEmpty) throw new IllegalArgumentException(
+        s"unsupported LOAD DATA option(s): ${unknown.mkString(", ")}")
+      val fmt = scalarOpts.getOrElse("format", "CSV").toUpperCase
+      val skip = scalarOpts.getOrElse("skip_leading_rows", "0")
+      if (skip != "0" && skip != "1") throw new IllegalArgumentException(
+        s"LOAD DATA skip_leading_rows must be 0 or 1 (header), got $skip")
+      if (skip == "1" && fmt != "CSV") throw new IllegalArgumentException(
+        "skip_leading_rows is only valid for CSV loads")
+      val explicitDdl = Option(colList).map(_.trim).filter(_.nonEmpty).map {
+        cl => cl.split(",").map { c =>
+          val Array(n, t) = c.trim.split("\\s+", 2)
+          s"$n ${sparkType(t)}"
+        }.mkString(", ")
+      }
+      val destExists = spark.catalog.tableExists(dest)
+      val reader = spark.read
+      explicitDdl match {
+        case Some(ddl) => reader.schema(ddl)
+        case scala.None if destExists && fmt != "PARQUET" =>
+          reader.schema(spark.table(dest).schema)
+        case scala.None => // PARQUET self-describes; JSON infers
+      }
+      val df = fmt match {
+        case "CSV" =>
+          if (explicitDdl.isEmpty && !destExists)
+            throw new IllegalArgumentException(
+              "CSV LOAD DATA needs a column list or an existing destination table")
+          reader.option("header", skip == "1")
+            .option("delimiter", scalarOpts.getOrElse("field_delimiter", ","))
+            .csv(uriList: _*)
+        case "JSON" => reader.json(uriList: _*)
+        case "PARQUET" => reader.parquet(uriList: _*)
+        case other => throw new IllegalArgumentException(
+          s"unsupported LOAD DATA format $other (CSV, JSON, PARQUET)")
+      }
+      val n = df.count()
+      val view = s"graft_load_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      df.createOrReplaceTempView(view)
+      try {
+        if (!destExists)
+          spark.sql(s"CREATE TABLE $dest USING PARQUET AS SELECT * FROM $view")
+        else if (mode.equalsIgnoreCase("OVERWRITE"))
+          spark.sql(s"INSERT OVERWRITE TABLE $dest SELECT * FROM $view")
+        else
+          spark.sql(s"INSERT INTO $dest SELECT * FROM $view")
+      } finally spark.catalog.dropTempView(view)
+      Some(spark.sql(s"SELECT CAST($n AS BIGINT) AS loaded_rows"))
+    case other =>
+      throw new IllegalArgumentException(s"malformed LOAD DATA: $other")
   }
 
   /** the exception being handled by the innermost BEGIN…EXCEPTION —

@@ -1287,6 +1287,31 @@ object EngineQueries {
         .orderBy("o_orderpriority")
     },
 
+    // --- LOAD DATA FROM FILES: EXPORT DATA's read-side twin -------------
+    "e53_load_data" -> { (s, d) =>
+      // BigQuery's batch-load statement. The gate proves both modes and
+      // both schema sources: OVERWRITE with an explicit column list
+      // creates the table from CSV part files EXPORT DATA wrote, then
+      // INTO (no column list — schema comes from the existing
+      // destination) appends the same files, so every row appears
+      // exactly twice. The load is a distributed scan → catalog write;
+      // only the row count touches the driver.
+      Tables.views(s, d, "nation")
+      freshDb(s, "graft__pg53")
+      val dir = Files.createTempDirectory("graft_e53").toString
+      new ScriptRunner(s).run(
+        s"""EXPORT DATA OPTIONS(uri='$dir/nat/part-*.csv', format='CSV',
+           |  header=true, overwrite=true) AS
+           |SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_regionkey < 2;
+           |LOAD DATA OVERWRITE `graft.pg53.loaded`
+           |  (n_nationkey INT64, n_name STRING, n_regionkey INT64)
+           |FROM FILES(format='CSV', uris=['$dir/nat/part-*.csv'], skip_leading_rows=1);
+           |LOAD DATA INTO `graft.pg53.loaded`
+           |FROM FILES(format='CSV', uris=['$dir/nat/part-*.csv'], skip_leading_rows=1);
+           |SELECT n_nationkey, n_name, n_regionkey, COUNT(1) AS copies
+           |FROM graft.pg53.loaded GROUP BY 1, 2, 3 ORDER BY n_nationkey""".stripMargin).get
+    },
+
     // --- QUALIFY: post-window filtering in BigQuery evaluation order ---
     "e23_qualify" -> { (s, d) =>
       // Latest-order-per-customer, the canonical QUALIFY use. The
@@ -1788,6 +1813,11 @@ object EngineQueries {
       """SELECT o_orderpriority, count(1) AS cnt FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1996-06-01' AND o_orderdate < TIMESTAMP '1996-07-01'
         |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+
+    "e53_load_data" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |  CAST(n_regionkey AS BIGINT) AS n_regionkey, CAST(2 AS BIGINT) AS copies
+        |FROM nation WHERE n_regionkey < 2 ORDER BY n_nationkey""".stripMargin,
 
     "e34_create_table_as" ->
       """SELECT o_orderpriority, count(1) AS cnt,

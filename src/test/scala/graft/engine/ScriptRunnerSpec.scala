@@ -321,6 +321,70 @@ class ScriptRunnerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e2.getMessage.contains("exactly one '*'"))
   }
 
+  test("LOAD DATA loads CSV with both schema sources and both modes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_load")
+    spark.sql("DROP TABLE IF EXISTS graft_loadspec_t")
+    val sr = new ScriptRunner(spark)
+    sr.run(
+      s"""EXPORT DATA OPTIONS(uri='$dir/out/part-*.csv', format='CSV',
+         |  header=true, overwrite=true) AS
+         |SELECT k, k * k AS sq FROM (SELECT explode(sequence(1, 5)) AS k)"""
+        .stripMargin)
+    // OVERWRITE + explicit column list creates the table
+    val r1 = sr.run(
+      s"""LOAD DATA OVERWRITE graft_loadspec_t (k INT64, sq INT64)
+         |FROM FILES(format='CSV', uris=['$dir/out/part-*.csv'],
+         |  skip_leading_rows=1)""".stripMargin).get
+    assert(r1.collect().head.getLong(0) == 5L)
+    assert(spark.table("graft_loadspec_t").count() == 5L)
+    // INTO with no column list: schema comes from the existing table
+    sr.run(s"""LOAD DATA INTO graft_loadspec_t
+         |FROM FILES(format='CSV', uris=['$dir/out/part-*.csv'],
+         |  skip_leading_rows=1)""".stripMargin)
+    assert(spark.table("graft_loadspec_t").count() == 10L)
+    // OVERWRITE on the existing table replaces, not appends
+    sr.run(s"""LOAD DATA OVERWRITE graft_loadspec_t
+         |FROM FILES(format='CSV', uris=['$dir/out/part-*.csv'],
+         |  skip_leading_rows=1)""".stripMargin)
+    assert(spark.table("graft_loadspec_t").count() == 5L)
+    assert(spark.table("graft_loadspec_t").schema.map(_.dataType.sql).toSet
+      == Set("BIGINT"))
+    spark.sql("DROP TABLE graft_loadspec_t")
+  }
+
+  test("LOAD DATA fails loud on bad options instead of half-loading") {
+    val sr = new ScriptRunner(spark)
+    val noSchema = intercept[IllegalArgumentException] {
+      sr.run("LOAD DATA INTO graft_loadspec_missing FROM FILES(format='CSV', uris=['/tmp/x-*.csv'])")
+    }
+    assert(noSchema.getMessage.contains("column list or an existing"))
+    val badSkip = intercept[IllegalArgumentException] {
+      sr.run("LOAD DATA INTO t (k INT64) FROM FILES(format='CSV', uris=['/tmp/x.csv'], skip_leading_rows=3)")
+    }
+    assert(badSkip.getMessage.contains("skip_leading_rows"))
+    val unknown = intercept[IllegalArgumentException] {
+      sr.run("LOAD DATA INTO t (k INT64) FROM FILES(format='CSV', uris=['/tmp/x.csv'], allow_jagged_rows=true)")
+    }
+    assert(unknown.getMessage.contains("allow_jagged_rows"))
+    val noUris = intercept[IllegalArgumentException] {
+      sr.run("LOAD DATA INTO t (k INT64) FROM FILES(format='CSV')")
+    }
+    assert(noUris.getMessage.contains("uris"))
+    val jsonSkip = intercept[IllegalArgumentException] {
+      sr.run("LOAD DATA INTO t (k INT64) FROM FILES(format='JSON', uris=['/tmp/x.json'], skip_leading_rows=1)")
+    }
+    assert(jsonSkip.getMessage.contains("only valid for CSV"))
+  }
+
+  test("LOAD DATA refuses to mutate a snapshot-clone table") {
+    CloneRegistry.markReadOnly("graft_loadspec_frozen")
+    val e = intercept[IllegalArgumentException] {
+      new ScriptRunner(spark).run(
+        "LOAD DATA INTO graft_loadspec_frozen (k INT64) FROM FILES(format='CSV', uris=['/tmp/x.csv'])")
+    }
+    assert(e.getMessage.contains("read-only"))
+  }
+
   test("time travel fails loud instead of silently reading current data") {
     val e = intercept[UnsupportedOperationException] {
       new ScriptRunner(spark).run(
