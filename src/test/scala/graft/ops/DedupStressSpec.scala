@@ -322,6 +322,40 @@ class DedupStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tBig / tSmall < 10.0, f"super-linear blowup: $tSmall%.1f s → $tBig%.1f s")
   }
 
+  test("bitext numeral mining (d129 shape) scales sub-quadratically to 250k docs", Stress) {
+    // planted rare numerals: docs (2k, 2k+1) share one, (3k..3k+2)
+    // share another, so (6k, 6k+1) pairs clear minShared=2 — linear in
+    // the corpus. A universal numeral on EVERY doc proves the df cap
+    // kills corpus-sized buckets before they can go quadratic.
+    import org.apache.spark.sql.functions._
+    def bitextDocs(n: Long): DataFrame = spark.read
+      .format("graft.sources.SyntheticDocs")
+      .option("rows", n.toString).option("partitions", "64").load()
+      .select(col("doc_id"), col("lang"), expr(
+        """concat(text, ' 20240101 ',
+          |  cast(7000000 + doc_id div 2 as string), ' ',
+          |  cast(9000000 + doc_id div 3 as string))""".stripMargin).as("text"))
+    def run(d: DataFrame): Long = Corpus.bitextCandidates(d).count()
+    run(bitextDocs(2000L)) // warm codegen
+    val (tSmall, nSmall) = timed(run(bitextDocs(smallN)))
+    val (tBig, nBig) = timed(run(bitextDocs(bigN)))
+    info(f"bitext: ${smallN}%,d docs → $tSmall%.1f s ($nSmall pairs); " +
+      f"${bigN}%,d docs → $tBig%.1f s ($nBig pairs); growth ${tBig / tSmall}%.2f× for 4× docs")
+    assert(nBig > nSmall, "expected planted cross-lingual pairs to grow with the corpus")
+    assert(tBig / tSmall < 8.0, f"super-linear blowup: $tSmall%.1f s → $tBig%.1f s")
+  }
+
+  test("Kneser-Ney bigram counts (d130 shape) scale with the scan to 250k docs", Stress) {
+    // the count tables are vocab²-bounded (SyntheticDocs vocab = 1000),
+    // so corpus growth only adds map-side-combined increments; the
+    // top-N is a bounded heap (TakeOrdered), never a corpus sort
+    val (tSmall, tBig, nBig) = growthRatio("kneserney") { d =>
+      Corpus.kneserNeyBigrams(d, topN = 40)
+    }
+    assert(nBig == 40L)
+    assert(tBig / tSmall < 8.0, f"super-linear blowup: $tSmall%.1f s → $tBig%.1f s")
+  }
+
   // ---- 1M-doc ceiling (VERDICT r6 #5): the two heaviest growers of the
   // 250k suite re-measured one scale notch up (250k → 1M, still 4×).
   // The tighter < 4× bound is the round-7 done-criterion: growth at or
