@@ -792,4 +792,39 @@ object TextDedup {
       result
     }
   }
+
+  /** GPT-3/PaLM-style EXACT n-gram decontamination: a train doc is
+    * contaminated if any of its token n-grams appears verbatim in the
+    * eval corpus (the verbatim complement of the fuzzy MinHash pass —
+    * paraphrases get the sketch, copied benchmark lines get this).
+    * Eval-side grams hash to 60-bit ints and broadcast (the eval set
+    * is benchmark-sized by construction); the train side probes the
+    * broadcast inside the scan, so nothing wider than
+    * (doc_id, gram-hash) exists transiently and only the per-doc
+    * (n_grams, n_hits) counters cross the one shuffle — map-side
+    * combined. Returns contaminated docs only: doc_id, n_grams
+    * (distinct grams in the doc), n_hits (grams found in eval).
+    */
+  def exactNgramContamination(train: DataFrame, eval: DataFrame, n: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(n >= 2, s"n-gram order must be >= 2, got $n")
+    graft.functions.BitSketchExpressions.register(train.sparkSession)
+    def grams(df: DataFrame): DataFrame = df
+      .select(col(idCol), graft.ops.Corpus.tokens(textCol).as("toks"))
+      // size < n would make sequence(1, size-n+1) descend — same guard
+      // as every other n-gram operator
+      .where(size(col("toks")) >= n)
+      .select(col(idCol), explode(array_distinct(expr(
+        s"""transform(sequence(1, size(toks) - ${n - 1}),
+           |  i -> graft_md5_60(concat_ws(' ', slice(toks, i, $n))))"""
+          .stripMargin))).as("gh"))
+    val evalGrams = grams(eval).select(col("gh")).distinct()
+      .withColumn("hit", lit(1L))
+    grams(train)
+      .join(broadcast(evalGrams), Seq("gh"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .where(col("n_hits") > 0)
+  }
 }

@@ -3336,6 +3336,21 @@ object PipelineQueries {
           countDistinct(col("source")).as("l_count"))
         .withColumn("diverse", col("l_count") >= 3)
         .orderBy(col("lang"), col("len_bucket"))
+    },
+
+    // --- exact n-gram decontamination (the verbatim half of d81) --------
+    "d133_exact_ngram_decontam" -> { (s, d) =>
+      // GPT-3/PaLM-style: flag train docs containing ANY eval 8-gram
+      // verbatim. Eval = the d81 bench slice; the planted corpus
+      // guarantees contaminated rows (every bench doc's planted copy
+      // lands in train and shares all but its tail grams). Eval grams
+      // broadcast; train grams probe inside the scan — only per-doc
+      // counters cross the shuffle.
+      val all = corpusWithPlants(s, d)
+      val isBench = col("doc_id") % 50 === 0 && col("doc_id") < 1000000L
+      graft.ops.TextDedup.exactNgramContamination(
+        all.where(!isBench), all.where(isBench), n = 8)
+        .orderBy("doc_id")
     }
   )
 
@@ -4721,6 +4736,30 @@ object PipelineQueries {
           |  count(DISTINCT source) >= 3 AS diverse
           |FROM documents
           |GROUP BY 1, 2 ORDER BY lang, len_bucket""".stripMargin,
+
+      // verbatim 8-gram contamination: DuckDB replays the same md5-60
+      // gram hashes, so the hit counts are integer-exact
+      "d133_exact_ngram_decontam" -> (planted +
+        """
+          |, g AS (
+          |  SELECT doc_id,
+          |    list_distinct(list_transform(range(1, len(toks) - 6),
+          |      i -> ('0x' || substring(md5(array_to_string(toks[i : i + 7], ' ')), 1, 15))::BIGINT)) AS ghs
+          |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM corpus)
+          |  WHERE len(toks) >= 8
+          |), tg AS (
+          |  SELECT doc_id, gh FROM g, unnest(ghs) AS u(gh)
+          |  WHERE NOT (doc_id % 50 = 0 AND doc_id < 1000000)
+          |), eg AS (
+          |  SELECT DISTINCT gh FROM g, unnest(ghs) AS u(gh)
+          |  WHERE doc_id % 50 = 0 AND doc_id < 1000000
+          |)
+          |SELECT doc_id, CAST(count(1) AS BIGINT) AS n_grams,
+          |  CAST(sum(CASE WHEN e.gh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+          |FROM tg t LEFT JOIN eg e ON t.gh = e.gh
+          |GROUP BY doc_id
+          |HAVING sum(CASE WHEN e.gh IS NOT NULL THEN 1 ELSE 0 END) > 0
+          |ORDER BY doc_id""".stripMargin),
 
       "d120_annotator_kappa" ->
         """WITH base AS (

@@ -1121,4 +1121,23 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     val leaked = shuffledInputs(p).filter(_.contains("text#"))
     assert(leaked.isEmpty, s"doc text crossed an exchange: $leaked\n$p")
   }
+
+  test("d133 exact decontamination: eval grams broadcast; train side never sort-merges") {
+    val df = PipelineQueries.queries("d133_exact_ngram_decontam")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      .split("== Initial Plan ==").head
+    // the benchmark gram set is eval-sized: it must reach the train
+    // scan as a broadcast probe, never pull the corpus into a
+    // sort-merge join on gram hashes
+    assert(p.contains("BroadcastHashJoin"),
+      s"eval gram set should broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"train grams must not sort-merge against eval:\n$p")
+    // per-doc counters partial-aggregate before the one shuffle
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      s"expected partial+final per-doc aggregation:\n$p")
+    val leaked = shuffledInputs(p).filter(_.contains("text#"))
+    assert(leaked.isEmpty, s"doc text crossed an exchange: $leaked\n$p")
+  }
 }

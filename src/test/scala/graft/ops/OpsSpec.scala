@@ -621,4 +621,23 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(0).getString(1) == "en" && out(0).getString(3) == "fr")
     assert(out(0).getLong(4) == 3L) // 12345, 67890, 555
   }
+
+  test("exactNgramContamination: verbatim n-gram hit flags the train doc") {
+    import org.apache.spark.sql.{Row, types => T}
+    def frame(rows: (Long, String)*) = spark.createDataFrame(
+      rows.map { case (i, t) => Row(i, t) }.asJava,
+      T.StructType(Seq(T.StructField("doc_id", T.LongType),
+        T.StructField("text", T.StringType))))
+    val eval = frame((100L, "the quick brown fox jumps"))
+    val train = frame(
+      // contains the eval 3-gram "quick brown fox" verbatim
+      (1L, "a very quick brown fox runs home"),
+      // same words, different order — no verbatim 3-gram
+      (2L, "fox brown quick the jumps"),
+      // too short for any 3-gram
+      (3L, "quick brown"))
+    val out = TextDedup.exactNgramContamination(train, eval, n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 5L, 1L))) // 5 distinct 3-grams, 1 hit
+  }
 }
