@@ -3351,6 +3351,35 @@ object PipelineQueries {
       graft.ops.TextDedup.exactNgramContamination(
         all.where(!isBench), all.where(isBench), n = 8)
         .orderBy("doc_id")
+    },
+
+    // --- Matryoshka truncation QA: prefix-dim retrieval recall ----------
+    "d134_matryoshka_recall" -> { (s, d) =>
+      // How far can an embedding be cut for cheap prefiltering?
+      // Recall@5 of the first-16-dims ranking against the full-64-dims
+      // ground truth — the metric that sizes a Matryoshka prefix
+      // index. Both rankings are exact-int cosine (same broadcast-
+      // queries / corpus-streams-once shape as d34), so recall is
+      // engine-exact and the oracle replays it verbatim.
+      val e = quantizedEmbeddings(s, d, plant = false)
+      val qs = e.where(col("vec_id") >= 100 && col("vec_id") < 110)
+      def prefix(df: DataFrame): DataFrame = df
+        .select(col("vec_id"), expr("slice(q, 1, 16)").as("q"))
+        .withColumn("nrm", expr("graft_dot_i64(q, q)"))
+      val full = graft.ops.Embeddings.bruteForceTopK(e, qs, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val trunc = graft.ops.Embeddings.bruteForceTopK(prefix(e), prefix(qs), k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = trunc.join(full, Seq("query_id", "neighbor_id"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+      qs.select(col("vec_id").as("query_id"))
+        // hits is queries-sized — broadcast it rather than letting the
+        // 10-row outer join plan a sort-merge exchange
+        .join(broadcast(hits), Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)).cast(DoubleType) / 5.0).as("recall_at_5"))
+        .orderBy(col("query_id"))
     }
   )
 
@@ -4760,6 +4789,52 @@ object PipelineQueries {
           |GROUP BY doc_id
           |HAVING sum(CASE WHEN e.gh IS NOT NULL THEN 1 ELSE 0 END) > 0
           |ORDER BY doc_id""".stripMargin),
+
+      // Matryoshka recall: the same exact-int cosine replay as d34,
+      // once over 64 dims and once over the 16-dim prefix
+      "d134_matryoshka_recall" ->
+        """WITH e AS (
+          |  SELECT vec_id,
+          |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+          |  FROM embeddings
+          |), n AS (
+          |  SELECT vec_id, q,
+          |    CAST(list_sum(list_transform(range(1, 65), i -> q[i] * q[i])) AS BIGINT) AS nrm
+          |  FROM e
+          |), tn AS (
+          |  SELECT vec_id, q[1 : 16] AS q,
+          |    CAST(list_sum(list_transform(range(1, 17), i -> q[i] * q[i])) AS BIGINT) AS nrm
+          |  FROM e
+          |), bf AS (
+          |  SELECT query_id, vec_id FROM (
+          |    SELECT qv.vec_id AS query_id, v.vec_id,
+          |      row_number() OVER (PARTITION BY qv.vec_id ORDER BY
+          |        round(CAST(list_sum(list_transform(range(1, 65), i -> qv.q[i] * v.q[i])) AS DOUBLE)
+          |          / (sqrt(CAST(qv.nrm AS DOUBLE)) * sqrt(CAST(v.nrm AS DOUBLE))), 6) DESC,
+          |        v.vec_id) AS rank
+          |    FROM n qv JOIN n v ON v.vec_id <> qv.vec_id
+          |    WHERE qv.vec_id >= 100 AND qv.vec_id < 110
+          |  ) WHERE rank <= 5
+          |), tf AS (
+          |  SELECT query_id, vec_id FROM (
+          |    SELECT qv.vec_id AS query_id, v.vec_id,
+          |      row_number() OVER (PARTITION BY qv.vec_id ORDER BY
+          |        round(CAST(list_sum(list_transform(range(1, 17), i -> qv.q[i] * v.q[i])) AS DOUBLE)
+          |          / (sqrt(CAST(qv.nrm AS DOUBLE)) * sqrt(CAST(v.nrm AS DOUBLE))), 6) DESC,
+          |        v.vec_id) AS rank
+          |    FROM tn qv JOIN tn v ON v.vec_id <> qv.vec_id
+          |    WHERE qv.vec_id >= 100 AND qv.vec_id < 110
+          |  ) WHERE rank <= 5
+          |), hits AS (
+          |  SELECT query_id, count(1) AS n_hits
+          |  FROM tf JOIN bf USING (query_id, vec_id) GROUP BY query_id
+          |)
+          |SELECT q.vec_id AS query_id,
+          |  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+          |  CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / 5.0 AS recall_at_5
+          |FROM e q LEFT JOIN hits h ON h.query_id = q.vec_id
+          |WHERE q.vec_id >= 100 AND q.vec_id < 110
+          |ORDER BY query_id""".stripMargin,
 
       "d120_annotator_kappa" ->
         """WITH base AS (

@@ -1140,4 +1140,19 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     val leaked = shuffledInputs(p).filter(_.contains("text#"))
     assert(leaked.isEmpty, s"doc text crossed an exchange: $leaked\n$p")
   }
+
+  test("d134 matryoshka: queries broadcast on both rankings; top-k windows stay per-query") {
+    val df = PipelineQueries.queries("d134_matryoshka_recall")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      .split("== Initial Plan ==").head
+    // the 10-row query set must broadcast against the streaming corpus
+    // in BOTH the full-dim and prefix-dim rankings — never a
+    // corpus × corpus product
+    val bc = p.linesIterator.count(l =>
+      l.contains("BroadcastNestedLoopJoin") || l.contains("BroadcastHashJoin"))
+    assert(bc >= 2, s"expected both rankings to broadcast the query side:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian product:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus-sized sort-merge join:\n$p")
+  }
 }
