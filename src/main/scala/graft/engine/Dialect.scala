@@ -1526,6 +1526,12 @@ object Dialect {
       }
     },
     "ARRAY_AGG" -> arrayAgg,
+    // BigQuery ARRAY_CONCAT_AGG(arr): concatenate array-typed rows into
+    // one array. Element order across rows is engine-chosen in BigQuery
+    // too (no ORDER BY support here), so flatten(collect_list(..)) is
+    // the faithful mapping.
+    "ARRAY_CONCAT_AGG" -> (a =>
+      if (a.length == 1) Some(s"flatten(collect_list(${a(0)}))") else scala.None),
     "ANY_VALUE" -> anyValueHaving,
     "TO_JSON_STRING" -> (a =>
       if (a.length == 1) Some(s"to_json(${a(0)})") else scala.None),

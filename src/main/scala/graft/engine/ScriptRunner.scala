@@ -575,6 +575,75 @@ class ScriptRunner(spark: SparkSession) {
     case other => throw new IllegalArgumentException(s"malformed EXPORT DATA: $other")
   }
 
+  private val createExternalRe =
+    raw"(?is)^CREATE\s+(OR\s+REPLACE\s+)?EXTERNAL\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?(`[^`]+`|[\w.\-]+)\s*(?:\(([^)]*)\)\s*)?OPTIONS\s*\((.*)\)\s*$$".r
+
+  /** CREATE [OR REPLACE] EXTERNAL TABLE [IF NOT EXISTS] name [(cols)]
+    * OPTIONS(format=…, uris=[…], [skip_leading_rows, field_delimiter])
+    * — BigQuery's external-table DDL. Unlike LOAD DATA (which
+    * snapshots the files into managed storage), the external table
+    * reads the files in place — a file added to the glob later shows
+    * up after `REFRESH TABLE` (Spark caches the file listing per
+    * table; BigQuery re-lists every query — the refresh is the one
+    * seam between the two). Maps to a Spark catalog table
+    * `USING CSV|JSON|PARQUET` over the uri;
+    * exactly ONE uri (glob allowed) — Spark's path option is single,
+    * and a silent first-uri pick would drop data. CSV/JSON require
+    * the column list (catalog tables can't infer at DDL time);
+    * PARQUET self-describes.
+    */
+  private def runCreateExternal(stmt: String): Option[DataFrame] =
+    substituteVars(stmt.trim) match {
+      case createExternalRe(orReplace, ifNotExists, rawName, colList, optsText) =>
+        val dest = destTableName(rawName.replace("`", ""))
+        val uriBody = urisRe.findFirstMatchIn(optsText).map(_.group(1))
+          .getOrElse(throw new IllegalArgumentException(
+            "CREATE EXTERNAL TABLE requires a uris=[…] option"))
+        val uriList = raw"'((?:[^']|'')*)'".r.findAllMatchIn(uriBody)
+          .map(_.group(1).replace("''", "'")).toSeq
+        if (uriList.size != 1) throw new IllegalArgumentException(
+          s"CREATE EXTERNAL TABLE needs exactly one uri (glob allowed), got ${uriList.size}")
+        val scalarOpts = optionRe.findAllMatchIn(urisRe.replaceAllIn(optsText, ""))
+          .map { m =>
+            val v = m.group(2)
+            val clean = if (v.startsWith("'"))
+              v.substring(1, v.length - 1).replace("''", "'") else v
+            m.group(1).toLowerCase -> clean
+          }.toMap
+        val known = Set("format", "skip_leading_rows", "field_delimiter")
+        val unknown = scalarOpts.keySet -- known
+        if (unknown.nonEmpty) throw new IllegalArgumentException(
+          s"unsupported CREATE EXTERNAL TABLE option(s): ${unknown.mkString(", ")}")
+        val fmt = scalarOpts.getOrElse("format", "CSV").toUpperCase
+        val skip = scalarOpts.getOrElse("skip_leading_rows", "0")
+        if (skip != "0" && skip != "1") throw new IllegalArgumentException(
+          s"skip_leading_rows must be 0 or 1 (header), got $skip")
+        val ddl = Option(colList).map(_.trim).filter(_.nonEmpty).map { cl =>
+          cl.split(",").map { c =>
+            val Array(cn, t) = c.trim.split("\\s+", 2)
+            s"$cn ${sparkType(t)}"
+          }.mkString(", ")
+        }
+        if (ddl.isEmpty && fmt != "PARQUET") throw new IllegalArgumentException(
+          s"$fmt external tables need a column list (PARQUET self-describes)")
+        val cols = ddl.map(d => s" ($d)").getOrElse("")
+        val extra = fmt match {
+          case "CSV" =>
+            s", header '${if (skip == "1") "true" else "false"}'" +
+              s", sep '${scalarOpts.getOrElse("field_delimiter", ",")}'"
+          case "JSON" | "PARQUET" => ""
+          case other => throw new IllegalArgumentException(
+            s"unsupported CREATE EXTERNAL TABLE format $other (CSV, JSON, PARQUET)")
+        }
+        if (orReplace != null) spark.sql(s"DROP TABLE IF EXISTS $dest")
+        val ine = if (ifNotExists != null) "IF NOT EXISTS " else ""
+        spark.sql(s"CREATE TABLE $ine$dest$cols USING $fmt " +
+          s"OPTIONS (path '${uriList.head}'$extra)")
+        scala.None
+      case other =>
+        throw new IllegalArgumentException(s"malformed CREATE EXTERNAL TABLE: $other")
+    }
+
   private val loadDataRe =
     raw"(?is)^LOAD\s+DATA\s+(INTO|OVERWRITE)\s+(`[^`]+`|[\w.\-]+)\s*(?:\(([^)]*)\)\s*)?FROM\s+FILES\s*\((.*)\)\s*$$".r
   private val urisRe = raw"(?is)uris\s*=\s*\[(.*?)\]".r
@@ -974,6 +1043,8 @@ class ScriptRunner(spark: SparkSession) {
       spark.sql(s"CREATE OR REPLACE TEMPORARY FUNCTION $name($sparkParams)$ret " +
         s"RETURN ${Dialect.rewrite(body)}")
       None
+    case ext if createExternalRe.findFirstIn(ext.trim).isDefined =>
+      runCreateExternal(ext)
     case createCloneRe(snapshot, ifNotExists, name, srcName, systemTime) =>
       // BigQuery `CREATE [SNAPSHOT] TABLE … CLONE src [FOR SYSTEM_TIME
       // AS OF …]`: materialize the source's image — optionally the

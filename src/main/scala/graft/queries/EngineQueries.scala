@@ -1312,6 +1312,26 @@ object EngineQueries {
            |FROM graft.pg53.loaded GROUP BY 1, 2, 3 ORDER BY n_nationkey""".stripMargin).get
     },
 
+    // --- CREATE EXTERNAL TABLE: live reads over files ------------------
+    "e54_external_table" -> { (s, d) =>
+      // BigQuery external-table DDL: unlike LOAD DATA (a snapshot into
+      // managed storage), the external table reads the files LIVE at
+      // every query. Maps to a Spark catalog table USING CSV over the
+      // exported glob — the scan (with pushdown) happens at SELECT
+      // time, never at DDL time.
+      Tables.views(s, d, "region")
+      freshDb(s, "graft__pg54")
+      val dir = Files.createTempDirectory("graft_e54").toString
+      new ScriptRunner(s).run(
+        s"""EXPORT DATA OPTIONS(uri='$dir/reg/part-*.csv', format='CSV',
+           |  header=true, overwrite=true) AS
+           |SELECT r_regionkey, r_name FROM region;
+           |CREATE EXTERNAL TABLE `graft.pg54.ext` (r_regionkey INT64, r_name STRING)
+           |OPTIONS(format='CSV', uris=['$dir/reg/part-*.csv'], skip_leading_rows=1);
+           |SELECT r_regionkey, r_name FROM graft.pg54.ext ORDER BY r_regionkey"""
+          .stripMargin).get
+    },
+
     // --- QUALIFY: post-window filtering in BigQuery evaluation order ---
     "e23_qualify" -> { (s, d) =>
       // Latest-order-per-customer, the canonical QUALIFY use. The
@@ -1818,6 +1838,10 @@ object EngineQueries {
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
         |  CAST(n_regionkey AS BIGINT) AS n_regionkey, CAST(2 AS BIGINT) AS copies
         |FROM nation WHERE n_regionkey < 2 ORDER BY n_nationkey""".stripMargin,
+
+    "e54_external_table" ->
+      """SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name
+        |FROM region ORDER BY r_regionkey""".stripMargin,
 
     "e34_create_table_as" ->
       """SELECT o_orderpriority, count(1) AS cnt,

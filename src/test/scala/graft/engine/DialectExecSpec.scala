@@ -33,6 +33,23 @@ class DialectExecSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one("SELECT GENERATE_ARRAY(3, 3)") == Seq(3))
   }
 
+  test("ARRAY_CONCAT_AGG flattens array rows into one array") {
+    // single-row group → deterministic; multi-row asserted as a multiset
+    assert(one("SELECT ARRAY_CONCAT_AGG(a) FROM (SELECT array(1, 2, 3) AS a)")
+      == Seq(1, 2, 3))
+    val ms = one(
+      """SELECT SORT_ARRAY(ARRAY_CONCAT_AGG(a))
+        |FROM (SELECT array(3, 1) AS a UNION ALL SELECT array(2, 4))""".stripMargin)
+    assert(ms == Seq(1, 2, 3, 4))
+    // inside GROUP BY with other aggregates
+    val grouped = spark.sql(Dialect.rewrite(
+      """SELECT k, SORT_ARRAY(ARRAY_CONCAT_AGG(a)) AS fl, COUNT(1) AS n
+        |FROM (SELECT 1 AS k, array(5) AS a UNION ALL
+        |      SELECT 1, array(6) UNION ALL SELECT 2, array(7))
+        |GROUP BY k ORDER BY k""".stripMargin)).collect()
+    assert(grouped(0).getSeq[Int](1) == Seq(5, 6) && grouped(1).getSeq[Int](1) == Seq(7))
+  }
+
   test("JSON_EXTRACT keeps JSON encoding; JSON_EXTRACT_SCALAR strips it") {
     assert(one("""SELECT JSON_EXTRACT('{"a": "b"}', '$.a')""") == "\"b\"")
     assert(one("""SELECT JSON_EXTRACT('{"a": {"n": 1}}', '$.a')""") == """{"n":1}""")

@@ -385,6 +385,43 @@ class ScriptRunnerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("read-only"))
   }
 
+  test("CREATE EXTERNAL TABLE reads files live — a later file shows up") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ext")
+    spark.sql("DROP TABLE IF EXISTS graft_extspec_t")
+    val sr = new ScriptRunner(spark)
+    sr.run(
+      s"""EXPORT DATA OPTIONS(uri='$dir/out/part-*.csv', format='CSV',
+         |  header=false, overwrite=true) AS
+         |SELECT k FROM (SELECT explode(sequence(1, 4)) AS k);
+         |CREATE EXTERNAL TABLE graft_extspec_t (k INT64)
+         |OPTIONS(format='CSV', uris=['$dir/out/*.csv'])""".stripMargin)
+    assert(spark.table("graft_extspec_t").count() == 4L)
+    // external = files read in place: a file written AFTER the DDL is
+    // visible once the cached listing refreshes (BigQuery re-lists
+    // every query; Spark caches per table — REFRESH is the one seam)
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(s"$dir/out/extra-1.csv"), "9\n10\n")
+    spark.sql("REFRESH TABLE graft_extspec_t")
+    assert(spark.table("graft_extspec_t").count() == 6L)
+    spark.sql("DROP TABLE graft_extspec_t")
+  }
+
+  test("CREATE EXTERNAL TABLE fails loud on multiple uris and missing schema") {
+    val sr = new ScriptRunner(spark)
+    val multi = intercept[IllegalArgumentException] {
+      sr.run("CREATE EXTERNAL TABLE t (k INT64) OPTIONS(format='CSV', uris=['/tmp/a.csv', '/tmp/b.csv'])")
+    }
+    assert(multi.getMessage.contains("exactly one uri"))
+    val noCols = intercept[IllegalArgumentException] {
+      sr.run("CREATE EXTERNAL TABLE t OPTIONS(format='CSV', uris=['/tmp/a.csv'])")
+    }
+    assert(noCols.getMessage.contains("column list"))
+    val badOpt = intercept[IllegalArgumentException] {
+      sr.run("CREATE EXTERNAL TABLE t (k INT64) OPTIONS(format='CSV', uris=['/tmp/a.csv'], max_bad_records=1)")
+    }
+    assert(badOpt.getMessage.contains("max_bad_records"))
+  }
+
   test("time travel fails loud instead of silently reading current data") {
     val e = intercept[UnsupportedOperationException] {
       new ScriptRunner(spark).run(
