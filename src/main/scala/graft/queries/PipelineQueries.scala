@@ -3380,6 +3380,59 @@ object PipelineQueries {
           coalesce(col("n_hits"), lit(0L)).as("n_hits"),
           (coalesce(col("n_hits"), lit(0L)).cast(DoubleType) / 5.0).as("recall_at_5"))
         .orderBy(col("query_id"))
+    },
+
+    // --- cross-source vocabulary overlap (mixture-design diagnostic) ----
+    "d135_source_vocab_overlap" -> { (s, d) =>
+      // How redundant are two sources lexically? Pairwise Jaccard of
+      // their vocabularies. The (source, token) table collapses to
+      // vocab size at the FIRST aggregate — everything after joins
+      // side tables; doc text never crosses an exchange. Jaccard in
+      // exact integer ppm, no float folds.
+      val st = t(s, d, "documents")
+        .select(col("source"), explode(array_distinct(
+          split(lower(trim(col("text"))), "\\s+"))).as("tok"))
+        .distinct()
+      val sizes = st.groupBy("source").agg(count(lit(1)).as("n"))
+      st.as("a").join(st.as("b"),
+          col("a.tok") === col("b.tok") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .join(broadcast(sizes.select(col("source").as("src_a"), col("n").as("n_a"))), "src_a")
+        .join(broadcast(sizes.select(col("source").as("src_b"), col("n").as("n_b"))), "src_b")
+        .select(col("src_a"), col("src_b"), col("n_shared"), col("n_a"), col("n_b"),
+          expr("n_shared * 1000000 div (n_a + n_b - n_shared)").as("jaccard_ppm"))
+        .orderBy(col("src_a"), col("src_b"))
+    },
+
+    // --- Kolmogorov–Smirnov length drift between sources -----------------
+    "d136_ks_length_drift" -> { (s, d) =>
+      // Are two sources drawing document lengths from the same
+      // distribution? KS = max CDF gap, evaluated on the shared grid
+      // of observed n_chars values. The corpus collapses to a
+      // (source, n_chars) count table at the first aggregate; the
+      // grid × source frame is value-bounded, so the per-source
+      // cumulative window and the pairwise max are side-table work.
+      // CDFs in exact integer ppm — engine-identical.
+      import org.apache.spark.sql.expressions.Window
+      val counts = t(s, d, "documents")
+        .groupBy(col("source"), col("n_chars")).agg(count(lit(1)).as("c"))
+      val grid = counts.select(col("n_chars")).distinct()
+        .crossJoin(counts.select(col("source")).distinct())
+      val w = Window.partitionBy(col("source")).orderBy(col("n_chars"))
+      val cdf = grid.join(counts, Seq("source", "n_chars"), "left")
+        .na.fill(0L, Seq("c"))
+        .withColumn("cum", sum(col("c")).over(w))
+        .withColumn("total", sum(col("c")).over(
+          Window.partitionBy(col("source"))))
+        .select(col("source"), col("n_chars"),
+          expr("cum * 1000000 div total").as("cdf_ppm"))
+      cdf.as("a").join(cdf.as("b"),
+          col("a.n_chars") === col("b.n_chars") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(max(abs(col("a.cdf_ppm") - col("b.cdf_ppm"))).as("ks_ppm"))
+        .withColumn("drifted", col("ks_ppm") >= 100000)
+        .orderBy(col("src_a"), col("src_b"))
     }
   )
 
@@ -4835,6 +4888,45 @@ object PipelineQueries {
           |FROM e q LEFT JOIN hits h ON h.query_id = q.vec_id
           |WHERE q.vec_id >= 100 AND q.vec_id < 110
           |ORDER BY query_id""".stripMargin,
+
+      "d135_source_vocab_overlap" ->
+        """WITH st AS (
+          |  SELECT DISTINCT source, tok
+          |  FROM (SELECT source,
+          |          unnest(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+'))) AS tok
+          |        FROM documents)
+          |), sz AS (
+          |  SELECT source, count(1) AS n FROM st GROUP BY source
+          |), ov AS (
+          |  SELECT a.source AS src_a, b.source AS src_b, count(1) AS n_shared
+          |  FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+          |  GROUP BY 1, 2
+          |)
+          |SELECT src_a, src_b, CAST(n_shared AS BIGINT) AS n_shared,
+          |  CAST(x.n AS BIGINT) AS n_a, CAST(y.n AS BIGINT) AS n_b,
+          |  CAST(n_shared * 1000000 // (x.n + y.n - n_shared) AS BIGINT) AS jaccard_ppm
+          |FROM ov JOIN sz x ON x.source = ov.src_a JOIN sz y ON y.source = ov.src_b
+          |ORDER BY src_a, src_b""".stripMargin,
+
+      "d136_ks_length_drift" ->
+        """WITH counts AS (
+          |  SELECT source, n_chars, count(1) AS c FROM documents GROUP BY 1, 2
+          |), grid AS (
+          |  SELECT v.n_chars, s.source
+          |  FROM (SELECT DISTINCT n_chars FROM counts) v
+          |  CROSS JOIN (SELECT DISTINCT source FROM counts) s
+          |), cdf AS (
+          |  SELECT g.source, g.n_chars,
+          |    CAST(sum(COALESCE(c.c, 0)) OVER (PARTITION BY g.source ORDER BY g.n_chars) * 1000000
+          |      // sum(COALESCE(c.c, 0)) OVER (PARTITION BY g.source) AS BIGINT) AS cdf_ppm
+          |  FROM grid g LEFT JOIN counts c
+          |    ON c.source = g.source AND c.n_chars = g.n_chars
+          |)
+          |SELECT a.source AS src_a, b.source AS src_b,
+          |  CAST(max(abs(a.cdf_ppm - b.cdf_ppm)) AS BIGINT) AS ks_ppm,
+          |  max(abs(a.cdf_ppm - b.cdf_ppm)) >= 100000 AS drifted
+          |FROM cdf a JOIN cdf b ON a.n_chars = b.n_chars AND a.source < b.source
+          |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin,
 
       "d120_annotator_kappa" ->
         """WITH base AS (

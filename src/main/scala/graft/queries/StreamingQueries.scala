@@ -103,10 +103,41 @@ object StreamingQueries {
 
     "s23_stream_drift_monitor" -> { (s, d) =>
       StreamingOps.runBoundedDriftMonitor(s, d, "s23_sink")
+    },
+
+    "s24_stream_decontamination" -> { (s, d) =>
+      StreamingOps.runBoundedStreamDecontamination(s, d, "s24_sink")
     }
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the streaming quarantine log must reproduce the batch d133
+    // result exactly — same planted corpus, same gram hashes
+    "s24_stream_decontamination" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text || ' zzz' AS text
+        |  FROM documents WHERE doc_id % 10 = 0
+        |), g AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(toks) - 6),
+        |      i -> ('0x' || substring(md5(array_to_string(toks[i : i + 7], ' ')), 1, 15))::BIGINT)) AS ghs
+        |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM corpus)
+        |  WHERE len(toks) >= 8
+        |), tg AS (
+        |  SELECT doc_id, gh FROM g, unnest(ghs) AS u(gh)
+        |  WHERE NOT (doc_id % 50 = 0 AND doc_id < 1000000)
+        |), eg AS (
+        |  SELECT DISTINCT gh FROM g, unnest(ghs) AS u(gh)
+        |  WHERE doc_id % 50 = 0 AND doc_id < 1000000
+        |)
+        |SELECT doc_id, CAST(count(1) AS BIGINT) AS n_grams,
+        |  CAST(sum(CASE WHEN e.gh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+        |FROM tg t LEFT JOIN eg e ON t.gh = e.gh
+        |GROUP BY doc_id
+        |HAVING sum(CASE WHEN e.gh IS NOT NULL THEN 1 ELSE 0 END) > 0
+        |ORDER BY doc_id""".stripMargin,
     // exact per-(day, type) distinct users; the HLL accuracy bound
     // (7.5% relative or 4 absolute) is pinned TRUE — register merges
     // are deterministic, so the streaming estimate is stable run-to-run

@@ -1116,4 +1116,52 @@ object StreamingOps {
       .withColumn("drifted", col("tv_permille") >= 100)
       .orderBy(col("day"))
   }
+
+  /** Streaming ingest-time decontamination: d133's exact verbatim
+    * 8-gram gate applied where production applies it — at ingest, per
+    * micro-batch, before a doc reaches the training store. The static
+    * eval gram index broadcasts into each batch's probe join; the
+    * aggregation is batch-local and still EXACT because contamination
+    * is per-doc and a doc arrives in exactly one batch — so the stream
+    * holds ZERO state (no watermark, no store) and the operator's cost
+    * scales with the batch, never the history. Flagged docs append to
+    * a quarantine log; the bounded run must reproduce the batch d133
+    * result bit-for-bit (same oracle).
+    */
+  def runBoundedStreamDecontamination(spark: SparkSession, sfDir: String,
+      queryName: String): DataFrame = {
+    // register the native hash expressions BEFORE the stream starts:
+    // the micro-batch session is cloned at stream start, so functions
+    // registered later (inside foreachBatch) don't reach the clone
+    graft.functions.BitSketchExpressions.register(spark)
+    // 2-file split so the run crosses micro-batches, proving the
+    // batch-local aggregation composes across them
+    val src = Scratch.once(s"s24src|$sfDir") { d =>
+      spark.read.parquet(s"$sfDir/documents.parquet").repartition(2)
+        .write.mode("overwrite").parquet(d)
+    }
+    val schema = spark.read.parquet(src).schema
+    def stream(): DataFrame = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    val isBench = col("doc_id") % 50 === 0 && col("doc_id") < 1000000L
+    // same planted corpus as the batch gate: copies of every %10 doc
+    // share all interior 8-grams with their original
+    val docs = stream().unionByName(stream().where(col("doc_id") % 10 === 0)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+      .withColumn("text", concat(col("text"), lit(" zzz"))))
+    // the eval slice is benchmark-sized; settle it once, not per batch
+    val evalDocs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .where(isBench).select(col("doc_id"), col("text")).localCheckpoint(true)
+    val target = Scratch.fresh("s24tgt_") + "/t"
+    val probe: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, _) => {
+        val flagged = graft.ops.TextDedup.exactNgramContamination(
+          batch.where(!isBench), evalDocs, n = 8)
+        flagged.write.mode("append").parquet(target)
+      }
+    val q = docs.writeStream.option("checkpointLocation", ckpt())
+      .outputMode("append").foreachBatch(probe).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(target).orderBy(col("doc_id"))
+  }
 }

@@ -1155,4 +1155,30 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"), s"cartesian product:\n$p")
     assert(!p.contains("SortMergeJoin"), s"corpus-sized sort-merge join:\n$p")
   }
+
+  test("d135 vocab overlap: corpus collapses to vocab at the first aggregate; text stays map-side") {
+    val df = PipelineQueries.queries("d135_source_vocab_overlap")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      .split("== Initial Plan ==").head
+    val leaked = shuffledInputs(p).filter(_.contains("text#"))
+    assert(leaked.isEmpty, s"doc text crossed an exchange: $leaked\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian product:\n$p")
+    // distinct must partial-aggregate before its shuffle
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      s"expected partial+final aggregation:\n$p")
+  }
+
+  test("d136 KS drift: scan prunes to (source, n_chars); windows stay per-source") {
+    val df = PipelineQueries.queries("d136_ks_length_drift")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // column pruning: the KS statistic never needs text — the parquet
+    // scan must not materialize it
+    assert(!p.contains("text#"),
+      s"KS drift read the text column it never uses:\n$p")
+    // the cumulative-CDF window runs per source, never one partition
+    assert(!p.contains("Arguments: SinglePartition"),
+      s"the CDF window must partition by source:\n$p")
+  }
 }
