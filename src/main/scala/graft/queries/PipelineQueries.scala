@@ -3433,6 +3433,68 @@ object PipelineQueries {
         .agg(max(abs(col("a.cdf_ppm") - col("b.cdf_ppm"))).as("ks_ppm"))
         .withColumn("drifted", col("ks_ppm") >= 100000)
         .orderBy(col("src_a"), col("src_b"))
+    },
+
+    // --- code-vs-prose routing (StarCoder/RedPajama-style) ---------------
+    "d137_code_detection" -> { (s, d) =>
+      // Code wants different tokenization, dedup, and mixture weights
+      // than prose, so pipelines route on cheap char-class evidence
+      // BEFORE any model runs: symbol density, brace/semicolon counts.
+      // Planted code docs (deterministic, id-derived — the oracle
+      // rebuilds them) must flag; the natural word-soup corpus must
+      // not. All signals are per-row codegen regex/length math riding
+      // the scan — integer permille, no shuffle until the final
+      // order-by on the (tiny) flagged set.
+      val code = s.range(40).select(
+        (col("id") + 9100000L).as("doc_id"),
+        concat(lit("def fn(x) { return x * "), col("id"),
+          lit("; } // auto var y = (x + "), col("id"),
+          lit("); if (y > 0) { y = y - 1; }")).as("text"))
+      val all = t(s, d, "documents").select(col("doc_id"), col("text"))
+        .unionByName(code)
+      all.select(col("doc_id"),
+          length(col("text")).cast(LongType).as("n_chars"),
+          length(regexp_replace(col("text"), "[A-Za-z0-9 ]", ""))
+            .cast(LongType).as("n_symbols"),
+          (length(col("text"))
+            - length(regexp_replace(col("text"), "[{}]", "")))
+            .cast(LongType).as("n_braces"),
+          (length(col("text"))
+            - length(regexp_replace(col("text"), ";", "")))
+            .cast(LongType).as("n_semis"))
+        .withColumn("symbol_permille",
+          expr("n_symbols * 1000 div n_chars"))
+        .where(col("symbol_permille") >= 60 && col("n_braces") >= 2)
+        .orderBy(col("doc_id"))
+    },
+
+    // --- t-closeness audit (completes the k-anon / l-div privacy suite) --
+    "d138_t_closeness" -> { (s, d) =>
+      // l-diversity (d132) counts distinct sensitive values; t-closeness
+      // bounds how far a group's sensitive-value DISTRIBUTION may sit
+      // from the global one (a group can have all l values yet be 99%
+      // one of them). Distance = total variation in exact integer ppm
+      // over the complete group × source grid — a source absent from a
+      // group contributes its full global mass. Everything after the
+      // first aggregate is group-count-sized.
+      val docs = t(s, d, "documents")
+      val cells = docs.groupBy(col("lang"),
+          expr("n_chars div 100").as("len_bucket"), col("source"))
+        .agg(count(lit(1)).as("c"))
+      val groups = cells.groupBy(col("lang"), col("len_bucket"))
+        .agg(sum(col("c")).as("g_total"))
+      val global = cells.groupBy(col("source")).agg(sum(col("c")).as("s_total"))
+      val grand = global.agg(sum(col("s_total")).as("n_total"))
+      groups.crossJoin(global) // complete group × source grid — tiny
+        .join(cells, Seq("lang", "len_bucket", "source"), "left")
+        .na.fill(0L, Seq("c"))
+        .crossJoin(broadcast(grand))
+        .withColumn("diff", abs(expr("c * 1000000 div g_total")
+          - expr("s_total * 1000000 div n_total")))
+        .groupBy(col("lang"), col("len_bucket"), col("g_total"))
+        .agg(expr("sum(diff) div 2").as("tv_ppm"))
+        .withColumn("t_close", col("tv_ppm") <= 500000)
+        .orderBy(col("lang"), col("len_bucket"))
     }
   )
 
@@ -4927,6 +4989,52 @@ object PipelineQueries {
           |  max(abs(a.cdf_ppm - b.cdf_ppm)) >= 100000 AS drifted
           |FROM cdf a JOIN cdf b ON a.n_chars = b.n_chars AND a.source < b.source
           |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin,
+
+      // planted code docs rebuilt from the same id-derived template;
+      // char-class counts replay exactly (regex classes are ASCII)
+      "d137_code_detection" ->
+        """WITH code AS (
+          |  SELECT 9100000 + i AS doc_id,
+          |    'def fn(x) { return x * ' || CAST(i AS VARCHAR) ||
+          |    '; } // auto var y = (x + ' || CAST(i AS VARCHAR) ||
+          |    '); if (y > 0) { y = y - 1; }' AS text
+          |  FROM range(40) t(i)
+          |), allc AS (
+          |  SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM code
+          |), scored AS (
+          |  SELECT doc_id,
+          |    CAST(length(text) AS BIGINT) AS n_chars,
+          |    CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS BIGINT) AS n_symbols,
+          |    CAST(length(text) - length(regexp_replace(text, '[{}]', '', 'g')) AS BIGINT) AS n_braces,
+          |    CAST(length(text) - length(regexp_replace(text, ';', '', 'g')) AS BIGINT) AS n_semis
+          |  FROM allc
+          |)
+          |SELECT doc_id, n_chars, n_symbols, n_braces, n_semis,
+          |  CAST(n_symbols * 1000 // n_chars AS BIGINT) AS symbol_permille
+          |FROM scored
+          |WHERE n_symbols * 1000 // n_chars >= 60 AND n_braces >= 2
+          |ORDER BY doc_id""".stripMargin,
+
+      "d138_t_closeness" ->
+        """WITH cells AS (
+          |  SELECT lang, n_chars // 100 AS len_bucket, source, count(1) AS c
+          |  FROM documents GROUP BY 1, 2, 3
+          |), groups AS (
+          |  SELECT lang, len_bucket, sum(c) AS g_total FROM cells GROUP BY 1, 2
+          |), global AS (
+          |  SELECT source, sum(c) AS s_total FROM cells GROUP BY 1
+          |), grand AS (
+          |  SELECT sum(s_total) AS n_total FROM global
+          |)
+          |SELECT g.lang, g.len_bucket, CAST(g.g_total AS BIGINT) AS g_total,
+          |  CAST(sum(abs(COALESCE(c.c, 0) * 1000000 // g.g_total
+          |    - s.s_total * 1000000 // gr.n_total)) // 2 AS BIGINT) AS tv_ppm,
+          |  sum(abs(COALESCE(c.c, 0) * 1000000 // g.g_total
+          |    - s.s_total * 1000000 // gr.n_total)) // 2 <= 500000 AS t_close
+          |FROM groups g CROSS JOIN global s CROSS JOIN grand gr
+          |LEFT JOIN cells c ON c.lang = g.lang AND c.len_bucket = g.len_bucket
+          |  AND c.source = s.source
+          |GROUP BY 1, 2, 3 ORDER BY g.lang, g.len_bucket""".stripMargin,
 
       "d120_annotator_kappa" ->
         """WITH base AS (

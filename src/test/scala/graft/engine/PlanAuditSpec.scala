@@ -1181,4 +1181,30 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Arguments: SinglePartition"),
       s"the CDF window must partition by source:\n$p")
   }
+
+  test("d137 code detection: signals ride the scan; only the flagged set shuffles") {
+    val df = PipelineQueries.queries("d137_code_detection")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      .split("== Initial Plan ==").head
+    // per-row char-class math must filter BEFORE any exchange — the
+    // corpus never shuffles, only the (tiny) flagged set reaches the
+    // order-by
+    val leaked = shuffledInputs(p).filter(_.contains("text#"))
+    assert(leaked.isEmpty, s"doc text crossed an exchange: $leaked\n$p")
+    assert(p.linesIterator.count(_.contains("Exchange")) <= 2,
+      s"expected only the final order-by exchange:\n$p")
+  }
+
+  test("d138 t-closeness: scan prunes text; grid work is group-count-sized") {
+    val df = PipelineQueries.queries("d138_t_closeness")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("text#"),
+      s"t-closeness read the text column it never uses:\n$p")
+    // the corpus collapses at the first (lang, bucket, source) count;
+    // partial aggregation must precede its shuffle
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      s"expected partial+final aggregation:\n$p")
+  }
 }
