@@ -3495,6 +3495,38 @@ object PipelineQueries {
         .agg(expr("sum(diff) div 2").as("tv_ppm"))
         .withColumn("t_close", col("tv_ppm") <= 500000)
         .orderBy(col("lang"), col("len_bucket"))
+    },
+
+    // --- Count-Min Sketch frequency estimates (completes the sketch
+    //     family: HLL cardinality, Misra-Gries heavy hitters, KMV
+    //     overlap, mergeable quantiles — CMS is point frequency) ------
+    "d139_count_min_sketch" -> { (s, d) =>
+      // 4 hash rows × 256 buckets = a 1024-cell integer sketch. In
+      // production the cells aggregate map-side from raw occurrences
+      // (4 ints per token, memory vocab-FREE — the reason to accept
+      // overestimates); here the gate builds it from the exact count
+      // table (mathematically identical: CMS inserts are additive) so
+      // estimate vs truth is auditable in one query. Every number is
+      // an exact integer on a deterministic md5-60 bucket hash — the
+      // oracle replays the whole sketch bit-for-bit.
+      graft.functions.BitSketchExpressions.register(s)
+      val counts = t(s, d, "documents")
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+        .where(col("tok") =!= "")
+        .groupBy(col("tok")).agg(count(lit(1)).as("c_true"))
+      val probes = counts.select(col("tok"), col("c_true"), explode(expr(
+          """transform(sequence(0, 3),
+            |  r -> struct(r AS r,
+            |    pmod(graft_md5_60(concat('cms', r, ':', tok)), 256) AS b))"""
+            .stripMargin)).as("rb"))
+        .select(col("tok"), col("c_true"), col("rb.r").as("r"), col("rb.b").as("b"))
+      val sketch = probes.groupBy(col("r"), col("b"))
+        .agg(sum(col("c_true")).as("cell"))
+      probes.join(broadcast(sketch), Seq("r", "b"))
+        .groupBy(col("tok"), col("c_true")).agg(min(col("cell")).as("c_est"))
+        .orderBy(col("c_true").desc, col("tok")).limit(20)
+        .select(col("tok"), col("c_true"), col("c_est"),
+          (col("c_est") - col("c_true")).as("overestimate"))
     }
   )
 
@@ -5035,6 +5067,28 @@ object PipelineQueries {
           |LEFT JOIN cells c ON c.lang = g.lang AND c.len_bucket = g.len_bucket
           |  AND c.source = s.source
           |GROUP BY 1, 2, 3 ORDER BY g.lang, g.len_bucket""".stripMargin,
+
+      "d139_count_min_sketch" ->
+        """WITH toks AS (
+          |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+          |  FROM documents
+          |), counts AS (
+          |  SELECT tok, count(1) AS c_true FROM toks WHERE tok <> '' GROUP BY tok
+          |), probes AS (
+          |  SELECT tok, c_true, r,
+          |    ('0x' || substring(md5('cms' || CAST(r AS VARCHAR) || ':' || tok), 1, 15))::BIGINT % 256 AS b
+          |  FROM counts, unnest(range(0, 4)) AS t(r)
+          |), sketch AS (
+          |  SELECT r, b, sum(c_true) AS cell FROM probes GROUP BY 1, 2
+          |), est AS (
+          |  SELECT p.tok, p.c_true, min(s.cell) AS c_est
+          |  FROM probes p JOIN sketch s ON s.r = p.r AND s.b = p.b
+          |  GROUP BY 1, 2
+          |)
+          |SELECT tok, CAST(c_true AS BIGINT) AS c_true,
+          |  CAST(c_est AS BIGINT) AS c_est,
+          |  CAST(c_est - c_true AS BIGINT) AS overestimate
+          |FROM est ORDER BY c_true DESC, tok LIMIT 20""".stripMargin,
 
       "d120_annotator_kappa" ->
         """WITH base AS (

@@ -1207,4 +1207,17 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
       s"expected partial+final aggregation:\n$p")
   }
+
+  test("d139 CMS: the 1024-cell sketch broadcasts; token counts partial-aggregate") {
+    val df = PipelineQueries.queries("d139_count_min_sketch")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      .split("== Initial Plan ==").head
+    assert(p.contains("BroadcastHashJoin"),
+      s"the fixed-size sketch table should broadcast into the probe:\n$p")
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      s"expected partial+final token aggregation:\n$p")
+    val leaked = shuffledInputs(p).filter(_.contains("text#"))
+    assert(leaked.isEmpty, s"doc text crossed an exchange: $leaked\n$p")
+  }
 }

@@ -395,4 +395,14 @@ class DedupStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(nBig > 0)
     assert(tBig / tSmall < 4.0, f"super-linear at the 1M ceiling: $tSmall%.1f s → $tBig%.1f s")
   }
+
+  test("1M-doc ceiling: MinHash-LSH pair generation growth stays under 4x", Stress) {
+    // the most-used candidate path (feeds d07/d44/d63/d81/d97/d98) —
+    // banded buckets must keep pair generation ~linear at the ceiling
+    val (tSmall, tBig, nBig) = ceilingRatio("minhash@1M", 250000L, 1000000L) { d =>
+      TextDedup.minhashLshPairs(d)
+    }
+    assert(nBig > 0)
+    assert(tBig / tSmall < 4.0, f"super-linear at the 1M ceiling: $tSmall%.1f s → $tBig%.1f s")
+  }
 }
