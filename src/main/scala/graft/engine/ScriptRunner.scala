@@ -722,12 +722,17 @@ class ScriptRunner(spark: SparkSession) {
       val view = s"graft_load_${java.util.UUID.randomUUID().toString.replace("-", "")}"
       df.createOrReplaceTempView(view)
       try {
+        // with an explicit column list, insert BY NAME — BigQuery
+        // matches loaded columns to the table by name, and a
+        // positional insert into a differently-ordered table would be
+        // silently wrong
+        val byName = explicitDdl.map(_ => " BY NAME").getOrElse("")
         if (!destExists)
           spark.sql(s"CREATE TABLE $dest USING PARQUET AS SELECT * FROM $view")
         else if (mode.equalsIgnoreCase("OVERWRITE"))
-          spark.sql(s"INSERT OVERWRITE TABLE $dest SELECT * FROM $view")
+          spark.sql(s"INSERT OVERWRITE TABLE $dest$byName SELECT * FROM $view")
         else
-          spark.sql(s"INSERT INTO $dest SELECT * FROM $view")
+          spark.sql(s"INSERT INTO $dest$byName SELECT * FROM $view")
       } finally spark.catalog.dropTempView(view)
       Some(spark.sql(s"SELECT CAST($n AS BIGINT) AS loaded_rows"))
     case other =>

@@ -352,6 +352,26 @@ class ScriptRunnerSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE graft_loadspec_t")
   }
 
+  test("LOAD DATA with a column list inserts by NAME, not position") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_load_byname")
+    spark.sql("DROP TABLE IF EXISTS graft_loadspec_n")
+    // destination column order (sq, k) is the REVERSE of the load list
+    spark.sql("CREATE TABLE graft_loadspec_n (sq BIGINT, k BIGINT) USING PARQUET")
+    val sr = new ScriptRunner(spark)
+    sr.run(
+      s"""EXPORT DATA OPTIONS(uri='$dir/out/part-*.csv', format='CSV',
+         |  header=true, overwrite=true) AS
+         |SELECT k, k * k AS sq FROM (SELECT explode(sequence(1, 3)) AS k);
+         |LOAD DATA INTO graft_loadspec_n (k INT64, sq INT64)
+         |FROM FILES(format='CSV', uris=['$dir/out/part-*.csv'],
+         |  skip_leading_rows=1)""".stripMargin)
+    val rows = spark.table("graft_loadspec_n").orderBy("k")
+      .collect().map(r => (r.getLong(1), r.getLong(0)))
+    assert(rows.toSeq == Seq((1L, 1L), (2L, 4L), (3L, 9L)),
+      "k/sq landed in the wrong columns — positional insert")
+    spark.sql("DROP TABLE graft_loadspec_n")
+  }
+
   test("LOAD DATA fails loud on bad options instead of half-loading") {
     val sr = new ScriptRunner(spark)
     val noSchema = intercept[IllegalArgumentException] {
