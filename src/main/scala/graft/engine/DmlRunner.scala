@@ -139,8 +139,6 @@ class DmlRunner(spark: SparkSession, runner: TransformRunner) {
 
   private val updateRe =
     raw"(?is)^\s*UPDATE\s+`?([\w.$$-]+)`?\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*$$".r
-  private val updateFromRe =
-    raw"(?is)^\s*UPDATE\s+`?([\w.$$-]+)`?(?:\s+(?:AS\s+)?(\w+))?\s+SET\s+(.+?)\s+FROM\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*$$".r
   private val truncateRe =
     raw"(?is)^\s*TRUNCATE\s+TABLE\s+`?([\w.$$-]+)`?\s*;?\s*$$".r
 
@@ -213,9 +211,6 @@ class DmlRunner(spark: SparkSession, runner: TransformRunner) {
       ()
   }
 
-  private def balancedParens(s: String): Boolean =
-    s.count(_ == '(') == s.count(_ == ')')
-
   /** Literal- and comment-blind copy of a statement: every character
     * inside a '…'/"…" literal, a `--` line comment, or a block comment
     * becomes `x` (length-preserving, so match positions carry back to
@@ -265,19 +260,49 @@ class DmlRunner(spark: SparkSession, runner: TransformRunner) {
         if (m.start(g) < 0) None else Some(s.substring(m.start(g), m.end(g))))
     }
 
-  /** UPDATE…FROM recognizer: the regex runs over literal-masked text (so
-    * FROM/WHERE inside string literals can't split the statement) and the
-    * paren-balance guard keeps a subquery's FROM in a plain UPDATE's SET
-    * from misparsing; captured groups are cut from the ORIGINAL text by
-    * position, preserving literal content.
+  /** UPDATE…FROM recognizer over literal-masked text (FROM/WHERE inside
+    * string literals can't steer it). The FROM and the outer WHERE are
+    * located by a paren-depth scan — only DEPTH-0 keywords split the
+    * statement, so a subquery source with its own WHERE
+    * (`FROM (SELECT … WHERE …) src WHERE join-cond`) parses correctly
+    * and a FROM inside a SET expression (EXTRACT/SUBSTRING forms) never
+    * misroutes a plain UPDATE. Captured pieces are cut from the
+    * ORIGINAL text by position (masking is length-preserving).
     */
   private object UpdateFromStmt {
+    private val headRe =
+      raw"(?is)^\s*UPDATE\s+`?([\w.$$-]+)`?(?:\s+(?:AS\s+)?(\w+))?\s+SET\s".r
     def unapply(stmt: String): Option[(String, Option[String], String, String, String)] = {
       val masked = maskLiterals(stmt)
-      updateFromRe.findFirstMatchIn(masked).collect {
-        case m if balancedParens(m.group(3)) && balancedParens(m.group(4)) =>
-          def orig(i: Int) = stmt.substring(m.start(i), m.end(i))
-          (orig(1), Option(m.group(2)).map(_ => orig(2)), orig(3), orig(4), orig(5))
+      headRe.findFirstMatchIn(masked).flatMap { h =>
+        val up = masked.toUpperCase
+        def boundary(c: Char) = !Character.isLetterOrDigit(c) && c != '_'
+        def topLevel(kw: String, from: Int): Int = {
+          var depth = 0
+          var i = from
+          while (i < masked.length) {
+            masked.charAt(i) match {
+              case '(' => depth += 1
+              case ')' => depth -= 1
+              case _ =>
+                if (depth == 0 && up.startsWith(kw, i) &&
+                    (i == 0 || boundary(masked.charAt(i - 1)))) return i
+            }
+            i += 1
+          }
+          -1
+        }
+        val fromIdx = topLevel("FROM ", h.end)
+        val whereIdx = if (fromIdx < 0) -1 else topLevel("WHERE ", fromIdx + 5)
+        if (fromIdx < 0 || whereIdx < 0) scala.None
+        else {
+          val dest = stmt.substring(h.start(1), h.end(1))
+          val alias = Option(h.group(2)).map(_ => stmt.substring(h.start(2), h.end(2)))
+          val sets = stmt.substring(h.end, fromIdx).trim
+          val fromSrc = stmt.substring(fromIdx + 5, whereIdx).trim
+          val cond = stmt.substring(whereIdx + 6).trim.stripSuffix(";").trim
+          Some((dest, alias, sets, fromSrc, cond))
+        }
       }
     }
   }

@@ -334,6 +334,40 @@ object EngineQueries {
       s.table("graft__pg9.counts").orderBy("d")
     },
 
+    // --- multi-statement transactions: committed, rolled-back, aborted --
+    "e55_transactions" -> { (s, d) =>
+      // BigQuery BEGIN/COMMIT/ROLLBACK TRANSACTION over the snapshot-
+      // based parquet engine: the committed block's writes stick, the
+      // explicit ROLLBACK block vanishes, and a failing statement
+      // auto-rolls its block back before the error surfaces — the
+      // final table must show ONLY the committed block.
+      Tables.views(s, d, "nation")
+      freshDb(s, "graft__pg55")
+      s.sql("CREATE TABLE graft__pg55.acct (id BIGINT, bal BIGINT) USING PARQUET")
+      s.sql("""INSERT INTO graft__pg55.acct
+              |SELECT CAST(n_nationkey AS BIGINT), CAST(100 AS BIGINT)
+              |FROM nation""".stripMargin)
+      val dml = new DmlRunner(s, new TransformRunner(s))
+      dml.run(
+        """BEGIN TRANSACTION;
+          |UPDATE `graft.pg55.acct` SET bal = bal + src.n_nationkey * 10
+          |FROM nation src
+          |WHERE id = src.n_nationkey AND src.n_regionkey = 0;
+          |DELETE FROM `graft.pg55.acct` WHERE id >= 20;
+          |COMMIT TRANSACTION""".stripMargin)
+      dml.run(
+        """BEGIN TRANSACTION;
+          |UPDATE `graft.pg55.acct` SET bal = 0 WHERE TRUE;
+          |ROLLBACK TRANSACTION""".stripMargin)
+      try dml.run(
+        """BEGIN TRANSACTION;
+          |DELETE FROM `graft.pg55.acct` WHERE id < 5;
+          |UPDATE `graft.pg55.acct` SET bal = missing_col WHERE id = 5;
+          |COMMIT""".stripMargin)
+      catch { case _: Exception => () } // aborted block must leave no trace
+      s.table("graft__pg55.acct").orderBy("id")
+    },
+
     // --- ingestion-time partitioning (_PARTITIONTIME → _ingest_date) ---
     "e10_ingestion_time_replace" -> { (s, d) =>
       Tables.views(s, d, "events")
@@ -1842,6 +1876,14 @@ object EngineQueries {
     "e54_external_table" ->
       """SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name
         |FROM region ORDER BY r_regionkey""".stripMargin,
+
+    // only the committed transaction's writes may show: +10·id for
+    // region-0 nations, ids >= 20 deleted; the rolled-back zeroing and
+    // the aborted delete leave no trace
+    "e55_transactions" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS id,
+        |  CAST(100 + CASE WHEN n_regionkey = 0 THEN n_nationkey * 10 ELSE 0 END AS BIGINT) AS bal
+        |FROM nation WHERE n_nationkey < 20 ORDER BY id""".stripMargin,
 
     "e34_create_table_as" ->
       """SELECT o_orderpriority, count(1) AS cnt,

@@ -236,4 +236,81 @@ class DmlRunnerSpec extends AnyFunSuite with BeforeAndAfterAll {
     dml.run("DELETE FROM `dmlspec.t` WHERE k = 'x where when matched'")
     assert(state() == Seq(("b", 2L)))
   }
+
+  test("UPDATE ... FROM a subquery source with its own WHERE parses at depth 0") {
+    freshTable(Seq(("a", 1L), ("b", 2L), ("c", 3L)))
+    dml.run(
+      """UPDATE `dmlspec.t` SET v = v + src.bump
+        |FROM (SELECT 'a' AS kk, 100 AS bump FROM (SELECT 1) WHERE 1 = 1) src
+        |WHERE k = src.kk""".stripMargin)
+    assert(state() == Seq(("a", 101L), ("b", 2L), ("c", 3L)))
+  }
+
+  test("COMMIT TRANSACTION keeps every write since BEGIN") {
+    freshTable(Seq(("a", 1L), ("b", 2L), ("c", 3L)))
+    dml.run(
+      """BEGIN TRANSACTION;
+        |UPDATE `dmlspec.t` SET v = v + 10 WHERE k <> 'c';
+        |DELETE FROM `dmlspec.t` WHERE k = 'c';
+        |COMMIT TRANSACTION""".stripMargin)
+    assert(state() == Seq(("a", 11L), ("b", 12L)))
+  }
+
+  test("ROLLBACK restores updates, deletes, truncates, and drops — DDL included") {
+    freshTable(Seq(("a", 1L), ("b", 2L)))
+    dml.run(
+      """BEGIN TRANSACTION;
+        |UPDATE `dmlspec.t` SET v = 0 WHERE k = 'a';
+        |DELETE FROM `dmlspec.t` WHERE k = 'b';
+        |TRUNCATE TABLE `dmlspec.t`;
+        |DROP TABLE `dmlspec.t`;
+        |ROLLBACK TRANSACTION""".stripMargin)
+    assert(state() == Seq(("a", 1L), ("b", 2L)),
+      "pre-transaction rows must survive a rollback across DML and DDL")
+  }
+
+  test("a table created inside the transaction is dropped on rollback") {
+    freshTable(Seq(("a", 1L)))
+    dml.run(
+      """BEGIN TRANSACTION;
+        |CREATE TABLE dmlspec.made AS SELECT 1 AS x;
+        |ROLLBACK""".stripMargin)
+    assert(!spark.catalog.tableExists("dmlspec.made"))
+  }
+
+  test("a failing statement inside a transaction auto-rolls back and surfaces") {
+    freshTable(Seq(("a", 1L), ("b", 2L)))
+    val e = intercept[Exception] {
+      dml.run(
+        """BEGIN TRANSACTION;
+          |DELETE FROM `dmlspec.t` WHERE k = 'a';
+          |UPDATE `dmlspec.t` SET v = no_such_col + 1 WHERE k = 'b';
+          |COMMIT""".stripMargin)
+    }
+    assert(state() == Seq(("a", 1L), ("b", 2L)),
+      s"the delete before the failure must be undone (got error: ${e.getMessage.take(80)})")
+  }
+
+  test("an open transaction at end of script rolls back and fails loud") {
+    freshTable(Seq(("a", 1L)))
+    val e = intercept[IllegalStateException] {
+      dml.run(
+        """BEGIN TRANSACTION;
+          |UPDATE `dmlspec.t` SET v = 99 WHERE k = 'a'""".stripMargin)
+    }
+    assert(e.getMessage.contains("still open"))
+    assert(state() == Seq(("a", 1L)))
+  }
+
+  test("transaction misuse fails loud: nested BEGIN, bare COMMIT/ROLLBACK") {
+    freshTable(Seq(("a", 1L)))
+    val nested = intercept[IllegalStateException] {
+      dml.run("BEGIN TRANSACTION;\nBEGIN TRANSACTION;\nCOMMIT")
+    }
+    assert(nested.getMessage.contains("already active"))
+    val bareCommit = intercept[IllegalStateException] { dml.run("COMMIT") }
+    assert(bareCommit.getMessage.contains("without an active"))
+    val bareRb = intercept[IllegalStateException] { dml.run("ROLLBACK") }
+    assert(bareRb.getMessage.contains("without an active"))
+  }
 }
