@@ -3527,6 +3527,61 @@ object PipelineQueries {
         .orderBy(col("c_true").desc, col("tok")).limit(20)
         .select(col("tok"), col("c_true"), col("c_est"),
           (col("c_est") - col("c_true")).as("overestimate"))
+    },
+
+    // --- output-shard skew audit: does the writer's own hash balance? --
+    "d140_shard_skew_audit" -> { (s, d) =>
+      // Before a 100 TB epoch writes, audit the shard assignment the
+      // writer will use: per-shard doc and token loads under the same
+      // content-hash sharding, load_permille = this shard's token share
+      // of a perfectly flat split (1000 = exactly balanced). A skewed
+      // shard here is a straggler executor later. One map-side-combined
+      // aggregate; the 32-row shard table does the rest.
+      graft.functions.BitSketchExpressions.register(s)
+      val shards = t(s, d, "documents")
+        .select(expr("pmod(graft_md5_60(concat('shard', doc_id)), 32)").as("shard"),
+          size(split(lower(trim(col("text"))), "\\s+")).cast(LongType).as("n_toks"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+      val total = shards.agg(sum(col("n_tokens")).as("t_total"))
+      shards.crossJoin(broadcast(total))
+        .select(col("shard"), col("n_docs"), col("n_tokens"),
+          expr("n_tokens * 32 * 1000 div t_total").as("load_permille"))
+        .orderBy(col("shard"))
+    },
+
+    // --- vocabulary growth curve (Heaps' law checkpoint table) ----------
+    "d141_vocab_growth_curve" -> { (s, d) =>
+      // How fast does the corpus stop saying new things? Distinct
+      // trigram count at 10 cumulative hash-slices of the corpus — the
+      // curve that prices dedup ROI and corpus-extension value. ONE
+      // pass: each trigram keeps the MIN slice where it first appears,
+      // then a 10-row cumulative window — never 10 rescans. Exact
+      // integer counts; the oracle replays slice hashes and shingles.
+      graft.functions.BitSketchExpressions.register(s)
+      val sliced = t(s, d, "documents")
+        .select(expr("pmod(graft_md5_60(concat('slice', doc_id)), 10)").as("slice"),
+          split(lower(trim(col("text"))), "\\s+").as("toks"))
+        .where(size(col("toks")) >= 3)
+      val firstSeen = sliced
+        .select(col("slice"), explode(array_distinct(expr(
+          """transform(sequence(1, size(toks) - 2),
+            |  i -> graft_md5_60(concat_ws(' ', slice(toks, i, 3))))"""
+            .stripMargin))).as("g"))
+        .groupBy(col("g")).agg(min(col("slice")).as("first_slice"))
+      val perSlice = firstSeen.groupBy(col("first_slice").as("slice"))
+        .agg(count(lit(1)).as("n_new"))
+      val docsPer = sliced.groupBy(col("slice"))
+        .agg(count(lit(1)).as("n_docs"))
+      val w = Window.orderBy(col("slice"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docsPer.join(perSlice, Seq("slice"), "left")
+        .na.fill(0L, Seq("n_new"))
+        // 10-row frame: the global window is value-bounded by design
+        .withColumn("n_docs_cum", sum(col("n_docs")).over(w))
+        .withColumn("n_trigrams_cum", sum(col("n_new")).over(w))
+        .select(col("slice"), col("n_docs_cum"), col("n_new"), col("n_trigrams_cum"))
+        .orderBy(col("slice"))
     }
   )
 
@@ -5089,6 +5144,45 @@ object PipelineQueries {
           |  CAST(c_est AS BIGINT) AS c_est,
           |  CAST(c_est - c_true AS BIGINT) AS overestimate
           |FROM est ORDER BY c_true DESC, tok LIMIT 20""".stripMargin,
+
+      "d140_shard_skew_audit" ->
+        """WITH sh AS (
+          |  SELECT ('0x' || substring(md5('shard' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 32 AS shard,
+          |    len(regexp_split_to_array(lower(trim(text)), '\s+')) AS n_toks
+          |  FROM documents
+          |), agg AS (
+          |  SELECT shard, count(1) AS n_docs, sum(n_toks) AS n_tokens
+          |  FROM sh GROUP BY shard
+          |), tot AS (SELECT sum(n_tokens) AS t_total FROM agg)
+          |SELECT shard, CAST(n_docs AS BIGINT) AS n_docs,
+          |  CAST(n_tokens AS BIGINT) AS n_tokens,
+          |  CAST(n_tokens * 32 * 1000 // t_total AS BIGINT) AS load_permille
+          |FROM agg, tot ORDER BY shard""".stripMargin,
+
+      "d141_vocab_growth_curve" ->
+        """WITH sliced AS (
+          |  SELECT ('0x' || substring(md5('slice' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10 AS slice,
+          |    regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+          |  FROM documents
+          |), ok AS (
+          |  SELECT slice, toks FROM sliced WHERE len(toks) >= 3
+          |), fs AS (
+          |  SELECT g, min(slice) AS first_slice FROM (
+          |    SELECT slice, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+          |      i -> ('0x' || substring(md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]), 1, 15))::BIGINT))) AS g
+          |    FROM ok
+          |  ) GROUP BY g
+          |), per AS (
+          |  SELECT first_slice AS slice, count(1) AS n_new FROM fs GROUP BY 1
+          |), dp AS (
+          |  SELECT slice, count(1) AS n_docs FROM ok GROUP BY slice
+          |)
+          |SELECT d.slice,
+          |  CAST(sum(d.n_docs) OVER (ORDER BY d.slice) AS BIGINT) AS n_docs_cum,
+          |  CAST(COALESCE(p.n_new, 0) AS BIGINT) AS n_new,
+          |  CAST(sum(COALESCE(p.n_new, 0)) OVER (ORDER BY d.slice) AS BIGINT) AS n_trigrams_cum
+          |FROM dp d LEFT JOIN per p ON p.slice = d.slice
+          |ORDER BY d.slice""".stripMargin,
 
       "d120_annotator_kappa" ->
         """WITH base AS (

@@ -1208,6 +1208,20 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected partial+final aggregation:\n$p")
   }
 
+  test("d140/d141: shard audit and vocab curve collapse map-side; text never shuffles") {
+    for (g <- Seq("d140_shard_skew_audit", "d141_vocab_growth_curve")) {
+      val df = PipelineQueries.queries(g)(spark, sfDir)
+      df.collect()
+      val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+        .split("== Initial Plan ==").head
+      val leaked = shuffledInputs(p).filter(_.contains("text#"))
+      assert(leaked.isEmpty, s"$g: doc text crossed an exchange: $leaked\n$p")
+      assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+        s"$g: expected partial+final aggregation:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$g: cartesian product:\n$p")
+    }
+  }
+
   test("d139 CMS: the 1024-cell sketch broadcasts; token counts partial-aggregate") {
     val df = PipelineQueries.queries("d139_count_min_sketch")(spark, sfDir)
     df.collect()
