@@ -3582,6 +3582,33 @@ object PipelineQueries {
         .withColumn("n_trigrams_cum", sum(col("n_new")).over(w))
         .select(col("slice"), col("n_docs_cum"), col("n_new"), col("n_trigrams_cum"))
         .orderBy(col("slice"))
+    },
+
+    // --- filter funnel: per-source attrition through staged filters -----
+    "d142_filter_funnel" -> { (s, d) =>
+      // The report every cleaning pipeline ships with: how many docs
+      // (and tokens) each source loses at each filter stage, applied in
+      // order — a doc is charged to the FIRST stage that rejects it, so
+      // the stage counts sum exactly to the corpus. One scan: the stage
+      // label is a per-row CASE over cheap codegen signals; only
+      // (source, stage) counters cross the shuffle.
+      t(s, d, "documents")
+        .select(col("source"),
+          split(lower(trim(col("text"))), "\\s+").as("toks"),
+          length(col("text")).cast(LongType).as("n_chars"))
+        .select(col("source"), size(col("toks")).cast(LongType).as("n_words"),
+          col("n_chars"),
+          expr("""size(filter(toks, t -> t in ('the','a','of','and','to','in','is')))""")
+            .cast(LongType).as("n_stop"))
+        .withColumn("stage", expr(
+          """CASE
+            |  WHEN n_words < 10 OR n_words > 5000 THEN '1_length'
+            |  WHEN n_chars < n_words * 3 OR n_chars > n_words * 12 THEN '2_word_shape'
+            |  WHEN n_stop * 50 < n_words THEN '3_stopword'
+            |  ELSE '4_kept' END""".stripMargin))
+        .groupBy(col("source"), col("stage"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_tokens"))
+        .orderBy(col("source"), col("stage"))
     }
   )
 
@@ -5183,6 +5210,27 @@ object PipelineQueries {
           |  CAST(sum(COALESCE(p.n_new, 0)) OVER (ORDER BY d.slice) AS BIGINT) AS n_trigrams_cum
           |FROM dp d LEFT JOIN per p ON p.slice = d.slice
           |ORDER BY d.slice""".stripMargin,
+
+      "d142_filter_funnel" ->
+        """WITH b AS (
+          |  SELECT source,
+          |    regexp_split_to_array(lower(trim(text)), '\s+') AS toks,
+          |    CAST(length(text) AS BIGINT) AS n_chars
+          |  FROM documents
+          |), sig AS (
+          |  SELECT source, CAST(len(toks) AS BIGINT) AS n_words, n_chars,
+          |    CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS n_stop
+          |  FROM b
+          |)
+          |SELECT source,
+          |  CASE
+          |    WHEN n_words < 10 OR n_words > 5000 THEN '1_length'
+          |    WHEN n_chars < n_words * 3 OR n_chars > n_words * 12 THEN '2_word_shape'
+          |    WHEN n_stop * 50 < n_words THEN '3_stopword'
+          |    ELSE '4_kept' END AS stage,
+          |  CAST(count(1) AS BIGINT) AS n_docs,
+          |  CAST(sum(n_words) AS BIGINT) AS n_tokens
+          |FROM sig GROUP BY 1, 2 ORDER BY source, stage""".stripMargin,
 
       "d120_annotator_kappa" ->
         """WITH base AS (
