@@ -107,10 +107,36 @@ object StreamingQueries {
 
     "s24_stream_decontamination" -> { (s, d) =>
       StreamingOps.runBoundedStreamDecontamination(s, d, "s24_sink")
+    },
+
+    "s25_stream_filter_funnel" -> { (s, d) =>
+      StreamingOps.runBoundedStreamFilterFunnel(s, d, "s25_sink")
     }
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the streaming funnel's complete-mode counters must equal the
+    // batch d142 report
+    "s25_stream_filter_funnel" ->
+      """WITH b AS (
+        |  SELECT source,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS toks,
+        |    CAST(length(text) AS BIGINT) AS n_chars
+        |  FROM documents
+        |), sig AS (
+        |  SELECT source, CAST(len(toks) AS BIGINT) AS n_words, n_chars,
+        |    CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS n_stop
+        |  FROM b
+        |)
+        |SELECT source,
+        |  CASE
+        |    WHEN n_words < 10 OR n_words > 5000 THEN '1_length'
+        |    WHEN n_chars < n_words * 3 OR n_chars > n_words * 12 THEN '2_word_shape'
+        |    WHEN n_stop * 50 < n_words THEN '3_stopword'
+        |    ELSE '4_kept' END AS stage,
+        |  CAST(count(1) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_words) AS BIGINT) AS n_tokens
+        |FROM sig GROUP BY 1, 2 ORDER BY source, stage""".stripMargin,
     // the streaming quarantine log must reproduce the batch d133
     // result exactly — same planted corpus, same gram hashes
     "s24_stream_decontamination" ->

@@ -1117,6 +1117,44 @@ object StreamingOps {
       .orderBy(col("day"))
   }
 
+  /** Streaming filter funnel — the streaming face of the batch d142
+    * report: per-(source, stage) doc/token attrition counters kept as
+    * a COMPLETE-mode aggregation. The group cardinality is
+    * sources × 4 stages (bounded by construction), so the streaming
+    * state is a few dozen counter rows no matter how much data flows —
+    * the same reason s11 can hold HLL registers and s13 a Misra-Gries
+    * buffer. The stage label is the identical per-row CASE the batch
+    * gate uses; the bounded run must reproduce the batch d142 result
+    * exactly (same oracle).
+    */
+  def runBoundedStreamFilterFunnel(spark: SparkSession, sfDir: String,
+      queryName: String): DataFrame = {
+    val agg = boundedDocStream(spark, sfDir)
+      .select(col("source"),
+        split(lower(trim(col("text"))), "\\s+").as("toks"),
+        length(col("text")).cast("long").as("n_chars"))
+      .select(col("source"), size(col("toks")).cast("long").as("n_words"),
+        col("n_chars"),
+        expr("""size(filter(toks, t -> t in ('the','a','of','and','to','in','is')))""")
+          .cast("long").as("n_stop"))
+      .withColumn("stage", expr(
+        """CASE
+          |  WHEN n_words < 10 OR n_words > 5000 THEN '1_length'
+          |  WHEN n_chars < n_words * 3 OR n_chars > n_words * 12 THEN '2_word_shape'
+          |  WHEN n_stop * 50 < n_words THEN '3_stopword'
+          |  ELSE '4_kept' END""".stripMargin))
+      .groupBy(col("source"), col("stage"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_tokens"))
+    val q = withStatePartitions(spark, 8)(agg.writeStream
+      .option("checkpointLocation", ckpt())
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("complete")
+      .start())
+    try q.processAllAvailable() finally q.stop()
+    spark.table(queryName).orderBy(col("source"), col("stage"))
+  }
+
   /** Streaming ingest-time decontamination: d133's exact verbatim
     * 8-gram gate applied where production applies it — at ingest, per
     * micro-batch, before a doc reaches the training store. The static
