@@ -3609,6 +3609,37 @@ object PipelineQueries {
         .groupBy(col("source"), col("stage"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_tokens"))
         .orderBy(col("source"), col("stage"))
+    },
+
+    // --- duplicate-cluster size distribution (dedup ROI shape) ----------
+    "d143_dup_cluster_histogram" -> { (s, d) =>
+      // Is duplication a long tail of pairs or a few mega-clusters? The
+      // answer decides dedup strategy (pair joins vs hot-key handling).
+      // Exact-dup clusters by normalized content hash, bucketed by
+      // ⌊log2 size⌋ = length(bin(size)) - 1 — the same integer-exact
+      // bits trick the surprisal gates use, no float logs. Two slim
+      // aggregates; text collapses to 16-byte hashes map-side.
+      // EXACT copies planted at graded multiplicities (the usual " zzz"
+      // plants are near-dups, invisible to a content-hash histogram):
+      // %10 docs get 1 copy, %20 a 2nd, %40 a 3rd and 4th → cluster
+      // sizes 1/2/3/5 → buckets 0/1/1/2.
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val planted = docs
+        .unionByName(docs.where(col("doc_id") % 10 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L))
+        .unionByName(docs.where(col("doc_id") % 20 === 0)
+          .withColumn("doc_id", col("doc_id") + 2000000L))
+        .unionByName(docs.where(col("doc_id") % 40 === 0)
+          .withColumn("doc_id", col("doc_id") + 4000000L))
+        .unionByName(docs.where(col("doc_id") % 40 === 0)
+          .withColumn("doc_id", col("doc_id") + 5000000L))
+      planted
+        .select(md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("h"))
+        .groupBy(col("h")).agg(count(lit(1)).as("csize"))
+        .withColumn("log2_bucket", (length(bin(col("csize"))) - 1).cast(LongType))
+        .groupBy(col("log2_bucket"))
+        .agg(count(lit(1)).as("n_clusters"), sum(col("csize")).as("n_docs"))
+        .orderBy(col("log2_bucket"))
     }
   )
 
@@ -5231,6 +5262,24 @@ object PipelineQueries {
           |  CAST(count(1) AS BIGINT) AS n_docs,
           |  CAST(sum(n_words) AS BIGINT) AS n_tokens
           |FROM sig GROUP BY 1, 2 ORDER BY source, stage""".stripMargin,
+
+      "d143_dup_cluster_histogram" ->
+        """WITH corpus AS (
+          |  SELECT text FROM documents
+          |  UNION ALL SELECT text FROM documents WHERE doc_id % 10 = 0
+          |  UNION ALL SELECT text FROM documents WHERE doc_id % 20 = 0
+          |  UNION ALL SELECT text FROM documents WHERE doc_id % 40 = 0
+          |  UNION ALL SELECT text FROM documents WHERE doc_id % 40 = 0
+          |), h AS (
+          |  SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
+          |  FROM corpus
+          |), cl AS (
+          |  SELECT h, count(1) AS csize FROM h GROUP BY h
+          |)
+          |SELECT CAST(length(bin(csize)) - 1 AS BIGINT) AS log2_bucket,
+          |  CAST(count(1) AS BIGINT) AS n_clusters,
+          |  CAST(sum(csize) AS BIGINT) AS n_docs
+          |FROM cl GROUP BY 1 ORDER BY log2_bucket""".stripMargin,
 
       "d120_annotator_kappa" ->
         """WITH base AS (
