@@ -1,25 +1,33 @@
 package graft.engine
 
-/** Session-global registry of snapshot-clone tables. BigQuery snapshot
-  * tables (`CREATE SNAPSHOT TABLE … CLONE`) are read-only by contract
-  * — DML against one errors there, so the engine's DML runners consult
-  * this registry and fail loud instead of silently mutating history.
-  * Plain clones (`CREATE TABLE … CLONE`) stay writable and never
-  * register.
+/** Session-global registry of read-only tables. BigQuery snapshot
+  * tables (`CREATE SNAPSHOT TABLE … CLONE`) and materialized views are
+  * read-only by contract — DML against either errors there, so the
+  * engine's mutation paths consult this registry and fail loud instead
+  * of silently mutating. Plain clones (`CREATE TABLE … CLONE`) stay
+  * writable and never register. Each entry carries the reason shown in
+  * the error, so a blocked write says WHICH contract it would break.
   */
 object CloneRegistry {
   private val readOnly =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  def markReadOnly(table: String): Unit = readOnly.add(table.toLowerCase)
+  def markReadOnly(table: String): Unit = markReadOnly(table,
+    "a snapshot table (CREATE SNAPSHOT TABLE … CLONE) — clone it with " +
+      "CREATE TABLE … CLONE to get a writable copy")
+
+  def markReadOnly(table: String, reason: String): Unit =
+    readOnly.put(table.toLowerCase, reason)
+
+  /** Forget a mark (the table was dropped / re-materialized). */
+  def unmark(table: String): Unit = readOnly.remove(table.toLowerCase)
 
   /** Loud gate every mutation path calls with the resolved catalog
     * name before touching storage.
     */
-  def requireWritable(table: String): Unit =
-    if (readOnly.contains(table.toLowerCase))
-      throw new IllegalArgumentException(
-        s"$table is a snapshot table (CREATE SNAPSHOT TABLE … CLONE) " +
-          "and is read-only; clone it with CREATE TABLE … CLONE to get " +
-          "a writable copy")
+  def requireWritable(table: String): Unit = {
+    val reason = readOnly.get(table.toLowerCase)
+    if (reason != null)
+      throw new IllegalArgumentException(s"$table is read-only: $reason")
+  }
 }

@@ -205,6 +205,11 @@ class DmlRunner(spark: SparkSession, runner: TransformRunner) {
     case Truncate(destFqn) =>
       spark.sql(s"TRUNCATE TABLE ${runner.catalogName(destFqn)}")
     case Drop(destFqn) =>
+      // BigQuery rejects DROP TABLE on a materialized view; a plain
+      // drop here would also leave the MV registry's mark dangling
+      if (MvRegistry.definitionOf(runner.catalogName(destFqn)).isDefined)
+        throw new IllegalArgumentException(
+          "use DROP MATERIALIZED VIEW to remove a materialized view")
       spark.sql(s"DROP TABLE IF EXISTS ${runner.catalogName(destFqn)}")
     case other => // plain statement (e.g. a SELECT or engine-supported DDL)
       new ScriptRunner(spark).runStatement(other)

@@ -644,6 +644,79 @@ class ScriptRunner(spark: SparkSession) {
         throw new IllegalArgumentException(s"malformed CREATE EXTERNAL TABLE: $other")
     }
 
+  private val createMvRe =
+    raw"(?is)^CREATE\s+(OR\s+REPLACE\s+)?MATERIALIZED\s+VIEW\s+(IF\s+NOT\s+EXISTS\s+)?(`[^`]+`|[\w.\-]+)\s+AS\s+(.+)$$".r
+  private val dropMvRe =
+    raw"(?is)^DROP\s+MATERIALIZED\s+VIEW\s+(IF\s+EXISTS\s+)?(`[^`]+`|[\w.\-]+)\s*$$".r
+  private val dropTableHeadRe =
+    raw"(?is)^DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(`[^`]+`|[\w.\-]+)".r
+  private val mvReadOnlyReason =
+    "a materialized view — it refreshes via CALL " +
+      "BQ.REFRESH_MATERIALIZED_VIEW('…'), never DML"
+
+  /** (Re-)materialize an MV: replay the ORIGINAL BigQuery text through
+    * the full dialect pipeline, exactly like the defining CREATE.
+    */
+  private def materializeMv(dest: String, query: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $dest")
+    spark.sql(s"CREATE TABLE $dest USING PARQUET AS " + Dialect.rewrite(
+      substituteVars(expandInformationSchema(expandWildcardTables(query)))))
+  }
+
+  /** CREATE [OR REPLACE] MATERIALIZED VIEW [IF NOT EXISTS] name AS … —
+    * BigQuery MVs auto-refresh in the background; the parquet engine
+    * has no background service, so the published manual-refresh call
+    * (`CALL BQ.REFRESH_MATERIALIZED_VIEW('p.d.mv')`) IS the refresh.
+    * Between refreshes the MV serves its materialization — stale reads
+    * are the documented contract, silent auto-recompute is not
+    * something a batch engine can promise. MVs are read-only to DML,
+    * as in BigQuery.
+    */
+  private def runCreateMv(stmt: String): Option[DataFrame] = stmt.trim match {
+    case createMvRe(orReplace, ifNotExists, rawName, query) =>
+      val dest = destTableName(rawName.replace("`", ""))
+      if (spark.catalog.tableExists(dest) && orReplace == null) {
+        if (ifNotExists != null) return scala.None
+        throw new IllegalArgumentException(
+          s"$dest already exists; use CREATE OR REPLACE MATERIALIZED VIEW")
+      }
+      CloneRegistry.unmark(dest) // OR REPLACE over a previous MV
+      materializeMv(dest, query)
+      MvRegistry.register(dest, query)
+      CloneRegistry.markReadOnly(dest, mvReadOnlyReason)
+      scala.None
+    case other =>
+      throw new IllegalArgumentException(s"malformed CREATE MATERIALIZED VIEW: $other")
+  }
+
+  private def runDropMv(stmt: String): Option[DataFrame] = stmt.trim match {
+    case dropMvRe(ifExists, rawName) =>
+      val dest = destTableName(rawName.replace("`", ""))
+      if (MvRegistry.definitionOf(dest).isEmpty && ifExists == null)
+        throw new IllegalArgumentException(s"$dest is not a materialized view")
+      spark.sql(s"DROP TABLE IF EXISTS $dest")
+      MvRegistry.drop(dest)
+      CloneRegistry.unmark(dest)
+      scala.None
+    case other =>
+      throw new IllegalArgumentException(s"malformed DROP MATERIALIZED VIEW: $other")
+  }
+
+  /** CALL BQ.REFRESH_MATERIALIZED_VIEW('name') — re-materialize. */
+  private def refreshMv(nameExpr: String): Unit = {
+    val mvName = spark.sql(
+      s"SELECT CAST((${Dialect.rewrite(substituteVars(nameExpr))}) AS STRING)")
+      .collect()(0).getString(0)
+    val dest = destTableName(mvName.replace("`", ""))
+    val q = MvRegistry.definitionOf(dest).getOrElse(
+      throw new IllegalArgumentException(
+        s"$dest is not a registered materialized view " +
+          "(BQ.REFRESH_MATERIALIZED_VIEW refreshes MVs created this session)"))
+    CloneRegistry.unmark(dest)
+    try materializeMv(dest, q)
+    finally CloneRegistry.markReadOnly(dest, mvReadOnlyReason)
+  }
+
   private val loadDataRe =
     raw"(?is)^LOAD\s+DATA\s+(INTO|OVERWRITE)\s+(`[^`]+`|[\w.\-]+)\s*(?:\(([^)]*)\)\s*)?FROM\s+FILES\s*\((.*)\)\s*$$".r
   private val urisRe = raw"(?is)uris\s*=\s*\[(.*?)\]".r
@@ -951,6 +1024,13 @@ class ScriptRunner(spark: SparkSession) {
     * fires before the error reaches the caller.
     */
   private def runCall(name: String, argsText: String): Option[DataFrame] = {
+    if (procKey(name) == "bq.refresh_materialized_view") {
+      val args = splitTopCommas(argsText).map(_.trim).filter(_.nonEmpty)
+      if (args.length != 1) throw new IllegalArgumentException(
+        s"BQ.REFRESH_MATERIALIZED_VIEW takes exactly one argument, got ${args.length}")
+      refreshMv(args.head)
+      return scala.None
+    }
     val proc = procedures.getOrElse(procKey(name),
       throw new IllegalArgumentException(
         s"procedure $name is not defined in this session; CREATE PROCEDURE " +
@@ -1050,6 +1130,15 @@ class ScriptRunner(spark: SparkSession) {
       None
     case ext if createExternalRe.findFirstIn(ext.trim).isDefined =>
       runCreateExternal(ext)
+    case mv if createMvRe.findFirstIn(mv.trim).isDefined => runCreateMv(mv)
+    case mv if dropMvRe.findFirstIn(mv.trim).isDefined => runDropMv(mv)
+    case dt if dropTableHeadRe.findFirstMatchIn(dt.trim).exists(m =>
+        MvRegistry.definitionOf(
+          destTableName(m.group(1).replace("`", ""))).isDefined) =>
+      // BigQuery rejects DROP TABLE on an MV too — a plain drop would
+      // also leave the registry's read-only mark dangling
+      throw new IllegalArgumentException(
+        "use DROP MATERIALIZED VIEW to remove a materialized view")
     case createCloneRe(snapshot, ifNotExists, name, srcName, systemTime) =>
       // BigQuery `CREATE [SNAPSHOT] TABLE … CLONE src [FOR SYSTEM_TIME
       // AS OF …]`: materialize the source's image — optionally the

@@ -334,6 +334,31 @@ object EngineQueries {
       s.table("graft__pg9.counts").orderBy("d")
     },
 
+    // --- materialized view: create, go stale, CALL-refresh ---------------
+    "e56_materialized_view" -> { (s, d) =>
+      // BigQuery MVs auto-refresh in the background; the engine's
+      // refresh is the published manual call. The gate creates the MV,
+      // mutates the base table via DML (the MV stays stale — the
+      // documented contract), then CALL-refreshes: the final read must
+      // show the post-mutation aggregate.
+      Tables.views(s, d, "orders")
+      freshDb(s, "graft__pg56")
+      val sr = new ScriptRunner(s)
+      sr.run(
+        """CREATE TABLE `graft.pg56.base` AS
+          |SELECT o_orderpriority, o_totalprice FROM orders
+          |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-02-01';
+          |CREATE OR REPLACE MATERIALIZED VIEW `graft.pg56.mv` AS
+          |SELECT o_orderpriority, count(1) AS cnt,
+          |  CAST(SUM(CAST(o_totalprice AS NUMERIC)) AS FLOAT64) AS revenue
+          |FROM graft.pg56.base GROUP BY 1""".stripMargin)
+      new DmlRunner(s, new TransformRunner(s)).run(
+        "DELETE FROM `graft.pg56.base` WHERE o_totalprice < 50000")
+      sr.run(
+        """CALL BQ.REFRESH_MATERIALIZED_VIEW('graft.pg56.mv');
+          |SELECT * FROM graft.pg56.mv ORDER BY o_orderpriority""".stripMargin).get
+    },
+
     // --- multi-statement transactions: committed, rolled-back, aborted --
     "e55_transactions" -> { (s, d) =>
       // BigQuery BEGIN/COMMIT/ROLLBACK TRANSACTION over the snapshot-
@@ -1876,6 +1901,14 @@ object EngineQueries {
     "e54_external_table" ->
       """SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name
         |FROM region ORDER BY r_regionkey""".stripMargin,
+
+    "e56_materialized_view" ->
+      """SELECT o_orderpriority, count(1) AS cnt,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-02-01'
+        |  AND o_totalprice >= 50000
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
 
     // only the committed transaction's writes may show: +10·id for
     // region-0 nations, ids >= 20 deleted; the rolled-back zeroing and

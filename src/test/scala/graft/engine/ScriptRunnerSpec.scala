@@ -442,6 +442,53 @@ class ScriptRunnerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(badOpt.getMessage.contains("max_bad_records"))
   }
 
+  test("MATERIALIZED VIEW serves its materialization until CALL refresh") {
+    spark.sql("DROP TABLE IF EXISTS graft_mvspec_base")
+    spark.sql("CREATE TABLE graft_mvspec_base (k BIGINT) USING PARQUET")
+    spark.sql("INSERT INTO graft_mvspec_base VALUES (1), (2), (3)")
+    val sr = new ScriptRunner(spark)
+    sr.run("CREATE MATERIALIZED VIEW graft_mvspec_mv AS SELECT count(1) AS n FROM graft_mvspec_base")
+    assert(spark.table("graft_mvspec_mv").head().getLong(0) == 3L)
+    spark.sql("INSERT INTO graft_mvspec_base VALUES (4)")
+    // stale until refreshed — the documented batch-engine contract
+    assert(spark.table("graft_mvspec_mv").head().getLong(0) == 3L)
+    sr.run("CALL BQ.REFRESH_MATERIALIZED_VIEW('graft_mvspec_mv')")
+    assert(spark.table("graft_mvspec_mv").head().getLong(0) == 4L)
+    sr.run("DROP MATERIALIZED VIEW graft_mvspec_mv")
+    assert(!spark.catalog.tableExists("graft_mvspec_mv"))
+    spark.sql("DROP TABLE graft_mvspec_base")
+  }
+
+  test("materialized views are read-only and only DROP MATERIALIZED VIEW removes them") {
+    spark.sql("DROP TABLE IF EXISTS graft_mvspec_b2")
+    spark.sql("CREATE TABLE graft_mvspec_b2 (k BIGINT) USING PARQUET")
+    val sr = new ScriptRunner(spark)
+    sr.run("CREATE MATERIALIZED VIEW graft_mvspec_m2 AS SELECT count(1) AS n FROM graft_mvspec_b2")
+    val dml = new DmlRunner(spark, new TransformRunner(spark))
+    val ro = intercept[IllegalArgumentException] {
+      dml.run("DELETE FROM graft_mvspec_m2 WHERE n = 0")
+    }
+    assert(ro.getMessage.contains("read-only"))
+    val dropTbl = intercept[IllegalArgumentException] {
+      sr.run("DROP TABLE graft_mvspec_m2")
+    }
+    assert(dropTbl.getMessage.contains("DROP MATERIALIZED VIEW"))
+    val dropDml = intercept[IllegalArgumentException] {
+      dml.run("DROP TABLE graft_mvspec_m2")
+    }
+    assert(dropDml.getMessage.contains("DROP MATERIALIZED VIEW"))
+    val dup = intercept[IllegalArgumentException] {
+      sr.run("CREATE MATERIALIZED VIEW graft_mvspec_m2 AS SELECT 1 AS x")
+    }
+    assert(dup.getMessage.contains("OR REPLACE"))
+    val unknown = intercept[IllegalArgumentException] {
+      sr.run("CALL BQ.REFRESH_MATERIALIZED_VIEW('graft_mvspec_nope')")
+    }
+    assert(unknown.getMessage.contains("not a registered materialized view"))
+    sr.run("DROP MATERIALIZED VIEW graft_mvspec_m2")
+    spark.sql("DROP TABLE graft_mvspec_b2")
+  }
+
   test("time travel fails loud instead of silently reading current data") {
     val e = intercept[UnsupportedOperationException] {
       new ScriptRunner(spark).run(
