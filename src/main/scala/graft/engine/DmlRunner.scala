@@ -122,6 +122,13 @@ class DmlRunner(spark: SparkSession, runner: TransformRunner) {
     }
   }
 
+  // ScriptRunner delegates its transaction/DML statements here so the
+  // scripting and DML surfaces compose — these are its seam
+  private[engine] def txnOpen: Boolean = txn.isDefined
+  private[engine] def rollbackOpenTxn(): Unit = if (txn.isDefined) rollback()
+  private[engine] def noteMutationForTxn(destFqn: String): Unit =
+    snapshotForTxn(destFqn)
+
   /** Pin `destFqn`'s pre-statement state on its first mutation inside
     * the open transaction (no-op outside one, for re-touched tables,
     * and for tables the transaction itself created).
@@ -212,6 +219,12 @@ class DmlRunner(spark: SparkSession, runner: TransformRunner) {
           "use DROP MATERIALIZED VIEW to remove a materialized view")
       spark.sql(s"DROP TABLE IF EXISTS ${runner.catalogName(destFqn)}")
     case other => // plain statement (e.g. a SELECT or engine-supported DDL)
+      // a DML verb that didn't match its recognizer must fail HERE:
+      // ScriptRunner routes DML verbs back to this runner, so bouncing
+      // a malformed statement to a fresh ScriptRunner would loop
+      val head = StatementSplitter.firstKeyword(other)
+      if (Set("MERGE", "UPDATE", "DELETE", "TRUNCATE").contains(head))
+        throw new IllegalArgumentException(s"malformed $head statement: $other")
       new ScriptRunner(spark).runStatement(other)
       ()
   }

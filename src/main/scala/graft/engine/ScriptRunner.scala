@@ -117,12 +117,26 @@ class ScriptRunner(spark: SparkSession) {
     // normalize BQ-only literal forms BEFORE any splitting: a `;` or
     // block keyword inside a triple-quoted/raw literal must not split
     // the script (the splitter only understands standard quotes)
-    try runScript(Dialect.normalizeLiteralForms(script))
-    catch {
+    try {
+      val res = runScript(Dialect.normalizeLiteralForms(script))
+      // same end-of-script contract as DmlRunner.run: an open
+      // transaction rolls back and reports — never lose writes silently
+      if (txnOpen) {
+        rollbackOpenTxn()
+        throw new IllegalStateException(
+          "transaction was still open at end of script; it has been rolled " +
+            "back (add COMMIT TRANSACTION)")
+      }
+      res
+    } catch {
       case _: BreakSignal =>
         throw new IllegalStateException("BREAK/LEAVE outside of a loop")
       case _: ContinueSignal =>
         throw new IllegalStateException("CONTINUE/ITERATE outside of a loop")
+      case e: Throwable if txnOpen =>
+        // a statement failure inside an open transaction aborts it
+        rollbackOpenTxn()
+        throw e
     }
 
   // ---- BigQuery scripting control flow --------------------------------
@@ -506,7 +520,29 @@ class ScriptRunner(spark: SparkSession) {
       }
     }
 
-  def runStatement(stmt: String): Option[DataFrame] =
+  /** DML and transaction statements inside a SCRIPT route to ONE shared
+    * DmlRunner, so BigQuery's scripting surface and its DML surface
+    * compose (conditional COMMIT inside IF, DELETE in a loop body, …).
+    * Created on first use: pure relational scripts never pay for it.
+    */
+  private var dmlRunnerOpt: Option[DmlRunner] = scala.None
+  private def dmlRunner: DmlRunner = dmlRunnerOpt.getOrElse {
+    val d = new DmlRunner(spark, new TransformRunner(spark))
+    dmlRunnerOpt = Some(d)
+    d
+  }
+  private[engine] def txnOpen: Boolean = dmlRunnerOpt.exists(_.txnOpen)
+  private[engine] def rollbackOpenTxn(): Unit =
+    dmlRunnerOpt.foreach(_.rollbackOpenTxn())
+  // mutation heads THIS runner executes itself — inside an open
+  // transaction their target must be pinned before the write runs
+  private val txnMutationHeadRe =
+    raw"(?is)^\s*(?:INSERT\s+(?:INTO\s+)?|CREATE\s+(?:OR\s+REPLACE\s+)?(?:SNAPSHOT\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?|DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?|LOAD\s+DATA\s+(?:INTO|OVERWRITE)\s+)(`[^`]+`|[\w.\-]+)".r
+
+  def runStatement(stmt: String): Option[DataFrame] = {
+    if (txnOpen)
+      txnMutationHeadRe.findFirstMatchIn(substituteVars(stmt)).foreach(m =>
+        dmlRunner.noteMutationForTxn(m.group(1).replace("`", "")))
     StatementSplitter.firstKeyword(stmt) match {
       case "IF" => runIf(stmt)
       case "WHILE" => runWhile(stmt)
@@ -516,6 +552,10 @@ class ScriptRunner(spark: SparkSession) {
       case "CASE" => runCase(stmt)
       case "BEGIN" if !stmt.trim.toUpperCase.startsWith("BEGIN TRANSACTION") =>
         runBegin(stmt)
+      case "BEGIN" | "COMMIT" | "ROLLBACK" =>
+        dmlRunner.runStatement(substituteVars(stmt)); scala.None
+      case "MERGE" | "UPDATE" | "DELETE" | "TRUNCATE" =>
+        dmlRunner.runStatement(substituteVars(stmt)); scala.None
       case "ASSERT" => runAssert(stmt)
       case "RAISE" => runRaise(stmt)
       case "EXPORT" => runExportData(stmt)
@@ -524,6 +564,7 @@ class ScriptRunner(spark: SparkSession) {
       case "CONTINUE" | "ITERATE" => throw new ContinueSignal
       case _ => runSimpleStatement(stmt)
     }
+  }
 
   private val exportDataRe =
     raw"(?is)^EXPORT\s+DATA\s+OPTIONS\s*\((.*?)\)\s+AS\s+(.+)$$".r

@@ -334,6 +334,33 @@ object EngineQueries {
       s.table("graft__pg9.counts").orderBy("d")
     },
 
+    // --- scripted transaction: DML + control flow in ONE script ---------
+    "e57_scripted_transaction" -> { (s, d) =>
+      // The BigQuery conditional-commit idiom: a transaction whose
+      // COMMIT/ROLLBACK decision is an IF over the in-transaction
+      // state. Exercises the scripting↔DML seam: DELETE/INSERT route
+      // to the shared DmlRunner, the script-path INSERT is pinned for
+      // rollback, and the IF body's COMMIT lands on the same open
+      // transaction.
+      Tables.views(s, d, "nation")
+      freshDb(s, "graft__pg57")
+      new ScriptRunner(s).run(
+        """DECLARE min_keep INT64 DEFAULT 10;
+          |CREATE TABLE `graft.pg57.t` AS
+          |SELECT CAST(n_nationkey AS INT64) AS id, CAST(n_regionkey AS INT64) AS r FROM nation;
+          |BEGIN TRANSACTION;
+          |DELETE FROM `graft.pg57.t` WHERE r >= 3;
+          |INSERT INTO graft.pg57.t
+          |SELECT CAST(n_nationkey + 100 AS INT64), CAST(n_regionkey AS INT64)
+          |FROM nation WHERE n_regionkey = 0;
+          |IF (SELECT count(1) FROM graft.pg57.t) >= min_keep THEN
+          |  COMMIT TRANSACTION;
+          |ELSE
+          |  ROLLBACK TRANSACTION;
+          |END IF;
+          |SELECT id, r FROM graft.pg57.t ORDER BY id""".stripMargin).get
+    },
+
     // --- materialized view: create, go stale, CALL-refresh ---------------
     "e56_materialized_view" -> { (s, d) =>
       // BigQuery MVs auto-refresh in the background; the engine's
@@ -1901,6 +1928,14 @@ object EngineQueries {
     "e54_external_table" ->
       """SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name
         |FROM region ORDER BY r_regionkey""".stripMargin,
+
+    "e57_scripted_transaction" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS id, CAST(n_regionkey AS BIGINT) AS r
+        |FROM nation WHERE n_regionkey < 3
+        |UNION ALL
+        |SELECT CAST(n_nationkey + 100 AS BIGINT), CAST(n_regionkey AS BIGINT)
+        |FROM nation WHERE n_regionkey = 0
+        |ORDER BY id""".stripMargin,
 
     "e56_materialized_view" ->
       """SELECT o_orderpriority, count(1) AS cnt,

@@ -442,6 +442,36 @@ class ScriptRunnerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(badOpt.getMessage.contains("max_bad_records"))
   }
 
+  test("transactions compose with scripting: conditional COMMIT/ROLLBACK") {
+    spark.sql("DROP TABLE IF EXISTS graft_txnspec_t")
+    spark.sql("CREATE TABLE graft_txnspec_t (v BIGINT) USING PARQUET")
+    spark.sql("INSERT INTO graft_txnspec_t VALUES (1), (2), (3), (4)")
+    def script(cutoff: Int) =
+      s"""DECLARE cutoff INT64 DEFAULT $cutoff;
+         |BEGIN TRANSACTION;
+         |DELETE FROM graft_txnspec_t WHERE v < cutoff;
+         |IF (SELECT count(1) FROM graft_txnspec_t) >= 3 THEN
+         |  COMMIT TRANSACTION;
+         |ELSE
+         |  ROLLBACK TRANSACTION;
+         |END IF""".stripMargin
+    // commit branch: 3 rows survive the delete
+    new ScriptRunner(spark).run(script(2))
+    assert(spark.table("graft_txnspec_t").count() == 3L)
+    // rollback branch: only 1 row would survive → the DELETE undoes
+    new ScriptRunner(spark).run(script(4))
+    assert(spark.table("graft_txnspec_t").count() == 3L)
+    // a script-path INSERT inside an open txn is pinned: the open-at-end
+    // rollback must undo it
+    val open = intercept[IllegalStateException] {
+      new ScriptRunner(spark).run(
+        "BEGIN TRANSACTION;\nINSERT INTO graft_txnspec_t VALUES (99)")
+    }
+    assert(open.getMessage.contains("still open"))
+    assert(spark.table("graft_txnspec_t").count() == 3L)
+    spark.sql("DROP TABLE graft_txnspec_t")
+  }
+
   test("MATERIALIZED VIEW serves its materialization until CALL refresh") {
     spark.sql("DROP TABLE IF EXISTS graft_mvspec_base")
     spark.sql("CREATE TABLE graft_mvspec_base (k BIGINT) USING PARQUET")
