@@ -1304,14 +1304,31 @@ object Dialect {
       Some(s"(instr(lower(${a(0)}), lower(${a(1)})) > 0)") else scala.None),
     "TO_CODE_POINTS" -> (a => if (a.length == 1)
       Some(s"transform(split(${a(0)}, ''), __c -> ascii(__c))") else scala.None),
-    // Spark char() wraps at 256, so only Latin-1 code points round-trip —
-    // beyond that fail loud rather than emit wrapped garbage
-    "CODE_POINTS_TO_STRING" -> (a => if (a.length == 1)
-      Some(s"(CASE WHEN forall(${a(0)}, __c -> __c BETWEEN 0 AND 255) " +
-        s"THEN concat_ws('', transform(${a(0)}, __c -> char(__c))) " +
-        s"ELSE raise_error('CODE_POINTS_TO_STRING: code points beyond " +
-        s"Latin-1 are not supported') END)")
-      else scala.None),
+    // Spark char() wraps at 256, so the full-Unicode mapping encodes
+    // UTF-8 bytes itself — per code point, pure integer math to the
+    // byte hex, then ONE unhex + decode over the concatenation. All
+    // codegen built-ins, no UDF. Invalid code points (negative, beyond
+    // U+10FFFF, surrogates) fail loud, as BigQuery errors there.
+    "CODE_POINTS_TO_STRING" -> (a => if (a.length == 1) {
+      val hexOf =
+        "CASE " +
+          "WHEN __c < 0 OR __c > 1114111 OR (__c BETWEEN 55296 AND 57343) " +
+          "THEN raise_error(concat('CODE_POINTS_TO_STRING: invalid code point ', __c)) " +
+          "WHEN __c < 128 THEN lpad(hex(__c), 2, '0') " +
+          "WHEN __c < 2048 THEN concat(" +
+          "lpad(hex(192 + __c div 64), 2, '0'), " +
+          "lpad(hex(128 + __c % 64), 2, '0')) " +
+          "WHEN __c < 65536 THEN concat(" +
+          "lpad(hex(224 + __c div 4096), 2, '0'), " +
+          "lpad(hex(128 + (__c div 64) % 64), 2, '0'), " +
+          "lpad(hex(128 + __c % 64), 2, '0')) " +
+          "ELSE concat(" +
+          "lpad(hex(240 + __c div 262144), 2, '0'), " +
+          "lpad(hex(128 + (__c div 4096) % 64), 2, '0'), " +
+          "lpad(hex(128 + (__c div 64) % 64), 2, '0'), " +
+          "lpad(hex(128 + __c % 64), 2, '0')) END"
+      Some(s"decode(unhex(concat_ws('', transform(${a(0)}, __c -> $hexOf))), 'UTF-8')")
+    } else scala.None),
     // BigQuery TO_HEX emits LOWERCASE hex; Spark's hex is uppercase
     "TO_HEX" -> (a =>
       if (a.length == 1) Some(s"lower(hex(${a(0)}))") else scala.None),

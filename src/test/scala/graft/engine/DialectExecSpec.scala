@@ -141,8 +141,16 @@ class DialectExecSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one("SELECT TO_CODE_POINTS('hi')") == Seq(104, 105))
     assert(one("SELECT TO_CODE_POINTS('â你')") == Seq(226, 20320))
     assert(one("SELECT CODE_POINTS_TO_STRING([104, 105])") == "hi")
-    val e = intercept[Exception] { one("SELECT CODE_POINTS_TO_STRING([20320])") }
-    assert(e.getMessage.contains("Latin-1"))
+    // full Unicode: 2-byte (é U+00E9), 3-byte (中 U+4E2D), 4-byte
+    // (😀 U+1F600) UTF-8 branches all round-trip
+    assert(one("SELECT CODE_POINTS_TO_STRING([72, 233, 20013, 128512])")
+      == "Hé中😀")
+    assert(one("SELECT TO_CODE_POINTS(CODE_POINTS_TO_STRING([128512]))")
+      == Seq(128512))
+    val e = intercept[Exception] { one("SELECT CODE_POINTS_TO_STRING([1114112])") }
+    assert(e.getMessage.contains("invalid code point"))
+    val surr = intercept[Exception] { one("SELECT CODE_POINTS_TO_STRING([55296])") }
+    assert(surr.getMessage.contains("invalid code point"))
     assert(one("SELECT UNICODE('â')") == 226)
     assert(one("SELECT length(GENERATE_UUID())") == 36)
     assert(one("SELECT ARRAY_AGG(x IGNORE NULLS) FROM (SELECT 1 AS x UNION ALL " +
