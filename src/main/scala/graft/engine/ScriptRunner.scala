@@ -696,12 +696,18 @@ class ScriptRunner(spark: SparkSession) {
       "BQ.REFRESH_MATERIALIZED_VIEW('…'), never DML"
 
   /** (Re-)materialize an MV: replay the ORIGINAL BigQuery text through
-    * the full dialect pipeline, exactly like the defining CREATE.
+    * the full dialect pipeline, exactly like the defining CREATE. The
+    * new image builds under a STAGE name first, so the expensive query
+    * runs while the old MV still serves; only the drop+rename metadata
+    * pair sits between readers and the new image.
     */
   private def materializeMv(dest: String, query: String): Unit = {
-    spark.sql(s"DROP TABLE IF EXISTS $dest")
-    spark.sql(s"CREATE TABLE $dest USING PARQUET AS " + Dialect.rewrite(
+    val stage = s"${dest}__mv_stage"
+    spark.sql(s"DROP TABLE IF EXISTS $stage")
+    spark.sql(s"CREATE TABLE $stage USING PARQUET AS " + Dialect.rewrite(
       substituteVars(expandInformationSchema(expandWildcardTables(query)))))
+    spark.sql(s"DROP TABLE IF EXISTS $dest")
+    spark.sql(s"ALTER TABLE $stage RENAME TO $dest")
   }
 
   /** CREATE [OR REPLACE] MATERIALIZED VIEW [IF NOT EXISTS] name AS … —
