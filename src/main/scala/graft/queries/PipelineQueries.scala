@@ -3611,6 +3611,35 @@ object PipelineQueries {
         .orderBy(col("source"), col("stage"))
     },
 
+    // --- cross-source score calibration (per-source quantile mapping) ---
+    "d144_score_calibration" -> { (s, d) =>
+      // A raw quality score is not comparable across sources (each
+      // source has its own score distribution), so mixture filters
+      // calibrate: replace the score with its WITHIN-SOURCE quantile
+      // rank. Exact integer ppm from row_number over each source
+      // (deterministic (score, doc_id) tie-break); the per-source sort
+      // parallelizes across sources — the sketch-based approximation
+      // for wider-than-a-source distributions is the d95 path. Gate
+      // emits a deterministic ~1% id sample.
+      import org.apache.spark.sql.expressions.Window
+      val scored = t(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          split(lower(trim(col("text"))), "\\s+").as("toks"))
+        .select(col("doc_id"), col("source"),
+          expr("""(size(filter(toks, t -> t in ('the','a','of','and','to','in','is'))) * 1000)
+                 | div greatest(size(toks), 1)""".stripMargin)
+            .cast(LongType).as("score"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("score"), col("doc_id"))
+      scored
+        .withColumn("r", row_number().over(w).cast(LongType) - 1L)
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("source"))))
+        .withColumn("cal_ppm", expr("r * 1000000 div greatest(n - 1, 1)"))
+        .where(col("doc_id") % 29 === 0)
+        .select(col("doc_id"), col("source"), col("score"), col("cal_ppm"))
+        .orderBy(col("doc_id"))
+    },
+
     // --- duplicate-cluster size distribution (dedup ROI shape) ----------
     "d143_dup_cluster_histogram" -> { (s, d) =>
       // Is duplication a long tail of pairs or a few mega-clusters? The
@@ -5262,6 +5291,23 @@ object PipelineQueries {
           |  CAST(count(1) AS BIGINT) AS n_docs,
           |  CAST(sum(n_words) AS BIGINT) AS n_tokens
           |FROM sig GROUP BY 1, 2 ORDER BY source, stage""".stripMargin,
+
+      "d144_score_calibration" ->
+        """WITH scored AS (
+          |  SELECT doc_id, source,
+          |    (len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+          |       t -> t IN ('the','a','of','and','to','in','is'))) * 1000)
+          |      // greatest(len(regexp_split_to_array(lower(trim(text)), '\s+')), 1) AS score
+          |  FROM documents
+          |), ranked AS (
+          |  SELECT doc_id, source, score,
+          |    row_number() OVER (PARTITION BY source ORDER BY score, doc_id) - 1 AS r,
+          |    count(1) OVER (PARTITION BY source) AS n
+          |  FROM scored
+          |)
+          |SELECT doc_id, source, CAST(score AS BIGINT) AS score,
+          |  CAST(r * 1000000 // greatest(n - 1, 1) AS BIGINT) AS cal_ppm
+          |FROM ranked WHERE doc_id % 29 = 0 ORDER BY doc_id""".stripMargin,
 
       "d143_dup_cluster_histogram" ->
         """WITH corpus AS (
