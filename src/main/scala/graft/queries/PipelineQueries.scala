@@ -3463,7 +3463,8 @@ object PipelineQueries {
             - length(regexp_replace(col("text"), ";", "")))
             .cast(LongType).as("n_semis"))
         .withColumn("symbol_permille",
-          expr("n_symbols * 1000 div n_chars"))
+          // greatest-guard: a future empty-text doc must not divide by zero
+          expr("n_symbols * 1000 div greatest(n_chars, 1)"))
         .where(col("symbol_permille") >= 60 && col("n_braces") >= 2)
         .orderBy(col("doc_id"))
     },
@@ -5184,9 +5185,9 @@ object PipelineQueries {
           |  FROM allc
           |)
           |SELECT doc_id, n_chars, n_symbols, n_braces, n_semis,
-          |  CAST(n_symbols * 1000 // n_chars AS BIGINT) AS symbol_permille
+          |  CAST(n_symbols * 1000 // greatest(n_chars, 1) AS BIGINT) AS symbol_permille
           |FROM scored
-          |WHERE n_symbols * 1000 // n_chars >= 60 AND n_braces >= 2
+          |WHERE n_symbols * 1000 // greatest(n_chars, 1) >= 60 AND n_braces >= 2
           |ORDER BY doc_id""".stripMargin,
 
       "d138_t_closeness" ->
