@@ -74,18 +74,49 @@ class DmlRunner(spark: SparkSession, runner: TransformRunner) {
   }
 
   // --- multi-statement transactions (BEGIN/COMMIT/ROLLBACK TRANSACTION) --
-  // Parquet has no native MVCC, so atomicity is snapshot-based: the
-  // first write to each table inside the transaction first pins the
-  // table's current rows with an eager localCheckpoint (plus its SHOW
-  // CREATE TABLE DDL, so even a DROPped table restores with its exact
-  // definition). ROLLBACK re-creates/truncates and re-inserts from the
-  // snapshot; COMMIT just forgets it. One transaction at a time, as in
-  // BigQuery. Snapshots are per-table and slim (only tables the
-  // transaction actually touches), and restoring appends the pinned
-  // rows in one insert — no per-row driver work.
-  private final case class TxnState(
-      snapshots: scala.collection.mutable.LinkedHashMap[String, (String, DataFrame)],
-      created: scala.collection.mutable.LinkedHashSet[String])
+  // Parquet has no native MVCC, so atomicity is POINTER-based: the
+  // first write to each table inside the transaction pins the table's
+  // pre-transaction FILE SET (relative path → directory currently
+  // holding the file) plus its SHOW CREATE TABLE DDL — no row is read
+  // or copied. In-transaction DML rides the normal [[PartitionCommit]]
+  // staged-swap path, whose full-table commits park the displaced
+  // pre-write image in a `.graft_snap_*` dir; a listener re-points the
+  // pinned entries there and pins the snapshot against pruning.
+  // Statements that would physically DESTROY files (DROP TABLE,
+  // CREATE OR REPLACE, LOAD DATA OVERWRITE) first move every pinned
+  // file into a keep dir beside the table. ROLLBACK rebuilds the
+  // table from its DDL and renames the pinned files back — driver-side
+  // namespace ops only, O(files) like a FileOutputCommitter job
+  // commit, zero rows rewritten; COMMIT deletes the keep dirs and
+  // releases the pins. One transaction at a time, as in BigQuery; a
+  // crash mid-statement heals through the same journal replay as any
+  // other staged commit, then rollback restores the pre-txn set.
+  import org.apache.hadoop.fs.Path
+  private final class TablePin(
+      val ddl: String,
+      val loc: Path,
+      // pre-txn snapshot images that must survive a rollback (the
+      // table's time-travel history from before the transaction)
+      val preSnaps: Seq[String],
+      // pre-txn data file (relative path) → dir that currently holds it
+      val index: scala.collection.mutable.LinkedHashMap[String, Path]) {
+    var keepDir: Option[Path] = None
+  }
+  private final class TxnState(val id: String) {
+    val pins = scala.collection.mutable.LinkedHashMap.empty[String, TablePin]
+    val created = scala.collection.mutable.LinkedHashSet.empty[String]
+    val pinnedSnaps = scala.collection.mutable.LinkedHashSet.empty[String]
+    // where a full-table swap parks the pre-write image: re-point every
+    // pinned entry that lived in the table dir to the snapshot dir
+    val listener: (Path, Path) => Unit = (loc, snap) => {
+      pins.valuesIterator.find(_.loc.toString == loc.toString).foreach { pin =>
+        PartitionCommit.prunePins.add(snap.toString)
+        pinnedSnaps += snap.toString
+        pin.index.mapValuesInPlace((_, base) =>
+          if (base.toString == loc.toString) snap else base)
+      }
+    }
+  }
   private var txn: Option[TxnState] = None
 
   private val beginTxnRe = raw"(?is)^\s*BEGIN\s+TRANSACTION\s*;?\s*$$".r
@@ -101,26 +132,106 @@ class DmlRunner(spark: SparkSession, runner: TransformRunner) {
   private def beginTransaction(): Unit = {
     if (txn.isDefined) throw new IllegalStateException(
       "a transaction is already active; BigQuery allows one transaction at a time")
-    txn = Some(TxnState(scala.collection.mutable.LinkedHashMap.empty,
-      scala.collection.mutable.LinkedHashSet.empty))
+    val st = new TxnState(java.util.UUID.randomUUID().toString.take(8))
+    PartitionCommit.retainListeners.add(st.listener)
+    txn = Some(st)
+  }
+
+  private def endTxn(st: TxnState): Unit = {
+    PartitionCommit.retainListeners.remove(st.listener)
+    st.pinnedSnaps.foreach(PartitionCommit.prunePins.remove)
+    txn = None
   }
 
   private def commit(): Unit = {
-    if (txn.isEmpty) throw new IllegalStateException("COMMIT without an active transaction")
-    txn = None
+    val st = txn.getOrElse(
+      throw new IllegalStateException("COMMIT without an active transaction"))
+    // keep dirs hold pre-txn files displaced by DROP/REPLACE — the
+    // transaction committed, so that history is gone for good
+    st.pins.valuesIterator.foreach(pin => pin.keepDir.foreach { kd =>
+      val fs = kd.getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(kd, true)
+    })
+    endTxn(st)
   }
 
   private def rollback(): Unit = {
     val st = txn.getOrElse(
       throw new IllegalStateException("ROLLBACK without an active transaction"))
-    txn = None // clear first: restore writes below must not re-snapshot
-    st.created.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
-    st.snapshots.foreach { case (t, (ddl, snap)) =>
-      if (!spark.catalog.tableExists(t)) spark.sql(ddl)
-      else spark.sql(s"TRUNCATE TABLE $t")
-      snap.write.mode("append").insertInto(t)
+    txn = None // clear first: nothing below may re-pin
+    try {
+      st.created.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      st.pins.foreach { case (cat, pin) =>
+        // heal a crashed mid-statement swap first: its journal replay
+        // parks the half-written state and fires the retain listener,
+        // so the pin's pointers end up consistent before restore
+        if (spark.catalog.tableExists(cat)) PartitionCommit.recover(spark, cat)
+        // move every pre-txn file (and the pre-txn snapshot history)
+        // out of the table dir, then rebuild the table from its DDL
+        // and rename them back: uniform across UPDATE/DELETE/INSERT/
+        // TRUNCATE/DROP/re-CREATE, and pure namespace ops
+        moveToKeep(pin)
+        spark.sql(s"DROP TABLE IF EXISTS $cat")
+        spark.sql(pin.ddl)
+        val loc = PartitionCommit.tableLocation(spark, cat)
+        val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+        pin.keepDir.foreach { kd =>
+          val dataDir = new Path(kd, "data")
+          pin.index.keysIterator.foreach { rel =>
+            val to = new Path(loc, rel)
+            fs.mkdirs(to.getParent)
+            fs.rename(new Path(dataDir, rel), to)
+          }
+          val snapsDir = new Path(kd, "snaps")
+          if (fs.exists(snapsDir))
+            fs.listStatus(snapsDir).foreach(s =>
+              fs.rename(s.getPath, new Path(loc, s.getPath.getName)))
+          fs.delete(kd, true)
+        }
+        if (spark.catalog.listColumns(cat).collect().exists(_.isPartition))
+          spark.sql(s"MSCK REPAIR TABLE $cat SYNC PARTITIONS")
+        spark.catalog.refreshTable(cat)
+      }
+    } finally endTxn(st)
+  }
+
+  /** Move every pinned pre-txn file of `pin`'s table — and its pre-txn
+    * `.graft_snap_*`/`.graft_horizon_*` history — into a keep dir
+    * BESIDE the table location, so a following DROP/REPLACE (which
+    * deletes the table dir wholesale) cannot destroy them. Idempotent:
+    * entries already in the keep dir are skipped. Renames only.
+    */
+  private def moveToKeep(pin: TablePin): Unit = {
+    val fs = pin.loc.getFileSystem(spark.sessionState.newHadoopConf())
+    val kd = pin.keepDir.getOrElse {
+      val d = new Path(pin.loc.getParent,
+        s".graft_txnkeep_${pin.loc.getName}_${txnIdOf(pin)}")
+      pin.keepDir = Some(d)
+      d
+    }
+    val dataDir = new Path(kd, "data")
+    pin.index.foreach { case (rel, base) =>
+      if (base.toString != dataDir.toString) {
+        val to = new Path(dataDir, rel)
+        fs.mkdirs(to.getParent)
+        if (!fs.rename(new Path(base, rel), to))
+          throw new IllegalStateException(
+            s"transaction keep: could not move $base/$rel aside")
+        pin.index(rel) = dataDir
+      }
+    }
+    val snapsDir = new Path(kd, "snaps")
+    pin.preSnaps.foreach { name =>
+      val from = new Path(pin.loc, name)
+      if (fs.exists(from)) {
+        fs.mkdirs(snapsDir)
+        fs.rename(from, new Path(snapsDir, name))
+      }
     }
   }
+
+  // keep-dir names only need per-txn uniqueness; reuse the open txn id
+  private def txnIdOf(pin: TablePin): String = txn.map(_.id).getOrElse("rb")
 
   // ScriptRunner delegates its transaction/DML statements here so the
   // scripting and DML surfaces compose — these are its seam
@@ -128,19 +239,51 @@ class DmlRunner(spark: SparkSession, runner: TransformRunner) {
   private[engine] def rollbackOpenTxn(): Unit = if (txn.isDefined) rollback()
   private[engine] def noteMutationForTxn(destFqn: String): Unit =
     snapshotForTxn(destFqn)
+  private[engine] def noteDestructiveForTxn(destFqn: String): Unit = {
+    snapshotForTxn(destFqn)
+    txn.foreach(_.pins.get(runner.catalogName(destFqn)).foreach(moveToKeep))
+  }
 
-  /** Pin `destFqn`'s pre-statement state on its first mutation inside
+  /** Pin `destFqn`'s pre-statement FILE SET on its first mutation inside
     * the open transaction (no-op outside one, for re-touched tables,
-    * and for tables the transaction itself created).
+    * and for tables the transaction itself created). Metadata only —
+    * one recursive listing, no rows read.
     */
   private def snapshotForTxn(destFqn: String): Unit = txn.foreach { st =>
     val cat = runner.catalogName(destFqn)
-    if (!st.created.contains(cat) && !st.snapshots.contains(cat)) {
+    if (!st.created.contains(cat) && !st.pins.contains(cat)) {
       if (spark.catalog.tableExists(cat)) {
+        // heal any crashed predecessor before listing: a mid-swap dir
+        // would pin a half-moved file set
+        PartitionCommit.recover(spark, cat)
         val ddl = spark.sql(s"SHOW CREATE TABLE $cat").head().getString(0)
-        st.snapshots(cat) = (ddl, spark.table(cat).localCheckpoint(true))
+        val loc = PartitionCommit.tableLocation(spark, cat)
+        val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+        val preSnaps =
+          if (fs.exists(loc))
+            fs.listStatus(loc).map(_.getPath.getName).toSeq.filter(n =>
+              n.startsWith(".graft_snap_") || n.startsWith(".graft_horizon_"))
+          else Seq.empty
+        val index = scala.collection.mutable.LinkedHashMap.empty[String, Path]
+        listDataFiles(fs, loc).foreach(rel => index(rel) = loc)
+        st.pins(cat) = new TablePin(ddl, loc, preSnaps, index)
       } else st.created += cat
     }
+  }
+
+  /** Relative paths of the table's data files (hidden `.`/`_` entries
+    * excluded at every level, matching Spark's file index).
+    */
+  private def listDataFiles(fs: org.apache.hadoop.fs.FileSystem,
+      loc: Path): Seq[String] = {
+    def walk(p: Path, prefix: String): Seq[String] =
+      fs.listStatus(p).toSeq.flatMap { stt =>
+        val n = stt.getPath.getName
+        if (n.startsWith(".") || n.startsWith("_")) Seq.empty
+        else if (stt.isDirectory) walk(stt.getPath, prefix + n + "/")
+        else Seq(prefix + n)
+      }
+    if (fs.exists(loc)) walk(loc, "") else Seq.empty
   }
 
 
@@ -172,6 +315,8 @@ class DmlRunner(spark: SparkSession, runner: TransformRunner) {
 
   def runStatement(stmt: String): Unit = {
     val trimmed = stmt.trim
+    // list-per-query freshness for opted-in external tables (e54 seam)
+    ExternalTables.refreshReferenced(spark, trimmed)
     if (beginTxnRe.findFirstIn(trimmed).isDefined) return beginTransaction()
     if (commitTxnRe.findFirstIn(trimmed).isDefined) return commit()
     if (rollbackTxnRe.findFirstIn(trimmed).isDefined) return rollback()
@@ -179,14 +324,23 @@ class DmlRunner(spark: SparkSession, runner: TransformRunner) {
       // identify the statement's write target on masked text (identifier
       // positions are mask-invariant) and pin its pre-state; CREATE [OR
       // REPLACE] TABLE also routes here — an existing destination gets
-      // snapshotted, a fresh one is dropped on rollback
+      // pinned, a fresh one is dropped on rollback. Statements that
+      // physically DELETE files (DROP; CREATE OR REPLACE's implicit
+      // drop) additionally move the pinned files aside first.
       val masked = maskLiterals(stmt)
       txnTargetRe.findFirstMatchIn(masked)
         .orElse(txnCreateRe.findFirstMatchIn(masked))
-        .foreach(m => snapshotForTxn(m.group(1)))
+        .foreach { m =>
+          if (destructiveHeadRe.findFirstIn(masked).isDefined)
+            noteDestructiveForTxn(m.group(1))
+          else snapshotForTxn(m.group(1))
+        }
     }
     dispatch(stmt)
   }
+
+  private val destructiveHeadRe =
+    raw"(?is)^\s*(?:DROP\s+TABLE|CREATE\s+OR\s+REPLACE\s+TABLE)\b".r
 
   private def dispatch(stmt: String): Unit = {
     // snapshot-clone tables are read-only by BigQuery contract: block
@@ -210,14 +364,24 @@ class DmlRunner(spark: SparkSession, runner: TransformRunner) {
       updateFrom(destFqn, tAlias, sets, fromSrc, cond)
     case Update(destFqn, sets, cond) => update(destFqn, sets, cond)
     case Truncate(destFqn) =>
-      spark.sql(s"TRUNCATE TABLE ${runner.catalogName(destFqn)}")
+      // staged-swap empty rewrite, not spark.sql TRUNCATE: (a) inside a
+      // transaction the displaced files must survive as pointers for
+      // rollback, (b) outside one the old image becomes a time-travel
+      // snapshot instead of being destroyed — matching every other
+      // whole-table DML here
+      val dest = runner.catalogName(destFqn)
+      overwriteSelf(dest, spark.table(dest).limit(0))
     case Drop(destFqn) =>
       // BigQuery rejects DROP TABLE on a materialized view; a plain
       // drop here would also leave the MV registry's mark dangling
-      if (MvRegistry.definitionOf(runner.catalogName(destFqn)).isDefined)
+      val cat = runner.catalogName(destFqn)
+      if (MvRegistry.definitionOf(cat).isDefined)
         throw new IllegalArgumentException(
           "use DROP MATERIALIZED VIEW to remove a materialized view")
-      spark.sql(s"DROP TABLE IF EXISTS ${runner.catalogName(destFqn)}")
+      spark.sql(s"DROP TABLE IF EXISTS $cat")
+      // dropping a snapshot table is legal; a later unrelated table
+      // with the same name must not inherit its read-only mark
+      CloneRegistry.unmark(cat)
     case other => // plain statement (e.g. a SELECT or engine-supported DDL)
       // a DML verb that didn't match its recognizer must fail HERE:
       // ScriptRunner routes DML verbs back to this runner, so bouncing
@@ -295,6 +459,8 @@ class DmlRunner(spark: SparkSession, runner: TransformRunner) {
       headRe.findFirstMatchIn(masked).flatMap { h =>
         val up = masked.toUpperCase
         def boundary(c: Char) = !Character.isLetterOrDigit(c) && c != '_'
+        // keyword followed by ANY whitespace (newline/tab included —
+        // `SET x = 1 FROM\n src` must still parse as UPDATE…FROM)
         def topLevel(kw: String, from: Int): Int = {
           var depth = 0
           var i = from
@@ -304,14 +470,16 @@ class DmlRunner(spark: SparkSession, runner: TransformRunner) {
               case ')' => depth -= 1
               case _ =>
                 if (depth == 0 && up.startsWith(kw, i) &&
-                    (i == 0 || boundary(masked.charAt(i - 1)))) return i
+                    (i == 0 || boundary(masked.charAt(i - 1))) &&
+                    i + kw.length < masked.length &&
+                    masked.charAt(i + kw.length).isWhitespace) return i
             }
             i += 1
           }
           -1
         }
-        val fromIdx = topLevel("FROM ", h.end)
-        val whereIdx = if (fromIdx < 0) -1 else topLevel("WHERE ", fromIdx + 5)
+        val fromIdx = topLevel("FROM", h.end)
+        val whereIdx = if (fromIdx < 0) -1 else topLevel("WHERE", fromIdx + 5)
         if (fromIdx < 0 || whereIdx < 0) scala.None
         else {
           val dest = stmt.substring(h.start(1), h.end(1))

@@ -539,10 +539,32 @@ class ScriptRunner(spark: SparkSession) {
   private val txnMutationHeadRe =
     raw"(?is)^\s*(?:INSERT\s+(?:INTO\s+)?|CREATE\s+(?:OR\s+REPLACE\s+)?(?:SNAPSHOT\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?|DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?|LOAD\s+DATA\s+(?:INTO|OVERWRITE)\s+)(`[^`]+`|[\w.\-]+)".r
 
+  // script-path statements that physically DELETE the target's files
+  // (DROP; CREATE OR REPLACE's implicit drop; LOAD DATA OVERWRITE) —
+  // inside a transaction their pinned pre-state must move aside first
+  private val destructiveScriptHeadRe =
+    raw"(?is)^\s*(?:DROP\s+TABLE|CREATE\s+OR\s+REPLACE\s+(?:SNAPSHOT\s+)?TABLE|LOAD\s+DATA\s+OVERWRITE)\b".r
+
   def runStatement(stmt: String): Option[DataFrame] = {
-    if (txnOpen)
-      txnMutationHeadRe.findFirstMatchIn(substituteVars(stmt)).foreach(m =>
-        dmlRunner.noteMutationForTxn(m.group(1).replace("`", "")))
+    val subbed = substituteVars(stmt)
+    // list-per-query freshness for opted-in external tables (e54 seam)
+    ExternalTables.refreshReferenced(spark, subbed)
+    txnMutationHeadRe.findFirstMatchIn(subbed).foreach { m =>
+      val target = m.group(1).replace("`", "")
+      // the read-only contract (snapshot tables, materialized views)
+      // must hold on the script path too: a plain INSERT INTO through
+      // runSimpleStatement's generic spark.sql would otherwise mutate a
+      // snapshot silently. DROP stays legal (BigQuery allows deleting a
+      // snapshot table) and CREATE OR REPLACE explicitly supersedes the
+      // marked table — both release the mark where they execute.
+      if (raw"(?is)^\s*(?:INSERT|LOAD\s+DATA)\b".r.findFirstIn(subbed).isDefined)
+        CloneRegistry.requireWritable(destTableName(target))
+      if (txnOpen) {
+        if (destructiveScriptHeadRe.findFirstIn(subbed).isDefined)
+          dmlRunner.noteDestructiveForTxn(target)
+        else dmlRunner.noteMutationForTxn(target)
+      }
+    }
     StatementSplitter.firstKeyword(stmt) match {
       case "IF" => runIf(stmt)
       case "WHILE" => runWhile(stmt)
@@ -568,7 +590,8 @@ class ScriptRunner(spark: SparkSession) {
 
   private val exportDataRe =
     raw"(?is)^EXPORT\s+DATA\s+OPTIONS\s*\((.*?)\)\s+AS\s+(.+)$$".r
-  private val optionRe = raw"(?is)(\w+)\s*=\s*('(?:[^']|'')*'|\w+)".r
+  // option keys may be dotted (graft.autoRefresh)
+  private val optionRe = raw"(?is)([\w.]+)\s*=\s*('(?:[^']|'')*'|\w+)".r
 
   /** EXPORT DATA OPTIONS(uri='…/part-*.ext', format='CSV|JSON|PARQUET'
     * [, header=…, field_delimiter=…, overwrite=…]) AS SELECT … — the
@@ -651,7 +674,8 @@ class ScriptRunner(spark: SparkSession) {
               v.substring(1, v.length - 1).replace("''", "'") else v
             m.group(1).toLowerCase -> clean
           }.toMap
-        val known = Set("format", "skip_leading_rows", "field_delimiter")
+        val known =
+          Set("format", "skip_leading_rows", "field_delimiter", "graft.autorefresh")
         val unknown = scalarOpts.keySet -- known
         if (unknown.nonEmpty) throw new IllegalArgumentException(
           s"unsupported CREATE EXTERNAL TABLE option(s): ${unknown.mkString(", ")}")
@@ -676,10 +700,18 @@ class ScriptRunner(spark: SparkSession) {
           case other => throw new IllegalArgumentException(
             s"unsupported CREATE EXTERNAL TABLE format $other (CSV, JSON, PARQUET)")
         }
-        if (orReplace != null) spark.sql(s"DROP TABLE IF EXISTS $dest")
+        if (orReplace != null) {
+          spark.sql(s"DROP TABLE IF EXISTS $dest")
+          ExternalTables.unregister(dest)
+        }
         val ine = if (ifNotExists != null) "IF NOT EXISTS " else ""
         spark.sql(s"CREATE TABLE $ine$dest$cols USING $fmt " +
           s"OPTIONS (path '${uriList.head}'$extra)")
+        // graft.autoRefresh = true restores BigQuery's list-per-query
+        // freshness: the runners invalidate this table's cached file
+        // listing before every statement that references it
+        if (scalarOpts.get("graft.autorefresh").exists(_.equalsIgnoreCase("true")))
+          ExternalTables.registerAutoRefresh(dest)
         scala.None
       case other =>
         throw new IllegalArgumentException(s"malformed CREATE EXTERNAL TABLE: $other")
@@ -695,20 +727,90 @@ class ScriptRunner(spark: SparkSession) {
     "a materialized view — it refreshes via CALL " +
       "BQ.REFRESH_MATERIALIZED_VIEW('…'), never DML"
 
-  /** (Re-)materialize an MV: replay the ORIGINAL BigQuery text through
-    * the full dialect pipeline, exactly like the defining CREATE. The
-    * new image builds under a STAGE name first, so the expensive query
-    * runs while the old MV still serves; only the drop+rename metadata
-    * pair sits between readers and the new image.
+  /** (Re-)materialize an MV in full: replay the ORIGINAL BigQuery text
+    * through the full dialect pipeline, exactly like the defining
+    * CREATE. The new image builds under a STAGE name first, so the
+    * expensive query runs while the old MV still serves; only the
+    * drop+rename metadata pair sits between readers and the new image.
+    * `partCol` partitions the image so later refreshes can be
+    * partition-scoped.
     */
-  private def materializeMv(dest: String, query: String): Unit = {
+  private def materializeMv(dest: String, query: String,
+      partCol: Option[String] = None): Unit = {
     val stage = s"${dest}__mv_stage"
     spark.sql(s"DROP TABLE IF EXISTS $stage")
-    spark.sql(s"CREATE TABLE $stage USING PARQUET AS " + Dialect.rewrite(
+    val part = partCol.map(c => s" PARTITIONED BY ($c)").getOrElse("")
+    spark.sql(s"CREATE TABLE $stage USING PARQUET$part AS " + Dialect.rewrite(
       substituteVars(expandInformationSchema(expandWildcardTables(query)))))
     spark.sql(s"DROP TABLE IF EXISTS $dest")
     spark.sql(s"ALTER TABLE $stage RENAME TO $dest")
   }
+
+  /** Partition-scoped refresh support (BigQuery MVs refresh
+    * incrementally, not by full rebuild): an MV qualifies when its
+    * defining query reads ONE table — no joins/unions — whose single
+    * partition column the MV itself carries as an output/grouping
+    * column. Then each base partition maps to exactly one MV partition
+    * and a refresh only recomputes partitions whose base partition
+    * CONTENT changed since the last materialization.
+    */
+  private def detectMvBase(query: String): Option[(String, String)] = {
+    val up = query.toUpperCase
+    if (Seq(" JOIN ", " UNION ", "UNNEST(").exists(up.contains)) return scala.None
+    val froms = raw"(?is)\bFROM\s+(`[^`]+`|[\w.\-]+)".r
+      .findAllMatchIn(query).map(_.group(1).replace("`", "")).toList
+    froms match {
+      case one :: Nil =>
+        val base = destTableName(one)
+        if (!spark.catalog.tableExists(base)) scala.None
+        else spark.catalog.listColumns(base).collect()
+          .filter(_.isPartition).map(_.name).toList match {
+          case p :: Nil => Some((base, p))
+          case _ => scala.None
+        }
+      case _ => scala.None
+    }
+  }
+
+  /** Content signature per base partition: file names, lengths and
+    * mtimes under each `part=value` dir, hashed. Driver-side metadata
+    * listing only — O(files), the same cost class as planning a scan.
+    */
+  private def partitionSignatures(base: String, partCol: String): Map[String, String] = {
+    val loc = PartitionCommit.tableLocation(spark, base)
+    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(loc)) return Map.empty
+    fs.listStatus(loc).filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith(partCol + "=")).map { st =>
+      val v = st.getPath.getName.stripPrefix(partCol + "=")
+      val entries = fs.listStatus(st.getPath)
+        .filterNot(_.getPath.getName.startsWith("."))
+        .map(f => s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}")
+        .sorted.mkString("|")
+      v -> java.util.UUID.nameUUIDFromBytes(entries.getBytes("UTF-8")).toString
+    }.toMap
+  }
+
+  /** Record (or refuse) the incremental contract BEFORE materializing:
+    * the MV's analyzed schema must carry the base's partition column
+    * (analysis only — nothing executes). Signatures are taken before
+    * the build so content changing mid-build re-detects as stale.
+    */
+  private def setupMvIncremental(dest: String, query: String): Option[String] =
+    detectMvBase(query) match {
+      case Some((base, p)) =>
+        val carries = scala.util.Try(
+          spark.sql(Dialect.rewrite(substituteVars(
+            expandInformationSchema(expandWildcardTables(query)))))
+            .schema.fieldNames.contains(p)).getOrElse(false)
+        if (!carries) scala.None
+        else {
+          MvRegistry.registerBase(dest,
+            MvRegistry.MvBase(base, p, partitionSignatures(base, p)))
+          Some(p)
+        }
+      case _ => scala.None
+    }
 
   /** CREATE [OR REPLACE] MATERIALIZED VIEW [IF NOT EXISTS] name AS … —
     * BigQuery MVs auto-refresh in the background; the parquet engine
@@ -728,7 +830,7 @@ class ScriptRunner(spark: SparkSession) {
           s"$dest already exists; use CREATE OR REPLACE MATERIALIZED VIEW")
       }
       CloneRegistry.unmark(dest) // OR REPLACE over a previous MV
-      materializeMv(dest, query)
+      materializeMv(dest, query, setupMvIncremental(dest, query))
       MvRegistry.register(dest, query)
       CloneRegistry.markReadOnly(dest, mvReadOnlyReason)
       scala.None
@@ -760,9 +862,49 @@ class ScriptRunner(spark: SparkSession) {
         s"$dest is not a registered materialized view " +
           "(BQ.REFRESH_MATERIALIZED_VIEW refreshes MVs created this session)"))
     CloneRegistry.unmark(dest)
-    try materializeMv(dest, q)
-    finally CloneRegistry.markReadOnly(dest, mvReadOnlyReason)
+    try {
+      if (!refreshMvIncremental(dest, q)) materializeMv(dest, q)
+    } finally CloneRegistry.markReadOnly(dest, mvReadOnlyReason)
   }
+
+  /** Partition-scoped refresh (the BigQuery incremental contract):
+    * diff the base table's per-partition signatures against the last
+    * materialization, recompute ONLY the changed/new partitions — the
+    * defining query filtered to the stale partition values, which
+    * Catalyst pushes through the aggregate to the base scan as a
+    * partition filter — and land them through the staged-swap
+    * [[PartitionCommit.commit]] (vanished base partitions drop).
+    * An unchanged base makes the CALL a metadata no-op. Returns false
+    * when the MV has no incremental contract (full rebuild instead).
+    */
+  private def refreshMvIncremental(dest: String, query: String): Boolean =
+    MvRegistry.baseOf(dest) match {
+      case Some(b) if spark.catalog.tableExists(b.table) =>
+        val cur = partitionSignatures(b.table, b.partCol)
+        val stale = cur.collect {
+          case (v, s) if !b.sig.get(v).contains(s) => v
+        }.toSeq.sorted
+        val dropped = (b.sig.keySet -- cur.keySet).toSeq.sorted
+        if (stale.nonEmpty) {
+          val in = stale.map(v => "'" + v.replace("'", "\\'") + "'").mkString(", ")
+          val df = spark.sql(
+            s"SELECT * FROM (${Dialect.rewrite(substituteVars(
+              expandInformationSchema(expandWildcardTables(query))))}) " +
+              s"WHERE ${b.partCol} IN ($in)")
+          MvRegistry.lastRefreshPlan = Some(df.queryExecution.explainString(
+            org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+          val stageDir = PartitionCommit.newStageDir(spark, dest)
+          df.write.mode("overwrite").partitionBy(b.partCol)
+            .parquet(stageDir.toString)
+          PartitionCommit.commit(spark, dest, b.partCol, stageDir, dropped)
+        } else if (dropped.nonEmpty) {
+          PartitionCommit.commit(spark, dest, b.partCol,
+            PartitionCommit.newStageDir(spark, dest), dropped)
+        }
+        MvRegistry.registerBase(dest, b.copy(sig = cur))
+        true
+      case _ => false
+    }
 
   private val loadDataRe =
     raw"(?is)^LOAD\s+DATA\s+(INTO|OVERWRITE)\s+(`[^`]+`|[\w.\-]+)\s*(?:\(([^)]*)\)\s*)?FROM\s+FILES\s*\((.*)\)\s*$$".r
@@ -1186,6 +1328,13 @@ class ScriptRunner(spark: SparkSession) {
       // also leave the registry's read-only mark dangling
       throw new IllegalArgumentException(
         "use DROP MATERIALIZED VIEW to remove a materialized view")
+    case dt if dropTableHeadRe.findFirstMatchIn(dt.trim).isDefined =>
+      // dropping a snapshot table is legal; release its read-only mark
+      // so a later unrelated table with the same name is writable
+      val m = dropTableHeadRe.findFirstMatchIn(dt.trim).get
+      spark.sql(Dialect.rewrite(substituteVars(dt)))
+      CloneRegistry.unmark(destTableName(m.group(1).replace("`", "")))
+      None
     case createCloneRe(snapshot, ifNotExists, name, srcName, systemTime) =>
       // BigQuery `CREATE [SNAPSHOT] TABLE … CLONE src [FOR SYSTEM_TIME
       // AS OF …]`: materialize the source's image — optionally the
@@ -1196,17 +1345,31 @@ class ScriptRunner(spark: SparkSession) {
       // as read-only: later DML against them fails loud (BigQuery
       // errors there too) instead of silently diverging history.
       val dest = destTableName(name)
+      val existedBefore = spark.catalog.tableExists(dest)
+      // a stale mark from a same-named table that no longer exists must
+      // not freeze the fresh clone
+      if (!existedBefore) CloneRegistry.unmark(dest)
       val ine = if (ifNotExists != null) "IF NOT EXISTS " else ""
       val st = Option(systemTime).map(" " + _).getOrElse("")
       spark.sql(s"CREATE TABLE $ine$dest USING PARQUET AS " +
         Dialect.rewrite(s"SELECT * FROM $srcName$st"))
-      if (snapshot != null) CloneRegistry.markReadOnly(dest)
+      // mark only when this CREATE actually created: an IF NOT EXISTS
+      // short-circuit must not freeze the pre-existing unrelated table
+      if (snapshot != null && !existedBefore) CloneRegistry.markReadOnly(dest)
       None
     case createTableAsRe(orReplace, ifNotExists, name, partitionCol, query) =>
       // BigQuery CTAS on a real (non-temp) destination. v1 catalogs
       // reject REPLACE TABLE, so OR REPLACE becomes drop-then-create.
       val dest = destTableName(name)
-      if (orReplace != null) spark.sql(s"DROP TABLE IF EXISTS $dest")
+      if (orReplace != null) {
+        if (MvRegistry.definitionOf(dest).isDefined)
+          throw new IllegalArgumentException(
+            "use CREATE OR REPLACE MATERIALIZED VIEW to replace a materialized view")
+        spark.sql(s"DROP TABLE IF EXISTS $dest")
+        // the replacement is a fresh ordinary table — a snapshot mark
+        // on the superseded one must not carry over
+        CloneRegistry.unmark(dest)
+      }
       val ine = if (ifNotExists != null) "IF NOT EXISTS " else ""
       val part = Option(partitionCol).map(c => s" PARTITIONED BY ($c)").getOrElse("")
       spark.sql(s"CREATE TABLE $ine$dest USING PARQUET$part AS " +

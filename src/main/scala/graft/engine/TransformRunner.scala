@@ -630,6 +630,18 @@ object PartitionCommit {
     */
   private[engine] var snapshotKeep: Int = 8
 
+  /** Pointer-based transaction seam: an open transaction registers a
+    * listener here to learn where each full-table swap parked the
+    * pre-write image (`(tableLocation, snapshotDir)`), and pins the
+    * snapshot dirs its rollback would restore from so [[pruneSnapshots]]
+    * cannot delete them mid-transaction. Zero rows move through either
+    * hook — both track directory POINTERS only.
+    */
+  private[engine] val retainListeners =
+    new java.util.concurrent.CopyOnWriteArrayList[(Path, Path) => Unit]()
+  private[engine] val prunePins: java.util.Set[String] =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   private def snapMillis(name: String): Long = {
     val rest = name.stripPrefix(".graft_snap_")
     (if (rest.startsWith("partial_")) rest.stripPrefix("partial_") else rest)
@@ -640,17 +652,53 @@ object PartitionCommit {
       tx: String): Unit = {
     if (fs.exists(trashDir)) {
       val snap = new Path(loc, s".graft_snap_${System.currentTimeMillis}_$tx")
-      if (!fs.rename(trashDir, snap)) fs.delete(trashDir, true)
+      if (fs.rename(trashDir, snap)) {
+        retainListeners.forEach(l => l(loc, snap))
+      } else if (!retainListeners.isEmpty) {
+        // an open transaction may be counting on this image for
+        // rollback — losing it silently would strand the txn's pins
+        throw new IllegalStateException(
+          s"could not retain pre-write image $trashDir as $snap")
+      } else fs.delete(trashDir, true)
     }
     pruneSnapshots(fs, loc)
   }
 
-  private def pruneSnapshots(fs: FileSystem, loc: Path): Unit =
-    fs.listStatus(loc).map(_.getPath)
+  /** Oldest time-travel boundary this table can still answer for: any
+    * `FOR SYSTEM_TIME AS OF` older than the horizon fails loud (the
+    * snapshot that held that data was pruned) — BigQuery errors the
+    * same way outside its 7-day window.
+    */
+  private def horizonMillis(fs: FileSystem, loc: Path): Long =
+    fs.listStatus(loc).map(_.getPath.getName)
+      .filter(_.startsWith(".graft_horizon_"))
+      .map(_.stripPrefix(".graft_horizon_").takeWhile(_.isDigit).toLong)
+      .foldLeft(0L)(math.max)
+
+  private def raiseHorizon(fs: FileSystem, loc: Path, millis: Long): Unit = {
+    val old = fs.listStatus(loc).map(_.getPath)
+      .filter(_.getName.startsWith(".graft_horizon_"))
+    if (horizonMillis(fs, loc) < millis) {
+      // marker FIRST, then retire old markers: a crash in between
+      // leaves the max intact
+      fs.create(new Path(loc, s".graft_horizon_$millis"), true).close()
+      old.foreach(p => fs.delete(p, false))
+    }
+  }
+
+  private def pruneSnapshots(fs: FileSystem, loc: Path): Unit = {
+    val victims = fs.listStatus(loc).map(_.getPath)
       .filter(_.getName.startsWith(".graft_snap_"))
+      .filterNot(p => prunePins.contains(p.toString))
       .sortBy(p => snapMillis(p.getName))
       .dropRight(snapshotKeep)
-      .foreach(p => fs.delete(p, true))
+    if (victims.nonEmpty) {
+      // record the boundary BEFORE deleting: a crash in between keeps
+      // resolveAsOf conservative (fails loud though data still exists)
+      raiseHorizon(fs, loc, victims.map(p => snapMillis(p.getName)).max)
+      victims.foreach(p => fs.delete(p, true))
+    }
+  }
 
   /** Where a `FOR SYSTEM_TIME AS OF` read of `table` resolves. */
   private[engine] sealed trait AsOf
@@ -675,6 +723,16 @@ object PartitionCommit {
             "temp view?) — time travel needs a parquet table destination", e)
       }
     val fs = fsOf(spark, loc)
+    // pruned-horizon guard: a request older than the oldest pruned
+    // boundary would silently resolve to a LATER surviving image (or
+    // the current table) — data from after the requested time.
+    // BigQuery fails loud outside its window; so do we.
+    val horizon = horizonMillis(fs, loc)
+    if (tsMillis < horizon)
+      throw new UnsupportedOperationException(
+        s"FOR SYSTEM_TIME AS OF: the requested time predates $table's " +
+          s"retained snapshot horizon ($horizon ms epoch) — older images " +
+          s"were pruned (snapshotKeep=$snapshotKeep)")
     val after = fs.listStatus(loc).map(_.getPath.getName)
       .filter(_.startsWith(".graft_snap_"))
       .map(n => (snapMillis(n), n.startsWith(".graft_snap_partial_"), n))

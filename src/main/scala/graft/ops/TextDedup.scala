@@ -264,6 +264,71 @@ object TextDedup {
     }
   }
 
+  /** Candidate-generation recall QA for the MinHash index (the d44
+    * gate): of the true near-dup pairs (blocked exact Jaccard ≥
+    * `truthThreshold`), what fraction did the 8×4 banding surface as
+    * candidates? Returns ONE row (n_true_pairs, n_found, recall).
+    *
+    * The shingle table — tokenize, 3-gram, minhash — is computed and
+    * persisted ONCE and shared by the exact-Jaccard truth pass, the
+    * banded candidate pass, and the recall denominator. Running the
+    * two passes as independent ops re-shingled the corpus per pass
+    * (the round-7 perf flag on d44); this is the shared-scan shape
+    * that holds at 100 TB, and the same hygiene contract as the other
+    * dedup ops (eager checkpoint of the 1-row result, cache released
+    * before returning).
+    */
+  def lshRecall(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", truthThreshold: Double = 0.5,
+      blockingCols: Seq[String] = Seq("lang")): DataFrame = {
+    graft.functions.BitSketchExpressions.register(docs.sparkSession)
+    val blockKeys = blockingCols :+ "first_tok" :+ "n_toks_bucket"
+    val sh = shingled(docs, textCol)
+      .withColumn("first_tok", expr("element_at(toks, 1)"))
+      .withColumn("n_toks_bucket", expr("cast(size(toks) div 8 as int)"))
+      .withColumn("mh", expr("graft_minhash32(shingles)"))
+      .select((Seq(col(idCol).as("doc_id"), col("shingles"), col("mh")) ++
+        blockKeys.map(col)): _*)
+      .persist()
+    // truth side: blocked exact Jaccard (identical semantics to
+    // [[jaccardPairs]] — same blocking keys, same shingle space)
+    val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n_sh"))
+    val ex = sh.select((blockKeys.map(col) :+ col("doc_id") :+
+      explode(col("shingles")).as("s")): _*)
+    val truth = ex.withColumnRenamed("doc_id", "a")
+      .join(ex.withColumnRenamed("doc_id", "b"), blockKeys :+ "s")
+      .where(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("shared"))
+      .join(sizes.select(col("doc_id").as("a"), col("n_sh").as("na")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("n_sh").as("nb")), "b")
+      .where(col("shared").cast(DoubleType)
+        / (col("na") + col("nb") - col("shared")).cast(DoubleType)
+        >= truthThreshold)
+      .select(col("a"), col("b"))
+    // candidate side: the 8×4 banding over the SAME sketch column —
+    // with no verification thresholds every banded pair counts, so the
+    // per-pair sketch re-join of minhashLshPairs is unnecessary here
+    val banded = sh.select(col("doc_id"),
+        explode(expr(
+          """transform(sequence(0, 7),
+            |  b -> struct(b as band, graft_md5_60(concat_ws(',', slice(mh, b*4+1, 4))) as bh))""".stripMargin)).as("bd"))
+      .select(col("doc_id"), col("bd.band"), col("bd.bh"))
+    val cand = banded.select(col("band"), col("bh"), col("doc_id").as("a"))
+      .join(banded.select(col("band"), col("bh"), col("doc_id").as("b")),
+        Seq("band", "bh"))
+      .where(col("a") < col("b")).select(col("a"), col("b"))
+      .dropDuplicates("a", "b").withColumn("found", lit(1L))
+    val out = truth.join(cand, Seq("a", "b"), "left")
+      .agg(count(lit(1)).as("n_true_pairs"),
+        coalesce(sum(col("found")), lit(0L)).as("n_found"),
+        // small-int IEEE division is exactly rounded → engine-identical
+        (coalesce(sum(col("found")), lit(0L)).cast(DoubleType)
+          / count(lit(1)).cast(DoubleType)).as("recall"))
+    val result = out.localCheckpoint(true)
+    sh.unpersist()
+    result
+  }
+
   /** SimHash near-duplicate pairs, EXACT for `maxHamming` ≤ 3: 64-bit
     * token-set simhash, candidates via the two 32-bit halves plus
     * single-bit-flip multi-probe (pigeonhole: hamming ≤ 3 means one
@@ -591,11 +656,26 @@ object TextDedup {
   def containmentPairs(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", dfCap: Int = 32,
       minContainPct: Int = 90, minShingles: Int = 10,
-      materialize: Boolean = true): DataFrame = {
+      sampleMod: Int = 1, materialize: Boolean = true): DataFrame = {
     graft.functions.BitSketchExpressions.register(docs.sparkSession)
-    val ex = shingled(docs, textCol)
+    // `sampleMod` > 1 turns on CONTENT-DEFINED shingle sampling: only
+    // shingles whose 60-bit hash ≡ 0 (mod sampleMod) enter the posting
+    // stream — both docs of a truly contained pair keep exactly the
+    // same surviving shingles (winnowing-style, no randomness), so the
+    // containment ratio over the sampled space is an unbiased estimate
+    // of the full-space ratio, exact at ratio 1. Chernoff:
+    // P(|p̂ − p| ≥ ε) ≤ 2·exp(−2ε²·na'), so with minShingles applied
+    // to the SAMPLED na (na' ≥ 10) a true 100% wrapper is never lost
+    // and a borderline-90% pair misclassifies with probability
+    // ≤ 2e^(−2·0.1²·10) ≈ bounded, shrinking fast with doc size.
+    // Cost: postings shrink sampleMod× (cache bytes AND Σdf² pair
+    // fan-out) — the d43 ceiling lever. Deterministic, so the DuckDB
+    // oracle replicates it bit-for-bit.
+    val exAll = shingled(docs, textCol)
       .select(col(idCol).as("doc_id"),
         explode(expr("transform(shingles, x -> graft_md5_60(x))")).as("sh"))
+    val ex = (if (sampleMod > 1) exAll.where(pmod(col("sh"), lit(sampleMod)) === 0)
+      else exAll)
       .persist() // slim (long, long); feeds keys, pair join, np
     val keys0 = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
       .where(col("df") >= 2)

@@ -386,6 +386,36 @@ object EngineQueries {
           |SELECT * FROM graft.pg56.mv ORDER BY o_orderpriority""".stripMargin).get
     },
 
+    // --- materialized view: PARTITION-SCOPED incremental refresh --------
+    "e58_mv_partition_refresh" -> { (s, d) =>
+      // BigQuery MVs refresh incrementally; here the base is
+      // partitioned by o_orderpriority and the MV groups by it, so
+      // each base partition maps to one MV partition. The INSERT
+      // appends files into exactly ONE base partition; the CALL must
+      // recompute only that partition (the refresh scan is pruned —
+      // PlanAuditSpec pins it) and leave the other four images
+      // untouched. The final read proves the refreshed aggregate.
+      Tables.views(s, d, "orders")
+      freshDb(s, "graft__pg58")
+      val sr = new ScriptRunner(s)
+      sr.run(
+        """CREATE TABLE `graft.pg58.base` PARTITION BY o_orderpriority AS
+          |SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+          |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-02-01';
+          |CREATE MATERIALIZED VIEW `graft.pg58.mv` AS
+          |SELECT o_orderpriority, count(1) AS cnt,
+          |  CAST(SUM(CAST(o_totalprice AS NUMERIC)) AS FLOAT64) AS revenue
+          |FROM graft.pg58.base GROUP BY 1;
+          |INSERT INTO graft.pg58.base
+          |SELECT o_orderkey + 10000000, o_totalprice, o_orderpriority FROM orders
+          |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-02-01'
+          |  AND o_orderpriority = '1-URGENT'""".stripMargin)
+      sr.run(
+        """CALL BQ.REFRESH_MATERIALIZED_VIEW('graft.pg58.mv');
+          |SELECT o_orderpriority, cnt, revenue
+          |FROM graft.pg58.mv ORDER BY o_orderpriority""".stripMargin).get
+    },
+
     // --- multi-statement transactions: committed, rolled-back, aborted --
     "e55_transactions" -> { (s, d) =>
       // BigQuery BEGIN/COMMIT/ROLLBACK TRANSACTION over the snapshot-
@@ -1944,6 +1974,21 @@ object EngineQueries {
         |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-02-01'
         |  AND o_totalprice >= 50000
         |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+
+    // the refreshed MV aggregate: January orders with the 1-URGENT
+    // partition counted twice (the appended copy)
+    "e58_mv_partition_refresh" ->
+      """WITH base AS (
+        |  SELECT o_totalprice, o_orderpriority FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-02-01'
+        |  UNION ALL
+        |  SELECT o_totalprice, o_orderpriority FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-02-01'
+        |    AND o_orderpriority = '1-URGENT'
+        |)
+        |SELECT o_orderpriority, count(1) AS cnt,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM base GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
 
     // only the committed transaction's writes may show: +10·id for
     // region-0 nations, ids >= 20 deleted; the rolled-back zeroing and

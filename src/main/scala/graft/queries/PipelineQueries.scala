@@ -1077,7 +1077,10 @@ object PipelineQueries {
         .withColumn("text", concat(col("text"),
           lit(" editorial commentary appended after the quoted article body ends here")))
       val corpus = docs.unionByName(wrappers)
-      graft.ops.TextDedup.containmentPairs(corpus)
+      // sampleMod=4: content-defined shingle sampling — postings (and
+      // the Σdf² pair fan-out) shrink 4×, the sampled containment
+      // measure is deterministic and oracle-replicated (op Scaladoc)
+      graft.ops.TextDedup.containmentPairs(corpus, sampleMod = 4)
         .orderBy(col("contained_id"), col("container_id"))
     },
 
@@ -1089,18 +1092,11 @@ object PipelineQueries {
       // chooses bands×rows for a corpus, exactly as d34's recall@k
       // chooses nProbe for the IVF index. Both sides are md5-exact, so
       // the recall itself is hash-checked against the oracle.
-      val corpus = corpusWithPlants(s, d)
-      val truth = graft.ops.TextDedup.jaccardPairs(corpus, threshold = 0.5)
-        .select(col("a"), col("b"))
-      val cand = graft.ops.TextDedup.minhashLshPairs(corpus,
-          estThreshold = 0.0, verifyThreshold = 0.0)
-        .select(col("a"), col("b")).withColumn("found", lit(1L))
-      truth.join(cand, Seq("a", "b"), "left")
-        .agg(count(lit(1)).as("n_true_pairs"),
-          coalesce(sum(col("found")), lit(0L)).as("n_found"),
-          // small-int IEEE division is exactly rounded → engine-identical
-          (coalesce(sum(col("found")), lit(0L)).cast(DoubleType)
-            / count(lit(1)).cast(DoubleType)).as("recall"))
+      // ONE shared shingle+sketch pass feeds both the truth pairs and
+      // the banded candidates ([[graft.ops.TextDedup.lshRecall]]) —
+      // running jaccardPairs and minhashLshPairs as independent ops
+      // re-shingled the corpus per pass (VERDICT r7 perf flag)
+      graft.ops.TextDedup.lshRecall(corpusWithPlants(s, d))
     },
 
     // --- canonical-URL dedup (the first pass of a web pipeline) ---------
@@ -5851,10 +5847,12 @@ object PipelineQueries {
           |  FROM documents WHERE doc_id % 7 = 0
           |), toksrc AS (
           |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM corpus
-          |), sh AS (
+          |), sh0 AS (
           |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
           |    i -> ('0x' || substring(md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]), 1, 15))::BIGINT))) AS sh
           |  FROM toksrc WHERE len(toks) >= 3
+          |), sh AS (
+          |  SELECT doc_id, sh FROM sh0 WHERE sh % 4 = 0
           |), rare AS (
           |  SELECT sh FROM sh GROUP BY sh HAVING count(1) <= 32
           |), pruned AS (

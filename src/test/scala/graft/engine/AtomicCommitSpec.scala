@@ -228,6 +228,89 @@ class AtomicCommitSpec extends AnyFunSuite with BeforeAndAfterAll {
       .toSeq == Seq("d=01"))
   }
 
+  // --- kill-inside-transaction: pointer-based rollback heals first ----
+
+  private def dataFileNames(): Set[String] = {
+    val loc = PartitionCommit.tableLocation(spark, "dmlac.t")
+    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(loc).map(_.getPath.getName)
+      .filterNot(n => n.startsWith(".") || n.startsWith("_")).toSet
+  }
+
+  test("kill mid-commit INSIDE a transaction: rollback heals the swap then restores pre-txn") {
+    freshDml(("a", 1L), ("b", 2L), ("c", 3L))
+    val dml = new DmlRunner(spark, new TransformRunner(spark))
+    dml.runStatement("BEGIN TRANSACTION")
+    dml.runStatement("UPDATE `dmlac.t` SET v = v + 100 WHERE k = 'a'")
+    // the next statement dies in PHASE 1 of its full swap (old files
+    // half-trashed, journal in place)
+    PartitionCommit.crashAfterActions = 1
+    try intercept[IllegalStateException] {
+      dml.runStatement("DELETE FROM `dmlac.t` WHERE k = 'b'")
+    } finally PartitionCommit.crashAfterActions = -1
+    dml.runStatement("ROLLBACK TRANSACTION")
+    assert(dmlState() == Seq(("a", 1L), ("b", 2L), ("c", 3L)),
+      "rollback must first replay the crashed statement's journal, then restore")
+  }
+
+  test("kill in PHASE 2 inside a transaction: rollback still restores pre-txn") {
+    freshDml(("a", 1L), ("b", 2L), ("c", 3L))
+    val dml = new DmlRunner(spark, new TransformRunner(spark))
+    dml.runStatement("BEGIN TRANSACTION")
+    dml.runStatement("UPDATE `dmlac.t` SET v = v * 10 WHERE v >= 2")
+    val n = dataFileNames().size
+    PartitionCommit.crashAfterActions = n + 1 // first staged move of the NEXT swap
+    try intercept[IllegalStateException] {
+      dml.runStatement("DELETE FROM `dmlac.t` WHERE k = 'c'")
+    } finally PartitionCommit.crashAfterActions = -1
+    dml.runStatement("ROLLBACK TRANSACTION")
+    assert(dmlState() == Seq(("a", 1L), ("b", 2L), ("c", 3L)))
+  }
+
+  test("rollback restores the ORIGINAL parquet files by rename — zero rows rewritten") {
+    freshDml(("a", 1L), ("b", 2L), ("c", 3L))
+    val before = dataFileNames()
+    val dml = new DmlRunner(spark, new TransformRunner(spark))
+    dml.run(
+      """BEGIN TRANSACTION;
+        |UPDATE `dmlac.t` SET v = 0 WHERE TRUE;
+        |INSERT INTO dmlac.t VALUES ('z', 99);
+        |TRUNCATE TABLE `dmlac.t`;
+        |ROLLBACK TRANSACTION""".stripMargin)
+    assert(dmlState() == Seq(("a", 1L), ("b", 2L), ("c", 3L)))
+    assert(dataFileNames() == before,
+      "the restored table must hold the same physical files, proving a " +
+        "pointer (rename) restore rather than a row-copy rewrite")
+  }
+
+  test("a long transaction's pinned pre-txn image survives snapshot pruning") {
+    freshDml(("a", 1L))
+    val keep = PartitionCommit.snapshotKeep
+    PartitionCommit.snapshotKeep = 1
+    val dml = new DmlRunner(spark, new TransformRunner(spark))
+    try {
+      dml.runStatement("BEGIN TRANSACTION")
+      // each rewrite parks an image and prunes to 1 — the pinned
+      // pre-txn image must be exempt or rollback has nothing to restore
+      (1 to 3).foreach(_ =>
+        dml.runStatement("UPDATE `dmlac.t` SET v = v + 1 WHERE TRUE"))
+      dml.runStatement("ROLLBACK TRANSACTION")
+    } finally PartitionCommit.snapshotKeep = keep
+    assert(dmlState() == Seq(("a", 1L)))
+  }
+
+  test("DROP then re-CREATE inside a transaction rolls back to the original table") {
+    freshDml(("a", 1L), ("b", 2L))
+    val dml = new DmlRunner(spark, new TransformRunner(spark))
+    dml.run(
+      """BEGIN TRANSACTION;
+        |DROP TABLE `dmlac.t`;
+        |CREATE TABLE dmlac.t AS SELECT 'z' AS k, CAST(9 AS BIGINT) AS v;
+        |ROLLBACK TRANSACTION""".stripMargin)
+    assert(dmlState() == Seq(("a", 1L), ("b", 2L)),
+      "the original definition AND files must return after drop+recreate")
+  }
+
   test("the next DML statement heals a crashed full swap before its own commit") {
     freshDml(("a", 1L), ("b", 2L), ("c", 3L))
     val dml = new DmlRunner(spark, new TransformRunner(spark))

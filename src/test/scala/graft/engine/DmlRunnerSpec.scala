@@ -246,6 +246,14 @@ class DmlRunnerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(state() == Seq(("a", 101L), ("b", 2L), ("c", 3L)))
   }
 
+  test("UPDATE ... FROM parses when FROM/WHERE are followed by a newline or tab") {
+    freshTable(Seq(("a", 1L), ("b", 2L)))
+    dml.run(
+      "UPDATE `dmlspec.t` SET v = v + src.bump FROM\n" +
+        "(SELECT 'a' AS kk, 100 AS bump) src WHERE\tk = src.kk")
+    assert(state() == Seq(("a", 101L), ("b", 2L)))
+  }
+
   test("COMMIT TRANSACTION keeps every write since BEGIN") {
     freshTable(Seq(("a", 1L), ("b", 2L), ("c", 3L)))
     dml.run(

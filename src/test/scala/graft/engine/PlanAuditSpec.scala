@@ -602,7 +602,8 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       docs.where(col("doc_id") % 7 === 0)
         .withColumn("doc_id", col("doc_id") + 4000000L)
         .withColumn("text", concat(col("text"), lit(" tail"))))
-    val df = graft.ops.TextDedup.containmentPairs(corpus, materialize = false)
+    val df = graft.ops.TextDedup.containmentPairs(corpus, sampleMod = 4,
+      materialize = false)
     df.collect()
     val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
       .split("== Initial Plan ==").head
@@ -620,6 +621,22 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"containment must stay on Tungsten hash aggregation:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"pair generation must stay an equi-join:\n$p")
+  }
+
+  test("e58 MV refresh: the recompute scan is pruned to the stale partition") {
+    // drive the gate (base partitioned by priority, one partition
+    // mutated, CALL refresh) and audit the refresh's recorded plan:
+    // the filter the incremental path appends must reach the base scan
+    // as a PARTITION filter — a refresh that scans all five priorities
+    // is a full rebuild wearing an incremental name
+    MvRegistry.lastRefreshPlan = None
+    EngineQueries.queries("e58_mv_partition_refresh")(spark, sfDir).collect()
+    val p = MvRegistry.lastRefreshPlan.getOrElse(
+      fail("the e58 refresh did not take the incremental path"))
+    val scanFilter = p.linesIterator.find(_.contains("PartitionFilters"))
+      .getOrElse(fail(s"no PartitionFilters line in the refresh plan:\n$p"))
+    assert(scanFilter.contains("o_orderpriority") && scanFilter.contains("1-URGENT"),
+      s"refresh scan must be pruned to the stale priority partition: $scanFilter")
   }
 
   test("d80 surprisal: one raw-token shuffle; corpus baseline broadcast, not collected") {

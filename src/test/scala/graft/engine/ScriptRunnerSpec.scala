@@ -426,6 +426,36 @@ class ScriptRunnerSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE graft_extspec_t")
   }
 
+  test("graft.autoRefresh external table sees a newly-dropped file without REFRESH") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_autoref")
+    spark.sql("DROP TABLE IF EXISTS graft_autoref_t")
+    spark.sql("DROP TABLE IF EXISTS graft_autoref_ctl")
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(s"$dir/a.csv"), "1\n2\n")
+    val sr = new ScriptRunner(spark)
+    sr.run(
+      s"""CREATE EXTERNAL TABLE graft_autoref_t (k INT64)
+         |OPTIONS(format='CSV', uris=['$dir/*.csv'], graft.autoRefresh=true);
+         |CREATE EXTERNAL TABLE graft_autoref_ctl (k INT64)
+         |OPTIONS(format='CSV', uris=['$dir/*.csv'])""".stripMargin)
+    assert(sr.run("SELECT k FROM graft_autoref_t").get.count() == 2L)
+    assert(sr.run("SELECT k FROM graft_autoref_ctl").get.count() == 2L)
+    // drop a new file into the directory — NO manual REFRESH TABLE
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(s"$dir/b.csv"), "3\n4\n5\n")
+    assert(sr.run("SELECT k FROM graft_autoref_t").get.count() == 5L,
+      "the opted-in table must re-list per query (BigQuery semantics)")
+    // the control table keeps Spark's cached listing until REFRESH —
+    // the e54 seam is unchanged for tables without the option
+    assert(sr.run("SELECT k FROM graft_autoref_ctl").get.count() == 2L,
+      "without the option the cached listing must persist")
+    spark.sql("REFRESH TABLE graft_autoref_ctl")
+    assert(sr.run("SELECT k FROM graft_autoref_ctl").get.count() == 5L)
+    spark.sql("DROP TABLE graft_autoref_t")
+    spark.sql("DROP TABLE graft_autoref_ctl")
+    ExternalTables.unregister("graft_autoref_t")
+  }
+
   test("CREATE EXTERNAL TABLE fails loud on multiple uris and missing schema") {
     val sr = new ScriptRunner(spark)
     val multi = intercept[IllegalArgumentException] {
@@ -833,5 +863,100 @@ class ScriptRunnerSpec extends AnyFunSuite with BeforeAndAfterAll {
     // DROP of a snapshot table stays legal (BigQuery allows it)
     dml.run("DROP TABLE `graft.clonespec.frozen`")
     assert(!spark.catalog.tableExists("graft__clonespec.frozen"))
+
+    // the read-only mark dies with the table: a fresh, unrelated table
+    // re-using the name must be writable again (DROP released the mark)
+    spark.sql("CREATE TABLE graft__clonespec.frozen (k BIGINT) USING PARQUET")
+    spark.sql("INSERT INTO graft__clonespec.frozen VALUES (7)")
+    dml.run("DELETE FROM `graft.clonespec.frozen` WHERE k = 7")
+    assert(spark.table("graft__clonespec.frozen").count() == 0L)
+  }
+
+  test("script-path INSERT INTO a snapshot table or MV is rejected, not silent") {
+    spark.sql("DROP DATABASE IF EXISTS graft__rospec CASCADE")
+    val roLoc = java.nio.file.Files.createTempDirectory("rospec")
+    spark.sql(s"CREATE DATABASE graft__rospec LOCATION '$roLoc'")
+    MvRegistry.drop("graft__rospec.mvro")
+    CloneRegistry.unmark("graft__rospec.snap2")
+    CloneRegistry.unmark("graft__rospec.mvro")
+    spark.sql("CREATE TABLE graft__rospec.src2 (k BIGINT) USING PARQUET")
+    spark.sql("INSERT INTO graft__rospec.src2 VALUES (1), (2)")
+    val sr = new ScriptRunner(spark)
+    sr.run("CREATE SNAPSHOT TABLE `graft.rospec.snap2` CLONE `graft.rospec.src2`")
+    // generic spark.sql would happily append — the gate must fire first
+    val e = intercept[IllegalArgumentException] {
+      sr.run("INSERT INTO `graft.rospec.snap2` VALUES (99)")
+    }
+    assert(e.getMessage.contains("read-only"))
+    assert(spark.table("graft__rospec.snap2").count() == 2L)
+    // same contract for a materialized view: a script INSERT would be
+    // silently discarded by the next refresh
+    sr.run(
+      """CREATE MATERIALIZED VIEW `graft.rospec.mvro` AS
+        |SELECT count(1) AS n FROM graft.rospec.src2""".stripMargin)
+    val e2 = intercept[IllegalArgumentException] {
+      sr.run("INSERT INTO `graft.rospec.mvro` VALUES (42)")
+    }
+    assert(e2.getMessage.contains("read-only"))
+    sr.run("DROP MATERIALIZED VIEW `graft.rospec.mvro`")
+  }
+
+  test("partition-scoped MV refresh touches only the stale partition's files") {
+    spark.sql("DROP DATABASE IF EXISTS graft__mvinc CASCADE")
+    val loc = java.nio.file.Files.createTempDirectory("mvinc")
+    spark.sql(s"CREATE DATABASE graft__mvinc LOCATION '$loc'")
+    val sr = new ScriptRunner(spark)
+    MvRegistry.drop("graft__mvinc.mv")
+    CloneRegistry.unmark("graft__mvinc.mv")
+    sr.run(
+      """CREATE TABLE `graft.mvinc.base` PARTITION BY grp AS
+        |SELECT id, CAST(id AS INT64) AS v,
+        |  CASE WHEN id < 5 THEN 'a' ELSE 'b' END AS grp
+        |FROM (SELECT explode(sequence(0, 9)) AS id);
+        |CREATE MATERIALIZED VIEW `graft.mvinc.mv` AS
+        |SELECT grp, COUNT(1) AS n, SUM(v) AS total FROM graft.mvinc.base GROUP BY grp"""
+        .stripMargin)
+    def mvFiles(part: String): Set[String] = {
+      val ml = PartitionCommit.tableLocation(spark, "graft__mvinc.mv")
+      val fs = ml.getFileSystem(spark.sessionState.newHadoopConf())
+      val pd = new org.apache.hadoop.fs.Path(ml, s"grp=$part")
+      if (!fs.exists(pd)) Set.empty
+      else fs.listStatus(pd).map(_.getPath.getName)
+        .filterNot(_.startsWith("_")).toSet
+    }
+    val aFiles = mvFiles("a")
+    assert(aFiles.nonEmpty, "the MV must materialize partitioned by grp")
+    // mutate ONLY partition b, refresh: a's files must be untouched
+    sr.run(
+      """INSERT INTO graft.mvinc.base VALUES (100, 100, 'b');
+        |CALL BQ.REFRESH_MATERIALIZED_VIEW('graft.mvinc.mv')""".stripMargin)
+    val out = sr.run("SELECT grp, n, total FROM graft.mvinc.mv ORDER BY grp")
+      .get.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq(("a", 5L, 10L), ("b", 6L, 135L)),
+      s"refresh must fold the new row into b: $out")
+    assert(mvFiles("a") == aFiles,
+      "partition a was not stale — its files must be byte-identical (no rebuild)")
+    // unchanged base: the CALL is a metadata no-op — b's files survive too
+    val bFiles = mvFiles("b")
+    sr.run("CALL BQ.REFRESH_MATERIALIZED_VIEW('graft.mvinc.mv')")
+    assert(mvFiles("b") == bFiles && mvFiles("a") == aFiles,
+      "a refresh over an unchanged base must rewrite nothing")
+  }
+
+  test("CREATE SNAPSHOT TABLE IF NOT EXISTS must not freeze a pre-existing table") {
+    spark.sql("DROP DATABASE IF EXISTS graft__rospec2 CASCADE")
+    val roLoc = java.nio.file.Files.createTempDirectory("rospec2")
+    spark.sql(s"CREATE DATABASE graft__rospec2 LOCATION '$roLoc'")
+    CloneRegistry.unmark("graft__rospec2.plain3")
+    spark.sql("CREATE TABLE graft__rospec2.src3 (k BIGINT) USING PARQUET")
+    spark.sql("INSERT INTO graft__rospec2.src3 VALUES (1)")
+    spark.sql("CREATE TABLE graft__rospec2.plain3 (k BIGINT) USING PARQUET")
+    spark.sql("INSERT INTO graft__rospec2.plain3 VALUES (5)")
+    val sr = new ScriptRunner(spark)
+    // IF NOT EXISTS short-circuits: the unrelated existing table must
+    // stay writable — no mark may land
+    sr.run("CREATE SNAPSHOT TABLE IF NOT EXISTS `graft.rospec2.plain3` CLONE `graft.rospec2.src3`")
+    sr.run("INSERT INTO `graft.rospec2.plain3` VALUES (6)")
+    assert(spark.table("graft__rospec2.plain3").count() == 2L)
   }
 }

@@ -106,4 +106,27 @@ class TimeTravelSpec extends AnyFunSuite with BeforeAndAfterAll {
       .count(_.getPath.getName.startsWith(".graft_snap_"))
     assert(snaps <= 8, s"retention cap exceeded: $snaps")
   }
+
+  test("a request older than the pruned horizon fails loud, not a later image") {
+    freshDest()
+    val t0 = ts()
+    val dml = new DmlRunner(spark, new TransformRunner(spark))
+    val keep = PartitionCommit.snapshotKeep
+    PartitionCommit.snapshotKeep = 2
+    // 5 rewrites: the 3 oldest boundaries prune away — the data that
+    // was current at t0 no longer exists anywhere
+    try (1 to 5).foreach(i =>
+      dml.run(s"UPDATE `tt.ds.t` SET v = v + 0 WHERE v < $i"))
+    finally PartitionCommit.snapshotKeep = keep
+    val e = intercept[UnsupportedOperationException] {
+      values(s"SELECT v FROM `tt.ds.t` FOR SYSTEM_TIME AS OF TIMESTAMP '$t0'")
+    }
+    assert(e.getMessage.contains("horizon"),
+      s"resolving to a surviving (later) snapshot would return data from " +
+        s"AFTER the requested time; got: ${e.getMessage.take(120)}")
+    // times inside the retained window still resolve
+    assert(values(
+      "SELECT v FROM `tt.ds.t` FOR SYSTEM_TIME AS OF " +
+        "TIMESTAMP_ADD(CURRENT_TIMESTAMP(), INTERVAL 1 HOUR)") == Seq(1L, 2L, 3L))
+  }
 }

@@ -176,7 +176,7 @@ class DedupStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     // The planted ' zz' variants CONTAIN their originals (na ≥ 10,
     // shared/na = 1), so the verification stage sees real candidates.
     val (tSmall, tBig, nBig) = growthRatio("containment") { d =>
-      TextDedup.containmentPairs(d)
+      TextDedup.containmentPairs(d, sampleMod = 4) // the d43 gate shape
     }
     assert(nBig > 0, "planted wrappers should surface as containment pairs")
     assert(tBig / tSmall < 10.0, f"super-linear blowup: $tSmall%.1f s → $tBig%.1f s")
@@ -381,8 +381,37 @@ class DedupStressSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("1M-doc ceiling: containment posting-list growth stays under 4x", Stress) {
+    // sampleMod=4 is the d43 gate shape (round-8 ask #4): content-
+    // defined shingle sampling cuts postings — and the Σdf² pair
+    // fan-out — 4×, which is what pulls the ceiling under 3×
     val (tSmall, tBig, nBig) = ceilingRatio("containment@1M", 250000L, 1000000L) { d =>
-      TextDedup.containmentPairs(d)
+      TextDedup.containmentPairs(d, sampleMod = 4)
+    }
+    assert(nBig > 0)
+    assert(tBig / tSmall < 4.0, f"super-linear at the 1M ceiling: $tSmall%.1f s → $tBig%.1f s")
+  }
+
+  test("1M-doc ceiling: winnowing fingerprint growth stays under 4x", Stress) {
+    // round-8 ask #3: the round-7 candidate generators re-measured one
+    // scale notch up. Winnowing selection is per-row codegen; only
+    // (hash, id) buckets shuffle, df-capped
+    val (tSmall, tBig, nBig) = ceilingRatio("winnowing@1M", 250000L, 1000000L) { d =>
+      TextDedup.winnowingPairs(d)
+    }
+    assert(nBig > 0)
+    assert(tBig / tSmall < 4.0, f"super-linear at the 1M ceiling: $tSmall%.1f s → $tBig%.1f s")
+  }
+
+  test("1M-doc ceiling: label propagation growth stays under 4x", Stress) {
+    // round-8 ask #3: d122's shape — 3 sign-vote rounds of slim
+    // (node, label) shuffles over the MinHash edge set
+    import org.apache.spark.sql.functions._
+    val (tSmall, tBig, nBig) = ceilingRatio("labelprop@1M", 250000L, 1000000L) { d =>
+      val seeds = d.where(col("doc_id") % 17 === 0 || col("doc_id") % 17 === 5)
+        .select(col("doc_id").as("node"),
+          when(col("doc_id") % 17 === 0, lit(1)).otherwise(lit(-1)).as("lab"))
+      TextDedup.labelPropagation(
+        TextDedup.minhashLshPairs(d).select("a", "b"), seeds, iters = 3)
     }
     assert(nBig > 0)
     assert(tBig / tSmall < 4.0, f"super-linear at the 1M ceiling: $tSmall%.1f s → $tBig%.1f s")
