@@ -283,18 +283,23 @@ object TextDedup {
       blockingCols: Seq[String] = Seq("lang")): DataFrame = {
     graft.functions.BitSketchExpressions.register(docs.sparkSession)
     val blockKeys = blockingCols :+ "first_tok" :+ "n_toks_bucket"
+    // shingles are hashed to 60-bit longs BEFORE caching/exploding —
+    // 8-byte join keys instead of ~20-char strings, injective in
+    // practice at per-doc set sizes (the same argument the d07 verify
+    // path relies on), so the exact-Jaccard truth set is unchanged
     val sh = shingled(docs, textCol)
       .withColumn("first_tok", expr("element_at(toks, 1)"))
       .withColumn("n_toks_bucket", expr("cast(size(toks) div 8 as int)"))
       .withColumn("mh", expr("graft_minhash32(shingles)"))
-      .select((Seq(col(idCol).as("doc_id"), col("shingles"), col("mh")) ++
+      .withColumn("shh", expr("transform(shingles, x -> graft_md5_60(x))"))
+      .select((Seq(col(idCol).as("doc_id"), col("shh"), col("mh")) ++
         blockKeys.map(col)): _*)
       .persist()
     // truth side: blocked exact Jaccard (identical semantics to
     // [[jaccardPairs]] — same blocking keys, same shingle space)
-    val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n_sh"))
+    val sizes = sh.select(col("doc_id"), size(col("shh")).as("n_sh"))
     val ex = sh.select((blockKeys.map(col) :+ col("doc_id") :+
-      explode(col("shingles")).as("s")): _*)
+      explode(col("shh")).as("s")): _*)
     val truth = ex.withColumnRenamed("doc_id", "a")
       .join(ex.withColumnRenamed("doc_id", "b"), blockKeys :+ "s")
       .where(col("a") < col("b"))
