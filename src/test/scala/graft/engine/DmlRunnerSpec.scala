@@ -286,6 +286,22 @@ class DmlRunnerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!spark.catalog.tableExists("dmlspec.made"))
   }
 
+  test("CREATE OR REPLACE TABLE inside a transaction rolls back to the original") {
+    freshTable(Seq(("a", 1L), ("b", 2L)))
+    dml.run(
+      """BEGIN TRANSACTION;
+        |CREATE OR REPLACE TABLE dmlspec.t AS SELECT 'z' AS k, CAST(9 AS BIGINT) AS v;
+        |ROLLBACK TRANSACTION""".stripMargin)
+    assert(state() == Seq(("a", 1L), ("b", 2L)),
+      "the replaced table's definition and files must return on rollback")
+    // and the replacement STICKS on commit
+    dml.run(
+      """BEGIN TRANSACTION;
+        |CREATE OR REPLACE TABLE dmlspec.t AS SELECT 'z' AS k, CAST(9 AS BIGINT) AS v;
+        |COMMIT""".stripMargin)
+    assert(state() == Seq(("z", 9L)))
+  }
+
   test("a failing statement inside a transaction auto-rolls back and surfaces") {
     freshTable(Seq(("a", 1L), ("b", 2L)))
     val e = intercept[Exception] {

@@ -901,6 +901,33 @@ class ScriptRunnerSpec extends AnyFunSuite with BeforeAndAfterAll {
     sr.run("DROP MATERIALIZED VIEW `graft.rospec.mvro`")
   }
 
+  test("transaction rollback undoes LOAD DATA OVERWRITE (file-destroying script path)") {
+    spark.sql("DROP DATABASE IF EXISTS graft__loadtx CASCADE")
+    val dbLoc = java.nio.file.Files.createTempDirectory("loadtx")
+    spark.sql(s"CREATE DATABASE graft__loadtx LOCATION '$dbLoc'")
+    spark.sql("CREATE TABLE graft__loadtx.t (k BIGINT) USING PARQUET")
+    spark.sql("INSERT INTO graft__loadtx.t VALUES (1), (2), (3)")
+    val csv = java.nio.file.Files.createTempDirectory("loadtx_csv")
+    java.nio.file.Files.writeString(java.nio.file.Path.of(s"$csv/in.csv"), "7\n8\n")
+    val sr = new ScriptRunner(spark)
+    sr.run(
+      s"""BEGIN TRANSACTION;
+         |LOAD DATA OVERWRITE `graft.loadtx.t` (k INT64)
+         |FROM FILES(format='CSV', uris=['$csv/*.csv']);
+         |ROLLBACK TRANSACTION""".stripMargin)
+    assert(spark.table("graft__loadtx.t").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 2L, 3L),
+      "the overwritten files must return on rollback (destructive-path pin)")
+    // and the overwrite sticks on commit
+    sr.run(
+      s"""BEGIN TRANSACTION;
+         |LOAD DATA OVERWRITE `graft.loadtx.t` (k INT64)
+         |FROM FILES(format='CSV', uris=['$csv/*.csv']);
+         |COMMIT TRANSACTION""".stripMargin)
+    assert(spark.table("graft__loadtx.t").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(7L, 8L))
+  }
+
   test("partition-scoped MV refresh touches only the stale partition's files") {
     spark.sql("DROP DATABASE IF EXISTS graft__mvinc CASCADE")
     val loc = java.nio.file.Files.createTempDirectory("mvinc")
