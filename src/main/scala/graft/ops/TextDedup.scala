@@ -49,8 +49,12 @@ object TextDedup {
     */
   def labelPropagation(pairs: DataFrame, seeds: DataFrame,
       iters: Int = 3): DataFrame = {
+    // checkpointed pre-partitioned on the per-round join key, same
+    // rationale as [[connectedComponents]]: rounds re-shuffle only the
+    // (node, label) state, never the edge list
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .repartition(col("dst"))
       .localCheckpoint(true)
     val sd = seeds.select(col("node"),
       col("lab").cast(IntegerType).as("seed_lab"))
@@ -739,7 +743,13 @@ object TextDedup {
     * (node, lab) where lab = min node id in the component.
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    // the edge list is the BIG table of the loop and every round joins
+    // it on dst — cache it ALREADY HASH-PARTITIONED on the join key so
+    // each round's join reuses the cached partitioning and only the
+    // slim (node, label) side shuffles; un-partitioned, every round
+    // re-exchanged 2|pairs| edge rows (the dominant ceiling cost)
     val edges = pairs.union(pairs.select(col("b"), col("a"))).toDF("src", "dst")
+      .repartition(col("dst"))
       .persist()
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("lab", col("node")).localCheckpoint(true)
