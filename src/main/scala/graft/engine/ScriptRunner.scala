@@ -863,7 +863,10 @@ class ScriptRunner(spark: SparkSession) {
           "(BQ.REFRESH_MATERIALIZED_VIEW refreshes MVs created this session)"))
     CloneRegistry.unmark(dest)
     try {
-      if (!refreshMvIncremental(dest, q)) materializeMv(dest, q)
+      // a full rebuild re-records the incremental contract (the base
+      // may have gained — or changed — its partitioning since CREATE)
+      if (!refreshMvIncremental(dest, q))
+        materializeMv(dest, q, setupMvIncremental(dest, q))
     } finally CloneRegistry.markReadOnly(dest, mvReadOnlyReason)
   }
 
@@ -879,7 +882,13 @@ class ScriptRunner(spark: SparkSession) {
     */
   private def refreshMvIncremental(dest: String, query: String): Boolean =
     MvRegistry.baseOf(dest) match {
-      case Some(b) if spark.catalog.tableExists(b.table) =>
+      case Some(b) if spark.catalog.tableExists(b.table) &&
+          // the base may have been dropped and recreated with different
+          // partitioning since the contract was recorded — a signature
+          // diff against the wrong column would read "all vanished"
+          // and empty the MV; fall back to a full rebuild instead
+          spark.catalog.listColumns(b.table).collect()
+            .filter(_.isPartition).map(_.name).toSeq == Seq(b.partCol) =>
         val cur = partitionSignatures(b.table, b.partCol)
         val stale = cur.collect {
           case (v, s) if !b.sig.get(v).contains(s) => v

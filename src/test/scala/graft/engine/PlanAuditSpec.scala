@@ -623,6 +623,65 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"pair generation must stay an equi-join:\n$p")
   }
 
+  test("d21 components: the per-round edge join reuses the cached partitioning") {
+    // rebuild one CC round inline (the op loops internally): edges are
+    // cached pre-partitioned on dst, so the round's join must read the
+    // InMemoryTableScan DIRECTLY — no Exchange may sit between the
+    // cache and the join. Un-partitioned, every round re-exchanged the
+    // full edge list (the 3.15× ceiling cost this shape removed).
+    import org.apache.spark.sql.functions._
+    val docs = Tables.t(spark, sfDir, "documents").select(col("doc_id"))
+    val pairs = docs.select(col("doc_id").as("a"), (col("doc_id") + 1L).as("b"))
+    val edges = pairs.union(pairs.select(col("b"), col("a"))).toDF("src", "dst")
+      .repartition(col("dst")).persist()
+    edges.count()
+    // at audit scale the edge table is broadcast-small, which would
+    // vacuously pass; force the shuffle-join planning the 1M-doc shape
+    // actually gets
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqeBc = scala.util.Try(
+      spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold"))
+      .toOption.flatMap(Option(_))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val labels = edges.select(col("src").as("node")).distinct()
+        .withColumn("lab", col("node"))
+      val round = edges
+        .join(labels.select(col("node").as("dst"), col("lab").as("nlab")), "dst")
+        .groupBy(col("src").as("node")).agg(min(col("nlab")).as("nmin"))
+      round.collect()
+      val p = round.queryExecution.explainString(ExplainMode.fromString("formatted"))
+        .split("== Initial Plan ==").head
+      // walk the operator tree: no Exchange may have the cached edge
+      // scan as its direct input subtree root
+      val lines = p.linesIterator.toVector
+      val scanIdx = lines.indexWhere(_.contains("InMemoryTableScan"))
+      assert(scanIdx >= 0, s"expected a cached edge scan in:\n$p")
+      // in formatted explain the tree section lists children below
+      // their parent with deeper indentation; assert the scan's parent
+      // chain up to the join contains no Exchange
+      def indent(l: String) = l.takeWhile(c => !c.isLetter && c != '*' && c != '+').length
+      val scanIndent = indent(lines(scanIdx))
+      val parents = (scanIdx - 1 to 0 by -1).map(lines)
+        .filter(l => indent(l) < scanIndent)
+      val firstJoinOrExchange = parents.find(l =>
+        l.contains("Join") || l.contains("Exchange"))
+      assert(firstJoinOrExchange.exists(_.contains("Join")),
+        s"the cached edge scan must feed the join WITHOUT a re-exchange; " +
+          s"found ${firstJoinOrExchange.getOrElse("nothing")} in:\n$p")
+    } finally {
+      edges.unpersist()
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      prevAqeBc match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case scala.None =>
+          spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+    }
+  }
+
   test("e58 MV refresh: the recompute scan is pruned to the stale partition") {
     // drive the gate (base partitioned by priority, one partition
     // mutated, CALL refresh) and audit the refresh's recorded plan:

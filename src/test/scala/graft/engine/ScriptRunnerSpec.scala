@@ -968,6 +968,41 @@ class ScriptRunnerSpec extends AnyFunSuite with BeforeAndAfterAll {
     sr.run("CALL BQ.REFRESH_MATERIALIZED_VIEW('graft.mvinc.mv')")
     assert(mvFiles("b") == bFiles && mvFiles("a") == aFiles,
       "a refresh over an unchanged base must rewrite nothing")
+    // a brand-NEW base partition materializes as a new MV partition
+    sr.run(
+      """INSERT INTO graft.mvinc.base VALUES (200, 7, 'c');
+        |CALL BQ.REFRESH_MATERIALIZED_VIEW('graft.mvinc.mv')""".stripMargin)
+    val out2 = sr.run("SELECT grp, n, total FROM graft.mvinc.mv ORDER BY grp")
+      .get.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out2 == Seq(("a", 5L, 10L), ("b", 6L, 135L), ("c", 1L, 7L)))
+    assert(mvFiles("a") == aFiles, "existing partitions stay untouched")
+  }
+
+  test("MV refresh falls back to full rebuild when the base was re-partitioned") {
+    spark.sql("DROP DATABASE IF EXISTS graft__mvrp CASCADE")
+    val loc = java.nio.file.Files.createTempDirectory("mvrp")
+    spark.sql(s"CREATE DATABASE graft__mvrp LOCATION '$loc'")
+    MvRegistry.drop("graft__mvrp.mv")
+    CloneRegistry.unmark("graft__mvrp.mv")
+    val sr = new ScriptRunner(spark)
+    sr.run(
+      """CREATE TABLE `graft.mvrp.base` PARTITION BY grp AS
+        |SELECT CAST(id AS INT64) AS v, CASE WHEN id < 2 THEN 'a' ELSE 'b' END AS grp
+        |FROM (SELECT explode(sequence(0, 3)) AS id);
+        |CREATE MATERIALIZED VIEW `graft.mvrp.mv` AS
+        |SELECT grp, SUM(v) AS total FROM graft.mvrp.base GROUP BY grp""".stripMargin)
+    // recreate the base UNPARTITIONED with different contents: the
+    // recorded contract (partition col grp) no longer holds — the
+    // refresh must full-rebuild, never diff-and-drop the MV to empty
+    sr.run(
+      """DROP TABLE `graft.mvrp.base`;
+        |CREATE TABLE `graft.mvrp.base` AS
+        |SELECT CAST(10 AS INT64) AS v, 'z' AS grp;
+        |CALL BQ.REFRESH_MATERIALIZED_VIEW('graft.mvrp.mv')""".stripMargin)
+    val out = sr.run("SELECT grp, total FROM graft.mvrp.mv ORDER BY grp")
+      .get.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out == Seq(("z", 10L)),
+      s"a re-partitioned base must trigger a full rebuild, got $out")
   }
 
   test("CREATE SNAPSHOT TABLE IF NOT EXISTS must not freeze a pre-existing table") {
