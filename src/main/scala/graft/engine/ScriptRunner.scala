@@ -782,7 +782,11 @@ class ScriptRunner(spark: SparkSession) {
     if (!fs.exists(loc)) return Map.empty
     fs.listStatus(loc).filter(st => st.isDirectory &&
         st.getPath.getName.startsWith(partCol + "=")).map { st =>
-      val v = st.getPath.getName.stripPrefix(partCol + "=")
+      // dir names carry Hive-ESCAPED values (space → %20 etc.); keys
+      // must be the REAL column values or the stale-partition filter
+      // and the staged `partitionBy` dirs would silently miss them
+      val v = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .unescapePathName(st.getPath.getName.stripPrefix(partCol + "="))
       val entries = fs.listStatus(st.getPath)
         .filterNot(_.getPath.getName.startsWith("."))
         .map(f => s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}")
@@ -893,7 +897,9 @@ class ScriptRunner(spark: SparkSession) {
         val stale = cur.collect {
           case (v, s) if !b.sig.get(v).contains(s) => v
         }.toSeq.sorted
-        val dropped = (b.sig.keySet -- cur.keySet).toSeq.sorted
+        // PartitionCommit works in DIRECTORY terms — re-escape for it
+        val dropped = (b.sig.keySet -- cur.keySet).toSeq.sorted.map(
+          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName)
         if (stale.nonEmpty) {
           val in = stale.map(v => "'" + v.replace("'", "\\'") + "'").mkString(", ")
           val df = spark.sql(

@@ -299,6 +299,29 @@ class AtomicCommitSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dmlState() == Seq(("a", 1L)))
   }
 
+  test("PARTITIONED table transaction rollback restores rows and partitions") {
+    spark.sql("DROP DATABASE IF EXISTS dmltxp CASCADE")
+    val loc = java.nio.file.Files.createTempDirectory("dmltxp")
+    spark.sql(s"CREATE DATABASE dmltxp LOCATION '$loc'")
+    spark.sql(
+      "CREATE TABLE dmltxp.t (v BIGINT, d STRING) USING parquet PARTITIONED BY (d)")
+    spark.sql("INSERT INTO dmltxp.t PARTITION (d = '01') VALUES (1), (2)")
+    spark.sql("INSERT INTO dmltxp.t PARTITION (d = '02') VALUES (30)")
+    val dml = new DmlRunner(spark, new TransformRunner(spark))
+    dml.run(
+      """BEGIN TRANSACTION;
+        |UPDATE `dmltxp.t` SET v = v * 100 WHERE d = '01';
+        |DELETE FROM `dmltxp.t` WHERE d = '02';
+        |ROLLBACK TRANSACTION""".stripMargin)
+    val got = spark.table("dmltxp.t").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    assert(got == Seq((1L, "01"), (2L, "01"), (30L, "02")),
+      "partition-dir relpaths must restore (the DELETE emptied d=02)")
+    assert(spark.sql("SHOW PARTITIONS dmltxp.t").collect().map(_.getString(0))
+      .toSeq.sorted == Seq("d=01", "d=02"),
+      "the emptied partition must re-register in the catalog on rollback")
+  }
+
   test("DROP then re-CREATE inside a transaction rolls back to the original table") {
     freshDml(("a", 1L), ("b", 2L))
     val dml = new DmlRunner(spark, new TransformRunner(spark))

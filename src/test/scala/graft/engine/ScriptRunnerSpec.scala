@@ -978,6 +978,55 @@ class ScriptRunnerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mvFiles("a") == aFiles, "existing partitions stay untouched")
   }
 
+  test("MV incremental refresh handles Hive-escaped partition values") {
+    spark.sql("DROP DATABASE IF EXISTS graft__mvesc CASCADE")
+    val loc = java.nio.file.Files.createTempDirectory("mvesc")
+    spark.sql(s"CREATE DATABASE graft__mvesc LOCATION '$loc'")
+    MvRegistry.drop("graft__mvesc.mv")
+    CloneRegistry.unmark("graft__mvesc.mv")
+    val sr = new ScriptRunner(spark)
+    // 'a b' lands on disk as grp=a%20b — the stale-partition filter
+    // must use the REAL value, not the escaped directory spelling
+    sr.run(
+      """CREATE TABLE `graft.mvesc.base` PARTITION BY grp AS
+        |SELECT CAST(id AS INT64) AS v,
+        |  CASE WHEN id < 2 THEN 'a b' ELSE 'c' END AS grp
+        |FROM (SELECT explode(sequence(0, 3)) AS id);
+        |CREATE MATERIALIZED VIEW `graft.mvesc.mv` AS
+        |SELECT grp, SUM(v) AS total FROM graft.mvesc.base GROUP BY grp;
+        |INSERT INTO graft.mvesc.base VALUES (100, 'a b');
+        |CALL BQ.REFRESH_MATERIALIZED_VIEW('graft.mvesc.mv')""".stripMargin)
+    val out = sr.run("SELECT grp, total FROM graft.mvesc.mv ORDER BY grp")
+      .get.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out == Seq(("a b", 101L), ("c", 5L)),
+      s"the mutated escaped-value partition must recompute: $out")
+  }
+
+  test("MV incremental refresh commit is crash-atomic (journal heals)") {
+    spark.sql("DROP DATABASE IF EXISTS graft__mvcr CASCADE")
+    val loc = java.nio.file.Files.createTempDirectory("mvcr")
+    spark.sql(s"CREATE DATABASE graft__mvcr LOCATION '$loc'")
+    MvRegistry.drop("graft__mvcr.mv")
+    CloneRegistry.unmark("graft__mvcr.mv")
+    val sr = new ScriptRunner(spark)
+    sr.run(
+      """CREATE TABLE `graft.mvcr.base` PARTITION BY grp AS
+        |SELECT CAST(id AS INT64) AS v, CASE WHEN id < 2 THEN 'a' ELSE 'b' END AS grp
+        |FROM (SELECT explode(sequence(0, 3)) AS id);
+        |CREATE MATERIALIZED VIEW `graft.mvcr.mv` AS
+        |SELECT grp, SUM(v) AS total FROM graft.mvcr.base GROUP BY grp;
+        |INSERT INTO graft.mvcr.base VALUES (100, 'b')""".stripMargin)
+    PartitionCommit.crashAfterActions = 1 // die mid-swap of the refresh
+    try intercept[IllegalStateException] {
+      sr.run("CALL BQ.REFRESH_MATERIALIZED_VIEW('graft.mvcr.mv')")
+    } finally PartitionCommit.crashAfterActions = -1
+    PartitionCommit.recover(spark, "graft__mvcr.mv")
+    val out = sr.run("SELECT grp, total FROM graft.mvcr.mv ORDER BY grp")
+      .get.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out == Seq(("a", 1L), ("b", 105L)),
+      s"recovery must complete the refreshed image: $out")
+  }
+
   test("MV refresh falls back to full rebuild when the base was re-partitioned") {
     spark.sql("DROP DATABASE IF EXISTS graft__mvrp CASCADE")
     val loc = java.nio.file.Files.createTempDirectory("mvrp")
