@@ -22,6 +22,12 @@ object CloneRegistry {
   /** Forget a mark (the table was dropped / re-materialized). */
   def unmark(table: String): Unit = readOnly.remove(table.toLowerCase)
 
+  /** The mark's reason, if any — lets a transaction pin the read-only
+    * state alongside the table's files and restore BOTH on rollback.
+    */
+  def reasonOf(table: String): Option[String] =
+    Option(readOnly.get(table.toLowerCase))
+
   /** Loud gate every mutation path calls with the resolved catalog
     * name before touching storage.
     */

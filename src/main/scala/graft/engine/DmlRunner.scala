@@ -98,6 +98,9 @@ class DmlRunner(spark: SparkSession, runner: TransformRunner) {
       // pre-txn snapshot images that must survive a rollback (the
       // table's time-travel history from before the transaction)
       val preSnaps: Seq[String],
+      // pre-txn read-only mark (a DROPped snapshot table releases its
+      // mark — rollback must restore the contract with the files)
+      val readOnlyReason: Option[String],
       // pre-txn data file (relative path) → dir that currently holds it
       val index: scala.collection.mutable.LinkedHashMap[String, Path]) {
     var keepDir: Option[Path] = None
@@ -160,7 +163,11 @@ class DmlRunner(spark: SparkSession, runner: TransformRunner) {
       throw new IllegalStateException("ROLLBACK without an active transaction"))
     txn = None // clear first: nothing below may re-pin
     try {
-      st.created.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      st.created.foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        // a snapshot table created inside the txn leaves no mark behind
+        CloneRegistry.unmark(t)
+      }
       st.pins.foreach { case (cat, pin) =>
         // heal a crashed mid-statement swap first: its journal replay
         // parks the half-written state and fires the retain listener,
@@ -191,6 +198,12 @@ class DmlRunner(spark: SparkSession, runner: TransformRunner) {
         if (spark.catalog.listColumns(cat).collect().exists(_.isPartition))
           spark.sql(s"MSCK REPAIR TABLE $cat SYNC PARTITIONS")
         spark.catalog.refreshTable(cat)
+        // restore the read-only contract with the files (an in-txn
+        // DROP of a snapshot table released its mark)
+        pin.readOnlyReason match {
+          case Some(r) => CloneRegistry.markReadOnly(cat, r)
+          case scala.None => CloneRegistry.unmark(cat)
+        }
       }
     } finally endTxn(st)
   }
@@ -266,7 +279,8 @@ class DmlRunner(spark: SparkSession, runner: TransformRunner) {
           else Seq.empty
         val index = scala.collection.mutable.LinkedHashMap.empty[String, Path]
         listDataFiles(fs, loc).foreach(rel => index(rel) = loc)
-        st.pins(cat) = new TablePin(ddl, loc, preSnaps, index)
+        st.pins(cat) =
+          new TablePin(ddl, loc, preSnaps, CloneRegistry.reasonOf(cat), index)
       } else st.created += cat
     }
   }

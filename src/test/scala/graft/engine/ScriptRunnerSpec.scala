@@ -901,6 +901,29 @@ class ScriptRunnerSpec extends AnyFunSuite with BeforeAndAfterAll {
     sr.run("DROP MATERIALIZED VIEW `graft.rospec.mvro`")
   }
 
+  test("rollback of an in-transaction DROP restores a snapshot table's read-only mark") {
+    spark.sql("DROP DATABASE IF EXISTS graft__rotx CASCADE")
+    val loc = java.nio.file.Files.createTempDirectory("rotx")
+    spark.sql(s"CREATE DATABASE graft__rotx LOCATION '$loc'")
+    CloneRegistry.unmark("graft__rotx.frozen")
+    spark.sql("CREATE TABLE graft__rotx.src (k BIGINT) USING PARQUET")
+    spark.sql("INSERT INTO graft__rotx.src VALUES (1), (2)")
+    val sr = new ScriptRunner(spark)
+    sr.run("CREATE SNAPSHOT TABLE `graft.rotx.frozen` CLONE `graft.rotx.src`")
+    sr.run(
+      """BEGIN TRANSACTION;
+        |DROP TABLE `graft.rotx.frozen`;
+        |ROLLBACK TRANSACTION""".stripMargin)
+    assert(spark.table("graft__rotx.frozen").count() == 2L,
+      "the dropped snapshot table must return on rollback")
+    val ro = intercept[IllegalArgumentException] {
+      new DmlRunner(spark, new TransformRunner(spark))
+        .run("DELETE FROM `graft.rotx.frozen` WHERE k = 1")
+    }
+    assert(ro.getMessage.contains("read-only"),
+      "the read-only contract must restore WITH the files")
+  }
+
   test("transaction rollback undoes LOAD DATA OVERWRITE (file-destroying script path)") {
     spark.sql("DROP DATABASE IF EXISTS graft__loadtx CASCADE")
     val dbLoc = java.nio.file.Files.createTempDirectory("loadtx")
