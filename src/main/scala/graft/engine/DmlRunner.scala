@@ -92,35 +92,26 @@ class DmlRunner(spark: SparkSession, runner: TransformRunner) {
   // crash mid-statement heals through the same journal replay as any
   // other staged commit, then rollback restores the pre-txn set.
   import org.apache.hadoop.fs.Path
-  private final class TablePin(
-      val ddl: String,
-      val loc: Path,
-      // pre-txn snapshot images that must survive a rollback (the
-      // table's time-travel history from before the transaction)
-      val preSnaps: Seq[String],
-      // pre-txn read-only mark (a DROPped snapshot table releases its
-      // mark — rollback must restore the contract with the files)
-      val readOnlyReason: Option[String],
-      // pre-txn data file (relative path) → dir that currently holds it
-      val index: scala.collection.mutable.LinkedHashMap[String, Path]) {
-    var keepDir: Option[Path] = None
-  }
   private final class TxnState(val id: String) {
-    val pins = scala.collection.mutable.LinkedHashMap.empty[String, TablePin]
+    val pins = scala.collection.mutable.LinkedHashMap.empty[String, TxnPin.Pin]
     val created = scala.collection.mutable.LinkedHashSet.empty[String]
     val pinnedSnaps = scala.collection.mutable.LinkedHashSet.empty[String]
     // where a full-table swap parks the pre-write image: re-point every
-    // pinned entry that lived in the table dir to the snapshot dir
-    val listener: (Path, Path) => Unit = (loc, snap) => {
+    // pinned entry that lived in the table dir to the snapshot dir,
+    // pin that snapshot against pruning, and persist the new pointers
+    // (the durable pin file is what a post-crash recovery restores from)
+    def mkListener(spark: SparkSession): (Path, Path) => Unit = (loc, snap) => {
       pins.valuesIterator.find(_.loc.toString == loc.toString).foreach { pin =>
         PartitionCommit.prunePins.add(snap.toString)
         pinnedSnaps += snap.toString
         pin.index.mapValuesInPlace((_, base) =>
           if (base.toString == loc.toString) snap else base)
+        TxnPin.write(spark, pin)
       }
     }
   }
   private var txn: Option[TxnState] = None
+  private var txnListener: Option[(Path, Path) => Unit] = None
 
   private val beginTxnRe = raw"(?is)^\s*BEGIN\s+TRANSACTION\s*;?\s*$$".r
   private val commitTxnRe = raw"(?is)^\s*COMMIT(?:\s+TRANSACTION)?\s*;?\s*$$".r
@@ -136,12 +127,17 @@ class DmlRunner(spark: SparkSession, runner: TransformRunner) {
     if (txn.isDefined) throw new IllegalStateException(
       "a transaction is already active; BigQuery allows one transaction at a time")
     val st = new TxnState(java.util.UUID.randomUUID().toString.take(8))
-    PartitionCommit.retainListeners.add(st.listener)
+    val l = st.mkListener(spark)
+    PartitionCommit.retainListeners.add(l)
+    TxnPin.activeTxnIds.add(st.id)
+    txnListener = Some(l)
     txn = Some(st)
   }
 
   private def endTxn(st: TxnState): Unit = {
-    PartitionCommit.retainListeners.remove(st.listener)
+    txnListener.foreach(PartitionCommit.retainListeners.remove)
+    txnListener = None
+    TxnPin.activeTxnIds.remove(st.id)
     st.pinnedSnaps.foreach(PartitionCommit.prunePins.remove)
     txn = None
   }
@@ -150,11 +146,15 @@ class DmlRunner(spark: SparkSession, runner: TransformRunner) {
     val st = txn.getOrElse(
       throw new IllegalStateException("COMMIT without an active transaction"))
     // keep dirs hold pre-txn files displaced by DROP/REPLACE — the
-    // transaction committed, so that history is gone for good
-    st.pins.valuesIterator.foreach(pin => pin.keepDir.foreach { kd =>
-      val fs = kd.getFileSystem(spark.sessionState.newHadoopConf())
-      fs.delete(kd, true)
-    })
+    // transaction committed, so that history is gone for good — and
+    // the durable pins are no longer needed
+    st.pins.valuesIterator.foreach { pin =>
+      pin.keepDir.foreach { kd =>
+        val fs = kd.getFileSystem(spark.sessionState.newHadoopConf())
+        fs.delete(kd, true)
+      }
+      TxnPin.delete(spark, pin)
+    }
     endTxn(st)
   }
 
@@ -168,83 +168,19 @@ class DmlRunner(spark: SparkSession, runner: TransformRunner) {
         // a snapshot table created inside the txn leaves no mark behind
         CloneRegistry.unmark(t)
       }
-      st.pins.foreach { case (cat, pin) =>
-        // heal a crashed mid-statement swap first: its journal replay
-        // parks the half-written state and fires the retain listener,
-        // so the pin's pointers end up consistent before restore
-        if (spark.catalog.tableExists(cat)) PartitionCommit.recover(spark, cat)
-        // move every pre-txn file (and the pre-txn snapshot history)
-        // out of the table dir, then rebuild the table from its DDL
-        // and rename them back: uniform across UPDATE/DELETE/INSERT/
-        // TRUNCATE/DROP/re-CREATE, and pure namespace ops
-        moveToKeep(pin)
-        spark.sql(s"DROP TABLE IF EXISTS $cat")
-        spark.sql(pin.ddl)
-        val loc = PartitionCommit.tableLocation(spark, cat)
-        val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
-        pin.keepDir.foreach { kd =>
-          val dataDir = new Path(kd, "data")
-          pin.index.keysIterator.foreach { rel =>
-            val to = new Path(loc, rel)
-            fs.mkdirs(to.getParent)
-            fs.rename(new Path(dataDir, rel), to)
-          }
-          val snapsDir = new Path(kd, "snaps")
-          if (fs.exists(snapsDir))
-            fs.listStatus(snapsDir).foreach(s =>
-              fs.rename(s.getPath, new Path(loc, s.getPath.getName)))
-          fs.delete(kd, true)
-        }
-        if (spark.catalog.listColumns(cat).collect().exists(_.isPartition))
-          spark.sql(s"MSCK REPAIR TABLE $cat SYNC PARTITIONS")
-        spark.catalog.refreshTable(cat)
-        // restore the read-only contract with the files (an in-txn
-        // DROP of a snapshot table released its mark)
-        pin.readOnlyReason match {
-          case Some(r) => CloneRegistry.markReadOnly(cat, r)
-          case scala.None => CloneRegistry.unmark(cat)
-        }
-      }
+      // per-table restore: heal any crashed mid-statement swap, move
+      // the pre-txn files aside, rebuild from DDL, rename them back —
+      // [[TxnPin.restore]], the same procedure a post-JVM-crash
+      // recovery replays from the durable pin file
+      st.pins.valuesIterator.foreach(pin => TxnPin.restore(spark, pin))
     } finally endTxn(st)
   }
 
-  /** Move every pinned pre-txn file of `pin`'s table — and its pre-txn
-    * `.graft_snap_*`/`.graft_horizon_*` history — into a keep dir
-    * BESIDE the table location, so a following DROP/REPLACE (which
-    * deletes the table dir wholesale) cannot destroy them. Idempotent:
-    * entries already in the keep dir are skipped. Renames only.
+  /** Test hook: drop all in-memory transaction state WITHOUT rolling
+    * back — simulates the JVM dying mid-transaction. The durable pin
+    * files remain on disk as orphans for [[TxnPin.healOrphans]].
     */
-  private def moveToKeep(pin: TablePin): Unit = {
-    val fs = pin.loc.getFileSystem(spark.sessionState.newHadoopConf())
-    val kd = pin.keepDir.getOrElse {
-      val d = new Path(pin.loc.getParent,
-        s".graft_txnkeep_${pin.loc.getName}_${txnIdOf(pin)}")
-      pin.keepDir = Some(d)
-      d
-    }
-    val dataDir = new Path(kd, "data")
-    pin.index.foreach { case (rel, base) =>
-      if (base.toString != dataDir.toString) {
-        val to = new Path(dataDir, rel)
-        fs.mkdirs(to.getParent)
-        if (!fs.rename(new Path(base, rel), to))
-          throw new IllegalStateException(
-            s"transaction keep: could not move $base/$rel aside")
-        pin.index(rel) = dataDir
-      }
-    }
-    val snapsDir = new Path(kd, "snaps")
-    pin.preSnaps.foreach { name =>
-      val from = new Path(pin.loc, name)
-      if (fs.exists(from)) {
-        fs.mkdirs(snapsDir)
-        fs.rename(from, new Path(snapsDir, name))
-      }
-    }
-  }
-
-  // keep-dir names only need per-txn uniqueness; reuse the open txn id
-  private def txnIdOf(pin: TablePin): String = txn.map(_.id).getOrElse("rb")
+  private[engine] def abandonTxnForTest(): Unit = txn.foreach(endTxn)
 
   // ScriptRunner delegates its transaction/DML statements here so the
   // scripting and DML surfaces compose — these are its seam
@@ -254,7 +190,8 @@ class DmlRunner(spark: SparkSession, runner: TransformRunner) {
     snapshotForTxn(destFqn)
   private[engine] def noteDestructiveForTxn(destFqn: String): Unit = {
     snapshotForTxn(destFqn)
-    txn.foreach(_.pins.get(runner.catalogName(destFqn)).foreach(moveToKeep))
+    txn.foreach(_.pins.get(runner.catalogName(destFqn))
+      .foreach(pin => TxnPin.moveToKeep(spark, pin)))
   }
 
   /** Pin `destFqn`'s pre-statement FILE SET on its first mutation inside
@@ -279,8 +216,10 @@ class DmlRunner(spark: SparkSession, runner: TransformRunner) {
           else Seq.empty
         val index = scala.collection.mutable.LinkedHashMap.empty[String, Path]
         listDataFiles(fs, loc).foreach(rel => index(rel) = loc)
-        st.pins(cat) =
-          new TablePin(ddl, loc, preSnaps, CloneRegistry.reasonOf(cat), index)
+        val pin = new TxnPin.Pin(st.id, cat, ddl, loc, preSnaps,
+          CloneRegistry.reasonOf(cat), index)
+        TxnPin.write(spark, pin) // durable: a dead JVM's txn rolls back
+        st.pins(cat) = pin
       } else st.created += cat
     }
   }
@@ -364,6 +303,15 @@ class DmlRunner(spark: SparkSession, runner: TransformRunner) {
     if (raw"(?is)^\s*DROP\b".r.findFirstIn(maskedForRo).isEmpty)
       txnTargetRe.findFirstMatchIn(maskedForRo).foreach(m =>
         CloneRegistry.requireWritable(runner.catalogName(m.group(1))))
+    // heal the target BEFORE the statement resolves its read plan: a
+    // crashed predecessor's half-swapped directory — or a dead
+    // transaction's intermediate state — must not be captured into
+    // the statement's file listing (the listing resolves at plan
+    // construction, before overwriteSelf's own pre-heal runs)
+    txnTargetRe.findFirstMatchIn(maskedForRo).foreach { m =>
+      val cat = runner.catalogName(m.group(1))
+      if (spark.catalog.tableExists(cat)) PartitionCommit.recover(spark, cat)
+    }
     dispatchMatched(stmt)
   }
 

@@ -521,7 +521,10 @@ object PartitionCommit {
     // heal a crashed predecessor BEFORE journaling: a POSIX rename over
     // an existing journal would silently replace it and lose that tx's
     // remaining swap actions (concurrent writers to one destination
-    // remain unsupported — single-writer per table, like the reference)
+    // remain unsupported — single-writer per table, like the reference).
+    // Orphaned transaction pins heal first — this commit's snapshot
+    // pruning must not delete a dead transaction's pinned images.
+    TxnPin.healOrphans(spark, loc)
     if (fs.exists(journalPath(loc))) replay(spark, dest, loc)
     val stagedVals =
       if (fs.exists(stageDir))
@@ -547,11 +550,18 @@ object PartitionCommit {
     replay(spark, dest, loc)
   }
 
-  /** Heal a crashed commit: if a journal is present, finish its swap.
-    * No-op otherwise. Idempotent.
+  /** Heal a crashed commit: roll back any orphaned transaction pin
+    * (a transaction whose JVM died — BigQuery rolls those back
+    * server-side), then finish a crashed statement swap if a journal
+    * is present. No-op otherwise. Idempotent.
     */
-  def recover(spark: SparkSession, dest: String): Unit = {
+  def recover(spark: SparkSession, dest: String): Unit =
+    recover(spark, dest, healPins = true)
+
+  private[engine] def recover(spark: SparkSession, dest: String,
+      healPins: Boolean): Unit = {
     val loc = tableLocation(spark, dest)
+    if (healPins) TxnPin.healOrphans(spark, loc)
     if (fsOf(spark, loc).exists(journalPath(loc))) replay(spark, dest, loc)
   }
 
@@ -572,6 +582,9 @@ object PartitionCommit {
       partitioned: Boolean): Unit = {
     val loc = tableLocation(spark, dest)
     val fs = fsOf(spark, loc)
+    // same pre-heal contract as [[commit]] (a LIVE transaction's pins
+    // are skipped — only ownerless ones roll back)
+    TxnPin.healOrphans(spark, loc)
     if (fs.exists(journalPath(loc))) replay(spark, dest, loc)
     val tx = stageDir.getName.stripPrefix(".graft_stage_")
     val marker = if (partitioned) "__FULL_P__" else "__FULL__"

@@ -283,6 +283,44 @@ class AtomicCommitSpec extends AnyFunSuite with BeforeAndAfterAll {
         "pointer (rename) restore rather than a row-copy rewrite")
   }
 
+  test("a transaction ORPHANED by JVM death rolls back on the next engine write") {
+    freshDml(("a", 1L), ("b", 2L), ("c", 3L))
+    val dml = new DmlRunner(spark, new TransformRunner(spark))
+    dml.runStatement("BEGIN TRANSACTION")
+    dml.runStatement("UPDATE `dmlac.t` SET v = 0 WHERE TRUE")
+    dml.runStatement("DELETE FROM `dmlac.t` WHERE k = 'b'")
+    // simulate the JVM dying: all in-memory txn state vanishes, the
+    // durable pin file stays behind as an orphan
+    dml.abandonTxnForTest()
+    assert(dmlState() == Seq(("a", 0L), ("c", 0L)),
+      "sanity: the dead txn's intermediate state is on disk before healing")
+    // the next engine write to the table heals first (BigQuery rolls
+    // back a transaction whose session died) — a fresh runner, an
+    // unrelated statement
+    val dml2 = new DmlRunner(spark, new TransformRunner(spark))
+    dml2.run("DELETE FROM `dmlac.t` WHERE FALSE")
+    assert(dmlState() == Seq(("a", 1L), ("b", 2L), ("c", 3L)),
+      "the orphaned transaction must roll back before the new write applies")
+  }
+
+  test("orphan healing replays a crashed mid-statement journal from the pin file") {
+    freshDml(("a", 1L), ("b", 2L), ("c", 3L))
+    val dml = new DmlRunner(spark, new TransformRunner(spark))
+    dml.runStatement("BEGIN TRANSACTION")
+    dml.runStatement("UPDATE `dmlac.t` SET v = v + 10 WHERE k = 'a'")
+    PartitionCommit.crashAfterActions = 1 // die mid-swap of the DELETE
+    try intercept[IllegalStateException] {
+      dml.runStatement("DELETE FROM `dmlac.t` WHERE k = 'c'")
+    } finally PartitionCommit.crashAfterActions = -1
+    dml.abandonTxnForTest() // and the JVM dies too
+    PartitionCommit.recover(spark, "dmlac.t")
+    assert(dmlState() == Seq(("a", 1L), ("b", 2L), ("c", 3L)),
+      "healing must finish the crashed swap, then restore the pre-txn files")
+    // idempotent: the pin file is gone, a second recover is a no-op
+    PartitionCommit.recover(spark, "dmlac.t")
+    assert(dmlState() == Seq(("a", 1L), ("b", 2L), ("c", 3L)))
+  }
+
   test("a long transaction's pinned pre-txn image survives snapshot pruning") {
     freshDml(("a", 1L))
     val keep = PartitionCommit.snapshotKeep
