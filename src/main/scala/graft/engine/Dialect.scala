@@ -1552,6 +1552,26 @@ object Dialect {
     "ANY_VALUE" -> anyValueHaving,
     "TO_JSON_STRING" -> (a =>
       if (a.length == 1) Some(s"to_json(${a(0)})") else scala.None),
+    // BigQuery's JSON type: this engine's JSON representation is the
+    // CANONICAL JSON STRING, so PARSE_JSON validates (invalid text
+    // throws, as in BigQuery) and canonicalizes through Spark's
+    // variant round-trip; the result feeds JSON_VALUE/JSON_QUERY and
+    // friends unchanged.
+    "PARSE_JSON" -> (a =>
+      if (a.length == 1) Some(s"to_json(parse_json(${a(0)}))") else scala.None),
+    // BigQuery collation names → Spark's: 'und:ci' is the documented
+    // case-insensitive collation spec
+    "COLLATE" -> { a =>
+      if (a.length != 2) scala.None
+      else {
+        val spec = a(1).trim.toLowerCase match {
+          case "'und:ci'" => "'UNICODE_CI'"
+          case "''" | "'binary'" => "'UTF8_BINARY'"
+          case _ => a(1)
+        }
+        Some(s"collate(${a(0)}, $spec)")
+      }
+    },
     "SAFE_DIVIDE" -> (a =>
       if (a.length == 2) Some(s"try_divide(${a(0)}, ${a(1)})") else scala.None),
     "GENERATE_TIMESTAMP_ARRAY" -> { a =>

@@ -979,6 +979,21 @@ object EngineQueries {
 
     // --- pack 6: APPROX_TOP_COUNT / APPROX_TOP_SUM / PERCENTILE_CONT /
     //     PERCENTILE_DISC through the dialect ---------------------------
+    // --- JSON type surface (vocabulary pack 7) --------------------------
+    "e59_json_type" -> { (s, d) =>
+      // BigQuery's JSON type maps to the canonical JSON string:
+      // PARSE_JSON validates+canonicalizes (via Spark's variant
+      // round-trip), TO_JSON_STRING serializes structs, and the
+      // JSON_VALUE accessor reads either. All per-row codegen'd
+      // expressions — no shuffle beyond the final sort.
+      Tables.views(s, d, "nation")
+      new ScriptRunner(s).run(
+        """SELECT CAST(n_nationkey AS INT64) AS id,
+          |  TO_JSON_STRING(STRUCT(n_name AS name, CAST(n_regionkey AS INT64) AS r)) AS j,
+          |  JSON_VALUE(PARSE_JSON(CONCAT('{"k" :  "', n_name, '"}')), '$.k') AS k
+          |FROM nation ORDER BY id""".stripMargin).get
+    },
+
     "e47_pack6_analytics" -> { (s, d) =>
       // Top-k rides the native Space-Saving aggregate
       // (functions/TopCount.scala): o_orderpriority has 5 distinct
@@ -1974,6 +1989,12 @@ object EngineQueries {
         |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-02-01'
         |  AND o_totalprice >= 50000
         |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+
+    "e59_json_type" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS id,
+        |  to_json(struct_pack(name := n_name, r := CAST(n_regionkey AS BIGINT))) AS j,
+        |  json_extract_string('{"k" :  "' || n_name || '"}', '$.k') AS k
+        |FROM nation ORDER BY id""".stripMargin,
 
     // the refreshed MV aggregate: January orders with the 1-URGENT
     // partition counted twice (the appended copy)

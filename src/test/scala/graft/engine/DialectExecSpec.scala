@@ -434,4 +434,17 @@ class DialectExecSpec extends AnyFunSuite with BeforeAndAfterAll {
       Dialect.rewrite("SELECT SEARCH(x, 'q', analyzer => 'PATTERN_ANALYZER') FROM t")
     }
   }
+
+  test("PARSE_JSON validates and canonicalizes; accessors read the result") {
+    assert(one("""SELECT JSON_VALUE(PARSE_JSON('{"a": {"b": "hit"}}'), '$.a.b')""")
+      == "hit")
+    assert(one("""SELECT PARSE_JSON('{"b":2,  "a": 1}')""") == """{"a":1,"b":2}""")
+    // invalid JSON fails loud, as in BigQuery
+    intercept[Exception] { one("SELECT PARSE_JSON('{not json')") }
+  }
+
+  test("COLLATE maps BigQuery collation specs to Spark collations") {
+    assert(one("SELECT 'a' = COLLATE('A', 'und:ci')") == true)
+    assert(one("SELECT 'a' = COLLATE('A', 'binary')") == false)
+  }
 }
