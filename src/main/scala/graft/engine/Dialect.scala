@@ -776,6 +776,7 @@ object Dialect {
     */
   private def rewriteArrayLiteral(sql: String): String = {
     val in = sql.replaceAll(raw"(?i)\bARRAY\s*<([^<>]|<[^<>]*>)*>\s*\[", "[")
+      .replaceAll(raw"(?i)\bARRAY\s*\[", "[") // bare ARRAY[…] prefix form
     val sb = new StringBuilder
     var i = 0
     while (i < in.length) {
@@ -837,6 +838,23 @@ object Dialect {
             rewriteArrayAccess(sql.substring(0, m.start) + s"[($e) - 1]" + sql.substring(k + 1))
           case safe =>
             var b = m.start
+            // the base may END with a balanced (…)/[…] group — a call
+            // result, a rewritten array literal, or a nested access —
+            // with an optional identifier prefix before it
+            if (b > 0 && (sql.charAt(b - 1) == ')' || sql.charAt(b - 1) == ']')) {
+              val closeCh = sql.charAt(b - 1)
+              val openCh = if (closeCh == ')') '(' else '['
+              var depth = 0
+              var p = b - 1
+              var stop = -1
+              while (p >= 0 && stop < 0) {
+                val ch = sql.charAt(p)
+                if (ch == closeCh) depth += 1
+                else if (ch == openCh) { depth -= 1; if (depth == 0) stop = p }
+                p -= 1
+              }
+              if (stop >= 0) b = stop
+            }
             while (b > 0 && { val ch = sql.charAt(b - 1)
               ch.isLetterOrDigit || ch == '_' || ch == '.' || ch == '`' }) b -= 1
             val base = sql.substring(b, m.start)
@@ -1098,6 +1116,16 @@ object Dialect {
     * DISTINCT/LIMIT/IGNORE NULLS) rewrites; everything else passes
     * through to Spark's native array_agg.
     */
+  /** `fn(expr IGNORE|RESPECT NULLS)` (BigQuery keeps the modifier
+    * inside the parens) → Spark's boolean-argument form.
+    */
+  private def ignoreNullsArg(fn: String): Seq[String] => Option[String] = { a =>
+    if (a.length != 1) scala.None
+    else raw"(?is)^(.*?)\s+(IGNORE|RESPECT)\s+NULLS\s*$$".r
+      .findFirstMatchIn(a(0))
+      .map(m => s"$fn(${m.group(1)}, ${m.group(2).equalsIgnoreCase("IGNORE")})")
+  }
+
   private def arrayAgg(a0: Seq[String]): Option[String] = {
     if (a0.length != 1) return scala.None
     // `IGNORE NULLS` (suffix of the value part, per BQ grammar) is
@@ -1543,6 +1571,29 @@ object Dialect {
       }
     },
     "ARRAY_AGG" -> arrayAgg,
+    // BigQuery `expr IGNORE NULLS` INSIDE the analytic call's parens;
+    // Spark takes it as a boolean second argument
+    "FIRST_VALUE" -> ignoreNullsArg("first_value"),
+    "LAST_VALUE" -> ignoreNullsArg("last_value"),
+    // BigQuery ARRAY(SELECT …) subquery → scalar collect_list subquery.
+    // Element order is engine-chosen (as for ARRAY_CONCAT_AGG) and
+    // NULL elements are dropped rather than erroring — BigQuery errors
+    // on both NULLs and multi-column projections; the single-column
+    // contract is enforced by the generated column-list alias.
+    "ARRAY" -> { a =>
+      val inner = a.mkString(", ")
+      if (raw"(?is)^\s*SELECT\b".r.findFirstIn(inner).isDefined)
+        Some(s"(SELECT collect_list(__graft_arr_c) FROM ($inner) " +
+          "AS __graft_arr_sub(__graft_arr_c))")
+      else scala.None // ARRAY(1, 2) literal-function form stays as-is
+    },
+    // BigQuery CURRENT_DATETIME([tz]) → civil-time (no zone) value
+    "CURRENT_DATETIME" -> { a =>
+      if (a.isEmpty || (a.length == 1 && a(0).isEmpty)) Some("localtimestamp()")
+      else if (a.length == 1)
+        Some(s"convert_timezone(${a(0)}, current_timestamp())")
+      else scala.None
+    },
     // BigQuery ARRAY_CONCAT_AGG(arr): concatenate array-typed rows into
     // one array. Element order across rows is engine-chosen in BigQuery
     // too (no ORDER BY support here), so flatten(collect_list(..)) is

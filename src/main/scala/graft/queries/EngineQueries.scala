@@ -979,6 +979,25 @@ object EngineQueries {
 
     // --- pack 6: APPROX_TOP_COUNT / APPROX_TOP_SUM / PERCENTILE_CONT /
     //     PERCENTILE_DISC through the dialect ---------------------------
+    // --- analytic/array vocabulary (pack 7, continued) ------------------
+    "e60_analytic_vocab" -> { (s, d) =>
+      // round-8 probe closures: IGNORE NULLS inside the analytic call's
+      // parens (BigQuery spelling → Spark's boolean arg), ARRAY(SELECT)
+      // subquery (→ scalar collect_list subquery), SAFE_OFFSET /
+      // SAFE_ORDINAL on call-result and literal bases (→
+      // try_element_at), and the bare ARRAY[…] literal prefix.
+      Tables.views(s, d, "nation")
+      new ScriptRunner(s).run(
+        """SELECT CAST(n_nationkey AS INT64) AS id,
+          |  FIRST_VALUE(CASE WHEN MOD(n_nationkey, 2) = 0 THEN n_name END IGNORE NULLS)
+          |    OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) AS fv,
+          |  SPLIT(n_name, 'A')[SAFE_OFFSET(0)] AS first_chunk,
+          |  SPLIT(n_name, 'A')[SAFE_OFFSET(9)] AS beyond,
+          |  ARRAY[10, 20, 30][SAFE_ORDINAL(MOD(n_nationkey, 3) + 1)] AS pick,
+          |  ARRAY_LENGTH(ARRAY(SELECT n_name FROM nation WHERE n_regionkey = 0)) AS arr_n
+          |FROM nation ORDER BY id""".stripMargin).get
+    },
+
     // --- JSON type surface (vocabulary pack 7) --------------------------
     "e59_json_type" -> { (s, d) =>
       // BigQuery's JSON type maps to the canonical JSON string:
@@ -1989,6 +2008,16 @@ object EngineQueries {
         |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-02-01'
         |  AND o_totalprice >= 50000
         |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+
+    "e60_analytic_vocab" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS id,
+        |  first_value(CASE WHEN n_nationkey % 2 = 0 THEN n_name END IGNORE NULLS)
+        |    OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) AS fv,
+        |  string_split(n_name, 'A')[1] AS first_chunk,
+        |  string_split(n_name, 'A')[10] AS beyond,
+        |  ([10, 20, 30])[(n_nationkey % 3) + 1] AS pick,
+        |  (SELECT CAST(count(1) AS BIGINT) FROM nation WHERE n_regionkey = 0) AS arr_n
+        |FROM nation ORDER BY id""".stripMargin,
 
     "e59_json_type" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS id,

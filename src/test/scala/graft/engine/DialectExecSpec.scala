@@ -447,4 +447,33 @@ class DialectExecSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one("SELECT 'a' = COLLATE('A', 'und:ci')") == true)
     assert(one("SELECT 'a' = COLLATE('A', 'binary')") == false)
   }
+
+  test("IGNORE NULLS inside FIRST_VALUE/LAST_VALUE maps to the boolean arg") {
+    assert(one(
+      """SELECT FIRST_VALUE(x IGNORE NULLS) OVER (ORDER BY o)
+        |FROM (SELECT 1 AS o, CAST(NULL AS STRING) AS x
+        |      UNION ALL SELECT 2, 'hit') LIMIT 1""".stripMargin) == null)
+    assert(one(
+      """SELECT max(f) FROM (SELECT FIRST_VALUE(x IGNORE NULLS)
+        |  OVER (ORDER BY o ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS f
+        |FROM (SELECT 1 AS o, CAST(NULL AS STRING) AS x UNION ALL SELECT 2, 'hit'))""".stripMargin)
+      == "hit")
+  }
+
+  test("ARRAY(SELECT ...) subquery collects; empty result is an empty array") {
+    assert(one("SELECT ARRAY_LENGTH(ARRAY(SELECT * FROM (SELECT 1 UNION ALL SELECT 2)))") == 2)
+    assert(one("SELECT ARRAY_LENGTH(ARRAY(SELECT 1 WHERE 1 = 0))") == 0)
+  }
+
+  test("SAFE_OFFSET/SAFE_ORDINAL work on literal and call-result bases") {
+    assert(one("SELECT [10, 20][SAFE_OFFSET(9)]") == null)
+    assert(one("SELECT ARRAY[10, 20][SAFE_ORDINAL(1)]") == 10)
+    assert(one("SELECT SPLIT('a,b', ',')[SAFE_OFFSET(1)]") == "b")
+    assert(one("SELECT SPLIT('a,b', ',')[SAFE_OFFSET(5)]") == null)
+  }
+
+  test("CURRENT_DATETIME returns a civil timestamp, with and without a zone") {
+    assert(one("SELECT CURRENT_DATETIME() IS NOT NULL") == true)
+    assert(one("SELECT CURRENT_DATETIME('America/Los_Angeles') IS NOT NULL") == true)
+  }
 }
