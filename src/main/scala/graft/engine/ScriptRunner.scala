@@ -1286,6 +1286,185 @@ class ScriptRunner(spark: SparkSession) {
     } finally callDepth -= 1
   }
 
+  // ---- BigQuery DDL beyond CTAS: views, ALTER TABLE, LIKE/COPY --------
+
+  private val createViewRe =
+    raw"(?is)^CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+(IF\s+NOT\s+EXISTS\s+)?(`[^`]+`|[\w.\-]+)\s+AS\s+(.+)$$".r
+  private val dropViewRe =
+    raw"(?is)^DROP\s+VIEW\s+(IF\s+EXISTS\s+)?(`[^`]+`|[\w.\-]+)\s*;?\s*$$".r
+  private val alterTableRe =
+    raw"(?is)^ALTER\s+TABLE\s+(IF\s+EXISTS\s+)?(`[^`]+`|[\w.\-]+)\s+((?:ADD|RENAME|DROP)\s+COLUMN\b.*|SET\s+OPTIONS\b.*)$$".r
+  private val createLikeRe =
+    raw"(?is)^CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?(`[^`]+`|[\w.\-]+)\s+(LIKE|COPY)\s+(`[^`]+`|[\w.\-]+)\s*;?\s*$$".r
+
+  /** CREATE [OR REPLACE] VIEW — stored with the REWRITTEN body (Spark
+    * resolves the view text itself at read time) and the BigQuery FQN
+    * mapped like every other destination.
+    */
+  private def runCreateView(stmt: String): Option[DataFrame] = stmt.trim match {
+    case createViewRe(orReplace, ine, rawName, query) =>
+      val dest = destTableName(rawName.replace("`", ""))
+      val or = if (orReplace != null) "OR REPLACE " else ""
+      val i = if (ine != null) "IF NOT EXISTS " else ""
+      spark.sql(s"CREATE ${or}VIEW $i$dest AS " + Dialect.rewrite(substituteVars(
+        expandInformationSchema(expandWildcardTables(query)))))
+      scala.None
+    case other => throw new IllegalArgumentException(s"malformed CREATE VIEW: $other")
+  }
+
+  private def runDropView(stmt: String): Option[DataFrame] = stmt.trim match {
+    case dropViewRe(ifExists, rawName) =>
+      val dest = destTableName(rawName.replace("`", ""))
+      val ie = if (ifExists != null) "IF EXISTS " else ""
+      spark.sql(s"DROP VIEW $ie$dest")
+      scala.None
+    case other => throw new IllegalArgumentException(s"malformed DROP VIEW: $other")
+  }
+
+  /** BigQuery column DDL on parquet tables. ADD COLUMN maps to Spark's
+    * native metadata-only ADD COLUMNS ([IF NOT EXISTS] emulated with a
+    * catalog check); RENAME COLUMN and DROP COLUMN — metadata ops in
+    * BigQuery, unsupported by v1 parquet tables — REBUILD the table
+    * through a staged CTAS + rename swap (the materializeMv pattern),
+    * preserving partitioning. SET OPTIONS lands as table properties
+    * (`description` becomes the comment).
+    */
+  private def runAlterTable(stmt: String): Option[DataFrame] = stmt.trim match {
+    case alterTableRe(ifExists, rawName, rest) =>
+      val dest = destTableName(rawName.replace("`", ""))
+      if (!spark.catalog.tableExists(dest)) {
+        if (ifExists != null) return scala.None
+        throw new IllegalArgumentException(s"table $dest does not exist")
+      }
+      val cols = spark.catalog.listColumns(dest).collect()
+      val partCols = cols.filter(_.isPartition).map(_.name).toSeq
+      val dataFirst = cols.filterNot(_.isPartition).map(_.name).toSeq ++ partCols
+      def quote(c: String) = s"`${c.replace("`", "")}`"
+      val head = rest.trim.split("\\s+").take(2).mkString(" ").toUpperCase
+      head match {
+        case "ADD COLUMN" =>
+          val addRe =
+            raw"(?is)^ADD\s+COLUMN\s+(IF\s+NOT\s+EXISTS\s+)?(`?[\w]+`?)\s+(.+)$$".r
+          val adds = splitTopLevelCsv(rest.trim).map {
+            case addRe(ine, c, tpe) =>
+              (ine != null, c.replace("`", ""), sparkType(tpe.trim))
+            case bad => throw new IllegalArgumentException(
+              s"malformed ADD COLUMN clause: $bad")
+          }
+          val existing = cols.map(_.name.toLowerCase).toSet
+          val todo = adds.filterNot { case (ine, c, _) =>
+            val there = existing.contains(c.toLowerCase)
+            if (there && !ine) throw new IllegalArgumentException(
+              s"column $c already exists in $dest")
+            there
+          }
+          if (todo.nonEmpty)
+            spark.sql(s"ALTER TABLE $dest ADD COLUMNS (" +
+              todo.map { case (_, c, t) => s"${quote(c)} $t" }.mkString(", ") + ")")
+        case "RENAME COLUMN" =>
+          val rnRe = raw"(?is)^RENAME\s+COLUMN\s+(`?[\w]+`?)\s+TO\s+(`?[\w]+`?)\s*;?\s*$$".r
+          rest.trim match {
+            case rnRe(from0, to0) =>
+              val (from, to) = (from0.replace("`", ""), to0.replace("`", ""))
+              if (!cols.exists(_.name.equalsIgnoreCase(from)))
+                throw new IllegalArgumentException(s"no column $from in $dest")
+              val proj = dataFirst.map(c =>
+                if (c.equalsIgnoreCase(from)) s"${quote(c)} AS ${quote(to)}" else quote(c))
+              val newParts = partCols.map(c => if (c.equalsIgnoreCase(from)) to else c)
+              rebuildTable(dest, proj, newParts)
+            case bad => throw new IllegalArgumentException(
+              s"malformed RENAME COLUMN: $bad")
+          }
+        case "DROP COLUMN" =>
+          val dropRe = raw"(?is)^DROP\s+COLUMN\s+(IF\s+EXISTS\s+)?(`?[\w]+`?)\s*$$".r
+          val drops = splitTopLevelCsv(rest.trim).map {
+            case dropRe(ie, c) => (ie != null, c.replace("`", ""))
+            case bad => throw new IllegalArgumentException(
+              s"malformed DROP COLUMN clause: $bad")
+          }
+          val gone = drops.filter { case (ie, c) =>
+            val there = cols.exists(_.name.equalsIgnoreCase(c))
+            if (!there && !ie) throw new IllegalArgumentException(
+              s"no column $c in $dest")
+            there
+          }.map(_._2.toLowerCase).toSet
+          if (partCols.exists(c => gone.contains(c.toLowerCase)))
+            throw new IllegalArgumentException(
+              "cannot drop a partitioning column") // BigQuery errors too
+          if (gone.nonEmpty) {
+            val keep = dataFirst.filterNot(c => gone.contains(c.toLowerCase))
+            if (keep.isEmpty) throw new IllegalArgumentException(
+              s"cannot drop every column of $dest")
+            rebuildTable(dest, keep.map(quote), partCols)
+          }
+        case "SET OPTIONS" =>
+          val body = rest.trim.stripPrefix("SET").trim
+            .stripPrefix("OPTIONS").trim.stripPrefix("(").stripSuffix(";").trim
+            .stripSuffix(")")
+          val props = optionRe.findAllMatchIn(body).map { m =>
+            val v = m.group(2)
+            val clean = if (v.startsWith("'"))
+              v.substring(1, v.length - 1).replace("''", "'") else v
+            val key = if (m.group(1).equalsIgnoreCase("description")) "comment"
+              else m.group(1)
+            s"'${key.replace("'", "''")}' = '${clean.replace("'", "\\'")}'"
+          }.toSeq
+          if (props.nonEmpty)
+            spark.sql(s"ALTER TABLE $dest SET TBLPROPERTIES (${props.mkString(", ")})")
+      }
+      scala.None
+    case other => throw new IllegalArgumentException(s"malformed ALTER TABLE: $other")
+  }
+
+  /** Staged column-DDL rebuild: new image under a stage name, then the
+    * drop+rename metadata pair — readers see old-or-new, never partial.
+    */
+  private def rebuildTable(dest: String, projection: Seq[String],
+      partCols: Seq[String]): Unit = {
+    val stage = s"${dest}__alter_stage"
+    spark.sql(s"DROP TABLE IF EXISTS $stage")
+    val part = if (partCols.nonEmpty)
+      s" PARTITIONED BY (${partCols.mkString(", ")})" else ""
+    spark.sql(s"CREATE TABLE $stage USING PARQUET$part AS " +
+      s"SELECT ${projection.mkString(", ")} FROM $dest")
+    spark.sql(s"DROP TABLE IF EXISTS $dest")
+    spark.sql(s"ALTER TABLE $stage RENAME TO $dest")
+    // the rename moves the data dir but not the stage's partition
+    // metadata — re-derive it from the directory layout
+    if (partCols.nonEmpty) spark.sql(s"MSCK REPAIR TABLE $dest")
+    spark.catalog.refreshTable(dest)
+  }
+
+  /** CREATE TABLE … LIKE (schema only) / COPY (schema + data). */
+  private def runCreateLike(stmt: String): Option[DataFrame] = stmt.trim match {
+    case createLikeRe(ine, rawName, verb, rawSrc) =>
+      val dest = destTableName(rawName.replace("`", ""))
+      val src = destTableName(rawSrc.replace("`", ""))
+      val i = if (ine != null) "IF NOT EXISTS " else ""
+      if (verb.equalsIgnoreCase("LIKE"))
+        spark.sql(s"CREATE TABLE $i$dest LIKE $src USING PARQUET")
+      else
+        spark.sql(s"CREATE TABLE $i$dest USING PARQUET AS SELECT * FROM $src")
+      scala.None
+    case other => throw new IllegalArgumentException(s"malformed CREATE TABLE: $other")
+  }
+
+  /** split on top-level commas (parens- and quote-aware). */
+  private def splitTopLevelCsv(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0; var inStr = false
+    val cur = new StringBuilder
+    s.foreach {
+      case '\'' => inStr = !inStr; cur += '\''
+      case '(' if !inStr => depth += 1; cur += '('
+      case ')' if !inStr => depth -= 1; cur += ')'
+      case ',' if !inStr && depth == 0 => out += cur.result().trim; cur.clear()
+      case c => cur += c
+    }
+    if (cur.nonEmpty) out += cur.result().trim
+    out.result().filter(_.nonEmpty)
+  }
+
   private def runSimpleStatement(stmt: String): Option[DataFrame] = stmt match {
     case executeImmediateRe(tail) => runExecuteImmediate(tail.trim)
     case createProcRe(orReplace, ifNotExists, name, params, body) =>
@@ -1372,6 +1551,10 @@ class ScriptRunner(spark: SparkSession) {
       // short-circuit must not freeze the pre-existing unrelated table
       if (snapshot != null && !existedBefore) CloneRegistry.markReadOnly(dest)
       None
+    case v if createViewRe.findFirstIn(v.trim).isDefined => runCreateView(v)
+    case v if dropViewRe.findFirstIn(v.trim).isDefined => runDropView(v)
+    case a if alterTableRe.findFirstIn(a.trim).isDefined => runAlterTable(a)
+    case c if createLikeRe.findFirstIn(c.trim).isDefined => runCreateLike(c)
     case createTableAsRe(orReplace, ifNotExists, name, partitionCol, query) =>
       // BigQuery CTAS on a real (non-temp) destination. v1 catalogs
       // reject REPLACE TABLE, so OR REPLACE becomes drop-then-create.

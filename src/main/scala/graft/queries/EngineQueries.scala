@@ -979,6 +979,25 @@ object EngineQueries {
 
     // --- pack 6: APPROX_TOP_COUNT / APPROX_TOP_SUM / PERCENTILE_CONT /
     //     PERCENTILE_DISC through the dialect ---------------------------
+    // --- DDL lifecycle: views, column DDL, LIKE/COPY --------------------
+    "e61_ddl_lifecycle" -> { (s, d) =>
+      // BigQuery DDL beyond CTAS: ADD COLUMN (metadata-only, IF NOT
+      // EXISTS emulated), RENAME/DROP COLUMN (staged rebuild — v1
+      // parquet tables have no column metadata ops), CREATE TABLE COPY
+      // and a standard view over the result, all with BigQuery FQNs.
+      Tables.views(s, d, "region")
+      freshDb(s, "graft__pg61")
+      new ScriptRunner(s).run(
+        """CREATE TABLE `graft.pg61.t` AS
+          |SELECT CAST(r_regionkey AS INT64) AS k, r_name FROM region;
+          |ALTER TABLE `graft.pg61.t` ADD COLUMN IF NOT EXISTS score INT64;
+          |ALTER TABLE `graft.pg61.t` RENAME COLUMN r_name TO name;
+          |ALTER TABLE `graft.pg61.t` DROP COLUMN score;
+          |CREATE TABLE `graft.pg61.t2` COPY `graft.pg61.t`;
+          |CREATE VIEW `graft.pg61.v` AS SELECT k + 100 AS k2, name FROM graft.pg61.t2;
+          |SELECT k2, name FROM graft.pg61.v ORDER BY k2""".stripMargin).get
+    },
+
     // --- analytic/array vocabulary (pack 7, continued) ------------------
     "e60_analytic_vocab" -> { (s, d) =>
       // round-8 probe closures: IGNORE NULLS inside the analytic call's
@@ -2008,6 +2027,10 @@ object EngineQueries {
         |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-02-01'
         |  AND o_totalprice >= 50000
         |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+
+    "e61_ddl_lifecycle" ->
+      """SELECT CAST(r_regionkey AS BIGINT) + 100 AS k2, r_name AS name
+        |FROM region ORDER BY k2""".stripMargin,
 
     "e60_analytic_vocab" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS id,

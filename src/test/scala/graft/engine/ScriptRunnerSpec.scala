@@ -426,6 +426,36 @@ class ScriptRunnerSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE graft_extspec_t")
   }
 
+  test("RENAME/DROP COLUMN rebuild preserves partitioning and data") {
+    spark.sql("DROP DATABASE IF EXISTS graft__altp CASCADE")
+    val loc = java.nio.file.Files.createTempDirectory("altp")
+    spark.sql(s"CREATE DATABASE graft__altp LOCATION '$loc'")
+    val sr = new ScriptRunner(spark)
+    sr.run(
+      """CREATE TABLE `graft.altp.t` PARTITION BY grp AS
+        |SELECT CAST(id AS INT64) AS v, CAST(id * 2 AS INT64) AS w,
+        |  CASE WHEN id < 2 THEN 'a' ELSE 'b' END AS grp
+        |FROM (SELECT explode(sequence(0, 3)) AS id);
+        |ALTER TABLE `graft.altp.t` RENAME COLUMN v TO val;
+        |ALTER TABLE `graft.altp.t` DROP COLUMN w""".stripMargin)
+    assert(spark.table("graft__altp.t").columns.toSeq.sorted == Seq("grp", "val"))
+    assert(spark.sql("SHOW PARTITIONS graft__altp.t").collect()
+      .map(_.getString(0)).toSeq.sorted == Seq("grp=a", "grp=b"),
+      "the rebuild must keep the partition layout")
+    val out = sr.run("SELECT val, grp FROM graft.altp.t ORDER BY val")
+      .get.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(out == Seq((0L, "a"), (1L, "a"), (2L, "b"), (3L, "b")))
+    // a partitioning column cannot be dropped (BigQuery errors too)
+    val e = intercept[IllegalArgumentException] {
+      sr.run("ALTER TABLE `graft.altp.t` DROP COLUMN grp")
+    }
+    assert(e.getMessage.contains("partitioning"))
+    // renaming the PARTITION column re-partitions by the new name
+    sr.run("ALTER TABLE `graft.altp.t` RENAME COLUMN grp TO bucket")
+    assert(spark.sql("SHOW PARTITIONS graft__altp.t").collect()
+      .map(_.getString(0)).toSeq.sorted == Seq("bucket=a", "bucket=b"))
+  }
+
   test("graft.autoRefresh external table sees a newly-dropped file without REFRESH") {
     val dir = java.nio.file.Files.createTempDirectory("graft_autoref")
     spark.sql("DROP TABLE IF EXISTS graft_autoref_t")
