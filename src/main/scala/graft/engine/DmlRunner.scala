@@ -39,14 +39,26 @@ class DmlRunner(spark: SparkSession, runner: TransformRunner) {
   // with a SELECT * source
   private val mergeTableRe =
     raw"(?is)^\s*MERGE\s+(?:INTO\s+)?`?([\w.$$-]+)`?\s+(?:AS\s+)?(\w+)\s+USING\s+`?([\w.$$-]+)`?\s+(?:AS\s+)?(\w+)\s+ON\s+(.+?)\s+(WHEN\s+.*?)\s*;?\s*$$".r
+  // WHEN-clause conditions must not swallow a later clause: the AND
+  // condition may contain anything EXCEPT the THEN/WHEN keywords
+  private val condBody = raw"((?:(?!\bTHEN\b)(?!\bWHEN\b).)+?)"
   private val whenMatchedRe =
-    raw"(?is)WHEN\s+MATCHED\s*(?:AND\s+(.+?))?\s*THEN\s+UPDATE\s+SET\s+(.+?)(?=\s+WHEN\s+|\s*$$)".r
+    (raw"(?is)WHEN\s+MATCHED\s*(?:AND\s+" + condBody +
+      raw")?\s*THEN\s+UPDATE\s+SET\s+(.+?)(?=\s+WHEN\s+|\s*$$)").r
+  private val whenMatchedDeleteRe =
+    (raw"(?is)WHEN\s+MATCHED\s*(?:AND\s+" + condBody + raw")?\s*THEN\s+DELETE\b").r
   private val whenNotMatchedRe =
-    raw"(?is)WHEN\s+NOT\s+MATCHED\s*(?:BY\s+TARGET\s*)?(?:AND\s+(.+?))?\s*THEN\s+INSERT\s*\(([^)]*)\)\s*VALUES\s*\((.*?)\)(?=\s+WHEN\s+|\s*;?\s*$$)".r
+    (raw"(?is)WHEN\s+NOT\s+MATCHED\s*(?:BY\s+TARGET\s*)?(?:AND\s+" + condBody +
+      raw")?\s*THEN\s+INSERT\s*\(([^)]*)\)\s*VALUES\s*\((.*?)\)(?=\s+WHEN\s+|\s*;?\s*$$)").r
   private val whenNotMatchedRowRe =
-    raw"(?is)WHEN\s+NOT\s+MATCHED\s*(?:BY\s+TARGET\s*)?(?:AND\s+(.+?))?\s*THEN\s+INSERT\s+ROW\b".r
+    (raw"(?is)WHEN\s+NOT\s+MATCHED\s*(?:BY\s+TARGET\s*)?(?:AND\s+" + condBody +
+      raw")?\s*THEN\s+INSERT\s+ROW\b").r
   private val whenNotMatchedBySourceRe =
-    raw"(?is)WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE\s*(?:AND\s+(.+?))?\s*THEN\s+DELETE".r
+    (raw"(?is)WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE\s*(?:AND\s+" + condBody +
+      raw")?\s*THEN\s+DELETE\b").r
+  private val whenNotMatchedBySourceUpdateRe =
+    (raw"(?is)WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE\s*(?:AND\s+" + condBody +
+      raw")?\s*THEN\s+UPDATE\s+SET\s+(.+?)(?=\s+WHEN\s+|\s*;?\s*$$)").r
   private val deleteRe =
     raw"(?is)^\s*DELETE\s+FROM\s+`?([\w.$$-]+)`?\s+WHERE\s+(.+?)\s*;?\s*$$".r
   private val dropRe = raw"(?is)^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?`?([\w.$$-]+)`?\s*;?\s*$$".r
@@ -550,10 +562,31 @@ class DmlRunner(spark: SparkSession, runner: TransformRunner) {
     // inside a SET or VALUES string literal must not cut a clause short
     val matchedUpdate = findMasked(whenMatchedRe, whenClauses)
       .map(gs => (gs(0), parseSetList(gs(1).get)))
+    val matchedDelete = findMasked(whenMatchedDeleteRe, whenClauses)
+      .map(gs => gs(0))
     val notMatchedInsert = findMasked(whenNotMatchedRe, whenClauses)
       .map(gs => (gs(0), splitCsv(gs(1).get), splitCsv(gs(2).get)))
     val bySourceDelete = findMasked(whenNotMatchedBySourceRe, whenClauses)
       .map(gs => gs(0))
+    val bySourceUpdate = findMasked(whenNotMatchedBySourceUpdateRe, whenClauses)
+      .map(gs => (gs(0), parseSetList(gs(1).get)))
+    val insertRow = findMasked(whenNotMatchedRowRe, whenClauses)
+    // every WHEN clause in the statement must have been recognized by
+    // exactly one of the five forms — an unrecognized clause must fail
+    // LOUD here, never silently drop its effect (the round-8 probe
+    // caught `…BY SOURCE THEN UPDATE` being ignored)
+    locally {
+      val total = raw"(?i)\bWHEN\s+(?:NOT\s+)?MATCHED\b".r
+        .findAllIn(maskLiterals(whenClauses)).size
+      val recognized = Seq(matchedUpdate, matchedDelete, notMatchedInsert,
+        bySourceDelete, bySourceUpdate,
+        if (notMatchedInsert.isEmpty) insertRow else scala.None).count(_.isDefined)
+      if (recognized != total) throw new IllegalArgumentException(
+        s"MERGE has $total WHEN clause(s) but only $recognized recognized " +
+          "(supported: MATCHED UPDATE/DELETE, NOT MATCHED INSERT(...)/" +
+          "INSERT ROW, NOT MATCHED BY SOURCE UPDATE/DELETE; one clause " +
+          s"per form): $whenClauses")
+    }
 
     // target side: left join source; matched → updated values, else original.
     // Matched-ness comes from a synthetic always-true marker, not source
@@ -565,7 +598,7 @@ class DmlRunner(spark: SparkSession, runner: TransformRunner) {
     val matchedFlag = col("__graft_matched").isNotNull
     val updatedCols = destCols.map { c =>
       val base = destDf(c)
-      val updated = matchedUpdate match {
+      val afterMatched = matchedUpdate match {
         case Some((extraCond, sets)) =>
           val upd = sets.get(c.toLowerCase).map(e => expr(Dialect.rewrite(e))).getOrElse(base)
           val condMatched = extraCond
@@ -573,13 +606,34 @@ class DmlRunner(spark: SparkSession, runner: TransformRunner) {
           when(condMatched, upd).otherwise(base)
         case None => base
       }
+      // BY SOURCE UPDATE: rows with NO source match take these SETs
+      // (their expressions may only reference target columns, as in
+      // BigQuery — the joined source columns are all NULL there)
+      val updated = bySourceUpdate match {
+        case Some((extraCond, sets)) => sets.get(c.toLowerCase) match {
+          case Some(e) =>
+            val condU = extraCond
+              .map(ec => not(matchedFlag) && expr(Dialect.rewrite(ec)))
+              .getOrElse(not(matchedFlag))
+            when(condU, expr(Dialect.rewrite(e))).otherwise(afterMatched)
+          case None => afterMatched
+        }
+        case None => afterMatched
+      }
       updated.as(c)
     }
-    val keptFilter = bySourceDelete match {
-      case Some(Some(dcond)) => matchedFlag || not(expr(Dialect.rewrite(dcond)))
-      case Some(None) => matchedFlag // unconditional: drop every unmatched row
-      case None => lit(true)
-    }
+    // a row DROPS when a matching DELETE clause applies; a NULL clause
+    // condition is not-true, so the row is kept (SQL three-valued)
+    val dropMatched = matchedDelete.map {
+      case Some(c) => matchedFlag && expr(Dialect.rewrite(c))
+      case None => matchedFlag
+    }.getOrElse(lit(false))
+    val dropBySource = bySourceDelete.map {
+      case Some(c) => not(matchedFlag) && expr(Dialect.rewrite(c))
+      case None => not(matchedFlag) // unconditional: drop every unmatched row
+    }.getOrElse(lit(false))
+    val keptFilter =
+      not(coalesce(dropMatched, lit(false)) || coalesce(dropBySource, lit(false)))
     val targetSide = joined.where(keptFilter).select(updatedCols.toIndexedSeq: _*)
 
     // insert side: source rows with no target match
@@ -598,7 +652,7 @@ class DmlRunner(spark: SparkSession, runner: TransformRunner) {
         // INSERT ROW shorthand: every target column takes the source's
         // corresponding column BY POSITION (BigQuery requires matching
         // column counts)
-        findMasked(whenNotMatchedRowRe, whenClauses).map { gs =>
+        insertRow.map { gs =>
           val anti0 = srcDf.join(destDf, cond, "left_anti")
           val anti = gs(0)
             .map(c => anti0.where(expr(Dialect.rewrite(c)))).getOrElse(anti0)

@@ -118,7 +118,13 @@ class ScriptRunner(spark: SparkSession) {
     // block keyword inside a triple-quoted/raw literal must not split
     // the script (the splitter only understands standard quotes)
     try {
-      val res = runScript(Dialect.normalizeLiteralForms(script))
+      // variables are SCRIPT-scoped in BigQuery: a DECLARE from a prior
+      // run() must not substitute into this script's identifiers (a
+      // leaked `x` rewrote an unrelated alias `x` to its literal value)
+      variables.clear(); declaredTypes.clear()
+      val res =
+        try runScript(Dialect.normalizeLiteralForms(script))
+        catch { case _: ReturnSignal => scala.None } // RETURN = clean exit
       // same end-of-script contract as DmlRunner.run: an open
       // transaction rolls back and reports — never lose writes silently
       if (txnOpen) {
@@ -216,6 +222,9 @@ class ScriptRunner(spark: SparkSession) {
     */
   private final class BreakSignal extends RuntimeException
   private final class ContinueSignal extends RuntimeException
+  // RETURN exits the innermost procedure, or the whole script at top
+  // level (BigQuery scripting semantics)
+  private final class ReturnSignal extends RuntimeException
 
   private def runWhile(stmt: String): Option[DataFrame] = {
     val ms = topMarkers(stmt, Set("DO"))
@@ -584,6 +593,7 @@ class ScriptRunner(spark: SparkSession) {
       case "LOAD" => runLoadData(stmt)
       case "BREAK" | "LEAVE" => throw new BreakSignal
       case "CONTINUE" | "ITERATE" => throw new ContinueSignal
+      case "RETURN" => throw new ReturnSignal
       case _ => runSimpleStatement(stmt)
     }
   }
@@ -1219,6 +1229,113 @@ class ScriptRunner(spark: SparkSession) {
     None
   }
 
+  // ---- BigQuery table-valued functions (CREATE TABLE FUNCTION) --------
+
+  private final case class TableFn(params: Seq[(String, String)], body: String)
+  private val tableFunctions = mutable.LinkedHashMap[String, TableFn]()
+
+  private val createTvfRe =
+    raw"(?is)^CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+FUNCTION\s+(IF\s+NOT\s+EXISTS\s+)?(`[^`]+`|[\w.\-]+)\s*\(([^)]*)\)\s*(?:RETURNS\s+TABLE\s*<[^>]*>\s*)?(?:OPTIONS\s*\([^)]*\)\s*)?AS\s+(.+)$$".r
+  private val dropTvfRe =
+    raw"(?is)^DROP\s+TABLE\s+FUNCTION\s+(IF\s+EXISTS\s+)?(`[^`]+`|[\w.\-]+)\s*;?\s*$$".r
+
+  private def runCreateTvf(orReplace: String, ifNotExists: String,
+      name: String, paramsText: String, rawBody: String): Option[DataFrame] = {
+    val key = procKey(name)
+    if (tableFunctions.contains(key)) {
+      if (orReplace == null && ifNotExists == null)
+        throw new IllegalArgumentException(
+          s"table function $name already exists; use CREATE OR REPLACE TABLE FUNCTION")
+      if (ifNotExists != null && orReplace == null) return None
+    }
+    // AS ( query ) unwraps to the query; AS query stays as-is
+    val t = rawBody.trim.stripSuffix(";").trim
+    val body =
+      if (t.startsWith("(") && t.endsWith(")")) t.substring(1, t.length - 1)
+      else t
+    val params = paramsText.split(",").filter(_.trim.nonEmpty).map { p =>
+      val Array(n, tp) = p.trim.split("\\s+", 2)
+      (n, sparkType(tp))
+    }.toSeq
+    tableFunctions(key) = TableFn(params, body)
+    None
+  }
+
+  // a TVF reference: FROM/JOIN <name> ( … ) — the arg list is balance-
+  // parsed from the open paren, so expressions with nested calls work
+  private val tvfRefRe = raw"(?is)\b(FROM|JOIN)\s+(`[^`]+`|[\w.$$\-]+)\s*\(".r
+  // the word after the call site that would START a new clause — i.e.
+  // NOT an alias
+  private val nonAliasFollowers = Set("where", "group", "order", "limit",
+    "having", "qualify", "union", "intersect", "except", "on", "using",
+    "join", "inner", "left", "right", "full", "cross", "window", "offset",
+    "when", "then", "else", "end", "as")
+
+  /** Expand registered table-function calls in FROM/JOIN position into
+    * their bodies as a parenthesized subquery, with each parameter
+    * substituted word-boundary-safe by `CAST((arg) AS declaredType)`.
+    * Non-registered names (UNNEST, VECTOR_SEARCH, …) pass through to
+    * their own rewrites. Bodies may reference other TVFs (bounded
+    * recursion — BigQuery rejects cycles; depth-8 here fails loud).
+    */
+  private def expandTableFunctions(sql: String, depth: Int = 0): String = {
+    if (tableFunctions.isEmpty) return sql
+    if (depth > 8) throw new IllegalArgumentException(
+      "table function expansion exceeded depth 8 (cyclic TVF references?)")
+    val out = new StringBuilder
+    var idx = 0
+    var changed = false
+    for (m <- tvfRefRe.findAllMatchIn(sql)) if (m.start >= idx) {
+      val key = procKey(m.group(2))
+      tableFunctions.get(key) match {
+        case scala.None => // not a TVF — leave for other rewrites
+        case Some(fn) =>
+          // balance-parse the argument list from the open paren
+          var i = m.end // first char after '('
+          var level = 1
+          var inStr: Char = 0
+          val argText = new StringBuilder
+          while (level > 0 && i < sql.length) {
+            val c = sql.charAt(i)
+            if (inStr != 0) { if (c == inStr) inStr = 0 }
+            else c match {
+              case '\'' | '"' => inStr = c
+              case '(' => level += 1
+              case ')' => level -= 1
+              case _ =>
+            }
+            if (level > 0) argText += c
+            i += 1
+          }
+          if (level > 0) throw new IllegalArgumentException(
+            s"unbalanced table function call: ${m.group(2)}(…")
+          val args = splitTopLevelCsv(argText.result())
+          if (args.length != fn.params.length) throw new IllegalArgumentException(
+            s"table function ${m.group(2)} takes ${fn.params.length} argument(s), " +
+              s"got ${args.length}")
+          var bodySub = fn.body
+          for (((pName, pType), arg) <- fn.params.zip(args))
+            bodySub = raw"(?i)\b${java.util.regex.Pattern.quote(pName)}\b".r
+              .replaceAllIn(bodySub, java.util.regex.Matcher.quoteReplacement(
+                s"CAST(($arg) AS $pType)"))
+          // trailing alias? `FROM fn(1) AS d` / `FROM fn(1) d`
+          val rest = sql.substring(i)
+          val aliasM = raw"(?is)^\s*(?:AS\s+)?(\w+)".r.findFirstMatchIn(rest)
+          val hasAlias = aliasM.exists(am =>
+            !nonAliasFollowers.contains(am.group(1).toLowerCase)) ||
+            aliasM.exists(_ => raw"(?is)^\s*AS\s+".r.findFirstIn(rest).isDefined)
+          val alias = if (hasAlias) "" else s" AS ${key.split("\\.").last}"
+          out.append(sql.substring(idx, m.start))
+            .append(m.group(1)).append(" (").append(bodySub).append(")")
+            .append(alias)
+          idx = i
+          changed = true
+      }
+    }
+    out.append(sql.substring(idx))
+    if (changed) expandTableFunctions(out.result(), depth + 1) else sql
+  }
+
   /** CALL proc(args): IN/INOUT arguments evaluate in the CALLER's scope;
     * the body runs in a fresh scope seeded only with the parameters
     * (BigQuery: a procedure body sees its parameters, not the caller's
@@ -1268,7 +1385,9 @@ class ScriptRunner(spark: SparkSession) {
       }
       val (result, outs) =
         try {
-          val res = runScript(proc.body)
+          val res =
+            try runScript(proc.body)
+            catch { case _: ReturnSignal => scala.None } // RETURN exits the proc
           (res, bindings.collect { case (p, callerVar, _) if p.mode != "IN" =>
             callerVar -> variables.getOrElse(p.name, "NULL")
           })
@@ -1287,6 +1406,43 @@ class ScriptRunner(spark: SparkSession) {
   }
 
   // ---- BigQuery DDL beyond CTAS: views, ALTER TABLE, LIKE/COPY --------
+
+  private val schemaDdlRe =
+    raw"(?is)^(CREATE|DROP)\s+SCHEMA\s+(IF\s+(?:NOT\s+)?EXISTS\s+)?(`[^`]+`|[\w.\-]+)\s*(?:OPTIONS\s*\((.*?)\)\s*)?(CASCADE\s*)?;?\s*$$".r
+
+  /** BigQuery dataset DDL → Spark database DDL with the engine's FQN
+    * flattening (`proj.ds` → `proj__ds`). CREATE SCHEMA's description
+    * option becomes the database comment; other options are inert
+    * metadata BigQuery stores but a local engine has nothing to do
+    * with, so they are accepted and dropped.
+    */
+  private def runSchemaDdl(stmt: String): Option[DataFrame] = stmt.trim match {
+    case schemaDdlRe(verb, ifEx, rawName, opts, cascade) =>
+      val db = rawName.replace("`", "").split("\\.")
+        .map(_.replace("-", "_")).mkString("__")
+      if (verb.equalsIgnoreCase("CREATE")) {
+        val ine = if (ifEx != null) "IF NOT EXISTS " else ""
+        def opt(k: String): Option[String] = Option(opts).flatMap(o =>
+          optionRe.findAllMatchIn(o).find(_.group(1).equalsIgnoreCase(k))
+            .map(_.group(2)))
+        val comment = opt("description")
+          .map(v => s" COMMENT ${v.replace("''", "'")}").getOrElse("")
+        // BigQuery's dataset location option: a region string ('EU') is
+        // inert here; a path-looking value maps to the database LOCATION
+        // (the local-engine analog of placing the dataset's storage)
+        val location = opt("location")
+          .map(v => v.stripPrefix("'").stripSuffix("'"))
+          .filter(_.contains("/"))
+          .map(p => s" LOCATION '${p.replace("'", "''")}'").getOrElse("")
+        spark.sql(s"CREATE DATABASE $ine$db$comment$location")
+      } else {
+        val ie = if (ifEx != null) "IF EXISTS " else ""
+        val casc = if (cascade != null) " CASCADE" else ""
+        spark.sql(s"DROP DATABASE $ie$db$casc")
+      }
+      scala.None
+    case other => throw new IllegalArgumentException(s"malformed SCHEMA DDL: $other")
+  }
 
   private val createViewRe =
     raw"(?is)^CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+(IF\s+NOT\s+EXISTS\s+)?(`[^`]+`|[\w.\-]+)\s+AS\s+(.+)$$".r
@@ -1474,6 +1630,14 @@ class ScriptRunner(spark: SparkSession) {
       if (procedures.remove(procKey(name)).isEmpty && ifExists == null)
         throw new IllegalArgumentException(s"procedure $name does not exist")
       None
+    case createTvfRe(orReplace, ifNotExists, name, params, body) =>
+      runCreateTvf(orReplace, ifNotExists, name, params, body)
+    case dropTvfRe(ifExists, name) =>
+      // must precede the generic DROP TABLE path (which would read
+      // `FUNCTION` as a table name)
+      if (tableFunctions.remove(procKey(name)).isEmpty && ifExists == null)
+        throw new IllegalArgumentException(s"table function $name does not exist")
+      None
     case declareRe(name, tpe, default) =>
       declaredTypes(name) = sparkType(tpe)
       variables(name) =
@@ -1551,6 +1715,7 @@ class ScriptRunner(spark: SparkSession) {
       // short-circuit must not freeze the pre-existing unrelated table
       if (snapshot != null && !existedBefore) CloneRegistry.markReadOnly(dest)
       None
+    case sc if schemaDdlRe.findFirstIn(sc.trim).isDefined => runSchemaDdl(sc)
     case v if createViewRe.findFirstIn(v.trim).isDefined => runCreateView(v)
     case v if dropViewRe.findFirstIn(v.trim).isDefined => runDropView(v)
     case a if alterTableRe.findFirstIn(a.trim).isDefined => runAlterTable(a)
@@ -1650,7 +1815,10 @@ class ScriptRunner(spark: SparkSession) {
   private def inSqlLiteral(sql: String, pos: Int): Boolean =
     sqlStringLit.findAllMatchIn(sql).exists(m => pos >= m.start && pos < m.end)
 
-  private def expandWildcardTables(sql: String): String =
+  private def expandWildcardTables(sql0: String): String = {
+    // TVF expansion rides the same statement-prep chain: every site
+    // that expands wildcards also wants `FROM fn(args)` inlined
+    val sql = expandTableFunctions(sql0)
     wildcardTableRe.replaceAllIn(sql, m => {
       if (inSqlLiteral(sql, m.start))
         java.util.regex.Matcher.quoteReplacement(m.matched)
@@ -1678,4 +1846,5 @@ class ScriptRunner(spark: SparkSession) {
       }
       }
     })
+  }
 }

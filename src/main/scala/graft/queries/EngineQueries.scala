@@ -998,6 +998,44 @@ object EngineQueries {
           |SELECT k2, name FROM graft.pg61.v ORDER BY k2""".stripMargin).get
     },
 
+    // --- vocabulary pack 8: schema DDL, table functions, full MERGE ----
+    "e62_tvf_merge_vocab" -> { (s, d) =>
+      // round-8 probe closures: CREATE SCHEMA (dataset DDL), CREATE
+      // TABLE FUNCTION (TVF expanded at statement-prep into a typed
+      // parameter-substituted subquery — Catalyst sees one plan, so
+      // pushdown/pruning work through the call), and the two MERGE
+      // clause forms BigQuery supports that the engine previously
+      // dropped silently: WHEN MATCHED … DELETE and WHEN NOT MATCHED
+      // BY SOURCE … UPDATE. The MERGE rewrite stays one left join +
+      // one anti join — no per-clause passes.
+      Tables.views(s, d, "nation")
+      val sr = new ScriptRunner(s)
+      sr.run("DROP SCHEMA IF EXISTS `graft.pg62` CASCADE")
+      // dataset location option (fresh temp dir — same staleness
+      // discipline as freshDb: a prior JVM's warehouse leftovers must
+      // not shadow this run's table)
+      val pg62loc = Files.createTempDirectory("graft_pg62").toAbsolutePath
+      sr.run(
+        s"""CREATE SCHEMA `graft.pg62` OPTIONS(description = 'pack-8 vocab', location = '$pg62loc');
+          |CREATE TABLE `graft.pg62.acct` AS
+          |  SELECT CAST(n_nationkey AS INT64) AS id,
+          |         CAST(n_regionkey AS INT64) AS region,
+          |         CAST(100 AS INT64) AS bal
+          |  FROM nation;
+          |MERGE INTO `graft.pg62.acct` T
+          |USING (SELECT CAST(n_nationkey AS INT64) AS id,
+          |              CAST(n_regionkey AS INT64) * 10 AS delta
+          |       FROM nation WHERE n_regionkey <= 2) S
+          |ON T.id = S.id
+          |WHEN MATCHED AND T.id >= 20 THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET bal = T.bal + S.delta
+          |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET bal = -1;
+          |CREATE TABLE FUNCTION bal_at_least(floor_b INT64) AS (
+          |  SELECT id, region, bal FROM graft.pg62.acct WHERE bal >= floor_b
+          |)""".stripMargin)
+      sr.run("SELECT id, region, bal FROM bal_at_least(-5) ORDER BY id").get
+    },
+
     // --- analytic/array vocabulary (pack 7, continued) ------------------
     "e60_analytic_vocab" -> { (s, d) =>
       // round-8 probe closures: IGNORE NULLS inside the analytic call's
@@ -2031,6 +2069,18 @@ object EngineQueries {
     "e61_ddl_lifecycle" ->
       """SELECT CAST(r_regionkey AS BIGINT) + 100 AS k2, r_name AS name
         |FROM region ORDER BY k2""".stripMargin,
+
+    // matched deletes (region<=2, id>=20) drop; matched updates add
+    // 10·region; unmatched-by-source rows flip to -1; the TVF filter
+    // bal >= -5 keeps everything that survived
+    "e62_tvf_merge_vocab" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS id,
+        |  CAST(n_regionkey AS BIGINT) AS region,
+        |  CAST(CASE WHEN n_regionkey <= 2 THEN 100 + n_regionkey * 10
+        |            ELSE -1 END AS BIGINT) AS bal
+        |FROM nation
+        |WHERE NOT (n_regionkey <= 2 AND n_nationkey >= 20)
+        |ORDER BY id""".stripMargin,
 
     "e60_analytic_vocab" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS id,

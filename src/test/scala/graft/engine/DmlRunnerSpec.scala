@@ -337,4 +337,53 @@ class DmlRunnerSpec extends AnyFunSuite with BeforeAndAfterAll {
     val bareRb = intercept[IllegalStateException] { dml.run("ROLLBACK") }
     assert(bareRb.getMessage.contains("without an active"))
   }
+
+  test("WHEN MATCHED DELETE (with and without extra condition)") {
+    freshTable(Seq(("a", 1L), ("b", 2L), ("c", 3L)))
+    // conditional matched delete: only the matched row with v >= 2 drops
+    dml.run(
+      """MERGE INTO dmlspec.t T USING (SELECT 'b' AS k UNION ALL SELECT 'c') S
+        |ON T.k = S.k
+        |WHEN MATCHED AND T.v >= 3 THEN DELETE""".stripMargin)
+    assert(state() == Seq(("a", 1L), ("b", 2L)))
+    // unconditional matched delete
+    dml.run(
+      """MERGE INTO dmlspec.t T USING (SELECT 'b' AS k) S ON T.k = S.k
+        |WHEN MATCHED THEN DELETE""".stripMargin)
+    assert(state() == Seq(("a", 1L)))
+  }
+
+  test("WHEN NOT MATCHED BY SOURCE UPDATE rewrites unmatched target rows") {
+    freshTable(Seq(("a", 1L), ("b", 2L), ("c", 3L)))
+    dml.run(
+      """MERGE INTO dmlspec.t T USING (SELECT 'a' AS k) S ON T.k = S.k
+        |WHEN NOT MATCHED BY SOURCE AND T.v < 3 THEN UPDATE SET v = -1""".stripMargin)
+    // only b (unmatched, v<3) flips; a is matched, c fails the condition
+    assert(state() == Seq(("a", 1L), ("b", -1L), ("c", 3L)))
+  }
+
+  test("matched DELETE composes with by-source DELETE and INSERT") {
+    freshTable(Seq(("a", 1L), ("b", 2L), ("c", 3L)))
+    dml.run(
+      """MERGE INTO dmlspec.t T
+        |USING (SELECT 'a' AS k, 10 AS v UNION ALL SELECT 'd', 40) S
+        |ON T.k = S.k
+        |WHEN MATCHED THEN DELETE
+        |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (S.k, S.v)
+        |WHEN NOT MATCHED BY SOURCE AND T.v > 2 THEN DELETE""".stripMargin)
+    // a matched→deleted; d inserted; c unmatched v>2→deleted; b kept
+    assert(state() == Seq(("b", 2L), ("d", 40L)))
+  }
+
+  test("an unrecognized WHEN clause fails loud, never silently drops") {
+    freshTable(Seq(("a", 1L)))
+    val e = intercept[IllegalArgumentException] {
+      dml.run(
+        """MERGE INTO dmlspec.t T USING (SELECT 'a' AS k) S ON T.k = S.k
+          |WHEN MATCHED THEN FROBNICATE""".stripMargin)
+    }
+    assert(e.getMessage.contains("recognized"), e.getMessage)
+    // the table is untouched
+    assert(state() == Seq(("a", 1L)))
+  }
 }

@@ -1123,4 +1123,99 @@ class ScriptRunnerSpec extends AnyFunSuite with BeforeAndAfterAll {
     sr.run("INSERT INTO `graft.rospec2.plain3` VALUES (6)")
     assert(spark.table("graft__rospec2.plain3").count() == 2L)
   }
+
+  test("variables are script-scoped: a DECLARE must not leak into the next run") {
+    val sr = new ScriptRunner(spark)
+    sr.run("DECLARE x INT64 DEFAULT 42; SELECT x AS v")
+    // a later script's alias `x` is an identifier, not the old variable
+    val out = sr.run("SELECT x FROM UNNEST([7, 8]) AS x ORDER BY x")
+      .get.collect().map(_.getInt(0)).toSeq
+    assert(out == Seq(7, 8), s"leaked DECLARE rewrote the alias: $out")
+  }
+
+  test("RETURN exits the script cleanly at top level and inside IF") {
+    val sr = new ScriptRunner(spark)
+    // the division after RETURN must never execute
+    assert(sr.run(
+      """DECLARE x INT64 DEFAULT 1;
+        |IF x = 1 THEN
+        |  RETURN;
+        |END IF;
+        |SELECT 1/0 AS never""".stripMargin).isEmpty)
+  }
+
+  test("RETURN inside a procedure exits only the procedure") {
+    val sr = new ScriptRunner(spark)
+    val out = sr.run(
+      """CREATE PROCEDURE earlyout(INOUT acc INT64)
+        |BEGIN
+        |  SET acc = acc + 1;
+        |  IF acc > 0 THEN
+        |    RETURN;
+        |  END IF;
+        |  SET acc = acc + 100;
+        |END;
+        |DECLARE a INT64 DEFAULT 0;
+        |CALL earlyout(a);
+        |SELECT a AS v""".stripMargin).get
+    assert(out.collect().head.getLong(0) == 1L)
+  }
+
+  test("CREATE SCHEMA / use / DROP SCHEMA CASCADE round-trip") {
+    val sr = new ScriptRunner(spark)
+    sr.run("DROP SCHEMA IF EXISTS `graft.schspec` CASCADE")
+    sr.run("CREATE SCHEMA `graft.schspec` OPTIONS(description = 'spec ds')")
+    // idempotent with IF NOT EXISTS
+    sr.run("CREATE SCHEMA IF NOT EXISTS `graft.schspec`")
+    val out = sr.run(
+      """CREATE TABLE `graft.schspec.t` AS SELECT 11 AS x;
+        |SELECT x FROM graft.schspec.t""".stripMargin).get
+    assert(out.collect().head.getInt(0) == 11)
+    sr.run("DROP SCHEMA `graft.schspec` CASCADE")
+    assert(!spark.catalog.databaseExists("graft__schspec"))
+  }
+
+  test("CREATE TABLE FUNCTION expands in FROM with typed parameter substitution") {
+    spark.sql("DROP DATABASE IF EXISTS tvfspec CASCADE")
+    val loc = java.nio.file.Files.createTempDirectory("tvfspec")
+    spark.sql(s"CREATE DATABASE tvfspec LOCATION '$loc'")
+    spark.sql("CREATE TABLE tvfspec.t (k STRING, v BIGINT) USING parquet")
+    spark.sql("INSERT INTO tvfspec.t VALUES ('a', 1), ('b', 2), ('c', 3)")
+    val sr = new ScriptRunner(spark)
+    sr.run(
+      """CREATE TABLE FUNCTION scaled(m INT64, floor_v INT64) AS (
+        |  SELECT k, v * m AS sv FROM tvfspec.t WHERE v >= floor_v
+        |)""".stripMargin)
+    // bare call, no alias
+    val out1 = sr.run("SELECT sum(sv) AS s FROM scaled(10, 2)").get
+    assert(out1.collect().head.getLong(0) == 50L)
+    // aliased call + join position + expression argument
+    val out2 = sr.run(
+      """SELECT d.k, d.sv FROM scaled(2 + 3, 3) AS d ORDER BY d.k""".stripMargin)
+      .get.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out2 == Seq(("c", 15L)))
+    // wrong arity fails loud
+    val e = intercept[IllegalArgumentException] {
+      sr.run("SELECT * FROM scaled(1)")
+    }
+    assert(e.getMessage.contains("argument"))
+    // DROP removes it; the name then fails as an unknown relation
+    sr.run("DROP TABLE FUNCTION scaled")
+    intercept[Exception] { sr.run("SELECT * FROM scaled(1, 2)") }
+  }
+
+  test("table functions may reference other table functions (bounded)") {
+    spark.sql("DROP DATABASE IF EXISTS tvfspec2 CASCADE")
+    val loc = java.nio.file.Files.createTempDirectory("tvfspec2")
+    spark.sql(s"CREATE DATABASE tvfspec2 LOCATION '$loc'")
+    spark.sql("CREATE TABLE tvfspec2.t (v BIGINT) USING parquet")
+    spark.sql("INSERT INTO tvfspec2.t VALUES (1), (2)")
+    val sr = new ScriptRunner(spark)
+    val out = sr.run(
+      """CREATE TABLE FUNCTION base(m INT64) AS SELECT v * m AS bv FROM tvfspec2.t;
+        |CREATE TABLE FUNCTION layered(n INT64) AS SELECT bv + n AS lv FROM base(10);
+        |SELECT sum(lv) AS s FROM layered(1)""".stripMargin).get
+    // (1*10+1) + (2*10+1) = 32
+    assert(out.collect().head.getLong(0) == 32L)
+  }
 }
