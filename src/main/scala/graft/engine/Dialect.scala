@@ -608,6 +608,13 @@ object Dialect {
         .replaceAll(raw"(?i)\bNUMERIC\b", "DECIMAL(38,9)")
         .replaceAll(raw"(?i)\bINT64\b", "BIGINT")
         .replaceAll(raw"(?i)\bFLOAT64\b", "DOUBLE")
+        // BYTES only in CAST position (`AS BYTES`) — the bare word is a
+        // plausible column alias and must not be rewritten
+        .replaceAll(raw"(?i)(\bAS\s+)BYTES\b", "$1BINARY")
+        // TIME values are 'HH:mm:ss' strings in this engine (Spark has
+        // no TIME type): CAST maps to STRING (the literal-form rewrite
+        // runs full-text below, where the quote is visible)
+        .replaceAll(raw"(?i)(\bAS\s+)TIME\b", "$1STRING")
         // BigQuery TABLESAMPLE SYSTEM (n PERCENT) → Spark TABLESAMPLE
         .replaceAll(raw"(?i)\bTABLESAMPLE\s+SYSTEM\s*\(", "TABLESAMPLE (")))
     out = rewriteTypedStruct(out)
@@ -623,6 +630,12 @@ object Dialect {
     out = timestampCall.replaceAllIn(out, m =>
       java.util.regex.Matcher.quoteReplacement(
         s"to_timestamp(replace('${m.group(1)}', 'T', ' '))"))
+    // TIME literal: `TIME '15:30:45'` → the bare string (TIME is an
+    // 'HH:mm:ss' string in this engine). Full-text so the quote is
+    // visible — a chunk-end rule would also delete a trailing `time`
+    // ALIAS, which is common. DATETIME ran first (no \bTIME\b overlap);
+    // SYSTEM_TIME's underscore blocks the word boundary.
+    out = out.replaceAll(raw"(?i)\bTIME\s*(?=')", "")
     out = mapOutsideLiterals(out)(selectAsStruct.replaceAllIn(_, "SELECT "))
     out = rewriteCalls(out)
     out = rewriteArrayLiteral(out)
@@ -1105,7 +1118,20 @@ object Dialect {
       case _ => return scala.None
     }
     orderBy match {
-      case Some(ob) => Some(s"listagg($v, $sep) WITHIN GROUP (ORDER BY $ob)")
+      case Some(ob) =>
+        // `ORDER BY key [ASC|DESC] LIMIT n` — listagg has no LIMIT, so
+        // the limited form routes through the ordered-collect + slice
+        // shape ARRAY_AGG uses (single sort key, like arrayAgg)
+        val kdl = raw"(?is)^(.*?)(?:\s+(ASC|DESC))?\s+LIMIT\s+(\d+)$$".r
+        ob match {
+          case kdl(key, dir, lim) if key.trim.nonEmpty =>
+            val base = s"transform(array_sort(collect_list(" +
+              s"struct(${key.trim} AS _o, $v AS _v))), s -> s._v)"
+            val ordered =
+              if (dir != null && dir.equalsIgnoreCase("DESC")) s"reverse($base)" else base
+            Some(s"array_join(slice($ordered, 1, $lim), $sep)")
+          case _ => Some(s"listagg($v, $sep) WITHIN GROUP (ORDER BY $ob)")
+        }
       case scala.None => Some(s"string_agg($v, $sep)")
     }
   }
@@ -1175,8 +1201,17 @@ object Dialect {
     * full units): DATE_DIFF('2024-02-01','2024-01-31', MONTH) = 1.
     */
   private def dateDiff(a: Seq[String]): Option[String] = {
-    if (a.length != 3 || !isBareUnit(a(2), dateUnits)) return scala.None
+    if (a.length != 3) return scala.None
     val (x, y) = (a(0), a(1))
+    // WEEK(<WEEKDAY>): boundary count with weeks starting that day
+    a(2).trim.toUpperCase.replaceAll("\\s", "") match {
+      case weekAnyDay(day) =>
+        val k = weekdayIndex(day.toUpperCase)
+        return Some(s"(datediff(date_sub($x, (dayofweek($x) - $k + 7) % 7), " +
+          s"date_sub($y, (dayofweek($y) - $k + 7) % 7)) div 7)")
+      case _ =>
+    }
+    if (!isBareUnit(a(2), dateUnits)) return scala.None
     a(2).trim.toUpperCase match {
       case "DAY" => Some(s"datediff($x, $y)")
       case "WEEK" => Some(
@@ -1220,6 +1255,28 @@ object Dialect {
       case _ => scala.None
     }
   }
+
+  // TIME ('HH:mm:ss' string) anchored on the epoch date for timestamp
+  // arithmetic; sub-day units are the only legal TIME parts
+  private val subDayUnits =
+    Set("MICROSECOND", "MILLISECOND", "SECOND", "MINUTE", "HOUR")
+  private def timeAnchor(t: String): String =
+    s"cast(concat('1970-01-01 ', $t) as timestamp_ntz)"
+  private def timeAddSub(sign: Int)(a: Seq[String]): Option[String] = {
+    if (a.length != 2) return scala.None
+    a(1) match {
+      case intervalArg(n, unit) if subDayUnits.contains(unit.toUpperCase) =>
+        val s = if (sign < 0) s"-($n)" else s"($n)"
+        Some(s"date_format(timestampadd(${unit.toUpperCase}, $s, " +
+          s"${timeAnchor(a(0))}), 'HH:mm:ss')")
+      case _ => scala.None
+    }
+  }
+
+  // BigQuery INITCAP's documented default delimiters: whitespace plus
+  // the punctuation set below (SQL-literal escaped: \t \n \\ active)
+  private val initcapDefaultDelims =
+    "' \\t\\n\\r[](){}/|\\\\<>!?@\"^#$&~_,.:;*%+-'"
 
   /** BigQuery DATE_TRUNC(d, WEEK) is Sunday-start; Spark's 'week' is
     * Monday-start, so WEEK gets explicit Sunday arithmetic and
@@ -1695,6 +1752,10 @@ object Dialect {
           Some(s"date_add(cast(${a(0)} as date), 7 - dayofweek(${a(0)}))")
         case "ISOWEEK" =>
           Some(s"date_add(cast(${a(0)} as date), 7 - ((dayofweek(${a(0)}) + 5) % 7 + 1))")
+        case weekAnyDay(day) =>
+          // week starts on <day> → ends 6 days after that week's start
+          val k = weekdayIndex(day.toUpperCase)
+          Some(s"date_add(cast(${a(0)} as date), 6 - ((dayofweek(${a(0)}) - $k + 7) % 7))")
         case _ => scala.None
       }
     },
@@ -1712,6 +1773,78 @@ object Dialect {
     "PARSE_TIMESTAMP" -> fmtCall("to_timestamp"),
     "TIMESTAMP_DIFF" -> tsDiff, "DATETIME_DIFF" -> datetimeDiff,
     "DATE_DIFF" -> dateDiff,
+    // ---- TIME type family (TIME is an 'HH:mm:ss' string here; ops
+    // anchor it on 1970-01-01, compute in timestamp space, and format
+    // the time-of-day back — which also gives BigQuery's wrap-around
+    // on TIME_ADD/TIME_SUB past midnight) --------------------------
+    "TIME_TRUNC" -> { a =>
+      if (a.length == 2 && isBareUnit(a(1), subDayUnits))
+        Some(s"date_format(date_trunc('${a(1).trim.toUpperCase}', " +
+          s"${timeAnchor(a(0))}), 'HH:mm:ss')")
+      else scala.None
+    },
+    "TIME_ADD" -> timeAddSub(1), "TIME_SUB" -> timeAddSub(-1),
+    "TIME_DIFF" -> { a =>
+      if (a.length == 3 && isBareUnit(a(2), subDayUnits))
+        Some(s"timestampdiff(${a(2).trim.toUpperCase}, " +
+          s"${timeAnchor(a(1))}, ${timeAnchor(a(0))})")
+      else scala.None
+    },
+    "CURRENT_TIME" -> { a =>
+      if (a.isEmpty || (a.length == 1 && a(0).isEmpty))
+        Some("date_format(localtimestamp(), 'HH:mm:ss')")
+      else if (a.length == 1)
+        Some(s"date_format(convert_timezone(${a(0)}, current_timestamp()), 'HH:mm:ss')")
+      else scala.None
+    },
+    "FORMAT_TIME" -> { a =>
+      for {
+        f <- if (a.length == 2) a.headOption.flatMap(strLit) else scala.None
+        p <- javaPattern(f)
+      } yield s"date_format(${timeAnchor(a(1))}, '${p.replace("'", "''")}')"
+    },
+    "PARSE_TIME" -> { a =>
+      for {
+        f <- if (a.length == 2) a.headOption.flatMap(strLit) else scala.None
+        p <- javaPattern(f)
+      } yield s"date_format(to_timestamp(${a(1)}, '${p.replace("'", "''")}'), 'HH:mm:ss')"
+    },
+    // BigQuery REGEXP_INSTR: up to (value, regexp, position, occurrence,
+    // occurrence_position). Spark's own regexp_instr reads the 3rd arg
+    // as a GROUP INDEX, so every 3+-arg form must route to the native
+    // kernel; 2-arg routes too, for uniform code-point semantics.
+    "REGEXP_INSTR" -> { a =>
+      if (a.length < 2 || a.length > 5) scala.None
+      else {
+        val pos = if (a.length >= 3) a(2) else "1"
+        val occ = if (a.length >= 4) a(3) else "1"
+        val op = if (a.length >= 5) a(4) else "0"
+        Some(s"graft_regexp_instr(${a(0)}, ${a(1)}, $pos, $occ, $op)")
+      }
+    },
+    // BigQuery INITCAP word-breaks on a documented delimiter SET (not
+    // just spaces like Spark's initcap); 2-arg takes a custom set
+    "INITCAP" -> { a =>
+      if (a.length == 1) Some(s"graft_initcap(${a(0)}, $initcapDefaultDelims)")
+      else if (a.length == 2) Some(s"graft_initcap(${a(0)}, ${a(1)})")
+      else scala.None
+    },
+    "ARRAY_FIRST" -> (a =>
+      if (a.length == 1) Some(s"element_at(${a(0)}, 1)") else scala.None),
+    "ARRAY_LAST" -> (a =>
+      if (a.length == 1) Some(s"element_at(${a(0)}, -1)") else scala.None),
+    // ARRAY_SLICE(arr, start, end): zero-based INCLUSIVE offsets,
+    // negatives count from the end; out-of-range → clamped/empty
+    "ARRAY_SLICE" -> { a =>
+      if (a.length != 3) scala.None
+      else {
+        val (arr, s, e) = (a(0), a(1), a(2))
+        def oneBased(o: String) =
+          s"(CASE WHEN ($o) >= 0 THEN ($o) + 1 ELSE size($arr) + ($o) + 1 END)"
+        val s1 = s"greatest(${oneBased(s)}, 1)"
+        Some(s"slice($arr, $s1, greatest(${oneBased(e)} - $s1 + 1, 0))")
+      }
+    },
     "DATE_ADD" -> dateAddSub(1), "DATE_SUB" -> dateAddSub(-1),
     "TIMESTAMP_ADD" -> tsAddSub(1), "TIMESTAMP_SUB" -> tsAddSub(-1),
     "DATETIME_ADD" -> tsAddSub(1), "DATETIME_SUB" -> tsAddSub(-1),
@@ -1725,17 +1858,27 @@ object Dialect {
       if (a.length != 1) scala.None
       else {
         val week = raw"(?is)^WEEK\s+FROM\s+(.+)$$".r
+        val weekDay = raw"(?is)^WEEK\s*\(\s*(\w+)\s*\)\s+FROM\s+(.+)$$".r
         val isoweek = raw"(?is)^ISOWEEK\s+FROM\s+(.+)$$".r
         val datePart = raw"(?is)^DATE\s+FROM\s+(.+)$$".r
         val datetimePart = raw"(?is)^DATETIME\s+FROM\s+(.+)$$".r
+        val timePart = raw"(?is)^TIME\s+FROM\s+(.+)$$".r
+        val doyPart = raw"(?is)^DAYOFYEAR\s+FROM\s+(.+)$$".r
         a(0) match {
           case week(x) => Some(
             s"((dayofyear($x) + 6 - ((8 - dayofweek(date_trunc('YEAR', $x))) % 7)) div 7)")
+          case weekDay(day, x) if weekdayIndex.contains(day.toUpperCase) =>
+            // same week-0-before-first-<day> convention, start-day shifted
+            val k = weekdayIndex(day.toUpperCase)
+            Some(s"((dayofyear($x) + 6 - ((7 + $k - dayofweek(date_trunc('YEAR', $x))) % 7)) div 7)")
           case isoweek(x) => Some(s"extract(WEEK FROM $x)")
-          // EXTRACT(DATE/DATETIME FROM ts) — part extraction Spark's
-          // extract has no field for
+          // EXTRACT(DATE/DATETIME/TIME FROM ts) — part extractions
+          // Spark's extract has no field for
           case datePart(x) => Some(s"cast($x as date)")
           case datetimePart(x) => Some(s"cast($x as timestamp_ntz)")
+          case timePart(x) => Some(s"date_format($x, 'HH:mm:ss')")
+          // Spark spells the day-of-year field DOY
+          case doyPart(x) => Some(s"extract(DOY FROM $x)")
           case _ => scala.None
         }
       }
@@ -1752,10 +1895,14 @@ object Dialect {
     * instead.
     */
   private def regexpExtractFirst: Seq[String] => Option[String] = a =>
-    if (a.length == 2) Some(strLit(a(1)) match {
+    if (a.length >= 2 && a.length <= 4) Some(strLit(a(1)) match {
       case Some(p) =>
         val idx = if (captureGroups(p) > 0) 1 else 0
-        s"try_element_at(regexp_extract_all(${a(0)}, ${a(1)}, $idx), 1)"
+        // 3rd arg = 1-based start position (substr is character-based,
+        // matching BigQuery's position semantics); 4th = occurrence
+        val src = if (a.length >= 3) s"substr(${a(0)}, ${a(2)})" else a(0)
+        val occ = if (a.length == 4) a(3) else "1"
+        s"try_element_at(regexp_extract_all($src, ${a(1)}, $idx), $occ)"
       case scala.None =>
         "raise_error('REGEXP_EXTRACT/REGEXP_SUBSTR with a non-literal " +
           "pattern: BigQuery group semantics depend on the pattern text " +

@@ -385,6 +385,7 @@ object BitSketchExpressions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_deflate_len", exprs => DeflateLength(exprs.head), "scala_udf")
     FarmHashExpressions.register(spark)
+    TextExpressions.register(spark)
     TopCount.register(spark)
   }
 }

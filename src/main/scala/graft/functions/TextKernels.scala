@@ -1,0 +1,157 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Scalar text kernels behind BigQuery functions Spark lacks arity or
+  * semantics for: REGEXP_INSTR (position/occurrence/occurrence_position
+  * arguments; reference surface may call it on arbitrary columns) and
+  * INITCAP's delimiter set (BigQuery word-breaks on a documented
+  * punctuation set, Spark's initcap only on spaces). All positions are
+  * CHARACTER (code point) based, as in BigQuery — UTF-16 offsets from
+  * java.util.regex are converted at the boundary.
+  */
+object TextKernels {
+  // pattern cache: regexes come from (almost always literal) SQL
+  // arguments, so the working set is tiny; bound it defensively anyway
+  private val patterns =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.regex.Pattern]()
+  private def pattern(re: String): java.util.regex.Pattern = {
+    if (patterns.size > 1000) patterns.clear()
+    patterns.computeIfAbsent(re, java.util.regex.Pattern.compile(_))
+  }
+
+  /** BigQuery REGEXP_INSTR(value, regexp, position, occurrence,
+    * occurrence_position): 1-based character position of the
+    * occurrence-th match at or after `position`; 0 when absent.
+    * occurrence_position 0 → match start, 1 → first position AFTER the
+    * match end.
+    */
+  def regexpInstr(value: UTF8String, re: UTF8String, position: Int,
+      occurrence: Int, occurrencePosition: Int): Long = {
+    if (position < 1) throw new IllegalArgumentException(
+      s"REGEXP_INSTR position must be positive, got $position")
+    if (occurrence < 1) throw new IllegalArgumentException(
+      s"REGEXP_INSTR occurrence must be positive, got $occurrence")
+    if (occurrencePosition != 0 && occurrencePosition != 1)
+      throw new IllegalArgumentException(
+        s"REGEXP_INSTR occurrence_position must be 0 or 1, got $occurrencePosition")
+    val s = value.toString
+    val nChars = s.codePointCount(0, s.length)
+    if (position > nChars) return 0L
+    val from = s.offsetByCodePoints(0, position - 1)
+    val m = pattern(re.toString).matcher(s)
+    var found = m.find(from)
+    var k = 1
+    while (found && k < occurrence) { found = m.find(); k += 1 }
+    if (!found) 0L
+    else {
+      val idx = if (occurrencePosition == 0) m.start else m.end
+      s.codePointCount(0, idx) + 1L
+    }
+  }
+
+  /** BigQuery INITCAP(value, delimiters): the first character of each
+    * word upper-cased, the rest lower-cased; words break on any
+    * character of `delimiters` (characters, not a regex).
+    */
+  def initcap(value: UTF8String, delimiters: UTF8String): UTF8String = {
+    val s = value.toString
+    val delims = new java.util.HashSet[Integer]()
+    val d = delimiters.toString
+    var i = 0
+    while (i < d.length) {
+      val cp = d.codePointAt(i)
+      delims.add(cp)
+      i += Character.charCount(cp)
+    }
+    val out = new java.lang.StringBuilder(s.length)
+    var atWordStart = true
+    i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      if (delims.contains(cp)) {
+        out.appendCodePoint(cp)
+        atWordStart = true
+      } else {
+        out.appendCodePoint(
+          if (atWordStart) Character.toUpperCase(cp) else Character.toLowerCase(cp))
+        atWordStart = false
+      }
+      i += Character.charCount(cp)
+    }
+    UTF8String.fromString(out.toString)
+  }
+}
+
+/** `graft_regexp_instr(value, regexp, position, occurrence,
+  * occurrence_position)` — BigQuery's 5-arg REGEXP_INSTR (shorter
+  * arities are padded with defaults by the dialect rewrite; Spark's own
+  * regexp_instr reads the third argument as a GROUP INDEX, so even the
+  * 3-arg form must route here).
+  */
+case class BqRegexpInstr(children: Seq[Expression]) extends Expression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def foldable: Boolean = children.forall(_.foldable)
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.exists(_ == null)) null
+    else TextKernels.regexpInstr(vs(0).asInstanceOf[UTF8String],
+      vs(1).asInstanceOf[UTF8String], vs(2).asInstanceOf[Int],
+      vs(3).asInstanceOf[Int], vs(4).asInstanceOf[Int])
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val gens = children.map(_.genCode(ctx))
+    val childCode = gens.map(_.code.toString).mkString("\n")
+    val nullChecks = gens.map(_.isNull.code).mkString(" || ")
+    ev.copy(code =
+      code"""
+        $childCode
+        boolean ${ev.isNull} = $nullChecks;
+        long ${ev.value} = 0L;
+        if (!${ev.isNull}) {
+          ${ev.value} = graft.functions.TextKernels.regexpInstr(
+            ${gens(0).value}, ${gens(1).value}, ${gens(2).value},
+            ${gens(3).value}, ${gens(4).value});
+        }
+      """)
+  }
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): BqRegexpInstr = copy(children = newChildren)
+}
+
+/** `graft_initcap(value, delimiters)` — BigQuery INITCAP with its
+  * delimiter-set semantics (the dialect supplies BigQuery's documented
+  * default set for the 1-arg form).
+  */
+case class BqInitcap(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(v: Any, d: Any): Any =
+    TextKernels.initcap(v.asInstanceOf[UTF8String], d.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, d) => s"graft.functions.TextKernels.initcap($v, $d)")
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): BqInitcap = copy(left = newLeft, right = newRight)
+}
+
+object TextExpressions {
+  /** Register `graft_regexp_instr` and `graft_initcap` (idempotent). */
+  def register(spark: SparkSession): Unit = {
+    if (spark.sessionState.functionRegistry.functionExists(
+        FunctionIdentifier("graft_regexp_instr"))) return
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_regexp_instr",
+      exprs => BqRegexpInstr(Seq(exprs(0), exprs(1),
+        Cast(exprs(2), IntegerType), Cast(exprs(3), IntegerType),
+        Cast(exprs(4), IntegerType))),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_initcap", exprs => BqInitcap(exprs(0), exprs(1)), "scala_udf")
+  }
+}

@@ -998,6 +998,37 @@ object EngineQueries {
           |SELECT k2, name FROM graft.pg61.v ORDER BY k2""".stripMargin).get
     },
 
+    // --- vocabulary pack 8 (cont.): TIME family, week-start parts,
+    //     position/occurrence regexp forms --------------------------------
+    "e63_time_week_vocab" -> { (s, d) =>
+      // TIME is an 'HH:mm:ss' string anchored on the epoch date for
+      // arithmetic (wrap-around past midnight falls out of the
+      // timestamp math); WEEK(<WEEKDAY>) variants of EXTRACT /
+      // LAST_DAY / DATE_DIFF generalize the Sunday-start formulas;
+      // REGEXP_INSTR's occurrence argument routes to a native
+      // code-point-correct kernel, REGEXP_EXTRACT's position form to
+      // substr composition. All per-row codegen — no shuffle beyond
+      // the final sort.
+      Tables.views(s, d, "nation")
+      new ScriptRunner(s).run(
+        """SELECT CAST(n_nationkey AS INT64) AS id,
+          |  TIME_ADD(TIME '23:30:00', INTERVAL n_nationkey * 37 MINUTE) AS t_wrap,
+          |  TIME_TRUNC(TIME_ADD(TIME '10:15:30', INTERVAL n_nationkey HOUR), HOUR) AS ttrunc,
+          |  TIME_DIFF(TIME_ADD(TIME '06:00:00', INTERVAL n_nationkey * 7 MINUTE),
+          |            TIME '01:30:00', MINUTE) AS tdiff,
+          |  EXTRACT(TIME FROM TIMESTAMP_ADD(TIMESTAMP '2024-01-01 05:06:07',
+          |                                  INTERVAL n_nationkey MINUTE)) AS tpart,
+          |  EXTRACT(WEEK(MONDAY) FROM DATE_ADD(DATE '2024-01-01',
+          |                                     INTERVAL n_nationkey DAY)) AS wmon,
+          |  CAST(LAST_DAY(DATE_ADD(DATE '2024-01-01', INTERVAL n_nationkey * 11 DAY),
+          |                WEEK(TUESDAY)) AS STRING) AS ld,
+          |  DATE_DIFF(DATE_ADD(DATE '2024-01-01', INTERVAL n_nationkey * 13 DAY),
+          |            DATE '2024-01-01', WEEK(FRIDAY)) AS wdiff,
+          |  CAST(REGEXP_INSTR(n_name, '[^ ]+', 1, 2) AS INT64) AS ri,
+          |  REGEXP_EXTRACT(n_name, '[A-Z]+', 2) AS re2
+          |FROM nation ORDER BY id""".stripMargin).get
+    },
+
     // --- vocabulary pack 8: schema DDL, table functions, full MERGE ----
     "e62_tvf_merge_vocab" -> { (s, d) =>
       // round-8 probe closures: CREATE SCHEMA (dataset DDL), CREATE
@@ -2069,6 +2100,37 @@ object EngineQueries {
     "e61_ddl_lifecycle" ->
       """SELECT CAST(r_regionkey AS BIGINT) + 100 AS k2, r_name AS name
         |FROM region ORDER BY k2""".stripMargin,
+
+    // independent restatements: time values via epoch-anchored
+    // timestamp math, week-start parts via dayofweek arithmetic
+    // (DuckDB dayofweek is 0=Sunday; +1 aligns to Spark's 1=Sunday),
+    // regexp positions via the single-space structure of nation names
+    "e63_time_week_vocab" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS id,
+        |  strftime(TIMESTAMP '1970-01-01 23:30:00'
+        |           + (n_nationkey * 37) * INTERVAL 1 MINUTE, '%H:%M:%S') AS t_wrap,
+        |  strftime(date_trunc('hour', TIMESTAMP '1970-01-01 10:15:30'
+        |           + n_nationkey * INTERVAL 1 HOUR), '%H:%M:%S') AS ttrunc,
+        |  CAST(270 + 7 * n_nationkey AS BIGINT) AS tdiff,
+        |  strftime(TIMESTAMP '2024-01-01 05:06:07'
+        |           + n_nationkey * INTERVAL 1 MINUTE, '%H:%M:%S') AS tpart,
+        |  CAST((dayofyear(DATE '2024-01-01' + n_nationkey * INTERVAL 1 DAY) + 6
+        |        - ((7 + 2 - (dayofweek(date_trunc('year',
+        |             DATE '2024-01-01' + n_nationkey * INTERVAL 1 DAY)) + 1)) % 7)) // 7
+        |       AS BIGINT) AS wmon,
+        |  CAST(CAST(DATE '2024-01-01' + (11 * n_nationkey) * INTERVAL 1 DAY
+        |        + (6 - (((dayofweek(DATE '2024-01-01' + (11 * n_nationkey) * INTERVAL 1 DAY)
+        |                  + 1) - 3 + 7) % 7)) * INTERVAL 1 DAY AS DATE) AS VARCHAR) AS ld,
+        |  CAST(((DATE '2024-01-01' + (13 * n_nationkey) * INTERVAL 1 DAY
+        |         - (((dayofweek(DATE '2024-01-01' + (13 * n_nationkey) * INTERVAL 1 DAY)
+        |             + 1) - 6 + 7) % 7) * INTERVAL 1 DAY)::DATE
+        |        - (DATE '2024-01-01'
+        |           - (((dayofweek(DATE '2024-01-01') + 1) - 6 + 7) % 7) * INTERVAL 1 DAY)::DATE)
+        |       // 7 AS BIGINT) AS wdiff,
+        |  CAST(CASE WHEN contains(n_name, ' ') THEN strpos(n_name, ' ') + 1
+        |            ELSE 0 END AS BIGINT) AS ri,
+        |  regexp_extract(n_name[2:], '[A-Z]+') AS re2
+        |FROM nation ORDER BY id""".stripMargin,
 
     // matched deletes (region<=2, id>=20) drop; matched updates add
     // 10·region; unmatched-by-source rows flip to -1; the TVF filter

@@ -476,4 +476,70 @@ class DialectExecSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one("SELECT CURRENT_DATETIME() IS NOT NULL") == true)
     assert(one("SELECT CURRENT_DATETIME('America/Los_Angeles') IS NOT NULL") == true)
   }
+
+  test("INITCAP uses BigQuery's delimiter set (1-arg) and a custom set (2-arg)") {
+    // hyphen and underscore break words in BigQuery, unlike Spark's initcap
+    assert(one("SELECT INITCAP('hello world-foo_bar')") == "Hello World-Foo_Bar")
+    assert(one("SELECT INITCAP('a.b/c,d')") == "A.B/C,D")
+    // custom delimiters: only comma breaks; space is then a word char
+    assert(one("SELECT INITCAP('a,b c', ',')") == "A,B c")
+    assert(one("SELECT INITCAP(CAST(NULL AS STRING))") == null)
+  }
+
+  test("REGEXP_INSTR: position, occurrence, occurrence_position, code points") {
+    assert(one("SELECT REGEXP_INSTR('ab12cd34', '[0-9]+')") == 3L)
+    assert(one("SELECT REGEXP_INSTR('ab12cd34', '[0-9]+', 4)") == 4L)
+    assert(one("SELECT REGEXP_INSTR('ab12cd34', '[0-9]+', 1, 2)") == 7L)
+    // occurrence_position 1 → first position AFTER the match
+    assert(one("SELECT REGEXP_INSTR('ab12cd34', '[0-9]+', 1, 1, 1)") == 5L)
+    assert(one("SELECT REGEXP_INSTR('ab12cd34', 'xyz')") == 0L)
+    // positions count CHARACTERS: the astral emoji is one character
+    assert(one("SELECT REGEXP_INSTR(CONCAT(CODE_POINTS_TO_STRING([128512]), 'ab'), 'b')") == 3L)
+    // invalid position/occurrence fail loud like BigQuery
+    intercept[Exception](one("SELECT REGEXP_INSTR('a', 'a', 0)"))
+    intercept[Exception](one("SELECT REGEXP_INSTR('a', 'a', 1, 0)"))
+  }
+
+  test("REGEXP_EXTRACT with position and occurrence") {
+    assert(one("SELECT REGEXP_EXTRACT('ab12cd34', '[0-9]+', 3)") == "12")
+    assert(one("SELECT REGEXP_EXTRACT('ab12cd34', '[0-9]+', 1, 2)") == "34")
+    assert(one("SELECT REGEXP_EXTRACT('ab12cd34', '[0-9]+', 1, 9)") == null)
+  }
+
+  test("ARRAY_FIRST/ARRAY_LAST/ARRAY_SLICE (incl. negative offsets)") {
+    assert(one("SELECT ARRAY_FIRST([4, 5, 6])") == 4)
+    assert(one("SELECT ARRAY_LAST([4, 5, 6])") == 6)
+    assert(one("SELECT ARRAY_SLICE([1, 2, 3, 4, 5], 1, 3)") == Seq(2, 3, 4))
+    assert(one("SELECT ARRAY_SLICE([1, 2, 3, 4, 5], 0, 0)") == Seq(1))
+    // negative offsets count from the end (inclusive)
+    assert(one("SELECT ARRAY_SLICE([1, 2, 3, 4, 5], -3, -1)") == Seq(3, 4, 5))
+    // start past end → empty
+    assert(one("SELECT ARRAY_SLICE([1, 2, 3], 2, 1)") == Seq())
+  }
+
+  test("STRING_AGG with ORDER BY ... LIMIT") {
+    assert(one("SELECT STRING_AGG(x, ',' ORDER BY x LIMIT 2) " +
+      "FROM (SELECT explode(array('b', 'a', 'c')) AS x)") == "a,b")
+    assert(one("SELECT STRING_AGG(x, '|' ORDER BY x DESC LIMIT 2) " +
+      "FROM (SELECT explode(array('b', 'a', 'c')) AS x)") == "c|b")
+  }
+
+  test("TIME family: literal, CAST, add wrap-around, parse/format") {
+    assert(one("SELECT TIME '15:30:45'") == "15:30:45")
+    assert(one("SELECT CAST('07:08:09' AS TIME)") == "07:08:09")
+    // wrap past midnight, like BigQuery TIME_ADD
+    assert(one("SELECT TIME_ADD(TIME '23:30:00', INTERVAL 45 MINUTE)") == "00:15:00")
+    assert(one("SELECT TIME_SUB(TIME '00:15:00', INTERVAL 30 MINUTE)") == "23:45:00")
+    assert(one("SELECT FORMAT_TIME('%H', TIME '15:30:45')") == "15")
+    assert(one("SELECT PARSE_TIME('%H:%M:%S', '15:30:45')") == "15:30:45")
+    assert(one("SELECT CURRENT_TIME() IS NOT NULL") == true)
+  }
+
+  test("CAST AS BYTES maps to BINARY; `bytes`/`time` stay usable as aliases") {
+    assert(java.util.Arrays.equals(
+      one("SELECT CAST('ab' AS BYTES)").asInstanceOf[Array[Byte]],
+      "ab".getBytes("UTF-8")))
+    assert(one("SELECT 7 AS bytes") == 7)
+    assert(one("SELECT 8 AS time") == 8)
+  }
 }
