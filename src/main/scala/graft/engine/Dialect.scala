@@ -31,6 +31,40 @@ object Dialect {
     * scalar-subquery SET position — `query.py:17`).
     */
   private val selectAsStruct = raw"(?i)SELECT\s+AS\s+STRUCT\b".r
+  private val selectAsValueRe = raw"(?i)\bSELECT\s+AS\s+VALUE\b".r
+
+  /** BigQuery `SELECT AS VALUE <struct expr> [FROM …]` (value table of
+    * structs): the enclosing query sees the struct's FIELDS as columns.
+    * `inline(array(expr))` is Spark's exact equivalent for the struct
+    * case; non-struct value tables have no named columns to reference
+    * and fail loud in analysis.
+    */
+  private def rewriteSelectAsValue(sql: String): String =
+    selectAsValueRe.findFirstMatchIn(sql) match {
+      case Some(m) if !literalSpans(sql).exists(s =>
+          m.start >= s._1 && m.start < s._2) =>
+        val stop = Set("FROM", "UNION", "INTERSECT", "EXCEPT", "ORDER", "LIMIT")
+        var depth = 0
+        var exprEnd = sql.length
+        val it = StatementSplitter.tokens(sql).iterator.filter(_._2 >= m.end)
+        var done = false
+        while (it.hasNext && !done) {
+          val (t, pos) = it.next()
+          t match {
+            case "(" => depth += 1
+            case ")" =>
+              depth -= 1
+              if (depth < 0) { exprEnd = pos; done = true }
+            case ";" if depth == 0 => exprEnd = pos; done = true
+            case w if depth == 0 && stop(w) => exprEnd = pos; done = true
+            case _ =>
+          }
+        }
+        val expr = sql.substring(m.end, exprEnd).trim
+        rewriteSelectAsValue(sql.substring(0, m.start) +
+          s"SELECT inline(array($expr)) " + sql.substring(exprEnd))
+      case _ => sql
+    }
 
   /** `CREATE TEMP TABLE` → Spark temp view DDL is handled by
     * ScriptRunner; this just normalizes the keyword spelling.
@@ -604,6 +638,10 @@ object Dialect {
         .replaceAll(raw"(?i)(\bAS\s+)DATETIME\b", "$1TIMESTAMP_NTZ")
         // BIGNUMERIC is 76 digits in BigQuery; Spark decimals cap at
         // 38 — 38,18 keeps the wider fraction (precision reduction)
+        // parameterized NUMERIC(p,s)/BIGNUMERIC(p,s) keep their
+        // parameters; the bare keywords take BigQuery's defaults
+        .replaceAll(raw"(?i)\bBIGNUMERIC\s*\(", "DECIMAL(")
+        .replaceAll(raw"(?i)\bNUMERIC\s*\(", "DECIMAL(")
         .replaceAll(raw"(?i)\bBIGNUMERIC\b", "DECIMAL(38,18)")
         .replaceAll(raw"(?i)\bNUMERIC\b", "DECIMAL(38,9)")
         .replaceAll(raw"(?i)\bINT64\b", "BIGINT")
@@ -637,6 +675,7 @@ object Dialect {
     // SYSTEM_TIME's underscore blocks the word boundary.
     out = out.replaceAll(raw"(?i)\bTIME\s*(?=')", "")
     out = mapOutsideLiterals(out)(selectAsStruct.replaceAllIn(_, "SELECT "))
+    out = rewriteSelectAsValue(out)
     out = rewriteCalls(out)
     out = rewriteArrayLiteral(out)
     out = rewriteArrayAccess(out)

@@ -32,6 +32,10 @@ class ScriptRunner(spark: SparkSession) {
     raw"(?is)^DECLARE\s+(\w+)\s+([\w<>,() ]+?)(?:\s+DEFAULT\s+(.+))?$$".r
   private val setSimpleRe = raw"(?is)^SET\s+(\w+)\s*=\s*(.+)$$".r
   private val setStructRe = raw"(?is)^SET\s*\(\s*(\w+)\s*\)\s*=\s*\((.+)\)$$".r
+  // SET (a, b, …) = (expr, expr, …) | (SELECT AS STRUCT …): positional
+  // multi-assignment (BigQuery scripting)
+  private val setMultiRe =
+    raw"(?is)^SET\s*\(\s*(\w+(?:\s*,\s*\w+)+)\s*\)\s*=\s*\((.+)\)$$".r
   private val createTempRe =
     raw"(?is)^CREATE\s+(?:OR\s+REPLACE\s+)?TEMP(?:ORARY)?\s+TABLE\s+`?([\w.]+)`?\s+AS\s*\((.+)\)$$|^CREATE\s+(?:OR\s+REPLACE\s+)?TEMP(?:ORARY)?\s+TABLE\s+`?([\w.]+)`?\s+AS\s+(.+)$$".r
   private val createTableAsRe =
@@ -220,13 +224,17 @@ class ScriptRunner(spark: SparkSession) {
     * statement sat outside any loop — surfaced with BigQuery's own
     * wording.
     */
-  private final class BreakSignal extends RuntimeException
-  private final class ContinueSignal extends RuntimeException
+  // BREAK/CONTINUE may carry a loop label: the signal unwinds until a
+  // loop with that label catches it (BigQuery labeled loops)
+  private final class BreakSignal(val label: Option[String] = scala.None)
+    extends RuntimeException
+  private final class ContinueSignal(val label: Option[String] = scala.None)
+    extends RuntimeException
   // RETURN exits the innermost procedure, or the whole script at top
   // level (BigQuery scripting semantics)
   private final class ReturnSignal extends RuntimeException
 
-  private def runWhile(stmt: String): Option[DataFrame] = {
+  private def runWhile(stmt: String, label: Option[String] = scala.None): Option[DataFrame] = {
     val ms = topMarkers(stmt, Set("DO"))
     require(ms.length >= 2 && ms.head.text == "DO" && ms.last.text == "END",
       s"malformed WHILE: $stmt")
@@ -239,8 +247,8 @@ class ScriptRunner(spark: SparkSession) {
     while (!broke && evalBool(cond) && guard < 10000) {
       try runScript(body).foreach(df => last = Some(df))
       catch {
-        case _: BreakSignal => broke = true
-        case _: ContinueSignal => ()
+        case b: BreakSignal if b.label.isEmpty || b.label == label => broke = true
+        case c: ContinueSignal if c.label.isEmpty || c.label == label => ()
       }
       guard += 1
     }
@@ -254,7 +262,7 @@ class ScriptRunner(spark: SparkSession) {
     * exit, so a guard overrun (no BREAK ever taken) is an error, not a
     * silent stop.
     */
-  private def runLoop(stmt: String): Option[DataFrame] = {
+  private def runLoop(stmt: String, label: Option[String] = scala.None): Option[DataFrame] = {
     val ms = topMarkers(stmt, Set.empty)
     require(ms.nonEmpty && ms.last.text == "END", s"malformed LOOP: $stmt")
     val lTok = StatementSplitter.annotate(stmt).head
@@ -265,8 +273,8 @@ class ScriptRunner(spark: SparkSession) {
     while (!broke && guard < 10000) {
       try runScript(body).foreach(df => last = Some(df))
       catch {
-        case _: BreakSignal => broke = true
-        case _: ContinueSignal => ()
+        case b: BreakSignal if b.label.isEmpty || b.label == label => broke = true
+        case c: ContinueSignal if c.label.isEmpty || c.label == label => ()
       }
       guard += 1
     }
@@ -280,7 +288,7 @@ class ScriptRunner(spark: SparkSession) {
     * it can still terminate the loop), BREAK exits immediately — both
     * per the BigQuery scripting spec.
     */
-  private def runRepeat(stmt: String): Option[DataFrame] = {
+  private def runRepeat(stmt: String, label: Option[String] = scala.None): Option[DataFrame] = {
     val ms = topMarkers(stmt, Set("UNTIL"))
     require(ms.length >= 2 && ms.last.text == "END", s"malformed REPEAT: $stmt")
     val untilTok = ms.find(_.text == "UNTIL").getOrElse(
@@ -295,8 +303,8 @@ class ScriptRunner(spark: SparkSession) {
     while (!done && !broke && guard < 10000) {
       try runScript(body).foreach(df => last = Some(df))
       catch {
-        case _: BreakSignal => broke = true
-        case _: ContinueSignal => ()
+        case b: BreakSignal if b.label.isEmpty || b.label == label => broke = true
+        case c: ContinueSignal if c.label.isEmpty || c.label == label => ()
       }
       guard += 1
       if (!broke) done = evalBool(cond)
@@ -366,7 +374,7 @@ class ScriptRunner(spark: SparkSession) {
     * each body statement still executes distributed. Row count capped
     * to catch a data-sized query being misused as a loop driver.
     */
-  private def runFor(stmt: String): Option[DataFrame] = {
+  private def runFor(stmt: String, label: Option[String] = scala.None): Option[DataFrame] = {
     val forRe = raw"(?is)^FOR\s+(\w+)\s+IN\s*\(".r
     val m = forRe.findFirstMatchIn(stmt).getOrElse(
       throw new IllegalArgumentException(s"malformed FOR: $stmt"))
@@ -406,8 +414,8 @@ class ScriptRunner(spark: SparkSession) {
         }
         try runScript(bodyRendered).foreach(df => last = Some(df))
         catch {
-          case _: BreakSignal => loop.break()
-          case _: ContinueSignal => ()
+          case b: BreakSignal if b.label.isEmpty || b.label == label => loop.break()
+          case c: ContinueSignal if c.label.isEmpty || c.label == label => ()
         }
       }
     }
@@ -574,6 +582,25 @@ class ScriptRunner(spark: SparkSession) {
         else dmlRunner.noteMutationForTxn(target)
       }
     }
+    stmt.trim match {
+      case loopLabelRe(label0, rest0) =>
+        val label = Some(label0.toUpperCase)
+        // the closing `END <kw> <label>` drops its label so the loop
+        // parsers see the plain form
+        val rest = rest0.replaceAll(
+          raw"(?is)\bEND\s+(LOOP|WHILE|FOR|REPEAT)\s+" +
+            java.util.regex.Pattern.quote(label0) + raw"\s*(;?\s*)$$",
+          "END $1$2")
+        return StatementSplitter.firstKeyword(rest) match {
+          case "LOOP" => runLoop(rest, label)
+          case "WHILE" => runWhile(rest, label)
+          case "FOR" => runFor(rest, label)
+          case "REPEAT" => runRepeat(rest, label)
+          case other => throw new IllegalArgumentException(
+            s"label '$label0' may only prefix LOOP/WHILE/FOR/REPEAT, got $other")
+        }
+      case _ =>
+    }
     StatementSplitter.firstKeyword(stmt) match {
       case "IF" => runIf(stmt)
       case "WHILE" => runWhile(stmt)
@@ -591,12 +618,22 @@ class ScriptRunner(spark: SparkSession) {
       case "RAISE" => runRaise(stmt)
       case "EXPORT" => runExportData(stmt)
       case "LOAD" => runLoadData(stmt)
-      case "BREAK" | "LEAVE" => throw new BreakSignal
-      case "CONTINUE" | "ITERATE" => throw new ContinueSignal
+      case "BREAK" | "LEAVE" => throw new BreakSignal(signalLabel(stmt))
+      case "CONTINUE" | "ITERATE" => throw new ContinueSignal(signalLabel(stmt))
       case "RETURN" => throw new ReturnSignal
       case _ => runSimpleStatement(stmt)
     }
   }
+
+  private def signalLabel(stmt: String): Option[String] =
+    raw"(?is)^\s*(?:BREAK|LEAVE|CONTINUE|ITERATE)\s+([A-Za-z_]\w*)\s*;?\s*$$".r
+      .findFirstMatchIn(stmt).map(_.group(1).toUpperCase)
+
+  // `label: LOOP|WHILE|FOR|REPEAT …` — strip the label (and its
+  // repetition after the closing END <kw>) and remember it for the
+  // loop's BREAK/CONTINUE matching
+  private val loopLabelRe =
+    raw"(?is)^\s*([A-Za-z_]\w*)\s*:\s*((?:LOOP|WHILE|FOR|REPEAT)\b.*)$$".r
 
   private val exportDataRe =
     raw"(?is)^EXPORT\s+DATA\s+OPTIONS\s*\((.*?)\)\s+AS\s+(.+)$$".r
@@ -1643,6 +1680,25 @@ class ScriptRunner(spark: SparkSession) {
       variables(name) =
         if (default != null) evalToLiteral(s"CAST(($default) AS ${declaredTypes(name)})")
         else "NULL"
+      None
+    case setMultiRe(names, rhs) =>
+      val vars = names.split(",").map(_.trim).toSeq
+      val exprs: Seq[String] =
+        if (raw"(?is)^\s*SELECT\b".r.findFirstIn(rhs).isDefined) {
+          val row = spark.sql(Dialect.rewrite(substituteVars(rhs.trim))).collect()(0)
+          // SELECT AS STRUCT yields one struct column; unwrap its fields
+          val r = if (row.length == 1 && row.get(0).isInstanceOf[org.apache.spark.sql.Row])
+            row.getAs[org.apache.spark.sql.Row](0) else row
+          r.toSeq.map(literalOf)
+        } else splitTopLevelCsv(rhs)
+      if (exprs.length != vars.length) throw new IllegalArgumentException(
+        s"SET (${vars.mkString(", ")}) expects ${vars.length} values, got ${exprs.length}")
+      vars.zip(exprs).foreach { case (n, e) =>
+        variables(n) = declaredTypes.get(n) match {
+          case Some(t) => evalToLiteral(s"CAST(($e) AS $t)")
+          case scala.None => evalToLiteral(e)
+        }
+      }
       None
     case setStructRe(name, select) =>
       variables(name) = {

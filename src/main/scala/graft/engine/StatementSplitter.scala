@@ -114,6 +114,10 @@ object StatementSplitter {
     var caseDepth = 0
     var i = 0
     var prev = "" // previous token — statement-position detector for IF
+    // previous token was a plain word in statement position that opened
+    // nothing — i.e. a candidate loop LABEL (`my_label: LOOP …`; the
+    // lexer drops the colon, so the label is the word itself)
+    var prevLabelPos = false
     while (i < ts.length) {
       val (t, pos) = ts(i)
       val next = if (i + 1 < ts.length) ts(i + 1)._1 else ""
@@ -126,7 +130,7 @@ object StatementSplitter {
       // REPEAT introduces its body with no DO, so it belongs here too.
       val stmtPos = (prev == "" || prev == ";" || prev == "THEN" ||
         prev == "ELSE" || prev == "DO" || prev == "BEGIN" ||
-        prev == "REPEAT") && caseDepth == 0
+        prev == "REPEAT" || prev == "LOOP") && caseDepth == 0
       t match {
         // a CASE in statement position is the CASE…END CASE scripting
         // statement (a block); anywhere else it is the CASE expression
@@ -150,9 +154,14 @@ object StatementSplitter {
         case "LOOP" if stmtPos => depth += 1
         case "FOR" if stmtPos => depth += 1 // FOR rec IN (...) DO … END FOR
         case "REPEAT" if stmtPos => depth += 1 // REPEAT body UNTIL cond END REPEAT
+        // labeled loop: `label: LOOP` — the label word sat in statement
+        // position, so the loop keyword itself no longer does
+        case "LOOP" | "WHILE" | "FOR" | "REPEAT" if prevLabelPos => depth += 1
         case _ =>
       }
       out += Tok(t, pos, before, depth, caseDepth, endLen)
+      prevLabelPos = stmtPos && caseDepth == 0 && depth == before &&
+        t.nonEmpty && (t.head.isLetter || t.head == '_')
       prev = if (endLen == 2) "IF_CLOSED" else t
       i += 1
     }

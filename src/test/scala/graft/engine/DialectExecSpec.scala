@@ -535,6 +535,18 @@ class DialectExecSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one("SELECT CURRENT_TIME() IS NOT NULL") == true)
   }
 
+  test("parameterized NUMERIC(p,s)/BIGNUMERIC(p,s) keep their parameters") {
+    assert(one("SELECT CAST(1.239 AS NUMERIC(10, 2))").toString == "1.24")
+    assert(one("SELECT CAST(2.5 AS BIGNUMERIC(20, 4))").toString == "2.5000")
+    // bare forms keep BigQuery's defaults
+    assert(one("SELECT CAST(1 AS NUMERIC)").toString == "1.000000000")
+  }
+
+  test("SELECT AS VALUE struct exposes its fields as columns") {
+    assert(one("SELECT v FROM (SELECT AS VALUE STRUCT(5 AS v, 'x' AS w) FROM (SELECT 1))") == 5)
+    assert(one("SELECT w FROM (SELECT AS VALUE STRUCT(5 AS v, 'x' AS w))") == "x")
+  }
+
   test("CAST AS BYTES maps to BINARY; `bytes`/`time` stay usable as aliases") {
     assert(java.util.Arrays.equals(
       one("SELECT CAST('ab' AS BYTES)").asInstanceOf[Array[Byte]],

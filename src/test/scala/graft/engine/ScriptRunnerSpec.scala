@@ -1204,6 +1204,66 @@ class ScriptRunnerSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[Exception] { sr.run("SELECT * FROM scaled(1, 2)") }
   }
 
+  test("labeled loops: BREAK/CONTINUE with a label unwind to that loop") {
+    val sr = new ScriptRunner(spark)
+    // BREAK outer from INSIDE the inner loop kills both loops
+    val out1 = sr.run(
+      """DECLARE i INT64 DEFAULT 0; DECLARE n INT64 DEFAULT 0;
+        |outer_l: WHILE i < 3 DO
+        |  SET i = i + 1;
+        |  inner_l: LOOP
+        |    SET n = n + 1;
+        |    IF n >= 2 THEN
+        |      BREAK outer_l;
+        |    END IF;
+        |  END LOOP inner_l;
+        |END WHILE outer_l;
+        |SELECT i, n""".stripMargin).get.collect()(0)
+    assert((out1.getLong(0), out1.getLong(1)) == (1L, 2L))
+    // CONTINUE outer from the inner loop terminates the inner loop and
+    // advances the outer one
+    val out2 = sr.run(
+      """DECLARE i INT64 DEFAULT 0; DECLARE n INT64 DEFAULT 0;
+        |o2: WHILE i < 3 DO
+        |  SET i = i + 1;
+        |  LOOP
+        |    SET n = n + 10;
+        |    CONTINUE o2;
+        |  END LOOP;
+        |  SET n = n + 1000;
+        |END WHILE o2;
+        |SELECT n""".stripMargin).get.collect()(0).getLong(0)
+    assert(out2 == 30L, s"inner loop must end and the +1000 line never run: $out2")
+    // a mislabeled BREAK fails loud instead of silently breaking one level
+    val e = intercept[IllegalStateException] { sr.run(
+      """DECLARE i INT64 DEFAULT 0;
+        |w: WHILE i < 1 DO
+        |  SET i = i + 1;
+        |  BREAK nosuch;
+        |END WHILE w""".stripMargin) }
+    assert(e.getMessage.contains("outside of a loop"))
+  }
+
+  test("SET (a, b) = tuple and = (SELECT AS STRUCT ...) assign positionally") {
+    val sr = new ScriptRunner(spark)
+    val out = sr.run(
+      """DECLARE a INT64; DECLARE b STRING;
+        |SET (a, b) = (7, 'x');
+        |SELECT CONCAT(CAST(a AS STRING), b) AS v""".stripMargin)
+      .get.collect()(0).getString(0)
+    assert(out == "7x")
+    val out2 = sr.run(
+      """DECLARE lo INT64; DECLARE hi INT64;
+        |SET (lo, hi) = (SELECT AS STRUCT MIN(x), MAX(x)
+        |                FROM (SELECT explode(array(3, 9, 5)) AS x));
+        |SELECT hi - lo AS d""".stripMargin).get.collect()(0).getLong(0)
+    assert(out2 == 6L)
+    // arity mismatch fails loud
+    intercept[IllegalArgumentException] {
+      sr.run("DECLARE a INT64; DECLARE b INT64;\nSET (a, b) = (1, 2, 3);\nSELECT 1")
+    }
+  }
+
   test("table functions may reference other table functions (bounded)") {
     spark.sql("DROP DATABASE IF EXISTS tvfspec2 CASCADE")
     val loc = java.nio.file.Files.createTempDirectory("tvfspec2")
