@@ -998,6 +998,42 @@ object EngineQueries {
           |SELECT k2, name FROM graft.pg61.v ORDER BY k2""".stripMargin).get
     },
 
+    // --- vocabulary pack 8 (cont.): scripting composition ---------------
+    "e64_script_composition" -> { (s, d) =>
+      // labeled loops (CONTINUE/BREAK to the OUTER loop from inside the
+      // inner one), SET tuple multi-assignment from a struct select,
+      // and a TVF parameterized by the loop results — one script, one
+      // oracled answer. The loop runs driver-side (BigQuery's own
+      // coordinator evaluates scripting control flow the same way);
+      // the data pass stays one distributed scan.
+      Tables.views(s, d, "nation")
+      new ScriptRunner(s).run(
+        """DECLARE total INT64 DEFAULT 0;
+          |DECLARE i INT64 DEFAULT 0;
+          |DECLARE lo INT64; DECLARE hi INT64;
+          |outer_l: WHILE i < 5 DO
+          |  SET i = i + 1;
+          |  inner_l: LOOP
+          |    SET total = total + 1;
+          |    IF MOD(total, 5) = 0 THEN
+          |      CONTINUE outer_l;
+          |    END IF;
+          |    IF total >= 18 THEN
+          |      BREAK outer_l;
+          |    END IF;
+          |  END LOOP inner_l;
+          |END WHILE outer_l;
+          |SET (lo, hi) = (SELECT AS STRUCT MIN(CAST(n_nationkey AS INT64)),
+          |                                 MAX(CAST(n_nationkey AS INT64))
+          |                FROM nation);
+          |CREATE OR REPLACE TABLE FUNCTION nation_band(a INT64, b INT64) AS (
+          |  SELECT CAST(n_nationkey AS INT64) AS id, n_name
+          |  FROM nation WHERE n_nationkey BETWEEN a AND b
+          |);
+          |SELECT id, n_name, total AS total_v, i AS i_v
+          |FROM nation_band(lo + i, hi - total) ORDER BY id""".stripMargin).get
+    },
+
     // --- vocabulary pack 8 (cont.): TIME family, week-start parts,
     //     position/occurrence regexp forms --------------------------------
     "e63_time_week_vocab" -> { (s, d) =>
@@ -2100,6 +2136,14 @@ object EngineQueries {
     "e61_ddl_lifecycle" ->
       """SELECT CAST(r_regionkey AS BIGINT) + 100 AS k2, r_name AS name
         |FROM region ORDER BY k2""".stripMargin,
+
+    // the loop trace resolves to constants an independent reader can
+    // re-derive: total counts 1..18 with CONTINUE at multiples of 5 and
+    // BREAK at 18 (so i stops at 4); the band is [lo+4, hi-18] = [4, 6]
+    "e64_script_composition" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS id, n_name,
+        |  CAST(18 AS BIGINT) AS total_v, CAST(4 AS BIGINT) AS i_v
+        |FROM nation WHERE n_nationkey BETWEEN 4 AND 6 ORDER BY id""".stripMargin,
 
     // independent restatements: time values via epoch-anchored
     // timestamp math, week-start parts via dayofweek arithmetic
