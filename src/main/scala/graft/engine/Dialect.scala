@@ -33,6 +33,33 @@ object Dialect {
   private val selectAsStruct = raw"(?i)SELECT\s+AS\s+STRUCT\b".r
   private val selectAsValueRe = raw"(?i)\bSELECT\s+AS\s+VALUE\b".r
 
+  private val jsonLitKw = raw"(?i)\bJSON\s*(?=')".r
+
+  /** `JSON '<text>'` typed literal → `to_json(parse_json('<text>'))`
+    * (the engine's JSON representation is the canonical string — same
+    * route as the PARSE_JSON function). Only keywords OUTSIDE string
+    * literals rewrite, and only when a literal actually follows.
+    */
+  private def rewriteJsonLiteral(sql: String): String = {
+    val spans = literalSpans(sql)
+    def inLit(p: Int) = spans.exists(s => p >= s._1 && p < s._2)
+    val ms = jsonLitKw.findAllMatchIn(sql).filter(m => !inLit(m.start)).toList
+    if (ms.isEmpty) return sql
+    val sb = new StringBuilder
+    var idx = 0
+    ms.foreach { m =>
+      if (m.start >= idx) spans.find(_._1 == m.end).foreach { case (s0, e0) =>
+        sb.append(sql.substring(idx, m.start))
+          .append("to_json(parse_json(")
+          .append(sql.substring(s0, e0))
+          .append("))")
+        idx = e0
+      }
+    }
+    sb.append(sql.substring(idx))
+    sb.result()
+  }
+
   /** BigQuery `SELECT AS VALUE <struct expr> [FROM …]` (value table of
     * structs): the enclosing query sees the struct's FIELDS as columns.
     * `inline(array(expr))` is Spark's exact equivalent for the struct
@@ -681,6 +708,12 @@ object Dialect {
     out = rewriteArrayAccess(out)
     out = rewriteStarReplace(out)
     out = rewriteQualify(out)
+    // JSON literal: `JSON '{"a": 1}'` → the canonical JSON string via
+    // the PARSE_JSON round-trip (validates + canonicalizes). AFTER
+    // rewriteCalls, so the emitted parse_json is not re-mapped by the
+    // PARSE_JSON handler; literal-aware, so `format = 'JSON'` in
+    // EXPORT options cannot trigger.
+    out = rewriteJsonLiteral(out)
     // LAST: SEARCH() emits split/filter/forall calls that must not
     // re-enter the function mappers (SPLIT would literal-quote the
     // delimiter class); its arguments have already been mapped above
@@ -1317,6 +1350,23 @@ object Dialect {
   private val initcapDefaultDelims =
     "' \\t\\n\\r[](){}/|\\\\<>!?@\"^#$&~_,.:;*%+-'"
 
+  /** A JSON value's encoding as text (null-preserving): to_json wraps
+    * the value in a one-field struct, the fixed `{"v":` frame strips
+    * off arithmetically.
+    */
+  private def jsonEncode(e: String): String = {
+    val j = s"to_json(named_struct('v', $e), map('ignoreNullFields', 'false'))"
+    s"substr($j, 6, length($j) - 6)"
+  }
+
+  /** LAX numeric coercion source: JSON booleans → 1/0, quoted strings
+    * unwrap, everything else is the canonical text itself.
+    */
+  private def laxNumText(j: String): String =
+    s"CASE WHEN $j = 'true' THEN '1' WHEN $j = 'false' THEN '0'" +
+      s""" WHEN left($j, 1) = '"' THEN get_json_object($j, '$$')""" +
+      s" ELSE $j END"
+
   /** BigQuery DATE_TRUNC(d, WEEK) is Sunday-start; Spark's 'week' is
     * Monday-start, so WEEK gets explicit Sunday arithmetic and
     * WEEK(MONDAY)/ISOWEEK map to Spark's trunc. Spark-native
@@ -1698,7 +1748,53 @@ object Dialect {
       if (a.length == 1) Some(s"flatten(collect_list(${a(0)}))") else scala.None),
     "ANY_VALUE" -> anyValueHaving,
     "TO_JSON_STRING" -> (a =>
-      if (a.length == 1) Some(s"to_json(${a(0)})") else scala.None),
+      if (a.length == 1) Some(s"to_json(${a(0)})")
+      // 2-arg pretty form: Spark's to_json has the same pretty option
+      else if (a.length == 2)
+        Some(s"to_json(${a(0)}, map('pretty', cast(${a(1)} as string)))")
+      else scala.None),
+    // JSON constructors over the canonical-string representation
+    "JSON_ARRAY" -> (a => Some(
+      if (a.isEmpty || (a.length == 1 && a(0).trim.isEmpty)) "'[]'"
+      else s"concat('[', concat_ws(',', ${a.map(jsonEncode).mkString(", ")}), ']')")),
+    "JSON_OBJECT" -> { a =>
+      if (a.length == 1 && a(0).trim.isEmpty) Some("'{}'")
+      else if (a.isEmpty) Some("'{}'")
+      else if (a.length % 2 != 0) scala.None // key list w/o values: loud
+      else Some(s"to_json(named_struct(${a.mkString(", ")}), " +
+        "map('ignoreNullFields', 'false'))")
+    },
+    "JSON_TYPE" -> (a => if (a.length == 1) Some(
+      s"CASE WHEN ${a(0)} IS NULL THEN NULL" +
+        s" WHEN left(${a(0)}, 1) = '{' THEN 'object'" +
+        s" WHEN left(${a(0)}, 1) = '[' THEN 'array'" +
+        s""" WHEN left(${a(0)}, 1) = '"' THEN 'string'""" +
+        s" WHEN ${a(0)} IN ('true', 'false') THEN 'boolean'" +
+        s" WHEN ${a(0)} = 'null' THEN 'null'" +
+        s" ELSE 'number' END") else scala.None),
+    // strict converter: BOOL(json). INT64/FLOAT64 need no entry — the
+    // type-spelling chain already turned them into Spark's bigint()/
+    // double() cast functions, which error on non-numeric JSON text
+    // exactly like BigQuery's strict converters.
+    "BOOL" -> (a =>
+      if (a.length == 1) Some(s"cast(${a(0)} as boolean)") else scala.None),
+    // LAX converters: best-effort coercion, NULL when impossible
+    "LAX_STRING" -> (a => if (a.length == 1) Some(
+      s"CASE WHEN ${a(0)} IS NULL OR ${a(0)} = 'null' THEN NULL" +
+        s" WHEN left(${a(0)}, 1) IN ('{', '[') THEN NULL" +
+        s""" WHEN left(${a(0)}, 1) = '"' THEN get_json_object(${a(0)}, '$$')""" +
+        s" ELSE ${a(0)} END") else scala.None),
+    "LAX_INT64" -> (a => if (a.length == 1) Some(
+      s"cast(round(try_cast(${laxNumText(a(0))} as double)) as bigint)")
+      else scala.None),
+    "LAX_FLOAT64" -> (a => if (a.length == 1) Some(
+      s"try_cast(${laxNumText(a(0))} as double)") else scala.None),
+    "LAX_BOOL" -> (a => if (a.length == 1) Some(
+      s"CASE WHEN ${a(0)} IN ('true', 'false') THEN ${a(0)} = 'true'" +
+        s""" WHEN left(${a(0)}, 1) = '"' THEN""" +
+        s" CASE lower(get_json_object(${a(0)}, '$$'))" +
+        s" WHEN 'true' THEN true WHEN 'false' THEN false END" +
+        s" ELSE cast(NULL AS boolean) END") else scala.None),
     // BigQuery's JSON type: this engine's JSON representation is the
     // CANONICAL JSON STRING, so PARSE_JSON validates (invalid text
     // throws, as in BigQuery) and canonicalizes through Spark's

@@ -1795,6 +1795,8 @@ class ScriptRunner(spark: SparkSession) {
         Dialect.rewrite(substituteVars(
           expandInformationSchema(expandWildcardTables(query)))))
       None
+    case ct if createColsHeadRe.findFirstIn(ct.trim).isDefined =>
+      runCreateColsTable(ct.trim)
     case createTempRe(n1, q1, n2, q2) =>
       val (name, query) = if (n1 != null) (n1, q1) else (n2, q2)
       val viewName = name.split("\\.").last // temp views are single-part
@@ -1805,6 +1807,77 @@ class ScriptRunner(spark: SparkSession) {
     case other =>
       Some(spark.sql(Dialect.rewrite(substituteVars(
         expandInformationSchema(expandWildcardTables(other))))))
+  }
+
+  // column-list CREATE TABLE with BigQuery tail clauses (PARTITION BY
+  // expr / CLUSTER BY / OPTIONS) — the plain column-list form without a
+  // tail also routes here (same emission, no tail to translate)
+  private val createColsHeadRe =
+    raw"(?is)^CREATE\s+(?:OR\s+REPLACE\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?:`[^`]+`|[\w.\-]+)\s*\(".r
+
+  /** BigQuery `CREATE TABLE name (cols) [PARTITION BY …] [CLUSTER BY …]
+    * [OPTIONS(…)]`. A plain-column PARTITION BY becomes Spark
+    * PARTITIONED BY; expression partitioning (DATE(ts), RANGE_BUCKET)
+    * and CLUSTER BY are physical-layout hints with no semantic effect
+    * on query results, so they are accepted and dropped (the engine's
+    * own partitioned writes cover the layout needs of the gates);
+    * OPTIONS keeps description as the table comment, drops the rest
+    * (expiration etc. are service metadata a local engine can't honor).
+    */
+  private def runCreateColsTable(stmt: String): Option[DataFrame] = {
+    val m = createColsHeadRe.findFirstMatchIn(stmt).get
+    val open = m.end - 1
+    var depth = 0
+    var close = -1
+    StatementSplitter.tokens(stmt)
+      .filter(t => (t._1 == "(" || t._1 == ")") && t._2 >= open)
+      .foreach { case (p, pos) =>
+        if (close < 0) {
+          depth += (if (p == "(") 1 else -1)
+          if (depth == 0) close = pos
+        }
+      }
+    require(close > open, s"unbalanced column list: $stmt")
+    val head = stmt.substring(0, close + 1)
+    val tail0 = stmt.substring(close + 1).trim.stripSuffix(";").trim
+    // a tail that is not BigQuery's (e.g. Spark's own `USING parquet`)
+    // — or no tail at all — passes through unchanged, as before
+    if (tail0.isEmpty ||
+        raw"(?is)^(?:PARTITION\s+BY\b|CLUSTER\s+BY\b|OPTIONS\s*\()".r
+          .findFirstIn(tail0).isEmpty)
+      return { spark.sql(Dialect.rewrite(substituteVars(stmt))); scala.None }
+    // sequential clause stripping: PARTITION BY → CLUSTER BY → OPTIONS;
+    // any remainder fails loud, never drops silently
+    var rest = tail0
+    var partExpr: Option[String] = scala.None
+    raw"(?is)^PARTITION\s+BY\s+(.+?)\s*(?=CLUSTER\s+BY\b|OPTIONS\s*\(|$$)".r
+      .findFirstMatchIn(rest).foreach { mm =>
+        partExpr = Some(mm.group(1).trim)
+        rest = rest.substring(mm.group(0).length).trim
+      }
+    raw"(?is)^CLUSTER\s+BY\s+(.+?)\s*(?=OPTIONS\s*\(|$$)".r
+      .findFirstMatchIn(rest).foreach { mm =>
+        rest = rest.substring(mm.group(0).length).trim // layout-only
+      }
+    var comment = ""
+    raw"(?is)^OPTIONS\s*\((.*)\)\s*$$".r.findFirstMatchIn(rest).foreach { mm =>
+      comment = optionRe.findAllMatchIn(mm.group(1))
+        .find(_.group(1).equalsIgnoreCase("description"))
+        .map(om => s" COMMENT ${om.group(2).replace("''", "'")}").getOrElse("")
+      rest = ""
+    }
+    require(rest.isEmpty, s"unrecognized CREATE TABLE tail: $rest")
+    val partClause = partExpr match {
+      case Some(p) if raw"(?is)^[\w]+$$".r.matches(p) => s" PARTITIONED BY ($p)"
+      case Some(p) if raw"(?is)^[\w.]+\s*\(.*\)$$".r.matches(p) =>
+        "" // expression partitioning (DATE(ts), RANGE_BUCKET): layout-only
+      case Some(p) => throw new IllegalArgumentException(
+        s"unrecognized PARTITION BY expression: $p")
+      case scala.None => ""
+    }
+    spark.sql(Dialect.rewrite(substituteVars(head)) +
+      " USING PARQUET" + partClause + comment)
+    scala.None
   }
 
   private val infoSchemaRe =

@@ -547,6 +547,40 @@ class DialectExecSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one("SELECT w FROM (SELECT AS VALUE STRUCT(5 AS v, 'x' AS w))") == "x")
   }
 
+  test("JSON literal, JSON_TYPE, constructors, strict and LAX converters") {
+    // the typed literal canonicalizes through the PARSE_JSON round-trip
+    assert(one("""SELECT JSON '{"a" :  1}'""") == """{"a":1}""")
+    assert(one("""SELECT JSON_TYPE(JSON '{"a": 1}')""") == "object")
+    assert(one("SELECT JSON_TYPE(JSON '[1]')") == "array")
+    assert(one("SELECT JSON_TYPE(JSON '\"x\"')") == "string")
+    assert(one("SELECT JSON_TYPE(JSON 'true')") == "boolean")
+    assert(one("SELECT JSON_TYPE(JSON '1.5')") == "number")
+    assert(one("SELECT JSON_ARRAY(1, 'two', NULL)") == """[1,"two",null]""")
+    assert(one("SELECT JSON_ARRAY()") == "[]")
+    assert(one("SELECT JSON_OBJECT('a', 1, 'b', 'x')") == """{"a":1,"b":"x"}""")
+    // strict converters (INT64/FLOAT64 ride the type-keyword casts)
+    assert(one("SELECT INT64(JSON '42')") == 42L)
+    assert(one("SELECT FLOAT64(JSON '1.5')") == 1.5)
+    assert(one("SELECT BOOL(JSON 'true')") == true)
+    // LAX: coercions succeed, impossible ones go NULL
+    assert(one("""SELECT LAX_INT64(JSON '"42"')""") == 42L)
+    assert(one("SELECT LAX_INT64(JSON '1.9')") == 2L)
+    assert(one("SELECT LAX_INT64(JSON 'true')") == 1L)
+    assert(one("""SELECT LAX_INT64(JSON '"abc"')""") == null)
+    assert(one("SELECT LAX_STRING(JSON '7')") == "7")
+    assert(one("""SELECT LAX_STRING(JSON '"hi"')""") == "hi")
+    assert(one("""SELECT LAX_STRING(JSON '{"a": 1}')""") == null)
+    assert(one("""SELECT LAX_BOOL(JSON '"TRUE"')""") == true)
+    assert(one("SELECT LAX_BOOL(JSON '5')") == null)
+    // a string containing the word JSON must not trigger the literal
+    assert(one("SELECT 'format JSON here'") == "format JSON here")
+  }
+
+  test("TO_JSON_STRING 2-arg pretty-prints") {
+    val pretty = one("SELECT TO_JSON_STRING(STRUCT(1 AS a), true)").toString
+    assert(pretty.contains("\n") && pretty.contains("\"a\" : 1"), pretty)
+  }
+
   test("CAST AS BYTES maps to BINARY; `bytes`/`time` stay usable as aliases") {
     assert(java.util.Arrays.equals(
       one("SELECT CAST('ab' AS BYTES)").asInstanceOf[Array[Byte]],

@@ -1298,6 +1298,49 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("TVF expansion preserves filter pushdown to the parquet scan") {
+    // the table function body inlines at statement prep, so a WHERE on
+    // the call site AND the body's own parameter filter both reach the
+    // scan — the property that makes TVFs usable over 100 TB tables
+    Tables.views(spark, sfDir, "orders")
+    spark.sql("DROP TABLE IF EXISTS default.tvf_audit_orders")
+    spark.table("orders").write.saveAsTable("default.tvf_audit_orders")
+    val sr = new ScriptRunner(spark)
+    sr.run(
+      """CREATE OR REPLACE TABLE FUNCTION big_orders(floor_p FLOAT64) AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        |  FROM default.tvf_audit_orders WHERE o_totalprice >= floor_p
+        |)""".stripMargin)
+    val df = sr.run(
+      "SELECT o_orderkey, o_custkey FROM big_orders(50000.0) " +
+        "WHERE o_orderpriority = '1-URGENT'").get
+    df.collect()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("PushedFilters") && p.contains("o_totalprice") &&
+      p.contains("o_orderpriority"),
+      s"both the TVF parameter filter and the call-site filter must push down:\n$p")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("o_comment") && !readSchema.contains("o_orderdate"),
+      s"expected pruned ReadSchema through the TVF, got $readSchema")
+    spark.sql("DROP TABLE IF EXISTS default.tvf_audit_orders")
+  }
+
+  test("native text kernels (regexp_instr, initcap) stay inside whole-stage codegen") {
+    graft.functions.BitSketchExpressions.register(spark)
+    Tables.views(spark, sfDir, "nation")
+    val df = spark.sql(Dialect.rewrite(
+      "SELECT REGEXP_INSTR(n_name, '[^ ]+', 1, 2) AS ri, INITCAP(n_name) AS c " +
+        "FROM nation"))
+    df.collect()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // formatted mode marks codegen'd nodes with a `*` prefix and a
+    // `[codegen id : N]` tag — the Project carrying the kernels must
+    // have both (an interpreted fallback would print a bare Project)
+    assert(p.linesIterator.exists(l => l.trim.startsWith("* Project")),
+      s"the kernel projection must codegen, not fall back to interpreted:\n$p")
+    assert(p.contains("codegen id"), s"expected codegen stage tags:\n$p")
+  }
+
   test("d139 CMS: the 1024-cell sketch broadcasts; token counts partial-aggregate") {
     val df = PipelineQueries.queries("d139_count_min_sketch")(spark, sfDir)
     df.collect()

@@ -1264,6 +1264,41 @@ class ScriptRunnerSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("CREATE TABLE with BigQuery tail clauses (PARTITION BY expr, CLUSTER BY, OPTIONS)") {
+    val sr = new ScriptRunner(spark)
+    sr.run("DROP SCHEMA IF EXISTS `graft.ddl8` CASCADE")
+    sr.run(s"CREATE SCHEMA `graft.ddl8` OPTIONS(location = " +
+      s"'${java.nio.file.Files.createTempDirectory("ddl8")}')")
+    // expression partitioning + options: layout hints drop, semantics hold
+    sr.run(
+      """CREATE TABLE `graft.ddl8.t1` (ts TIMESTAMP, v INT64)
+        |PARTITION BY DATE(ts)
+        |CLUSTER BY v
+        |OPTIONS(description = 'hinted', expiration_timestamp = TIMESTAMP '2030-01-01');
+        |INSERT INTO `graft.ddl8.t1` VALUES (TIMESTAMP '2024-01-01 10:00:00', 5)""".stripMargin)
+    assert(sr.run("SELECT v FROM graft.ddl8.t1").get.collect()(0).getLong(0) == 5L)
+    // plain-column PARTITION BY becomes a REAL partition column
+    sr.run(
+      """CREATE TABLE `graft.ddl8.t2` (v INT64, grp STRING) PARTITION BY grp;
+        |INSERT INTO `graft.ddl8.t2` VALUES (1, 'a'), (2, 'b')""".stripMargin)
+    assert(spark.catalog.listColumns("graft__ddl8.t2").collect()
+      .exists(c => c.name == "grp" && c.isPartition))
+    // column DEFAULT applies when the insert omits the column
+    sr.run(
+      """CREATE TABLE `graft.ddl8.t3` (a INT64, b STRING DEFAULT 'nil');
+        |INSERT INTO `graft.ddl8.t3` (a) VALUES (2)""".stripMargin)
+    val r3 = sr.run("SELECT a, b FROM graft.ddl8.t3").get.collect()(0)
+    assert((r3.getLong(0), r3.getString(1)) == (2L, "nil"))
+    // Spark's own column-list DDL (USING tail) still passes through
+    sr.run("CREATE TABLE `graft.ddl8.t4` (a INT64) USING PARQUET")
+    assert(spark.catalog.tableExists("graft__ddl8.t4"))
+    // an unrecognized tail fails loud, never drops silently
+    intercept[Exception] {
+      sr.run("CREATE TABLE `graft.ddl8.t5` (a INT64) PARTITION BY a FROBNICATE")
+    }
+    sr.run("DROP SCHEMA `graft.ddl8` CASCADE")
+  }
+
   test("table functions may reference other table functions (bounded)") {
     spark.sql("DROP DATABASE IF EXISTS tvfspec2 CASCADE")
     val loc = java.nio.file.Files.createTempDirectory("tvfspec2")
