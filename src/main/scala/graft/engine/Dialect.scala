@@ -1239,8 +1239,20 @@ object Dialect {
       return if (ignoreStripped) Some(s"array_agg(${a.head.trim})") else scala.None
     val v = a.head.substring(0, obPos).trim
     val ob0 = a.head.substring(obPos).replaceFirst(raw"(?is)^ORDER\s+BY\s+", "").trim
-    if (v.isEmpty || ob0.isEmpty ||
-        raw"(?is)^DISTINCT\b".r.findFirstIn(v).isDefined) return scala.None
+    if (v.isEmpty || ob0.isEmpty) return scala.None
+    // DISTINCT + ORDER BY: only the order-by-the-value-itself shape has
+    // a set-based rewrite (the struct trick would defeat dedup); other
+    // keys stay loud-unresolved
+    raw"(?is)^DISTINCT\s+(.+)$$".r.findFirstMatchIn(v).foreach { dm =>
+      val dv = dm.group(1).trim
+      val kd = raw"(?is)^(.*?)(?:\s+(ASC|DESC))?$$".r
+      return ob0 match {
+        case kd(key, dir) if key.trim == dv =>
+          val base = s"array_sort(collect_set($dv))"
+          Some(if (dir != null && dir.equalsIgnoreCase("DESC")) s"reverse($base)" else base)
+        case _ => scala.None
+      }
+    }
     // single key with optional ASC|DESC and LIMIT n (multi-key forms
     // were comma-split before reaching here and stay loud-unresolved)
     val kdl = raw"(?is)^(.*?)(?:\s+(ASC|DESC))?(?:\s+LIMIT\s+(\d+))?$$".r
@@ -1359,6 +1371,76 @@ object Dialect {
     s"substr($j, 6, length($j) - 6)"
   }
 
+  private val castFmtRe =
+    raw"(?is)^(.*?)\s+AS\s+([\w]+(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)\s+FORMAT\s+('(?:[^'\\]|\\.|'')*')\s*$$".r
+  // BigQuery cast-format date elements → java.time (longest first);
+  // matched-case of the WORD tokens (MONTH/DAY/…) controls output case
+  private val castFmtTokens = Seq(
+    "YYYY" -> "yyyy", "YY" -> "yy", "MONTH" -> "MMMM", "MON" -> "MMM",
+    "MM" -> "MM", "DAY" -> "EEEE", "DY" -> "EEE", "DD" -> "dd",
+    "HH24" -> "HH", "HH12" -> "hh", "HH" -> "hh", "MI" -> "mm",
+    "SS" -> "ss", "AM" -> "a", "PM" -> "a")
+  private val castFmtWordTokens = Set("MONTH", "MON", "DAY", "DY")
+
+  /** `CAST(x AS <type> FORMAT '<fmt>')`: numeric formats (digits-only
+    * elements) ride Spark's to_char; date/time formats translate the
+    * BigQuery element language to java.time, with all-upper/all-lower
+    * word elements wrapping the result in upper()/lower() (BigQuery's
+    * element-case rule). Unknown elements return None → the untouched
+    * CAST fails loud in Spark's parser rather than rendering wrong.
+    */
+  private def castWithFormat(a: Seq[String], safe: Boolean): Option[String] = {
+    if (a.length != 1) return scala.None
+    a(0) match {
+      case castFmtRe(e, tpe0, fmtLit) =>
+        val f = fmtLit.substring(1, fmtLit.length - 1)
+        val tpe = tpe0.trim.toUpperCase
+        if (f.matches("[09.,$%Ss]+")) {
+          // numeric rendering/parsing — Spark shares the element set
+          // (rendering can't fail, so SAFE_CAST only guards the parse)
+          if (tpe == "STRING") Some(s"to_char($e, '$f')")
+          else if (safe) Some(s"cast(try_to_number($e, '$f') as $tpe0)")
+          else Some(s"cast(to_number($e, '$f') as $tpe0)")
+        } else {
+          // date/time element translation
+          val out = new StringBuilder
+          var i = 0
+          var wrap = ""
+          while (i < f.length) {
+            val rest = f.substring(i)
+            castFmtTokens.find(t => rest.toUpperCase.startsWith(t._1)) match {
+              case Some((tok, java)) =>
+                val matched = rest.substring(0, tok.length)
+                if (castFmtWordTokens(tok)) {
+                  if (matched == matched.toUpperCase) wrap = "upper"
+                  else if (matched == matched.toLowerCase) wrap = "lower"
+                }
+                out ++= java
+                i += tok.length
+              case scala.None =>
+                val c = f.charAt(i)
+                if (c.isLetter) return scala.None // unknown element: loud
+                out += c
+                i += 1
+            }
+          }
+          val pat = s"'${out.result()}'"
+          val core = tpe match {
+            case "STRING" => Some(s"date_format($e, $pat)")
+            case "DATE" =>
+              if (safe) Some(s"cast(try_to_timestamp($e, $pat) as date)")
+              else Some(s"to_date($e, $pat)")
+            case "TIMESTAMP" | "TIMESTAMP_NTZ" | "DATETIME" =>
+              if (safe) Some(s"try_to_timestamp($e, $pat)")
+              else Some(s"to_timestamp($e, $pat)")
+            case _ => scala.None
+          }
+          core.map(c => if (wrap.nonEmpty && tpe == "STRING") s"$wrap($c)" else c)
+        }
+      case _ => scala.None
+    }
+  }
+
   /** LAX numeric coercion source: JSON booleans → 1/0, quoted strings
     * unwrap, everything else is the canonical text itself.
     */
@@ -1428,7 +1510,10 @@ object Dialect {
     "LOGICAL_AND" -> renameTo("bool_and"),
     "LOGICAL_OR" -> renameTo("bool_or"),
     "REGEXP_CONTAINS" -> renameTo("regexp_like"),
-    "SAFE_CAST" -> renameTo("try_cast"),
+    "SAFE_CAST" -> { a =>
+      castWithFormat(a, safe = true).orElse(Some(s"try_cast(${a.mkString(", ")})"))
+    },
+    "CAST" -> (a => castWithFormat(a, safe = false)), // plain CAST passes through
     "ARRAY_LENGTH" -> renameTo("array_size"),
     "ARRAY_TO_STRING" -> renameTo("array_join"),
     "ARRAY_CONCAT" -> renameTo("concat"),
@@ -1446,7 +1531,23 @@ object Dialect {
           s"THEN sequence(${a(0)}, ${a(1)}, ${a(2)}) ELSE array() END)")
       else scala.None
     },
-    "FORMAT" -> renameTo("format_string"), // BigQuery FORMAT is printf-style
+    // BigQuery FORMAT is printf-style; %t (canonical text of any value)
+    // maps to %s with the argument cast to STRING. %T (SQL-literal
+    // form) stays loud-unsupported — quoting rules differ per type.
+    "FORMAT" -> { a =>
+      if (a.isEmpty) scala.None
+      else strLit(a(0)) match {
+        case Some(f) if f.contains("%T") => Some(
+          "raise_error('FORMAT %T (SQL-literal rendering) is not supported; " +
+            "use %t or TO_JSON_STRING')")
+        case Some(f) if f.contains("%t") =>
+          // f is the original literal's content verbatim (escapes
+          // intact) — only the conversion char changes
+          val fmt = "'" + f.replace("%t", "%s") + "'"
+          Some(s"format_string($fmt, ${a.tail.map(x => s"cast($x as string)").mkString(", ")})")
+        case _ => Some(s"format_string(${a.mkString(", ")})")
+      }
+    },
     "GENERATE_UUID" -> renameTo("uuid"),
     // Unicode normalization via the native graft_normalize expression
     // (registered by every engine entry point); the BQ form argument is

@@ -998,6 +998,26 @@ object EngineQueries {
           |SELECT k2, name FROM graft.pg61.v ORDER BY k2""".stripMargin).get
     },
 
+    // --- vocabulary pack 8 (cont.): JSON construction + conversion ------
+    "e65_json_vocab" -> { (s, d) =>
+      // JSON literals, constructors and LAX/strict converters over the
+      // canonical-string JSON representation — DuckDB's json_object/
+      // json_array emit the identical canonical encoding, so every
+      // column hash-checks. All per-row codegen'd string work.
+      Tables.views(s, d, "nation")
+      new ScriptRunner(s).run(
+        """SELECT CAST(n_nationkey AS INT64) AS id,
+          |  JSON_OBJECT('name', n_name, 'region', CAST(n_regionkey AS INT64)) AS jobj,
+          |  JSON_ARRAY(CAST(n_nationkey AS INT64), n_name, NULL) AS jarr,
+          |  JSON_TYPE(PARSE_JSON(CASE MOD(n_nationkey, 3)
+          |    WHEN 0 THEN '{"x": 1}' WHEN 1 THEN '[1, 2]' ELSE '3.5' END)) AS jt,
+          |  LAX_INT64(PARSE_JSON(CONCAT('"', CAST(n_nationkey AS STRING), '"'))) AS li,
+          |  LAX_STRING(PARSE_JSON(CAST(n_regionkey AS STRING))) AS ls,
+          |  INT64(JSON '42') + CAST(n_nationkey AS INT64) AS strict_i,
+          |  JSON_VALUE(JSON_OBJECT('name', n_name), '$.name') AS jv
+          |FROM nation ORDER BY id""".stripMargin).get
+    },
+
     // --- vocabulary pack 8 (cont.): scripting composition ---------------
     "e64_script_composition" -> { (s, d) =>
       // labeled loops (CONTINUE/BREAK to the OUTER loop from inside the
@@ -2136,6 +2156,20 @@ object EngineQueries {
     "e61_ddl_lifecycle" ->
       """SELECT CAST(r_regionkey AS BIGINT) + 100 AS k2, r_name AS name
         |FROM region ORDER BY k2""".stripMargin,
+
+    // DuckDB's json_object/json_array share the canonical encoding;
+    // type names and conversions restate as plain expressions
+    "e65_json_vocab" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS id,
+        |  json_object('name', n_name, 'region', CAST(n_regionkey AS BIGINT)) AS jobj,
+        |  json_array(CAST(n_nationkey AS BIGINT), n_name, NULL) AS jarr,
+        |  CASE CAST(n_nationkey % 3 AS INT) WHEN 0 THEN 'object'
+        |       WHEN 1 THEN 'array' ELSE 'number' END AS jt,
+        |  CAST(n_nationkey AS BIGINT) AS li,
+        |  CAST(n_regionkey AS VARCHAR) AS ls,
+        |  CAST(42 + n_nationkey AS BIGINT) AS strict_i,
+        |  n_name AS jv
+        |FROM nation ORDER BY id""".stripMargin,
 
     // the loop trace resolves to constants an independent reader can
     // re-derive: total counts 1..18 with CONTINUE at multiples of 5 and

@@ -576,6 +576,38 @@ class DialectExecSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one("SELECT 'format JSON here'") == "format JSON here")
   }
 
+  test("CAST ... FORMAT: date rendering with element case, numeric, parse, SAFE_") {
+    assert(one("SELECT CAST(DATE '2024-03-05' AS STRING FORMAT 'MONTH DD, YYYY')")
+      == "MARCH 05, 2024")
+    assert(one("SELECT CAST(DATE '2024-03-05' AS STRING FORMAT 'Month DD')")
+      == "March 05")
+    assert(one("SELECT CAST(DATE '2024-03-05' AS STRING FORMAT 'month')") == "march")
+    assert(one("SELECT CAST(1234.5 AS STRING FORMAT '9,999.99')").toString.trim
+      == "1,234.50")
+    // reverse direction: parse with the same element language
+    assert(one("SELECT CAST('05/03/2024' AS DATE FORMAT 'DD/MM/YYYY')").toString
+      == "2024-03-05")
+    assert(one("SELECT SAFE_CAST('garbage' AS DATE FORMAT 'DD/MM/YYYY')") == null)
+    assert(one("SELECT CAST('1,234' AS INT64 FORMAT '9,999')") == 1234L)
+    // unknown elements fail loud, never render wrong
+    intercept[Exception](one("SELECT CAST(DATE '2024-01-01' AS STRING FORMAT 'QQ')"))
+  }
+
+  test("FORMAT %t renders any value as text; %T is loud") {
+    assert(one("SELECT FORMAT('%t|%t', DATE '2024-01-01', 42)") == "2024-01-01|42")
+    intercept[Exception](one("SELECT FORMAT('%T', 42)"))
+  }
+
+  test("ARRAY_AGG(DISTINCT x ORDER BY x) dedups then sorts") {
+    assert(one("SELECT ARRAY_AGG(DISTINCT x ORDER BY x) " +
+      "FROM (SELECT explode(array(2, 1, 2, 3)) AS x)") == Seq(1, 2, 3))
+    assert(one("SELECT ARRAY_AGG(DISTINCT x ORDER BY x DESC) " +
+      "FROM (SELECT explode(array(2, 1, 2)) AS x)") == Seq(2, 1))
+    // ordering by a DIFFERENT key than the distinct value stays loud
+    intercept[Exception](one("SELECT ARRAY_AGG(DISTINCT x ORDER BY y) " +
+      "FROM (SELECT explode(array(2, 1)) AS x, 1 AS y)"))
+  }
+
   test("TO_JSON_STRING 2-arg pretty-prints") {
     val pretty = one("SELECT TO_JSON_STRING(STRUCT(1 AS a), true)").toString
     assert(pretty.contains("\n") && pretty.contains("\"a\" : 1"), pretty)

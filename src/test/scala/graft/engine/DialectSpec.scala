@@ -279,8 +279,12 @@ class DialectSpec extends AnyFunSuite {
     assert(Dialect.rewrite("SELECT ARRAY_AGG(x ORDER BY k)") ==
       "SELECT transform(array_sort(collect_list(struct(k AS _o, x AS _v))), s -> s._v)")
     assert(Dialect.rewrite("SELECT ARRAY_AGG(x)") == "SELECT ARRAY_AGG(x)")
+    // DISTINCT ordered-by-the-value-itself dedups through a set
     assert(Dialect.rewrite("SELECT ARRAY_AGG(DISTINCT x ORDER BY x)") ==
-      "SELECT ARRAY_AGG(DISTINCT x ORDER BY x)")
+      "SELECT array_sort(collect_set(x))")
+    // ...but a different order key stays loud-unresolved
+    assert(Dialect.rewrite("SELECT ARRAY_AGG(DISTINCT x ORDER BY k)") ==
+      "SELECT ARRAY_AGG(DISTINCT x ORDER BY k)")
     assert(Dialect.rewrite("SELECT ARRAY_AGG(x ORDER BY k DESC)") ==
       "SELECT reverse(transform(array_sort(collect_list(struct(k AS _o, x AS _v))), s -> s._v))")
     assert(Dialect.rewrite("SELECT ARRAY_AGG(x ORDER BY k LIMIT 3)") ==
