@@ -60,7 +60,7 @@ class DmlRunner(spark: SparkSession, runner: TransformRunner) {
     (raw"(?is)WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE\s*(?:AND\s+" + condBody +
       raw")?\s*THEN\s+UPDATE\s+SET\s+(.+?)(?=\s+WHEN\s+|\s*;?\s*$$)").r
   private val deleteRe =
-    raw"(?is)^\s*DELETE\s+FROM\s+`?([\w.$$-]+)`?\s+WHERE\s+(.+?)\s*;?\s*$$".r
+    raw"(?is)^\s*DELETE\s+FROM\s+`?([\w.$$-]+)`?(?:\s+(?:AS\s+)?(?!WHERE\b)([A-Za-z_]\w*))?\s+WHERE\s+(.+?)\s*;?\s*$$".r
   private val dropRe = raw"(?is)^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?`?([\w.$$-]+)`?\s*;?\s*$$".r
 
   def run(script: String): Unit = {
@@ -253,7 +253,7 @@ class DmlRunner(spark: SparkSession, runner: TransformRunner) {
 
 
   private val updateRe =
-    raw"(?is)^\s*UPDATE\s+`?([\w.$$-]+)`?\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*$$".r
+    raw"(?is)^\s*UPDATE\s+`?([\w.$$-]+)`?(?:\s+(?:AS\s+)?(?!SET\b)([A-Za-z_]\w*))?\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*$$".r
   private val truncateRe =
     raw"(?is)^\s*TRUNCATE\s+TABLE\s+`?([\w.$$-]+)`?\s*;?\s*$$".r
 
@@ -333,10 +333,14 @@ class DmlRunner(spark: SparkSession, runner: TransformRunner) {
         sAlias, onCond, whenClauses)
     case Merge(destFqn, tAlias, srcQuery, sAlias, onCond, whenClauses) =>
       merge(destFqn, tAlias, srcQuery, sAlias, onCond, whenClauses)
-    case Delete(destFqn, cond) => delete(destFqn, cond)
+    case Delete(destFqn, alias, cond) =>
+      // aliased DELETE: references through the alias are the table's
+      delete(destFqn, if (alias == null) cond else stripAlias(cond, alias))
     case UpdateFromStmt(destFqn, tAlias, sets, fromSrc, cond) =>
       updateFrom(destFqn, tAlias, sets, fromSrc, cond)
-    case Update(destFqn, sets, cond) => update(destFqn, sets, cond)
+    case Update(destFqn, alias, sets, cond) =>
+      if (alias == null) update(destFqn, sets, cond)
+      else update(destFqn, stripAlias(sets, alias), stripAlias(cond, alias))
     case Truncate(destFqn) =>
       // staged-swap empty rewrite, not spark.sql TRUNCATE: (a) inside a
       // transaction the displaced files must survive as pointers for

@@ -1486,7 +1486,13 @@ class ScriptRunner(spark: SparkSession) {
   private val dropViewRe =
     raw"(?is)^DROP\s+VIEW\s+(IF\s+EXISTS\s+)?(`[^`]+`|[\w.\-]+)\s*;?\s*$$".r
   private val alterTableRe =
-    raw"(?is)^ALTER\s+TABLE\s+(IF\s+EXISTS\s+)?(`[^`]+`|[\w.\-]+)\s+((?:ADD|RENAME|DROP)\s+COLUMN\b.*|SET\s+OPTIONS\b.*)$$".r
+    raw"(?is)^ALTER\s+TABLE\s+(IF\s+EXISTS\s+)?(`[^`]+`|[\w.\-]+)\s+((?:ADD|RENAME|DROP)\s+COLUMN\b.*|RENAME\s+TO\b.*|SET\s+OPTIONS\b.*)$$".r
+  // dataset/view option DDL: description maps to the comment, other
+  // options are inert service metadata and drop
+  private val alterSchemaRe =
+    raw"(?is)^ALTER\s+SCHEMA\s+(IF\s+EXISTS\s+)?(`[^`]+`|[\w.\-]+)\s+SET\s+OPTIONS\s*\((.*)\)\s*;?\s*$$".r
+  private val alterViewRe =
+    raw"(?is)^ALTER\s+(?:MATERIALIZED\s+)?VIEW\s+(IF\s+EXISTS\s+)?(`[^`]+`|[\w.\-]+)\s+SET\s+OPTIONS\s*\((.*)\)\s*;?\s*$$".r
   private val createLikeRe =
     raw"(?is)^CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?(`[^`]+`|[\w.\-]+)\s+(LIKE|COPY)\s+(`[^`]+`|[\w.\-]+)\s*;?\s*$$".r
 
@@ -1590,6 +1596,16 @@ class ScriptRunner(spark: SparkSession) {
               s"cannot drop every column of $dest")
             rebuildTable(dest, keep.map(quote), partCols)
           }
+        case "RENAME TO" =>
+          // BigQuery RENAME TO takes the bare new table name; Spark
+          // renames within the same database
+          val newName = rest.trim.stripPrefix("RENAME").trim.stripPrefix("TO")
+            .trim.stripSuffix(";").trim.replace("`", "")
+          require(raw"^[\w]+$$".r.matches(newName),
+            s"RENAME TO expects a bare table name, got: $newName")
+          val db = dest.split("\\.").dropRight(1).mkString(".")
+          val target = if (db.isEmpty) newName else s"$db.$newName"
+          spark.sql(s"ALTER TABLE $dest RENAME TO $target")
         case "SET OPTIONS" =>
           val body = rest.trim.stripPrefix("SET").trim
             .stripPrefix("OPTIONS").trim.stripPrefix("(").stripSuffix(";").trim
@@ -1775,6 +1791,26 @@ class ScriptRunner(spark: SparkSession) {
     case v if createViewRe.findFirstIn(v.trim).isDefined => runCreateView(v)
     case v if dropViewRe.findFirstIn(v.trim).isDefined => runDropView(v)
     case a if alterTableRe.findFirstIn(a.trim).isDefined => runAlterTable(a)
+    case alterSchemaRe(ifEx, rawName, opts) =>
+      val db = rawName.replace("`", "").split("\\.")
+        .map(_.replace("-", "_")).mkString("__")
+      if (!spark.catalog.databaseExists(db)) {
+        if (ifEx == null) throw new IllegalArgumentException(
+          s"schema $db does not exist")
+      } else optionRe.findAllMatchIn(opts)
+        .find(_.group(1).equalsIgnoreCase("description"))
+        .foreach(m => spark.sql(s"COMMENT ON DATABASE $db IS ${m.group(2)}"))
+      scala.None
+    case alterViewRe(ifEx, rawName, opts) =>
+      val dest = destTableName(rawName.replace("`", ""))
+      if (!spark.catalog.tableExists(dest)) {
+        if (ifEx == null) throw new IllegalArgumentException(
+          s"view $dest does not exist")
+      } else optionRe.findAllMatchIn(opts)
+        .find(_.group(1).equalsIgnoreCase("description"))
+        .foreach(m => spark.sql(
+          s"ALTER VIEW $dest SET TBLPROPERTIES ('comment' = ${m.group(2)})"))
+      scala.None
     case c if createLikeRe.findFirstIn(c.trim).isDefined => runCreateLike(c)
     case createTableAsRe(orReplace, ifNotExists, name, partitionCol, query) =>
       // BigQuery CTAS on a real (non-temp) destination. v1 catalogs

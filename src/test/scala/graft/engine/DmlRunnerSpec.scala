@@ -375,6 +375,23 @@ class DmlRunnerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(state() == Seq(("b", 2L), ("d", 40L)))
   }
 
+  test("aliased UPDATE and DELETE strip the alias from SET/WHERE") {
+    freshTable(Seq(("a", 1L), ("b", 2L), ("c", 3L)))
+    dml.run("UPDATE dmlspec.t AS x SET x.v = x.v + 10 WHERE x.k = 'a'")
+    assert(state() == Seq(("a", 11L), ("b", 2L), ("c", 3L)))
+    // bare (no AS) alias form
+    dml.run("UPDATE dmlspec.t x SET v = v * 2 WHERE x.k = 'b'")
+    assert(state() == Seq(("a", 11L), ("b", 4L), ("c", 3L)))
+    dml.run("DELETE FROM dmlspec.t AS x WHERE x.v >= 11")
+    assert(state() == Seq(("b", 4L), ("c", 3L)))
+  }
+
+  test("DELETE without WHERE fails loud (BigQuery requires the clause)") {
+    freshTable(Seq(("a", 1L)))
+    intercept[IllegalArgumentException] { dml.run("DELETE FROM dmlspec.t") }
+    assert(state() == Seq(("a", 1L)))
+  }
+
   test("an unrecognized WHEN clause fails loud, never silently drops") {
     freshTable(Seq(("a", 1L)))
     val e = intercept[IllegalArgumentException] {

@@ -1264,6 +1264,29 @@ class ScriptRunnerSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("ALTER TABLE RENAME TO, ALTER SCHEMA/VIEW SET OPTIONS") {
+    val sr = new ScriptRunner(spark)
+    sr.run("DROP SCHEMA IF EXISTS `graft.alt9` CASCADE")
+    sr.run(s"CREATE SCHEMA `graft.alt9` OPTIONS(location = " +
+      s"'${java.nio.file.Files.createTempDirectory("alt9")}')")
+    sr.run(
+      """CREATE TABLE `graft.alt9.rn` AS SELECT 7 AS x;
+        |ALTER TABLE `graft.alt9.rn` RENAME TO rn2""".stripMargin)
+    assert(sr.run("SELECT x FROM graft.alt9.rn2").get.collect()(0).getInt(0) == 7)
+    assert(!spark.catalog.tableExists("graft__alt9.rn"))
+    // option DDL: description lands, unknown options drop, missing
+    // targets respect IF EXISTS
+    sr.run("ALTER SCHEMA `graft.alt9` SET OPTIONS(description = 'ds', labels = x)")
+    sr.run("CREATE VIEW `graft.alt9.vv` AS SELECT 2 AS y")
+    sr.run("ALTER VIEW `graft.alt9.vv` SET OPTIONS(description = 'v')")
+    assert(sr.run("SELECT y FROM graft.alt9.vv").get.collect()(0).getInt(0) == 2)
+    intercept[IllegalArgumentException] {
+      sr.run("ALTER SCHEMA `graft.nosuch9` SET OPTIONS(description = 'x')")
+    }
+    sr.run("ALTER SCHEMA IF EXISTS `graft.nosuch9` SET OPTIONS(description = 'x')")
+    sr.run("DROP SCHEMA `graft.alt9` CASCADE")
+  }
+
   test("CREATE TABLE with BigQuery tail clauses (PARTITION BY expr, CLUSTER BY, OPTIONS)") {
     val sr = new ScriptRunner(spark)
     sr.run("DROP SCHEMA IF EXISTS `graft.ddl8` CASCADE")
