@@ -33,6 +33,107 @@ object Dialect {
   private val selectAsStruct = raw"(?i)SELECT\s+AS\s+STRUCT\b".r
   private val selectAsValueRe = raw"(?i)\bSELECT\s+AS\s+VALUE\b".r
 
+  private val windowDefRe = raw"(?i)\bWINDOW\s+([A-Za-z_]\w*)\s+AS\s*\(".r
+  private val overRefRe = raw"(?i)\bOVER\s*\(\s*([A-Za-z_]\w*)\b".r
+
+  /** BigQuery window EXTENSION: `OVER (w ORDER BY …)` and window-on-
+    * window definitions (`WINDOW w2 AS (w1 ORDER BY x)`) splice the
+    * referenced window's spec inline — Spark parses only the bare
+    * `OVER w` reference form. Plain named windows pass through.
+    */
+  private def rewriteWindowExtensions(sql0: String): String = {
+    var sql = sql0
+    // collect definitions (balance-parsed, including comma-continued
+    // ones: `WINDOW a AS (…), b AS (…)`); specEnd = the CLOSING paren
+    def defs(s: String): Seq[(String, Int, Int)] = {
+      val out = Seq.newBuilder[(String, Int, Int)]
+      val contRe = raw"(?is)^\s*,\s*([A-Za-z_]\w*)\s+AS\s*\(".r
+      windowDefRe.findAllMatchIn(s).foreach { m =>
+        var name = m.group(1).toUpperCase
+        var open = m.end - 1
+        var continue = true
+        while (continue) {
+          balancedEnd(s, open) match {
+            case Some(e) =>
+              out += ((name, open + 1, e - 1))
+              contRe.findFirstMatchIn(s.substring(e)) match {
+                case Some(cm) =>
+                  name = cm.group(1).toUpperCase
+                  open = e + cm.end - 1
+                case scala.None => continue = false
+              }
+            case scala.None => continue = false
+          }
+        }
+      }
+      out.result()
+    }
+    // pass 1: inline names at the head of OTHER window definitions
+    var changed = true
+    var guard = 0
+    while (changed && guard < 16) {
+      changed = false
+      guard += 1
+      val d = defs(sql)
+      val byName = d.map(t => t._1 -> sql.substring(t._2, t._3)).toMap
+      // a definition whose spec STARTS with another window's name
+      d.foreach { case (_, s0, e0) =>
+        if (!changed) {
+          val spec = sql.substring(s0, e0)
+          raw"(?is)^\s*([A-Za-z_]\w*)\b".r.findFirstMatchIn(spec)
+            .map(_.group(1).toUpperCase)
+            .filter(byName.contains)
+            .foreach { ref =>
+              val inlined = byName(ref) + " " +
+                spec.replaceFirst(raw"(?is)^\s*[A-Za-z_]\w*", "")
+              sql = sql.substring(0, s0) + inlined + sql.substring(e0)
+              changed = true
+            }
+        }
+      }
+    }
+    // pass 2: inline extensions at OVER sites
+    val byName = defs(sql).map(t => t._1 -> sql.substring(t._2, t._3)).toMap
+    if (byName.isEmpty) return sql
+    var out = sql
+    var again = true
+    guard = 0
+    while (again && guard < 64) {
+      again = false
+      guard += 1
+      val hit = overRefRe.findAllMatchIn(out).find(m =>
+        byName.contains(m.group(1).toUpperCase))
+      hit.foreach { m =>
+        val parenOpen = out.indexOf('(', m.start)
+        balancedEnd(out, parenOpen).foreach { e =>
+          val inner = out.substring(parenOpen + 1, e - 1)
+          val rest = inner.replaceFirst(raw"(?is)^\s*[A-Za-z_]\w*", "")
+          out = out.substring(0, parenOpen + 1) +
+            byName(m.group(1).toUpperCase) + " " + rest + out.substring(e - 1)
+          again = true
+        }
+      }
+    }
+    out
+  }
+
+  /** Index just past the ')' matching the '(' at `open` (literal-aware
+    * via the token stream), or None if unbalanced.
+    */
+  private def balancedEnd(s: String, open: Int): Option[Int] = {
+    var depth = 0
+    var res: Option[Int] = scala.None
+    StatementSplitter.tokens(s)
+      .filter(t => (t._1 == "(" || t._1 == ")") && t._2 >= open)
+      .foreach { case (p, pos) =>
+        if (res.isEmpty) {
+          depth += (if (p == "(") 1 else -1)
+          if (depth == 0) res = Some(pos + 1)
+        }
+      }
+    res
+  }
+
   private val jsonLitKw = raw"(?i)\bJSON\s*(?=')".r
 
   /** `JSON '<text>'` typed literal → `to_json(parse_json('<text>'))`
@@ -708,6 +809,7 @@ object Dialect {
     out = rewriteArrayAccess(out)
     out = rewriteStarReplace(out)
     out = rewriteQualify(out)
+    out = rewriteWindowExtensions(out)
     // JSON literal: `JSON '{"a": 1}'` → the canonical JSON string via
     // the PARSE_JSON round-trip (validates + canonicalizes). AFTER
     // rewriteCalls, so the emitted parse_json is not re-mapped by the

@@ -608,6 +608,28 @@ class DialectExecSpec extends AnyFunSuite with BeforeAndAfterAll {
       "FROM (SELECT explode(array(2, 1)) AS x, 1 AS y)"))
   }
 
+  test("named-window EXTENSION forms splice the referenced spec inline") {
+    // OVER (w ORDER BY …) — Spark only parses the bare OVER w form
+    val rows = spark.sql(Dialect.rewrite(
+      "SELECT x, RANK() OVER (w1 ORDER BY x) AS r " +
+        "FROM (SELECT explode(array(3, 1, 2)) AS x) " +
+        "WINDOW w1 AS (PARTITION BY x % 2)")).collect()
+      .map(r => (r.getInt(0), r.getInt(1))).sorted.toSeq
+    assert(rows == Seq((1, 1), (2, 1), (3, 2)), rows.toString)
+    // window-on-window definition
+    val rows2 = spark.sql(Dialect.rewrite(
+      "SELECT x, SUM(x) OVER w2 AS s " +
+        "FROM (SELECT explode(array(1, 2, 3)) AS x) " +
+        "WINDOW w1 AS (PARTITION BY x % 2), w2 AS (w1 ORDER BY x)")).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sorted.toSeq
+    assert(rows2 == Seq((1, 1L), (2, 2L), (3, 4L)), rows2.toString)
+    // the plain reference form still passes through
+    assert(spark.sql(Dialect.rewrite(
+      "SELECT SUM(x) OVER w AS s FROM (SELECT explode(array(1, 2)) AS x) " +
+        "WINDOW w AS (ORDER BY x)")).collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 3L))
+  }
+
   test("TO_JSON_STRING 2-arg pretty-prints") {
     val pretty = one("SELECT TO_JSON_STRING(STRUCT(1 AS a), true)").toString
     assert(pretty.contains("\n") && pretty.contains("\"a\" : 1"), pretty)
