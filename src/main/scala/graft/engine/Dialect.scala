@@ -135,6 +135,27 @@ object Dialect {
   }
 
   private val jsonLitKw = raw"(?i)\bJSON\s*(?=')".r
+  private val timeLitKw = raw"(?i)\bTIME\s*(?=')".r
+
+  /** `TIME '15:30:45'` typed literal → the bare string (TIME values are
+    * 'HH:mm:ss' strings in this engine; Spark has no TIME type).
+    * Literal-aware like the JSON rewrite: the word `time` at the END of
+    * a string literal ('day time') or a literal equal to 'TIME' must
+    * not be touched, so only matches OUTSIDE every literal span whose
+    * following quote OPENS a literal are stripped.
+    */
+  private def rewriteTimeLiteral(sql: String): String = {
+    val spans = literalSpans(sql)
+    def inLit(p: Int) = spans.exists(s => p >= s._1 && p < s._2)
+    val ms = timeLitKw.findAllMatchIn(sql)
+      .filter(m => !inLit(m.start) && spans.exists(_._1 == m.end)).toList
+    if (ms.isEmpty) return sql
+    val sb = new StringBuilder
+    var idx = 0
+    ms.foreach { m => sb.append(sql.substring(idx, m.start)); idx = m.end }
+    sb.append(sql.substring(idx))
+    sb.result()
+  }
 
   /** `JSON '<text>'` typed literal → `to_json(parse_json('<text>'))`
     * (the engine's JSON representation is the canonical string — same
@@ -774,13 +795,9 @@ object Dialect {
         .replaceAll(raw"(?i)\bNUMERIC\b", "DECIMAL(38,9)")
         .replaceAll(raw"(?i)\bINT64\b", "BIGINT")
         .replaceAll(raw"(?i)\bFLOAT64\b", "DOUBLE")
-        // BYTES only in CAST position (`AS BYTES`) — the bare word is a
-        // plausible column alias and must not be rewritten
-        .replaceAll(raw"(?i)(\bAS\s+)BYTES\b", "$1BINARY")
-        // TIME values are 'HH:mm:ss' strings in this engine (Spark has
-        // no TIME type): CAST maps to STRING (the literal-form rewrite
-        // runs full-text below, where the quote is visible)
-        .replaceAll(raw"(?i)(\bAS\s+)TIME\b", "$1STRING")
+        // TIME/BYTES cast targets are mapped inside the CAST/SAFE_CAST
+        // call handlers (mapCastTailType) — a full-text `AS TIME` rule
+        // would also rename a select-list alias `x AS time`
         // BigQuery TABLESAMPLE SYSTEM (n PERCENT) → Spark TABLESAMPLE
         .replaceAll(raw"(?i)\bTABLESAMPLE\s+SYSTEM\s*\(", "TABLESAMPLE (")))
     out = rewriteTypedStruct(out)
@@ -796,12 +813,9 @@ object Dialect {
     out = timestampCall.replaceAllIn(out, m =>
       java.util.regex.Matcher.quoteReplacement(
         s"to_timestamp(replace('${m.group(1)}', 'T', ' '))"))
-    // TIME literal: `TIME '15:30:45'` → the bare string (TIME is an
-    // 'HH:mm:ss' string in this engine). Full-text so the quote is
-    // visible — a chunk-end rule would also delete a trailing `time`
-    // ALIAS, which is common. DATETIME ran first (no \bTIME\b overlap);
-    // SYSTEM_TIME's underscore blocks the word boundary.
-    out = out.replaceAll(raw"(?i)\bTIME\s*(?=')", "")
+    // TIME typed literal (literal-span-aware; DATETIME ran first so no
+    // \bTIME\b overlap; SYSTEM_TIME's underscore blocks the boundary)
+    out = rewriteTimeLiteral(out)
     out = mapOutsideLiterals(out)(selectAsStruct.replaceAllIn(_, "SELECT "))
     out = rewriteSelectAsValue(out)
     out = rewriteCalls(out)
@@ -1484,6 +1498,53 @@ object Dialect {
     "SS" -> "ss", "AM" -> "a", "PM" -> "a")
   private val castFmtWordTokens = Set("MONTH", "MON", "DAY", "DY")
 
+  private val castTailTypeRe = raw"(?is)^\s*(TIME|BYTES)\b".r
+
+  /** Cast-target types Spark lacks, mapped INSIDE a parsed CAST /
+    * SAFE_CAST argument: `expr AS TIME` → STRING (TIME values are
+    * 'HH:mm:ss' strings in this engine), `expr AS BYTES` → BINARY.
+    * The cast type is the LAST top-level AS in the argument (an AS
+    * inside a subquery or nested call sits behind parens; nested CASTs
+    * were already rewritten because rewriteCalls recurses
+    * innermost-first), so a select-list alias is never renamed.
+    */
+  private def mapCastTailType(arg: String): String = {
+    var depth = 0
+    var i = 0
+    var last = -1
+    while (i < arg.length) {
+      val c = arg.charAt(i)
+      if (c == '\'' || c == '"' || c == '`') i = skipQuoted(arg, i)
+      else {
+        if (c == '(') depth += 1
+        else if (c == ')') depth -= 1
+        else if (depth == 0 && (c == 'A' || c == 'a')) {
+          val prevOk = i == 0 || {
+            val p = arg.charAt(i - 1)
+            !(p.isLetterOrDigit || p == '_')
+          }
+          val nextS = i + 1 < arg.length &&
+            (arg.charAt(i + 1) == 'S' || arg.charAt(i + 1) == 's')
+          val endOk = i + 2 >= arg.length || {
+            val n = arg.charAt(i + 2)
+            !(n.isLetterOrDigit || n == '_')
+          }
+          if (prevOk && nextS && endOk) last = i
+        }
+        i += 1
+      }
+    }
+    if (last < 0) return arg
+    val after = arg.substring(last + 2)
+    castTailTypeRe.findFirstMatchIn(after) match {
+      case Some(m) =>
+        val repl = if (m.group(1).equalsIgnoreCase("TIME")) "STRING" else "BINARY"
+        arg.substring(0, last + 2) + after.substring(0, m.start(1)) +
+          repl + after.substring(m.end(1))
+      case scala.None => arg
+    }
+  }
+
   /** `CAST(x AS <type> FORMAT '<fmt>')`: numeric formats (digits-only
     * elements) ride Spark's to_char; date/time formats translate the
     * BigQuery element language to java.time, with all-upper/all-lower
@@ -1612,10 +1673,16 @@ object Dialect {
     "LOGICAL_AND" -> renameTo("bool_and"),
     "LOGICAL_OR" -> renameTo("bool_or"),
     "REGEXP_CONTAINS" -> renameTo("regexp_like"),
-    "SAFE_CAST" -> { a =>
+    "SAFE_CAST" -> { a0 =>
+      val a = a0.map(mapCastTailType)
       castWithFormat(a, safe = true).orElse(Some(s"try_cast(${a.mkString(", ")})"))
     },
-    "CAST" -> (a => castWithFormat(a, safe = false)), // plain CAST passes through
+    "CAST" -> { a0 =>
+      val a = a0.map(mapCastTailType)
+      castWithFormat(a, safe = false).orElse(
+        // plain CAST passes through unless the tail type was remapped
+        if (a == a0) scala.None else Some(s"CAST(${a.mkString(", ")})"))
+    },
     "ARRAY_LENGTH" -> renameTo("array_size"),
     "ARRAY_TO_STRING" -> renameTo("array_join"),
     "ARRAY_CONCAT" -> renameTo("concat"),

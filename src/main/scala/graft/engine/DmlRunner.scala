@@ -1,6 +1,6 @@
 package graft.engine
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** MERGE / DELETE / DROP on plain-Parquet catalog tables — the engine
@@ -420,6 +420,17 @@ class DmlRunner(spark: SparkSession, runner: TransformRunner) {
         if (m.start(g) < 0) None else Some(s.substring(m.start(g), m.end(g))))
     }
 
+  /** Like [[findMasked]] but also returns the match's start offset —
+    * merge() uses the textual order of WHEN clauses for BigQuery's
+    * first-match-wins rule within a clause group.
+    */
+  private def findMaskedAt(re: scala.util.matching.Regex,
+      s: String): Option[(Int, IndexedSeq[Option[String]])] =
+    re.findFirstMatchIn(maskLiterals(s)).map { m =>
+      (m.start, (1 to m.groupCount).map(g =>
+        if (m.start(g) < 0) None else Some(s.substring(m.start(g), m.end(g)))))
+    }
+
   /** UPDATE…FROM recognizer over literal-masked text (FROM/WHERE inside
     * string literals can't steer it). The FROM and the outer WHERE are
     * located by a paren-depth scan — only DEPTH-0 keywords split the
@@ -564,16 +575,45 @@ class DmlRunner(spark: SparkSession, runner: TransformRunner) {
 
     // clause splitting runs on the masked text too: a WHEN/THEN keyword
     // inside a SET or VALUES string literal must not cut a clause short
-    val matchedUpdate = findMasked(whenMatchedRe, whenClauses)
-      .map(gs => (gs(0), parseSetList(gs(1).get)))
-    val matchedDelete = findMasked(whenMatchedDeleteRe, whenClauses)
-      .map(gs => gs(0))
+    val matchedUpdateM = findMaskedAt(whenMatchedRe, whenClauses)
+    val matchedDeleteM = findMaskedAt(whenMatchedDeleteRe, whenClauses)
+    val matchedUpdate = matchedUpdateM
+      .map { case (_, gs) => (gs(0), parseSetList(gs(1).get)) }
+    val matchedDelete = matchedDeleteM.map(_._2(0))
     val notMatchedInsert = findMasked(whenNotMatchedRe, whenClauses)
       .map(gs => (gs(0), splitCsv(gs(1).get), splitCsv(gs(2).get)))
-    val bySourceDelete = findMasked(whenNotMatchedBySourceRe, whenClauses)
-      .map(gs => gs(0))
-    val bySourceUpdate = findMasked(whenNotMatchedBySourceUpdateRe, whenClauses)
-      .map(gs => (gs(0), parseSetList(gs(1).get)))
+    val bySourceDeleteM = findMaskedAt(whenNotMatchedBySourceRe, whenClauses)
+    val bySourceUpdateM = findMaskedAt(whenNotMatchedBySourceUpdateRe, whenClauses)
+    val bySourceDelete = bySourceDeleteM.map(_._2(0))
+    val bySourceUpdate = bySourceUpdateM
+      .map { case (_, gs) => (gs(0), parseSetList(gs(1).get)) }
+
+    // BigQuery evaluates the WHEN clauses of a GROUP (matched /
+    // not-matched-by-source) in textual order, first-match-wins: a row
+    // claimed by an earlier clause never reaches a later one. With one
+    // clause per form the only gating needed is on the LATER of an
+    // UPDATE/DELETE pair: its predicate also requires the earlier
+    // clause's condition to be not-true. An earlier clause WITHOUT a
+    // condition would make the later clause unreachable — BigQuery
+    // rejects that statement, and so do we (silently-dead clauses are
+    // the round-8 loud-accounting rule).
+    def firstMatchGuard(me: Option[(Int, IndexedSeq[Option[String]])],
+        other: Option[(Int, IndexedSeq[Option[String]])]): Option[Column] =
+      (me, other) match {
+        case (Some((pMe, _)), Some((pOther, gsOther))) if pOther < pMe =>
+          gsOther(0) match {
+            case Some(c) =>
+              Some(not(coalesce(expr(Dialect.rewrite(c)), lit(false))))
+            case scala.None => throw new IllegalArgumentException(
+              "MERGE: a WHEN clause without an AND condition must be the " +
+                "last clause of its group (the clause after it is unreachable)")
+          }
+        case _ => scala.None
+      }
+    val matchedUpdateGuard = firstMatchGuard(matchedUpdateM, matchedDeleteM)
+    val matchedDeleteGuard = firstMatchGuard(matchedDeleteM, matchedUpdateM)
+    val bySourceUpdateGuard = firstMatchGuard(bySourceUpdateM, bySourceDeleteM)
+    val bySourceDeleteGuard = firstMatchGuard(bySourceDeleteM, bySourceUpdateM)
     val insertRow = findMasked(whenNotMatchedRowRe, whenClauses)
     // every WHEN clause in the statement must have been recognized by
     // exactly one of the five forms — an unrecognized clause must fail
@@ -605,8 +645,10 @@ class DmlRunner(spark: SparkSession, runner: TransformRunner) {
       val afterMatched = matchedUpdate match {
         case Some((extraCond, sets)) =>
           val upd = sets.get(c.toLowerCase).map(e => expr(Dialect.rewrite(e))).getOrElse(base)
-          val condMatched = extraCond
+          val condMatched0 = extraCond
             .map(ec => matchedFlag && expr(Dialect.rewrite(ec))).getOrElse(matchedFlag)
+          val condMatched =
+            matchedUpdateGuard.map(condMatched0 && _).getOrElse(condMatched0)
           when(condMatched, upd).otherwise(base)
         case None => base
       }
@@ -616,9 +658,10 @@ class DmlRunner(spark: SparkSession, runner: TransformRunner) {
       val updated = bySourceUpdate match {
         case Some((extraCond, sets)) => sets.get(c.toLowerCase) match {
           case Some(e) =>
-            val condU = extraCond
+            val condU0 = extraCond
               .map(ec => not(matchedFlag) && expr(Dialect.rewrite(ec)))
               .getOrElse(not(matchedFlag))
+            val condU = bySourceUpdateGuard.map(condU0 && _).getOrElse(condU0)
             when(condU, expr(Dialect.rewrite(e))).otherwise(afterMatched)
           case None => afterMatched
         }
@@ -631,11 +674,11 @@ class DmlRunner(spark: SparkSession, runner: TransformRunner) {
     val dropMatched = matchedDelete.map {
       case Some(c) => matchedFlag && expr(Dialect.rewrite(c))
       case None => matchedFlag
-    }.getOrElse(lit(false))
+    }.map(d => matchedDeleteGuard.map(d && _).getOrElse(d)).getOrElse(lit(false))
     val dropBySource = bySourceDelete.map {
       case Some(c) => not(matchedFlag) && expr(Dialect.rewrite(c))
       case None => not(matchedFlag) // unconditional: drop every unmatched row
-    }.getOrElse(lit(false))
+    }.map(d => bySourceDeleteGuard.map(d && _).getOrElse(d)).getOrElse(lit(false))
     val keptFilter =
       not(coalesce(dropMatched, lit(false)) || coalesce(dropBySource, lit(false)))
     val targetSide = joined.where(keptFilter).select(updatedCols.toIndexedSeq: _*)

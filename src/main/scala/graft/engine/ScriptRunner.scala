@@ -948,11 +948,23 @@ class ScriptRunner(spark: SparkSession) {
         val dropped = (b.sig.keySet -- cur.keySet).toSeq.sorted.map(
           org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName)
         if (stale.nonEmpty) {
-          val in = stale.map(v => "'" + v.replace("'", "\\'") + "'").mkString(", ")
+          // a NULL base partition lists as the Hive default-partition
+          // key; `IN ('__HIVE_DEFAULT_PARTITION__')` matches no NULL
+          // rows, so that key becomes an explicit IS NULL disjunct —
+          // otherwise the recompute stages nothing for it and the MV
+          // keeps its stale image silently
+          val defaultPart = org.apache.spark.sql.catalyst.catalog
+            .ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+          val (nullKeys, valKeys) = stale.partition(_ == defaultPart)
+          val inPred = if (valKeys.isEmpty) scala.None else Some(
+            s"${b.partCol} IN (${valKeys.map(v => "'" + v.replace("'", "\\'") + "'").mkString(", ")})")
+          val nullPred = if (nullKeys.isEmpty) scala.None
+            else Some(s"${b.partCol} IS NULL")
+          val stalePred = (inPred.toSeq ++ nullPred.toSeq).mkString(" OR ")
           val df = spark.sql(
             s"SELECT * FROM (${Dialect.rewrite(substituteVars(
               expandInformationSchema(expandWildcardTables(query))))}) " +
-              s"WHERE ${b.partCol} IN ($in)")
+              s"WHERE $stalePred")
           MvRegistry.lastRefreshPlan = Some(df.queryExecution.explainString(
             org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
           val stageDir = PartitionCommit.newStageDir(spark, dest)

@@ -161,7 +161,18 @@ object StatementSplitter {
       }
       out += Tok(t, pos, before, depth, caseDepth, endLen)
       prevLabelPos = stmtPos && caseDepth == 0 && depth == before &&
-        t.nonEmpty && (t.head.isLetter || t.head == '_')
+        t.nonEmpty && (t.head.isLetter || t.head == '_') && {
+          // a label REQUIRES its colon (`my_label: LOOP`): the lexer
+          // drops ':' so peek the raw gap between this word and the
+          // next token — a bare word in statement position (`WITH loop
+          // AS (…)`; LOOP is not reserved) must NOT arm the label path
+          // or the LOOP token would open a phantom block
+          val wordEnd = pos + t.length
+          val gapEnd = if (i + 1 < ts.length) ts(i + 1)._2 else stmt.length
+          wordEnd <= gapEnd && stmt.substring(wordEnd, gapEnd)
+            .replaceAll("(?s)/\\*.*?\\*/", " ")
+            .replaceAll("--[^\n]*", " ").trim.startsWith(":")
+        }
       prev = if (endLen == 2) "IF_CLOSED" else t
       i += 1
     }

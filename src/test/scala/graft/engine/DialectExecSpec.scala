@@ -642,4 +642,25 @@ class DialectExecSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one("SELECT 7 AS bytes") == 7)
     assert(one("SELECT 8 AS time") == 8)
   }
+
+  test("TIME/BYTES aliases keep their NAMES (cast-scoped type mapping)") {
+    // the full-text `AS TIME → AS STRING` rule would rename the output
+    // column and break later references to it
+    val df = spark.sql(Dialect.rewrite(
+      "SELECT t AS time, b AS bytes FROM (SELECT 1 AS t, 2 AS b)"))
+    assert(df.columns.toSeq == Seq("time", "bytes"))
+    assert(one("SELECT time FROM (SELECT 5 AS time) GROUP BY time") == 5)
+    // cast targets still map — including with a FORMAT tail and nesting
+    assert(one("SELECT CAST(CAST('07:08:09' AS TIME) AS STRING)") == "07:08:09")
+    assert(one("SELECT SAFE_CAST('07:08:09' AS TIME)") == "07:08:09")
+  }
+
+  test("TIME typed-literal rewrite is string-literal-aware") {
+    // the word TIME at the end of (or as) a literal must survive
+    assert(one("SELECT 'TIME'") == "TIME")
+    assert(one("SELECT 'day time'") == "day time")
+    assert(one("SELECT x FROM (SELECT 'TIME' AS x) WHERE x = 'TIME'") == "TIME")
+    // the genuine typed literal still strips, even after another literal
+    assert(one("SELECT CONCAT('at ', TIME '09:10:11')") == "at 09:10:11")
+  }
 }

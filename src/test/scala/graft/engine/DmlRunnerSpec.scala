@@ -392,6 +392,52 @@ class DmlRunnerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(state() == Seq(("a", 1L)))
   }
 
+  test("WHEN-clause precedence: earlier conditional UPDATE claims its rows") {
+    freshTable(Seq(("a", 1L), ("b", 2L), ("c", 3L)))
+    // BigQuery first-match-wins: a (v=1) takes the UPDATE; b (v=2) falls
+    // through to the DELETE; c is unmatched and untouched
+    dml.run(
+      """MERGE INTO dmlspec.t T
+        |USING (SELECT 'a' AS k, 10 AS v UNION ALL SELECT 'b', 20) S
+        |ON T.k = S.k
+        |WHEN MATCHED AND T.v < 2 THEN UPDATE SET v = S.v
+        |WHEN MATCHED THEN DELETE""".stripMargin)
+    assert(state() == Seq(("a", 10L), ("c", 3L)))
+  }
+
+  test("WHEN-clause precedence: earlier conditional DELETE shields the UPDATE") {
+    freshTable(Seq(("a", 1L), ("b", 2L)))
+    dml.run(
+      """MERGE INTO dmlspec.t T
+        |USING (SELECT 'a' AS k, 10 AS v UNION ALL SELECT 'b', 20) S
+        |ON T.k = S.k
+        |WHEN MATCHED AND T.v >= 2 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET v = S.v""".stripMargin)
+    assert(state() == Seq(("a", 10L)))
+  }
+
+  test("by-source precedence: conditional UPDATE before unconditional DELETE") {
+    freshTable(Seq(("a", 1L), ("b", 2L), ("c", 3L)))
+    dml.run(
+      """MERGE INTO dmlspec.t T USING (SELECT 'a' AS k) S ON T.k = S.k
+        |WHEN NOT MATCHED BY SOURCE AND T.v < 3 THEN UPDATE SET v = -1
+        |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    // b (unmatched, v<3) takes the UPDATE and is NOT deleted; c drops
+    assert(state() == Seq(("a", 1L), ("b", -1L)))
+  }
+
+  test("an unconditional clause before another of its group fails loud") {
+    freshTable(Seq(("a", 1L)))
+    val e = intercept[IllegalArgumentException] {
+      dml.run(
+        """MERGE INTO dmlspec.t T USING (SELECT 'a' AS k, 9 AS v) S ON T.k = S.k
+          |WHEN MATCHED THEN UPDATE SET v = S.v
+          |WHEN MATCHED THEN DELETE""".stripMargin)
+    }
+    assert(e.getMessage.contains("unreachable"), e.getMessage)
+    assert(state() == Seq(("a", 1L)))
+  }
+
   test("an unrecognized WHEN clause fails loud, never silently drops") {
     freshTable(Seq(("a", 1L)))
     val e = intercept[IllegalArgumentException] {

@@ -1055,6 +1055,31 @@ class ScriptRunnerSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"the mutated escaped-value partition must recompute: $out")
   }
 
+  test("MV incremental refresh recomputes a stale NULL base partition") {
+    spark.sql("DROP DATABASE IF EXISTS graft__mvnull CASCADE")
+    val loc = java.nio.file.Files.createTempDirectory("mvnull")
+    spark.sql(s"CREATE DATABASE graft__mvnull LOCATION '$loc'")
+    MvRegistry.drop("graft__mvnull.mv")
+    CloneRegistry.unmark("graft__mvnull.mv")
+    val sr = new ScriptRunner(spark)
+    // the NULL partition lists as __HIVE_DEFAULT_PARTITION__; the stale
+    // filter must turn that key into `grp IS NULL` — an IN ('…') filter
+    // matches no NULL rows and would silently keep the stale image
+    sr.run(
+      """CREATE TABLE `graft.mvnull.base` PARTITION BY grp AS
+        |SELECT CAST(id AS INT64) AS v,
+        |  CASE WHEN id < 2 THEN NULL ELSE 'c' END AS grp
+        |FROM (SELECT explode(sequence(0, 3)) AS id);
+        |CREATE MATERIALIZED VIEW `graft.mvnull.mv` AS
+        |SELECT grp, SUM(v) AS total FROM graft.mvnull.base GROUP BY grp;
+        |INSERT INTO graft.mvnull.base VALUES (100, NULL);
+        |CALL BQ.REFRESH_MATERIALIZED_VIEW('graft.mvnull.mv')""".stripMargin)
+    val out = sr.run("SELECT grp, total FROM graft.mvnull.mv ORDER BY grp")
+      .get.collect().map(r => (Option(r.getString(0)), r.getLong(1))).toSeq
+    assert(out == Seq((None, 101L), (Some("c"), 5L)),
+      s"the mutated NULL partition must recompute: $out")
+  }
+
   test("MV incremental refresh commit is crash-atomic (journal heals)") {
     spark.sql("DROP DATABASE IF EXISTS graft__mvcr CASCADE")
     val loc = java.nio.file.Files.createTempDirectory("mvcr")

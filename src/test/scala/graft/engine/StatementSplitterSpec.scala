@@ -23,6 +23,22 @@ class StatementSplitterSpec extends AnyFunSuite {
     assert(parts(2) == "select \"a;b\"")
   }
 
+  test("a loop label needs its colon: `WITH loop AS (…)` is not a label") {
+    // LOOP is not a BigQuery reserved word, so `WITH loop AS (SELECT …)`
+    // is a legal CTE name — without the colon check the LOOP token
+    // opened a phantom block and the split hung waiting for END LOOP
+    assert(StatementSplitter.split(
+      "WITH loop AS (SELECT 1 AS x) SELECT x FROM loop; SELECT 2") ==
+      Seq("WITH loop AS (SELECT 1 AS x) SELECT x FROM loop", "SELECT 2"))
+    // real labels (colon present, comments/whitespace between) still arm
+    val withLabel = StatementSplitter.splitBlocks(
+      "lbl: LOOP SET x = 1; BREAK; END LOOP lbl; SELECT 3")
+    assert(withLabel.size == 2, withLabel.toString)
+    val spaced = StatementSplitter.splitBlocks(
+      "lbl /* c */ : LOOP SET x = 1; BREAK; END LOOP; SELECT 3")
+    assert(spaced.size == 2, spaced.toString)
+  }
+
   test("single statement is all body, no headers") {
     val (headers, body) = StatementSplitter.parsedSql("SELECT * FROM t")
     assert(headers.isEmpty)
