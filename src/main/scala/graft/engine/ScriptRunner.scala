@@ -91,11 +91,45 @@ class ScriptRunner(spark: SparkSession) {
         java.util.regex.Matcher.quoteReplacement(value))
     }
 
+  /** Driver-local scalar eval: when the rewritten, variable-substituted
+    * expression references no columns/tables, no subqueries, and nothing
+    * nondeterministic, resolve it against a one-row plan and evaluate it
+    * with Catalyst's interpreter — zero Spark jobs. BigQuery's own
+    * coordinator evaluates these sequentially too; the win here is
+    * skipping a full job launch (~30-40 ms) per scripting statement.
+    * Returns None whenever anything needs the real SQL path.
+    */
+  private def evalDriverLocal(exprSql: String): Option[Any] = try {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{Alias, SubqueryExpression, Unevaluable}
+    import org.apache.spark.sql.catalyst.plans.logical.{OneRowRelation, Project}
+    val parsed = spark.sessionState.sqlParser.parseExpression(exprSql)
+    if (parsed.exists {
+        case _: UnresolvedAttribute => true // a column ⇒ table context
+        case _: SubqueryExpression => true
+        case _ => false
+      }) return scala.None
+    val analyzed = spark.sessionState.analyzer.executeAndCheck(
+      Project(Seq(Alias(parsed, "v")()), OneRowRelation()),
+      new org.apache.spark.sql.catalyst.QueryPlanningTracker)
+    analyzed match {
+      case Project(Seq(a), _: OneRowRelation)
+          if a.deterministic && !a.exists(e =>
+            e.isInstanceOf[Unevaluable] || e.isInstanceOf[SubqueryExpression]) =>
+        val v = a.eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+        Some(org.apache.spark.sql.catalyst.CatalystTypeConverters
+          .createToScalaConverter(a.dataType)(v))
+      case _ => scala.None // aggregates/generators: real plan shapes
+    }
+  } catch { case scala.util.control.NonFatal(_) => scala.None }
+
   /** Evaluate a scalar/array expression driver-side → SQL literal text. */
   private def evalToLiteral(expr: String): String = {
-    val df = spark.sql(s"SELECT ${Dialect.rewrite(substituteVars(expr))}")
-    val row = df.collect()(0)
-    literalOf(row.get(0))
+    val sql = Dialect.rewrite(substituteVars(expr))
+    evalDriverLocal(sql) match {
+      case Some(v) => literalOf(v)
+      case scala.None => literalOf(spark.sql(s"SELECT $sql").collect()(0).get(0))
+    }
   }
 
   private def literalOf(v: Any): String = v match {
@@ -155,9 +189,13 @@ class ScriptRunner(spark: SparkSession) {
   // recursively, so every contained statement stays distributed.
 
   private def evalBool(cond: String): Boolean = {
-    val row = spark.sql(
-      s"SELECT CAST((${Dialect.rewrite(substituteVars(cond))}) AS BOOLEAN)").collect()(0)
-    !row.isNullAt(0) && row.getBoolean(0)
+    val sql = s"CAST((${Dialect.rewrite(substituteVars(cond))}) AS BOOLEAN)"
+    evalDriverLocal(sql) match {
+      case Some(v) => v == true // NULL is not-true (three-valued logic)
+      case scala.None =>
+        val row = spark.sql(s"SELECT $sql").collect()(0)
+        !row.isNullAt(0) && row.getBoolean(0)
+    }
   }
 
   private def runScript(body: String): Option[DataFrame] = {
@@ -1519,6 +1557,7 @@ class ScriptRunner(spark: SparkSession) {
       val i = if (ine != null) "IF NOT EXISTS " else ""
       spark.sql(s"CREATE ${or}VIEW $i$dest AS " + Dialect.rewrite(substituteVars(
         expandInformationSchema(expandWildcardTables(query)))))
+      ExternalTables.noteViewChange()
       scala.None
     case other => throw new IllegalArgumentException(s"malformed CREATE VIEW: $other")
   }
@@ -1528,6 +1567,7 @@ class ScriptRunner(spark: SparkSession) {
       val dest = destTableName(rawName.replace("`", ""))
       val ie = if (ifExists != null) "IF EXISTS " else ""
       spark.sql(s"DROP VIEW $ie$dest")
+      ExternalTables.noteViewChange()
       scala.None
     case other => throw new IllegalArgumentException(s"malformed DROP VIEW: $other")
   }
@@ -1996,7 +2036,7 @@ class ScriptRunner(spark: SparkSession) {
     // TVF expansion rides the same statement-prep chain: every site
     // that expands wildcards also wants `FROM fn(args)` inlined
     val sql = expandTableFunctions(sql0)
-    wildcardTableRe.replaceAllIn(sql, m => {
+    val out = wildcardTableRe.replaceAllIn(sql, m => {
       if (inSqlLiteral(sql, m.start))
         java.util.regex.Matcher.quoteReplacement(m.matched)
       else {
@@ -2023,5 +2063,11 @@ class ScriptRunner(spark: SparkSession) {
       }
       }
     })
+    // TVF bodies and wildcard expansions may surface auto-refresh
+    // external tables the pre-expansion scan could not see — re-run the
+    // freshness pass on the expanded text (no-op when nothing expanded
+    // or the registry is empty)
+    if (out != sql0) ExternalTables.refreshReferenced(spark, out)
+    out
   }
 }

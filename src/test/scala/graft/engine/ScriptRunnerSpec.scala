@@ -486,6 +486,114 @@ class ScriptRunnerSpec extends AnyFunSuite with BeforeAndAfterAll {
     ExternalTables.unregister("graft_autoref_t")
   }
 
+  test("autoRefresh reaches tables referenced through a VIEW or TVF") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_autoref2")
+    spark.sql("DROP TABLE IF EXISTS graft_autoref2_t")
+    spark.sql("DROP VIEW IF EXISTS graft_autoref2_v")
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(s"$dir/a.csv"), "1\n2\n")
+    val sr = new ScriptRunner(spark)
+    sr.run(
+      s"""CREATE EXTERNAL TABLE graft_autoref2_t (k INT64)
+         |OPTIONS(format='CSV', uris=['$dir/*.csv'], graft.autoRefresh=true);
+         |CREATE VIEW graft_autoref2_v AS SELECT k FROM graft_autoref2_t;
+         |CREATE TABLE FUNCTION graft_autoref2_f(lo INT64) AS
+         |  (SELECT k FROM graft_autoref2_t WHERE k >= lo)""".stripMargin)
+    assert(sr.run("SELECT k FROM graft_autoref2_v").get.count() == 2L)
+    // new file lands; the statement names only the VIEW — its listing
+    // must still invalidate (the round-8 substring scan missed this)
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(s"$dir/b.csv"), "3\n4\n5\n")
+    assert(sr.run("SELECT k FROM graft_autoref2_v").get.count() == 5L,
+      "a view over an autoRefresh table must see the new file")
+    // TVF-indirect: the call site names only the function
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(s"$dir/c.csv"), "6\n")
+    assert(sr.run("SELECT * FROM graft_autoref2_f(1)").get.count() == 6L,
+      "a TVF over an autoRefresh table must see the new file")
+    // view-on-view still resolves
+    sr.run("CREATE VIEW graft_autoref2_v2 AS SELECT k FROM graft_autoref2_v")
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(s"$dir/d.csv"), "7\n8\n")
+    assert(sr.run("SELECT k FROM graft_autoref2_v2").get.count() == 8L,
+      "a view over a view over an autoRefresh table must see the new file")
+    sr.run("DROP TABLE FUNCTION graft_autoref2_f")
+    spark.sql("DROP VIEW graft_autoref2_v2")
+    spark.sql("DROP VIEW graft_autoref2_v")
+    spark.sql("DROP TABLE graft_autoref2_t")
+    ExternalTables.unregister("graft_autoref2_t")
+  }
+
+  test("autoRefresh matches whole names, not substrings") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_autoref3")
+    spark.sql("DROP TABLE IF EXISTS graft_ar3")
+    spark.sql("DROP TABLE IF EXISTS graft_ar3x")
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(s"$dir/a.csv"), "1\n")
+    val sr = new ScriptRunner(spark)
+    // graft_ar3 is a PREFIX of graft_ar3x: under the substring scan a
+    // query over graft_ar3x would spuriously refresh graft_ar3 — and,
+    // worse, a query over graft_ar3 would NOT refresh graft_ar3x
+    sr.run(
+      s"""CREATE EXTERNAL TABLE graft_ar3x (k INT64)
+         |OPTIONS(format='CSV', uris=['$dir/*.csv'], graft.autoRefresh=true)""".stripMargin)
+    spark.sql("CREATE TABLE graft_ar3 (k BIGINT) USING parquet")
+    assert(sr.run("SELECT k FROM graft_ar3x").get.count() == 1L)
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(s"$dir/b.csv"), "2\n")
+    // whole-name resolution: the registered table refreshes on ITS OWN
+    // name even though another table shares the prefix
+    assert(sr.run("SELECT k FROM graft_ar3x").get.count() == 2L)
+    spark.sql("DROP TABLE graft_ar3")
+    spark.sql("DROP TABLE graft_ar3x")
+    ExternalTables.unregister("graft_ar3x")
+  }
+
+  test("scalar SET/IF/WHILE evaluate driver-local (zero jobs); table refs still run Spark") {
+    val jobs = new java.util.concurrent.atomic.AtomicInteger()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          s: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val sr = new ScriptRunner(spark)
+      // warm anything lazy, then measure
+      sr.run("DECLARE warm INT64 DEFAULT 1; SET warm = warm + 1")
+      Thread.sleep(500) // listener events post asynchronously
+      jobs.set(0)
+      val out = sr.run(
+        """DECLARE i INT64 DEFAULT 0; DECLARE s STRING DEFAULT 'x';
+          |DECLARE d DATE DEFAULT DATE '2024-03-01';
+          |WHILE i < 20 DO
+          |  SET i = i + 1;
+          |  IF MOD(i, 2) = 0 THEN SET s = CONCAT(s, 'y'); END IF;
+          |  SET d = DATE_ADD(d, INTERVAL 1 DAY);
+          |END WHILE;
+          |SELECT i AS n, s AS acc, d AS fin""".stripMargin).get.collect()(0)
+      assert(out.getLong(0) == 20L && out.getString(1) == "x" + "y" * 10)
+      Thread.sleep(500) // listener events post asynchronously
+      // only the final SELECT may launch jobs — the ~80 scalar
+      // statements (20 SETs ×3 + conditions) must all stay driver-local
+      assert(jobs.get() <= 2,
+        s"scalar scripting statements launched ${jobs.get()} Spark jobs")
+      // a SET whose expression READS A TABLE must still run through
+      // Spark (and produce the right value)
+      spark.sql("DROP TABLE IF EXISTS graft_dlocal_t")
+      spark.sql("CREATE TABLE graft_dlocal_t USING parquet AS SELECT 41L AS v")
+      jobs.set(0)
+      val out2 = sr.run(
+        """DECLARE x INT64;
+          |SET x = (SELECT MAX(v) FROM graft_dlocal_t) + 1;
+          |SELECT x AS got""".stripMargin).get.collect()(0).getLong(0)
+      assert(out2 == 42L)
+      Thread.sleep(500) // listener events post asynchronously
+      assert(jobs.get() >= 1, "a table-referencing SET must launch a Spark job")
+      spark.sql("DROP TABLE graft_dlocal_t")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("CREATE EXTERNAL TABLE fails loud on multiple uris and missing schema") {
     val sr = new ScriptRunner(spark)
     val multi = intercept[IllegalArgumentException] {
