@@ -1668,6 +1668,28 @@ object Dialect {
     else Some(s"(CASE WHEN ${a.map(x => s"($x) IS NULL").mkString(" OR ")} " +
       s"THEN NULL ELSE $n(${a.mkString(", ")}) END)")
 
+  /** Uniform JSON output canonicalization (the engine's PARSE_JSON
+    * round-trip: sorted keys, minified) for the mutator family.
+    */
+  private def canonicalJson(e: String): String = s"to_json(parse_json($e))"
+
+  /** JSON_ARRAY_INSERT / JSON_ARRAY_APPEND: (json, path, value) pairs
+    * chain; the optional `insert_each_element`/`append_each_element`
+    * named argument becomes the kernel's 4th child (BigQuery default
+    * true: an array value spreads element-by-element).
+    */
+  private def jsonArrayMutator(fnName: String): Seq[String] => Option[String] = { a =>
+    val nmRe = raw"(?is)^\s*(?:insert|append)_each_element\s*=>\s*(.+)$$".r
+    val (named, pos) = a.partition(s => nmRe.findFirstIn(s).isDefined)
+    val each = named.headOption.collect { case nmRe(v) => v }.getOrElse("true")
+    if (named.length > 1 || pos.length < 3 || pos.length % 2 == 0 ||
+        pos.exists(_.contains("=>"))) scala.None
+    else Some(canonicalJson(pos.tail.grouped(2).foldLeft(pos.head) {
+      case (acc, Seq(p, v)) => s"$fnName($acc, $p, $v, $each)"
+      case (acc, _) => acc
+    }))
+  }
+
   private lazy val callRewrites: Map[String, Seq[String] => Option[String]] = Map(
     "COUNTIF" -> renameTo("count_if"),
     "LOGICAL_AND" -> renameTo("bool_and"),
@@ -2072,6 +2094,39 @@ object Dialect {
     // friends unchanged.
     "PARSE_JSON" -> (a =>
       if (a.length == 1) Some(s"to_json(parse_json(${a(0)}))") else scala.None),
+    // ---- JSON mutators (graft.functions.JsonMutators kernel). Output
+    // rides the same PARSE_JSON round-trip as every JSON producer, so
+    // canonicalization (sorted keys, minified) stays uniform. Unknown
+    // named arguments leave the call unrewritten → Spark fails loud.
+    "JSON_SET" -> { a =>
+      if (a.length < 3 || a.length % 2 == 0 || a.exists(_.contains("=>")))
+        scala.None
+      else Some(canonicalJson(a.tail.grouped(2).foldLeft(a.head) {
+        case (acc, Seq(p, v)) => s"graft_json_set($acc, $p, $v)"
+        case (acc, _) => acc
+      }))
+    },
+    "JSON_REMOVE" -> { a =>
+      if (a.length < 2 || a.exists(_.contains("=>"))) scala.None
+      else Some(canonicalJson(
+        a.tail.foldLeft(a.head)((acc, p) => s"graft_json_remove($acc, $p)")))
+    },
+    "JSON_STRIP_NULLS" -> { a =>
+      val nmRe = raw"(?is)^\s*(include_arrays|remove_empty)\s*=>\s*(.+)$$".r
+      val (named, pos) = a.partition(s => nmRe.findFirstIn(s).isDefined)
+      if (pos.isEmpty || pos.length > 2) scala.None
+      else {
+        var ia = "true" // BigQuery defaults
+        var re = "false"
+        named.foreach { case nmRe(k, v) =>
+          if (k.equalsIgnoreCase("include_arrays")) ia = v else re = v
+        }
+        Some(canonicalJson(s"graft_json_strip_nulls(${pos(0)}, " +
+          s"${pos.lift(1).getOrElse("'" + "$" + "'")}, $ia, $re)"))
+      }
+    },
+    "JSON_ARRAY_INSERT" -> jsonArrayMutator("graft_json_array_insert"),
+    "JSON_ARRAY_APPEND" -> jsonArrayMutator("graft_json_array_append"),
     // BigQuery collation names → Spark's: 'und:ci' is the documented
     // case-insensitive collation spec
     "COLLATE" -> { a =>

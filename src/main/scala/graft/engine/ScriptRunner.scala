@@ -1372,27 +1372,38 @@ class ScriptRunner(spark: SparkSession) {
     val out = new StringBuilder
     var idx = 0
     var changed = false
-    for (m <- tvfRefRe.findAllMatchIn(sql)) if (m.start >= idx) {
+    // match positions come from the LITERAL-MASKED text (length-
+    // preserving), so `FROM f(` inside a string literal never starts an
+    // expansion; text is still cut from the original by position
+    val spans = Dialect.literalSpans(sql)
+    def inLit(p: Int) = spans.exists(s => p >= s._1 && p < s._2)
+    for (m <- tvfRefRe.findAllMatchIn(sql)) if (m.start >= idx && !inLit(m.start)) {
       val key = procKey(m.group(2))
       tableFunctions.get(key) match {
         case scala.None => // not a TVF — leave for other rewrites
         case Some(fn) =>
           // balance-parse the argument list from the open paren
+          // (backslash-escape aware: 'it''s' is two literals, 'a\'b' one)
           var i = m.end // first char after '('
           var level = 1
           var inStr: Char = 0
           val argText = new StringBuilder
           while (level > 0 && i < sql.length) {
             val c = sql.charAt(i)
-            if (inStr != 0) { if (c == inStr) inStr = 0 }
-            else c match {
-              case '\'' | '"' => inStr = c
-              case '(' => level += 1
-              case ')' => level -= 1
-              case _ =>
+            if (inStr != 0) {
+              if (c == '\\' && i + 1 < sql.length) { argText += c; i += 1; argText += sql.charAt(i) }
+              else { if (c == inStr) inStr = 0; argText += c }
+              i += 1
+            } else {
+              c match {
+                case '\'' | '"' => inStr = c
+                case '(' => level += 1
+                case ')' => level -= 1
+                case _ =>
+              }
+              if (level > 0) argText += c
+              i += 1
             }
-            if (level > 0) argText += c
-            i += 1
           }
           if (level > 0) throw new IllegalArgumentException(
             s"unbalanced table function call: ${m.group(2)}(…")
@@ -1402,9 +1413,8 @@ class ScriptRunner(spark: SparkSession) {
               s"got ${args.length}")
           var bodySub = fn.body
           for (((pName, pType), arg) <- fn.params.zip(args))
-            bodySub = raw"(?i)\b${java.util.regex.Pattern.quote(pName)}\b".r
-              .replaceAllIn(bodySub, java.util.regex.Matcher.quoteReplacement(
-                s"CAST(($arg) AS $pType)"))
+            bodySub = substituteOutsideLiterals(bodySub, pName,
+              s"CAST(($arg) AS $pType)")
           // trailing alias? `FROM fn(1) AS d` / `FROM fn(1) d`
           val rest = sql.substring(i)
           val aliasM = raw"(?is)^\s*(?:AS\s+)?(\w+)".r.findFirstMatchIn(rest)
@@ -1713,17 +1723,47 @@ class ScriptRunner(spark: SparkSession) {
   /** split on top-level commas (parens- and quote-aware). */
   private def splitTopLevelCsv(s: String): Seq[String] = {
     val out = Seq.newBuilder[String]
-    var depth = 0; var inStr = false
+    var depth = 0
+    var inStr: Char = 0
     val cur = new StringBuilder
-    s.foreach {
-      case '\'' => inStr = !inStr; cur += '\''
-      case '(' if !inStr => depth += 1; cur += '('
-      case ')' if !inStr => depth -= 1; cur += ')'
-      case ',' if !inStr && depth == 0 => out += cur.result().trim; cur.clear()
-      case c => cur += c
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr != 0) {
+        if (c == '\\' && i + 1 < s.length) { cur += c; i += 1; cur += s.charAt(i) }
+        else { if (c == inStr) inStr = 0; cur += c }
+      } else c match {
+        case '\'' | '"' => inStr = c; cur += c
+        case '(' => depth += 1; cur += '('
+        case ')' => depth -= 1; cur += ')'
+        case ',' if depth == 0 => out += cur.result().trim; cur.clear()
+        case other => cur += other
+      }
+      i += 1
     }
     if (cur.nonEmpty) out += cur.result().trim
     out.result().filter(_.nonEmpty)
+  }
+
+  /** Word-boundary parameter substitution that skips string literals —
+    * a TVF parameter named `lo` must not rewrite the text of a literal
+    * like 'lo and behold' in the function body.
+    */
+  private def substituteOutsideLiterals(body: String, name: String,
+      replacement: String): String = {
+    val spans = Dialect.literalSpans(body)
+    def inLit(p: Int) = spans.exists(s => p >= s._1 && p < s._2)
+    val re = raw"(?i)\b${java.util.regex.Pattern.quote(name)}\b".r
+    val sb = new StringBuilder
+    var idx = 0
+    re.findAllMatchIn(body).foreach { m =>
+      if (!inLit(m.start)) {
+        sb.append(body.substring(idx, m.start)).append(replacement)
+        idx = m.end
+      }
+    }
+    sb.append(body.substring(idx))
+    sb.result()
   }
 
   private def runSimpleStatement(stmt: String): Option[DataFrame] = stmt match {

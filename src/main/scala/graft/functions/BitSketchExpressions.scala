@@ -386,6 +386,7 @@ object BitSketchExpressions {
       "graft_deflate_len", exprs => DeflateLength(exprs.head), "scala_udf")
     FarmHashExpressions.register(spark)
     TextExpressions.register(spark)
+    JsonMutators.register(spark)
     TopCount.register(spark)
   }
 }

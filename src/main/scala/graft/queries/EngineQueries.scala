@@ -999,6 +999,39 @@ object EngineQueries {
     },
 
     // --- vocabulary pack 8 (cont.): JSON construction + conversion ------
+    "e66_json_mutators" -> { (s, d) =>
+      // JSON mutator family (JSON_SET / JSON_REMOVE / JSON_STRIP_NULLS /
+      // JSON_ARRAY_INSERT / JSON_ARRAY_APPEND) over the canonical-string
+      // JSON representation, including nested-path creation, array
+      // padding, include_arrays/each-element named arguments, and LAX
+      // read-back of a mutated field. The oracle re-derives every
+      // output with DuckDB's constructors (keys written in sorted
+      // order — the engine's canonicalization). Per-row string work,
+      // no shuffle beyond the final sort.
+      Tables.views(s, d, "nation")
+      new ScriptRunner(s).run(
+        """SELECT CAST(n_nationkey AS INT64) AS id,
+          |  JSON_SET(JSON_OBJECT('a', CAST(n_nationkey AS INT64), 'b', n_name),
+          |           '$.c.d', CAST(n_regionkey AS INT64)) AS jset,
+          |  JSON_SET(JSON_OBJECT('a', CAST(n_nationkey AS INT64)),
+          |           '$.a', CONCAT(n_name, '!'), '$.z[1]', true) AS jset2,
+          |  JSON_REMOVE(JSON_OBJECT('a', 1, 'b', CAST(n_regionkey AS INT64), 'c', n_name),
+          |              '$.a') AS jrm,
+          |  JSON_REMOVE(JSON_ARRAY(CAST(n_nationkey AS INT64), n_name,
+          |                         CAST(n_regionkey AS INT64)), '$[1]') AS jrm_arr,
+          |  JSON_STRIP_NULLS(JSON_OBJECT('a', IF(MOD(n_nationkey, 2) = 0, NULL, n_name),
+          |                               'b', CAST(n_regionkey AS INT64))) AS jstrip,
+          |  JSON_STRIP_NULLS(JSON_ARRAY(NULL, CAST(n_nationkey AS INT64), NULL),
+          |                   include_arrays => false) AS jstrip2,
+          |  JSON_ARRAY_INSERT(JSON_ARRAY(CAST(n_nationkey AS INT64), 'end'),
+          |                    '$[1]', n_name) AS jins,
+          |  JSON_ARRAY_APPEND(JSON_ARRAY(CAST(n_regionkey AS INT64)),
+          |                    '$', CAST(n_nationkey AS INT64)) AS japp,
+          |  LAX_INT64(JSON_QUERY(JSON_SET(JSON '{}', '$.n',
+          |                                CAST(n_nationkey AS INT64)), '$.n')) AS lax_rt
+          |FROM nation ORDER BY id""".stripMargin).get
+    },
+
     "e65_json_vocab" -> { (s, d) =>
       // JSON literals, constructors and LAX/strict converters over the
       // canonical-string JSON representation — DuckDB's json_object/
@@ -2159,6 +2192,23 @@ object EngineQueries {
 
     // DuckDB's json_object/json_array share the canonical encoding;
     // type names and conversions restate as plain expressions
+    // every mutated document re-derived constructively (keys in sorted
+    // order — the engine canonicalizes through the variant round-trip)
+    "e66_json_mutators" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS id,
+        |  json_object('a', CAST(n_nationkey AS BIGINT), 'b', n_name,
+        |              'c', json_object('d', CAST(n_regionkey AS BIGINT))) AS jset,
+        |  json_object('a', n_name || '!', 'z', json('[null,true]')) AS jset2,
+        |  json_object('b', CAST(n_regionkey AS BIGINT), 'c', n_name) AS jrm,
+        |  json_array(CAST(n_nationkey AS BIGINT), CAST(n_regionkey AS BIGINT)) AS jrm_arr,
+        |  CASE WHEN n_nationkey % 2 = 0 THEN json_object('b', CAST(n_regionkey AS BIGINT))
+        |       ELSE json_object('a', n_name, 'b', CAST(n_regionkey AS BIGINT)) END AS jstrip,
+        |  json_array(NULL, CAST(n_nationkey AS BIGINT), NULL) AS jstrip2,
+        |  json_array(CAST(n_nationkey AS BIGINT), n_name, 'end') AS jins,
+        |  json_array(CAST(n_regionkey AS BIGINT), CAST(n_nationkey AS BIGINT)) AS japp,
+        |  CAST(n_nationkey AS BIGINT) AS lax_rt
+        |FROM nation ORDER BY id""".stripMargin,
+
     "e65_json_vocab" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS id,
         |  json_object('name', n_name, 'region', CAST(n_regionkey AS BIGINT)) AS jobj,

@@ -655,6 +655,49 @@ class DialectExecSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one("SELECT SAFE_CAST('07:08:09' AS TIME)") == "07:08:09")
   }
 
+  test("JSON mutators: SET/REMOVE/STRIP_NULLS/ARRAY_INSERT/ARRAY_APPEND") {
+    // SET: replace, create nested path, array index pad, conflict no-op
+    assert(one("""SELECT JSON_SET(JSON '{"a":1}', '$.a', 5)""") == """{"a":5}""")
+    assert(one("""SELECT JSON_SET(JSON '{"a":1}', '$.b.c', 'x')""") ==
+      """{"a":1,"b":{"c":"x"}}""")
+    assert(one("""SELECT JSON_SET(JSON '{"a":[1]}', '$.a[3]', 9)""") ==
+      """{"a":[1,null,null,9]}""")
+    assert(one("""SELECT JSON_SET(JSON '{"a":1}', '$.a.b', 2)""") == """{"a":1}""",
+      "a path through a scalar must no-op")
+    // multiple pairs chain left-to-right
+    assert(one("""SELECT JSON_SET(JSON '{}', '$.a', 1, '$.b', true)""") ==
+      """{"a":1,"b":true}""")
+    // a string value that IS a JSON object splices as a subtree
+    assert(one("""SELECT JSON_SET(JSON '{}', '$.o', JSON '{"k":2}')""") ==
+      """{"o":{"k":2}}""")
+    // REMOVE: field, array element (shifts), missing path no-op
+    assert(one("""SELECT JSON_REMOVE(JSON '{"a":1,"b":2}', '$.a')""") == """{"b":2}""")
+    assert(one("""SELECT JSON_REMOVE(JSON '{"a":[1,2,3]}', '$.a[1]')""") ==
+      """{"a":[1,3]}""")
+    assert(one("""SELECT JSON_REMOVE(JSON '{"a":1}', '$.zz')""") == """{"a":1}""")
+    // STRIP_NULLS: objects always, arrays by flag, remove_empty prunes
+    assert(one("""SELECT JSON_STRIP_NULLS(JSON '{"a":null,"b":[null,1]}')""") ==
+      """{"b":[1]}""")
+    assert(one("""SELECT JSON_STRIP_NULLS(JSON '{"a":null,"b":[null,1]}', include_arrays => false)""") ==
+      """{"b":[null,1]}""")
+    assert(one("""SELECT JSON_STRIP_NULLS(JSON '{"a":{"b":null}}', remove_empty => true)""") ==
+      "null")
+    // path-scoped strip leaves siblings alone
+    assert(one("""SELECT JSON_STRIP_NULLS(JSON '{"a":{"x":null},"c":null}', '$.a')""") ==
+      """{"a":{},"c":null}""")
+    // ARRAY_INSERT / ARRAY_APPEND, spread vs single-element
+    assert(one("""SELECT JSON_ARRAY_INSERT(JSON '{"a":[1,3]}', '$.a[1]', 2)""") ==
+      """{"a":[1,2,3]}""")
+    assert(one("""SELECT JSON_ARRAY_APPEND(JSON '{"a":[1]}', '$.a', 2)""") ==
+      """{"a":[1,2]}""")
+    assert(one("""SELECT JSON_ARRAY_APPEND(JSON '{"a":[1]}', '$.a', JSON '[2,3]')""") ==
+      """{"a":[1,2,3]}""")
+    assert(one("""SELECT JSON_ARRAY_APPEND(JSON '{"a":[1]}', '$.a', JSON '[2,3]', append_each_element => false)""") ==
+      """{"a":[1,[2,3]]}""")
+    // LAX interaction: read a mutated field back
+    assert(one("""SELECT LAX_INT64(JSON_QUERY(JSON_SET(JSON '{}', '$.n', 7), '$.n'))""") == 7L)
+  }
+
   test("TIME typed-literal rewrite is string-literal-aware") {
     // the word TIME at the end of (or as) a literal must survive
     assert(one("SELECT 'TIME'") == "TIME")

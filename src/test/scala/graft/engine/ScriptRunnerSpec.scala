@@ -1308,6 +1308,41 @@ class ScriptRunnerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!spark.catalog.databaseExists("graft__schspec"))
   }
 
+  test("TVF expansion survives literal commas/parens, CTE references, and literal-lookalikes") {
+    spark.sql("DROP DATABASE IF EXISTS tvfhard CASCADE")
+    val loc = java.nio.file.Files.createTempDirectory("tvfhard")
+    spark.sql(s"CREATE DATABASE tvfhard LOCATION '$loc'")
+    spark.sql("CREATE TABLE tvfhard.t (k STRING, v BIGINT) USING parquet")
+    spark.sql("INSERT INTO tvfhard.t VALUES ('a,b', 1), ('c(d', 2), ('lo', 3)")
+    val sr = new ScriptRunner(spark)
+    sr.run(
+      """CREATE TABLE FUNCTION pick(name STRING, lo INT64) AS (
+        |  SELECT k, v, 'lo and behold' AS tag
+        |  FROM tvfhard.t WHERE k = name AND v >= lo
+        |)""".stripMargin)
+    // a string argument containing a comma must stay ONE argument
+    assert(sr.run("SELECT v FROM pick('a,b', 0)").get.collect()
+      .map(_.getLong(0)).toSeq == Seq(1L))
+    // ... and one containing an unbalanced paren
+    assert(sr.run("SELECT v FROM pick('c(d', 1)").get.collect()
+      .map(_.getLong(0)).toSeq == Seq(2L))
+    // nested call parens in an argument expression
+    assert(sr.run("SELECT v FROM pick('lo', GREATEST(1, COALESCE(NULL, 2)))").get
+      .collect().map(_.getLong(0)).toSeq == Seq(3L))
+    // the body literal containing the parameter name must be untouched
+    assert(sr.run("SELECT tag FROM pick('lo', 1)").get.collect()
+      .map(_.getString(0)).toSeq == Seq("lo and behold"))
+    // a TVF referenced from a CTE expands there too
+    val cte = sr.run(
+      """WITH c AS (SELECT v FROM pick('a,b', 0))
+        |SELECT SUM(v) AS s FROM c""".stripMargin).get
+    assert(cte.collect().head.getLong(0) == 1L)
+    // a 'FROM pick(' INSIDE a string literal is data, not a call site
+    assert(sr.run("SELECT 'FROM pick(1)' AS s").get.collect()
+      .head.getString(0) == "FROM pick(1)")
+    sr.run("DROP TABLE FUNCTION pick")
+  }
+
   test("CREATE TABLE FUNCTION expands in FROM with typed parameter substitution") {
     spark.sql("DROP DATABASE IF EXISTS tvfspec CASCADE")
     val loc = java.nio.file.Files.createTempDirectory("tvfspec")
