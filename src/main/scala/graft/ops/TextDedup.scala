@@ -51,11 +51,11 @@ object TextDedup {
       iters: Int = 3): DataFrame = {
     // checkpointed pre-partitioned on the per-round join key, same
     // rationale as [[connectedComponents]]: rounds re-shuffle only the
-    // (node, label) state, never the edge list
-    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
-      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
-      .repartition(col("dst"))
-      .localCheckpoint(true)
+    // (node, label) state, never the edge list. A prepared (src, dst)
+    // input from [[edgeCache]] is used AS-IS — composed pipelines pay
+    // the pair pass once for all graph consumers.
+    val edges = preparedEdges(pairs)
+      .getOrElse(edgeCache(pairs, eager = true))
     val sd = seeds.select(col("node"),
       col("lab").cast(IntegerType).as("seed_lab"))
     var state = edges.select(col("src").as("node")).distinct()
@@ -68,6 +68,10 @@ object TextDedup {
         .join(state.select(col("node").as("dst"), col("lab").as("dlab")), "dst")
         .groupBy(col("src").as("node"))
         .agg(sum(col("dlab")).as("vote"))
+      // LAZY checkpoint: cuts the logical lineage immediately (the
+      // round count bounds plan depth) but materializes only when the
+      // next round — or the final consumer — computes, so fixed-iter
+      // propagation pays ONE job, not one eager job per round
       state = state.join(votes, Seq("node"), "left")
         .select(col("node"),
           when(col("clamped"), col("lab"))
@@ -75,10 +79,30 @@ object TextDedup {
             .when(coalesce(col("vote"), lit(0L)) < 0, lit(-1))
             .otherwise(col("lab")).as("lab"),
           col("clamped"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
     }
     state
   }
+
+  /** The shared pair pass for composed graph ops: symmetrized edge list
+    * cached PRE-PARTITIONED on the per-round join key. Build it once
+    * from a candidate generator's (a, b) pairs and hand the result to
+    * [[connectedComponents]], [[labelPropagation]], and any other
+    * consumer of the same pair set — each recognizes the prepared
+    * (src, dst) shape and skips its own pair pass.
+    */
+  def edgeCache(pairs: DataFrame, eager: Boolean = true): DataFrame =
+    pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .repartition(col("dst"))
+      .localCheckpoint(eager)
+
+  /** A DataFrame is a prepared edge list iff its columns are exactly
+    * (src, dst) — the [[edgeCache]] contract; raw candidate pairs come
+    * as (a, b).
+    */
+  private def preparedEdges(pairs: DataFrame): Option[DataFrame] =
+    if (pairs.columns.toSeq == Seq("src", "dst")) Some(pairs) else scala.None
 
   /** Winnowing fingerprint selection (the MOSS algorithm): hash every
     * word-k-gram, slide a window of `w` consecutive hashes, and keep
@@ -747,10 +771,13 @@ object TextDedup {
     // it on dst — cache it ALREADY HASH-PARTITIONED on the join key so
     // each round's join reuses the cached partitioning and only the
     // slim (node, label) side shuffles; un-partitioned, every round
-    // re-exchanged 2|pairs| edge rows (the dominant ceiling cost)
-    val edges = pairs.union(pairs.select(col("b"), col("a"))).toDF("src", "dst")
-      .repartition(col("dst"))
-      .persist()
+    // re-exchanged 2|pairs| edge rows (the dominant ceiling cost).
+    // A prepared (src, dst) input from [[edgeCache]] skips the pass.
+    val prepared = preparedEdges(pairs)
+    val edges = prepared.getOrElse(
+      pairs.union(pairs.select(col("b"), col("a"))).toDF("src", "dst")
+        .repartition(col("dst"))
+        .persist())
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("lab", col("node")).localCheckpoint(true)
     var changed = 1L
@@ -773,7 +800,7 @@ object TextDedup {
       labels = next.select(col("node"), col("lab"))
       iter += 1
     }
-    edges.unpersist()
+    if (prepared.isEmpty) edges.unpersist() // a shared cache is the caller's
     labels
   }
 

@@ -1332,6 +1332,13 @@ object PipelineQueries {
         .withColumn("text", concat(
           lit("prefix marker words here then quoted body follows "), col("text")))
       graft.functions.BitSketchExpressions.register(s)
+      // ONE corpus scan, no persist/join/distinct: ownership is a
+      // min-over-window on the wh partition (replacing the
+      // aggregate-and-rejoin), and per-doc coverage folds into a single
+      // aggregation whose value is the distinct removed-position count.
+      // Plan: scan → explode → shuffle(wh) window → shuffle(doc_id) agg
+      // → sort. Position arrays are bounded by 8× the doc's own window
+      // count — per-doc state, like the tokenization ops.
       val wins = docs.unionByName(planted)
         .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
         .where(size(col("toks")) >= 8)
@@ -1339,24 +1346,23 @@ object PipelineQueries {
           posexplode(expr(
             "graft_rolling8(transform(toks, t -> graft_md5_60(t) % 2147483647))"))
             .as(Seq("pos", "wh")))
-        .persist()
-      val owner = wins.groupBy(col("wh")).agg(min(col("doc_id")).as("owner"))
-      val removed = wins.join(owner, "wh")
-        .where(col("owner") < col("doc_id"))
+      val owned = wins.withColumn("owner",
+        min(col("doc_id")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("wh"))))
+      owned
         .select(col("doc_id"), col("n_toks"),
-          explode(expr("sequence(pos + 1, pos + 8)")).as("p"))
-        .distinct()
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_removed"))
-      val out = wins.select(col("doc_id"), col("n_toks")).distinct()
-        .join(removed, Seq("doc_id"), "left")
-        .withColumn("n_removed", coalesce(col("n_removed"), lit(0L)))
+          when(col("owner") < col("doc_id"),
+            expr("sequence(pos + 1, pos + 8)"))
+            .otherwise(expr("array()")).as("ps"))
+        .groupBy(col("doc_id"))
+        .agg(first(col("n_toks")).as("n_toks"),
+          size(array_distinct(flatten(collect_list(col("ps")))))
+            .cast(LongType).as("n_removed"))
         .withColumn("keep_fraction",
           (col("n_toks") - col("n_removed")).cast(DoubleType)
             / col("n_toks").cast(DoubleType))
+        .select(col("doc_id"), col("n_toks"), col("n_removed"), col("keep_fraction"))
         .orderBy(col("doc_id"))
-        .localCheckpoint(true)
-      wins.unpersist()
-      out
     },
 
     // --- weighted sampling without replacement (sequential Poisson) ----

@@ -446,6 +446,26 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(8L) == ((0, false)) && out(9L) == ((0, false)))
   }
 
+  test("edgeCache feeds labelPropagation AND connectedComponents — one pair pass") {
+    val sess = spark
+    import sess.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L)).toDF("a", "b")
+    val seeds = Seq((1L, 1), (5L, -1)).toDF("node", "lab")
+    val edges = TextDedup.edgeCache(pairs)
+    // identical results to the raw-pairs path (dispatch is by shape)
+    val viaCache = TextDedup.labelPropagation(edges, seeds, iters = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2))).toSet
+    val viaPairs = TextDedup.labelPropagation(pairs, seeds, iters = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2))).toSet
+    assert(viaCache == viaPairs)
+    val ccCache = TextDedup.connectedComponents(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ccPairs = TextDedup.connectedComponents(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ccCache == ccPairs)
+    assert(ccCache.groupBy(_._2).size == 3, "three components: {1,2,3},{5,6},{8,9}")
+  }
+
   test("winnowing: a shared w+k-1-token run yields a shared fingerprint") {
     val shared = "alpha beta gamma delta epsilon zeta eta theta" // 8 = w+k-1
     val df = docs(
