@@ -77,6 +77,7 @@ class ScriptRunner(spark: SparkSession) {
       case "NUMERIC" => "DECIMAL(38,9)"
       case "BOOL" => "BOOLEAN"
       case "BYTES" => "BINARY"
+      case "TIME" => "STRING" // TIME values are 'HH:mm:ss' strings here
       case "DATETIME" => "TIMESTAMP_NTZ"
       case s if s.startsWith("ARRAY<") =>
         s"ARRAY<${sparkType(s.stripPrefix("ARRAY<").stripSuffix(">"))}>"

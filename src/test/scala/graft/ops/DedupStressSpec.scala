@@ -436,6 +436,44 @@ class DedupStressSpec extends AnyFunSuite with BeforeAndAfterAll {
       f"super-linear at the 1M ceiling: $pSmall%.1f s → $pBig%.1f s")
   }
 
+  // ---- 4M-doc ceiling (VERDICT r9 #3): the three most-load-bearing
+  // candidate generators one more scale notch up (1M → 4M, still 4×).
+  // Opt-in separately (GRAFT_STRESS_4M=1) — each leg scans 4M docs, so
+  // these dominate the suite's wall clock when enabled.
+
+  private def assume4M(): Unit =
+    assume(sys.env.contains("GRAFT_STRESS_4M"),
+      "set GRAFT_STRESS_4M=1 to run the 4M-doc ceiling legs")
+
+  test("4M-doc ceiling: MinHash-LSH pair generation growth stays under 4x", Stress) {
+    assume4M()
+    // feeds d07/d44/d63/d81/d97/d98 — the most-used candidate path
+    val (tSmall, tBig, nBig) = ceilingRatio("minhash@4M", 1000000L, 4000000L) { d =>
+      TextDedup.minhashLshPairs(d)
+    }
+    assert(nBig > 0)
+    assert(tBig / tSmall < 4.0, f"super-linear at the 4M ceiling: $tSmall%.1f s → $tBig%.1f s")
+  }
+
+  test("4M-doc ceiling: connected components growth stays under 4x", Stress) {
+    assume4M()
+    val (tSmall, tBig, nBig) = ceilingRatio("components@4M", 1000000L, 4000000L) { d =>
+      TextDedup.connectedComponents(
+        TextDedup.edgeCache(TextDedup.minhashLshPairs(d).select("a", "b")))
+    }
+    assert(nBig > 0)
+    assert(tBig / tSmall < 4.0, f"super-linear at the 4M ceiling: $tSmall%.1f s → $tBig%.1f s")
+  }
+
+  test("4M-doc ceiling: sampled containment growth stays under 4x", Stress) {
+    assume4M()
+    val (tSmall, tBig, nBig) = ceilingRatio("containment@4M", 1000000L, 4000000L) { d =>
+      TextDedup.containmentPairs(d, sampleMod = 4)
+    }
+    assert(nBig > 0)
+    assert(tBig / tSmall < 4.0, f"super-linear at the 4M ceiling: $tSmall%.1f s → $tBig%.1f s")
+  }
+
   test("1M-doc ceiling: span-cut rewrite growth stays under 4x", Stress) {
     val (tSmall, tBig, nBig) = ceilingRatio("spanCut@1M", 250000L, 1000000L) { d =>
       TextDedup.spanCutRewrite(d)
