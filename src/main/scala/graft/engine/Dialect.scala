@@ -2127,6 +2127,17 @@ object Dialect {
     },
     "JSON_ARRAY_INSERT" -> jsonArrayMutator("graft_json_array_insert"),
     "JSON_ARRAY_APPEND" -> jsonArrayMutator("graft_json_array_append"),
+    // JSON_KEYS(json [, max_depth] [, mode => 'strict'|'lax'|'lax recursive'])
+    // → sorted dotted key paths (ARRAY<STRING>); non-object root → NULL
+    "JSON_KEYS" -> { a =>
+      val modeRe = raw"(?is)^\s*mode\s*=>\s*(.+)$$".r
+      val (named, pos) = a.partition(s => modeRe.findFirstIn(s).isDefined)
+      val mode = named.headOption.collect { case modeRe(v) => v }.getOrElse("'strict'")
+      if (named.length > 1 || pos.isEmpty || pos.length > 2 ||
+          pos.exists(_.contains("=>"))) scala.None
+      else Some(s"graft_json_keys(${pos(0)}, " +
+        s"CAST(${pos.lift(1).getOrElse(Int.MaxValue.toString)} AS INT), $mode)")
+    },
     // BigQuery collation names → Spark's: 'und:ci' is the documented
     // case-insensitive collation spec
     "COLLATE" -> { a =>
@@ -2142,6 +2153,38 @@ object Dialect {
     },
     "SAFE_DIVIDE" -> (a =>
       if (a.length == 2) Some(s"try_divide(${a(0)}, ${a(1)})") else scala.None),
+    // bytes → string with invalid UTF-8 replaced by U+FFFD (native
+    // kernel — Spark 4's decode throws on malformed input instead)
+    "SAFE_CONVERT_BYTES_TO_STRING" -> (a =>
+      if (a.length == 1) Some(s"graft_bytes_to_string(${a(0)})") else scala.None),
+    // PARSE_NUMERIC/PARSE_BIGNUMERIC: string → decimal with BigQuery's
+    // default precision/scale; whitespace-tolerant, exponent-capable
+    // (Spark's string→decimal cast shares the literal grammar)
+    "PARSE_NUMERIC" -> (a =>
+      if (a.length == 1) Some(s"CAST(trim(${a(0)}) AS DECIMAL(38,9))") else scala.None),
+    "PARSE_BIGNUMERIC" -> (a =>
+      if (a.length == 1) Some(s"CAST(trim(${a(0)}) AS DECIMAL(38,18))") else scala.None),
+    // MAKE_INTERVAL([year][, month][, day][, hour][, minute][, second])
+    // with BigQuery's named arguments (`day => 3`) — Spark's
+    // make_interval is positional-only and adds a weeks slot
+    "MAKE_INTERVAL" -> { a =>
+      val nmRe = raw"(?is)^\s*(year|month|day|hour|minute|second)\s*=>\s*(.+)$$".r
+      val slots = Array("0", "0", "0", "0", "0", "0")
+      val order = Seq("year", "month", "day", "hour", "minute", "second")
+      var pos = 0
+      var named = false
+      var ok = a.length <= 6
+      a.foreach {
+        case nmRe(k, v) =>
+          named = true
+          slots(order.indexOf(k.toLowerCase)) = v
+        case p if !named => slots(pos) = p; pos += 1
+        case _ => ok = false // positional AFTER named: BigQuery rejects
+      }
+      if (!ok) scala.None
+      else Some(s"make_interval(${slots(0)}, ${slots(1)}, 0, ${slots(2)}, " +
+        s"${slots(3)}, ${slots(4)}, ${slots(5)})")
+    },
     "GENERATE_TIMESTAMP_ARRAY" -> { a =>
       if (a.length == 3) a(2) match {
         case intervalArg(n, u) => Some(

@@ -243,6 +243,48 @@ object JsonMutators {
     }
   }
 
+  /** JSON_KEYS: unique object keys as dotted paths, sorted, bounded by
+    * maxDepth. Modes (BigQuery): "strict" never descends arrays; "lax"
+    * descends one array level to reach objects; "lax recursive"
+    * descends arrays of arrays too. A non-object root yields NULL (as
+    * in BigQuery), surfaced here as null for the expression layer.
+    */
+  def keys(json: String, maxDepth: Int, mode: String): Seq[String] = {
+    val root = mapper.readTree(json)
+    if (!root.isObject) return null
+    val m = mode.trim.toLowerCase
+    if (m != "strict" && m != "lax" && m != "lax recursive")
+      throw new IllegalArgumentException(
+        s"JSON_KEYS mode must be 'strict', 'lax', or 'lax recursive', got '$mode'")
+    if (maxDepth < 1)
+      throw new IllegalArgumentException(s"JSON_KEYS max_depth must be >= 1")
+    val out = scala.collection.mutable.SortedSet[String]()
+    // unwrap arrays per mode: lax descends ONE level, lax recursive all
+    def unwrap(n: JsonNode, recursive: Boolean): Seq[JsonNode] = n match {
+      case a: ArrayNode if m != "strict" =>
+        val items = Seq.newBuilder[JsonNode]
+        a.forEach { e =>
+          if (recursive && e.isArray) items ++= unwrap(e, recursive)
+          else items += e
+        }
+        items.result()
+      case other => Seq(other)
+    }
+    def walk(node: JsonNode, prefix: String, depth: Int): Unit =
+      node match {
+        case o: ObjectNode if depth <= maxDepth =>
+          o.fields().forEachRemaining { e =>
+            val path = if (prefix.isEmpty) e.getKey else s"$prefix.${e.getKey}"
+            out += path
+            unwrap(e.getValue, m == "lax recursive")
+              .foreach(walk(_, path, depth + 1))
+          }
+        case _ =>
+      }
+    walk(root, "", 1)
+    out.toSeq
+  }
+
   private def spread(v: JsonNode): Seq[JsonNode] = v match {
     case a: ArrayNode =>
       val out = Seq.newBuilder[JsonNode]
@@ -307,6 +349,7 @@ object JsonMutators {
     reg("graft_json_strip_nulls", exprs => GraftJsonMutate("strip", exprs))
     reg("graft_json_array_insert", exprs => GraftJsonMutate("array_insert", exprs))
     reg("graft_json_array_append", exprs => GraftJsonMutate("array_append", exprs))
+    reg("graft_json_keys", exprs => GraftJsonMutate("keys", exprs))
   }
 }
 
@@ -319,7 +362,8 @@ object JsonMutators {
   */
 case class GraftJsonMutate(fn: String, children: Seq[Expression])
     extends Expression with CodegenFallback {
-  override def dataType: DataType = StringType
+  override def dataType: DataType =
+    if (fn == "keys") ArrayType(StringType) else StringType
   override def nullable: Boolean = true
   override def eval(input: InternalRow): Any = {
     val json = children(0).eval(input)
@@ -344,6 +388,15 @@ case class GraftJsonMutate(fn: String, children: Seq[Expression])
         val p = children(1).eval(input)
         if (p == null) return null
         JsonMutators.remove(j, p.asInstanceOf[UTF8String].toString)
+      case "keys" =>
+        val depth = children(1).eval(input)
+        val mode = children(2).eval(input)
+        if (depth == null || mode == null) return null
+        val ks = JsonMutators.keys(j, depth.asInstanceOf[Int],
+          mode.asInstanceOf[UTF8String].toString)
+        return if (ks == null) null
+        else org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+          ks.map(UTF8String.fromString).toArray)
       case "strip" =>
         val p = children(1).eval(input)
         if (p == null) return null

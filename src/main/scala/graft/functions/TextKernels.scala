@@ -153,5 +153,26 @@ object TextExpressions {
       "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_initcap", exprs => BqInitcap(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bytes_to_string", exprs => BqBytesToString(exprs(0)), "scala_udf")
   }
+}
+
+/** `graft_bytes_to_string(bytes)` — BigQuery SAFE_CONVERT_BYTES_TO_STRING:
+  * UTF-8 decode with invalid sequences REPLACED by U+FFFD, never an
+  * error (Java's String constructor has exactly that contract; Spark
+  * 4's own `decode` throws MALFORMED_CHARACTER_CODING instead).
+  */
+case class BqBytesToString(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(v: Any): Any =
+    UTF8String.fromString(new String(v.asInstanceOf[Array[Byte]],
+      java.nio.charset.StandardCharsets.UTF_8))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v =>
+      "org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"new java.lang.String($v, java.nio.charset.StandardCharsets.UTF_8))")
+  override protected def withNewChildInternal(newChild: Expression): BqBytesToString =
+    copy(child = newChild)
 }

@@ -1028,7 +1028,10 @@ object EngineQueries {
           |  JSON_ARRAY_APPEND(JSON_ARRAY(CAST(n_regionkey AS INT64)),
           |                    '$', CAST(n_nationkey AS INT64)) AS japp,
           |  LAX_INT64(JSON_QUERY(JSON_SET(JSON '{}', '$.n',
-          |                                CAST(n_nationkey AS INT64)), '$.n')) AS lax_rt
+          |                                CAST(n_nationkey AS INT64)), '$.n')) AS lax_rt,
+          |  ARRAY_TO_STRING(JSON_KEYS(JSON_SET(
+          |    JSON_OBJECT('a', CAST(n_nationkey AS INT64), 'b', n_name),
+          |    '$.c.d', CAST(n_regionkey AS INT64))), ',') AS jkeys
           |FROM nation ORDER BY id""".stripMargin).get
     },
 
@@ -2206,7 +2209,8 @@ object EngineQueries {
         |  json_array(NULL, CAST(n_nationkey AS BIGINT), NULL) AS jstrip2,
         |  json_array(CAST(n_nationkey AS BIGINT), n_name, 'end') AS jins,
         |  json_array(CAST(n_regionkey AS BIGINT), CAST(n_nationkey AS BIGINT)) AS japp,
-        |  CAST(n_nationkey AS BIGINT) AS lax_rt
+        |  CAST(n_nationkey AS BIGINT) AS lax_rt,
+        |  'a,b,c,c.d' AS jkeys
         |FROM nation ORDER BY id""".stripMargin,
 
     "e65_json_vocab" ->

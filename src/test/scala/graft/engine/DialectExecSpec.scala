@@ -698,6 +698,38 @@ class DialectExecSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one("""SELECT LAX_INT64(JSON_QUERY(JSON_SET(JSON '{}', '$.n', 7), '$.n'))""") == 7L)
   }
 
+  test("SAFE_CONVERT_BYTES_TO_STRING / PARSE_NUMERIC / MAKE_INTERVAL named args") {
+    assert(one("SELECT SAFE_CONVERT_BYTES_TO_STRING(CAST('ab' AS BYTES))") == "ab")
+    // invalid UTF-8 replaces, never throws (the SAFE_ contract)
+    assert(one("SELECT SAFE_CONVERT_BYTES_TO_STRING(FROM_HEX('ff'))")
+      .toString.nonEmpty)
+    assert(one("SELECT PARSE_NUMERIC(' 1.5e3 ')").toString == "1500.000000000")
+    assert(one("SELECT PARSE_BIGNUMERIC('-12.34')").toString ==
+      "-12.340000000000000000")
+    assert(one("SELECT MAKE_INTERVAL(1, 2, 3)").toString.nonEmpty)
+    assert(one("SELECT DATE '2024-01-01' + MAKE_INTERVAL(day => 3)")
+      .toString.startsWith("2024-01-04"))
+    assert(one("SELECT TIMESTAMP '2024-01-01 00:00:00' + MAKE_INTERVAL(1, minute => 30)")
+      .toString.startsWith("2025-01-01 00:30:00"))
+  }
+
+  test("JSON_KEYS: dotted paths, depth bound, strict vs lax array descent") {
+    assert(one("""SELECT JSON_KEYS(JSON '{"b":1,"a":{"c":2}}')""") ==
+      Seq("a", "a.c", "b"))
+    assert(one("""SELECT JSON_KEYS(JSON '{"a":{"c":2}}', 1)""") == Seq("a"))
+    // strict does NOT descend arrays; lax does; lax recursive unwraps
+    // nested arrays too
+    assert(one("""SELECT JSON_KEYS(JSON '{"a":[{"b":1}]}')""") == Seq("a"))
+    assert(one("""SELECT JSON_KEYS(JSON '{"a":[{"b":1}]}', mode => 'lax')""") ==
+      Seq("a", "a.b"))
+    assert(one("""SELECT JSON_KEYS(JSON '{"a":[[{"b":1}]]}', mode => 'lax')""") ==
+      Seq("a"))
+    assert(one("""SELECT JSON_KEYS(JSON '{"a":[[{"b":1}]]}', mode => 'lax recursive')""") ==
+      Seq("a", "a.b"))
+    // non-object root → NULL
+    assert(one("""SELECT JSON_KEYS(JSON '[1,2]') IS NULL""") == true)
+  }
+
   test("TIME typed-literal rewrite is string-literal-aware") {
     // the word TIME at the end of (or as) a literal must survive
     assert(one("SELECT 'TIME'") == "TIME")

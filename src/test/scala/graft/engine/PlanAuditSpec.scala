@@ -365,6 +365,27 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"), s"span pairing must stay an equi-join:\n$p")
   }
 
+  test("d54 span removal: one corpus scan, no join, no persist (r9 fusion)") {
+    // ownership is min-over-window on the wh partition and coverage is
+    // one aggregation — the round-8 shape (persist + owner agg + join +
+    // distinct + left join, ~5 jobs) must not come back
+    val df = PipelineQueries.queries("d54_span_removal")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("Join"), s"the fused shape has no join:\n$p")
+    assert(!p.contains("InMemoryTableScan"), s"no persist in the fused shape:\n$p")
+    assert(p.contains("Window") && p.contains("HashAggregate"),
+      s"expected window ownership + one aggregation:\n$p")
+    // exactly one scan of the documents table (base + planted branches
+    // both read it — two FileScans of the same file set is the union,
+    // not a recompute; anything more means the old multi-pass shape).
+    // Count in the FINAL plan tree only (details + initial plan repeat
+    // the operator names).
+    val finalTree = p.split("== Initial Plan ==").head
+    val scans = finalTree.split("\n").count(_.contains("Scan parquet"))
+    assert(scans <= 2, s"expected <= 2 parquet scan branches (base+planted):\n$p")
+  }
+
   test("d102 LSH index probe: bucketed index side joins exchange-free") {
     // pinNoBroadcast forces the large-large shape (at 100 TB neither
     // side broadcasts): sort-merge against the bucketed index with the
