@@ -135,6 +135,10 @@ object Dialect {
   }
 
   private val jsonLitKw = raw"(?i)\bJSON\s*(?=')".r
+  // a hex literal never follows an identifier char or '.' (0x1A in
+  // `tab0x1A` or a float's mantissa must not rewrite)
+  private val hexIntLit = raw"(?<![\w.$$])0[xX]([0-9A-Fa-f]+)\b".r
+  private val trailingSelectComma = raw"(?i),(\s*)\bFROM\b".r
   private val timeLitKw = raw"(?i)\bTIME\s*(?=')".r
 
   /** `TIME '15:30:45'` typed literal → the bare string (TIME values are
@@ -800,6 +804,14 @@ object Dialect {
         // would also rename a select-list alias `x AS time`
         // BigQuery TABLESAMPLE SYSTEM (n PERCENT) → Spark TABLESAMPLE
         .replaceAll(raw"(?i)\bTABLESAMPLE\s+SYSTEM\s*\(", "TABLESAMPLE (")))
+    // BigQuery hex integer literals (0x1A) → decimal (Spark has none);
+    // and BigQuery's legal trailing comma in the SELECT list (`SELECT
+    // a, b, FROM t`) → dropped. Both literal-aware.
+    out = mapOutsideLiterals(out) { s =>
+      val hexed = hexIntLit.replaceAllIn(s, m =>
+        BigInt(m.group(1), 16).toString)
+      trailingSelectComma.replaceAllIn(hexed, "$1 FROM")
+    }
     out = rewriteTypedStruct(out)
     out = inUnnest.replaceAllIn(out, m =>
       java.util.regex.Matcher.quoteReplacement(
@@ -819,6 +831,7 @@ object Dialect {
     out = mapOutsideLiterals(out)(selectAsStruct.replaceAllIn(_, "SELECT "))
     out = rewriteSelectAsValue(out)
     out = rewriteCalls(out)
+    out = mapOutsideLiterals(out)(rewriteIntervalExpr)
     out = rewriteArrayLiteral(out)
     out = rewriteArrayAccess(out)
     out = rewriteStarReplace(out)
@@ -1374,8 +1387,13 @@ object Dialect {
     val kdl = raw"(?is)^(.*?)(?:\s+(ASC|DESC))?(?:\s+LIMIT\s+(\d+))?$$".r
     ob0 match {
       case kdl(key, dir, lim) if key.trim.nonEmpty =>
-        val base =
+        val base0 =
           s"transform(array_sort(collect_list(struct(${key.trim} AS _o, $v AS _v))), s -> s._v)"
+        // collect_list drops null INPUTS but the struct wrapper is
+        // non-null even when _v is — an IGNORE NULLS must drop those
+        // elements explicitly or the modifier is silently ignored
+        val base = if (ignoreStripped)
+          s"filter($base0, __e -> __e IS NOT NULL)" else base0
         val ordered =
           if (dir != null && dir.equalsIgnoreCase("DESC")) s"reverse($base)" else base
         Some(if (lim != null) s"slice($ordered, 1, $lim)" else ordered)
@@ -1672,6 +1690,35 @@ object Dialect {
     * round-trip: sorted keys, minified) for the mutator family.
     */
   private def canonicalJson(e: String): String = s"to_json(parse_json($e))"
+
+  // `INTERVAL <expr> <unit>` where <expr> is parenthesized or a bare
+  // identifier — BigQuery allows any INT64 expression there; Spark's
+  // INTERVAL syntax takes only literals (numeric-literal forms stay
+  // native). Runs AFTER rewriteCalls, so the *_ADD/_SUB handlers have
+  // already consumed their own INTERVAL arguments.
+  private val intervalExprRe =
+    (raw"(?i)\bINTERVAL\s+(\((?:[^()']|'[^']*'|\([^()]*\))*\)|[A-Za-z_]\w*)" +
+      raw"\s+(YEAR|QUARTER|MONTH|WEEK|DAY|HOUR|MINUTE|SECOND|MILLISECOND|MICROSECOND)\b").r
+
+  private def rewriteIntervalExpr(sql: String): String =
+    intervalExprRe.replaceAllIn(sql, m => {
+      val e = m.group(1)
+      val slots = Array("0", "0", "0", "0", "0", "0", "0")
+      m.group(2).toUpperCase match {
+        case "YEAR" => slots(0) = e
+        case "QUARTER" => slots(1) = s"(($e) * 3)"
+        case "MONTH" => slots(1) = e
+        case "WEEK" => slots(2) = e
+        case "DAY" => slots(3) = e
+        case "HOUR" => slots(4) = e
+        case "MINUTE" => slots(5) = e
+        case "SECOND" => slots(6) = e
+        case "MILLISECOND" => slots(6) = s"(($e) / 1000.0)"
+        case "MICROSECOND" => slots(6) = s"(($e) / 1000000.0)"
+      }
+      java.util.regex.Matcher.quoteReplacement(
+        s"make_interval(${slots.mkString(", ")})")
+    })
 
   /** JSON_ARRAY_INSERT / JSON_ARRAY_APPEND: (json, path, value) pairs
     * chain; the optional `insert_each_element`/`append_each_element`
@@ -1999,7 +2046,12 @@ object Dialect {
         while (i < rep.length) {
           val c = rep.charAt(i)
           if (c == '\\' && i + 1 < rep.length && rep.charAt(i + 1).isDigit) {
+            // raw-literal backref: r'\1'
             sb += '$' += rep.charAt(i + 1); i += 2
+          } else if (c == '\\' && i + 2 < rep.length && rep.charAt(i + 1) == '\\' &&
+              rep.charAt(i + 2).isDigit) {
+            // standard-literal backref: '\\1' (escaped backslash + digit)
+            sb += '$' += rep.charAt(i + 2); i += 3
           } else if (c == '\\' && i + 1 < rep.length) {
             sb += c += rep.charAt(i + 1); i += 2
           } else if (c == '$') { sb ++= "\\\\$"; i += 1 }
@@ -2024,6 +2076,13 @@ object Dialect {
         Some(s"(SELECT collect_list(__graft_arr_c) FROM ($inner) " +
           "AS __graft_arr_sub(__graft_arr_c))")
       else scala.None // ARRAY(1, 2) literal-function form stays as-is
+    },
+    // BigQuery CURRENT_DATE(tz): today in that zone (zero-arg form
+    // passes through to Spark's own current_date)
+    "CURRENT_DATE" -> { a =>
+      if (a.length == 1 && a(0).trim.nonEmpty)
+        Some(s"to_date(convert_timezone(${a(0)}, current_timestamp()))")
+      else scala.None
     },
     // BigQuery CURRENT_DATETIME([tz]) → civil-time (no zone) value
     "CURRENT_DATETIME" -> { a =>

@@ -713,6 +713,32 @@ class DialectExecSpec extends AnyFunSuite with BeforeAndAfterAll {
       .toString.startsWith("2025-01-01 00:30:00"))
   }
 
+  test("probe-wave fixes: ARRAY_AGG IGNORE NULLS w/ ORDER BY, backrefs, hex, trailing comma, CURRENT_DATE(tz)") {
+    // ordered ARRAY_AGG must actually DROP nulls under IGNORE NULLS
+    // (the struct wrapper defeats collect_list's own null-skipping)
+    assert(one("SELECT ARRAY_AGG(x IGNORE NULLS ORDER BY x) FROM " +
+      "(SELECT 1 AS x UNION ALL SELECT NULL UNION ALL SELECT 2)") == Seq(1, 2))
+    // standard-literal backref '\\1' (escaped backslash + digit)
+    assert(one(raw"SELECT REGEXP_REPLACE('ab', '(a)', '\\1x')") == "axb")
+    assert(one(raw"SELECT REGEXP_REPLACE('ab', r'(a)', r'\1x')") == "axb")
+    // BigQuery hex integer literals; not inside strings
+    assert(one("SELECT 0x1A + 2") == 28)
+    assert(one("SELECT '0x1A'") == "0x1A")
+    // trailing comma in the SELECT list is legal BigQuery
+    assert(one("SELECT 1 AS a, 2 AS b, FROM (SELECT 1)") == 1)
+    // CURRENT_DATE with a timezone argument
+    assert(one("SELECT CURRENT_DATE('Asia/Jakarta') IS NOT NULL") == true)
+    // INTERVAL with a non-literal expression (BigQuery allows any INT64
+    // expression; Spark only literals) — parenthesized and identifier
+    assert(one("SELECT CAST(DATE '2024-01-01' + INTERVAL (2 * 3) DAY AS STRING)")
+      == "2024-01-07")
+    assert(one("SELECT CAST(d + INTERVAL n DAY AS STRING) FROM " +
+      "(SELECT DATE '2024-01-01' AS d, 2 AS n)") == "2024-01-03")
+    // numeric-literal intervals stay on Spark's native syntax
+    assert(one("SELECT CAST(DATE '2024-01-01' + INTERVAL 1 DAY AS STRING)")
+      == "2024-01-02")
+  }
+
   test("JSON_KEYS: dotted paths, depth bound, strict vs lax array descent") {
     assert(one("""SELECT JSON_KEYS(JSON '{"b":1,"a":{"c":2}}')""") ==
       Seq("a", "a.c", "b"))
