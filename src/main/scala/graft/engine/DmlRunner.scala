@@ -521,12 +521,15 @@ class DmlRunner(spark: SparkSession, runner: TransformRunner) {
       throw new IllegalArgumentException(
         "UPDATE/MERGE must match at most one source row for each target row")
     val matched = col("__graft_matched").isNotNull
-    val setMap = parseSetList(sets).map { case (k, v) => k.split("\\.").last -> v }
     val destCols = spark.table(dest).columns
+    // keys may carry the target alias (stripped here) and/or a struct
+    // field path; unknown heads fail loud in resolveSetPaths
+    val byCol = resolveSetPaths(parseSetList(sets), destCols.toIndexedSeq,
+      aliases = Seq(tAlias))
     val projected = destCols.map { c =>
-      setMap.get(c.toLowerCase) match {
-        case Some(e) =>
-          when(matched, expr(Dialect.rewrite(e))).otherwise(destDf(c)).as(c)
+      byCol.get(c.toLowerCase) match {
+        case Some(entries) =>
+          when(matched, applySetEntries(destDf(c), entries)).otherwise(destDf(c)).as(c)
         case None => destDf(c).as(c)
       }
     }
@@ -549,16 +552,18 @@ class DmlRunner(spark: SparkSession, runner: TransformRunner) {
   private def update(destFqn: String, sets: String, cond: String): Unit = {
     val dest = runner.catalogName(destFqn)
     val c = expr(Dialect.rewrite(cond))
-    val setMap = parseSetList(sets)
     val base = spark.table(dest)
     // one projection over the ORIGINAL row: every SET right-hand side and
     // the WHERE both see pre-update values (SQL UPDATE semantics —
     // `SET a = b, b = a` swaps; a chained withColumn fold would feed
-    // later SETs the already-updated earlier columns)
+    // later SETs the already-updated earlier columns). Dotted keys are
+    // struct-field updates (alias prefixes were stripped at dispatch).
+    val byCol = resolveSetPaths(parseSetList(sets),
+      base.columns.toIndexedSeq, aliases = Seq.empty)
     val updated = base.select(base.columns.map { name =>
-      setMap.get(name.toLowerCase) match {
-        case scala.Some(e) =>
-          when(c, expr(Dialect.rewrite(e))).otherwise(col(name)).as(name)
+      byCol.get(name.toLowerCase) match {
+        case scala.Some(entries) =>
+          when(c, applySetEntries(col(name), entries)).otherwise(col(name)).as(name)
         case scala.None => col(name)
       }
     }.toIndexedSeq: _*)
@@ -578,7 +583,8 @@ class DmlRunner(spark: SparkSession, runner: TransformRunner) {
     val matchedUpdateM = findMaskedAt(whenMatchedRe, whenClauses)
     val matchedDeleteM = findMaskedAt(whenMatchedDeleteRe, whenClauses)
     val matchedUpdate = matchedUpdateM
-      .map { case (_, gs) => (gs(0), parseSetList(gs(1).get)) }
+      .map { case (_, gs) => (gs(0), resolveSetPaths(parseSetList(gs(1).get),
+        destCols.toIndexedSeq, aliases = Seq(tAlias))) }
     val matchedDelete = matchedDeleteM.map(_._2(0))
     val notMatchedInsert = findMasked(whenNotMatchedRe, whenClauses)
       .map(gs => (gs(0), splitCsv(gs(1).get), splitCsv(gs(2).get)))
@@ -586,7 +592,8 @@ class DmlRunner(spark: SparkSession, runner: TransformRunner) {
     val bySourceUpdateM = findMaskedAt(whenNotMatchedBySourceUpdateRe, whenClauses)
     val bySourceDelete = bySourceDeleteM.map(_._2(0))
     val bySourceUpdate = bySourceUpdateM
-      .map { case (_, gs) => (gs(0), parseSetList(gs(1).get)) }
+      .map { case (_, gs) => (gs(0), resolveSetPaths(parseSetList(gs(1).get),
+        destCols.toIndexedSeq, aliases = Seq(tAlias))) }
 
     // BigQuery evaluates the WHEN clauses of a GROUP (matched /
     // not-matched-by-source) in textual order, first-match-wins: a row
@@ -644,7 +651,7 @@ class DmlRunner(spark: SparkSession, runner: TransformRunner) {
       val base = destDf(c)
       val afterMatched = matchedUpdate match {
         case Some((extraCond, sets)) =>
-          val upd = sets.get(c.toLowerCase).map(e => expr(Dialect.rewrite(e))).getOrElse(base)
+          val upd = sets.get(c.toLowerCase).map(applySetEntries(base, _)).getOrElse(base)
           val condMatched0 = extraCond
             .map(ec => matchedFlag && expr(Dialect.rewrite(ec))).getOrElse(matchedFlag)
           val condMatched =
@@ -657,12 +664,12 @@ class DmlRunner(spark: SparkSession, runner: TransformRunner) {
       // BigQuery — the joined source columns are all NULL there)
       val updated = bySourceUpdate match {
         case Some((extraCond, sets)) => sets.get(c.toLowerCase) match {
-          case Some(e) =>
+          case Some(entries) =>
             val condU0 = extraCond
               .map(ec => not(matchedFlag) && expr(Dialect.rewrite(ec)))
               .getOrElse(not(matchedFlag))
             val condU = bySourceUpdateGuard.map(condU0 && _).getOrElse(condU0)
-            when(condU, expr(Dialect.rewrite(e))).otherwise(afterMatched)
+            when(condU, applySetEntries(base, entries)).otherwise(afterMatched)
           case None => afterMatched
         }
         case None => afterMatched
@@ -723,6 +730,44 @@ class DmlRunner(spark: SparkSession, runner: TransformRunner) {
       val Array(k, v) = kv.split("=", 2)
       k.replace("`", "").trim.toLowerCase -> v.trim
     }.toMap
+
+  /** Resolve SET keys against the destination: an optional table-alias
+    * prefix strips, the (next) head must be a destination column, and
+    * any remaining parts are a STRUCT FIELD path (`SET s.x = …` updates
+    * one field, preserving siblings). A key whose head is neither a
+    * column nor an alias fails LOUD — a typo'd or unsupported SET must
+    * never silently no-op (the round-9 probe found `SET s.x` being
+    * dropped exactly that way). Returns col(lower) → ordered
+    * (fieldPath, exprText) entries.
+    */
+  private def resolveSetPaths(setMap: Map[String, String],
+      destCols: Seq[String], aliases: Seq[String])
+      : Map[String, Seq[(Seq[String], String)]] = {
+    val colSet = destCols.map(_.toLowerCase).toSet
+    val out = scala.collection.mutable.LinkedHashMap[String, Vector[(Seq[String], String)]]()
+    setMap.foreach { case (k, v) =>
+      var parts = k.split("\\.").toSeq
+      if (!colSet(parts.head) && parts.length > 1 &&
+          aliases.exists(_.equalsIgnoreCase(parts.head)))
+        parts = parts.tail
+      if (!colSet(parts.head)) throw new IllegalArgumentException(
+        s"UPDATE/MERGE SET references unknown column '${parts.head}' (from '$k'); " +
+          s"destination columns: ${destCols.mkString(", ")}")
+      out(parts.head) = out.getOrElse(parts.head, Vector.empty) :+ ((parts.tail, v))
+    }
+    out.toMap
+  }
+
+  /** Apply resolved SET entries to a column's ORIGINAL value: a
+    * whole-column entry replaces it, a field path updates that struct
+    * field in place (withField, siblings preserved).
+    */
+  private def applySetEntries(base: org.apache.spark.sql.Column,
+      entries: Seq[(Seq[String], String)]): org.apache.spark.sql.Column =
+    entries.foldLeft(base) { case (acc, (path, e)) =>
+      val v = expr(Dialect.rewrite(e))
+      if (path.isEmpty) v else acc.withField(path.mkString("."), v)
+    }
 
   /** split on commas not inside parens/quotes. */
   private def splitCsv(s: String): Seq[String] = {

@@ -438,6 +438,28 @@ class DmlRunnerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(state() == Seq(("a", 1L)))
   }
 
+  test("struct-field SET updates the field in place; unknown SET columns fail loud") {
+    spark.sql("DROP TABLE IF EXISTS dmlspec.sf")
+    spark.sql("CREATE TABLE dmlspec.sf USING parquet AS " +
+      "SELECT named_struct('x', 1L, 'y', 2L) AS s, 0L AS k")
+    dml.run("UPDATE dmlspec.sf SET s.x = 9 WHERE k = 0")
+    val r = spark.sql("SELECT s.x, s.y FROM dmlspec.sf").collect()(0)
+    assert((r.getLong(0), r.getLong(1)) == (9L, 2L),
+      "the field updates and its sibling survives")
+    // MERGE matched-update on a struct field (with target-alias prefix)
+    dml.run(
+      """MERGE INTO dmlspec.sf T USING (SELECT 0 AS k, 7 AS nx) S ON T.k = S.k
+        |WHEN MATCHED THEN UPDATE SET T.s.y = S.nx""".stripMargin)
+    val r2 = spark.sql("SELECT s.x, s.y FROM dmlspec.sf").collect()(0)
+    assert((r2.getLong(0), r2.getLong(1)) == (9L, 7L))
+    // a typo'd SET column must never silently no-op
+    val e = intercept[IllegalArgumentException] {
+      dml.run("UPDATE dmlspec.sf SET nope = 1 WHERE k = 0")
+    }
+    assert(e.getMessage.contains("unknown column"), e.getMessage)
+    spark.sql("DROP TABLE dmlspec.sf")
+  }
+
   test("an unrecognized WHEN clause fails loud, never silently drops") {
     freshTable(Seq(("a", 1L)))
     val e = intercept[IllegalArgumentException] {
