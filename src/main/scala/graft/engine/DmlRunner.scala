@@ -278,7 +278,11 @@ class DmlRunner(spark: SparkSession, runner: TransformRunner) {
   private lazy val Truncate = new MaskedRe(truncateRe)
   private lazy val Drop = new MaskedRe(dropRe)
 
-  def runStatement(stmt: String): Unit = {
+  // BigQuery allows omitting INTO: `INSERT t VALUES …` / `INSERT t SELECT …`
+  private val insertNoIntoRe = raw"(?is)^(\s*)INSERT\s+(?!INTO\b|OVERWRITE\b)".r
+
+  def runStatement(stmt0: String): Unit = {
+    val stmt = insertNoIntoRe.replaceFirstIn(stmt0, "$1INSERT INTO ")
     val trimmed = stmt.trim
     // list-per-query freshness for opted-in external tables (e54 seam)
     ExternalTables.refreshReferenced(spark, trimmed)

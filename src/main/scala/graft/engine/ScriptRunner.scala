@@ -39,7 +39,7 @@ class ScriptRunner(spark: SparkSession) {
   private val createTempRe =
     raw"(?is)^CREATE\s+(?:OR\s+REPLACE\s+)?TEMP(?:ORARY)?\s+TABLE\s+`?([\w.]+)`?\s+AS\s*\((.+)\)$$|^CREATE\s+(?:OR\s+REPLACE\s+)?TEMP(?:ORARY)?\s+TABLE\s+`?([\w.]+)`?\s+AS\s+(.+)$$".r
   private val createTableAsRe =
-    raw"(?is)^CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?(`[\w.-]+`|[\w.-]+)\s*(?:PARTITION\s+BY\s+(\w+)\s*)?AS\s+(.+)$$".r
+    raw"(?is)^CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?(`[\w.-]+`|[\w.-]+)\s*((?:PARTITION\s+BY|CLUSTER\s+BY|OPTIONS\s*\().*?)?\s*AS\s+(.+)$$".r
   /** BigQuery FQN → the engine's catalog spelling (`proj.ds.t` →
     * `proj__ds.t`), shared by the CTAS and CLONE destinations.
     */
@@ -601,7 +601,11 @@ class ScriptRunner(spark: SparkSession) {
   private val destructiveScriptHeadRe =
     raw"(?is)^\s*(?:DROP\s+TABLE|CREATE\s+OR\s+REPLACE\s+(?:SNAPSHOT\s+)?TABLE|LOAD\s+DATA\s+OVERWRITE)\b".r
 
-  def runStatement(stmt: String): Option[DataFrame] = {
+  // BigQuery allows omitting INTO: `INSERT t VALUES …` / `INSERT t SELECT …`
+  private val insertNoIntoRe = raw"(?is)^(\s*)INSERT\s+(?!INTO\b|OVERWRITE\b)".r
+
+  def runStatement(stmt0: String): Option[DataFrame] = {
+    val stmt = insertNoIntoRe.replaceFirstIn(stmt0, "$1INSERT INTO ")
     val subbed = substituteVars(stmt)
     // list-per-query freshness for opted-in external tables (e54 seam)
     ExternalTables.refreshReferenced(spark, subbed)
@@ -1543,11 +1547,11 @@ class ScriptRunner(spark: SparkSession) {
   }
 
   private val createViewRe =
-    raw"(?is)^CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+(IF\s+NOT\s+EXISTS\s+)?(`[^`]+`|[\w.\-]+)\s+AS\s+(.+)$$".r
+    raw"(?is)^CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+(IF\s+NOT\s+EXISTS\s+)?(`[^`]+`|[\w.\-]+)\s*(?:OPTIONS\s*\(([^)]*)\)\s*)?AS\s+(.+)$$".r
   private val dropViewRe =
     raw"(?is)^DROP\s+VIEW\s+(IF\s+EXISTS\s+)?(`[^`]+`|[\w.\-]+)\s*;?\s*$$".r
   private val alterTableRe =
-    raw"(?is)^ALTER\s+TABLE\s+(IF\s+EXISTS\s+)?(`[^`]+`|[\w.\-]+)\s+((?:ADD|RENAME|DROP)\s+COLUMN\b.*|RENAME\s+TO\b.*|SET\s+OPTIONS\b.*)$$".r
+    raw"(?is)^ALTER\s+TABLE\s+(IF\s+EXISTS\s+)?(`[^`]+`|[\w.\-]+)\s+((?:ADD|RENAME|DROP|ALTER)\s+COLUMN\b.*|RENAME\s+TO\b.*|SET\s+OPTIONS\b.*)$$".r
   // dataset/view option DDL: description maps to the comment, other
   // options are inert service metadata and drop
   private val alterSchemaRe =
@@ -1562,12 +1566,20 @@ class ScriptRunner(spark: SparkSession) {
     * mapped like every other destination.
     */
   private def runCreateView(stmt: String): Option[DataFrame] = stmt.trim match {
-    case createViewRe(orReplace, ine, rawName, query) =>
+    case createViewRe(orReplace, ine, rawName, opts, query) =>
       val dest = destTableName(rawName.replace("`", ""))
       val or = if (orReplace != null) "OR REPLACE " else ""
       val i = if (ine != null) "IF NOT EXISTS " else ""
       spark.sql(s"CREATE ${or}VIEW $i$dest AS " + Dialect.rewrite(substituteVars(
         expandInformationSchema(expandWildcardTables(query)))))
+      // OPTIONS: description → view comment; other options are inert
+      // service metadata (same policy as ALTER VIEW SET OPTIONS)
+      Option(opts).foreach { o =>
+        optionRe.findAllMatchIn(o)
+          .find(_.group(1).equalsIgnoreCase("description"))
+          .foreach(m => spark.sql(
+            s"ALTER VIEW $dest SET TBLPROPERTIES ('comment' = ${m.group(2)})"))
+      }
       ExternalTables.noteViewChange()
       scala.None
     case other => throw new IllegalArgumentException(s"malformed CREATE VIEW: $other")
@@ -1658,6 +1670,37 @@ class ScriptRunner(spark: SparkSession) {
             if (keep.isEmpty) throw new IllegalArgumentException(
               s"cannot drop every column of $dest")
             rebuildTable(dest, keep.map(quote), partCols)
+          }
+        case "ALTER COLUMN" =>
+          // BigQuery ALTER COLUMN: SET DATA TYPE rebuilds with a cast
+          // (BigQuery allows widening; the cast fails loud on narrowing
+          // data); DROP NOT NULL is a no-op here (parquet columns are
+          // nullable already); other forms fail loud
+          val typeRe = raw"(?is)^ALTER\s+COLUMN\s+(IF\s+EXISTS\s+)?(`?[\w]+`?)\s+SET\s+DATA\s+TYPE\s+(.+?)\s*;?\s*$$".r
+          val dropNnRe = raw"(?is)^ALTER\s+COLUMN\s+(IF\s+EXISTS\s+)?(`?[\w]+`?)\s+DROP\s+NOT\s+NULL\s*;?\s*$$".r
+          rest.trim match {
+            case typeRe(ie, c0, tpe) =>
+              val cName = c0.replace("`", "")
+              if (!cols.exists(_.name.equalsIgnoreCase(cName))) {
+                if (ie == null) throw new IllegalArgumentException(
+                  s"no column $cName in $dest")
+              } else {
+                if (partCols.exists(_.equalsIgnoreCase(cName)))
+                  throw new IllegalArgumentException(
+                    "cannot change the type of a partitioning column")
+                val t = sparkType(tpe.trim)
+                val proj = dataFirst.map(c =>
+                  if (c.equalsIgnoreCase(cName))
+                    s"CAST(${quote(c)} AS $t) AS ${quote(c)}"
+                  else quote(c))
+                rebuildTable(dest, proj, partCols)
+              }
+            case dropNnRe(ie, c0) =>
+              val cName = c0.replace("`", "")
+              if (!cols.exists(_.name.equalsIgnoreCase(cName)) && ie == null)
+                throw new IllegalArgumentException(s"no column $cName in $dest")
+            case bad => throw new IllegalArgumentException(
+              s"unsupported ALTER COLUMN form (SET DATA TYPE / DROP NOT NULL): $bad")
           }
         case "RENAME TO" =>
           // BigQuery RENAME TO takes the bare new table name; Spark
@@ -1905,7 +1948,7 @@ class ScriptRunner(spark: SparkSession) {
           s"ALTER VIEW $dest SET TBLPROPERTIES ('comment' = ${m.group(2)})"))
       scala.None
     case c if createLikeRe.findFirstIn(c.trim).isDefined => runCreateLike(c)
-    case createTableAsRe(orReplace, ifNotExists, name, partitionCol, query) =>
+    case createTableAsRe(orReplace, ifNotExists, name, tail, query) =>
       // BigQuery CTAS on a real (non-temp) destination. v1 catalogs
       // reject REPLACE TABLE, so OR REPLACE becomes drop-then-create.
       val dest = destTableName(name)
@@ -1919,8 +1962,8 @@ class ScriptRunner(spark: SparkSession) {
         CloneRegistry.unmark(dest)
       }
       val ine = if (ifNotExists != null) "IF NOT EXISTS " else ""
-      val part = Option(partitionCol).map(c => s" PARTITIONED BY ($c)").getOrElse("")
-      spark.sql(s"CREATE TABLE $ine$dest USING PARQUET$part AS " +
+      val (part, comment) = parseCreateTail(Option(tail).getOrElse(""))
+      spark.sql(s"CREATE TABLE $ine$dest USING PARQUET$part$comment AS " +
         Dialect.rewrite(substituteVars(
           expandInformationSchema(expandWildcardTables(query)))))
       None
@@ -1942,42 +1985,19 @@ class ScriptRunner(spark: SparkSession) {
   // expr / CLUSTER BY / OPTIONS) — the plain column-list form without a
   // tail also routes here (same emission, no tail to translate)
   private val createColsHeadRe =
-    raw"(?is)^CREATE\s+(?:OR\s+REPLACE\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?:`[^`]+`|[\w.\-]+)\s*\(".r
+    raw"(?is)^CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?(`[^`]+`|[\w.\-]+)\s*\(".r
 
-  /** BigQuery `CREATE TABLE name (cols) [PARTITION BY …] [CLUSTER BY …]
-    * [OPTIONS(…)]`. A plain-column PARTITION BY becomes Spark
-    * PARTITIONED BY; expression partitioning (DATE(ts), RANGE_BUCKET)
-    * and CLUSTER BY are physical-layout hints with no semantic effect
-    * on query results, so they are accepted and dropped (the engine's
-    * own partitioned writes cover the layout needs of the gates);
-    * OPTIONS keeps description as the table comment, drops the rest
-    * (expiration etc. are service metadata a local engine can't honor).
+  /** BigQuery CREATE TABLE tail clauses (between the name/column list
+    * and AS/end): PARTITION BY a plain column → Spark PARTITIONED BY;
+    * expression partitioning (DATE(ts), RANGE_BUCKET) and CLUSTER BY
+    * are physical-layout hints with no semantic effect on results, so
+    * they are accepted and dropped; OPTIONS keeps description as the
+    * table comment (expiration etc. are service metadata a local
+    * engine can't honor). Unrecognized text fails loud, never drops.
     */
-  private def runCreateColsTable(stmt: String): Option[DataFrame] = {
-    val m = createColsHeadRe.findFirstMatchIn(stmt).get
-    val open = m.end - 1
-    var depth = 0
-    var close = -1
-    StatementSplitter.tokens(stmt)
-      .filter(t => (t._1 == "(" || t._1 == ")") && t._2 >= open)
-      .foreach { case (p, pos) =>
-        if (close < 0) {
-          depth += (if (p == "(") 1 else -1)
-          if (depth == 0) close = pos
-        }
-      }
-    require(close > open, s"unbalanced column list: $stmt")
-    val head = stmt.substring(0, close + 1)
-    val tail0 = stmt.substring(close + 1).trim.stripSuffix(";").trim
-    // a tail that is not BigQuery's (e.g. Spark's own `USING parquet`)
-    // — or no tail at all — passes through unchanged, as before
-    if (tail0.isEmpty ||
-        raw"(?is)^(?:PARTITION\s+BY\b|CLUSTER\s+BY\b|OPTIONS\s*\()".r
-          .findFirstIn(tail0).isEmpty)
-      return { spark.sql(Dialect.rewrite(substituteVars(stmt))); scala.None }
-    // sequential clause stripping: PARTITION BY → CLUSTER BY → OPTIONS;
-    // any remainder fails loud, never drops silently
-    var rest = tail0
+  private def parseCreateTail(tail: String): (String, String) = {
+    var rest = tail.trim
+    if (rest.isEmpty) return ("", "")
     var partExpr: Option[String] = scala.None
     raw"(?is)^PARTITION\s+BY\s+(.+?)\s*(?=CLUSTER\s+BY\b|OPTIONS\s*\(|$$)".r
       .findFirstMatchIn(rest).foreach { mm =>
@@ -2004,8 +2024,91 @@ class ScriptRunner(spark: SparkSession) {
         s"unrecognized PARTITION BY expression: $p")
       case scala.None => ""
     }
-    spark.sql(Dialect.rewrite(substituteVars(head)) +
+    (partClause, comment)
+  }
+
+  /** BigQuery `CREATE TABLE name (cols) [PARTITION BY …] [CLUSTER BY …]
+    * [OPTIONS(…)]`. A plain-column PARTITION BY becomes Spark
+    * PARTITIONED BY; expression partitioning (DATE(ts), RANGE_BUCKET)
+    * and CLUSTER BY are physical-layout hints with no semantic effect
+    * on query results, so they are accepted and dropped (the engine's
+    * own partitioned writes cover the layout needs of the gates);
+    * OPTIONS keeps description as the table comment, drops the rest
+    * (expiration etc. are service metadata a local engine can't honor).
+    */
+  private def runCreateColsTable(stmt: String): Option[DataFrame] = {
+    val m = createColsHeadRe.findFirstMatchIn(stmt).get
+    val orReplace = m.group(1) != null
+    val ifNotExists = m.group(2) != null
+    val dest = destTableName(m.group(3).replace("`", ""))
+    val open = m.end - 1
+    var depth = 0
+    var close = -1
+    StatementSplitter.tokens(stmt)
+      .filter(t => (t._1 == "(" || t._1 == ")") && t._2 >= open)
+      .foreach { case (p, pos) =>
+        if (close < 0) {
+          depth += (if (p == "(") 1 else -1)
+          if (depth == 0) close = pos
+        }
+      }
+    require(close > open, s"unbalanced column list: $stmt")
+    val colsText = stmt.substring(open + 1, close)
+    val tail1 = stmt.substring(close + 1).trim.stripSuffix(";").trim
+    // split an ` AS <query>` suffix at the first TOP-LEVEL AS (an AS
+    // inside OPTIONS parens stays with the tail)
+    val asPos = StatementSplitter.tokens(tail1).foldLeft((0, -1)) {
+      case ((d, found), (t, pos)) =>
+        if (found >= 0) (d, found)
+        else t match {
+          case "(" => (d + 1, -1)
+          case ")" => (d - 1, -1)
+          case "AS" if d == 0 => (d, pos)
+          case _ => (d, -1)
+        }
+    }._2
+    val (tail0, queryOpt) =
+      if (asPos < 0) (tail1, scala.None)
+      else (tail1.substring(0, asPos).trim,
+        Some(tail1.substring(asPos + 2).trim))
+    // a tail that is not BigQuery's (e.g. Spark's own `USING parquet`)
+    // — or no tail and no query — passes through unchanged, as before;
+    // OR REPLACE still needs the drop (v1 catalogs reject REPLACE TABLE)
+    val bqTail = tail0.isEmpty ||
+      raw"(?is)^(?:PARTITION\s+BY\b|CLUSTER\s+BY\b|OPTIONS\s*\()".r
+        .findFirstIn(tail0).isDefined
+    if (orReplace) {
+      if (MvRegistry.definitionOf(dest).isDefined)
+        throw new IllegalArgumentException(
+          "use CREATE OR REPLACE MATERIALIZED VIEW to replace a materialized view")
+      spark.sql(s"DROP TABLE IF EXISTS $dest")
+      CloneRegistry.unmark(dest)
+    }
+    if (!bqTail && queryOpt.isEmpty) {
+      // Spark-native form: strip only the OR REPLACE the v1 catalog
+      // cannot take (the drop above already happened)
+      spark.sql(Dialect.rewrite(substituteVars(
+        stmt.replaceFirst(raw"(?is)^CREATE\s+OR\s+REPLACE\s+", "CREATE "))))
+      return scala.None
+    }
+    val (partClause, comment) = parseCreateTail(tail0)
+    if (ifNotExists && spark.catalog.tableExists(dest)) return scala.None
+    val ine = if (ifNotExists) "IF NOT EXISTS " else ""
+    spark.sql(Dialect.rewrite(substituteVars(
+      s"CREATE TABLE $ine$dest ($colsText)")) +
       " USING PARQUET" + partClause + comment)
+    // explicit-schema CTAS: BigQuery allows `(cols) AS query` — Spark
+    // does not, so the query INSERTs by the DECLARED column names
+    // (partitioned tables reorder partition columns to the end, so a
+    // positional insert would misalign)
+    queryOpt.foreach { q =>
+      val colNames = Dialect.rewrite(substituteVars(colsText))
+      val names = splitTopLevelCsv(colNames)
+        .map(_.trim.split("\\s+")(0).replace("`", ""))
+      spark.sql(s"INSERT INTO $dest (${names.mkString(", ")}) " +
+        Dialect.rewrite(substituteVars(
+          expandInformationSchema(expandWildcardTables(q)))))
+    }
     scala.None
   }
 

@@ -594,6 +594,54 @@ class ScriptRunnerSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("CREATE TABLE tails on CTAS and column-list forms; ALTER COLUMN; INTO-less INSERT") {
+    spark.sql("DROP DATABASE IF EXISTS graft__ddl9 CASCADE")
+    val loc = java.nio.file.Files.createTempDirectory("ddl9")
+    spark.sql(s"CREATE DATABASE graft__ddl9 LOCATION '$loc'")
+    val sr = new ScriptRunner(spark)
+    // CTAS with CLUSTER BY (layout-only) + OPTIONS (description → comment)
+    sr.run(
+      """CREATE OR REPLACE TABLE graft.ddl9.c1 CLUSTER BY k
+        |OPTIONS(description='clustered') AS SELECT 'a' AS k, 1 AS v""".stripMargin)
+    assert(sr.run("SELECT v FROM graft.ddl9.c1").get.collect()(0).getInt(0) == 1)
+    // CTAS with expression partitioning (DATE(ts)): layout-only, accepted
+    sr.run(
+      """CREATE OR REPLACE TABLE graft.ddl9.c2 PARTITION BY DATE(ts) AS
+        |SELECT TIMESTAMP '2024-01-01 10:00:00' AS ts, 2 AS v""".stripMargin)
+    assert(sr.run("SELECT v FROM graft.ddl9.c2").get.collect()(0).getInt(0) == 2)
+    // explicit-schema CTAS: declared names+types drive the table; the
+    // query inserts by the declared columns (partition cols reorder)
+    sr.run(
+      """CREATE OR REPLACE TABLE graft.ddl9.c3 (grp STRING, v INT64)
+        |PARTITION BY grp AS SELECT 'g', 5""".stripMargin)
+    val c3 = sr.run("SELECT grp, v FROM graft.ddl9.c3 WHERE grp = 'g'").get.collect()(0)
+    assert((c3.getString(0), c3.getLong(1)) == ("g", 5L))
+    assert(spark.sql("SHOW PARTITIONS graft__ddl9.c3").collect()
+      .map(_.getString(0)).toSeq == Seq("grp=g"))
+    // plain column-list form with OR REPLACE (v1 catalogs lack REPLACE
+    // TABLE — drop-then-create) and a partition tail; INTO-less INSERT
+    sr.run(
+      """CREATE OR REPLACE TABLE graft.ddl9.c4 (d DATE, v INT64) PARTITION BY d;
+        |INSERT graft.ddl9.c4 (d, v) VALUES (DATE '2024-01-02', 7)""".stripMargin)
+    assert(sr.run("SELECT v FROM graft.ddl9.c4 WHERE d = DATE '2024-01-02'")
+      .get.collect()(0).getLong(0) == 7L)
+    // ALTER COLUMN SET DATA TYPE rebuilds with a cast; DROP NOT NULL no-ops
+    sr.run(
+      """CREATE OR REPLACE TABLE graft.ddl9.c5 AS SELECT 3 AS a, 'k' AS b;
+        |ALTER TABLE graft.ddl9.c5 ALTER COLUMN a SET DATA TYPE FLOAT64;
+        |ALTER TABLE graft.ddl9.c5 ALTER COLUMN b DROP NOT NULL""".stripMargin)
+    val c5 = sr.run("SELECT a, b FROM graft.ddl9.c5").get.collect()(0)
+    assert(c5.getDouble(0) == 3.0 && c5.getString(1) == "k")
+    // unsupported ALTER COLUMN forms fail loud
+    val e = intercept[IllegalArgumentException] {
+      sr.run("ALTER TABLE graft.ddl9.c5 ALTER COLUMN a SET DEFAULT 1")
+    }
+    assert(e.getMessage.contains("ALTER COLUMN"), e.getMessage)
+    // CREATE VIEW OPTIONS(description) lands as the view comment
+    sr.run("CREATE OR REPLACE VIEW graft.ddl9.v1 OPTIONS(description='vdoc') AS SELECT 1 AS a")
+    assert(sr.run("SELECT a FROM graft.ddl9.v1").get.collect()(0).getInt(0) == 1)
+  }
+
   test("CREATE EXTERNAL TABLE fails loud on multiple uris and missing schema") {
     val sr = new ScriptRunner(spark)
     val multi = intercept[IllegalArgumentException] {
