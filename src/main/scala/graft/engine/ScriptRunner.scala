@@ -1987,6 +1987,26 @@ class ScriptRunner(spark: SparkSession) {
   private val createColsHeadRe =
     raw"(?is)^CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?(`[^`]+`|[\w.\-]+)\s*\(".r
 
+  /** Column-definition splitter for DDL lists: commas inside BOTH
+    * parens and angle brackets nest (`s STRUCT<x INT64, y STRING>` is
+    * ONE definition). Only safe for type lists — `<` is the less-than
+    * operator in expression contexts, so this must never replace
+    * [[splitTopLevelCsv]] there.
+    */
+  private def splitColumnDefs(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0
+    val cur = new StringBuilder
+    s.foreach {
+      case c @ ('(' | '<') => depth += 1; cur += c
+      case c @ (')' | '>') => depth -= 1; cur += c
+      case ',' if depth == 0 => out += cur.result().trim; cur.clear()
+      case c => cur += c
+    }
+    if (cur.nonEmpty) out += cur.result().trim
+    out.result().filter(_.nonEmpty)
+  }
+
   /** BigQuery CREATE TABLE tail clauses (between the name/column list
     * and AS/end): PARTITION BY a plain column → Spark PARTITIONED BY;
     * expression partitioning (DATE(ts), RANGE_BUCKET) and CLUSTER BY
@@ -2102,8 +2122,7 @@ class ScriptRunner(spark: SparkSession) {
     // (partitioned tables reorder partition columns to the end, so a
     // positional insert would misalign)
     queryOpt.foreach { q =>
-      val colNames = Dialect.rewrite(substituteVars(colsText))
-      val names = splitTopLevelCsv(colNames)
+      val names = splitColumnDefs(colsText)
         .map(_.trim.split("\\s+")(0).replace("`", ""))
       spark.sql(s"INSERT INTO $dest (${names.mkString(", ")}) " +
         Dialect.rewrite(substituteVars(

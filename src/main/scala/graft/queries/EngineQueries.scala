@@ -999,6 +999,40 @@ object EngineQueries {
     },
 
     // --- vocabulary pack 8 (cont.): JSON construction + conversion ------
+    "e67_ddl_dml_vocab" -> { (s, d) =>
+      // round-9 probe closures, end to end: explicit-schema CTAS with a
+      // PARTITION BY tail (declared-name insert — partitioned tables
+      // reorder partition columns), INTO-less INSERT, ALTER COLUMN SET
+      // DATA TYPE (rebuild with cast), struct-field UPDATE (withField,
+      // siblings preserved), and CREATE VIEW OPTIONS. The oracle
+      // re-derives the final table constructively.
+      Tables.views(s, d, "nation")
+      val sr = new ScriptRunner(s)
+      sr.run("DROP SCHEMA IF EXISTS `graft.pg67` CASCADE")
+      val pg67loc = Files.createTempDirectory("graft_pg67").toAbsolutePath
+      sr.run(
+        s"""CREATE SCHEMA `graft.pg67` OPTIONS(location = '$pg67loc');
+          |CREATE TABLE `graft.pg67.t`
+          |  (id INT64, name STRING, region INT64, score INT64,
+          |   s STRUCT<x INT64, y STRING>)
+          |PARTITION BY region AS
+          |  SELECT CAST(n_nationkey AS INT64), n_name,
+          |         CAST(n_regionkey AS INT64),
+          |         CAST(n_nationkey AS INT64) * 3,
+          |         STRUCT(CAST(n_nationkey AS INT64) * 2 AS x,
+          |                UPPER(n_name) AS y)
+          |  FROM nation;
+          |INSERT `graft.pg67.t` (id, name, region, score, s)
+          |  VALUES (100, 'extra', 9, 300, STRUCT(0, 'Z'));
+          |ALTER TABLE `graft.pg67.t` ALTER COLUMN score SET DATA TYPE FLOAT64;
+          |UPDATE `graft.pg67.t` SET s.x = s.x + 1000 WHERE region = 0;
+          |CREATE OR REPLACE VIEW `graft.pg67.v`
+          |  OPTIONS(description = 'round-9 ddl vocab') AS
+          |  SELECT id, name, region, score, s.x AS sx, s.y AS sy
+          |  FROM graft.pg67.t""".stripMargin)
+      sr.run("SELECT id, name, region, score, sx, sy FROM graft.pg67.v ORDER BY id").get
+    },
+
     "e66_json_mutators" -> { (s, d) =>
       // JSON mutator family (JSON_SET / JSON_REMOVE / JSON_STRIP_NULLS /
       // JSON_ARRAY_INSERT / JSON_ARRAY_APPEND) over the canonical-string
@@ -2195,6 +2229,22 @@ object EngineQueries {
 
     // DuckDB's json_object/json_array share the canonical encoding;
     // type names and conversions restate as plain expressions
+    // the final table re-derived constructively: base rows with the
+    // region-0 struct-field bump and the retyped score, plus the
+    // INTO-less-INSERT row
+    "e67_ddl_dml_vocab" ->
+      """SELECT id, name, region, CAST(score AS DOUBLE) AS score, sx, sy FROM (
+        |  SELECT CAST(n_nationkey AS BIGINT) AS id, n_name AS name,
+        |    CAST(n_regionkey AS BIGINT) AS region,
+        |    n_nationkey * 3 AS score,
+        |    CAST(n_nationkey * 2 +
+        |      CASE WHEN n_regionkey = 0 THEN 1000 ELSE 0 END AS BIGINT) AS sx,
+        |    UPPER(n_name) AS sy
+        |  FROM nation
+        |  UNION ALL
+        |  SELECT 100, 'extra', 9, 300, 0, 'Z'
+        |) ORDER BY id""".stripMargin,
+
     // every mutated document re-derived constructively (keys in sorted
     // order — the engine canonicalizes through the variant round-trip)
     "e66_json_mutators" ->
