@@ -139,6 +139,9 @@ object Dialect {
   // `tab0x1A` or a float's mantissa must not rewrite)
   private val hexIntLit = raw"(?<![\w.$$])0[xX]([0-9A-Fa-f]+)\b".r
   private val trailingSelectComma = raw"(?i),(\s*)\bFROM\b".r
+  private val extractAtTzRe =
+    (raw"(?i)\bEXTRACT\s*\(\s*(\w+(?:\s*\(\s*\w+\s*\))?)\s+FROM\s+" +
+      raw"([^()]+?)\s+AT\s+TIME\s+ZONE\s+('[^']*'|[\w.]+)\s*\)").r
   private val timeLitKw = raw"(?i)\bTIME\s*(?=')".r
 
   /** `TIME '15:30:45'` typed literal → the bare string (TIME values are
@@ -830,6 +833,13 @@ object Dialect {
     out = rewriteTimeLiteral(out)
     out = mapOutsideLiterals(out)(selectAsStruct.replaceAllIn(_, "SELECT "))
     out = rewriteSelectAsValue(out)
+    // EXTRACT(part FROM ts AT TIME ZONE 'tz') → shift into the zone
+    // first (the tz is itself a literal, so this match deliberately
+    // spans literal boundaries; simple-expression forms only — nested
+    // parens stay loud on the unconsumed AT)
+    out = extractAtTzRe.replaceAllIn(out, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        s"EXTRACT(${m.group(1)} FROM from_utc_timestamp(${m.group(2)}, ${m.group(3)}))"))
     out = rewriteCalls(out)
     out = mapOutsideLiterals(out)(rewriteIntervalExpr)
     out = rewriteArrayLiteral(out)
@@ -1190,7 +1200,9 @@ object Dialect {
     'd' -> "dd", 'e' -> "d", 'H' -> "HH", 'I' -> "hh", 'M' -> "mm",
     'S' -> "ss", 'F' -> "yyyy-MM-dd", 'j' -> "DDD", 'A' -> "EEEE",
     'a' -> "EEE", 'B' -> "MMMM", 'b' -> "MMM", 'h' -> "MMM", 'p' -> "a",
-    'T' -> "HH:mm:ss", 'R' -> "HH:mm", 'Q' -> "q")
+    'T' -> "HH:mm:ss", 'R' -> "HH:mm", 'Q' -> "q",
+    // strftime %z = +0000 offset ↔ java 'Z'; %Z = zone NAME ↔ java 'z'
+    'z' -> "Z", 'Z' -> "z", 'D' -> "MM/dd/yy")
 
   /** strftime → java.time pattern; None on an unsupported directive
     * (the call is then left unrewritten rather than silently wrong).
@@ -1214,6 +1226,8 @@ object Dialect {
       if (c == '%' && i + 1 < f.length) {
         val d = f.charAt(i + 1)
         if (d == '%') lit += '%'
+        else if (d == 'n') lit += '\n'
+        else if (d == 't') lit += '\t'
         else strfMap.get(d) match {
           case Some(p) => flush(); sb ++= p
           case scala.None => return scala.None
@@ -1657,9 +1671,30 @@ object Dialect {
   private val weekdayIndex = Map("SUNDAY" -> 1, "MONDAY" -> 2, "TUESDAY" -> 3,
     "WEDNESDAY" -> 4, "THURSDAY" -> 5, "FRIDAY" -> 6, "SATURDAY" -> 7)
 
+  /** TIMESTAMP_TRUNC / DATETIME_TRUNC: BigQuery's WEEK is SUNDAY-start
+    * (Spark's 'week' is Monday), WEEK(<WEEKDAY>) starts on that day,
+    * and the 3-arg form truncates in the given TIMEZONE (convert in,
+    * trunc, convert back).
+    */
   private def tsTrunc(a: Seq[String]): Option[String] = {
-    if (a.length != 2 || !isBareUnit(a(1), timeUnits)) scala.None
-    else Some(s"date_trunc('${a(1).trim.toUpperCase}', ${a(0)})")
+    if (a.length < 2 || a.length > 3) return scala.None
+    def truncOf(ts: String): Option[String] =
+      a(1).trim.toUpperCase.replaceAll("\\s", "") match {
+        case "WEEK" => Some(s"timestampadd(DAY, -((dayofweek($ts) - 1 + 7) % 7), " +
+          s"date_trunc('DAY', $ts))") // Sunday-start
+        case weekAnyDay(day) =>
+          val k = weekdayIndex(day.toUpperCase)
+          Some(s"timestampadd(DAY, -((dayofweek($ts) - $k + 7) % 7), " +
+            s"date_trunc('DAY', $ts))")
+        case "ISOWEEK" => Some(s"date_trunc('WEEK', $ts)") // ISO = Monday
+        case "ISOYEAR" => scala.None // no Spark unit: stays loud, never NULL
+        case _ if isBareUnit(a(1), timeUnits) =>
+          Some(s"date_trunc('${a(1).trim.toUpperCase}', $ts)")
+        case _ => scala.None
+      }
+    if (a.length == 2) truncOf(a(0))
+    else truncOf(s"from_utc_timestamp(${a(0)}, ${a(2)})")
+      .map(t => s"to_utc_timestamp($t, ${a(2)})")
   }
 
   private def renameTo(n: String): Seq[String] => Option[String] =
@@ -1897,9 +1932,52 @@ object Dialect {
     // NET.HOST/NET.REG_DOMAIN (dots pre-mapped to NET_): parse_url with
     // a scheme-prefixed retry so bare 'example.com' inputs resolve like
     // BigQuery's parser
+    // TIME(h, m, s) / TIME(ts[, tz]) — TIME values are 'HH:mm:ss'
+    // strings in this engine
+    "TIME" -> { a =>
+      a.length match {
+        case 3 => Some(s"format_string('%02d:%02d:%02d', ${a(0)}, ${a(1)}, ${a(2)})")
+        case 1 => Some(s"date_format(${a(0)}, 'HH:mm:ss')")
+        case 2 => Some(s"date_format(from_utc_timestamp(${a(0)}, ${a(1)}), 'HH:mm:ss')")
+        case _ => scala.None
+      }
+    },
+    // DATETIME constructors → TIMESTAMP_NTZ: 6-part civil time,
+    // DATE+TIME composition, timestamp[+timezone] conversion. The
+    // 2-arg form disambiguates at RUNTIME (a TIME value is an
+    // 'HH:mm:ss' string; anything else is a timezone name).
+    "DATETIME" -> { a =>
+      a.length match {
+        case 6 => Some(s"make_timestamp_ntz(${a.mkString(", ")})")
+        case 1 => Some(s"cast(${a(0)} as timestamp_ntz)")
+        case 2 => Some(
+          s"(CASE WHEN CAST(${a(1)} AS STRING) RLIKE '^[0-9]{2}:' " +
+            s"THEN to_timestamp_ntz(concat(cast(${a(0)} as string), ' ', ${a(1)})) " +
+            s"ELSE convert_timezone(${a(1)}, ${a(0)}) END)")
+        case _ => scala.None
+      }
+    },
+    "CODE_POINTS_TO_BYTES" -> (a => if (a.length == 1) Some(
+      s"unhex(concat_ws('', transform(${a(0)}, __c -> " +
+        "CASE WHEN __c BETWEEN 0 AND 255 THEN lpad(hex(__c), 2, '0') " +
+        "ELSE raise_error(concat('CODE_POINTS_TO_BYTES: byte out of range ', " +
+        "CAST(__c AS STRING))) END)))") else scala.None),
     "NET_HOST" -> (a => if (a.length == 1)
       Some(s"coalesce(parse_url(${a(0)}, 'HOST'), " +
         s"parse_url(concat('http://', ${a(0)}), 'HOST'))")
+      else scala.None),
+    // NET IP kernels (functions/NetKernels.scala): strict local parse,
+    // no resolver. REG_DOMAIN/PUBLIC_SUFFIX stay loud (need the PSL).
+    "NET_IP_FROM_STRING" -> (a =>
+      if (a.length == 1) Some(s"graft_net_ip_from_string(${a(0)})") else scala.None),
+    "NET_SAFE_IP_FROM_STRING" -> (a =>
+      if (a.length == 1) Some(s"graft_net_safe_ip_from_string(${a(0)})") else scala.None),
+    "NET_IP_TO_STRING" -> (a =>
+      if (a.length == 1) Some(s"graft_net_ip_to_string(${a(0)})") else scala.None),
+    "NET_IPV4_TO_INT64" -> (a =>
+      if (a.length == 1) Some(s"graft_net_ipv4_to_int64(${a(0)})") else scala.None),
+    "NET_IPV4_FROM_INT64" -> (a =>
+      if (a.length == 1) Some(s"graft_net_ipv4_from_int64(CAST(${a(0)} AS BIGINT))")
       else scala.None),
     "APPROX_COUNT_DISTINCT" -> renameTo("approx_count_distinct"),
     // --- pack 6: approximate top-k + analytic percentiles ------------
@@ -2499,7 +2577,11 @@ object Dialect {
     * (format, value); Spark's is (value, format).
     */
   private def fmtCall(spark: String): Seq[String] => Option[String] = a =>
-    for {
+    // %s (unix seconds) is a computation, not a pattern element — only
+    // the whole-format case maps (embedded %s stays loud)
+    if (a.length == 2 && a.headOption.flatMap(strLit).contains("%s"))
+      Some(s"CAST(unix_seconds(CAST(${a(1)} AS TIMESTAMP)) AS STRING)")
+    else for {
       f <- if (a.length == 2) a.headOption.flatMap(strLit) else scala.None
       p <- javaPattern(f)
     } yield s"$spark(${a(1)}, '${p.replace("'", "''")}')"

@@ -387,6 +387,7 @@ object BitSketchExpressions {
     FarmHashExpressions.register(spark)
     TextExpressions.register(spark)
     JsonMutators.register(spark)
+    NetKernels.register(spark)
     TopCount.register(spark)
   }
 }

@@ -739,6 +739,53 @@ class DialectExecSpec extends AnyFunSuite with BeforeAndAfterAll {
       == "2024-01-02")
   }
 
+  test("date/time constructors, tz-aware TIMESTAMP_TRUNC, AT TIME ZONE, %s/%z codes") {
+    assert(one("SELECT TIME(10, 20, 30)") == "10:20:30")
+    assert(one("SELECT CAST(DATETIME(2024, 1, 15, 10, 20, 30) AS STRING)")
+      == "2024-01-15 10:20:30")
+    assert(one("SELECT CAST(DATETIME(DATE '2024-01-15', TIME '10:20:30') AS STRING)")
+      == "2024-01-15 10:20:30")
+    // DATETIME(ts, tz): civil time in that zone
+    assert(one("SELECT CAST(DATETIME(TIMESTAMP '2024-01-15 10:00:00', 'Asia/Jakarta') AS STRING)")
+      == "2024-01-15 17:00:00")
+    // TIME(ts[, tz])
+    assert(one("SELECT TIME(TIMESTAMP '2024-01-15 10:20:30')") == "10:20:30")
+    assert(one("SELECT TIME(TIMESTAMP '2024-01-15 10:20:30', 'Asia/Jakarta')") == "17:20:30")
+    // tz-aware truncation: LA midnight of Jan 14 = 08:00 UTC
+    assert(one("SELECT CAST(TIMESTAMP_TRUNC(TIMESTAMP '2024-01-15 02:00:00', DAY, 'America/Los_Angeles') AS STRING)")
+      == "2024-01-14 08:00:00")
+    // BigQuery WEEK is SUNDAY-start (2024-01-18 is a Thursday)
+    assert(one("SELECT CAST(TIMESTAMP_TRUNC(TIMESTAMP '2024-01-18 10:00:00', WEEK) AS STRING)")
+      == "2024-01-14 00:00:00")
+    assert(one("SELECT CAST(TIMESTAMP_TRUNC(TIMESTAMP '2024-01-18 10:00:00', WEEK(MONDAY)) AS STRING)")
+      == "2024-01-15 00:00:00")
+    assert(one("SELECT CAST(TIMESTAMP_TRUNC(TIMESTAMP '2024-01-18 10:00:00', ISOWEEK) AS STRING)")
+      == "2024-01-15 00:00:00")
+    // EXTRACT ... AT TIME ZONE
+    assert(one("SELECT CAST(EXTRACT(DATE FROM TIMESTAMP '2024-01-15 02:00:00' AT TIME ZONE 'America/Los_Angeles') AS STRING)")
+      == "2024-01-14")
+    assert(one("SELECT EXTRACT(HOUR FROM TIMESTAMP '2024-01-15 10:00:00' AT TIME ZONE 'Asia/Jakarta')")
+      == 17)
+    // %s (unix seconds), %Z (zone name), %z (offset)
+    assert(one("SELECT FORMAT_TIMESTAMP('%s', TIMESTAMP '1970-01-02 00:00:00')") == "86400")
+    assert(one("SELECT FORMAT_TIMESTAMP('%Z', TIMESTAMP '2024-01-15 10:00:00')") == "UTC")
+    assert(one("SELECT FORMAT_TIMESTAMP('%z', TIMESTAMP '2024-01-15 10:00:00')") == "+0000")
+    // CODE_POINTS_TO_BYTES round-trips through the byte decoder
+    assert(one("SELECT SAFE_CONVERT_BYTES_TO_STRING(CODE_POINTS_TO_BYTES([104, 105]))") == "hi")
+  }
+
+  test("NET IP kernels: parse/format/int64 round trips, strict vs SAFE") {
+    assert(one("SELECT NET.IPV4_TO_INT64(NET.IP_FROM_STRING('192.168.0.1'))")
+      == 3232235521L)
+    assert(one("SELECT NET.IP_TO_STRING(NET.IPV4_FROM_INT64(3232235521))")
+      == "192.168.0.1")
+    assert(one("SELECT NET.IP_TO_STRING(NET.IP_FROM_STRING('2001:db8::1'))")
+      == "2001:db8:0:0:0:0:0:1")
+    assert(one("SELECT NET.SAFE_IP_FROM_STRING('not-an-ip') IS NULL") == true)
+    assert(one("SELECT NET.SAFE_IP_FROM_STRING('999.1.1.1') IS NULL") == true)
+    intercept[Exception] { one("SELECT NET.IP_FROM_STRING('nope')") }
+  }
+
   test("JSON_KEYS: dotted paths, depth bound, strict vs lax array descent") {
     assert(one("""SELECT JSON_KEYS(JSON '{"b":1,"a":{"c":2}}')""") ==
       Seq("a", "a.c", "b"))
