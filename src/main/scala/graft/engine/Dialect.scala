@@ -1813,12 +1813,26 @@ object Dialect {
         case Some(f) if f.contains("%T") => Some(
           "raise_error('FORMAT %T (SQL-literal rendering) is not supported; " +
             "use %t or TO_JSON_STRING')")
-        case Some(f) if f.contains("%t") =>
+        case Some(f) =>
           // f is the original literal's content verbatim (escapes
-          // intact) — only the conversion char changes
-          val fmt = "'" + f.replace("%t", "%s") + "'"
-          Some(s"format_string($fmt, ${a.tail.map(x => s"cast($x as string)").mkString(", ")})")
-        case _ => Some(s"format_string(${a.mkString(", ")})")
+          // intact). Args CAST per conversion spec: java's Formatter
+          // rejects Spark Decimals on %f and BigQuery's %i/%u/%t have
+          // no java spelling — numeric specs coerce, %t stringifies.
+          val specRe = raw"%(?:[-+ #0,']*\d*(?:\.\d+)?([a-zA-Z])|%)".r
+          val convs = specRe.findAllMatchIn(f).flatMap(m => Option(m.group(1))).toList
+          val fmt = "'" +
+            f.replace("%t", "%s").replace("%i", "%d").replace("%u", "%d") + "'"
+          val args = if (convs.length == a.tail.length)
+            a.tail.zip(convs).map {
+              case (arg, "t") => s"cast($arg as string)"
+              case (arg, c) if "diuoxX".contains(c) => s"CAST($arg AS BIGINT)"
+              case (arg, c) if "eEfgG".contains(c) => s"CAST($arg AS DOUBLE)"
+              case (arg, _) => arg
+            }
+          else a.tail
+          Some(if (args.isEmpty) s"format_string($fmt)"
+            else s"format_string($fmt, ${args.mkString(", ")})")
+        case scala.None => Some(s"format_string(${a.mkString(", ")})")
       }
     },
     "GENERATE_UUID" -> renameTo("uuid"),

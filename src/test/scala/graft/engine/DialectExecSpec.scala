@@ -774,6 +774,14 @@ class DialectExecSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one("SELECT SAFE_CONVERT_BYTES_TO_STRING(CODE_POINTS_TO_BYTES([104, 105]))") == "hi")
   }
 
+  test("FORMAT casts args per conversion spec (%f on NUMERIC, %i/%u/%x)") {
+    assert(one("SELECT FORMAT('%08.3f|%+d|%x', 3.14159, 42, 255)")
+      == "0003.142|+42|ff")
+    assert(one("SELECT FORMAT('%i of %u', 7, 9)") == "7 of 9")
+    assert(one("SELECT FORMAT('%.2f', CAST(2.5 AS NUMERIC))") == "2.50")
+    assert(one("SELECT FORMAT('%d%%', 50)") == "50%")
+  }
+
   test("NET IP kernels: parse/format/int64 round trips, strict vs SAFE") {
     assert(one("SELECT NET.IPV4_TO_INT64(NET.IP_FROM_STRING('192.168.0.1'))")
       == 3232235521L)
