@@ -999,6 +999,34 @@ object EngineQueries {
     },
 
     // --- vocabulary pack 8 (cont.): JSON construction + conversion ------
+    "e68_datetime_net_vocab" -> { (s, d) =>
+      // round-9 probe closures, oracled: TIME/DATETIME constructors,
+      // Sunday-start TIMESTAMP_TRUNC(WEEK), timezone-arg truncation,
+      // EXTRACT … AT TIME ZONE, NET IP kernels, FORMAT spec coercion,
+      // non-literal INTERVAL expressions, MAKE_INTERVAL named args.
+      // All per-row scalar work; DuckDB re-derives every column with
+      // its own date/printf/IP arithmetic.
+      Tables.views(s, d, "nation")
+      new ScriptRunner(s).run(
+        """SELECT CAST(n_nationkey AS INT64) AS id,
+          |  TIME(MOD(n_nationkey, 24), 30, 45) AS t1,
+          |  CAST(DATETIME(2024, 1, MOD(n_nationkey, 28) + 1, 9, 0, 0) AS STRING) AS dt1,
+          |  CAST(TIMESTAMP_TRUNC(TIMESTAMP_ADD(TIMESTAMP '2024-01-01 00:00:00',
+          |                                     INTERVAL n_nationkey DAY), WEEK) AS STRING) AS wk_sun,
+          |  CAST(TIMESTAMP_TRUNC(TIMESTAMP '2024-03-15 10:00:00', DAY, 'Asia/Jakarta') AS STRING) AS trunc_tz,
+          |  EXTRACT(HOUR FROM TIMESTAMP '2024-01-15 10:00:00' AT TIME ZONE 'Asia/Jakarta') AS hr_tz,
+          |  NET.IPV4_TO_INT64(NET.IP_FROM_STRING(
+          |    CONCAT('10.0.', CAST(MOD(n_nationkey, 256) AS STRING), '.7'))) AS ip64,
+          |  NET.IP_TO_STRING(NET.IPV4_FROM_INT64(
+          |    167772167 + CAST(n_nationkey AS INT64) * 256)) AS ipstr,
+          |  FORMAT('%05.1f|%x', CAST(n_nationkey AS NUMERIC) * 1.5,
+          |         CAST(n_nationkey AS INT64) + 250) AS fmt,
+          |  CAST(DATE '2024-01-01' + INTERVAL (MOD(n_nationkey, 5) + 1) DAY AS STRING) AS dplus,
+          |  CAST(TIMESTAMP '2024-02-01 00:00:00'
+          |       + MAKE_INTERVAL(1, minute => CAST(n_nationkey AS INT64)) AS STRING) AS mi
+          |FROM nation ORDER BY id""".stripMargin).get
+    },
+
     "e67_ddl_dml_vocab" -> { (s, d) =>
       // round-9 probe closures, end to end: explicit-schema CTAS with a
       // PARTITION BY tail (declared-name insert — partitioned tables
@@ -2229,6 +2257,26 @@ object EngineQueries {
 
     // DuckDB's json_object/json_array share the canonical encoding;
     // type names and conversions restate as plain expressions
+    // independent re-derivations: DuckDB's own make_timestamp/printf/
+    // dayofweek arithmetic (0=Sunday) and integer IP math
+    "e68_datetime_net_vocab" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS id,
+        |  printf('%02d:%02d:%02d', CAST(n_nationkey % 24 AS INT), 30, 45) AS t1,
+        |  CAST(make_timestamp(2024, 1, CAST(n_nationkey % 28 + 1 AS INT), 9, 0, 0) AS VARCHAR) AS dt1,
+        |  CAST(CAST((DATE '2024-01-01' + n_nationkey * INTERVAL 1 DAY)
+        |       - dayofweek(DATE '2024-01-01' + n_nationkey * INTERVAL 1 DAY) * INTERVAL 1 DAY
+        |       AS TIMESTAMP) AS VARCHAR) AS wk_sun,
+        |  '2024-03-14 17:00:00' AS trunc_tz,
+        |  CAST(17 AS BIGINT) AS hr_tz,
+        |  CAST(167772160 + (n_nationkey % 256) * 256 + 7 AS BIGINT) AS ip64,
+        |  '10.0.' || CAST(n_nationkey AS VARCHAR) || '.7' AS ipstr,
+        |  printf('%05.1f|%x', n_nationkey * 1.5, n_nationkey + 250) AS fmt,
+        |  CAST(CAST(DATE '2024-01-01' + (n_nationkey % 5 + 1) * INTERVAL 1 DAY
+        |       AS DATE) AS VARCHAR) AS dplus,
+        |  CAST(TIMESTAMP '2024-02-01 00:00:00' + INTERVAL 1 YEAR
+        |       + n_nationkey * INTERVAL 1 MINUTE AS VARCHAR) AS mi
+        |FROM nation ORDER BY id""".stripMargin,
+
     // the final table re-derived constructively: base rows with the
     // region-0 struct-field bump and the retyped score, plus the
     // INTO-less-INSERT row
