@@ -492,10 +492,23 @@ class DmlRunner(spark: SparkSession, runner: TransformRunner) {
     * error, like BigQuery's "UPDATE/MERGE must match at most one source
     * row for each target row".
     */
-  private def updateFrom(destFqn: String, tAliasOpt: Option[String], sets: String,
-      fromSrc: String, cond: String): Unit = {
+  private def updateFrom(destFqn: String, tAliasOpt: Option[String], sets0: String,
+      fromSrc: String, cond0: String): Unit = {
     val dest = runner.catalogName(destFqn)
     val tAlias = tAliasOpt.getOrElse(destFqn.replace("`", "").split("\\.").last)
+    // BigQuery lets the join condition / SETs reference the target by
+    // its FULL name (`db.t.col`); after aliasing, only the alias
+    // resolves — re-spell qualified target references onto it
+    def unqualify(text: String): String = {
+      val spellings = Seq(destFqn.replace("`", ""), dest)
+        .filter(_.contains(".")).distinct
+      spellings.foldLeft(text) { (t, p) =>
+        t.replaceAll(raw"(?i)(?<![\w.$$])" +
+          java.util.regex.Pattern.quote(p) + raw"\.", tAlias + ".")
+      }
+    }
+    val sets = unqualify(sets0)
+    val cond = unqualify(cond0)
     // synthetic row id: lets the multi-match guard count matches PER
     // TARGET ROW in the same jobs as the rewrite, instead of comparing
     // two global counts (two extra materializations)
@@ -814,7 +827,11 @@ class DmlRunner(spark: SparkSession, runner: TransformRunner) {
     PartitionCommit.recover(spark, dest)
     val partCols = spark.catalog.listColumns(dest).collect()
       .filter(_.isPartition).map(_.name).toSeq
-    val aligned = df.select(spark.table(dest).columns.map(col).toIndexedSeq: _*)
+    // align NAMES *AND TYPES* to the catalog schema: a SET expression
+    // may be wider than its column (BIGINT into INT) and writing it
+    // unchecked leaves files the table's declared schema can't read
+    val aligned = df.select(spark.table(dest).schema.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
     val stageDir = PartitionCommit.newStageDir(spark, dest)
     val w = aligned.write.mode("overwrite")
     (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)

@@ -656,7 +656,10 @@ class ScriptRunner(spark: SparkSession) {
       case "BEGIN" | "COMMIT" | "ROLLBACK" =>
         dmlRunner.runStatement(substituteVars(stmt)); scala.None
       case "MERGE" | "UPDATE" | "DELETE" | "TRUNCATE" =>
-        dmlRunner.runStatement(substituteVars(stmt)); scala.None
+        // TVF calls in a DML source (`MERGE … USING (SELECT * FROM
+        // f(x))`) expand here — DmlRunner has no TVF registry
+        dmlRunner.runStatement(expandTableFunctions(substituteVars(stmt)))
+        scala.None
       case "ASSERT" => runAssert(stmt)
       case "RAISE" => runRaise(stmt)
       case "EXPORT" => runExportData(stmt)

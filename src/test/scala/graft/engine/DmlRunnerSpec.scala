@@ -438,6 +438,32 @@ class DmlRunnerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(state() == Seq(("a", 1L)))
   }
 
+  test("UPDATE...FROM accepts fully-qualified target references") {
+    freshTable(Seq(("a", 1L)))
+    // BigQuery allows the full table path in the join condition / SETs
+    dml.run(
+      """UPDATE dmlspec.t SET v = s.nv
+        |FROM (SELECT 'a' AS k, 11 AS nv) s
+        |WHERE dmlspec.t.k = s.k""".stripMargin)
+    assert(state() == Seq(("a", 11L)))
+  }
+
+  test("DML writes align to the CATALOG column types (no wider-file corruption)") {
+    spark.sql("DROP TABLE IF EXISTS dmlspec.ints")
+    spark.sql("CREATE TABLE dmlspec.ints (k INT, v INT) USING parquet")
+    spark.sql("INSERT INTO dmlspec.ints VALUES (1, 0)")
+    // the SET expression is BIGINT; unchecked it would stage BIGINT
+    // parquet files the INT table schema cannot read back
+    dml.run("UPDATE dmlspec.ints SET v = CAST(7 AS BIGINT) WHERE k = 1")
+    val r = spark.table("dmlspec.ints").collect()(0)
+    assert((r.getInt(0), r.getInt(1)) == (1, 7))
+    dml.run(
+      """MERGE INTO dmlspec.ints T USING (SELECT 1 AS k, CAST(9 AS BIGINT) AS nv) S
+        |ON T.k = S.k WHEN MATCHED THEN UPDATE SET v = S.nv""".stripMargin)
+    assert(spark.table("dmlspec.ints").collect()(0).getInt(1) == 9)
+    spark.sql("DROP TABLE dmlspec.ints")
+  }
+
   test("struct-field SET updates the field in place; unknown SET columns fail loud") {
     spark.sql("DROP TABLE IF EXISTS dmlspec.sf")
     spark.sql("CREATE TABLE dmlspec.sf USING parquet AS " +

@@ -1388,6 +1388,13 @@ class ScriptRunnerSpec extends AnyFunSuite with BeforeAndAfterAll {
     // a 'FROM pick(' INSIDE a string literal is data, not a call site
     assert(sr.run("SELECT 'FROM pick(1)' AS s").get.collect()
       .head.getString(0) == "FROM pick(1)")
+    // a TVF in a DML source expands too (DmlRunner has no registry)
+    sr.run(
+      """CREATE OR REPLACE TABLE tvfhard.m AS SELECT 'a,b' AS k, 0 AS nv;
+        |MERGE INTO tvfhard.m T USING (SELECT k, v FROM pick('a,b', 0)) S
+        |ON T.k = S.k WHEN MATCHED THEN UPDATE SET nv = S.v""".stripMargin)
+    assert(sr.run("SELECT nv FROM tvfhard.m").get.collect()
+      .head.getInt(0) == 1)
     sr.run("DROP TABLE FUNCTION pick")
   }
 
