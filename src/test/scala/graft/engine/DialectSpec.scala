@@ -269,8 +269,10 @@ class DialectSpec extends AnyFunSuite {
 
   test("printf FORMAT, hex, and string-predicate renames") {
     // BigQuery TO_HEX is lowercase (Spark hex is uppercase)
+    // FORMAT coerces args per conversion spec (java's Formatter rejects
+    // Spark Decimals on %f; %d takes any integral via the BIGINT cast)
     assert(Dialect.rewrite("SELECT FORMAT('%d rows', n), TO_HEX(b), FROM_HEX(h)") ==
-      "SELECT format_string('%d rows', n), lower(hex(b)), unhex(h)")
+      "SELECT format_string('%d rows', CAST(n AS BIGINT)), lower(hex(b)), unhex(h)")
     assert(Dialect.rewrite("WHERE STARTS_WITH(s, 'a') AND ENDS_WITH(s, 'z')") ==
       "WHERE startswith(s, 'a') AND endswith(s, 'z')")
   }
