@@ -133,6 +133,23 @@ class ScriptRunner(spark: SparkSession) {
     }
   }
 
+  /** Schema-aware literal rendering: structs become named_struct with
+    * their FIELD NAMES (so downstream `.field` extraction resolves) and
+    * a single-field struct stays a struct — unlike [[literalOf]], whose
+    * unwrap implements SET's SELECT-AS-STRUCT semantics.
+    */
+  private def literalOfTyped(v: Any,
+      dt: org.apache.spark.sql.types.DataType): String = (v, dt) match {
+    case (null, _) => "NULL"
+    case (r: org.apache.spark.sql.Row, st: org.apache.spark.sql.types.StructType) =>
+      st.fields.zipWithIndex.map { case (f, i) =>
+        s"'${f.name}', ${literalOfTyped(r.get(i), f.dataType)}"
+      }.mkString("named_struct(", ", ", ")")
+    case (a: scala.collection.Seq[_], at: org.apache.spark.sql.types.ArrayType) =>
+      a.map(literalOfTyped(_, at.elementType)).mkString("array(", ", ", ")")
+    case (other, _) => literalOf(other)
+  }
+
   private def literalOf(v: Any): String = v match {
     case null => "NULL"
     case l: Long => l + "L" // keep INT64 semantics through re-parsing
@@ -202,10 +219,15 @@ class ScriptRunner(spark: SparkSession) {
   private def runScript(body: String): Option[DataFrame] = {
     var last: Option[DataFrame] = None
     StatementSplitter.splitBlocks(body).foreach { stmt =>
+      lastAttemptedStmt = stmt // @@error.statement_text in a handler
       runStatement(stmt).foreach(df => last = Some(df))
     }
     last
   }
+
+  // the statement most recently dispatched — an EXCEPTION handler's
+  // @@error.statement_text reads it (BigQuery system variable)
+  private var lastAttemptedStmt: String = ""
 
   /** Top-level markers of a control statement: tokens at block depth 1
     * outside CASE expressions, plus the closing END (depth 1 → 0).
@@ -445,11 +467,16 @@ class ScriptRunner(spark: SparkSession) {
     val loop = new Breaks
     loop.breakable {
       rows.foreach { row =>
-        // rec.field → literal of that row's field (word-boundary safe)
-        val bodyRendered = row.schema.fieldNames.zipWithIndex.foldLeft(body) {
+        // rec.field → literal of that row's field (word-boundary safe).
+        // Struct fields render as NAMED structs — nested access through
+        // the loop variable (`r.st.a`) substitutes the prefix `r.st`
+        // and leaves `.a` as a field extraction, which needs the names
+        // (and must NOT take literalOf's single-field unwrap)
+        val bodyRendered = row.schema.fields.zipWithIndex.foldLeft(body) {
           case (acc, (f, idx)) =>
-            acc.replaceAll(raw"\b" + java.util.regex.Pattern.quote(s"$rec.$f") + raw"\b",
-              java.util.regex.Matcher.quoteReplacement(literalOf(row.get(idx))))
+            acc.replaceAll(raw"\b" + java.util.regex.Pattern.quote(s"$rec.${f.name}") + raw"\b",
+              java.util.regex.Matcher.quoteReplacement(
+                literalOfTyped(row.get(idx), f.dataType)))
         }
         try runScript(bodyRendered).foreach(df => last = Some(df))
         catch {
@@ -482,12 +509,16 @@ class ScriptRunner(spark: SparkSession) {
           case scala.util.control.NonFatal(e) =>
             // handler scope: @@error.message reads the caught message,
             // bare RAISE re-raises (BigQuery system variable semantics)
-            val msgLit = "'" + Option(e.getMessage).getOrElse(e.toString)
-              .replace("\\", "\\\\").replace("'", "\\'") + "'"
+            def lit(s: String) =
+              "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+            val msgLit = lit(Option(e.getMessage).getOrElse(e.toString))
+            val stmtLit = lit(lastAttemptedStmt)
             val prev = currentError
             currentError = Some(e)
-            try runScript(raw"(?i)@@error\.message".r
-              .replaceAllIn(handler, java.util.regex.Matcher.quoteReplacement(msgLit)))
+            try runScript(raw"(?i)@@error\.message".r.replaceAllIn(
+              raw"(?i)@@error\.statement_text".r.replaceAllIn(handler,
+                java.util.regex.Matcher.quoteReplacement(stmtLit)),
+              java.util.regex.Matcher.quoteReplacement(msgLit)))
             finally currentError = prev
         }
       case scala.None =>

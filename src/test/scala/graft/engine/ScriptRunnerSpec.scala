@@ -1427,6 +1427,36 @@ class ScriptRunnerSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[Exception] { sr.run("SELECT * FROM scaled(1, 2)") }
   }
 
+  test("@@error.statement_text; FOR-IN nested struct field access") {
+    val sr = new ScriptRunner(spark)
+    val txt = sr.run(
+      """BEGIN
+        |  SELECT CAST('boom' AS INT64) AS bad;
+        |EXCEPTION WHEN ERROR THEN
+        |  SELECT @@error.statement_text AS v;
+        |END""".stripMargin).get.collect()(0).getString(0)
+    assert(txt.toUpperCase.contains("SELECT") && txt.contains("boom"),
+      s"statement_text must carry the failing statement: $txt")
+    // a single-field struct through the loop variable keeps its NAME
+    // (literalOf's SET-semantics unwrap must not apply here)
+    val s = sr.run(
+      """DECLARE s INT64 DEFAULT 0;
+        |FOR r IN (SELECT STRUCT(x AS a) AS st FROM UNNEST([1, 2]) x) DO
+        |  SET s = s + r.st.a;
+        |END FOR;
+        |SELECT s AS v""".stripMargin).get.collect()(0).getLong(0)
+    assert(s == 3L)
+    // multi-field nested access too
+    val s2 = sr.run(
+      """DECLARE t STRING DEFAULT '';
+        |FOR r IN (SELECT STRUCT(x AS a, CONCAT('v', CAST(x AS STRING)) AS b) AS st
+        |          FROM UNNEST([1, 2]) x ORDER BY x) DO
+        |  SET t = CONCAT(t, r.st.b);
+        |END FOR;
+        |SELECT t AS v""".stripMargin).get.collect()(0).getString(0)
+    assert(s2 == "v1v2")
+  }
+
   test("labeled loops: BREAK/CONTINUE with a label unwind to that loop") {
     val sr = new ScriptRunner(spark)
     // BREAK outer from INSIDE the inner loop kills both loops
