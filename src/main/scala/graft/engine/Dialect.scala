@@ -2590,15 +2590,61 @@ object Dialect {
     * function with a java.time pattern. BigQuery arg order is
     * (format, value); Spark's is (value, format).
     */
+  /** Directives java.time patterns can't express — %V (ISO week),
+    * %G (ISO year: the year of the week's Thursday), %u (ISO weekday,
+    * Monday=1), %s (unix seconds) — compile to COMPUTED expressions;
+    * the surrounding format runs stay date_format segments and the
+    * whole thing concatenates. None when no computed directive appears
+    * (the single date_format path wins) or a neighbor run has an
+    * unsupported directive (loud, as before).
+    */
+  private def fmtComposite(e: String, f: String): Option[String] = {
+    val computed = Set('V', 'G', 'u', 's')
+    if (!f.sliding(2).exists(s =>
+        s.length == 2 && s(0) == '%' && computed(s(1)))) return scala.None
+    val parts = Seq.newBuilder[String]
+    val buf = new StringBuilder
+    var ok = true
+    def flushBuf(): Unit = if (buf.nonEmpty) {
+      javaPattern(buf.toString) match {
+        case Some(p) if p.nonEmpty =>
+          parts += s"date_format($e, '${p.replace("'", "''")}')"
+        case Some(_) =>
+        case scala.None => ok = false
+      }
+      buf.clear()
+    }
+    // ISO day-of-week from Spark's Sunday=1 dayofweek
+    val isoDow = s"(((dayofweek($e) + 5) % 7) + 1)"
+    var i = 0
+    while (i < f.length && ok) {
+      if (f.charAt(i) == '%' && i + 1 < f.length && computed(f.charAt(i + 1))) {
+        flushBuf()
+        parts += (f.charAt(i + 1) match {
+          case 'V' => s"lpad(cast(weekofyear($e) as string), 2, '0')"
+          case 'u' => s"cast($isoDow as string)"
+          case 'G' =>
+            s"cast(year(date_add(cast($e as date), 4 - $isoDow)) as string)"
+          case _ => s"cast(unix_seconds(cast($e as timestamp)) as string)"
+        })
+        i += 2
+      } else if (f.charAt(i) == '%' && i + 1 < f.length) {
+        buf += '%' += f.charAt(i + 1); i += 2
+      } else { buf += f.charAt(i); i += 1 }
+    }
+    flushBuf()
+    if (!ok) scala.None
+    else Some(s"concat(${parts.result().mkString(", ")})")
+  }
+
   private def fmtCall(spark: String): Seq[String] => Option[String] = a =>
-    // %s (unix seconds) is a computation, not a pattern element — only
-    // the whole-format case maps (embedded %s stays loud)
-    if (a.length == 2 && a.headOption.flatMap(strLit).contains("%s"))
-      Some(s"CAST(unix_seconds(CAST(${a(1)} AS TIMESTAMP)) AS STRING)")
-    else for {
-      f <- if (a.length == 2) a.headOption.flatMap(strLit) else scala.None
-      p <- javaPattern(f)
-    } yield s"$spark(${a(1)}, '${p.replace("'", "''")}')"
+    if (a.length != 2) scala.None
+    else a.headOption.flatMap(strLit) match {
+      case Some(f) =>
+        fmtComposite(a(1), f).orElse(
+          javaPattern(f).map(p => s"$spark(${a(1)}, '${p.replace("'", "''")}')"))
+      case scala.None => scala.None
+    }
 
   /** BigQuery QUALIFY (top-level statements only): post-window filter.
     * `… SELECT <sel> FROM … QUALIFY <cond> [ORDER/LIMIT tail]` becomes

@@ -768,6 +768,12 @@ class DialectExecSpec extends AnyFunSuite with BeforeAndAfterAll {
       == 17)
     // %s (unix seconds), %Z (zone name), %z (offset)
     assert(one("SELECT FORMAT_TIMESTAMP('%s', TIMESTAMP '1970-01-02 00:00:00')") == "86400")
+    // ISO codes compile to computed segments: 2023-01-01 is a SUNDAY →
+    // ISO week 52 of 2022, weekday 7
+    assert(one("SELECT FORMAT_DATE('%G-W%V-%u', DATE '2023-01-01')") == "2022-W52-7")
+    assert(one("SELECT FORMAT_DATE('%G|%V|%u', DATE '2024-01-01')") == "2024|01|1")
+    assert(one("SELECT FORMAT_TIMESTAMP('at %s on %Y', TIMESTAMP '1970-01-02 00:00:00')")
+      == "at 86400 on 1970")
     assert(one("SELECT FORMAT_TIMESTAMP('%Z', TIMESTAMP '2024-01-15 10:00:00')") == "UTC")
     assert(one("SELECT FORMAT_TIMESTAMP('%z', TIMESTAMP '2024-01-15 10:00:00')") == "+0000")
     // CODE_POINTS_TO_BYTES round-trips through the byte decoder

@@ -214,9 +214,14 @@ class DialectSpec extends AnyFunSuite {
     // chars are SQL-escaped inside the literal
     assert(Dialect.rewrite("SELECT FORMAT_DATE('day %d', d)") ==
       "SELECT date_format(d, '''day ''dd')")
-    // unsupported directive → call left as-is
+    // %G (ISO year) now compiles to the year of the week's Thursday
+    // (was left-as-is before round 9; the execution-level suite covers
+    // its semantics). A genuinely unsupported directive stays as-is:
     assert(Dialect.rewrite("SELECT FORMAT_DATE('%G', d)") ==
-      "SELECT FORMAT_DATE('%G', d)")
+      "SELECT concat(cast(year(date_add(cast(d as date), " +
+        "4 - (((dayofweek(d) + 5) % 7) + 1))) as string))")
+    assert(Dialect.rewrite("SELECT FORMAT_DATE('%W', d)") ==
+      "SELECT FORMAT_DATE('%W', d)")
   }
 
   test("TIMESTAMP_DIFF / DATE_DIFF semantics") {
