@@ -151,6 +151,123 @@ object Dialect {
     * not be touched, so only matches OUTSIDE every literal span whose
     * following quote OPENS a literal are stripped.
     */
+  private val rangeLitRe =
+    raw"(?i)\bRANGE\s*<\s*(DATE|DATETIME|TIMESTAMP)\s*>\s*'([^']*)'".r
+
+  /** BigQuery RANGE<T> typed literal `RANGE<DATE> '[lo, hi)'` → the
+    * engine's range representation `STRUCT<range_start T, range_end T>`
+    * (half-open, NULL bound = UNBOUNDED). Literal-span-aware.
+    */
+  private def rewriteRangeLiteral(sql: String): String =
+    rangeLitRe.replaceAllIn(sql, m => java.util.regex.Matcher.quoteReplacement {
+      if (inStringLiteral(sql, m.start)) m.matched
+      else {
+        val t = m.group(1).toUpperCase match {
+          case "DATETIME" => "TIMESTAMP_NTZ"
+          case other => other
+        }
+        val body = m.group(2).trim
+        if (!body.startsWith("[") || !body.endsWith(")")) m.matched // loud downstream
+        else {
+          val parts = body.substring(1, body.length - 1).split(",", 2).map(_.trim)
+          if (parts.length != 2) m.matched
+          else {
+            def bound(b: String) =
+              if (b.equalsIgnoreCase("UNBOUNDED") || b.equalsIgnoreCase("NULL"))
+                s"CAST(NULL AS $t)"
+              else s"CAST('$b' AS $t)"
+            s"named_struct('range_start', ${bound(parts(0))}, " +
+              s"'range_end', ${bound(parts(1))})"
+          }
+        }
+      }
+    })
+
+  private val mixedIntervalRe =
+    raw"(?i)\bINTERVAL\s+'([^']*)'\s+(YEAR|MONTH|DAY|HOUR|MINUTE)\s+TO\s+(MONTH|DAY|HOUR|MINUTE|SECOND)\b".r
+  private val unitIdx = Map("YEAR" -> 0, "MONTH" -> 1, "DAY" -> 2,
+    "HOUR" -> 3, "MINUTE" -> 4, "SECOND" -> 5)
+
+  /** BigQuery mixed-range INTERVAL literals. Spark's ANSI interval
+    * classes split at the month/day boundary, so `INTERVAL '1-2 3
+    * 4:5:6' YEAR TO SECOND` (and any out-of-range component like `'29
+    * 49:00:00' DAY TO SECOND` — BigQuery parts are independent) cannot
+    * parse natively. Those forms lower to make_interval, whose
+    * CalendarInterval result holds months/days/micros independently —
+    * BigQuery's exact model. Literals Spark parses natively (day-time
+    * pairs with in-range components) pass through untouched, keeping
+    * their orderable ANSI types. Unparseable text also passes through
+    * → Spark's own loud error.
+    */
+  private def rewriteMixedInterval(sql: String): String =
+    mixedIntervalRe.replaceAllIn(sql, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        if (inStringLiteral(sql, m.start)) m.matched
+        else mixedIntervalExpr(m.group(1).trim, m.group(2).toUpperCase,
+          m.group(3).toUpperCase).getOrElse(m.matched)))
+
+  private def mixedIntervalExpr(v: String, from: String, to: String): Option[String] = {
+    val fi = unitIdx(from); val ti = unitIdx(to)
+    if (fi >= ti) return scala.None
+    val parts = v.split("\\s+").filter(_.nonEmpty)
+    var idx = 0
+    var years = 0L; var months = 0L; var days = 0L
+    var hours = 0L; var mins = 0L; var secs = "0"
+    def next(): Option[String] =
+      if (idx < parts.length) { idx += 1; Some(parts(idx - 1)) } else scala.None
+    val ymRe = raw"^(-?)(\d+)-(\d+)$$".r
+    val numRe = raw"^(-?)(\d+)$$".r
+    try {
+      if (from == "YEAR") next() match {
+        case Some(ymRe(sg, y, mo)) =>
+          val s = if (sg == "-") -1 else 1
+          years = s * y.toLong; months = s * mo.toLong
+        case _ => return scala.None
+      }
+      else if (from == "MONTH") next() match {
+        case Some(numRe(sg, mo)) =>
+          months = (if (sg == "-") -1 else 1) * mo.toLong
+        case _ => return scala.None
+      }
+      if (fi <= 2 && ti >= 2) next() match {
+        case Some(numRe(sg, d)) => days = (if (sg == "-") -1 else 1) * d.toLong
+        case _ => return scala.None
+      }
+      if (ti >= 3) {
+        val seg = next().getOrElse(return scala.None)
+        val tSign = if (seg.startsWith("-")) -1 else 1
+        val cols = (if (tSign < 0) seg.substring(1) else seg).split(":")
+        val firstUnit = math.max(fi, 3)
+        if (cols.length != ti - firstUnit + 1) return scala.None
+        var u = firstUnit
+        cols.foreach { c =>
+          u match {
+            case 3 => hours = tSign * c.toLong
+            case 4 => mins = tSign * c.toLong
+            case 5 =>
+              if (!c.matches(raw"\d+(\.\d+)?")) return scala.None
+              secs = (if (tSign < 0) "-" else "") + c
+          }
+          u += 1
+        }
+      }
+      if (idx != parts.length) return scala.None
+    } catch { case _: NumberFormatException => return scala.None }
+    // Spark parses day-time and year-month pairs natively when every
+    // non-leading component is in range — keep those (orderable types)
+    val secsD = secs.toDouble
+    val nativeOk =
+      if (fi >= 2)
+        (fi >= 4 || (mins >= 0 && mins <= 59)) &&
+        (fi >= 3 || (hours >= 0 && hours <= 23)) &&
+        (secsD >= 0 && secsD < 60) && days >= 0 && hours >= 0 && mins >= 0
+      else if (from == "YEAR" && to == "MONTH")
+        months >= 0 && months <= 11 && years >= 0
+      else false
+    if (nativeOk) scala.None
+    else Some(s"make_interval($years, $months, 0, $days, $hours, $mins, $secs)")
+  }
+
   private def rewriteTimeLiteral(sql: String): String = {
     val spans = literalSpans(sql)
     def inLit(p: Int) = spans.exists(s => p >= s._1 && p < s._2)
@@ -831,6 +948,14 @@ object Dialect {
     // TIME typed literal (literal-span-aware; DATETIME ran first so no
     // \bTIME\b overlap; SYSTEM_TIME's underscore blocks the boundary)
     out = rewriteTimeLiteral(out)
+    // RANGE<T> typed literal → struct<range_start, range_end>; before
+    // rewriteCalls so the emitted CASTs pass through the CAST handler
+    // as plain Spark types
+    out = rewriteRangeLiteral(out)
+    // mixed-range INTERVAL literals (YEAR TO SECOND etc.) → make_interval
+    // where Spark's split interval classes cannot hold the value; before
+    // rewriteCalls so CAST(… AS STRING) can see the make_interval source
+    out = rewriteMixedInterval(out)
     out = mapOutsideLiterals(out)(selectAsStruct.replaceAllIn(_, "SELECT "))
     out = rewriteSelectAsValue(out)
     // EXTRACT(part FROM ts AT TIME ZONE 'tz') → shift into the zone
@@ -1025,12 +1150,58 @@ object Dialect {
         if (close < 0) { sb += c; i += 1 }
         else {
           val inner = rewriteArrayLiteral(in.substring(i + 1, close))
-          sb ++= s"array($inner)"
+          sb ++= s"array(${inferStructNames(inner)})"
           i = close + 1
         }
       } else { sb += c; i += 1 }
     }
     sb.toString
+  }
+
+  /** BigQuery positional struct-name inference in array literals:
+    * `[STRUCT(1 AS a, 2 AS b), STRUCT(3, 4)]` takes the later
+    * elements' field names from the first element. By this point the
+    * elements are `struct(…)` calls; later elements with NO aliases
+    * and the first element's arity get its names appended — Spark
+    * would otherwise reject the array over struct<a,b> vs
+    * struct<col1,col2>. Any partially-named or arity-mismatched shape
+    * passes through to Spark's own loud error.
+    */
+  private def inferStructNames(inner: String): String = {
+    val items = splitTopLevel(inner).map(_.trim)
+    if (items.length < 2) return inner
+    val structRe = raw"(?is)^struct\s*\(".r
+    def argsOf(it: String): Option[Seq[String]] =
+      structRe.findFirstMatchIn(it) match {
+        case Some(m) if matchParen(it, m.end - 1) == it.length - 1 =>
+          Some(splitTopLevel(it.substring(m.end, it.length - 1)).map(_.trim))
+        case _ => scala.None
+      }
+    if (!items.forall(it => structRe.findFirstMatchIn(it).isDefined)) return inner
+    val nameRe = raw"^[A-Za-z_][A-Za-z0-9_]*$$|^`[^`]+`$$".r
+    val firstNames = argsOf(items.head) match {
+      case Some(args) =>
+        val ns = args.map { a =>
+          val p = lastTopLevelAs(a)
+          if (p < 0) "" else {
+            val n = a.substring(p + 2).trim
+            if (nameRe.findFirstIn(n).isDefined) n else ""
+          }
+        }
+        if (ns.exists(_.isEmpty)) return inner
+        ns
+      case scala.None => return inner
+    }
+    val rest = items.tail.map { it =>
+      argsOf(it) match {
+        case Some(args) if args.length == firstNames.length &&
+            args.forall(a => lastTopLevelAs(a) < 0) =>
+          args.zip(firstNames).map { case (a, n) => s"$a AS $n" }
+            .mkString("struct(", ", ", ")")
+        case _ => it
+      }
+    }
+    (items.head +: rest).mkString(", ")
   }
 
   private val arrayAccessRe =
@@ -1466,12 +1637,15 @@ object Dialect {
     a(1) match {
       case intervalArg(n, unit) =>
         val s = if (sign < 0) s"-($n)" else s"($n)"
+        // date_add's count parameter is INT-typed; BigQuery arithmetic
+        // is INT64, so a non-literal count arrives as BIGINT — cast
+        val si = if (n.matches(raw"\d+")) s else s"cast($s as int)"
         unit.toUpperCase match {
-          case "DAY" => Some(s"date_add(${a(0)}, $s)")
-          case "WEEK" => Some(s"date_add(${a(0)}, 7 * $s)")
-          case "MONTH" => Some(s"add_months(${a(0)}, $s)")
-          case "QUARTER" => Some(s"add_months(${a(0)}, 3 * $s)")
-          case "YEAR" => Some(s"add_months(${a(0)}, 12 * $s)")
+          case "DAY" => Some(s"date_add(${a(0)}, $si)")
+          case "WEEK" => Some(s"date_add(${a(0)}, 7 * $si)")
+          case "MONTH" => Some(s"add_months(${a(0)}, $si)")
+          case "QUARTER" => Some(s"add_months(${a(0)}, 3 * $si)")
+          case "YEAR" => Some(s"add_months(${a(0)}, 12 * $si)")
           case _ => scala.None
         }
       case _ => scala.None
@@ -1540,7 +1714,11 @@ object Dialect {
     * were already rewritten because rewriteCalls recurses
     * innermost-first), so a select-list alias is never renamed.
     */
-  private def mapCastTailType(arg: String): String = {
+  /** Position of the last top-level (paren-depth-0, unquoted) `AS`
+    * keyword in a CAST argument, or -1 — the split between the source
+    * expression and the target type.
+    */
+  private def lastTopLevelAs(arg: String): Int = {
     var depth = 0
     var i = 0
     var last = -1
@@ -1566,6 +1744,45 @@ object Dialect {
         i += 1
       }
     }
+    last
+  }
+
+  /** CAST/SAFE_CAST `… AS BIGINT` → graft_int64[_safe]: BigQuery rounds
+    * FLOAT64/NUMERIC→INT64 half AWAY FROM ZERO and errors (SAFE_CAST:
+    * NULL) on bad input; Spark's legacy cast truncates and nulls —
+    * both silently wrong data (see functions/NumCasts.scala).
+    */
+  private def int64Cast(a: Seq[String], safe: Boolean): Option[String] = {
+    if (a.length != 1) return scala.None
+    val last = lastTopLevelAs(a(0))
+    if (last < 0) return scala.None
+    val tail = a(0).substring(last + 2).trim
+    if (!tail.equalsIgnoreCase("BIGINT")) return scala.None
+    val fn = if (safe) "graft_int64_safe" else "graft_int64"
+    Some(s"$fn(${a(0).substring(0, last).trim})")
+  }
+
+  /** CAST(<interval expr> AS STRING) → BigQuery's canonical
+    * `Y-M D H:M:S` rendering (Spark renders CalendarInterval as
+    * `1 years 2 months …`, and cannot cast it to STRING at all in some
+    * positions). Textual type inference: the source is an interval when
+    * it is an INTERVAL literal, a make_interval call (what mixed-range
+    * literals and expression intervals lower to), or a justify kernel —
+    * the only interval-producing forms the dialect emits.
+    */
+  private def intervalStrCast(a: Seq[String]): Option[String] = {
+    if (a.length != 1) return scala.None
+    val last = lastTopLevelAs(a(0))
+    if (last < 0) return scala.None
+    if (!a(0).substring(last + 2).trim.equalsIgnoreCase("STRING")) return scala.None
+    val src = a(0).substring(0, last).trim
+    val isInterval = src.matches(raw"(?is)^INTERVAL\b.*") ||
+      src.matches(raw"(?is)^(make_interval|graft_justify_\w+)\(.*")
+    if (isInterval) Some(s"graft_interval_str($src)") else scala.None
+  }
+
+  private def mapCastTailType(arg: String): String = {
+    val last = lastTopLevelAs(arg)
     if (last < 0) return arg
     val after = arg.substring(last + 2)
     castTailTypeRe.findFirstMatchIn(after) match {
@@ -1779,13 +1996,106 @@ object Dialect {
     "REGEXP_CONTAINS" -> renameTo("regexp_like"),
     "SAFE_CAST" -> { a0 =>
       val a = a0.map(mapCastTailType)
-      castWithFormat(a, safe = true).orElse(Some(s"try_cast(${a.mkString(", ")})"))
+      castWithFormat(a, safe = true)
+        .orElse(int64Cast(a, safe = true))
+        .orElse(intervalStrCast(a))
+        .orElse(Some(s"try_cast(${a.mkString(", ")})"))
     },
     "CAST" -> { a0 =>
       val a = a0.map(mapCastTailType)
-      castWithFormat(a, safe = false).orElse(
-        // plain CAST passes through unless the tail type was remapped
-        if (a == a0) scala.None else Some(s"CAST(${a.mkString(", ")})"))
+      castWithFormat(a, safe = false)
+        .orElse(int64Cast(a, safe = false))
+        .orElse(intervalStrCast(a))
+        .orElse(
+          // plain CAST passes through unless the tail type was remapped
+          if (a == a0) scala.None else Some(s"CAST(${a.mkString(", ")})"))
+    },
+    // BigQuery L/R/TRIM(value, set) vs Spark's SWAPPED 2-arg form
+    // ltrim(trimStr, str) — passing through would silently trim the
+    // wrong operand (probe: LTRIM('xxhixx', 'x') returned '').
+    "LTRIM" -> { a =>
+      if (a.length == 2) Some(s"ltrim(${a(1)}, ${a(0)})") else scala.None },
+    "RTRIM" -> { a =>
+      if (a.length == 2) Some(s"rtrim(${a(1)}, ${a(0)})") else scala.None },
+    "TRIM" -> { a =>
+      if (a.length == 2) Some(s"trim(${a(1)}, ${a(0)})") else scala.None },
+    // reciprocal-hyperbolic trio Spark lacks (BigQuery math pack)
+    "COTH" -> { a =>
+      if (a.length == 1) Some(s"(cast(1 as double) / tanh(${a(0)}))") else scala.None },
+    "CSCH" -> { a =>
+      if (a.length == 1) Some(s"(cast(1 as double) / sinh(${a(0)}))") else scala.None },
+    "SECH" -> { a =>
+      if (a.length == 1) Some(s"(cast(1 as double) / cosh(${a(0)}))") else scala.None },
+    "TO_BASE32" -> renameTo("graft_to_base32"),
+    "FROM_BASE32" -> renameTo("graft_from_base32"),
+    // Postgres-lineage interval normalization (functions/IntervalKernels)
+    "JUSTIFY_DAYS" -> renameTo("graft_justify_days"),
+    "JUSTIFY_HOURS" -> renameTo("graft_justify_hours"),
+    "JUSTIFY_INTERVAL" -> renameTo("graft_justify_interval"),
+    // --- RANGE<T> family: struct<range_start, range_end>, half-open,
+    // NULL bound = unbounded (see functions/RangeKernels.scala) -------
+    "RANGE" -> { a =>
+      // two bare integer literals = Spark's range() TVF (BigQuery's
+      // RANGE constructor only takes date/datetime/timestamp bounds)
+      if (a.length != 2 ||
+          a.forall(_.trim.matches(raw"\d+"))) scala.None
+      else Some(s"(CASE WHEN (${a(0)}) IS NULL OR (${a(1)}) IS NULL OR " +
+        s"(${a(0)}) < (${a(1)}) THEN named_struct('range_start', (${a(0)}), " +
+        s"'range_end', (${a(1)})) ELSE raise_error(" +
+        "'RANGE start must be strictly less than end') END)")
+    },
+    "RANGE_START" -> { a =>
+      if (a.length == 1) Some(s"(${a(0)}).range_start") else scala.None },
+    "RANGE_END" -> { a =>
+      if (a.length == 1) Some(s"(${a(0)}).range_end") else scala.None },
+    // point-vs-range second argument needs the resolved type → kernel
+    "RANGE_CONTAINS" -> { a =>
+      if (a.length == 2) Some(s"graft_range_contains(${a(0)}, ${a(1)})")
+      else scala.None },
+    "RANGE_OVERLAPS" -> { a =>
+      if (a.length != 2) scala.None
+      else {
+        val (sa, ea) = (s"(${a(0)}).range_start", s"(${a(0)}).range_end")
+        val (sb, eb) = (s"(${a(1)}).range_start", s"(${a(1)}).range_end")
+        Some(s"(($sa IS NULL OR $eb IS NULL OR $sa < $eb) AND " +
+          s"($sb IS NULL OR $ea IS NULL OR $sb < $ea))")
+      }
+    },
+    "RANGE_INTERSECT" -> { a =>
+      if (a.length != 2) scala.None
+      else {
+        val (sa, ea) = (s"(${a(0)}).range_start", s"(${a(0)}).range_end")
+        val (sb, eb) = (s"(${a(1)}).range_start", s"(${a(1)}).range_end")
+        val overlaps = s"(($sa IS NULL OR $eb IS NULL OR $sa < $eb) AND " +
+          s"($sb IS NULL OR $ea IS NULL OR $sb < $ea))"
+        val lo = s"(CASE WHEN $sa IS NULL THEN $sb WHEN $sb IS NULL THEN $sa " +
+          s"WHEN $sa >= $sb THEN $sa ELSE $sb END)"
+        val hi = s"(CASE WHEN $ea IS NULL THEN $eb WHEN $eb IS NULL THEN $ea " +
+          s"WHEN $ea <= $eb THEN $ea ELSE $eb END)"
+        Some(s"(CASE WHEN $overlaps THEN named_struct('range_start', $lo, " +
+          s"'range_end', $hi) ELSE raise_error(" +
+          "'RANGE_INTERSECT: ranges do not overlap') END)")
+      }
+    },
+    // step parsed to micros here; element-type dispatch (DATE vs
+    // TIMESTAMP range) happens in the kernel on the resolved type
+    "GENERATE_RANGE_ARRAY" -> { a =>
+      val iv = raw"(?is)^\s*INTERVAL\s+(\d+)\s+(SECOND|MINUTE|HOUR|DAY|WEEK)\s*$$".r
+      if (a.length < 2 || a.length > 3) scala.None
+      else a(1) match {
+        case iv(n, unit) =>
+          val mult = unit.toUpperCase match {
+            case "SECOND" => 1000000L
+            case "MINUTE" => 60000000L
+            case "HOUR" => 3600000000L
+            case "DAY" => 86400000000L
+            case "WEEK" => 604800000000L
+          }
+          val inc = if (a.length == 3) a(2).trim.toUpperCase else "TRUE"
+          if (inc != "TRUE" && inc != "FALSE") scala.None
+          else Some(s"graft_gen_range_array(${a(0)}, ${n.toLong * mult}L, $inc)")
+        case _ => scala.None
+      }
     },
     "ARRAY_LENGTH" -> renameTo("array_size"),
     "ARRAY_TO_STRING" -> renameTo("array_join"),
@@ -2032,6 +2342,28 @@ object Dialect {
             else "unix_micros(TIMESTAMP '1950-01-01 00:00:00Z')"
           Some(s"timestamp_micros(unix_micros(${a(0)}) - " +
             s"pmod(unix_micros(${a(0)}) - $o, ${w}L))")
+        case _ => scala.None
+      }
+    },
+    // DATETIME_BUCKET: same micros arithmetic as TIMESTAMP_BUCKET (the
+    // session runs UTC, so the NTZ↔TZ casts are value-identity) with
+    // the result cast back to Spark's DATETIME spelling (timestamp_ntz)
+    "DATETIME_BUCKET" -> { a =>
+      val iv = raw"(?is)^\s*INTERVAL\s+(\d+)\s+(SECOND|MINUTE|HOUR|DAY)\s*$$".r
+      if (a.length < 2 || a.length > 3) scala.None
+      else a(1) match {
+        case iv(n, unit) =>
+          val mult = unit.toUpperCase match {
+            case "SECOND" => 1000000L
+            case "MINUTE" => 60000000L
+            case "HOUR" => 3600000000L
+            case "DAY" => 86400000000L
+          }
+          val w = n.toLong * mult
+          val x = s"unix_micros(CAST(${a(0)} AS TIMESTAMP))"
+          val o = if (a.length == 3) s"unix_micros(CAST(${a(2)} AS TIMESTAMP))"
+            else "unix_micros(TIMESTAMP '1950-01-01 00:00:00Z')"
+          Some(s"cast(timestamp_micros($x - pmod($x - $o, ${w}L)) as timestamp_ntz)")
         case _ => scala.None
       }
     },
@@ -2324,8 +2656,8 @@ object Dialect {
       val order = Seq("year", "month", "day", "hour", "minute", "second")
       var pos = 0
       var named = false
-      var ok = a.length <= 6
-      a.foreach {
+      var ok = a.length <= 6 // 7-slot = already Spark's positional form
+      if (ok) a.foreach {
         case nmRe(k, v) =>
           named = true
           slots(order.indexOf(k.toLowerCase)) = v

@@ -114,12 +114,22 @@ class ScriptRunner(spark: SparkSession) {
       Project(Seq(Alias(parsed, "v")()), OneRowRelation()),
       new org.apache.spark.sql.catalyst.QueryPlanningTracker)
     analyzed match {
-      case Project(Seq(a), _: OneRowRelation)
-          if a.deterministic && !a.exists(e =>
-            e.isInstanceOf[Unevaluable] || e.isInstanceOf[SubqueryExpression]) =>
-        val v = a.eval(org.apache.spark.sql.catalyst.InternalRow.empty)
-        Some(org.apache.spark.sql.catalyst.CatalystTypeConverters
-          .createToScalaConverter(a.dataType)(v))
+      case Project(Seq(a0), _: OneRowRelation) =>
+        // interpreted eval can't run RuntimeReplaceable nodes (the
+        // graft_int64/range/justify kernels) — substitute their
+        // replacements first, as the ReplaceExpressions rule would
+        import org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable
+        val a = a0.transformUp {
+          case r: RuntimeReplaceable => r.replacement
+        }.asInstanceOf[org.apache.spark.sql.catalyst.expressions.NamedExpression]
+        if (!a.deterministic || a.exists(e =>
+            e.isInstanceOf[Unevaluable] || e.isInstanceOf[SubqueryExpression]))
+          scala.None
+        else {
+          val v = a.eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+          Some(org.apache.spark.sql.catalyst.CatalystTypeConverters
+            .createToScalaConverter(a.dataType)(v))
+        }
       case _ => scala.None // aggregates/generators: real plan shapes
     }
   } catch { case scala.util.control.NonFatal(_) => scala.None }

@@ -386,6 +386,9 @@ object BitSketchExpressions {
       "graft_deflate_len", exprs => DeflateLength(exprs.head), "scala_udf")
     FarmHashExpressions.register(spark)
     TextExpressions.register(spark)
+    NumCasts.register(spark)
+    RangeKernels.register(spark)
+    IntervalExpressions.register(spark)
     JsonMutators.register(spark)
     NetKernels.register(spark)
     TopCount.register(spark)

@@ -155,6 +155,10 @@ object TextExpressions {
       "graft_initcap", exprs => BqInitcap(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_bytes_to_string", exprs => BqBytesToString(exprs(0)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_to_base32", exprs => BqToBase32(exprs(0)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_from_base32", exprs => BqFromBase32(exprs(0)), "scala_udf")
   }
 }
 
@@ -174,5 +178,97 @@ case class BqBytesToString(child: Expression)
       "org.apache.spark.unsafe.types.UTF8String.fromString(" +
         s"new java.lang.String($v, java.nio.charset.StandardCharsets.UTF_8))")
   override protected def withNewChildInternal(newChild: Expression): BqBytesToString =
+    copy(child = newChild)
+}
+
+/** RFC 4648 base32 (the encoding BigQuery's TO_BASE32/FROM_BASE32
+  * implement: upper-case alphabet A–Z2–7, '=' padding). Spark has no
+  * base32 builtin (reference surface: BigQuery string-function packs).
+  */
+object Base32 {
+  private final val ALPHABET = "ABCDEFGHIJKLMNOPQRSTUVWXYZ234567"
+  private final val DECODE: Array[Int] = {
+    val t = Array.fill(128)(-1)
+    ALPHABET.zipWithIndex.foreach { case (c, i) =>
+      t(c.toInt) = i
+      t(c.toLower.toInt) = i
+    }
+    t
+  }
+
+  def encode(bytes: Array[Byte]): UTF8String = {
+    val out = new java.lang.StringBuilder((bytes.length + 4) / 5 * 8)
+    var i = 0
+    var buf = 0L
+    var bits = 0
+    while (i < bytes.length) {
+      buf = (buf << 8) | (bytes(i) & 0xffL)
+      bits += 8
+      while (bits >= 5) {
+        out.append(ALPHABET.charAt(((buf >> (bits - 5)) & 0x1f).toInt))
+        bits -= 5
+      }
+      i += 1
+    }
+    if (bits > 0) out.append(ALPHABET.charAt(((buf << (5 - bits)) & 0x1f).toInt))
+    while (out.length % 8 != 0) out.append('=')
+    UTF8String.fromString(out.toString)
+  }
+
+  def decode(s: UTF8String): Array[Byte] = {
+    val str = s.toString
+    val body = str.indexOf('=') match {
+      case -1 => str
+      case p =>
+        // padding must be trailing-only and pad to a multiple of 8
+        if (!str.substring(p).forall(_ == '=') || str.length % 8 != 0)
+          throw new IllegalArgumentException(
+            s"FROM_BASE32: invalid padding in '$str'")
+        str.substring(0, p)
+    }
+    val out = new java.io.ByteArrayOutputStream(body.length * 5 / 8 + 1)
+    var buf = 0L
+    var bits = 0
+    var i = 0
+    while (i < body.length) {
+      val c = body.charAt(i)
+      val v = if (c < 128) DECODE(c.toInt) else -1
+      if (v < 0) throw new IllegalArgumentException(
+        s"FROM_BASE32: invalid base32 character '$c'")
+      buf = (buf << 5) | v
+      bits += 5
+      if (bits >= 8) {
+        out.write(((buf >> (bits - 8)) & 0xff).toInt)
+        bits -= 8
+      }
+      i += 1
+    }
+    out.toByteArray
+  }
+}
+
+/** `graft_to_base32(bytes)` → RFC 4648 base32 text. */
+case class BqToBase32(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(v: Any): Any =
+    Base32.encode(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.functions.Base32.encode($v)")
+  override protected def withNewChildInternal(newChild: Expression): BqToBase32 =
+    copy(child = newChild)
+}
+
+/** `graft_from_base32(string)` → bytes; loud on an invalid character or
+  * padding (BigQuery errors too — never a silent NULL).
+  */
+case class BqFromBase32(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override protected def nullSafeEval(v: Any): Any =
+    Base32.decode(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.functions.Base32.decode($v)")
+  override protected def withNewChildInternal(newChild: Expression): BqFromBase32 =
     copy(child = newChild)
 }

@@ -999,6 +999,53 @@ object EngineQueries {
     },
 
     // --- vocabulary pack 8 (cont.): JSON construction + conversion ------
+    "e70_interval_vocab" -> { (s, d) =>
+      // BigQuery full-range INTERVAL: mixed-range literals (parts are
+      // independent — hour 49 is legal) lower to make_interval, whose
+      // CalendarInterval holds months/days/micros separately like
+      // BigQuery's INTERVAL; JUSTIFY_DAYS/HOURS/INTERVAL normalize with
+      // the documented 30-day-month / 24-hour-day rules; CAST AS STRING
+      // renders BigQuery's canonical 'Y-M D H:M:S'. DuckDB re-derives
+      // each rendering with integer math + printf.
+      Tables.views(s, d, "nation")
+      new ScriptRunner(s).run(
+        """SELECT CAST(n_nationkey AS INT64) AS id,
+          |  CAST(JUSTIFY_DAYS(INTERVAL (n_nationkey * 7) DAY) AS STRING) AS jd,
+          |  CAST(JUSTIFY_HOURS(INTERVAL (n_nationkey * 11) HOUR) AS STRING) AS jh,
+          |  CAST(JUSTIFY_INTERVAL(INTERVAL '5 49:20:30' DAY TO SECOND) AS STRING) AS ji,
+          |  CAST(INTERVAL '1-2 3 4:5:6' YEAR TO SECOND AS STRING) AS mix
+          |FROM nation ORDER BY id""".stripMargin).get
+    },
+
+    "e69_range_vocab" -> { (s, d) =>
+      // BigQuery RANGE<T> family over the engine's struct<range_start,
+      // range_end> representation (half-open, NULL bound = UNBOUNDED):
+      // typed literal, constructor, point containment, overlap,
+      // unbounded-side intersection, and GENERATE_RANGE_ARRAY bucket
+      // counts. Pure per-row scalar work — DuckDB re-derives every
+      // column with plain date comparisons and integer math.
+      Tables.views(s, d, "orders")
+      new ScriptRunner(s).run(
+        """SELECT CAST(o_orderkey AS INT64) AS id,
+          |  RANGE_CONTAINS(RANGE<DATE> '[1995-01-01, 1996-01-01)',
+          |                 CAST(o_orderdate AS DATE)) AS in95,
+          |  RANGE_CONTAINS(RANGE<DATE> '[1995-01-01, UNBOUNDED)',
+          |                 CAST(o_orderdate AS DATE)) AS ge95,
+          |  RANGE_OVERLAPS(RANGE(CAST(o_orderdate AS DATE),
+          |                       DATE_ADD(CAST(o_orderdate AS DATE), INTERVAL 30 DAY)),
+          |                 RANGE<DATE> '[1995-06-01, 1995-07-01)') AS near_jun,
+          |  CAST(RANGE_END(RANGE_INTERSECT(RANGE<DATE> '[UNBOUNDED, 1996-07-01)',
+          |       RANGE(CAST(o_orderdate AS DATE),
+          |             DATE_ADD(CAST(o_orderdate AS DATE), INTERVAL 90 DAY)))) AS STRING) AS clip_hi,
+          |  ARRAY_LENGTH(GENERATE_RANGE_ARRAY(
+          |       RANGE(DATE '1995-01-01',
+          |             DATE_ADD(DATE '1995-01-01', INTERVAL MOD(o_orderkey, 50) + 10 DAY)),
+          |       INTERVAL 7 DAY)) AS nbuckets
+          |FROM orders
+          |WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1994-01-01' AND DATE '1996-06-30'
+          |ORDER BY id""".stripMargin).get
+    },
+
     "e68_datetime_net_vocab" -> { (s, d) =>
       // round-9 probe closures, oracled: TIME/DATETIME constructors,
       // Sunday-start TIMESTAMP_TRUNC(WEEK), timezone-arg truncation,
@@ -2259,6 +2306,30 @@ object EngineQueries {
     // type names and conversions restate as plain expressions
     // independent re-derivations: DuckDB's own make_timestamp/printf/
     // dayofweek arithmetic (0=Sunday) and integer IP math
+    // canonical renderings re-derived with integer division/modulo
+    "e70_interval_vocab" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS id,
+        |  printf('0-%d %d 0:0:0', (n_nationkey * 7) // 30, (n_nationkey * 7) % 30) AS jd,
+        |  printf('0-0 %d %d:0:0', (n_nationkey * 11) // 24, (n_nationkey * 11) % 24) AS jh,
+        |  '0-0 7 1:20:30' AS ji,
+        |  '1-2 3 4:5:6' AS mix
+        |FROM nation ORDER BY id""".stripMargin,
+
+    // every range predicate restated as plain date comparisons; bucket
+    // count = ceil(days / 7) with the partial bucket kept
+    "e69_range_vocab" ->
+      """SELECT CAST(o_orderkey AS BIGINT) AS id,
+        |  (CAST(o_orderdate AS DATE) >= DATE '1995-01-01'
+        |   AND CAST(o_orderdate AS DATE) < DATE '1996-01-01') AS in95,
+        |  (CAST(o_orderdate AS DATE) >= DATE '1995-01-01') AS ge95,
+        |  (CAST(o_orderdate AS DATE) < DATE '1995-07-01'
+        |   AND DATE '1995-06-01' < CAST(o_orderdate AS DATE) + 30) AS near_jun,
+        |  CAST(least(DATE '1996-07-01', CAST(o_orderdate AS DATE) + 90) AS VARCHAR) AS clip_hi,
+        |  CAST(((o_orderkey % 50 + 10) + 6) // 7 AS BIGINT) AS nbuckets
+        |FROM orders
+        |WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1994-01-01' AND DATE '1996-06-30'
+        |ORDER BY id""".stripMargin,
+
     "e68_datetime_net_vocab" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS id,
         |  printf('%02d:%02d:%02d', CAST(n_nationkey % 24 AS INT), 30, 45) AS t1,

@@ -817,6 +817,123 @@ class DialectExecSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one("""SELECT JSON_KEYS(JSON '[1,2]') IS NULL""") == true)
   }
 
+  test("LTRIM/RTRIM/TRIM 2-arg: BigQuery (value, set) order, not Spark's swapped form") {
+    assert(one("SELECT LTRIM('xxhixx', 'x')") == "hixx")
+    assert(one("SELECT RTRIM('xxhixx', 'x')") == "xxhi")
+    assert(one("SELECT TRIM('xxhixx', 'x')") == "hi")
+    // multi-char set = any of the characters
+    assert(one("SELECT TRIM('xyhixy', 'xy')") == "hi")
+    // 1-arg forms untouched
+    assert(one("SELECT TRIM('  hi  ')") == "hi")
+    assert(one("SELECT LTRIM('  hi')") == "hi")
+  }
+
+  test("CAST AS INT64: half-away-from-zero rounding; loud/NULL on bad input") {
+    assert(one("SELECT CAST(2.5 AS INT64)") == 3L)
+    assert(one("SELECT CAST(-2.5 AS INT64)") == -3L)
+    assert(one("SELECT CAST(2.4 AS INT64)") == 2L)
+    assert(one("SELECT CAST(CAST(2.5 AS FLOAT64) AS INT64)") == 3L)
+    assert(one("SELECT CAST(CAST(-0.5 AS FLOAT64) AS INT64)") == -1L)
+    // strings stay precise (no round-trip through DOUBLE)
+    assert(one("SELECT CAST('9223372036854775807' AS INT64)") == Long.MaxValue)
+    // BigQuery CAST errors on garbage; SAFE_CAST gives NULL
+    intercept[Exception] { one("SELECT CAST('abc' AS INT64)") }
+    assert(one("SELECT SAFE_CAST('abc' AS INT64) IS NULL") == true)
+    assert(one("SELECT SAFE_CAST(2.5 AS INT64)") == 3L)
+    assert(one("SELECT SAFE_CAST(CAST('nan' AS FLOAT64) AS INT64) IS NULL") == true)
+    // bool / int passthrough unchanged
+    assert(one("SELECT CAST(TRUE AS INT64)") == 1L)
+    assert(one("SELECT CAST(7 AS INT64)") == 7L)
+  }
+
+  test("COTH/CSCH/SECH compose from Spark's hyperbolics") {
+    assert(math.abs(one("SELECT COTH(1)").asInstanceOf[Double] - 1.0 / math.tanh(1)) < 1e-12)
+    assert(math.abs(one("SELECT CSCH(1)").asInstanceOf[Double] - 1.0 / math.sinh(1)) < 1e-12)
+    assert(math.abs(one("SELECT SECH(1)").asInstanceOf[Double] - 1.0 / math.cosh(1)) < 1e-12)
+  }
+
+  test("TO_BASE32 / FROM_BASE32 round-trip (RFC 4648)") {
+    assert(one("SELECT TO_BASE32(b'abcde')") == "MFRGGZDF")
+    assert(one("SELECT TO_BASE32(b'abc')") == "MFRGG===")
+    assert(one("SELECT TO_BASE32(b'')") == "")
+    assert(one("SELECT CAST(FROM_BASE32('MFRGGZDF') AS STRING)") == "abcde")
+    assert(one("SELECT CAST(FROM_BASE32('MFRGG===') AS STRING)") == "abc")
+    // round-trip arbitrary bytes
+    assert(one("SELECT FROM_BASE32(TO_BASE32(X'00FF10')) = X'00FF10'") == true)
+    intercept[Exception] { one("SELECT FROM_BASE32('!!!!')") }
+  }
+
+  test("DATETIME_BUCKET mirrors TIMESTAMP_BUCKET in NTZ space") {
+    assert(one("SELECT CAST(DATETIME_BUCKET(DATETIME '2020-01-05 12:00:00', INTERVAL 7 DAY) AS STRING)")
+      .toString.startsWith("2020-01-0"))
+    // bucket start is stable: same value for any instant inside the bucket
+    assert(one("SELECT DATETIME_BUCKET(DATETIME '2020-01-05 12:00:00', INTERVAL 1 DAY) = DATETIME '2020-01-05 00:00:00'") == true)
+    assert(one("SELECT DATETIME_BUCKET(DATETIME '2020-01-05 12:34:00', INTERVAL 15 MINUTE) = DATETIME '2020-01-05 12:30:00'") == true)
+  }
+
+  test("RANGE<T> family: literal, constructor, contains/overlaps/intersect, generate") {
+    // typed literal → struct; UNBOUNDED → NULL bound
+    assert(one("SELECT RANGE_CONTAINS(RANGE<DATE> '[2020-01-01, 2020-12-31)', DATE '2020-06-15')") == true)
+    assert(one("SELECT RANGE_CONTAINS(RANGE<DATE> '[2020-01-01, 2020-12-31)', DATE '2020-12-31')") == false)
+    assert(one("SELECT RANGE_CONTAINS(RANGE<DATE> '[2020-01-01, 2020-12-31)', DATE '2020-01-01')") == true)
+    assert(one("SELECT RANGE_CONTAINS(RANGE<DATE> '[UNBOUNDED, 2020-12-31)', DATE '1900-01-01')") == true)
+    assert(one("SELECT RANGE_CONTAINS(RANGE<DATE> '[2020-01-01, UNBOUNDED)', DATE '2999-01-01')") == true)
+    // range-in-range containment
+    assert(one("SELECT RANGE_CONTAINS(RANGE(DATE '2020-01-01', DATE '2021-01-01'), RANGE(DATE '2020-03-01', DATE '2020-04-01'))") == true)
+    assert(one("SELECT RANGE_CONTAINS(RANGE(DATE '2020-03-01', DATE '2020-04-01'), RANGE(DATE '2020-01-01', DATE '2021-01-01'))") == false)
+    // an unbounded inner side needs the outer side unbounded too
+    assert(one("SELECT RANGE_CONTAINS(RANGE(DATE '2020-01-01', DATE '2021-01-01'), RANGE<DATE> '[2020-03-01, UNBOUNDED)')") == false)
+    assert(one("SELECT RANGE_CONTAINS(RANGE<DATE> '[2020-01-01, UNBOUNDED)', RANGE<DATE> '[2020-03-01, UNBOUNDED)')") == true)
+    // overlaps: half-open, so touching ranges do NOT overlap
+    assert(one("SELECT RANGE_OVERLAPS(RANGE(DATE '2020-01-01', DATE '2020-06-01'), RANGE(DATE '2020-05-01', DATE '2020-12-31'))") == true)
+    assert(one("SELECT RANGE_OVERLAPS(RANGE(DATE '2020-01-01', DATE '2020-06-01'), RANGE(DATE '2020-06-01', DATE '2020-12-31'))") == false)
+    // start/end accessors
+    assert(one("SELECT CAST(RANGE_START(RANGE(DATE '2020-01-01', DATE '2020-12-31')) AS STRING)") == "2020-01-01")
+    assert(one("SELECT RANGE_END(RANGE<DATE> '[2020-01-01, UNBOUNDED)') IS NULL") == true)
+    // intersect clips; non-overlap is loud; constructor rejects lo >= hi
+    assert(one("SELECT CAST(RANGE_START(RANGE_INTERSECT(RANGE(DATE '2020-01-01', DATE '2020-06-01'), RANGE(DATE '2020-03-01', DATE '2020-12-31'))) AS STRING)") == "2020-03-01")
+    assert(one("SELECT CAST(RANGE_END(RANGE_INTERSECT(RANGE<DATE> '[2020-03-01, UNBOUNDED)', RANGE(DATE '2020-01-01', DATE '2020-06-01'))) AS STRING)") == "2020-06-01")
+    intercept[Exception] { one("SELECT RANGE_INTERSECT(RANGE(DATE '2020-01-01', DATE '2020-02-01'), RANGE(DATE '2020-03-01', DATE '2020-04-01'))") }
+    intercept[Exception] { one("SELECT RANGE(DATE '2020-05-01', DATE '2020-01-01')") }
+    // generate: 31 days / 7 → 4 full + 1 partial (kept by default)
+    assert(one("SELECT ARRAY_LENGTH(GENERATE_RANGE_ARRAY(RANGE(DATE '2020-01-01', DATE '2020-02-01'), INTERVAL 7 DAY))") == 5)
+    assert(one("SELECT ARRAY_LENGTH(GENERATE_RANGE_ARRAY(RANGE(DATE '2020-01-01', DATE '2020-02-01'), INTERVAL 7 DAY, FALSE))") == 4)
+    // partial last subrange is clipped to the range end
+    assert(one("SELECT CAST(RANGE_END(GENERATE_RANGE_ARRAY(RANGE(DATE '2020-01-01', DATE '2020-02-01'), INTERVAL 7 DAY)[OFFSET(4)]) AS STRING)") == "2020-02-01")
+    // timestamp ranges step in micros space
+    assert(one("SELECT ARRAY_LENGTH(GENERATE_RANGE_ARRAY(RANGE(TIMESTAMP '2020-01-01 00:00:00', TIMESTAMP '2020-01-01 03:30:00'), INTERVAL 1 HOUR))") == 4)
+  }
+
+  test("positional struct-name inference in array literals") {
+    assert(one("SELECT [STRUCT(1 AS a, 2 AS b), STRUCT(3, 4)][OFFSET(1)].a") == 3)
+    assert(one("SELECT [STRUCT(1 AS a), STRUCT(2), STRUCT(3)][OFFSET(2)].a") == 3)
+    // nested expression args with their own AS inside CAST stay intact
+    assert(one("SELECT [STRUCT(CAST(1 AS INT64) AS a), STRUCT(CAST(9 AS INT64))][OFFSET(1)].a") == 9L)
+    // fully-named arrays untouched; arity mismatch stays loud
+    assert(one("SELECT [STRUCT(1 AS a), STRUCT(2 AS a)][OFFSET(0)].a") == 1)
+    intercept[Exception] { one("SELECT [STRUCT(1 AS a, 2 AS b), STRUCT(3)]") }
+  }
+
+  test("mixed-range INTERVAL literals and JUSTIFY_* normalization") {
+    // YEAR TO SECOND crosses Spark's month/day split → make_interval
+    assert(one("SELECT CAST(INTERVAL '1-2 3 4:5:6' YEAR TO SECOND AS STRING)") == "1-2 3 4:5:6")
+    // independent parts: hour 49 is legal BigQuery (Spark rejects)
+    assert(one("SELECT CAST(INTERVAL '29 49:00:00' DAY TO SECOND AS STRING)") == "0-0 29 49:0:0")
+    assert(one("SELECT CAST(INTERVAL '2-10' YEAR TO MONTH AS STRING)") == "2-10 0 0:0:0")
+    // negative segments
+    assert(one("SELECT CAST(INTERVAL '-1-2 3 -4:5:6' YEAR TO SECOND AS STRING)") == "-1-2 3 -4:5:6")
+    // in-range day-time literal stays native (orderable ANSI type)
+    assert(one("SELECT INTERVAL '3 4' DAY TO HOUR > INTERVAL '3 3' DAY TO HOUR") == true)
+    // JUSTIFY_DAYS: 30-day months; JUSTIFY_HOURS: 24-hour days
+    assert(one("SELECT CAST(JUSTIFY_DAYS(INTERVAL 65 DAY) AS STRING)") == "0-2 5 0:0:0")
+    assert(one("SELECT CAST(JUSTIFY_HOURS(INTERVAL 50 HOUR) AS STRING)") == "0-0 2 2:0:0")
+    assert(one("SELECT CAST(JUSTIFY_INTERVAL(INTERVAL '29 49:20:30' DAY TO SECOND) AS STRING)") == "0-1 1 1:20:30")
+    // Postgres-lineage sign borrowing
+    assert(one("SELECT CAST(JUSTIFY_INTERVAL(MAKE_INTERVAL(month => 1, hour => -1)) AS STRING)") == "0-0 29 23:0:0")
+    // fractional seconds render trimmed
+    assert(one("SELECT CAST(INTERVAL '0 0:0:1.5' DAY TO SECOND AS STRING)") == "0-0 0 0:0:1.5")
+  }
+
   test("TIME typed-literal rewrite is string-literal-aware") {
     // the word TIME at the end of (or as) a literal must survive
     assert(one("SELECT 'TIME'") == "TIME")

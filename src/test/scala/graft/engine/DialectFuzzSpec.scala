@@ -45,12 +45,14 @@ class DialectFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def esc(s: String): String =
     s.flatMap { case '\'' => "\\'"; case '\\' => "\\\\"; case c => c.toString }
 
-  private def run(sql: String) =
+  private def run(sql: String) = {
+    graft.functions.BitSketchExpressions.register(spark)
     try spark.sql(Dialect.rewrite(sql)).collect()
     catch {
       case e: Throwable =>
         fail(s"rewrite output failed for:\n$sql\nrewritten:\n${Dialect.rewrite(sql)}", e)
     }
+  }
 
   test("string literals survive the rewrite byte-for-byte (60 cases)") {
     for (_ <- 1 to 10) {

@@ -38,7 +38,7 @@ class DialectSpec extends AnyFunSuite {
     val in = "SELECT CAST(1 AS INT64) AS a, -- don't\n  'keep INT64 here' AS s, CAST(2 AS INT64) AS b"
     val out = Dialect.rewrite(in, mapFqns = false)
     assert(out.contains("'keep INT64 here'"), s"literal corrupted: $out")
-    assert(out.contains("CAST(1 AS BIGINT)") && out.contains("CAST(2 AS BIGINT)"))
+    assert(out.contains("graft_int64(1)") && out.contains("graft_int64(2)"))
     // block comments too, and array literals after a commented quote
     val in2 = "SELECT /* it's */ [1, 2] AS a, 'INT64 stays' AS s"
     val out2 = Dialect.rewrite(in2, mapFqns = false)
@@ -173,7 +173,7 @@ class DialectSpec extends AnyFunSuite {
     assert(Dialect.rewrite("WHERE REGEXP_CONTAINS(s, 'a.c')") ==
       "WHERE regexp_like(s, 'a.c')")
     assert(Dialect.rewrite("SELECT SAFE_CAST(x AS INT64)") ==
-      "SELECT try_cast(x AS BIGINT)")
+      "SELECT graft_int64_safe(x)")
     assert(Dialect.rewrite("SELECT ARRAY_LENGTH(a), ARRAY_TO_STRING(a, '-')") ==
       "SELECT array_size(a), array_join(a, '-')")
     assert(Dialect.rewrite("SELECT GENERATE_ARRAY(1, 10, 2)") ==
