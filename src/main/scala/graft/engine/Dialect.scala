@@ -312,6 +312,75 @@ object Dialect {
     * case; non-struct value tables have no named columns to reference
     * and fail loud in analysis.
     */
+  /** `(SELECT AS STRUCT …)` in an EXPRESSION context — scalar subquery
+    * or ARRAY(SELECT AS STRUCT …) — yields ONE struct value in
+    * BigQuery; the select list wraps in struct(…). Table contexts
+    * (FROM/JOIN/IN/EXISTS subqueries) are value tables and keep the
+    * flatten that runs later. Context = the char before the subquery's
+    * opening paren: a FROM-ish keyword means table, anything else
+    * (operator, comma, ARRAY, a function name) means expression.
+    */
+  private val tableCtxKeywords =
+    Set("FROM", "JOIN", "EXISTS", "IN", "UNNEST", "LATERAL", "USING", "TABLE")
+
+  private def rewriteStructSubquery(sql: String): String = {
+    var cur = sql
+    var changed = true
+    while (changed) {
+      changed = false
+      val candidate = selectAsStruct.findAllMatchIn(cur).find { m =>
+        !inStringLiteral(cur, m.start) && {
+          var p = m.start - 1
+          while (p >= 0 && cur.charAt(p).isWhitespace) p -= 1
+          p >= 0 && cur.charAt(p) == '(' && {
+            var q = p - 1
+            while (q >= 0 && cur.charAt(q).isWhitespace) q -= 1
+            var w = q
+            while (w >= 0 && (cur.charAt(w).isLetterOrDigit || cur.charAt(w) == '_')) w -= 1
+            val tok = if (q < 0) "" else cur.substring(w + 1, q + 1).toUpperCase
+            !tableCtxKeywords.contains(tok)
+          }
+        }
+      }
+      candidate.foreach { m =>
+        var p = m.start - 1
+        while (cur.charAt(p).isWhitespace) p -= 1
+        val close = matchParen(cur, p)
+        if (close > 0) {
+          // select list ends at the first top-level clause keyword or
+          // the subquery's closing paren
+          val kw = raw"(?i)^(FROM|WHERE|GROUP|ORDER|LIMIT|HAVING|UNION|QUALIFY|WINDOW)\b".r
+          var i = m.end
+          var depth = 0
+          var listEnd = close
+          while (i < close) {
+            val ch = cur.charAt(i)
+            if (ch == '\'' || ch == '"' || ch == '`') i = skipQuoted(cur, i)
+            else if (ch == '(') { depth += 1; i += 1 }
+            else if (ch == ')') { depth -= 1; i += 1 }
+            else if (depth == 0 && ch.isLetter && (i == m.end || {
+              val pc = cur.charAt(i - 1); !(pc.isLetterOrDigit || pc == '_') })) {
+              if (kw.findFirstIn(cur.substring(i, math.min(close, i + 10))).isDefined) {
+                listEnd = i; i = close
+              } else {
+                var j = i
+                while (j < close && (cur.charAt(j).isLetterOrDigit || cur.charAt(j) == '_')) j += 1
+                i = math.max(j, i + 1)
+              }
+            } else i += 1
+          }
+          val list = cur.substring(m.end, listEnd).trim
+          if (list.nonEmpty) {
+            cur = cur.substring(0, m.start) + s"SELECT struct($list) " +
+              cur.substring(listEnd)
+            changed = true
+          }
+        }
+      }
+    }
+    cur
+  }
+
   private def rewriteSelectAsValue(sql: String): String =
     selectAsValueRe.findFirstMatchIn(sql) match {
       case Some(m) if !literalSpans(sql).exists(s =>
@@ -919,6 +988,8 @@ object Dialect {
         .replaceAll(raw"(?i)\bNUMERIC\b", "DECIMAL(38,9)")
         .replaceAll(raw"(?i)\bINT64\b", "BIGINT")
         .replaceAll(raw"(?i)\bFLOAT64\b", "DOUBLE")
+        // BOOL the type keyword — not BOOL(json), the strict converter
+        .replaceAll(raw"(?i)\bBOOL\b(?!\s*\()", "BOOLEAN")
         // TIME/BYTES cast targets are mapped inside the CAST/SAFE_CAST
         // call handlers (mapCastTailType) — a full-text `AS TIME` rule
         // would also rename a select-list alias `x AS time`
@@ -937,6 +1008,9 @@ object Dialect {
       java.util.regex.Matcher.quoteReplacement(
         if (m.group(2) != null) s"(NOT array_contains(${m.group(3)}, ${m.group(1)}))"
         else s"array_contains(${m.group(3)}, ${m.group(1)})"))
+    // expression-context SELECT AS STRUCT first: the comprehension and
+    // flatten passes below must see the already-struct-wrapped list
+    out = rewriteStructSubquery(out)
     out = rewriteArrayComprehension(out)
     out = rewriteFromUnnest(out)
     out = dateTz.replaceAllIn(out, m =>
@@ -2431,8 +2505,13 @@ object Dialect {
       if (a.length == 2)
         Some(s"to_json(variant_get(parse_json(${a(0)}), ${a(1)}))")
       else scala.None),
-    "JSON_EXTRACT_SCALAR" -> renameTo("get_json_object"),
-    "JSON_VALUE" -> renameTo("get_json_object"),
+    // 1-arg form defaults the path to '$' (BigQuery)
+    "JSON_EXTRACT_SCALAR" -> { a =>
+      if (a.length == 1) Some(s"get_json_object(${a(0)}, '$$')")
+      else Some(s"get_json_object(${a.mkString(", ")})") },
+    "JSON_VALUE" -> { a =>
+      if (a.length == 1) Some(s"get_json_object(${a(0)}, '$$')")
+      else Some(s"get_json_object(${a.mkString(", ")})") },
     // array extraction: elements stay JSON-encoded (…_ARRAY) or decode
     // to strings (…_STRING_ARRAY), per BigQuery
     "JSON_EXTRACT_ARRAY" -> jsonArray("to_json(v)"),
@@ -2575,8 +2654,22 @@ object Dialect {
     // throws, as in BigQuery) and canonicalizes through Spark's
     // variant round-trip; the result feeds JSON_VALUE/JSON_QUERY and
     // friends unchanged.
+    // wide_number_mode => 'round' is Spark parse_json's own behavior
+    // (doubles round); 'exact' (BigQuery's default errors on precision
+    // loss) has no Spark counterpart → loud, never silently rounded
     "PARSE_JSON" -> (a =>
-      if (a.length == 1) Some(s"to_json(parse_json(${a(0)}))") else scala.None),
+      if (a.length == 1) Some(s"to_json(parse_json(${a(0)}))")
+      else if (a.length == 2 && a(1).trim.matches(
+        raw"(?is)wide_number_mode\s*=>\s*'round'"))
+        Some(s"to_json(parse_json(${a(0)}))")
+      else scala.None),
+    // SAFE.PARSE_JSON → NULL on invalid text
+    "SAFE_PARSE_JSON" -> (a =>
+      if (a.length == 1) Some(s"to_json(try_parse_json(${a(0)}))")
+      else if (a.length == 2 && a(1).trim.matches(
+        raw"(?is)wide_number_mode\s*=>\s*'round'"))
+        Some(s"to_json(try_parse_json(${a(0)}))")
+      else scala.None),
     // ---- JSON mutators (graft.functions.JsonMutators kernel). Output
     // rides the same PARSE_JSON round-trip as every JSON producer, so
     // canonicalization (sorted keys, minified) stays uniform. Unknown

@@ -904,6 +904,28 @@ class DialectExecSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one("SELECT ARRAY_LENGTH(GENERATE_RANGE_ARRAY(RANGE(TIMESTAMP '2020-01-01 00:00:00', TIMESTAMP '2020-01-01 03:30:00'), INTERVAL 1 HOUR))") == 4)
   }
 
+  test("wave-12 fixes: struct subqueries, BOOL type, JSON defaults, SAFE.PARSE_JSON") {
+    // (SELECT AS STRUCT …) as a scalar subquery is ONE struct value
+    assert(one("SELECT (SELECT AS STRUCT 1 AS a, 2 AS b).a") == 1)
+    assert(one("SELECT (SELECT AS STRUCT 1 AS a, 2 AS b).b") == 2)
+    // ARRAY(SELECT AS STRUCT …) comprehension keeps struct elements
+    assert(one("SELECT ARRAY(SELECT AS STRUCT v AS x FROM UNNEST([10, 20]) AS v)[OFFSET(1)].x") == 20)
+    // FROM (SELECT AS STRUCT …) stays a value table (flattens)
+    assert(one("SELECT a FROM (SELECT AS STRUCT 7 AS a, 8 AS b)") == 7)
+    // BOOL is a type keyword; BOOL(json) is the strict converter
+    assert(one("SELECT CAST('true' AS BOOL)") == true)
+    assert(one("SELECT BOOL(JSON 'true')") == true)
+    assert(one("SELECT CAST(FALSE AS STRING)") == "false")
+    // JSON_VALUE/JSON_EXTRACT_SCALAR default the path to '$'
+    assert(one("SELECT JSON_VALUE('\"x\"')") == "x")
+    assert(one("SELECT JSON_EXTRACT_SCALAR('5')") == "5")
+    // SAFE.PARSE_JSON: NULL on invalid; PARSE_JSON wide_number_mode
+    assert(one("SELECT SAFE.PARSE_JSON('{bad') IS NULL") == true)
+    assert(one("SELECT SAFE.PARSE_JSON('{\"b\":1,\"a\":2}')") == """{"a":2,"b":1}""")
+    assert(one("SELECT PARSE_JSON('2.5', wide_number_mode => 'round')") == "2.5")
+    intercept[Exception] { one("SELECT PARSE_JSON('2.5', wide_number_mode => 'exact')") }
+  }
+
   test("positional struct-name inference in array literals") {
     assert(one("SELECT [STRUCT(1 AS a, 2 AS b), STRUCT(3, 4)][OFFSET(1)].a") == 3)
     assert(one("SELECT [STRUCT(1 AS a), STRUCT(2), STRUCT(3)][OFFSET(2)].a") == 3)

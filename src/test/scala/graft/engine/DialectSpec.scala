@@ -115,9 +115,14 @@ class DialectSpec extends AnyFunSuite {
       "to_timestamp(replace('2021-09-01T01:02:03', 'T', ' '))")
   }
 
-  test("SELECT AS STRUCT flattens") {
+  test("SELECT AS STRUCT: expression context wraps, table context flattens") {
+    // in an expression position the subquery yields ONE struct value
+    // (ScriptRunner's SET unwraps single-struct rows positionally)
     assert(Dialect.rewrite("SET (p) = (SELECT AS STRUCT array_agg(x))")
-      .contains("SELECT  array_agg(x)"))
+      .contains("SELECT struct(array_agg(x))"))
+    // as a table (value table) the fields flatten to columns
+    assert(Dialect.rewrite("SELECT a FROM (SELECT AS STRUCT 1 AS a)")
+      .contains("FROM (SELECT  1 AS a)"))
   }
 
   test("3-part source FQNs map to warehouse catalog names") {
