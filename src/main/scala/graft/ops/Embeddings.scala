@@ -133,6 +133,36 @@ object Embeddings {
         col("vec_id").as("neighbor_id"), col("cos"))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540 — cluster, then drop intra-cluster near-
+    * duplicates by embedding cosine): every vector is assigned to its
+    * nearest centroid (broadcast argmin — the corpus streams once),
+    * then within each cell a vector is DROPPED when its cosine
+    * similarity to any LOWER-id vector of the same cell reaches the
+    * threshold (greedy keep-first representative — deterministic, and
+    * a rule an oracle can restate exactly). Pairwise work is bounded
+    * by Σ|cell|², like every candidate generator in this engine —
+    * never corpus². `corpus`/`centroids` are [[quantized]] outputs
+    * ((vec_id, q, nrm) / (cent_id, cq, cnrm)). Returns (vec_id,
+    * cent_id, kept, near_id) with near_id = the lowest suppressing id
+    * (NULL when kept).
+    */
+  def semanticDedup(corpus: DataFrame, centroids: DataFrame,
+      threshold: Double): DataFrame = {
+    val assigned = assignToCentroids(corpus, centroids)
+      .select(col("vec_id"), col("cent_id"), col("q"), col("nrm"))
+    val earlier = assigned.select(col("cent_id"), col("vec_id").as("b_id"),
+      col("q").as("qq"), col("nrm").as("qnrm"))
+    val suppressed = assigned.join(earlier, Seq("cent_id"))
+      .where(col("b_id") < col("vec_id"))
+      .withColumn("cos", expr(cosExpr))
+      .where(col("cos") >= threshold)
+      .groupBy(col("vec_id")).agg(min(col("b_id")).as("near_id"))
+    assigned.join(suppressed, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cent_id"),
+        col("near_id").isNull.as("kept"), col("near_id"))
+  }
+
   /** Lloyd refinement of IVF centroids: broadcast-assign, re-average
     * per component with floor(mean + 0.5) rounding (engine-identical),
     * `iters` times. Returns refined (cent_id, cq).

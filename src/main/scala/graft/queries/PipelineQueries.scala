@@ -259,6 +259,18 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // --- SemDeDup: cluster-bucketed embedding-cosine dedup --------------
+    "d145_semantic_dedup" -> { (s, d) =>
+      // planted exact copies (vec_id + 1M) land in their original's
+      // cell with cosine 1.0 and must be dropped with near_id = the
+      // original; organic drops depend only on the 0.995 threshold
+      val e = quantizedEmbeddings(s, d, plant = true)
+      val cents = e.where(col("vec_id") < 8)
+        .select(col("vec_id").as("cent_id"), col("q").as("cq"), col("nrm").as("cnrm"))
+      graft.ops.Embeddings.semanticDedup(e, cents, 0.995)
+        .orderBy(col("vec_id"))
+    },
+
     // --- embedding near-dup via sign-random-projection LSH -------------
     "d11_dedup_embedding_lsh" -> { (s, d) =>
       graft.ops.Embeddings.srpPairs(quantizedEmbeddings(s, d, plant = true))
@@ -7308,6 +7320,45 @@ object PipelineQueries {
 
       // IVF is pure exact-int math end-to-end: centroid assignment,
       // 2-probe search, cosine top-3 — replicated verbatim.
+      // the full SemDeDup rule restated: quantize, argmin-assign to the
+      // 8 centroid cells, pair lower-id vectors within a cell, suppress
+      // at rounded cosine >= 0.995, keep-first representative
+      "d145_semantic_dedup" ->
+        """WITH base AS (
+          |  SELECT vec_id, embedding FROM embeddings
+          |  UNION ALL
+          |  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 20 = 0
+          |), e AS (
+          |  SELECT vec_id,
+          |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+          |  FROM base
+          |), n AS (
+          |  SELECT vec_id, q,
+          |    CAST(list_sum(list_transform(range(1, 65), i -> q[i] * q[i])) AS BIGINT) AS nrm
+          |  FROM e
+          |), cents AS (
+          |  SELECT vec_id AS cent_id, q AS cq FROM n WHERE vec_id < 8
+          |), assigned AS (
+          |  SELECT vec_id, cent_id, q, nrm FROM (
+          |    SELECT v.vec_id, c.cent_id, v.q, v.nrm,
+          |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+          |        list_sum(list_transform(range(1, 65), i -> (v.q[i] - c.cq[i]) * (v.q[i] - c.cq[i]))),
+          |        c.cent_id) AS rn
+          |    FROM n v CROSS JOIN cents c
+          |  ) WHERE rn = 1
+          |), sup AS (
+          |  SELECT a.vec_id, MIN(b.vec_id) AS near_id
+          |  FROM assigned a JOIN assigned b
+          |    ON a.cent_id = b.cent_id AND b.vec_id < a.vec_id
+          |  WHERE round(CAST(list_sum(list_transform(range(1, 65), i -> a.q[i] * b.q[i])) AS DOUBLE)
+          |        / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))), 6) >= 0.995
+          |  GROUP BY a.vec_id
+          |)
+          |SELECT a.vec_id, CAST(a.cent_id AS BIGINT) AS cent_id,
+          |  (s.near_id IS NULL) AS kept, s.near_id
+          |FROM assigned a LEFT JOIN sup s ON a.vec_id = s.vec_id
+          |ORDER BY a.vec_id""".stripMargin,
+
       "d12_ann_ivf" ->
         """WITH e AS (
           |  SELECT vec_id,

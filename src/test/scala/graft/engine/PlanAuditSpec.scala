@@ -73,6 +73,17 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"queries should broadcast in:\n$p")
   }
 
+  test("d145 semantic dedup: centroids broadcast; pair work bounded per cell") {
+    val df = PipelineQueries.queries("d145_semantic_dedup")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // the argmin assignment broadcasts the centroid table (corpus
+    // streams once); the intra-cell pair join shuffles on cent_id only
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"centroids should broadcast in:\n$p")
+    assert(p.contains("cent_id"), s"pair join should key on cent_id in:\n$p")
+  }
+
   test("d01 dedup: only agg + sort shuffles on the content hash") {
     val df = PipelineQueries.queries("d01_dedup_exact")(spark, sfDir)
     df.collect()

@@ -139,6 +139,27 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(top(1).getLong(2) == 3L) // orthogonal beats opposite
   }
 
+  test("semanticDedup drops intra-cell near-duplicates, keep-first") {
+    import org.apache.spark.sql.{Row, types => T}
+    val vecs = spark.createDataFrame(
+      Seq(
+        Row(1L, Seq(1.0f, 0.0f)),   // cell A representative
+        Row(2L, Seq(0.999f, 0.01f)), // near-dup of 1 → dropped, near_id 1
+        Row(3L, Seq(0.0f, 1.0f)),   // cell B representative
+        Row(4L, Seq(0.6f, 0.8f))    // cell B, far from 3 → kept
+      ).asJava,
+      T.StructType(Seq(T.StructField("vec_id", T.LongType),
+        T.StructField("embedding", T.ArrayType(T.FloatType)))))
+    val q = Embeddings.quantized(vecs)
+    val cents = q.where(col("vec_id") === 1 || col("vec_id") === 3)
+      .select(col("vec_id").as("cent_id"), col("q").as("cq"), col("nrm").as("cnrm"))
+    val out = Embeddings.semanticDedup(q, cents, 0.99)
+      .orderBy(col("vec_id")).collect()
+    assert(out.map(r => r.getLong(0) -> r.getBoolean(2)).toSeq ==
+      Seq(1L -> true, 2L -> false, 3L -> true, 4L -> true))
+    assert(out(1).getLong(3) == 1L) // suppressed by the representative
+  }
+
   test("spanPairs surfaces docs sharing a long exact token span") {
     val span = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
     val df = docs(
