@@ -746,6 +746,37 @@ object Corpus {
       .where(col("n_shared") >= minShared)
   }
 
+  /** PII redaction TRANSFORM (the rewrite counterpart of the detection
+    * ops — Luhn/k-anonymity report, this one scrubs): emails →
+    * [EMAIL], IPv4 literals → [IP], +international phone numbers →
+    * [PHONE], remaining 13–16-digit runs (card/account shaped) →
+    * [NUM]. Replacement ORDER is part of the contract — emails contain
+    * dots and digits, IPs would otherwise be eaten by number rules.
+    * Patterns stay in the Java∩RE2 regex subset so an oracle can run
+    * them verbatim. Per-category counts are taken on the ORIGINAL
+    * text. Pure per-row codegen'd regex work — scales with the scan,
+    * no shuffle.
+    */
+  def redactPii(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    val phone = "\\+\\d[\\d-]{7,14}\\d"
+    val num = "\\b\\d{13,16}\\b"
+    df.withColumn("n_email", regexp_count(col(textCol), lit(email)))
+      .withColumn("n_ip", regexp_count(col(textCol), lit(ip)))
+      .withColumn("n_phone", regexp_count(col(textCol), lit(phone)))
+      .withColumn("n_num", regexp_count(col(textCol), lit(num)))
+      .withColumn("redacted",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(col(textCol), email, "[EMAIL]"),
+              ip, "[IP]"),
+            phone, "[PHONE]"),
+          num, "[NUM]"))
+  }
+
   /** Unicode-script profile: per-doc code-point counts for the major
     * scripts (Latin, Cyrillic, Greek, Han, Arabic) plus a dominant-
     * script label — the script-detection stage multilingual corpus

@@ -259,6 +259,22 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // --- PII redaction transform ----------------------------------------
+    "d146_pii_redaction" -> { (s, d) =>
+      // deterministic planted PII (both engines build the same input):
+      // an email, an IPv4, a +phone, and a 16-digit card-shaped run
+      val docs = t(s, d, "documents").where(col("doc_id") < 300)
+        .withColumn("text", expr(
+          """concat(text, ' contact u', CAST(doc_id AS STRING),
+            |'@ex.com ip 10.0.', CAST(doc_id % 256 AS STRING),
+            |'.77 tel +1-555-000', CAST(doc_id AS STRING),
+            |' acct 4111111111111111')""".stripMargin.replace("\n", " ")))
+      graft.ops.Corpus.redactPii(docs)
+        .select(col("doc_id"), col("n_email"), col("n_ip"), col("n_phone"),
+          col("n_num"), col("redacted"))
+        .orderBy(col("doc_id"))
+    },
+
     // --- SemDeDup: cluster-bucketed embedding-cosine dedup --------------
     "d145_semantic_dedup" -> { (s, d) =>
       // planted exact copies (vec_id + 1M) land in their original's
@@ -7320,6 +7336,31 @@ object PipelineQueries {
 
       // IVF is pure exact-int math end-to-end: centroid assignment,
       // 2-probe search, cosine top-3 — replicated verbatim.
+      // same planted input, same patterns (Java∩RE2 subset), same
+      // replacement order; counts on the original text
+      "d146_pii_redaction" ->
+        """WITH planted AS (
+          |  SELECT doc_id,
+          |    text || ' contact u' || CAST(doc_id AS VARCHAR)
+          |      || '@ex.com ip 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+          |      || '.77 tel +1-555-000' || CAST(doc_id AS VARCHAR)
+          |      || ' acct 4111111111111111' AS text
+          |  FROM documents WHERE doc_id < 300
+          |)
+          |SELECT doc_id,
+          |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+          |  CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ip,
+          |  CAST(len(regexp_extract_all(text, '\+\d[\d-]{7,14}\d')) AS INT) AS n_phone,
+          |  CAST(len(regexp_extract_all(text, '\b\d{13,16}\b')) AS INT) AS n_num,
+          |  regexp_replace(
+          |    regexp_replace(
+          |      regexp_replace(
+          |        regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+          |        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+          |      '\+\d[\d-]{7,14}\d', '[PHONE]', 'g'),
+          |    '\b\d{13,16}\b', '[NUM]', 'g') AS redacted
+          |FROM planted ORDER BY doc_id""".stripMargin,
+
       // the full SemDeDup rule restated: quantize, argmin-assign to the
       // 8 centroid cells, pair lower-id vectors within a cell, suppress
       // at rounded cosine >= 0.995, keep-first representative

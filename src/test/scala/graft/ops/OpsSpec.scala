@@ -139,6 +139,19 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(top(1).getLong(2) == 3L) // orthogonal beats opposite
   }
 
+  test("redactPii scrubs emails, IPs, phones, digit runs — in that order") {
+    val df = spark.createDataFrame(Seq(
+      (1L, "mail a.b@x.co ip 10.0.0.1 tel +1-555-0000 acct 4111111111111111"),
+      (2L, "clean text with short 12345 number"))).toDF("doc_id", "text")
+    val out = graft.ops.Corpus.redactPii(df).orderBy("doc_id").collect()
+    assert(out(0).getAs[String]("redacted") ==
+      "mail [EMAIL] ip [IP] tel [PHONE] acct [NUM]")
+    assert(out(0).getAs[Int]("n_email") == 1 && out(0).getAs[Int]("n_ip") == 1 &&
+      out(0).getAs[Int]("n_phone") == 1 && out(0).getAs[Int]("n_num") == 1)
+    assert(out(1).getAs[String]("redacted").contains("short 12345 number"))
+    assert(out(1).getAs[Int]("n_num") == 0)
+  }
+
   test("semanticDedup drops intra-cell near-duplicates, keep-first") {
     import org.apache.spark.sql.{Row, types => T}
     val vecs = spark.createDataFrame(
