@@ -990,6 +990,13 @@ object Dialect {
         .replaceAll(raw"(?i)\bFLOAT64\b", "DOUBLE")
         // BOOL the type keyword — not BOOL(json), the strict converter
         .replaceAll(raw"(?i)\bBOOL\b(?!\s*\()", "BOOLEAN")
+        // parameterized STRING(L) → VARCHAR(L) (Spark enforces the
+        // length on write, as BigQuery does); BYTES(L) → plain BINARY
+        // (no parameterized binary in Spark — length unenforced,
+        // documented). Only digit arguments: STRING(json_expr) is the
+        // conversion function.
+        .replaceAll(raw"(?i)\bSTRING\s*\(\s*(\d+)\s*\)", "VARCHAR($1)")
+        .replaceAll(raw"(?i)\bBYTES\s*\(\s*\d+\s*\)", "BINARY")
         // TIME/BYTES cast targets are mapped inside the CAST/SAFE_CAST
         // call handlers (mapCastTailType) — a full-text `AS TIME` rule
         // would also rename a select-list alias `x AS time`
@@ -1534,9 +1541,18 @@ object Dialect {
     Some(if (casefold) s"lower($n)" else n)
   }
 
+  /** Literal content of a quoted SQL string argument, normalized to
+    * single-quote form (BigQuery strings may be double-quoted; the
+    * handlers re-emit content inside single quotes, so a double-quoted
+    * source has its inner apostrophes escaped and its escaped double
+    * quotes unescaped).
+    */
   private def strLit(a: String): Option[String] =
     if (a.length >= 2 && a.head == '\'' && a.last == '\'')
       Some(a.substring(1, a.length - 1))
+    else if (a.length >= 2 && a.head == '"' && a.last == '"')
+      Some(a.substring(1, a.length - 1)
+        .replace("\\\"", "\"").replace("'", "\\'"))
     else scala.None
 
   private def isBareUnit(a: String, allowed: Set[String]): Boolean =
@@ -2004,6 +2020,17 @@ object Dialect {
       s"as array<variant>), v -> $elem)")
   }
 
+  /** LAX boolean coercion over a canonical-JSON text `j`: JSON
+    * true/false and quoted 'true'/'false' (case-insensitive) convert;
+    * everything else is NULL.
+    */
+  private def laxBoolText(j: String): String =
+    s"CASE WHEN $j IN ('true', 'false') THEN $j = 'true'" +
+      s""" WHEN left($j, 1) = '"' THEN""" +
+      s" CASE lower(get_json_object($j, '$$'))" +
+      s" WHEN 'true' THEN true WHEN 'false' THEN false END" +
+      s" ELSE cast(NULL AS boolean) END"
+
   /** BigQuery null-propagating variadic (LEAST/GREATEST): NULL if any
     * argument is NULL, else the Spark function.
     */
@@ -2204,8 +2231,14 @@ object Dialect {
           // no java spelling — numeric specs coerce, %t stringifies.
           val specRe = raw"%(?:[-+ #0,']*\d*(?:\.\d+)?([a-zA-Z])|%)".r
           val convs = specRe.findAllMatchIn(f).flatMap(m => Option(m.group(1))).toList
+          // BigQuery's grouped-digits flag is ' (C printf); java's is ,
+          // — the quote may arrive escaped (\') from literal
+          // normalization of a double-quoted format string
+          val fg = raw"%([-+ #0]*)(?:\\'|''|')".r
+            .replaceAllIn(f, mm => java.util.regex.Matcher.quoteReplacement(
+              s"%${mm.group(1)},"))
           val fmt = "'" +
-            f.replace("%t", "%s").replace("%i", "%d").replace("%u", "%d") + "'"
+            fg.replace("%t", "%s").replace("%i", "%d").replace("%u", "%d") + "'"
           val args = if (convs.length == a.tail.length)
             a.tail.zip(convs).map {
               case (arg, "t") => s"cast($arg as string)"
@@ -2643,12 +2676,22 @@ object Dialect {
       else scala.None),
     "LAX_FLOAT64" -> (a => if (a.length == 1) Some(
       s"try_cast(${laxNumText(a(0))} as double)") else scala.None),
-    "LAX_BOOL" -> (a => if (a.length == 1) Some(
-      s"CASE WHEN ${a(0)} IN ('true', 'false') THEN ${a(0)} = 'true'" +
-        s""" WHEN left(${a(0)}, 1) = '"' THEN""" +
-        s" CASE lower(get_json_object(${a(0)}, '$$'))" +
-        s" WHEN 'true' THEN true WHEN 'false' THEN false END" +
-        s" ELSE cast(NULL AS boolean) END") else scala.None),
+    "LAX_BOOL" -> (a => if (a.length == 1) Some(laxBoolText(a(0)))
+      else scala.None),
+    // typed-array converters over JSON arrays: strict mirrors the
+    // scalar INT64()/FLOAT64()/BOOL() cast semantics, LAX mirrors the
+    // scalar LAX_* element rules — element-wise through the same
+    // variant machinery as JSON_EXTRACT_ARRAY
+    "INT64_ARRAY" -> jsonArray("cast(to_json(v) as bigint)"),
+    "FLOAT64_ARRAY" -> jsonArray("cast(to_json(v) as double)"),
+    "BOOL_ARRAY" -> jsonArray("cast(to_json(v) as boolean)"),
+    "STRING_ARRAY" -> jsonArray("cast(v as string)"),
+    "LAX_INT64_ARRAY" -> jsonArray(
+      s"cast(round(try_cast(${laxNumText("to_json(v)")} as double)) as bigint)"),
+    "LAX_FLOAT64_ARRAY" -> jsonArray(
+      s"try_cast(${laxNumText("to_json(v)")} as double)"),
+    "LAX_BOOL_ARRAY" -> jsonArray(laxBoolText("to_json(v)")),
+    "LAX_STRING_ARRAY" -> jsonArray("cast(v as string)"),
     // BigQuery's JSON type: this engine's JSON representation is the
     // CANONICAL JSON STRING, so PARSE_JSON validates (invalid text
     // throws, as in BigQuery) and canonicalizes through Spark's

@@ -87,10 +87,21 @@ class ScriptRunner(spark: SparkSession) {
 
   /** Render declared variables into a statement (word-boundary safe). */
   private def substituteVars(sql: String): String =
-    variables.foldLeft(sql) { case (acc, (name, value)) =>
+    variables.foldLeft(substituteSysVars(sql)) { case (acc, (name, value)) =>
       acc.replaceAll(raw"\b" + java.util.regex.Pattern.quote(name) + raw"\b",
         java.util.regex.Matcher.quoteReplacement(value))
     }
+
+  /** BigQuery system variables with a local meaning: @@project_id (the
+    * engine's warehouse "project", configurable via graft.projectId).
+    * @@error.* substitutes in EXCEPTION scope elsewhere; unknown @@vars
+    * stay put → Spark's loud parse error.
+    */
+  private def substituteSysVars(sql: String): String =
+    if (!sql.contains("@@")) sql
+    else raw"(?i)@@project_id\b".r.replaceAllIn(sql,
+      java.util.regex.Matcher.quoteReplacement(
+        "'" + spark.conf.get("graft.projectId", "graft-local") + "'"))
 
   /** Driver-local scalar eval: when the rewritten, variable-substituted
     * expression references no columns/tables, no subqueries, and nothing
@@ -2029,7 +2040,7 @@ class ScriptRunner(spark: SparkSession) {
   // expr / CLUSTER BY / OPTIONS) — the plain column-list form without a
   // tail also routes here (same emission, no tail to translate)
   private val createColsHeadRe =
-    raw"(?is)^CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?(`[^`]+`|[\w.\-]+)\s*\(".r
+    raw"(?is)^CREATE\s+(OR\s+REPLACE\s+)?(TEMP(?:ORARY)?\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?(`[^`]+`|[\w.\-]+)\s*\(".r
 
   /** Column-definition splitter for DDL lists: commas inside BOTH
     * parens and angle brackets nest (`s STRUCT<x INT64, y STRING>` is
@@ -2103,8 +2114,17 @@ class ScriptRunner(spark: SparkSession) {
   private def runCreateColsTable(stmt: String): Option[DataFrame] = {
     val m = createColsHeadRe.findFirstMatchIn(stmt).get
     val orReplace = m.group(1) != null
-    val ifNotExists = m.group(2) != null
-    val dest = destTableName(m.group(3).replace("`", ""))
+    // BigQuery column-list TEMP TABLE: a real (writable — DML must
+    // work on it, so a temp VIEW won't do) single-part parquet table in
+    // the default database, like the CTAS temp form's single-part name.
+    // BigQuery scopes temp tables to the script; this engine scopes
+    // them to the warehouse session — same residue the CTAS temp view
+    // path has, documented.
+    val isTemp = m.group(2) != null
+    val ifNotExists = m.group(3) != null
+    val dest =
+      if (isTemp) m.group(4).replace("`", "").split("\\.").last
+      else destTableName(m.group(4).replace("`", ""))
     val open = m.end - 1
     var depth = 0
     var close = -1
@@ -2141,7 +2161,10 @@ class ScriptRunner(spark: SparkSession) {
     val bqTail = tail0.isEmpty ||
       raw"(?is)^(?:PARTITION\s+BY\b|CLUSTER\s+BY\b|OPTIONS\s*\()".r
         .findFirstIn(tail0).isDefined
-    if (orReplace) {
+    if (orReplace || isTemp) {
+      // TEMP always drops first: BigQuery scopes temp tables to the
+      // script, so a fresh script creating the same temp name must not
+      // trip over a previous session's physical residue
       if (MvRegistry.definitionOf(dest).isDefined)
         throw new IllegalArgumentException(
           "use CREATE OR REPLACE MATERIALIZED VIEW to replace a materialized view")

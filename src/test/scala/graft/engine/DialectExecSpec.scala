@@ -904,6 +904,24 @@ class DialectExecSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one("SELECT ARRAY_LENGTH(GENERATE_RANGE_ARRAY(RANGE(TIMESTAMP '2020-01-01 00:00:00', TIMESTAMP '2020-01-01 03:30:00'), INTERVAL 1 HOUR))") == 4)
   }
 
+  test("wave-13 fixes: grouped FORMAT flag, typed JSON arrays, double-quoted format literals, parameterized STRING") {
+    // BigQuery's ' grouping flag (C printf) → java's , — in both quote styles
+    assert(one("SELECT FORMAT(\"%'d\", 1234567)") == "1,234,567")
+    assert(one("SELECT FORMAT('%''d', 7654321)") != null) // escaped-quote form stays a literal
+    // double-quoted strftime patterns now rewrite like single-quoted
+    assert(one("SELECT FORMAT_DATE(\"%Y-%m\", DATE '2020-03-04')") == "2020-03")
+    // typed JSON array converters, strict and LAX
+    assert(one("SELECT INT64_ARRAY(JSON '[1, 2]')") == Seq(1L, 2L))
+    assert(one("SELECT FLOAT64_ARRAY(JSON '[1.5, 2]')") == Seq(1.5, 2.0))
+    assert(one("SELECT BOOL_ARRAY(JSON '[true, false]')") == Seq(true, false))
+    assert(one("SELECT STRING_ARRAY(JSON '[\"a\", \"b\"]')") == Seq("a", "b"))
+    assert(one("SELECT LAX_INT64_ARRAY(JSON '[1, \"2\", 2.6]')") == Seq(1L, 2L, 3L))
+    assert(one("SELECT LAX_STRING_ARRAY(JSON '[1, \"a\"]')") == Seq("1", "a"))
+    assert(one("SELECT LAX_BOOL_ARRAY(JSON '[true, \"TRUE\", 1]')") == Seq(true, true, null))
+    // parameterized STRING(L) enforces on write as VARCHAR; BYTES(L) maps
+    assert(one("SELECT CAST('ab' AS STRING(5))") == "ab")
+  }
+
   test("wave-12 fixes: struct subqueries, BOOL type, JSON defaults, SAFE.PARSE_JSON") {
     // (SELECT AS STRUCT …) as a scalar subquery is ONE struct value
     assert(one("SELECT (SELECT AS STRUCT 1 AS a, 2 AS b).a") == 1)

@@ -1575,6 +1575,26 @@ class ScriptRunnerSpec extends AnyFunSuite with BeforeAndAfterAll {
     sr.run("DROP SCHEMA `graft.ddl8` CASCADE")
   }
 
+  test("column-list TEMP TABLE: writable, DML-able, fresh per script") {
+    val sr = new ScriptRunner(spark)
+    val out = sr.run(
+      """CREATE TEMP TABLE wt13 (id INT64, s STRING(10), t TIMESTAMP DEFAULT CURRENT_TIMESTAMP());
+        |INSERT INTO wt13 (id, s) VALUES (1, 'a');
+        |UPDATE wt13 SET s = 'b' WHERE id = 1;
+        |SELECT id, s, t IS NOT NULL AS has_default FROM wt13""".stripMargin).get
+    assert(out.collect().head.toSeq.take(2) == Seq(1L, "b"))
+    // a NEW script may re-create the same temp name (BigQuery scoping)
+    val again = new ScriptRunner(spark).run(
+      "CREATE TEMP TABLE wt13 (id INT64); SELECT COUNT(1) AS n FROM wt13").get
+    assert(again.collect().head.getLong(0) == 0L)
+    spark.sql("DROP TABLE IF EXISTS wt13")
+  }
+
+  test("@@project_id substitutes the configured project") {
+    val out = new ScriptRunner(spark).run("SELECT @@project_id AS pid").get
+    assert(out.collect().head.getString(0) == "graft-local")
+  }
+
   test("table functions may reference other table functions (bounded)") {
     spark.sql("DROP DATABASE IF EXISTS tvfspec2 CASCADE")
     val loc = java.nio.file.Files.createTempDirectory("tvfspec2")
