@@ -1075,14 +1075,38 @@ object Dialect {
     * path named safe/net (e.g. `SELECT net.amount FROM ledger net`) must
     * survive untouched.
     */
+  // Spark's builtin scalar-function names — the generic SAFE. fallback
+  // only strips the prefix for a name Spark itself resolves, so an
+  // alias or UDF schema named `safe` still can't be rewritten blindly
+  private lazy val sparkBuiltinFns: Set[String] =
+    org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin
+      .listFunction().map(_.funcName.toUpperCase).toSet
+
   private def rewriteSafeNetPrefix(sql: String): String =
     safeNetPrefixRe.replaceAllIn(sql, m => {
       val underscored = s"${m.group(1)}_${m.group(2)}".toUpperCase
+      val bare = m.group(2).toUpperCase
       java.util.regex.Matcher.quoteReplacement(
         if (callRewrites.contains(underscored))
           s"${m.group(1).toUpperCase}_${m.group(2)}"
+        // generic SAFE.: BigQuery's error-suppressing prefix over any
+        // scalar function. Spark's non-ANSI math already returns NULL
+        // on domain errors (LOG(-1), LN(0), …), so stripping the
+        // prefix IS the SAFE semantic here; functions with a dedicated
+        // SAFE_ handler took the branch above. The NaN-producing set
+        // (SQRT(-1), ASIN(2)…) additionally maps to the SAFE_NANVL_
+        // marker, which the call rewriter wraps in nanvl → NULL.
+        else if (m.group(1).equalsIgnoreCase("SAFE") && safeNanFns.contains(bare))
+          s"SAFE_NANVL_${m.group(2)}"
+        else if (m.group(1).equalsIgnoreCase("SAFE") &&
+            (callRewrites.contains(bare) || sparkBuiltinFns.contains(bare)))
+          m.group(2)
         else m.matched)
     })
+
+  // Spark returns NaN (BigQuery: error / SAFE → NULL) for these
+  private val safeNanFns = Set("SQRT", "ASIN", "ACOS", "ACOSH", "ATANH",
+    "POW", "POWER", "CBRT")
 
   private val starReplaceRe = raw"(?is)\*\s*REPLACE\s*\(".r
 
@@ -2090,7 +2114,8 @@ object Dialect {
     }))
   }
 
-  private lazy val callRewrites: Map[String, Seq[String] => Option[String]] = Map(
+  private lazy val callRewrites: Map[String, Seq[String] => Option[String]] =
+    Map[String, Seq[String] => Option[String]](
     "COUNTIF" -> renameTo("count_if"),
     "LOGICAL_AND" -> renameTo("bool_and"),
     "LOGICAL_OR" -> renameTo("bool_or"),
@@ -2206,13 +2231,33 @@ object Dialect {
     // the end (e.g. (5, 1) with default +1); Spark's 2-arg sequence
     // auto-descends and the 3-arg form throws — guard both.
     "GENERATE_ARRAY" -> { a =>
-      if (a.length == 2)
+      // FLOAT64 ranges (any argument a decimal/exponent literal):
+      // Spark's sequence is integral/temporal-only — build by index.
+      // The epsilon absorbs fp step accumulation at the inclusive end.
+      val floatish = a.exists(_.trim.matches(raw"-?\d*\.\d+([eE][-+]?\d+)?|-?\d+[eE][-+]?\d+"))
+      if (a.length >= 2 && a.length <= 3 && floatish) {
+        val lo = s"CAST(${a(0)} AS DOUBLE)"
+        val hi = s"CAST(${a(1)} AS DOUBLE)"
+        val st = if (a.length == 3) s"CAST(${a(2)} AS DOUBLE)" else "1.0d"
+        Some(s"(CASE WHEN $st = 0 THEN raise_error('GENERATE_ARRAY: step must be nonzero') " +
+          s"WHEN ($st > 0 AND $lo > $hi) OR ($st < 0 AND $lo < $hi) THEN array() " +
+          s"ELSE transform(sequence(0, CAST(floor(($hi - $lo) / $st + 1e-9) AS INT)), " +
+          s"i -> $lo + i * $st) END)")
+      }
+      else if (a.length == 2)
         Some(s"(CASE WHEN (${a(0)}) <= (${a(1)}) THEN sequence(${a(0)}, ${a(1)}) " +
           s"ELSE array() END)")
       else if (a.length == 3)
         Some(s"(CASE WHEN ((${a(2)}) > 0 AND (${a(0)}) <= (${a(1)})) OR " +
           s"((${a(2)}) < 0 AND (${a(0)}) >= (${a(1)})) " +
           s"THEN sequence(${a(0)}, ${a(1)}, ${a(2)}) ELSE array() END)")
+      else scala.None
+    },
+    // 2-arg TIMESTAMP(civil_datetime, tz): the instant that wall-clock
+    // names in that zone (1-arg literal form is a separate rewrite)
+    "TIMESTAMP" -> { a =>
+      if (a.length == 2)
+        Some(s"to_utc_timestamp(CAST(${a(0)} AS TIMESTAMP), ${a(1)})")
       else scala.None
     },
     // BigQuery FORMAT is printf-style; %t (canonical text of any value)
@@ -3005,7 +3050,13 @@ object Dialect {
         }
       }
     }
-  )
+  ) ++ safeNanFns.map { fn =>
+    // SAFE.<NaN-producing math fn> → nanvl(fn(…), NULL): BigQuery's
+    // SAFE prefix yields NULL where Spark yields NaN (SQRT(-1)…)
+    s"SAFE_NANVL_$fn" -> { (a: Seq[String]) =>
+      Some(s"nanvl(${fn.toLowerCase}(${a.mkString(", ")}), cast(null as double))")
+    }
+  }.toMap
 
   /** BigQuery REGEXP_EXTRACT/REGEXP_SUBSTR: NULL on no match, extracts
     * the single capture group when present (whole match otherwise);

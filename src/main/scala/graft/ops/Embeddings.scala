@@ -98,13 +98,25 @@ object Embeddings {
 
   /** Nearest-centroid assignment (exact-int L2², centroids broadcast):
     * (vec_id, cent_id, q, nrm, dist). `centroids` needs (cent_id, cq).
+    *
+    * The argmin runs PER ROW over a broadcast centroid ARRAY
+    * (array_min over (dist, cent_id) structs — the struct's
+    * lexicographic order IS the min-dist-then-min-id tie-break), so
+    * the corpus never explodes to N·K rows and there is no window
+    * sort. At K = √N that turns an N·K-row exchange+sort into a
+    * codegen'd per-row loop — the difference between minutes and
+    * seconds at 500k vectors.
     */
   def assignToCentroids(corpus: DataFrame, centroids: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cent_id"))
-    corpus.join(broadcast(centroids), expr("true"))
-      .withColumn("dist", expr(l2))
-      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
-      .drop("rn", "cq", "cnrm")
+    val centArr = centroids
+      .agg(collect_list(struct(col("cent_id"), col("cq"))).as("__cents"))
+    corpus.join(broadcast(centArr), expr("true"))
+      .withColumn("__best", expr(
+        "array_min(transform(__cents, c -> " +
+          "struct(graft_l2_i64(q, c.cq) AS dist, c.cent_id AS cent_id)))"))
+      .withColumn("cent_id", col("__best.cent_id"))
+      .withColumn("dist", col("__best.dist"))
+      .drop("__cents", "__best")
   }
 
   /** IVF-style ANN: vectors are assigned to their nearest centroid;

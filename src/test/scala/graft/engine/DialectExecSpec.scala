@@ -904,6 +904,25 @@ class DialectExecSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one("SELECT ARRAY_LENGTH(GENERATE_RANGE_ARRAY(RANGE(TIMESTAMP '2020-01-01 00:00:00', TIMESTAMP '2020-01-01 03:30:00'), INTERVAL 1 HOUR))") == 4)
   }
 
+  test("wave-14 fixes: generic SAFE. prefix, 2-arg TIMESTAMP, float GENERATE_ARRAY") {
+    // SAFE. over any Spark-resolvable scalar fn: NULL (never NaN) on
+    // domain errors; a dedicated SAFE_ handler still wins when present
+    assert(one("SELECT SAFE.LOG(-1) IS NULL") == true)
+    assert(one("SELECT SAFE.SQRT(-1) IS NULL") == true)
+    assert(one("SELECT SAFE.ASIN(2) IS NULL") == true)
+    assert(one("SELECT SAFE.SQRT(4)") == 2.0)
+    assert(one("SELECT SAFE.DIVIDE(1, 0) IS NULL") == true)
+    // an unknown dotted name stays loud, not silently stripped
+    intercept[Exception] { one("SELECT SAFE.NO_SUCH_FN(1)") }
+    // TIMESTAMP(civil, tz) = the instant that wall clock names there
+    assert(one("SELECT TIMESTAMP(DATETIME '2020-01-02 03:04:05', 'Asia/Jakarta') = TIMESTAMP '2020-01-01 20:04:05'") == true)
+    // FLOAT64 GENERATE_ARRAY: inclusive end, descending, empty cases
+    assert(one("SELECT GENERATE_ARRAY(1.0, 2.0, 0.5)") == Seq(1.0, 1.5, 2.0))
+    assert(one("SELECT GENERATE_ARRAY(2.0, 1.0, -0.5)") == Seq(2.0, 1.5, 1.0))
+    assert(one("SELECT GENERATE_ARRAY(1.0, 0.0, 0.5)") == Seq())
+    assert(one("SELECT ARRAY_LENGTH(GENERATE_ARRAY(0.0, 1.0, 0.1))") == 11)
+  }
+
   test("wave-13 fixes: grouped FORMAT flag, typed JSON arrays, double-quoted format literals, parameterized STRING") {
     // BigQuery's ' grouping flag (C printf) → java's , — in both quote styles
     assert(one("SELECT FORMAT(\"%'d\", 1234567)") == "1,234,567")

@@ -256,6 +256,41 @@ class DedupStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tBig / tSmall < 8.0, f"super-linear blowup: $tSmall%.1f s → $tBig%.1f s")
   }
 
+  test("semantic dedup (d145 shape) follows its N^1.5 envelope to 500k vectors", Stress) {
+    // SemDeDup's cost model: brute-force argmin assignment is N·K and
+    // the intra-cell pair stage is Σ|cell|² ≈ N²/K, so K = √N balances
+    // both at N^1.5 — growth for 4× vectors is bounded by 8×, NOT the
+    // 4× linear bound of the banded text paths. That is the op's
+    // design envelope (real deployments route assignment through the
+    // IVF/LSH index paths — d102 — when N makes N·K the wall).
+    import org.apache.spark.sql.functions._
+    def vecs(n: Long): DataFrame = {
+      // murmur mix per (id, component) — the affine pattern the PQ leg
+      // uses repeats vectors every |mod| ids (collinear = all near-dup)
+      val base = spark.range(n).select(
+        col("id").as("vec_id"),
+        expr("transform(sequence(1, 64), i -> cast(pmod(hash(id, i), 2000) - 1000 as bigint))").as("q"))
+        .withColumn("nrm", expr("graft_dot_i64(q, q)"))
+      base.unionByName(base.where(col("vec_id") % 10 === 0)
+        .withColumn("vec_id", col("vec_id") + 1000000000L))
+    }
+    def run(n: Long, k: Long): Long = {
+      graft.functions.BitSketchExpressions.register(spark)
+      val e = vecs(n)
+      val cents = e.where(col("vec_id") < k)
+        .select(col("vec_id").as("cent_id"), col("q").as("cq"), col("nrm").as("cnrm"))
+      Embeddings.semanticDedup(e, cents, 0.999).where(!col("kept")).count()
+    }
+    run(2000L, 45L)
+    val (tSmall, nSmall) = timed(run(125000L, 354L))
+    val (tBig, nBig) = timed(run(500000L, 707L))
+    info(f"semdedup: 125,000 vecs → $tSmall%.1f s ($nSmall dropped); " +
+      f"500,000 vecs → $tBig%.1f s ($nBig dropped); growth ${tBig / tSmall}%.2f× for 4× vecs")
+    // every planted exact copy must be dropped (cosine 1.0 ≥ 0.999)
+    assert(nBig >= 50000L, s"planted duplicates not dropped: $nBig")
+    assert(tBig / tSmall < 8.5, f"beyond the N^1.5 envelope: $tSmall%.1f s → $tBig%.1f s")
+  }
+
   test("chat-turn chain (d103/d104 shape) scales with the scan to 4M events", Stress) {
     // the chain is one hash exchange + per-user windows, so growth must
     // track the scan. Synthetic interaction log: ~80 events/user, a
