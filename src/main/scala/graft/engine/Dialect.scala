@@ -661,6 +661,110 @@ object Dialect {
       rewriteVectorSearch(sql.substring(callEnd))
   }
 
+  private val rangeSessionizeRe = raw"(?is)\bFROM\s+RANGE_SESSIONIZE\s*\(".r
+
+  /** BigQuery `FROM RANGE_SESSIONIZE(TABLE t, 'range_col',
+    * ['p1', …][, 'MEETS'|'OVERLAPS'])` — merges a partition's
+    * overlapping (OVERLAPS) or overlapping-or-touching (MEETS, the
+    * default) ranges into sessions and returns the input rows plus a
+    * `session_range` column. Pure window SQL: a running max of
+    * range_end (NULL end = unbounded, tracked by a separate flag since
+    * max() skips NULLs) decides session breaks; the break flags
+    * prefix-sum into a session id; min/max over the session window
+    * build the session range. One plan, no joins — scales like any
+    * windowed aggregation (shuffle on the partition columns).
+    */
+  private def rewriteRangeSessionize(sql: String): String = {
+    val m0 = rangeSessionizeRe.findAllMatchIn(sql)
+      .find(m => !inStringLiteral(sql, m.start))
+      .getOrElse(return sql)
+    val n = sql.length
+    val argStart = m0.end
+    var j = argStart
+    var depth = 1
+    val argEnds = scala.collection.mutable.ArrayBuffer.empty[Int]
+    while (j < n && depth > 0) {
+      val c = sql.charAt(j)
+      if (c == '\'' || c == '"') {
+        var k = j + 1
+        while (k < n && sql.charAt(k) != c)
+          k += (if (sql.charAt(k) == '\\') 2 else 1)
+        j = math.min(k + 1, n)
+      } else {
+        if (c == '(' || c == '[') depth += 1
+        else if (c == ']') depth -= 1
+        else if (c == ')') { depth -= 1; if (depth == 0) argEnds += j }
+        else if (c == ',' && depth == 1) argEnds += j
+        j += 1
+      }
+    }
+    if (depth != 0)
+      throw new IllegalArgumentException("unbalanced RANGE_SESSIONIZE call")
+    val callEnd = j
+    val bounds = (argStart +: argEnds.map(_ + 1).dropRight(1)).zip(argEnds)
+    val args = bounds.map { case (a, b) => sql.substring(a, b).trim }
+    if (args.length < 3 || args.length > 4)
+      throw new IllegalArgumentException(
+        "RANGE_SESSIONIZE needs (TABLE t, 'range_col', [partition_cols][, mode])")
+    val tableRef = {
+      val t = args(0)
+      if (!t.toUpperCase.startsWith("TABLE"))
+        throw new IllegalArgumentException(
+          s"RANGE_SESSIONIZE first argument must be TABLE <name>, got: $t")
+      t.drop(5).trim
+    }
+    val rcol = "`" + args(1).stripPrefix("'").stripSuffix("'") + "`"
+    val partArg = args(2)
+    if (!partArg.startsWith("[") || !partArg.endsWith("]"))
+      throw new IllegalArgumentException(
+        s"RANGE_SESSIONIZE partition columns must be an array literal, got: $partArg")
+    val pcols = splitTopLevel(partArg.substring(1, partArg.length - 1))
+      .map(_.trim).filter(_.nonEmpty)
+      .map(p => "`" + p.stripPrefix("'").stripSuffix("'") + "`")
+    val cmp = args.lift(3).map(_.stripPrefix("'").stripSuffix("'").toUpperCase) match {
+      case scala.None | Some("MEETS") => "<=" // touching ranges merge
+      case Some("OVERLAPS") => "<"
+      case Some(other) => throw new IllegalArgumentException(
+        s"unsupported RANGE_SESSIONIZE mode: $other")
+    }
+    val pBy = if (pcols.isEmpty) "" else s"PARTITION BY ${pcols.mkString(", ")} "
+    val ord = "ORDER BY __rs_o1, __rs_o2, __rs_o3, __rs_o4"
+    val pw = s"OVER ($pBy$ord ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+    val sw = s"OVER (PARTITION BY ${(pcols :+ "__rs_sid").mkString(", ")})"
+    val endNull = s"CASE WHEN $rcol.range_end IS NULL THEN 1 ELSE 0 END"
+    val repl =
+      s"""FROM (
+         |  SELECT * EXCEPT(__rs_o1, __rs_o2, __rs_o3, __rs_o4, __rs_sid),
+         |    named_struct(
+         |      'range_start', CASE WHEN max(CASE WHEN $rcol.range_start IS NULL THEN 1 ELSE 0 END) $sw = 1
+         |        THEN NULL ELSE min($rcol.range_start) $sw END,
+         |      'range_end', CASE WHEN max($endNull) $sw = 1
+         |        THEN NULL ELSE max($rcol.range_end) $sw END) AS session_range
+         |  FROM (
+         |    SELECT * EXCEPT(__rs_new),
+         |      sum(__rs_new) OVER ($pBy$ord ROWS UNBOUNDED PRECEDING) AS __rs_sid
+         |    FROM (
+         |      SELECT *,
+         |        CASE WHEN max($endNull) $pw IS NULL THEN 1
+         |             WHEN max($endNull) $pw = 1 THEN 0
+         |             WHEN $rcol.range_start IS NULL THEN 0
+         |             WHEN $rcol.range_start $cmp max($rcol.range_end) $pw THEN 0
+         |             ELSE 1 END AS __rs_new
+         |      FROM (
+         |        SELECT *,
+         |          CASE WHEN $rcol.range_start IS NULL THEN 0 ELSE 1 END AS __rs_o1,
+         |          $rcol.range_start AS __rs_o2,
+         |          CASE WHEN $rcol.range_end IS NULL THEN 1 ELSE 0 END AS __rs_o3,
+         |          $rcol.range_end AS __rs_o4
+         |        FROM $tableRef
+         |      )
+         |    )
+         |  )
+         |)""".stripMargin
+    sql.substring(0, m0.start) + repl +
+      rewriteRangeSessionize(sql.substring(callEnd))
+  }
+
   private val searchFnRe = raw"(?i)\bSEARCH\s*\(".r
 
   /** Java/RE2-compatible class of BigQuery's published LOG_ANALYZER
@@ -966,7 +1070,7 @@ object Dialect {
       // Spark-catalog name the snapshot resolver can DESCRIBE; the
       // lineage path (mapFqns = false) leaves the text untouched — the
       // extractor reads the clause's table as a plain source
-      val vs = rewriteVectorSearch(sqlNum)
+      val vs = rewriteRangeSessionize(rewriteVectorSearch(sqlNum))
       val mapped = if (mapFqns) mapSourceFqns(vs) else vs
       if (mapFqns) rewriteSystemTimeClauses(mapped) else mapped
     })(

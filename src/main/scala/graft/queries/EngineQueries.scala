@@ -999,6 +999,26 @@ object EngineQueries {
     },
 
     // --- vocabulary pack 8 (cont.): JSON construction + conversion ------
+    "e71_range_sessionize" -> { (s, d) =>
+      // RANGE_SESSIONIZE over per-customer order-date ranges: pure
+      // window SQL (running max-end decides breaks, prefix-sum builds
+      // session ids, min/max over the session window the bounds) —
+      // shuffles once on the partition columns. DuckDB restates the
+      // same windows over plain date columns.
+      Tables.views(s, d, "orders")
+      new ScriptRunner(s).run(
+        """CREATE TEMP TABLE rs_src AS (
+          |  SELECT o_orderkey AS k, o_custkey AS cust,
+          |    RANGE(CAST(o_orderdate AS DATE),
+          |          DATE_ADD(CAST(o_orderdate AS DATE), INTERVAL 20 DAY)) AS r
+          |  FROM orders WHERE o_orderkey <= 2000);
+          |SELECT CAST(k AS INT64) AS k, CAST(cust AS INT64) AS cust,
+          |  CAST(RANGE_START(session_range) AS STRING) AS sess_lo,
+          |  CAST(RANGE_END(session_range) AS STRING) AS sess_hi
+          |FROM RANGE_SESSIONIZE(TABLE rs_src, 'r', ['cust'])
+          |ORDER BY k""".stripMargin).get
+    },
+
     "e70_interval_vocab" -> { (s, d) =>
       // BigQuery full-range INTERVAL: mixed-range literals (parts are
       // independent — hour 49 is legal) lower to make_interval, whose
@@ -2306,6 +2326,30 @@ object EngineQueries {
     // type names and conversions restate as plain expressions
     // independent re-derivations: DuckDB's own make_timestamp/printf/
     // dayofweek arithmetic (0=Sunday) and integer IP math
+    // the same session algorithm over plain date columns: running
+    // max-end break flags, prefix-sum ids, min/max session bounds
+    "e71_range_sessionize" ->
+      """WITH src AS (
+        |  SELECT o_orderkey AS k, o_custkey AS cust,
+        |    CAST(o_orderdate AS DATE) AS s,
+        |    CAST(o_orderdate AS DATE) + 20 AS e
+        |  FROM orders WHERE o_orderkey <= 2000
+        |), flagged AS (
+        |  SELECT *, CASE WHEN max(e) OVER pw IS NULL THEN 1
+        |                 WHEN s <= max(e) OVER pw THEN 0 ELSE 1 END AS newf
+        |  FROM src WINDOW pw AS (PARTITION BY cust ORDER BY s, e
+        |                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |), sids AS (
+        |  SELECT *, sum(newf) OVER (PARTITION BY cust ORDER BY s, e
+        |                            ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged
+        |)
+        |SELECT CAST(k AS BIGINT) AS k, CAST(cust AS BIGINT) AS cust,
+        |  CAST(min(s) OVER sw AS VARCHAR) AS sess_lo,
+        |  CAST(max(e) OVER sw AS VARCHAR) AS sess_hi
+        |FROM sids WINDOW sw AS (PARTITION BY cust, sid)
+        |ORDER BY k""".stripMargin,
+
     // canonical renderings re-derived with integer division/modulo
     "e70_interval_vocab" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS id,

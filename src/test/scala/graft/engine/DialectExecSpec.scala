@@ -871,6 +871,42 @@ class DialectExecSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one("SELECT DATETIME_BUCKET(DATETIME '2020-01-05 12:34:00', INTERVAL 15 MINUTE) = DATETIME '2020-01-05 12:30:00'") == true)
   }
 
+  test("RANGE_SESSIONIZE merges overlapping/touching ranges per partition") {
+    val rows = spark.sql(Dialect.rewrite(
+      """SELECT k, p,
+        |  CAST(RANGE_START(session_range) AS STRING) AS lo,
+        |  CAST(RANGE_END(session_range) AS STRING) AS hi
+        |FROM RANGE_SESSIONIZE(TABLE (
+        |  SELECT 1 AS k, 'a' AS p, RANGE(DATE '2020-01-01', DATE '2020-01-10') AS r
+        |  UNION ALL SELECT 2, 'a', RANGE(DATE '2020-01-10', DATE '2020-01-20')
+        |  UNION ALL SELECT 3, 'a', RANGE(DATE '2020-02-01', DATE '2020-02-05')
+        |  UNION ALL SELECT 4, 'b', RANGE(DATE '2020-01-05', DATE '2020-01-06')
+        |), 'r', ['p'])
+        |ORDER BY k""".stripMargin)).collect()
+    // rows 1+2 touch (MEETS default) → one session [01-01, 01-20)
+    assert(rows(0).getString(2) == "2020-01-01" && rows(0).getString(3) == "2020-01-20")
+    assert(rows(1).getString(2) == "2020-01-01" && rows(1).getString(3) == "2020-01-20")
+    assert(rows(2).getString(2) == "2020-02-01" && rows(2).getString(3) == "2020-02-05")
+    assert(rows(3).getString(2) == "2020-01-05")
+    // OVERLAPS mode: touching ranges do NOT merge
+    val ov = spark.sql(Dialect.rewrite(
+      """SELECT CAST(RANGE_END(session_range) AS STRING) AS hi
+        |FROM RANGE_SESSIONIZE(TABLE (
+        |  SELECT RANGE(DATE '2020-01-01', DATE '2020-01-10') AS r
+        |  UNION ALL SELECT RANGE(DATE '2020-01-10', DATE '2020-01-20')
+        |), 'r', [], 'OVERLAPS')
+        |ORDER BY 1""".stripMargin)).collect()
+    assert(ov.map(_.getString(0)).toSeq == Seq("2020-01-10", "2020-01-20"))
+    // an unbounded end absorbs everything after it in the partition
+    val un = spark.sql(Dialect.rewrite(
+      """SELECT RANGE_END(session_range) IS NULL AS open
+        |FROM RANGE_SESSIONIZE(TABLE (
+        |  SELECT RANGE<DATE> '[2020-01-01, UNBOUNDED)' AS r
+        |  UNION ALL SELECT RANGE(DATE '2021-01-01', DATE '2021-01-02')
+        |), 'r', [])""".stripMargin)).collect()
+    assert(un.forall(_.getBoolean(0)))
+  }
+
   test("RANGE<T> family: literal, constructor, contains/overlaps/intersect, generate") {
     // typed literal → struct; UNBOUNDED → NULL bound
     assert(one("SELECT RANGE_CONTAINS(RANGE<DATE> '[2020-01-01, 2020-12-31)', DATE '2020-06-15')") == true)
