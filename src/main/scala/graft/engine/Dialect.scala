@@ -765,6 +765,132 @@ object Dialect {
       rewriteRangeSessionize(sql.substring(callEnd))
   }
 
+  private val gapFillRe = raw"(?is)\bFROM\s+GAP_FILL\s*\(".r
+
+  /** BigQuery `FROM GAP_FILL(TABLE t, ts_column => 'ts',
+    * bucket_width => INTERVAL n unit[, partitioning_columns => [...]]
+    * [, value_columns => [('v', 'null'|'locf'|'linear'), …]])` —
+    * materializes the missing time buckets between each partition's
+    * min and max timestamp and fills the value columns per method:
+    * null (leave), locf (last observed carried forward), linear
+    * (interpolation between the observed neighbors, NULL at the
+    * edges, as BigQuery defines). The input's timestamps must already
+    * be bucket-aligned (BigQuery's own precondition when no origin is
+    * given; origin / ignore_null_values stay loud-unsupported).
+    * Shape: one groupBy for the bucket spans, one explode, one LEFT
+    * JOIN back on (partition, ts), per-row window fills — scales like
+    * any windowed aggregation.
+    */
+  private def rewriteGapFill(sql: String): String = {
+    val m0 = gapFillRe.findAllMatchIn(sql)
+      .find(m => !inStringLiteral(sql, m.start))
+      .getOrElse(return sql)
+    val n = sql.length
+    val argStart = m0.end
+    var j = argStart
+    var depth = 1
+    val argEnds = scala.collection.mutable.ArrayBuffer.empty[Int]
+    while (j < n && depth > 0) {
+      val c = sql.charAt(j)
+      if (c == '\'' || c == '"') {
+        var k = j + 1
+        while (k < n && sql.charAt(k) != c)
+          k += (if (sql.charAt(k) == '\\') 2 else 1)
+        j = math.min(k + 1, n)
+      } else {
+        if (c == '(' || c == '[') depth += 1
+        else if (c == ']') depth -= 1
+        else if (c == ')') { depth -= 1; if (depth == 0) argEnds += j }
+        else if (c == ',' && depth == 1) argEnds += j
+        j += 1
+      }
+    }
+    if (depth != 0) throw new IllegalArgumentException("unbalanced GAP_FILL call")
+    val callEnd = j
+    val bounds = (argStart +: argEnds.map(_ + 1).dropRight(1)).zip(argEnds)
+    val args = bounds.map { case (a, b) => sql.substring(a, b).trim }
+    if (args.isEmpty || !args(0).toUpperCase.startsWith("TABLE"))
+      throw new IllegalArgumentException(
+        "GAP_FILL first argument must be TABLE <name>")
+    val tableRef = args(0).drop(5).trim
+    var tsCol: Option[String] = scala.None
+    var width: Option[String] = scala.None
+    var pcols: Seq[String] = Seq.empty
+    var vcols: Seq[(String, String)] = Seq.empty
+    def unq(s: String) = s.trim.stripPrefix("'").stripSuffix("'")
+    args.drop(1).foreach { a =>
+      val kv = a.split("=>", 2).map(_.trim)
+      if (kv.length != 2) throw new IllegalArgumentException(
+        s"GAP_FILL arguments must be named (ts_column => …), got: $a")
+      kv(0).toLowerCase match {
+        case "ts_column" => tsCol = Some(unq(kv(1)))
+        case "bucket_width" => width = Some(kv(1))
+        case "partitioning_columns" =>
+          val body = kv(1).stripPrefix("[").stripSuffix("]")
+          pcols = splitTopLevel(body).map(unq).filter(_.nonEmpty)
+        case "value_columns" =>
+          val body = kv(1).trim.stripPrefix("[").stripSuffix("]")
+          vcols = splitTopLevel(body).map(_.trim).filter(_.nonEmpty).map { p =>
+            val inner = p.stripPrefix("(").stripSuffix(")")
+            val parts = splitTopLevel(inner).map(unq)
+            if (parts.length != 2 ||
+                !Set("null", "locf", "linear").contains(parts(1).toLowerCase))
+              throw new IllegalArgumentException(
+                s"GAP_FILL value_columns entries are ('col', 'null'|'locf'|'linear'): $p")
+            (parts(0), parts(1).toLowerCase)
+          }
+        case other => throw new IllegalArgumentException(
+          s"unsupported GAP_FILL argument: $other")
+      }
+    }
+    val ts = "`" + tsCol.getOrElse(throw new IllegalArgumentException(
+      "GAP_FILL needs ts_column => '…'")) + "`"
+    val w = width.getOrElse(throw new IllegalArgumentException(
+      "GAP_FILL needs bucket_width => INTERVAL …"))
+    val pq = pcols.map(p => "`" + p + "`")
+    val pSel = if (pq.isEmpty) "" else pq.mkString(", ") + ", "
+    val pBy =
+      if (pq.isEmpty) ""
+      else s"PARTITION BY ${pq.map(p => s"__gf_b.$p").mkString(", ")} "
+    val fills = vcols.map { case (c0, method) =>
+      val c = "`" + c0 + "`"
+      method match {
+        case "null" => s"__gf_i.$c AS $c"
+        case "locf" =>
+          s"last_value(__gf_i.$c, true) OVER ($pBy ORDER BY __gf_b.$ts " +
+            s"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS $c"
+        case "linear" =>
+          val prevV = s"last_value(__gf_i.$c, true) OVER ($pBy ORDER BY __gf_b.$ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+          val nextV = s"first_value(__gf_i.$c, true) OVER ($pBy ORDER BY __gf_b.$ts ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)"
+          val prevT = s"last_value(CASE WHEN __gf_i.$c IS NOT NULL THEN __gf_b.$ts END, true) OVER ($pBy ORDER BY __gf_b.$ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+          val nextT = s"first_value(CASE WHEN __gf_i.$c IS NOT NULL THEN __gf_b.$ts END, true) OVER ($pBy ORDER BY __gf_b.$ts ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)"
+          s"(CASE WHEN __gf_i.$c IS NOT NULL THEN CAST(__gf_i.$c AS DOUBLE) " +
+            s"WHEN $prevV IS NULL OR $nextV IS NULL THEN CAST(NULL AS DOUBLE) " +
+            s"ELSE CAST($prevV AS DOUBLE) + (CAST($nextV AS DOUBLE) - CAST($prevV AS DOUBLE)) " +
+            s"* (unix_micros(CAST(__gf_b.$ts AS TIMESTAMP)) - unix_micros(CAST($prevT AS TIMESTAMP))) " +
+            s"/ (unix_micros(CAST($nextT AS TIMESTAMP)) - unix_micros(CAST($prevT AS TIMESTAMP))) END) AS $c"
+      }
+    }
+    val fillSel = if (fills.isEmpty) "" else ", " + fills.mkString(", ")
+    val onCond = (pq :+ ts)
+      .map(c => s"__gf_b.$c = __gf_i.$c").mkString(" AND ")
+    val repl =
+      s"""FROM (
+         |  WITH __gf_in AS (SELECT * FROM $tableRef),
+         |  __gf_span AS (
+         |    SELECT ${pSel}min($ts) AS __gf_lo, max($ts) AS __gf_hi
+         |    FROM __gf_in${if (pq.isEmpty) "" else s" GROUP BY ${pq.mkString(", ")}"}
+         |  ),
+         |  __gf_b AS (
+         |    SELECT ${pSel}explode(sequence(__gf_lo, __gf_hi, $w)) AS $ts
+         |    FROM __gf_span
+         |  )
+         |  SELECT ${pq.map(p => s"__gf_b.$p AS $p").mkString(", ")}${if (pq.isEmpty) "" else ", "}__gf_b.$ts AS $ts$fillSel
+         |  FROM __gf_b LEFT JOIN __gf_in __gf_i ON $onCond
+         |)""".stripMargin
+    sql.substring(0, m0.start) + repl + rewriteGapFill(sql.substring(callEnd))
+  }
+
   private val searchFnRe = raw"(?i)\bSEARCH\s*\(".r
 
   /** Java/RE2-compatible class of BigQuery's published LOG_ANALYZER
@@ -1070,7 +1196,7 @@ object Dialect {
       // Spark-catalog name the snapshot resolver can DESCRIBE; the
       // lineage path (mapFqns = false) leaves the text untouched — the
       // extractor reads the clause's table as a plain source
-      val vs = rewriteRangeSessionize(rewriteVectorSearch(sqlNum))
+      val vs = rewriteGapFill(rewriteRangeSessionize(rewriteVectorSearch(sqlNum)))
       val mapped = if (mapFqns) mapSourceFqns(vs) else vs
       if (mapFqns) rewriteSystemTimeClauses(mapped) else mapped
     })(

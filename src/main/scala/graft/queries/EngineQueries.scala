@@ -999,6 +999,32 @@ object EngineQueries {
     },
 
     // --- vocabulary pack 8 (cont.): JSON construction + conversion ------
+    "e72_gap_fill" -> { (s, d) =>
+      // GAP_FILL over hourly per-group event aggregates with forced
+      // gaps (hours 3/4/9/15 filtered out): locf carries the last
+      // observation, linear interpolates between observed neighbors
+      // (exact-int-derived doubles — both engines compute the same
+      // IEEE expression, emitted unrounded). The INT64 cast inside the
+      // aggregate exercises the round-half-away kernel under oracle.
+      Tables.views(s, d, "events")
+      new ScriptRunner(s).run(
+        """CREATE TEMP TABLE gf_src AS (
+          |  SELECT CAST(MOD(user_id, 3) AS INT64) AS grp,
+          |    TIMESTAMP_TRUNC(ts, HOUR) AS h,
+          |    CAST(SUM(CAST(value * 100 AS INT64)) AS FLOAT64) AS v1,
+          |    CAST(SUM(CAST(value * 100 AS INT64)) AS FLOAT64) AS v2
+          |  FROM events
+          |  WHERE EXTRACT(HOUR FROM ts) NOT IN (3, 4, 9, 15)
+          |  GROUP BY 1, 2);
+          |SELECT CAST(grp AS INT64) AS grp, CAST(h AS STRING) AS h,
+          |  v1 AS v_locf, v2 AS v_lin
+          |FROM GAP_FILL(TABLE gf_src, ts_column => 'h',
+          |  bucket_width => INTERVAL 1 HOUR,
+          |  partitioning_columns => ['grp'],
+          |  value_columns => [('v1', 'locf'), ('v2', 'linear')])
+          |ORDER BY grp, h""".stripMargin).get
+    },
+
     "e71_range_sessionize" -> { (s, d) =>
       // RANGE_SESSIONIZE over per-customer order-date ranges: pure
       // window SQL (running max-end decides breaks, prefix-sum builds
@@ -2326,6 +2352,48 @@ object EngineQueries {
     // type names and conversions restate as plain expressions
     // independent re-derivations: DuckDB's own make_timestamp/printf/
     // dayofweek arithmetic (0=Sunday) and integer IP math
+    // the same bucket spine + window fills, restated: generate_series
+    // buckets, IGNORE NULLS last/first_value, identical IEEE linear
+    // expression over epoch micros
+    "e72_gap_fill" ->
+      """WITH src AS (
+        |  SELECT CAST(user_id % 3 AS BIGINT) AS grp,
+        |    date_trunc('hour', ts) AS h,
+        |    CAST(SUM(CAST(value * 100 AS BIGINT)) AS DOUBLE) AS v
+        |  FROM events
+        |  WHERE EXTRACT(HOUR FROM ts) NOT IN (3, 4, 9, 15)
+        |  GROUP BY 1, 2
+        |), spans AS (
+        |  SELECT grp, min(h) AS lo, max(h) AS hi FROM src GROUP BY grp
+        |), buckets AS (
+        |  SELECT grp, unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS h
+        |  FROM spans
+        |), joined AS (
+        |  SELECT b.grp, b.h, s.v
+        |  FROM buckets b LEFT JOIN src s ON b.grp = s.grp AND b.h = s.h
+        |), filled AS (
+        |  SELECT grp, h, v,
+        |    last_value(v IGNORE NULLS) OVER pw AS v_locf,
+        |    last_value(v IGNORE NULLS) OVER pw AS pv,
+        |    first_value(v IGNORE NULLS) OVER fw AS nv,
+        |    last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER pw AS pt,
+        |    first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER fw AS nt
+        |  FROM joined
+        |  WINDOW pw AS (PARTITION BY grp ORDER BY h
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         fw AS (PARTITION BY grp ORDER BY h
+        |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |)
+        |SELECT CAST(grp AS BIGINT) AS grp, CAST(h AS VARCHAR) AS h,
+        |  v_locf,
+        |  (CASE WHEN v IS NOT NULL THEN v
+        |        WHEN pv IS NULL OR nv IS NULL THEN NULL
+        |        ELSE pv + (nv - pv)
+        |          * (epoch_us(h) - epoch_us(pt))
+        |          / (epoch_us(nt) - epoch_us(pt)) END) AS v_lin
+        |FROM filled
+        |ORDER BY grp, h""".stripMargin,
+
     // the same session algorithm over plain date columns: running
     // max-end break flags, prefix-sum ids, min/max session bounds
     "e71_range_sessionize" ->

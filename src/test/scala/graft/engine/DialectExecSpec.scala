@@ -871,6 +871,39 @@ class DialectExecSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one("SELECT DATETIME_BUCKET(DATETIME '2020-01-05 12:34:00', INTERVAL 15 MINUTE) = DATETIME '2020-01-05 12:30:00'") == true)
   }
 
+  test("GAP_FILL materializes missing buckets and fills locf/linear/null") {
+    val rows = spark.sql(Dialect.rewrite(
+      """SELECT p, CAST(ts AS STRING) AS t, CAST(v1 AS FLOAT64) AS v1, v2
+        |FROM GAP_FILL(TABLE (
+        |  SELECT 'a' AS p, TIMESTAMP '2020-01-01 00:00:00' AS ts, 10.0 AS v1, 10.0 AS v2
+        |  UNION ALL SELECT 'a', TIMESTAMP '2020-01-01 03:00:00', 40.0, 40.0
+        |  UNION ALL SELECT 'b', TIMESTAMP '2020-01-01 01:00:00', 5.0, 5.0
+        |), ts_column => 'ts', bucket_width => INTERVAL 1 HOUR,
+        |   partitioning_columns => ['p'],
+        |   value_columns => [('v1', 'locf'), ('v2', 'linear')])
+        |ORDER BY p, t""".stripMargin)).collect()
+    assert(rows.length == 5) // a gets 4 hourly buckets, b keeps 1
+    // locf carries 10.0 across the gap; linear walks 10 → 20 → 30 → 40
+    assert(rows.take(4).map(r => (r.getDouble(2), r.getDouble(3))).toSeq ==
+      Seq((10.0, 10.0), (10.0, 20.0), (10.0, 30.0), (40.0, 40.0)))
+    // 'null' method leaves the gap NULL; no partitioning columns
+    val np = spark.sql(Dialect.rewrite(
+      """SELECT CAST(v AS FLOAT64) AS v FROM GAP_FILL(TABLE (
+        |  SELECT TIMESTAMP '2020-01-01 00:00:00' AS ts, 1.0 AS v
+        |  UNION ALL SELECT TIMESTAMP '2020-01-01 02:00:00', 3.0
+        |), ts_column => 'ts', bucket_width => INTERVAL 1 HOUR,
+        |   value_columns => [('v', 'null')])
+        |ORDER BY ts""".stripMargin)).collect()
+    assert(np.map(r => if (r.isNullAt(0)) null else r.getDouble(0)).toSeq ==
+      Seq(1.0, null, 3.0))
+    // leading/trailing gaps: locf leaves leading NULL, linear both
+    intercept[Exception] {
+      spark.sql(Dialect.rewrite(
+        "SELECT 1 FROM GAP_FILL(TABLE t, ts_column => 'ts', " +
+          "bucket_width => INTERVAL 1 HOUR, origin => TIMESTAMP '2020-01-01')"))
+    }
+  }
+
   test("RANGE_SESSIONIZE merges overlapping/touching ranges per partition") {
     val rows = spark.sql(Dialect.rewrite(
       """SELECT k, p,
