@@ -321,7 +321,9 @@ object Dialect {
     * (operator, comma, ARRAY, a function name) means expression.
     */
   private val tableCtxKeywords =
-    Set("FROM", "JOIN", "EXISTS", "IN", "UNNEST", "LATERAL", "USING", "TABLE")
+    Set("FROM", "JOIN", "EXISTS", "IN", "UNNEST", "LATERAL", "USING", "TABLE",
+      // set-op branches are value tables too: (…) UNION ALL (SELECT AS STRUCT …)
+      "UNION", "ALL", "EXCEPT", "INTERSECT", "DISTINCT")
 
   private def rewriteStructSubquery(sql: String): String = {
     var cur = sql
@@ -335,10 +337,16 @@ object Dialect {
           p >= 0 && cur.charAt(p) == '(' && {
             var q = p - 1
             while (q >= 0 && cur.charAt(q).isWhitespace) q -= 1
-            var w = q
-            while (w >= 0 && (cur.charAt(w).isLetterOrDigit || cur.charAt(w) == '_')) w -= 1
-            val tok = if (q < 0) "" else cur.substring(w + 1, q + 1).toUpperCase
-            !tableCtxKeywords.contains(tok)
+            // a preceding comma or '(' is table context too: value-table
+            // forms `FROM t, (SELECT AS STRUCT …)` and parenthesized
+            // set-op branches `FROM ((SELECT AS STRUCT …) UNION ALL …)`
+            if (q >= 0 && (cur.charAt(q) == ',' || cur.charAt(q) == '(')) false
+            else {
+              var w = q
+              while (w >= 0 && (cur.charAt(w).isLetterOrDigit || cur.charAt(w) == '_')) w -= 1
+              val tok = if (q < 0) "" else cur.substring(w + 1, q + 1).toUpperCase
+              !tableCtxKeywords.contains(tok)
+            }
           }
         }
       }
@@ -1328,6 +1336,13 @@ object Dialect {
         // marker, which the call rewriter wraps in nanvl → NULL.
         else if (m.group(1).equalsIgnoreCase("SAFE") && safeNanFns.contains(bare))
           s"SAFE_NANVL_${m.group(2)}"
+        // handlers whose LOWERING can throw at eval time (raise_error
+        // branches, strict decode kernels, ANSI casts): bare prefix
+        // stripping would error where BigQuery's SAFE. returns NULL —
+        // route through a marker the call rewriter wraps in graft_try
+        // (Catalyst TryEval: any eval-time exception → NULL)
+        else if (m.group(1).equalsIgnoreCase("SAFE") && safeWrapFns.contains(bare))
+          s"GRAFT_SAFE_WRAP_${m.group(2)}"
         else if (m.group(1).equalsIgnoreCase("SAFE") &&
             (callRewrites.contains(bare) || sparkBuiltinFns.contains(bare)))
           m.group(2)
@@ -1337,6 +1352,19 @@ object Dialect {
   // Spark returns NaN (BigQuery: error / SAFE → NULL) for these
   private val safeNanFns = Set("SQRT", "ASIN", "ACOS", "ACOSH", "ATANH",
     "POW", "POWER", "CBRT")
+
+  /** Handlers whose lowering deliberately raises on bad input (the SAFE.
+    * semantic must suppress that): FROM_BASE32 (invalid chars/padding),
+    * RANGE/RANGE_INTERSECT (raise_error on empty/disjoint),
+    * GENERATE_ARRAY (zero step), CODE_POINTS_TO_STRING/BYTES (range
+    * checks), PARSE_NUMERIC/PARSE_BIGNUMERIC (ANSI string→decimal cast).
+    * NOT listed: FORMAT %T / non-literal REGEXP_EXTRACT raises — those
+    * signal THIS ENGINE's unsupported shapes, and SAFE. must not turn a
+    * missing feature into a silent NULL.
+    */
+  private val safeWrapFns = Set("FROM_BASE32", "RANGE", "RANGE_INTERSECT",
+    "GENERATE_ARRAY", "CODE_POINTS_TO_STRING", "CODE_POINTS_TO_BYTES",
+    "PARSE_NUMERIC", "PARSE_BIGNUMERIC")
 
   private val starReplaceRe = raw"(?is)\*\s*REPLACE\s*\(".r
 
@@ -1805,8 +1833,11 @@ object Dialect {
     if (a.length >= 2 && a.head == '\'' && a.last == '\'')
       Some(a.substring(1, a.length - 1))
     else if (a.length >= 2 && a.head == '"' && a.last == '"')
+      // unescape the double-quoted source's backslash escapes FIRST —
+      // "don\'t" must become don\'t (one backslash), not don\\'t where
+      // the doubled backslash lets the quote terminate the literal
       Some(a.substring(1, a.length - 1)
-        .replace("\\\"", "\"").replace("'", "\\'"))
+        .replace("\\\"", "\"").replace("\\'", "'").replace("'", "\\'"))
     else scala.None
 
   private def isBareUnit(a: String, allowed: Set[String]): Boolean =
@@ -2344,7 +2375,18 @@ object Dialect {
     }))
   }
 
+  /** baseRewrites plus the GRAFT_SAFE_WRAP_ aliases: SAFE.<fn> over a
+    * throwing lowering (safeWrapFns) re-runs the underlying handler and
+    * wraps its output in graft_try — TryEval returns NULL on any
+    * eval-time exception, which IS BigQuery's SAFE. contract.
+    */
   private lazy val callRewrites: Map[String, Seq[String] => Option[String]] =
+    baseRewrites ++ safeWrapFns.map { n =>
+      s"GRAFT_SAFE_WRAP_$n" -> ((a: Seq[String]) =>
+        Some(s"graft_try(${baseRewrites(n)(a).getOrElse(s"$n(${a.mkString(", ")})")})"))
+    }
+
+  private lazy val baseRewrites: Map[String, Seq[String] => Option[String]] =
     Map[String, Seq[String] => Option[String]](
     "COUNTIF" -> renameTo("count_if"),
     "LOGICAL_AND" -> renameTo("bool_and"),

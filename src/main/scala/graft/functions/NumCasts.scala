@@ -39,7 +39,12 @@ case class BqInt64Cast(child: Expression, safe: Boolean)
 }
 
 object NumCasts {
-  /** Register `graft_int64` / `graft_int64_safe` (idempotent). */
+  /** Register `graft_int64` / `graft_int64_safe` / `graft_try`
+    * (idempotent). `graft_try` is Catalyst's own TryEval (codegen'd
+    * try/catch → NULL); the dialect wraps SAFE.-prefixed calls whose
+    * lowering can throw (FROM_BASE32, RANGE…, see Dialect.safeWrapFns)
+    * so they return NULL like BigQuery instead of erroring.
+    */
   def register(spark: SparkSession): Unit = {
     if (spark.sessionState.functionRegistry.functionExists(
         FunctionIdentifier("graft_int64"))) return
@@ -47,5 +52,8 @@ object NumCasts {
       "graft_int64", exprs => BqInt64Cast(exprs.head, safe = false), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_int64_safe", exprs => BqInt64Cast(exprs.head, safe = true), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_try", exprs =>
+        org.apache.spark.sql.catalyst.expressions.TryEval(exprs.head), "scala_udf")
   }
 }

@@ -1062,6 +1062,49 @@ class DialectExecSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one("SELECT CAST(INTERVAL '0 0:0:1.5' DAY TO SECOND AS STRING)") == "0-0 0 0:0:1.5")
   }
 
+  test("SAFE. over throwing lowerings returns NULL (graft_try wrap)") {
+    // FROM_BASE32 raises on invalid chars — SAFE. must suppress, not strip
+    assert(one("SELECT SAFE.FROM_BASE32('!!') IS NULL") == true)
+    assert(one("SELECT CAST(SAFE.FROM_BASE32('MZXW6YTB') AS STRING)") == "fooba")
+    // RANGE raise_error on start >= end
+    assert(one("SELECT SAFE.RANGE(DATE '2024-02-01', DATE '2024-01-01') IS NULL") == true)
+    assert(one("SELECT SAFE.RANGE(DATE '2024-01-01', DATE '2024-02-01').range_end") ==
+      java.sql.Date.valueOf("2024-02-01"))
+    // disjoint RANGE_INTERSECT
+    assert(one("SELECT SAFE.RANGE_INTERSECT(RANGE(DATE '2024-01-01', DATE '2024-01-05'), " +
+      "RANGE(DATE '2024-03-01', DATE '2024-03-05')) IS NULL") == true)
+    // zero step GENERATE_ARRAY: only the FLOAT64 branch raises (the
+    // integer form yields [] for a zero step) — SAFE. suppresses it
+    assert(one("SELECT SAFE.GENERATE_ARRAY(1.0, 5.0, CAST('0' AS FLOAT64)) IS NULL") == true)
+    assert(one("SELECT SAFE.GENERATE_ARRAY(1, 3)") == Seq(1, 2, 3))
+    // ANSI string→decimal parse
+    assert(one("SELECT SAFE.PARSE_NUMERIC('nope') IS NULL") == true)
+    assert(one("SELECT CAST(SAFE.PARSE_NUMERIC(' 1.5 ') AS STRING)") == "1.500000000")
+    // invalid code point
+    assert(one("SELECT SAFE.CODE_POINTS_TO_STRING([97, 2097152]) IS NULL") == true)
+    assert(one("SELECT SAFE.CODE_POINTS_TO_BYTES([300]) IS NULL") == true)
+  }
+
+  test("double-quoted literals with escaped apostrophes re-emit correctly") {
+    // "don\'t" must become 'don\'t' (one backslash), not 'don\\'t'
+    assert(one("SELECT FORMAT(\"don\\'t %d\", 5)") == "don't 5")
+    assert(one("SELECT REGEXP_REPLACE('ab', 'b', \"\\'\")") == "a'")
+  }
+
+  test("value-table forms keep the flatten: FROM t, (SELECT AS STRUCT …)") {
+    // comma-separated FROM item is TABLE context — flatten, not struct-wrap
+    val r = spark.sql(Dialect.rewrite(
+      "SELECT x.a FROM (SELECT 1 AS k), (SELECT AS STRUCT 2 AS a) AS x")).collect()
+    assert(r(0).getInt(0) == 2)
+    // parenthesized set-op branches are table context too
+    val u = spark.sql(Dialect.rewrite(
+      "SELECT a FROM ((SELECT AS STRUCT 1 AS a) UNION ALL (SELECT AS STRUCT 2 AS a)) ORDER BY a"))
+      .collect()
+    assert(u.map(_.getInt(0)).toSeq == Seq(1, 2))
+    // expression context still wraps to ONE struct value
+    assert(one("SELECT (SELECT AS STRUCT 1 AS a, 2 AS b).b") == 2)
+  }
+
   test("TIME typed-literal rewrite is string-literal-aware") {
     // the word TIME at the end of (or as) a literal must survive
     assert(one("SELECT 'TIME'") == "TIME")

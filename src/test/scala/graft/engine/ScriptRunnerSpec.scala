@@ -1595,6 +1595,34 @@ class ScriptRunnerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.collect().head.getString(0) == "graft-local")
   }
 
+  test("@@project_id inside string literals and comments stays verbatim") {
+    val out = new ScriptRunner(spark).run(
+      "SELECT '@@project_id' AS lit, @@project_id AS pid -- @@project_id\n").get
+    val r = out.collect().head
+    assert(r.getString(0) == "@@project_id" && r.getString(1) == "graft-local")
+  }
+
+  test("CREATE TEMP TABLE refuses to clobber a permanent table; temp residue re-creates") {
+    spark.sql("DROP TABLE IF EXISTS perm_keep")
+    spark.sql("CREATE TABLE perm_keep (v BIGINT) USING parquet")
+    spark.sql("INSERT INTO perm_keep VALUES (42)")
+    val e = intercept[Exception] {
+      new ScriptRunner(spark).run(
+        "CREATE TEMP TABLE perm_keep (v INT64); SELECT 1 AS one").get.collect()
+    }
+    assert(e.getMessage.contains("permanent table"))
+    // the permanent table's data survived
+    assert(spark.table("perm_keep").collect().head.getLong(0) == 42L)
+    spark.sql("DROP TABLE perm_keep")
+    // a graft-created temp (marked) CAN be re-created by a later script
+    new ScriptRunner(spark).run(
+      "CREATE TEMP TABLE tmp_marked (v INT64); INSERT INTO tmp_marked VALUES (1); SELECT 1 AS one").get.collect()
+    val out = new ScriptRunner(spark).run(
+      "CREATE TEMP TABLE tmp_marked (v INT64); SELECT count(1) AS c FROM tmp_marked").get
+    assert(out.collect().head.getLong(0) == 0L)
+    spark.sql("DROP TABLE IF EXISTS tmp_marked")
+  }
+
   test("table functions may reference other table functions (bounded)") {
     spark.sql("DROP DATABASE IF EXISTS tvfspec2 CASCADE")
     val loc = java.nio.file.Files.createTempDirectory("tvfspec2")
