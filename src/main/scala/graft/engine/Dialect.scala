@@ -2710,12 +2710,18 @@ object Dialect {
         "CASE WHEN __c BETWEEN 0 AND 255 THEN lpad(hex(__c), 2, '0') " +
         "ELSE raise_error(concat('CODE_POINTS_TO_BYTES: byte out of range ', " +
         "CAST(__c AS STRING))) END)))") else scala.None),
+    // NET domain kernels (functions/PublicSuffix.scala): HOST is the
+    // best-effort RFC 3986 extraction; PUBLIC_SUFFIX/REG_DOMAIN match
+    // the bundled ICANN public-suffix list exactly like BigQuery
+    // (Punycode-normalized match, original-case result, no implicit *)
     "NET_HOST" -> (a => if (a.length == 1)
-      Some(s"coalesce(parse_url(${a(0)}, 'HOST'), " +
-        s"parse_url(concat('http://', ${a(0)}), 'HOST'))")
-      else scala.None),
+      Some(s"graft_net_host(${a(0)})") else scala.None),
+    "NET_PUBLIC_SUFFIX" -> (a => if (a.length == 1)
+      Some(s"graft_net_public_suffix(${a(0)})") else scala.None),
+    "NET_REG_DOMAIN" -> (a => if (a.length == 1)
+      Some(s"graft_net_reg_domain(${a(0)})") else scala.None),
     // NET IP kernels (functions/NetKernels.scala): strict local parse,
-    // no resolver. REG_DOMAIN/PUBLIC_SUFFIX stay loud (need the PSL).
+    // no resolver.
     "NET_IP_FROM_STRING" -> (a =>
       if (a.length == 1) Some(s"graft_net_ip_from_string(${a(0)})") else scala.None),
     "NET_SAFE_IP_FROM_STRING" -> (a =>

@@ -391,6 +391,7 @@ object BitSketchExpressions {
     IntervalExpressions.register(spark)
     JsonMutators.register(spark)
     NetKernels.register(spark)
+    PublicSuffix.register(spark)
     TopCount.register(spark)
   }
 }

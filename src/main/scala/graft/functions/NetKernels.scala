@@ -13,10 +13,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * IP_TO_STRING, IPV4_TO_INT64 / IPV4_FROM_INT64. Parsing is strict
   * and PURELY LOCAL: a hostname never reaches a resolver (a charset
   * gate rejects anything that is not an address literal before
-  * InetAddress sees it). NET.HOST/REG_DOMAIN need the public-suffix
-  * list; HOST maps via parse_url in the dialect, REG_DOMAIN /
-  * PUBLIC_SUFFIX stay loud-unsupported (a heuristic suffix split would
-  * be silently wrong on multi-label TLDs).
+  * InetAddress sees it). NET.HOST / REG_DOMAIN / PUBLIC_SUFFIX live in
+  * PublicSuffix.scala (bundled ICANN public-suffix list).
   */
 object NetKernels {
   private val ipv4Re = raw"^(\d{1,3})\.(\d{1,3})\.(\d{1,3})\.(\d{1,3})$$".r

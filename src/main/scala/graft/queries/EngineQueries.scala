@@ -998,6 +998,48 @@ object EngineQueries {
           |SELECT k2, name FROM graft.pg61.v ORDER BY k2""".stripMargin).get
     },
 
+    "e73_net_domains" -> { (s, d) =>
+      // NET.HOST / PUBLIC_SUFFIX / REG_DOMAIN over the bundled ICANN
+      // public-suffix list (closes the round-9 documented skip). Leg 1:
+      // BigQuery's own documented example URLs (wildcard *.ck, the
+      // !www.ck exception, unicode↔Punycode, private-section exclusion,
+      // case-preserving results) — the oracle restates the expected
+      // values as literals, which the DialectExecSpec PSL suite pins to
+      // the same data. Leg 2: a constructed-URL column over `nation`,
+      // suffix fixed by construction so DuckDB re-derives with string
+      // math — proves the kernel distributes over a real scan.
+      Tables.views(s, d, "nation")
+      new ScriptRunner(s).run(
+        """WITH lits AS (
+          |  SELECT CAST(1000 + off AS INT64) AS id, NET.HOST(u) AS host,
+          |    NET.PUBLIC_SUFFIX(u) AS suffix, NET.REG_DOMAIN(u) AS rd
+          |  FROM UNNEST(['http://abc.xyz',
+          |               '//user:password@a.b:80/path?query',
+          |               'https://[::1]:80',
+          |               '    www.Example.Co.UK    ',
+          |               'filename.txt',
+          |               'foo.bar.ck',
+          |               'www.ck',
+          |               'foo.blogspot.com',
+          |               'http://例子.卷筒纸.中国',
+          |               'a..com',
+          |               '.com',
+          |               'http://1.2.3.4/',
+          |               'mailto:someone@foo.example.org']) AS u WITH OFFSET off
+          |), nat AS (
+          |  SELECT CAST(n_nationkey AS INT64) AS id,
+          |    NET.HOST(url) AS host, NET.PUBLIC_SUFFIX(url) AS suffix,
+          |    NET.REG_DOMAIN(url) AS rd
+          |  FROM (SELECT n_nationkey,
+          |          CONCAT('https://user@www.', REPLACE(LOWER(n_name), ' ', '-'),
+          |                 '.Co.UK:8080/x?q=1') AS url
+          |        FROM nation)
+          |)
+          |SELECT id, host, suffix, rd FROM lits
+          |UNION ALL SELECT id, host, suffix, rd FROM nat
+          |ORDER BY id""".stripMargin).get
+    },
+
     // --- vocabulary pack 8 (cont.): JSON construction + conversion ------
     "e72_gap_fill" -> { (s, d) =>
       // GAP_FILL over hourly per-group event aggregates with forced
@@ -2355,6 +2397,36 @@ object EngineQueries {
     // the same bucket spine + window fills, restated: generate_series
     // buckets, IGNORE NULLS last/first_value, identical IEEE linear
     // expression over epoch micros
+    // leg 1 expected values are literals (no PSL in DuckDB — they are
+    // BigQuery's documented outputs, pinned by the DialectExecSpec PSL
+    // suite); leg 2 re-derives with string math since the suffix is
+    // fixed by construction
+    "e73_net_domains" ->
+      """WITH lits(id, host, suffix, rd) AS (VALUES
+        |  (1000, 'abc.xyz', 'xyz', 'abc.xyz'),
+        |  (1001, 'a.b', NULL, NULL),
+        |  (1002, '[::1]', NULL, NULL),
+        |  (1003, 'www.Example.Co.UK', 'Co.UK', 'Example.Co.UK'),
+        |  (1004, 'filename.txt', NULL, NULL),
+        |  (1005, 'foo.bar.ck', 'bar.ck', 'foo.bar.ck'),
+        |  (1006, 'www.ck', 'ck', 'www.ck'),
+        |  (1007, 'foo.blogspot.com', 'com', 'blogspot.com'),
+        |  (1008, '例子.卷筒纸.中国', '中国', '卷筒纸.中国'),
+        |  (1009, 'a..com', NULL, NULL),
+        |  (1010, '.com', 'com', NULL),
+        |  (1011, '1.2.3.4', NULL, NULL),
+        |  (1012, 'foo.example.org', 'org', 'example.org')
+        |), nat AS (
+        |  SELECT CAST(n_nationkey AS BIGINT) AS id,
+        |    'www.' || replace(lower(n_name), ' ', '-') || '.Co.UK' AS host,
+        |    'Co.UK' AS suffix,
+        |    replace(lower(n_name), ' ', '-') || '.Co.UK' AS rd
+        |  FROM nation
+        |)
+        |SELECT CAST(id AS BIGINT) AS id, host, suffix, rd FROM lits
+        |UNION ALL SELECT id, host, suffix, rd FROM nat
+        |ORDER BY id""".stripMargin,
+
     "e72_gap_fill" ->
       """WITH src AS (
         |  SELECT CAST(user_id % 3 AS BIGINT) AS grp,

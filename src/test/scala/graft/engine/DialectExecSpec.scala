@@ -293,6 +293,41 @@ class DialectExecSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one("SELECT NET.HOST('example.com/path')") == "example.com")
   }
 
+  test("NET.HOST / PUBLIC_SUFFIX / REG_DOMAIN over the public-suffix list") {
+    // BigQuery's documented examples (net functions reference table)
+    assert(one("SELECT NET.HOST('//user:password@a.b:80/path?query')") == "a.b")
+    assert(one("SELECT NET.HOST('https://[::1]:80')") == "[::1]")
+    assert(one("SELECT NET.HOST('    www.Example.Co.UK    ')") == "www.Example.Co.UK")
+    assert(one("SELECT NET.HOST('filename.txt')") == "filename.txt")
+    assert(one("SELECT NET.PUBLIC_SUFFIX('http://abc.xyz')") == "xyz")
+    assert(one("SELECT NET.REG_DOMAIN('http://abc.xyz')") == "abc.xyz")
+    // matching is lowercase; the RESULT keeps the original case
+    assert(one("SELECT NET.PUBLIC_SUFFIX('www.Example.Co.UK')") == "Co.UK")
+    assert(one("SELECT NET.REG_DOMAIN('www.Example.Co.UK')") == "Example.Co.UK")
+    // multi-label ICANN suffix
+    assert(one("SELECT NET.REG_DOMAIN('https://sub.example.co.uk/p')") == "example.co.uk")
+    // host IS a public suffix → REG_DOMAIN NULL, PUBLIC_SUFFIX matches
+    assert(one("SELECT NET.PUBLIC_SUFFIX('co.uk')") == "co.uk")
+    assert(one("SELECT NET.REG_DOMAIN('co.uk') IS NULL") == true)
+    // no implicit '*' rule: unlisted TLD → NULL (BigQuery delta from PSL)
+    assert(one("SELECT NET.PUBLIC_SUFFIX('filename.txt') IS NULL") == true)
+    assert(one("SELECT NET.REG_DOMAIN('a.b') IS NULL") == true)
+    // wildcard *.ck with exception !www.ck
+    assert(one("SELECT NET.PUBLIC_SUFFIX('foo.bar.ck')") == "bar.ck")
+    assert(one("SELECT NET.REG_DOMAIN('foo.bar.ck')") == "foo.bar.ck")
+    assert(one("SELECT NET.REG_DOMAIN('www.ck')") == "www.ck")
+    // ICANN section only: private registry domains are not suffixes
+    assert(one("SELECT NET.REG_DOMAIN('foo.blogspot.com')") == "blogspot.com")
+    // unicode host matches the unicode PSL entry via Punycode
+    assert(one("SELECT NET.PUBLIC_SUFFIX('http://例子.卷筒纸.中国')") == "中国")
+    assert(one("SELECT NET.REG_DOMAIN('http://例子.卷筒纸.中国')") == "卷筒纸.中国")
+    // middle adjacent dots disqualify; leading dot is stripped
+    assert(one("SELECT NET.PUBLIC_SUFFIX('a..com') IS NULL") == true)
+    assert(one("SELECT NET.PUBLIC_SUFFIX('.com')") == "com")
+    // IP hosts have no suffix
+    assert(one("SELECT NET.REG_DOMAIN('http://1.2.3.4/') IS NULL") == true)
+  }
+
   test("SELECT * REPLACE substitutes the column, keeping the rest") {
     val rows = spark.sql(Dialect.rewrite(
       "SELECT * REPLACE (v * 10 AS v, CAST(k AS STRING) AS k) " +

@@ -94,7 +94,7 @@ class DialectSpec extends AnyFunSuite {
   test("SAFE./NET. prefixes rewrite only known function calls") {
     // known namespace functions still map to their underscore spelling
     assert(Dialect.rewrite("SELECT SAFE.SUBSTR(s, 1, 2)").contains("substr("))
-    assert(Dialect.rewrite("SELECT NET.HOST(u) FROM t").contains("parse_url"))
+    assert(Dialect.rewrite("SELECT NET.HOST(u) FROM t").contains("graft_net_host"))
     // an alias or struct path named safe/net must survive untouched
     assert(Dialect.rewrite("SELECT net.amount FROM ledger net", mapFqns = false) ==
       "SELECT net.amount FROM ledger net")
