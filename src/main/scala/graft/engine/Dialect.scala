@@ -782,9 +782,19 @@ object Dialect {
     * min and max timestamp and fills the value columns per method:
     * null (leave), locf (last observed carried forward), linear
     * (interpolation between the observed neighbors, NULL at the
-    * edges, as BigQuery defines). The input's timestamps must already
-    * be bucket-aligned (BigQuery's own precondition when no origin is
-    * given; origin / ignore_null_values stay loud-unsupported).
+    * edges, as BigQuery defines). Without `origin`, the input's
+    * timestamps must already be bucket-aligned (BigQuery's own
+    * precondition). With `origin => <timestamp>`, buckets are
+    * origin + k*width (bucket START, like TIMESTAMP_BUCKET) and each
+    * input row is re-aligned into its bucket — two rows of one
+    * partition landing in the same bucket FAIL LOUD; the re-aligned
+    * column is emitted as TIMESTAMP, and only micros-expressible
+    * widths (SECOND…WEEK) are accepted (calendar months have no fixed
+    * micros — loud). `ignore_null_values` (default true) controls
+    * whether locf/linear skip NULL observations (true: a NULL value is
+    * as-if-absent) or treat an existing row's NULL as a real
+    * observation (false: locf carries it, linear anchors on it and
+    * yields NULL across it).
     * Shape: one groupBy for the bucket spans, one explode, one LEFT
     * JOIN back on (partition, ts), per-row window fills — scales like
     * any windowed aggregation.
@@ -825,6 +835,8 @@ object Dialect {
     var width: Option[String] = scala.None
     var pcols: Seq[String] = Seq.empty
     var vcols: Seq[(String, String)] = Seq.empty
+    var origin: Option[String] = scala.None
+    var ignoreNulls = true
     def unq(s: String) = s.trim.stripPrefix("'").stripSuffix("'")
     args.drop(1).foreach { a =>
       val kv = a.split("=>", 2).map(_.trim)
@@ -847,6 +859,13 @@ object Dialect {
                 s"GAP_FILL value_columns entries are ('col', 'null'|'locf'|'linear'): $p")
             (parts(0), parts(1).toLowerCase)
           }
+        case "origin" => origin = Some(kv(1))
+        case "ignore_null_values" => kv(1).trim.toLowerCase match {
+          case "true" => ignoreNulls = true
+          case "false" => ignoreNulls = false
+          case other => throw new IllegalArgumentException(
+            s"GAP_FILL ignore_null_values must be the literal true or false, got: $other")
+        }
         case other => throw new IllegalArgumentException(
           s"unsupported GAP_FILL argument: $other")
       }
@@ -860,31 +879,80 @@ object Dialect {
     val pBy =
       if (pq.isEmpty) ""
       else s"PARTITION BY ${pq.map(p => s"__gf_b.$p").mkString(", ")} "
+    // a bucket row came from a REAL input row iff the join key matched
+    val exists = s"__gf_i.$ts IS NOT NULL"
+    val prevWin = s"($pBy ORDER BY __gf_b.$ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    val nextWin = s"($pBy ORDER BY __gf_b.$ts ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)"
     val fills = vcols.map { case (c0, method) =>
       val c = "`" + c0 + "`"
-      method match {
-        case "null" => s"__gf_i.$c AS $c"
-        case "locf" =>
-          s"last_value(__gf_i.$c, true) OVER ($pBy ORDER BY __gf_b.$ts " +
-            s"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS $c"
-        case "linear" =>
-          val prevV = s"last_value(__gf_i.$c, true) OVER ($pBy ORDER BY __gf_b.$ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
-          val nextV = s"first_value(__gf_i.$c, true) OVER ($pBy ORDER BY __gf_b.$ts ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)"
-          val prevT = s"last_value(CASE WHEN __gf_i.$c IS NOT NULL THEN __gf_b.$ts END, true) OVER ($pBy ORDER BY __gf_b.$ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
-          val nextT = s"first_value(CASE WHEN __gf_i.$c IS NOT NULL THEN __gf_b.$ts END, true) OVER ($pBy ORDER BY __gf_b.$ts ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)"
+      (method, ignoreNulls) match {
+        case ("null", _) => s"__gf_i.$c AS $c"
+        case ("locf", true) =>
+          s"last_value(__gf_i.$c, true) OVER $prevWin AS $c"
+        case ("locf", false) =>
+          // carry the last EXISTING row's value even when that value is
+          // NULL: the struct wrapper distinguishes "no row" (struct
+          // NULL, skipped) from "row with NULL value" (struct non-NULL)
+          s"(last_value(CASE WHEN $exists THEN named_struct('v', __gf_i.$c) END, true) " +
+            s"OVER $prevWin).v AS $c"
+        case ("linear", true) =>
+          val prevV = s"last_value(__gf_i.$c, true) OVER $prevWin"
+          val nextV = s"first_value(__gf_i.$c, true) OVER $nextWin"
+          val prevT = s"last_value(CASE WHEN __gf_i.$c IS NOT NULL THEN __gf_b.$ts END, true) OVER $prevWin"
+          val nextT = s"first_value(CASE WHEN __gf_i.$c IS NOT NULL THEN __gf_b.$ts END, true) OVER $nextWin"
           s"(CASE WHEN __gf_i.$c IS NOT NULL THEN CAST(__gf_i.$c AS DOUBLE) " +
             s"WHEN $prevV IS NULL OR $nextV IS NULL THEN CAST(NULL AS DOUBLE) " +
             s"ELSE CAST($prevV AS DOUBLE) + (CAST($nextV AS DOUBLE) - CAST($prevV AS DOUBLE)) " +
             s"* (unix_micros(CAST(__gf_b.$ts AS TIMESTAMP)) - unix_micros(CAST($prevT AS TIMESTAMP))) " +
             s"/ (unix_micros(CAST($nextT AS TIMESTAMP)) - unix_micros(CAST($prevT AS TIMESTAMP))) END) AS $c"
+        case ("linear", false) =>
+          // anchors are the nearest EXISTING rows; a NULL anchor value
+          // propagates NULL through the interpolation arithmetic
+          val anchor = s"named_struct('v', CAST(__gf_i.$c AS DOUBLE), 't', CAST(__gf_b.$ts AS TIMESTAMP))"
+          val prevS = s"last_value(CASE WHEN $exists THEN $anchor END, true) OVER $prevWin"
+          val nextS = s"first_value(CASE WHEN $exists THEN $anchor END, true) OVER $nextWin"
+          s"(CASE WHEN $exists THEN CAST(__gf_i.$c AS DOUBLE) " +
+            s"ELSE ($prevS).v + (($nextS).v - ($prevS).v) " +
+            s"* (unix_micros(CAST(__gf_b.$ts AS TIMESTAMP)) - unix_micros(($prevS).t)) " +
+            s"/ (unix_micros(($nextS).t) - unix_micros(($prevS).t)) END) AS $c"
       }
     }
     val fillSel = if (fills.isEmpty) "" else ", " + fills.mkString(", ")
     val onCond = (pq :+ ts)
       .map(c => s"__gf_b.$c = __gf_i.$c").mkString(" AND ")
+    // origin => re-align each input row into its origin + k*width bucket
+    // (bucket START). Only micros-expressible widths: calendar months
+    // have no fixed micros — loud. Two rows in one (partition, bucket)
+    // fail loud; the check rides the join-key column so pruning cannot
+    // drop it.
+    val inCte = origin match {
+      case scala.None => s"__gf_in AS (SELECT * FROM $tableRef),"
+      case Some(o) =>
+        val wm = raw"(?is)^\s*INTERVAL\s+(\d+)\s+(SECOND|MINUTE|HOUR|DAY|WEEK)\s*$$".r
+          .findFirstMatchIn(w).map { m =>
+            val n = m.group(1).toLong
+            val unit = m.group(2).toUpperCase match {
+              case "SECOND" => 1000000L
+              case "MINUTE" => 60000000L
+              case "HOUR" => 3600000000L
+              case "DAY" => 86400000000L
+              case "WEEK" => 604800000000L
+            }
+            n * unit
+          }.getOrElse(throw new IllegalArgumentException(
+            s"GAP_FILL origin needs a SECOND…WEEK bucket_width (fixed micros), got: $w"))
+        val oMic = s"unix_micros(CAST(($o) AS TIMESTAMP))"
+        val bucket = s"timestamp_micros($oMic + CAST(FLOOR((unix_micros(CAST($ts AS TIMESTAMP)) - $oMic) / ${wm}.0) AS BIGINT) * ${wm}L)"
+        s"""__gf_in0 AS (SELECT * FROM $tableRef),
+           |  __gf_al AS (SELECT * EXCEPT ($ts), $bucket AS $ts FROM __gf_in0),
+           |  __gf_in AS (SELECT * EXCEPT ($ts),
+           |    CASE WHEN count(1) OVER (PARTITION BY ${(pq :+ ts).mkString(", ")}) > 1
+           |         THEN CAST(raise_error('GAP_FILL: multiple input rows fall into one bucket after origin re-alignment') AS TIMESTAMP)
+           |         ELSE $ts END AS $ts FROM __gf_al),""".stripMargin
+    }
     val repl =
       s"""FROM (
-         |  WITH __gf_in AS (SELECT * FROM $tableRef),
+         |  WITH $inCte
          |  __gf_span AS (
          |    SELECT ${pSel}min($ts) AS __gf_lo, max($ts) AS __gf_hi
          |    FROM __gf_in${if (pq.isEmpty) "" else s" GROUP BY ${pq.mkString(", ")}"}

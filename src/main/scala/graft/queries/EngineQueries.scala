@@ -998,6 +998,43 @@ object EngineQueries {
           |SELECT k2, name FROM graft.pg61.v ORDER BY k2""".stripMargin).get
     },
 
+    "e74_gap_fill_origin" -> { (s, d) =>
+      // GAP_FILL's origin + ignore_null_values arguments (closes the
+      // round-9 documented skip). Inputs are per-(grp, offset-hour)
+      // aggregates keyed by their UNALIGNED min timestamp; origin
+      // re-aligns each row into its origin + k*width bucket. Every
+      // fifth bucket carries an EXISTING NULL observation —
+      // ignore_null_values => false makes locf carry it and linear
+      // anchor on it (NULL across its gaps), which the oracle restates
+      // with exist-flag windows.
+      Tables.views(s, d, "events")
+      new ScriptRunner(s).run(
+        """CREATE TEMP TABLE gfo_src AS (
+          |  SELECT grp, MIN(ts0) AS ts,
+          |    CASE WHEN MOD(bk, 5) = 2 THEN CAST(NULL AS FLOAT64)
+          |         ELSE CAST(SUM(CAST(value * 100 AS INT64)) AS FLOAT64) END AS v1,
+          |    CASE WHEN MOD(bk, 5) = 2 THEN CAST(NULL AS FLOAT64)
+          |         ELSE CAST(SUM(CAST(value * 100 AS INT64)) AS FLOAT64) END AS v2
+          |  FROM (
+          |    SELECT CAST(MOD(user_id, 3) AS INT64) AS grp, ts AS ts0,
+          |      DIV(UNIX_MICROS(ts) - UNIX_MICROS(TIMESTAMP '1970-01-01 00:30:00+00'),
+          |          3600000000) AS bk,
+          |      value
+          |    FROM events
+          |    WHERE EXTRACT(HOUR FROM ts) NOT IN (2, 7, 13, 20)
+          |  )
+          |  GROUP BY grp, bk);
+          |SELECT CAST(grp AS INT64) AS grp, CAST(ts AS STRING) AS h,
+          |  v1 AS v_locf, v2 AS v_lin
+          |FROM GAP_FILL(TABLE gfo_src, ts_column => 'ts',
+          |  bucket_width => INTERVAL 1 HOUR,
+          |  partitioning_columns => ['grp'],
+          |  value_columns => [('v1', 'locf'), ('v2', 'linear')],
+          |  origin => TIMESTAMP '1970-01-01 00:30:00+00',
+          |  ignore_null_values => false)
+          |ORDER BY grp, h""".stripMargin).get
+    },
+
     "e73_net_domains" -> { (s, d) =>
       // NET.HOST / PUBLIC_SUFFIX / REG_DOMAIN over the bundled ICANN
       // public-suffix list (closes the round-9 documented skip). Leg 1:
@@ -2401,6 +2438,52 @@ object EngineQueries {
     // BigQuery's documented outputs, pinned by the DialectExecSpec PSL
     // suite); leg 2 re-derives with string math since the suffix is
     // fixed by construction
+    // the same origin re-alignment (integer floor-division on epoch
+    // micros) and exist-flag fills restated: locf carries the last
+    // EXISTING row's value (struct wrapper distinguishes absent rows
+    // from NULL observations), linear anchors on existing rows so a
+    // NULL anchor propagates NULL through the arithmetic
+    "e74_gap_fill_origin" ->
+      """WITH raw AS (
+        |  SELECT CAST(user_id % 3 AS BIGINT) AS grp, ts,
+        |    (epoch_us(ts) - epoch_us(TIMESTAMP '1970-01-01 00:30:00')) // 3600000000 AS bk,
+        |    value
+        |  FROM events
+        |  WHERE EXTRACT(HOUR FROM ts) NOT IN (2, 7, 13, 20)
+        |), src AS (
+        |  SELECT grp, bk,
+        |    CASE WHEN bk % 5 = 2 THEN NULL
+        |         ELSE CAST(SUM(CAST(value * 100 AS BIGINT)) AS DOUBLE) END AS v
+        |  FROM raw GROUP BY grp, bk
+        |), al AS (
+        |  SELECT grp, TIMESTAMP '1970-01-01 00:30:00' + bk * INTERVAL '1 hour' AS h, v
+        |  FROM src
+        |), spans AS (
+        |  SELECT grp, min(h) AS lo, max(h) AS hi FROM al GROUP BY grp
+        |), buckets AS (
+        |  SELECT grp, unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS h FROM spans
+        |), joined AS (
+        |  SELECT b.grp, b.h, a.v, a.grp IS NOT NULL AS ex
+        |  FROM buckets b LEFT JOIN al a ON b.grp = a.grp AND b.h = a.h
+        |), filled AS (
+        |  SELECT grp, h, v, ex,
+        |    (last_value(CASE WHEN ex THEN {'v': v} END IGNORE NULLS) OVER pw).v AS v_locf,
+        |    (last_value(CASE WHEN ex THEN {'v': v, 't': h} END IGNORE NULLS) OVER pw) AS ps,
+        |    (first_value(CASE WHEN ex THEN {'v': v, 't': h} END IGNORE NULLS) OVER fw) AS ns
+        |  FROM joined
+        |  WINDOW pw AS (PARTITION BY grp ORDER BY h
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         fw AS (PARTITION BY grp ORDER BY h
+        |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |)
+        |SELECT grp, CAST(h AS VARCHAR) AS h, v_locf,
+        |  (CASE WHEN ex THEN v
+        |        ELSE ps.v + (ns.v - ps.v)
+        |          * (epoch_us(h) - epoch_us(ps.t))
+        |          / (epoch_us(ns.t) - epoch_us(ps.t)) END) AS v_lin
+        |FROM filled
+        |ORDER BY grp, h""".stripMargin,
+
     "e73_net_domains" ->
       """WITH lits(id, host, suffix, rd) AS (VALUES
         |  (1000, 'abc.xyz', 'xyz', 'abc.xyz'),

@@ -931,12 +931,62 @@ class DialectExecSpec extends AnyFunSuite with BeforeAndAfterAll {
         |ORDER BY ts""".stripMargin)).collect()
     assert(np.map(r => if (r.isNullAt(0)) null else r.getDouble(0)).toSeq ==
       Seq(1.0, null, 3.0))
-    // leading/trailing gaps: locf leaves leading NULL, linear both
-    intercept[Exception] {
+  }
+
+  test("GAP_FILL origin re-aligns input rows into origin + k*width buckets") {
+    graft.functions.BitSketchExpressions.register(spark)
+    // unaligned inputs (00:05, 02:35) with a :30 origin → buckets at :30
+    val rows = spark.sql(Dialect.rewrite(
+      """SELECT CAST(ts AS STRING) AS t, CAST(v AS FLOAT64) AS v
+        |FROM GAP_FILL(TABLE (
+        |  SELECT TIMESTAMP '2020-01-01 00:05:00' AS ts, 1.0 AS v
+        |  UNION ALL SELECT TIMESTAMP '2020-01-01 02:35:00', 4.0
+        |), ts_column => 'ts', bucket_width => INTERVAL 1 HOUR,
+        |   origin => TIMESTAMP '2019-12-31 23:30:00',
+        |   value_columns => [('v', 'locf')])
+        |ORDER BY ts""".stripMargin)).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq(
+      "2019-12-31 23:30:00", "2020-01-01 00:30:00",
+      "2020-01-01 01:30:00", "2020-01-01 02:30:00"))
+    assert(rows.map(_.getDouble(1)).toSeq == Seq(1.0, 1.0, 1.0, 4.0))
+    // two rows landing in one bucket fail loud
+    val e = intercept[Exception] {
       spark.sql(Dialect.rewrite(
-        "SELECT 1 FROM GAP_FILL(TABLE t, ts_column => 'ts', " +
-          "bucket_width => INTERVAL 1 HOUR, origin => TIMESTAMP '2020-01-01')"))
+        """SELECT * FROM GAP_FILL(TABLE (
+          |  SELECT TIMESTAMP '2020-01-01 00:05:00' AS ts, 1.0 AS v
+          |  UNION ALL SELECT TIMESTAMP '2020-01-01 00:10:00', 2.0
+          |), ts_column => 'ts', bucket_width => INTERVAL 1 HOUR,
+          |   origin => TIMESTAMP '2020-01-01 00:00:00',
+          |   value_columns => [('v', 'locf')])""".stripMargin)).collect()
     }
+    assert(e.getMessage.contains("one bucket") ||
+      Option(e.getCause).exists(_.getMessage.contains("one bucket")))
+    // calendar widths have no fixed micros — loud at rewrite time
+    intercept[IllegalArgumentException] {
+      Dialect.rewrite("SELECT 1 FROM GAP_FILL(TABLE t, ts_column => 'ts', " +
+        "bucket_width => INTERVAL 1 MONTH, origin => TIMESTAMP '2020-01-01')")
+    }
+  }
+
+  test("GAP_FILL ignore_null_values=false honors existing NULL observations") {
+    val src =
+      """(SELECT TIMESTAMP '2020-01-01 00:00:00' AS ts, CAST(0.0 AS DOUBLE) AS v
+        | UNION ALL SELECT TIMESTAMP '2020-01-01 02:00:00', CAST(NULL AS DOUBLE)
+        | UNION ALL SELECT TIMESTAMP '2020-01-01 04:00:00', 4.0)"""
+    def run(method: String, inv: String) = spark.sql(Dialect.rewrite(
+      s"""SELECT CAST(v AS FLOAT64) AS v FROM GAP_FILL(TABLE $src,
+         | ts_column => 'ts', bucket_width => INTERVAL 1 HOUR,
+         | value_columns => [('v', '$method')],
+         | ignore_null_values => $inv)
+         |ORDER BY ts""".stripMargin)).collect()
+      .map(r => if (r.isNullAt(0)) null else r.getDouble(0)).toSeq
+    // true (default): the existing NULL observation is as-if-absent
+    assert(run("locf", "true") == Seq(0.0, 0.0, 0.0, 0.0, 4.0))
+    assert(run("linear", "true") == Seq(0.0, 1.0, 2.0, 3.0, 4.0))
+    // false: locf carries the existing row's NULL; linear anchors on the
+    // existing rows, so a NULL anchor yields NULL across its gaps
+    assert(run("locf", "false") == Seq(0.0, 0.0, null, null, 4.0))
+    assert(run("linear", "false") == Seq(0.0, null, null, null, 4.0))
   }
 
   test("RANGE_SESSIONIZE merges overlapping/touching ranges per partition") {
