@@ -1432,7 +1432,7 @@ object Dialect {
     */
   private val safeWrapFns = Set("FROM_BASE32", "RANGE", "RANGE_INTERSECT",
     "GENERATE_ARRAY", "CODE_POINTS_TO_STRING", "CODE_POINTS_TO_BYTES",
-    "PARSE_NUMERIC", "PARSE_BIGNUMERIC")
+    "PARSE_NUMERIC", "PARSE_BIGNUMERIC", "STRING")
 
   private val starReplaceRe = raw"(?is)\*\s*REPLACE\s*\(".r
 
@@ -3056,6 +3056,13 @@ object Dialect {
     // exactly like BigQuery's strict converters.
     "BOOL" -> (a =>
       if (a.length == 1) Some(s"cast(${a(0)} as boolean)") else scala.None),
+    // STRING(x): type-dispatched at analysis time (BqStringOf) — a
+    // STRING child is a JSON value (strict converter: must be a JSON
+    // string, loud otherwise), any other child takes the cast path
+    // (timestamp overload). STRING(L) type parameters became VARCHAR(L)
+    // in the earlier type-spelling pass and never reach here.
+    "STRING" -> (a =>
+      if (a.length == 1) Some(s"graft_string_of(${a(0)})") else scala.None),
     // LAX converters: best-effort coercion, NULL when impossible
     "LAX_STRING" -> (a => if (a.length == 1) Some(
       s"CASE WHEN ${a(0)} IS NULL OR ${a(0)} = 'null' THEN NULL" +

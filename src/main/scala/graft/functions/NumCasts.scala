@@ -2,9 +2,12 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Cast, EvalMode, Expression, Literal, Round, RuntimeReplaceable}
+import org.apache.spark.sql.catalyst.expressions.{Cast, EvalMode, Expression, Literal, Round, RuntimeReplaceable, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.trees.UnaryLike
-import org.apache.spark.sql.types.{DecimalType, DoubleType, FloatType, LongType}
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.types.{DataType, DecimalType, DoubleType, FloatType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** BigQuery CAST(… AS INT64) semantics, which Spark's legacy cast gets
   * silently wrong in two ways (reference surface: any BigQuery SQL with
@@ -38,6 +41,44 @@ case class BqInt64Cast(child: Expression, safe: Boolean)
     copy(child = newChild)
 }
 
+/** BigQuery `STRING(x)` — one name, two overloads, resolved at analysis
+  * time by the child's type (closes the round-9 "quoted STRING(json)"
+  * skip): a STRING child is a JSON value in this engine (JSON values
+  * are canonical JSON text), so the strict converter applies — the JSON
+  * must BE a string (`"foo"` → foo, JSON null → NULL, anything else is
+  * an error; SAFE.STRING → NULL via graft_try). Any other child type
+  * takes the cast path (timestamp overload), unchanged from before.
+  */
+case class BqStringOf(child: Expression)
+    extends RuntimeReplaceable with UnaryLike[Expression] {
+  override lazy val replacement: Expression = child.dataType match {
+    case StringType => JsonStrictString(child)
+    case _ => Cast(child, StringType, Some(SQLConf.get.sessionLocalTimeZone))
+  }
+  override protected def withNewChildInternal(newChild: Expression): BqStringOf =
+    copy(child = newChild)
+}
+
+/** Strict JSON→STRING conversion kernel: Jackson-decoded so escapes
+  * (\n, \uXXXX) unwrap exactly like BigQuery; non-string JSON is loud.
+  */
+case class JsonStrictString(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  @transient private lazy val mapper =
+    new com.fasterxml.jackson.databind.ObjectMapper()
+  override protected def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString.trim
+    if (s == "null") return null
+    if (!s.startsWith("\"")) throw new IllegalArgumentException(
+      s"STRING(json): JSON value is not a string: $s")
+    UTF8String.fromString(mapper.readTree(s).asText())
+  }
+  override protected def withNewChildInternal(newChild: Expression): JsonStrictString =
+    copy(child = newChild)
+}
+
 object NumCasts {
   /** Register `graft_int64` / `graft_int64_safe` / `graft_try`
     * (idempotent). `graft_try` is Catalyst's own TryEval (codegen'd
@@ -55,5 +96,7 @@ object NumCasts {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_try", exprs =>
         org.apache.spark.sql.catalyst.expressions.TryEval(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_string_of", exprs => BqStringOf(exprs.head), "scala_udf")
   }
 }

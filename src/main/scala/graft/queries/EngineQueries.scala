@@ -1284,7 +1284,8 @@ object EngineQueries {
           |  LAX_INT64(PARSE_JSON(CONCAT('"', CAST(n_nationkey AS STRING), '"'))) AS li,
           |  LAX_STRING(PARSE_JSON(CAST(n_regionkey AS STRING))) AS ls,
           |  INT64(JSON '42') + CAST(n_nationkey AS INT64) AS strict_i,
-          |  JSON_VALUE(JSON_OBJECT('name', n_name), '$.name') AS jv
+          |  JSON_VALUE(JSON_OBJECT('name', n_name), '$.name') AS jv,
+          |  STRING(PARSE_JSON(CONCAT('"', n_name, '"'))) AS strict_s
           |FROM nation ORDER BY id""".stripMargin).get
     },
 
@@ -2658,7 +2659,8 @@ object EngineQueries {
         |  CAST(n_nationkey AS BIGINT) AS li,
         |  CAST(n_regionkey AS VARCHAR) AS ls,
         |  CAST(42 + n_nationkey AS BIGINT) AS strict_i,
-        |  n_name AS jv
+        |  n_name AS jv,
+        |  n_name AS strict_s
         |FROM nation ORDER BY id""".stripMargin,
 
     // the loop trace resolves to constants an independent reader can

@@ -1170,6 +1170,22 @@ class DialectExecSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one("SELECT SAFE.CODE_POINTS_TO_BYTES([300]) IS NULL") == true)
   }
 
+  test("STRING(x) dispatches: JSON strict converter vs timestamp cast") {
+    // JSON string value → decoded (escapes unwrap)
+    assert(one("""SELECT STRING(JSON '"foo"')""") == "foo")
+    assert(one("""SELECT STRING(PARSE_JSON('"a\\nb"'))""") == "a\nb")
+    assert(one("SELECT STRING(JSON 'null') IS NULL") == true)
+    // non-string JSON is loud; SAFE. suppresses to NULL
+    intercept[Exception] { one("SELECT STRING(JSON '123')") }
+    assert(one("SELECT SAFE.STRING(JSON '123') IS NULL") == true)
+    assert(one("""SELECT SAFE.STRING(JSON '"ok"')""") == "ok")
+    // timestamp overload keeps the cast path
+    assert(one("SELECT STRING(TIMESTAMP '2020-01-02 03:04:05')") ==
+      "2020-01-02 03:04:05")
+    // STRING(L) type parameter is untouched (VARCHAR path)
+    assert(one("SELECT CAST('abcdef' AS STRING)") == "abcdef")
+  }
+
   test("double-quoted literals with escaped apostrophes re-emit correctly") {
     // "don\'t" must become 'don\'t' (one backslash), not 'don\\'t'
     assert(one("SELECT FORMAT(\"don\\'t %d\", 5)") == "don't 5")
