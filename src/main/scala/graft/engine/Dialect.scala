@@ -1372,7 +1372,7 @@ object Dialect {
   }
 
   private val safeNetPrefixRe =
-    raw"(?i)\b(SAFE|NET|HLL_COUNT)\s*\.\s*([A-Za-z_][A-Za-z0-9_]*)(?=\s*\()".r
+    raw"(?i)\b(SAFE|NET|HLL_COUNT|AEAD|KEYS)\s*\.\s*([A-Za-z_][A-Za-z0-9_]*)(?=\s*\()".r
 
   /** SAFE. error-suppressing prefix → SAFE_ spelling handled by the call
     * rewriter (SAFE_CAST, SAFE_PARSE_x, SAFE_SUBSTR…); same for the NET.
@@ -1388,7 +1388,23 @@ object Dialect {
     org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin
       .listFunction().map(_.funcName.toUpperCase).toSet
 
-  private def rewriteSafeNetPrefix(sql: String): String =
+  /** Double-prefixed calls (SAFE.AEAD.DECRYPT_STRING) resolve in two
+    * passes: the inner namespace maps first (AEAD.X → AEAD_X), then the
+    * SAFE. prefix sees the underscored name. Bounded fixpoint.
+    */
+  private def rewriteSafeNetPrefix(sql: String): String = {
+    var cur = sql
+    var i = 0
+    while (i < 3) {
+      val next = rewriteSafeNetPrefixOnce(cur)
+      if (next == cur) return cur
+      cur = next
+      i += 1
+    }
+    cur
+  }
+
+  private def rewriteSafeNetPrefixOnce(sql: String): String =
     safeNetPrefixRe.replaceAllIn(sql, m => {
       val underscored = s"${m.group(1)}_${m.group(2)}".toUpperCase
       val bare = m.group(2).toUpperCase
@@ -1432,7 +1448,10 @@ object Dialect {
     */
   private val safeWrapFns = Set("FROM_BASE32", "RANGE", "RANGE_INTERSECT",
     "GENERATE_ARRAY", "CODE_POINTS_TO_STRING", "CODE_POINTS_TO_BYTES",
-    "PARSE_NUMERIC", "PARSE_BIGNUMERIC", "STRING")
+    "PARSE_NUMERIC", "PARSE_BIGNUMERIC", "STRING",
+    "AEAD_ENCRYPT", "AEAD_DECRYPT_STRING", "AEAD_DECRYPT_BYTES",
+    "DETERMINISTIC_ENCRYPT", "DETERMINISTIC_DECRYPT_STRING",
+    "DETERMINISTIC_DECRYPT_BYTES")
 
   private val starReplaceRe = raw"(?is)\*\s*REPLACE\s*\(".r
 
@@ -2778,6 +2797,23 @@ object Dialect {
         "CASE WHEN __c BETWEEN 0 AND 255 THEN lpad(hex(__c), 2, '0') " +
         "ELSE raise_error(concat('CODE_POINTS_TO_BYTES: byte out of range ', " +
         "CAST(__c AS STRING))) END)))") else scala.None),
+    // AEAD/KEYS/DETERMINISTIC_* encryption surface (AeadKernels.scala;
+    // keyset-typed dispatch, authenticated AAD, SAFE. → NULL via the
+    // wrap set). Namespace dots pre-mapped to underscores.
+    "KEYS_NEW_KEYSET" -> (a =>
+      if (a.length == 1) Some(s"graft_keys_new_keyset(${a(0)})") else scala.None),
+    "AEAD_ENCRYPT" -> (a =>
+      if (a.length == 3) Some(s"graft_aead_encrypt(${a.mkString(", ")})") else scala.None),
+    "AEAD_DECRYPT_STRING" -> (a =>
+      if (a.length == 3) Some(s"graft_aead_decrypt_string(${a.mkString(", ")})") else scala.None),
+    "AEAD_DECRYPT_BYTES" -> (a =>
+      if (a.length == 3) Some(s"graft_aead_decrypt_bytes(${a.mkString(", ")})") else scala.None),
+    "DETERMINISTIC_ENCRYPT" -> (a =>
+      if (a.length == 3) Some(s"graft_det_encrypt(${a.mkString(", ")})") else scala.None),
+    "DETERMINISTIC_DECRYPT_STRING" -> (a =>
+      if (a.length == 3) Some(s"graft_det_decrypt_string(${a.mkString(", ")})") else scala.None),
+    "DETERMINISTIC_DECRYPT_BYTES" -> (a =>
+      if (a.length == 3) Some(s"graft_det_decrypt_bytes(${a.mkString(", ")})") else scala.None),
     // NET domain kernels (functions/PublicSuffix.scala): HOST is the
     // best-effort RFC 3986 extraction; PUBLIC_SUFFIX/REG_DOMAIN match
     // the bundled ICANN public-suffix list exactly like BigQuery

@@ -1,0 +1,199 @@
+package graft.functions
+
+import java.security.SecureRandom
+import javax.crypto.Cipher
+import javax.crypto.spec.{GCMParameterSpec, SecretKeySpec}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, Nondeterministic, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types.{BinaryType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** BigQuery AEAD / KEYS / DETERMINISTIC_* encryption surface (closes
+  * part of the round-9 GEOGRAPHY/AEAD/ML namespace skip):
+  * KEYS.NEW_KEYSET, AEAD.ENCRYPT, AEAD.DECRYPT_STRING/BYTES,
+  * DETERMINISTIC_ENCRYPT, DETERMINISTIC_DECRYPT_STRING/BYTES.
+  *
+  * Semantics match BigQuery's contract — keyset-typed dispatch (an
+  * AEAD keyset refuses DETERMINISTIC_ENCRYPT and vice versa),
+  * authenticated additional_data (wrong AAD fails loud; SAFE. → NULL),
+  * AEAD.ENCRYPT nondeterministic per call, DETERMINISTIC_ENCRYPT
+  * stable for equal (keyset, plaintext, aad). DOCUMENTED DEVIATION:
+  * BigQuery keysets are serialized Tink protos; this engine's keysets
+  * use a versioned local format (`GAEAD1` + type byte + 32-byte key)
+  * and the ciphertexts are JDK AES-GCM — keysets and ciphertexts are
+  * NOT interchangeable with Tink/BigQuery, only the SQL surface and
+  * its laws are. Deterministic encryption uses an SIV-style
+  * construction (nonce = HMAC-SHA256(key, aad ∥ plaintext) truncated)
+  * rather than RFC 5297 AES-SIV, which the JDK lacks.
+  */
+object AeadKernels {
+  private val MAGIC = "GAEAD1".getBytes("UTF-8")
+  private val TYPE_GCM: Byte = 0
+  private val TYPE_DET: Byte = 1
+  private val rng = new SecureRandom()
+
+  def newKeyset(keyType: String): Array[Byte] = {
+    val t = keyType match {
+      case "AEAD_AES_GCM_256" => TYPE_GCM
+      case "DETERMINISTIC_AEAD_AES_SIV_CMAC_256" => TYPE_DET
+      case other => throw new IllegalArgumentException(
+        s"KEYS.NEW_KEYSET: unsupported key type '$other' (supported: " +
+          "AEAD_AES_GCM_256, DETERMINISTIC_AEAD_AES_SIV_CMAC_256)")
+    }
+    val key = new Array[Byte](32)
+    rng.synchronized(rng.nextBytes(key))
+    MAGIC ++ Array(t) ++ key
+  }
+
+  private def parseKeyset(ks: Array[Byte], wantType: Byte, fn: String): Array[Byte] = {
+    if (ks.length != MAGIC.length + 1 + 32 ||
+        !java.util.Arrays.equals(ks.take(MAGIC.length), MAGIC))
+      throw new IllegalArgumentException(
+        s"$fn: not a keyset produced by KEYS.NEW_KEYSET")
+    val t = ks(MAGIC.length)
+    if (t != wantType) throw new IllegalArgumentException(
+      s"$fn: keyset type mismatch (AEAD functions need AEAD_AES_GCM_256, " +
+        "DETERMINISTIC_* need DETERMINISTIC_AEAD_AES_SIV_CMAC_256)")
+    ks.takeRight(32)
+  }
+
+  private def gcm(mode: Int, key: Array[Byte], nonce: Array[Byte],
+      aad: Array[Byte], data: Array[Byte]): Array[Byte] = {
+    val c = Cipher.getInstance("AES/GCM/NoPadding")
+    c.init(mode, new SecretKeySpec(key, "AES"), new GCMParameterSpec(128, nonce))
+    if (aad.nonEmpty) c.updateAAD(aad)
+    c.doFinal(data)
+  }
+
+  def encrypt(ks: Array[Byte], plain: Array[Byte], aad: Array[Byte]): Array[Byte] = {
+    val key = parseKeyset(ks, TYPE_GCM, "AEAD.ENCRYPT")
+    val nonce = new Array[Byte](12)
+    rng.synchronized(rng.nextBytes(nonce))
+    nonce ++ gcm(Cipher.ENCRYPT_MODE, key, nonce, aad, plain)
+  }
+
+  def decrypt(ks: Array[Byte], cipher: Array[Byte], aad: Array[Byte],
+      fn: String): Array[Byte] = {
+    val key = parseKeyset(ks, TYPE_GCM, fn)
+    if (cipher.length < 12 + 16) throw new IllegalArgumentException(
+      s"$fn: ciphertext too short")
+    gcm(Cipher.DECRYPT_MODE, key, cipher.take(12), aad, cipher.drop(12))
+  }
+
+  private def sivNonce(key: Array[Byte], aad: Array[Byte],
+      plain: Array[Byte]): Array[Byte] = {
+    val mac = javax.crypto.Mac.getInstance("HmacSHA256")
+    mac.init(new SecretKeySpec(key, "HmacSHA256"))
+    mac.update(java.nio.ByteBuffer.allocate(4).putInt(aad.length).array())
+    mac.update(aad)
+    mac.update(plain)
+    mac.doFinal().take(12)
+  }
+
+  def detEncrypt(ks: Array[Byte], plain: Array[Byte], aad: Array[Byte]): Array[Byte] = {
+    val key = parseKeyset(ks, TYPE_DET, "DETERMINISTIC_ENCRYPT")
+    val nonce = sivNonce(key, aad, plain)
+    nonce ++ gcm(Cipher.ENCRYPT_MODE, key, nonce, aad, plain)
+  }
+
+  def detDecrypt(ks: Array[Byte], cipher: Array[Byte], aad: Array[Byte],
+      fn: String): Array[Byte] = {
+    val key = parseKeyset(ks, TYPE_DET, fn)
+    if (cipher.length < 12 + 16) throw new IllegalArgumentException(
+      s"$fn: ciphertext too short")
+    gcm(Cipher.DECRYPT_MODE, key, cipher.take(12), aad, cipher.drop(12))
+  }
+
+  def register(spark: SparkSession): Unit = {
+    if (spark.sessionState.functionRegistry.functionExists(
+        FunctionIdentifier("graft_keys_new_keyset"))) return
+    def reg(name: String, make: Seq[Expression] => Expression): Unit =
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, make, "scala_udf")
+    reg("graft_keys_new_keyset", e => NewKeysetExpr(e.head))
+    reg("graft_aead_encrypt", e => AeadEncryptExpr(e(0), e(1), e(2)))
+    reg("graft_aead_decrypt_string", e => AeadCryptExpr("decrypt_string", e(0), e(1), e(2)))
+    reg("graft_aead_decrypt_bytes", e => AeadCryptExpr("decrypt_bytes", e(0), e(1), e(2)))
+    reg("graft_det_encrypt", e => AeadCryptExpr("det_encrypt", e(0), e(1), e(2)))
+    reg("graft_det_decrypt_string", e => AeadCryptExpr("det_decrypt_string", e(0), e(1), e(2)))
+    reg("graft_det_decrypt_bytes", e => AeadCryptExpr("det_decrypt_bytes", e(0), e(1), e(2)))
+  }
+}
+
+/** KEYS.NEW_KEYSET — honestly nondeterministic (fresh key material per
+  * evaluation), so the optimizer never folds or duplicates it.
+  */
+case class NewKeysetExpr(child: Expression)
+    extends UnaryExpression with Nondeterministic with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override protected def initializeInternal(partitionIndex: Int): Unit = {}
+  override protected def evalInternal(input: InternalRow): Any = {
+    val t = child.eval(input)
+    if (t == null) null
+    else AeadKernels.newKeyset(t.asInstanceOf[UTF8String].toString)
+  }
+  override protected def withNewChildInternal(newChild: Expression): NewKeysetExpr =
+    copy(child = newChild)
+}
+
+/** AEAD.ENCRYPT — nondeterministic (fresh GCM nonce per evaluation), so
+  * common-subexpression elimination never dedups two encrypt calls into
+  * one ciphertext.
+  */
+case class AeadEncryptExpr(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression with Nondeterministic
+    with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override protected def initializeInternal(partitionIndex: Int): Unit = {}
+  override protected def evalInternal(input: InternalRow): Any = {
+    val (k, d, a) = (first.eval(input), second.eval(input), third.eval(input))
+    if (k == null || d == null || a == null) null
+    else AeadKernels.encrypt(AeadCryptExpr.bytes(k),
+      AeadCryptExpr.bytes(d), AeadCryptExpr.bytes(a))
+  }
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): AeadEncryptExpr = copy(first = f, second = s, third = t)
+}
+
+object AeadCryptExpr {
+  private[functions] def bytes(v: Any): Array[Byte] = v match {
+    case b: Array[Byte] => b
+    case s: UTF8String => s.getBytes
+    case other => throw new IllegalArgumentException(
+      s"AEAD: expected STRING or BYTES, got ${other.getClass.getSimpleName}")
+  }
+}
+
+/** AEAD/DETERMINISTIC decrypt + deterministic-encrypt kernels. Plaintext
+  * accepts STRING or BYTES (the two overloads); additional_data likewise.
+  */
+case class AeadCryptExpr(fn: String, first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression with CodegenFallback {
+  override def dataType: DataType =
+    if (fn.endsWith("_string")) StringType else BinaryType
+  override def nullable: Boolean = true
+  import AeadCryptExpr.bytes
+  override protected def nullSafeEval(k: Any, d: Any, a: Any): Any = {
+    val ks = bytes(k); val data = bytes(d); val aad = bytes(a)
+    fn match {
+      case "det_encrypt" => AeadKernels.detEncrypt(ks, data, aad)
+      case "decrypt_string" => UTF8String.fromBytes(
+        AeadKernels.decrypt(ks, data, aad, "AEAD.DECRYPT_STRING"))
+      case "decrypt_bytes" =>
+        AeadKernels.decrypt(ks, data, aad, "AEAD.DECRYPT_BYTES")
+      case "det_decrypt_string" => UTF8String.fromBytes(
+        AeadKernels.detDecrypt(ks, data, aad, "DETERMINISTIC_DECRYPT_STRING"))
+      case "det_decrypt_bytes" =>
+        AeadKernels.detDecrypt(ks, data, aad, "DETERMINISTIC_DECRYPT_BYTES")
+      case other => throw new IllegalStateException(s"unknown AEAD kernel $other")
+    }
+  }
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): AeadCryptExpr = copy(first = f, second = s, third = t)
+}

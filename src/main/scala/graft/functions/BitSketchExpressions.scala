@@ -392,6 +392,7 @@ object BitSketchExpressions {
     JsonMutators.register(spark)
     NetKernels.register(spark)
     PublicSuffix.register(spark)
+    AeadKernels.register(spark)
     TopCount.register(spark)
   }
 }

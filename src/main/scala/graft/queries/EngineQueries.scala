@@ -998,6 +998,33 @@ object EngineQueries {
           |SELECT k2, name FROM graft.pg61.v ORDER BY k2""".stripMargin).get
     },
 
+    "e75_aead" -> { (s, d) =>
+      // AEAD/KEYS/DETERMINISTIC_* surface (closes part of the round-9
+      // namespace skip): roundtrip laws are the oracle — decrypt ∘
+      // encrypt is identity under matching keyset+AAD, deterministic
+      // encryption is stable per (keyset, plaintext, aad) while AEAD
+      // draws a fresh nonce per call, and a wrong AAD authenticates
+      // loud (SAFE. → NULL). Keysets ride a one-row cross join so every
+      // row shares them; see AeadKernels for the documented
+      // keyset-format deviation from Tink.
+      Tables.views(s, d, "nation")
+      new ScriptRunner(s).run(
+        """SELECT CAST(n.n_nationkey AS INT64) AS id,
+          |  AEAD.DECRYPT_STRING(ks.k,
+          |    AEAD.ENCRYPT(ks.k, n.n_name, CAST(n.n_nationkey AS STRING)),
+          |    CAST(n.n_nationkey AS STRING)) AS rt,
+          |  DETERMINISTIC_DECRYPT_STRING(ks.dk,
+          |    DETERMINISTIC_ENCRYPT(ks.dk, CONCAT('c-', n.n_name), 'ad'), 'ad') AS drt,
+          |  DETERMINISTIC_ENCRYPT(ks.dk, n.n_name, 'a') =
+          |    DETERMINISTIC_ENCRYPT(ks.dk, n.n_name, 'a') AS det_stable,
+          |  SAFE.AEAD.DECRYPT_STRING(ks.k,
+          |    AEAD.ENCRYPT(ks.k, n.n_name, 'good'), 'bad') IS NULL AS bad_aad
+          |FROM nation n CROSS JOIN (
+          |  SELECT KEYS.NEW_KEYSET('AEAD_AES_GCM_256') AS k,
+          |         KEYS.NEW_KEYSET('DETERMINISTIC_AEAD_AES_SIV_CMAC_256') AS dk) ks
+          |ORDER BY id""".stripMargin).get
+    },
+
     "e74_gap_fill_origin" -> { (s, d) =>
       // GAP_FILL's origin + ignore_null_values arguments (closes the
       // round-9 documented skip). Inputs are per-(grp, offset-hour)
@@ -2439,6 +2466,14 @@ object EngineQueries {
     // BigQuery's documented outputs, pinned by the DialectExecSpec PSL
     // suite); leg 2 re-derives with string math since the suffix is
     // fixed by construction
+    // the encryption laws restate as identities: roundtrips return the
+    // plaintext columns, determinism/authentication checks are constants
+    "e75_aead" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS id,
+        |  n_name AS rt, 'c-' || n_name AS drt,
+        |  true AS det_stable, true AS bad_aad
+        |FROM nation ORDER BY id""".stripMargin,
+
     // the same origin re-alignment (integer floor-division on epoch
     // micros) and exist-flag fills restated: locf carries the last
     // EXISTING row's value (struct wrapper distinguishes absent rows

@@ -1186,6 +1186,36 @@ class DialectExecSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one("SELECT CAST('abcdef' AS STRING)") == "abcdef")
   }
 
+  test("AEAD/KEYS/DETERMINISTIC_* encryption surface") {
+    graft.functions.BitSketchExpressions.register(spark)
+    // roundtrip laws through a keyset carried on the row
+    val r = spark.sql(Dialect.rewrite(
+      """SELECT
+        |  AEAD.DECRYPT_STRING(k, AEAD.ENCRYPT(k, 'secret', 'ad'), 'ad') AS rt,
+        |  CAST(AEAD.DECRYPT_BYTES(k, AEAD.ENCRYPT(k, b'raw', 'x'), 'x') AS STRING) AS rtb,
+        |  DETERMINISTIC_DECRYPT_STRING(dk, DETERMINISTIC_ENCRYPT(dk, 'det', 'a'), 'a') AS drt,
+        |  DETERMINISTIC_ENCRYPT(dk, 'same', 'a') = DETERMINISTIC_ENCRYPT(dk, 'same', 'a') AS det_stable,
+        |  AEAD.ENCRYPT(k, 'same', 'a') = AEAD.ENCRYPT(k, 'same', 'a') AS aead_fresh,
+        |  SAFE.AEAD.DECRYPT_STRING(k, AEAD.ENCRYPT(k, 's', 'good'), 'BAD') IS NULL AS bad_aad
+        |FROM (SELECT KEYS.NEW_KEYSET('AEAD_AES_GCM_256') AS k,
+        |             KEYS.NEW_KEYSET('DETERMINISTIC_AEAD_AES_SIV_CMAC_256') AS dk)""".stripMargin))
+      .collect()(0)
+    assert(r.getString(0) == "secret" && r.getString(1) == "raw" && r.getString(2) == "det")
+    assert(r.getBoolean(3) === true)   // deterministic: equal ciphertexts
+    assert(r.getBoolean(4) === false)  // AEAD: fresh nonce per call
+    assert(r.getBoolean(5) === true)   // wrong AAD → SAFE. gives NULL
+    // keyset-type dispatch is loud both ways; unknown key types loud
+    intercept[Exception] { one(
+      "SELECT DETERMINISTIC_ENCRYPT(KEYS.NEW_KEYSET('AEAD_AES_GCM_256'), 'x', 'a')") }
+    intercept[Exception] { one(
+      "SELECT AEAD.ENCRYPT(KEYS.NEW_KEYSET('DETERMINISTIC_AEAD_AES_SIV_CMAC_256'), 'x', 'a')") }
+    intercept[Exception] { one("SELECT KEYS.NEW_KEYSET('AEAD_AES_CTR_HMAC_SHA256')") }
+    // wrong AAD without SAFE. is loud
+    intercept[Exception] { one(
+      """SELECT AEAD.DECRYPT_STRING(k, AEAD.ENCRYPT(k, 's', 'good'), 'BAD')
+        |FROM (SELECT KEYS.NEW_KEYSET('AEAD_AES_GCM_256') AS k)""".stripMargin) }
+  }
+
   test("double-quoted literals with escaped apostrophes re-emit correctly") {
     // "don\'t" must become 'don\'t' (one backslash), not 'don\\'t'
     assert(one("SELECT FORMAT(\"don\\'t %d\", 5)") == "don't 5")
