@@ -967,6 +967,63 @@ object Dialect {
     sql.substring(0, m0.start) + repl + rewriteGapFill(sql.substring(callEnd))
   }
 
+  private val mlAnalyticRe =
+    raw"(?i)\bML\s*\.\s*(STANDARD_SCALER|MIN_MAX_SCALER|IMPUTER|QUANTILE_BUCKETIZE)\s*\(".r
+
+  /** BigQuery ML analytic preprocessing functions — rewritten into the
+    * equivalent window-aggregate compositions over the SAME OVER clause
+    * (pure codegen'd expressions, one window pass):
+    * ML.STANDARD_SCALER(x) OVER w → (x - avg)/stddev_samp (BigQuery uses
+    * sample stddev; a constant partition yields IEEE NaN in both this
+    * engine and the DuckDB oracle), ML.MIN_MAX_SCALER → (x-min)/(max-min),
+    * ML.IMPUTER(x, 'mean'|'median'|'most_frequent') → coalesce with the
+    * window statistic. The OVER clause must be inline parens (BigQuery
+    * requires OVER() on these too); ML.QUANTILE_BUCKETIZE stays loud —
+    * ntile splits ties across buckets, which would be silently different
+    * from BigQuery's quantile boundaries.
+    */
+  private def rewriteMlAnalytic(sql: String): String = {
+    val m0 = mlAnalyticRe.findAllMatchIn(sql)
+      .find(m => !inStringLiteral(sql, m.start))
+      .getOrElse(return sql)
+    val fn = m0.group(1).toUpperCase
+    val close = matchParen(sql, m0.end - 1)
+    if (close < 0) throw new IllegalArgumentException(s"ML.$fn: unbalanced call")
+    val args = splitTopLevel(sql.substring(m0.end, close)).map(_.trim)
+    var k = close + 1
+    while (k < sql.length && sql.charAt(k).isWhitespace) k += 1
+    if (!sql.regionMatches(true, k, "OVER", 0, 4))
+      throw new IllegalArgumentException(
+        s"ML.$fn is an analytic function and requires OVER (…)")
+    k += 4
+    while (k < sql.length && sql.charAt(k).isWhitespace) k += 1
+    if (k >= sql.length || sql.charAt(k) != '(')
+      throw new IllegalArgumentException(
+        s"ML.$fn OVER must use an inline (…) window specification")
+    val wClose = matchParen(sql, k)
+    if (wClose < 0) throw new IllegalArgumentException(s"ML.$fn: unbalanced OVER")
+    val w = sql.substring(k, wClose + 1)
+    val x = s"(${args(0)})"
+    val repl = fn match {
+      case "STANDARD_SCALER" if args.length == 1 =>
+        s"(($x - avg($x) OVER $w) / stddev_samp($x) OVER $w)"
+      case "MIN_MAX_SCALER" if args.length == 1 =>
+        s"(($x - min($x) OVER $w) / (max($x) OVER $w - min($x) OVER $w))"
+      case "IMPUTER" if args.length == 2 =>
+        strLit(args(1)).map(_.toLowerCase) match {
+          case Some("mean") => s"coalesce($x, avg($x) OVER $w)"
+          case Some("median") => s"coalesce($x, percentile($x, 0.5) OVER $w)"
+          case Some("most_frequent") => s"coalesce($x, mode($x) OVER $w)"
+          case _ => throw new IllegalArgumentException(
+            "ML.IMPUTER strategy must be the literal 'mean', 'median' or 'most_frequent'")
+        }
+      case other => throw new IllegalArgumentException(
+        s"ML.$other: unsupported form (QUANTILE_BUCKETIZE tie semantics " +
+          "differ from ntile — not supported)")
+    }
+    sql.substring(0, m0.start) + repl + rewriteMlAnalytic(sql.substring(wClose + 1))
+  }
+
   private val searchFnRe = raw"(?i)\bSEARCH\s*\(".r
 
   /** Java/RE2-compatible class of BigQuery's published LOG_ANALYZER
@@ -1272,7 +1329,8 @@ object Dialect {
       // Spark-catalog name the snapshot resolver can DESCRIBE; the
       // lineage path (mapFqns = false) leaves the text untouched — the
       // extractor reads the clause's table as a plain source
-      val vs = rewriteGapFill(rewriteRangeSessionize(rewriteVectorSearch(sqlNum)))
+      val vs = rewriteGapFill(rewriteRangeSessionize(rewriteVectorSearch(
+        rewriteMlAnalytic(sqlNum))))
       val mapped = if (mapFqns) mapSourceFqns(vs) else vs
       if (mapFqns) rewriteSystemTimeClauses(mapped) else mapped
     })(
@@ -1372,7 +1430,7 @@ object Dialect {
   }
 
   private val safeNetPrefixRe =
-    raw"(?i)\b(SAFE|NET|HLL_COUNT|AEAD|KEYS)\s*\.\s*([A-Za-z_][A-Za-z0-9_]*)(?=\s*\()".r
+    raw"(?i)\b(SAFE|NET|HLL_COUNT|AEAD|KEYS|ML)\s*\.\s*([A-Za-z_][A-Za-z0-9_]*)(?=\s*\()".r
 
   /** SAFE. error-suppressing prefix → SAFE_ spelling handled by the call
     * rewriter (SAFE_CAST, SAFE_PARSE_x, SAFE_SUBSTR…); same for the NET.
@@ -2797,6 +2855,103 @@ object Dialect {
         "CASE WHEN __c BETWEEN 0 AND 255 THEN lpad(hex(__c), 2, '0') " +
         "ELSE raise_error(concat('CODE_POINTS_TO_BYTES: byte out of range ', " +
         "CAST(__c AS STRING))) END)))") else scala.None),
+    // ML scalar preprocessing/vector functions (the analytic forms live
+    // in rewriteMlAnalytic). All pure codegen'd higher-order array
+    // built-ins — no UDF in the hot path, identical IEEE arithmetic to
+    // the DuckDB oracle restatements.
+    "ML_DISTANCE" -> { a =>
+      def dot(u: String, v: String) =
+        s"aggregate(zip_with($u, $v, (__x, __y) -> CAST(__x AS DOUBLE) * __y), " +
+          "CAST(0 AS DOUBLE), (__a, __v) -> __a + __v)"
+      def norm(u: String) =
+        s"sqrt(aggregate($u, CAST(0 AS DOUBLE), (__a, __x) -> __a + CAST(__x AS DOUBLE) * __x))"
+      if (a.length != 3) scala.None
+      else strLit(a(2)).map(_.toUpperCase) match {
+        case Some("COSINE") =>
+          Some(s"(1.0d - ${dot(a(0), a(1))} / (${norm(a(0))} * ${norm(a(1))}))")
+        case Some("EUCLIDEAN") => Some(
+          s"sqrt(aggregate(zip_with(${a(0)}, ${a(1)}, " +
+            "(__x, __y) -> (CAST(__x AS DOUBLE) - __y) * (CAST(__x AS DOUBLE) - __y)), " +
+            "CAST(0 AS DOUBLE), (__a, __v) -> __a + __v))")
+        case Some("MANHATTAN") => Some(
+          s"aggregate(zip_with(${a(0)}, ${a(1)}, " +
+            "(__x, __y) -> abs(CAST(__x AS DOUBLE) - __y)), " +
+            "CAST(0 AS DOUBLE), (__a, __v) -> __a + __v)")
+        case _ => throw new IllegalArgumentException(
+          "ML.DISTANCE type must be the literal 'COSINE', 'EUCLIDEAN' or 'MANHATTAN'")
+      }
+    },
+    "ML_LP_NORM" -> { a =>
+      if (a.length != 2) scala.None
+      else {
+        val p = a(1).trim
+        if (!p.matches(raw"\d+(\.\d+)?")) throw new IllegalArgumentException(
+          "ML.LP_NORM degree must be a numeric literal >= 1")
+        val pd = p.toDouble
+        if (pd < 1) throw new IllegalArgumentException(
+          "ML.LP_NORM degree must be >= 1")
+        if (pd == 1.0) Some(
+          s"aggregate(${a(0)}, CAST(0 AS DOUBLE), (__a, __x) -> __a + abs(CAST(__x AS DOUBLE)))")
+        else if (pd == 2.0) Some(
+          s"sqrt(aggregate(${a(0)}, CAST(0 AS DOUBLE), (__a, __x) -> __a + CAST(__x AS DOUBLE) * __x))")
+        else Some(
+          s"power(aggregate(${a(0)}, CAST(0 AS DOUBLE), " +
+            s"(__a, __x) -> __a + power(abs(CAST(__x AS DOUBLE)), ${pd}d)), 1.0d / ${pd}d)")
+      }
+    },
+    // ML.NGRAMS(tokens, [n_min[, n_max]][, separator]): contiguous
+    // n-grams joined by the separator, all lengths concatenated (the
+    // range must be an integer-literal array — the per-n transforms are
+    // unrolled at rewrite time)
+    "ML_NGRAMS" -> { a =>
+      if (a.length < 2 || a.length > 3) scala.None
+      else {
+        val arr = a(0)
+        val rng = a(1).trim
+        if (!rng.startsWith("[") || !rng.endsWith("]"))
+          throw new IllegalArgumentException(
+            "ML.NGRAMS range must be an integer-literal array like [1, 2]")
+        val ns = rng.stripPrefix("[").stripSuffix("]").split(",").map(_.trim)
+        if (ns.isEmpty || ns.length > 2 || !ns.forall(_.matches(raw"\d+")))
+          throw new IllegalArgumentException(
+            "ML.NGRAMS range must be [n] or [n_min, n_max] integer literals")
+        val (mn, mx) = (ns.head.toInt, ns.last.toInt)
+        if (mn < 1 || mx < mn) throw new IllegalArgumentException(
+          "ML.NGRAMS range must satisfy 1 <= n_min <= n_max")
+        val sep = if (a.length == 3) a(2) else "' '"
+        val parts = (mn to mx).map { n =>
+          s"(CASE WHEN size($arr) >= $n THEN transform(sequence(0, size($arr) - $n), " +
+            s"__i -> array_join(slice($arr, __i + 1, $n), $sep)) " +
+            "ELSE array() END)"
+        }
+        Some(if (parts.length == 1) parts.head
+             else s"concat(${parts.mkString(", ")})")
+      }
+    },
+    // ML.BUCKETIZE(f, [s1, s2, …]): 'bin_1' below s1, 'bin_i+1' in
+    // [s_i, s_i+1), 'bin_k+1' at/after the last split; NULL stays NULL.
+    // exclude_boundaries=TRUE stays loud (silently different binning).
+    "ML_BUCKETIZE" -> { a =>
+      if (a.length < 2 || a.length > 3) scala.None
+      else {
+        if (a.length == 3 && !a(2).trim.equalsIgnoreCase("FALSE"))
+          throw new IllegalArgumentException(
+            "ML.BUCKETIZE exclude_boundaries is not supported (only FALSE)")
+        val sp = a(1).trim
+        if (!sp.startsWith("[") || !sp.endsWith("]"))
+          throw new IllegalArgumentException(
+            "ML.BUCKETIZE split_points must be an array literal like [10, 20]")
+        val splits = splitTopLevel(sp.stripPrefix("[").stripSuffix("]")).map(_.trim)
+        if (splits.isEmpty) throw new IllegalArgumentException(
+          "ML.BUCKETIZE needs at least one split point")
+        val f = s"(${a(0)})"
+        val whens = splits.zipWithIndex.map { case (s, i) =>
+          s"WHEN $f < ($s) THEN 'bin_${i + 1}'"
+        }
+        Some(s"(CASE WHEN $f IS NULL THEN CAST(NULL AS STRING) " +
+          whens.mkString(" ") + s" ELSE 'bin_${splits.length + 1}' END)")
+      }
+    },
     // AEAD/KEYS/DETERMINISTIC_* encryption surface (AeadKernels.scala;
     // keyset-typed dispatch, authenticated AAD, SAFE. → NULL via the
     // wrap set). Namespace dots pre-mapped to underscores.

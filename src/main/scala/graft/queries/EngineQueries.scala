@@ -998,6 +998,35 @@ object EngineQueries {
           |SELECT k2, name FROM graft.pg61.v ORDER BY k2""".stripMargin).get
     },
 
+    "e76_ml_preprocess" -> { (s, d) =>
+      // ML namespace (closes part of the round-9 namespace skip):
+      // DISTANCE (all three metrics), LP_NORM, BUCKETIZE, NGRAMS as
+      // codegen'd higher-order array expressions; the analytic scalers
+      // expand into window aggregates over the shared OVER clause. The
+      // hash-exact oracle design: element-wise doubles restate as the
+      // same IEEE expression; window statistics feed on INTEGER-valued
+      // doubles (min/max exact, avg = exact-sum/count — both engines
+      // bit-identical). STANDARD_SCALER is spec-covered instead:
+      // stddev_samp is Welford-accumulated and merge order would break
+      // the cross-engine hash.
+      Tables.views(s, d, "orders")
+      new ScriptRunner(s).run(
+        """SELECT CAST(o_orderkey AS INT64) AS id,
+          |  ML.DISTANCE([o_totalprice, 1.0], [100.0, 2.0], 'EUCLIDEAN') AS dist_e,
+          |  ML.DISTANCE([o_totalprice, 1.0], [100.0, 2.0], 'COSINE') AS dist_c,
+          |  ML.DISTANCE([o_totalprice, 1.0], [100.0, 2.0], 'MANHATTAN') AS dist_m,
+          |  ML.LP_NORM([3.0, CAST(MOD(o_orderkey, 10) AS FLOAT64)], 1) AS l1,
+          |  ML.BUCKETIZE(o_totalprice, [50000, 150000]) AS bkt,
+          |  ML.NGRAMS(SPLIT(o_orderpriority, '-'), [1, 2], '_') AS ngr,
+          |  ML.MIN_MAX_SCALER(CAST(MOD(o_orderkey, 97) AS FLOAT64))
+          |    OVER (PARTITION BY o_orderpriority) AS mm,
+          |  ML.IMPUTER(CASE WHEN MOD(o_orderkey, 7) = 0 THEN CAST(NULL AS FLOAT64)
+          |                  ELSE CAST(MOD(o_orderkey, 50) AS FLOAT64) END, 'mean')
+          |    OVER (PARTITION BY o_orderpriority) AS imean
+          |FROM orders WHERE o_orderkey <= 5000
+          |ORDER BY id""".stripMargin).get
+    },
+
     "e75_aead" -> { (s, d) =>
       // AEAD/KEYS/DETERMINISTIC_* surface (closes part of the round-9
       // namespace skip): roundtrip laws are the oracle — decrypt ∘
@@ -2466,6 +2495,32 @@ object EngineQueries {
     // BigQuery's documented outputs, pinned by the DialectExecSpec PSL
     // suite); leg 2 re-derives with string math since the suffix is
     // fixed by construction
+    // every ML lowering restated as the same IEEE expression; the
+    // 2-part o_orderpriority split makes NGRAMS a closed form
+    "e76_ml_preprocess" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_totalprice AS p, o_orderpriority,
+        |    CAST(o_orderkey % 97 AS DOUBLE) AS mx,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN NULL
+        |         ELSE CAST(o_orderkey % 50 AS DOUBLE) END AS iv
+        |  FROM orders WHERE o_orderkey <= 5000
+        |)
+        |SELECT CAST(o_orderkey AS BIGINT) AS id,
+        |  sqrt((p - 100.0) * (p - 100.0) + (1.0 - 2.0) * (1.0 - 2.0)) AS dist_e,
+        |  1.0 - (p * 100.0 + 1.0 * 2.0)
+        |      / (sqrt(p * p + 1.0 * 1.0) * sqrt(100.0 * 100.0 + 2.0 * 2.0)) AS dist_c,
+        |  abs(p - 100.0) + abs(1.0 - 2.0) AS dist_m,
+        |  3.0 + CAST(o_orderkey % 10 AS DOUBLE) AS l1,
+        |  CASE WHEN p < 50000 THEN 'bin_1' WHEN p < 150000 THEN 'bin_2'
+        |       ELSE 'bin_3' END AS bkt,
+        |  [str_split(o_orderpriority, '-')[1], str_split(o_orderpriority, '-')[2],
+        |   str_split(o_orderpriority, '-')[1] || '_' || str_split(o_orderpriority, '-')[2]] AS ngr,
+        |  (mx - min(mx) OVER w) / (max(mx) OVER w - min(mx) OVER w) AS mm,
+        |  coalesce(iv, avg(iv) OVER w) AS imean
+        |FROM base
+        |WINDOW w AS (PARTITION BY o_orderpriority)
+        |ORDER BY id""".stripMargin,
+
     // the encryption laws restate as identities: roundtrips return the
     // plaintext columns, determinism/authentication checks are constants
     "e75_aead" ->

@@ -1186,6 +1186,51 @@ class DialectExecSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one("SELECT CAST('abcdef' AS STRING)") == "abcdef")
   }
 
+  test("ML scalar functions: DISTANCE, LP_NORM, NGRAMS, BUCKETIZE") {
+    assert(one("SELECT ML.DISTANCE([3.0, 4.0], [0.0, 0.0], 'EUCLIDEAN')") == 5.0)
+    assert(one("SELECT ML.DISTANCE([1.0, 2.0], [4.0, 6.0], 'MANHATTAN')") == 7.0)
+    // parallel vectors → cosine distance 0; orthogonal → 1
+    assert(math.abs(one("SELECT ML.DISTANCE([1.0, 0.0], [2.0, 0.0], 'COSINE')")
+      .asInstanceOf[Double]) < 1e-12)
+    assert(math.abs(one("SELECT ML.DISTANCE([1.0, 0.0], [0.0, 3.0], 'COSINE')")
+      .asInstanceOf[Double] - 1.0) < 1e-12)
+    intercept[Exception] { one("SELECT ML.DISTANCE([1.0], [1.0], 'CHEBYSHEV')") }
+    assert(one("SELECT ML.LP_NORM([3.0, -4.0], 2)") == 5.0)
+    assert(one("SELECT ML.LP_NORM([3.0, -4.0], 1)") == 7.0)
+    assert(math.abs(one("SELECT ML.LP_NORM([2.0, 2.0, 2.0], 3)")
+      .asInstanceOf[Double] - math.pow(24.0, 1.0 / 3)) < 1e-12)
+    assert(one("SELECT ML.NGRAMS(['a', 'b', 'c'], [2], '-')") == Seq("a-b", "b-c"))
+    assert(one("SELECT ML.NGRAMS(['a', 'b', 'c'], [1, 2], '_')") ==
+      Seq("a", "b", "c", "a_b", "b_c"))
+    assert(one("SELECT ML.NGRAMS(['a'], [2], '-')") == Seq())
+    assert(one("SELECT ML.BUCKETIZE(5, [10, 20])") == "bin_1")
+    assert(one("SELECT ML.BUCKETIZE(10, [10, 20])") == "bin_2")
+    assert(one("SELECT ML.BUCKETIZE(25, [10, 20])") == "bin_3")
+    assert(one("SELECT ML.BUCKETIZE(CAST(NULL AS INT64), [10]) IS NULL") == true)
+  }
+
+  test("ML analytic functions expand over the shared OVER clause") {
+    graft.functions.BitSketchExpressions.register(spark)
+    val rows = spark.sql(Dialect.rewrite(
+      """SELECT id,
+        |  ML.STANDARD_SCALER(v) OVER () AS ss,
+        |  ML.MIN_MAX_SCALER(v) OVER () AS mm,
+        |  ML.IMPUTER(miss, 'mean') OVER () AS imean,
+        |  ML.IMPUTER(cat, 'most_frequent') OVER () AS imode
+        |FROM (SELECT 1 AS id, CAST(10.0 AS FLOAT64) AS v, CAST(NULL AS FLOAT64) AS miss, 'x' AS cat
+        |      UNION ALL SELECT 2, CAST(20.0 AS FLOAT64), CAST(4.0 AS FLOAT64), 'x'
+        |      UNION ALL SELECT 3, CAST(30.0 AS FLOAT64), CAST(8.0 AS FLOAT64), CAST(NULL AS STRING))
+        |ORDER BY id""".stripMargin)).collect()
+    assert(rows.map(_.getDouble(1)).toSeq == Seq(-1.0, 0.0, 1.0)) // stddev_samp = 10
+    assert(rows.map(_.getDouble(2)).toSeq == Seq(0.0, 0.5, 1.0))
+    assert(rows.map(_.getDouble(3)).toSeq == Seq(6.0, 4.0, 8.0))
+    assert(rows.map(_.getString(4)).toSeq == Seq("x", "x", "x"))
+    // analytic form without OVER is loud
+    intercept[IllegalArgumentException] {
+      Dialect.rewrite("SELECT ML.STANDARD_SCALER(v) FROM t")
+    }
+  }
+
   test("AEAD/KEYS/DETERMINISTIC_* encryption surface") {
     graft.functions.BitSketchExpressions.register(spark)
     // roundtrip laws through a keyset carried on the row
