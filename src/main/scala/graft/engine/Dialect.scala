@@ -1495,6 +1495,22 @@ object Dialect {
   private val safeNanFns = Set("SQRT", "ASIN", "ACOS", "ACOSH", "ATANH",
     "POW", "POWER", "CBRT")
 
+  /** Spherical haversine in meters on BigQuery's R = 6371010 m sphere.
+    * Degree→radian via explicit multiply by the double nearest π/180
+    * (NOT radians(): Java's toRadians divides by 180 first, C libm
+    * multiplies — different last-ulp, which breaks the cross-engine
+    * hash); squares via self-multiply (pow() libm variance).
+    */
+  private def haversineSql(p1: String, p2: String): String = {
+    val d2r = "0.017453292519943295d"
+    def lat(p: String) = s"(($p).lat * $d2r)"
+    def lon(p: String) = s"(($p).lon * $d2r)"
+    val sdlat = s"sin((${lat(p2)} - ${lat(p1)}) / 2.0d)"
+    val sdlon = s"sin((${lon(p2)} - ${lon(p1)}) / 2.0d)"
+    s"(2.0d * 6371010.0d * asin(least(1.0d, sqrt($sdlat * $sdlat + " +
+      s"cos(${lat(p1)}) * cos(${lat(p2)}) * $sdlon * $sdlon))))"
+  }
+
   /** Handlers whose lowering deliberately raises on bad input (the SAFE.
     * semantic must suppress that): FROM_BASE32 (invalid chars/padding),
     * RANGE/RANGE_INTERSECT (raise_error on empty/disjoint),
@@ -2855,6 +2871,47 @@ object Dialect {
         "CASE WHEN __c BETWEEN 0 AND 255 THEN lpad(hex(__c), 2, '0') " +
         "ELSE raise_error(concat('CODE_POINTS_TO_BYTES: byte out of range ', " +
         "CAST(__c AS STRING))) END)))") else scala.None),
+    // GEOGRAPHY point subset (closes the last round-9 namespace skip for
+    // the shapes a data pipeline actually uses): points are
+    // STRUCT<lon DOUBLE, lat DOUBLE>; ST_DISTANCE is the spherical
+    // haversine on BigQuery's sphere (R = 6371010 m — BigQuery measures
+    // on a sphere, not the WGS84 ellipsoid). Degree→radian conversion
+    // is an explicit multiply by the double nearest π/180 so the engine
+    // and the DuckDB oracle share every IEEE step (radians() builtins
+    // differ: Java divides by 180 first). Non-point WKT and the wider
+    // ST_* vocabulary stay loud (unresolved names / parse errors).
+    "ST_GEOGPOINT" -> { a =>
+      if (a.length != 2) scala.None
+      else Some(s"named_struct('lon', CAST((${a(0)}) AS DOUBLE), " +
+        s"'lat', CASE WHEN abs(CAST((${a(1)}) AS DOUBLE)) > 90.0d " +
+        "THEN CAST(raise_error('ST_GEOGPOINT: latitude must be in [-90, 90]') AS DOUBLE) " +
+        s"ELSE CAST((${a(1)}) AS DOUBLE) END)")
+    },
+    "ST_X" -> (a => if (a.length == 1) Some(s"(${a(0)}).lon") else scala.None),
+    "ST_Y" -> (a => if (a.length == 1) Some(s"(${a(0)}).lat") else scala.None),
+    "ST_ASTEXT" -> { a =>
+      def fmt(e: String) = s"regexp_replace(CAST($e AS STRING), '\\\\.0$$', '')"
+      if (a.length == 1) Some(s"concat('POINT(', ${fmt(s"(${a(0)}).lon")}, ' ', " +
+        s"${fmt(s"(${a(0)}).lat")}, ')')")
+      else scala.None
+    },
+    "ST_GEOGFROMTEXT" -> { a =>
+      // point-only WKT; a non-match extracts '' and the ANSI double
+      // cast fails loud, like BigQuery's parse error
+      val re = "'^ *POINT *\\\\( *(-?[0-9.Ee+-]+) +(-?[0-9.Ee+-]+) *\\\\) *$$'"
+      if (a.length == 1) Some(
+        s"named_struct('lon', CAST(regexp_extract(${a(0)}, $re, 1) AS DOUBLE), " +
+          s"'lat', CAST(regexp_extract(${a(0)}, $re, 2) AS DOUBLE))")
+      else scala.None
+    },
+    "ST_DISTANCE" -> { a =>
+      if (a.length != 2) scala.None
+      else Some(Dialect.haversineSql(a(0), a(1)))
+    },
+    "ST_DWITHIN" -> { a =>
+      if (a.length != 3) scala.None
+      else Some(s"(${Dialect.haversineSql(a(0), a(1))} <= CAST((${a(2)}) AS DOUBLE))")
+    },
     // ML scalar preprocessing/vector functions (the analytic forms live
     // in rewriteMlAnalytic). All pure codegen'd higher-order array
     // built-ins — no UDF in the hot path, identical IEEE arithmetic to

@@ -998,6 +998,30 @@ object EngineQueries {
           |SELECT k2, name FROM graft.pg61.v ORDER BY k2""".stripMargin).get
     },
 
+    "e77_geography" -> { (s, d) =>
+      // GEOGRAPHY point subset: constructor with latitude validation,
+      // accessors, WKT render/parse roundtrip, spherical ST_DISTANCE on
+      // BigQuery's R=6371010 sphere and ST_DWITHIN. The oracle restates
+      // the identical IEEE haversine (explicit π/180 multiply — see
+      // Dialect.haversineSql); meters cast to INT64 absorb last-ulp
+      // libm differences between engines. Coordinates carry .5/.25
+      // fractions so WKT formatting never hits the integral-render path.
+      Tables.views(s, d, "nation")
+      new ScriptRunner(s).run(
+        """WITH pts AS (
+          |  SELECT n_nationkey,
+          |    ST_GEOGPOINT(CAST(MOD(n_nationkey * 29, 320) AS FLOAT64) - 159.5,
+          |                 CAST(MOD(n_nationkey * 17, 160) AS FLOAT64) - 79.75) AS p
+          |  FROM nation)
+          |SELECT CAST(n_nationkey AS INT64) AS id,
+          |  ST_X(p) AS x, ST_Y(p) AS y,
+          |  ST_ASTEXT(p) AS wkt,
+          |  CAST(ST_DISTANCE(p, ST_GEOGPOINT(0.25, 0.25)) AS INT64) AS dist_m,
+          |  ST_DWITHIN(p, ST_GEOGPOINT(0.25, 0.25), 5000000) AS within_5000km,
+          |  ST_X(ST_GEOGFROMTEXT(ST_ASTEXT(p))) AS rt_x
+          |FROM pts ORDER BY id""".stripMargin).get
+    },
+
     "e76_ml_preprocess" -> { (s, d) =>
       // ML namespace (closes part of the round-9 namespace skip):
       // DISTANCE (all three metrics), LP_NORM, BUCKETIZE, NGRAMS as
@@ -2495,6 +2519,34 @@ object EngineQueries {
     // BigQuery's documented outputs, pinned by the DialectExecSpec PSL
     // suite); leg 2 re-derives with string math since the suffix is
     // fixed by construction
+    // the identical haversine spelled out (same constant, same
+    // association order); sin is squared by self-multiply so the
+    // argument sign convention cannot matter
+    "e77_geography" ->
+      """WITH pts AS (
+        |  SELECT CAST(n_nationkey AS BIGINT) AS id,
+        |    CAST(n_nationkey * 29 % 320 AS DOUBLE) - 159.5 AS lon,
+        |    CAST(n_nationkey * 17 % 160 AS DOUBLE) - 79.75 AS lat
+        |  FROM nation
+        |), dist AS (
+        |  SELECT id, lon, lat,
+        |    (2.0 * 6371010.0 * asin(least(1.0, sqrt(
+        |      sin(((0.25 * 0.017453292519943295) - (lat * 0.017453292519943295)) / 2.0)
+        |        * sin(((0.25 * 0.017453292519943295) - (lat * 0.017453292519943295)) / 2.0)
+        |      + cos(lat * 0.017453292519943295) * cos(0.25 * 0.017453292519943295)
+        |        * sin(((0.25 * 0.017453292519943295) - (lon * 0.017453292519943295)) / 2.0)
+        |        * sin(((0.25 * 0.017453292519943295) - (lon * 0.017453292519943295)) / 2.0)
+        |    )))) AS hav
+        |  FROM pts
+        |)
+        |SELECT id, lon AS x, lat AS y,
+        |  'POINT(' || regexp_replace(CAST(lon AS VARCHAR), '\.0$', '')
+        |    || ' ' || regexp_replace(CAST(lat AS VARCHAR), '\.0$', '') || ')' AS wkt,
+        |  CAST(round(hav) AS BIGINT) AS dist_m,
+        |  hav <= 5000000.0 AS within_5000km,
+        |  lon AS rt_x
+        |FROM dist ORDER BY id""".stripMargin,
+
     // every ML lowering restated as the same IEEE expression; the
     // 2-part o_orderpriority split makes NGRAMS a closed form
     "e76_ml_preprocess" ->

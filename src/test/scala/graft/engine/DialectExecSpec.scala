@@ -1186,6 +1186,26 @@ class DialectExecSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one("SELECT CAST('abcdef' AS STRING)") == "abcdef")
   }
 
+  test("GEOGRAPHY point subset: constructors, accessors, spherical distance") {
+    assert(one("SELECT ST_X(ST_GEOGPOINT(-122.35, 47.62))") == -122.35)
+    assert(one("SELECT ST_Y(ST_GEOGPOINT(-122.35, 47.62))") == 47.62)
+    assert(one("SELECT ST_ASTEXT(ST_GEOGPOINT(-122.35, 47.62))") == "POINT(-122.35 47.62)")
+    assert(one("SELECT ST_ASTEXT(ST_GEOGPOINT(1, 2))") == "POINT(1 2)")
+    assert(one("SELECT ST_X(ST_GEOGFROMTEXT('POINT(-10.5 20.25)'))") == -10.5)
+    assert(one("SELECT ST_Y(ST_GEOGFROMTEXT(' POINT( -10.5  20.25 ) '))") == 20.25)
+    // one degree of longitude at the equator on the R=6371010 sphere:
+    // 2πR/360 ≈ 111194.93 m
+    val d = one("SELECT ST_DISTANCE(ST_GEOGPOINT(0, 0), ST_GEOGPOINT(1, 0))")
+      .asInstanceOf[Double]
+    assert(math.abs(d - 2 * math.Pi * 6371010.0 / 360) < 0.01)
+    assert(one("SELECT ST_DISTANCE(ST_GEOGPOINT(5, 5), ST_GEOGPOINT(5, 5))") == 0.0)
+    assert(one("SELECT ST_DWITHIN(ST_GEOGPOINT(0, 0), ST_GEOGPOINT(1, 0), 112000)") == true)
+    assert(one("SELECT ST_DWITHIN(ST_GEOGPOINT(0, 0), ST_GEOGPOINT(1, 0), 111000)") == false)
+    // invalid latitude and non-point WKT are loud
+    intercept[Exception] { one("SELECT ST_GEOGPOINT(0, 91)") }
+    intercept[Exception] { one("SELECT ST_X(ST_GEOGFROMTEXT('LINESTRING(0 0, 1 1)'))") }
+  }
+
   test("ML scalar functions: DISTANCE, LP_NORM, NGRAMS, BUCKETIZE") {
     assert(one("SELECT ML.DISTANCE([3.0, 4.0], [0.0, 0.0], 'EUCLIDEAN')") == 5.0)
     assert(one("SELECT ML.DISTANCE([1.0, 2.0], [4.0, 6.0], 'MANHATTAN')") == 7.0)
