@@ -226,6 +226,33 @@ object PipelineQueries {
     },
 
     // --- URL extraction + domain rollup --------------------------------
+    // --- registered-domain grouping over the public-suffix list --------
+    "d147_reg_domain_groups" -> { (s, d) =>
+      // Domain-level mixture/blocklist keys are REGISTERED domains, not
+      // hosts (one blog network = thousands of hosts, one reg domain).
+      // graft_net_reg_domain matches the bundled ICANN PSL; the URL mix
+      // exercises the wildcard rule (*.ck → every shop is its own reg
+      // domain), a multi-label suffix with preserved case (Sample.Co.UK),
+      // and the ICANN/private split (github.io is a PRIVATE-section
+      // entry, so its reg domain is github.io itself under BigQuery's
+      // ICANN-only matching). Scale shape: per-row trie lookup (JVM-
+      // static PSL), then one hash aggregation on the derived key —
+      // exactly a domain-quota pipeline's first stage.
+      graft.functions.BitSketchExpressions.register(s)
+      t(s, d, "customer")
+        .withColumn("url", concat(
+          lit("https://shop-"), col("c_custkey") % 50, lit("."),
+          when(col("c_custkey") % 4 === 0, lit("example.com"))
+            .when(col("c_custkey") % 4 === 1, lit("Sample.Co.UK"))
+            .when(col("c_custkey") % 4 === 2, lit("github.io"))
+            .otherwise(lit("web.ck")),
+          lit("/p?id="), col("c_custkey")))
+        .select(expr("graft_net_reg_domain(url)").as("rd"))
+        .groupBy(col("rd"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("rd"))
+    },
+
     "d23_url_stats" -> { (s, d) =>
       val ur = "https?://([A-Za-z0-9.-]+)"
       t(s, d, "documents")
@@ -6346,6 +6373,21 @@ object PipelineQueries {
           |    regexp_replace(text2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
           |    '\+1-555-[0-9]{4}', '<PHONE>', 'g')) AS redacted_hash
           |FROM p ORDER BY doc_id""".stripMargin,
+
+      // the reg domain re-derived by construction: the oracle knows the
+      // URL template, the ENGINE must parse the host and PSL-match it
+      // (wildcard *.ck, multi-label Co.UK, private-section github.io)
+      "d147_reg_domain_groups" ->
+        """WITH u AS (
+          |  SELECT CASE c_custkey % 4
+          |    WHEN 0 THEN 'example.com'
+          |    WHEN 1 THEN 'Sample.Co.UK'
+          |    WHEN 2 THEN 'github.io'
+          |    ELSE 'shop-' || CAST(c_custkey % 50 AS VARCHAR) || '.web.ck' END AS rd
+          |  FROM customer
+          |)
+          |SELECT rd, CAST(count(*) AS BIGINT) AS n
+          |FROM u GROUP BY rd ORDER BY rd""".stripMargin,
 
       "d23_url_stats" ->
         """WITH p AS (

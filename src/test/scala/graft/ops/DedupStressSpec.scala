@@ -65,6 +65,23 @@ class DedupStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     (tSmall, tBig, nBig)
   }
 
+  test("public-suffix REG_DOMAIN lookup scales linearly with the scan", Stress) {
+    import org.apache.spark.sql.functions._
+    graft.functions.BitSketchExpressions.register(spark)
+    val (tSmall, tBig, nBig) = growthRatio("reg_domain") { d =>
+      d.withColumn("url", concat(lit("https://h"), col("doc_id") % 100000,
+          lit("."), when(col("doc_id") % 3 === 0, lit("co.uk"))
+            .when(col("doc_id") % 3 === 1, lit("com")).otherwise(lit("web.ck")),
+          lit("/p?x="), col("doc_id")))
+        .select(expr("graft_net_reg_domain(url)").as("rd"))
+        .groupBy("rd").agg(count(lit(1)))
+    }
+    assert(nBig > 0)
+    // pure per-row trie lookup + one hash agg: anything over ~6× for 4×
+    // rows means the kernel went allocation-bound
+    assert(tBig / tSmall < 6.0, f"super-linear blowup: $tSmall%.1f s → $tBig%.1f s")
+  }
+
   test("MinHash-LSH pairs scale sub-quadratically to 250k docs", Stress) {
     val (tSmall, tBig, nBig) = growthRatio("minhash") { d =>
       TextDedup.minhashLshPairs(d)
