@@ -95,6 +95,21 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exchanges <= 3, s"expected agg+sort exchanges only, got $exchanges:\n$p")
   }
 
+  test("d147 reg-domain grouping: partial agg before the single shuffle") {
+    val df = PipelineQueries.queries("d147_reg_domain_groups")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      .split("== Initial Plan ==").head
+    // shape: scan → project (PSL trie lookup) → partial agg → ONE
+    // hash-partitioned exchange → final agg → sort exchange. The lookup
+    // must sit under the partial aggregate, so at 100 TB only (domain,
+    // partial-count) rows ever shuffle — never raw URLs.
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 2, s"expected agg+sort exchanges only, got $exchanges:\n$p")
+    val aggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(aggs >= 2, s"expected partial+final aggregation in:\n$p")
+  }
+
   test("e16 bucketed join: no exchange feeding the sort-merge join") {
     // the gate eagerly checkpoints (cache hygiene) — audit the pinned plan
     val df = EngineQueries.bucketedJoinPlan(spark, sfDir)
