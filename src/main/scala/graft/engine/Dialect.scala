@@ -3147,6 +3147,55 @@ object Dialect {
     // Spark's skip NULLs — guard explicitly
     "LEAST" -> nullPropagating("least"),
     "GREATEST" -> nullPropagating("greatest"),
+    // 3-arg ROUND with an explicit rounding_mode (NUMERIC rounding):
+    // ROUND_HALF_EVEN is Spark's bround, ROUND_HALF_AWAY_FROM_ZERO is
+    // Spark's round (BigQuery's default). 1/2-arg forms pass through.
+    "ROUND" -> { a =>
+      if (a.length != 3) scala.None
+      else strLit(a(2)).map(_.toUpperCase) match {
+        case Some("ROUND_HALF_EVEN") => Some(s"bround(${a(0)}, ${a(1)})")
+        case Some("ROUND_HALF_AWAY_FROM_ZERO") => Some(s"round(${a(0)}, ${a(1)})")
+        case _ => throw new IllegalArgumentException(
+          "ROUND rounding_mode must be the literal 'ROUND_HALF_EVEN' or " +
+            "'ROUND_HALF_AWAY_FROM_ZERO'")
+      }
+    },
+    // BigQuery SIGN preserves the input type (SIGN(INT64) is INT64);
+    // Spark's sign always returns DOUBLE — silently different type.
+    // The CASE keeps the argument's own type via coercion; NaN falls
+    // through both comparisons to the *0 branch and stays NaN.
+    "SIGN" -> (a => if (a.length == 1) Some(
+      s"(CASE WHEN (${a(0)}) > 0 THEN 1 WHEN (${a(0)}) < 0 THEN -1 " +
+        s"ELSE (${a(0)}) * 0 END)") else scala.None),
+    // ARRAY_INCLUDES family (probe wave 15)
+    "ARRAY_INCLUDES" -> (a =>
+      if (a.length == 2) Some(s"array_contains(${a(0)}, ${a(1)})") else scala.None),
+    "ARRAY_INCLUDES_ANY" -> (a =>
+      if (a.length == 2) Some(s"arrays_overlap(${a(0)}, ${a(1)})") else scala.None),
+    "ARRAY_INCLUDES_ALL" -> (a =>
+      if (a.length == 2) Some(
+        s"forall(${a(1)}, __e -> array_contains(${a(0)}, __e))") else scala.None),
+    // SPLIT_SUBSTR(value, delimiter, start_split[, count]): the substring
+    // spanning `count` splits from the 1-based start (negative counts
+    // from the end, clamped like BigQuery; out-of-range → ''). Literal
+    // delimiters only — the split is Spark's regex split, so the
+    // delimiter is regex-quoted like the SPLIT handler does.
+    "SPLIT_SUBSTR" -> { a =>
+      if (a.length < 3 || a.length > 4) scala.None
+      else strLit(a(1)).map { d =>
+        val parts = s"split(${a(0)}, '${regexQuoteSql(d)}')"
+        val n = s"size($parts)"
+        val st = s"(${a(2)})"
+        // negative start counts from the end (clamped to 1); positive
+        // start beyond the last split yields the empty string
+        val begin = s"(CASE WHEN $st < 0 THEN greatest($n + $st + 1, 1) " +
+          s"WHEN $st = 0 THEN 1 ELSE $st END)"
+        val cnt = if (a.length == 4) s"least((${a(3)}), $n - $begin + 1)"
+          else s"($n - $begin + 1)"
+        s"(CASE WHEN $begin > $n OR $cnt <= 0 THEN '' " +
+          s"ELSE array_join(slice($parts, $begin, $cnt), ${a(1)}) END)"
+      }
+    },
     // DATE(y, m, d) constructor; 1-arg DATE(x) is Spark-native and the
     // 2-arg timezone form is handled by the dateTz pass before this
     "DATE" -> (a =>

@@ -1186,6 +1186,31 @@ class DialectExecSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one("SELECT CAST('abcdef' AS STRING)") == "abcdef")
   }
 
+  test("probe wave 15: 3-arg ROUND, typed SIGN, ARRAY_INCLUDES, SPLIT_SUBSTR") {
+    // rounding_mode: HALF_EVEN → bround, HALF_AWAY (BigQuery default) → round
+    assert(one("SELECT CAST(ROUND(2.5, 0, 'ROUND_HALF_EVEN') AS INT64)") == 2L)
+    assert(one("SELECT CAST(ROUND(3.5, 0, 'ROUND_HALF_EVEN') AS INT64)") == 4L)
+    assert(one("SELECT CAST(ROUND(2.5, 0, 'ROUND_HALF_AWAY_FROM_ZERO') AS INT64)") == 3L)
+    intercept[Exception] { one("SELECT ROUND(2.5, 0, 'ROUND_UP')") }
+    // SIGN preserves the input type (Spark's sign is always DOUBLE)
+    assert(one("SELECT SIGN(-5)") == -1)
+    assert(one("SELECT SIGN(0)") == 0)
+    assert(one("SELECT SIGN(CAST(2.5 AS FLOAT64))") == 1.0)
+    assert(one("SELECT SIGN(CAST(NULL AS INT64)) IS NULL") == true)
+    // ARRAY_INCLUDES family
+    assert(one("SELECT ARRAY_INCLUDES([1, 2], 2)") == true)
+    assert(one("SELECT ARRAY_INCLUDES_ANY([1, 2], [3, 2])") == true)
+    assert(one("SELECT ARRAY_INCLUDES_ALL([1, 2, 3], [1, 3])") == true)
+    assert(one("SELECT ARRAY_INCLUDES_ALL([1, 2], [1, 4])") == false)
+    // SPLIT_SUBSTR: 1-based start, negative from the end (clamped),
+    // out-of-range → '', count clamps to the remainder
+    assert(one("SELECT SPLIT_SUBSTR('a,b,c,d', ',', 2, 2)") == "b,c")
+    assert(one("SELECT SPLIT_SUBSTR('a,b,c,d', ',', 2)") == "b,c,d")
+    assert(one("SELECT SPLIT_SUBSTR('a,b,c,d', ',', -2)") == "c,d")
+    assert(one("SELECT SPLIT_SUBSTR('a,b,c,d', ',', -9, 2)") == "a,b")
+    assert(one("SELECT SPLIT_SUBSTR('a,b,c,d', ',', 9, 2)") == "")
+  }
+
   test("GEOGRAPHY point subset: constructors, accessors, spherical distance") {
     assert(one("SELECT ST_X(ST_GEOGPOINT(-122.35, 47.62))") == -122.35)
     assert(one("SELECT ST_Y(ST_GEOGPOINT(-122.35, 47.62))") == 47.62)
