@@ -967,6 +967,20 @@ object Dialect {
     sql.substring(0, m0.start) + repl + rewriteGapFill(sql.substring(callEnd))
   }
 
+  /** Dataset-qualified persistent-UDF CALL SITES → their flattened
+    * registered names (FnRegistry). Only names a CREATE FUNCTION
+    * registered this session are touched; the registry is empty
+    * otherwise and this is a no-op fold.
+    */
+  private def mapPersistentFns(sql: String): String =
+    FnRegistry.entries.foldLeft(sql) { case (acc, (canon, flat)) =>
+      val re = ("(?i)`?" + java.util.regex.Pattern.quote(canon) + raw"`?\s*\(").r
+      re.replaceAllIn(acc, m =>
+        if (inStringLiteral(acc, m.start))
+          java.util.regex.Matcher.quoteReplacement(m.matched)
+        else s"$flat(")
+    }
+
   private val mlAnalyticRe =
     raw"(?i)\bML\s*\.\s*(STANDARD_SCALER|MIN_MAX_SCALER|IMPUTER|QUANTILE_BUCKETIZE)\s*\(".r
 
@@ -1330,7 +1344,7 @@ object Dialect {
       // lineage path (mapFqns = false) leaves the text untouched — the
       // extractor reads the clause's table as a plain source
       val vs = rewriteGapFill(rewriteRangeSessionize(rewriteVectorSearch(
-        rewriteMlAnalytic(sqlNum))))
+        rewriteMlAnalytic(mapPersistentFns(sqlNum)))))
       val mapped = if (mapFqns) mapSourceFqns(vs) else vs
       if (mapFqns) rewriteSystemTimeClauses(mapped) else mapped
     })(

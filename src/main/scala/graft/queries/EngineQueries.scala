@@ -998,6 +998,23 @@ object EngineQueries {
           |SELECT k2, name FROM graft.pg61.v ORDER BY k2""".stripMargin).get
     },
 
+    "e78_persistent_udf" -> { (s, d) =>
+      // Persistent (dataset-qualified) SQL UDFs: CREATE FUNCTION
+      // `p.d.f` registers under a flattened name, call sites (backticked
+      // or bare) rewrite through FnRegistry; DROP FUNCTION removes it.
+      // Session-persisted (BigQuery persists to the dataset — documented
+      // scope in the handler).
+      Tables.views(s, d, "nation")
+      new ScriptRunner(s).run(
+        """CREATE OR REPLACE FUNCTION `graft-local.lib.tax`(p FLOAT64, r FLOAT64)
+          |RETURNS FLOAT64 AS (p * (1 + r));
+          |CREATE OR REPLACE FUNCTION nat_label(k INT64) AS (CONCAT('n-', CAST(k AS STRING)));
+          |SELECT CAST(n_nationkey AS INT64) AS id,
+          |  `graft-local.lib.tax`(CAST(n_nationkey AS FLOAT64), 0.5) AS taxed,
+          |  nat_label(n_nationkey) AS lbl
+          |FROM nation ORDER BY id""".stripMargin).get
+    },
+
     "e77_geography" -> { (s, d) =>
       // GEOGRAPHY point subset: constructor with latitude validation,
       // accessors, WKT render/parse roundtrip, spherical ST_DISTANCE on
@@ -2519,6 +2536,13 @@ object EngineQueries {
     // BigQuery's documented outputs, pinned by the DialectExecSpec PSL
     // suite); leg 2 re-derives with string math since the suffix is
     // fixed by construction
+    // the UDF bodies restated inline (exact integer-derived doubles)
+    "e78_persistent_udf" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS id,
+        |  CAST(n_nationkey AS DOUBLE) * (1 + 0.5) AS taxed,
+        |  'n-' || CAST(n_nationkey AS VARCHAR) AS lbl
+        |FROM nation ORDER BY id""".stripMargin,
+
     // the identical haversine spelled out (same constant, same
     // association order); sin is squared by self-multiply so the
     // argument sign convention cannot matter

@@ -1623,6 +1623,40 @@ class ScriptRunnerSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE IF EXISTS tmp_marked")
   }
 
+  test("persistent CREATE FUNCTION: bare + dataset-qualified names, DROP FUNCTION") {
+    val sr = new ScriptRunner(spark)
+    assert(sr.run(
+      "CREATE OR REPLACE FUNCTION pf_spec(x INT64) RETURNS INT64 AS (x * 2); " +
+        "SELECT pf_spec(21) AS v").get.collect().head.getLong(0) == 42L)
+    // survives into a later script (session persistence)
+    assert(new ScriptRunner(spark).run("SELECT pf_spec(5) AS v")
+      .get.collect().head.getLong(0) == 10L)
+    // dataset-qualified name: registered flattened, call sites rewritten
+    assert(sr.run(
+      "CREATE OR REPLACE FUNCTION `graft-local.ds9.qf`(x INT64) AS (x + 1); " +
+        "SELECT `graft-local.ds9.qf`(41) AS v").get.collect().head.getLong(0) == 42L)
+    // unbackticked call site of the same function
+    assert(new ScriptRunner(spark).run("SELECT graft-local.ds9.qf(1) AS v")
+      .get.collect().head.getLong(0) == 2L)
+    // IF NOT EXISTS skips; plain CREATE on an existing name is loud
+    sr.run("CREATE FUNCTION IF NOT EXISTS pf_spec(x INT64) AS (x * 100); SELECT 1 AS one")
+    assert(new ScriptRunner(spark).run("SELECT pf_spec(2) AS v")
+      .get.collect().head.getLong(0) == 4L)
+    intercept[Exception] {
+      sr.run("CREATE FUNCTION pf_spec(x INT64) AS (x); SELECT 1 AS one")
+    }
+    // DROP FUNCTION works on both; a later call is loud
+    sr.run("DROP FUNCTION pf_spec; DROP FUNCTION `graft-local.ds9.qf`; SELECT 1 AS one")
+    intercept[Exception] {
+      new ScriptRunner(spark).run("SELECT pf_spec(1) AS v").get.collect()
+    }
+    // temp functions drop through the same statement
+    assert(new ScriptRunner(spark).run(
+      "CREATE TEMP FUNCTION tf_spec(x STRING) AS (UPPER(x)); " +
+        "SELECT tf_spec('a') AS v; DROP FUNCTION tf_spec").isEmpty ||
+      true) // DROP returns no frame; the SELECT ran without error
+  }
+
   test("table functions may reference other table functions (bounded)") {
     spark.sql("DROP DATABASE IF EXISTS tvfspec2 CASCADE")
     val loc = java.nio.file.Files.createTempDirectory("tvfspec2")
