@@ -981,6 +981,50 @@ object Dialect {
         else s"$flat(")
     }
 
+  private val pipeRenameRe = raw"(?i)\|>\s*RENAME\b".r
+
+  /** BigQuery pipe-syntax `|> RENAME old AS new, …` — the one pipe
+    * operator Spark 4.1 doesn't parse. Rewritten to
+    * `|> SELECT * EXCEPT (olds), old AS new, …` (same deviation as the
+    * star-REPLACE rewrite: renamed columns move to the END of the
+    * projection; names and values identical). The rest of the pipe
+    * vocabulary — WHERE, SELECT, EXTEND, SET, DROP, AGGREGATE…GROUP BY,
+    * ORDER BY, LIMIT, JOIN, PIVOT/UNPIVOT, UNION, TABLESAMPLE — is
+    * Spark-native (probe wave 17) with BigQuery-matching semantics,
+    * including rejecting aggregates inside `|> SELECT`.
+    */
+  private def rewritePipeRename(sql: String): String = {
+    val m0 = pipeRenameRe.findAllMatchIn(sql)
+      .find(m => !inStringLiteral(sql, m.start))
+      .getOrElse(return sql)
+    var i = m0.end
+    var depth = 0
+    var end = sql.length
+    var found = false
+    while (i < sql.length && !found) {
+      val c = sql.charAt(i)
+      if (c == '\'' || c == '"' || c == '`') i = skipQuoted(sql, i)
+      else {
+        if (c == '(') depth += 1
+        else if (c == ')') {
+          if (depth == 0) { end = i; found = true } else depth -= 1
+        } else if (c == '|' && depth == 0 && i + 1 < sql.length &&
+            sql.charAt(i + 1) == '>') { end = i; found = true }
+        i += 1
+      }
+    }
+    val prs = splitTopLevel(sql.substring(m0.end, end))
+      .map(_.trim).filter(_.nonEmpty).map { it =>
+        raw"(?is)^(`?[\w]+`?)\s+AS\s+(`?[\w]+`?)$$".r.findFirstMatchIn(it)
+          .map(mm => (mm.group(1), mm.group(2)))
+          .getOrElse(throw new IllegalArgumentException(
+            s"|> RENAME items are `old AS new`: $it"))
+      }
+    val repl = s"|> SELECT * EXCEPT (${prs.map(_._1).mkString(", ")}), " +
+      prs.map { case (o, n) => s"$o AS $n" }.mkString(", ") + " "
+    sql.substring(0, m0.start) + repl + rewritePipeRename(sql.substring(end))
+  }
+
   private val mlAnalyticRe =
     raw"(?i)\bML\s*\.\s*(STANDARD_SCALER|MIN_MAX_SCALER|IMPUTER|QUANTILE_BUCKETIZE)\s*\(".r
 
@@ -1344,7 +1388,7 @@ object Dialect {
       // lineage path (mapFqns = false) leaves the text untouched — the
       // extractor reads the clause's table as a plain source
       val vs = rewriteGapFill(rewriteRangeSessionize(rewriteVectorSearch(
-        rewriteMlAnalytic(mapPersistentFns(sqlNum)))))
+        rewriteMlAnalytic(rewritePipeRename(mapPersistentFns(sqlNum))))))
       val mapped = if (mapFqns) mapSourceFqns(vs) else vs
       if (mapFqns) rewriteSystemTimeClauses(mapped) else mapped
     })(

@@ -998,6 +998,23 @@ object EngineQueries {
           |SELECT k2, name FROM graft.pg61.v ORDER BY k2""".stripMargin).get
     },
 
+    "e79_pipe_syntax" -> { (s, d) =>
+      // BigQuery pipe query syntax: WHERE/EXTEND/AGGREGATE…GROUP BY/
+      // ORDER BY are Spark-4.1-native (same design lineage); |> RENAME
+      // is the one operator Spark lacks and rewrites via * EXCEPT
+      // (Dialect.rewritePipeRename). Integer-derived cents keep the
+      // cross-engine sums exact in any order.
+      Tables.views(s, d, "orders")
+      new ScriptRunner(s).run(
+        """FROM orders
+          ||> WHERE o_orderkey <= 3000
+          ||> EXTEND CAST(o_totalprice * 100 AS INT64) AS cents
+          ||> RENAME o_orderpriority AS prio
+          ||> AGGREGATE CAST(COUNT(*) AS INT64) AS n, SUM(cents) AS sum_cents
+          |   GROUP BY prio
+          ||> ORDER BY prio""".stripMargin).get
+    },
+
     "e78_persistent_udf" -> { (s, d) =>
       // Persistent (dataset-qualified) SQL UDFs: CREATE FUNCTION
       // `p.d.f` registers under a flattened name, call sites (backticked
@@ -2536,6 +2553,13 @@ object EngineQueries {
     // BigQuery's documented outputs, pinned by the DialectExecSpec PSL
     // suite); leg 2 re-derives with string math since the suffix is
     // fixed by construction
+    // the pipe chain restated as standard SQL (DuckDB has no pipes)
+    "e79_pipe_syntax" ->
+      """SELECT o_orderpriority AS prio, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(o_totalprice * 100 AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM orders WHERE o_orderkey <= 3000
+        |GROUP BY prio ORDER BY prio""".stripMargin,
+
     // the UDF bodies restated inline (exact integer-derived doubles)
     "e78_persistent_udf" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS id,

@@ -1186,6 +1186,29 @@ class DialectExecSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one("SELECT CAST('abcdef' AS STRING)") == "abcdef")
   }
 
+  test("pipe syntax: native operators pass through, |> RENAME rewrites") {
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW pipe_t AS " +
+      "SELECT k, g, CAST(v AS DOUBLE) AS v FROM VALUES " +
+      "(1, 'a', 10.0), (2, 'b', 20.0), (3, 'a', 30.0) AS t(k, g, v)")
+    val agg = spark.sql(Dialect.rewrite(
+      "FROM pipe_t |> AGGREGATE SUM(v) AS sv GROUP BY g |> ORDER BY g")).collect()
+    assert(agg.map(r => (r.getString(0), r.getDouble(1))).toSeq ==
+      Seq(("a", 40.0), ("b", 20.0)))
+    val ext = spark.sql(Dialect.rewrite(
+      "FROM pipe_t |> EXTEND v * 2 AS v2 |> WHERE k > 1 |> SELECT k, v2 |> ORDER BY k"))
+      .collect()
+    assert(ext.map(r => (r.getInt(0), r.getDouble(1))).toSeq ==
+      Seq((2, 40.0), (3, 60.0)))
+    // RENAME is the one operator Spark lacks — rewritten via * EXCEPT
+    val rn = spark.sql(Dialect.rewrite(
+      "FROM pipe_t |> RENAME v AS val |> SELECT k, val |> ORDER BY k")).collect()
+    assert(rn.map(_.getDouble(1)).toSeq == Seq(10.0, 20.0, 30.0))
+    val rn2 = spark.sql(Dialect.rewrite(
+      "FROM pipe_t |> RENAME v AS val, g AS grp |> WHERE grp = 'a' " +
+        "|> AGGREGATE SUM(val) AS s")).collect()
+    assert(rn2(0).getDouble(0) == 40.0)
+  }
+
   test("probe wave 15: 3-arg ROUND, typed SIGN, ARRAY_INCLUDES, SPLIT_SUBSTR") {
     // rounding_mode: HALF_EVEN → bround, HALF_AWAY (BigQuery default) → round
     assert(one("SELECT CAST(ROUND(2.5, 0, 'ROUND_HALF_EVEN') AS INT64)") == 2L)

@@ -1623,6 +1623,24 @@ class ScriptRunnerSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE IF EXISTS tmp_marked")
   }
 
+  test("NOT ENFORCED constraint DDL is metadata-only; ENFORCED stays loud") {
+    val sr = new ScriptRunner(spark)
+    val out = sr.run(
+      """CREATE TEMP TABLE cst (k INT64, r INT64);
+        |ALTER TABLE cst ADD PRIMARY KEY (k) NOT ENFORCED;
+        |ALTER TABLE cst ADD CONSTRAINT fk1 FOREIGN KEY (r) REFERENCES cst (k) NOT ENFORCED;
+        |INSERT INTO cst VALUES (1, 1);
+        |ALTER TABLE cst DROP CONSTRAINT fk1;
+        |ALTER TABLE cst DROP PRIMARY KEY;
+        |SELECT count(1) AS c FROM cst""".stripMargin).get
+    assert(out.collect().head.getLong(0) == 1L)
+    val e = intercept[IllegalArgumentException] {
+      sr.run("ALTER TABLE cst ADD PRIMARY KEY (k); SELECT 1 AS one")
+    }
+    assert(e.getMessage.contains("NOT ENFORCED"))
+    spark.sql("DROP TABLE IF EXISTS cst")
+  }
+
   test("persistent CREATE FUNCTION: bare + dataset-qualified names, DROP FUNCTION") {
     val sr = new ScriptRunner(spark)
     assert(sr.run(
