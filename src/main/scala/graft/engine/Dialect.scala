@@ -1025,6 +1025,45 @@ object Dialect {
     sql.substring(0, m0.start) + repl + rewritePipeRename(sql.substring(end))
   }
 
+  private val pipeAssertRe = raw"(?i)\|>\s*ASSERT\b".r
+
+  /** BigQuery `|> ASSERT condition [, message]` — rows pass through
+    * unchanged; any row failing the condition errors the query. Lowered
+    * to `|> WHERE (CASE WHEN cond THEN TRUE ELSE raise_error(…) END)` —
+    * a filter predicate is evaluated per row and can never be pruned
+    * away (an EXTEND+DROP form could be column-pruned before the check
+    * ran).
+    */
+  private def rewritePipeAssert(sql: String): String = {
+    val m0 = pipeAssertRe.findAllMatchIn(sql)
+      .find(m => !inStringLiteral(sql, m.start))
+      .getOrElse(return sql)
+    var i = m0.end
+    var depth = 0
+    var end = sql.length
+    var found = false
+    while (i < sql.length && !found) {
+      val c = sql.charAt(i)
+      if (c == '\'' || c == '"' || c == '`') i = skipQuoted(sql, i)
+      else {
+        if (c == '(') depth += 1
+        else if (c == ')') {
+          if (depth == 0) { end = i; found = true } else depth -= 1
+        } else if (c == '|' && depth == 0 && i + 1 < sql.length &&
+            sql.charAt(i + 1) == '>') { end = i; found = true }
+        i += 1
+      }
+    }
+    val parts = splitTopLevel(sql.substring(m0.end, end)).map(_.trim)
+    val cond = parts.head
+    val msg =
+      if (parts.length > 1) s"CAST((${parts(1)}) AS STRING)"
+      else "'" + cond.replace("'", "''").replace("\\", "\\\\") + "'"
+    val repl = s"|> WHERE (CASE WHEN ($cond) THEN TRUE " +
+      s"ELSE CAST(raise_error(CONCAT('ASSERT failed: ', $msg)) AS BOOLEAN) END) "
+    sql.substring(0, m0.start) + repl + rewritePipeAssert(sql.substring(end))
+  }
+
   private val mlAnalyticRe =
     raw"(?i)\bML\s*\.\s*(STANDARD_SCALER|MIN_MAX_SCALER|IMPUTER|QUANTILE_BUCKETIZE)\s*\(".r
 
@@ -1388,7 +1427,8 @@ object Dialect {
       // lineage path (mapFqns = false) leaves the text untouched — the
       // extractor reads the clause's table as a plain source
       val vs = rewriteGapFill(rewriteRangeSessionize(rewriteVectorSearch(
-        rewriteMlAnalytic(rewritePipeRename(mapPersistentFns(sqlNum))))))
+        rewriteMlAnalytic(rewritePipeRename(rewritePipeAssert(
+          mapPersistentFns(sqlNum)))))))
       val mapped = if (mapFqns) mapSourceFqns(vs) else vs
       if (mapFqns) rewriteSystemTimeClauses(mapped) else mapped
     })(

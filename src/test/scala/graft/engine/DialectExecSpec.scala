@@ -1207,6 +1207,21 @@ class DialectExecSpec extends AnyFunSuite with BeforeAndAfterAll {
       "FROM pipe_t |> RENAME v AS val, g AS grp |> WHERE grp = 'a' " +
         "|> AGGREGATE SUM(val) AS s")).collect()
     assert(rn2(0).getDouble(0) == 40.0)
+    // |> ASSERT: passing rows flow through; a failing row is loud with
+    // the message (or the condition text when no message is given)
+    graft.functions.BitSketchExpressions.register(spark)
+    val as1 = spark.sql(Dialect.rewrite(
+      "FROM pipe_t |> ASSERT k > 0 |> SELECT k |> ORDER BY k")).collect()
+    assert(as1.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    val e = intercept[Exception] {
+      spark.sql(Dialect.rewrite(
+        "FROM pipe_t |> ASSERT k > 1, 'k must exceed 1' |> SELECT k")).collect()
+    }
+    assert(e.getMessage.contains("k must exceed 1"))
+    val e2 = intercept[Exception] {
+      spark.sql(Dialect.rewrite("FROM pipe_t |> ASSERT k > 2 |> SELECT k")).collect()
+    }
+    assert(e2.getMessage.contains("k > 2"))
   }
 
   test("probe wave 15: 3-arg ROUND, typed SIGN, ARRAY_INCLUDES, SPLIT_SUBSTR") {
