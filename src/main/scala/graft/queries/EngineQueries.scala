@@ -998,6 +998,24 @@ object EngineQueries {
           |SELECT k2, name FROM graft.pg61.v ORDER BY k2""".stripMargin).get
     },
 
+    "e80_wave15_vocab" -> { (s, d) =>
+      // probe-wave-15 vocabulary under the oracle: 3-arg ROUND modes,
+      // type-preserving SIGN, ARRAY_INCLUDES family, SPLIT_SUBSTR.
+      // ROUND operands are exact halves (k + 0.5 on integer k), so the
+      // HALF_EVEN/HALF_AWAY split is exercised at the boundary where
+      // the two modes actually differ.
+      Tables.views(s, d, "nation")
+      new ScriptRunner(s).run(
+        """SELECT CAST(n_nationkey AS INT64) AS id,
+          |  CAST(ROUND(CAST(n_nationkey AS FLOAT64) + 0.5, 0, 'ROUND_HALF_EVEN') AS INT64) AS r_even,
+          |  CAST(ROUND(CAST(n_nationkey AS FLOAT64) + 0.5, 0, 'ROUND_HALF_AWAY_FROM_ZERO') AS INT64) AS r_away,
+          |  SIGN(n_nationkey - 12) AS sgn,
+          |  ARRAY_INCLUDES([2, 3, 5, 7, 11, 13, 17, 19, 23], n_nationkey) AS is_prime,
+          |  ARRAY_INCLUDES_ALL([0, 1, 2], [CAST(MOD(n_nationkey, 3) AS INT64)]) AS mod_ok,
+          |  SPLIT_SUBSTR(n_name, 'A', 2) AS tail_a
+          |FROM nation ORDER BY id""".stripMargin).get
+    },
+
     "e79_pipe_syntax" -> { (s, d) =>
       // BigQuery pipe query syntax: WHERE/EXTEND/AGGREGATE…GROUP BY/
       // ORDER BY are Spark-4.1-native (same design lineage); |> RENAME
@@ -2553,6 +2571,22 @@ object EngineQueries {
     // BigQuery's documented outputs, pinned by the DialectExecSpec PSL
     // suite); leg 2 re-derives with string math since the suffix is
     // fixed by construction
+    // half-boundary rounding restated arithmetically (k+0.5 rounds to k
+    // iff k even under HALF_EVEN, always k+1 under HALF_AWAY); the
+    // SPLIT_SUBSTR tail-after-first-'A' collapses to a substr
+    "e80_wave15_vocab" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS id,
+        |  CAST(CASE WHEN n_nationkey % 2 = 0 THEN n_nationkey
+        |            ELSE n_nationkey + 1 END AS BIGINT) AS r_even,
+        |  CAST(n_nationkey + 1 AS BIGINT) AS r_away,
+        |  CAST(CASE WHEN n_nationkey > 12 THEN 1 WHEN n_nationkey < 12 THEN -1
+        |            ELSE 0 END AS BIGINT) AS sgn,
+        |  n_nationkey IN (2, 3, 5, 7, 11, 13, 17, 19, 23) AS is_prime,
+        |  true AS mod_ok,
+        |  CASE WHEN strpos(n_name, 'A') = 0 THEN ''
+        |       ELSE substr(n_name, strpos(n_name, 'A') + 1) END AS tail_a
+        |FROM nation ORDER BY id""".stripMargin,
+
     // the pipe chain restated as standard SQL (DuckDB has no pipes)
     "e79_pipe_syntax" ->
       """SELECT o_orderpriority AS prio, CAST(COUNT(*) AS BIGINT) AS n,
