@@ -974,7 +974,10 @@ object Dialect {
     */
   private def mapPersistentFns(sql: String): String =
     FnRegistry.entries.foldLeft(sql) { case (acc, (canon, flat)) =>
-      val re = ("(?i)`?" + java.util.regex.Pattern.quote(canon) + raw"`?\s*\(").r
+      // left boundary: a longer identifier ending in the canonical name
+      // (x_p.d.f) must not match its tail
+      val re = ("(?i)(?<![A-Za-z0-9_.])`?" +
+        java.util.regex.Pattern.quote(canon) + raw"`?\s*\(").r
       re.replaceAllIn(acc, m =>
         if (inStringLiteral(acc, m.start))
           java.util.regex.Matcher.quoteReplacement(m.matched)
