@@ -1476,10 +1476,15 @@ object Dialect {
       trailingSelectComma.replaceAllIn(hexed, "$1 FROM")
     }
     out = rewriteTypedStruct(out)
+    // BigQuery: IN UNNEST(NULL) is FALSE (NOT IN → TRUE), never NULL —
+    // bare array_contains(NULL, x) would yield NULL (probe wave 20).
+    // NULL ELEMENTS keep IN's three-valued logic on both engines.
     out = inUnnest.replaceAllIn(out, m =>
       java.util.regex.Matcher.quoteReplacement(
-        if (m.group(2) != null) s"(NOT array_contains(${m.group(3)}, ${m.group(1)}))"
-        else s"array_contains(${m.group(3)}, ${m.group(1)})"))
+        if (m.group(2) != null)
+          s"((${m.group(3)}) IS NULL OR NOT array_contains(${m.group(3)}, ${m.group(1)}))"
+        else
+          s"((${m.group(3)}) IS NOT NULL AND array_contains(${m.group(3)}, ${m.group(1)}))"))
     // expression-context SELECT AS STRUCT first: the comprehension and
     // flatten passes below must see the already-struct-wrapped list
     out = rewriteStructSubquery(out)

@@ -1186,6 +1186,16 @@ class DialectExecSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one("SELECT CAST('abcdef' AS STRING)") == "abcdef")
   }
 
+  test("IN UNNEST over a NULL array is FALSE (NOT IN → TRUE), never NULL") {
+    assert(one("SELECT 1 IN UNNEST(CAST(NULL AS ARRAY<INT64>))") == false)
+    assert(one("SELECT 1 NOT IN UNNEST(CAST(NULL AS ARRAY<INT64>))") == true)
+    assert(one("SELECT 2 IN UNNEST([1, 2])") == true)
+    assert(one("SELECT 3 NOT IN UNNEST([1, 2])") == true)
+    // NULL elements keep IN's three-valued logic
+    assert(one("SELECT 3 IN UNNEST([1, NULL]) IS NULL") == true)
+    assert(one("SELECT 3 NOT IN UNNEST([1, NULL]) IS NULL") == true)
+  }
+
   test("pipe syntax: native operators pass through, |> RENAME rewrites") {
     spark.sql("CREATE OR REPLACE TEMPORARY VIEW pipe_t AS " +
       "SELECT k, g, CAST(v AS DOUBLE) AS v FROM VALUES " +

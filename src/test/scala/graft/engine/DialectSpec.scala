@@ -6,14 +6,14 @@ class DialectSpec extends AnyFunSuite {
 
   test("IN UNNEST rewrite, flat and nested-call arguments") {
     assert(Dialect.rewrite("WHERE x IN UNNEST(partitions)") ==
-      "WHERE array_contains(partitions, x)")
+      "WHERE ((partitions) IS NOT NULL AND array_contains(partitions, x))")
     assert(Dialect.rewrite("WHERE s IN UNNEST(array('a', 'b'))") ==
-      "WHERE array_contains(array('a', 'b'), s)")
+      "WHERE ((array('a', 'b')) IS NOT NULL AND array_contains(array('a', 'b'), s))")
   }
 
   test("NOT IN UNNEST rewrites to negated array_contains") {
     assert(Dialect.rewrite("WHERE x NOT IN UNNEST(partitions)") ==
-      "WHERE (NOT array_contains(partitions, x))")
+      "WHERE ((partitions) IS NULL OR NOT array_contains(partitions, x))")
   }
 
   test("keyword rewrites skip string literals") {
@@ -342,7 +342,7 @@ class DialectSpec extends AnyFunSuite {
     assert(Dialect.rewrite("SELECT v FROM t LEFT JOIN UNNEST(arr) AS v ON TRUE") ==
       "SELECT v FROM t LATERAL VIEW OUTER explode(arr) __u AS v")
     // IN UNNEST still wins (rewritten before FROM-UNNEST runs)
-    assert(Dialect.rewrite("WHERE x IN UNNEST(a)") == "WHERE array_contains(a, x)")
+    assert(Dialect.rewrite("WHERE x IN UNNEST(a)") == "WHERE ((a) IS NOT NULL AND array_contains(a, x))")
   }
 
   test("alias-less FROM-UNNEST gets a synthesized alias, keywords not swallowed") {
