@@ -252,8 +252,6 @@ class DmlRunner(spark: SparkSession, runner: TransformRunner) {
   }
 
 
-  private val updateRe =
-    raw"(?is)^\s*UPDATE\s+`?([\w.$$-]+)`?(?:\s+(?:AS\s+)?(?!SET\b)([A-Za-z_]\w*))?\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*$$".r
   private val truncateRe =
     raw"(?is)^\s*TRUNCATE\s+TABLE\s+`?([\w.$$-]+)`?\s*;?\s*$$".r
 
@@ -274,7 +272,6 @@ class DmlRunner(spark: SparkSession, runner: TransformRunner) {
   private lazy val MergeTable = new MaskedRe(mergeTableRe)
   private lazy val Merge = new MaskedRe(mergeRe)
   private lazy val Delete = new MaskedRe(deleteRe)
-  private lazy val Update = new MaskedRe(updateRe)
   private lazy val Truncate = new MaskedRe(truncateRe)
   private lazy val Drop = new MaskedRe(dropRe)
 
@@ -342,7 +339,7 @@ class DmlRunner(spark: SparkSession, runner: TransformRunner) {
       delete(destFqn, if (alias == null) cond else stripAlias(cond, alias))
     case UpdateFromStmt(destFqn, tAlias, sets, fromSrc, cond) =>
       updateFrom(destFqn, tAlias, sets, fromSrc, cond)
-    case Update(destFqn, alias, sets, cond) =>
+    case UpdateStmt(destFqn, alias, sets, cond) =>
       if (alias == null) update(destFqn, sets, cond)
       else update(destFqn, stripAlias(sets, alias), stripAlias(cond, alias))
     case Truncate(destFqn) =>
@@ -444,6 +441,44 @@ class DmlRunner(spark: SparkSession, runner: TransformRunner) {
     * misroutes a plain UPDATE. Captured pieces are cut from the
     * ORIGINAL text by position (masking is length-preserving).
     */
+  /** Plain `UPDATE t [AS a] SET … WHERE …` with a PAREN-AWARE split at
+    * the top-level WHERE: a SET value holding a correlated subquery
+    * (`SET v = (SELECT … WHERE …)`) must not have the statement cut at
+    * the subquery's inner WHERE (the lazy-regex form did exactly that).
+    */
+  private object UpdateStmt {
+    private val headRe =
+      raw"(?is)^\s*UPDATE\s+`?([\w.$$-]+)`?(?:\s+(?:AS\s+)?(?!SET\b)([A-Za-z_]\w*))?\s+SET\s".r
+    def unapply(stmt: String): Option[(String, String, String, String)] = {
+      val masked = maskLiterals(stmt)
+      headRe.findFirstMatchIn(masked).flatMap { h =>
+        val up = masked.toUpperCase
+        var depth = 0
+        var i = h.end
+        var whereIdx = -1
+        while (i < masked.length && whereIdx < 0) {
+          masked.charAt(i) match {
+            case '(' => depth += 1
+            case ')' => depth -= 1
+            case _ =>
+              if (depth == 0 && up.startsWith("WHERE", i) &&
+                  !Character.isLetterOrDigit(masked.charAt(i - 1)) &&
+                  masked.charAt(i - 1) != '_' &&
+                  i + 5 < masked.length && masked.charAt(i + 5).isWhitespace)
+                whereIdx = i
+          }
+          i += 1
+        }
+        if (whereIdx < 0) scala.None
+        else Some((
+          stmt.substring(h.start(1), h.end(1)),
+          if (h.start(2) < 0) null else stmt.substring(h.start(2), h.end(2)),
+          stmt.substring(h.end, whereIdx).trim,
+          stmt.substring(whereIdx + 6).trim.stripSuffix(";").trim))
+      }
+    }
+  }
+
   private object UpdateFromStmt {
     private val headRe =
       raw"(?is)^\s*UPDATE\s+`?([\w.$$-]+)`?(?:\s+(?:AS\s+)?(\w+))?\s+SET\s".r
@@ -568,6 +603,37 @@ class DmlRunner(spark: SparkSession, runner: TransformRunner) {
     */
   private def update(destFqn: String, sets: String, cond: String): Unit = {
     val dest = runner.catalogName(destFqn)
+    // correlated/scalar SUBQUERIES in a SET value or the WHERE cannot go
+    // through expr() (subqueries are not parseable as lone expressions)
+    // — build the same one-projection-over-original-rows semantics as a
+    // single SQL statement instead: Spark resolves correlated scalar
+    // subqueries in a select list, and the outer alias (the table's
+    // bare name) is what BigQuery correlation references.
+    val subqueryRe = raw"(?is)\(\s*SELECT\b".r
+    if (subqueryRe.findFirstIn(sets).isDefined ||
+        subqueryRe.findFirstIn(cond).isDefined) {
+      val base0 = spark.table(dest)
+      val pairs = parseSetList(sets).map { case (k, v) =>
+        if (k.contains(".")) throw new IllegalArgumentException(
+          "struct-field SET paths with subquery values are not supported")
+        (k.toLowerCase, v)
+      }
+      val known = base0.columns.map(_.toLowerCase).toSet
+      pairs.keys.find(!known.contains(_)).foreach(k =>
+        throw new IllegalArgumentException(s"no column $k in $dest"))
+      val outer = destFqn.replace("`", "").split("\\.").last
+      val proj = base0.columns.map { name =>
+        pairs.get(name.toLowerCase) match {
+          case scala.Some(rhs) =>
+            s"CASE WHEN (${Dialect.rewrite(cond)}) THEN (${Dialect.rewrite(rhs)}) " +
+              s"ELSE `$name` END AS `$name`"
+          case scala.None => s"`$name`"
+        }
+      }
+      overwriteSelf(dest,
+        spark.sql(s"SELECT ${proj.mkString(", ")} FROM $dest AS $outer"))
+      return
+    }
     val c = expr(Dialect.rewrite(cond))
     val base = spark.table(dest)
     // one projection over the ORIGINAL row: every SET right-hand side and

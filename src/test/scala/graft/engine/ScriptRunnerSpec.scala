@@ -1623,6 +1623,24 @@ class ScriptRunnerSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE IF EXISTS tmp_marked")
   }
 
+  test("UPDATE with a correlated scalar subquery in SET (and subquery WHERE)") {
+    val out = new ScriptRunner(spark).run(
+      """CREATE TEMP TABLE cu1 (k INT64, v INT64);
+        |CREATE TEMP TABLE cu2 (k INT64, nv INT64);
+        |INSERT INTO cu1 VALUES (1, 0), (2, 0), (3, 0);
+        |INSERT INTO cu2 VALUES (1, 11), (2, 22);
+        |UPDATE cu1 SET v = (SELECT nv FROM cu2 WHERE cu2.k = cu1.k)
+        |WHERE k IN (SELECT k FROM cu2);
+        |SELECT k, v FROM cu1 ORDER BY k""".stripMargin).get
+    assert(out.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 11L), (2L, 22L), (3L, 0L)))
+    // physical temp tables live under the session temp location — the
+    // warehouse must not accumulate their dirs
+    val wh = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))
+    assert(!new java.io.File(wh, "cu1").exists)
+  }
+
   test("NOT ENFORCED constraint DDL is metadata-only; ENFORCED stays loud") {
     val sr = new ScriptRunner(spark)
     val out = sr.run(
