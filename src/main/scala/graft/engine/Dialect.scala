@@ -325,6 +325,66 @@ object Dialect {
       // set-op branches are value tables too: (…) UNION ALL (SELECT AS STRUCT …)
       "UNION", "ALL", "EXCEPT", "INTERSECT", "DISTINCT")
 
+  /** Classify the group opening at `open` ('('): TABLE context
+    * (FROM/JOIN/set-op branch — keep the later value-table flatten) vs
+    * EXPRESSION context (select-list item, function argument, scalar
+    * position — wrap the select list in struct(…)). A preceding comma
+    * or '(' is AMBIGUOUS — `FROM t, (…)` vs `SELECT id, (…)`;
+    * `((…) UNION ALL …)` vs `IF(c, (…), …)` — so scan back past
+    * balanced parens to the governing clause keyword, or recurse on the
+    * enclosing opener, and classify that instead. (The round-10 flat
+    * ','/'(' → table rule broke non-first select-list items and
+    * function arguments — r10 ADVICE.)
+    */
+  private def isTableContext(cur: String, open: Int): Boolean = {
+    val spans = literalSpans(cur)
+    def spanStart(i: Int): Int =
+      spans.find(s => i >= s._1 && i < s._2).map(_._1).getOrElse(-1)
+    var q = open - 1
+    while (q >= 0 && cur.charAt(q).isWhitespace) q -= 1
+    if (q < 0) return true // statement-level group: set-op branch shape
+    val c = cur.charAt(q)
+    if (c.isLetterOrDigit || c == '_') {
+      var w = q
+      while (w >= 0 && (cur.charAt(w).isLetterOrDigit || cur.charAt(w) == '_')) w -= 1
+      // a bare identifier before '(' is a function call → expression
+      tableCtxKeywords.contains(cur.substring(w + 1, q + 1).toUpperCase)
+    } else if (c == '(') {
+      isTableContext(cur, q)
+    } else if (c == ',') {
+      // list-member scan: walk left at the comma's paren depth; the
+      // first clause keyword seen governs the list (FROM-list → table,
+      // select/BY/SET/etc. list → expression); hitting the enclosing
+      // opener first delegates to that group's own classification
+      val tableKw = Set("FROM", "JOIN", "USING", "UNNEST", "LATERAL",
+        "TABLE", "IN", "EXISTS", "UNION", "EXCEPT", "INTERSECT")
+      val exprKw = Set("SELECT", "BY", "SET", "WHEN", "THEN", "ELSE",
+        "ON", "WHERE", "HAVING", "VALUES", "RETURNING", "RETURNS")
+      var depth = 0
+      var j = q - 1
+      while (j >= 0) {
+        val ss = spanStart(j)
+        if (ss >= 0) j = ss - 1
+        else {
+          val ch = cur.charAt(j)
+          if (ch == ')') { depth += 1; j -= 1 }
+          else if (ch == '(') {
+            if (depth == 0) return isTableContext(cur, j)
+            depth -= 1; j -= 1
+          } else if (depth == 0 && (ch.isLetterOrDigit || ch == '_')) {
+            var w = j
+            while (w >= 0 && (cur.charAt(w).isLetterOrDigit || cur.charAt(w) == '_')) w -= 1
+            val tok = cur.substring(w + 1, j + 1).toUpperCase
+            if (tableKw.contains(tok)) return true
+            if (exprKw.contains(tok)) return false
+            j = w // AS/DISTINCT/aliases/operands: keep scanning left
+          } else j -= 1
+        }
+      }
+      true // ran off the front: bare FROM-list shape (old behavior)
+    } else false // operator/'='/etc. → scalar expression position
+  }
+
   private def rewriteStructSubquery(sql: String): String = {
     var cur = sql
     var changed = true
@@ -334,20 +394,7 @@ object Dialect {
         !inStringLiteral(cur, m.start) && {
           var p = m.start - 1
           while (p >= 0 && cur.charAt(p).isWhitespace) p -= 1
-          p >= 0 && cur.charAt(p) == '(' && {
-            var q = p - 1
-            while (q >= 0 && cur.charAt(q).isWhitespace) q -= 1
-            // a preceding comma or '(' is table context too: value-table
-            // forms `FROM t, (SELECT AS STRUCT …)` and parenthesized
-            // set-op branches `FROM ((SELECT AS STRUCT …) UNION ALL …)`
-            if (q >= 0 && (cur.charAt(q) == ',' || cur.charAt(q) == '(')) false
-            else {
-              var w = q
-              while (w >= 0 && (cur.charAt(w).isLetterOrDigit || cur.charAt(w) == '_')) w -= 1
-              val tok = if (q < 0) "" else cur.substring(w + 1, q + 1).toUpperCase
-              !tableCtxKeywords.contains(tok)
-            }
-          }
+          p >= 0 && cur.charAt(p) == '(' && !isTableContext(cur, p)
         }
       }
       candidate.foreach { m =>
@@ -3268,10 +3315,13 @@ object Dialect {
     },
     // BigQuery SIGN preserves the input type (SIGN(INT64) is INT64);
     // Spark's sign always returns DOUBLE — silently different type.
-    // The CASE keeps the argument's own type via coercion; NaN falls
-    // through both comparisons to the *0 branch and stays NaN.
+    // The CASE keeps the argument's own type via coercion. Spark orders
+    // NaN above every number (`NaN > 0` is TRUE), so an explicit isnan
+    // guard must run FIRST for NaN to return NaN like BigQuery; the
+    // double(x)-typed guard check keeps integer inputs out of isnan.
     "SIGN" -> (a => if (a.length == 1) Some(
-      s"(CASE WHEN (${a(0)}) > 0 THEN 1 WHEN (${a(0)}) < 0 THEN -1 " +
+      s"(CASE WHEN isnan(CAST((${a(0)}) AS DOUBLE)) THEN (${a(0)}) " +
+        s"WHEN (${a(0)}) > 0 THEN 1 WHEN (${a(0)}) < 0 THEN -1 " +
         s"ELSE (${a(0)}) * 0 END)") else scala.None),
     // ARRAY_INCLUDES family (probe wave 15)
     "ARRAY_INCLUDES" -> (a =>

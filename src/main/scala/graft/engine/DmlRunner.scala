@@ -341,6 +341,16 @@ class DmlRunner(spark: SparkSession, runner: TransformRunner) {
       updateFrom(destFqn, tAlias, sets, fromSrc, cond)
     case UpdateStmt(destFqn, alias, sets, cond) =>
       if (alias == null) update(destFqn, sets, cond)
+      else if (raw"(?is)\(\s*SELECT\b".r.findFirstIn(sets).isDefined ||
+               raw"(?is)\(\s*SELECT\b".r.findFirstIn(cond).isDefined)
+        // correlated-subquery SETs must keep their alias-qualified outer
+        // references intact: stripAlias over the whole text would turn
+        // `WHERE s.k = a.k` into `s.k = k`, re-resolving the correlation
+        // against the INNER table (always-true join → global aggregate
+        // instead of the per-key value, silently). The subquery path in
+        // update() aliases the outer scan by this statement's alias, so
+        // qualified references resolve exactly as BigQuery does.
+        update(destFqn, sets, cond, outerAlias = alias)
       else update(destFqn, stripAlias(sets, alias), stripAlias(cond, alias))
     case Truncate(destFqn) =>
       // staged-swap empty rewrite, not spark.sql TRUNCATE: (a) inside a
@@ -598,10 +608,12 @@ class DmlRunner(spark: SparkSession, runner: TransformRunner) {
   /** UPDATE t SET a = e, … WHERE c — the parquet-table rewrite: rows
     * matching c get the SET expressions, the rest pass through, and
     * the table overwrites itself via the checkpointed write path.
-    * (Aliased `UPDATE t AS x` forms are not handled here and fall
-    * through to spark.sql, which reports them.)
+    * Aliased forms arrive either pre-stripped (no subqueries) or with
+    * `outerAlias` set (subquery path — the alias must survive so the
+    * correlated references resolve against the outer scan).
     */
-  private def update(destFqn: String, sets: String, cond: String): Unit = {
+  private def update(destFqn: String, sets: String, cond: String,
+      outerAlias: String = null): Unit = {
     val dest = runner.catalogName(destFqn)
     // correlated/scalar SUBQUERIES in a SET value or the WHERE cannot go
     // through expr() (subqueries are not parseable as lone expressions)
@@ -614,14 +626,23 @@ class DmlRunner(spark: SparkSession, runner: TransformRunner) {
         subqueryRe.findFirstIn(cond).isDefined) {
       val base0 = spark.table(dest)
       val pairs = parseSetList(sets).map { case (k, v) =>
-        if (k.contains(".")) throw new IllegalArgumentException(
+        // an aliased statement may qualify SET keys (`SET a.v = …`) —
+        // that prefix names the outer table, not a struct field
+        val bare =
+          if (outerAlias != null &&
+              k.toLowerCase.startsWith(outerAlias.toLowerCase + "."))
+            k.substring(outerAlias.length + 1)
+          else k
+        if (bare.contains(".")) throw new IllegalArgumentException(
           "struct-field SET paths with subquery values are not supported")
-        (k.toLowerCase, v)
+        (bare.toLowerCase, v)
       }
       val known = base0.columns.map(_.toLowerCase).toSet
       pairs.keys.find(!known.contains(_)).foreach(k =>
         throw new IllegalArgumentException(s"no column $k in $dest"))
-      val outer = destFqn.replace("`", "").split("\\.").last
+      val outer =
+        if (outerAlias != null) outerAlias
+        else destFqn.replace("`", "").split("\\.").last
       val proj = base0.columns.map { name =>
         pairs.get(name.toLowerCase) match {
           case scala.Some(rhs) =>

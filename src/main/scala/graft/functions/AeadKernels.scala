@@ -84,10 +84,25 @@ object AeadKernels {
     gcm(Cipher.DECRYPT_MODE, key, cipher.take(12), aad, cipher.drop(12))
   }
 
-  private def sivNonce(key: Array[Byte], aad: Array[Byte],
+  /** SIV key separation (r10 ADVICE): real AES-SIV (and Tink's
+    * AES_SIV_CMAC) carries a 64-byte key split into independent MAC and
+    * encryption halves; reusing one 32-byte key for both the synthetic-
+    * nonce HMAC and AES-GCM is cross-primitive key reuse. Our keysets
+    * carry 32 bytes of master material, so expand it into two labeled
+    * subkeys (HKDF-style one-block expand: HMAC(master, label)) — the
+    * MAC subkey never touches AES, the AES subkey never keys the HMAC.
+    * Part of the documented keyset-format deviation from Tink.
+    */
+  private def detSubkey(master: Array[Byte], label: String): Array[Byte] = {
+    val mac = javax.crypto.Mac.getInstance("HmacSHA256")
+    mac.init(new SecretKeySpec(master, "HmacSHA256"))
+    mac.doFinal(label.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  private def sivNonce(macKey: Array[Byte], aad: Array[Byte],
       plain: Array[Byte]): Array[Byte] = {
     val mac = javax.crypto.Mac.getInstance("HmacSHA256")
-    mac.init(new SecretKeySpec(key, "HmacSHA256"))
+    mac.init(new SecretKeySpec(macKey, "HmacSHA256"))
     mac.update(java.nio.ByteBuffer.allocate(4).putInt(aad.length).array())
     mac.update(aad)
     mac.update(plain)
@@ -95,17 +110,19 @@ object AeadKernels {
   }
 
   def detEncrypt(ks: Array[Byte], plain: Array[Byte], aad: Array[Byte]): Array[Byte] = {
-    val key = parseKeyset(ks, TYPE_DET, "DETERMINISTIC_ENCRYPT")
-    val nonce = sivNonce(key, aad, plain)
-    nonce ++ gcm(Cipher.ENCRYPT_MODE, key, nonce, aad, plain)
+    val master = parseKeyset(ks, TYPE_DET, "DETERMINISTIC_ENCRYPT")
+    val nonce = sivNonce(detSubkey(master, "graft-siv-mac"), aad, plain)
+    nonce ++ gcm(Cipher.ENCRYPT_MODE, detSubkey(master, "graft-siv-aes"),
+      nonce, aad, plain)
   }
 
   def detDecrypt(ks: Array[Byte], cipher: Array[Byte], aad: Array[Byte],
       fn: String): Array[Byte] = {
-    val key = parseKeyset(ks, TYPE_DET, fn)
+    val master = parseKeyset(ks, TYPE_DET, fn)
     if (cipher.length < 12 + 16) throw new IllegalArgumentException(
       s"$fn: ciphertext too short")
-    gcm(Cipher.DECRYPT_MODE, key, cipher.take(12), aad, cipher.drop(12))
+    gcm(Cipher.DECRYPT_MODE, detSubkey(master, "graft-siv-aes"),
+      cipher.take(12), aad, cipher.drop(12))
   }
 
   def register(spark: SparkSession): Unit = {

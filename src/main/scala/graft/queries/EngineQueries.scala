@@ -1093,7 +1093,7 @@ object EngineQueries {
           |  ML.DISTANCE([o_totalprice, 1.0], [100.0, 2.0], 'MANHATTAN') AS dist_m,
           |  ML.LP_NORM([3.0, CAST(MOD(o_orderkey, 10) AS FLOAT64)], 1) AS l1,
           |  ML.BUCKETIZE(o_totalprice, [50000, 150000]) AS bkt,
-          |  ML.NGRAMS(SPLIT(o_orderpriority, '-'), [1, 2], '_') AS ngr,
+          |  ARRAY_TO_STRING(ML.NGRAMS(SPLIT(o_orderpriority, '-'), [1, 2], '_'), ',') AS ngr,
           |  ML.MIN_MAX_SCALER(CAST(MOD(o_orderkey, 97) AS FLOAT64))
           |    OVER (PARTITION BY o_orderpriority) AS mm,
           |  ML.IMPUTER(CASE WHEN MOD(o_orderkey, 7) = 0 THEN CAST(NULL AS FLOAT64)
@@ -2647,8 +2647,8 @@ object EngineQueries {
         |  3.0 + CAST(o_orderkey % 10 AS DOUBLE) AS l1,
         |  CASE WHEN p < 50000 THEN 'bin_1' WHEN p < 150000 THEN 'bin_2'
         |       ELSE 'bin_3' END AS bkt,
-        |  [str_split(o_orderpriority, '-')[1], str_split(o_orderpriority, '-')[2],
-        |   str_split(o_orderpriority, '-')[1] || '_' || str_split(o_orderpriority, '-')[2]] AS ngr,
+        |  str_split(o_orderpriority, '-')[1] || ',' || str_split(o_orderpriority, '-')[2]
+        |   || ',' || str_split(o_orderpriority, '-')[1] || '_' || str_split(o_orderpriority, '-')[2] AS ngr,
         |  (mx - min(mx) OVER w) / (max(mx) OVER w - min(mx) OVER w) AS mm,
         |  coalesce(iv, avg(iv) OVER w) AS imean
         |FROM base

@@ -1245,6 +1245,10 @@ class DialectExecSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one("SELECT SIGN(0)") == 0)
     assert(one("SELECT SIGN(CAST(2.5 AS FLOAT64))") == 1.0)
     assert(one("SELECT SIGN(CAST(NULL AS INT64)) IS NULL") == true)
+    // SIGN(NaN) is NaN in BigQuery; Spark orders NaN > 0, so without an
+    // isnan guard the lowering returned 1 (r10 ADVICE)
+    assert(one("SELECT isnan(SIGN(CAST('NaN' AS FLOAT64)))") == true)
+    assert(one("SELECT SIGN(CAST('-Infinity' AS FLOAT64))") == -1.0)
     // ARRAY_INCLUDES family
     assert(one("SELECT ARRAY_INCLUDES([1, 2], 2)") == true)
     assert(one("SELECT ARRAY_INCLUDES_ANY([1, 2], [3, 2])") == true)
@@ -1372,6 +1376,32 @@ class DialectExecSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(u.map(_.getInt(0)).toSeq == Seq(1, 2))
     // expression context still wraps to ONE struct value
     assert(one("SELECT (SELECT AS STRUCT 1 AS a, 2 AS b).b") == 2)
+  }
+
+  test("struct subquery after ','/'(' in EXPRESSION context wraps (r10 ADVICE)") {
+    // non-first select-list item: the ',' belongs to a SELECT list, not
+    // a FROM list — r10's flat ','→table rule silently un-wrapped it
+    val r = spark.sql(Dialect.rewrite(
+      "SELECT 0 AS id, (SELECT AS STRUCT 1 AS a, 2 AS b) AS s")).collect()
+    assert(r(0).getStruct(1).getInt(1) == 2, "multi-field struct survives")
+    // single-field form: shape must stay a struct, not a bare scalar
+    val r1 = spark.sql(Dialect.rewrite(
+      "SELECT 0 AS id, (SELECT AS STRUCT 5 AS a) AS s")).collect()
+    assert(r1(0).getStruct(1).getInt(0) == 5)
+    // function argument: the '(' is a call opener, not a set-op branch
+    assert(one("SELECT IF(true, (SELECT AS STRUCT 3 AS a, 4 AS b), NULL).b") == 4)
+    // first-argument comma form
+    assert(one(
+      "SELECT IF(false, NULL, (SELECT AS STRUCT 6 AS a, 7 AS b)).a") == 6)
+    // GROUP-BY-adjacent select list with aliasing noise still wraps
+    val g = spark.sql(Dialect.rewrite(
+      "SELECT k AS kk, (SELECT AS STRUCT MAX(9) AS m) AS s FROM (SELECT 1 AS k) GROUP BY k"))
+      .collect()
+    assert(g(0).getStruct(1).getInt(0) == 9)
+    // and the table contexts beside commas STILL flatten
+    val t = spark.sql(Dialect.rewrite(
+      "SELECT x.a FROM (SELECT 1 AS k) t, (SELECT AS STRUCT 2 AS a) AS x")).collect()
+    assert(t(0).getInt(0) == 2)
   }
 
   test("TIME typed-literal rewrite is string-literal-aware") {

@@ -386,6 +386,30 @@ class DmlRunnerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(state() == Seq(("b", 4L), ("c", 3L)))
   }
 
+  test("aliased UPDATE keeps correlation in a subquery SET (r10 ADVICE)") {
+    // stripAlias over the whole statement used to turn `s.k = a.k` into
+    // `s.k = k`, re-resolving against the INNER table (always-true) so
+    // every row silently got the GLOBAL max instead of its per-key one
+    freshTable(Seq(("a", 1L), ("b", 2L), ("c", 3L)))
+    spark.sql("DROP TABLE IF EXISTS dmlspec.src")
+    spark.sql("CREATE TABLE dmlspec.src (k STRING, nv BIGINT) USING parquet")
+    spark.sql(
+      "INSERT INTO dmlspec.src VALUES ('a', 100), ('a', 50), ('b', 7)")
+    dml.run(
+      """UPDATE dmlspec.t AS a
+        |SET v = (SELECT MAX(s.nv) FROM dmlspec.src s WHERE s.k = a.k)
+        |WHERE a.k IN ('a', 'b')""".stripMargin)
+    assert(state() == Seq(("a", 100L), ("b", 7L), ("c", 3L)),
+      "each row must take its own key's max, not the global max")
+    // alias-qualified SET key on the subquery path
+    dml.run(
+      """UPDATE dmlspec.t x
+        |SET x.v = (SELECT COUNT(*) FROM dmlspec.src s WHERE s.k = x.k)
+        |WHERE x.k = 'a'""".stripMargin)
+    assert(state() == Seq(("a", 2L), ("b", 7L), ("c", 3L)))
+    spark.sql("DROP TABLE dmlspec.src")
+  }
+
   test("DELETE without WHERE fails loud (BigQuery requires the clause)") {
     freshTable(Seq(("a", 1L)))
     intercept[IllegalArgumentException] { dml.run("DELETE FROM dmlspec.t") }
