@@ -1171,6 +1171,64 @@ object Dialect {
     sql.substring(0, m0.start) + repl + rewriteMlAnalytic(sql.substring(wClose + 1))
   }
 
+  private val pdiscRe = raw"(?i)\bPERCENTILE_DISC\s*\(".r
+
+  /** `PERCENTILE_DISC(x, f) [OVER w]` → Spark's percentile_disc, with
+    * BigQuery's input-type preservation restored (r10 ask #6): Spark
+    * widens the result to DOUBLE, but the selected value is an actual
+    * input element, so `graft_cast_like(result, x)` casts it back
+    * exactly. The pass (not callRewrites) owns this form because the
+    * OVER clause must land INSIDE the wrapper — the wrapper itself is
+    * scalar. Aggregate position borrows the type from `first(x)` (bare
+    * x would be an unaggregated reference there); the window form uses
+    * x directly. Non-literal fractions (incl. RESPECT/IGNORE NULLS
+    * suffixes, which land in the fraction arg) fail loud.
+    */
+  private def rewritePercentileDisc(sql: String): String = {
+    val m0 = pdiscRe.findAllMatchIn(sql)
+      .find(m => !inStringLiteral(sql, m.start))
+      .getOrElse(return sql)
+    val close = matchParen(sql, m0.end - 1)
+    if (close < 0)
+      throw new IllegalArgumentException("PERCENTILE_DISC: unbalanced call")
+    val args = splitTopLevel(sql.substring(m0.end, close)).map(_.trim)
+    if (args.length != 2 || !args(1).matches("""[0-9.]+"""))
+      throw new IllegalArgumentException(
+        "PERCENTILE_DISC needs (value, literal fraction); " +
+          "RESPECT/IGNORE NULLS is not supported")
+    val x = args(0)
+    val f = args(1)
+    var k = close + 1
+    while (k < sql.length && sql.charAt(k).isWhitespace) k += 1
+    val hasOver = k + 4 <= sql.length &&
+      sql.regionMatches(true, k, "OVER", 0, 4) &&
+      (k + 4 == sql.length || !(sql.charAt(k + 4).isLetterOrDigit ||
+        sql.charAt(k + 4) == '_'))
+    val (repl, end) =
+      if (hasOver) {
+        var w = k + 4
+        while (w < sql.length && sql.charAt(w).isWhitespace) w += 1
+        val wEnd =
+          if (w < sql.length && sql.charAt(w) == '(') {
+            val wc = matchParen(sql, w)
+            if (wc < 0) throw new IllegalArgumentException(
+              "PERCENTILE_DISC: unbalanced OVER")
+            wc + 1
+          } else { // named window: OVER w_name
+            var e = w
+            while (e < sql.length && (sql.charAt(e).isLetterOrDigit ||
+              sql.charAt(e) == '_')) e += 1
+            e
+          }
+        val over = sql.substring(w, wEnd)
+        (s"graft_cast_like(percentile_disc($f) WITHIN GROUP (ORDER BY $x)" +
+          s" OVER $over, $x)", wEnd)
+      } else
+        (s"graft_cast_like(percentile_disc($f) WITHIN GROUP (ORDER BY $x)," +
+          s" first($x))", close + 1)
+    sql.substring(0, m0.start) + repl + rewritePercentileDisc(sql.substring(end))
+  }
+
   private val searchFnRe = raw"(?i)\bSEARCH\s*\(".r
 
   /** Java/RE2-compatible class of BigQuery's published LOG_ANALYZER
@@ -1477,8 +1535,8 @@ object Dialect {
       // lineage path (mapFqns = false) leaves the text untouched — the
       // extractor reads the clause's table as a plain source
       val vs = rewriteGapFill(rewriteRangeSessionize(rewriteVectorSearch(
-        rewriteMlAnalytic(rewritePipeRename(rewritePipeAssert(
-          mapPersistentFns(sqlNum)))))))
+        rewriteMlAnalytic(rewritePercentileDisc(rewritePipeRename(rewritePipeAssert(
+          mapPersistentFns(sqlNum))))))))
       val mapped = if (mapFqns) mapSourceFqns(vs) else vs
       if (mapFqns) rewriteSystemTimeClauses(mapped) else mapped
     })(
@@ -3291,11 +3349,9 @@ object Dialect {
         Some(s"percentile(${a(0)}, ${a(1).trim})")
       else scala.None
     },
-    "PERCENTILE_DISC" -> { a =>
-      if (a.length == 2 && a(1).trim.matches("""[0-9.]+"""))
-        Some(s"percentile_disc(${a(1).trim}) WITHIN GROUP (ORDER BY ${a(0)})")
-      else scala.None
-    },
+    // PERCENTILE_DISC is handled by rewritePercentileDisc in the
+    // prelude chain (it must capture the OVER clause to type-preserve
+    // the result through graft_cast_like — r10 ask #6)
     // BigQuery LEAST/GREATEST return NULL if ANY argument is NULL;
     // Spark's skip NULLs — guard explicitly
     "LEAST" -> nullPropagating("least"),

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, EvalMode, Expression, Literal, Round, RuntimeReplaceable, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.trees.{BinaryLike, UnaryLike}
 import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types.{DataType, DecimalType, DoubleType, FloatType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -59,6 +59,23 @@ case class BqStringOf(child: Expression)
     copy(child = newChild)
 }
 
+/** Type-borrowing cast: `graft_cast_like(v, like)` casts v to like's
+  * RESOLVED type; like's value is never used (the optimizer's
+  * ReplaceExpressions drops it). PERCENTILE_DISC's lowering restores
+  * BigQuery's input-type preservation with it — Spark's
+  * percentile_disc widens the result to DOUBLE, but the selected value
+  * is an actual input element, so the cast back is exact.
+  */
+case class CastLikeExpr(left: Expression, right: Expression)
+    extends RuntimeReplaceable with BinaryLike[Expression] {
+  override lazy val replacement: Expression =
+    if (left.dataType == right.dataType) left
+    else Cast(left, right.dataType, Some(SQLConf.get.sessionLocalTimeZone))
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CastLikeExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Strict JSON→STRING conversion kernel: Jackson-decoded so escapes
   * (\n, \uXXXX) unwrap exactly like BigQuery; non-string JSON is loud.
   */
@@ -98,5 +115,7 @@ object NumCasts {
         org.apache.spark.sql.catalyst.expressions.TryEval(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_string_of", exprs => BqStringOf(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_cast_like", exprs => CastLikeExpr(exprs(0), exprs(1)), "scala_udf")
   }
 }

@@ -2108,7 +2108,7 @@ object EngineQueries {
         |    CASE WHEN n % 2 = 1 THEN CAST(arr[CAST((n + 1) // 2 AS INT)] AS DOUBLE)
         |         ELSE (arr[CAST(n // 2 AS INT)] + arr[CAST(n // 2 + 1 AS INT)]) / 2.0
         |    END AS med_cont,
-        |    CAST(arr[CAST(ceil(0.25 * n) AS INT)] AS DOUBLE) AS q1_disc
+        |    CAST(arr[CAST(ceil(0.25 * n) AS INT)] AS BIGINT) AS q1_disc
         |  FROM pct
         |)
         |SELECT c.o_orderstatus, c.kind, c.v, c.w, p.med_cont, p.q1_disc

@@ -122,6 +122,20 @@ class DialectExecSpec extends AnyFunSuite with BeforeAndAfterAll {
       "(SELECT 10 AS x UNION ALL SELECT 20 UNION ALL SELECT 30 UNION ALL SELECT 40)") == 20.0)
     assert(one("SELECT DISTINCT PERCENTILE_DISC(x, 0.25) OVER () FROM " +
       "(SELECT 10 AS x UNION ALL SELECT 20 UNION ALL SELECT 30 UNION ALL SELECT 40)") == 10.0)
+    // PERCENTILE_DISC preserves the input type like BigQuery (r10 ask
+    // #6): INT64 in → INT64 out, DOUBLE in → DOUBLE out
+    assert(one("SELECT DISTINCT PERCENTILE_DISC(x, 0.5) OVER () FROM " +
+      "(SELECT CAST(10 AS INT64) AS x UNION ALL SELECT 20 UNION ALL SELECT 30)")
+      === 20L)
+    assert(one("SELECT DISTINCT PERCENTILE_DISC(x, 0.5) OVER () FROM " +
+      "(SELECT CAST(1.5 AS FLOAT64) AS x UNION ALL SELECT 2.5)") === 1.5)
+    // aggregate position (engine extension) type-preserves too
+    assert(one("SELECT PERCENTILE_DISC(x, 0.5) FROM " +
+      "(SELECT CAST(7 AS INT64) AS x UNION ALL SELECT 9)") === 7L)
+    // named-window form survives the OVER capture
+    assert(one("SELECT DISTINCT PERCENTILE_DISC(x, 1.0) OVER w FROM " +
+      "(SELECT CAST(3 AS INT64) AS x UNION ALL SELECT 8) WINDOW w AS ()")
+      === 8L)
   }
 
   test("vocabulary pack 3: IEEE math, buckets, code points, uuid") {
