@@ -1665,46 +1665,12 @@ object PipelineQueries {
     },
 
     // --- BPE tokenizer TRAINING (not just one pair round like d38):
-    //     the corpus scan reduces to a vocabulary-sized word-count
-    //     table (the only distributed stage — exactly how industrial
-    //     BPE trainers shard 100 TB), then 6 greedy merge rounds run on
-    //     that table. Words become double-space-joined symbol strings,
-    //     so applying a merge is one literal non-overlapping replace —
-    //     semantics identical in the JVM and the oracle engine ---------
+    //     fully distributed in ops/Corpus.bpeTrain (r9/r10 ask) — the
+    //     corpus reduces to a capped word-count vocabulary and each
+    //     greedy merge round is a distributed pair-count argmax; only
+    //     ONE winning row reaches the driver per round ---------
     "d67_bpe_train" -> { (s, d) =>
-      val words = t(s, d, "documents")
-        .select(explode(split(col("text"), " ")).as("w"))
-        .where(length(col("w")) > 0)
-        .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-        .orderBy(desc("cnt"), col("w")).limit(100000) // vocab cap
-        .collect().map(r => (r.getString(0), r.getLong(1)))
-      // "key" -> "  k  e  y  ": double-space separators make one literal
-      // replace of " l  r " -> " lr " merge ALL non-overlapping pair
-      // occurrences left-to-right, the greedy BPE step
-      var vocab: Seq[(String, Long)] =
-        words.toSeq.map { case (w, c) =>
-          ("  " + w.replaceAll("(.)", "$1  "), c)
-        }
-      val merges = Seq.newBuilder[(Long, String, String, String, Long)]
-      for (round <- 1 to 6) {
-        val pairCounts = scala.collection.mutable.LinkedHashMap[(String, String), Long]()
-        vocab.foreach { case (sym, c) =>
-          val syms = sym.split("  ").filter(_.nonEmpty)
-          syms.sliding(2).foreach {
-            case Array(a, b) =>
-              pairCounts((a, b)) = pairCounts.getOrElse((a, b), 0L) + c
-            case _ =>
-          }
-        }
-        val ((l, r), c) = pairCounts.toSeq
-          .sortBy { case ((a, b), n) => (-n, a, b) }.head
-        merges += ((round.toLong, l, r, l + r, c))
-        vocab = vocab.map { case (sym, n) =>
-          (sym.replace(s" $l  $r ", s" $l$r "), n)
-        }
-      }
-      s.createDataFrame(merges.result())
-        .toDF("merge_rank", "left_sym", "right_sym", "merged", "pair_count")
+      graft.ops.Corpus.bpeTrain(t(s, d, "documents"), rounds = 6)
         .orderBy(col("merge_rank"))
     },
 

@@ -408,6 +408,20 @@ class DedupStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tBig / tSmall < 8.0, f"super-linear blowup: $tSmall%.1f s → $tBig%.1f s")
   }
 
+  test("BPE training merge rounds are distributed and scale to 1M docs", Stress) {
+    // r9/r10 ask: the merge loop used to run on the driver over the
+    // collected vocab. Now each round is a distributed pair-count
+    // argmax; only one row per round reaches the driver. Growth must
+    // track the corpus scan (vocab is capped, so rounds are ~constant
+    // and the word-count stage dominates).
+    val (tSmall, tBig, nBig) = ceilingRatio("bpe@1M", 250000L, 1000000L) { d =>
+      Corpus.bpeTrain(d, rounds = 4)
+    }
+    assert(nBig == 4L, "one output row per merge round")
+    assert(tBig / tSmall < 4.0,
+      f"super-linear at the 1M ceiling: $tSmall%.1f s → $tBig%.1f s")
+  }
+
   // ---- 1M-doc ceiling (VERDICT r6 #5): the two heaviest growers of the
   // 250k suite re-measured one scale notch up (250k → 1M, still 4×).
   // The tighter < 4× bound is the round-7 done-criterion: growth at or
