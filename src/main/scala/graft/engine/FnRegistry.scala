@@ -13,17 +13,25 @@ object FnRegistry {
   private val fns =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  // monotone change counter: Dialect's rewrite memoization keys on it,
+  // so a CREATE/DROP FUNCTION invalidates every cached rewrite whose
+  // call-site mapping could have changed
+  private val gen = new java.util.concurrent.atomic.AtomicLong(0L)
+  def epoch: Long = gen.get()
+
   /** Flattened Spark-registrable spelling of a BigQuery function name. */
   def flatten(canonical: String): String =
     canonical.replace("-", "_").split("\\.").mkString("__")
 
   def register(canonical: String): String = {
     val flat = flatten(canonical)
-    if (canonical.contains(".")) fns.put(canonical.toLowerCase, flat)
+    if (canonical.contains(".")) { fns.put(canonical.toLowerCase, flat); gen.incrementAndGet() }
     flat
   }
 
-  def remove(canonical: String): Unit = fns.remove(canonical.toLowerCase)
+  def remove(canonical: String): Unit = {
+    if (fns.remove(canonical.toLowerCase) != null) gen.incrementAndGet()
+  }
 
   def entries: Seq[(String, String)] = {
     import scala.jdk.CollectionConverters._

@@ -252,9 +252,40 @@ object TextDedup {
     * checkpoint blocks once the result is unreferenced; persist
     * entries it won't). Pass false to get the lazy plan (plan audits).
     */
+  /** Deduped candidate pairs from banded (band, bh, doc_id) rows in ONE
+    * banded-table exchange (r10 ask #3): a map-side-combined groupBy
+    * collects each bucket's sorted member ids and intra-bucket pairs
+    * explode from the capped list. The former banded SELF-JOIN
+    * exchanged the banded table twice (once per join side) before the
+    * pair dedup. Interleaved A/B at the 4M-doc ceiling (35.2M banded
+    * rows, persisted input, DedupStressSpec "pairgen A/B") measured the
+    * two shapes equivalent warm (join 13.3 s vs agg 12.4 s, identical
+    * 401,801-pair output) — the r9 minhash@4M growth was the CPU-bound
+    * sketch stage plus platform throttle, not this stage — so the
+    * one-exchange shape wins on data movement: on a real cluster it
+    * ships the 100 TB-scaled banded table across the network once, not
+    * twice. A streaming repartition+mapPartitions variant was REJECTED:
+    * it leaves whole-stage codegen and measured no better. `cap` bounds
+    * the per-bucket pair fan-out (≤ cap²/2) against adversarial hot
+    * buckets; ordinary near-dup clusters sit far below it, a capped
+    * bucket drops only within-bucket candidates past the first `cap`
+    * sorted ids, and the other 7 bands still propose their pairs.
+    * Sorted ids make a < b by construction.
+    */
+  private def bucketPairs(banded: DataFrame, cap: Int): DataFrame =
+    banded.groupBy(col("band"), col("bh"))
+      .agg(slice(sort_array(collect_list(col("doc_id"))), 1, cap).as("ids"))
+      .where(size(col("ids")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids)), y -> struct(x AS a, y AS b))))""".stripMargin)).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .dropDuplicates("a", "b")
+
   def minhashLshPairs(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", estThreshold: Double = 0.5,
-      verifyThreshold: Double = 0.3, materialize: Boolean = true): DataFrame = {
+      verifyThreshold: Double = 0.3, materialize: Boolean = true,
+      bucketCap: Int = 4096): DataFrame = {
     // the per-doc sketch cache is SLIM by design: shingles are hashed
     // to 60-bit longs before caching (injective in practice at per-doc
     // set sizes; exact Jaccard over the hashed sets equals the string-
@@ -271,10 +302,7 @@ object TextDedup {
           """transform(sequence(0, 7),
             |  b -> struct(b as band, graft_md5_60(concat_ws(',', slice(mh, b*4+1, 4))) as bh))""".stripMargin)).as("bd"))
       .select(col("doc_id"), col("bd.band"), col("bd.bh"))
-    val ca = banded.select(col("band"), col("bh"), col("doc_id").as("a"))
-    val cb = banded.select(col("band"), col("bh"), col("doc_id").as("b"))
-    val pairs = ca.join(cb, Seq("band", "bh")).where(col("a") < col("b"))
-      .select(col("a"), col("b")).dropDuplicates("a", "b")
+    val pairs = bucketPairs(banded, bucketCap)
     val out = pairs
       .join(sh.select(col("doc_id").as("a"), col("mh").as("mha"), col("shh").as("sha")), "a")
       .join(sh.select(col("doc_id").as("b"), col("mh").as("mhb"), col("shh").as("shb")), "b")
@@ -346,11 +374,7 @@ object TextDedup {
           """transform(sequence(0, 7),
             |  b -> struct(b as band, graft_md5_60(concat_ws(',', slice(mh, b*4+1, 4))) as bh))""".stripMargin)).as("bd"))
       .select(col("doc_id"), col("bd.band"), col("bd.bh"))
-    val cand = banded.select(col("band"), col("bh"), col("doc_id").as("a"))
-      .join(banded.select(col("band"), col("bh"), col("doc_id").as("b")),
-        Seq("band", "bh"))
-      .where(col("a") < col("b")).select(col("a"), col("b"))
-      .dropDuplicates("a", "b").withColumn("found", lit(1L))
+    val cand = bucketPairs(banded, cap = 4096).withColumn("found", lit(1L))
     val out = truth.join(cand, Seq("a", "b"), "left")
       .agg(count(lit(1)).as("n_true_pairs"),
         coalesce(sum(col("found")), lit(0L)).as("n_found"),

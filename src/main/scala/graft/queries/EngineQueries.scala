@@ -1074,6 +1074,31 @@ object EngineQueries {
           |FROM pts ORDER BY id""".stripMargin).get
     },
 
+    "e81_geography_linestring" -> { (s, d) =>
+      // GEOGRAPHY linestring increment (r10 ask #8): ST_MAKELINE over
+      // data-driven points + literal-WKT LINESTRING parse, measured by
+      // ST_LENGTH (haversine segment sum, R = 6371010 m, left-to-right
+      // fold). Same IEEE discipline as e77: explicit d2r multiply,
+      // squares by self-multiply, INT64 cast absorbs last-ulp libm
+      // drift. Coordinates keep .5/.25/.75 fractions so every segment
+      // is engine-identical; |lat| stays under 81 so lat-1 is valid.
+      Tables.views(s, d, "nation")
+      new ScriptRunner(s).run(
+        """WITH pts AS (
+          |  SELECT n_nationkey,
+          |    CAST(MOD(n_nationkey * 29, 320) AS FLOAT64) - 159.5 AS lon,
+          |    CAST(MOD(n_nationkey * 17, 160) AS FLOAT64) - 79.75 AS lat
+          |  FROM nation)
+          |SELECT CAST(n_nationkey AS INT64) AS id,
+          |  CAST(ST_LENGTH(ST_MAKELINE([ST_GEOGPOINT(lon, lat),
+          |                              ST_GEOGPOINT(lon + 1.0, lat),
+          |                              ST_GEOGPOINT(lon + 1.0, lat - 1.0)])) AS INT64)
+          |    AS len_m,
+          |  CAST(ST_LENGTH(ST_GEOGFROMTEXT('LINESTRING(0 0, 1 0, 1 1)')) AS INT64)
+          |    AS unit_len_m
+          |FROM pts ORDER BY id""".stripMargin).get
+    },
+
     "e76_ml_preprocess" -> { (s, d) =>
       // ML namespace (closes part of the round-9 namespace skip):
       // DISTANCE (all three metrics), LP_NORM, BUCKETIZE, NGRAMS as
@@ -2628,6 +2653,31 @@ object EngineQueries {
         |  hav <= 5000000.0 AS within_5000km,
         |  lon AS rt_x
         |FROM dist ORDER BY id""".stripMargin,
+
+    // segment-by-segment haversine restatement (same constant, same
+    // association order as the engine's left-to-right fold; a 2-term
+    // double sum is order-exact because IEEE addition is commutative)
+    "e81_geography_linestring" -> {
+      def hav(lat1: String, lon1: String, lat2: String, lon2: String): String = {
+        val d2r = "0.017453292519943295"
+        val sdlat = s"sin((($lat2 * $d2r) - ($lat1 * $d2r)) / 2.0)"
+        val sdlon = s"sin((($lon2 * $d2r) - ($lon1 * $d2r)) / 2.0)"
+        s"(2.0 * 6371010.0 * asin(least(1.0, sqrt($sdlat * $sdlat + " +
+          s"cos($lat1 * $d2r) * cos($lat2 * $d2r) * $sdlon * $sdlon))))"
+      }
+      s"""WITH pts AS (
+         |  SELECT CAST(n_nationkey AS BIGINT) AS id,
+         |    CAST(n_nationkey * 29 % 320 AS DOUBLE) - 159.5 AS lon,
+         |    CAST(n_nationkey * 17 % 160 AS DOUBLE) - 79.75 AS lat
+         |  FROM nation)
+         |SELECT id,
+         |  CAST(round(${hav("lat", "lon", "lat", "(lon + 1.0)")}
+         |    + ${hav("lat", "(lon + 1.0)", "(lat - 1.0)", "(lon + 1.0)")}) AS BIGINT)
+         |    AS len_m,
+         |  CAST(round(${hav("0.0", "0.0", "0.0", "1.0")}
+         |    + ${hav("0.0", "1.0", "1.0", "1.0")}) AS BIGINT) AS unit_len_m
+         |FROM pts ORDER BY id""".stripMargin
+    },
 
     // every ML lowering restated as the same IEEE expression; the
     // 2-part o_orderpriority split makes NGRAMS a closed form

@@ -218,4 +218,42 @@ class DialectFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(row.getInt(0) == ints(i) && row.getInt(1) == ints(i), s"corrupted: $sql")
     }
   }
+
+  test("rewrite memoization: repeat calls hit the cache and stay identical (30 cases)") {
+    for (_ <- 1 to 30) {
+      val lit = esc(randomContent(1 + rnd.nextInt(6)))
+      val n = rnd.nextInt(1000)
+      val sql = s"SELECT CAST($n AS INT64) AS v, '$lit' AS s, " +
+        s"SAFE.SUBSTR('abc', 1, ${1 + rnd.nextInt(3)}) AS t"
+      val first = Dialect.rewrite(sql)
+      // second call takes the cached path — must be byte-identical
+      assert(Dialect.rewrite(sql) == first, s"cache divergence for: $sql")
+      assert(run(sql).head.getLong(0) == n.toLong)
+    }
+  }
+
+  test("rewrite memoization: persistent-UDF registration invalidates the cache") {
+    val sql = "SELECT proj.ds.cachefuzzfn(4) AS v"
+    // before registration: the call site stays qualified (cacheable text)
+    val before = Dialect.rewrite(sql)
+    assert(before.contains("proj.ds.cachefuzzfn("), before)
+    FnRegistry.register("proj.ds.cachefuzzfn")
+    try {
+      val after = Dialect.rewrite(sql)
+      assert(after.contains("proj__ds__cachefuzzfn("),
+        s"stale cached rewrite survived a CREATE FUNCTION: $after")
+    } finally FnRegistry.remove("proj.ds.cachefuzzfn")
+    // and dropping restores the unmapped spelling (epoch bumped again)
+    assert(Dialect.rewrite(sql) == before)
+  }
+
+  test("rewrite memoization: FOR SYSTEM_TIME statements bypass the cache") {
+    // resolution touches the mutable snapshot store — the rewrite must
+    // be recomputed per call, so with NO active snapshot state the call
+    // fails loud instead of returning a stale cached resolution
+    val sql = "SELECT * FROM nowhere.t FOR SYSTEM_TIME AS OF TIMESTAMP '2024-01-01'"
+    val e1 = intercept[Exception](Dialect.rewrite(sql))
+    val e2 = intercept[Exception](Dialect.rewrite(sql))
+    assert(e1.getClass == e2.getClass)
+  }
 }

@@ -511,6 +511,46 @@ class DedupStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     assume(sys.env.contains("GRAFT_STRESS_4M"),
       "set GRAFT_STRESS_4M=1 to run the 4M-doc ceiling legs")
 
+  test("pairgen A/B: banded self-join vs bucket aggregation at 4M", Stress) {
+    assume(sys.env.contains("GRAFT_PAIRGEN_AB"),
+      "set GRAFT_PAIRGEN_AB=1 for the interleaved pair-generation A/B")
+    import org.apache.spark.sql.functions._
+    graft.functions.BitSketchExpressions.register(spark)
+    val d = docs(4000000L)
+    val sh = graft.ops.TextDedup.shingled(d)
+      .withColumn("mh", expr("graft_minhash32(shingles)"))
+      .select(col("doc_id"), col("mh"))
+    val banded = sh.select(col("doc_id"),
+        explode(expr(
+          """transform(sequence(0, 7),
+            |  b -> struct(b as band, graft_md5_60(concat_ws(',', slice(mh, b*4+1, 4))) as bh))""".stripMargin)).as("bd"))
+      .select(col("doc_id"), col("bd.band"), col("bd.bh"))
+      .persist()
+    info(s"banded rows: ${banded.count()}")
+    def joinShape(): Long = {
+      val ca = banded.select(col("band"), col("bh"), col("doc_id").as("a"))
+      val cb = banded.select(col("band"), col("bh"), col("doc_id").as("b"))
+      ca.join(cb, Seq("band", "bh")).where(col("a") < col("b"))
+        .select(col("a"), col("b")).dropDuplicates("a", "b").count()
+    }
+    def aggShape(): Long =
+      banded.groupBy(col("band"), col("bh"))
+        .agg(slice(sort_array(collect_list(col("doc_id"))), 1, 4096).as("ids"))
+        .where(size(col("ids")) >= 2)
+        .select(explode(expr(
+          """flatten(transform(ids, (x, i) ->
+            |  transform(slice(ids, i + 2, size(ids)), y -> struct(x AS a, y AS b))))""".stripMargin)).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+        .dropDuplicates("a", "b").count()
+    for (round <- 1 to 2) {
+      val (tj, nj) = timed(joinShape())
+      val (ta, na) = timed(aggShape())
+      info(f"round $round: join $tj%.1f s ($nj pairs) | agg $ta%.1f s ($na pairs)")
+      assert(nj == na, "shapes must generate the same candidate set")
+    }
+    banded.unpersist()
+  }
+
   test("4M-doc ceiling: MinHash-LSH pair generation growth stays under 4x", Stress) {
     assume4M()
     // feeds d07/d44/d63/d81/d97/d98 — the most-used candidate path
