@@ -1171,6 +1171,51 @@ object Dialect {
     sql.substring(0, m0.start) + repl + rewriteMlAnalytic(sql.substring(wClose + 1))
   }
 
+  private val hllMergeOverRe = raw"(?i)\bHLL_COUNT\s*\.\s*MERGE\s*\(".r
+
+  /** `HLL_COUNT.MERGE(sketch) OVER w` (the r10-documented loud edge):
+    * the aggregate-position lowering wraps the union aggregate in
+    * hll_sketch_estimate, which is scalar — an OVER after it fails
+    * analysis. This pass captures the OVER clause and moves it INSIDE
+    * the wrapper: estimate(union_agg(x) OVER w). Only the window form
+    * matches (a plain call keeps the callRewrites lowering).
+    */
+  private def rewriteHllMergeOver(sql: String): String = {
+    val m0 = hllMergeOverRe.findAllMatchIn(sql)
+      .find(m => !inStringLiteral(sql, m.start))
+      .getOrElse(return sql)
+    val close = matchParen(sql, m0.end - 1)
+    if (close < 0) return sql // malformed: leave for the loud path
+    var k = close + 1
+    while (k < sql.length && sql.charAt(k).isWhitespace) k += 1
+    val hasOver = k + 4 <= sql.length &&
+      sql.regionMatches(true, k, "OVER", 0, 4) &&
+      (k + 4 == sql.length || !(sql.charAt(k + 4).isLetterOrDigit ||
+        sql.charAt(k + 4) == '_'))
+    if (!hasOver)
+      return sql.substring(0, close + 1) +
+        rewriteHllMergeOver(sql.substring(close + 1))
+    val x = sql.substring(m0.end, close)
+    var w = k + 4
+    while (w < sql.length && sql.charAt(w).isWhitespace) w += 1
+    val wEnd =
+      if (w < sql.length && sql.charAt(w) == '(') {
+        val wc = matchParen(sql, w)
+        if (wc < 0) throw new IllegalArgumentException(
+          "HLL_COUNT.MERGE: unbalanced OVER")
+        wc + 1
+      } else {
+        var e = w
+        while (e < sql.length && (sql.charAt(e).isLetterOrDigit ||
+          sql.charAt(e) == '_')) e += 1
+        e
+      }
+    val over = sql.substring(w, wEnd)
+    sql.substring(0, m0.start) +
+      s"hll_sketch_estimate(hll_union_agg(($x), true) OVER $over)" +
+      rewriteHllMergeOver(sql.substring(wEnd))
+  }
+
   private val pdiscRe = raw"(?i)\bPERCENTILE_DISC\s*\(".r
 
   /** `PERCENTILE_DISC(x, f) [OVER w]` → Spark's percentile_disc, with
@@ -1561,8 +1606,9 @@ object Dialect {
       // lineage path (mapFqns = false) leaves the text untouched — the
       // extractor reads the clause's table as a plain source
       val vs = rewriteGapFill(rewriteRangeSessionize(rewriteVectorSearch(
-        rewriteMlAnalytic(rewritePercentileDisc(rewritePipeRename(rewritePipeAssert(
-          mapPersistentFns(sqlNum))))))))
+        rewriteMlAnalytic(rewritePercentileDisc(rewriteHllMergeOver(
+          rewritePipeRename(rewritePipeAssert(
+            mapPersistentFns(sqlNum)))))))))
       val mapped = if (mapFqns) mapSourceFqns(vs) else vs
       if (mapFqns) rewriteSystemTimeClauses(mapped) else mapped
     })(
@@ -3124,8 +3170,11 @@ object Dialect {
         "THEN CAST(raise_error('ST_GEOGPOINT: latitude must be in [-90, 90]') AS DOUBLE) " +
         s"ELSE CAST((${a(1)}) AS DOUBLE) END)")
     },
-    "ST_X" -> (a => if (a.length == 1) Some(s"(${a(0)}).lon") else scala.None),
-    "ST_Y" -> (a => if (a.length == 1) Some(s"(${a(0)}).lat") else scala.None),
+    // typed kernels, not bare field access: `.lon` on a LINESTRING
+    // (array of points) silently maps over the elements — BigQuery
+    // errors, and so must we (GeoKernels.PointFieldExpr)
+    "ST_X" -> (a => if (a.length == 1) Some(s"graft_st_x(${a(0)})") else scala.None),
+    "ST_Y" -> (a => if (a.length == 1) Some(s"graft_st_y(${a(0)})") else scala.None),
     "ST_ASTEXT" -> { a =>
       def fmt(e: String) = s"regexp_replace(CAST($e AS STRING), '\\\\.0$$', '')"
       if (a.length == 1) Some(s"concat('POINT(', ${fmt(s"(${a(0)}).lon")}, ' ', " +
@@ -3293,6 +3342,15 @@ object Dialect {
     // wrap set). Namespace dots pre-mapped to underscores.
     "KEYS_NEW_KEYSET" -> (a =>
       if (a.length == 1) Some(s"graft_keys_new_keyset(${a(0)})") else scala.None),
+    // KEYS rotation family (r11 — closes the documented KEYS.* skip):
+    // keysets hold multiple 32-byte keys, primary last; see AeadKernels
+    "KEYS_ROTATE_KEYSET" -> (a =>
+      if (a.length == 2) Some(s"graft_keys_rotate(${a(0)}, ${a(1)})") else scala.None),
+    "KEYS_ADD_KEY_FROM_RAW_BYTES" -> (a =>
+      if (a.length == 3) Some(s"graft_keys_add_raw(${a(0)}, ${a(1)}, ${a(2)})")
+      else scala.None),
+    "KEYS_KEYSET_LENGTH" -> (a =>
+      if (a.length == 1) Some(s"graft_keys_length(${a(0)})") else scala.None),
     "AEAD_ENCRYPT" -> (a =>
       if (a.length == 3) Some(s"graft_aead_encrypt(${a.mkString(", ")})") else scala.None),
     "AEAD_DECRYPT_STRING" -> (a =>

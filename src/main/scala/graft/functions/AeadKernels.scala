@@ -34,6 +34,7 @@ object AeadKernels {
   private val MAGIC = "GAEAD1".getBytes("UTF-8")
   private val TYPE_GCM: Byte = 0
   private val TYPE_DET: Byte = 1
+  private val TYPE_ANY: Byte = -1 // validateKeyset: skip the type check
   private val rng = new SecureRandom()
 
   def newKeyset(keyType: String): Array[Byte] = {
@@ -49,16 +50,79 @@ object AeadKernels {
     MAGIC ++ Array(t) ++ key
   }
 
-  private def parseKeyset(ks: Array[Byte], wantType: Byte, fn: String): Array[Byte] = {
-    if (ks.length != MAGIC.length + 1 + 32 ||
+  // Multi-key keysets (r11 — closes the KEYS.ROTATE/ADD/LENGTH skip):
+  // MAGIC + type + key1 ∥ … ∥ keyN, 32 bytes each, PRIMARY = LAST.
+  // NEW_KEYSET's single-key layout is the N = 1 case unchanged; encrypt
+  // uses the primary only; decrypt tries primary first then the older
+  // keys right-to-left (our ciphertexts carry no key id — unlike Tink's
+  // output prefix — part of the documented keyset-format deviation).
+  private def validateKeyset(ks: Array[Byte], wantType: Byte, fn: String): Unit = {
+    val body = ks.length - MAGIC.length - 1
+    if (ks.length < MAGIC.length + 1 + 32 || body % 32 != 0 ||
         !java.util.Arrays.equals(ks.take(MAGIC.length), MAGIC))
       throw new IllegalArgumentException(
         s"$fn: not a keyset produced by KEYS.NEW_KEYSET")
     val t = ks(MAGIC.length)
-    if (t != wantType) throw new IllegalArgumentException(
+    if (wantType >= 0 && t != wantType) throw new IllegalArgumentException(
       s"$fn: keyset type mismatch (AEAD functions need AEAD_AES_GCM_256, " +
         "DETERMINISTIC_* need DETERMINISTIC_AEAD_AES_SIV_CMAC_256)")
+  }
+
+  private def parseKeyset(ks: Array[Byte], wantType: Byte, fn: String): Array[Byte] = {
+    validateKeyset(ks, wantType, fn)
     ks.takeRight(32)
+  }
+
+  /** All keys, primary (newest) first. */
+  private def allKeys(ks: Array[Byte], wantType: Byte, fn: String): Seq[Array[Byte]] = {
+    validateKeyset(ks, wantType, fn)
+    val n = (ks.length - MAGIC.length - 1) / 32
+    (n - 1 to 0 by -1).map(i =>
+      ks.slice(MAGIC.length + 1 + i * 32, MAGIC.length + 1 + (i + 1) * 32))
+  }
+
+  private def keyTypeByte(keyType: String, fn: String): Byte = keyType match {
+    case "AEAD_AES_GCM_256" => TYPE_GCM
+    case "DETERMINISTIC_AEAD_AES_SIV_CMAC_256" => TYPE_DET
+    case other => throw new IllegalArgumentException(
+      s"$fn: unsupported key type '$other' (supported: AEAD_AES_GCM_256, " +
+        "DETERMINISTIC_AEAD_AES_SIV_CMAC_256)")
+  }
+
+  /** KEYS.ROTATE_KEYSET: append a fresh key, which becomes primary;
+    * older keys remain for decryption.
+    */
+  def rotateKeyset(ks: Array[Byte], keyType: String): Array[Byte] = {
+    val want = keyTypeByte(keyType, "KEYS.ROTATE_KEYSET")
+    validateKeyset(ks, want, "KEYS.ROTATE_KEYSET")
+    val key = new Array[Byte](32)
+    rng.synchronized(rng.nextBytes(key))
+    ks ++ key
+  }
+
+  /** KEYS.ADD_KEY_FROM_RAW_BYTES: add a caller-supplied raw key as a
+    * NON-primary key (BigQuery: the added key decrypts but does not
+    * become the encryption key). Our format slots 32-byte keys; the
+    * 16-byte AES-128 raw form BigQuery also accepts stays loud.
+    * BigQuery restricts this to AEAD key types ('AES_GCM').
+    */
+  def addKeyFromRawBytes(ks: Array[Byte], keyType: String,
+      raw: Array[Byte]): Array[Byte] = {
+    if (keyType != "AES_GCM") throw new IllegalArgumentException(
+      "KEYS.ADD_KEY_FROM_RAW_BYTES: only 'AES_GCM' raw keys are supported " +
+        "(AES_CBC_PKCS is not implemented in this engine)")
+    validateKeyset(ks, TYPE_GCM, "KEYS.ADD_KEY_FROM_RAW_BYTES")
+    if (raw.length != 32) throw new IllegalArgumentException(
+      "KEYS.ADD_KEY_FROM_RAW_BYTES: raw key must be 32 bytes " +
+        "(16-byte AES-128 keys are not supported in this engine)")
+    // non-primary = insert BEFORE the existing keys (primary is last)
+    ks.take(MAGIC.length + 1) ++ raw ++ ks.drop(MAGIC.length + 1)
+  }
+
+  /** KEYS.KEYSET_LENGTH: number of keys in the keyset. */
+  def keysetLength(ks: Array[Byte]): Long = {
+    validateKeyset(ks, TYPE_ANY, "KEYS.KEYSET_LENGTH")
+    ((ks.length - MAGIC.length - 1) / 32).toLong
   }
 
   private def gcm(mode: Int, key: Array[Byte], nonce: Array[Byte],
@@ -78,10 +142,17 @@ object AeadKernels {
 
   def decrypt(ks: Array[Byte], cipher: Array[Byte], aad: Array[Byte],
       fn: String): Array[Byte] = {
-    val key = parseKeyset(ks, TYPE_GCM, fn)
+    val keys = allKeys(ks, TYPE_GCM, fn)
     if (cipher.length < 12 + 16) throw new IllegalArgumentException(
       s"$fn: ciphertext too short")
-    gcm(Cipher.DECRYPT_MODE, key, cipher.take(12), aad, cipher.drop(12))
+    // primary first, then rotated-out keys; only auth failures advance
+    // (a wrong-AAD failure under EVERY key is the loud final error)
+    keys.iterator.zipWithIndex.map { case (key, i) =>
+      try Some(gcm(Cipher.DECRYPT_MODE, key, cipher.take(12), aad, cipher.drop(12)))
+      catch { case _: javax.crypto.AEADBadTagException if i < keys.size - 1 => None }
+    }.collectFirst { case Some(p) => p }.getOrElse(
+      throw new javax.crypto.AEADBadTagException(
+        s"$fn: no key in the keyset authenticates this ciphertext/AAD"))
   }
 
   /** SIV key separation (r10 ADVICE): real AES-SIV (and Tink's
@@ -118,11 +189,16 @@ object AeadKernels {
 
   def detDecrypt(ks: Array[Byte], cipher: Array[Byte], aad: Array[Byte],
       fn: String): Array[Byte] = {
-    val master = parseKeyset(ks, TYPE_DET, fn)
+    val masters = allKeys(ks, TYPE_DET, fn)
     if (cipher.length < 12 + 16) throw new IllegalArgumentException(
       s"$fn: ciphertext too short")
-    gcm(Cipher.DECRYPT_MODE, detSubkey(master, "graft-siv-aes"),
-      cipher.take(12), aad, cipher.drop(12))
+    masters.iterator.zipWithIndex.map { case (master, i) =>
+      try Some(gcm(Cipher.DECRYPT_MODE, detSubkey(master, "graft-siv-aes"),
+        cipher.take(12), aad, cipher.drop(12)))
+      catch { case _: javax.crypto.AEADBadTagException if i < masters.size - 1 => None }
+    }.collectFirst { case Some(p) => p }.getOrElse(
+      throw new javax.crypto.AEADBadTagException(
+        s"$fn: no key in the keyset authenticates this ciphertext/AAD"))
   }
 
   def register(spark: SparkSession): Unit = {
@@ -138,7 +214,55 @@ object AeadKernels {
     reg("graft_det_encrypt", e => AeadCryptExpr("det_encrypt", e(0), e(1), e(2)))
     reg("graft_det_decrypt_string", e => AeadCryptExpr("det_decrypt_string", e(0), e(1), e(2)))
     reg("graft_det_decrypt_bytes", e => AeadCryptExpr("det_decrypt_bytes", e(0), e(1), e(2)))
+    reg("graft_keys_rotate", e => RotateKeysetExpr(e(0), e(1)))
+    reg("graft_keys_add_raw", e => AddRawKeyExpr(e(0), e(1), e(2)))
+    reg("graft_keys_length", e => KeysetLengthExpr(e.head))
   }
+}
+
+/** KEYS.ROTATE_KEYSET — nondeterministic like NEW_KEYSET (fresh key
+  * material per evaluation).
+  */
+case class RotateKeysetExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with Nondeterministic with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override protected def initializeInternal(partitionIndex: Int): Unit = {}
+  override protected def evalInternal(input: InternalRow): Any = {
+    val (ks, t) = (left.eval(input), right.eval(input))
+    if (ks == null || t == null) null
+    else AeadKernels.rotateKeyset(AeadCryptExpr.bytes(ks),
+      t.asInstanceOf[UTF8String].toString)
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): RotateKeysetExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** KEYS.ADD_KEY_FROM_RAW_BYTES — deterministic (the caller supplies the
+  * key material).
+  */
+case class AddRawKeyExpr(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(ks: Any, t: Any, raw: Any): Any =
+    AeadKernels.addKeyFromRawBytes(AeadCryptExpr.bytes(ks),
+      t.asInstanceOf[UTF8String].toString, AeadCryptExpr.bytes(raw))
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): AddRawKeyExpr = copy(first = f, second = s, third = t)
+}
+
+/** KEYS.KEYSET_LENGTH. */
+case class KeysetLengthExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(ks: Any): Any =
+    AeadKernels.keysetLength(AeadCryptExpr.bytes(ks))
+  override protected def withNewChildInternal(newChild: Expression): KeysetLengthExpr =
+    copy(child = newChild)
 }
 
 /** KEYS.NEW_KEYSET — honestly nondeterministic (fresh key material per

@@ -393,6 +393,7 @@ object BitSketchExpressions {
     NetKernels.register(spark)
     PublicSuffix.register(spark)
     AeadKernels.register(spark)
+    GeoKernels.register(spark)
     TopCount.register(spark)
   }
 }

@@ -1192,7 +1192,11 @@ object EngineQueries {
           |  DETERMINISTIC_ENCRYPT(ks.dk, n.n_name, 'a') =
           |    DETERMINISTIC_ENCRYPT(ks.dk, n.n_name, 'a') AS det_stable,
           |  SAFE.AEAD.DECRYPT_STRING(ks.k,
-          |    AEAD.ENCRYPT(ks.k, n.n_name, 'good'), 'bad') IS NULL AS bad_aad
+          |    AEAD.ENCRYPT(ks.k, n.n_name, 'good'), 'bad') IS NULL AS bad_aad,
+          |  AEAD.DECRYPT_STRING(KEYS.ROTATE_KEYSET(ks.k, 'AEAD_AES_GCM_256'),
+          |    AEAD.ENCRYPT(ks.k, CONCAT('r-', n.n_name), 'ad'), 'ad') AS rot_rt,
+          |  KEYS.KEYSET_LENGTH(KEYS.ROTATE_KEYSET(ks.k, 'AEAD_AES_GCM_256'))
+          |    AS klen2
           |FROM nation n CROSS JOIN (
           |  SELECT KEYS.NEW_KEYSET('AEAD_AES_GCM_256') AS k,
           |         KEYS.NEW_KEYSET('DETERMINISTIC_AEAD_AES_SIV_CMAC_256') AS dk) ks
@@ -2784,7 +2788,8 @@ object EngineQueries {
     "e75_aead" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS id,
         |  n_name AS rt, 'c-' || n_name AS drt,
-        |  true AS det_stable, true AS bad_aad
+        |  true AS det_stable, true AS bad_aad,
+        |  'r-' || n_name AS rot_rt, CAST(2 AS BIGINT) AS klen2
         |FROM nation ORDER BY id""".stripMargin,
 
     // the same origin re-alignment (integer floor-division on epoch

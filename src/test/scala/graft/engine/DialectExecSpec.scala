@@ -138,6 +138,22 @@ class DialectExecSpec extends AnyFunSuite with BeforeAndAfterAll {
       === 8L)
   }
 
+  test("HLL_COUNT.MERGE works in an OVER clause (closes the r10 edge)") {
+    // per-partition merged estimate: sketches are exact far below
+    // capacity, so the estimate equals the exact distinct count
+    val r = spark.sql(Dialect.rewrite(
+      """SELECT DISTINCT g, HLL_COUNT.MERGE(sk) OVER (PARTITION BY g) AS n
+        |FROM (SELECT g, HLL_COUNT.INIT(v) AS sk FROM (
+        |  SELECT 0 AS g, 'a' AS v UNION ALL SELECT 0, 'b' UNION ALL
+        |  SELECT 0, 'b' UNION ALL SELECT 1, 'c') GROUP BY g, v)
+        |ORDER BY g""".stripMargin))
+    val rows = r.collect()
+    assert(rows.map(x => (x.getInt(0), x.getLong(1))).toSeq == Seq((0, 2L), (1, 1L)))
+    // aggregate position unchanged
+    assert(one("SELECT HLL_COUNT.MERGE(sk) FROM (SELECT HLL_COUNT.INIT(v) AS sk " +
+      "FROM (SELECT 'a' AS v UNION ALL SELECT 'b') GROUP BY v)") == 2L)
+  }
+
   test("vocabulary pack 3: IEEE math, buckets, code points, uuid") {
     assert(one("SELECT IEEE_DIVIDE(1, 0)") == Double.PositiveInfinity)
     assert(one("SELECT IEEE_DIVIDE(-1, 0)") == Double.NegativeInfinity)
@@ -1370,6 +1386,64 @@ class DialectExecSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[Exception] { one(
       """SELECT AEAD.DECRYPT_STRING(k, AEAD.ENCRYPT(k, 's', 'good'), 'BAD')
         |FROM (SELECT KEYS.NEW_KEYSET('AEAD_AES_GCM_256') AS k)""".stripMargin) }
+  }
+
+  test("KEYS rotation family: ROTATE_KEYSET / ADD_KEY_FROM_RAW_BYTES / KEYSET_LENGTH (r11)") {
+    graft.functions.BitSketchExpressions.register(spark)
+    val r = spark.sql(Dialect.rewrite(
+      """SELECT
+        |  KEYS.KEYSET_LENGTH(k) AS n0,
+        |  KEYS.KEYSET_LENGTH(KEYS.ROTATE_KEYSET(k, 'AEAD_AES_GCM_256')) AS n1,
+        |  KEYS.KEYSET_LENGTH(KEYS.ADD_KEY_FROM_RAW_BYTES(k, 'AES_GCM',
+        |    CAST(REPEAT('k', 32) AS BYTES))) AS n2,
+        |  AEAD.DECRYPT_STRING(KEYS.ROTATE_KEYSET(k, 'AEAD_AES_GCM_256'),
+        |    AEAD.ENCRYPT(k, 'pt', 'ad'), 'ad') AS rot_rt,
+        |  AEAD.DECRYPT_STRING(KEYS.ADD_KEY_FROM_RAW_BYTES(k, 'AES_GCM',
+        |    CAST(REPEAT('k', 32) AS BYTES)),
+        |    AEAD.ENCRYPT(k, 'pt2', 'ad'), 'ad') AS add_rt,
+        |  DETERMINISTIC_DECRYPT_STRING(
+        |    KEYS.ROTATE_KEYSET(dk, 'DETERMINISTIC_AEAD_AES_SIV_CMAC_256'),
+        |    DETERMINISTIC_ENCRYPT(dk, 'dpt', 'a'), 'a') AS det_rot_rt,
+        |  SAFE.AEAD.DECRYPT_STRING(k2,
+        |    AEAD.ENCRYPT(KEYS.ROTATE_KEYSET(k2, 'AEAD_AES_GCM_256'), 'x', 'a'),
+        |    'a') IS NULL AS fresh_invisible
+        |FROM (SELECT KEYS.NEW_KEYSET('AEAD_AES_GCM_256') AS k,
+        |             KEYS.NEW_KEYSET('AEAD_AES_GCM_256') AS k2,
+        |             KEYS.NEW_KEYSET('DETERMINISTIC_AEAD_AES_SIV_CMAC_256') AS dk)"""
+        .stripMargin)).collect()(0)
+    assert(r.getLong(0) == 1L && r.getLong(1) == 2L && r.getLong(2) == 2L)
+    assert(r.getString(3) == "pt", "old ciphertext must survive rotation")
+    assert(r.getString(4) == "pt2", "adding a raw key must not change the primary")
+    assert(r.getString(5) == "dpt", "deterministic keysets rotate too")
+    assert(r.getBoolean(6) === true,
+      "a ciphertext under the rotated primary is invisible to the old keyset")
+    // loud: mismatched rotate type, raw add on a det keyset, short raw key
+    intercept[Exception] { one(
+      "SELECT KEYS.ROTATE_KEYSET(KEYS.NEW_KEYSET('AEAD_AES_GCM_256'), " +
+        "'DETERMINISTIC_AEAD_AES_SIV_CMAC_256')") }
+    intercept[Exception] { one(
+      "SELECT KEYS.ADD_KEY_FROM_RAW_BYTES(" +
+        "KEYS.NEW_KEYSET('DETERMINISTIC_AEAD_AES_SIV_CMAC_256'), 'AES_GCM', b'x')") }
+    intercept[Exception] { one(
+      "SELECT KEYS.ADD_KEY_FROM_RAW_BYTES(KEYS.NEW_KEYSET('AEAD_AES_GCM_256'), " +
+        "'AES_GCM', CAST(REPEAT('k', 16) AS BYTES))") }
+  }
+
+  test("GEOGRAPHY linestrings: ST_MAKELINE, literal WKT, ST_LENGTH (r11)") {
+    // one degree of longitude at the equator ≈ 2πR/360
+    val deg = 2 * math.Pi * 6371010.0 / 360
+    val len = one("SELECT ST_LENGTH(ST_GEOGFROMTEXT('LINESTRING(0 0, 1 0)'))")
+      .asInstanceOf[Double]
+    assert(math.abs(len - deg) < 0.01)
+    val two = one("SELECT ST_LENGTH(ST_MAKELINE([ST_GEOGPOINT(0, 0), " +
+      "ST_GEOGPOINT(1, 0), ST_GEOGPOINT(1, 1)]))").asInstanceOf[Double]
+    assert(two > len * 1.9 && two < len * 2.1, s"two-segment length $two vs $len")
+    // accessors on the wrong shape are loud, both directions
+    intercept[Exception] { one("SELECT ST_X(ST_GEOGFROMTEXT('LINESTRING(0 0, 1 1)'))") }
+    intercept[Exception] { one("SELECT ST_LENGTH(ST_GEOGPOINT(0, 0))") }
+    // malformed linestring literals fail at rewrite time
+    intercept[Exception] { Dialect.rewrite("SELECT ST_GEOGFROMTEXT('LINESTRING(0 0)')") }
+    intercept[Exception] { Dialect.rewrite("SELECT ST_GEOGFROMTEXT('LINESTRING(0 0, 1)')") }
   }
 
   test("double-quoted literals with escaped apostrophes re-emit correctly") {
