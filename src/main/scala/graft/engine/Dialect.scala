@@ -3182,25 +3182,53 @@ object Dialect {
       else scala.None
     },
     "ST_GEOGFROMTEXT" -> { a =>
-      // literal LINESTRING WKT parses at rewrite time into an
-      // ARRAY<point-struct> constant (static dispatch — see the
-      // linestring block below); everything else takes the point path,
-      // where a non-match extracts '' and the ANSI double cast fails
-      // loud, like BigQuery's parse error
+      // literal LINESTRING/POLYGON WKT parses at rewrite time into
+      // ARRAY<point> / ARRAY<ARRAY<point>> constants (static dispatch —
+      // see the linestring/polygon blocks below); everything else takes
+      // the point path, where a non-match extracts '' and the ANSI
+      // double cast fails loud, like BigQuery's parse error
+      def pointSql(p: String, shape: String): String = {
+        val xy = p.trim.split("\\s+")
+        if (xy.length != 2) throw new IllegalArgumentException(
+          s"ST_GEOGFROMTEXT: malformed $shape coordinate '$p'")
+        // java-parse so bad numbers fail HERE, at rewrite time
+        val (lon, lat) = (xy(0).toDouble, xy(1).toDouble)
+        s"named_struct('lon', CAST('$lon' AS DOUBLE), 'lat', CAST('$lat' AS DOUBLE))"
+      }
       val lsLit = if (a.length == 1) strLit(a(0)).flatMap { s =>
-        val m = raw"(?i)^\s*LINESTRING\s*\((.*)\)\s*$$".r.findFirstMatchIn(s)
-        m.map { g =>
-          val pts = g.group(1).split(",").map(_.trim).map { p =>
-            val xy = p.split("\\s+")
-            if (xy.length != 2) throw new IllegalArgumentException(
-              s"ST_GEOGFROMTEXT: malformed LINESTRING coordinate '$p'")
-            // java-parse so bad numbers fail HERE, at rewrite time
-            val (lon, lat) = (xy(0).toDouble, xy(1).toDouble)
-            s"named_struct('lon', CAST('$lon' AS DOUBLE), 'lat', CAST('$lat' AS DOUBLE))"
-          }
+        raw"(?i)^\s*LINESTRING\s*\((.*)\)\s*$$".r.findFirstMatchIn(s).map { g =>
+          val pts = g.group(1).split(",").map(pointSql(_, "LINESTRING"))
           if (pts.length < 2) throw new IllegalArgumentException(
             "ST_GEOGFROMTEXT: LINESTRING needs at least 2 points")
           s"array(${pts.mkString(", ")})"
+        }
+      } else scala.None
+      val polyLit = if (a.length == 1) strLit(a(0)).flatMap { s =>
+        raw"(?is)^\s*POLYGON\s*\((.*)\)\s*$$".r.findFirstMatchIn(s).map { g =>
+          // rings are parenthesized coordinate lists: (r1), (r2), …
+          val body = g.group(1).trim
+          val rings = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < body.length) {
+            val ch = body.charAt(i)
+            if (ch == '(') {
+              val close = body.indexOf(')', i)
+              if (close < 0) throw new IllegalArgumentException(
+                "ST_GEOGFROMTEXT: unbalanced POLYGON ring")
+              val pts = body.substring(i + 1, close).split(",")
+                .map(pointSql(_, "POLYGON"))
+              if (pts.length < 4) throw new IllegalArgumentException(
+                "ST_GEOGFROMTEXT: a POLYGON ring needs at least 4 points " +
+                  "(closed: first = last)")
+              rings += s"array(${pts.mkString(", ")})"
+              i = close + 1
+            } else if (ch == ',' || ch.isWhitespace) i += 1
+            else throw new IllegalArgumentException(
+              s"ST_GEOGFROMTEXT: malformed POLYGON at '${body.substring(i)}'")
+          }
+          if (rings.isEmpty) throw new IllegalArgumentException(
+            "ST_GEOGFROMTEXT: POLYGON needs at least one ring")
+          s"array(${rings.mkString(", ")})"
         }
       } else scala.None
       lazy val pointForm = {
@@ -3210,7 +3238,7 @@ object Dialect {
             s"'lat', CAST(regexp_extract(${a(0)}, $re, 2) AS DOUBLE))")
         else scala.None
       }
-      lsLit.orElse(pointForm)
+      lsLit.orElse(polyLit).orElse(pointForm)
     },
     "ST_DISTANCE" -> { a =>
       if (a.length != 2) scala.None
@@ -3230,6 +3258,19 @@ object Dialect {
     // fold order is deterministic, so the oracle can restate the exact
     // IEEE sum). Polygons and set-theoretic ST_* stay loud.
     "ST_MAKELINE" -> (a => if (a.length == 1) Some(s"(${a(0)})") else scala.None),
+    // polygons are ARRAY<ARRAY<point>> — shell first, holes after — a
+    // deliberately different shape from linestrings so ST_LENGTH on a
+    // polygon / ST_AREA on a linestring fail analysis loud. ST_AREA is
+    // the exact spherical excess (van Oosterom–Strackee fan sum, see
+    // functions/SphericalGeo); ST_PERIMETER sums auto-closed ring
+    // circumferences. ST_MAKEPOLYGON wraps a (closed or auto-closable)
+    // linestring as the single shell ring.
+    "ST_MAKEPOLYGON" -> (a =>
+      if (a.length == 1) Some(s"array((${a(0)}))") else scala.None),
+    "ST_AREA" -> (a =>
+      if (a.length == 1) Some(s"graft_st_area(${a(0)})") else scala.None),
+    "ST_PERIMETER" -> (a =>
+      if (a.length == 1) Some(s"graft_st_perimeter(${a(0)})") else scala.None),
     "ST_LENGTH" -> { a =>
       if (a.length != 1) scala.None
       else {

@@ -26,6 +26,116 @@ case class PointFieldExpr(child: Expression, fn: String, field: String)
     copy(child = newChild)
 }
 
+/** Spherical polygon kernels (r11). A polygon is ARRAY<ARRAY<point>>
+  * — ring 0 the shell, later rings holes — deliberately a DIFFERENT
+  * shape from linestrings (ARRAY<point>) so ST_LENGTH on a polygon and
+  * ST_AREA on a linestring both fail analysis loud instead of silently
+  * measuring the wrong thing.
+  *
+  * ST_AREA computes the EXACT spherical excess on BigQuery's
+  * R = 6371010 m sphere via the van Oosterom–Strackee signed-triangle
+  * formula over a fan from the ring's first vertex:
+  * E = 2·atan2(v0·(vi×vi+1), 1 + v0·vi + vi·vi+1 + vi+1·v0), summed
+  * left-to-right — numerically stable, orientation-independent through
+  * the final abs, holes subtract. The fixed association order lets the
+  * DuckDB oracle restate the identical IEEE chain; last-ulp libm
+  * differences (Java Math vs C libm trig) are absorbed by the gates'
+  * INT64 casts. ST_PERIMETER sums great-circle edge lengths per ring
+  * (auto-closing), with the same explicit-d2r haversine as ST_DISTANCE.
+  */
+object SphericalGeo {
+  private val R = 6371010.0
+  private val D2R = 0.017453292519943295
+
+  private def unit(lon: Double, lat: Double): (Double, Double, Double) = {
+    val latR = lat * D2R
+    val lonR = lon * D2R
+    (math.cos(latR) * math.cos(lonR), math.cos(latR) * math.sin(lonR),
+      math.sin(latR))
+  }
+
+  /** Signed spherical excess of one ring (closing duplicate tolerated). */
+  def ringExcess(pts: Array[(Double, Double)]): Double = {
+    var ps = pts
+    if (ps.length >= 2 && ps.head == ps.last) ps = ps.dropRight(1)
+    if (ps.length < 3) throw new IllegalArgumentException(
+      "ST_AREA: a polygon ring needs at least 3 distinct points")
+    val v = ps.map { case (lon, lat) => unit(lon, lat) }
+    val (x0, y0, z0) = v(0)
+    var e = 0.0
+    var i = 1
+    while (i < v.length - 1) {
+      val (x1, y1, z1) = v(i)
+      val (x2, y2, z2) = v(i + 1)
+      // v0 · (v1 × v2), expanded in the fixed order the oracle restates
+      val det = x0 * (y1 * z2 - z1 * y2) + y0 * (z1 * x2 - x1 * z2) +
+        z0 * (x1 * y2 - y1 * x2)
+      val denom = 1.0 + (x0 * x1 + y0 * y1 + z0 * z1) +
+        (x1 * x2 + y1 * y2 + z1 * z2) + (x2 * x0 + y2 * y0 + z2 * z0)
+      e += 2.0 * math.atan2(det, denom)
+      i += 1
+    }
+    e
+  }
+
+  /** Shell minus holes, in m². */
+  def area(rings: Array[Array[(Double, Double)]]): Double = {
+    if (rings.isEmpty) throw new IllegalArgumentException(
+      "ST_AREA: empty polygon")
+    val shell = math.abs(ringExcess(rings.head)) * R * R
+    rings.tail.foldLeft(shell)((acc, h) => acc - math.abs(ringExcess(h)) * R * R)
+  }
+
+  private def haversine(lon1: Double, lat1: Double, lon2: Double,
+      lat2: Double): Double = {
+    val sdlat = math.sin((lat2 * D2R - lat1 * D2R) / 2.0)
+    val sdlon = math.sin((lon2 * D2R - lon1 * D2R) / 2.0)
+    2.0 * R * math.asin(math.min(1.0, math.sqrt(sdlat * sdlat +
+      math.cos(lat1 * D2R) * math.cos(lat2 * D2R) * sdlon * sdlon)))
+  }
+
+  /** Sum of ring circumferences (auto-closing), in m. */
+  def perimeter(rings: Array[Array[(Double, Double)]]): Double =
+    rings.foldLeft(0.0) { (acc, ring0) =>
+      var ring = ring0
+      if (ring.length >= 2 && ring.head == ring.last) ring = ring.dropRight(1)
+      if (ring.length < 3) throw new IllegalArgumentException(
+        "ST_PERIMETER: a polygon ring needs at least 3 distinct points")
+      var s = acc
+      var i = 0
+      while (i < ring.length) {
+        val (lon1, lat1) = ring(i)
+        val (lon2, lat2) = ring((i + 1) % ring.length)
+        s += haversine(lon1, lat1, lon2, lat2)
+        i += 1
+      }
+      s
+    }
+}
+
+/** ST_AREA / ST_PERIMETER over ARRAY<ARRAY<STRUCT<lon, lat>>>. */
+case class PolygonMeasureExpr(child: Expression, fn: String)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.DoubleType
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(v: Any): Any = {
+    val rings = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val parsed = (0 until rings.numElements()).map { r =>
+      val ring = rings.getArray(r)
+      (0 until ring.numElements()).map { i =>
+        val p = ring.getStruct(i, 2)
+        (p.getDouble(0), p.getDouble(1))
+      }.toArray
+    }.toArray
+    if (fn == "ST_AREA") SphericalGeo.area(parsed)
+    else SphericalGeo.perimeter(parsed)
+  }
+  override protected def withNewChildInternal(newChild: Expression): PolygonMeasureExpr =
+    copy(child = newChild)
+}
+
 object GeoKernels {
   def register(spark: SparkSession): Unit = {
     if (spark.sessionState.functionRegistry.functionExists(
@@ -34,5 +144,9 @@ object GeoKernels {
       "graft_st_x", e => PointFieldExpr(e.head, "ST_X", "lon"), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_st_y", e => PointFieldExpr(e.head, "ST_Y", "lat"), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_st_area", e => PolygonMeasureExpr(e.head, "ST_AREA"), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_st_perimeter", e => PolygonMeasureExpr(e.head, "ST_PERIMETER"), "scala_udf")
   }
 }

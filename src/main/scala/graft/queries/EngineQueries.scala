@@ -1121,6 +1121,41 @@ object EngineQueries {
           |FROM pts ORDER BY id""".stripMargin).get
     },
 
+    "e82_geography_polygon" -> { (s, d) =>
+      // Spherical polygons (r11 — converts most of the remaining
+      // GEOGRAPHY skip): per nation a 2°×1° geodesic quad, its
+      // holed variant, and the perimeter. ST_AREA is the exact van
+      // Oosterom–Strackee spherical-excess fan sum on R = 6371010 m
+      // (see functions/SphericalGeo); the oracle restates the entire
+      // IEEE chain vertex-by-vertex, and INT64 casts absorb the
+      // Java-vs-libm trig last-ulp drift.
+      Tables.views(s, d, "nation")
+      new ScriptRunner(s).run(
+        """WITH pts AS (
+          |  SELECT n_nationkey,
+          |    CAST(MOD(n_nationkey * 29, 320) AS FLOAT64) - 159.5 AS lon,
+          |    CAST(MOD(n_nationkey * 17, 160) AS FLOAT64) - 79.75 AS lat
+          |  FROM nation),
+          |shapes AS (
+          |  SELECT n_nationkey,
+          |    ST_MAKEPOLYGON(ST_MAKELINE([
+          |      ST_GEOGPOINT(lon, lat), ST_GEOGPOINT(lon + 2.0, lat),
+          |      ST_GEOGPOINT(lon + 2.0, lat + 1.0), ST_GEOGPOINT(lon, lat + 1.0)
+          |    ])) AS quad,
+          |    [[ST_GEOGPOINT(lon, lat), ST_GEOGPOINT(lon + 2.0, lat),
+          |      ST_GEOGPOINT(lon + 2.0, lat + 1.0), ST_GEOGPOINT(lon, lat + 1.0)],
+          |     [ST_GEOGPOINT(lon + 0.5, lat + 0.25),
+          |      ST_GEOGPOINT(lon + 1.0, lat + 0.25),
+          |      ST_GEOGPOINT(lon + 1.0, lat + 0.75),
+          |      ST_GEOGPOINT(lon + 0.5, lat + 0.75)]] AS holed
+          |  FROM pts)
+          |SELECT CAST(n_nationkey AS INT64) AS id,
+          |  CAST(ST_AREA(quad) AS INT64) AS area_m2,
+          |  CAST(ST_AREA(holed) AS INT64) AS holed_m2,
+          |  CAST(ST_PERIMETER(quad) AS INT64) AS perim_m
+          |FROM shapes ORDER BY id""".stripMargin).get
+    },
+
     "e76_ml_preprocess" -> { (s, d) =>
       // ML namespace (closes part of the round-9 namespace skip):
       // DISTANCE (all three metrics), LP_NORM, BUCKETIZE, NGRAMS as
@@ -2744,6 +2779,55 @@ object EngineQueries {
          |    AS len_m,
          |  CAST(round(${hav("0.0", "0.0", "0.0", "1.0")}
          |    + ${hav("0.0", "1.0", "1.0", "1.0")}) AS BIGINT) AS unit_len_m
+         |FROM pts ORDER BY id""".stripMargin
+    },
+
+    // the full van Oosterom–Strackee chain restated vertex-by-vertex
+    // with the kernel's exact association order (SphericalGeo.scala);
+    // INT64 casts absorb Java-vs-libm trig last-ulp drift
+    "e82_geography_polygon" -> {
+      val d2r = "0.017453292519943295"
+      def ux(lon: String, lat: String) = s"(cos($lat * $d2r) * cos($lon * $d2r))"
+      def uy(lon: String, lat: String) = s"(cos($lat * $d2r) * sin($lon * $d2r))"
+      def uz(lat: String) = s"sin($lat * $d2r)"
+      type P = (String, String)
+      def tri(p0: P, p1: P, p2: P): String = {
+        val (x0, y0, z0) = (ux(p0._1, p0._2), uy(p0._1, p0._2), uz(p0._2))
+        val (x1, y1, z1) = (ux(p1._1, p1._2), uy(p1._1, p1._2), uz(p1._2))
+        val (x2, y2, z2) = (ux(p2._1, p2._2), uy(p2._1, p2._2), uz(p2._2))
+        val det = s"$x0 * ($y1 * $z2 - $z1 * $y2) + $y0 * ($z1 * $x2 - $x1 * $z2)" +
+          s" + $z0 * ($x1 * $y2 - $y1 * $x2)"
+        val denom = s"1.0 + ($x0 * $x1 + $y0 * $y1 + $z0 * $z1)" +
+          s" + ($x1 * $x2 + $y1 * $y2 + $z1 * $z2)" +
+          s" + ($x2 * $x0 + $y2 * $y0 + $z2 * $z0)"
+        s"2.0 * atan2($det, $denom)"
+      }
+      def ringArea(ps: Seq[P]): String =
+        s"abs((${tri(ps(0), ps(1), ps(2))}) + (${tri(ps(0), ps(2), ps(3))}))" +
+          " * 6371010.0 * 6371010.0"
+      def hav(p1: P, p2: P): String = {
+        val sdlat = s"sin((${p2._2} * $d2r - ${p1._2} * $d2r) / 2.0)"
+        val sdlon = s"sin((${p2._1} * $d2r - ${p1._1} * $d2r) / 2.0)"
+        s"2.0 * 6371010.0 * asin(least(1.0, sqrt($sdlat * $sdlat + " +
+          s"cos(${p1._2} * $d2r) * cos(${p2._2} * $d2r) * $sdlon * $sdlon)))"
+      }
+      val quad: Seq[P] = Seq(("lon", "lat"), ("(lon + 2.0)", "lat"),
+        ("(lon + 2.0)", "(lat + 1.0)"), ("lon", "(lat + 1.0)"))
+      val hole: Seq[P] = Seq(("(lon + 0.5)", "(lat + 0.25)"),
+        ("(lon + 1.0)", "(lat + 0.25)"), ("(lon + 1.0)", "(lat + 0.75)"),
+        ("(lon + 0.5)", "(lat + 0.75)"))
+      val perim = s"(${hav(quad(0), quad(1))}) + (${hav(quad(1), quad(2))})" +
+        s" + (${hav(quad(2), quad(3))}) + (${hav(quad(3), quad(0))})"
+      s"""WITH pts AS (
+         |  SELECT CAST(n_nationkey AS BIGINT) AS id,
+         |    CAST(n_nationkey * 29 % 320 AS DOUBLE) - 159.5 AS lon,
+         |    CAST(n_nationkey * 17 % 160 AS DOUBLE) - 79.75 AS lat
+         |  FROM nation)
+         |SELECT id,
+         |  CAST(round(${ringArea(quad)}) AS BIGINT) AS area_m2,
+         |  CAST(round((${ringArea(quad)}) - (${ringArea(hole)})) AS BIGINT)
+         |    AS holed_m2,
+         |  CAST(round($perim) AS BIGINT) AS perim_m
          |FROM pts ORDER BY id""".stripMargin
     },
 

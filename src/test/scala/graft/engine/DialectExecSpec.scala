@@ -1446,6 +1446,48 @@ class DialectExecSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[Exception] { Dialect.rewrite("SELECT ST_GEOGFROMTEXT('LINESTRING(0 0, 1)')") }
   }
 
+  test("GEOGRAPHY polygons: ST_AREA spherical excess, ST_PERIMETER, holes (r11)") {
+    val R = 6371010.0
+    // analytic anchor: the lune between meridians 0° and 90° over the
+    // full sphere has area πR²/2·... use the octant (0,0)-(90,0)-(0,90):
+    // a spherical triangle with three right angles = 1/8 of the sphere
+    val octant = one("SELECT ST_AREA(ST_GEOGFROMTEXT(" +
+      "'POLYGON((0 0, 90 0, 0 90, 0 0))'))").asInstanceOf[Double]
+    assert(math.abs(octant - 4 * math.Pi * R * R / 8) / octant < 1e-12,
+      s"octant area $octant vs ${4 * math.Pi * R * R / 8}")
+    // a 1°×1° quad at the equator ≈ the lat-band closed form
+    // R²·Δλ·(sin φ₂ − sin φ₁); geodesic-vs-parallel top edge differs
+    // by < 0.01% at this size
+    val quad = one("SELECT ST_AREA(ST_GEOGFROMTEXT(" +
+      "'POLYGON((0 0, 1 0, 1 1, 0 1, 0 0))'))").asInstanceOf[Double]
+    val band = R * R * (math.Pi / 180) * math.sin(math.Pi / 180)
+    assert(math.abs(quad - band) / band < 1e-4, s"quad $quad vs band $band")
+    // orientation-independent; ring closure optional
+    val rev = one("SELECT ST_AREA(ST_GEOGFROMTEXT(" +
+      "'POLYGON((0 0, 0 1, 1 1, 1 0, 0 0))'))").asInstanceOf[Double]
+    assert(rev == quad)
+    // holes subtract
+    val holed = one("SELECT ST_AREA(ST_GEOGFROMTEXT(" +
+      "'POLYGON((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))'))")
+      .asInstanceOf[Double]
+    val outer = one("SELECT ST_AREA(ST_GEOGFROMTEXT(" +
+      "'POLYGON((0 0, 4 0, 4 4, 0 4, 0 0))'))").asInstanceOf[Double]
+    val inner = one("SELECT ST_AREA(ST_GEOGFROMTEXT(" +
+      "'POLYGON((1 1, 2 1, 2 2, 1 2, 1 1))'))").asInstanceOf[Double]
+    assert(math.abs(holed - (outer - inner)) < 1.0)
+    // ST_MAKEPOLYGON wraps a linestring ring; perimeter ≈ 4 equatorial
+    // degree-edges (the two lat-1 edges are a hair shorter)
+    val per = one("SELECT ST_PERIMETER(ST_MAKEPOLYGON(ST_MAKELINE(" +
+      "[ST_GEOGPOINT(0,0), ST_GEOGPOINT(1,0), ST_GEOGPOINT(1,1), ST_GEOGPOINT(0,1)])))")
+      .asInstanceOf[Double]
+    val deg = 2 * math.Pi * R / 360
+    assert(per > 3.99 * deg && per < 4.01 * deg, s"perimeter $per vs 4×$deg")
+    // wrong shapes are loud in both directions
+    intercept[Exception] { one("SELECT ST_AREA(ST_GEOGFROMTEXT('LINESTRING(0 0, 1 1)'))") }
+    intercept[Exception] { one("SELECT ST_LENGTH(ST_GEOGFROMTEXT('POLYGON((0 0, 1 0, 0 1, 0 0))'))") }
+    intercept[Exception] { Dialect.rewrite("SELECT ST_GEOGFROMTEXT('POLYGON((0 0, 1 0, 0 0))')") }
+  }
+
   test("double-quoted literals with escaped apostrophes re-emit correctly") {
     // "don\'t" must become 'don\'t' (one backslash), not 'don\\'t'
     assert(one("SELECT FORMAT(\"don\\'t %d\", 5)") == "don't 5")
