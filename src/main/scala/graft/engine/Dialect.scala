@@ -3707,6 +3707,21 @@ object Dialect {
       else if (a.length == 2)
         Some(s"to_json(${a(0)}, map('pretty', cast(${a(1)} as string)))")
       else scala.None),
+    // TO_JSON(value) returns the JSON TYPE — in this engine canonical
+    // JSON text (sorted keys, minified, like the PARSE_JSON
+    // round-trip). jsonEncode handles scalars too (Spark's bare
+    // to_json accepts only struct/array/map); stringify_wide_numbers
+    // stays loud — BigQuery's default false matches this encoding.
+    "TO_JSON" -> (a =>
+      if (a.length == 1)
+        Some(s"to_json(parse_json(${jsonEncode(a(0))}))")
+      else scala.None),
+    // BigQuery CHR is CODE-POINT based (CHR(960) = 'π'); Spark's chr
+    // truncates to one byte mod 256 — silently different above 255
+    "CHR" -> (a => if (a.length == 1) Some(
+      s"(CASE WHEN (${a(0)}) = 0 THEN '' ELSE " +
+        s"${callRewrites("CODE_POINTS_TO_STRING")(Seq(s"array(${a(0)})")).get} END)")
+      else scala.None),
     // JSON constructors over the canonical-string representation
     "JSON_ARRAY" -> (a => Some(
       if (a.isEmpty || (a.length == 1 && a(0).trim.isEmpty)) "'[]'"

@@ -21,13 +21,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * AEAD keyset refuses DETERMINISTIC_ENCRYPT and vice versa),
   * authenticated additional_data (wrong AAD fails loud; SAFE. → NULL),
   * AEAD.ENCRYPT nondeterministic per call, DETERMINISTIC_ENCRYPT
-  * stable for equal (keyset, plaintext, aad). DOCUMENTED DEVIATION:
-  * BigQuery keysets are serialized Tink protos; this engine's keysets
-  * use a versioned local format (`GAEAD1` + type byte + 32-byte key)
+  * stable for equal (keyset, plaintext, aad). KEYS.ROTATE_KEYSET /
+  * ADD_KEY_FROM_RAW_BYTES / KEYSET_LENGTH (r11) work over multi-key
+  * keysets. DOCUMENTED DEVIATION: BigQuery keysets are serialized Tink
+  * protos; this engine's keysets use a versioned local format
+  * (`GAEAD1` + type byte + one-or-more 32-byte keys, primary LAST)
   * and the ciphertexts are JDK AES-GCM — keysets and ciphertexts are
   * NOT interchangeable with Tink/BigQuery, only the SQL surface and
-  * its laws are. Deterministic encryption uses an SIV-style
-  * construction (nonce = HMAC-SHA256(key, aad ∥ plaintext) truncated)
+  * its laws are. Ciphertexts carry no Tink key-id prefix, so decrypt
+  * tries the primary then older keys. Deterministic encryption uses an
+  * SIV-style construction (nonce = HMAC-SHA256(macSubkey, aad ∥
+  * plaintext) truncated, AES keyed by a separately-derived subkey)
   * rather than RFC 5297 AES-SIV, which the JDK lacks.
   */
 object AeadKernels {

@@ -138,6 +138,20 @@ class DialectExecSpec extends AnyFunSuite with BeforeAndAfterAll {
       === 8L)
   }
 
+  test("TO_JSON returns canonical JSON; CHR is code-point based (r11)") {
+    // TO_JSON = the JSON type's canonical text (sorted keys, minified)
+    assert(one("SELECT TO_JSON(STRUCT(2 AS b, 1 AS a))") == """{"a":1,"b":2}""")
+    assert(one("SELECT TO_JSON(5)") == "5")
+    assert(one("SELECT TO_JSON('x')") == "\"x\"")
+    assert(one("SELECT TO_JSON([1, 2])") == "[1,2]")
+    assert(one("SELECT JSON_VALUE(TO_JSON(STRUCT('v' AS k)), '$.k')") == "v")
+    // CHR: BigQuery is code-point based; Spark's chr is byte-mod-256
+    assert(one("SELECT CHR(97)") == "a")
+    assert(one("SELECT CHR(960)") == "π")
+    assert(one("SELECT CHR(0)") == "")
+    intercept[Exception] { one("SELECT CHR(-1)") }
+  }
+
   test("HLL_COUNT.MERGE works in an OVER clause (closes the r10 edge)") {
     // per-partition merged estimate: sketches are exact far below
     // capacity, so the estimate equals the exact distinct count

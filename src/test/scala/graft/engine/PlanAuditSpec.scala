@@ -1388,6 +1388,26 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("codegen id"), s"expected codegen stage tags:\n$p")
   }
 
+  test("d07 minhash: candidate generation is one banded exchange, no banded self-join (r11)") {
+    // the r11 bucketPairs shape: ONE ObjectHashAggregate pair over
+    // (band, bh) collecting capped id lists — the banded table crosses
+    // the network once; the former self-join exchanged it per side
+    import org.apache.spark.sql.functions.col
+    graft.functions.BitSketchExpressions.register(spark)
+    val docs = Tables.t(spark, sfDir, "documents").select(col("doc_id"), col("text"))
+    val pairs = graft.ops.TextDedup.minhashLshPairs(docs, materialize = false)
+    pairs.collect()
+    val p = pairs.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      .split("== Initial Plan ==").head
+    assert(p.contains("ObjectHashAggregate"),
+      s"bucket membership should aggregate, not self-join:\n$p")
+    // no join keyed on the band/bucket columns anywhere in the plan
+    val bandJoin = p.linesIterator.filter(l =>
+      (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+        l.contains("BroadcastHashJoin")) && l.contains("band"))
+    assert(bandJoin.isEmpty, s"banded self-join resurfaced: ${bandJoin.toList}\n$p")
+  }
+
   test("d139 CMS: the 1024-cell sketch broadcasts; token counts partial-aggregate") {
     val df = PipelineQueries.queries("d139_count_min_sketch")(spark, sfDir)
     df.collect()
