@@ -1156,6 +1156,21 @@ object EngineQueries {
           |FROM shapes ORDER BY id""".stripMargin).get
     },
 
+    "e83_tojson_chr" -> { (s, d) =>
+      // TO_JSON (canonical JSON type text) and code-point CHR (r11):
+      // fixture rows with a VALUES oracle, e45b-style — DuckDB's json
+      // preserves insertion order, so the expected texts are written
+      // pre-sorted the way the engine's canonicalization emits them
+      new ScriptRunner(s).run(
+        """SELECT CAST(t.id AS INT64) AS id,
+          |  TO_JSON(STRUCT(t.id AS b, 'x' AS a)) AS j,
+          |  TO_JSON(t.id) AS jn,
+          |  CHR(96 + CAST(t.id AS INT64)) AS low,
+          |  CHR(959 + CAST(t.id AS INT64)) AS greek
+          |FROM UNNEST([STRUCT(1 AS id), STRUCT(2), STRUCT(3)]) AS t
+          |ORDER BY id""".stripMargin).get
+    },
+
     "e76_ml_preprocess" -> { (s, d) =>
       // ML namespace (closes part of the round-9 namespace skip):
       // DISTANCE (all three metrics), LP_NORM, BUCKETIZE, NGRAMS as
@@ -2781,6 +2796,13 @@ object EngineQueries {
          |    + ${hav("0.0", "1.0", "1.0", "1.0")}) AS BIGINT) AS unit_len_m
          |FROM pts ORDER BY id""".stripMargin
     },
+
+    "e83_tojson_chr" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), '{"a":"x","b":1}', '1', 'a', 'π'),
+        |  (2, '{"a":"x","b":2}', '2', 'b', 'ρ'),
+        |  (3, '{"a":"x","b":3}', '3', 'c', 'ς')
+        |) AS t(id, j, jn, low, greek) ORDER BY id""".stripMargin,
 
     // the full van Oosterom–Strackee chain restated vertex-by-vertex
     // with the kernel's exact association order (SphericalGeo.scala);

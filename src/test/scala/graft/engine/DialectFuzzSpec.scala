@@ -219,6 +219,29 @@ class DialectFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("struct-subquery context classification under noise (40 cases)") {
+    // r11's balanced-paren context scan: expression contexts must wrap
+    // (one struct value), table contexts must flatten — with random
+    // literal noise and aliasing around the subquery
+    for (i <- 1 to 10) {
+      val lit = esc(randomContent(1 + rnd.nextInt(5)))
+      val n = rnd.nextInt(100)
+      // non-first select-list item (',' is a SELECT-list comma)
+      val r1 = run(s"SELECT '$lit' AS noise, (SELECT AS STRUCT $n AS a, ${n + 1} AS b) AS s").head
+      assert(r1.getStruct(1).getInt(1) == n + 1, s"case $i select-list")
+      // function argument (the '(' is a call opener)
+      val r2 = run(s"SELECT IF(length('$lit') >= 0, (SELECT AS STRUCT $n AS a), NULL).a").head
+      assert(r2.getInt(0) == n, s"case $i call-arg")
+      // FROM-comma stays a value table (flattens)
+      val r3 = run(s"SELECT x.a, y.k FROM (SELECT '$lit' AS k) y, (SELECT AS STRUCT $n AS a) AS x").head
+      assert(r3.getInt(0) == n, s"case $i from-comma")
+      // parenthesized set-op branches stay value tables
+      val r4 = run(s"SELECT a FROM ((SELECT AS STRUCT $n AS a) UNION ALL " +
+        s"(SELECT AS STRUCT ${n + 1} AS a)) ORDER BY a").map(_.getInt(0)).toSeq
+      assert(r4 == Seq(n, n + 1), s"case $i set-op")
+    }
+  }
+
   test("rewrite memoization: repeat calls hit the cache and stay identical (30 cases)") {
     for (_ <- 1 to 30) {
       val lit = esc(randomContent(1 + rnd.nextInt(6)))
