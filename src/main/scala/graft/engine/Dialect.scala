@@ -3271,6 +3271,20 @@ object Dialect {
       if (a.length == 1) Some(s"graft_st_area(${a(0)})") else scala.None),
     "ST_PERIMETER" -> (a =>
       if (a.length == 1) Some(s"graft_st_perimeter(${a(0)})") else scala.None),
+    // polygon × point predicates (tangent-frame winding — see
+    // GeoKernels); COVERS ≡ CONTAINS here (boundary membership is
+    // documented-undefined), INTERSECTS over a point is containment,
+    // WITHIN is the argument flip. Other shape pairings fail analysis.
+    "ST_CONTAINS" -> (a =>
+      if (a.length == 2) Some(s"graft_st_contains(${a(0)}, ${a(1)})") else scala.None),
+    "ST_COVERS" -> (a =>
+      if (a.length == 2) Some(s"graft_st_contains(${a(0)}, ${a(1)})") else scala.None),
+    "ST_INTERSECTS" -> (a =>
+      if (a.length == 2) Some(s"graft_st_contains(${a(0)}, ${a(1)})") else scala.None),
+    "ST_WITHIN" -> (a =>
+      if (a.length == 2) Some(s"graft_st_contains(${a(1)}, ${a(0)})") else scala.None),
+    "ST_COVEREDBY" -> (a =>
+      if (a.length == 2) Some(s"graft_st_contains(${a(1)}, ${a(0)})") else scala.None),
     "ST_LENGTH" -> { a =>
       if (a.length != 1) scala.None
       else {

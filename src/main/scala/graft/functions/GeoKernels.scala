@@ -94,6 +94,56 @@ object SphericalGeo {
       math.cos(lat1 * D2R) * math.cos(lat2 * D2R) * sdlon * sdlon)))
   }
 
+  /** Point-in-ring via the tangent-frame winding number: project each
+    * vertex onto the test point's local east/north frame, accumulate
+    * wrapped azimuth deltas around the closed ring — |winding| ≈ 2π
+    * inside, ≈ 0 outside. Exact for simple rings whose edges subtend
+    * < π of azimuth at the point (always true for the sub-hemisphere
+    * polygons this engine supports); points ON the boundary or at the
+    * poles are documented-undefined (BigQuery's S2 snap differs at
+    * boundary resolution anyway).
+    */
+  private def windingInside(ring0: Array[(Double, Double)], lonP: Double,
+      latP: Double): Boolean = {
+    var ring = ring0
+    if (ring.length >= 2 && ring.head == ring.last) ring = ring.dropRight(1)
+    if (ring.length < 3) throw new IllegalArgumentException(
+      "ST_CONTAINS: a polygon ring needs at least 3 distinct points")
+    val (px, py, pz) = unit(lonP, latP)
+    // east = normalize(k × p), north = p × east (undefined at poles)
+    val exr = -py; val eyr = px
+    val en = math.sqrt(exr * exr + eyr * eyr)
+    if (en < 1e-12) throw new IllegalArgumentException(
+      "ST_CONTAINS: test point at a pole is not supported")
+    val (ex, ey) = (exr / en, eyr / en)
+    val (nx, ny, nz) = (py * 0.0 - pz * ey, pz * ex - px * 0.0,
+      px * ey - py * ex)
+    def az(v: (Double, Double, Double)): Double = {
+      val (x, y, z) = v
+      math.atan2(x * ex + y * ey, x * nx + y * ny + z * nz)
+    }
+    val angles = ring.map { case (lon, lat) => az(unit(lon, lat)) }
+    var wind = 0.0
+    var i = 0
+    while (i < angles.length) {
+      var d = angles((i + 1) % angles.length) - angles(i)
+      if (d > math.Pi) d -= 2 * math.Pi
+      if (d <= -math.Pi) d += 2 * math.Pi
+      wind += d
+      i += 1
+    }
+    math.abs(wind) > math.Pi
+  }
+
+  /** Inside the shell and outside every hole. */
+  def containsPoint(rings: Array[Array[(Double, Double)]], lon: Double,
+      lat: Double): Boolean = {
+    if (rings.isEmpty) throw new IllegalArgumentException(
+      "ST_CONTAINS: empty polygon")
+    windingInside(rings.head, lon, lat) &&
+      !rings.tail.exists(windingInside(_, lon, lat))
+  }
+
   /** Sum of ring circumferences (auto-closing), in m. */
   def perimeter(rings: Array[Array[(Double, Double)]]): Double =
     rings.foldLeft(0.0) { (acc, ring0) =>
@@ -136,6 +186,35 @@ case class PolygonMeasureExpr(child: Expression, fn: String)
     copy(child = newChild)
 }
 
+/** ST_CONTAINS/ST_COVERS/ST_INTERSECTS over (polygon, point): left is
+  * ARRAY<ARRAY<point>>, right a point struct — any other shape pairing
+  * fails analysis loud (BigQuery's general geometry×geometry forms are
+  * out of scope; the point-in-polygon case is what a data pipeline's
+  * geofencing joins use).
+  */
+case class PolygonContainsExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.BooleanType
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val rings = l.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val parsed = (0 until rings.numElements()).map { k =>
+      val ring = rings.getArray(k)
+      (0 until ring.numElements()).map { i =>
+        val p = ring.getStruct(i, 2)
+        (p.getDouble(0), p.getDouble(1))
+      }.toArray
+    }.toArray
+    val pt = r.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+    SphericalGeo.containsPoint(parsed, pt.getDouble(0), pt.getDouble(1))
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PolygonContainsExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 object GeoKernels {
   def register(spark: SparkSession): Unit = {
     if (spark.sessionState.functionRegistry.functionExists(
@@ -148,5 +227,7 @@ object GeoKernels {
       "graft_st_area", e => PolygonMeasureExpr(e.head, "ST_AREA"), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_st_perimeter", e => PolygonMeasureExpr(e.head, "ST_PERIMETER"), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_st_contains", e => PolygonContainsExpr(e(0), e(1)), "scala_udf")
   }
 }

@@ -1156,6 +1156,42 @@ object EngineQueries {
           |FROM shapes ORDER BY id""".stripMargin).get
     },
 
+    "e84_geography_contains" -> { (s, d) =>
+      // polygon × point predicates (r11): per nation the 2°×1° quad and
+      // its holed variant probed at CONSTRUCTED inside/outside/in-hole
+      // points — the oracle states the expected booleans by
+      // construction (each probe sits ≥ 0.25° from every edge; the
+      // geodesic-vs-parallel bulge at 2° spans is < 0.01°, so the
+      // construction is unambiguous)
+      Tables.views(s, d, "nation")
+      new ScriptRunner(s).run(
+        """WITH pts AS (
+          |  SELECT n_nationkey,
+          |    CAST(MOD(n_nationkey * 29, 320) AS FLOAT64) - 159.5 AS lon,
+          |    CAST(MOD(n_nationkey * 17, 160) AS FLOAT64) - 79.75 AS lat
+          |  FROM nation),
+          |shapes AS (
+          |  SELECT n_nationkey, lon, lat,
+          |    [[ST_GEOGPOINT(lon, lat), ST_GEOGPOINT(lon + 2.0, lat),
+          |      ST_GEOGPOINT(lon + 2.0, lat + 1.0), ST_GEOGPOINT(lon, lat + 1.0)]]
+          |      AS quad,
+          |    [[ST_GEOGPOINT(lon, lat), ST_GEOGPOINT(lon + 2.0, lat),
+          |      ST_GEOGPOINT(lon + 2.0, lat + 1.0), ST_GEOGPOINT(lon, lat + 1.0)],
+          |     [ST_GEOGPOINT(lon + 0.5, lat + 0.25),
+          |      ST_GEOGPOINT(lon + 1.0, lat + 0.25),
+          |      ST_GEOGPOINT(lon + 1.0, lat + 0.75),
+          |      ST_GEOGPOINT(lon + 0.5, lat + 0.75)]] AS holed
+          |  FROM pts)
+          |SELECT CAST(n_nationkey AS INT64) AS id,
+          |  ST_CONTAINS(quad, ST_GEOGPOINT(lon + 1.0, lat + 0.5)) AS inside,
+          |  ST_CONTAINS(quad, ST_GEOGPOINT(lon + 3.0, lat + 0.5)) AS outside,
+          |  ST_CONTAINS(holed, ST_GEOGPOINT(lon + 0.75, lat + 0.5)) AS in_hole,
+          |  ST_CONTAINS(holed, ST_GEOGPOINT(lon + 1.5, lat + 0.5)) AS in_shell,
+          |  ST_WITHIN(ST_GEOGPOINT(lon + 1.0, lat + 0.5), quad) AS within_q,
+          |  ST_INTERSECTS(quad, ST_GEOGPOINT(lon - 1.0, lat + 0.5)) AS isect_out
+          |FROM shapes ORDER BY id""".stripMargin).get
+    },
+
     "e83_tojson_chr" -> { (s, d) =>
       // TO_JSON (canonical JSON type text) and code-point CHR (r11):
       // fixture rows with a VALUES oracle, e45b-style — DuckDB's json
@@ -2796,6 +2832,13 @@ object EngineQueries {
          |    + ${hav("0.0", "1.0", "1.0", "1.0")}) AS BIGINT) AS unit_len_m
          |FROM pts ORDER BY id""".stripMargin
     },
+
+    // the probe points' membership is fixed by construction
+    "e84_geography_contains" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS id,
+        |  true AS inside, false AS outside, false AS in_hole,
+        |  true AS in_shell, true AS within_q, false AS isect_out
+        |FROM nation ORDER BY id""".stripMargin,
 
     "e83_tojson_chr" ->
       """SELECT * FROM (VALUES

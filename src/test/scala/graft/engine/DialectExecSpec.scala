@@ -1502,6 +1502,32 @@ class DialectExecSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[Exception] { Dialect.rewrite("SELECT ST_GEOGFROMTEXT('POLYGON((0 0, 1 0, 0 0))')") }
   }
 
+  test("GEOGRAPHY predicates: ST_CONTAINS/WITHIN over polygon x point (r11)") {
+    def in(poly: String, pt: String) =
+      one(s"SELECT ST_CONTAINS(ST_GEOGFROMTEXT('$poly'), ST_GEOGPOINT($pt))")
+    val quad = "POLYGON((10 10, 14 10, 14 13, 10 13, 10 10))"
+    assert(in(quad, "12, 11.5") == true)
+    assert(in(quad, "15, 11.5") == false)
+    assert(in(quad, "12, 14") == false)
+    // orientation must not matter (smaller-region convention)
+    assert(in("POLYGON((10 10, 10 13, 14 13, 14 10, 10 10))", "12, 11.5") == true)
+    // holes exclude; shell-not-hole stays in
+    val holed = "POLYGON((0 0, 8 0, 8 8, 0 8, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))"
+    assert(in(holed, "3, 3") == false)
+    assert(in(holed, "6, 6") == true)
+    // big polygon: the octant contains its centroid-ish point
+    assert(in("POLYGON((0 0, 90 0, 0 90, 0 0))", "30, 30") == true)
+    assert(in("POLYGON((0 0, 90 0, 0 90, 0 0))", "-30, -30") == false)
+    // aliases and the flipped forms
+    assert(one(s"SELECT ST_WITHIN(ST_GEOGPOINT(12, 11.5), ST_GEOGFROMTEXT('$quad'))") == true)
+    assert(one(s"SELECT ST_COVERS(ST_GEOGFROMTEXT('$quad'), ST_GEOGPOINT(12, 11.5))") == true)
+    assert(one(s"SELECT ST_INTERSECTS(ST_GEOGFROMTEXT('$quad'), ST_GEOGPOINT(15, 11.5))") == false)
+    // wrong shape pairings are loud
+    intercept[Exception] { one("SELECT ST_CONTAINS(ST_GEOGPOINT(0, 0), ST_GEOGPOINT(0, 0))") }
+    intercept[Exception] { one(
+      s"SELECT ST_CONTAINS(ST_GEOGFROMTEXT('LINESTRING(0 0, 1 1)'), ST_GEOGPOINT(0, 0))") }
+  }
+
   test("double-quoted literals with escaped apostrophes re-emit correctly") {
     // "don\'t" must become 'don\'t' (one backslash), not 'don\\'t'
     assert(one("SELECT FORMAT(\"don\\'t %d\", 5)") == "don't 5")
