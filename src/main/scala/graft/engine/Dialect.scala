@@ -3285,6 +3285,8 @@ object Dialect {
       if (a.length == 2) Some(s"graft_st_contains(${a(1)}, ${a(0)})") else scala.None),
     "ST_COVEREDBY" -> (a =>
       if (a.length == 2) Some(s"graft_st_contains(${a(1)}, ${a(0)})") else scala.None),
+    "ST_BOUNDINGBOX" -> (a =>
+      if (a.length == 1) Some(s"graft_st_bbox(${a(0)})") else scala.None),
     "ST_LENGTH" -> { a =>
       if (a.length != 1) scala.None
       else {

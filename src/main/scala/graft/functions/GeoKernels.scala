@@ -215,6 +215,44 @@ case class PolygonContainsExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** ST_BOUNDINGBOX over any geography shape (point struct, linestring
+  * array, polygon array-of-arrays) → STRUCT<xmin, ymin, xmax, ymax>.
+  * Naive lon min/max — shapes crossing the antimeridian are not
+  * re-wrapped (documented; BigQuery wraps the box across ±180).
+  */
+case class BoundingBoxExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.types._
+  override def dataType: DataType = StructType(Seq(
+    StructField("xmin", DoubleType), StructField("ymin", DoubleType),
+    StructField("xmax", DoubleType), StructField("ymax", DoubleType)))
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(v: Any): Any = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val pts = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    def addPoint(r: InternalRow): Unit = pts += ((r.getDouble(0), r.getDouble(1)))
+    def addRing(a: ArrayData): Unit =
+      (0 until a.numElements()).foreach(i => addPoint(a.getStruct(i, 2)))
+    child.dataType match {
+      case _: StructType => addPoint(v.asInstanceOf[InternalRow])
+      case ArrayType(_: StructType, _) => addRing(v.asInstanceOf[ArrayData])
+      case ArrayType(ArrayType(_: StructType, _), _) =>
+        val rings = v.asInstanceOf[ArrayData]
+        (0 until rings.numElements()).foreach(i => addRing(rings.getArray(i)))
+      case other => throw new IllegalArgumentException(
+        s"ST_BOUNDINGBOX: not a geography value: ${other.simpleString}")
+    }
+    if (pts.isEmpty) throw new IllegalArgumentException(
+      "ST_BOUNDINGBOX: empty geography")
+    org.apache.spark.sql.catalyst.InternalRow(
+      pts.map(_._1).min, pts.map(_._2).min, pts.map(_._1).max, pts.map(_._2).max)
+  }
+  override protected def withNewChildInternal(newChild: Expression): BoundingBoxExpr =
+    copy(child = newChild)
+}
+
 object GeoKernels {
   def register(spark: SparkSession): Unit = {
     if (spark.sessionState.functionRegistry.functionExists(
@@ -229,5 +267,7 @@ object GeoKernels {
       "graft_st_perimeter", e => PolygonMeasureExpr(e.head, "ST_PERIMETER"), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_st_contains", e => PolygonContainsExpr(e(0), e(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_st_bbox", e => BoundingBoxExpr(e.head), "scala_udf")
   }
 }

@@ -1526,6 +1526,12 @@ class DialectExecSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[Exception] { one("SELECT ST_CONTAINS(ST_GEOGPOINT(0, 0), ST_GEOGPOINT(0, 0))") }
     intercept[Exception] { one(
       s"SELECT ST_CONTAINS(ST_GEOGFROMTEXT('LINESTRING(0 0, 1 1)'), ST_GEOGPOINT(0, 0))") }
+    // ST_BOUNDINGBOX over every shape class
+    assert(one("SELECT ST_BOUNDINGBOX(ST_GEOGPOINT(3, 4)).xmin") == 3.0)
+    assert(one("SELECT ST_BOUNDINGBOX(ST_GEOGFROMTEXT('LINESTRING(1 2, 5 -3)')).ymax") == 2.0)
+    assert(one(s"SELECT ST_BOUNDINGBOX(ST_GEOGFROMTEXT('$quad')).xmax") == 14.0)
+    assert(one(s"SELECT ST_BOUNDINGBOX(ST_GEOGFROMTEXT('$quad')).ymin") == 10.0)
+    intercept[Exception] { one("SELECT ST_BOUNDINGBOX('not a geography')") }
   }
 
   test("double-quoted literals with escaped apostrophes re-emit correctly") {
