@@ -2581,6 +2581,22 @@ object Dialect {
     Some(s"$fn(${a(0).substring(0, last).trim})")
   }
 
+  /** CAST(x AS STRING) → the type-dispatching kernel (BqCastString):
+    * a BINARY child must strictly UTF-8 decode (BigQuery errors on
+    * invalid bytes; Spark's cast substitutes U+FFFD silently — r11
+    * probe); every other type keeps the codegen'd Cast via the
+    * RuntimeReplaceable replacement. Runs AFTER intervalStrCast, which
+    * claims interval-typed sources textually.
+    */
+  private def stringCast(a: Seq[String], safe: Boolean): Option[String] = {
+    if (a.length != 1) return scala.None
+    val last = lastTopLevelAs(a(0))
+    if (last < 0) return scala.None
+    if (!a(0).substring(last + 2).trim.equalsIgnoreCase("STRING")) return scala.None
+    val inner = s"graft_cast_string(${a(0).substring(0, last).trim})"
+    Some(if (safe) s"graft_try($inner)" else inner)
+  }
+
   /** CAST(<interval expr> AS STRING) → BigQuery's canonical
     * `Y-M D H:M:S` rendering (Spark renders CalendarInterval as
     * `1 years 2 months …`, and cannot cast it to STRING at all in some
@@ -2841,6 +2857,7 @@ object Dialect {
       castWithFormat(a, safe = true)
         .orElse(int64Cast(a, safe = true))
         .orElse(intervalStrCast(a))
+        .orElse(stringCast(a, safe = true))
         .orElse(Some(s"try_cast(${a.mkString(", ")})"))
     },
     "CAST" -> { a0 =>
@@ -2848,6 +2865,7 @@ object Dialect {
       castWithFormat(a, safe = false)
         .orElse(int64Cast(a, safe = false))
         .orElse(intervalStrCast(a))
+        .orElse(stringCast(a, safe = false))
         .orElse(
           // plain CAST passes through unless the tail type was remapped
           if (a == a0) scala.None else Some(s"CAST(${a.mkString(", ")})"))

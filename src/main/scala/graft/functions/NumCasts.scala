@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Cast, EvalMode, Expression, Li
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.trees.{BinaryLike, UnaryLike}
 import org.apache.spark.sql.internal.SQLConf
-import org.apache.spark.sql.types.{DataType, DecimalType, DoubleType, FloatType, LongType, StringType}
+import org.apache.spark.sql.types.{BinaryType, DataType, DecimalType, DoubleType, FloatType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** BigQuery CAST(… AS INT64) semantics, which Spark's legacy cast gets
@@ -56,6 +56,46 @@ case class BqStringOf(child: Expression)
     case _ => Cast(child, StringType, Some(SQLConf.get.sessionLocalTimeZone))
   }
   override protected def withNewChildInternal(newChild: Expression): BqStringOf =
+    copy(child = newChild)
+}
+
+/** CAST(x AS STRING), type-dispatched (r11): a BINARY child must decode
+  * STRICTLY as UTF-8 — BigQuery errors on invalid sequences, while
+  * Spark's binary→string cast silently substitutes U+FFFD (probe r11).
+  * Every other child type keeps Spark's codegen'd Cast unchanged.
+  * SAFE_CAST wraps the whole thing in graft_try → NULL.
+  */
+case class BqCastString(child: Expression)
+    extends RuntimeReplaceable with UnaryLike[Expression] {
+  override lazy val replacement: Expression = child.dataType match {
+    case BinaryType => StrictUtf8Decode(child)
+    case _ => Cast(child, StringType, Some(SQLConf.get.sessionLocalTimeZone))
+  }
+  override protected def withNewChildInternal(newChild: Expression): BqCastString =
+    copy(child = newChild)
+}
+
+/** Strict UTF-8 decode: malformed input raises (CharsetDecoder's
+  * default REPORT action), matching BigQuery's CAST(BYTES AS STRING).
+  */
+case class StrictUtf8Decode(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(v: Any): Any = {
+    val bytes = v.asInstanceOf[Array[Byte]]
+    try {
+      val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+      UTF8String.fromString(
+        dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString)
+    } catch {
+      case _: java.nio.charset.CharacterCodingException =>
+        throw new IllegalArgumentException(
+          "CAST(BYTES AS STRING): invalid UTF-8 (use " +
+            "SAFE_CONVERT_BYTES_TO_STRING for the replacing decode)")
+    }
+  }
+  override protected def withNewChildInternal(newChild: Expression): StrictUtf8Decode =
     copy(child = newChild)
 }
 
@@ -117,5 +157,7 @@ object NumCasts {
       "graft_string_of", exprs => BqStringOf(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cast_like", exprs => CastLikeExpr(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_cast_string", exprs => BqCastString(exprs.head), "scala_udf")
   }
 }

@@ -138,6 +138,19 @@ class DialectExecSpec extends AnyFunSuite with BeforeAndAfterAll {
       === 8L)
   }
 
+  test("CAST(BYTES AS STRING) is a strict UTF-8 decode (r11)") {
+    // valid UTF-8 decodes; every other child type keeps plain Cast
+    assert(one("SELECT CAST(CAST('héllo' AS BYTES) AS STRING)") == "héllo")
+    assert(one("SELECT CAST(42 AS STRING)") == "42")
+    assert(one("SELECT CAST(DATE '2024-01-02' AS STRING)") == "2024-01-02")
+    assert(one("SELECT CAST(TRUE AS STRING)") == "true")
+    // invalid UTF-8: BigQuery errors (Spark's cast substituted U+FFFD)
+    intercept[Exception] { one("SELECT CAST(FROM_HEX('ff') AS STRING)") }
+    // SAFE_CAST → NULL; the replacing decode stays available
+    assert(one("SELECT SAFE_CAST(FROM_HEX('ff') AS STRING) IS NULL") == true)
+    assert(one("SELECT SAFE_CONVERT_BYTES_TO_STRING(FROM_HEX('61ff62'))") == "a�b")
+  }
+
   test("TO_JSON returns canonical JSON; CHR is code-point based (r11)") {
     // TO_JSON = the JSON type's canonical text (sorted keys, minified)
     assert(one("SELECT TO_JSON(STRUCT(2 AS b, 1 AS a))") == """{"a":1,"b":2}""")
