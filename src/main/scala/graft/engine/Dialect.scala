@@ -323,7 +323,13 @@ object Dialect {
   private val tableCtxKeywords =
     Set("FROM", "JOIN", "EXISTS", "IN", "UNNEST", "LATERAL", "USING", "TABLE",
       // set-op branches are value tables too: (…) UNION ALL (SELECT AS STRUCT …)
-      "UNION", "ALL", "EXCEPT", "INTERSECT", "DISTINCT")
+      "UNION", "ALL", "EXCEPT", "INTERSECT", "DISTINCT",
+      // `name AS (SELECT AS STRUCT …)` — a CTE definition (and CTAS):
+      // value-table semantics, keep the flatten (caught by CteProbe in
+      // r11 after the balanced-paren rework; aliases never take a
+      // parenthesized body, so AS-then-paren is always a defining
+      // position)
+      "AS")
 
   /** Classify the group opening at `open` ('('): TABLE context
     * (FROM/JOIN/set-op branch — keep the later value-table flatten) vs

@@ -1591,6 +1591,11 @@ class DialectExecSpec extends AnyFunSuite with BeforeAndAfterAll {
     val t = spark.sql(Dialect.rewrite(
       "SELECT x.a FROM (SELECT 1 AS k) t, (SELECT AS STRUCT 2 AS a) AS x")).collect()
     assert(t(0).getInt(0) == 2)
+    // CTE definitions are value tables: `name AS (…)` keeps the flatten
+    // (the r11 balanced-paren rework briefly struct-wrapped these)
+    val c = spark.sql(Dialect.rewrite(
+      "WITH y AS (SELECT AS STRUCT 2 AS a, 3 AS b) SELECT a, b FROM y")).collect()
+    assert((c(0).getInt(0), c(0).getInt(1)) == (2, 3))
   }
 
   test("TIME typed-literal rewrite is string-literal-aware") {
