@@ -3199,12 +3199,13 @@ object Dialect {
     // errors, and so must we (GeoKernels.PointFieldExpr)
     "ST_X" -> (a => if (a.length == 1) Some(s"graft_st_x(${a(0)})") else scala.None),
     "ST_Y" -> (a => if (a.length == 1) Some(s"graft_st_y(${a(0)})") else scala.None),
-    "ST_ASTEXT" -> { a =>
-      def fmt(e: String) = s"regexp_replace(CAST($e AS STRING), '\\\\.0$$', '')"
-      if (a.length == 1) Some(s"concat('POINT(', ${fmt(s"(${a(0)}).lon")}, ' ', " +
-        s"${fmt(s"(${a(0)}).lat")}, ')')")
-      else scala.None
-    },
+    // typed kernel (r12 ADVICE): the old text-level `.lon` lowering
+    // silently MAPPED over a linestring's points and CAST the array —
+    // GeogAsTextExpr dispatches on the static shape (point/linestring/
+    // polygon WKT) and fails analysis loud on anything else; point
+    // formatting is bit-identical to the old CAST-AS-STRING shape
+    "ST_ASTEXT" -> (a =>
+      if (a.length == 1) Some(s"graft_st_astext(${a(0)})") else scala.None),
     "ST_GEOGFROMTEXT" -> { a =>
       // literal LINESTRING/POLYGON WKT parses at rewrite time into
       // ARRAY<point> / ARRAY<ARRAY<point>> constants (static dispatch —
@@ -3297,14 +3298,16 @@ object Dialect {
       if (a.length == 1) Some(s"graft_st_perimeter(${a(0)})") else scala.None),
     // polygon × point predicates (tangent-frame winding — see
     // GeoKernels); COVERS ≡ CONTAINS here (boundary membership is
-    // documented-undefined), INTERSECTS over a point is containment,
-    // WITHIN is the argument flip. Other shape pairings fail analysis.
+    // documented-undefined), WITHIN is the argument flip. Other shape
+    // pairings fail analysis. ST_INTERSECTS (r12) is its own
+    // shape-dispatching symmetric kernel: point/line/polygon pairings
+    // via great-circle segment crossing + winding containment.
     "ST_CONTAINS" -> (a =>
       if (a.length == 2) Some(s"graft_st_contains(${a(0)}, ${a(1)})") else scala.None),
     "ST_COVERS" -> (a =>
       if (a.length == 2) Some(s"graft_st_contains(${a(0)}, ${a(1)})") else scala.None),
     "ST_INTERSECTS" -> (a =>
-      if (a.length == 2) Some(s"graft_st_contains(${a(0)}, ${a(1)})") else scala.None),
+      if (a.length == 2) Some(s"graft_st_intersects(${a(0)}, ${a(1)})") else scala.None),
     "ST_WITHIN" -> (a =>
       if (a.length == 2) Some(s"graft_st_contains(${a(1)}, ${a(0)})") else scala.None),
     "ST_COVEREDBY" -> (a =>

@@ -144,6 +144,89 @@ object SphericalGeo {
       !rings.tail.exists(windingInside(_, lon, lat))
   }
 
+  // ---- segment-crossing kernels (r12: shape-dispatching ST_INTERSECTS) ----
+
+  private def cross(a: (Double, Double, Double), b: (Double, Double, Double)):
+      (Double, Double, Double) =
+    (a._2 * b._3 - a._3 * b._2, a._3 * b._1 - a._1 * b._3,
+      a._1 * b._2 - a._2 * b._1)
+
+  private def dot(a: (Double, Double, Double), b: (Double, Double, Double)): Double =
+    a._1 * b._1 + a._2 * b._2 + a._3 * b._3
+
+  /** p (already on the great circle with normal n = a×b) lies on the
+    * minor arc a→b iff it is on b's side of a AND a's side of b:
+    * (n×a)·p ≥ 0 and (b×n)·p ≥ 0 (tangents at the endpoints pointing
+    * along the arc). Valid for arcs subtending < π — always true for
+    * the degree-scale segments this engine constructs.
+    */
+  private def withinArc(a: (Double, Double, Double), b: (Double, Double, Double),
+      n: (Double, Double, Double), p: (Double, Double, Double)): Boolean =
+    dot(cross(n, a), p) >= 0.0 && dot(cross(b, n), p) >= 0.0
+
+  /** PROPER crossing of two great-circle segments (each < π): strict
+    * opposite-side tests against both planes, then one of the two
+    * great-circle intersection candidates ±(nAB × nCD) must lie on
+    * both arcs. Touching/collinear overlap is documented-undefined
+    * (BigQuery's S2 snap resolves boundaries differently anyway);
+    * oracle gates construct probes away from every vertex.
+    */
+  def segmentsCross(a: (Double, Double), b: (Double, Double),
+      c: (Double, Double), d: (Double, Double)): Boolean = {
+    val (va, vb, vc, vd) = (unit(a._1, a._2), unit(b._1, b._2),
+      unit(c._1, c._2), unit(d._1, d._2))
+    val nab = cross(va, vb)
+    val ncd = cross(vc, vd)
+    val sc = dot(nab, vc); val sd = dot(nab, vd)
+    val sa = dot(ncd, va); val sb = dot(ncd, vb)
+    if (sc * sd >= 0.0 || sa * sb >= 0.0) return false
+    val i0 = cross(nab, ncd)
+    val len = math.sqrt(dot(i0, i0))
+    if (len < 1e-15) return false // same great circle: overlap undefined
+    val i = (i0._1 / len, i0._2 / len, i0._3 / len)
+    val ni = (-i._1, -i._2, -i._3)
+    (withinArc(va, vb, nab, i) && withinArc(vc, vd, ncd, i)) ||
+      (withinArc(va, vb, nab, ni) && withinArc(vc, vd, ncd, ni))
+  }
+
+  private def ringEdges(ring0: Array[(Double, Double)]):
+      Iterator[((Double, Double), (Double, Double))] = {
+    var ring = ring0
+    if (ring.length >= 2 && ring.head == ring.last) ring = ring.dropRight(1)
+    val r = ring
+    (0 until r.length).iterator.map(i => (r(i), r((i + 1) % r.length)))
+  }
+
+  private def lineEdges(line: Array[(Double, Double)]):
+      Iterator[((Double, Double), (Double, Double))] =
+    (0 until line.length - 1).iterator.map(i => (line(i), line(i + 1)))
+
+  def lineIntersectsLine(p: Array[(Double, Double)],
+      q: Array[(Double, Double)]): Boolean =
+    lineEdges(p).exists { case (a, b) =>
+      lineEdges(q).exists { case (c, d) => segmentsCross(a, b, c, d) } }
+
+  /** Any segment crosses any ring edge, or any vertex is interior
+    * (covers a line lying fully inside the shell).
+    */
+  def lineIntersectsPolygon(rings: Array[Array[(Double, Double)]],
+      line: Array[(Double, Double)]): Boolean =
+    lineEdges(line).exists { case (a, b) =>
+      rings.iterator.flatMap(ringEdges).exists { case (c, d) =>
+        segmentsCross(a, b, c, d) } } ||
+      line.exists { case (lon, lat) => containsPoint(rings, lon, lat) }
+
+  /** Edge crossing, or either shell has a vertex interior to the other
+    * (covers full containment either way).
+    */
+  def polygonIntersectsPolygon(a: Array[Array[(Double, Double)]],
+      b: Array[Array[(Double, Double)]]): Boolean =
+    a.iterator.flatMap(ringEdges).exists { case (p1, p2) =>
+      b.iterator.flatMap(ringEdges).exists { case (q1, q2) =>
+        segmentsCross(p1, p2, q1, q2) } } ||
+      b.head.exists { case (lon, lat) => containsPoint(a, lon, lat) } ||
+      a.head.exists { case (lon, lat) => containsPoint(b, lon, lat) }
+
   /** Sum of ring circumferences (auto-closing), in m. */
   def perimeter(rings: Array[Array[(Double, Double)]]): Double =
     rings.foldLeft(0.0) { (acc, ring0) =>
@@ -163,6 +246,52 @@ object SphericalGeo {
     }
 }
 
+/** Shape detection over the engine's GEOGRAPHY encodings (point =
+  * STRUCT<lon DOUBLE, lat DOUBLE>, linestring = ARRAY<point>, polygon
+  * = ARRAY<ARRAY<point>>) plus the shared InternalRow/ArrayData
+  * parsers the eval kernels use. Centralizing the type tests is what
+  * lets every geo expression fail ANALYSIS-loud on a shape it does
+  * not support instead of reinterpreting unsafe memory (r11 ADVICE).
+  */
+object GeoShapes {
+  import org.apache.spark.sql.types._
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.util.ArrayData
+
+  def isPoint(dt: DataType): Boolean = dt match {
+    case s: StructType => s.fields.length == 2 &&
+      s.fieldNames.sameElements(Array("lon", "lat")) &&
+      s.fields.forall(_.dataType == DoubleType)
+    case _ => false
+  }
+  def isLine(dt: DataType): Boolean = dt match {
+    case ArrayType(e, _) => isPoint(e)
+    case _ => false
+  }
+  def isPolygon(dt: DataType): Boolean = dt match {
+    case ArrayType(e, _) => isLine(e)
+    case _ => false
+  }
+  def shapeName(dt: DataType): String =
+    if (isPoint(dt)) "POINT" else if (isLine(dt)) "LINESTRING"
+    else if (isPolygon(dt)) "POLYGON" else dt.simpleString
+
+  def point(v: Any): (Double, Double) = {
+    val r = v.asInstanceOf[InternalRow]
+    (r.getDouble(0), r.getDouble(1))
+  }
+  def line(v: Any): Array[(Double, Double)] = {
+    val a = v.asInstanceOf[ArrayData]
+    Array.tabulate(a.numElements()) { i =>
+      val p = a.getStruct(i, 2); (p.getDouble(0), p.getDouble(1))
+    }
+  }
+  def polygon(v: Any): Array[Array[(Double, Double)]] = {
+    val a = v.asInstanceOf[ArrayData]
+    Array.tabulate(a.numElements())(i => line(a.getArray(i)))
+  }
+}
+
 /** ST_AREA / ST_PERIMETER over ARRAY<ARRAY<STRUCT<lon, lat>>>. */
 case class PolygonMeasureExpr(child: Expression, fn: String)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
@@ -170,15 +299,18 @@ case class PolygonMeasureExpr(child: Expression, fn: String)
   override def dataType: org.apache.spark.sql.types.DataType =
     org.apache.spark.sql.types.DoubleType
   override def nullable: Boolean = true
+  // r12: analysis-loud on a non-polygon (same unsafe-reinterpret hazard
+  // PolygonContainsExpr had — ST_AREA(linestring) must not getArray on
+  // struct elements)
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (GeoShapes.isPolygon(child.dataType)) TypeCheckSuccess
+    else TypeCheckFailure(
+      s"$fn: requires a polygon, got ${GeoShapes.shapeName(child.dataType)}")
+  }
   override protected def nullSafeEval(v: Any): Any = {
-    val rings = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-    val parsed = (0 until rings.numElements()).map { r =>
-      val ring = rings.getArray(r)
-      (0 until ring.numElements()).map { i =>
-        val p = ring.getStruct(i, 2)
-        (p.getDouble(0), p.getDouble(1))
-      }.toArray
-    }.toArray
+    val parsed = GeoShapes.polygon(v)
     if (fn == "ST_AREA") SphericalGeo.area(parsed)
     else SphericalGeo.perimeter(parsed)
   }
@@ -198,20 +330,125 @@ case class PolygonContainsExpr(left: Expression, right: Expression)
   override def dataType: org.apache.spark.sql.types.DataType =
     org.apache.spark.sql.types.BooleanType
   override def nullable: Boolean = true
+  // r12 (ADVICE): validate the shape pair at analysis time —
+  // nullSafeEval casts raw ArrayData/InternalRow, and a linestring on
+  // the left would reinterpret unsafe memory instead of failing
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (GeoShapes.isPolygon(left.dataType) && GeoShapes.isPoint(right.dataType))
+      TypeCheckSuccess
+    else TypeCheckFailure(
+      s"ST_CONTAINS family: requires (polygon, point), got " +
+        s"(${GeoShapes.shapeName(left.dataType)}, " +
+        s"${GeoShapes.shapeName(right.dataType)}) — use ST_INTERSECTS " +
+        "for other shape pairings")
+  }
   override protected def nullSafeEval(l: Any, r: Any): Any = {
-    val rings = l.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-    val parsed = (0 until rings.numElements()).map { k =>
-      val ring = rings.getArray(k)
-      (0 until ring.numElements()).map { i =>
-        val p = ring.getStruct(i, 2)
-        (p.getDouble(0), p.getDouble(1))
-      }.toArray
-    }.toArray
-    val pt = r.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
-    SphericalGeo.containsPoint(parsed, pt.getDouble(0), pt.getDouble(1))
+    val (lon, lat) = GeoShapes.point(r)
+    SphericalGeo.containsPoint(GeoShapes.polygon(l), lon, lat)
   }
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): PolygonContainsExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** ST_ASTEXT over any geography shape (r12, closes the ADVICE-medium
+  * silent-map hazard: the old text-level `.lon` lowering MAPPED over a
+  * linestring's points and rendered the array). Dispatches on the
+  * child's type; doubles format exactly like Spark's CAST(d AS STRING)
+  * (Java Double.toString) with the same trailing-`.0` strip the old
+  * point lowering applied, so e77's WKT text is bit-identical.
+  */
+case class GeogAsTextExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.StringType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (GeoShapes.isPoint(child.dataType) || GeoShapes.isLine(child.dataType) ||
+      GeoShapes.isPolygon(child.dataType)) TypeCheckSuccess
+    else TypeCheckFailure(
+      s"ST_ASTEXT: not a geography value: ${child.dataType.simpleString}")
+  }
+  private def fmt(d: Double): String = {
+    val s = d.toString
+    if (s.endsWith(".0")) s.dropRight(2) else s
+  }
+  private def coords(ps: Array[(Double, Double)]): String =
+    ps.map { case (lon, lat) => s"${fmt(lon)} ${fmt(lat)}" }.mkString(", ")
+  override protected def nullSafeEval(v: Any): Any = {
+    val dt = child.dataType
+    val text =
+      if (GeoShapes.isPoint(dt)) {
+        val (lon, lat) = GeoShapes.point(v)
+        s"POINT(${fmt(lon)} ${fmt(lat)})"
+      } else if (GeoShapes.isLine(dt)) s"LINESTRING(${coords(GeoShapes.line(v))})"
+      else GeoShapes.polygon(v)
+        .map(r => s"(${coords(r)})").mkString("POLYGON(", ", ", ")")
+    org.apache.spark.unsafe.types.UTF8String.fromString(text)
+  }
+  override protected def withNewChildInternal(newChild: Expression): GeogAsTextExpr =
+    copy(child = newChild)
+}
+
+/** Shape-dispatching ST_INTERSECTS (r12): symmetric like BigQuery's
+  * (closes the r11 ADVICE asymmetry — ST_INTERSECTS(point, polygon)
+  * used to die on a runtime cast), and extended from polygon×point to
+  * the segment-crossing pairings a pipeline's geofencing actually
+  * joins on. Dispatch is at ANALYSIS time on the static shape pair:
+  *   point×point        exact coordinate equality (S2 snap differences
+  *                      are documented-undefined at boundary resolution)
+  *   point×polygon      tangent-frame winding containment (either order)
+  *   line×line          any proper great-circle segment crossing
+  *   line×polygon       segment×ring-edge crossing, or a vertex interior
+  *   polygon×polygon    edge crossing, or either shell's vertex interior
+  * point×linestring is pure boundary membership — documented-undefined
+  * here, fails analysis loud. Touching (shared vertex / collinear
+  * overlap) is likewise undefined; gates construct probes ≥ 0.25° from
+  * every vertex.
+  */
+case class GeogIntersectsExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import GeoShapes._
+  override def dataType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.BooleanType
+  override def nullable: Boolean = true
+  private def shapeOf(dt: org.apache.spark.sql.types.DataType): Int =
+    if (isPoint(dt)) 0 else if (isLine(dt)) 1 else if (isPolygon(dt)) 2 else -1
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    val (l, r) = (shapeOf(left.dataType), shapeOf(right.dataType))
+    if (l < 0 || r < 0) TypeCheckFailure(
+      s"ST_INTERSECTS: not a geography value: " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+    else if ((l, r) == (0, 1) || (l, r) == (1, 0)) TypeCheckFailure(
+      "ST_INTERSECTS: point × linestring is boundary membership, which " +
+        "is documented-undefined in this engine")
+    else TypeCheckSuccess
+  }
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    (shapeOf(left.dataType), shapeOf(right.dataType)) match {
+      case (0, 0) => point(l) == point(r)
+      case (2, 0) =>
+        val (lon, lat) = point(r); SphericalGeo.containsPoint(polygon(l), lon, lat)
+      case (0, 2) =>
+        val (lon, lat) = point(l); SphericalGeo.containsPoint(polygon(r), lon, lat)
+      case (1, 1) => SphericalGeo.lineIntersectsLine(line(l), line(r))
+      case (1, 2) => SphericalGeo.lineIntersectsPolygon(polygon(r), line(l))
+      case (2, 1) => SphericalGeo.lineIntersectsPolygon(polygon(l), line(r))
+      case (2, 2) => SphericalGeo.polygonIntersectsPolygon(polygon(l), polygon(r))
+      case other => throw new IllegalStateException(
+        s"ST_INTERSECTS: unreachable shape pair $other")
+    }
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): GeogIntersectsExpr =
     copy(left = newLeft, right = newRight)
 }
 
@@ -269,5 +506,9 @@ object GeoKernels {
       "graft_st_contains", e => PolygonContainsExpr(e(0), e(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_st_bbox", e => BoundingBoxExpr(e.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_st_astext", e => GeogAsTextExpr(e.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_st_intersects", e => GeogIntersectsExpr(e(0), e(1)), "scala_udf")
   }
 }

@@ -1192,6 +1192,56 @@ object EngineQueries {
           |FROM shapes ORDER BY id""".stripMargin).get
     },
 
+    "e86_geography_intersects" -> { (s, d) =>
+      // shape-dispatching ST_INTERSECTS (r12): per nation the 2°×1°
+      // quad probed with CONSTRUCTED line/polygon pairings — crossing
+      // lines, interior lines, disjoint shapes, overlapping/contained
+      // polygons, and the symmetric point-first form (r11 ADVICE). The
+      // oracle states the booleans by construction: every probe sits
+      // ≥ 0.25° from every vertex, and the geodesic-vs-parallel bulge
+      // over a 3° span is < 0.004° even at |lat| ≈ 80, so each
+      // crossing/miss is unambiguous.
+      Tables.views(s, d, "nation")
+      new ScriptRunner(s).run(
+        """WITH pts AS (
+          |  SELECT n_nationkey,
+          |    CAST(MOD(n_nationkey * 29, 320) AS FLOAT64) - 159.5 AS lon,
+          |    CAST(MOD(n_nationkey * 17, 160) AS FLOAT64) - 79.75 AS lat
+          |  FROM nation),
+          |shapes AS (
+          |  SELECT n_nationkey, lon, lat,
+          |    [[ST_GEOGPOINT(lon, lat), ST_GEOGPOINT(lon + 2.0, lat),
+          |      ST_GEOGPOINT(lon + 2.0, lat + 1.0), ST_GEOGPOINT(lon, lat + 1.0)]]
+          |      AS quad,
+          |    ST_MAKELINE([ST_GEOGPOINT(lon - 0.5, lat + 0.5),
+          |                 ST_GEOGPOINT(lon + 2.5, lat + 0.5)]) AS horiz
+          |  FROM pts)
+          |SELECT CAST(n_nationkey AS INT64) AS id,
+          |  ST_INTERSECTS(horiz, quad) AS line_cross,
+          |  ST_INTERSECTS(ST_MAKELINE([ST_GEOGPOINT(lon + 0.5, lat + 0.4),
+          |    ST_GEOGPOINT(lon + 1.5, lat + 0.6)]), quad) AS line_inside,
+          |  ST_INTERSECTS(ST_MAKELINE([ST_GEOGPOINT(lon + 0.5, lat + 2.4),
+          |    ST_GEOGPOINT(lon + 1.5, lat + 2.6)]), quad) AS line_out,
+          |  ST_INTERSECTS(horiz, ST_MAKELINE([ST_GEOGPOINT(lon + 1.0, lat),
+          |    ST_GEOGPOINT(lon + 1.0, lat + 1.0)])) AS ll_cross,
+          |  ST_INTERSECTS(horiz, ST_MAKELINE([ST_GEOGPOINT(lon + 1.0, lat + 0.75),
+          |    ST_GEOGPOINT(lon + 1.0, lat + 1.0)])) AS ll_miss,
+          |  ST_INTERSECTS(quad,
+          |    [[ST_GEOGPOINT(lon + 1.0, lat + 0.5), ST_GEOGPOINT(lon + 3.0, lat + 0.5),
+          |      ST_GEOGPOINT(lon + 3.0, lat + 1.5), ST_GEOGPOINT(lon + 1.0, lat + 1.5)]])
+          |    AS pp_overlap,
+          |  ST_INTERSECTS(quad,
+          |    [[ST_GEOGPOINT(lon + 5.0, lat), ST_GEOGPOINT(lon + 7.0, lat),
+          |      ST_GEOGPOINT(lon + 7.0, lat + 1.0), ST_GEOGPOINT(lon + 5.0, lat + 1.0)]])
+          |    AS pp_far,
+          |  ST_INTERSECTS(quad,
+          |    [[ST_GEOGPOINT(lon + 0.5, lat + 0.25), ST_GEOGPOINT(lon + 1.5, lat + 0.25),
+          |      ST_GEOGPOINT(lon + 1.5, lat + 0.75), ST_GEOGPOINT(lon + 0.5, lat + 0.75)]])
+          |    AS pp_inner,
+          |  ST_INTERSECTS(ST_GEOGPOINT(lon + 1.0, lat + 0.5), quad) AS pt_flipped
+          |FROM shapes ORDER BY id""".stripMargin).get
+    },
+
     "e83_tojson_chr" -> { (s, d) =>
       // TO_JSON (canonical JSON type text) and code-point CHR (r11):
       // fixture rows with a VALUES oracle, e45b-style — DuckDB's json
@@ -2832,6 +2882,15 @@ object EngineQueries {
          |    + ${hav("0.0", "1.0", "1.0", "1.0")}) AS BIGINT) AS unit_len_m
          |FROM pts ORDER BY id""".stripMargin
     },
+
+    // every pairing's truth value is fixed by construction (probes
+    // ≥ 0.25° from vertices; geodesic bulge < 0.004° over these spans)
+    "e86_geography_intersects" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS id,
+        |  true AS line_cross, true AS line_inside, false AS line_out,
+        |  true AS ll_cross, false AS ll_miss, true AS pp_overlap,
+        |  false AS pp_far, true AS pp_inner, true AS pt_flipped
+        |FROM nation ORDER BY id""".stripMargin,
 
     // the probe points' membership is fixed by construction
     "e84_geography_contains" ->

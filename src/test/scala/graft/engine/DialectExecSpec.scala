@@ -1340,6 +1340,55 @@ class DialectExecSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[Exception] { one("SELECT ST_X(ST_GEOGFROMTEXT('LINESTRING(0 0, 1 1)'))") }
   }
 
+  test("GEOGRAPHY r12: typed ST_ASTEXT + shape-dispatching ST_INTERSECTS") {
+    // ST_ASTEXT renders all three shapes (the old `.lon` lowering
+    // silently mapped over a linestring's points — r11 ADVICE)
+    assert(one("SELECT ST_ASTEXT(ST_GEOGFROMTEXT('LINESTRING(0 0, 1.5 0, 1.5 2.25)'))") ==
+      "LINESTRING(0 0, 1.5 0, 1.5 2.25)")
+    assert(one("SELECT ST_ASTEXT(ST_GEOGFROMTEXT('POLYGON((0 0, 2 0, 2 1, 0 0))'))") ==
+      "POLYGON((0 0, 2 0, 2 1, 0 0))")
+    intercept[Exception] { one("SELECT ST_ASTEXT(42)") }
+    // shape mismatches fail analysis loud, not with unsafe reinterprets
+    intercept[Exception] {
+      one("SELECT ST_AREA(ST_GEOGFROMTEXT('LINESTRING(0 0, 1 1)'))") }
+    intercept[Exception] { one(
+      "SELECT ST_CONTAINS(ST_GEOGFROMTEXT('LINESTRING(0 0, 1 1)'), ST_GEOGPOINT(0, 0))") }
+    // ST_INTERSECTS is symmetric like BigQuery's (r11 ADVICE: the
+    // flipped point-first form used to die on a runtime cast)
+    val poly = "ST_GEOGFROMTEXT('POLYGON((0 0, 2 0, 2 1, 0 1, 0 0))')"
+    assert(one(s"SELECT ST_INTERSECTS(ST_GEOGPOINT(1, 0.5), $poly)") == true)
+    assert(one(s"SELECT ST_INTERSECTS($poly, ST_GEOGPOINT(1, 0.5))") == true)
+    assert(one(s"SELECT ST_INTERSECTS(ST_GEOGPOINT(3, 0.5), $poly)") == false)
+    // point × point: exact coordinate equality
+    assert(one("SELECT ST_INTERSECTS(ST_GEOGPOINT(1, 2), ST_GEOGPOINT(1, 2))") == true)
+    assert(one("SELECT ST_INTERSECTS(ST_GEOGPOINT(1, 2), ST_GEOGPOINT(1, 2.5))") == false)
+    // line × line: proper great-circle crossing
+    assert(one("SELECT ST_INTERSECTS(" +
+      "ST_GEOGFROMTEXT('LINESTRING(-0.5 0.5, 2.5 0.5)'), " +
+      "ST_GEOGFROMTEXT('LINESTRING(1 0, 1 1)'))") == true)
+    assert(one("SELECT ST_INTERSECTS(" +
+      "ST_GEOGFROMTEXT('LINESTRING(-0.5 0.5, 2.5 0.5)'), " +
+      "ST_GEOGFROMTEXT('LINESTRING(1 0.75, 1 1)'))") == false)
+    // line × polygon: edge crossing / fully interior / fully exterior
+    assert(one(s"SELECT ST_INTERSECTS(" +
+      s"ST_GEOGFROMTEXT('LINESTRING(-0.5 0.5, 2.5 0.5)'), $poly)") == true)
+    assert(one(s"SELECT ST_INTERSECTS(" +
+      s"ST_GEOGFROMTEXT('LINESTRING(0.5 0.4, 1.5 0.6)'), $poly)") == true)
+    assert(one(s"SELECT ST_INTERSECTS(" +
+      s"ST_GEOGFROMTEXT('LINESTRING(0.5 2.4, 1.5 2.6)'), $poly)") == false)
+    // polygon × polygon: overlap / containment (both orders) / disjoint
+    val shifted = "ST_GEOGFROMTEXT('POLYGON((1 0.5, 3 0.5, 3 1.5, 1 1.5, 1 0.5))')"
+    val inner = "ST_GEOGFROMTEXT('POLYGON((0.5 0.25, 1.5 0.25, 1.5 0.75, 0.5 0.75, 0.5 0.25))')"
+    val far = "ST_GEOGFROMTEXT('POLYGON((5 0, 7 0, 7 1, 5 1, 5 0))')"
+    assert(one(s"SELECT ST_INTERSECTS($poly, $shifted)") == true)
+    assert(one(s"SELECT ST_INTERSECTS($poly, $inner)") == true)
+    assert(one(s"SELECT ST_INTERSECTS($inner, $poly)") == true)
+    assert(one(s"SELECT ST_INTERSECTS($poly, $far)") == false)
+    // point × linestring is boundary membership: documented-undefined, loud
+    intercept[Exception] { one("SELECT ST_INTERSECTS(ST_GEOGPOINT(0, 0), " +
+      "ST_GEOGFROMTEXT('LINESTRING(0 0, 1 1)'))") }
+  }
+
   test("ML scalar functions: DISTANCE, LP_NORM, NGRAMS, BUCKETIZE") {
     assert(one("SELECT ML.DISTANCE([3.0, 4.0], [0.0, 0.0], 'EUCLIDEAN')") == 5.0)
     assert(one("SELECT ML.DISTANCE([1.0, 2.0], [4.0, 6.0], 'MANHATTAN')") == 7.0)
