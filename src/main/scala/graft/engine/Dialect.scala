@@ -2143,6 +2143,42 @@ object Dialect {
     * so ambiguous shapes (e.g. Spark-native `date_trunc('week', x)`)
     * fall through untouched.
     */
+  /** True when the next non-whitespace/non-comment token at or after
+    * `from` is the word OVER — decides whether an aggregate call is in
+    * window position (its rewrite must then stay a bare function call
+    * the OVER suffix can attach to).
+    */
+  private def nextWordIsOver(sql: String, from: Int): Boolean = {
+    var k = from
+    while (k < sql.length) {
+      val c = sql.charAt(k)
+      if (c.isWhitespace) k += 1
+      else if (c == '-' && k + 1 < sql.length && sql.charAt(k + 1) == '-') {
+        val e = sql.indexOf('\n', k)
+        if (e < 0) return false
+        k = e + 1
+      } else if (c == '/' && k + 1 < sql.length && sql.charAt(k + 1) == '*') {
+        val e = sql.indexOf("*/", k)
+        if (e < 0) return false
+        k = e + 2
+      } else return sql.regionMatches(true, k, "OVER", 0, 4) &&
+        (k + 4 >= sql.length ||
+          !(sql.charAt(k + 4).isLetterOrDigit || sql.charAt(k + 4) == '_'))
+    }
+    false
+  }
+
+  /** BigQuery returns NULL from ARRAY_AGG/STRING_AGG over ZERO input
+    * rows where Spark's collect_list/listagg give [] / '' — reachable
+    * only from a global aggregate over an empty relation (GROUP BY
+    * never emits empty groups, so the guard is semantically inert
+    * everywhere else). The guard cannot ride the OVER form (the window
+    * suffix must attach to a bare call), which stays a documented edge
+    * for the empty-frame case only (r12, closes the fixable half of
+    * the r11 probe row).
+    */
+  private val emptyInputNullAggs = Set("ARRAY_AGG", "STRING_AGG")
+
   private def rewriteCalls(sql: String): String = {
     val out = new StringBuilder
     var i = 0
@@ -2171,7 +2207,11 @@ object Dialect {
           else {
             val inner = rewriteCalls(sql.substring(k + 1, close))
             val args = splitTopLevel(inner).map(_.trim)
-            out ++= fn.get(args).getOrElse(s"$name($inner)")
+            val rewritten = fn.get(args).getOrElse(s"$name($inner)")
+            out ++= (if (emptyInputNullAggs.contains(name.toUpperCase) &&
+                !nextWordIsOver(sql, close + 1))
+              s"(CASE WHEN count(1) = 0 THEN NULL ELSE $rewritten END)"
+            else rewritten)
             i = close + 1
           }
         } else { out ++= name; i = j }

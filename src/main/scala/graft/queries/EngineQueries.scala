@@ -1242,6 +1242,30 @@ object EngineQueries {
           |FROM shapes ORDER BY id""".stripMargin).get
     },
 
+    "e88_empty_agg_null" -> { (s, d) =>
+      // ARRAY_AGG/STRING_AGG over ZERO input rows → NULL like BigQuery
+      // (r12, closes the fixable half of the r11 documented edge: the
+      // plain aggregate position takes a count(1)=0 guard; only the
+      // empty WINDOW FRAME form stays documented). Every lowering shape
+      // — plain, ordered, separator+ordered, DISTINCT — probed over an
+      // empty relation, plus a non-empty leg proving the guard is inert.
+      Tables.views(s, d, "orders")
+      new ScriptRunner(s).run(
+        """WITH src AS (
+          |  SELECT CAST(o_orderkey AS INT64) AS x, o_orderpriority AS s
+          |  FROM orders WHERE o_orderkey < 0)
+          |SELECT CAST(1 AS INT64) AS id,
+          |  ARRAY_AGG(x) IS NULL AS arr_null,
+          |  ARRAY_AGG(x ORDER BY x) IS NULL AS arr_ord_null,
+          |  ARRAY_AGG(DISTINCT x) IS NULL AS arr_dist_null,
+          |  STRING_AGG(s) IS NULL AS str_null,
+          |  STRING_AGG(s, '|' ORDER BY s) IS NULL AS str_ord_null,
+          |  COUNT(1) AS n,
+          |  (SELECT STRING_AGG(v, '-' ORDER BY v)
+          |   FROM UNNEST(['b', 'a', 'c']) AS v) AS nonempty
+          |FROM src""".stripMargin).get
+    },
+
     "e83_tojson_chr" -> { (s, d) =>
       // TO_JSON (canonical JSON type text) and code-point CHR (r11):
       // fixture rows with a VALUES oracle, e45b-style — DuckDB's json
@@ -2891,6 +2915,14 @@ object EngineQueries {
         |  true AS ll_cross, false AS ll_miss, true AS pp_overlap,
         |  false AS pp_far, true AS pp_inner, true AS pt_flipped
         |FROM nation ORDER BY id""".stripMargin,
+
+    // truth values fixed by construction; DuckDB's own empty-input
+    // array_agg/string_agg also yield NULL, so the booleans double-check
+    "e88_empty_agg_null" ->
+      """SELECT CAST(1 AS BIGINT) AS id,
+        |  true AS arr_null, true AS arr_ord_null, true AS arr_dist_null,
+        |  true AS str_null, true AS str_ord_null,
+        |  CAST(0 AS BIGINT) AS n, 'a-b-c' AS nonempty""".stripMargin,
 
     // the probe points' membership is fixed by construction
     "e84_geography_contains" ->

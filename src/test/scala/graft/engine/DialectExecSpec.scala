@@ -1389,6 +1389,30 @@ class DialectExecSpec extends AnyFunSuite with BeforeAndAfterAll {
       "ST_GEOGFROMTEXT('LINESTRING(0 0, 1 1)'))") }
   }
 
+  test("ARRAY_AGG/STRING_AGG over zero input rows return NULL (r12)") {
+    // BigQuery: a global aggregate over an empty relation yields NULL,
+    // not []/'' (Spark's collect_list/listagg defaults)
+    assert(one("SELECT ARRAY_AGG(x) IS NULL FROM (SELECT 1 AS x) WHERE FALSE") == true)
+    assert(one("SELECT STRING_AGG(s) IS NULL FROM (SELECT 'a' AS s) WHERE FALSE") == true)
+    assert(one("SELECT STRING_AGG(s, '|' ORDER BY s) IS NULL " +
+      "FROM (SELECT 'a' AS s) WHERE FALSE") == true)
+    assert(one("SELECT ARRAY_AGG(x ORDER BY x LIMIT 2) IS NULL " +
+      "FROM (SELECT 1 AS x) WHERE FALSE") == true)
+    assert(one("SELECT ARRAY_AGG(DISTINCT x) IS NULL " +
+      "FROM (SELECT 1 AS x) WHERE FALSE") == true)
+    // non-empty inputs are unchanged by the guard
+    assert(one("SELECT ARRAY_AGG(x ORDER BY x)[OFFSET(0)] " +
+      "FROM (SELECT 2 AS x UNION ALL SELECT 1)") == 1)
+    assert(one("SELECT STRING_AGG(s, '-' ORDER BY s) " +
+      "FROM (SELECT 'b' AS s UNION ALL SELECT 'a')") == "a-b")
+    // the OVER form stays a bare call the window suffix attaches to
+    // (empty-frame NULL remains a documented edge)
+    assert(one("SELECT max(size(a)) FROM (SELECT ARRAY_AGG(id) OVER " +
+      "(ORDER BY id) AS a FROM (SELECT 1 AS id UNION ALL SELECT 2))") == 2)
+    assert(one("SELECT max(length(sa)) FROM (SELECT STRING_AGG(s) OVER " +
+      "(ORDER BY s) AS sa FROM (SELECT 'a' AS s UNION ALL SELECT 'b'))") == 3)
+  }
+
   test("ML scalar functions: DISTANCE, LP_NORM, NGRAMS, BUCKETIZE") {
     assert(one("SELECT ML.DISTANCE([3.0, 4.0], [0.0, 0.0], 'EUCLIDEAN')") == 5.0)
     assert(one("SELECT ML.DISTANCE([1.0, 2.0], [4.0, 6.0], 'MANHATTAN')") == 7.0)

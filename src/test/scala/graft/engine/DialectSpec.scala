@@ -119,7 +119,7 @@ class DialectSpec extends AnyFunSuite {
     // in an expression position the subquery yields ONE struct value
     // (ScriptRunner's SET unwraps single-struct rows positionally)
     assert(Dialect.rewrite("SET (p) = (SELECT AS STRUCT array_agg(x))")
-      .contains("SELECT struct(array_agg(x))"))
+      .contains("SELECT struct((CASE WHEN count(1) = 0 THEN NULL ELSE array_agg(x) END))"))
     // as a table (value table) the fields flatten to columns
     assert(Dialect.rewrite("SELECT a FROM (SELECT AS STRUCT 1 AS a)")
       .contains("FROM (SELECT  1 AS a)"))
@@ -267,14 +267,20 @@ class DialectSpec extends AnyFunSuite {
   }
 
   test("STRING_AGG with and without ORDER BY") {
+    // non-OVER positions carry the empty-input NULL guard (r12:
+    // BigQuery returns NULL from a global aggregate over zero rows)
+    def g(x: String) = s"(CASE WHEN count(1) = 0 THEN NULL ELSE $x END)"
     assert(Dialect.rewrite("SELECT STRING_AGG(s, ',')") ==
-      "SELECT string_agg(s, ',')")
+      s"SELECT ${g("string_agg(s, ',')")}")
     assert(Dialect.rewrite("SELECT STRING_AGG(s, '; ' ORDER BY s)") ==
-      "SELECT listagg(s, '; ') WITHIN GROUP (ORDER BY s)")
+      s"SELECT ${g("listagg(s, '; ') WITHIN GROUP (ORDER BY s)")}")
     assert(Dialect.rewrite("SELECT STRING_AGG(DISTINCT s, ',' ORDER BY s)") ==
-      "SELECT listagg(DISTINCT s, ',') WITHIN GROUP (ORDER BY s)")
+      s"SELECT ${g("listagg(DISTINCT s, ',') WITHIN GROUP (ORDER BY s)")}")
     assert(Dialect.rewrite("SELECT STRING_AGG(s ORDER BY t)") ==
-      "SELECT listagg(s, ',') WITHIN GROUP (ORDER BY t)")
+      s"SELECT ${g("listagg(s, ',') WITHIN GROUP (ORDER BY t)")}")
+    // window position: the call stays bare so OVER can attach
+    assert(Dialect.rewrite("SELECT STRING_AGG(s, ',') OVER (ORDER BY s)") ==
+      "SELECT string_agg(s, ',') OVER (ORDER BY s)")
   }
 
   test("printf FORMAT, hex, and string-predicate renames") {
@@ -288,22 +294,27 @@ class DialectSpec extends AnyFunSuite {
   }
 
   test("ARRAY_AGG: ordered form rewrites, plain/DISTINCT pass through") {
+    // non-OVER positions carry the empty-input NULL guard (r12)
+    def g(x: String) = s"(CASE WHEN count(1) = 0 THEN NULL ELSE $x END)"
     assert(Dialect.rewrite("SELECT ARRAY_AGG(x ORDER BY k)") ==
-      "SELECT transform(array_sort(collect_list(struct(k AS _o, x AS _v))), s -> s._v)")
-    assert(Dialect.rewrite("SELECT ARRAY_AGG(x)") == "SELECT ARRAY_AGG(x)")
+      s"SELECT ${g("transform(array_sort(collect_list(struct(k AS _o, x AS _v))), s -> s._v)")}")
+    assert(Dialect.rewrite("SELECT ARRAY_AGG(x)") == s"SELECT ${g("ARRAY_AGG(x)")}")
     // DISTINCT ordered-by-the-value-itself dedups through a set
     assert(Dialect.rewrite("SELECT ARRAY_AGG(DISTINCT x ORDER BY x)") ==
-      "SELECT array_sort(collect_set(x))")
+      s"SELECT ${g("array_sort(collect_set(x))")}")
     // ...but a different order key stays loud-unresolved
     assert(Dialect.rewrite("SELECT ARRAY_AGG(DISTINCT x ORDER BY k)") ==
-      "SELECT ARRAY_AGG(DISTINCT x ORDER BY k)")
+      s"SELECT ${g("ARRAY_AGG(DISTINCT x ORDER BY k)")}")
     assert(Dialect.rewrite("SELECT ARRAY_AGG(x ORDER BY k DESC)") ==
-      "SELECT reverse(transform(array_sort(collect_list(struct(k AS _o, x AS _v))), s -> s._v))")
+      s"SELECT ${g("reverse(transform(array_sort(collect_list(struct(k AS _o, x AS _v))), s -> s._v))")}")
     assert(Dialect.rewrite("SELECT ARRAY_AGG(x ORDER BY k LIMIT 3)") ==
-      "SELECT slice(transform(array_sort(collect_list(struct(k AS _o, x AS _v))), s -> s._v), 1, 3)")
+      s"SELECT ${g("slice(transform(array_sort(collect_list(struct(k AS _o, x AS _v))), s -> s._v), 1, 3)")}")
     // multi-key ORDER BY was comma-split upstream — stays loud
     assert(Dialect.rewrite("SELECT ARRAY_AGG(x ORDER BY a, b)") ==
-      "SELECT ARRAY_AGG(x ORDER BY a, b)")
+      s"SELECT ${g("ARRAY_AGG(x ORDER BY a, b)")}")
+    // window position: the call stays bare so OVER can attach
+    assert(Dialect.rewrite("SELECT ARRAY_AGG(x) OVER (ORDER BY x)") ==
+      "SELECT ARRAY_AGG(x) OVER (ORDER BY x)")
   }
 
   test("ANY_VALUE HAVING MAX/MIN, JSON extract, STRPOS, SAFE arithmetic") {
