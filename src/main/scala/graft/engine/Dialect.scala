@@ -1131,9 +1131,13 @@ object Dialect {
     * engine and the DuckDB oracle), ML.MIN_MAX_SCALER → (x-min)/(max-min),
     * ML.IMPUTER(x, 'mean'|'median'|'most_frequent') → coalesce with the
     * window statistic. The OVER clause must be inline parens (BigQuery
-    * requires OVER() on these too); ML.QUANTILE_BUCKETIZE stays loud —
-    * ntile splits ties across buckets, which would be silently different
-    * from BigQuery's quantile boundaries.
+    * requires OVER() on these too). ML.QUANTILE_BUCKETIZE(x, n) (r12,
+    * converts the last ML-namespace skip) bucketizes by EXACT
+    * interpolated quantile boundaries — percentile(x, i/n) OVER w for
+    * i = 1..n-1, bin = 1 + Σ(x > bᵢ) — NOT ntile, which splits equal
+    * values across buckets; a value EQUAL to a boundary lands in the
+    * lower bucket (upper-inclusive bins). n must be an integer literal
+    * so the expansion is static.
     */
   private def rewriteMlAnalytic(sql: String): String = {
     val m0 = mlAnalyticRe.findAllMatchIn(sql)
@@ -1170,9 +1174,20 @@ object Dialect {
           case _ => throw new IllegalArgumentException(
             "ML.IMPUTER strategy must be the literal 'mean', 'median' or 'most_frequent'")
         }
+      case "QUANTILE_BUCKETIZE" if args.length == 2 =>
+        val nb = try args(1).trim.toInt catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            "ML.QUANTILE_BUCKETIZE: num_buckets must be an integer literal")
+        }
+        if (nb < 2 || nb > 100) throw new IllegalArgumentException(
+          s"ML.QUANTILE_BUCKETIZE: num_buckets must be in [2, 100], got $nb")
+        val sums = (1 until nb).map { i =>
+          s"(CASE WHEN $x > percentile($x, ${i.toDouble / nb}d) OVER $w " +
+            "THEN 1 ELSE 0 END)"
+        }
+        s"concat('bin_', CAST((1 + ${sums.mkString(" + ")}) AS STRING))"
       case other => throw new IllegalArgumentException(
-        s"ML.$other: unsupported form (QUANTILE_BUCKETIZE tie semantics " +
-          "differ from ntile — not supported)")
+        s"ML.$other: unsupported form")
     }
     sql.substring(0, m0.start) + repl + rewriteMlAnalytic(sql.substring(wClose + 1))
   }

@@ -1242,6 +1242,27 @@ object EngineQueries {
           |FROM shapes ORDER BY id""".stripMargin).get
     },
 
+    "e85_ml_quantile_bucketize" -> { (s, d) =>
+      // ML.QUANTILE_BUCKETIZE by EXACT interpolated quantile boundaries
+      // (r12, converts the last ML-namespace skip — the documented
+      // blocker was ntile-vs-boundary tie behavior). The fixture makes
+      // every tie decision explicit: leg 'u' is 1..18 with 4 buckets —
+      // boundaries 5.25/9.5/13.75 fall strictly BETWEEN data values, so
+      // each bin is unambiguous; leg 'ties' is [1,2,2,2,3,4] with 2
+      // buckets — the median boundary is exactly 2.0, pinning the
+      // lower-bucket tie rule (ntile would split the equal 2s across
+      // buckets). The oracle states every label by construction.
+      new ScriptRunner(s).run(
+        """SELECT 'u' AS leg, CAST(x AS INT64) AS id,
+          |  ML.QUANTILE_BUCKETIZE(x, 4) OVER () AS bkt
+          |FROM UNNEST(GENERATE_ARRAY(1, 18)) AS x
+          |UNION ALL
+          |SELECT 'ties', CAST(off AS INT64),
+          |  ML.QUANTILE_BUCKETIZE(v, 2) OVER ()
+          |FROM UNNEST([1, 2, 2, 2, 3, 4]) AS v WITH OFFSET off
+          |ORDER BY leg, id""".stripMargin).get
+    },
+
     "e88_empty_agg_null" -> { (s, d) =>
       // ARRAY_AGG/STRING_AGG over ZERO input rows → NULL like BigQuery
       // (r12, closes the fixable half of the r11 documented edge: the
@@ -2915,6 +2936,19 @@ object EngineQueries {
         |  true AS ll_cross, false AS ll_miss, true AS pp_overlap,
         |  false AS pp_far, true AS pp_inner, true AS pt_flipped
         |FROM nation ORDER BY id""".stripMargin,
+
+    // every bucket label fixed by construction (boundaries 5.25/9.5/
+    // 13.75 for leg 'u'; exact-2.0 median tie → lower bucket for 'ties')
+    "e85_ml_quantile_bucketize" ->
+      """SELECT 'u' AS leg, CAST(x AS BIGINT) AS id,
+        |  CASE WHEN x <= 5 THEN 'bin_1' WHEN x <= 9 THEN 'bin_2'
+        |       WHEN x <= 13 THEN 'bin_3' ELSE 'bin_4' END AS bkt
+        |FROM range(1, 19) t(x)
+        |UNION ALL
+        |SELECT 'ties', i, b FROM (VALUES
+        |  (CAST(0 AS BIGINT), 'bin_1'), (1, 'bin_1'), (2, 'bin_1'),
+        |  (3, 'bin_1'), (4, 'bin_2'), (5, 'bin_2')) AS v(i, b)
+        |ORDER BY leg, id""".stripMargin,
 
     // truth values fixed by construction; DuckDB's own empty-input
     // array_agg/string_agg also yield NULL, so the booleans double-check

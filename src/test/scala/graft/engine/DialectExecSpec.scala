@@ -1458,6 +1458,39 @@ class DialectExecSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("ML.QUANTILE_BUCKETIZE: exact quantile boundaries, lower-bucket ties (r12)") {
+    graft.functions.BitSketchExpressions.register(spark)
+    // 1..8, 4 buckets: boundaries at percentile .25/.5/.75 of 1..8 =
+    // 2.75/4.5/6.25 — every value strictly between boundaries, so each
+    // bin decision is unambiguous: {1,2} {3,4} {5,6} {7,8}
+    val rows = spark.sql(Dialect.rewrite(
+      """SELECT x, ML.QUANTILE_BUCKETIZE(x, 4) OVER () AS b
+        |FROM UNNEST(GENERATE_ARRAY(1, 8)) AS x ORDER BY x""".stripMargin)).collect()
+    assert(rows.map(_.getString(1)).toSeq ==
+      Seq("bin_1", "bin_1", "bin_2", "bin_2", "bin_3", "bin_3", "bin_4", "bin_4"))
+    // a value EQUAL to a boundary lands in the LOWER bucket (the pinned
+    // tie rule — ntile would split the equal values across buckets):
+    // [1,2,2,2,3,4] with 2 buckets has median boundary exactly 2.0
+    val ties = spark.sql(Dialect.rewrite(
+      """SELECT off, ML.QUANTILE_BUCKETIZE(v, 2) OVER () AS b
+        |FROM UNNEST([1, 2, 2, 2, 3, 4]) AS v WITH OFFSET off
+        |ORDER BY off""".stripMargin)).collect()
+    assert(ties.map(_.getString(1)).toSeq ==
+      Seq("bin_1", "bin_1", "bin_1", "bin_1", "bin_2", "bin_2"))
+    // partitioned windows bucketize per group
+    val part = spark.sql(Dialect.rewrite(
+      """SELECT g, v, ML.QUANTILE_BUCKETIZE(v, 2) OVER (PARTITION BY g) AS b
+        |FROM (SELECT 1 AS g, 1 AS v UNION ALL SELECT 1, 10
+        |      UNION ALL SELECT 2, 100 UNION ALL SELECT 2, 1000)
+        |ORDER BY g, v""".stripMargin)).collect()
+    assert(part.map(_.getString(2)).toSeq == Seq("bin_1", "bin_2", "bin_1", "bin_2"))
+    // num_buckets must be a static integer literal in range
+    intercept[IllegalArgumentException] {
+      Dialect.rewrite("SELECT ML.QUANTILE_BUCKETIZE(v, n) OVER () FROM t") }
+    intercept[IllegalArgumentException] {
+      Dialect.rewrite("SELECT ML.QUANTILE_BUCKETIZE(v, 1) OVER () FROM t") }
+  }
+
   test("AEAD/KEYS/DETERMINISTIC_* encryption surface") {
     graft.functions.BitSketchExpressions.register(spark)
     // roundtrip laws through a keyset carried on the row
