@@ -3490,6 +3490,23 @@ object Dialect {
       else scala.None),
     "KEYS_KEYSET_LENGTH" -> (a =>
       if (a.length == 1) Some(s"graft_keys_length(${a(0)})") else scala.None),
+    // Tink interop + envelope surface (r12 — keysets are real Tink
+    // protos now; the KMS layer is a local resource-derived-KEK
+    // stand-in, see KmsStandin). KEYSET_CHAIN is pure structure — the
+    // crypto kernels unwrap it at the keyset argument slot.
+    "KEYS_KEYSET_TO_JSON" -> (a =>
+      if (a.length == 1) Some(s"graft_keys_to_json(${a(0)})") else scala.None),
+    "KEYS_KEYSET_FROM_JSON" -> (a =>
+      if (a.length == 1) Some(s"graft_keys_from_json(${a(0)})") else scala.None),
+    "KEYS_NEW_WRAPPED_KEYSET" -> (a =>
+      if (a.length == 2) Some(s"graft_keys_new_wrapped(${a(0)}, ${a(1)})")
+      else scala.None),
+    "KEYS_REWRAP_KEYSET" -> (a =>
+      if (a.length == 3) Some(s"graft_keys_rewrap(${a(0)}, ${a(1)}, ${a(2)})")
+      else scala.None),
+    "KEYS_KEYSET_CHAIN" -> (a =>
+      if (a.length == 2) Some(s"named_struct('kms_resource_name', ${a(0)}, " +
+        s"'first_level_keyset', ${a(1)})") else scala.None),
     "AEAD_ENCRYPT" -> (a =>
       if (a.length == 3) Some(s"graft_aead_encrypt(${a.mkString(", ")})") else scala.None),
     "AEAD_DECRYPT_STRING" -> (a =>

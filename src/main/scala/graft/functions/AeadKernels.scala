@@ -21,113 +21,171 @@ import org.apache.spark.unsafe.types.UTF8String
   * AEAD keyset refuses DETERMINISTIC_ENCRYPT and vice versa),
   * authenticated additional_data (wrong AAD fails loud; SAFE. → NULL),
   * AEAD.ENCRYPT nondeterministic per call, DETERMINISTIC_ENCRYPT
-  * stable for equal (keyset, plaintext, aad). KEYS.ROTATE_KEYSET /
-  * ADD_KEY_FROM_RAW_BYTES / KEYSET_LENGTH (r11) work over multi-key
-  * keysets. DOCUMENTED DEVIATION: BigQuery keysets are serialized Tink
-  * protos; this engine's keysets use a versioned local format
-  * (`GAEAD1` + type byte + one-or-more 32-byte keys, primary LAST)
-  * and the ciphertexts are JDK AES-GCM — keysets and ciphertexts are
-  * NOT interchangeable with Tink/BigQuery, only the SQL surface and
-  * its laws are. Ciphertexts carry no Tink key-id prefix, so decrypt
-  * tries the primary then older keys. Deterministic encryption uses an
-  * SIV-style construction (nonce = HMAC-SHA256(macSubkey, aad ∥
-  * plaintext) truncated, AES keyed by a separately-derived subkey)
-  * rather than RFC 5297 AES-SIV, which the JDK lacks.
+  * stable for equal (keyset, plaintext, aad).
+  *
+  * BYTE INTEROP (r12 — converts the r11 keyset-format deviation):
+  * keysets are serialized Tink `Keyset` protos (TinkFormat.scala),
+  * AEAD ciphertexts are Tink's AES-GCM layout (TINK output prefix
+  * `0x01 ∥ key_id` then `iv(12) ∥ ct ∥ tag(16)`), and DETERMINISTIC
+  * uses RFC 5297 AES-SIV with a 64-byte AesSivKey (AesSiv.scala) —
+  * keysets and ciphertexts round-trip with Tink/BigQuery for the
+  * AES-GCM and AES-SIV families. KEYS.ROTATE_KEYSET /
+  * ADD_KEY_FROM_RAW_BYTES (16- or 32-byte AES keys, added RAW) /
+  * KEYSET_LENGTH / KEYSET_TO_JSON / KEYSET_FROM_JSON work over the
+  * same model. Envelope surface (KEYS.NEW_WRAPPED_KEYSET /
+  * REWRAP_KEYSET / KEYSET_CHAIN) rides a LOCAL KMS stand-in
+  * (KmsStandin: KEK derived from the resource name) — the envelope
+  * bytes are not Cloud-KMS interoperable, the inner keyset is.
+  * Pre-r12 `GAEAD1` keysets still parse (legacy read path; rotation
+  * re-serializes them as Tink protos with legacy-marker type URLs
+  * because their DETERMINISTIC construction predates RFC 5297 here).
   */
 object AeadKernels {
+  import TinkFormat.{Key, Keyset}
+
   private val MAGIC = "GAEAD1".getBytes("UTF-8")
-  private val TYPE_GCM: Byte = 0
-  private val TYPE_DET: Byte = 1
-  private val TYPE_ANY: Byte = -1 // validateKeyset: skip the type check
   private val rng = new SecureRandom()
 
+  private def freshBytes(n: Int): Array[Byte] = {
+    val b = new Array[Byte](n)
+    rng.synchronized(rng.nextBytes(b))
+    b
+  }
+
+  private def freshKeyId(taken: Set[Int]): Int = {
+    var id = 0
+    while (id == 0 || taken.contains(id)) id = rng.synchronized(rng.nextInt())
+    id
+  }
+
+  /** Parse either format into the Tink model: legacy GAEAD1 keys map to
+    * RAW-prefix keys (their ciphertexts carried no prefix), with the
+    * det type kept distinguishable via a legacy type URL.
+    */
+  private def parseAnyKeyset(ks: Array[Byte], fn: String): Keyset = {
+    if (ks.length > MAGIC.length + 1 &&
+        java.util.Arrays.equals(ks.take(MAGIC.length), MAGIC)) {
+      val body = ks.length - MAGIC.length - 1
+      if (body % 32 != 0 || body == 0) throw new IllegalArgumentException(
+        s"$fn: not a keyset produced by KEYS.NEW_KEYSET")
+      val url = if (ks(MAGIC.length) == 0.toByte) TinkFormat.LEGACY_GCM_URL
+        else TinkFormat.LEGACY_DET_URL
+      val n = body / 32
+      val keys = (0 until n).map { i =>
+        Key(i + 1, url, ks.slice(MAGIC.length + 1 + i * 32,
+          MAGIC.length + 1 + (i + 1) * 32), outputPrefix = TinkFormat.PREFIX_RAW)
+      }
+      Keyset(n, keys) // legacy primary = last
+    } else {
+      try TinkFormat.parse(ks)
+      catch { case e: Exception => throw new IllegalArgumentException(
+        s"$fn: not a keyset produced by KEYS.NEW_KEYSET (${e.getMessage})")
+      }
+    }
+  }
+
+  private val gcmUrls = Set(TinkFormat.AES_GCM_URL, TinkFormat.LEGACY_GCM_URL)
+  private val detUrls = Set(TinkFormat.AES_SIV_URL, TinkFormat.LEGACY_DET_URL)
+
+  private def requireFamily(ks: Keyset, urls: Set[String], fn: String): Keyset = {
+    if (!ks.keys.forall(k => urls.contains(k.typeUrl)))
+      throw new IllegalArgumentException(
+        s"$fn: keyset type mismatch (AEAD functions need AEAD_AES_GCM_256, " +
+          "DETERMINISTIC_* need DETERMINISTIC_AEAD_AES_SIV_CMAC_256)")
+    ks
+  }
+
   def newKeyset(keyType: String): Array[Byte] = {
-    val t = keyType match {
-      case "AEAD_AES_GCM_256" => TYPE_GCM
-      case "DETERMINISTIC_AEAD_AES_SIV_CMAC_256" => TYPE_DET
+    val key = keyType match {
+      case "AEAD_AES_GCM_256" =>
+        Key(freshKeyId(Set.empty), TinkFormat.AES_GCM_URL, freshBytes(32))
+      case "DETERMINISTIC_AEAD_AES_SIV_CMAC_256" =>
+        Key(freshKeyId(Set.empty), TinkFormat.AES_SIV_URL, freshBytes(64))
       case other => throw new IllegalArgumentException(
         s"KEYS.NEW_KEYSET: unsupported key type '$other' (supported: " +
           "AEAD_AES_GCM_256, DETERMINISTIC_AEAD_AES_SIV_CMAC_256)")
     }
-    val key = new Array[Byte](32)
-    rng.synchronized(rng.nextBytes(key))
-    MAGIC ++ Array(t) ++ key
+    TinkFormat.serialize(Keyset(key.keyId, Seq(key)))
   }
 
-  // Multi-key keysets (r11 — closes the KEYS.ROTATE/ADD/LENGTH skip):
-  // MAGIC + type + key1 ∥ … ∥ keyN, 32 bytes each, PRIMARY = LAST.
-  // NEW_KEYSET's single-key layout is the N = 1 case unchanged; encrypt
-  // uses the primary only; decrypt tries primary first then the older
-  // keys right-to-left (our ciphertexts carry no key id — unlike Tink's
-  // output prefix — part of the documented keyset-format deviation).
-  private def validateKeyset(ks: Array[Byte], wantType: Byte, fn: String): Unit = {
-    val body = ks.length - MAGIC.length - 1
-    if (ks.length < MAGIC.length + 1 + 32 || body % 32 != 0 ||
-        !java.util.Arrays.equals(ks.take(MAGIC.length), MAGIC))
-      throw new IllegalArgumentException(
-        s"$fn: not a keyset produced by KEYS.NEW_KEYSET")
-    val t = ks(MAGIC.length)
-    if (wantType >= 0 && t != wantType) throw new IllegalArgumentException(
-      s"$fn: keyset type mismatch (AEAD functions need AEAD_AES_GCM_256, " +
-        "DETERMINISTIC_* need DETERMINISTIC_AEAD_AES_SIV_CMAC_256)")
-  }
-
-  private def parseKeyset(ks: Array[Byte], wantType: Byte, fn: String): Array[Byte] = {
-    validateKeyset(ks, wantType, fn)
-    ks.takeRight(32)
-  }
-
-  /** All keys, primary (newest) first. */
-  private def allKeys(ks: Array[Byte], wantType: Byte, fn: String): Seq[Array[Byte]] = {
-    validateKeyset(ks, wantType, fn)
-    val n = (ks.length - MAGIC.length - 1) / 32
-    (n - 1 to 0 by -1).map(i =>
-      ks.slice(MAGIC.length + 1 + i * 32, MAGIC.length + 1 + (i + 1) * 32))
-  }
-
-  private def keyTypeByte(keyType: String, fn: String): Byte = keyType match {
-    case "AEAD_AES_GCM_256" => TYPE_GCM
-    case "DETERMINISTIC_AEAD_AES_SIV_CMAC_256" => TYPE_DET
-    case other => throw new IllegalArgumentException(
-      s"$fn: unsupported key type '$other' (supported: AEAD_AES_GCM_256, " +
-        "DETERMINISTIC_AEAD_AES_SIV_CMAC_256)")
-  }
-
-  /** KEYS.ROTATE_KEYSET: append a fresh key, which becomes primary;
-    * older keys remain for decryption.
+  /** KEYS.ROTATE_KEYSET: add a fresh key, which becomes primary; older
+    * keys remain for decryption. Legacy keysets upgrade to the Tink
+    * serialization here (their keys keep legacy type URLs).
     */
-  def rotateKeyset(ks: Array[Byte], keyType: String): Array[Byte] = {
-    val want = keyTypeByte(keyType, "KEYS.ROTATE_KEYSET")
-    validateKeyset(ks, want, "KEYS.ROTATE_KEYSET")
-    val key = new Array[Byte](32)
-    rng.synchronized(rng.nextBytes(key))
-    ks ++ key
+  def rotateKeyset(ks0: Array[Byte], keyType: String): Array[Byte] = {
+    val wantUrls = keyType match {
+      case "AEAD_AES_GCM_256" => gcmUrls
+      case "DETERMINISTIC_AEAD_AES_SIV_CMAC_256" => detUrls
+      case other => throw new IllegalArgumentException(
+        s"KEYS.ROTATE_KEYSET: unsupported key type '$other' (supported: " +
+          "AEAD_AES_GCM_256, DETERMINISTIC_AEAD_AES_SIV_CMAC_256)")
+    }
+    val ks = requireFamily(parseAnyKeyset(ks0, "KEYS.ROTATE_KEYSET"),
+      wantUrls, "KEYS.ROTATE_KEYSET")
+    val fresh =
+      if (wantUrls == gcmUrls)
+        Key(freshKeyId(ks.keys.map(_.keyId).toSet), TinkFormat.AES_GCM_URL,
+          freshBytes(32))
+      else
+        Key(freshKeyId(ks.keys.map(_.keyId).toSet), TinkFormat.AES_SIV_URL,
+          freshBytes(64))
+    TinkFormat.serialize(Keyset(fresh.keyId, ks.keys :+ fresh))
   }
 
-  /** KEYS.ADD_KEY_FROM_RAW_BYTES: add a caller-supplied raw key as a
-    * NON-primary key (BigQuery: the added key decrypts but does not
-    * become the encryption key). Our format slots 32-byte keys; the
-    * 16-byte AES-128 raw form BigQuery also accepts stays loud.
-    * BigQuery restricts this to AEAD key types ('AES_GCM').
+  /** KEYS.ADD_KEY_FROM_RAW_BYTES: add a caller-supplied raw AES key as
+    * a NON-primary key (BigQuery: the added key decrypts but does not
+    * become the encryption key). Raw-key ciphertexts carry no Tink
+    * prefix, so the key is added with the RAW output-prefix type;
+    * 16-byte AES-128 and 32-byte AES-256 keys both work (r12 — the
+    * 16-byte form was a documented skip). BigQuery restricts this
+    * function to AEAD key types ('AES_GCM').
     */
-  def addKeyFromRawBytes(ks: Array[Byte], keyType: String,
+  def addKeyFromRawBytes(ks0: Array[Byte], keyType: String,
       raw: Array[Byte]): Array[Byte] = {
     if (keyType != "AES_GCM") throw new IllegalArgumentException(
       "KEYS.ADD_KEY_FROM_RAW_BYTES: only 'AES_GCM' raw keys are supported " +
         "(AES_CBC_PKCS is not implemented in this engine)")
-    validateKeyset(ks, TYPE_GCM, "KEYS.ADD_KEY_FROM_RAW_BYTES")
-    if (raw.length != 32) throw new IllegalArgumentException(
-      "KEYS.ADD_KEY_FROM_RAW_BYTES: raw key must be 32 bytes " +
-        "(16-byte AES-128 keys are not supported in this engine)")
-    // non-primary = insert BEFORE the existing keys (primary is last)
-    ks.take(MAGIC.length + 1) ++ raw ++ ks.drop(MAGIC.length + 1)
+    val ks = requireFamily(parseAnyKeyset(ks0, "KEYS.ADD_KEY_FROM_RAW_BYTES"),
+      gcmUrls, "KEYS.ADD_KEY_FROM_RAW_BYTES")
+    if (raw.length != 16 && raw.length != 32) throw new IllegalArgumentException(
+      "KEYS.ADD_KEY_FROM_RAW_BYTES: raw AES_GCM key must be 16 or 32 bytes")
+    val added = Key(freshKeyId(ks.keys.map(_.keyId).toSet),
+      TinkFormat.AES_GCM_URL, raw.clone(), outputPrefix = TinkFormat.PREFIX_RAW)
+    TinkFormat.serialize(Keyset(ks.primaryKeyId, ks.keys :+ added))
   }
 
   /** KEYS.KEYSET_LENGTH: number of keys in the keyset. */
-  def keysetLength(ks: Array[Byte]): Long = {
-    validateKeyset(ks, TYPE_ANY, "KEYS.KEYSET_LENGTH")
-    ((ks.length - MAGIC.length - 1) / 32).toLong
-  }
+  def keysetLength(ks: Array[Byte]): Long =
+    parseAnyKeyset(ks, "KEYS.KEYSET_LENGTH").keys.length.toLong
+
+  /** KEYS.KEYSET_TO_JSON: Tink's public JSON keyset layout. */
+  def keysetToJson(ks: Array[Byte]): String =
+    TinkFormat.toJson(parseAnyKeyset(ks, "KEYS.KEYSET_TO_JSON"))
+
+  /** KEYS.KEYSET_FROM_JSON: parse Tink JSON back to the binary proto. */
+  def keysetFromJson(json: String): Array[Byte] =
+    TinkFormat.serialize(try TinkFormat.fromJson(json)
+    catch {
+      case e: IllegalArgumentException => throw e
+      case e: Exception => throw new IllegalArgumentException(
+        s"KEYS.KEYSET_FROM_JSON: malformed keyset JSON (${e.getMessage})")
+    })
+
+  /** KEYS.NEW_WRAPPED_KEYSET: fresh keyset enveloped under the local
+    * KMS stand-in's resource-derived KEK.
+    */
+  def newWrappedKeyset(resource: String, keyType: String): Array[Byte] =
+    KmsStandin.wrap(resource, newKeyset(keyType))
+
+  /** KEYS.REWRAP_KEYSET: move a wrapped keyset between KMS resources. */
+  def rewrapKeyset(from: String, to: String, wrapped: Array[Byte]): Array[Byte] =
+    KmsStandin.wrap(to, KmsStandin.unwrap(from, wrapped))
+
+  /** The keyset referenced by a KEYS.KEYSET_CHAIN struct: unwrap the
+    * first-level keyset under the chain's resource-derived KEK.
+    */
+  def unwrapChain(resource: String, wrapped: Array[Byte]): Array[Byte] =
+    KmsStandin.unwrap(resource, wrapped)
 
   private def gcm(mode: Int, key: Array[Byte], nonce: Array[Byte],
       aad: Array[Byte], data: Array[Byte]): Array[Byte] = {
@@ -137,36 +195,54 @@ object AeadKernels {
     c.doFinal(data)
   }
 
-  def encrypt(ks: Array[Byte], plain: Array[Byte], aad: Array[Byte]): Array[Byte] = {
-    val key = parseKeyset(ks, TYPE_GCM, "AEAD.ENCRYPT")
-    val nonce = new Array[Byte](12)
-    rng.synchronized(rng.nextBytes(nonce))
-    nonce ++ gcm(Cipher.ENCRYPT_MODE, key, nonce, aad, plain)
+  def encrypt(ks0: Array[Byte], plain: Array[Byte], aad: Array[Byte]): Array[Byte] = {
+    val ks = requireFamily(parseAnyKeyset(ks0, "AEAD.ENCRYPT"), gcmUrls,
+      "AEAD.ENCRYPT")
+    val k = ks.primary("AEAD.ENCRYPT")
+    val nonce = freshBytes(12)
+    k.tinkPrefix ++ nonce ++ gcm(Cipher.ENCRYPT_MODE, k.keyValue, nonce, aad, plain)
   }
 
-  def decrypt(ks: Array[Byte], cipher: Array[Byte], aad: Array[Byte],
+  /** Decrypt candidates in Tink's order: a TINK-prefix match pins the
+    * key; then every key is tried against the RAW layout (covers
+    * RAW-prefix keys, raw-added keys, and pre-r12 ciphertexts). Only
+    * auth failures advance — a wrong AAD under every candidate is the
+    * loud final error.
+    */
+  def decrypt(ks0: Array[Byte], cipher: Array[Byte], aad: Array[Byte],
       fn: String): Array[Byte] = {
-    val keys = allKeys(ks, TYPE_GCM, fn)
+    val ks = requireFamily(parseAnyKeyset(ks0, fn), gcmUrls, fn)
     if (cipher.length < 12 + 16) throw new IllegalArgumentException(
       s"$fn: ciphertext too short")
-    // primary first, then rotated-out keys; only auth failures advance
-    // (a wrong-AAD failure under EVERY key is the loud final error)
-    keys.iterator.zipWithIndex.map { case (key, i) =>
-      try Some(gcm(Cipher.DECRYPT_MODE, key, cipher.take(12), aad, cipher.drop(12)))
-      catch { case _: javax.crypto.AEADBadTagException if i < keys.size - 1 => None }
+    val keys = ks.orderedForDecrypt(fn)
+    val attempts = scala.collection.mutable.ArrayBuffer.empty[() => Array[Byte]]
+    if (cipher.length > 5 + 12 + 16 && cipher(0) == 1.toByte) {
+      val id = ((cipher(1) & 0xff) << 24) | ((cipher(2) & 0xff) << 16) |
+        ((cipher(3) & 0xff) << 8) | (cipher(4) & 0xff)
+      keys.filter(k => k.keyId == id && k.outputPrefix == TinkFormat.PREFIX_TINK)
+        .foreach { k =>
+          val body = cipher.drop(5)
+          attempts += (() => gcm(Cipher.DECRYPT_MODE, k.keyValue,
+            body.take(12), aad, body.drop(12)))
+        }
+    }
+    keys.foreach { k =>
+      attempts += (() => gcm(Cipher.DECRYPT_MODE, k.keyValue,
+        cipher.take(12), aad, cipher.drop(12)))
+    }
+    attempts.iterator.zipWithIndex.map { case (a, i) =>
+      try Some(a())
+      catch { case _: javax.crypto.AEADBadTagException if i < attempts.size - 1 => None }
     }.collectFirst { case Some(p) => p }.getOrElse(
       throw new javax.crypto.AEADBadTagException(
         s"$fn: no key in the keyset authenticates this ciphertext/AAD"))
   }
 
-  /** SIV key separation (r10 ADVICE): real AES-SIV (and Tink's
-    * AES_SIV_CMAC) carries a 64-byte key split into independent MAC and
-    * encryption halves; reusing one 32-byte key for both the synthetic-
-    * nonce HMAC and AES-GCM is cross-primitive key reuse. Our keysets
-    * carry 32 bytes of master material, so expand it into two labeled
-    * subkeys (HKDF-style one-block expand: HMAC(master, label)) — the
-    * MAC subkey never touches AES, the AES subkey never keys the HMAC.
-    * Part of the documented keyset-format deviation from Tink.
+  /** Pre-r12 deterministic construction, kept so legacy keysets still
+    * decrypt (and encrypt consistently): synthetic nonce =
+    * HMAC-SHA256(macSubkey, len(aad) ∥ aad ∥ plaintext) truncated to 12,
+    * AES-GCM keyed by a separately-derived subkey (r10 ADVICE: no
+    * cross-primitive key reuse).
     */
   private def detSubkey(master: Array[Byte], label: String): Array[Byte] = {
     val mac = javax.crypto.Mac.getInstance("HmacSHA256")
@@ -184,22 +260,47 @@ object AeadKernels {
     mac.doFinal().take(12)
   }
 
-  def detEncrypt(ks: Array[Byte], plain: Array[Byte], aad: Array[Byte]): Array[Byte] = {
-    val master = parseKeyset(ks, TYPE_DET, "DETERMINISTIC_ENCRYPT")
+  private def legacyDetEncrypt(master: Array[Byte], plain: Array[Byte],
+      aad: Array[Byte]): Array[Byte] = {
     val nonce = sivNonce(detSubkey(master, "graft-siv-mac"), aad, plain)
     nonce ++ gcm(Cipher.ENCRYPT_MODE, detSubkey(master, "graft-siv-aes"),
       nonce, aad, plain)
   }
 
-  def detDecrypt(ks: Array[Byte], cipher: Array[Byte], aad: Array[Byte],
+  def detEncrypt(ks0: Array[Byte], plain: Array[Byte], aad: Array[Byte]): Array[Byte] = {
+    val ks = requireFamily(parseAnyKeyset(ks0, "DETERMINISTIC_ENCRYPT"),
+      detUrls, "DETERMINISTIC_ENCRYPT")
+    val k = ks.primary("DETERMINISTIC_ENCRYPT")
+    if (k.typeUrl == TinkFormat.LEGACY_DET_URL)
+      legacyDetEncrypt(k.keyValue, plain, aad)
+    else k.tinkPrefix ++ AesSiv.encrypt(k.keyValue, plain, aad)
+  }
+
+  def detDecrypt(ks0: Array[Byte], cipher: Array[Byte], aad: Array[Byte],
       fn: String): Array[Byte] = {
-    val masters = allKeys(ks, TYPE_DET, fn)
-    if (cipher.length < 12 + 16) throw new IllegalArgumentException(
+    val ks = requireFamily(parseAnyKeyset(ks0, fn), detUrls, fn)
+    if (cipher.length < 16) throw new IllegalArgumentException(
       s"$fn: ciphertext too short")
-    masters.iterator.zipWithIndex.map { case (master, i) =>
-      try Some(gcm(Cipher.DECRYPT_MODE, detSubkey(master, "graft-siv-aes"),
-        cipher.take(12), aad, cipher.drop(12)))
-      catch { case _: javax.crypto.AEADBadTagException if i < masters.size - 1 => None }
+    val keys = ks.orderedForDecrypt(fn)
+    val attempts = scala.collection.mutable.ArrayBuffer.empty[() => Array[Byte]]
+    if (cipher.length > 5 + 16 && cipher(0) == 1.toByte) {
+      val id = ((cipher(1) & 0xff) << 24) | ((cipher(2) & 0xff) << 16) |
+        ((cipher(3) & 0xff) << 8) | (cipher(4) & 0xff)
+      keys.filter(k => k.keyId == id && k.outputPrefix == TinkFormat.PREFIX_TINK &&
+          k.typeUrl == TinkFormat.AES_SIV_URL)
+        .foreach(k => attempts += (() => AesSiv.decrypt(k.keyValue, cipher.drop(5), aad)))
+    }
+    keys.foreach { k =>
+      if (k.typeUrl == TinkFormat.LEGACY_DET_URL)
+        attempts += (() => gcm(Cipher.DECRYPT_MODE,
+          detSubkey(k.keyValue, "graft-siv-aes"), cipher.take(12), aad,
+          cipher.drop(12)))
+      else
+        attempts += (() => AesSiv.decrypt(k.keyValue, cipher, aad))
+    }
+    attempts.iterator.zipWithIndex.map { case (a, i) =>
+      try Some(a())
+      catch { case _: javax.crypto.AEADBadTagException if i < attempts.size - 1 => None }
     }.collectFirst { case Some(p) => p }.getOrElse(
       throw new javax.crypto.AEADBadTagException(
         s"$fn: no key in the keyset authenticates this ciphertext/AAD"))
@@ -221,6 +322,10 @@ object AeadKernels {
     reg("graft_keys_rotate", e => RotateKeysetExpr(e(0), e(1)))
     reg("graft_keys_add_raw", e => AddRawKeyExpr(e(0), e(1), e(2)))
     reg("graft_keys_length", e => KeysetLengthExpr(e.head))
+    reg("graft_keys_to_json", e => KeysetJsonExpr("to_json", e.head))
+    reg("graft_keys_from_json", e => KeysetJsonExpr("from_json", e.head))
+    reg("graft_keys_new_wrapped", e => NewWrappedKeysetExpr(e(0), e(1)))
+    reg("graft_keys_rewrap", e => RewrapKeysetExpr(e(0), e(1), e(2)))
   }
 }
 
@@ -299,7 +404,7 @@ case class AeadEncryptExpr(first: Expression, second: Expression,
   override protected def evalInternal(input: InternalRow): Any = {
     val (k, d, a) = (first.eval(input), second.eval(input), third.eval(input))
     if (k == null || d == null || a == null) null
-    else AeadKernels.encrypt(AeadCryptExpr.bytes(k),
+    else AeadKernels.encrypt(AeadCryptExpr.keysetBytes(k),
       AeadCryptExpr.bytes(d), AeadCryptExpr.bytes(a))
   }
   override protected def withNewChildrenInternal(f: Expression, s: Expression,
@@ -313,6 +418,16 @@ object AeadCryptExpr {
     case other => throw new IllegalArgumentException(
       s"AEAD: expected STRING or BYTES, got ${other.getClass.getSimpleName}")
   }
+
+  /** The KEYSET argument slot additionally accepts a KEYS.KEYSET_CHAIN
+    * struct (kms_resource_name STRING, first_level_keyset BYTES) —
+    * unwrapped through the local KMS stand-in before use (r12).
+    */
+  private[functions] def keysetBytes(v: Any): Array[Byte] = v match {
+    case r: InternalRow if r.numFields == 2 =>
+      AeadKernels.unwrapChain(r.getUTF8String(0).toString, r.getBinary(1))
+    case other => bytes(other)
+  }
 }
 
 /** AEAD/DETERMINISTIC decrypt + deterministic-encrypt kernels. Plaintext
@@ -323,9 +438,9 @@ case class AeadCryptExpr(fn: String, first: Expression, second: Expression,
   override def dataType: DataType =
     if (fn.endsWith("_string")) StringType else BinaryType
   override def nullable: Boolean = true
-  import AeadCryptExpr.bytes
+  import AeadCryptExpr.{bytes, keysetBytes}
   override protected def nullSafeEval(k: Any, d: Any, a: Any): Any = {
-    val ks = bytes(k); val data = bytes(d); val aad = bytes(a)
+    val ks = keysetBytes(k); val data = bytes(d); val aad = bytes(a)
     fn match {
       case "det_encrypt" => AeadKernels.detEncrypt(ks, data, aad)
       case "decrypt_string" => UTF8String.fromBytes(
@@ -341,4 +456,60 @@ case class AeadCryptExpr(fn: String, first: Expression, second: Expression,
   }
   override protected def withNewChildrenInternal(f: Expression, s: Expression,
       t: Expression): AeadCryptExpr = copy(first = f, second = s, third = t)
+}
+
+/** KEYS.KEYSET_TO_JSON / KEYS.KEYSET_FROM_JSON (r12) — deterministic
+  * conversions between the Tink binary and JSON keyset layouts.
+  */
+case class KeysetJsonExpr(fn: String, child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType =
+    if (fn == "to_json") StringType else BinaryType
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(v: Any): Any = fn match {
+    case "to_json" => UTF8String.fromString(
+      AeadKernels.keysetToJson(AeadCryptExpr.bytes(v)))
+    case _ => AeadKernels.keysetFromJson(v.asInstanceOf[UTF8String].toString)
+  }
+  override protected def withNewChildInternal(newChild: Expression): KeysetJsonExpr =
+    copy(child = newChild)
+}
+
+/** KEYS.NEW_WRAPPED_KEYSET — nondeterministic (fresh key material and
+  * fresh envelope nonce per evaluation).
+  */
+case class NewWrappedKeysetExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with Nondeterministic with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override protected def initializeInternal(partitionIndex: Int): Unit = {}
+  override protected def evalInternal(input: InternalRow): Any = {
+    val (res, t) = (left.eval(input), right.eval(input))
+    if (res == null || t == null) null
+    else AeadKernels.newWrappedKeyset(res.asInstanceOf[UTF8String].toString,
+      t.asInstanceOf[UTF8String].toString)
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): NewWrappedKeysetExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** KEYS.REWRAP_KEYSET — nondeterministic (fresh envelope nonce), so two
+  * rewrap calls never CSE into one shared ciphertext.
+  */
+case class RewrapKeysetExpr(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression with Nondeterministic
+    with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override protected def initializeInternal(partitionIndex: Int): Unit = {}
+  override protected def evalInternal(input: InternalRow): Any = {
+    val (f, s, w) = (first.eval(input), second.eval(input), third.eval(input))
+    if (f == null || s == null || w == null) null
+    else AeadKernels.rewrapKeyset(f.asInstanceOf[UTF8String].toString,
+      s.asInstanceOf[UTF8String].toString, AeadCryptExpr.bytes(w))
+  }
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): RewrapKeysetExpr = copy(first = f, second = s, third = t)
 }

@@ -1263,6 +1263,55 @@ object EngineQueries {
           |ORDER BY leg, id""".stripMargin).get
     },
 
+    "e87_tink_keyset_interop" -> { (s, d) =>
+      // Tink keyset byte-interop (r12 — converts the r11 documented
+      // keyset-format deviation): keysets are real serialized Tink
+      // protos (type URLs and JSON layout observable via
+      // KEYSET_TO_JSON), AEAD ciphertexts carry the TINK output prefix
+      // (first byte 0x01, total 5 + 12 + |pt| + 16), DETERMINISTIC is
+      // RFC 5297 AES-SIV (pinned to the RFC's own vectors in
+      // AesSivSpec), and the envelope surface (NEW_WRAPPED_KEYSET /
+      // REWRAP_KEYSET / KEYSET_CHAIN) rides the local KMS stand-in.
+      // Keys are random per run, so the gate states LAWS (roundtrips,
+      // lengths, fixed layout bytes) whose outcomes are constant.
+      new ScriptRunner(s).run(
+        """WITH ks AS (
+          |  SELECT KEYS.NEW_KEYSET('AEAD_AES_GCM_256') AS k,
+          |         KEYS.NEW_KEYSET('DETERMINISTIC_AEAD_AES_SIV_CMAC_256') AS dk,
+          |         KEYS.NEW_WRAPPED_KEYSET('kms://prod/key1',
+          |                                 'AEAD_AES_GCM_256') AS w)
+          |SELECT CAST(1 AS INT64) AS id,
+          |  JSON_VALUE(KEYS.KEYSET_TO_JSON(k), '$.key[0].keyData.typeUrl')
+          |    AS gcm_url,
+          |  JSON_VALUE(KEYS.KEYSET_TO_JSON(dk), '$.key[0].keyData.typeUrl')
+          |    AS siv_url,
+          |  JSON_VALUE(KEYS.KEYSET_TO_JSON(k), '$.key[0].outputPrefixType')
+          |    AS prefix,
+          |  JSON_VALUE(KEYS.KEYSET_TO_JSON(k), '$.key[0].status') AS status,
+          |  KEYS.KEYSET_LENGTH(KEYS.KEYSET_FROM_JSON(KEYS.KEYSET_TO_JSON(
+          |    KEYS.ROTATE_KEYSET(k, 'AEAD_AES_GCM_256')))) AS rot_len,
+          |  KEYS.KEYSET_LENGTH(KEYS.ADD_KEY_FROM_RAW_BYTES(k, 'AES_GCM',
+          |    CAST(REPEAT('p', 16) AS BYTES))) AS add16_len,
+          |  AEAD.DECRYPT_STRING(KEYS.KEYSET_FROM_JSON(KEYS.KEYSET_TO_JSON(k)),
+          |    AEAD.ENCRYPT(k, 'interop', 'ad'), 'ad') AS json_rt,
+          |  DETERMINISTIC_DECRYPT_STRING(dk,
+          |    DETERMINISTIC_ENCRYPT(dk, 'det', 'ad'), 'ad') AS det_rt,
+          |  TO_HEX(SUBSTR(AEAD.ENCRYPT(k, 'p', 'a'), 1, 1)) AS tink_first_byte,
+          |  BYTE_LENGTH(AEAD.ENCRYPT(k, 'p', 'a')) AS ct_len,
+          |  AEAD.DECRYPT_STRING(KEYS.KEYSET_CHAIN('kms://prod/key1', w),
+          |    AEAD.ENCRYPT(KEYS.KEYSET_CHAIN('kms://prod/key1', w), 'env', 'ad'),
+          |    'ad') AS chain_rt,
+          |  AEAD.DECRYPT_STRING(
+          |    KEYS.KEYSET_CHAIN('kms://dr/key2',
+          |      KEYS.REWRAP_KEYSET('kms://prod/key1', 'kms://dr/key2', w)),
+          |    AEAD.ENCRYPT(KEYS.KEYSET_CHAIN('kms://prod/key1', w), 'moved', 'ad'),
+          |    'ad') AS rewrap_rt,
+          |  SAFE.AEAD.DECRYPT_STRING(KEYS.KEYSET_CHAIN('kms://WRONG', w),
+          |    AEAD.ENCRYPT(KEYS.KEYSET_CHAIN('kms://prod/key1', w), 'x', 'ad'),
+          |    'ad') IS NULL AS wrong_res
+          |FROM ks""".stripMargin).get
+    },
+
     "e88_empty_agg_null" -> { (s, d) =>
       // ARRAY_AGG/STRING_AGG over ZERO input rows → NULL like BigQuery
       // (r12, closes the fixable half of the r11 documented edge: the
@@ -2949,6 +2998,19 @@ object EngineQueries {
         |  (CAST(0 AS BIGINT), 'bin_1'), (1, 'bin_1'), (2, 'bin_1'),
         |  (3, 'bin_1'), (4, 'bin_2'), (5, 'bin_2')) AS v(i, b)
         |ORDER BY leg, id""".stripMargin,
+
+    // interop laws: every output is a constant fixed by the Tink wire
+    // layout (type URLs, TINK prefix byte, ciphertext arithmetic) or a
+    // roundtrip identity — keys are random per run, outcomes are not
+    "e87_tink_keyset_interop" ->
+      """SELECT CAST(1 AS BIGINT) AS id,
+        |  'type.googleapis.com/google.crypto.tink.AesGcmKey' AS gcm_url,
+        |  'type.googleapis.com/google.crypto.tink.AesSivKey' AS siv_url,
+        |  'TINK' AS prefix, 'ENABLED' AS status,
+        |  CAST(2 AS BIGINT) AS rot_len, CAST(2 AS BIGINT) AS add16_len,
+        |  'interop' AS json_rt, 'det' AS det_rt,
+        |  '01' AS tink_first_byte, CAST(34 AS BIGINT) AS ct_len,
+        |  'env' AS chain_rt, 'moved' AS rewrap_rt, true AS wrong_res""".stripMargin,
 
     // truth values fixed by construction; DuckDB's own empty-input
     // array_agg/string_agg also yield NULL, so the booleans double-check

@@ -1557,9 +1557,65 @@ class DialectExecSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[Exception] { one(
       "SELECT KEYS.ADD_KEY_FROM_RAW_BYTES(" +
         "KEYS.NEW_KEYSET('DETERMINISTIC_AEAD_AES_SIV_CMAC_256'), 'AES_GCM', b'x')") }
+    // 16-byte AES-128 raw keys are supported since r12 (Tink AesGcmKey
+    // allows both AES-128 and AES-256); a non-AES length stays loud
+    assert(one(
+      "SELECT KEYS.KEYSET_LENGTH(KEYS.ADD_KEY_FROM_RAW_BYTES(" +
+        "KEYS.NEW_KEYSET('AEAD_AES_GCM_256'), 'AES_GCM', " +
+        "CAST(REPEAT('k', 16) AS BYTES)))") == 2L)
     intercept[Exception] { one(
       "SELECT KEYS.ADD_KEY_FROM_RAW_BYTES(KEYS.NEW_KEYSET('AEAD_AES_GCM_256'), " +
-        "'AES_GCM', CAST(REPEAT('k', 16) AS BYTES))") }
+        "'AES_GCM', CAST(REPEAT('k', 8) AS BYTES))") }
+  }
+
+  test("Tink keyset interop surface: JSON, wrapped keysets, KEYSET_CHAIN (r12)") {
+    graft.functions.BitSketchExpressions.register(spark)
+    val r = spark.sql(Dialect.rewrite(
+      """SELECT
+        |  JSON_VALUE(KEYS.KEYSET_TO_JSON(k), '$.key[0].keyData.typeUrl') AS gcm_url,
+        |  JSON_VALUE(KEYS.KEYSET_TO_JSON(dk), '$.key[0].keyData.typeUrl') AS siv_url,
+        |  JSON_VALUE(KEYS.KEYSET_TO_JSON(k), '$.key[0].outputPrefixType') AS prefix,
+        |  KEYS.KEYSET_LENGTH(KEYS.KEYSET_FROM_JSON(KEYS.KEYSET_TO_JSON(k))) AS json_rt,
+        |  AEAD.DECRYPT_STRING(KEYS.KEYSET_FROM_JSON(KEYS.KEYSET_TO_JSON(k)),
+        |    AEAD.ENCRYPT(k, 'pt', 'ad'), 'ad') AS json_key_rt,
+        |  AEAD.DECRYPT_STRING(KEYS.KEYSET_CHAIN('kms://res-a', w),
+        |    AEAD.ENCRYPT(KEYS.KEYSET_CHAIN('kms://res-a', w), 'env', 'ad'),
+        |    'ad') AS chain_rt,
+        |  AEAD.DECRYPT_STRING(
+        |    KEYS.KEYSET_CHAIN('kms://res-b',
+        |      KEYS.REWRAP_KEYSET('kms://res-a', 'kms://res-b', w)),
+        |    AEAD.ENCRYPT(KEYS.KEYSET_CHAIN('kms://res-a', w), 'moved', 'ad'),
+        |    'ad') AS rewrap_rt,
+        |  SAFE.AEAD.DECRYPT_STRING(KEYS.KEYSET_CHAIN('kms://WRONG', w),
+        |    AEAD.ENCRYPT(KEYS.KEYSET_CHAIN('kms://res-a', w), 'x', 'ad'),
+        |    'ad') IS NULL AS wrong_resource
+        |FROM (SELECT KEYS.NEW_KEYSET('AEAD_AES_GCM_256') AS k,
+        |             KEYS.NEW_KEYSET('DETERMINISTIC_AEAD_AES_SIV_CMAC_256') AS dk,
+        |             KEYS.NEW_WRAPPED_KEYSET('kms://res-a', 'AEAD_AES_GCM_256') AS w)"""
+        .stripMargin)).collect()(0)
+    assert(r.getString(0) == "type.googleapis.com/google.crypto.tink.AesGcmKey")
+    assert(r.getString(1) == "type.googleapis.com/google.crypto.tink.AesSivKey")
+    assert(r.getString(2) == "TINK")
+    assert(r.getLong(3) == 1L)
+    assert(r.getString(4) == "pt")
+    assert(r.getString(5) == "env")
+    assert(r.getString(6) == "moved")
+    assert(r.getBoolean(7) === true)
+    // a Tink AES-GCM ciphertext carries the TINK output prefix:
+    // 0x01 ∥ big-endian key id, then iv(12) ∥ ct ∥ tag(16)
+    val ct = spark.sql(Dialect.rewrite(
+      """SELECT AEAD.ENCRYPT(k, 'p', 'a') AS c,
+        |  KEYS.KEYSET_TO_JSON(k) AS j
+        |FROM (SELECT KEYS.NEW_KEYSET('AEAD_AES_GCM_256') AS k)""".stripMargin))
+      .collect()(0)
+    val cbytes = ct.getAs[Array[Byte]](0)
+    assert(cbytes(0) == 1.toByte)
+    assert(cbytes.length == 5 + 12 + 1 + 16)
+    val keyId = java.lang.Long.parseLong(
+      """"keyId":(\d+)""".r.findFirstMatchIn(ct.getString(1)).get.group(1))
+    val prefixId = ((cbytes(1) & 0xffL) << 24) | ((cbytes(2) & 0xffL) << 16) |
+      ((cbytes(3) & 0xffL) << 8) | (cbytes(4) & 0xffL)
+    assert(prefixId == keyId, "ciphertext prefix must carry the primary key id")
   }
 
   test("GEOGRAPHY linestrings: ST_MAKELINE, literal WKT, ST_LENGTH (r11)") {
