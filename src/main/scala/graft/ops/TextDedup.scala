@@ -271,16 +271,48 @@ object TextDedup {
     * bucket drops only within-bucket candidates past the first `cap`
     * sorted ids, and the other 7 bands still propose their pairs.
     * Sorted ids make a < b by construction.
+    *
+    * MEMORY bound + OBSERVABLE truncation (r12, r11 ADVICE): bucket
+    * membership is pre-limited by a windowed row_number over the same
+    * (band, bh) keys BEFORE the collect_list, so an adversarial hot
+    * bucket contributes at most cap+1 rows to any one aggregate buffer
+    * instead of materializing the whole bucket in a task (the +1 keeps
+    * truncation detectable after the slice). The window's required
+    * distribution IS the aggregate's — hash(band, bh) — so candidate
+    * generation still crosses the network exactly once
+    * (`PlanAuditSpec` pins both the single exchange and the row_number
+    * pre-limit). Capped buckets are counted through a Dataset
+    * observation (no extra job): named "graft_bucket_pairs"
+    * (buckets, capped_buckets) for listeners, and minhashLshPairs'
+    * eager path logs a warning when the count is nonzero.
     */
-  private def bucketPairs(banded: DataFrame, cap: Int): DataFrame =
-    banded.groupBy(col("band"), col("bh"))
-      .agg(slice(sort_array(collect_list(col("doc_id"))), 1, cap).as("ids"))
-      .where(size(col("ids")) >= 2)
+  private def bucketPairs(banded: DataFrame, cap: Int,
+      obs: Option[org.apache.spark.sql.Observation] = scala.None): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bh")).orderBy(col("doc_id"))
+    val limited = banded
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= cap + 1)
+      .drop("__rn")
+    val buckets0 = limited.groupBy(col("band"), col("bh"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("all_ids"))
+      .where(size(col("all_ids")) >= 2)
+    val metrics = Seq(
+      count(lit(1)).as("buckets"),
+      sum(when(size(col("all_ids")) > cap, 1L).otherwise(0L)).as("capped_buckets"))
+    val buckets = obs match {
+      case Some(o) => buckets0.observe(o, metrics.head, metrics.tail: _*)
+      case scala.None =>
+        buckets0.observe("graft_bucket_pairs", metrics.head, metrics.tail: _*)
+    }
+    buckets
+      .withColumn("ids", slice(col("all_ids"), 1, cap))
       .select(explode(expr(
         """flatten(transform(ids, (x, i) ->
           |  transform(slice(ids, i + 2, size(ids)), y -> struct(x AS a, y AS b))))""".stripMargin)).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
       .dropDuplicates("a", "b")
+  }
 
   def minhashLshPairs(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", estThreshold: Double = 0.5,
@@ -302,7 +334,9 @@ object TextDedup {
           """transform(sequence(0, 7),
             |  b -> struct(b as band, graft_md5_60(concat_ws(',', slice(mh, b*4+1, 4))) as bh))""".stripMargin)).as("bd"))
       .select(col("doc_id"), col("bd.band"), col("bd.bh"))
-    val pairs = bucketPairs(banded, bucketCap)
+    val obs =
+      if (materialize) Some(org.apache.spark.sql.Observation()) else scala.None
+    val pairs = bucketPairs(banded, bucketCap, obs)
     val out = pairs
       .join(sh.select(col("doc_id").as("a"), col("mh").as("mha"), col("shh").as("sha")), "a")
       .join(sh.select(col("doc_id").as("b"), col("mh").as("mhb"), col("shh").as("shb")), "b")
@@ -316,6 +350,20 @@ object TextDedup {
     else {
       val result = out.localCheckpoint(true)
       sh.unpersist()
+      // capped buckets are a RECALL change (within-bucket candidates
+      // past the cap are dropped) — surface it instead of staying
+      // silent. The metrics future is already complete here (the eager
+      // localCheckpoint ran the observed subtree); the zero-wait poll
+      // only guards against an action-reporting path that skips
+      // observation delivery — then we skip the log, never block.
+      obs.flatMap(_.future.value).collect { case scala.util.Success(row) =>
+        val capped = row.getAs[Long]("capped_buckets")
+        if (capped > 0L)
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"minhashLshPairs: $capped of ${row.getAs[Long]("buckets")} LSH " +
+              s"buckets exceeded bucketCap=$bucketCap; within-bucket " +
+              "candidates past the cap were dropped (recall, not correctness)")
+      }
       result
     }
   }

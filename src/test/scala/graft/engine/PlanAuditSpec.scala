@@ -1406,6 +1406,21 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
         l.contains("BroadcastHashJoin")) && l.contains("band"))
     assert(bandJoin.isEmpty, s"banded self-join resurfaced: ${bandJoin.toList}\n$p")
+    // r12 memory bound: a row_number window pre-limits bucket
+    // membership BEFORE the collect_list, and it must SHARE the
+    // aggregate's (band, bh) exchange — window + aggregate, one shuffle
+    assert(p.contains("Window"),
+      s"expected the row_number bucket pre-limit window:\n$p")
+    // exactly two data shuffles end-to-end: the banded (band, bh)
+    // exchange (shared by window + both aggregate phases — the
+    // ObjectHashAggregate pair runs back-to-back with no exchange
+    // between) and the final (a, b) pair dedup; the sketch re-joins
+    // broadcast
+    val dataExchanges = p.linesIterator.filter(l =>
+      l.contains("Exchange (") && !l.contains("BroadcastExchange")).toList
+    assert(dataExchanges.length == 2,
+      s"expected exactly 2 data exchanges (banded + pair dedup), got " +
+        s"${dataExchanges.length}: $dataExchanges\n$p")
   }
 
   test("d139 CMS: the 1024-cell sketch broadcasts; token counts partial-aggregate") {

@@ -66,6 +66,24 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs.forall(r => r.getLong(0) != 3L && r.getLong(1) != 3L))
   }
 
+  test("minhashLshPairs bucketCap bounds hot buckets without throwing (r12)") {
+    // 5 identical docs share every LSH bucket; cap = 2 keeps at most 2
+    // ids per bucket (cap+1 rows reach the aggregate, the slice drops
+    // the detector row), so pairs are the capped subset and the capped-
+    // bucket observation fires instead of an executor OOM. Recall loss
+    // past the cap is the documented trade; the pipeline must not fail.
+    val df = docs((1L to 5L).map(i =>
+      i -> "same exact text repeated in every single document body here"): _*)
+    val capped = TextDedup.minhashLshPairs(df, idCol = "id", textCol = "body",
+      bucketCap = 2).collect()
+    // only the (1, 2) pair fits under cap = 2 — lowest sorted ids win
+    assert(capped.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    // uncapped finds all 10 pairs of the 5-clique
+    val full = TextDedup.minhashLshPairs(df, idCol = "id", textCol = "body")
+      .collect()
+    assert(full.length == 10)
+  }
+
   test("incrementalDedup verdicts: exact > near > keep") {
     val history = docs(1L -> "one two three four five six seven eight nine")
     val batch = docs(
