@@ -1584,6 +1584,19 @@ object Dialect {
   // mapping (captured by FnRegistry.epoch in the key) and FOR
   // SYSTEM_TIME clauses, which resolve against the mutable snapshot
   // store — those statements bypass the cache entirely.
+  //
+  // CACHE SOUNDNESS INVARIANT (r12, fuzz-pinned in DialectFuzzSpec):
+  // the key deliberately does NOT include session state — CREATE TEMP
+  // TABLE, temp views, and external-table re-registration do not bump
+  // any epoch. That is sound today because rewrite() maps NAMES
+  // textually and never consults the catalog: a statement referencing
+  // a temp object rewrites to the same text whether or not the object
+  // exists, and RESOLUTION happens at spark.sql time inside each
+  // session. Any future pass that makes the output depend on catalog
+  // or session state (object existence, schemas, confs) must either
+  // bypass the cache like SYSTEM_TIME does, or carry that state's own
+  // epoch in the key — otherwise two sessions sharing this process
+  // would read each other's stale rewrites.
   private val rewriteCache =
     scala.collection.concurrent.TrieMap[(Long, Boolean, String), String]()
 

@@ -270,6 +270,43 @@ class DialectFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Dialect.rewrite(sql) == before)
   }
 
+  test("rewrite memoization: temp-object DDL across sessions never stales the cache (r12)") {
+    // the cache key is (FnRegistry.epoch, mapFqns, statement) — temp
+    // views / CREATE TEMP TABLE bump NO epoch. Sound because rewrite()
+    // is textual and resolution happens per session at spark.sql time:
+    // the SAME statement must produce the SAME rewrite text before the
+    // object exists, after each session defines a DIFFERENT object
+    // under the name, and after one session drops its copy — while
+    // execution keeps seeing each session's own object.
+    graft.functions.BitSketchExpressions.register(spark)
+    val s2 = spark.newSession()
+    graft.functions.BitSketchExpressions.register(s2)
+    val stmt = "SELECT CAST(SUM(v) AS INT64) AS s FROM cachefuzz_tmp"
+    val before = Dialect.rewrite(stmt)
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW cachefuzz_tmp AS " +
+      "SELECT explode(array(1, 2, 3)) AS v")
+    s2.sql("CREATE OR REPLACE TEMPORARY VIEW cachefuzz_tmp AS " +
+      "SELECT explode(array(10, 20, 30)) AS v")
+    assert(Dialect.rewrite(stmt) == before,
+      "temp-view DDL must not change the cached rewrite text")
+    assert(spark.sql(Dialect.rewrite(stmt)).head().getLong(0) == 6L)
+    assert(s2.sql(Dialect.rewrite(stmt)).head().getLong(0) == 60L)
+    spark.sql("DROP VIEW cachefuzz_tmp")
+    assert(s2.sql(Dialect.rewrite(stmt)).head().getLong(0) == 60L,
+      "dropping one session's temp view must not leak into the other")
+    assert(Dialect.rewrite(stmt) == before)
+    // same through the script engine's CREATE TEMP TABLE path, with the
+    // two sessions interleaving identical statements
+    val scr1 = new ScriptRunner(spark)
+    val scr2 = new ScriptRunner(s2)
+    scr1.run("CREATE TEMP TABLE cachefuzz_ct AS SELECT 5 AS x")
+    scr2.run("CREATE TEMP TABLE cachefuzz_ct AS SELECT 7 AS x")
+    assert(scr1.run("SELECT CAST(MAX(x) AS INT64) AS m FROM cachefuzz_ct")
+      .get.head().getLong(0) == 5L)
+    assert(scr2.run("SELECT CAST(MAX(x) AS INT64) AS m FROM cachefuzz_ct")
+      .get.head().getLong(0) == 7L)
+  }
+
   test("rewrite memoization: FOR SYSTEM_TIME statements bypass the cache") {
     // resolution touches the mutable snapshot store — the rewrite must
     // be recomputed per call, so with NO active snapshot state the call
