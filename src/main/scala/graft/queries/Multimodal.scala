@@ -283,20 +283,43 @@ object Multimodal {
     import spark.implicits._
     blobs.select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
-      .flatMap { case (id, payload) =>
-        val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(payload))
-        val readers = ImageIO.getImageReaders(iis)
-        if (!readers.hasNext) Iterator.empty
-        else {
-          val reader = readers.next()
-          reader.setInput(iis)
-          val n = reader.getNumImages(true)
-          val out = (0 until n by stride).map { f =>
-            val img = reader.read(f)
-            (id, f, img.getWidth, img.getHeight, lumaHistogram(img))
+      .mapPartitions { it =>
+        // r12 (quiet-record creep follow-up): the reader really is
+        // per-partition now — one ImageReader per FORMAT cached across
+        // the partition's rows, re-targeted with setInput per payload.
+        // The old loop sniffed via ImageIO.getImageReaders per row,
+        // which instantiates a fresh reader from the registry SPI for
+        // every payload; magic-byte sniffing keeps the hot formats
+        // (GIF/PNG) off that path, unknowns fall back to the registry.
+        val cache = scala.collection.mutable.Map.empty[String, javax.imageio.ImageReader]
+        def fmtOf(p: Array[Byte]): Option[String] =
+          if (p.length >= 6 && p(0) == 'G'.toByte && p(1) == 'I'.toByte &&
+            p(2) == 'F'.toByte) Some("gif")
+          else if (p.length >= 8 && (p(0) & 0xff) == 0x89 && p(1) == 'P'.toByte)
+            Some("png")
+          else scala.None
+        it.flatMap { case (id, payload) =>
+          val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(payload))
+          val reader = fmtOf(payload) match {
+            case Some(f) =>
+              Some(cache.getOrElseUpdate(f,
+                ImageIO.getImageReadersByFormatName(f).next()))
+            case scala.None =>
+              val rs = ImageIO.getImageReaders(iis)
+              if (rs.hasNext) Some(rs.next()) else scala.None
           }
-          reader.dispose()
-          out
+          reader match {
+            case scala.None => Iterator.empty
+            case Some(r) =>
+              r.setInput(iis)
+              val n = r.getNumImages(true)
+              // strict map: all frames decode BEFORE the next payload
+              // re-targets the shared reader
+              (0 until n by stride).map { f =>
+                val img = r.read(f)
+                (id, f, img.getWidth, img.getHeight, lumaHistogram(img))
+              }
+          }
         }
       }
       .toDF("doc_id", "frame_no", "width", "height", "features")
