@@ -3489,6 +3489,58 @@ object Dialect {
           whens.mkString(" ") + s" ELSE 'bin_${splits.length + 1}' END)")
       }
     },
+    // ML.FEATURE_CROSS(STRUCT(f1 [AS n1], …)[, degree]) (r12, converts
+    // the FEATURE_CROSS skip): STATIC expansion to a named_struct of
+    // every size-2..degree combination — field name n1_X_n2…, value the
+    // '_'-joined feature values, exactly BigQuery's crossing layout.
+    // The struct must be inline (names are needed at rewrite time) and
+    // degree a literal in [2, 10] bounded by the feature count; the
+    // original 1-degree features are NOT echoed (BigQuery omits them).
+    "ML_FEATURE_CROSS" -> { a =>
+      if (a.isEmpty || a.length > 2) scala.None
+      else {
+        val s0 = a(0).trim
+        val up = s0.toUpperCase
+        if (!(up.startsWith("STRUCT") &&
+          s0.drop(6).dropWhile(_.isWhitespace).startsWith("(")))
+          throw new IllegalArgumentException(
+            "ML.FEATURE_CROSS: the first argument must be an inline " +
+              "STRUCT(…) of features (field names drive the crossed names)")
+        val open = s0.indexOf('(')
+        val close = matchParen(s0, open)
+        if (close != s0.length - 1) throw new IllegalArgumentException(
+          "ML.FEATURE_CROSS: unbalanced STRUCT(…)")
+        val asRe = raw"(?is)^(.*?)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$$".r
+        val bareRe = raw"^(?:[A-Za-z_][A-Za-z0-9_]*\.)*([A-Za-z_][A-Za-z0-9_]*)$$".r
+        val fields = splitTopLevel(s0.substring(open + 1, close)).map(_.trim).map {
+          case asRe(e, n) => (e.trim, n)
+          case bareRe(n) => (n, n)
+          case other => throw new IllegalArgumentException(
+            s"ML.FEATURE_CROSS: feature '$other' needs an AS name")
+        }
+        if (fields.length < 2) throw new IllegalArgumentException(
+          "ML.FEATURE_CROSS needs at least 2 features")
+        val degree =
+          if (a.length == 1) 2
+          else try a(1).trim.toInt catch {
+            case _: NumberFormatException => throw new IllegalArgumentException(
+              "ML.FEATURE_CROSS: degree must be an integer literal")
+          }
+        if (degree < 2 || degree > 10 || degree > fields.length)
+          throw new IllegalArgumentException(
+            s"ML.FEATURE_CROSS: degree must be in [2, ${math.min(10, fields.length)}], got $degree")
+        val entries = (2 to degree).flatMap(k =>
+          fields.indices.combinations(k).map { idx =>
+            val name = idx.map(i => fields(i)._2).mkString("_X_")
+            // concat (not concat_ws): a NULL feature makes the cross
+            // NULL instead of silently dropping the separator
+            val value = idx.map(i => s"CAST((${fields(i)._1}) AS STRING)")
+              .mkString("concat(", ", '_', ", ")")
+            s"'$name', $value"
+          })
+        Some(s"named_struct(${entries.mkString(", ")})")
+      }
+    },
     // AEAD/KEYS/DETERMINISTIC_* encryption surface (AeadKernels.scala;
     // keyset-typed dispatch, authenticated AAD, SAFE. → NULL via the
     // wrap set). Namespace dots pre-mapped to underscores.

@@ -227,6 +227,35 @@ object SphericalGeo {
       b.head.exists { case (lon, lat) => containsPoint(a, lon, lat) } ||
       a.head.exists { case (lon, lat) => containsPoint(b, lon, lat) }
 
+  /** Polygon contains a linestring: every vertex interior (shell minus
+    * holes) and no segment PROPERLY crosses a ring edge. With no
+    * crossings, each segment stays in the region its endpoints share,
+    * so the vertex test decides the whole line. Boundary touching is
+    * documented-undefined (gates probe ≥ 0.25° from every vertex).
+    */
+  def containsLine(rings: Array[Array[(Double, Double)]],
+      line: Array[(Double, Double)]): Boolean =
+    line.forall { case (lon, lat) => containsPoint(rings, lon, lat) } &&
+      !lineEdges(line).exists { case (a, b) =>
+        rings.iterator.flatMap(ringEdges).exists { case (c, d) =>
+          segmentsCross(a, b, c, d) } }
+
+  /** Polygon a contains polygon b: b's shell vertices are interior to
+    * a, no ring edge of b properly crosses a ring edge of a, and no
+    * hole of a pokes into b's region (a hole of a strictly inside b
+    * means part of b is excluded from a — crossing-free, so one hole
+    * vertex inside b detects it). b's own holes need no check: they
+    * only shrink b. A hole of a nested inside a hole of b passes
+    * correctly — its vertices are NOT interior to b's region.
+    */
+  def containsPolygon(a: Array[Array[(Double, Double)]],
+      b: Array[Array[(Double, Double)]]): Boolean =
+    b.head.forall { case (lon, lat) => containsPoint(a, lon, lat) } &&
+      !a.iterator.flatMap(ringEdges).exists { case (p1, p2) =>
+        b.iterator.flatMap(ringEdges).exists { case (q1, q2) =>
+          segmentsCross(p1, p2, q1, q2) } } &&
+      !a.tail.exists(_.exists { case (lon, lat) => containsPoint(b, lon, lat) })
+
   /** Sum of ring circumferences (auto-closing), in m. */
   def perimeter(rings: Array[Array[(Double, Double)]]): Double =
     rings.foldLeft(0.0) { (acc, ring0) =>
@@ -318,11 +347,15 @@ case class PolygonMeasureExpr(child: Expression, fn: String)
     copy(child = newChild)
 }
 
-/** ST_CONTAINS/ST_COVERS/ST_INTERSECTS over (polygon, point): left is
-  * ARRAY<ARRAY<point>>, right a point struct — any other shape pairing
-  * fails analysis loud (BigQuery's general geometry×geometry forms are
-  * out of scope; the point-in-polygon case is what a data pipeline's
-  * geofencing joins use).
+/** ST_CONTAINS/ST_COVERS (and flipped ST_WITHIN/ST_COVEREDBY) with a
+  * POLYGON left side: dispatches at analysis time on the right shape —
+  * polygon×point (winding containment), polygon×linestring (all
+  * vertices interior + crossing-free), polygon×polygon (shell interior
+  * + crossing-free + no a-hole poking into b). A non-polygon LEFT side
+  * (point/linestring container — pure boundary membership) stays
+  * analysis-loud; boundary touching is documented-undefined, same as
+  * ST_INTERSECTS (COVERS differs from CONTAINS only on boundaries, so
+  * both lower here).
   */
 case class PolygonContainsExpr(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
@@ -336,17 +369,25 @@ case class PolygonContainsExpr(left: Expression, right: Expression)
   override def checkInputDataTypes():
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
-    if (GeoShapes.isPolygon(left.dataType) && GeoShapes.isPoint(right.dataType))
+    if (GeoShapes.isPolygon(left.dataType) && (GeoShapes.isPoint(right.dataType) ||
+      GeoShapes.isLine(right.dataType) || GeoShapes.isPolygon(right.dataType)))
       TypeCheckSuccess
     else TypeCheckFailure(
-      s"ST_CONTAINS family: requires (polygon, point), got " +
+      s"ST_CONTAINS family: requires (polygon, point|linestring|polygon), got " +
         s"(${GeoShapes.shapeName(left.dataType)}, " +
-        s"${GeoShapes.shapeName(right.dataType)}) — use ST_INTERSECTS " +
-        "for other shape pairings")
+        s"${GeoShapes.shapeName(right.dataType)}) — a point or linestring " +
+        "container is boundary membership, which is documented-undefined " +
+        "in this engine")
   }
   override protected def nullSafeEval(l: Any, r: Any): Any = {
-    val (lon, lat) = GeoShapes.point(r)
-    SphericalGeo.containsPoint(GeoShapes.polygon(l), lon, lat)
+    val poly = GeoShapes.polygon(l)
+    val rdt = right.dataType
+    if (GeoShapes.isPoint(rdt)) {
+      val (lon, lat) = GeoShapes.point(r)
+      SphericalGeo.containsPoint(poly, lon, lat)
+    } else if (GeoShapes.isLine(rdt))
+      SphericalGeo.containsLine(poly, GeoShapes.line(r))
+    else SphericalGeo.containsPolygon(poly, GeoShapes.polygon(r))
   }
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): PolygonContainsExpr =

@@ -1242,6 +1242,88 @@ object EngineQueries {
           |FROM shapes ORDER BY id""".stripMargin).get
     },
 
+    "e89_geography_contains_shapes" -> { (s, d) =>
+      // ST_CONTAINS over polygon×linestring / polygon×polygon (r12,
+      // closes the non-(polygon, point) pairing skip): per nation the
+      // 2°×1° quad and its holed variant probed with CONSTRUCTED
+      // shapes — an interior line, the same line over the hole (segment
+      // crossing), a line wholly inside the hole (vertex interiority),
+      // a beside-the-hole line, interior/overlapping/hole-spanning
+      // polygons, plus the flipped ST_WITHIN and ST_COVERS spellings.
+      // Every margin is ≥ 0.1°; the geodesic-vs-parallel bulge over
+      // these spans is < 0.004°, so each verdict is unambiguous.
+      Tables.views(s, d, "nation")
+      new ScriptRunner(s).run(
+        """WITH pts AS (
+          |  SELECT n_nationkey,
+          |    CAST(MOD(n_nationkey * 29, 320) AS FLOAT64) - 159.5 AS lon,
+          |    CAST(MOD(n_nationkey * 17, 160) AS FLOAT64) - 79.75 AS lat
+          |  FROM nation),
+          |shapes AS (
+          |  SELECT n_nationkey, lon, lat,
+          |    [[ST_GEOGPOINT(lon, lat), ST_GEOGPOINT(lon + 2.0, lat),
+          |      ST_GEOGPOINT(lon + 2.0, lat + 1.0), ST_GEOGPOINT(lon, lat + 1.0)]]
+          |      AS quad,
+          |    [[ST_GEOGPOINT(lon, lat), ST_GEOGPOINT(lon + 2.0, lat),
+          |      ST_GEOGPOINT(lon + 2.0, lat + 1.0), ST_GEOGPOINT(lon, lat + 1.0)],
+          |     [ST_GEOGPOINT(lon + 0.5, lat + 0.25),
+          |      ST_GEOGPOINT(lon + 1.0, lat + 0.25),
+          |      ST_GEOGPOINT(lon + 1.0, lat + 0.75),
+          |      ST_GEOGPOINT(lon + 0.5, lat + 0.75)]] AS holed,
+          |    ST_MAKELINE([ST_GEOGPOINT(lon + 0.25, lat + 0.5),
+          |                 ST_GEOGPOINT(lon + 1.75, lat + 0.5)]) AS mid
+          |  FROM pts)
+          |SELECT CAST(n_nationkey AS INT64) AS id,
+          |  ST_CONTAINS(quad, mid) AS ln_in,
+          |  ST_CONTAINS(holed, mid) AS ln_over_hole,
+          |  ST_CONTAINS(holed, ST_MAKELINE([ST_GEOGPOINT(lon + 0.75, lat + 0.4),
+          |    ST_GEOGPOINT(lon + 0.75, lat + 0.6)])) AS ln_in_hole,
+          |  ST_CONTAINS(holed, ST_MAKELINE([ST_GEOGPOINT(lon + 1.25, lat + 0.4),
+          |    ST_GEOGPOINT(lon + 1.75, lat + 0.6)])) AS ln_beside_hole,
+          |  ST_CONTAINS(quad,
+          |    [[ST_GEOGPOINT(lon + 1.25, lat + 0.25), ST_GEOGPOINT(lon + 1.75, lat + 0.25),
+          |      ST_GEOGPOINT(lon + 1.75, lat + 0.75), ST_GEOGPOINT(lon + 1.25, lat + 0.75)]])
+          |    AS pp_in,
+          |  ST_CONTAINS(holed,
+          |    [[ST_GEOGPOINT(lon + 0.25, lat + 0.1), ST_GEOGPOINT(lon + 1.25, lat + 0.1),
+          |      ST_GEOGPOINT(lon + 1.25, lat + 0.9), ST_GEOGPOINT(lon + 0.25, lat + 0.9)]])
+          |    AS pp_spans_hole,
+          |  ST_CONTAINS(quad,
+          |    [[ST_GEOGPOINT(lon + 1.0, lat + 0.5), ST_GEOGPOINT(lon + 3.0, lat + 0.5),
+          |      ST_GEOGPOINT(lon + 3.0, lat + 1.5), ST_GEOGPOINT(lon + 1.0, lat + 1.5)]])
+          |    AS pp_overlap,
+          |  ST_WITHIN(mid, quad) AS within_ln,
+          |  ST_COVERS(quad,
+          |    [[ST_GEOGPOINT(lon + 1.25, lat + 0.25), ST_GEOGPOINT(lon + 1.75, lat + 0.25),
+          |      ST_GEOGPOINT(lon + 1.75, lat + 0.75), ST_GEOGPOINT(lon + 1.25, lat + 0.75)]])
+          |    AS covers_pp
+          |FROM shapes ORDER BY id""".stripMargin).get
+    },
+
+    "e90_ml_feature_cross" -> { (s, d) =>
+      // ML.FEATURE_CROSS (r12, converts the FEATURE_CROSS skip): static
+      // expansion of STRUCT(nm, rk, ini) at degree 3 — three pairwise
+      // crossings plus the triple, values '_'-joined; the oracle
+      // recomputes every concatenation directly. The NULL leg pins
+      // NULL-propagation (concat, not concat_ws).
+      Tables.views(s, d, "nation")
+      new ScriptRunner(s).run(
+        """SELECT CAST(n_nationkey AS INT64) AS id,
+          |  ML.FEATURE_CROSS(STRUCT(n_name AS nm,
+          |    CAST(n_regionkey AS STRING) AS rk,
+          |    SUBSTR(n_name, 1, 1) AS ini), 3).nm_X_rk AS nm_rk,
+          |  ML.FEATURE_CROSS(STRUCT(n_name AS nm,
+          |    CAST(n_regionkey AS STRING) AS rk,
+          |    SUBSTR(n_name, 1, 1) AS ini), 3).rk_X_ini AS rk_ini,
+          |  ML.FEATURE_CROSS(STRUCT(n_name AS nm,
+          |    CAST(n_regionkey AS STRING) AS rk,
+          |    SUBSTR(n_name, 1, 1) AS ini), 3).nm_X_rk_X_ini AS triple,
+          |  ML.FEATURE_CROSS(STRUCT(n_name AS nm,
+          |    IF(MOD(n_nationkey, 2) = 0, CAST(NULL AS STRING), 'x') AS odd))
+          |    .nm_X_odd AS with_null
+          |FROM nation ORDER BY id""".stripMargin).get
+    },
+
     "e85_ml_quantile_bucketize" -> { (s, d) =>
       // ML.QUANTILE_BUCKETIZE by EXACT interpolated quantile boundaries
       // (r12, converts the last ML-namespace skip — the documented
@@ -2984,6 +3066,29 @@ object EngineQueries {
         |  true AS line_cross, true AS line_inside, false AS line_out,
         |  true AS ll_cross, false AS ll_miss, true AS pp_overlap,
         |  false AS pp_far, true AS pp_inner, true AS pt_flipped
+        |FROM nation ORDER BY id""".stripMargin,
+
+    // every containment verdict fixed by construction (margins ≥ 0.1°,
+    // geodesic bulge < 0.004°): the interior line holds in the plain
+    // quad, fails over/inside the hole, holds beside it; the interior
+    // polygon holds, the hole-spanning one trips the a-hole-inside-b
+    // test, the overlapping one fails the vertex test
+    "e89_geography_contains_shapes" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS id,
+        |  true AS ln_in, false AS ln_over_hole, false AS ln_in_hole,
+        |  true AS ln_beside_hole, true AS pp_in, false AS pp_spans_hole,
+        |  false AS pp_overlap, true AS within_ln, true AS covers_pp
+        |FROM nation ORDER BY id""".stripMargin,
+
+    // the oracle recomputes every '_'-joined crossing; even ids NULL out
+    "e90_ml_feature_cross" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS id,
+        |  n_name || '_' || CAST(n_regionkey AS VARCHAR) AS nm_rk,
+        |  CAST(n_regionkey AS VARCHAR) || '_' || SUBSTR(n_name, 1, 1) AS rk_ini,
+        |  n_name || '_' || CAST(n_regionkey AS VARCHAR) || '_'
+        |    || SUBSTR(n_name, 1, 1) AS triple,
+        |  CASE WHEN n_nationkey % 2 = 0 THEN NULL
+        |       ELSE n_name || '_x' END AS with_null
         |FROM nation ORDER BY id""".stripMargin,
 
     // every bucket label fixed by construction (boundaries 5.25/9.5/

@@ -1389,6 +1389,58 @@ class DialectExecSpec extends AnyFunSuite with BeforeAndAfterAll {
       "ST_GEOGFROMTEXT('LINESTRING(0 0, 1 1)'))") }
   }
 
+  test("GEOGRAPHY r12: ST_CONTAINS over polygon×linestring / polygon×polygon") {
+    val poly = "ST_GEOGFROMTEXT('POLYGON((0 0, 2 0, 2 1, 0 1, 0 0))')"
+    // holed: 2°×1° shell with hole [0.5..1.0]×[0.25..0.75]
+    val holed = "ST_GEOGFROMTEXT('POLYGON((0 0, 2 0, 2 1, 0 1, 0 0), " +
+      "(0.5 0.25, 1 0.25, 1 0.75, 0.5 0.75, 0.5 0.25))')"
+    // line interior to the shell
+    assert(one(s"SELECT ST_CONTAINS($poly, " +
+      "ST_GEOGFROMTEXT('LINESTRING(0.25 0.5, 1.75 0.5)'))") == true)
+    // same line crosses the hole's meridian edges → not contained
+    assert(one(s"SELECT ST_CONTAINS($holed, " +
+      "ST_GEOGFROMTEXT('LINESTRING(0.25 0.5, 1.75 0.5)'))") == false)
+    // line wholly inside the hole: vertices not interior
+    assert(one(s"SELECT ST_CONTAINS($holed, " +
+      "ST_GEOGFROMTEXT('LINESTRING(0.75 0.4, 0.75 0.6)'))") == false)
+    // beside the hole: contained
+    assert(one(s"SELECT ST_CONTAINS($holed, " +
+      "ST_GEOGFROMTEXT('LINESTRING(1.25 0.4, 1.75 0.6)'))") == true)
+    // exiting line: vertex outside
+    assert(one(s"SELECT ST_CONTAINS($poly, " +
+      "ST_GEOGFROMTEXT('LINESTRING(1 0.5, 3 0.5)'))") == false)
+    // polygon × polygon: interior / overlapping / far / hole-spanning
+    val inner = "ST_GEOGFROMTEXT('POLYGON((1.25 0.25, 1.75 0.25, 1.75 0.75, 1.25 0.75, 1.25 0.25))')"
+    assert(one(s"SELECT ST_CONTAINS($poly, $inner)") == true)
+    assert(one(s"SELECT ST_CONTAINS($inner, $poly)") == false)
+    assert(one(s"SELECT ST_CONTAINS($poly, " +
+      "ST_GEOGFROMTEXT('POLYGON((1 0.5, 3 0.5, 3 1.5, 1 1.5, 1 0.5))'))") == false)
+    assert(one(s"SELECT ST_CONTAINS($poly, " +
+      "ST_GEOGFROMTEXT('POLYGON((5 0, 7 0, 7 1, 5 1, 5 0))'))") == false)
+    // b spans the hole: the a-hole-vertex-inside-b test fires
+    assert(one(s"SELECT ST_CONTAINS($holed, " +
+      "ST_GEOGFROMTEXT('POLYGON((0.25 0.1, 1.25 0.1, 1.25 0.9, 0.25 0.9, 0.25 0.1))'))") == false)
+    // beside the hole under the holed shell: contained
+    assert(one(s"SELECT ST_CONTAINS($holed, $inner)") == true)
+    // a hole of a nested inside a hole of b still contains (b's region
+    // excludes its own hole, so a's hole sitting inside b's HOLE is
+    // fine — the a-hole vertices are NOT interior to b's region)
+    val aSmallHole = "ST_GEOGFROMTEXT('POLYGON((0 0, 2 0, 2 1, 0 1, 0 0), " +
+      "(0.8 0.4, 1 0.4, 1 0.6, 0.8 0.6, 0.8 0.4))')"
+    val bBigHole = "ST_GEOGFROMTEXT('POLYGON((0.25 0.1, 1.75 0.1, 1.75 0.9, 0.25 0.9, 0.25 0.1), " +
+      "(0.6 0.3, 1.2 0.3, 1.2 0.7, 0.6 0.7, 0.6 0.3))')"
+    assert(one(s"SELECT ST_CONTAINS($aSmallHole, $bBigHole)") == true)
+    // flipped spellings dispatch the same way
+    assert(one(s"SELECT ST_WITHIN(" +
+      s"ST_GEOGFROMTEXT('LINESTRING(0.25 0.5, 1.75 0.5)'), $poly)") == true)
+    assert(one(s"SELECT ST_COVERS($poly, $inner)") == true)
+    assert(one(s"SELECT ST_COVEREDBY($inner, $poly)") == true)
+    // point/linestring CONTAINER stays loud (boundary membership)
+    intercept[Exception] { one("SELECT ST_CONTAINS(" +
+      "ST_GEOGFROMTEXT('LINESTRING(0 0, 1 1)'), " +
+      "ST_GEOGFROMTEXT('LINESTRING(0 0, 1 1)'))") }
+  }
+
   test("ARRAY_AGG/STRING_AGG over zero input rows return NULL (r12)") {
     // BigQuery: a global aggregate over an empty relation yields NULL,
     // not []/'' (Spark's collect_list/listagg defaults)
@@ -1489,6 +1541,36 @@ class DialectExecSpec extends AnyFunSuite with BeforeAndAfterAll {
       Dialect.rewrite("SELECT ML.QUANTILE_BUCKETIZE(v, n) OVER () FROM t") }
     intercept[IllegalArgumentException] {
       Dialect.rewrite("SELECT ML.QUANTILE_BUCKETIZE(v, 1) OVER () FROM t") }
+  }
+
+  test("ML.FEATURE_CROSS: static crossing expansion (r12)") {
+    graft.functions.BitSketchExpressions.register(spark)
+    // degree 2 default: only the pairwise crossings, '_'-joined values
+    val r = spark.sql(Dialect.rewrite(
+      "SELECT ML.FEATURE_CROSS(STRUCT('us' AS country, 'en' AS lang)) AS fc"))
+      .selectExpr("fc.country_X_lang").head()
+    assert(r.getString(0) == "us_en")
+    // degree 3 over 3 features: three pairs + the triple; bare column
+    // names become the feature names
+    val r3 = spark.sql(Dialect.rewrite(
+      """SELECT ML.FEATURE_CROSS(STRUCT(a, b, CAST(7 AS STRING) AS c), 3) AS fc
+        |FROM (SELECT 'x' AS a, 'y' AS b)""".stripMargin))
+      .selectExpr("fc.a_X_b", "fc.a_X_c", "fc.b_X_c", "fc.a_X_b_X_c").head()
+    assert((r3.getString(0), r3.getString(1), r3.getString(2), r3.getString(3)) ==
+      ("x_y", "x_7", "y_7", "x_y_7"))
+    // NULL features NULL the cross (concat, not concat_ws)
+    assert(spark.sql(Dialect.rewrite(
+      "SELECT ML.FEATURE_CROSS(STRUCT('a' AS p, CAST(NULL AS STRING) AS q)).p_X_q IS NULL"))
+      .head().getBoolean(0))
+    // loud forms: non-inline struct, unnameable feature, bad degree
+    intercept[IllegalArgumentException] {
+      Dialect.rewrite("SELECT ML.FEATURE_CROSS(s) FROM t") }
+    intercept[IllegalArgumentException] {
+      Dialect.rewrite("SELECT ML.FEATURE_CROSS(STRUCT(UPPER(a), b)) FROM t") }
+    intercept[IllegalArgumentException] {
+      Dialect.rewrite("SELECT ML.FEATURE_CROSS(STRUCT(a, b), 3) FROM t") }
+    intercept[IllegalArgumentException] {
+      Dialect.rewrite("SELECT ML.FEATURE_CROSS(STRUCT(a, b), n) FROM t") }
   }
 
   test("AEAD/KEYS/DETERMINISTIC_* encryption surface") {
