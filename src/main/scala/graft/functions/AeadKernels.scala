@@ -84,7 +84,11 @@ object AeadKernels {
     }
   }
 
-  private val gcmUrls = Set(TinkFormat.AES_GCM_URL, TinkFormat.LEGACY_GCM_URL)
+  // CBC raw keys live inside AEAD keysets (BigQuery adds them via
+  // KEYS.ADD_KEY_FROM_RAW_BYTES to decrypt externally-produced
+  // AES-CBC-PKCS ciphertexts) — the family check must admit them
+  private val gcmUrls = Set(TinkFormat.AES_GCM_URL, TinkFormat.LEGACY_GCM_URL,
+    TinkFormat.AES_CBC_URL)
   private val detUrls = Set(TinkFormat.AES_SIV_URL, TinkFormat.LEGACY_DET_URL)
 
   private def requireFamily(ks: Keyset, urls: Set[String], fn: String): Keyset = {
@@ -142,15 +146,26 @@ object AeadKernels {
     */
   def addKeyFromRawBytes(ks0: Array[Byte], keyType: String,
       raw: Array[Byte]): Array[Byte] = {
-    if (keyType != "AES_GCM") throw new IllegalArgumentException(
-      "KEYS.ADD_KEY_FROM_RAW_BYTES: only 'AES_GCM' raw keys are supported " +
-        "(AES_CBC_PKCS is not implemented in this engine)")
+    val url = keyType match {
+      case "AES_GCM" => TinkFormat.AES_GCM_URL
+      // r12: AES_CBC_PKCS raw keys (the last encryption-surface skip) —
+      // decrypt-only interop with externally-produced IV ∥ CBC(PKCS#7)
+      // ciphertexts; the added key never becomes primary, so ENCRYPT
+      // can never pick it
+      case "AES_CBC_PKCS" => TinkFormat.AES_CBC_URL
+      case _ => throw new IllegalArgumentException(
+        "KEYS.ADD_KEY_FROM_RAW_BYTES: key type must be 'AES_GCM' or 'AES_CBC_PKCS'")
+    }
     val ks = requireFamily(parseAnyKeyset(ks0, "KEYS.ADD_KEY_FROM_RAW_BYTES"),
       gcmUrls, "KEYS.ADD_KEY_FROM_RAW_BYTES")
-    if (raw.length != 16 && raw.length != 32) throw new IllegalArgumentException(
-      "KEYS.ADD_KEY_FROM_RAW_BYTES: raw AES_GCM key must be 16 or 32 bytes")
+    // Tink's AesGcm accepts only 128/256-bit keys; CBC interop also
+    // takes the 192-bit size external systems commonly use
+    val okLens = if (keyType == "AES_GCM") Set(16, 32) else Set(16, 24, 32)
+    if (!okLens.contains(raw.length)) throw new IllegalArgumentException(
+      s"KEYS.ADD_KEY_FROM_RAW_BYTES: raw $keyType key must be " +
+        s"${okLens.toSeq.sorted.mkString(" or ")} bytes")
     val added = Key(freshKeyId(ks.keys.map(_.keyId).toSet),
-      TinkFormat.AES_GCM_URL, raw.clone(), outputPrefix = TinkFormat.PREFIX_RAW)
+      url, raw.clone(), outputPrefix = TinkFormat.PREFIX_RAW)
     TinkFormat.serialize(Keyset(ks.primaryKeyId, ks.keys :+ added))
   }
 
@@ -199,6 +214,11 @@ object AeadKernels {
     val ks = requireFamily(parseAnyKeyset(ks0, "AEAD.ENCRYPT"), gcmUrls,
       "AEAD.ENCRYPT")
     val k = ks.primary("AEAD.ENCRYPT")
+    // unreachable through this engine's own KEYS surface (added raw
+    // keys never become primary), but a hand-built KEYSET_FROM_JSON
+    // keyset could pin one — unauthenticated encryption must stay loud
+    if (k.typeUrl == TinkFormat.AES_CBC_URL) throw new IllegalArgumentException(
+      "AEAD.ENCRYPT: AES_CBC_PKCS keys are decrypt-only (CBC is unauthenticated)")
     val nonce = freshBytes(12)
     k.tinkPrefix ++ nonce ++ gcm(Cipher.ENCRYPT_MODE, k.keyValue, nonce, aad, plain)
   }
@@ -227,12 +247,26 @@ object AeadKernels {
         }
     }
     keys.foreach { k =>
-      attempts += (() => gcm(Cipher.DECRYPT_MODE, k.keyValue,
-        cipher.take(12), aad, cipher.drop(12)))
+      if (k.typeUrl == TinkFormat.AES_CBC_URL) {
+        // externally-produced AES-CBC-PKCS layout: 16-byte IV ∥ CBC
+        // ciphertext (whole blocks). AAD is IGNORED — CBC carries no
+        // authentication (BigQuery documents the same for these keys)
+        if (cipher.length >= 32 && (cipher.length - 16) % 16 == 0)
+          attempts += { () =>
+            val c = Cipher.getInstance("AES/CBC/PKCS5Padding")
+            c.init(Cipher.DECRYPT_MODE, new SecretKeySpec(k.keyValue, "AES"),
+              new javax.crypto.spec.IvParameterSpec(cipher.take(16)))
+            c.doFinal(cipher.drop(16))
+          }
+      } else
+        attempts += (() => gcm(Cipher.DECRYPT_MODE, k.keyValue,
+          cipher.take(12), aad, cipher.drop(12)))
     }
     attempts.iterator.zipWithIndex.map { case (a, i) =>
       try Some(a())
-      catch { case _: javax.crypto.AEADBadTagException if i < attempts.size - 1 => None }
+      // AEADBadTagException extends BadPaddingException, so one catch
+      // advances past both a failed GCM tag and failed CBC padding
+      catch { case _: javax.crypto.BadPaddingException if i < attempts.size - 1 => None }
     }.collectFirst { case Some(p) => p }.getOrElse(
       throw new javax.crypto.AEADBadTagException(
         s"$fn: no key in the keyset authenticates this ciphertext/AAD"))

@@ -28,6 +28,11 @@ object TinkFormat {
   // (not RFC 5297), so the key must stay distinguishable after upgrade
   val LEGACY_GCM_URL = "graft.local/LegacyGcmKey"
   val LEGACY_DET_URL = "graft.local/LegacyDetKey"
+  // AES-CBC-PKCS raw keys (KEYS.ADD_KEY_FROM_RAW_BYTES 'AES_CBC_PKCS'):
+  // Tink publishes no CBC key type — the URL is engine-local, the key
+  // material rides raw in the proto like the legacy markers. CBC keys
+  // are decrypt-only (BigQuery: an added raw key never becomes primary)
+  val AES_CBC_URL = "graft.local/AesCbcPkcsKey"
 
   // enum values from tink.proto
   val STATUS_ENABLED = 1

@@ -1300,6 +1300,27 @@ object EngineQueries {
           |FROM shapes ORDER BY id""".stripMargin).get
     },
 
+    "e91_aes_cbc_raw_keys" -> { (s, d) =>
+      // AES_CBC_PKCS raw keys (r12, converts the last encryption-
+      // surface skip): the ciphertext constant was produced OUTSIDE the
+      // engine (openssl aes-128-cbc, IV prepended) — decrypting it
+      // through KEYS.ADD_KEY_FROM_RAW_BYTES proves byte-interop, not a
+      // roundtrip through our own writer; the GCM roundtrip leg proves
+      // a CBC key in the keyset leaves authenticated paths intact.
+      new ScriptRunner(s).run(
+        """SELECT CAST(1 AS INT64) AS id,
+          |  AEAD.DECRYPT_STRING(kc,
+          |    FROM_BASE64('AQ4bKDVCT1xpdoOQnaq3xABaFXYgSE4QD7quG/Tsz/k7GPJ+6FOWai+ARw1pXeIQ'),
+          |    'aad ignored for cbc') AS cbc_pt,
+          |  AEAD.DECRYPT_STRING(kc, AEAD.ENCRYPT(kc, 'rt', 'ad'), 'ad') AS gcm_rt,
+          |  CAST(KEYS.KEYSET_LENGTH(kc) AS INT64) AS n,
+          |  CAST(KEYS.KEYSET_LENGTH(KEYS.ADD_KEY_FROM_RAW_BYTES(kc,
+          |    'AES_CBC_PKCS', CAST(REPEAT('j', 24) AS BYTES))) AS INT64) AS n24
+          |FROM (SELECT KEYS.ADD_KEY_FROM_RAW_BYTES(
+          |  KEYS.NEW_KEYSET('AEAD_AES_GCM_256'), 'AES_CBC_PKCS',
+          |  FROM_BASE64('AwoRGB8mLTQ7QklQV15lbA==')) AS kc)""".stripMargin).get
+    },
+
     "e90_ml_feature_cross" -> { (s, d) =>
       // ML.FEATURE_CROSS (r12, converts the FEATURE_CROSS skip): static
       // expansion of STRUCT(nm, rk, ini) at degree 3 — three pairwise
@@ -3079,6 +3100,12 @@ object EngineQueries {
         |  true AS ln_beside_hole, true AS pp_in, false AS pp_spans_hole,
         |  false AS pp_overlap, true AS within_ln, true AS covers_pp
         |FROM nation ORDER BY id""".stripMargin,
+
+    // interop law: the plaintext of the externally-produced (openssl)
+    // CBC ciphertext is a fixed constant; roundtrip/lengths likewise
+    "e91_aes_cbc_raw_keys" ->
+      """SELECT CAST(1 AS BIGINT) AS id, 'row-level cbc interop' AS cbc_pt,
+        |  'rt' AS gcm_rt, CAST(2 AS BIGINT) AS n, CAST(3 AS BIGINT) AS n24""".stripMargin,
 
     // the oracle recomputes every '_'-joined crossing; even ids NULL out
     "e90_ml_feature_cross" ->

@@ -1650,6 +1650,50 @@ class DialectExecSpec extends AnyFunSuite with BeforeAndAfterAll {
         "'AES_GCM', CAST(REPEAT('k', 8) AS BYTES))") }
   }
 
+  test("AES_CBC_PKCS raw keys decrypt external ciphertexts (r12)") {
+    graft.functions.BitSketchExpressions.register(spark)
+    // simulate an external system: AES-128-CBC with PKCS#7 padding,
+    // IV prepended — the layout BigQuery's AES_CBC_PKCS raw keys accept
+    val key = Array.tabulate[Byte](16)(i => (i * 7 + 3).toByte)
+    val iv = Array.tabulate[Byte](16)(i => (i * 13 + 1).toByte)
+    val c = javax.crypto.Cipher.getInstance("AES/CBC/PKCS5Padding")
+    c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+      new javax.crypto.spec.SecretKeySpec(key, "AES"),
+      new javax.crypto.spec.IvParameterSpec(iv))
+    val ct = iv ++ c.doFinal("legacy cbc payload".getBytes("UTF-8"))
+    val b64 = java.util.Base64.getEncoder
+    val r = spark.sql(Dialect.rewrite(
+      s"""SELECT
+         |  AEAD.DECRYPT_STRING(kc, FROM_BASE64('${b64.encodeToString(ct)}'),
+         |    'aad is ignored for cbc') AS cbc_pt,
+         |  AEAD.DECRYPT_STRING(kc, AEAD.ENCRYPT(kc, 'gcm still works', 'ad'),
+         |    'ad') AS gcm_rt,
+         |  KEYS.KEYSET_LENGTH(kc) AS n
+         |FROM (SELECT KEYS.ADD_KEY_FROM_RAW_BYTES(
+         |  KEYS.NEW_KEYSET('AEAD_AES_GCM_256'), 'AES_CBC_PKCS',
+         |  FROM_BASE64('${b64.encodeToString(key)}')) AS kc)""".stripMargin))
+      .head()
+    assert(r.getString(0) == "legacy cbc payload")
+    assert(r.getString(1) == "gcm still works",
+      "a CBC key in the keyset must not break GCM roundtrips")
+    assert(r.getLong(2) == 2L)
+    // a 24-byte CBC key is accepted; 24-byte GCM stays loud (Tink
+    // AesGcm takes only 128/256-bit keys)
+    assert(one(
+      "SELECT KEYS.KEYSET_LENGTH(KEYS.ADD_KEY_FROM_RAW_BYTES(" +
+        "KEYS.NEW_KEYSET('AEAD_AES_GCM_256'), 'AES_CBC_PKCS', " +
+        "CAST(REPEAT('k', 24) AS BYTES)))") == 2L)
+    intercept[Exception] { one(
+      "SELECT KEYS.ADD_KEY_FROM_RAW_BYTES(KEYS.NEW_KEYSET('AEAD_AES_GCM_256'), " +
+        "'AES_GCM', CAST(REPEAT('k', 24) AS BYTES))") }
+    // a wrong ciphertext still fails loud through the CBC candidates
+    intercept[Exception] { spark.sql(Dialect.rewrite(
+      s"""SELECT AEAD.DECRYPT_STRING(KEYS.ADD_KEY_FROM_RAW_BYTES(
+         |  KEYS.NEW_KEYSET('AEAD_AES_GCM_256'), 'AES_CBC_PKCS',
+         |  FROM_BASE64('${b64.encodeToString(key)}')),
+         |  CAST(REPEAT('z', 48) AS BYTES), '')""".stripMargin)).head() }
+  }
+
   test("Tink keyset interop surface: JSON, wrapped keysets, KEYSET_CHAIN (r12)") {
     graft.functions.BitSketchExpressions.register(spark)
     val r = spark.sql(Dialect.rewrite(
