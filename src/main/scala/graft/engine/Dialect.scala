@@ -2198,14 +2198,46 @@ object Dialect {
 
   /** BigQuery returns NULL from ARRAY_AGG/STRING_AGG over ZERO input
     * rows where Spark's collect_list/listagg give [] / '' — reachable
-    * only from a global aggregate over an empty relation (GROUP BY
-    * never emits empty groups, so the guard is semantically inert
-    * everywhere else). The guard cannot ride the OVER form (the window
-    * suffix must attach to a bare call), which stays a documented edge
-    * for the empty-frame case only (r12, closes the fixable half of
-    * the r11 probe row).
+    * from a global aggregate over an empty relation (GROUP BY never
+    * emits empty groups, so the guard is semantically inert everywhere
+    * else) and from an empty WINDOW FRAME (e.g. ROWS BETWEEN 5
+    * PRECEDING AND 1 PRECEDING on the first row). The OVER form (r12,
+    * closes the second half of the r11 probe row) duplicates the
+    * window clause onto a count(1) guard — Catalyst collapses
+    * identical window specs into one Window operator, so the guard
+    * adds no exchange; named windows ride `OVER w` the same way.
     */
   private val emptyInputNullAggs = Set("ARRAY_AGG", "STRING_AGG")
+
+  /** Parse the OVER clause beginning at `from` (already known to start
+    * with the word OVER, comments/whitespace allowed before it):
+    * returns (clause text after call-rewriting, index past the
+    * clause) — `(…)` inline specs or a bare named-window reference.
+    */
+  private def captureOverClause(sql: String, from: Int): (String, Int) = {
+    var k = from
+    var guard = true
+    while (guard) {
+      val c = sql.charAt(k)
+      if (c.isWhitespace) k += 1
+      else if (c == '-' && sql.charAt(k + 1) == '-') k = sql.indexOf('\n', k) + 1
+      else if (c == '/' && sql.charAt(k + 1) == '*') k = sql.indexOf("*/", k) + 2
+      else guard = false
+    }
+    k += 4 // the OVER keyword nextWordIsOver verified
+    while (k < sql.length && sql.charAt(k).isWhitespace) k += 1
+    if (k < sql.length && sql.charAt(k) == '(') {
+      val wClose = matchParen(sql, k)
+      if (wClose < 0) throw new IllegalArgumentException(
+        "unbalanced OVER ( … ) window specification")
+      (s"(${rewriteCalls(sql.substring(k + 1, wClose))})", wClose + 1)
+    } else if (k < sql.length && (sql.charAt(k).isLetter || sql.charAt(k) == '_')) {
+      var e = k
+      while (e < sql.length && (sql.charAt(e).isLetterOrDigit || sql.charAt(e) == '_')) e += 1
+      (sql.substring(k, e), e)
+    } else throw new IllegalArgumentException(
+      "OVER must be followed by ( … ) or a named window")
+  }
 
   private def rewriteCalls(sql: String): String = {
     val out = new StringBuilder
@@ -2236,11 +2268,17 @@ object Dialect {
             val inner = rewriteCalls(sql.substring(k + 1, close))
             val args = splitTopLevel(inner).map(_.trim)
             val rewritten = fn.get(args).getOrElse(s"$name($inner)")
-            out ++= (if (emptyInputNullAggs.contains(name.toUpperCase) &&
-                !nextWordIsOver(sql, close + 1))
-              s"(CASE WHEN count(1) = 0 THEN NULL ELSE $rewritten END)"
-            else rewritten)
-            i = close + 1
+            if (emptyInputNullAggs.contains(name.toUpperCase)) {
+              if (nextWordIsOver(sql, close + 1)) {
+                val (w, after) = captureOverClause(sql, close + 1)
+                out ++= s"(CASE WHEN count(1) OVER $w = 0 THEN NULL " +
+                  s"ELSE $rewritten OVER $w END)"
+                i = after
+              } else {
+                out ++= s"(CASE WHEN count(1) = 0 THEN NULL ELSE $rewritten END)"
+                i = close + 1
+              }
+            } else { out ++= rewritten; i = close + 1 }
           }
         } else { out ++= name; i = j }
       } else { out += c; i += 1 }

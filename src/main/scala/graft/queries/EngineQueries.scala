@@ -1417,11 +1417,13 @@ object EngineQueries {
 
     "e88_empty_agg_null" -> { (s, d) =>
       // ARRAY_AGG/STRING_AGG over ZERO input rows → NULL like BigQuery
-      // (r12, closes the fixable half of the r11 documented edge: the
-      // plain aggregate position takes a count(1)=0 guard; only the
-      // empty WINDOW FRAME form stays documented). Every lowering shape
-      // — plain, ordered, separator+ordered, DISTINCT — probed over an
-      // empty relation, plus a non-empty leg proving the guard is inert.
+      // (r12, BOTH halves of the r11 documented edge: the plain
+      // aggregate position takes a count(1)=0 guard, and the OVER form
+      // duplicates the window clause onto a count(1) guard — an empty
+      // frame yields NULL; Catalyst collapses the identical specs into
+      // one Window operator). Every lowering shape — plain, ordered,
+      // separator+ordered, DISTINCT, empty/non-empty frames — probed,
+      // plus non-empty legs proving the guard is inert.
       Tables.views(s, d, "orders")
       new ScriptRunner(s).run(
         """WITH src AS (
@@ -1435,7 +1437,17 @@ object EngineQueries {
           |  STRING_AGG(s, '|' ORDER BY s) IS NULL AS str_ord_null,
           |  COUNT(1) AS n,
           |  (SELECT STRING_AGG(v, '-' ORDER BY v)
-          |   FROM UNNEST(['b', 'a', 'c']) AS v) AS nonempty
+          |   FROM UNNEST(['b', 'a', 'c']) AS v) AS nonempty,
+          |  (SELECT LOGICAL_AND(frame IS NULL) FROM (
+          |     SELECT STRING_AGG(v) OVER (ORDER BY v
+          |       ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING) AS frame, v
+          |     FROM UNNEST(['a', 'b', 'c']) AS v) WHERE v = 'a')
+          |    AS empty_frame_null,
+          |  (SELECT MAX(frame) FROM (
+          |     SELECT STRING_AGG(v) OVER (ORDER BY v
+          |       ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING) AS frame, v
+          |     FROM UNNEST(['a', 'b', 'c']) AS v) WHERE v = 'c')
+          |    AS trailing_frame
           |FROM src""".stripMargin).get
     },
 
@@ -3150,7 +3162,8 @@ object EngineQueries {
       """SELECT CAST(1 AS BIGINT) AS id,
         |  true AS arr_null, true AS arr_ord_null, true AS arr_dist_null,
         |  true AS str_null, true AS str_ord_null,
-        |  CAST(0 AS BIGINT) AS n, 'a-b-c' AS nonempty""".stripMargin,
+        |  CAST(0 AS BIGINT) AS n, 'a-b-c' AS nonempty,
+        |  true AS empty_frame_null, 'a,b' AS trailing_frame""".stripMargin,
 
     // the probe points' membership is fixed by construction
     "e84_geography_contains" ->

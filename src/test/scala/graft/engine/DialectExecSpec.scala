@@ -1457,12 +1457,37 @@ class DialectExecSpec extends AnyFunSuite with BeforeAndAfterAll {
       "FROM (SELECT 2 AS x UNION ALL SELECT 1)") == 1)
     assert(one("SELECT STRING_AGG(s, '-' ORDER BY s) " +
       "FROM (SELECT 'b' AS s UNION ALL SELECT 'a')") == "a-b")
-    // the OVER form stays a bare call the window suffix attaches to
-    // (empty-frame NULL remains a documented edge)
+    // OVER forms still aggregate normally (the guard clause collapses
+    // into the same Window operator)
     assert(one("SELECT max(size(a)) FROM (SELECT ARRAY_AGG(id) OVER " +
       "(ORDER BY id) AS a FROM (SELECT 1 AS id UNION ALL SELECT 2))") == 2)
     assert(one("SELECT max(length(sa)) FROM (SELECT STRING_AGG(s) OVER " +
       "(ORDER BY s) AS sa FROM (SELECT 'a' AS s UNION ALL SELECT 'b'))") == 3)
+    // r12, the second half: an EMPTY window frame yields NULL like
+    // BigQuery (the first row's 2-PRECEDING..1-PRECEDING frame is empty)
+    assert(one("SELECT ARRAY_AGG(id) OVER (ORDER BY id " +
+      "ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING) IS NULL " +
+      "FROM (SELECT 1 AS id UNION ALL SELECT 2) QUALIFY id = 1") == true)
+    assert(one("SELECT STRING_AGG(s) OVER (ORDER BY s " +
+      "ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING) IS NULL " +
+      "FROM (SELECT 'a' AS s UNION ALL SELECT 'b') QUALIFY s = 'a'") == true)
+    // ...and a NON-empty trailing frame is unchanged
+    assert(one("SELECT STRING_AGG(s) OVER (ORDER BY s " +
+      "ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING) " +
+      "FROM (SELECT 'a' AS s UNION ALL SELECT 'b') QUALIFY s = 'b'") == "a")
+    // named windows carry the guard through the WINDOW clause
+    assert(one("SELECT ARRAY_AGG(id) OVER w IS NULL " +
+      "FROM (SELECT 1 AS id UNION ALL SELECT 2) " +
+      "WINDOW w AS (ORDER BY id ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING) " +
+      "QUALIFY id = 1") == true)
+    // the count(1) guard collapses into the SAME Window operator as
+    // the aggregate — no extra exchange or window pass
+    val plan = spark.sql(Dialect.rewrite(
+      "SELECT ARRAY_AGG(id) OVER (ORDER BY id) AS a " +
+        "FROM (SELECT 1 AS id UNION ALL SELECT 2)"))
+      .queryExecution.executedPlan.toString
+    assert(plan.split('\n').count(_.contains("Window")) == 1,
+      s"guard must share the aggregate's Window operator:\n$plan")
   }
 
   test("ML scalar functions: DISTANCE, LP_NORM, NGRAMS, BUCKETIZE") {

@@ -278,9 +278,12 @@ class DialectSpec extends AnyFunSuite {
       s"SELECT ${g("listagg(DISTINCT s, ',') WITHIN GROUP (ORDER BY s)")}")
     assert(Dialect.rewrite("SELECT STRING_AGG(s ORDER BY t)") ==
       s"SELECT ${g("listagg(s, ',') WITHIN GROUP (ORDER BY t)")}")
-    // window position: the call stays bare so OVER can attach
+    // window position (r12): the clause duplicates onto a count(1)
+    // guard — an empty frame yields NULL like BigQuery; Catalyst
+    // collapses the identical specs into one Window operator
     assert(Dialect.rewrite("SELECT STRING_AGG(s, ',') OVER (ORDER BY s)") ==
-      "SELECT string_agg(s, ',') OVER (ORDER BY s)")
+      "SELECT (CASE WHEN count(1) OVER (ORDER BY s) = 0 THEN NULL " +
+        "ELSE string_agg(s, ',') OVER (ORDER BY s) END)")
   }
 
   test("printf FORMAT, hex, and string-predicate renames") {
@@ -312,9 +315,11 @@ class DialectSpec extends AnyFunSuite {
     // multi-key ORDER BY was comma-split upstream — stays loud
     assert(Dialect.rewrite("SELECT ARRAY_AGG(x ORDER BY a, b)") ==
       s"SELECT ${g("ARRAY_AGG(x ORDER BY a, b)")}")
-    // window position: the call stays bare so OVER can attach
+    // window position (r12): the clause duplicates onto a count(1)
+    // guard so an empty frame yields NULL like BigQuery
     assert(Dialect.rewrite("SELECT ARRAY_AGG(x) OVER (ORDER BY x)") ==
-      "SELECT ARRAY_AGG(x) OVER (ORDER BY x)")
+      "SELECT (CASE WHEN count(1) OVER (ORDER BY x) = 0 THEN NULL " +
+        "ELSE ARRAY_AGG(x) OVER (ORDER BY x) END)")
   }
 
   test("ANY_VALUE HAVING MAX/MIN, JSON extract, STRPOS, SAFE arithmetic") {
