@@ -3408,6 +3408,21 @@ object Dialect {
     // pairings fail analysis. ST_INTERSECTS (r12) is its own
     // shape-dispatching symmetric kernel: point/line/polygon pairings
     // via great-circle segment crossing + winding containment.
+    // set-theoretic constructors: permanently adjudicated loud
+    // (COVERAGE.md r12 row — the result is a data-dependent geometry
+    // collection a statically-typed shape encoding cannot carry, and
+    // constructed boundary geometry is unoracleable). The predicates
+    // below cover every pairing a pipeline joins on.
+    "ST_INTERSECTION" -> (_ => throw new IllegalArgumentException(
+      "ST_INTERSECTION is not supported: constructed geometry collections " +
+        "are out of scope (permanent, see COVERAGE.md) — use the " +
+        "ST_INTERSECTS/ST_CONTAINS predicate family instead")),
+    "ST_UNION" -> (_ => throw new IllegalArgumentException(
+      "ST_UNION is not supported: constructed geometry collections are " +
+        "out of scope (permanent, see COVERAGE.md)")),
+    "ST_DIFFERENCE" -> (_ => throw new IllegalArgumentException(
+      "ST_DIFFERENCE is not supported: constructed geometry collections " +
+        "are out of scope (permanent, see COVERAGE.md)")),
     "ST_CONTAINS" -> (a =>
       if (a.length == 2) Some(s"graft_st_contains(${a(0)}, ${a(1)})") else scala.None),
     "ST_COVERS" -> (a =>
