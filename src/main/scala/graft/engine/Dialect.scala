@@ -3312,6 +3312,23 @@ object Dialect {
     // formatting is bit-identical to the old CAST-AS-STRING shape
     "ST_ASTEXT" -> (a =>
       if (a.length == 1) Some(s"graft_st_astext(${a(0)})") else scala.None),
+    // metadata/accessor family (r12): typed kernels — shape-directed
+    // results, analysis-loud misuse (element_at on a polygon would
+    // silently return a ring, the mapped-array hazard class)
+    "ST_GEOMETRYTYPE" -> (a =>
+      if (a.length == 1) Some(s"graft_st_geometrytype(${a(0)})") else scala.None),
+    "ST_NUMPOINTS" -> (a =>
+      if (a.length == 1) Some(s"graft_st_numpoints(${a(0)})") else scala.None),
+    "ST_NPOINTS" -> (a => // BigQuery alias
+      if (a.length == 1) Some(s"graft_st_numpoints(${a(0)})") else scala.None),
+    "ST_DIMENSION" -> (a =>
+      if (a.length == 1) Some(s"graft_st_dimension(${a(0)})") else scala.None),
+    "ST_POINTN" -> (a =>
+      if (a.length == 2) Some(s"graft_st_pointn(${a(0)}, ${a(1)})") else scala.None),
+    "ST_STARTPOINT" -> (a =>
+      if (a.length == 1) Some(s"graft_st_pointn(${a(0)}, 1)") else scala.None),
+    "ST_ENDPOINT" -> (a =>
+      if (a.length == 1) Some(s"graft_st_pointn(${a(0)}, -1)") else scala.None),
     "ST_GEOGFROMTEXT" -> { a =>
       // literal LINESTRING/POLYGON WKT parses at rewrite time into
       // ARRAY<point> / ARRAY<ARRAY<point>> constants (static dispatch —

@@ -531,6 +531,90 @@ case class BoundingBoxExpr(child: Expression)
     copy(child = newChild)
 }
 
+/** ST_GEOMETRYTYPE / ST_NUMPOINTS / ST_DIMENSION — pure metadata over
+  * the static shape (r12). NUMPOINTS counts DISTINCT vertices the way
+  * S2 loops store them: an explicitly-closed ring's duplicate closing
+  * vertex is not double-counted.
+  */
+case class GeogMetaExpr(child: Expression, fn: String)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.types._
+  override def dataType: DataType =
+    if (fn == "ST_GEOMETRYTYPE") StringType else LongType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (GeoShapes.isPoint(child.dataType) || GeoShapes.isLine(child.dataType) ||
+      GeoShapes.isPolygon(child.dataType)) TypeCheckSuccess
+    else TypeCheckFailure(
+      s"$fn: not a geography value: ${child.dataType.simpleString}")
+  }
+  private def ringCount(r: Array[(Double, Double)]): Long =
+    if (r.length >= 2 && r.head == r.last) r.length - 1L else r.length.toLong
+  override protected def nullSafeEval(v: Any): Any = {
+    val dt = child.dataType
+    fn match {
+      case "ST_GEOMETRYTYPE" =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(
+          if (GeoShapes.isPoint(dt)) "ST_Point"
+          else if (GeoShapes.isLine(dt)) "ST_LineString" else "ST_Polygon")
+      case "ST_DIMENSION" =>
+        if (GeoShapes.isPoint(dt)) 0L else if (GeoShapes.isLine(dt)) 1L else 2L
+      case _ => // ST_NUMPOINTS
+        if (GeoShapes.isPoint(dt)) 1L
+        else if (GeoShapes.isLine(dt)) GeoShapes.line(v).length.toLong
+        else GeoShapes.polygon(v).map(ringCount).sum
+    }
+  }
+  override protected def withNewChildInternal(newChild: Expression): GeogMetaExpr =
+    copy(child = newChild)
+}
+
+/** ST_POINTN (and ST_STARTPOINT/ST_ENDPOINT through it): 1-based
+  * vertex access on a LINESTRING, negative n counts from the end,
+  * n = 0 or out of range errors like BigQuery. Typed: a polygon
+  * argument fails analysis (element_at would silently return a ring).
+  */
+case class LinePointExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.types._
+  override def dataType: DataType = left.dataType match {
+    case ArrayType(e, _) => e
+    case _ => StructType(Seq(StructField("lon", DoubleType),
+      StructField("lat", DoubleType)))
+  }
+  override def nullable: Boolean = true
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (!GeoShapes.isLine(left.dataType)) TypeCheckFailure(
+      s"ST_POINTN family: requires a linestring, got " +
+        s"${GeoShapes.shapeName(left.dataType)}")
+    else if (!Seq(IntegerType, LongType, ShortType, ByteType)
+        .contains(right.dataType)) TypeCheckFailure(
+      "ST_POINTN: the index must be an integer")
+    else TypeCheckSuccess
+  }
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val len = a.numElements()
+    val n = r match {
+      case i: Int => i.toLong; case i: Long => i
+      case i: Short => i.toLong; case i: Byte => i.toLong
+    }
+    val idx = if (n > 0) n - 1 else len + n // 1-based; negative from end
+    if (n == 0 || idx < 0 || idx >= len) throw new IllegalArgumentException(
+      s"ST_POINTN: index $n out of range for a $len-point linestring")
+    a.getStruct(idx.toInt, 2).copy()
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LinePointExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 object GeoKernels {
   def register(spark: SparkSession): Unit = {
     if (spark.sessionState.functionRegistry.functionExists(
@@ -551,5 +635,13 @@ object GeoKernels {
       "graft_st_astext", e => GeogAsTextExpr(e.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_st_intersects", e => GeogIntersectsExpr(e(0), e(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_st_geometrytype", e => GeogMetaExpr(e.head, "ST_GEOMETRYTYPE"), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_st_numpoints", e => GeogMetaExpr(e.head, "ST_NUMPOINTS"), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_st_dimension", e => GeogMetaExpr(e.head, "ST_DIMENSION"), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_st_pointn", e => LinePointExpr(e(0), e(1)), "scala_udf")
   }
 }

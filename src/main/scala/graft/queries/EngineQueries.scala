@@ -1300,6 +1300,45 @@ object EngineQueries {
           |FROM shapes ORDER BY id""".stripMargin).get
     },
 
+    "e92_geography_metadata" -> { (s, d) =>
+      // GEOGRAPHY metadata/accessor family (r12): per nation a 3-point
+      // line and the holed quad — types/counts/dimensions are shape
+      // constants, and the POINTN/STARTPOINT/ENDPOINT accessors return
+      // vertices whose coordinates are EXACT arithmetic (lon + 2.0
+      // etc., no trig), so ST_X/ST_Y round-trip bit-identically in the
+      // oracle's plain additions.
+      Tables.views(s, d, "nation")
+      new ScriptRunner(s).run(
+        """WITH pts AS (
+          |  SELECT n_nationkey,
+          |    CAST(MOD(n_nationkey * 29, 320) AS FLOAT64) - 159.5 AS lon,
+          |    CAST(MOD(n_nationkey * 17, 160) AS FLOAT64) - 79.75 AS lat
+          |  FROM nation),
+          |shapes AS (
+          |  SELECT n_nationkey, lon, lat,
+          |    ST_MAKELINE([ST_GEOGPOINT(lon, lat), ST_GEOGPOINT(lon + 2.0, lat),
+          |                 ST_GEOGPOINT(lon + 2.0, lat + 1.0)]) AS path,
+          |    [[ST_GEOGPOINT(lon, lat), ST_GEOGPOINT(lon + 2.0, lat),
+          |      ST_GEOGPOINT(lon + 2.0, lat + 1.0), ST_GEOGPOINT(lon, lat + 1.0)],
+          |     [ST_GEOGPOINT(lon + 0.5, lat + 0.25),
+          |      ST_GEOGPOINT(lon + 1.0, lat + 0.25),
+          |      ST_GEOGPOINT(lon + 1.0, lat + 0.75),
+          |      ST_GEOGPOINT(lon + 0.5, lat + 0.75)]] AS holed
+          |  FROM pts)
+          |SELECT CAST(n_nationkey AS INT64) AS id,
+          |  ST_GEOMETRYTYPE(ST_GEOGPOINT(lon, lat)) AS t_pt,
+          |  ST_GEOMETRYTYPE(path) AS t_ln,
+          |  ST_GEOMETRYTYPE(holed) AS t_pg,
+          |  CAST(ST_NUMPOINTS(path) AS INT64) AS np_ln,
+          |  CAST(ST_NPOINTS(holed) AS INT64) AS np_pg,
+          |  CAST(ST_DIMENSION(path) AS INT64) AS dim_ln,
+          |  ST_X(ST_STARTPOINT(path)) AS sx,
+          |  ST_Y(ST_ENDPOINT(path)) AS ey,
+          |  ST_X(ST_POINTN(path, 2)) AS mx,
+          |  ST_Y(ST_POINTN(path, -2)) AS my
+          |FROM shapes ORDER BY id""".stripMargin).get
+    },
+
     "e91_aes_cbc_raw_keys" -> { (s, d) =>
       // AES_CBC_PKCS raw keys (r12, converts the last encryption-
       // surface skip): the ciphertext constant was produced OUTSIDE the
@@ -3111,6 +3150,19 @@ object EngineQueries {
         |  true AS ln_in, false AS ln_over_hole, false AS ln_in_hole,
         |  true AS ln_beside_hole, true AS pp_in, false AS pp_spans_hole,
         |  false AS pp_overlap, true AS within_ln, true AS covers_pp
+        |FROM nation ORDER BY id""".stripMargin,
+
+    // shape constants by construction; accessor coordinates are exact
+    // additions, bit-identical across engines
+    "e92_geography_metadata" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS id,
+        |  'ST_Point' AS t_pt, 'ST_LineString' AS t_ln, 'ST_Polygon' AS t_pg,
+        |  CAST(3 AS BIGINT) AS np_ln, CAST(8 AS BIGINT) AS np_pg,
+        |  CAST(1 AS BIGINT) AS dim_ln,
+        |  CAST(n_nationkey * 29 % 320 AS DOUBLE) - 159.5 AS sx,
+        |  CAST(n_nationkey * 17 % 160 AS DOUBLE) - 79.75 + 1.0 AS ey,
+        |  CAST(n_nationkey * 29 % 320 AS DOUBLE) - 159.5 + 2.0 AS mx,
+        |  CAST(n_nationkey * 17 % 160 AS DOUBLE) - 79.75 AS my
         |FROM nation ORDER BY id""".stripMargin,
 
     // interop law: the plaintext of the externally-produced (openssl)

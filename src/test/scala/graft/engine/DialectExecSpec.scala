@@ -1441,6 +1441,34 @@ class DialectExecSpec extends AnyFunSuite with BeforeAndAfterAll {
       "ST_GEOGFROMTEXT('LINESTRING(0 0, 1 1)'))") }
   }
 
+  test("GEOGRAPHY r12: metadata/accessor family (TYPE/NUMPOINTS/DIMENSION/POINTN)") {
+    val line = "ST_GEOGFROMTEXT('LINESTRING(0 0, 1.5 0, 1.5 2.25)')"
+    val poly = "ST_GEOGFROMTEXT('POLYGON((0 0, 2 0, 2 1, 0 1, 0 0))')"
+    val holed = "ST_GEOGFROMTEXT('POLYGON((0 0, 2 0, 2 1, 0 1, 0 0), " +
+      "(0.5 0.25, 1 0.25, 1 0.75, 0.5 0.75, 0.5 0.25))')"
+    assert(one("SELECT ST_GEOMETRYTYPE(ST_GEOGPOINT(1, 2))") == "ST_Point")
+    assert(one(s"SELECT ST_GEOMETRYTYPE($line)") == "ST_LineString")
+    assert(one(s"SELECT ST_GEOMETRYTYPE($poly)") == "ST_Polygon")
+    // NUMPOINTS counts distinct vertices (closing duplicates dropped)
+    assert(one("SELECT ST_NUMPOINTS(ST_GEOGPOINT(1, 2))") == 1L)
+    assert(one(s"SELECT ST_NUMPOINTS($line)") == 3L)
+    assert(one(s"SELECT ST_NUMPOINTS($poly)") == 4L)
+    assert(one(s"SELECT ST_NPOINTS($holed)") == 8L)
+    assert(one("SELECT ST_DIMENSION(ST_GEOGPOINT(1, 2))") == 0L)
+    assert(one(s"SELECT ST_DIMENSION($line)") == 1L)
+    assert(one(s"SELECT ST_DIMENSION($holed)") == 2L)
+    // POINTN: 1-based, negative from the end; START/END through it
+    assert(one(s"SELECT ST_X(ST_POINTN($line, 2))") == 1.5)
+    assert(one(s"SELECT ST_Y(ST_POINTN($line, -1))") == 2.25)
+    assert(one(s"SELECT ST_X(ST_STARTPOINT($line))") == 0.0)
+    assert(one(s"SELECT ST_Y(ST_ENDPOINT($line))") == 2.25)
+    // out-of-range / zero index and non-line shapes are loud
+    intercept[Exception] { one(s"SELECT ST_POINTN($line, 4)") }
+    intercept[Exception] { one(s"SELECT ST_POINTN($line, 0)") }
+    intercept[Exception] { one(s"SELECT ST_POINTN($poly, 1)") }
+    intercept[Exception] { one("SELECT ST_NUMPOINTS(42)") }
+  }
+
   test("ARRAY_AGG/STRING_AGG over zero input rows return NULL (r12)") {
     // BigQuery: a global aggregate over an empty relation yields NULL,
     // not []/'' (Spark's collect_list/listagg defaults)
