@@ -3163,6 +3163,21 @@ object Dialect {
         s"ELSE CAST('NaN' AS DOUBLE) END " +
         s"ELSE CAST(${a(0)} AS DOUBLE) / CAST(${a(1)} AS DOUBLE) END)")
       else scala.None),
+    // reciprocal trig (r12): BigQuery ships SEC/CSC/SECH/CSCH/COTH,
+    // Spark only COT/COSH/SINH — compose the reciprocals; the exact
+    // poles (CSC(0) etc.) raise ANSI division-by-zero, which is
+    // BigQuery's behavior too
+    "SEC" -> (a => if (a.length == 1)
+      Some(s"(CAST(1 AS DOUBLE) / cos(CAST(${a(0)} AS DOUBLE)))") else scala.None),
+    "CSC" -> (a => if (a.length == 1)
+      Some(s"(CAST(1 AS DOUBLE) / sin(CAST(${a(0)} AS DOUBLE)))") else scala.None),
+    "SECH" -> (a => if (a.length == 1)
+      Some(s"(CAST(1 AS DOUBLE) / cosh(CAST(${a(0)} AS DOUBLE)))") else scala.None),
+    "CSCH" -> (a => if (a.length == 1)
+      Some(s"(CAST(1 AS DOUBLE) / sinh(CAST(${a(0)} AS DOUBLE)))") else scala.None),
+    "COTH" -> (a => if (a.length == 1)
+      Some(s"(cosh(CAST(${a(0)} AS DOUBLE)) / sinh(CAST(${a(0)} AS DOUBLE)))")
+      else scala.None),
     // index = #boundaries ≤ point (array must be sorted, as in BQ)
     "RANGE_BUCKET" -> (a => if (a.length == 2)
       Some(s"(CASE WHEN (${a(0)}) IS NULL THEN NULL " +

@@ -1596,6 +1596,20 @@ class DialectExecSpec extends AnyFunSuite with BeforeAndAfterAll {
       Dialect.rewrite("SELECT ML.QUANTILE_BUCKETIZE(v, 1) OVER () FROM t") }
   }
 
+  test("reciprocal trig: SEC/CSC/SECH/CSCH/COTH (r12)") {
+    // exact identities at representable points
+    assert(one("SELECT SEC(0)") == 1.0)
+    assert(one("SELECT SECH(0)") == 1.0)
+    assert(one("SELECT CSC(ACOS(-1) / 2)") == 1.0) // sin(π/2) == 1.0 exactly
+    val coth1 = one("SELECT COTH(1)").asInstanceOf[Double]
+    assert(math.abs(coth1 - (math.cosh(1.0) / math.sinh(1.0))) == 0.0)
+    // poles: the session's ANSI division errors — exactly BigQuery's
+    // behavior (CSC(0)/CSCH(0)/COTH(0) raise division-by-zero there too)
+    intercept[Exception] { one("SELECT CSC(0)") }
+    intercept[Exception] { one("SELECT CSCH(0)") }
+    intercept[Exception] { one("SELECT COTH(0)") }
+  }
+
   test("ML.FEATURE_CROSS: static crossing expansion (r12)") {
     graft.functions.BitSketchExpressions.register(spark)
     // degree 2 default: only the pairwise crossings, '_'-joined values
