@@ -3163,6 +3163,35 @@ object Dialect {
         s"ELSE CAST('NaN' AS DOUBLE) END " +
         s"ELSE CAST(${a(0)} AS DOUBLE) / CAST(${a(1)} AS DOUBLE) END)")
       else scala.None),
+    // TEXT_ANALYZE(text[, analyzer => '...']) (r12): BigQuery's
+    // standalone tokenizer — EXACTLY the SEARCH tokenizer (published
+    // LOG_ANALYZER delimiter class, lowercased, empties dropped, order
+    // and duplicates preserved); NO_OP_ANALYZER yields the whole value
+    // as one token. PATTERN_ANALYZER stays loud (custom regex options
+    // would be silently approximate).
+    "TEXT_ANALYZE" -> { a =>
+      if (a.isEmpty || a.length > 2) scala.None
+      else {
+        val analyzer =
+          if (a.length == 1) "LOG_ANALYZER"
+          else {
+            val kv = a(1).split("=>").map(_.trim)
+            if (kv.length != 2 || !kv(0).equalsIgnoreCase("analyzer"))
+              throw new IllegalArgumentException(
+                s"TEXT_ANALYZE: unsupported option '${a(1)}' " +
+                  "(only analyzer => '...')")
+            kv(1).stripPrefix("'").stripSuffix("'").toUpperCase
+          }
+        analyzer match {
+          case "LOG_ANALYZER" => Some(
+            s"filter(split(lower(${a(0)}), '$logAnalyzerDelimSql'), " +
+              "__tx -> __tx <> '')")
+          case "NO_OP_ANALYZER" => Some(s"array(${a(0)})")
+          case other => throw new IllegalArgumentException(
+            s"unsupported TEXT_ANALYZE analyzer: $other")
+        }
+      }
+    },
     // reciprocal trig (r12): BigQuery ships SEC/CSC/SECH/CSCH/COTH,
     // Spark only COT/COSH/SINH — compose the reciprocals; the exact
     // poles (CSC(0) etc.) raise ANSI division-by-zero, which is

@@ -1300,6 +1300,23 @@ object EngineQueries {
           |FROM shapes ORDER BY id""".stripMargin).get
     },
 
+    "e93_text_analyze" -> { (s, d) =>
+      // TEXT_ANALYZE (r12): the standalone tokenizer over nation names
+      // (NATION_<k> in this testdata — '_' is a LOG_ANALYZER delimiter,
+      // so the oracle recomputes the joined token list with plain
+      // lower/replace) plus a fixed-punctuation constant leg exercising
+      // the full delimiter class, and a NO_OP leg.
+      Tables.views(s, d, "nation")
+      new ScriptRunner(s).run(
+        """SELECT CAST(n_nationkey AS INT64) AS id,
+          |  ARRAY_TO_STRING(TEXT_ANALYZE(n_name), '/') AS toks,
+          |  CAST(ARRAY_LENGTH(TEXT_ANALYZE(n_name)) AS INT64) AS ntok,
+          |  ARRAY_TO_STRING(TEXT_ANALYZE('A.b-c_D;e f'), '/') AS punct,
+          |  TEXT_ANALYZE(n_name, analyzer => 'NO_OP_ANALYZER')[OFFSET(0)]
+          |    AS noop
+          |FROM nation ORDER BY id""".stripMargin).get
+    },
+
     "e92_geography_metadata" -> { (s, d) =>
       // GEOGRAPHY metadata/accessor family (r12): per nation a 3-point
       // line and the holed quad — types/counts/dimensions are shape
@@ -3150,6 +3167,17 @@ object EngineQueries {
         |  true AS ln_in, false AS ln_over_hole, false AS ln_in_hole,
         |  true AS ln_beside_hole, true AS pp_in, false AS pp_spans_hole,
         |  false AS pp_overlap, true AS within_ln, true AS covers_pp
+        |FROM nation ORDER BY id""".stripMargin,
+
+    // this testdata's nation names are NATION_<k> — '_' is in the
+    // delimiter class, so the token join is lower+replace on '_' and
+    // every name yields exactly 2 tokens; the punctuation leg is a
+    // constant by construction
+    "e93_text_analyze" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS id,
+        |  replace(lower(n_name), '_', '/') AS toks,
+        |  CAST(2 AS BIGINT) AS ntok,
+        |  'a/b/c/d/e/f' AS punct, n_name AS noop
         |FROM nation ORDER BY id""".stripMargin,
 
     // shape constants by construction; accessor coordinates are exact

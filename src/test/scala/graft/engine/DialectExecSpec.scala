@@ -1596,6 +1596,32 @@ class DialectExecSpec extends AnyFunSuite with BeforeAndAfterAll {
       Dialect.rewrite("SELECT ML.QUANTILE_BUCKETIZE(v, 1) OVER () FROM t") }
   }
 
+  test("TEXT_ANALYZE: standalone tokenizer shares the SEARCH analyzers (r12)") {
+    // LOG_ANALYZER: published delimiter class, lowercased, empties
+    // dropped, order and duplicates preserved
+    assert(one("SELECT TEXT_ANALYZE('a.b-c_D e')") ==
+      Seq("a", "b", "c", "d", "e"))
+    assert(one("SELECT TEXT_ANALYZE('x,x;x')") == Seq("x", "x", "x"))
+    assert(one("SELECT TEXT_ANALYZE('Foo http://h/p?q=1')") ==
+      Seq("foo", "http", "h", "p", "q", "1"))
+    assert(one("SELECT SIZE(TEXT_ANALYZE('...'))") == 0)
+    // the explicit analyzer spellings
+    assert(one("SELECT TEXT_ANALYZE('A b', analyzer => 'LOG_ANALYZER')") ==
+      Seq("a", "b"))
+    assert(one("SELECT TEXT_ANALYZE('A b', analyzer => 'NO_OP_ANALYZER')") ==
+      Seq("A b"))
+    // PATTERN_ANALYZER / unknown options stay loud
+    intercept[IllegalArgumentException] {
+      Dialect.rewrite("SELECT TEXT_ANALYZE(t, analyzer => 'PATTERN_ANALYZER') FROM x") }
+    intercept[IllegalArgumentException] {
+      Dialect.rewrite("SELECT TEXT_ANALYZE(t, foo => 'x') FROM x") }
+    // tokenization agrees with SEARCH's delimiter class: the value's
+    // own tokens all hit as SEARCH terms
+    assert(one("SELECT TEXT_ANALYZE('Spark-Graft engine_v2')") ==
+      Seq("spark", "graft", "engine", "v2"))
+    assert(one("SELECT SEARCH('Spark-Graft engine_v2', 'graft v2')") == true)
+  }
+
   test("reciprocal trig: SEC/CSC/SECH/CSCH/COTH (r12)") {
     // exact identities at representable points
     assert(one("SELECT SEC(0)") == 1.0)
