@@ -1747,7 +1747,7 @@ object Dialect {
   }
 
   private val safeNetPrefixRe =
-    raw"(?i)\b(SAFE|NET|HLL_COUNT|AEAD|KEYS|ML)\s*\.\s*([A-Za-z_][A-Za-z0-9_]*)(?=\s*\()".r
+    raw"(?i)\b(SAFE|NET|HLL_COUNT|AEAD|KEYS|ML|KLL_QUANTILES)\s*\.\s*([A-Za-z_][A-Za-z0-9_]*)(?=\s*\()".r
 
   /** SAFE. error-suppressing prefix → SAFE_ spelling handled by the call
     * rewriter (SAFE_CAST, SAFE_PARSE_x, SAFE_SUBSTR…); same for the NET.
@@ -2952,6 +2952,9 @@ object Dialect {
     * wraps its output in graft_try — TryEval returns NULL on any
     * eval-time exception, which IS BigQuery's SAFE. contract.
     */
+  // BigQuery's documented KLL_QUANTILES default precision
+  private val KllDefaultPrecision = 1000
+
   private lazy val callRewrites: Map[String, Seq[String] => Option[String]] =
     baseRewrites ++ safeWrapFns.map { n =>
       s"GRAFT_SAFE_WRAP_$n" -> ((a: Seq[String]) =>
@@ -4219,6 +4222,55 @@ object Dialect {
       if (a.length == 1) Some(s"hll_union_agg(${a(0)}, true)") else scala.None),
     "HLL_COUNT_EXTRACT" -> (a =>
       if (a.length == 1) Some(s"hll_sketch_estimate(${a(0)})") else scala.None),
+    // KLL_QUANTILES.* (r12): mergeable quantile sketches
+    // (KllSketch.scala — level-compaction, EXACT below precision,
+    // engine-local 'KLL1' bytes, not DataSketches wire-compatible).
+    // INT64 spellings tag the sketch and cast extraction back; the
+    // double carrier is exact for |x| ≤ 2^53 (documented).
+    "KLL_QUANTILES_INIT_INT64" -> { a =>
+      if (a.length == 1) Some(s"graft_kll_init(${a(0)}, ${KllDefaultPrecision}, true)")
+      else if (a.length == 2) Some(s"graft_kll_init(${a(0)}, ${a(1)}, true)")
+      else scala.None
+    },
+    "KLL_QUANTILES_INIT_FLOAT64" -> { a =>
+      if (a.length == 1) Some(s"graft_kll_init(${a(0)}, ${KllDefaultPrecision}, false)")
+      else if (a.length == 2) Some(s"graft_kll_init(${a(0)}, ${a(1)}, false)")
+      else scala.None
+    },
+    "KLL_QUANTILES_MERGE_PARTIAL" -> (a =>
+      if (a.length == 1) Some(s"graft_kll_merge(${a(0)})") else scala.None),
+    "KLL_QUANTILES_MERGE_INT64" -> (a =>
+      if (a.length == 2) Some(
+        s"transform(graft_kll_extract(graft_kll_merge(${a(0)}), ${a(1)}), " +
+          "__kq -> CAST(__kq AS BIGINT))")
+      else scala.None),
+    "KLL_QUANTILES_MERGE_FLOAT64" -> (a =>
+      if (a.length == 2)
+        Some(s"graft_kll_extract(graft_kll_merge(${a(0)}), ${a(1)})")
+      else scala.None),
+    "KLL_QUANTILES_MERGE_POINT_INT64" -> (a =>
+      if (a.length == 2) Some(
+        s"CAST(graft_kll_point(graft_kll_merge(${a(0)}), ${a(1)}) AS BIGINT)")
+      else scala.None),
+    "KLL_QUANTILES_MERGE_POINT_FLOAT64" -> (a =>
+      if (a.length == 2)
+        Some(s"graft_kll_point(graft_kll_merge(${a(0)}), ${a(1)})")
+      else scala.None),
+    "KLL_QUANTILES_EXTRACT_INT64" -> (a =>
+      if (a.length == 2) Some(
+        s"transform(graft_kll_extract(${a(0)}, ${a(1)}), " +
+          "__kq -> CAST(__kq AS BIGINT))")
+      else scala.None),
+    "KLL_QUANTILES_EXTRACT_FLOAT64" -> (a =>
+      if (a.length == 2) Some(s"graft_kll_extract(${a(0)}, ${a(1)})")
+      else scala.None),
+    "KLL_QUANTILES_EXTRACT_POINT_INT64" -> (a =>
+      if (a.length == 2)
+        Some(s"CAST(graft_kll_point(${a(0)}, ${a(1)}) AS BIGINT)")
+      else scala.None),
+    "KLL_QUANTILES_EXTRACT_POINT_FLOAT64" -> (a =>
+      if (a.length == 2) Some(s"graft_kll_point(${a(0)}, ${a(1)})")
+      else scala.None),
     // APPROX_QUANTILES(x, n) → n+1 evenly spaced quantiles. The
     // fraction array must be foldable for percentile_approx, so only a
     // literal n compiles — anything else stays unresolved (loud).

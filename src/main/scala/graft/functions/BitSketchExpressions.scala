@@ -395,5 +395,6 @@ object BitSketchExpressions {
     AeadKernels.register(spark)
     GeoKernels.register(spark)
     TopCount.register(spark)
+    KllSketch.register(spark)
   }
 }

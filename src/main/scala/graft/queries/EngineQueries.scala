@@ -1300,6 +1300,36 @@ object EngineQueries {
           |FROM shapes ORDER BY id""".stripMargin).get
     },
 
+    "e94_kll_quantiles" -> { (s, d) =>
+      // KLL_QUANTILES (r12): per-priority INT64 sketches over orders at
+      // precision 65536 — above every verify scale's row count, so the
+      // sketch is EXACT order statistics and the oracle replicates the
+      // documented rank rule (smallest v with rank ≥ max(1, ceil(φ·n)))
+      // with window functions. The merge legs pin MERGE_PARTIAL /
+      // MERGE_POINT / MERGE_INT64 against the same rule globally.
+      Tables.views(s, d, "orders")
+      new ScriptRunner(s).run(
+        """SELECT o_orderpriority AS p,
+          |  KLL_QUANTILES.EXTRACT_POINT_INT64(
+          |    KLL_QUANTILES.INIT_INT64(o_orderkey, 65536), 0.5) AS med,
+          |  KLL_QUANTILES.EXTRACT_POINT_INT64(
+          |    KLL_QUANTILES.INIT_INT64(o_orderkey, 65536), 0.25) AS q1,
+          |  KLL_QUANTILES.EXTRACT_POINT_INT64(
+          |    KLL_QUANTILES.INIT_INT64(o_orderkey, 65536), 0.0) AS mn,
+          |  KLL_QUANTILES.EXTRACT_POINT_INT64(
+          |    KLL_QUANTILES.INIT_INT64(o_orderkey, 65536), 1.0) AS mx,
+          |  (SELECT KLL_QUANTILES.MERGE_POINT_INT64(sk, 0.5) FROM (
+          |     SELECT KLL_QUANTILES.INIT_INT64(o_orderkey, 65536) AS sk
+          |     FROM orders GROUP BY o_orderpriority)) AS gmed,
+          |  (SELECT KLL_QUANTILES.MERGE_INT64(sk2, 2)[OFFSET(1)] FROM (
+          |     SELECT KLL_QUANTILES.INIT_INT64(o_orderkey, 65536) AS sk2
+          |     FROM orders GROUP BY o_orderpriority)) AS gmid,
+          |  (SELECT KLL_QUANTILES.MERGE_INT64(sk3, 2)[OFFSET(2)] FROM (
+          |     SELECT KLL_QUANTILES.INIT_INT64(o_orderkey, 65536) AS sk3
+          |     FROM orders GROUP BY o_orderpriority)) AS gmax
+          |FROM orders GROUP BY o_orderpriority ORDER BY p""".stripMargin).get
+    },
+
     "e93_text_analyze" -> { (s, d) =>
       // TEXT_ANALYZE (r12): the standalone tokenizer over nation names
       // (NATION_<k> in this testdata — '_' is a LOG_ANALYZER delimiter,
@@ -3168,6 +3198,31 @@ object EngineQueries {
         |  true AS ln_beside_hole, true AS pp_in, false AS pp_spans_hole,
         |  false AS pp_overlap, true AS within_ln, true AS covers_pp
         |FROM nation ORDER BY id""".stripMargin,
+
+    // the sketch is exact below precision, so the oracle replicates
+    // the engine's documented rank rule (smallest v with rank ≥
+    // max(1, ceil(φ·n))) with window functions; all values BIGINT
+    "e94_kll_quantiles" ->
+      """WITH d AS (
+        |  SELECT o_orderpriority AS p, CAST(o_orderkey AS BIGINT) AS v
+        |  FROM orders),
+        |r AS (
+        |  SELECT p, v,
+        |    row_number() OVER (PARTITION BY p ORDER BY v) AS rn,
+        |    count(*) OVER (PARTITION BY p) AS n
+        |  FROM d),
+        |g AS (
+        |  SELECT v, row_number() OVER (ORDER BY v) AS rn,
+        |    count(*) OVER () AS n
+        |  FROM d)
+        |SELECT p,
+        |  min(CASE WHEN rn >= ceil(0.5 * n) THEN v END) AS med,
+        |  min(CASE WHEN rn >= ceil(0.25 * n) THEN v END) AS q1,
+        |  min(v) AS mn, max(v) AS mx,
+        |  (SELECT min(CASE WHEN rn >= ceil(0.5 * n) THEN v END) FROM g) AS gmed,
+        |  (SELECT min(CASE WHEN rn >= ceil(0.5 * n) THEN v END) FROM g) AS gmid,
+        |  (SELECT max(v) FROM g) AS gmax
+        |FROM r GROUP BY p ORDER BY p""".stripMargin,
 
     // this testdata's nation names are NATION_<k> — '_' is in the
     // delimiter class, so the token join is lower+replace on '_' and

@@ -1596,6 +1596,56 @@ class DialectExecSpec extends AnyFunSuite with BeforeAndAfterAll {
       Dialect.rewrite("SELECT ML.QUANTILE_BUCKETIZE(v, 1) OVER () FROM t") }
   }
 
+  test("KLL_QUANTILES: mergeable quantile sketches, exact below precision (r12)") {
+    graft.functions.BitSketchExpressions.register(spark)
+    // n=18 < default precision 1000 → exact order statistics: the
+    // median of 1..18 at ceil(.5*18)=rank 9, quartiles likewise
+    assert(one("SELECT KLL_QUANTILES.EXTRACT_POINT_INT64(" +
+      "KLL_QUANTILES.INIT_INT64(x), 0.5) " +
+      "FROM UNNEST(GENERATE_ARRAY(1, 18)) AS x") == 9L)
+    assert(one("SELECT KLL_QUANTILES.EXTRACT_INT64(" +
+      "KLL_QUANTILES.INIT_INT64(x), 4) " +
+      "FROM UNNEST(GENERATE_ARRAY(1, 16)) AS x") == Seq(1L, 4L, 8L, 12L, 16L))
+    // FLOAT64 twin keeps doubles
+    assert(one("SELECT KLL_QUANTILES.EXTRACT_POINT_FLOAT64(" +
+      "KLL_QUANTILES.INIT_FLOAT64(CAST(x AS FLOAT64) / 2), 1.0) " +
+      "FROM UNNEST(GENERATE_ARRAY(1, 9)) AS x") == 4.5)
+    // MERGE_PARTIAL union law: two half-sketches == one full sketch
+    // (both exact below precision, so equality is deterministic)
+    assert(one(
+      """SELECT KLL_QUANTILES.EXTRACT_POINT_INT64(
+        |  KLL_QUANTILES.MERGE_PARTIAL(sk), 0.5) FROM (
+        |  SELECT KLL_QUANTILES.INIT_INT64(x) AS sk
+        |  FROM UNNEST(GENERATE_ARRAY(1, 9)) AS x
+        |  UNION ALL
+        |  SELECT KLL_QUANTILES.INIT_INT64(x)
+        |  FROM UNNEST(GENERATE_ARRAY(10, 18)) AS x)""".stripMargin) == 9L)
+    // MERGE_POINT / MERGE_INT64 compose merge + extract
+    assert(one(
+      """SELECT KLL_QUANTILES.MERGE_POINT_INT64(sk, 0.25) FROM (
+        |  SELECT KLL_QUANTILES.INIT_INT64(x, 500) AS sk
+        |  FROM UNNEST(GENERATE_ARRAY(1, 16)) AS x)""".stripMargin) == 4L)
+    // above precision the sketch stays bounded and the estimate lands
+    // near the true median: 50 copies of each of 1..100 at precision
+    // 200 (compaction active from level 0 up)
+    val est = one(
+      """SELECT KLL_QUANTILES.EXTRACT_POINT_INT64(
+        |  KLL_QUANTILES.INIT_INT64(MOD(x, 100) + 1, 200), 0.5)
+        |FROM UNNEST(GENERATE_ARRAY(1, 5000)) AS x""".stripMargin)
+      .asInstanceOf[Long]
+    assert(est >= 40L && est <= 60L, s"median estimate $est out of range")
+    // loud edges: bad precision, bad phi, non-sketch bytes
+    intercept[Exception] { one("SELECT KLL_QUANTILES.INIT_INT64(x, 2) " +
+      "FROM UNNEST([1, 2]) AS x") }
+    intercept[Exception] { one("SELECT KLL_QUANTILES.EXTRACT_POINT_INT64(" +
+      "KLL_QUANTILES.INIT_INT64(x), 1.5) FROM UNNEST([1, 2]) AS x") }
+    intercept[Exception] { one(
+      "SELECT KLL_QUANTILES.EXTRACT_POINT_INT64(b'notasketch', 0.5)") }
+    // empty input → NULL sketch → NULL extraction
+    assert(one("SELECT KLL_QUANTILES.INIT_INT64(x) IS NULL " +
+      "FROM (SELECT 1 AS x) WHERE FALSE") == true)
+  }
+
   test("TEXT_ANALYZE: standalone tokenizer shares the SEARCH analyzers (r12)") {
     // LOG_ANALYZER: published delimiter class, lowercased, empties
     // dropped, order and duplicates preserved
