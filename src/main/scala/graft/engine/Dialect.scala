@@ -3362,6 +3362,15 @@ object Dialect {
     // metadata/accessor family (r12): typed kernels — shape-directed
     // results, analysis-loud misuse (element_at on a polygon would
     // silently return a ring, the mapped-array hazard class)
+    // geohash pair (r12): public base-32 bisection encoding, pinned to
+    // the published vectors; decode returns the CELL CENTER point.
+    // BigQuery's default maxchars is 20 (full double precision).
+    "ST_GEOHASH" -> (a =>
+      if (a.length == 1) Some(s"graft_st_geohash(${a(0)}, 20)")
+      else if (a.length == 2) Some(s"graft_st_geohash(${a(0)}, ${a(1)})")
+      else scala.None),
+    "ST_GEOGPOINTFROMGEOHASH" -> (a =>
+      if (a.length == 1) Some(s"graft_st_fromgeohash(${a(0)})") else scala.None),
     "ST_GEOMETRYTYPE" -> (a =>
       if (a.length == 1) Some(s"graft_st_geometrytype(${a(0)})") else scala.None),
     "ST_NUMPOINTS" -> (a =>

@@ -615,6 +615,118 @@ case class LinePointExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** ST_GEOHASH(point[, maxchars]) — the public geohash encoding
+  * (base-32 character alphabet, bit-interleaved lon/lat bisection,
+  * odd bits lon-first). Deterministic, pinned to the published test
+  * vectors ('ezs42' etc.); BigQuery default length 20.
+  */
+case class GeohashExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.types._
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (!GeoShapes.isPoint(left.dataType)) TypeCheckFailure(
+      s"ST_GEOHASH: requires a point, got ${GeoShapes.shapeName(left.dataType)}")
+    else if (!Seq(IntegerType, LongType).contains(right.dataType))
+      TypeCheckFailure("ST_GEOHASH: maxchars must be an integer")
+    else TypeCheckSuccess
+  }
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val (lon, lat) = GeoShapes.point(l)
+    val len = r.asInstanceOf[Number].intValue()
+    if (len < 1 || len > 20) throw new IllegalArgumentException(
+      s"ST_GEOHASH: maxchars must be in [1, 20], got $len")
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      Geohash.encode(lon, lat, len))
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): GeohashExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object Geohash {
+  val ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+  def encode(lon: Double, lat: Double, len: Int): String = {
+    require(lon >= -180 && lon <= 180 && lat >= -90 && lat <= 90,
+      s"ST_GEOHASH: point out of range ($lon, $lat)")
+    var (lonLo, lonHi) = (-180.0, 180.0)
+    var (latLo, latHi) = (-90.0, 90.0)
+    val sb = new StringBuilder
+    var evenBit = true // geohash interleave starts with longitude
+    var bits = 0
+    var ch = 0
+    while (sb.length < len) {
+      if (evenBit) {
+        val mid = (lonLo + lonHi) / 2
+        if (lon >= mid) { ch = (ch << 1) | 1; lonLo = mid }
+        else { ch = ch << 1; lonHi = mid }
+      } else {
+        val mid = (latLo + latHi) / 2
+        if (lat >= mid) { ch = (ch << 1) | 1; latLo = mid }
+        else { ch = ch << 1; latHi = mid }
+      }
+      evenBit = !evenBit
+      bits += 1
+      if (bits == 5) { sb += ALPHABET.charAt(ch); bits = 0; ch = 0 }
+    }
+    sb.toString
+  }
+
+  /** Decode to the CELL CENTER (BigQuery's ST_GEOGPOINTFROMGEOHASH). */
+  def decodeCenter(hash: String): (Double, Double) = {
+    require(hash.nonEmpty, "ST_GEOGPOINTFROMGEOHASH: empty geohash")
+    var (lonLo, lonHi) = (-180.0, 180.0)
+    var (latLo, latHi) = (-90.0, 90.0)
+    var evenBit = true
+    hash.toLowerCase.foreach { c =>
+      val v = ALPHABET.indexOf(c)
+      if (v < 0) throw new IllegalArgumentException(
+        s"ST_GEOGPOINTFROMGEOHASH: invalid geohash character '$c'")
+      var b = 4
+      while (b >= 0) {
+        val bit = (v >> b) & 1
+        if (evenBit) {
+          val mid = (lonLo + lonHi) / 2
+          if (bit == 1) lonLo = mid else lonHi = mid
+        } else {
+          val mid = (latLo + latHi) / 2
+          if (bit == 1) latLo = mid else latHi = mid
+        }
+        evenBit = !evenBit
+        b -= 1
+      }
+    }
+    ((lonLo + lonHi) / 2, (latLo + latHi) / 2)
+  }
+}
+
+/** ST_GEOGPOINTFROMGEOHASH(hash) → the cell-center point. */
+case class GeohashDecodeExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.types._
+  override def dataType: DataType = StructType(Seq(
+    StructField("lon", DoubleType), StructField("lat", DoubleType)))
+  override def nullable: Boolean = true
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (child.dataType == StringType) TypeCheckSuccess
+    else TypeCheckFailure("ST_GEOGPOINTFROMGEOHASH: requires a STRING")
+  }
+  override protected def nullSafeEval(v: Any): Any = {
+    val (lon, lat) = Geohash.decodeCenter(v.toString)
+    org.apache.spark.sql.catalyst.InternalRow(lon, lat)
+  }
+  override protected def withNewChildInternal(
+      newChild: Expression): GeohashDecodeExpr = copy(child = newChild)
+}
+
 object GeoKernels {
   def register(spark: SparkSession): Unit = {
     if (spark.sessionState.functionRegistry.functionExists(
@@ -643,5 +755,9 @@ object GeoKernels {
       "graft_st_dimension", e => GeogMetaExpr(e.head, "ST_DIMENSION"), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_st_pointn", e => LinePointExpr(e(0), e(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_st_geohash", e => GeohashExpr(e(0), e(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_st_fromgeohash", e => GeohashDecodeExpr(e.head), "scala_udf")
   }
 }

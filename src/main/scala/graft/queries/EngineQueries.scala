@@ -1300,6 +1300,31 @@ object EngineQueries {
           |FROM shapes ORDER BY id""".stripMargin).get
     },
 
+    "e95_geohash" -> { (s, d) =>
+      // ST_GEOHASH / ST_GEOGPOINTFROMGEOHASH (r12): the published
+      // 'ezs42' vector as a constant leg, plus per-nation laws the
+      // oracle states by construction — decode-reencode identity at
+      // the same length (the cell center is inside its own cell),
+      // the prefix property (a shorter geohash of the same point is a
+      // prefix of a longer one), and BigQuery's default length 20.
+      Tables.views(s, d, "nation")
+      new ScriptRunner(s).run(
+        """WITH pts AS (
+          |  SELECT n_nationkey,
+          |    CAST(MOD(n_nationkey * 29, 320) AS FLOAT64) - 159.5 AS lon,
+          |    CAST(MOD(n_nationkey * 17, 160) AS FLOAT64) - 79.75 AS lat
+          |  FROM nation)
+          |SELECT CAST(n_nationkey AS INT64) AS id,
+          |  ST_GEOHASH(ST_GEOGPOINT(-5.6, 42.6), 5) AS vec,
+          |  (ST_GEOHASH(ST_GEOGPOINTFROMGEOHASH(
+          |     ST_GEOHASH(ST_GEOGPOINT(lon, lat), 8)), 8)
+          |   = ST_GEOHASH(ST_GEOGPOINT(lon, lat), 8)) AS rt,
+          |  STARTS_WITH(ST_GEOHASH(ST_GEOGPOINT(lon, lat), 9),
+          |    ST_GEOHASH(ST_GEOGPOINT(lon, lat), 4)) AS pfx,
+          |  CAST(LENGTH(ST_GEOHASH(ST_GEOGPOINT(lon, lat))) AS INT64) AS dlen
+          |FROM pts ORDER BY id""".stripMargin).get
+    },
+
     "e94_kll_quantiles" -> { (s, d) =>
       // KLL_QUANTILES (r12): per-priority INT64 sketches over orders at
       // precision 65536 — above every verify scale's row count, so the
@@ -3197,6 +3222,12 @@ object EngineQueries {
         |  true AS ln_in, false AS ln_over_hole, false AS ln_in_hole,
         |  true AS ln_beside_hole, true AS pp_in, false AS pp_spans_hole,
         |  false AS pp_overlap, true AS within_ln, true AS covers_pp
+        |FROM nation ORDER BY id""".stripMargin,
+
+    // the vector is published; the laws hold by construction
+    "e95_geohash" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS id, 'ezs42' AS vec,
+        |  true AS rt, true AS pfx, CAST(20 AS BIGINT) AS dlen
         |FROM nation ORDER BY id""".stripMargin,
 
     // the sketch is exact below precision, so the oracle replicates

@@ -1596,6 +1596,31 @@ class DialectExecSpec extends AnyFunSuite with BeforeAndAfterAll {
       Dialect.rewrite("SELECT ML.QUANTILE_BUCKETIZE(v, 1) OVER () FROM t") }
   }
 
+  test("ST_GEOHASH / ST_GEOGPOINTFROMGEOHASH: published vectors (r12)") {
+    // the canonical published vector: (-5.6, 42.6) → 'ezs42'
+    assert(one("SELECT ST_GEOHASH(ST_GEOGPOINT(-5.6, 42.6), 5)") == "ezs42")
+    // other well-known vectors
+    assert(one("SELECT ST_GEOHASH(ST_GEOGPOINT(-0.1, 51.5), 6)") == "gcpuvx")
+    assert(one("SELECT ST_GEOHASH(ST_GEOGPOINT(139.7, 35.68), 7)") == "xn76fzq")
+    // decode returns the cell center: re-encoding at the same length
+    // is the identity (center is inside its own cell)
+    assert(one("SELECT ST_GEOHASH(ST_GEOGPOINTFROMGEOHASH('ezs42'), 5)") == "ezs42")
+    assert(one("SELECT ST_GEOHASH(ST_GEOGPOINTFROMGEOHASH('xn76fzq'), 7)") ==
+      "xn76fzq")
+    // center of 'ezs42' is inside the published decode box
+    val lon = one("SELECT ST_X(ST_GEOGPOINTFROMGEOHASH('ezs42'))")
+      .asInstanceOf[Double]
+    val lat = one("SELECT ST_Y(ST_GEOGPOINTFROMGEOHASH('ezs42'))")
+      .asInstanceOf[Double]
+    assert(lon > -5.625 && lon < -5.58 && lat > 42.58 && lat < 42.627,
+      s"($lon, $lat)")
+    // loud: bad length, bad characters, non-point shapes
+    intercept[Exception] { one("SELECT ST_GEOHASH(ST_GEOGPOINT(0, 0), 0)") }
+    intercept[Exception] { one("SELECT ST_GEOGPOINTFROMGEOHASH('ab!c')") }
+    intercept[Exception] { one(
+      "SELECT ST_GEOHASH(ST_GEOGFROMTEXT('LINESTRING(0 0, 1 1)'), 5)") }
+  }
+
   test("KLL_QUANTILES: mergeable quantile sketches, exact below precision (r12)") {
     graft.functions.BitSketchExpressions.register(spark)
     // n=18 < default precision 1000 → exact order statistics: the
