@@ -1669,6 +1669,16 @@ class DialectExecSpec extends AnyFunSuite with BeforeAndAfterAll {
     // empty input → NULL sketch → NULL extraction
     assert(one("SELECT KLL_QUANTILES.INIT_INT64(x) IS NULL " +
       "FROM (SELECT 1 AS x) WHERE FALSE") == true)
+    // scale posture: the sketch aggregates through Spark's partial
+    // merge (map-side sketch per partition, one exchange of sketch
+    // bytes — not rows)
+    val plan = spark.sql(Dialect.rewrite(
+      """SELECT g, KLL_QUANTILES.EXTRACT_POINT_INT64(
+        |  KLL_QUANTILES.INIT_INT64(x), 0.5)
+        |FROM (SELECT MOD(x, 3) AS g, x FROM UNNEST(GENERATE_ARRAY(1, 30)) AS x)
+        |GROUP BY g""".stripMargin)).queryExecution.executedPlan.toString
+    assert(plan.contains("partial_graft_kll_init") ||
+      plan.toLowerCase.contains("partial"), s"expected partial aggregation:\n$plan")
   }
 
   test("TEXT_ANALYZE: standalone tokenizer shares the SEARCH analyzers (r12)") {
