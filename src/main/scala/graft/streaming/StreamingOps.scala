@@ -229,8 +229,7 @@ object StreamingOps {
     */
   def runBoundedLeftOuterAttribution(spark: SparkSession, sfDir: String,
       queryName: String): DataFrame = {
-    val ev = graft.queries.Tables.normalizeTs(
-      spark.read.parquet(s"$sfDir/events.parquet"))
+    val ev = graft.queries.Tables.t(spark, sfDir, "events")
     val sentinelTs: Column = lit(new java.sql.Timestamp(
       ev.agg(max(col("ts"))).head.getTimestamp(0).getTime + 2592000000L)) // +30 d in millis
     def sentinel(tpe: String, id: Long) = ev.limit(1)
@@ -317,7 +316,7 @@ object StreamingOps {
   /** Bounded stream-static enrichment → memory sink → final state. */
   def runBoundedEnrichment(spark: SparkSession, sfDir: String,
       queryName: String): DataFrame = {
-    val dim = spark.read.parquet(s"$sfDir/customer.parquet")
+    val dim = graft.queries.Tables.raw(spark, sfDir, "customer")
       .select(col("c_custkey"), col("c_mktsegment"))
     val agg = streamStaticEnrichment(boundedEventStream(spark, sfDir), dim)
     val q = withStatePartitions(spark, 8)(agg.writeStream
@@ -353,7 +352,7 @@ object StreamingOps {
     // the 2-file split of the source is deterministic per source dir →
     // JVM-lifetime fixture, not per-run setup
     val src = Scratch.once(s"s07src|$sfDir") { d =>
-      spark.read.parquet(s"$sfDir/events.parquet").repartition(2)
+      graft.queries.Tables.raw(spark, sfDir, "events").repartition(2)
         .write.mode("overwrite").parquet(d)
     }
     val schema = spark.read.parquet(src).schema
@@ -395,7 +394,7 @@ object StreamingOps {
     * batch side (nanos-as-long → micros; TIMESTAMP_NTZ → TIMESTAMP).
     */
   private def boundedEventStream(spark: SparkSession, sfDir: String): DataFrame = {
-    val batchSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val batchSchema = graft.queries.Tables.raw(spark, sfDir, "events").schema
     val stream = spark.readStream
       .schema(batchSchema)
       .option("pathGlobFilter", "events.parquet")
@@ -598,7 +597,7 @@ object StreamingOps {
   }
 
   private def boundedDocStream(spark: SparkSession, sfDir: String): DataFrame = {
-    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val schema = graft.queries.Tables.raw(spark, sfDir, "documents").schema
     spark.readStream.schema(schema)
       .option("pathGlobFilter", "documents.parquet")
       .parquet(sfDir)
@@ -614,7 +613,7 @@ object StreamingOps {
     val redelivered = docs.unionByName(
       boundedDocStream(spark, sfDir).where(col("doc_id") % 10 === 0)
         .withColumn("doc_id", col("doc_id") + 1000000L))
-    val historical = spark.read.parquet(s"$sfDir/documents.parquet")
+    val historical = graft.queries.Tables.raw(spark, sfDir, "documents")
       .where(col("doc_id") % 5 === 1)
     val q = withStatePartitions(spark, 8)(
       streamIncrementalDedup(redelivered, historical).writeStream
@@ -1175,7 +1174,7 @@ object StreamingOps {
     // 2-file split so the run crosses micro-batches, proving the
     // batch-local aggregation composes across them
     val src = Scratch.once(s"s24src|$sfDir") { d =>
-      spark.read.parquet(s"$sfDir/documents.parquet").repartition(2)
+      graft.queries.Tables.raw(spark, sfDir, "documents").repartition(2)
         .write.mode("overwrite").parquet(d)
     }
     val schema = spark.read.parquet(src).schema
@@ -1188,7 +1187,7 @@ object StreamingOps {
       .withColumn("doc_id", col("doc_id") + 1000000L)
       .withColumn("text", concat(col("text"), lit(" zzz"))))
     // the eval slice is benchmark-sized; settle it once, not per batch
-    val evalDocs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val evalDocs = graft.queries.Tables.raw(spark, sfDir, "documents")
       .where(isBench).select(col("doc_id"), col("text")).localCheckpoint(true)
     val target = Scratch.fresh("s24tgt_") + "/t"
     val probe: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
