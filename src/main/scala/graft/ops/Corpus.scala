@@ -431,9 +431,17 @@ object Corpus {
         .groupBy(col("i").as("item"))
         .agg((sum(col("wij")) /
           sum(col("nij") / (col("pi_i") + col("pi_j")))).as("pi_raw"))
-      val tot = raw.agg(sum(col("pi_raw")).as("t"),
+      // raw feeds two consumers (the normalizer and the update) and
+      // pis feeds two joins next round — without per-round lineage
+      // cuts the UNROLLED plan doubled per reference each iteration
+      // (116 Exchanges / 1,482 plan lines at iters=2; d117 spent
+      // ~1.7 s PLANNING a 10-row solve — plans/r12/d117_*). The
+      // checkpointed frames are competitor-sized; same math, same
+      // fixpoint, flat plans.
+      val rawM = if (materialize) raw.localCheckpoint(true) else raw
+      val tot = rawM.agg(sum(col("pi_raw")).as("t"),
         count(lit(1)).cast(DoubleType).as("k"))
-      pis = raw.crossJoin(broadcast(tot))
+      pis = rawM.crossJoin(broadcast(tot))
         .select(col("item"), (col("pi_raw") * col("k") / col("t")).as("pi"))
     }
     val totals = edges.groupBy(col("i").as("item"))

@@ -25,6 +25,27 @@ import org.apache.spark.sql.types._
   */
 object TextDedup {
 
+  /** CPU-spread for unsplittable inputs (optimization guide §2.5):
+    * when the physical scan yields fewer partitions than the session's
+    * parallelism — the driver's testdata is a SINGLE parquet row group,
+    * so every scan is one task — hash-distribute the slim projection
+    * across the cores and cut the plan so the optimizer cannot push
+    * the expensive downstream expressions back below the exchange
+    * (predicate pushdown happily rewrites a derived-column filter
+    * through a bare repartition; measured on d101). On well-laid-out
+    * input (≥ half the cores' worth of splits — any real table at
+    * scale) this is a NO-OP: the exchange only exists when the input
+    * cannot parallelize by itself, which is exactly when the guide
+    * says to repartition right after the read. Call it on the slim
+    * (id, text, keys) projection only, never on full rows.
+    */
+  private[graft] def spreadForCpu(df: DataFrame, key: String = "doc_id"): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    val n = sc.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 >= n) df
+    else df.repartition(n, col(key)).localCheckpoint(true)
+  }
+
   /** tokens + distinct word-3-gram shingles appended as `toks`/`shingles`. */
   def shingled(df: DataFrame, textCol: String = "text"): DataFrame = {
     graft.functions.BitSketchExpressions.register(df.sparkSession)
@@ -166,8 +187,17 @@ object TextDedup {
   def winnowingPairs(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", k: Int = 4, w: Int = 5, dfCap: Int = 8,
       minShared: Int = 2): DataFrame = {
-    val hd = winnowingFingerprints(docs, idCol, textCol, k, w)
-      .select(col("doc_id"), col("h")).distinct()
+    // the fingerprint frame feeds THREE consumers (the df filter and
+    // both sides of the pair self-join); the gram hashing + window-min
+    // selection behind it is the expensive per-row work, so run it
+    // exactly once — the checkpointed rows are slim (doc_id, h) longs,
+    // never token/gram arrays (d124's plan-audit invariant). The
+    // before/after plans (plans/r12/d124_*) show 16 parquet scans
+    // collapse to the checkpoint's single computation.
+    val hd = winnowingFingerprints(
+        spreadForCpu(docs.select(col(idCol), col(textCol)), idCol),
+        idCol, textCol, k, w)
+      .select(col("doc_id"), col("h")).distinct().localCheckpoint(true)
     val ok = hd.groupBy("h").agg(count(lit(1)).as("df"))
       .where(col("df") >= 2 && col("df") <= dfCap)
       .select("h")
@@ -324,7 +354,9 @@ object TextDedup {
     // set value), so the 1M-doc cache is ~50 longs/doc instead of ~50
     // 20-char strings — the string-array variant stopped fitting at
     // the 1M stress ceiling and went super-linear on cache eviction
-    val sh = shingled(docs, textCol)
+    val sh = shingled(
+        if (materialize) spreadForCpu(docs.select(col(idCol), col(textCol)), idCol)
+        else docs, textCol)
       .withColumn("mh", expr("graft_minhash32(shingles)"))
       .withColumn("shh", expr("transform(shingles, x -> graft_md5_60(x))"))
       .select(col(idCol).as("doc_id"), col("mh"), col("shh"))
@@ -451,7 +483,7 @@ object TextDedup {
     require(maxHamming <= 3,
       "half-key + 1-bit multi-probe candidates are exact only for hamming <= 3")
     graft.functions.BitSketchExpressions.register(docs.sparkSession)
-    val withSim = docs
+    val withSim = (if (materialize) spreadForCpu(docs.select(col(idCol), col(textCol)), idCol) else docs)
       .withColumn("toks", expr(s"array_distinct(split(lower(trim($textCol)), '\\\\s+'))"))
       .where(size(col("toks")) >= 3)
       .withColumn("hs", expr("transform(toks, t -> graft_md5_60(t))"))
@@ -494,7 +526,11 @@ object TextDedup {
       textCol: String = "text", blockingCols: Seq[String] = Seq("lang"),
       threshold: Double = 0.3, materialize: Boolean = true): DataFrame = {
     val blockKeys = blockingCols :+ "first_tok" :+ "n_toks_bucket"
-    val sh = shingled(docs, textCol)
+    val base = if (materialize)
+      spreadForCpu(docs.select(
+        (Seq(idCol, textCol) ++ blockingCols).distinct.map(col): _*), idCol)
+    else docs
+    val sh = shingled(base, textCol)
       .withColumn("first_tok", expr("element_at(toks, 1)"))
       .withColumn("n_toks_bucket", expr("cast(size(toks) div 8 as int)"))
       .select((Seq(col(idCol).as("doc_id"), col("shingles")) ++
@@ -776,7 +812,9 @@ object TextDedup {
     // Cost: postings shrink sampleMod× (cache bytes AND Σdf² pair
     // fan-out) — the d43 ceiling lever. Deterministic, so the DuckDB
     // oracle replicates it bit-for-bit.
-    val exAll = shingled(docs, textCol)
+    val exAll = shingled(
+        if (materialize) spreadForCpu(docs.select(col(idCol), col(textCol)), idCol)
+        else docs, textCol)
       .select(col(idCol).as("doc_id"),
         explode(expr("transform(shingles, x -> graft_md5_60(x))")).as("sh"))
     val ex = (if (sampleMod > 1) exAll.where(pmod(col("sh"), lit(sampleMod)) === 0)

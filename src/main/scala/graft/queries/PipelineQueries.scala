@@ -1771,7 +1771,12 @@ object PipelineQueries {
         .withColumn("src", concat(lit("site"), col("doc_id") % 20, lit(".example.org")))
         .select(col("src"), explode(regexp_extract_all(col("text2"), lit(ur), lit(1))).as("dst"))
         .where(col("src") =!= col("dst"))
-        .distinct()
+        // the regex-extraction scan feeds nodes, outDeg, inDeg and all
+        // 3 rank rounds; without the eager checkpoint the lazy lineage
+        // re-ran the documents scan once per consumer (guide §1.2:
+        // don't recompute). The checkpointed frame is the slim DISTINCT
+        // (src, dst) domain edge list only.
+        .distinct().localCheckpoint(true)
       val nodes = edges.select(col("src").as("domain"))
         .union(edges.select(col("dst"))).distinct()
       val outDeg = edges.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
@@ -2765,7 +2770,24 @@ object PipelineQueries {
         .withColumn(s"hits_$suffix",
           expr("greatest(sc[0], sc[1], sc[2], sc[3], sc[4])"))
         .drop("sc")
+      // the driver's parquet files are a SINGLE row group, so the scan
+      // is one unsplittable task and the 10 stopword-profile passes ran
+      // serially (guide §2.5: unsplittable input → repartition right
+      // after the read). Hash-distribute the slim (id, text) rows on
+      // doc_id before the per-row scoring; partition count follows the
+      // session's shuffle setting — scale-adaptive, not a constant.
+      // (explicit count: an advisory-size coalesce would fold the tiny
+      // byte volume back into one partition — the point here is CPU
+      // spread, not bytes)
+      // localCheckpoint = optimizer barrier: predicate pushdown would
+      // otherwise substitute the scoring aliases into the final filter
+      // and push the whole computation back below the exchange into
+      // the single-task scan (measured: without it the repartition
+      // changed nothing)
       docs.unionByName(planted)
+        .select(col("doc_id"), col("lang"), col("text"))
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .localCheckpoint(true)
         .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
         .withColumn("h", expr("size(toks) div 2"))
         .withColumn("ta", expr("slice(toks, 1, h)"))

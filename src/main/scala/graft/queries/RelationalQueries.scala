@@ -913,10 +913,19 @@ object RelationalQueries {
       // once; each hop is a broadcast join — no growing lineage risk
       // at 4 fixed rounds.
       import s.implicits._
+      // Lineage discipline (optimization guide §3.3): without per-round
+      // checkpoints, `reached`/`frontier` re-embed every prior round's
+      // plan into the next — the unrolled 4-hop plan reached 3,425
+      // lines / 268 Exchanges / 66 parquet scans (plans/r12/
+      // q61_graph_reachability_before.txt) and Catalyst planning, not
+      // the ≤ 100-row data, dominated the gate. Edges materialize once
+      // (≤ node-domain² rows) and each hop's frontier is checkpointed,
+      // so every round plans against flat leaves. Identical fixpoint,
+      // identical output — only the plan is truncated.
       val edges = t(s, d, "lineitem")
         .where(col("l_orderkey") % 97 === 0)
         .select((col("l_suppkey") % 100).as("src"), (col("l_partkey") % 100).as("dst"))
-        .distinct()
+        .distinct().localCheckpoint(true)
       var reached = Seq((0L, 0)).toDF("node", "depth")
       var frontier = reached.select(col("node"))
       for (i <- 1 to 4) {
@@ -924,6 +933,7 @@ object RelationalQueries {
           .select(col("dst").as("node")).distinct()
           .join(reached, Seq("node"), "left_anti")
           .withColumn("depth", lit(i))
+          .localCheckpoint(true)
         reached = reached.unionByName(next)
         frontier = next.select(col("node"))
       }

