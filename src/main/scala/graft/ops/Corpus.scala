@@ -438,7 +438,11 @@ object Corpus {
       // ~1.7 s PLANNING a 10-row solve — plans/r12/d117_*). The
       // checkpointed frames are competitor-sized; same math, same
       // fixpoint, flat plans.
-      val rawM = if (materialize) raw.localCheckpoint(true) else raw
+      // LAZY cut: the broadcast-build of `tot` materializes the round's
+      // blocks before the main job reads them (strictly ordered, no
+      // branch race), so the lineage is truncated without paying one
+      // standalone eager job per round
+      val rawM = if (materialize) raw.localCheckpoint(false) else raw
       val tot = rawM.agg(sum(col("pi_raw")).as("t"),
         count(lit(1)).cast(DoubleType).as("k"))
       pis = rawM.crossJoin(broadcast(tot))
