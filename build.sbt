@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST bare line of `sbt "runMain graft.Bench"` as
+// one-line JSON. sbt's default fork logger wraps the forked JVM's stdout
+// as "[info] ..." and appends a "[success] Total time" footer after it,
+// so the JSON was never the bare last line (BENCH_r05..r12: parsed=null).
+// StdoutOutput passes the forked process's stdout through unprefixed, and
+// showSuccess=false drops sbt's own "[success] Total time" footer that
+// would otherwise print after it.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+ThisBuild / showSuccess := false
+// showSuccess is consumed by sbt's command layer, not a task — silence lint
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -97,9 +97,12 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val fullLine =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${names.size},"n_runs":$nRuns,"run_totals":$runsJson,"errors":$errsJson,"queries":$full,"sf":"$sfDir"}"""
-    // subset runs must not clobber the last full suite's record
+    // subset runs must not clobber the last full suite's record, and the
+    // driver's lower-core scaling sweep must not clobber the 32-core one:
+    // the record file is suffixed with the core count it measured
     if (only.isEmpty)
-      try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"BENCH_FULL_c$cpus.json"),
         (fullLine + "\n").getBytes("UTF-8"))
       catch { case _: Throwable => }
     // stop the session BEFORE printing: the driver keeps only the output

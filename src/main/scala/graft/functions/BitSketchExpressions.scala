@@ -28,8 +28,6 @@ import org.apache.spark.unsafe.types.UTF8String
   * is per-thread, not per-row.
   */
 object SketchKernels {
-  private val md5 = ThreadLocal.withInitial[java.security.MessageDigest](() =>
-    java.security.MessageDigest.getInstance("MD5"))
 
   /** Unicode normalization (NFC/NFKC/NFD/NFKD) — BigQuery NORMALIZE. */
   def unicodeNormalize(s: UTF8String, form: UTF8String): UTF8String =
@@ -58,15 +56,10 @@ object SketchKernels {
     n
   }
 
-  private def digest60(s: UTF8String): Long = {
-    val md = md5.get()
-    md.reset()
-    val dig = md.digest(s.getBytes)
-    var v = 0L
-    var i = 0
-    while (i < 8) { v = (v << 8) | (dig(i) & 0xffL); i += 1 }
-    v >>> 4
-  }
+  // specialized single-purpose MD5 (no input copy, no digest alloc,
+  // unrolled compression) — bit-identical to the MessageDigest path it
+  // replaced, enforced by Md5KernelSpec's property test
+  private def digest60(s: UTF8String): Long = Md5Kernel.prefix60(s)
 
   /** Big-endian long of the first 8 md5 bytes, shifted right 4 —
     * numerically identical to parsing the first 15 hex digest chars:
@@ -201,16 +194,23 @@ object SketchKernels {
     * over shingles per j. The affine maps wrap mod p (essential — see
     * d07's comment on degenerate buckets); every operand stays < 2^62.
     */
+  // affine-map coefficients hoisted out of the per-shingle loop: values
+  // identical to the inline 1103515245 + 12345·j / j·987654321 forms
+  private val mhMult: Array[Long] = Array.tabulate(32)(j => 1103515245L + 12345L * j)
+  private val mhAdd: Array[Long] = Array.tabulate(32)(j => j * 987654321L)
+
   def minhash32(arr: ArrayData): ArrayData = {
     val P = 2147483647L
     val n = arr.numElements()
     val mins = Array.fill(32)(Long.MaxValue)
+    val mult = mhMult
+    val add = mhAdd
     var i = 0
     while (i < n) {
       val base = digest60(arr.getUTF8String(i)) % P
       var j = 0
       while (j < 32) {
-        val h = (base * (1103515245L + 12345L * j) + j * 987654321L) % P
+        val h = (base * mult(j) + add(j)) % P
         if (h < mins(j)) mins(j) = h
         j += 1
       }

@@ -441,8 +441,9 @@ object Corpus {
       // LAZY cut: the broadcast-build of `tot` materializes the round's
       // blocks before the main job reads them (strictly ordered, no
       // branch race), so the lineage is truncated without paying one
-      // standalone eager job per round
-      val rawM = if (materialize) raw.localCheckpoint(false) else raw
+      // standalone eager job per round. Checkpoints.cut upgrades to a
+      // reliable checkpoint when a checkpoint dir is configured.
+      val rawM = if (materialize) graft.core.Checkpoints.cut(raw, eager = false) else raw
       val tot = rawM.agg(sum(col("pi_raw")).as("t"),
         count(lit(1)).cast(DoubleType).as("k"))
       pis = rawM.crossJoin(broadcast(tot))

@@ -40,10 +40,24 @@ object TextDedup {
     * (id, text, keys) projection only, never on full rows.
     */
   private[graft] def spreadForCpu(df: DataFrame, key: String = "doc_id"): DataFrame = {
-    val sc = df.sparkSession.sparkContext
-    val n = sc.defaultParallelism
-    if (df.rdd.getNumPartitions * 2 >= n) df
-    else df.repartition(n, col(key)).localCheckpoint(true)
+    val spark = df.sparkSession
+    val n = spark.sparkContext.defaultParallelism
+    // probe the physical split count on the internal-row RDD — no
+    // external-row deserializer plan, unlike df.rdd
+    if (df.queryExecution.toRdd.getNumPartitions * 2 >= n) df
+    else {
+      // bound the eager materialization: the cut pins the slim
+      // projection in executor storage, so a single huge unsplittable
+      // input (exactly the trigger case) would otherwise duplicate the
+      // corpus into RAM/disk. Past the bound, keep the serial scan —
+      // at that size the shuffle + pin costs more than the spread wins
+      // and the memory pressure is real.
+      val maxBytes =
+        try spark.conf.get("spark.sql.graft.spreadMaxBytes", (4L << 30).toString).toLong
+        catch { case _: Throwable => 4L << 30 }
+      if (df.queryExecution.optimizedPlan.stats.sizeInBytes > maxBytes) df
+      else graft.core.Checkpoints.cut(df.repartition(n, col(key)))
+    }
   }
 
   /** tokens + distinct word-3-gram shingles appended as `toks`/`shingles`. */
@@ -186,7 +200,7 @@ object TextDedup {
     */
   def winnowingPairs(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", k: Int = 4, w: Int = 5, dfCap: Int = 8,
-      minShared: Int = 2): DataFrame = {
+      minShared: Int = 2, materialize: Boolean = true): DataFrame = {
     // the fingerprint frame feeds THREE consumers (the df filter and
     // both sides of the pair self-join); the gram hashing + window-min
     // selection behind it is the expensive per-row work, so run it
@@ -194,10 +208,14 @@ object TextDedup {
     // never token/gram arrays (d124's plan-audit invariant). The
     // before/after plans (plans/r12/d124_*) show 16 parquet scans
     // collapse to the checkpoint's single computation.
-    val hd = winnowingFingerprints(
-        spreadForCpu(docs.select(col(idCol), col(textCol)), idCol),
+    // materialize=false keeps the fully lazy shape for composition and
+    // plan audits, like the sibling pair generators.
+    val hd0 = winnowingFingerprints(
+        if (materialize) spreadForCpu(docs.select(col(idCol), col(textCol)), idCol)
+        else docs,
         idCol, textCol, k, w)
-      .select(col("doc_id"), col("h")).distinct().localCheckpoint(true)
+      .select(col("doc_id"), col("h")).distinct()
+    val hd = if (materialize) graft.core.Checkpoints.cut(hd0) else hd0
     val ok = hd.groupBy("h").agg(count(lit(1)).as("df"))
       .where(col("df") >= 2 && col("df") <= dfCap)
       .select("h")

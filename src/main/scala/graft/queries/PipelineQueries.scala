@@ -1775,8 +1775,9 @@ object PipelineQueries {
         // 3 rank rounds; without the eager checkpoint the lazy lineage
         // re-ran the documents scan once per consumer (guide §1.2:
         // don't recompute). The checkpointed frame is the slim DISTINCT
-        // (src, dst) domain edge list only.
-        .distinct().localCheckpoint(true)
+        // (src, dst) domain edge list only. Checkpoints.cut = reliable
+        // checkpoint when a dir is configured, localCheckpoint locally.
+        .distinct().transform(df => graft.core.Checkpoints.cut(df))
       val nodes = edges.select(col("src").as("domain"))
         .union(edges.select(col("dst"))).distinct()
       val outDeg = edges.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
@@ -2773,21 +2774,19 @@ object PipelineQueries {
       // the driver's parquet files are a SINGLE row group, so the scan
       // is one unsplittable task and the 10 stopword-profile passes ran
       // serially (guide §2.5: unsplittable input → repartition right
-      // after the read). Hash-distribute the slim (id, text) rows on
-      // doc_id before the per-row scoring; partition count follows the
-      // session's shuffle setting — scale-adaptive, not a constant.
-      // (explicit count: an advisory-size coalesce would fold the tiny
-      // byte volume back into one partition — the point here is CPU
-      // spread, not bytes)
-      // localCheckpoint = optimizer barrier: predicate pushdown would
-      // otherwise substitute the scoring aliases into the final filter
-      // and push the whole computation back below the exchange into
-      // the single-task scan (measured: without it the repartition
-      // changed nothing)
-      docs.unionByName(planted)
-        .select(col("doc_id"), col("lang"), col("text"))
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-        .localCheckpoint(true)
+      // after the read). spreadForCpu hash-distributes the slim
+      // (id, lang, text) rows on doc_id before the per-row scoring —
+      // and is a NO-OP whenever the scan already splits to >= half the
+      // session's parallelism (any real table at scale), so no shuffle
+      // of the text column is forced on well-laid-out input. The
+      // localCheckpoint inside it is the optimizer barrier: predicate
+      // pushdown would otherwise substitute the scoring aliases into
+      // the final filter and push the whole computation back below the
+      // exchange into the single-task scan (measured: without it the
+      // repartition changed nothing)
+      graft.ops.TextDedup.spreadForCpu(
+          docs.unionByName(planted)
+            .select(col("doc_id"), col("lang"), col("text")))
         .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
         .withColumn("h", expr("size(toks) div 2"))
         .withColumn("ta", expr("slice(toks, 1, h)"))

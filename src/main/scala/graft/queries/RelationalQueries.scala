@@ -921,19 +921,21 @@ object RelationalQueries {
       // the ≤ 100-row data, dominated the gate. Edges materialize once
       // (≤ node-domain² rows) and each hop's frontier is checkpointed,
       // so every round plans against flat leaves. Identical fixpoint,
-      // identical output — only the plan is truncated.
-      val edges = t(s, d, "lineitem")
+      // identical output — only the plan is truncated. Checkpoints.cut
+      // = localCheckpoint locally, reliable checkpoint when a
+      // checkpoint dir is configured (durable at cluster scale).
+      val edges = graft.core.Checkpoints.cut(t(s, d, "lineitem")
         .where(col("l_orderkey") % 97 === 0)
         .select((col("l_suppkey") % 100).as("src"), (col("l_partkey") % 100).as("dst"))
-        .distinct().localCheckpoint(true)
+        .distinct())
       var reached = Seq((0L, 0)).toDF("node", "depth")
       var frontier = reached.select(col("node"))
       for (i <- 1 to 4) {
-        val next = frontier.join(edges, col("node") === col("src"))
-          .select(col("dst").as("node")).distinct()
-          .join(reached, Seq("node"), "left_anti")
-          .withColumn("depth", lit(i))
-          .localCheckpoint(true)
+        val next = graft.core.Checkpoints.cut(
+          frontier.join(edges, col("node") === col("src"))
+            .select(col("dst").as("node")).distinct()
+            .join(reached, Seq("node"), "left_anti")
+            .withColumn("depth", lit(i)))
         reached = reached.unionByName(next)
         frontier = next.select(col("node"))
       }
