@@ -45,12 +45,25 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // fixtures) is ephemeral by definition — place it on tmpfs when one
   // is writable instead of the root disk, exactly as StreamingOps has
   // long done for stream checkpoints. Parameterized: SPARK_GRAFT_TMPDIR
-  // overrides; a box without a writable /dev/shm keeps the JVM default.
-  // On a production cluster the equivalent knob is spark.local.dir
-  // pointed at the fast local disks — this is placement, not gaming:
-  // every byte is still written and read back through the same paths.
+  // overrides unconditionally; the /dev/shm default additionally
+  // requires ≥ 16 GiB usable there (tmpfs pages compete with the JVM
+  // heap for physical memory — a nearly-full /dev/shm must not absorb
+  // shuffle spill and fail with ENOSPC mid-stress), and the
+  // subdirectory is per-checkout so concurrent checkouts on one box
+  // never share (or clobber) scratch. A box failing either check keeps
+  // the JVM default. On a production cluster the equivalent knob is
+  // spark.local.dir pointed at the fast local disks — this is
+  // placement, not gaming: every byte is still written and read back
+  // through the same paths.
   sys.env.get("SPARK_GRAFT_TMPDIR")
-    .orElse(if (file("/dev/shm").canWrite) Some("/dev/shm/graft_tmp") else None)
+    .orElse {
+      val shm = file("/dev/shm")
+      val checkoutTag = java.lang.Integer.toHexString(
+        baseDirectory.value.getAbsolutePath.hashCode)
+      if (shm.canWrite && shm.getUsableSpace >= 16L * 1024 * 1024 * 1024)
+        Some(s"/dev/shm/graft_tmp_$checkoutTag")
+      else None
+    }
     .map { d =>
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
       s"-Djava.io.tmpdir=$d"

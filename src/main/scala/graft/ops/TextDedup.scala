@@ -38,6 +38,15 @@ object TextDedup {
     * cannot parallelize by itself, which is exactly when the guide
     * says to repartition right after the read. Call it on the slim
     * (id, text, keys) projection only, never on full rows.
+    *
+    * r13 scope note: only the mixed-language scorer (d101 — ten
+    * per-row stopword-profile passes, NOT md5-bound) still uses this.
+    * The r12 sketch-head call sites (jaccard/simhash/minhashLsh/
+    * containment/winnowing) were removed after the Md5Kernel
+    * specialization made their per-row work ~5× cheaper: interleaved
+    * A/B then measured the spread flat-to-slower on every one of them
+    * (wall) at 4-10× the task time — the exchange + eager checkpoint
+    * now outweighs the serial-scan cost it used to hide.
     */
   private[graft] def spreadForCpu(df: DataFrame, key: String = "doc_id"): DataFrame = {
     val spark = df.sparkSession
@@ -210,10 +219,12 @@ object TextDedup {
     // collapse to the checkpoint's single computation.
     // materialize=false keeps the fully lazy shape for composition and
     // plan audits, like the sibling pair generators.
-    val hd0 = winnowingFingerprints(
-        if (materialize) spreadForCpu(docs.select(col(idCol), col(textCol)), idCol)
-        else docs,
-        idCol, textCol, k, w)
+    // (r13: the r12 spreadForCpu head was REMOVED here and on the
+    // sibling generators — after the Md5Kernel specialization the
+    // hashing is ~5× cheaper and the spread's exchange + eager
+    // checkpoint measured flat-to-slower on every md5-bound head,
+    // at 4-10× the task time; see OPTIMIZATION_r13.md)
+    val hd0 = winnowingFingerprints(docs, idCol, textCol, k, w)
       .select(col("doc_id"), col("h")).distinct()
     val hd = if (materialize) graft.core.Checkpoints.cut(hd0) else hd0
     val ok = hd.groupBy("h").agg(count(lit(1)).as("df"))
@@ -372,9 +383,7 @@ object TextDedup {
     // set value), so the 1M-doc cache is ~50 longs/doc instead of ~50
     // 20-char strings — the string-array variant stopped fitting at
     // the 1M stress ceiling and went super-linear on cache eviction
-    val sh = shingled(
-        if (materialize) spreadForCpu(docs.select(col(idCol), col(textCol)), idCol)
-        else docs, textCol)
+    val sh = shingled(docs.select(col(idCol), col(textCol)), textCol)
       .withColumn("mh", expr("graft_minhash32(shingles)"))
       .withColumn("shh", expr("transform(shingles, x -> graft_md5_60(x))"))
       .select(col(idCol).as("doc_id"), col("mh"), col("shh"))
@@ -501,7 +510,7 @@ object TextDedup {
     require(maxHamming <= 3,
       "half-key + 1-bit multi-probe candidates are exact only for hamming <= 3")
     graft.functions.BitSketchExpressions.register(docs.sparkSession)
-    val withSim = (if (materialize) spreadForCpu(docs.select(col(idCol), col(textCol)), idCol) else docs)
+    val withSim = docs.select(col(idCol), col(textCol))
       .withColumn("toks", expr(s"array_distinct(split(lower(trim($textCol)), '\\\\s+'))"))
       .where(size(col("toks")) >= 3)
       .withColumn("hs", expr("transform(toks, t -> graft_md5_60(t))"))
@@ -544,10 +553,8 @@ object TextDedup {
       textCol: String = "text", blockingCols: Seq[String] = Seq("lang"),
       threshold: Double = 0.3, materialize: Boolean = true): DataFrame = {
     val blockKeys = blockingCols :+ "first_tok" :+ "n_toks_bucket"
-    val base = if (materialize)
-      spreadForCpu(docs.select(
-        (Seq(idCol, textCol) ++ blockingCols).distinct.map(col): _*), idCol)
-    else docs
+    val base = docs.select(
+      (Seq(idCol, textCol) ++ blockingCols).distinct.map(col): _*)
     val sh = shingled(base, textCol)
       .withColumn("first_tok", expr("element_at(toks, 1)"))
       .withColumn("n_toks_bucket", expr("cast(size(toks) div 8 as int)"))
@@ -830,9 +837,7 @@ object TextDedup {
     // Cost: postings shrink sampleMod× (cache bytes AND Σdf² pair
     // fan-out) — the d43 ceiling lever. Deterministic, so the DuckDB
     // oracle replicates it bit-for-bit.
-    val exAll = shingled(
-        if (materialize) spreadForCpu(docs.select(col(idCol), col(textCol)), idCol)
-        else docs, textCol)
+    val exAll = shingled(docs.select(col(idCol), col(textCol)), textCol)
       .select(col(idCol).as("doc_id"),
         explode(expr("transform(shingles, x -> graft_md5_60(x))")).as("sh"))
     val ex = (if (sampleMod > 1) exAll.where(pmod(col("sh"), lit(sampleMod)) === 0)
@@ -1001,9 +1006,25 @@ object TextDedup {
     def hashed(df: DataFrame): DataFrame = df.withColumn("h",
       md5(regexp_replace(lower(trim(col(textCol))), "\\s+", " ")))
     val histHash = hashed(history).select(col(idCol).as("hist_id"), col("h"))
-    val exact = hashed(newBatch).join(histHash, "h")
+    // `exact` feeds THREE consumers (the verdict union, the near pass's
+    // anti-join, keep's anti-join) and `near` two (union + keep) — the
+    // persisted inputs cached the SCANS but each consumer still re-ran
+    // the join/groupBy subtrees (measured: 3× the md5 + exact-join task
+    // time on d30). A LAZY cut materializes each verdict table exactly
+    // once inside the final action; every consumer reads the pinned
+    // blocks (guide §1.2: don't recompute) and no extra job runs.
+    // Deliberately a cut, NOT persist(): the cut's stats-free LogicalRDD
+    // also stops the planner broadcasting the near pass's EXPLODED
+    // shingle join side — a single-threaded broadcast build of the
+    // biggest intermediate in the op (measured A/B on d30: cut 2.0-2.3 s
+    // task time / 16-18 jobs vs persist 11-19 s, and at 100 TB a
+    // broadcast of exploded history shingles is an OOM, while the
+    // shuffle join it becomes is the right shape).
+    val exact0 = hashed(newBatch).join(histHash, "h")
       .groupBy(col(idCol)).agg(min(col("hist_id")).as("matched"))
       .withColumn("verdict", lit("exact_dup"))
+    val exact = if (materialize) graft.core.Checkpoints.cut(exact0, eager = false)
+      else exact0
     val rest = newBatch.join(exact.select(idCol), Seq(idCol), "left_anti")
     val restSh = shingled(rest, textCol)
       .select(col(idCol).as("doc_id"), col("shingles"))
@@ -1017,7 +1038,7 @@ object TextDedup {
     // extra int per exploded row, so the Jaccard filter needs no
     // re-join of per-doc size tables onto the pair list (two fewer
     // shuffles; min() just picks the constant back up per pair).
-    val near = restSh.select(col("doc_id"), size(col("shingles")).as("na"),
+    val near0 = restSh.select(col("doc_id"), size(col("shingles")).as("na"),
         explode(expr("transform(shingles, s -> graft_md5_60(s))")).as("sh"))
       .join(histSh.select(col("hist_id"), size(col("hsh")).as("nb"),
         explode(expr("transform(hsh, s -> graft_md5_60(s))")).as("sh")), "sh")
@@ -1028,6 +1049,8 @@ object TextDedup {
       .groupBy(col("doc_id")).agg(min(col("hist_id")).as("matched"))
       .withColumn("verdict", lit("near_dup"))
       .withColumnRenamed("doc_id", idCol)
+    val near = if (materialize) graft.core.Checkpoints.cut(near0, eager = false)
+      else near0
     val keep = newBatch.select(idCol)
       .join(exact.select(idCol), Seq(idCol), "left_anti")
       .join(near.select(idCol), Seq(idCol), "left_anti")

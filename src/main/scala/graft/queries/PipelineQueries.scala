@@ -2648,13 +2648,20 @@ object PipelineQueries {
       // second persist here would just build a redundant cache
       val pairs = jaccardPairs(s, d).select(col("a"), col("b"))
       val cc = connectedComponents(pairs)
-      val reps = corpus.join(cc.select(col("node").as("doc_id"), col("lab")),
+      // `reps` feeds THREE consumers (both sides of the straddle audit
+      // plus the per-split rollup) — without a cut each consumer re-ran
+      // the corpus⋈cc join and the md5 split coin (guide §1.2: don't
+      // recompute). The LAZY cut materializes the slim
+      // (doc_id, rep, split) rows once inside the final action; all
+      // three consumers read the pinned blocks.
+      val reps = graft.core.Checkpoints.cut(
+        corpus.join(cc.select(col("node").as("doc_id"), col("lab")),
           Seq("doc_id"), "left")
         .withColumn("rep", coalesce(col("lab"), col("doc_id")))
         .withColumn("split", when(
           expr("cast(conv(substring(md5(cast(rep as string)), 1, 15), 16, 10) as bigint) % 10") < 8,
           lit("train")).otherwise(lit("eval")))
-        .select(col("doc_id"), col("rep"), col("split"))
+        .select(col("doc_id"), col("rep"), col("split")), eager = false)
       val straddle = pairs
         .join(reps.select(col("doc_id").as("a"), col("split").as("sa")), Seq("a"))
         .join(reps.select(col("doc_id").as("b"), col("split").as("sb")), Seq("b"))

@@ -28,6 +28,18 @@ object RelationalQueries {
   private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
   private def asD(c: Column): Column = c.cast(DoubleType)
 
+  /** One q61 BFS hop: expand the frontier over the edge list, drop
+    * already-reached nodes, stamp the depth. Package-private so
+    * PlanAuditSpec audits the PRODUCTION hop shape (broadcast frontier,
+    * no cartesian) instead of a replica that could drift.
+    */
+  private[graft] def reachabilityHop(frontier: DataFrame, edges: DataFrame,
+      reached: DataFrame, depth: Int): DataFrame =
+    frontier.join(edges, col("node") === col("src"))
+      .select(col("dst").as("node")).distinct()
+      .join(reached, Seq("node"), "left_anti")
+      .withColumn("depth", lit(depth))
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
@@ -932,10 +944,7 @@ object RelationalQueries {
       var frontier = reached.select(col("node"))
       for (i <- 1 to 4) {
         val next = graft.core.Checkpoints.cut(
-          frontier.join(edges, col("node") === col("src"))
-            .select(col("dst").as("node")).distinct()
-            .join(reached, Seq("node"), "left_anti")
-            .withColumn("depth", lit(i)))
+          reachabilityHop(frontier, edges, reached, i))
         reached = reached.unionByName(next)
         frontier = next.select(col("node"))
       }

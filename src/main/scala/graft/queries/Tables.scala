@@ -47,27 +47,47 @@ object Tables {
     * recomputes from the parquet files. Keyed by session so plans never
     * leak across SparkSessions (tests spin several).
     */
+  // structured key: (session, dir, table, normalized) — no string
+  // prefixing, so a table name can never collide with a variant marker
   private val planCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String, Boolean), DataFrame]()
+
+  // drop entries of stopped sessions (test suites cycle sessions; a
+  // stopped session's plans are dead weight and must never be served
+  // again — a fresh session with the same dir gets its own). Run on
+  // every lookup AND on session stop (the listener below), so dead
+  // sessions are purged even when no further t()/raw() call comes.
+  private def purgeStopped(): Unit =
+    planCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+  private val listenerInstalled =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+  private def get(spark: SparkSession, sfDir: String, name: String,
+      normalized: Boolean): DataFrame = {
+    purgeStopped()
+    if (listenerInstalled.add(spark))
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+          purgeStopped()
+          listenerInstalled.remove(spark)
+        }
+      })
+    planCache.computeIfAbsent((spark, sfDir, name, normalized), _ => {
+      val df = spark.read.parquet(s"$sfDir/$name.parquet")
+      if (normalized) normalizeTs(df) else df
+    })
+  }
 
   /** Un-normalized variant for call sites that need the file's native
     * schema (e.g. readStream.schema(...) must describe the file as
     * stored, BEFORE normalizeTs rewrites ts). Same metadata-only cache.
     */
-  def raw(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    planCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    planCache.computeIfAbsent((spark, sfDir, "raw:" + name),
-      _ => spark.read.parquet(s"$sfDir/$name.parquet"))
-  }
+  def raw(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    get(spark, sfDir, name, normalized = false)
 
-  def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // drop entries of stopped sessions (test suites cycle sessions;
-    // a stopped session's plans are dead weight and must never be
-    // served again — a fresh session with the same dir gets its own)
-    planCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    planCache.computeIfAbsent((spark, sfDir, name),
-      _ => normalizeTs(spark.read.parquet(s"$sfDir/$name.parquet")))
-  }
+  def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    get(spark, sfDir, name, normalized = true)
 
   /** Register temp views for SQL-form queries. Idempotent per session. */
   def views(spark: SparkSession, sfDir: String, names: String*): Unit = {

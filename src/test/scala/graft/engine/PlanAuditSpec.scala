@@ -846,8 +846,10 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("q61 BFS: every hop joins a broadcast frontier, no cartesian") {
     // the r12 lineage fix checkpoints each hop (the unrolled plan had
     // 268 Exchanges of pure re-planning), so the gate's FINAL plan is a
-    // groupBy over checkpoint scans; audit a single hop's plan directly
-    // — same join shape every round executes.
+    // groupBy over checkpoint scans; audit one hop built by the
+    // PRODUCTION hop helper (RelationalQueries.reachabilityHop — the
+    // exact code every round executes), so a drift in the gate's loop
+    // cannot slip past a replica.
     import org.apache.spark.sql.functions._
     import spark.implicits._
     val edges = Tables.t(spark, sfDir, "lineitem")
@@ -855,8 +857,8 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select((col("l_suppkey") % 100).as("src"), (col("l_partkey") % 100).as("dst"))
       .distinct().localCheckpoint(true)
     val frontier = Seq(0L).toDF("node")
-    val hop = frontier.join(edges, col("node") === col("src"))
-      .select(col("dst").as("node")).distinct()
+    val reached = Seq((0L, 0)).toDF("node", "depth")
+    val hop = RelationalQueries.reachabilityHop(frontier, edges, reached, 1)
     hop.collect()
     val p = hop.queryExecution.explainString(ExplainMode.fromString("formatted"))
       .split("== Initial Plan ==").head
