@@ -32,6 +32,8 @@ object ProfileStream {
     if (provider == "rocksdb")
       spark.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    if (provider == "nodata")
+      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
 
     val batchSchema = graft.queries.Tables.raw(spark, sfDir, "events").schema
     def stream() = graft.queries.Tables.normalizeTs(
